@@ -1,0 +1,135 @@
+"""Warehouse catalog: db / namespace / metric layout + schema registry.
+
+Layout (SURVEY.md §1.6):  <root>/<db>/<namespace>/<metric>/
+    schema.json   — union-merged MetricSchema (Schema.scala parity)
+    meta.json     — shardInterval ms + retention ms (MetricInfo.scala:30)
+    data/shard_start=<n>/*.parquet — natural-time partitions
+      (shard_start = floor(timestamp / interval) * interval,
+       MetadataCoordinator.scala:89-91)
+
+The partition listing doubles as NSDb's "locations" metadata: temporal
+queries derive bucket bounds from it without touching data
+(ReadCoordinator.scala:210-214 analogue).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from .model import DEFAULT_SHARD_INTERVAL_MS, MetricSchema, SchemaError
+
+
+class MetricNotFound(Exception):
+    pass
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def metric_path(self, db: str, ns: str, metric: str) -> str:
+        return os.path.join(self.root, db, ns, metric)
+
+    def data_path(self, db: str, ns: str, metric: str) -> str:
+        return os.path.join(self.metric_path(db, ns, metric), "data")
+
+    # -- listing ---------------------------------------------------------
+    def databases(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def namespaces(self, db: str) -> list[str]:
+        p = os.path.join(self.root, db)
+        if not os.path.isdir(p):
+            return []
+        return sorted(d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d)))
+
+    def metrics(self, db: str, ns: str) -> list[str]:
+        p = os.path.join(self.root, db, ns)
+        if not os.path.isdir(p):
+            return []
+        return sorted(d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d)))
+
+    def exists(self, db: str, ns: str, metric: str) -> bool:
+        return os.path.isfile(os.path.join(self.metric_path(db, ns, metric), "schema.json"))
+
+    # -- schema registry --------------------------------------------------
+    def get_schema(self, db: str, ns: str, metric: str) -> MetricSchema:
+        p = os.path.join(self.metric_path(db, ns, metric), "schema.json")
+        if not os.path.isfile(p):
+            raise MetricNotFound(f"{db}.{ns}.{metric}")
+        with open(p) as fh:
+            return MetricSchema.from_json(fh.read())
+
+    def update_schema(self, db: str, ns: str, metric: str, incoming: MetricSchema) -> MetricSchema:
+        """Union-merge the registry schema with an incoming one; rejects
+        type conflicts (Schema.union parity, Schema.scala:116-129). Atomic
+        via write-then-rename."""
+        mp = self.metric_path(db, ns, metric)
+        os.makedirs(mp, exist_ok=True)
+        p = os.path.join(mp, "schema.json")
+        if os.path.isfile(p):
+            with open(p) as fh:
+                merged = MetricSchema.from_json(fh.read()).union(incoming)
+        else:
+            merged = incoming
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(merged.to_json())
+        os.replace(tmp, p)
+        return merged
+
+    # -- metric info (INIT METRIC parity: init.proto:22-41) ----------------
+    def get_info(self, db: str, ns: str, metric: str) -> dict:
+        p = os.path.join(self.metric_path(db, ns, metric), "meta.json")
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {"shardInterval": DEFAULT_SHARD_INTERVAL_MS, "retention": 0}
+
+    def init_metric(
+        self, db: str, ns: str, metric: str,
+        shard_interval_ms: int = DEFAULT_SHARD_INTERVAL_MS, retention_ms: int = 0,
+    ) -> None:
+        mp = self.metric_path(db, ns, metric)
+        os.makedirs(mp, exist_ok=True)
+        with open(os.path.join(mp, "meta.json"), "w") as fh:
+            json.dump({"shardInterval": shard_interval_ms, "retention": retention_ms}, fh)
+
+    # -- locations (shard partition listing) -------------------------------
+    _SHARD_RE = re.compile(r"^shard_start=(-?\d+)$")
+
+    def locations(self, db: str, ns: str, metric: str) -> list[int]:
+        """shard_start values present on disk — the pruning metadata."""
+        dp = self.data_path(db, ns, metric)
+        if not os.path.isdir(dp):
+            return []
+        out = []
+        for d in os.listdir(dp):
+            m = self._SHARD_RE.match(d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    # -- drop / retention ---------------------------------------------------
+    def drop_metric(self, db: str, ns: str, metric: str) -> None:
+        p = self.metric_path(db, ns, metric)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    def drop_shards_older_than(self, db: str, ns: str, metric: str, threshold_ms: int) -> list[int]:
+        """Retention eviction: drop whole shards whose upper bound is below
+        the threshold (MetadataCoordinator.scala:335-348 analogue)."""
+        si = self.get_info(db, ns, metric)["shardInterval"]
+        dropped = []
+        for start in self.locations(db, ns, metric):
+            if start + si <= threshold_ms:
+                shutil.rmtree(os.path.join(self.data_path(db, ns, metric), f"shard_start={start}"))
+                dropped.append(start)
+        return dropped

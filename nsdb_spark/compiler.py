@@ -1,0 +1,426 @@
+"""Compile ParsedQuery descriptors into DataFrame plans.
+
+Design (SURVEY.md §7.0): build the plan declaratively with pyspark.sql
+functions only — Catalyst then does predicate/partition pruning, column
+pruning, partial+final aggregation and top-k limit for free (SURVEY.md §4).
+No RDDs, no Python UDFs anywhere on this path: every expression stays inside
+whole-stage codegen.
+
+Semantics parity notes (reference, studied not copied):
+- projections always include timestamp+value      (docs/SQL_doc.md:39)
+- LIKE wildcard `$`; `?` is a literal             (ExpressionParser.scala:110-120)
+- IN (a,b) = inclusive BETWEEN                    (SQLStatement.scala:96-101)
+- relative `now ± n unit` resolved once per query (TimeContext, ExpressionParser.scala:45-53)
+- temporal buckets aligned BACKWARD from the shard-interval upper bound,
+  first (oldest) bucket truncated+closed          (TimeRangeManager.scala:74-90, SURVEY.md §4.3)
+- empty temporal buckets ARE emitted with 0       (ReadCoordinatorTemporalAggregatedStatementsSpec)
+- temporal LIMIT keeps the *most recent* n buckets when sorted asc, the
+  oldest n when sorted desc (takeRight)           (post_proc/package.scala:62-66)
+- global count is clamped to LIMIT                (post_proc/package.scala:344-347)
+- mixed plain+agg: every returned row carries the final aggregate values
+                                                  (post_proc/package.scala:387-394)
+- first/last = min_by/max_by(value, timestamp)    (post_proc/package.scala:297-298)
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyzer import (
+    ParsedAggregatedQuery,
+    ParsedGlobalAggregatedQuery,
+    ParsedQuery,
+    ParsedSimpleQuery,
+    ParsedTemporalAggregatedQuery,
+)
+from .model import DEFAULT_SHARD_INTERVAL_MS, MetricSchema
+from .sql import ast
+
+
+@dataclass
+class TimeContext:
+    """Fixed per-query `now` (parity: nsdb-core/.../model/TimeContext.scala)."""
+
+    current_time: int
+
+
+def agg_alias(agg: ast.Aggregation) -> str:
+    """Canonical output column for an aggregation (NSDb uses tag keys like
+    `count(*)`; we use SQL-safe names, same information)."""
+    if agg.kind == ast.AGG_COUNT_DISTINCT:
+        return f"count_distinct_{agg.target}"
+    return f"{agg.kind}_{agg.target}"
+
+
+# ------------------------------------------------------------------ predicates
+
+
+def _resolve_value(v: ast.ComparisonValue, ctx: TimeContext):
+    if isinstance(v, ast.RelativeComparisonValue):
+        return v.resolve(ctx.current_time)
+    return v.value
+
+
+def like_to_regex(pattern: str) -> str:
+    """NSDb LIKE → anchored regex: `$` = any sequence, everything else literal
+    (parity with the Lucene wildcard translation, `?` kept literal)."""
+    parts = [re.escape(p) for p in pattern.split("$")]
+    return "^" + ".*".join(parts) + "$"
+
+
+def compile_expression(e: ast.Expression, ctx: TimeContext) -> Column:
+    if isinstance(e, ast.EqualityExpression):
+        return F.col(e.dimension) == F.lit(_resolve_value(e.value, ctx))
+    if isinstance(e, ast.ComparisonExpression):
+        c, v = F.col(e.dimension), F.lit(_resolve_value(e.value, ctx))
+        return {">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v}[e.operator]
+    if isinstance(e, ast.RangeExpression):
+        return F.col(e.dimension).between(
+            F.lit(_resolve_value(e.value1, ctx)), F.lit(_resolve_value(e.value2, ctx))
+        )
+    if isinstance(e, ast.LikeExpression):
+        return F.col(e.dimension).rlike(like_to_regex(e.value))
+    if isinstance(e, ast.NullableExpression):
+        c = F.col(e.dimension)
+        return c.isNotNull() if e.negated else c.isNull()
+    if isinstance(e, ast.NotExpression):
+        inner = compile_expression(e.expression, ctx)
+        # SQL three-valued NOT would drop NULL rows; NSDb's NOT is index
+        # complement: rows where the inner predicate is not satisfied.
+        return ~F.coalesce(inner, F.lit(False))
+    if isinstance(e, ast.TupledLogicalExpression):
+        l = compile_expression(e.expression1, ctx)
+        r = compile_expression(e.expression2, ctx)
+        return (l & r) if e.operator == "and" else (l | r)
+    raise TypeError(f"unknown expression {e!r}")
+
+
+# ------------------------------------------------------- time-range extraction
+
+_UNBOUNDED = (0, None)  # timestamps are non-negative in NSDb (Interval lower 0)
+
+
+def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple[int, int | None]]:
+    """Closed intervals over `timestamp` implied by a WHERE expression.
+
+    Mirrors TimeRangeManager.extractTimeRange (TimeRangeManager.scala:33-63):
+    =, <, >, <=, >=, IN-range; NOT via complement; AND intersect; OR union.
+    Intervals are [lo, hi] with hi=None meaning unbounded above; used for
+    partition pruning and temporal bucket bounds.
+    """
+    if e is None:
+        return []
+    if isinstance(e, ast.EqualityExpression) and e.dimension == "timestamp":
+        v = int(_resolve_value(e.value, ctx))
+        return [(v, v)]
+    if isinstance(e, ast.ComparisonExpression) and e.dimension == "timestamp":
+        v = int(_resolve_value(e.value, ctx))
+        return {
+            ">": [(v + 1, None)],
+            ">=": [(v, None)],
+            "<": [(0, v - 1)],
+            "<=": [(0, v)],
+        }[e.operator]
+    if isinstance(e, ast.RangeExpression) and e.dimension == "timestamp":
+        return [(int(_resolve_value(e.value1, ctx)), int(_resolve_value(e.value2, ctx)))]
+    if isinstance(e, ast.NotExpression):
+        inner = extract_time_range(e.expression, ctx)
+        if not inner:
+            return []
+        return _complement(inner)
+    if isinstance(e, ast.TupledLogicalExpression):
+        l = extract_time_range(e.expression1, ctx)
+        r = extract_time_range(e.expression2, ctx)
+        if not l and not r:
+            return []
+        if e.operator == "and":
+            if not l:
+                return r
+            if not r:
+                return l
+            return _intersect(l, r)
+        # or: if either side is unconstrained the union is unconstrained
+        if not l or not r:
+            return []
+        return _union(l + r)
+    return []
+
+
+def _union(ivs: list[tuple[int, int | None]]) -> list[tuple[int, int | None]]:
+    ivs = sorted(ivs, key=lambda t: t[0])
+    out: list[tuple[int, int | None]] = []
+    for lo, hi in ivs:
+        if out:
+            plo, phi = out[-1]
+            if phi is None or lo <= phi + 1:
+                out[-1] = (plo, None if (phi is None or hi is None) else max(phi, hi))
+                continue
+        out.append((lo, hi))
+    return out
+
+
+def _intersect(a: list[tuple[int, int | None]], b: list[tuple[int, int | None]]):
+    out = []
+    for lo1, hi1 in a:
+        for lo2, hi2 in b:
+            lo = max(lo1, lo2)
+            hi = hi1 if hi2 is None else hi2 if hi1 is None else min(hi1, hi2)
+            if hi is None or lo <= hi:
+                out.append((lo, hi))
+    return _union(out)
+
+
+def _complement(ivs: list[tuple[int, int | None]]) -> list[tuple[int, int | None]]:
+    ivs = _union(ivs)
+    out: list[tuple[int, int | None]] = []
+    cursor = 0
+    for lo, hi in ivs:
+        if lo > cursor:
+            out.append((cursor, lo - 1))
+        if hi is None:
+            return out
+        cursor = hi + 1
+    out.append((cursor, None))
+    return out
+
+
+def envelope(ivs: list[tuple[int, int | None]]) -> tuple[int | None, int | None]:
+    """(lowest lower bound, highest upper bound) of a set of intervals."""
+    if not ivs:
+        return (None, None)
+    lo = min(iv[0] for iv in ivs)
+    hi = None if any(iv[1] is None for iv in ivs) else max(iv[1] for iv in ivs)
+    return (lo, hi)
+
+
+# ------------------------------------------------------------------- compiler
+
+
+class QueryCompiler:
+    """Compiles ParsedQuery → DataFrame over a metric frame.
+
+    The metric frame has columns: timestamp BIGINT, value numeric, plus one
+    flat column per dimension/tag (absent field = NULL).
+    """
+
+    def __init__(self, spark: SparkSession, shard_interval_ms: int = DEFAULT_SHARD_INTERVAL_MS):
+        self.spark = spark
+        self.shard_interval_ms = shard_interval_ms
+
+    # -- public --------------------------------------------------------
+    def compile(
+        self,
+        df: DataFrame,
+        schema: MetricSchema,
+        parsed: ParsedQuery,
+        ctx: TimeContext | None = None,
+        locations: list[int] | None = None,
+    ) -> DataFrame:
+        """locations: known shard_start values (partition listing). For
+        temporal queries they give the bucket upper bound without a data
+        scan — at scale this is a metadata lookup, parity with NSDb's
+        location filtering (ReadCoordinator.scala:210-214)."""
+        ctx = ctx or TimeContext(_now_ms())
+        stmt = parsed.statement
+        filtered = df
+        if stmt.condition is not None:
+            filtered = df.filter(compile_expression(stmt.condition.expression, ctx))
+
+        if isinstance(parsed, ParsedSimpleQuery):
+            return self._simple(filtered, schema, parsed)
+        if isinstance(parsed, ParsedGlobalAggregatedQuery):
+            return self._global_agg(filtered, schema, parsed)
+        if isinstance(parsed, ParsedAggregatedQuery):
+            return self._standard_agg(filtered, parsed)
+        if isinstance(parsed, ParsedTemporalAggregatedQuery):
+            return self._temporal_agg(filtered, parsed, ctx, locations)
+        raise TypeError(f"unknown parsed query {parsed!r}")
+
+    # -- simple ---------------------------------------------------------
+    def _projection(self, schema: MetricSchema, fields: list[str]) -> list[str]:
+        if not fields:
+            return schema.all_field_names()
+        # timestamp & value are always included (docs/SQL_doc.md:39)
+        cols = ["timestamp", "value"]
+        cols += [f for f in fields if f not in ("timestamp", "value")]
+        return cols
+
+    def _simple(self, df: DataFrame, schema: MetricSchema, q: ParsedSimpleQuery) -> DataFrame:
+        stmt = q.statement
+        if q.distinct:
+            out = df.select(q.fields[0]).distinct()
+        else:
+            out = df.select(*self._projection(schema, q.fields))
+        out = _order(out, stmt.order)
+        if stmt.limit:
+            out = out.limit(stmt.limit.value)
+        return out
+
+    # -- global ----------------------------------------------------------
+    def _agg_columns(self, aggs: list[ast.Aggregation]) -> list[Column]:
+        cols = []
+        for a in aggs:
+            alias = agg_alias(a)
+            if a.kind == ast.AGG_COUNT:
+                c = F.count(a.target)
+            elif a.kind == ast.AGG_COUNT_DISTINCT:
+                c = F.count_distinct(F.col(a.target))
+            elif a.kind == ast.AGG_SUM:
+                c = F.coalesce(F.sum(a.target), F.lit(0))
+            elif a.kind == ast.AGG_MIN:
+                c = F.min(a.target)
+            elif a.kind == ast.AGG_MAX:
+                c = F.max(a.target)
+            elif a.kind == ast.AGG_AVG:
+                # empty input → 0 (globalAggregationReduce avg zero case)
+                c = F.coalesce(F.avg(a.target), F.lit(0.0))
+            elif a.kind == ast.AGG_FIRST:
+                c = F.min_by(a.target, "timestamp")
+            elif a.kind == ast.AGG_LAST:
+                c = F.max_by(a.target, "timestamp")
+            else:  # pragma: no cover
+                raise ValueError(a.kind)
+            cols.append(c.alias(alias))
+        return cols
+
+    def _global_agg(
+        self, df: DataFrame, schema: MetricSchema, q: ParsedGlobalAggregatedQuery
+    ) -> DataFrame:
+        stmt = q.statement
+        agg_row = df.agg(*self._agg_columns(q.aggregations))
+        # global count(*) is clamped to LIMIT (post_proc/package.scala:344-347)
+        if stmt.limit:
+            for a in q.aggregations:
+                if a.kind == ast.AGG_COUNT:
+                    alias = agg_alias(a)
+                    agg_row = agg_row.withColumn(
+                        alias, F.least(F.col(alias), F.lit(stmt.limit.value).cast("long"))
+                    )
+        if not q.plain_fields:
+            return agg_row
+        # mixed plain+agg: every row carries the final aggregates
+        # (post_proc/package.scala:387-394); single-row broadcast join.
+        rows = df.select(*self._projection(schema, q.plain_fields))
+        rows = _order(rows, stmt.order)
+        if stmt.limit:
+            rows = rows.limit(stmt.limit.value)
+        return rows.crossJoin(F.broadcast(agg_row))
+
+    # -- standard group-by ----------------------------------------------
+    def _standard_agg(self, df: DataFrame, q: ParsedAggregatedQuery) -> DataFrame:
+        stmt = q.statement
+        alias = agg_alias(q.aggregation)
+        aggc = self._agg_columns([q.aggregation])[0]
+        out = df.groupBy(q.group_field).agg(aggc)
+        if q.aggregation.kind == ast.AGG_FIRST:
+            out = df.groupBy(q.group_field).agg(
+                aggc, F.min("timestamp").alias("timestamp")
+            )
+        elif q.aggregation.kind == ast.AGG_LAST:
+            out = df.groupBy(q.group_field).agg(
+                aggc, F.max("timestamp").alias("timestamp")
+            )
+        if stmt.order:
+            # ORDER BY value sorts by the aggregated value
+            # (post_proc/package.scala:67-80); else by the group field.
+            target = alias if stmt.order.dimension == "value" else q.group_field
+            out = out.orderBy(F.col(target).desc() if stmt.order.descending else F.col(target).asc())
+        if stmt.limit:
+            out = out.limit(stmt.limit.value)
+        return out
+
+    # -- temporal group-by ------------------------------------------------
+    def _temporal_agg(
+        self,
+        df: DataFrame,
+        q: ParsedTemporalAggregatedQuery,
+        ctx: TimeContext,
+        locations: list[int] | None,
+    ) -> DataFrame:
+        stmt = q.statement
+        interval = q.interval_ms
+        si = self.shard_interval_ms
+
+        # bucket bounds: shard-aligned data extent clipped by the WHERE range
+        # (ReadCoordinator.scala:256-272 + TimeRangeManager.computeRangesFor...)
+        cond = stmt.condition.expression if stmt.condition else None
+        wlo, whi = envelope(extract_time_range(cond, ctx))
+        if locations:
+            data_lower = min(locations)
+            data_upper = max(locations) + si
+        else:
+            # metadata-only fallback: min/max over the (already filtered)
+            # frame; against parquet this reads footers, not rows.
+            row = df.agg(F.min("timestamp"), F.max("timestamp")).first()
+            if row[0] is None:
+                return self._empty_temporal(q)
+            data_lower = (row[0] // si) * si
+            data_upper = (row[1] // si) * si + si
+        upper = whi if whi is not None else data_upper
+        lower = wlo if wlo is not None else data_lower
+        if q.grace_period_ms is not None:
+            lower = max(lower, ctx.current_time - q.grace_period_ms)
+        if upper <= lower:
+            return self._empty_temporal(q)
+
+        n = -((upper - lower) // -interval)  # ceil
+        alias = agg_alias(q.aggregation)
+
+        rows = df.filter((F.col("timestamp") >= lower) & (F.col("timestamp") <= upper))
+        k = F.least(
+            F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(interval)),
+            F.lit(n - 1),
+        ).alias("__bucket")
+        per_bucket = rows.groupBy(k).agg(self._agg_columns([q.aggregation])[0])
+
+        # bucket axis including empty buckets (spec emits them with 0)
+        buckets = self.spark.range(n).select(
+            F.col("id").alias("__bucket"),
+            (F.lit(upper) - F.col("id") * interval).alias("upper_bound"),
+            F.greatest(
+                F.lit(upper) - (F.col("id") + 1) * interval, F.lit(lower)
+            ).alias("lower_bound"),
+        )
+        joined = buckets.join(F.broadcast(per_bucket), "__bucket", "left")
+        value_col = F.coalesce(F.col(alias), F.lit(0)).alias(alias)
+        out = joined.select(
+            F.col("upper_bound").alias("timestamp"),
+            "lower_bound",
+            "upper_bound",
+            value_col,
+            "__bucket",
+        )
+
+        # temporal LIMIT = takeRight of the sorted axis (post_proc:62-66)
+        desc = bool(stmt.order and stmt.order.descending and stmt.order.dimension == "timestamp")
+        if stmt.limit:
+            v = stmt.limit.value
+            out = out.filter(F.col("__bucket") < v) if not desc else out.filter(
+                F.col("__bucket") >= n - v
+            )
+        out = out.drop("__bucket")
+        order_col = F.col("timestamp").desc() if desc else F.col("timestamp").asc()
+        return out.orderBy(order_col)
+
+    def _empty_temporal(self, q: ParsedTemporalAggregatedQuery) -> DataFrame:
+        alias = agg_alias(q.aggregation)
+        return self.spark.createDataFrame(
+            [],
+            f"timestamp bigint, lower_bound bigint, upper_bound bigint, {alias} double",
+        )
+
+
+def _order(df: DataFrame, order: ast.OrderOperator | None) -> DataFrame:
+    if order is None:
+        return df
+    c = F.col(order.dimension)
+    return df.orderBy(c.desc() if order.descending else c.asc())
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)

@@ -1,0 +1,294 @@
+"""NsdbEngine — the single entry point: parse → analyze → compile → run.
+
+Query lifecycle parity (SURVEY.md §3.1): our pipeline is
+  parse (sql/parser) → AST → analyze (analyzer) → compile (compiler) →
+  Catalyst optimizes → executors scan parquet.
+Partition pruning on `shard_start` replaces NSDb's location filtering;
+HashAggregate partial/final replaces the shard/node reduce tree.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import analyzer
+from .catalog import Warehouse
+from .compiler import QueryCompiler, TimeContext, envelope, extract_time_range
+from .model import (
+    Bit,
+    MetricSchema,
+    SchemaError,
+    SHARD_COL,
+    shard_start,
+)
+from .sql import ast
+from .sql.parser import parse
+
+
+class RetentionError(Exception):
+    """Bit outside the retention window rejected at write
+    (MetadataCoordinator.scala:485-489 parity)."""
+
+
+class NsdbEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        now_fn=lambda: int(time.time() * 1000),
+    ):
+        self.spark = spark
+        self.warehouse = Warehouse(warehouse_dir)
+        self.now_fn = now_fn
+
+    # ------------------------------------------------------------- write path
+    def insert_bits(self, db: str, ns: str, metric: str, bits: list[Bit]) -> int:
+        """Validate → union-merge schema → append to shard partitions.
+
+        WriteCoordinator.scala:387-441 analogue: schema update then
+        accumulate; Parquet's atomic commit replaces the commit log.
+        """
+        if not bits:
+            return 0
+        info = self.warehouse.get_info(db, ns, metric)
+        retention = info["retention"]
+        now = self.now_fn()
+        if retention:
+            for b in bits:
+                if b.timestamp < now - retention or b.timestamp > now + retention:
+                    raise RetentionError(
+                        f"timestamp {b.timestamp} outside retention window"
+                    )
+        incoming = MetricSchema.infer(bits[0])
+        for b in bits[1:]:
+            incoming = incoming.union(MetricSchema.infer(b))
+        schema = self.warehouse.update_schema(db, ns, metric, incoming)
+
+        si = info["shardInterval"]
+        struct = schema.to_struct_type(with_shard=True)
+        names = schema.all_field_names()
+        rows = []
+        for b in bits:
+            fields = b.fields()
+            row = [fields.get(n) for n in names]
+            row.append(shard_start(b.timestamp, si))
+            rows.append(row)
+        df = self.spark.createDataFrame(rows, struct)
+        (
+            df.repartition(SHARD_COL)
+            .write.mode("append")
+            .partitionBy(SHARD_COL)
+            .parquet(self.warehouse.data_path(db, ns, metric))
+        )
+        return len(bits)
+
+    # ------------------------------------------------------------- read path
+    def read_metric(self, db: str, ns: str, metric: str) -> DataFrame:
+        """Metric frame with the registry schema (absent fields = NULL even
+        in old files — read with an explicit schema)."""
+        schema = self.warehouse.get_schema(db, ns, metric)
+        dp = self.warehouse.data_path(db, ns, metric)
+        if not self.warehouse.locations(db, ns, metric):
+            return self.spark.createDataFrame([], schema.to_struct_type(with_shard=True))
+        return self.spark.read.schema(schema.to_struct_type(with_shard=True)).parquet(dp)
+
+    def execute(
+        self,
+        sql: str,
+        db: str = "default",
+        ns: str = "default",
+        time_context: TimeContext | None = None,
+    ):
+        """Execute one NSDb-dialect statement. SELECT → DataFrame;
+        INSERT/DELETE/DROP → effect + summary; commands → python data."""
+        stmt = parse(sql, db=db, namespace=ns)
+        if isinstance(stmt, ast.SelectSQLStatement):
+            return self.execute_select(stmt, time_context)
+        if isinstance(stmt, ast.InsertSQLStatement):
+            ts = stmt.timestamp if stmt.timestamp is not None else self.now_fn()
+            bit = Bit(ts, stmt.value, dict(stmt.dimensions), dict(stmt.tags))
+            return self.insert_bits(db, ns, stmt.metric, [bit])
+        if isinstance(stmt, ast.DeleteSQLStatement):
+            return self.delete(stmt, time_context)
+        if isinstance(stmt, ast.DropSQLStatement):
+            self.warehouse.drop_metric(db, ns, stmt.metric)
+            return None
+        if isinstance(stmt, ast.ShowMetrics):
+            return self.warehouse.metrics(db, ns)
+        if isinstance(stmt, ast.ShowNamespaces):
+            return self.warehouse.namespaces(db)
+        if isinstance(stmt, ast.DescribeMetric):
+            schema = self.warehouse.get_schema(db, ns, stmt.metric)
+            out = [("timestamp", "BIGINT", "timestamp"), ("value", schema.value_type.value, "value")]
+            out += [
+                (n, f.nsdb_type.value, f.field_class.value)
+                for n, f in sorted(schema.fields.items())
+            ]
+            return out
+        if isinstance(stmt, ast.UseNamespace):
+            return stmt.namespace
+        raise TypeError(f"unsupported statement {stmt!r}")
+
+    def execute_select(
+        self, stmt: ast.SelectSQLStatement, time_context: TimeContext | None = None
+    ) -> DataFrame:
+        db, ns = stmt.db or "default", stmt.namespace or "default"
+        schema = self.warehouse.get_schema(db, ns, stmt.metric)
+        parsed = analyzer.analyze(stmt, schema)
+        ctx = time_context or TimeContext(self.now_fn())
+        info = self.warehouse.get_info(db, ns, stmt.metric)
+        df = self.read_metric(db, ns, stmt.metric)
+        df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])
+        compiler = QueryCompiler(self.spark, shard_interval_ms=info["shardInterval"])
+        locations = self.warehouse.locations(db, ns, stmt.metric)
+        return compiler.compile(
+            df.drop(SHARD_COL), schema, parsed, ctx, locations=locations or None
+        )
+
+    def query(
+        self,
+        query_string: str,
+        db: str = "default",
+        ns: str = "default",
+        from_ts: int | None = None,
+        to_ts: int | None = None,
+        filters: list[tuple[str, Any, str]] | None = None,
+        time_context: TimeContext | None = None,
+    ) -> DataFrame:
+        """HTTP-API-style enrichment: external from/to + filters ANDed into
+        the parsed statement (QueryEnriched.scala:44-70,
+        SQLStatement.scala:400-450 parity).
+
+        filters: (dimension, value, operator) with operator in
+        {'=', '>', '>=', '<', '<=', 'like', 'isnull', 'isnotnull'}.
+        """
+        stmt = parse(query_string, db=db, namespace=ns)
+        if not isinstance(stmt, ast.SelectSQLStatement):
+            raise ValueError("query() accepts SELECT statements only")
+        extra: list[ast.Expression] = []
+        if from_ts is not None and to_ts is not None:
+            extra.append(
+                ast.RangeExpression(
+                    "timestamp",
+                    ast.AbsoluteComparisonValue(from_ts),
+                    ast.AbsoluteComparisonValue(to_ts),
+                )
+            )
+        for dim, value, op in filters or []:
+            v = ast.AbsoluteComparisonValue(value)
+            if op == "=":
+                extra.append(ast.EqualityExpression(dim, v))
+            elif op in (">", ">=", "<", "<="):
+                extra.append(ast.ComparisonExpression(dim, op, v))
+            elif op.lower() == "like":
+                extra.append(ast.LikeExpression(dim, value))
+            elif op.lower() == "isnull":
+                extra.append(ast.NullableExpression(dim))
+            elif op.lower() == "isnotnull":
+                extra.append(ast.NullableExpression(dim, negated=True))
+            else:
+                raise ValueError(f"unsupported filter operator {op}")
+        if extra:
+            combined = stmt.condition.expression if stmt.condition else None
+            for e in extra:
+                combined = e if combined is None else ast.TupledLogicalExpression(
+                    combined, "and", e
+                )
+            stmt.condition = ast.Condition(combined)
+        return self.execute_select(stmt, time_context)
+
+    # ------------------------------------------------------------- delete
+    def delete(self, stmt: ast.DeleteSQLStatement, time_context: TimeContext | None = None) -> int:
+        """Anti-filter rewrite of only the affected shard partitions
+        (SURVEY.md §2.1 DELETE mapping). Untouched shards are not rewritten."""
+        db, ns = stmt.db or "default", stmt.namespace or "default"
+        schema = self.warehouse.get_schema(db, ns, stmt.metric)
+        ctx = time_context or TimeContext(self.now_fn())
+        # validate fields/types with the same rules as SELECT
+        analyzer._check_expression(stmt.condition.expression, schema)
+        info = self.warehouse.get_info(db, ns, stmt.metric)
+        si = info["shardInterval"]
+        ivs = extract_time_range(stmt.condition.expression, ctx)
+        locations = self.warehouse.locations(db, ns, stmt.metric)
+        if ivs:
+            affected = [
+                s for s in locations
+                if any((hi is None or s <= hi) and (s + si - 1 >= lo) for lo, hi in ivs)
+            ]
+        else:
+            affected = locations
+        if not affected:
+            return 0
+        from .compiler import compile_expression
+
+        df = self.read_metric(db, ns, stmt.metric).filter(F.col(SHARD_COL).isin(affected))
+        keep = df.filter(~F.coalesce(compile_expression(stmt.condition.expression, ctx), F.lit(False)))
+        # Stage kept rows, then swap the affected shard directories. A plain
+        # dynamic-partition overwrite would silently skip shards whose kept
+        # set is empty. (On a real cluster this maps to Delta DELETE /
+        # replaceWhere; same partition-level rewrite granularity.)
+        import shutil
+        import tempfile
+
+        data_path = self.warehouse.data_path(db, ns, stmt.metric)
+        staging = tempfile.mkdtemp(prefix="nsdb_delete_")
+        try:
+            keep.write.mode("overwrite").partitionBy(SHARD_COL).parquet(staging)
+            for s in affected:
+                dst = os.path.join(data_path, f"{SHARD_COL}={s}")
+                src = os.path.join(staging, f"{SHARD_COL}={s}")
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                if os.path.isdir(src):
+                    shutil.move(src, dst)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return len(affected)
+
+    # ------------------------------------------------------------- pruning
+    def _prune_shards(self, df, condition, ctx, shard_interval: int):
+        """Turn WHERE-implied time intervals into shard_start predicates so
+        Catalyst does *partition* pruning, not just row-group skipping
+        (NSDb location filtering analogue, ReadNodesSelection.scala:40-49)."""
+        if condition is None or SHARD_COL not in df.columns:
+            return df
+        ivs = extract_time_range(condition.expression, ctx)
+        if not ivs:
+            return df
+        pred = None
+        for lo, hi in ivs:
+            p = F.col(SHARD_COL) >= (lo // shard_interval) * shard_interval - 0
+            if hi is not None:
+                p = p & (F.col(SHARD_COL) <= (hi // shard_interval) * shard_interval)
+            pred = p if pred is None else (pred | p)
+        return df.filter(pred)
+
+    # ------------------------------------------------------------- retention
+    def enforce_retention(self, db: str, ns: str, metric: str) -> list[int]:
+        """Drop expired shards (retention eviction, nsdb.conf:145 behaviour —
+        call from a scheduler)."""
+        retention = self.warehouse.get_info(db, ns, metric)["retention"]
+        if not retention:
+            return []
+        return self.warehouse.drop_shards_older_than(db, ns, metric, self.now_fn() - retention)
+
+
+class _spark_conf:
+    """Temporarily set a spark conf."""
+
+    def __init__(self, spark, key, value):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.old)

@@ -1,0 +1,420 @@
+"""End-to-end engine tests over the golden fixtures (FIXTURES.md), modelled
+on the reference's ReadCoordinator*Spec golden-output suites."""
+import pytest
+
+from nsdb_spark.compiler import TimeContext
+from nsdb_spark.engine import RetentionError
+from nsdb_spark.model import Bit, SchemaError
+
+from fixtures import (
+    AGG_LONG_METRIC,
+    CHARSET_METRIC,
+    DOUBLE_METRIC,
+    LONG_METRIC,
+    NEGATIVE_METRIC,
+    TEMPORAL_LONG_METRIC,
+    load,
+)
+
+
+@pytest.fixture()
+def long_engine(engine):
+    return load(engine, "longMetric", LONG_METRIC)
+
+
+@pytest.fixture()
+def agg_engine(engine):
+    return load(engine, "aggregationLongMetric", AGG_LONG_METRIC)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------- simple
+
+
+def test_select_star_order_limit(long_engine):
+    df = long_engine.execute("select * from longMetric order by timestamp desc limit 2")
+    assert rows(df) == [(10, 6, "Frankie", "Doe"), (8, 5, "Frank", "Doe")]
+    assert df.columns == ["timestamp", "value", "name", "surname"]
+
+
+def test_projection_always_includes_timestamp_value(long_engine):
+    df = long_engine.execute("select name from longMetric order by timestamp limit 1")
+    assert df.columns == ["timestamp", "value", "name"]
+    assert rows(df) == [(1, 1, "John")]
+
+
+def test_range_is_between(long_engine):
+    df = long_engine.execute("select * from longMetric where timestamp in (2, 6)")
+    assert sorted(r[0] for r in rows(df)) == [2, 4, 6]
+
+
+def test_equality_unquoted(long_engine):
+    df = long_engine.execute("select * from longMetric where name = John")
+    assert sorted(r[0] for r in rows(df)) == [1, 2]
+
+
+def test_comparison_and_or(long_engine):
+    df = long_engine.execute(
+        "select * from longMetric where timestamp >= 4 and timestamp < 8 or timestamp = 10"
+    )
+    # right-assoc: ts >= 4 AND (ts < 8 OR ts = 10) → 4, 6, 10
+    assert sorted(r[0] for r in rows(df)) == [4, 6, 10]
+
+
+def test_brackets(long_engine):
+    df = long_engine.execute(
+        "select * from longMetric where (timestamp >= 4 and timestamp < 8) or timestamp = 10"
+    )
+    assert sorted(r[0] for r in rows(df)) == [4, 6, 10]
+
+
+def test_not(long_engine):
+    df = long_engine.execute("select * from longMetric where not timestamp >= 4")
+    assert sorted(r[0] for r in rows(df)) == [1, 2]
+
+
+def test_like_dollar_wildcard(long_engine):
+    df = long_engine.execute("select * from longMetric where name like Frank$")
+    assert sorted(r[0] for r in rows(df)) == [8, 10]
+    df2 = long_engine.execute("select * from longMetric where name like $ohn")
+    assert sorted(r[0] for r in rows(df2)) == [1, 2]
+
+
+def test_like_is_whole_string_match(long_engine):
+    # no wildcard → exact match only
+    df = long_engine.execute("select * from longMetric where name like Frank")
+    assert sorted(r[0] for r in rows(df)) == [8]
+
+
+def test_is_null_means_absent(agg_engine):
+    df = agg_engine.execute("select * from aggregationLongMetric where age is null")
+    assert [r[0] for r in rows(df)] == [8]
+    df2 = agg_engine.execute(
+        "select * from aggregationLongMetric where age is not null order by timestamp"
+    )
+    assert [r[0] for r in rows(df2)] == [2, 3, 4, 5, 6, 7, 9, 10]
+
+
+def test_distinct_single_field(long_engine):
+    df = long_engine.execute("select distinct name from longMetric")
+    assert sorted(r[0] for r in rows(df)) == ["Bill", "Frank", "Frankie", "J", "John"]
+
+
+# ---------------------------------------------------------------- global aggs
+
+
+def test_global_count(long_engine):
+    df = long_engine.execute("select count(*) from longMetric")
+    assert rows(df) == [(6,)]
+    assert df.columns == ["count_value"]
+
+
+def test_global_count_clamped_by_limit(long_engine):
+    # post_proc/package.scala:344-347
+    df = long_engine.execute("select count(*) from longMetric limit 4")
+    assert rows(df) == [(4,)]
+
+
+def test_global_aggs(long_engine):
+    df = long_engine.execute(
+        "select count(*), count(distinct name), sum(value), min(value), max(value), avg(value) from longMetric"
+    )
+    assert rows(df) == [(6, 5, 21, 1, 6, 3.5)]
+
+
+def test_global_empty_input(long_engine):
+    df = long_engine.execute("select count(*), sum(value), avg(value) from longMetric where value > 100")
+    assert rows(df) == [(0, 0, 0.0)]
+
+
+def test_mixed_plain_and_agg(long_engine):
+    # every row carries the final aggregate (post_proc/package.scala:387-394)
+    df = long_engine.execute("select name, count(*) from longMetric order by timestamp")
+    out = rows(df)
+    assert len(out) == 6
+    assert all(r[-1] == 6 for r in out)
+    assert df.columns == ["timestamp", "value", "name", "count_value"]
+
+
+# ---------------------------------------------------------------- group by
+
+
+def test_group_by_sum(agg_engine):
+    df = agg_engine.execute("select sum(value) from aggregationLongMetric group by name")
+    assert sorted(rows(df)) == [("Bill", 10), ("Frank", 2), ("Frankie", 4), ("John", 10)]
+
+
+def test_group_by_count(agg_engine):
+    df = agg_engine.execute("select count(*) from aggregationLongMetric group by name")
+    assert sorted(rows(df)) == [("Bill", 2), ("Frank", 2), ("Frankie", 1), ("John", 4)]
+
+
+def test_group_by_min_max_avg(agg_engine):
+    df = agg_engine.execute("select min(value) from aggregationLongMetric group by name")
+    assert sorted(rows(df)) == [("Bill", 5), ("Frank", 1), ("Frankie", 4), ("John", 2)]
+    df = agg_engine.execute("select avg(value) from aggregationLongMetric group by name")
+    assert sorted(rows(df)) == [("Bill", 5.0), ("Frank", 1.0), ("Frankie", 4.0), ("John", 2.5)]
+
+
+def test_group_by_numeric_tag(agg_engine):
+    df = agg_engine.execute("select sum(value) from aggregationLongMetric group by age")
+    assert sorted(rows(df), key=lambda r: (r[0] is None, r[0])) == [
+        (15, 14), (16, 5), (20, 6), (None, 1)
+    ]
+
+
+def test_group_by_first_last(agg_engine):
+    df = agg_engine.execute("select first(value) from aggregationLongMetric group by name")
+    assert sorted((r[0], r[1], r[2]) for r in rows(df)) == [
+        ("Bill", 5, 6), ("Frank", 1, 8), ("Frankie", 4, 10), ("John", 2, 2)
+    ]
+    df = agg_engine.execute("select last(value) from aggregationLongMetric group by name")
+    assert sorted((r[0], r[1], r[2]) for r in rows(df)) == [
+        ("Bill", 5, 7), ("Frank", 1, 9), ("Frankie", 4, 10), ("John", 3, 5)
+    ]
+
+
+def test_group_by_count_distinct(agg_engine):
+    df = agg_engine.execute(
+        "select count(distinct value) from aggregationLongMetric group by name"
+    )
+    assert sorted(rows(df)) == [("Bill", 1), ("Frank", 1), ("Frankie", 1), ("John", 2)]
+
+
+def test_group_by_order_by_value_sorts_by_aggregate(agg_engine):
+    df = agg_engine.execute(
+        "select count(*) from aggregationLongMetric group by name order by value desc limit 2"
+    )
+    out = rows(df)
+    assert out[0] == ("John", 4)
+    assert out[1][1] == 2  # Bill or Frank, both count 2
+
+
+def test_group_by_with_where(agg_engine):
+    df = agg_engine.execute(
+        "select sum(value) from aggregationLongMetric where timestamp in (2, 5) group by name"
+    )
+    assert sorted(rows(df)) == [("John", 10)]
+
+
+# ---------------------------------------------------------------- negative values
+
+
+def test_negative_metric(engine):
+    load(engine, "negativeMetric", NEGATIVE_METRIC)
+    df = engine.execute("select min(value) from negativeMetric group by name")
+    assert sorted(rows(df)) == [("Bill", -6.0), ("Frank", -1.0), ("Frankie", -4.0), ("John", -5.0)]
+    df = engine.execute("select max(value), sum(value) from negativeMetric")
+    assert rows(df) == [(-1.0, -27.0)]
+    df = engine.execute("select * from negativeMetric where value >= -2")
+    assert sorted(r[0] for r in rows(df)) == [2, 3, 8, 9]
+    df = engine.execute("select sum(value) from negativeMetric group by age")
+    assert (-18, -4.0) in rows(df)
+
+
+# ---------------------------------------------------------------- charset
+
+
+def test_charset_equality_and_like(engine):
+    load(engine, "charsetMetric", CHARSET_METRIC)
+    df = engine.execute("select * from charsetMetric where textTag = 'Is this a question? Really'")
+    assert [r[0] for r in rows(df)] == [150000]
+    df = engine.execute("select * from charsetMetric where textTag like 'Is this$'")
+    assert sorted(r[0] for r in rows(df)) == [90000, 120000, 150000]
+    # `?` is a literal, not a wildcard (ExpressionParser.scala:110-120)
+    df = engine.execute("select * from charsetMetric where textTag like 'a_:m?!-e'")
+    assert [r[0] for r in rows(df)] == [60000]
+    df = engine.execute("select * from charsetMetric where textTag like '$question?$'")
+    assert sorted(r[0] for r in rows(df)) == [90000, 120000, 150000]
+
+
+# ---------------------------------------------------------------- temporal
+
+
+@pytest.fixture()
+def temporal_engine(engine):
+    # shard interval 100000 ms → shards [0,100000) and [100000,200000):
+    # bucket upper bound = 200000 (backward alignment, SURVEY.md §4.3)
+    return load(engine, "temporalLongMetric", TEMPORAL_LONG_METRIC, shard_interval_ms=100000)
+
+
+def test_temporal_count_backward_aligned(temporal_engine):
+    df = temporal_engine.execute("select count(*) from temporalLongMetric group by interval 30s")
+    out = rows(df)
+    assert out == [
+        (20000, 0, 20000, 1),
+        (50000, 20000, 50000, 1),
+        (80000, 50000, 80000, 1),
+        (110000, 80000, 110000, 1),
+        (140000, 110000, 140000, 1),
+        (170000, 140000, 170000, 1),
+        (200000, 170000, 200000, 0),
+    ]
+    assert df.columns == ["timestamp", "lower_bound", "upper_bound", "count_value"]
+
+
+def test_temporal_sum(temporal_engine):
+    df = temporal_engine.execute("select sum(value) from temporalLongMetric group by interval 60s")
+    out = rows(df)
+    # buckets backward from 200000 with len 60000: [0,20000], (20000,80000],
+    # (80000,140000], (140000,200000]
+    assert out == [
+        (20000, 0, 20000, 1),
+        (80000, 20000, 80000, 11),
+        (140000, 80000, 140000, 8),
+        (200000, 140000, 200000, 2),
+    ]
+
+
+def test_temporal_limit_takes_most_recent(temporal_engine):
+    # post_proc/package.scala:62-66 — limit keeps the LAST n buckets
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric group by interval 30s limit 2"
+    )
+    out = rows(df)
+    assert [r[0] for r in out] == [170000, 200000]
+
+
+def test_temporal_limit_desc_takes_oldest(temporal_engine):
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric group by interval 30s order by timestamp desc limit 2"
+    )
+    out = rows(df)
+    assert [r[0] for r in out] == [50000, 20000]
+
+
+def test_temporal_with_where_range(temporal_engine):
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric where timestamp >= 60000 group by interval 30s"
+    )
+    out = rows(df)
+    # where-derived lower bound 60000, upper from shards = 200000
+    assert out[0][1] == 60000  # first bucket truncated at 60000
+    assert sum(r[3] for r in out) == 4
+
+
+def test_temporal_count_distinct(temporal_engine):
+    df = temporal_engine.execute(
+        "select count(distinct name) from temporalLongMetric group by interval 60s"
+    )
+    out = rows(df)
+    assert [r[3] for r in out] == [1, 2, 1, 1]
+
+
+def test_temporal_grace_period(temporal_engine):
+    # SINCE 1 min with now=160000 → only buckets above 100000
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric group by interval 30s since 1 min",
+        time_context=TimeContext(160000),
+    )
+    out = rows(df)
+    assert all(r[1] >= 100000 for r in out)
+    assert sum(r[3] for r in out) == 2  # ts 120000, 150000
+
+
+def test_temporal_relative_time(temporal_engine):
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric where timestamp >= now - 1 min",
+        time_context=TimeContext(160000),
+    )
+    assert rows(df) == [(2,)]
+
+
+# ---------------------------------------------------------------- write path
+
+
+def test_insert_statement_and_readback(engine):
+    engine.execute("insert into m ts = 100 dim (surname = Doe) tags (name = John) val = 5")
+    df = engine.execute("select * from m")
+    assert rows(df) == [(100, 5, "John", "Doe")]
+
+
+def test_insert_without_ts_uses_now(engine):
+    engine.now_fn = lambda: 12345
+    engine.execute("insert into m val = 1")
+    assert rows(engine.execute("select * from m")) == [(12345, 1)]
+
+
+def test_schema_union_grows_with_new_fields(engine):
+    engine.insert_bits("default", "default", "m", [Bit(1, 1, {}, {"name": "a"})])
+    engine.insert_bits("default", "default", "m", [Bit(2, 2, {"extra": 9}, {"name": "b"})])
+    df = engine.execute("select * from m order by timestamp")
+    assert df.columns == ["timestamp", "value", "extra", "name"]
+    assert rows(df) == [(1, 1, None, "a"), (2, 2, 9, "b")]
+
+
+def test_schema_union_rejects_type_conflict(engine):
+    engine.insert_bits("default", "default", "m", [Bit(1, 1, {}, {"name": "a"})])
+    with pytest.raises(SchemaError, match="type mismatch"):
+        engine.insert_bits("default", "default", "m", [Bit(2, 2, {}, {"name": 3})])
+
+
+def test_schema_union_rejects_class_conflict(engine):
+    engine.insert_bits("default", "default", "m", [Bit(1, 1, {}, {"name": "a"})])
+    with pytest.raises(SchemaError, match="class mismatch"):
+        engine.insert_bits("default", "default", "m", [Bit(2, 2, {"name": "b"}, {})])
+
+
+def test_delete_rewrites_only_affected_shards(engine):
+    load(engine, "m", TEMPORAL_LONG_METRIC, shard_interval_ms=100000)
+    before = set(engine.warehouse.locations("default", "default", "m"))
+    assert before == {0, 100000}
+    engine.execute("delete from m where timestamp in (110000, 160000)")
+    df = engine.execute("select * from m order by timestamp")
+    assert [r[0] for r in rows(df)] == [0, 30000, 60000, 90000]
+
+
+def test_drop_metric(engine):
+    load(engine, "m", LONG_METRIC)
+    engine.execute("drop metric m")
+    assert not engine.warehouse.exists("default", "default", "m")
+
+
+def test_show_and_describe(engine):
+    load(engine, "m", AGG_LONG_METRIC)
+    assert engine.execute("show metrics") == ["m"]
+    desc = engine.execute("describe m")
+    assert ("timestamp", "BIGINT", "timestamp") in desc
+    assert ("name", "VARCHAR", "tag") in desc
+    assert ("surname", "VARCHAR", "dimension") in desc
+
+
+def test_retention_rejects_old_writes(engine):
+    engine.warehouse.init_metric("default", "default", "m", retention_ms=1000)
+    engine.now_fn = lambda: 100_000
+    with pytest.raises(RetentionError):
+        engine.insert_bits("default", "default", "m", [Bit(1, 1)])
+    engine.insert_bits("default", "default", "m", [Bit(99_500, 1)])
+
+
+def test_retention_eviction(engine):
+    engine.warehouse.init_metric("default", "default", "m", shard_interval_ms=1000, retention_ms=2000)
+    engine.now_fn = lambda: 1_000
+    engine.insert_bits("default", "default", "m", [Bit(500, 1), Bit(900, 2)])
+    engine.now_fn = lambda: 5_000
+    dropped = engine.enforce_retention("default", "default", "m")
+    assert dropped == [0]
+    assert rows(engine.execute("select count(*) from m")) == [(0,)]
+
+
+# ---------------------------------------------------------------- enrichment
+
+
+def test_query_enrichment_time_range_and_filters(long_engine):
+    df = long_engine.query(
+        "select * from longMetric", from_ts=2, to_ts=8, filters=[("name", "Frank", "=")]
+    )
+    assert [r[0] for r in rows(df)] == [8]
+    df2 = long_engine.query("select * from longMetric", filters=[("name", "Frank$", "like")])
+    assert sorted(r[0] for r in rows(df2)) == [8, 10]
+
+
+def test_double_metric_values(engine):
+    load(engine, "doubleMetric", DOUBLE_METRIC)
+    df = engine.execute("select sum(value), avg(value) from doubleMetric")
+    assert rows(df) == [(7.5, 1.5)]
+    df = engine.execute("select * from doubleMetric where value = 1.5 order by timestamp limit 2")
+    assert [r[0] for r in rows(df)] == [2, 4]
