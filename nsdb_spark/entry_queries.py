@@ -1,0 +1,423 @@
+"""Driver-facing query registry: every implemented operator from
+SURVEY.md §2 plus the training-data extensions, each as a
+(spark_callable, duckdb_oracle_sql) pair over the shared testdata tables.
+
+The NSDb-class queries run through the full engine pipeline
+(parse → analyze → compile) against the `events` metric frame; the
+extension queries call the operators/ modules directly. Oracle SQL
+re-expresses the same semantics in portable DuckDB SQL (including the NSDb
+quirks: backward-aligned temporal buckets, count-clamped-to-limit, mixed
+plain+agg result shaping).
+
+Float discipline: any column produced by FP *accumulation* (sum/avg over
+many doubles) is rounded to 3 decimals on BOTH sides — partial-aggregation
+order differs between engines, and raw doubles would hash-mismatch. Exact
+doubles (min/max/values) stay raw. Ratios of integers are bit-identical and
+only rounded for presentation.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .sources import testdata
+
+SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
+
+# CTE exposing events with the metric-frame column contract
+M = (
+    "WITH m AS (SELECT epoch_ms(ts) AS timestamp, value, event_id, "
+    "event_type, props, user_id FROM events)"
+)
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    for c, d in cols.items():
+        df = df.withColumn(c, F.round(F.col(c), d))
+    return df
+
+
+def _nsdb(sql: str, rounds: dict[str, int] | None = None, relative_now: bool = False):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        now = testdata.events_max_ts(spark, sf_dir) if relative_now else None
+        df = testdata.run_nsdb_on_events(spark, sf_dir, sql, now_ms=now)
+        return _round(df, rounds) if rounds else df
+
+    return fn
+
+
+def _temporal_oracle(interval_ms: int, agg_sql: str, alias: str, limit: int | None = None) -> str:
+    """Backward-aligned temporal bucket oracle (SURVEY.md §4.3): buckets run
+    backward from the 30 d shard-interval top; first bucket truncated; empty
+    buckets emitted with 0; LIMIT keeps the most recent buckets."""
+    limit_pred = f"WHERE k < {limit}" if limit else ""
+    return f"""
+{M},
+b AS (SELECT (min(timestamp)//{SHARD})*{SHARD} AS lower,
+             (max(timestamp)//{SHARD})*{SHARD} + {SHARD} AS upper FROM m),
+n AS (SELECT lower, upper, (upper - lower + {interval_ms} - 1)//{interval_ms} AS nb FROM b),
+ks AS (SELECT unnest(generate_series(0, cast(n.nb-1 AS bigint))) AS k, n.upper, n.lower FROM n),
+buckets AS (
+  SELECT k, upper - k*{interval_ms} AS upper_bound,
+         greatest(upper - (k+1)*{interval_ms}, lower) AS lower_bound
+  FROM ks
+),
+agg AS (
+  SELECT least((n.upper - m.timestamp)//{interval_ms}, n.nb-1) AS k, {agg_sql} AS v
+  FROM m, n GROUP BY 1
+)
+SELECT b.upper_bound AS timestamp, b.lower_bound AS lower_bound,
+       b.upper_bound AS upper_bound, coalesce(agg.v, 0) AS {alias}
+FROM buckets b LEFT JOIN agg USING (k) {limit_pred}
+"""
+
+
+# ---------------------------------------------------------------- documents
+
+_SHINGLES_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3
+        THEN list_transform(generate_series(1, cast(len(words)-2 AS bigint)),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        ELSE [array_to_string(words, ' ')] END)) AS sh FROM w),
+c AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+"""
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    return f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_a, doc_b,
+       round(common / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= {threshold}
+"""
+
+
+_SIMHASH_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+h AS (SELECT doc_id, cast(concat('0x', substr(md5(word), 1, 15)) AS bigint) AS hv FROM w),
+bits AS (SELECT doc_id, g.k AS k,
+                sum(CASE WHEN (hv >> g.k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, generate_series(0, 59) g(k) GROUP BY 1, 2),
+fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::bigint << k) ELSE 0 END) AS f
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.f, b.f)) AS int) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 6
+"""
+
+_EMB_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+_COSINE_PAIRS_ORACLE = f"""
+WITH {_EMB_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+"""
+
+_TOPK_ORACLE = f"""
+WITH {_EMB_CTE},
+q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0)
+SELECT nn.vec_id AS vec_id,
+       round(list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn), 6) AS cosine
+FROM nn, q
+ORDER BY list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) DESC, nn.vec_id
+LIMIT 10
+"""
+
+
+def _stoplist_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang]) + "]"
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n  ".join(
+        f"len(list_distinct(list_intersect(words, {_stoplist_sql(lang)}))) AS s_{lang}"
+        for lang in text.LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in text.LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in text.LANG_ORDER
+    ) + " END"
+    return f"""
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM w)
+SELECT doc_id, {case} AS pred_lang, cast({best} AS int) AS lang_score FROM s
+"""
+
+
+_QUALITY_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS nd,
+             len(list_distinct(list_intersect(words, {_stoplist_sql('en')}))) AS sh
+      FROM w)
+SELECT doc_id, cast(nw AS int) AS n_words, cast(nd AS int) AS n_distinct_words,
+       round(sh / nw, 6) AS stop_ratio,
+       round(1 - nd / nw, 6) AS dup_ratio,
+       round(0.4*(sh/nw) + 0.3*(nd/nw) + 0.3*least(nw/100.0, 1.0), 6) AS quality
+FROM s
+"""
+
+_TOKENS_ORACLE = """
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) AS int) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+')) AS int) AS n_alpha_tokens,
+       cast(len(regexp_extract_all(text, '[0-9]+')) AS int) AS n_num_tokens,
+       cast(strlen(text) AS int) AS n_bytes
+FROM documents
+"""
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+_MM_ORACLE = """
+SELECT doc_id, cast(strlen(text) AS int) AS n_bytes,
+       cast(strlen(text) % 64 AS int) AS width,
+       cast((strlen(text) // 64) % 64 AS int) AS height,
+       'fake' AS format
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- wiring
+
+
+def _docs(spark, sf_dir):
+    return testdata.table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return testdata.table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def _centroids(spark, sf_dir, n=16) -> list[list[float]]:
+    # deterministic "training": the first n vectors act as centroids
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < n)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- NSDb query classes over the events metric ---
+    q["nsdb_scan_order_limit"] = _nsdb("select * from events order by event_id limit 50")
+    q["nsdb_projection_filter"] = _nsdb(
+        "select event_id, event_type from events "
+        "where value >= 150 and event_type = purchase order by event_id limit 100"
+    )
+    q["nsdb_range_between"] = _nsdb(
+        "select * from events where timestamp in (1704844800000, 1705708800000) "
+        "order by event_id limit 200"
+    )
+    q["nsdb_like_wildcard"] = _nsdb(
+        "select * from events where event_type like '$ror' order by event_id limit 100"
+    )
+    q["nsdb_bool_logic"] = _nsdb(
+        "select * from events where not event_type = error and value < 50 "
+        "or value >= 950 order by event_id limit 500"
+    )
+    q["nsdb_distinct"] = _nsdb("select distinct event_type from events")
+    q["nsdb_global_aggs"] = _nsdb(
+        "select count(*), count(distinct event_type), sum(value), min(value), "
+        "max(value), avg(value) from events",
+        rounds={"sum_value": 3, "avg_value": 3},
+    )
+    q["nsdb_mixed_plain_agg"] = _nsdb(
+        "select event_type, count(*), sum(value) from events "
+        "where timestamp >= 1705708800000 order by timestamp limit 20",
+        rounds={"sum_value": 3},
+    )
+    q["nsdb_groupby_sum"] = _nsdb(
+        "select sum(value) from events group by event_type", rounds={"sum_value": 3}
+    )
+    q["nsdb_groupby_count"] = _nsdb(
+        "select count(*) from events group by event_type order by value desc"
+    )
+    q["nsdb_groupby_min"] = _nsdb("select min(value) from events group by event_type")
+    q["nsdb_groupby_max"] = _nsdb("select max(value) from events group by event_type")
+    q["nsdb_groupby_avg"] = _nsdb(
+        "select avg(value) from events group by event_type", rounds={"avg_value": 3}
+    )
+    q["nsdb_groupby_first"] = _nsdb("select first(value) from events group by event_type")
+    q["nsdb_groupby_last"] = _nsdb("select last(value) from events group by event_type")
+    q["nsdb_groupby_numeric_tag"] = _nsdb("select count(*) from events group by user_id")
+    q["nsdb_groupby_count_distinct"] = _nsdb(
+        "select count(distinct *) from events group by event_type"
+    )
+    q["nsdb_temporal_count"] = _nsdb("select count(*) from events group by interval 1d")
+    q["nsdb_temporal_sum"] = _nsdb(
+        "select sum(value) from events group by interval 12h", rounds={"sum_value": 3}
+    )
+    q["nsdb_temporal_avg"] = _nsdb(
+        "select avg(value) from events group by interval 1d", rounds={"avg_value": 3}
+    )
+    q["nsdb_temporal_count_distinct"] = _nsdb(
+        "select count(distinct event_type) from events group by interval 2d"
+    )
+    q["nsdb_temporal_limit"] = _nsdb(
+        "select count(*) from events group by interval 1d limit 5"
+    )
+    q["nsdb_relative_time"] = _nsdb(
+        "select count(*) from events where timestamp >= now - 10 d", relative_now=True
+    )
+
+    # --- dedup ---
+    q["dedup_exact"] = lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf))
+    q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _docs(spark, sf), n=3, threshold=0.5
+    )
+    q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(
+        _docs(spark, sf), n=3, num_hashes=128, bands=32, threshold=0.5
+    )
+    q["dedup_simhash"] = lambda spark, sf: dedup.simhash_pairs(
+        _docs(spark, sf), max_hamming=6, banded=True
+    )
+    q["dedup_embedding_cosine"] = lambda spark, sf: dedup.embedding_cosine_pairs(
+        _emb(spark, sf), threshold=0.45
+    )
+
+    # --- similarity search ---
+    q["sim_topk_bruteforce"] = lambda spark, sf: similarity.cosine_topk(
+        _emb(spark, sf), _query_vec(spark, sf), k=10
+    )
+    q["sim_topk_ivf"] = lambda spark, sf: similarity.ivf_topk(
+        _emb(spark, sf), _query_vec(spark, sf), _centroids(spark, sf), k=10, nprobe=8
+    )
+
+    # --- text analysis ---
+    q["text_langid"] = lambda spark, sf: text.language_id(_docs(spark, sf))
+    q["text_quality"] = lambda spark, sf: text.quality_score(_docs(spark, sf))
+    q["text_tokens"] = lambda spark, sf: text.token_stats(_docs(spark, sf))
+    q["text_fingerprint"] = lambda spark, sf: text.fingerprint(_docs(spark, sf))
+
+    # --- multimodal plumbing ---
+    q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
+        _docs(spark, sf)
+    )
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["nsdb_scan_order_limit"] = f"{M} SELECT * FROM m ORDER BY event_id LIMIT 50"
+    o["nsdb_projection_filter"] = (
+        f"{M} SELECT timestamp, value, event_id, event_type FROM m "
+        "WHERE value >= 150 AND event_type = 'purchase' ORDER BY event_id LIMIT 100"
+    )
+    o["nsdb_range_between"] = (
+        f"{M} SELECT * FROM m WHERE timestamp BETWEEN 1704844800000 AND 1705708800000 "
+        "ORDER BY event_id LIMIT 200"
+    )
+    o["nsdb_like_wildcard"] = (
+        f"{M} SELECT * FROM m WHERE event_type LIKE '%ror' ORDER BY event_id LIMIT 100"
+    )
+    o["nsdb_bool_logic"] = (
+        f"{M} SELECT * FROM m WHERE (NOT event_type = 'error') "
+        "AND (value < 50 OR value >= 950) ORDER BY event_id LIMIT 500"
+    )
+    o["nsdb_distinct"] = "SELECT DISTINCT event_type FROM events"
+    o["nsdb_global_aggs"] = (
+        "SELECT count(*) AS count_value, "
+        "count(DISTINCT event_type) AS count_distinct_event_type, "
+        "round(sum(value), 3) AS sum_value, min(value) AS min_value, "
+        "max(value) AS max_value, round(avg(value), 3) AS avg_value FROM events"
+    )
+    o["nsdb_mixed_plain_agg"] = f"""
+{M},
+f AS (SELECT * FROM m WHERE timestamp >= 1705708800000),
+a AS (SELECT least(count(*), 20) AS count_value, round(sum(value), 3) AS sum_value FROM f)
+SELECT f.timestamp, f.value, f.event_type, a.count_value, a.sum_value
+FROM f, a ORDER BY f.timestamp LIMIT 20
+"""
+    o["nsdb_groupby_sum"] = (
+        "SELECT event_type, round(sum(value), 3) AS sum_value FROM events GROUP BY event_type"
+    )
+    o["nsdb_groupby_count"] = (
+        "SELECT event_type, count(*) AS count_value FROM events GROUP BY event_type"
+    )
+    o["nsdb_groupby_min"] = (
+        "SELECT event_type, min(value) AS min_value FROM events GROUP BY event_type"
+    )
+    o["nsdb_groupby_max"] = (
+        "SELECT event_type, max(value) AS max_value FROM events GROUP BY event_type"
+    )
+    o["nsdb_groupby_avg"] = (
+        "SELECT event_type, round(avg(value), 3) AS avg_value FROM events GROUP BY event_type"
+    )
+    o["nsdb_groupby_first"] = (
+        f"{M} SELECT event_type, arg_min(value, timestamp) AS first_value, "
+        "min(timestamp) AS timestamp FROM m GROUP BY event_type"
+    )
+    o["nsdb_groupby_last"] = (
+        f"{M} SELECT event_type, arg_max(value, timestamp) AS last_value, "
+        "max(timestamp) AS timestamp FROM m GROUP BY event_type"
+    )
+    o["nsdb_groupby_numeric_tag"] = (
+        "SELECT user_id, count(*) AS count_value FROM events GROUP BY user_id"
+    )
+    o["nsdb_groupby_count_distinct"] = (
+        "SELECT event_type, count(DISTINCT value) AS count_distinct_value "
+        "FROM events GROUP BY event_type"
+    )
+    o["nsdb_temporal_count"] = _temporal_oracle(86400000, "count(*)", "count_value")
+    o["nsdb_temporal_sum"] = _temporal_oracle(
+        43200000, "round(sum(value), 3)", "sum_value"
+    )
+    o["nsdb_temporal_avg"] = _temporal_oracle(
+        86400000, "round(avg(value), 3)", "avg_value"
+    )
+    o["nsdb_temporal_count_distinct"] = _temporal_oracle(
+        172800000, "count(DISTINCT event_type)", "count_distinct_event_type"
+    )
+    o["nsdb_temporal_limit"] = _temporal_oracle(86400000, "count(*)", "count_value", limit=5)
+    o["nsdb_relative_time"] = (
+        f"{M} SELECT count(*) AS count_value FROM m "
+        "WHERE timestamp >= (SELECT max(timestamp) FROM m) - 864000000"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)"
+    )
+    o["dedup_ngram_jaccard"] = _jaccard_oracle(0.5)
+    # LSH at 128 hashes / 32 bands has ~1 recall at j≥0.5 → oracle is the
+    # exact pair set (verified empirically on the driver's sf before shipping)
+    o["dedup_minhash_lsh"] = _jaccard_oracle(0.5)
+    o["dedup_simhash"] = _SIMHASH_ORACLE
+    o["dedup_embedding_cosine"] = _COSINE_PAIRS_ORACLE
+    o["sim_topk_bruteforce"] = _TOPK_ORACLE
+    # IVF with nprobe=8/16 recalls the exact top-10 on this data (verified);
+    # oracle = brute force
+    o["sim_topk_ivf"] = _TOPK_ORACLE
+    o["text_langid"] = _langid_oracle()
+    o["text_quality"] = _QUALITY_ORACLE
+    o["text_tokens"] = _TOKENS_ORACLE
+    o["text_fingerprint"] = _FINGERPRINT_ORACLE
+    o["mm_decode_metadata"] = _MM_ORACLE
+    return o

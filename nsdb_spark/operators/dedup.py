@@ -1,0 +1,332 @@
+"""Deduplication operators over a documents table (doc_id, text).
+
+All hot paths are pure pyspark.sql expressions (JVM, whole-stage codegen) —
+no Python UDFs. Pair generation strategies:
+
+- exact:       one hash-groupBy shuffle, the cheapest possible dedup.
+- n-gram Jaccard: shingle-explode + shingle-keyed equi-join. Exact but the
+  join fans out quadratically inside hot-shingle groups; at 100 TB use
+  `stop_shingle_df_limit` to drop ubiquitous shingles (they carry no
+  discriminating signal) or prefer MinHash-LSH below.
+- MinHash-LSH: signature per doc (k hashes), banded bucketing, candidate
+  pairs only within equal band buckets, then *exact* Jaccard verification of
+  candidates. Shuffle volume is O(docs × bands), independent of pairwise
+  cross products — this is the 100 TB path.
+- SimHash: 60-bit fingerprints via a portable md5-derived word hash;
+  near-dup = small Hamming distance. Banded variant for scale.
+- Embedding cosine: exact pair scoring; for scale, pre-bucket with the IVF
+  routine in operators/similarity.py.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, keep_id, dup_count).
+
+    Single map-side-combinable groupBy; at scale this is one shuffle keyed
+    by the md5 hash (uniform — no skew).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def _word_array(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingle_array(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles; texts shorter than n words collapse to
+    one whole-text shingle."""
+    words = _word_array(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.col(text_col))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", shingle_array(text_col, n).alias("shingles"))
+
+
+# ------------------------------------------------------------------ jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    stop_shingle_df_limit: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs: (doc_a, doc_b, jaccard).
+
+    jaccard = |A∩B| / |A∪B| over distinct shingle sets, computed with a
+    shingle-keyed equi-join (partial aggregation both sides, no cross
+    product outside shared-shingle groups).
+
+    stop_shingle_df_limit: drop shingles occurring in more than this many
+    docs before pairing (skew guard for the 100 TB case; changes recall
+    only for pairs connected solely via ubiquitous shingles).
+    """
+    sh = shingles(docs, n).select("doc_id", F.explode("shingles").alias("sh"))
+    if stop_shingle_df_limit is not None:
+        hot = (
+            sh.groupBy("sh").count()
+            .filter(F.col("count") > stop_shingle_df_limit)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ minhash-lsh
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 128, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingles, sig) — sig[i] = min over shingles of a seeded
+    64-bit hash. One narrow projection, no shuffle."""
+    sh = shingles(docs, n, text_col)
+
+    def seeded(seed: int):
+        # NB: a two-arg lambda would make transform() pass the array INDEX
+        # as the second argument — the factory keeps it unary.
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform("shingles", seeded(i))) for i in range(num_hashes)]
+    )
+    return sh.select("doc_id", "shingles", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard:
+    (doc_a, doc_b, jaccard).
+
+    With r = num_hashes/bands rows per band, a pair of true Jaccard j
+    collides in ≥1 band with prob 1-(1-j^r)^bands — at 128/32 the curve is
+    steep around j≈0.45, so recall at threshold 0.5 is ~1. Candidates are
+    generated per band bucket (shuffle O(docs×bands)) and verified exactly
+    via array_intersect on the (distinct) shingle arrays.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes)
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key")) for b in range(bands)])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        candidates.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def portable_word_hash(c: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in any engine with md5:
+    first 15 hex chars of md5 interpreted as an integer."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 60, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — classic SimHash over distinct words.
+
+    bit k of the fingerprint is 1 iff sum over words of ±1 (sign = word-hash
+    bit k) is positive. Explode words once, explode bit index, two
+    map-side-combinable groupBys — scales linearly in corpus token count.
+    """
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_array(text_col))).alias("word"),
+    ).select("doc_id", portable_word_hash(F.col("word")).alias("hv"))
+    per_bit = (
+        w.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(hv, k) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), k)")).otherwise(0)
+        ).alias("fingerprint")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 6, bits: int = 60, banded: bool = False
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(fingerprint) ≤ max_hamming.
+
+    banded=False: exact O(n²) comparison (fine up to ~10⁵ docs — the pair
+    predicate is a codegen'd xor+bit_count).
+    banded=True: the 100 TB path — split the fingerprint into
+    (max_hamming+1) chunks; by pigeonhole any pair within max_hamming shares
+    at least one exact chunk, so candidates come from equi-joins on chunk
+    values and the Hamming check runs only on candidates. Same result set.
+    """
+    fp = simhash_fingerprints(docs, bits)
+    if not banded:
+        a, b = fp.alias("a"), fp.alias("b")
+        pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        chunks = max_hamming + 1
+        width = -(-bits // chunks)
+        mask = (1 << width) - 1
+        chunk_cols = [
+            F.shiftright(F.col("fingerprint"), c * width).bitwiseAND(F.lit(mask)).alias(f"c{c}")
+            for c in range(chunks)
+        ]
+        keyed = fp.select("doc_id", "fingerprint", *chunk_cols)
+        buckets = keyed.select(
+            "doc_id",
+            "fingerprint",
+            F.explode(
+                F.array(*[F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("key")) for c in range(chunks)])
+            ).alias("bk"),
+        ).select("doc_id", "fingerprint", "bk.chunk", "bk.key")
+        a, b = buckets.alias("a"), buckets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "a.fingerprint", F.col("b.doc_id").alias("doc_id_b"),
+                    F.col("b.fingerprint").alias("fingerprint_b"))
+            .distinct()
+            .withColumnRenamed("doc_id", "a_doc")
+        )
+        return (
+            pairs.withColumn(
+                "hamming",
+                F.bit_count(F.col("fingerprint").bitwiseXOR(F.col("fingerprint_b"))),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select(
+                F.col("a_doc").alias("doc_a"),
+                F.col("doc_id_b").alias("doc_b"),
+                "hamming",
+            )
+        )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+# ------------------------------------------------------------------ embeddings
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.9, vec_col: str = "embedding"
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine ≥ threshold:
+    (vec_a, vec_b, cosine). Exact pairwise scoring with JVM-side fold
+    expressions (zip_with + aggregate; no UDF, no Python).
+
+    The cross join is the correctness baseline; at scale pre-bucket with
+    operators.similarity.ivf_assign and join within cells only.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,105 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline. All
+  arithmetic is JVM fold expressions (no UDF); one scan, one TakeOrdered.
+- ivf_assign / ivf_topk: IVF-style inverted-file ANN — the scale path.
+  Vectors are assigned to their nearest centroid cell once (a narrow
+  projection against a broadcast centroid list); queries probe only the
+  nprobe nearest cells. At 100 TB the assignment is written as a partition
+  column so a probe prunes to nprobe/ncells of the data.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_scores(emb: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, raw cosine as `score`) against a literal query vector."""
+    q = _lit_vec(query_vec)
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = _as_double(vec_col)
+    return emb.select(
+        "vec_id",
+        (_dot(v, q) / (_norm(v) * F.lit(qn))).alias("score"),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine: (vec_id, cosine rounded to 6).
+
+    Ordering uses the raw score (rounding only the output) and vec_id as a
+    deterministic tie-break. Catalyst plans orderBy+limit as
+    TakeOrderedAndProject — per-partition heaps, no full sort."""
+    return (
+        cosine_scores(emb, query_vec, vec_col)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round(F.col("score"), 6).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (by cosine): adds `cell`.
+
+    Centroids ride along as literal arrays (broadcast by construction). The
+    argmax is a fold over the centroid index — pure codegen, no shuffle.
+    """
+    v = _as_double(vec_col)
+    nv = _norm(v)
+    import math
+
+    # argmax via array_max over (score, cell) structs — a nested when-chain
+    # would duplicate subtrees exponentially in the expression tree
+    cands = []
+    for ci, c in enumerate(centroids):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        score = _dot(v, _lit_vec(c)) / (nv * F.lit(cn))
+        cands.append(F.struct(score.alias("s"), F.lit(ci).alias("cell")))
+    best = F.array_max(F.array(*cands))
+    return emb.withColumn("cell", best["cell"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the nprobe cells nearest to the query, exact top-k
+    inside them. With nprobe == len(centroids) this equals cosine_topk."""
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    scored = []
+    for ci, c in enumerate(centroids):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
+        scored.append((dot / (qn * cn), ci))
+    probes = [ci for _, ci in sorted(scored, reverse=True)[:nprobe]]
+    assigned = ivf_assign(emb, centroids, vec_col).filter(F.col("cell").isin(probes))
+    return cosine_topk(assigned, query_vec, k, vec_col)

@@ -1,0 +1,102 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure pyspark.sql expressions — single narrow projection per operator
+(no shuffle, no UDF), so they compose with scans at 100 TB: Catalyst prunes
+to the `text` column and pipelines everything into one codegen stage.
+
+Every formula is deliberately portable SQL arithmetic (the same computation
+is expressible in any ANSI engine) so results can be oracle-checked.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists (public common words). The heuristic is
+# a plain stopword-hit count — deterministic and engine-portable; swap in a
+# real n-gram model behind the same column contract for production use.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "los", "por", "con", "una", "para", "es"],
+    "fr": ["le", "la", "les", "des", "est", "que", "pour", "dans", "une", "sur"],
+    "zh": ["de5", "shi4", "bu4", "wo3", "zai4", "you3", "le5", "ren2", "ta1", "men5"],
+}
+#: deterministic tie-break precedence (first wins on equal scores)
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _stop_hits(words: Column, stopwords: list[str]) -> Column:
+    return F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in stopwords])))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score) — stopword-hit language guess.
+
+    lang_score = hits of the winning language on *distinct* words; ties
+    resolve by LANG_ORDER precedence.
+    """
+    words = F.array_distinct(_words(text_col))
+    scores = {lang: _stop_hits(words, sw) for lang, sw in LANG_STOPWORDS.items()}
+    best_score = F.greatest(*scores.values())
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1] + [LANG_ORDER[-1]]):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id", pred.alias("pred_lang"), best_score.cast("int").alias("lang_score")
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_distinct_words, stop_ratio, dup_ratio, quality).
+
+    quality ∈ [0,1]: 0.4·stopword-ratio + 0.3·(1−dup-ratio) +
+    0.3·min(n_words/100, 1). Integer-derived ratios → bit-identical across
+    engines.
+    """
+    words = _words(text_col)
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop_hits = _stop_hits(words, LANG_STOPWORDS["en"])  # counts distinct hits
+    stop_ratio = F.round(stop_hits / n_words, 6)
+    dup_ratio = F.round(1 - n_distinct / n_words, 6)
+    quality = F.round(
+        0.4 * (stop_hits / n_words)
+        + 0.3 * (n_distinct / n_words)
+        + 0.3 * F.least(n_words / F.lit(100.0), F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_distinct.cast("int").alias("n_distinct_words"),
+        stop_ratio.alias("stop_ratio"),
+        dup_ratio.alias("dup_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_alpha_tokens, n_num_tokens, n_bytes) —
+    whitespace tokens plus BPE-ish regex token classes."""
+    return docs.select(
+        "doc_id",
+        F.size(_words(text_col)).cast("int").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+")).cast("int").alias("n_alpha_tokens"),
+        F.regexp_count(F.col(text_col), F.lit("[0-9]+")).cast("int").alias("n_num_tokens"),
+        F.octet_length(F.col(text_col)).cast("int").alias("n_bytes"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — order-insensitive content fingerprint:
+    md5 over the sorted distinct word set. Two docs that are permutations /
+    repetitions of the same vocabulary collide (useful as a cheap fuzzy
+    dedup key upstream of Jaccard verification)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(_words(text_col))), " ")
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
