@@ -54,6 +54,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_embedding_cosine_gemm",
         "sim_topk_bruteforce",
         "sim_topk_ivf",
         "text_langid",

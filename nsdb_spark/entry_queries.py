@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, embeddings_gemm, multimodal, similarity, text
 from .sources import testdata
 
 SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
@@ -301,6 +301,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda spark, sf: dedup.embedding_cosine_pairs(
         _emb(spark, sf), threshold=0.45
     )
+    q["dedup_embedding_cosine_gemm"] = lambda spark, sf: embeddings_gemm.embedding_cosine_pairs_gemm(
+        _emb(spark, sf), threshold=0.45
+    )
 
     # --- similarity search ---
     q["sim_topk_bruteforce"] = lambda spark, sf: similarity.cosine_topk(
@@ -411,6 +414,7 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
     o["dedup_minhash_lsh"] = _jaccard_oracle(0.5)
     o["dedup_simhash"] = _SIMHASH_ORACLE
     o["dedup_embedding_cosine"] = _COSINE_PAIRS_ORACLE
+    o["dedup_embedding_cosine_gemm"] = _COSINE_PAIRS_ORACLE
     o["sim_topk_bruteforce"] = _TOPK_ORACLE
     # IVF with nprobe=8/16 recalls the exact top-10 on this data (verified);
     # oracle = brute force

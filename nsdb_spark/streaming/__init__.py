@@ -1,0 +1,4 @@
+"""Streaming: Structured Streaming ingestion + query subscriptions
+(NSDb's WebSocket/gRPC pub-sub re-expressed, SURVEY.md §2.8)."""
+from .subscribe import SubscriptionManager  # noqa: F401
+from .ingest import start_parquet_ingestion, stream_filter, stream_temporal_agg  # noqa: F401

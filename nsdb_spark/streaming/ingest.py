@@ -1,0 +1,116 @@
+"""Structured Streaming ingestion and streaming query shapes.
+
+Parity model (SURVEY.md §2.8): NSDb ingests through a commit log into an
+in-memory buffer flushed every 15 s (nsdb.conf:142) — reads are eventually
+consistent, pushes are real-time. Here the same split is:
+
+- `start_parquet_ingestion`: readStream → foreachBatch append into the
+  warehouse shard layout; the trigger interval is the visibility knob
+  (default 15 s ≡ nsdb.write.scheduler.interval). Parquet's atomic commit +
+  the checkpoint dir subsume the commit log (exactly-once per batch).
+- `stream_filter`: a subscribed *plain* query as a pure streaming filter
+  (PublisherActor's per-record match, but evaluated by Spark).
+- `stream_temporal_agg`: a subscribed temporal query as a windowed
+  aggregation with a watermark; update mode re-emits amended buckets the
+  way NSDb re-pushes late-data buckets within the grace period
+  (PublisherActor.scala:326-357 behaviour).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..compiler import TimeContext, compile_expression
+from ..model import MetricSchema, SHARD_COL
+from ..sql import ast
+
+
+def start_parquet_ingestion(
+    engine,
+    db: str,
+    ns: str,
+    metric: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    trigger_seconds: int = 15,
+    subscription_manager=None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Append a stream of metric rows (timestamp BIGINT ms, value, flat
+    dims/tags) into the warehouse; optionally tap each batch into a
+    SubscriptionManager (the real-time push path)."""
+    info = engine.warehouse.get_info(db, ns, metric)
+    si = info["shardInterval"]
+    data_path = engine.warehouse.data_path(db, ns, metric)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect() if subscription_manager else None
+        out = batch_df.withColumn(
+            SHARD_COL, (F.col("timestamp") - F.col("timestamp") % si)
+        )
+        out.repartition(SHARD_COL).write.mode("append").partitionBy(SHARD_COL).parquet(
+            data_path
+        )
+        if subscription_manager and rows:
+            subscription_manager.publish(db, ns, metric, [r.asDict() for r in rows])
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def stream_filter(
+    stream_df: DataFrame, condition: ast.Expression, ctx: TimeContext
+) -> DataFrame:
+    """Plain-query subscription: push-down filter on the live stream."""
+    return stream_df.filter(compile_expression(condition, ctx))
+
+
+def stream_temporal_agg(
+    stream_df: DataFrame,
+    interval_ms: int,
+    aggregation: ast.Aggregation,
+    anchor_ms: int,
+    grace_period_ms: int | None = None,
+) -> DataFrame:
+    """Temporal-query subscription: tumbling windows anchored like NSDb's
+    scheduler (buckets start at subscription time, SURVEY.md §2.8) with a
+    watermark = grace period for late-data re-emission.
+
+    Run with outputMode("update") so amended buckets are re-pushed, the
+    Spark analogue of NSDb's late-bucket re-push.
+    """
+    alias = f"{aggregation.kind}_{aggregation.target}"
+    secs = interval_ms / 1000.0
+    evt = F.timestamp_millis(F.col("timestamp")).alias("__evt")
+    df = stream_df.withColumn("__evt", evt)
+    if grace_period_ms is not None:
+        df = df.withWatermark("__evt", f"{grace_period_ms / 1000.0} seconds")
+    win = F.window(
+        F.col("__evt"),
+        f"{secs} seconds",
+        startTime=f"{(anchor_ms % interval_ms) / 1000.0} seconds",
+    )
+    agg_fn = {
+        ast.AGG_COUNT: F.count(aggregation.target),
+        ast.AGG_COUNT_DISTINCT: F.approx_count_distinct(aggregation.target),
+        ast.AGG_SUM: F.sum(aggregation.target),
+        ast.AGG_MIN: F.min(aggregation.target),
+        ast.AGG_MAX: F.max(aggregation.target),
+        ast.AGG_AVG: F.avg(aggregation.target),
+    }[aggregation.kind]
+    return (
+        df.groupBy(win.alias("__w"))
+        .agg(agg_fn.alias(alias))
+        .select(
+            F.unix_millis(F.col("__w.start")).alias("lower_bound"),
+            F.unix_millis(F.col("__w.end")).alias("upper_bound"),
+            F.col(alias),
+        )
+    )

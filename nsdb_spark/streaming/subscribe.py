@@ -1,0 +1,214 @@
+"""Query subscriptions: historical answer once, then live pushes.
+
+Behaviour parity with PublisherActor (nsdb-core/.../actors/PublisherActor.scala):
+
+- subscribe: execute the statement once (historical payload), register by
+  uuid (PublisherActor.scala:136-204).
+- plain queries: every inserted record is matched against the predicate and
+  pushed immediately (:304-325). NSDb does this via a 1-doc in-memory
+  Lucene index; we evaluate the predicate in-process (no Spark job per
+  record — same latency class).
+- standard aggregations: re-executed on a fixed scheduler and pushed in
+  full (:205-218, 5 s default, nsdb.conf:140).
+- temporal aggregations: records accumulate into the current bucket; on
+  each `tick` crossing a bucket boundary the bucket is reduced and pushed,
+  then rolls (:220-254). Late records within the grace period amend
+  retained late buckets, which are re-pushed (:247-298,326-357); records
+  older than `now - grace` are dropped (:342-356).
+"""
+from __future__ import annotations
+
+import re
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from .. import analyzer
+from ..compiler import TimeContext, like_to_regex
+from ..model import MetricSchema
+from ..sql import ast
+from ..sql.parser import parse
+
+
+def eval_expression(e: ast.Expression, row: dict[str, Any], now_ms: int) -> bool:
+    """In-process predicate evaluation, same semantics as
+    compiler.compile_expression (absent field = None = no match except IS
+    NULL)."""
+    if isinstance(e, ast.NotExpression):
+        return not eval_expression(e.expression, row, now_ms)
+    if isinstance(e, ast.TupledLogicalExpression):
+        l = eval_expression(e.expression1, row, now_ms)
+        r = eval_expression(e.expression2, row, now_ms)
+        return (l and r) if e.operator == "and" else (l or r)
+    v = row.get(e.dimension)
+    if isinstance(e, ast.NullableExpression):
+        return (v is not None) if e.negated else (v is None)
+    if v is None:
+        return False
+    if isinstance(e, ast.EqualityExpression):
+        return v == _resolve(e.value, now_ms)
+    if isinstance(e, ast.ComparisonExpression):
+        w = _resolve(e.value, now_ms)
+        return {" >": v > w, ">": v > w, ">=": v >= w, "<": v < w, "<=": v <= w}[e.operator]
+    if isinstance(e, ast.RangeExpression):
+        return _resolve(e.value1, now_ms) <= v <= _resolve(e.value2, now_ms)
+    if isinstance(e, ast.LikeExpression):
+        return re.match(like_to_regex(e.value), str(v)) is not None
+    raise TypeError(f"unknown expression {e!r}")
+
+
+def _resolve(v: ast.ComparisonValue, now_ms: int):
+    if isinstance(v, ast.RelativeComparisonValue):
+        return v.resolve(now_ms)
+    return v.value
+
+
+def _reduce_bucket(values: list, agg: ast.Aggregation):
+    if agg.kind == ast.AGG_COUNT:
+        return len(values)
+    if agg.kind == ast.AGG_COUNT_DISTINCT:
+        return len(set(values))
+    if agg.kind == ast.AGG_SUM:
+        return sum(values)
+    if agg.kind == ast.AGG_MIN:
+        return min(values) if values else 0
+    if agg.kind == ast.AGG_MAX:
+        return max(values) if values else 0
+    if agg.kind == ast.AGG_AVG:
+        return sum(values) / len(values) if values else 0
+    raise ValueError(agg.kind)
+
+
+@dataclass
+class _Subscription:
+    uuid: str
+    db: str
+    ns: str
+    metric: str
+    statement: ast.SelectSQLStatement
+    parsed: Any
+    callback: Callable[[list[dict]], None]
+    # temporal state
+    bucket_start: int = 0
+    buckets: dict[int, list] = field(default_factory=dict)  # upper_bound → values
+
+
+class SubscriptionManager:
+    """Registry of live query subscriptions fed by the engine's write path."""
+
+    def __init__(self, engine, refresh_period_ms: int = 100, agg_push_period_ms: int = 5000):
+        self.engine = engine
+        self.subs: dict[str, _Subscription] = {}
+        self.refresh_period_ms = max(refresh_period_ms, 100)  # nsdb.conf:161 floor
+        self.agg_push_period_ms = agg_push_period_ms
+
+    # ------------------------------------------------------------ subscribe
+    def subscribe(
+        self,
+        sql: str,
+        callback: Callable[[list[dict]], None],
+        db: str = "default",
+        ns: str = "default",
+        time_context: TimeContext | None = None,
+    ) -> str:
+        stmt = parse(sql, db=db, namespace=ns)
+        if not isinstance(stmt, ast.SelectSQLStatement):
+            raise ValueError("only SELECT statements can be subscribed")
+        schema = self.engine.warehouse.get_schema(db, ns, stmt.metric)
+        parsed = analyzer.analyze(stmt, schema)
+        ctx = time_context or TimeContext(self.engine.now_fn())
+        # historical payload first (PublisherActor.scala:136-204)
+        historical = [r.asDict() for r in self.engine.execute_select(stmt, ctx).collect()]
+        callback(historical)
+        sub = _Subscription(
+            uuid=str(uuid_mod.uuid4()),
+            db=db, ns=ns, metric=stmt.metric,
+            statement=stmt, parsed=parsed, callback=callback,
+        )
+        if isinstance(parsed, analyzer.ParsedTemporalAggregatedQuery):
+            sub.bucket_start = ctx.current_time
+        self.subs[sub.uuid] = sub
+        return sub.uuid
+
+    def unsubscribe(self, uuid: str) -> None:
+        self.subs.pop(uuid, None)
+
+    # ------------------------------------------------------------ write tap
+    def publish(self, db: str, ns: str, metric: str, rows: list[dict]) -> None:
+        """Called by the ingest path for every batch of inserted records."""
+        now = self.engine.now_fn()
+        for sub in self.subs.values():
+            if (sub.db, sub.ns, sub.metric) != (db, ns, metric):
+                continue
+            if isinstance(sub.parsed, analyzer.ParsedSimpleQuery):
+                cond = sub.statement.condition
+                matched = [
+                    r for r in rows
+                    if cond is None or eval_expression(cond.expression, r, now)
+                ]
+                if matched:
+                    sub.callback(matched)
+            elif isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
+                self._accumulate_temporal(sub, rows, now)
+
+    def _accumulate_temporal(self, sub: _Subscription, rows: list[dict], now: int) -> None:
+        p = sub.parsed
+        interval = p.interval_ms
+        grace = p.grace_period_ms
+        cond = sub.statement.condition
+        amended: set[int] = set()
+        for r in rows:
+            if cond is not None and not eval_expression(cond.expression, r, now):
+                continue
+            ts = r["timestamp"]
+            if grace is not None and ts < now - grace:
+                continue  # too late: dropped (PublisherActor.scala:342-356)
+            k = (ts - sub.bucket_start) // interval
+            ub = sub.bucket_start + (k + 1) * interval
+            target = r.get(p.aggregation.target, r.get("value"))
+            sub.buckets.setdefault(ub, []).append(target)
+            if ub <= now:  # landed in an already-closed bucket → amend
+                amended.add(ub)
+        for ub in sorted(amended):
+            sub.callback([self._bucket_payload(sub, ub, amended=True)])
+
+    def _bucket_payload(self, sub: _Subscription, ub: int, amended: bool = False) -> dict:
+        p = sub.parsed
+        value = _reduce_bucket(sub.buckets.get(ub, []), p.aggregation)
+        return {
+            "timestamp": ub,
+            "lower_bound": ub - p.interval_ms,
+            "upper_bound": ub,
+            f"{p.aggregation.kind}_{p.aggregation.target}": value,
+            "amended": amended,
+        }
+
+    # ------------------------------------------------------------ scheduler
+    def tick(self, now_ms: int | None = None) -> None:
+        """Advance time: close+push due temporal buckets, re-run standard
+        aggregations (call this from a scheduler; tests call it directly)."""
+        now = now_ms if now_ms is not None else self.engine.now_fn()
+        for sub in self.subs.values():
+            if isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
+                p = sub.parsed
+                while sub.bucket_start + p.interval_ms <= now:
+                    ub = sub.bucket_start + p.interval_ms
+                    sub.callback([self._bucket_payload(sub, ub)])
+                    sub.bucket_start = ub
+                    # drop buckets beyond the grace horizon
+                    if p.grace_period_ms is not None:
+                        horizon = now - p.grace_period_ms
+                        for old in [u for u in sub.buckets if u < horizon]:
+                            del sub.buckets[old]
+            elif isinstance(
+                sub.parsed,
+                (analyzer.ParsedAggregatedQuery, analyzer.ParsedGlobalAggregatedQuery),
+            ):
+                # full re-execution + push (PublisherActor.scala:205-218)
+                rows = [
+                    r.asDict()
+                    for r in self.engine.execute_select(
+                        sub.statement, TimeContext(now)
+                    ).collect()
+                ]
+                sub.callback(rows)

@@ -1,0 +1,177 @@
+"""Unit tests for the training-data operators (dedup / similarity / text /
+multimodal) on small in-memory corpora."""
+import pytest
+from pyspark.sql import functions as F
+
+from nsdb_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "tiny"),                                           # shorter than shingle n
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_duplicates(docs).collect()}
+    assert out[0] == 2  # docs 0 and 2
+    assert out[1] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_shingles_short_doc_fallback(docs):
+    sh = {r["doc_id"]: r["shingles"] for r in dedup.shingles(docs, 3).collect()}
+    assert sh[4] == ["tiny"]
+    assert "the quick brown" in sh[0]
+    assert len(sh[0]) == 7
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_matches_exact_jaccard(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_exact_dup_has_zero_hamming(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+    assert out[(0, 2)] == 0
+    assert out.get((0, 1), 99) <= 10  # near-dup within radius
+
+
+def test_simhash_banded_equals_bruteforce(docs):
+    brute = sorted(
+        tuple(r) for r in dedup.simhash_pairs(docs, max_hamming=10, banded=False).collect()
+    )
+    banded = sorted(
+        tuple(r) for r in dedup.simhash_pairs(docs, max_hamming=10, banded=True).collect()
+    )
+    assert brute == banded
+
+
+@pytest.fixture()
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_cosine_pairs(emb):
+    out = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in dedup.embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert (0, 1) in out and (2, 3) in out
+    assert (0, 4) not in out and (0, 2) not in out
+
+
+def test_gemm_pairs_equal_expression_pairs(emb):
+    from nsdb_spark.operators.embeddings_gemm import embedding_cosine_pairs_gemm
+
+    expr_pairs = sorted(
+        tuple(r) for r in dedup.embedding_cosine_pairs(emb, threshold=0.5).collect()
+    )
+    gemm_pairs = sorted(
+        tuple(r) for r in embedding_cosine_pairs_gemm(emb, threshold=0.5, num_blocks=2).collect()
+    )
+    assert gemm_pairs == expr_pairs
+
+
+def test_cosine_topk_gemm_equals_expr(emb):
+    from nsdb_spark.operators.embeddings_gemm import cosine_topk_gemm
+
+    expr_topk = [tuple(r) for r in similarity.cosine_topk(emb, [0.9, 0.1, 0.0], k=4).collect()]
+    gemm_topk = [tuple(r) for r in cosine_topk_gemm(emb, [0.9, 0.1, 0.0], k=4).collect()]
+    assert gemm_topk == expr_topk
+
+
+def test_cosine_topk(emb):
+    out = similarity.cosine_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert out[0]["cosine"] == 1.0
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(emb):
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    brute = [(r["vec_id"], r["cosine"]) for r in similarity.cosine_topk(emb, [0.9, 0.1, 0.0], k=5).collect()]
+    ivf = [(r["vec_id"], r["cosine"]) for r in
+           similarity.ivf_topk(emb, [0.9, 0.1, 0.0], centroids, k=5, nprobe=2).collect()]
+    assert ivf == brute
+
+
+def test_ivf_probe_prunes_cells(emb):
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]]
+    out = similarity.ivf_topk(emb, [1.0, 0.0, 0.0], centroids, k=5, nprobe=1).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 4 not in ids  # opposite-cell vector pruned
+    assert ids[0] == 0
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat and the dog of to in is that"),
+        (1, "der hund und die katze ist mit von den"),
+        (2, "el perro la casa de que los por con"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "es"}
+
+
+def test_quality_score(spark):
+    df = spark.createDataFrame([(0, "the the the the")], "doc_id long, text string")
+    r = text.quality_score(df).collect()[0]
+    assert r["n_words"] == 4 and r["n_distinct_words"] == 1
+    assert r["stop_ratio"] == 0.25  # 1 distinct stopword hit / 4 words
+    assert r["dup_ratio"] == 0.75
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(0, "abc 123 x9y")], "doc_id long, text string")
+    r = text.token_stats(df).collect()[0]
+    assert r["n_ws_tokens"] == 3
+    assert r["n_alpha_tokens"] == 3  # abc, x, y
+    assert r["n_num_tokens"] == 2   # 123, 9
+    assert r["n_bytes"] == 11
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "b a c"), (1, "c b a a"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_multimodal_decode_metadata(docs):
+    out = {r["doc_id"]: r for r in multimodal.document_media_metadata(docs).collect()}
+    r = out[4]  # "tiny" → 4 bytes
+    assert r["n_bytes"] == 4 and r["width"] == 4 and r["height"] == 0 and r["format"] == "fake"
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8")

@@ -1,0 +1,132 @@
+"""Streaming tests — subscription behaviour modelled on PublisherActorSpec,
+plus a real Structured Streaming ingestion round-trip."""
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nsdb_spark.compiler import TimeContext
+from nsdb_spark.model import Bit
+from nsdb_spark.streaming import SubscriptionManager, start_parquet_ingestion
+from nsdb_spark.streaming.subscribe import eval_expression
+from nsdb_spark.sql.parser import parse
+
+from fixtures import LONG_METRIC, load
+
+
+@pytest.fixture()
+def manager(engine):
+    load(engine, "people", LONG_METRIC)
+    return SubscriptionManager(engine)
+
+
+class Collector:
+    def __init__(self):
+        self.pushes = []
+
+    def __call__(self, rows):
+        self.pushes.append(rows)
+
+
+def test_subscribe_plain_gets_historical_then_live(manager, engine):
+    cb = Collector()
+    manager.subscribe("select * from people where name = Frank", cb)
+    assert len(cb.pushes) == 1
+    assert [r["timestamp"] for r in cb.pushes[0]] == [8]
+
+    # live insert matching the predicate → immediate push, no re-query
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 20, "value": 9, "name": "Frank", "surname": "Doe"}])
+    assert len(cb.pushes) == 2
+    assert cb.pushes[1][0]["timestamp"] == 20
+
+    # non-matching record → no push
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 21, "value": 9, "name": "Bill", "surname": "Doe"}])
+    assert len(cb.pushes) == 2
+
+
+def test_subscribe_standard_agg_pushes_on_tick(manager, engine):
+    cb = Collector()
+    engine.now_fn = lambda: 100
+    manager.subscribe("select sum(value) from people group by name", cb)
+    assert len(cb.pushes) == 1  # historical
+    manager.tick(5100)
+    assert len(cb.pushes) == 2
+    as_map = {r["name"]: r["sum_value"] for r in cb.pushes[1]}
+    assert as_map["John"] == 3
+
+
+def test_subscribe_temporal_buckets_roll_and_amend(manager, engine):
+    cb = Collector()
+    engine.now_fn = lambda: 1000
+    manager.subscribe(
+        "select count(*) from people group by interval 1 s since 10 s",
+        cb,
+        time_context=TimeContext(1000),
+    )
+    assert len(cb.pushes) == 1  # historical
+
+    # records in the current bucket (1000, 2000]
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 1500, "value": 1, "name": "X", "surname": "Y"},
+                     {"timestamp": 1700, "value": 2, "name": "X", "surname": "Y"}])
+    engine.now_fn = lambda: 2100
+    manager.tick(2100)  # bucket (1000,2000] closes
+    push = cb.pushes[-1][0]
+    assert (push["lower_bound"], push["upper_bound"], push["count_value"]) == (1000, 2000, 2)
+
+    # late record within grace lands in the closed bucket → amended re-push
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 1900, "value": 3, "name": "X", "surname": "Y"}])
+    amended = cb.pushes[-1][0]
+    assert amended["amended"] and amended["count_value"] == 3
+
+    # record older than grace is dropped
+    engine.now_fn = lambda: 20000
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 1950, "value": 3, "name": "X", "surname": "Y"}])
+    assert cb.pushes[-1][0]["count_value"] == 3  # unchanged
+
+
+def test_eval_expression_matches_compiler_semantics():
+    stmt = parse("select * from m where value >= 2 and (name like Fra$ or age is null)")
+    e = stmt.condition.expression
+    assert eval_expression(e, {"value": 3, "name": "Frank", "age": 1}, 0)
+    assert eval_expression(e, {"value": 3, "name": "Bill"}, 0)  # age absent
+    assert not eval_expression(e, {"value": 1, "name": "Frank", "age": 1}, 0)
+    assert not eval_expression(e, {"value": 3, "name": "Bill", "age": 1}, 0)
+
+
+def test_eval_relative_time():
+    stmt = parse("select * from m where timestamp >= now - 1 s")
+    e = stmt.condition.expression
+    assert eval_expression(e, {"timestamp": 9500}, 10_000)
+    assert not eval_expression(e, {"timestamp": 8000}, 10_000)
+
+
+def test_structured_streaming_ingestion(engine, spark, tmp_path):
+    """readStream → foreachBatch append → rows visible to batch queries."""
+    engine.insert_bits("default", "default", "s", [Bit(1, 1, {}, {"name": "seed"})])
+    schema = engine.warehouse.get_schema("default", "default", "s")
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    seed_df = spark.createDataFrame(
+        [(100, 5, "live"), (2_592_000_000 + 7, 6, "live2")],
+        "timestamp long, value long, name string",
+    )
+    seed_df.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("timestamp long, value long, name string").parquet(str(src))
+    q = start_parquet_ingestion(
+        engine, "default", "default", "s", stream,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(60)
+
+    out = engine.execute("select * from s order by timestamp")
+    rows = [(r["timestamp"], r["value"], r["name"]) for r in out.collect()]
+    assert rows == [(1, 1, "seed"), (100, 5, "live"), (2_592_000_000 + 7, 6, "live2")]
+    # second shard was created by the ingest (natural-time partitioning)
+    assert engine.warehouse.locations("default", "default", "s") == [0, 2_592_000_000]
