@@ -53,7 +53,10 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "dedup_embedding_cosine",
+        # embedding near-dup: bench the block-GEMM scale path; the
+        # expression-fold variant stays oracle-checked in queries() as the
+        # semantic baseline but its O(n^2 x dim) pair fold is not the plan
+        # we'd run at scale
         "dedup_embedding_cosine_gemm",
         "sim_topk_bruteforce",
         "sim_topk_ivf",

@@ -19,8 +19,26 @@ no Python UDFs. Pair generation strategies:
 """
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster's cores.
+
+    Small parquet inputs arrive as one split (maxPartitionBytes), which
+    would serialize every expression-heavy operator below onto one core. At
+    real scale the input already has >= defaultParallelism splits and this
+    is a no-op; the check costs only a plan-to-RDD conversion.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ------------------------------------------------------------------ exact
@@ -84,7 +102,7 @@ def ngram_jaccard_pairs(
     docs before pairing (skew guard for the 100 TB case; changes recall
     only for pairs connected solely via ubiquitous shingles).
     """
-    sh = shingles(docs, n).select("doc_id", F.explode("shingles").alias("sh"))
+    sh = shingles(_parallelize(docs), n).select("doc_id", F.explode("shingles").alias("sh"))
     if stop_shingle_df_limit is not None:
         hot = (
             sh.groupBy("sh").count()
@@ -92,6 +110,9 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # the exploded shingle frame feeds three consumers (both join sides +
+    # doc counts): materialize once instead of re-shingling the corpus 3x
+    sh = sh.persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -118,18 +139,28 @@ def minhash_signatures(
     docs: DataFrame, n: int = 3, num_hashes: int = 128, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, shingles, sig) — sig[i] = min over shingles of a seeded
-    64-bit hash. One narrow projection, no shuffle."""
-    sh = shingles(docs, n, text_col)
+    64-bit hash.
 
-    def seeded(seed: int):
-        # NB: a two-arg lambda would make transform() pass the array INDEX
-        # as the second argument — the factory keeps it unary.
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform("shingles", seeded(i))) for i in range(num_hashes)]
+    Physical shape: explode shingles once, evaluate the num_hashes seeded
+    xxhash64 columns flat (whole-stage codegen — array_min over transform()
+    would run interpreted), then ONE map-side-combinable groupBy with
+    num_hashes min() aggregates; the shingle set rides along via
+    collect_list (shingles are distinct per doc by construction). Shuffle
+    volume after partial aggregation: docs × (num_hashes + shingles).
+    """
+    ex = shingles(_parallelize(docs), n, text_col).select(
+        "doc_id", F.explode("shingles").alias("sh")
     )
-    return sh.select("doc_id", "shingles", sig.alias("sig"))
+    hmins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = ex.groupBy("doc_id").agg(F.collect_list("sh").alias("shingles"), *hmins)
+    return agg.select(
+        "doc_id",
+        "shingles",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -149,7 +180,10 @@ def minhash_lsh_pairs(
     via array_intersect on the (distinct) shingle arrays.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, n, num_hashes)
+    # signatures feed banding AND both sides of the verification join:
+    # materialize them once (docs × (shingles + num_hashes longs) — the
+    # same artifact a production LSH pipeline would write out)
+    sigs = minhash_signatures(docs, n, num_hashes).persist()
     band_cols = [
         F.xxhash64(F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]).alias(f"b{b}")
         for b in range(bands)
@@ -205,9 +239,13 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 60, text_col: str = "text"
 
     bit k of the fingerprint is 1 iff sum over words of ±1 (sign = word-hash
     bit k) is positive. Explode words once, explode bit index, two
-    map-side-combinable groupBys — scales linearly in corpus token count.
+    map-side-combinable groupBys — simple expressions that plan and codegen
+    fast. (A wide 60-conditional-sum single groupBy was measured ~2x slower
+    end-to-end: the giant generated aggregate costs >10 s of one-time
+    planning/JIT, dwarfing the saved explode.) Partial aggregation caps the
+    first shuffle at docs × bits rows regardless of corpus token count.
     """
-    w = docs.select(
+    w = _parallelize(docs).select(
         "doc_id",
         F.explode(F.array_distinct(_word_array(text_col))).alias("word"),
     ).select("doc_id", portable_word_hash(F.col("word")).alias("hv"))
@@ -239,7 +277,9 @@ def simhash_pairs(
     at least one exact chunk, so candidates come from equi-joins on chunk
     values and the Hamming check runs only on candidates. Same result set.
     """
-    fp = simhash_fingerprints(docs, bits)
+    # fingerprints feed both sides of the pair join: one row per doc, one
+    # long each — materialize instead of re-hashing the corpus twice
+    fp = simhash_fingerprints(docs, bits).persist()
     if not banded:
         a, b = fp.alias("a"), fp.alias("b")
         pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -305,24 +345,38 @@ def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.9, vec_col: str = "embedding"
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold:
-    (vec_a, vec_b, cosine). Exact pairwise scoring with JVM-side fold
-    expressions (zip_with + aggregate; no UDF, no Python).
+    (vec_a, vec_b, cosine). Exact pairwise scoring, no UDF, no Python.
 
-    The cross join is the correctness baseline; at scale pre-bucket with
-    operators.similarity.ivf_assign and join within cells only.
+    The embedding dimension is fixed per table, so the dot product is
+    unrolled into a flat dim-term expression at plan time — whole-stage
+    codegen'd, where a zip_with+aggregate fold would run interpreted per
+    pair (~10× slower). The cross join is the correctness baseline; at
+    scale use operators.embeddings_gemm (block matrix product) or
+    pre-bucket with operators.similarity.ivf_assign and join within cells.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    e = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("nrm"))
+    first = emb.select(vec_col).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    dim = len(first[0])
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        functools.reduce(
+            operator.add, [v.getItem(i) * v.getItem(i) for i in range(dim)]
+        )
+    )
+    # pre-normalize: the pair stage then does only the dim-term dot product
+    nv = F.array(*[(v.getItem(i) / norm).alias(f"x{i}") for i in range(dim)])
+    e = _parallelize(emb).select(F.col("vec_id"), nv.alias("v")).persist()
     a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dot = functools.reduce(
+        operator.add,
+        [F.col("a.v").getItem(i) * F.col("b.v").getItem(i) for i in range(dim)],
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .withColumn("cosine", F.round(dot, 6))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
