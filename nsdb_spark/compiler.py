@@ -374,7 +374,26 @@ class QueryCompiler:
             F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(interval)),
             F.lit(n - 1),
         ).alias("__bucket")
-        per_bucket = rows.groupBy(k).agg(self._agg_columns([q.aggregation])[0])
+        if q.aggregation.kind == ast.AGG_MIN:
+            # ⚠ reference quirk (post_proc/package.scala:170-176): the
+            # cross-shard temporal-min reduce drops ZERO shard partials
+            # unless every partial is zero. Observable only when a bucket
+            # spans shards (or replicas) and one shard's minimum is 0.
+            # Reproduce exactly: per-(bucket, shard) partial min, then a
+            # zero-skipping combine. Two map-side-combinable aggregations,
+            # same shuffle volume class as the plain min.
+            shard = (F.floor(F.col("timestamp") / F.lit(si)) * si).alias("__shard")
+            partials = rows.groupBy(k, shard).agg(
+                F.min(q.aggregation.target).alias("__pmin")
+            )
+            per_bucket = partials.groupBy("__bucket").agg(
+                F.coalesce(
+                    F.min(F.when(F.col("__pmin") != 0, F.col("__pmin"))),
+                    F.lit(0),
+                ).alias(agg_alias(q.aggregation))
+            )
+        else:
+            per_bucket = rows.groupBy(k).agg(self._agg_columns([q.aggregation])[0])
 
         # bucket axis including empty buckets (spec emits them with 0)
         buckets = self.spark.range(n).select(

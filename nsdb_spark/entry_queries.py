@@ -49,14 +49,47 @@ def _nsdb(sql: str, rounds: dict[str, int] | None = None, relative_now: bool = F
     return fn
 
 
-def _temporal_oracle(interval_ms: int, agg_sql: str, alias: str, limit: int | None = None) -> str:
+def _temporal_oracle(
+    interval_ms: int,
+    agg_sql: str,
+    alias: str,
+    limit: int | None = None,
+    grace_ms: int | None = None,
+    min_two_level: bool = False,
+) -> str:
     """Backward-aligned temporal bucket oracle (SURVEY.md §4.3): buckets run
     backward from the 30 d shard-interval top; first bucket truncated; empty
-    buckets emitted with 0; LIMIT keeps the most recent buckets."""
+    buckets emitted with 0; LIMIT keeps the most recent buckets.
+
+    grace_ms: SINCE clause — the bucket axis' lower bound is raised to
+    now - grace (now = data max), and older rows are excluded.
+    min_two_level: the temporal-min quirk (post_proc/package.scala:170-176)
+    — per-shard partial minima reduced with zero partials skipped.
+    """
     limit_pred = f"WHERE k < {limit}" if limit else ""
+    lower_sql = f"(min(timestamp)//{SHARD})*{SHARD}"
+    if grace_ms is not None:
+        lower_sql = f"greatest({lower_sql}, max(timestamp) - {grace_ms})"
+    if min_two_level:
+        agg_cte = f"""
+agg1 AS (
+  SELECT least((n.upper - m.timestamp)//{interval_ms}, n.nb-1) AS k,
+         (m.timestamp//{SHARD})*{SHARD} AS shard, min(value) AS pmin
+  FROM m, n WHERE m.timestamp >= n.lower GROUP BY 1, 2
+),
+agg AS (
+  SELECT k, coalesce(min(CASE WHEN pmin <> 0 THEN pmin END), 0) AS v
+  FROM agg1 GROUP BY k
+)"""
+    else:
+        agg_cte = f"""
+agg AS (
+  SELECT least((n.upper - m.timestamp)//{interval_ms}, n.nb-1) AS k, {agg_sql} AS v
+  FROM m, n WHERE m.timestamp >= n.lower GROUP BY 1
+)"""
     return f"""
 {M},
-b AS (SELECT (min(timestamp)//{SHARD})*{SHARD} AS lower,
+b AS (SELECT {lower_sql} AS lower,
              (max(timestamp)//{SHARD})*{SHARD} + {SHARD} AS upper FROM m),
 n AS (SELECT lower, upper, (upper - lower + {interval_ms} - 1)//{interval_ms} AS nb FROM b),
 ks AS (SELECT unnest(generate_series(0, cast(n.nb-1 AS bigint))) AS k, n.upper, n.lower FROM n),
@@ -64,11 +97,7 @@ buckets AS (
   SELECT k, upper - k*{interval_ms} AS upper_bound,
          greatest(upper - (k+1)*{interval_ms}, lower) AS lower_bound
   FROM ks
-),
-agg AS (
-  SELECT least((n.upper - m.timestamp)//{interval_ms}, n.nb-1) AS k, {agg_sql} AS v
-  FROM m, n GROUP BY 1
-)
+),{agg_cte}
 SELECT b.upper_bound AS timestamp, b.lower_bound AS lower_bound,
        b.upper_bound AS upper_bound, coalesce(agg.v, 0) AS {alias}
 FROM buckets b LEFT JOIN agg USING (k) {limit_pred}
@@ -283,8 +312,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nsdb_temporal_limit"] = _nsdb(
         "select count(*) from events group by interval 1d limit 5"
     )
+    q["nsdb_temporal_min"] = _nsdb("select min(value) from events group by interval 7d")
+    q["nsdb_temporal_max"] = _nsdb("select max(value) from events group by interval 7d")
+    q["nsdb_temporal_since"] = _nsdb(
+        "select count(*) from events group by interval 1d since 10 d",
+        relative_now=True,
+    )
     q["nsdb_relative_time"] = _nsdb(
         "select count(*) from events where timestamp >= now - 10 d", relative_now=True
+    )
+    q["nsdb_nullable_predicates"] = _nsdb(
+        "select * from events where not value is null and props is not null "
+        "and value >= 480 order by event_id limit 100"
+    )
+    q["nsdb_like_infix_count"] = _nsdb(
+        "select count(*) from events where props like '$: 1$'"
+    )
+    q["nsdb_distinct_order"] = _nsdb(
+        "select distinct user_id from events order by user_id desc limit 20"
     )
 
     # --- dedup ---
@@ -399,9 +444,26 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
         172800000, "count(DISTINCT event_type)", "count_distinct_event_type"
     )
     o["nsdb_temporal_limit"] = _temporal_oracle(86400000, "count(*)", "count_value", limit=5)
+    o["nsdb_temporal_min"] = _temporal_oracle(
+        604800000, "min(value)", "min_value", min_two_level=True
+    )
+    o["nsdb_temporal_max"] = _temporal_oracle(604800000, "max(value)", "max_value")
+    o["nsdb_temporal_since"] = _temporal_oracle(
+        86400000, "count(*)", "count_value", grace_ms=864000000
+    )
     o["nsdb_relative_time"] = (
         f"{M} SELECT count(*) AS count_value FROM m "
         "WHERE timestamp >= (SELECT max(timestamp) FROM m) - 864000000"
+    )
+    o["nsdb_nullable_predicates"] = (
+        f"{M} SELECT * FROM m WHERE value IS NOT NULL AND props IS NOT NULL "
+        "AND value >= 480 ORDER BY event_id LIMIT 100"
+    )
+    o["nsdb_like_infix_count"] = (
+        f"{M} SELECT count(*) AS count_value FROM m WHERE props LIKE '%: 1%'"
+    )
+    o["nsdb_distinct_order"] = (
+        "SELECT DISTINCT user_id FROM events ORDER BY user_id DESC LIMIT 20"
     )
 
     o["dedup_exact"] = (

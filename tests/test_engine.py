@@ -418,3 +418,35 @@ def test_double_metric_values(engine):
     assert rows(df) == [(7.5, 1.5)]
     df = engine.execute("select * from doubleMetric where value = 1.5 order by timestamp limit 2")
     assert [r[0] for r in rows(df)] == [2, 4]
+
+
+def test_temporal_min_zero_skip_quirk(engine):
+    """⚠ post_proc/package.scala:170-176: the cross-shard temporal-min
+    reduce drops ZERO shard partials unless every partial is zero. With a
+    30s bucket straddling two 20s shards where one shard's minimum is 0,
+    NSDb reports the nonzero partial — not the true 0 minimum."""
+    bits = [
+        Bit(5000, 0, {}, {"name": "a"}),     # shard [0,20000): partial min 0
+        Bit(15000, 7, {}, {"name": "b"}),
+        Bit(25000, 3, {}, {"name": "c"}),    # shard [20000,40000): partial 3
+        Bit(35000, 9, {}, {"name": "d"}),
+    ]
+    eng = load(engine, "zeroMinMetric", bits, shard_interval_ms=20000)
+    # one 40s bucket covering everything: partials {0, 3} → min = 3 (not 0)
+    df = eng.execute("select min(value) from zeroMinMetric group by interval 40s")
+    assert rows(df) == [(40000, 0, 40000, 3)]
+    # all partials zero → 0
+    bits2 = [Bit(5000, 0, {}, {"name": "a"}), Bit(25000, 0, {}, {"name": "b"})]
+    eng = load(engine, "zeroMinMetric2", bits2, shard_interval_ms=20000)
+    df = eng.execute("select min(value) from zeroMinMetric2 group by interval 40s")
+    assert rows(df) == [(40000, 0, 40000, 0)]
+
+
+def test_temporal_max_plain(engine):
+    bits = [
+        Bit(5000, 4, {}, {"name": "a"}),
+        Bit(25000, 9, {}, {"name": "b"}),
+    ]
+    eng = load(engine, "maxMetric", bits, shard_interval_ms=20000)
+    df = eng.execute("select max(value) from maxMetric group by interval 20s")
+    assert rows(df) == [(20000, 0, 20000, 4), (40000, 20000, 40000, 9)]
