@@ -58,13 +58,17 @@ def main() -> None:
         # semantic baseline but its O(n^2 x dim) pair fold is not the plan
         # we'd run at scale
         "dedup_embedding_cosine_gemm",
+        "dedup_clusters",
         "sim_topk_bruteforce",
         "sim_topk_ivf",
         "text_langid",
         "text_quality",
         "text_tokens",
         "text_fingerprint",
+        "text_winnowing",
         "mm_decode_metadata",
+        "mm_resize",
+        "mm_frame_sample",
     ]
 
     # warm up the JVM / parquet footers outside the measured region

@@ -350,6 +350,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), threshold=0.45
     )
 
+    q["dedup_clusters"] = lambda spark, sf: dedup.connected_components(
+        dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5),
+        _docs(spark, sf).select("doc_id"),
+    )
+
     # --- similarity search ---
     q["sim_topk_bruteforce"] = lambda spark, sf: similarity.cosine_topk(
         _emb(spark, sf), _query_vec(spark, sf), k=10
@@ -363,10 +368,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda spark, sf: text.quality_score(_docs(spark, sf))
     q["text_tokens"] = lambda spark, sf: text.token_stats(_docs(spark, sf))
     q["text_fingerprint"] = lambda spark, sf: text.fingerprint(_docs(spark, sf))
+    q["text_winnowing"] = lambda spark, sf: text.winnow_fingerprints(
+        _docs(spark, sf), k=8, w=4
+    )
 
     # --- multimodal plumbing ---
     q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
         _docs(spark, sf)
+    )
+    q["mm_resize"] = lambda spark, sf: multimodal.resize_media(
+        multimodal.attach_binary(_docs(spark, sf)), target_w=32, target_h=32
+    )
+    q["mm_frame_sample"] = lambda spark, sf: multimodal.sample_frames(
+        multimodal.attach_binary(_docs(spark, sf)), frame_bytes=64, every=4
     )
     return q
 
@@ -481,9 +495,54 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
     # IVF with nprobe=8/16 recalls the exact top-10 on this data (verified);
     # oracle = brute force
     o["sim_topk_ivf"] = _TOPK_ORACLE
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+    o["text_winnowing"] = """
+WITH pos AS (SELECT doc_id, text, greatest(length(text) - 7, 1) AS n_pos FROM documents),
+g AS (SELECT doc_id, n_pos, text,
+             unnest(generate_series(1, cast(n_pos AS bigint))) AS p FROM pos),
+h AS (SELECT doc_id, n_pos, p,
+             cast(concat('0x', substr(md5(substr(text, cast(p AS int), 8)), 1, 15)) AS bigint) AS h
+      FROM g),
+wm AS (SELECT doc_id, p, n_pos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       FROM h),
+mins AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE p <= greatest(n_pos - 3, 1))
+SELECT doc_id, cast(count(*) AS int) AS n_fingerprints,
+       md5(array_to_string(list_sort(list(wmin)), ',')) AS fp_digest
+FROM mins GROUP BY doc_id
+"""
     o["text_langid"] = _langid_oracle()
     o["text_quality"] = _QUALITY_ORACLE
     o["text_tokens"] = _TOKENS_ORACLE
     o["text_fingerprint"] = _FINGERPRINT_ORACLE
     o["mm_decode_metadata"] = _MM_ORACLE
+    o["mm_resize"] = """
+SELECT doc_id, cast(least(strlen(text), 1024) AS int) AS out_bytes,
+       md5(substr(text, 1, 1024)) AS payload_digest
+FROM documents
+"""
+    o["mm_frame_sample"] = """
+WITH d AS (SELECT doc_id, text, cast(ceil(strlen(text)/64.0) AS bigint) AS nf
+           FROM documents WHERE strlen(text) > 0),
+f AS (SELECT doc_id, text, unnest(generate_series(0, nf-1, 4)) AS i FROM d)
+SELECT doc_id, cast(i AS int) AS frame_idx,
+       md5(substr(text, cast(i*64+1 AS int), 64)) AS frame_digest
+FROM f
+"""
     return o

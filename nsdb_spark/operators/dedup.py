@@ -384,3 +384,64 @@ def embedding_cosine_pairs(
             "cosine",
         )
     )
+
+
+# ------------------------------------------------------------------ clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over a near-duplicate
+    pair graph; cluster_id = the minimum doc_id reachable from the node
+    (singletons label themselves). The canonical 'keep one representative
+    per duplicate cluster' step of a dedup pipeline.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbours' labels; converges in <= graph-diameter
+    rounds. Each round is two distributed shuffles (join + groupBy) — the
+    driver loop only orchestrates; no data passes through it except the
+    single converged? flag. localCheckpoint keeps the plan flat across
+    iterations (lineage would otherwise grow linearly and swamp the
+    optimizer).
+
+    pairs: (doc_a, doc_b) [any extra columns ignored]
+    nodes: (doc_id)
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -67,3 +67,72 @@ def decode_metadata(bin_df: DataFrame) -> DataFrame:
 def document_media_metadata(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """End-to-end: attach binary payloads then decode metadata."""
     return decode_metadata(attach_binary(docs, text_col))
+
+
+RESIZED_SCHEMA = "doc_id long, out_bytes int, payload_digest string"
+
+
+def resize_media(bin_df: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Arrow-batched 'resize': the stub crops/keeps the payload to
+    target_w × target_h bytes (a real implementation swaps in
+    PIL.Image.resize). Output carries the resized size and an md5 digest of
+    the resized payload so results stay oracle-checkable without shipping
+    binaries through the compare.
+
+    Input: (doc_id, payload binary). One pass, no shuffle; Arrow moves each
+    batch once in each direction.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    cap = target_w * target_h
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized = [bytes(p)[:cap] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "out_bytes": [len(r) for r in resized],
+                    "payload_digest": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return bin_df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+
+
+def sample_frames(
+    bin_df: DataFrame, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """Arrow-batched frame sampling: treat the payload as a stream of
+    fixed-size frames and keep every `every`-th one (a real implementation
+    swaps in an ffmpeg keyframe walk). Output one row per sampled frame —
+    the row-expanding mapInPandas shape a video pipeline needs.
+
+    Partial trailing frames are kept (like a truncated last GOP).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = -(-len(b) // frame_bytes) if b else 0
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(b[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_digest": digests}
+            )
+
+    return bin_df.mapInPandas(fn, FRAMES_SCHEMA)

@@ -10,7 +10,7 @@ is expressible in any ANSI engine) so results can be oracle-checked.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small per-language stopword lists (public common words). The heuristic is
@@ -100,3 +100,53 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     dedup key upstream of Jaccard verification)."""
     canon = F.array_join(F.array_sort(F.array_distinct(_words(text_col))), " ")
     return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_fingerprints, fp_digest) — winnowing document
+    fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    character k-gram, slide a w-wide window over the hash sequence, keep
+    each window's minimum; the distinct minima are the fingerprint set,
+    digested to md5 for a compact, oracle-checkable result.
+
+    Physical shape: explode k-gram positions, hash with the portable
+    md5-derived 60-bit hash, windowed min per doc (one shuffle by doc_id —
+    winnowing needs position order within a doc, nothing across docs),
+    distinct + digest. Guarantees shared substrings of length >= k + w - 1
+    produce a shared fingerprint — the standard plagiarism/near-dup
+    primitive.
+    """
+    from ..operators.dedup import portable_word_hash
+
+    n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    g = docs.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        "doc_id",
+        "n_pos",
+        "pos",
+        portable_word_hash(F.substring(F.col("__t"), F.col("pos"), k)).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = (
+        g.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n_pos") - (w - 1), F.lit(1)))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("wmin")), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+        ).alias("fp_digest"),
+    )

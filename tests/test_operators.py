@@ -175,3 +175,47 @@ def test_multimodal_decode_metadata(docs):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8")
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from nsdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_winnowing_duplicate_docs_share_digest(spark):
+    from nsdb_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content with other words here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert rows[1]["fp_digest"] == rows[2]["fp_digest"]
+    assert rows[1]["fp_digest"] != rows[3]["fp_digest"]
+    assert rows[1]["n_fingerprints"] > 0
+
+
+def test_resize_and_frame_sample_shapes(spark):
+    from nsdb_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 2000), (2, "short")], "doc_id long, text string"
+    )
+    b = multimodal.attach_binary(docs)
+    rz = {r["doc_id"]: r for r in multimodal.resize_media(b, 32, 32).collect()}
+    assert rz[1]["out_bytes"] == 1024 and rz[2]["out_bytes"] == 5
+    fr = multimodal.sample_frames(b, frame_bytes=64, every=4).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # 2000 bytes → 32 frames → sampled 0,4,...,28; 5 bytes → 1 frame → [0]
+    assert sorted(by_doc[1]) == list(range(0, 32, 4))
+    assert by_doc[2] == [0]
