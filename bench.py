@@ -68,6 +68,7 @@ def main() -> None:
         "dedup_clusters",
         "sim_topk_bruteforce",
         "sim_topk_ivf",
+        "sim_topk_rhp",
         "text_langid",
         "text_quality",
         "text_tokens",

@@ -166,6 +166,45 @@ ORDER BY list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) DESC, nn.vec_id
 LIMIT 10
 """
 
+#: 8 SRP hyperplanes over the 64-dim embeddings (md5-derived, reproducible
+#: bit-for-bit in any engine — the same literals go into Spark and DuckDB).
+#: 8 planes → 256 buckets: selective but non-degenerate at the test SFs.
+RHP_PLANES = None  # populated lazily to keep import cheap
+
+
+def _rhp_planes():
+    global RHP_PLANES
+    if RHP_PLANES is None:
+        from .operators.similarity import deterministic_hyperplanes
+
+        RHP_PLANES = deterministic_hyperplanes(8, 64)
+    return RHP_PLANES
+
+
+def _rhp_oracle() -> str:
+    planes = _rhp_planes()
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_vals = ", ".join(str(1 << i) for i in range(len(planes)))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, cast({sig_terms} AS bigint) AS sig FROM e),
+q AS (SELECT v AS qv, sig AS qsig, sqrt(list_dot_product(v, v)) AS qn
+      FROM s WHERE vec_id = 0),
+cand AS (SELECT s.vec_id, s.v FROM s, q
+         WHERE xor(s.sig, q.qsig) = 0 OR xor(s.sig, q.qsig) IN ({probe_vals}))
+SELECT cand.vec_id AS vec_id,
+       round(list_dot_product(cand.v, q.qv)
+             / (sqrt(list_dot_product(cand.v, cand.v)) * q.qn), 6) AS cosine
+FROM cand, q
+ORDER BY list_dot_product(cand.v, q.qv)
+         / (sqrt(list_dot_product(cand.v, cand.v)) * q.qn) DESC, cand.vec_id
+LIMIT 10
+"""
+
 
 def _stoplist_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang]) + "]"
@@ -362,6 +401,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_topk_ivf"] = lambda spark, sf: similarity.ivf_topk(
         _emb(spark, sf), _query_vec(spark, sf), _centroids(spark, sf), k=10, nprobe=8
     )
+    q["sim_topk_rhp"] = lambda spark, sf: similarity.rhp_topk(
+        _emb(spark, sf), _query_vec(spark, sf), _rhp_planes(), k=10, multiprobe=1
+    )
 
     # --- text analysis ---
     q["text_langid"] = lambda spark, sf: text.language_id(_docs(spark, sf))
@@ -495,6 +537,10 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
     # IVF with nprobe=8/16 recalls the exact top-10 on this data (verified);
     # oracle = brute force
     o["sim_topk_ivf"] = _TOPK_ORACLE
+    # algorithm-parity oracle: the SAME hyperplane literals + probing in
+    # SQL — verifies the bucketing/probing machinery, not recall (recall
+    # vs brute force is asserted separately in tests/test_operators.py)
+    o["sim_topk_rhp"] = _rhp_oracle()
     o["dedup_clusters"] = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
 pairs AS (

@@ -103,3 +103,65 @@ def ivf_topk(
     probes = [ci for _, ci in sorted(scored, reverse=True)[:nprobe]]
     assigned = ivf_assign(emb, centroids, vec_col).filter(F.col("cell").isin(probes))
     return cosine_topk(assigned, query_vec, k, vec_col)
+
+
+# ---------------------------------------------------------- random hyperplane
+
+
+def deterministic_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Reproducible pseudo-random hyperplanes in [-1, 1]^dim (md5-derived —
+    identical in any engine/runtime, no RNG state)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rhp_signature(vec_col: str, planes: list[list[float]]) -> Column:
+    """Packed sign-bit signature: bit p = 1 iff dot(v, plane_p) >= 0.
+    Classic SRP-LSH (Charikar '02): P[bits agree] = 1 - angle/pi."""
+    v = _as_double(vec_col)
+    bits = [
+        F.when(_dot(v, _lit_vec(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def rhp_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via random-hyperplane buckets: candidates share the
+    query's signature bucket (multiprobe=1 also probes every
+    1-bit-flipped neighbour bucket), then exact cosine top-k inside.
+
+    At scale the signature is a stored column (computed once at ingest);
+    a probe is then `sig IN (17 values)` — partition/file prunable —
+    followed by a k-row TakeOrdered. Candidate volume ~ n/2^planes per
+    bucket with SRP's angle-preserving collision probability.
+    """
+    q = [float(x) for x in query_vec]
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(q, p)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multiprobe >= 1:
+        probes += [qsig ^ (1 << i) for i in range(len(planes))]
+    tagged = emb.withColumn("__sig", rhp_signature(vec_col, planes))
+    cand = tagged.filter(F.col("__sig").isin(probes)).drop("__sig")
+    return cosine_topk(cand, query_vec, k, vec_col)

@@ -219,3 +219,21 @@ def test_resize_and_frame_sample_shapes(spark):
     # 2000 bytes → 32 frames → sampled 0,4,...,28; 5 bytes → 1 frame → [0]
     assert sorted(by_doc[1]) == list(range(0, 32, 4))
     assert by_doc[2] == [0]
+
+
+def test_rhp_topk_recall_vs_bruteforce(emb):
+    from nsdb_spark.operators.similarity import (
+        cosine_topk,
+        deterministic_hyperplanes,
+        rhp_topk,
+    )
+
+    row = emb.filter("vec_id = 0").select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    planes = deterministic_hyperplanes(8, len(qv))
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=2).collect()]
+    approx = [r["vec_id"] for r in rhp_topk(emb, qv, planes, k=2, multiprobe=1).collect()]
+    # the true near pair (0 at cosine 1.0, 1 at 0.994) shares or neighbours
+    # the query's bucket; distant/opposite vectors rightly need not appear
+    assert exact == [0, 1]
+    assert approx == [0, 1]

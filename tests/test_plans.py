@@ -31,20 +31,26 @@ def sharded_engine(engine):
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
+    # cached subtrees from other tests would replace the FileScan with an
+    # InMemoryRelation and hide the pushdown we're asserting on
+    spark.catalog.clearCache()
+    # plan rendering elides filter lists at 100 chars by default
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     df = testdata.run_nsdb_on_events(
         spark, SF_DIR,
         "select event_id from events where value >= 150 and event_type = purchase",
     )
-    plan = plan_of(df)
-    assert "value#" in plan and ">= 150" in plan.split("FileScan")[1][:400], plan
-    assert "purchase" in plan.split("FileScan")[1][:400]
+    scan = plan_of(df).split("FileScan", 1)[1]
+    assert ">= 150" in scan.split("ReadSchema")[0]
+    assert "purchase" in scan.split("ReadSchema")[0]
 
 
 def test_column_pruning_reads_only_projected(spark):
+    spark.catalog.clearCache()
     df = testdata.run_nsdb_on_events(
         spark, SF_DIR, "select event_type from events limit 5"
     )
-    scan = plan_of(df).split("FileScan")[1]
+    scan = plan_of(df).split("FileScan", 1)[1]
     # projection = timestamp, value, event_type → props/user_id not read
     assert "props" not in scan.split("ReadSchema")[0]
 
