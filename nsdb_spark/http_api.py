@@ -1,0 +1,134 @@
+"""HTTP REST layer over the engine — stdlib http.server only (this
+container has no web framework; the surface mirrors the reference's routes).
+
+Route parity (nsdb-http/.../routes/):
+- POST /query     {db, namespace, metric, queryString, from?, to?,
+                   filters?: [{dimension, value, operator}]}
+                  → {"records": [...]}            (QueryApi.scala:138-186)
+- POST /data      {db, namespace, metric,
+                   bit: {timestamp, value, dimensions, tags}} → "OK"
+                  (DataApi.scala:75-96)
+- GET  /commands/dbs                               → {"dbs": [...]}
+- GET  /commands/<db>/namespaces                   → {"namespaces": [...]}
+- GET  /commands/<db>/<ns>/metrics                 → {"metrics": [...]}
+- GET  /commands/<db>/<ns>/<metric>/describe       → {"fields": [...]}
+                  (CommandApi.scala:152-264)
+
+Concurrency: ThreadingHTTPServer — each request runs the engine on the
+shared SparkSession (Spark sessions are thread-safe; jobs from concurrent
+requests interleave in the FAIR/FIFO scheduler), matching the reference's
+100-concurrent-users Gatling scenario shape.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .engine import NsdbEngine
+from .model import Bit
+
+
+def _records(df) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: NsdbEngine  # injected by serve()
+
+    # ------------------------------------------------------------ helpers
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def log_message(self, *args) -> None:  # quiet test output
+        pass
+
+    # ------------------------------------------------------------ routes
+    def do_POST(self) -> None:
+        try:
+            if self.path == "/query":
+                b = self._body()
+                filters = [
+                    (f["dimension"], f["value"], f["operator"])
+                    for f in b.get("filters") or []
+                ]
+                df = self.engine.query(
+                    b["queryString"],
+                    db=b.get("db", "default"),
+                    ns=b.get("namespace", "default"),
+                    from_ts=b.get("from"),
+                    to_ts=b.get("to"),
+                    filters=filters,
+                )
+                self._send(200, {"records": _records(df)})
+            elif self.path == "/data":
+                b = self._body()
+                bit = b["bit"]
+                ts = bit.get("timestamp")
+                n = self.engine.insert_bits(
+                    b.get("db", "default"),
+                    b.get("namespace", "default"),
+                    b["metric"],
+                    [
+                        Bit(
+                            ts if ts is not None else self.engine.now_fn(),
+                            bit["value"],
+                            dict(bit.get("dimensions") or {}),
+                            dict(bit.get("tags") or {}),
+                        )
+                    ],
+                )
+                self._send(200, {"status": "OK", "inserted": n})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:  # parse/validation/schema errors → 400
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    def do_GET(self) -> None:
+        try:
+            parts = [p for p in self.path.split("/") if p]
+            wh = self.engine.warehouse
+            if parts == ["commands", "dbs"]:
+                self._send(200, {"dbs": wh.databases()})
+            elif len(parts) == 3 and parts[0] == "commands" and parts[2] == "namespaces":
+                self._send(200, {"namespaces": wh.namespaces(parts[1])})
+            elif len(parts) == 4 and parts[0] == "commands" and parts[3] == "metrics":
+                self._send(200, {"metrics": wh.metrics(parts[1], parts[2])})
+            elif len(parts) == 5 and parts[0] == "commands" and parts[4] == "describe":
+                out = self.engine.execute(
+                    f"describe {parts[3]}", db=parts[1], ns=parts[2]
+                )
+                self._send(
+                    200,
+                    {
+                        "fields": [
+                            {"name": n, "type": t, "fieldClass": fc}
+                            for n, t, fc in out
+                        ]
+                    },
+                )
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+
+def serve(
+    engine: NsdbEngine, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the API server on a daemon thread; returns (server, thread).
+    port=0 binds an ephemeral port (server.server_address[1])."""
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t
