@@ -1,0 +1,99 @@
+"""Interactive REPL with ASCII result tables — the reference's CLI surface
+(nsdb-cli/.../NsdbCli.scala + table/ASCIITableBuilder.scala), rebuilt over
+the engine.
+
+Usage:  python -m nsdb_spark.cli --warehouse /path/to/warehouse
+Inside: `use <namespace>` / `db <database>` switch context; everything else
+is parsed as an NSDb statement (SELECT/INSERT/DELETE/DROP/SHOW/DESCRIBE);
+`exit` quits.
+"""
+from __future__ import annotations
+
+import sys
+
+
+def ascii_table(headers: list[str], rows: list[list], max_width: int = 100) -> str:
+    """Reference-style bordered table (ASCIITableBuilder.scala:159)."""
+    cells = [[str(v) if v is not None else "" for v in r] for r in rows]
+    widths = [
+        min(max(len(h), *(len(r[i]) for r in cells)) if cells else len(h), max_width)
+        for i, h in enumerate(headers)
+    ]
+    def line(ch: str = "-") -> str:
+        return "+" + "+".join(ch * (w + 2) for w in widths) + "+"
+    def row(vals: list[str]) -> str:
+        return "|" + "|".join(
+            f" {v[:w]:<{w}} " for v, w in zip(vals, widths)
+        ) + "|"
+    out = [line(), row(headers), line("=")]
+    out += [row(r) for r in cells]
+    out.append(line())
+    return "\n".join(out)
+
+
+def format_result(result) -> str:
+    """Render any engine.execute() result as text."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(result, DataFrame):
+        rows = result.collect()
+        return ascii_table(result.columns, [list(r) for r in rows]) + f"\n({len(rows)} rows)"
+    if isinstance(result, list) and result and isinstance(result[0], tuple):
+        # DESCRIBE output: (name, type, fieldClass)
+        return ascii_table(["field", "type", "class"], [list(t) for t in result])
+    if isinstance(result, list):
+        return "\n".join(str(x) for x in result) or "(empty)"
+    if result is None:
+        return "Ok"
+    return str(result)
+
+
+def repl(engine, stdin=None, stdout=None) -> None:
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    db, ns = "default", "default"
+    print("nsdb-spark CLI — `use <ns>`, `db <db>`, `exit`", file=stdout)
+    for raw in stdin:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.lower() in ("exit", "quit"):
+            break
+        try:
+            if line.lower().startswith("db "):
+                db = line.split(None, 1)[1]
+                print(f"Database changed to {db}", file=stdout)
+                continue
+            if line.lower().startswith("use "):
+                ns = line.split(None, 1)[1]
+                print(f"Namespace changed to {ns}", file=stdout)
+                continue
+            print(format_result(engine.execute(line, db=db, ns=ns)), file=stdout)
+        except Exception as e:
+            print(f"error: {type(e).__name__}: {e}", file=stdout)
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from pyspark.sql import SparkSession
+
+    from .engine import NsdbEngine
+
+    ap = argparse.ArgumentParser(description="nsdb-spark interactive CLI")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("nsdb-spark-cli")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    repl(NsdbEngine(spark, args.warehouse))
+
+
+if __name__ == "__main__":
+    main()

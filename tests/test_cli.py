@@ -1,0 +1,52 @@
+"""CLI REPL tests — scripted stdin/stdout sessions (the reference's
+nsdb-cli ASCIITableBuilderSpec analog)."""
+import io
+
+from nsdb_spark.cli import ascii_table, repl
+
+
+def test_ascii_table_shape():
+    t = ascii_table(["a", "bb"], [[1, "xy"], [22, None]])
+    lines = t.splitlines()
+    assert lines[0] == "+----+----+"
+    assert lines[1] == "| a  | bb |"
+    assert lines[2] == "+====+====+"
+    assert lines[3] == "| 1  | xy |"
+    assert lines[4] == "| 22 |    |"
+
+
+def test_repl_session(engine):
+    script = "\n".join([
+        "db mydb",
+        "use sensors",
+        "insert into temps ts = 1000 dim (city = rome) tags (kind = out) val = 21.5",
+        "insert into temps ts = 2000 dim (city = milan) tags (kind = out) val = 30.0",
+        "select * from temps order by timestamp",
+        "show metrics",
+        "describe temps",
+        "select * frm temps",
+        "exit",
+    ]) + "\n"
+    out = io.StringIO()
+    repl(engine, stdin=io.StringIO(script), stdout=out)
+    text = out.getvalue()
+    assert "Database changed to mydb" in text
+    assert "Namespace changed to sensors" in text
+    assert "| 1000      | 21.5  | rome  | out  |" in text
+    assert "(2 rows)" in text
+    assert "temps" in text
+    assert "| value     | DECIMAL | value     |" in text
+    assert "error: SQLParseError" in text
+
+
+def test_repl_type_conflict_matches_reference(engine):
+    # val = 30 types as BIGINT and Schema.union rejects the conflict with
+    # the DECIMAL schema (Schema.scala:116-129 parity)
+    script = "\n".join([
+        "insert into m ts = 1 tags (k = a) val = 1.5",
+        "insert into m ts = 2 tags (k = a) val = 30",
+        "exit",
+    ]) + "\n"
+    out = io.StringIO()
+    repl(engine, stdin=io.StringIO(script), stdout=out)
+    assert "SchemaError: value type mismatch: DECIMAL vs BIGINT" in out.getvalue()
