@@ -206,9 +206,19 @@ class QueryCompiler:
     flat column per dimension/tag (absent field = NULL).
     """
 
-    def __init__(self, spark: SparkSession, shard_interval_ms: int = DEFAULT_SHARD_INTERVAL_MS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        shard_interval_ms: int = DEFAULT_SHARD_INTERVAL_MS,
+        approx_count_distinct: bool = False,
+    ):
         self.spark = spark
         self.shard_interval_ms = shard_interval_ms
+        # opt-in extension (SURVEY.md §7.3): COUNT DISTINCT via HyperLogLog++
+        # partials instead of the exact expand+shuffle — at 100 TB the exact
+        # distinct's shuffle width is the cost; the reference is always
+        # exact, so this is off by default for parity.
+        self.approx_count_distinct = approx_count_distinct
 
     # -- public --------------------------------------------------------
     def compile(
@@ -267,7 +277,10 @@ class QueryCompiler:
             if a.kind == ast.AGG_COUNT:
                 c = F.count(a.target)
             elif a.kind == ast.AGG_COUNT_DISTINCT:
-                c = F.count_distinct(F.col(a.target))
+                if self.approx_count_distinct:
+                    c = F.approx_count_distinct(a.target)
+                else:
+                    c = F.count_distinct(F.col(a.target))
             elif a.kind == ast.AGG_SUM:
                 c = F.coalesce(F.sum(a.target), F.lit(0))
             elif a.kind == ast.AGG_MIN:

@@ -40,10 +40,13 @@ class NsdbEngine:
         spark: SparkSession,
         warehouse_dir: str,
         now_fn=lambda: int(time.time() * 1000),
+        approx_count_distinct: bool = False,
     ):
         self.spark = spark
         self.warehouse = Warehouse(warehouse_dir)
         self.now_fn = now_fn
+        # opt-in HLL count-distinct (exact by default — reference parity)
+        self.approx_count_distinct = approx_count_distinct
 
     # ------------------------------------------------------------- write path
     def insert_bits(self, db: str, ns: str, metric: str, bits: list[Bit]) -> int:
@@ -94,7 +97,14 @@ class NsdbEngine:
         dp = self.warehouse.data_path(db, ns, metric)
         if not self.warehouse.locations(db, ns, metric):
             return self.spark.createDataFrame([], schema.to_struct_type(with_shard=True))
-        return self.spark.read.schema(schema.to_struct_type(with_shard=True)).parquet(dp)
+        return (
+            self.spark.read.schema(schema.to_struct_type(with_shard=True))
+            # retention eviction may drop a shard between query planning and
+            # execution; skip vanished files instead of failing the read
+            # (the role NSDb's Lucene searcher refcounts play)
+            .option("ignoreMissingFiles", "true")
+            .parquet(dp)
+        )
 
     def execute(
         self,
@@ -143,7 +153,11 @@ class NsdbEngine:
         info = self.warehouse.get_info(db, ns, stmt.metric)
         df = self.read_metric(db, ns, stmt.metric)
         df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])
-        compiler = QueryCompiler(self.spark, shard_interval_ms=info["shardInterval"])
+        compiler = QueryCompiler(
+            self.spark,
+            shard_interval_ms=info["shardInterval"],
+            approx_count_distinct=self.approx_count_distinct,
+        )
         locations = self.warehouse.locations(db, ns, stmt.metric)
         return compiler.compile(
             df.drop(SHARD_COL), schema, parsed, ctx, locations=locations or None
@@ -275,6 +289,36 @@ class NsdbEngine:
         if not retention:
             return []
         return self.warehouse.drop_shards_older_than(db, ns, metric, self.now_fn() - retention)
+
+    def enforce_all_retentions(self) -> dict[tuple[str, str, str], list[int]]:
+        """One eviction sweep over every metric in the warehouse; returns
+        the dropped shard starts per (db, ns, metric)."""
+        dropped = {}
+        for db in self.warehouse.databases():
+            for ns in self.warehouse.namespaces(db):
+                for metric in self.warehouse.metrics(db, ns):
+                    got = self.enforce_retention(db, ns, metric)
+                    if got:
+                        dropped[(db, ns, metric)] = got
+        return dropped
+
+    def start_retention_scheduler(self, interval_s: float = 30.0):
+        """Background eviction thread — the reference checks retention every
+        30 s (nsdb.conf:145, MetadataCoordinator.scala:335-348). Returns a
+        threading.Event; set it to stop the thread."""
+        import threading
+
+        stop = threading.Event()
+
+        def loop() -> None:
+            while not stop.wait(interval_s):
+                try:
+                    self.enforce_all_retentions()
+                except Exception:  # keep the scheduler alive; next tick retries
+                    pass
+
+        threading.Thread(target=loop, daemon=True).start()
+        return stop
 
 
 class _spark_conf:

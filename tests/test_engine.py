@@ -450,3 +450,41 @@ def test_temporal_max_plain(engine):
     eng = load(engine, "maxMetric", bits, shard_interval_ms=20000)
     df = eng.execute("select max(value) from maxMetric group by interval 20s")
     assert rows(df) == [(20000, 0, 20000, 4), (40000, 20000, 40000, 9)]
+
+
+def test_retention_scheduler_evicts(engine):
+    import time as _time
+
+    engine.warehouse.init_metric("default", "default", "schedm", 1000, retention_ms=5000)
+    clock = {"now": 100000}
+    engine.now_fn = lambda: clock["now"]
+    engine.execute("insert into schedm ts = 96000 tags (k = a) val = 1.0")
+    engine.execute("insert into schedm ts = 99000 tags (k = a) val = 2.0")
+    stop = engine.start_retention_scheduler(interval_s=0.2)
+    try:
+        clock["now"] = 104000  # ts=96000 now older than retention 5000
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            vals = sorted(r[1] for r in engine.execute("select * from schedm").collect())
+            if vals == [2.0]:
+                break
+            _time.sleep(0.1)
+        assert vals == [2.0]
+    finally:
+        stop.set()
+
+
+def test_approx_count_distinct_opt_in(engine):
+    from nsdb_spark.engine import NsdbEngine
+
+    for i in range(50):
+        engine.execute(
+            f"insert into acdm ts = {i} tags (k = t{i % 7}) val = {float(i)}"
+        )
+    exact = engine.execute("select count(distinct k) from acdm").collect()[0][0]
+    approx_engine = NsdbEngine(
+        engine.spark, engine.warehouse.root, approx_count_distinct=True
+    )
+    approx = approx_engine.execute("select count(distinct k) from acdm").collect()[0][0]
+    assert exact == 7
+    assert approx == 7  # HLL++ is exact at tiny cardinalities
