@@ -130,3 +130,41 @@ def test_structured_streaming_ingestion(engine, spark, tmp_path):
     assert rows == [(1, 1, "seed"), (100, 5, "live"), (2_592_000_000 + 7, 6, "live2")]
     # second shard was created by the ingest (natural-time partitioning)
     assert engine.warehouse.locations("default", "default", "s") == [0, 2_592_000_000]
+
+
+def test_stateful_temporal_amended_repush_across_restart(spark, tmp_path):
+    """applyInPandasWithState bucket state: a late event after a restart
+    re-pushes the bucket's FULL aggregates from restored state
+    (PublisherActor.scala:220-298 amended-push semantics)."""
+    from nsdb_spark.streaming.stateful import stream_temporal_agg_stateful
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema("timestamp long, value double").parquet(src)
+        agg = stream_temporal_agg_stateful(stream, interval_ms=10000, anchor_ms=0)
+        got = []
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: got.extend(tuple(r) for r in df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    spark.createDataFrame(
+        [(1000, 5.0), (8000, 7.0), (15000, 100.0)], "timestamp long, value double"
+    ).write.mode("append").parquet(src)
+    first = run_once()
+    assert (10000, 0, 2, 12.0, 5.0, 7.0, 6.0) in first
+    assert (20000, 10000, 1, 100.0, 100.0, 100.0, 100.0) in first
+
+    spark.createDataFrame([(2000, 1.0)], "timestamp long, value double").write.mode(
+        "append"
+    ).parquet(src)
+    second = run_once()
+    # amended bucket only, full aggregates from restored state
+    assert second == [(10000, 0, 3, 13.0, 1.0, 7.0, 13.0 / 3)]
