@@ -74,6 +74,9 @@ def main() -> None:
         "text_tokens",
         "text_fingerprint",
         "text_winnowing",
+        "pipeline_clean_corpus",
+        "scale_salted_groupby_sum",
+        "emb_quantize_int8",
         "mm_decode_metadata",
         "mm_resize",
         "mm_frame_sample",

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, embeddings_gemm, multimodal, similarity, text
+from .operators import dedup, embeddings_gemm, multimodal, similarity, skew, text
 from .sources import testdata
 
 SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
@@ -413,6 +413,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_winnowing"] = lambda spark, sf: text.winnow_fingerprints(
         _docs(spark, sf), k=8, w=4
     )
+    q["pipeline_clean_corpus"] = lambda spark, sf: _round(
+        text.clean_corpus(_docs(spark, sf), lang="en", min_quality=0.3),
+        {"quality": 6},
+    )
+
+    # --- scale utilities (result-identical to their plain counterparts) ---
+    q["scale_salted_groupby_sum"] = lambda spark, sf: _round(
+        skew.salted_groupby_agg(
+            testdata.events_metric(spark, sf),
+            ["event_type"],
+            [("value", "sum", "sum_value")],
+            salt_buckets=64,
+        ),
+        {"sum_value": 3},
+    )
+    q["emb_quantize_int8"] = lambda spark, sf: similarity.quantize_int8(_emb(spark, sf))
 
     # --- multimodal plumbing ---
     q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
@@ -577,6 +593,36 @@ FROM mins GROUP BY doc_id
     o["text_quality"] = _QUALITY_ORACLE
     o["text_tokens"] = _TOKENS_ORACLE
     o["text_fingerprint"] = _FINGERPRINT_ORACLE
+    o["pipeline_clean_corpus"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
+ls AS (SELECT doc_id, {", ".join(
+        f"len(list_distinct(list_intersect(words, {_stoplist_sql(lang)}))) AS s_{lang}"
+        for lang in text.LANG_ORDER)} FROM w),
+lang AS (SELECT doc_id, CASE {" ".join(
+        f"WHEN s_{lang} = greatest({', '.join('s_' + x for x in text.LANG_ORDER)}) THEN '{lang}'"
+        for lang in text.LANG_ORDER)} END AS pred_lang FROM ls),
+qs AS (SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS nd,
+              len(list_distinct(list_intersect(words, {_stoplist_sql('en')}))) AS sh
+       FROM w),
+qual AS (SELECT doc_id,
+                round(0.4*(sh/nw) + 0.3*(nd/nw) + 0.3*least(nw/100.0, 1.0), 6) AS quality
+         FROM qs),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT lang.doc_id AS doc_id, pred_lang, quality
+FROM lang JOIN qual USING (doc_id) JOIN keep USING (doc_id)
+WHERE pred_lang = 'en' AND quality >= 0.3
+"""
+    # salted two-phase aggregation is result-identical to the plain groupBy
+    o["scale_salted_groupby_sum"] = o["nsdb_groupby_sum"]
+    o["emb_quantize_int8"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+SELECT vec_id, round(scale, 6) AS scale,
+       md5(array_to_string(list_transform(v,
+           x -> cast(cast(round(x*127.0/scale) AS int) AS varchar)), ',')) AS q_digest,
+       cast(len(v) AS int) AS n_dims
+FROM s
+"""
     o["mm_decode_metadata"] = _MM_ORACLE
     o["mm_resize"] = """
 SELECT doc_id, cast(least(strlen(text), 1024) AS int) AS out_bytes,

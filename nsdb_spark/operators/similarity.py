@@ -165,3 +165,32 @@ def rhp_topk(
     tagged = emb.withColumn("__sig", rhp_signature(vec_col, planes))
     cand = tagged.filter(F.col("__sig").isin(probes)).drop("__sig")
     return cosine_topk(cand, query_vec, k, vec_col)
+
+
+# ------------------------------------------------------------- quantization
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: q[i] = round(v[i]·127/scale),
+    scale = max|v| — the storage-shrinking step of a large-scale embedding
+    pipeline (4 bytes → 1 byte per dimension before ANN indexing).
+
+    Output: (vec_id, scale rounded to 6, q_digest md5 of the comma-joined
+    int codes, n_dims) — digested so results stay compact and
+    oracle-checkable. Pure expressions, one scan, no shuffle.
+    """
+    v = _as_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # try_divide: an all-zero vector has scale 0 — quantize to all-zero
+    # codes instead of an ANSI DIVIDE_BY_ZERO failure
+    q = F.transform(
+        v, lambda x: F.round(F.coalesce(F.try_divide(x * 127.0, scale), F.lit(0.0))).cast("int")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.md5(F.array_join(F.transform(q, lambda x: x.cast("string")), ",")).alias(
+            "q_digest"
+        ),
+        F.size(v).alias("n_dims"),
+    )

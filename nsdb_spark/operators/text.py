@@ -150,3 +150,34 @@ def winnow_fingerprints(
             )
         ).alias("fp_digest"),
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end training-data filter: keep documents that (a) are
+    predicted `lang`, (b) score at least `min_quality`, and (c) are the
+    canonical keeper (minimum doc_id) of their exact-duplicate group.
+    Output: (doc_id, pred_lang, quality) for the surviving corpus.
+
+    The composition pattern of a cleaning pipeline: three independent
+    per-doc signals joined on doc_id — each stage is one scan or one
+    map-side-combinable groupBy, so the whole pipeline is two shuffles
+    (dedup groupBy + the join, which co-partitions by doc_id).
+    """
+    lid = language_id(docs, text_col).select("doc_id", "pred_lang")
+    q = quality_score(docs, text_col).select("doc_id", "quality")
+    keepers = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        lid.join(q, "doc_id")
+        .join(keepers, "doc_id")
+        .filter((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
+        .select("doc_id", "pred_lang", "quality")
+    )

@@ -237,3 +237,48 @@ def test_rhp_topk_recall_vs_bruteforce(emb):
     # the query's bucket; distant/opposite vectors rightly need not appear
     assert exact == [0, 1]
     assert approx == [0, 1]
+
+
+def test_salted_groupby_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from nsdb_spark.operators.skew import salted_groupby_agg
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", 5.0), ("b", 7.0)],
+        "k string, v double",
+    )
+    plain = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("c"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+            F.avg("v").alias("av"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_groupby_agg(
+            df, ["k"],
+            [("v", "count", "c"), ("v", "sum", "s"), ("v", "min", "mn"),
+             ("v", "max", "mx"), ("v", "avg", "av")],
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_quantize_int8_roundtrip_properties(spark):
+    from nsdb_spark.operators.similarity import quantize_int8
+
+    emb2 = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [2.0, 0.0, -4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(emb2).collect()}
+    assert rows[1]["scale"] == 1.0 and rows[1]["n_dims"] == 3
+    assert rows[2]["scale"] == 4.0
+    # digests deterministic
+    assert rows[1]["q_digest"] != rows[2]["q_digest"]
