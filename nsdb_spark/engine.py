@@ -82,7 +82,10 @@ class NsdbEngine:
             rows.append(row)
         df = self.spark.createDataFrame(rows, struct)
         (
+            # sort within each shard so parquet row-group min/max stats give
+            # tight timestamp skipping (the point-tree role in the reference)
             df.repartition(SHARD_COL)
+            .sortWithinPartitions("timestamp")
             .write.mode("append")
             .partitionBy(SHARD_COL)
             .parquet(self.warehouse.data_path(db, ns, metric))
@@ -289,6 +292,74 @@ class NsdbEngine:
         if not retention:
             return []
         return self.warehouse.drop_shards_older_than(db, ns, metric, self.now_fn() - retention)
+
+    # ------------------------------------------------------------- compaction
+    def compact_metric(
+        self,
+        db: str,
+        ns: str,
+        metric: str,
+        min_files: int = 4,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> list[int]:
+        """Rewrite fragmented shard partitions into few, sorted files.
+
+        Every insert/streaming batch appends new files; a hot shard
+        accumulates hundreds of small parquet files, degrading scan
+        planning and footer reads at scale. Compaction rewrites each shard
+        holding >= min_files files into ceil(bytes/target) sorted files
+        using Spark's dynamic partition overwrite (an atomic per-partition
+        commit). Returns the compacted shard starts.
+
+        Concurrency contract (no snapshot layer on plain parquet):
+        - a query PLANNED before a compaction and executed after it reads
+          the old file list — vanished files are skipped
+          (ignoreMissingFiles), so such a stale plan can silently return
+          fewer rows. Queries through this engine plan-and-execute
+          promptly, so the window is the query's own runtime; long-lived
+          cached DataFrames must be re-created after compaction.
+        - writes landing in a shard between compaction's read and its
+          overwrite are lost. Run compaction as a maintenance task with
+          writes to the affected metric paused (or move the warehouse to
+          a transactional table format to lift both caveats).
+        """
+        import math
+        import os as _os
+
+        dp = self.warehouse.data_path(db, ns, metric)
+        todo: list[int] = []
+        sizes: dict[int, int] = {}
+        for shard in self.warehouse.locations(db, ns, metric):
+            d = _os.path.join(dp, f"{SHARD_COL}={shard}")
+            files = [
+                f for f in _os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            if len(files) >= min_files:
+                todo.append(shard)
+                sizes[shard] = sum(
+                    _os.path.getsize(_os.path.join(d, f)) for f in files
+                )
+        if not todo:
+            return []
+        schema = self.warehouse.get_schema(db, ns, metric)
+        df = (
+            self.spark.read.schema(schema.to_struct_type(with_shard=True))
+            .parquet(dp)
+            .filter(F.col(SHARD_COL).isin(todo))
+        )
+        n_files = max(1, math.ceil(sum(sizes.values()) / target_file_bytes))
+        with _spark_conf(
+            self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            (
+                df.repartition(n_files, F.col(SHARD_COL))
+                .sortWithinPartitions("timestamp")
+                .write.mode("overwrite")
+                .partitionBy(SHARD_COL)
+                .parquet(dp)
+            )
+        return sorted(todo)
 
     def enforce_all_retentions(self) -> dict[tuple[str, str, str], list[int]]:
         """One eviction sweep over every metric in the warehouse; returns

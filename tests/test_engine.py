@@ -488,3 +488,31 @@ def test_approx_count_distinct_opt_in(engine):
     approx = approx_engine.execute("select count(distinct k) from acdm").collect()[0][0]
     assert exact == 7
     assert approx == 7  # HLL++ is exact at tiny cardinalities
+
+
+def test_compaction_merges_small_files(engine):
+    import glob
+    import os
+
+    engine.warehouse.init_metric("default", "default", "fragm", 100000)
+    # 6 separate inserts into the same shard → >= 6 files
+    for i in range(6):
+        engine.execute(f"insert into fragm ts = {i * 10} tags (k = a) val = {float(i)}")
+    engine.execute("insert into fragm ts = 200000 tags (k = b) val = 99.0")  # other shard
+    dp = engine.warehouse.data_path("default", "default", "fragm")
+
+    def files_in(shard):
+        return [
+            f for f in glob.glob(os.path.join(dp, f"shard_start={shard}", "*.parquet"))
+        ]
+
+    before = engine.execute("select * from fragm order by timestamp").collect()
+    assert len(files_in(0)) >= 6
+    other_before = len(files_in(200000))
+
+    compacted = engine.compact_metric("default", "default", "fragm", min_files=4)
+    assert compacted == [0]
+    assert len(files_in(0)) == 1
+    assert len(files_in(200000)) == other_before  # untouched shard preserved
+    after = engine.execute("select * from fragm order by timestamp").collect()
+    assert after == before
