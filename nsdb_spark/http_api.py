@@ -55,7 +55,37 @@ class _Handler(BaseHTTPRequestHandler):
     # ------------------------------------------------------------ routes
     def do_POST(self) -> None:
         try:
-            if self.path == "/query":
+            if self.path == "/query/validate":
+                # QueryValidationApi.scala:75-103: 200 valid / 400 invalid
+                b = self._body()
+                from . import analyzer
+                from .sql import ast as _ast
+                from .sql.parser import parse as _parse
+
+                try:
+                    stmt = _parse(
+                        b["queryString"],
+                        db=b.get("db", "default"),
+                        namespace=b.get("namespace", "default"),
+                    )
+                    if isinstance(stmt, _ast.SelectSQLStatement):
+                        schema = self.engine.warehouse.get_schema(
+                            b.get("db", "default"),
+                            b.get("namespace", "default"),
+                            stmt.metric,
+                        )
+                        analyzer.analyze(stmt, schema)
+                    self._send(200, {"valid": True})
+                except Exception as e:
+                    self._send(
+                        400,
+                        {
+                            "valid": False,
+                            "error": f"statement {b.get('queryString')} is invalid: "
+                            f"{type(e).__name__}: {e}",
+                        },
+                    )
+            elif self.path == "/query":
                 b = self._body()
                 filters = [
                     (f["dimension"], f["value"], f["operator"])

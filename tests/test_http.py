@@ -98,3 +98,22 @@ def test_error_paths(server):
     assert code == 400 and "SQLParseError" in body["error"]
     code, body = _get(port, "/no/such/route")
     assert code == 404
+
+
+def test_query_validate_route(server):
+    port = server
+    _post(port, "/data", {
+        "metric": "vm", "bit": {"timestamp": 1, "value": 5.0,
+                                "dimensions": {}, "tags": {"g": "x"}},
+    })
+    code, body = _post(port, "/query/validate",
+                       {"metric": "vm", "queryString": "select * from vm"})
+    assert code == 200 and body["valid"] is True
+    # parse error → invalid
+    code, body = _post(port, "/query/validate",
+                       {"metric": "vm", "queryString": "select * frm vm"})
+    assert code == 400 and body["valid"] is False
+    # analyzer error (group by a non-tag) → invalid with the exact message
+    code, body = _post(port, "/query/validate",
+                       {"metric": "vm", "queryString": "select sum(value) from vm group by nope"})
+    assert code == 400 and "invalid" in body["error"]

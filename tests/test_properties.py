@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) — beyond the reference's example-based
+suites: the parser never crashes un-typed, and temporal bucketing matches an
+independent model for arbitrary data/interval choices."""
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nsdb_spark.sql.errors import SQLParseError, StatementValidationError
+from nsdb_spark.sql.parser import parse
+
+
+# ---------------------------------------------------------------- parser fuzz
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_untyped(s):
+    """Arbitrary input either parses or raises SQLParseError — never any
+    other exception type (the HTTP 400 mapping depends on this)."""
+    try:
+        parse(s)
+    except SQLParseError:
+        pass
+
+
+@given(
+    metric=st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True),
+    limit=st.integers(min_value=1, max_value=10**6),
+    ts=st.integers(min_value=0, max_value=2**60),
+    desc=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_roundtrip_simple_select_shape(metric, limit, ts, desc):
+    """Generated valid SELECTs parse into the expected AST fields."""
+    order = "desc" if desc else ""
+    stmt = parse(
+        f"select * from {metric} where timestamp >= {ts} "
+        f"order by timestamp {order} limit {limit}"
+    )
+    assert stmt.metric == metric
+    assert stmt.limit.value == limit
+    assert stmt.order.descending is desc
+    assert stmt.condition.expression.value.value == ts
+
+
+# ------------------------------------------------------------- bucket model
+
+
+@pytest.fixture(scope="module")
+def bucket_engine_factory(spark):
+    import tempfile
+
+    from nsdb_spark.engine import NsdbEngine
+    from nsdb_spark.model import Bit
+
+    def make(timestamps, shard_interval):
+        eng = NsdbEngine(spark, tempfile.mkdtemp(prefix="wh_prop_"))
+        eng.warehouse.init_metric("default", "default", "pm", shard_interval)
+        eng.insert_bits(
+            "default", "default", "pm",
+            [Bit(t, 1, {}, {"k": "a"}) for t in timestamps],
+        )
+        return eng
+
+    return make
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=12, unique=True
+    ),
+    interval_s=st.integers(min_value=1, max_value=400),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_temporal_count_matches_python_model(bucket_engine_factory, data, interval_s):
+    """Backward-aligned bucket counts == an independent pure-python model
+    (SURVEY.md §4.3 semantics: axis from shard bounds, first bucket
+    truncated, empty buckets zero-filled)."""
+    shard_interval = 100_000
+    interval = interval_s * 1000
+    eng = bucket_engine_factory(data, shard_interval)
+    out = eng.execute(f"select count(*) from pm group by interval {interval_s}s")
+    got = [(r[0], r[1], r[3]) for r in out.collect()]  # (ub, lb, count)
+
+    lower = (min(data) // shard_interval) * shard_interval
+    upper = (max(data) // shard_interval) * shard_interval + shard_interval
+    n = -((upper - lower) // -interval)
+    model = []
+    for k in range(n - 1, -1, -1):
+        ub = upper - k * interval
+        lb = max(upper - (k + 1) * interval, lower)
+        cnt = sum(
+            1
+            for t in data
+            if min((upper - t) // interval, n - 1) == k
+        )
+        model.append((ub, lb, cnt))
+    assert got == model
+    assert sum(c for _, _, c in got) == len(data)
