@@ -13,6 +13,13 @@ Route parity (nsdb-http/.../routes/):
 - GET  /commands/<db>/<ns>/metrics                 → {"metrics": [...]}
 - GET  /commands/<db>/<ns>/<metric>/describe       → {"fields": [...]}
                   (CommandApi.scala:152-264)
+- POST /subscribe {db, namespace, queryString}     → {"uuid", "historical"}
+- GET  /poll/<uuid>?timeout_ms=N                   → {"batches": [[...], ...]}
+- DELETE /subscribe/<uuid>                         → {"status": "OK"}
+                  (long-poll transport over SubscriptionManager — the
+                  reference's WebSocket surface, WsResources.scala:45-97,
+                  re-expressed without a ws dependency: historical payload
+                  on subscribe, then drained pushes per poll)
 
 Concurrency: ThreadingHTTPServer — each request runs the engine on the
 shared SparkSession (Spark sessions are thread-safe; jobs from concurrent
@@ -33,8 +40,31 @@ def _records(df) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
 
+class _SubscriptionChannel:
+    """Queue + condition bridging SubscriptionManager callbacks to
+    long-poll readers (one channel per subscription uuid)."""
+
+    def __init__(self) -> None:
+        self.batches: list[list[dict]] = []
+        self.cond = threading.Condition()
+
+    def push(self, records: list[dict]) -> None:
+        with self.cond:
+            self.batches.append(records)
+            self.cond.notify_all()
+
+    def drain(self, timeout_s: float) -> list[list[dict]]:
+        with self.cond:
+            if not self.batches:
+                self.cond.wait(timeout=timeout_s)
+            out, self.batches = self.batches, []
+            return out
+
+
 class _Handler(BaseHTTPRequestHandler):
-    engine: NsdbEngine  # injected by serve()
+    engine: NsdbEngine        # injected by serve()
+    subs = None               # SubscriptionManager | None
+    channels: dict = {}       # uuid → _SubscriptionChannel
 
     # ------------------------------------------------------------ helpers
     def _send(self, code: int, payload) -> None:
@@ -104,28 +134,72 @@ class _Handler(BaseHTTPRequestHandler):
                 b = self._body()
                 bit = b["bit"]
                 ts = bit.get("timestamp")
-                n = self.engine.insert_bits(
-                    b.get("db", "default"),
-                    b.get("namespace", "default"),
-                    b["metric"],
-                    [
-                        Bit(
-                            ts if ts is not None else self.engine.now_fn(),
-                            bit["value"],
-                            dict(bit.get("dimensions") or {}),
-                            dict(bit.get("tags") or {}),
-                        )
-                    ],
+                db = b.get("db", "default")
+                ns = b.get("namespace", "default")
+                the_bit = Bit(
+                    ts if ts is not None else self.engine.now_fn(),
+                    bit["value"],
+                    dict(bit.get("dimensions") or {}),
+                    dict(bit.get("tags") or {}),
                 )
+                n = self.engine.insert_bits(db, ns, b["metric"], [the_bit])
+                if self.subs is not None:
+                    row = {"timestamp": the_bit.timestamp, "value": the_bit.value}
+                    row.update(the_bit.dimensions)
+                    row.update(the_bit.tags)
+                    self.subs.publish(db, ns, b["metric"], [row])
                 self._send(200, {"status": "OK", "inserted": n})
+            elif self.path == "/subscribe":
+                if self.subs is None:
+                    self._send(400, {"error": "no subscription manager attached"})
+                    return
+                b = self._body()
+                ch = _SubscriptionChannel()
+                first: list = []
+
+                def cb(records, _ch=ch, _first=first):
+                    # first callback = historical payload (synchronous,
+                    # PublisherActor.scala:136-204); later ones = live pushes
+                    if not _first:
+                        _first.append(records)
+                    else:
+                        _ch.push(records)
+
+                uuid = self.subs.subscribe(
+                    b["queryString"],
+                    cb,
+                    db=b.get("db", "default"),
+                    ns=b.get("namespace", "default"),
+                )
+                self.channels[uuid] = ch
+                self._send(200, {"uuid": uuid, "historical": first[0] if first else []})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
         except Exception as e:  # parse/validation/schema errors → 400
             self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
+    def do_DELETE(self) -> None:
+        parts = [p for p in self.path.split("/") if p]
+        if len(parts) == 2 and parts[0] == "subscribe" and self.subs is not None:
+            self.subs.unsubscribe(parts[1])
+            self.channels.pop(parts[1], None)
+            self._send(200, {"status": "OK"})
+        else:
+            self._send(404, {"error": f"unknown path {self.path}"})
+
     def do_GET(self) -> None:
         try:
-            parts = [p for p in self.path.split("/") if p]
+            parts = [p.split("?")[0] for p in self.path.split("/") if p]
+            if len(parts) == 2 and parts[0] == "poll":
+                ch = self.channels.get(parts[1])
+                if ch is None:
+                    self._send(404, {"error": f"unknown subscription {parts[1]}"})
+                    return
+                timeout_ms = 5000
+                if "?" in self.path and "timeout_ms=" in self.path:
+                    timeout_ms = int(self.path.split("timeout_ms=")[1].split("&")[0])
+                self._send(200, {"batches": ch.drain(timeout_ms / 1000.0)})
+                return
             wh = self.engine.warehouse
             if parts == ["commands", "dbs"]:
                 self._send(200, {"dbs": wh.databases()})
@@ -153,11 +227,20 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(
-    engine: NsdbEngine, host: str = "127.0.0.1", port: int = 0
+    engine: NsdbEngine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    subscription_manager=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the API server on a daemon thread; returns (server, thread).
-    port=0 binds an ephemeral port (server.server_address[1])."""
-    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    port=0 binds an ephemeral port (server.server_address[1]).
+    Pass a SubscriptionManager to enable /subscribe + /poll (inserts via
+    /data are published to it — the real-time push tap)."""
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"engine": engine, "subs": subscription_manager, "channels": {}},
+    )
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

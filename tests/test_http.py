@@ -117,3 +117,47 @@ def test_query_validate_route(server):
     code, body = _post(port, "/query/validate",
                        {"metric": "vm", "queryString": "select sum(value) from vm group by nope"})
     assert code == 400 and "invalid" in body["error"]
+
+
+def test_subscribe_poll_unsubscribe(engine):
+    import threading
+    import urllib.request
+
+    from nsdb_spark.streaming.subscribe import SubscriptionManager
+
+    sub = SubscriptionManager(engine)
+    srv, _ = http_api.serve(engine, subscription_manager=sub)
+    port = srv.server_address[1]
+    try:
+        _post(port, "/data", {
+            "metric": "live", "bit": {"timestamp": 1000, "value": 50.0,
+                                      "dimensions": {}, "tags": {"k": "a"}}})
+        code, body = _post(port, "/subscribe", {
+            "metric": "live", "queryString": "select * from live where value > 20"})
+        assert code == 200
+        uuid = body["uuid"]
+        assert [r["value"] for r in body["historical"]] == [50.0]
+
+        # long-poll in a thread, then insert matching + non-matching records
+        result = {}
+        def poll():
+            result.update(_get(port, f"/poll/{uuid}?timeout_ms=8000")[1])
+        t = threading.Thread(target=poll)
+        t.start()
+        _post(port, "/data", {
+            "metric": "live", "bit": {"timestamp": 2000, "value": 99.0,
+                                      "dimensions": {}, "tags": {"k": "b"}}})
+        _post(port, "/data", {
+            "metric": "live", "bit": {"timestamp": 3000, "value": 1.0,
+                                      "dimensions": {}, "tags": {"k": "c"}}})
+        t.join(timeout=15)
+        pushed = [r for batch in result["batches"] for r in batch]
+        assert [r["value"] for r in pushed] == [99.0]  # 1.0 filtered out
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/subscribe/{uuid}", method="DELETE")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        assert _get(port, f"/poll/{uuid}?timeout_ms=100")[0] == 404
+    finally:
+        srv.shutdown()
