@@ -22,7 +22,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, embeddings_gemm, multimodal, similarity, skew, text
+from .operators import (
+    dedup,
+    embeddings_gemm,
+    multimodal,
+    similarity,
+    skew,
+    temporal_join,
+    text,
+)
 from .sources import testdata
 
 SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
@@ -290,6 +298,37 @@ def _centroids(spark, sf_dir, n=16) -> list[list[float]]:
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def _asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event enriched with the user's most recent order at-or-before
+    the event time (orders.o_custkey ≙ events.user_id)."""
+    ev = testdata.table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000").alias("ts_ms"), "event_id", "user_id"
+    )
+    orders = testdata.table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ; session tz is UTC (sources/testdata.py)
+        # so the cast reads it as UTC — matching DuckDB's epoch_ms on naive ts
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").alias("ots"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = temporal_join.asof_join(
+        ev,
+        orders,
+        on=("user_id", "o_custkey"),
+        ts=("ts_ms", "ots"),
+        payload=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_totalprice").alias("asof_totalprice"),
+    )
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -429,6 +468,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"sum_value": 3},
     )
     q["emb_quantize_int8"] = lambda spark, sf: similarity.quantize_int8(_emb(spark, sf))
+
+    # --- temporal joins (absent in the dialect; Spark-first extensions) ---
+    q["join_asof_events_orders"] = _asof_events_orders
+    q["events_sessionize"] = lambda spark, sf: _round(
+        temporal_join.sessionize(
+            testdata.events_metric(spark, sf).select(
+                "user_id", "timestamp", "event_id", "value"
+            ),
+            key="user_id",
+            ts="timestamp",
+            gap_ms=4 * 3600 * 1000,
+            order_tie="event_id",
+            value="value",
+        ),
+        {"sum_value": 3},
+    )
 
     # --- multimodal plumbing ---
     q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
@@ -622,6 +677,34 @@ SELECT vec_id, round(scale, 6) AS scale,
            x -> cast(cast(round(x*127.0/scale) AS int) AS varchar)), ',')) AS q_digest,
        cast(len(v) AS int) AS n_dims
 FROM s
+"""
+    # ASOF JOIN is DuckDB-native; ties on (custkey, orderdate) are pinned to
+    # the max orderkey on both sides (asof_join tie_break) for determinism
+    o["join_asof_events_orders"] = """
+WITH r AS (
+  SELECT o_custkey, epoch_ms(o_orderdate) AS ots,
+         max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+       r.o_orderkey AS asof_orderkey, r.o_totalprice AS asof_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND epoch_ms(e.ts) >= r.ots
+"""
+    o["events_sessionize"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, value, event_id FROM events),
+lagd AS (SELECT *, lag(timestamp) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id) AS prev FROM e),
+flag AS (SELECT *, CASE WHEN prev IS NULL OR timestamp - prev > 14400000
+                        THEN 1 ELSE 0 END AS new_s FROM lagd),
+sess AS (SELECT *, CAST(sum(new_s) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id FROM flag)
+SELECT user_id, session_id, min(timestamp) AS session_start,
+       max(timestamp) AS session_end, count(*) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM sess GROUP BY 1, 2
 """
     o["mm_decode_metadata"] = _MM_ORACLE
     o["mm_resize"] = """

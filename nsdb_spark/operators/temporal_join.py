@@ -1,0 +1,138 @@
+"""Temporal join operators: as-of join and gap sessionization.
+
+The reference dialect has no joins at all (SQLStatementParser.scala — a
+single-metric FROM only), but a time-series store at training-pipeline
+scale constantly needs "align this stream with the latest state of that
+one". Two Spark-first operators:
+
+- `asof_join`: for each left row, the most recent right row with
+  right_ts <= left_ts per join key. NOT implemented as a range join —
+  a `l.key = r.key AND r.ts <= l.ts` join explodes to the per-key
+  cartesian product before the "latest" filter (at 100 TB a hot key
+  with 1 M rows each side is 10^12 intermediate rows). Instead the
+  union-tag pattern: tag both sides, union, single hash-shuffle on the
+  key, sort each partition by (ts, side), and carry the right payload
+  forward with `last(..., ignorenulls=True)` over a running window.
+  Cost: ONE shuffle + ONE sort, zero row amplification, streaming
+  window state of O(payload) per partition. This is the same plan
+  Flink's event-time temporal join executes (sorted per-key state,
+  latest-value lookup).
+
+- `sessionize`: gap-based sessions (new session when the gap to the
+  previous event of the same key exceeds `gap_ms`): lag → boundary
+  flag → running sum = session index, then one aggregation per
+  session. Batch twin of Structured Streaming's
+  `session_window(ts, gap)` (use that + watermark for the streaming
+  path; this operator exists so the batch/backfill result is
+  bit-identical to a SQL oracle).
+
+Skew note: both shuffle on the key; a pathological hot key (bot user)
+serializes its partition. The salting pattern in `operators/skew.py`
+composes: salt the left side and replicate the right side's rows into
+every salt bucket, then union-tag within (key, salt).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    ts: tuple[str, str],
+    payload: list[str],
+    tie_break: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: latest right row with r_ts <= l_ts per key.
+
+    on=(left_key, right_key), ts=(left_ts, right_ts); payload = right
+    columns carried onto matching left rows (null when no prior right
+    row). tie_break: right column whose max wins among right rows
+    sharing (key, ts) — makes the result deterministic (DuckDB's ASOF
+    JOIN leaves the choice open; we pin it on both sides).
+    """
+    lk, rk = on
+    lts, rts = ts
+    if tie_break is not None:
+        # deterministic dedupe: one right row per (key, ts), arg-max by
+        # tie_break (map-side combinable groupBy, tiny vs the union)
+        aggs = [F.max(tie_break).alias(tie_break)] + [
+            F.max_by(c, tie_break).alias(c) for c in payload if c != tie_break
+        ]
+        right = right.groupBy(rk, rts).agg(*aggs)
+        pay_cols = payload
+    else:
+        pay_cols = payload
+
+    left_cols = left.columns
+    rtypes = dict(right.dtypes)
+    l_side = left.select(
+        F.col(lk).alias("__key"),
+        F.col(lts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"{prefix}{c}") for c in pay_cols],
+    )
+    ltypes = dict(left.dtypes)
+    r_side = right.select(
+        F.col(rk).alias("__key"),
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"{prefix}{c}") for c in pay_cols],
+    )
+    # rights sort before lefts at equal ts (__side 0 < 1) → an exactly
+    # simultaneous right row DOES match (at-or-before semantics)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l_side.unionByName(r_side)
+    for c in pay_cols:
+        unioned = unioned.withColumn(
+            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+        )
+    return unioned.filter(F.col("__side") == 1).drop("__key", "__ts", "__side")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_ms: int,
+    order_tie: str,
+    value: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: one output row per (key, session).
+
+    Session boundary: gap to the previous row of the same key > gap_ms
+    (ordering tie-broken by `order_tie` so the running sum is
+    deterministic). Returns key, session_id (0-based per key),
+    session_start/end, n_events, and sum_<value> if value is given.
+
+    Plan shape: one hash-shuffle on `key` for the two windows (lag +
+    running sum share the sort), then a partial+final HashAggregate on
+    (key, session_id) — the partial side collapses each session to one
+    row before the second (tiny) shuffle.
+    """
+    w_order = Window.partitionBy(key).orderBy(ts, order_tie)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts).over(w_order)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts) - prev > gap_ms), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = df.withColumn(
+        "session_id", F.sum(boundary).over(w_run) - F.lit(1)
+    )
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value is not None:
+        aggs.append(F.sum(value).alias(f"sum_{value}"))
+    return with_sess.groupBy(key, "session_id").agg(*aggs)

@@ -282,3 +282,68 @@ def test_quantize_int8_roundtrip_properties(spark):
     assert rows[2]["scale"] == 4.0
     # digests deterministic
     assert rows[1]["q_digest"] != rows[2]["q_digest"]
+
+
+# --------------------------------------------------------------- temporal_join
+def test_asof_join_basic(spark):
+    from nsdb_spark.operators import temporal_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 250, "b"), (2, 100, "c"), (3, 100, "d")],
+        "k long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 150, 30.0)],
+        "k long, ts long, px double",
+    )
+    out = temporal_join.asof_join(
+        left, right, on=("k", "k"), ts=("ts", "ts"), payload=["px"]
+    )
+    got = {(r["k"], r["ts"]): r["asof_px"] for r in out.collect()}
+    assert got[(1, 100)] == 10.0   # simultaneous right row matches (at-or-before)
+    assert got[(1, 250)] == 20.0   # latest prior, not first
+    assert got[(2, 100)] is None   # right row is in the future
+    assert got[(3, 100)] is None   # key absent on the right
+    assert out.count() == left.count()  # no row amplification
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    from nsdb_spark.operators import temporal_join
+
+    left = spark.createDataFrame([(1, 500)], "k long, ts long")
+    # two right rows at the same (key, ts): max id must win, and its payload
+    right = spark.createDataFrame(
+        [(1, 100, 7, 70.0), (1, 100, 9, 90.0)], "k long, ts long, id int, px double"
+    )
+    out = temporal_join.asof_join(
+        left, right, on=("k", "k"), ts=("ts", "ts"),
+        payload=["id", "px"], tie_break="id",
+    ).collect()
+    assert out[0]["asof_id"] == 9 and out[0]["asof_px"] == 90.0
+
+
+def test_sessionize_gap_boundaries(spark):
+    from nsdb_spark.operators import temporal_join
+
+    rows = [
+        (1, 0, 0, 1.0), (1, 1000, 1, 2.0),    # session 0 (gap 1000 == gap_ms: same)
+        (1, 3001, 2, 3.0),                    # gap 2001 > 2000 → session 1
+        (2, 0, 3, 4.0),                       # other key, own session 0
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long, eid long, value double")
+    out = temporal_join.sessionize(
+        df, key="user", ts="ts", gap_ms=2000, order_tie="eid", value="value"
+    )
+    got = {(r["user"], r["session_id"]): r for r in out.collect()}
+    assert len(got) == 3
+    assert got[(1, 0)]["n_events"] == 2 and got[(1, 0)]["sum_value"] == 3.0
+    assert got[(1, 1)]["session_start"] == 3001
+    assert got[(2, 0)]["n_events"] == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    from nsdb_spark.operators import temporal_join
+
+    df = spark.createDataFrame([(1, 0, 0), (1, 2000, 1)], "user long, ts long, eid long")
+    out = temporal_join.sessionize(df, key="user", ts="ts", gap_ms=2000, order_tie="eid")
+    assert out.count() == 1  # gap == gap_ms does NOT split
