@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from .operators import (
     dedup,
     embeddings_gemm,
+    joins,
     multimodal,
+    sampling,
     similarity,
     skew,
     temporal_join,
@@ -452,6 +454,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_winnowing"] = lambda spark, sf: text.winnow_fingerprints(
         _docs(spark, sf), k=8, w=4
     )
+    q["text_tfidf_topk"] = lambda spark, sf: text.tfidf_topk(_docs(spark, sf), k=3)
     q["pipeline_clean_corpus"] = lambda spark, sf: _round(
         text.clean_corpus(_docs(spark, sf), lang="en", min_quality=0.3),
         {"quality": 6},
@@ -468,6 +471,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"sum_value": 3},
     )
     q["emb_quantize_int8"] = lambda spark, sf: similarity.quantize_int8(_emb(spark, sf))
+    q["scale_broadcast_join"] = lambda spark, sf: joins.revenue_by_part_type(
+        testdata.table(spark, sf, "lineitem"), testdata.table(spark, sf, "part")
+    )
+    q["sample_stratified"] = lambda spark, sf: sampling.hash_stratified_sample(
+        testdata.events_metric(spark, sf).select(
+            "event_id", "event_type", "user_id", "timestamp", "value"
+        ),
+        id_col="event_id",
+        strata_col="event_type",
+        rates={"purchase": 1.0, "click": 0.1},
+        default_rate=0.01,
+    )
 
     # --- temporal joins (absent in the dialect; Spark-first extensions) ---
     q["join_asof_events_orders"] = _asof_events_orders
@@ -677,6 +692,39 @@ SELECT vec_id, round(scale, 6) AS scale,
            x -> cast(cast(round(x*127.0/scale) AS int) AS varchar)), ',')) AS q_digest,
        cast(len(v) AS int) AS n_dims
 FROM s
+"""
+    # ln() agrees bit-for-bit between JVM and DuckDB on these inputs; score
+    # additionally rounded to 6 on both sides
+    o["text_tfidf_topk"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * ln((SELECT count(*) FROM documents) / df::DOUBLE) AS score
+  FROM tf JOIN dfq USING (term)
+),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+           FROM scored)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, cast(rank AS int) AS rank
+FROM ranked WHERE rank <= 3
+"""
+    o["scale_broadcast_join"] = """
+SELECT p_type,
+       cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+    # pure integer multiplicative hash — reproducible in any engine
+    o["sample_stratified"] = """
+WITH m AS (SELECT event_id, event_type, user_id, epoch_ms(ts) AS timestamp, value
+           FROM events)
+SELECT * FROM m
+WHERE (event_id * 2654435761) % 4294967296 % 1000 <
+      CASE event_type WHEN 'purchase' THEN 1000 WHEN 'click' THEN 100 ELSE 10 END
 """
     # ASOF JOIN is DuckDB-native; ties on (custkey, orderdate) are pinned to
     # the max orderkey on both sides (asof_join tie_break) for determinism

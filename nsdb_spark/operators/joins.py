@@ -1,0 +1,48 @@
+"""Scale-conscious join helpers.
+
+`broadcast_enrich_agg` is the canonical fact⋈dim pattern at 100 TB: the
+dimension side is broadcast explicitly (`F.broadcast`), so the fact table
+is NEVER shuffled for the join — each task hash-probes the dim in memory
+and the downstream aggregation is the only exchange, carrying one partial
+row per (task, group). Without the hint Spark falls back to sort-merge
+once the dim outgrows `spark.sql.autoBroadcastJoinThreshold` estimates,
+which shuffles the full fact table — the single most expensive avoidable
+shuffle in a star-schema scan. Decimal accumulation keeps the revenue sum
+exact (FP sum order varies with partitioning; decimal doesn't).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_enrich_agg(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    group_col: str,
+    aggs: list[Column],
+) -> DataFrame:
+    """fact ⋈(broadcast dim) → groupBy(dim attribute).agg(...)."""
+    fk, dk = on
+    joined = fact.join(F.broadcast(dim), fact[fk] == dim[dk])
+    return joined.groupBy(group_col).agg(*aggs)
+
+
+def revenue_by_part_type(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue sum(extendedprice·(1-discount)) per p_type — TPC-H-shaped
+    probe of the broadcast path. Decimal(18,2) term math → exact,
+    order-independent sum → cast once to double for the contract."""
+    term = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return broadcast_enrich_agg(
+        lineitem,
+        part,
+        on=("l_partkey", "p_partkey"),
+        group_col="p_type",
+        aggs=[
+            F.sum(term).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        ],
+    )

@@ -1,0 +1,50 @@
+"""Deterministic corpus sampling.
+
+Training pipelines re-run; a sample that changes between runs poisons
+every downstream cache and ablation. `df.sample()` is seed-stable only
+for a fixed partitioning — repartition the input (or change the file
+split size) and the sample changes. These operators key the decision to
+the ROW (a stable id), not the partition layout, so the same row is
+always in or out regardless of cluster geometry — and the predicate is a
+narrow filter: zero shuffles, evaluated inside whole-stage codegen
+during the scan.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant (2^32 / φ) — decorrelates sequential ids
+_MIX = 2654435761
+
+
+def _slot(id_col: Column, denom: int) -> Column:
+    # pure integer arithmetic so any SQL engine reproduces it bit-for-bit
+    # (unlike xxhash64/md5, whose implementations differ across engines)
+    return (id_col.cast("long") * _MIX) % (2**32) % denom
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, denom: int = 1000) -> DataFrame:
+    """Keep ~rate of rows, decided by a multiplicative hash of id_col."""
+    return df.filter(_slot(F.col(id_col), denom) < int(rate * denom))
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    denom: int = 1000,
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. keep all rare 'purchase' events,
+    1% of 'click'): threshold chosen by strata_col, membership by the
+    id hash — so enlarging a stratum's rate strictly grows its sample
+    (nested samples, the property ablation sweeps need)."""
+    thresh = F.lit(int(default_rate * denom))
+    for stratum, rate in rates.items():
+        thresh = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * denom)))
+            .otherwise(thresh)
+        )
+    return df.filter(_slot(F.col(id_col), denom) < thresh)

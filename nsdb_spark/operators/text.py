@@ -181,3 +181,32 @@ def clean_corpus(
         .filter((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
         .select("doc_id", "pred_lang", "quality")
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, df, score, rank).
+
+    score = tf · ln(N/df); rank ties broken by term ASC so the result is
+    deterministic. Plan: explode → per-(doc,term) count (partial+final
+    HashAggregate) → term-keyed shuffle join against the document-frequency
+    aggregate → per-doc top-k window. The df side is NOT broadcast: at
+    corpus scale the vocabulary is billions of terms, so both sides
+    co-shuffle on `term` (Catalyst reuses the df-side exchange), and the
+    final window shuffles one row per (doc, term) — already collapsed.
+    N comes from a count() action: one scalar, not a driver loop.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(_words(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
+    )

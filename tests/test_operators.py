@@ -347,3 +347,59 @@ def test_sessionize_exact_gap_is_same_session(spark):
     df = spark.createDataFrame([(1, 0, 0), (1, 2000, 1)], "user long, ts long, eid long")
     out = temporal_join.sessionize(df, key="user", ts="ts", gap_ms=2000, order_tie="eid")
     assert out.count() == 1  # gap == gap_ms does NOT split
+
+
+# ------------------------------------------------------------------ tfidf
+def test_tfidf_topk_ranking(spark, docs):
+    out = text.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 3 shares no terms with others: its distinctive words (df=1) rank top
+    top3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert all(r["df"] == 1 for r in top3)
+    # ranks are 1..k and rank 1 has the max score
+    assert top3[0]["rank"] == 1 and top3[0]["score"] >= top3[1]["score"]
+
+
+# --------------------------------------------------------------- sampling
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from nsdb_spark.operators import sampling
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in sampling.hash_sample(df, "k", 0.1).collect())
+    b = sorted(
+        r["k"] for r in sampling.hash_sample(df.repartition(13), "k", 0.1).collect()
+    )
+    assert a == b                       # layout-independent
+    assert 800 < len(a) < 1200          # ~10%
+
+
+def test_stratified_sample_nested_rates(spark):
+    from nsdb_spark.operators import sampling
+
+    df = spark.range(0, 5000).selectExpr("id AS k", "'x' AS s")
+    small = {r["k"] for r in sampling.hash_stratified_sample(
+        df, "k", "s", {"x": 0.05}, 0.0).collect()}
+    big = {r["k"] for r in sampling.hash_stratified_sample(
+        df, "k", "s", {"x": 0.2}, 0.0).collect()}
+    assert small <= big                 # raising a rate only adds rows
+
+
+# ------------------------------------------------------------ scale joins
+def test_broadcast_join_plan_and_result(spark):
+    from nsdb_spark.operators import joins
+
+    fact = spark.createDataFrame(
+        [(1, 10.0, 0.1), (1, 20.0, 0.0), (2, 30.0, 0.5)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_type string"
+    )
+    out = joins.revenue_by_part_type(fact, dim)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dim side must not shuffle the fact
+    got = {r["p_type"]: (r["revenue"], r["n_items"]) for r in out.collect()}
+    assert got["A"] == (29.0, 2) and got["B"] == (15.0, 1)
