@@ -80,6 +80,11 @@ def main() -> None:
         "mm_decode_metadata",
         "mm_resize",
         "mm_frame_sample",
+        "join_asof_events_orders",
+        "events_sessionize",
+        "text_tfidf_topk",
+        "scale_broadcast_join",
+        "sample_stratified",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +
