@@ -23,10 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import (
+    analytics,
     dedup,
     embeddings_gemm,
     joins,
     multimodal,
+    ranking,
     sampling,
     similarity,
     skew,
@@ -36,6 +38,9 @@ from .operators import (
 from .sources import testdata
 
 SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
+
+#: BM25 query terms — high/mid/low df in the synthetic corpus
+BM25_TERMS = ["join", "hash", "scan"]
 
 # CTE exposing events with the metric-frame column contract
 M = (
@@ -500,6 +505,49 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"sum_value": 3},
     )
 
+    # --- ranked retrieval + windowed/statistical analytics ---
+    q["text_bm25_topk"] = lambda spark, sf: ranking.bm25_topk(
+        _docs(spark, sf), BM25_TERMS, k=15
+    )
+    q["win_topk_per_group"] = lambda spark, sf: analytics.topk_per_group(
+        testdata.table(spark, sf, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        ),
+        part="o_custkey",
+        order_col="o_totalprice",
+        k=2,
+        tie="o_orderkey",
+    )
+    q["win_moving_agg"] = lambda spark, sf: analytics.moving_aggregate(
+        testdata.events_metric(spark, sf).select(
+            "user_id", "timestamp", "event_id", "value"
+        ),
+        key="user_id",
+        ts="timestamp",
+        value="value",
+        tie="event_id",
+        preceding=3,
+    )
+    q["events_funnel"] = lambda spark, sf: analytics.funnel(
+        testdata.events_metric(spark, sf),
+        steps=["signup", "click", "purchase"],
+    )
+    q["stats_percentiles"] = lambda spark, sf: analytics.group_percentiles(
+        testdata.table(spark, sf, "lineitem"), part="l_returnflag",
+        value="l_extendedprice",
+    )
+    q["stats_histogram"] = lambda spark, sf: analytics.histogram(
+        testdata.events_metric(spark, sf), value="value", lo=0.0, hi=500.0,
+        nbins=20,
+    )
+    q["stats_corr"] = lambda spark, sf: analytics.group_stats(
+        testdata.table(spark, sf, "lineitem"), part="l_returnflag",
+        x="l_quantity", y="l_extendedprice",
+    )
+    q["text_scrub_numbers"] = lambda spark, sf: analytics.scrub_numbers(
+        testdata.table(spark, sf, "events"), id_col="event_id", text_col="props"
+    )
+
     # --- multimodal plumbing ---
     q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
         _docs(spark, sf)
@@ -753,6 +801,65 @@ SELECT user_id, session_id, min(timestamp) AS session_start,
        max(timestamp) AS session_end, count(*) AS n_events,
        round(sum(value), 3) AS sum_value
 FROM sess GROUP BY 1, 2
+"""
+    o["text_bm25_topk"] = ranking.bm25_oracle_sql(BM25_TERMS, k=15)
+    o["win_topk_per_group"] = """
+WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, cast(rn AS int) AS rn
+FROM r WHERE rn <= 2
+"""
+    o["win_moving_agg"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events)
+SELECT user_id, timestamp, event_id, value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY timestamp, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY timestamp, event_id
+                              ROWS UNBOUNDED PRECEDING), 3) AS cum_sum,
+       cast(row_number() OVER (PARTITION BY user_id ORDER BY timestamp, event_id)
+            AS int) AS rn
+FROM e
+"""
+    o["events_funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS ts_signup FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS ts_click FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > ts_signup GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS ts_purchase FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > ts_click GROUP BY 1)
+SELECT s1.user_id, ts_signup, ts_click, ts_purchase
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+    o["stats_percentiles"] = """
+SELECT l_returnflag, count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p5,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+    o["stats_histogram"] = """
+WITH e AS (SELECT value FROM events WHERE value >= 0 AND value <= 500),
+b AS (SELECT cast(least(floor(value / 25.0), 19) AS int) AS bin, value FROM e)
+SELECT bin, round(bin * 25.0, 6) AS lo_edge, round(bin * 25.0 + 25.0, 6) AS hi_edge,
+       count(*) AS n, round(sum(value), 3) AS sum_value
+FROM b GROUP BY bin
+"""
+    o["stats_corr"] = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+       round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_xy,
+       round(stddev_samp(l_quantity), 3) AS stddev_x,
+       round(stddev_samp(l_extendedprice), 3) AS stddev_y
+FROM lineitem GROUP BY l_returnflag
+"""
+    o["text_scrub_numbers"] = """
+SELECT event_id, cast(len(regexp_extract_all(props, '[0-9]+')) AS int) AS n_masked,
+       md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS scrub_digest
+FROM events
 """
     o["mm_decode_metadata"] = _MM_ORACLE
     o["mm_resize"] = """

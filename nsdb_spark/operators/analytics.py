@@ -1,0 +1,190 @@
+"""Windowed / statistical analytics beyond the NSDb dialect (which has no
+window functions or scalar stats — SURVEY.md §2.6, §2.9): per-group top-k,
+moving aggregates, funnel analysis, exact percentiles, fixed-bin
+histograms, and correlation stats. All built-in expressions, no UDFs.
+
+Scale notes per operator are on the docstrings; the common theme: one
+shuffle keyed on the partition column (Catalyst's partial aggregation or
+the Window exchange), everything else narrow.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    part: str,
+    order_col: str,
+    k: int,
+    tie: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Adds `rn` and keeps the top-k rows per `part` by `order_col`
+    (ties broken by `tie` ascending — deterministic output).
+
+    Plan: one hash-exchange on `part`, per-partition sort, running
+    row_number — the rank filter cuts inside the window stage so only k
+    rows per group survive to downstream operators.
+    """
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tie).asc(),
+    ]
+    w = Window.partitionBy(part).orderBy(*order)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def moving_aggregate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tie: str,
+    preceding: int = 3,
+) -> DataFrame:
+    """Per-key time-ordered moving average (current row + `preceding`
+    previous rows) and running cumulative sum. Order is (ts, tie) so frames
+    are deterministic under duplicate timestamps.
+
+    Output: key, ts, tie, value, mov_avg (round 4), cum_sum (round 3), rn.
+    One exchange on `key`; both frames share the same sort. mov_avg rounds
+    at 4 decimals: with 2-decimal inputs a frame average over 1/2/4 rows is
+    exactly a 4-decimal number (never a rounding half-way case), while 3
+    decimals would sit exactly on .xxx5 for /4 frames and flip per-engine.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tie).asc())
+    frame = w.rowsBetween(-preceding, 0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        key,
+        ts,
+        tie,
+        value,
+        F.round(F.avg(value).over(frame), 4).alias("mov_avg"),
+        F.round(F.sum(value).over(run), 3).alias("cum_sum"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    ts: str = "timestamp",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel timestamps: for each user that performed steps[0],
+    the earliest time of each subsequent step occurring STRICTLY AFTER the
+    previous step's matched time (classic sequential funnel; NULL = user
+    dropped out at that stage).
+
+    Output: (user, ts_<step0>, ts_<step1>, ...). Each stage is a
+    co-partitioned join on the user key plus a min-aggregate — partial
+    aggregation keeps the shuffle at one row per surviving user per stage.
+    """
+    base = events.select(user, type_col, ts)
+    out = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(user)
+        .agg(F.min(ts).alias(f"ts_{steps[0]}"))
+    )
+    prev = f"ts_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            base.filter(F.col(type_col) == step)
+            .join(out.select(user, prev), user)
+            .filter(F.col(ts) > F.col(prev))
+            .groupBy(user)
+            .agg(F.min(ts).alias(f"ts_{step}"))
+        )
+        out = out.join(nxt, user, "left")
+        prev = f"ts_{step}"
+    return out
+
+
+def group_percentiles(
+    df: DataFrame,
+    part: str,
+    value: str,
+    ps: list[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`): one partial+final aggregate; the per-group
+    sorted sketch stays executor-side.
+
+    Output: (part, n, p25, p50, ... rounded to 6).
+    """
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.round(F.expr(f"percentile({value}, {p})"), 6).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in ps
+    ]
+    return df.groupBy(part).agg(*aggs)
+
+
+def histogram(
+    df: DataFrame,
+    value: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-bin histogram: bin i covers [lo + i*w, lo + (i+1)*w) with the
+    last bin closed at hi. Output: (bin, lo_edge, hi_edge, n,
+    sum_value rounded 3). Bin assignment is a pure projection; the count
+    is a map-side-combinable nbins-row aggregate — the ideal 100 TB shape.
+    """
+    w = (hi - lo) / nbins
+    bin_col = F.least(
+        F.floor((F.col(value) - lo) / F.lit(w)), F.lit(nbins - 1)
+    ).cast("int")
+    return (
+        df.filter((F.col(value) >= lo) & (F.col(value) <= hi))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value), 3).alias("sum_value"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * w + lo, 6).alias("lo_edge"),
+            F.round(F.col("bin") * w + lo + w, 6).alias("hi_edge"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def group_stats(df: DataFrame, part: str, x: str, y: str) -> DataFrame:
+    """Bivariate stats per group: Pearson correlation (round 6), sample
+    covariance and stddevs (round 3), count. Single-pass co-moment
+    aggregates (numerically stable partial merges) — one tiny-result
+    shuffle regardless of input size.
+    """
+    return df.groupBy(part).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(x, y), 6).alias("corr_xy"),
+        F.round(F.covar_samp(x, y), 3).alias("covar_xy"),
+        F.round(F.stddev_samp(x), 3).alias("stddev_x"),
+        F.round(F.stddev_samp(y), 3).alias("stddev_y"),
+    )
+
+
+def scrub_numbers(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """PII-style scrubbing primitive: mask every digit run with '#' and
+    report the match count — the shape of redaction passes (emails, phone
+    numbers, SSNs) in training-data pipelines; swap the pattern for real
+    PII regexes. Output: (id, n_masked, digest of scrubbed text). Pure
+    projection — no shuffle, pipelines with the scan.
+    """
+    pat = "[0-9]+"
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias("n_masked"),
+        F.md5(F.regexp_replace(F.col(text_col), pat, "#")).alias("scrub_digest"),
+    )

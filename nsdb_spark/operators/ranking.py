@@ -1,0 +1,99 @@
+"""Ranked retrieval over the documents table: BM25 scoring.
+
+NSDb has no full-text surface (the dialect's only string operator is LIKE —
+SQLStatementParser.scala:217-219); BM25 is a training-data-pipeline
+extension: score documents against a small term list, keep the top-k.
+
+Scale shape: the per-(doc, term) term-frequency aggregate is the only wide
+shuffle, and the term filter is applied BEFORE it, so at 100 TB the shuffle
+carries |query terms| rows per doc, not the whole vocabulary. Document
+frequencies for the handful of query terms collapse to |Q| rows and
+broadcast; document length is a narrow no-explode projection joined on the
+doc_id-partitioned side. Everything is built-in expressions — no UDFs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 (Robertson/Sparck Jones):
+
+        score(D, Q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Output: (doc_id, score rounded to 6, rank) — rank ties broken by doc_id
+    so the result is deterministic. The same parenthesization is used in the
+    DuckDB oracle so FP evaluation order matches term-for-term.
+    """
+    n_docs = docs.count()
+    words = F.split(F.col(text_col), " ")
+    doclen = docs.select("doc_id", F.size(words).cast("double").alias("dl"))
+    avgdl = float(doclen.agg(F.avg("dl")).first()[0])
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(
+        "doc_id", F.explode(words).alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str], k: int = 15, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB oracle with identical arithmetic/parenthesization."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+params AS (SELECT cast(count(*) AS DOUBLE) AS n, (SELECT avg(dl) FROM dl) AS avgdl
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({terms}) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+per_term AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (params.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * ({k1} + 1.0))
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / params.avgdl)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), params
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT doc_id, round(score, 6) AS score, cast(rank AS int) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -403,3 +403,118 @@ def test_broadcast_join_plan_and_result(spark):
     assert "BroadcastHashJoin" in plan  # dim side must not shuffle the fact
     got = {r["p_type"]: (r["revenue"], r["n_items"]) for r in out.collect()}
     assert got["A"] == (29.0, 2) and got["B"] == (15.0, 1)
+
+
+# ---------------------------------------------------------------- analytics
+
+
+def test_bm25_exact_dup_docs_tie_on_doc_id(docs):
+    from nsdb_spark.operators import ranking
+
+    out = ranking.bm25_topk(docs, ["quick", "spark"], k=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # docs 0 and 2 are identical -> identical scores, rank tie broken by id
+    assert by_id[0]["score"] == by_id[2]["score"]
+    assert by_id[0]["rank"] < by_id[2]["rank"]
+    # doc 3 is the only one containing 'spark' (rarer term, higher idf)
+    assert 3 in by_id
+    # doc 4 has neither term -> absent
+    assert 4 not in by_id
+
+
+def test_bm25_rarer_term_outscores_common(spark):
+    from nsdb_spark.operators import ranking
+
+    rows = [(i, "common filler words here") for i in range(8)]
+    rows += [(8, "common rare"), (9, "common")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["score"] for r in ranking.bm25_topk(docs, ["rare", "common"], k=10).collect()}
+    assert out[8] > out[9]
+
+
+def test_topk_per_group(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 9.0), (1, 12, 9.0), (2, 20, 1.0)],
+        "g long, id long, v double",
+    )
+    out = analytics.topk_per_group(df, "g", "v", k=2, tie="id").collect()
+    got = {(r["g"], r["id"]): r["rn"] for r in out}
+    # ties on v=9.0 resolve by id asc: 11 before 12; 5.0 is cut by k=2
+    assert got == {(1, 11): 1, (1, 12): 2, (2, 20): 1}
+
+
+def test_moving_aggregate_frames(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(1, 100, 1, 2.0), (1, 200, 2, 4.0), (1, 300, 3, 6.0), (1, 400, 4, 8.0), (1, 500, 5, 10.0)],
+        "k long, ts long, id long, v double",
+    )
+    out = {r["id"]: r for r in analytics.moving_aggregate(df, "k", "ts", "v", "id", preceding=3).collect()}
+    assert out[1]["mov_avg"] == 2.0 and out[1]["cum_sum"] == 2.0
+    assert out[4]["mov_avg"] == 5.0  # (2+4+6+8)/4
+    assert out[5]["mov_avg"] == 7.0  # (4+6+8+10)/4 - frame slid past row 1
+    assert out[5]["cum_sum"] == 30.0
+
+
+def test_funnel_strict_order(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        (1, 100, "a"), (1, 200, "b"), (1, 300, "c"),   # full funnel
+        (2, 100, "b"), (2, 200, "a"), (2, 300, "c"),   # b before a: still full (b at 300? no - c matched after a)
+        (3, 100, "a"),                                   # drops after a
+        (4, 100, "b"), (4, 200, "c"),                    # never did a -> excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, timestamp long, event_type string")
+    out = {r["user_id"]: r for r in analytics.funnel(df, ["a", "b", "c"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["ts_a"], out[1]["ts_b"], out[1]["ts_c"]) == (100, 200, 300)
+    # user 2: a at 200, no b AFTER 200 -> funnel stops (strict ordering)
+    assert out[2]["ts_a"] == 200 and out[2]["ts_b"] is None and out[2]["ts_c"] is None
+    assert out[3]["ts_b"] is None
+
+
+def test_group_percentiles_exact(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame([("g", float(v)) for v in range(1, 5)], "p string, v double")
+    row = analytics.group_percentiles(df, "p", "v", ps=[0.5]).collect()[0]
+    assert row["n"] == 4 and row["p5"] == 2.5  # linear interpolation
+
+def test_histogram_bins_and_clamp(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame([(0.0,), (24.9,), (25.0,), (499.9,), (500.0,), (501.0,)], "v double")
+    out = {r["bin"]: r for r in analytics.histogram(df, "v", 0.0, 500.0, 20).collect()}
+    assert out[0]["n"] == 2            # 0.0 and 24.9
+    assert out[1]["n"] == 1            # 25.0 starts bin 1
+    assert out[19]["n"] == 2           # 499.9 plus 500.0 clamped into last bin
+    assert 501.0 not in [v for r in out.values() for v in [r["sum_value"]]]
+    assert out[0]["lo_edge"] == 0.0 and out[0]["hi_edge"] == 25.0
+
+
+def test_group_stats_perfect_correlation(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame([("g", float(i), 2.0 * i) for i in range(1, 6)], "p string, x double, y double")
+    row = analytics.group_stats(df, "p", "x", "y").collect()[0]
+    assert row["corr_xy"] == 1.0
+    assert row["stddev_y"] == 2 * row["stddev_x"]
+
+
+def test_scrub_numbers_masks_digit_runs(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(1, "call 555 at 1234"), (2, "no digits"), (3, "")],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in analytics.scrub_numbers(df, "id", "t").collect()}
+    assert out[1]["n_masked"] == 2
+    assert out[2]["n_masked"] == 0
+    import hashlib
+
+    assert out[1]["scrub_digest"] == hashlib.md5(b"call # at #").hexdigest()
