@@ -24,11 +24,13 @@ from pyspark.sql import functions as F
 
 from .operators import (
     analytics,
+    clustering,
     dedup,
     embeddings_gemm,
     joins,
     multimodal,
     ranking,
+    rollup,
     sampling,
     similarity,
     skew,
@@ -505,6 +507,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"sum_value": 3},
     )
 
+    # --- pre-aggregated rollup path (facet-index analogue, SURVEY §4 r3):
+    # result-identical to the raw temporal path, validated by the SAME
+    # backward-aligned oracle as the direct queries ---
+    q["rollup_temporal_sum"] = lambda spark, sf: rollup.temporal_agg_via_rollup(
+        spark, testdata.events_metric(spark, sf), fine_ms=86400000,
+        coarse_ms=604800000, shard_ms=SHARD, agg="sum", alias="sum_value",
+    )
+    q["rollup_temporal_avg"] = lambda spark, sf: rollup.temporal_agg_via_rollup(
+        spark, testdata.events_metric(spark, sf), fine_ms=43200000,
+        coarse_ms=172800000, shard_ms=SHARD, agg="avg", alias="avg_value",
+    )
+
+    # --- iterative clustering (not SQL-expressible: rows-only check) ---
+    q["kmeans_cells"] = lambda spark, sf: clustering.kmeans_summary(
+        _emb(spark, sf), k=8, iters=4
+    )
+
     # --- ranked retrieval + windowed/statistical analytics ---
     q["text_bm25_topk"] = lambda spark, sf: ranking.bm25_topk(
         _docs(spark, sf), BM25_TERMS, k=15
@@ -802,6 +821,16 @@ SELECT user_id, session_id, min(timestamp) AS session_start,
        round(sum(value), 3) AS sum_value
 FROM sess GROUP BY 1, 2
 """
+    # rollup path answers must equal the raw-path temporal aggregation —
+    # reuse the very same backward-aligned oracles
+    o["rollup_temporal_sum"] = _temporal_oracle(
+        604800000, "round(sum(value), 3)", "sum_value"
+    )
+    o["rollup_temporal_avg"] = _temporal_oracle(
+        172800000, "round(avg(value), 3)", "avg_value"
+    )
+    # kmeans_cells: iterative, intentionally no oracle (rows-only check)
+
     o["text_bm25_topk"] = ranking.bm25_oracle_sql(BM25_TERMS, k=15)
     o["win_topk_per_group"] = """
 WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,118 @@
+"""Iterative k-means (Lloyd's) over an embedding column — the centroid
+TRAINING step feeding the IVF index in similarity.py (ivf_assign /
+ivf_topk currently take externally supplied centroids; this produces
+data-adapted ones).
+
+Spark-first shape per iteration:
+- assignment: argmin of squared L2 against the centroid list carried as
+  literal arrays (broadcast by construction) — a pure codegen projection,
+  no shuffle, no UDF;
+- update: posexplode the vector and average per (cell, dim) — ONE shuffle
+  of k×dim partial sums (map-side combine collapses each task to at most
+  k×dim rows regardless of input size), then a k×dim-row collect to the
+  driver. At 100 TB this is the canonical mini-batch-free Lloyd's layout:
+  per-iteration cost = one scan + one tiny shuffle.
+
+Determinism: init is the first k vectors by vec_id; argmin ties break on
+the lower cell index (array_min on (dist, cell) structs). FP sums across
+partitions can wiggle centroids in the last ulp, so downstream results
+that feed an oracle must round — the registry entry reports per-cell
+counts and inertia rounded to 3 (rows-only checked: the iteration itself
+is not SQL-expressible).
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, _lit_vec
+
+
+def _sq_dist(v: Column, c: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds `cell` (nearest centroid by L2) and `sq_dist`."""
+    v = _as_double(vec_col)
+    cands = [
+        F.struct(_sq_dist(v, c).alias("d"), F.lit(ci).alias("cell"))
+        for ci, c in enumerate(centroids)
+    ]
+    best = F.array_min(F.array(*cands))
+    return emb.withColumn("cell", best["cell"]).withColumn("sq_dist", best["d"])
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the trained centroid list (k × dim).
+
+    Empty cells keep their previous centroid (no re-seeding — keeps the
+    run deterministic)."""
+    first = (
+        emb.orderBy(id_col).limit(k).select(_as_double(vec_col).alias("v")).collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in first]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_cells(emb, centroids, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]
+        touched = set()
+        for r in means:
+            nxt[r["cell"]][r["pos"]] = float(r["m"])
+            touched.add(r["cell"])
+        if not touched:
+            break
+        centroids = nxt
+        assert all(len(c) == dim for c in centroids)
+    return centroids
+
+
+def kmeans_summary(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train + report: (cell, n_vecs, inertia rounded 3, rms_dist rounded
+    3) per non-empty cell — the registry-facing summary of the fit."""
+    centroids = kmeans_fit(emb, k, iters, vec_col, id_col)
+    assigned = assign_cells(emb, centroids, vec_col)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("sq_dist"), 3).alias("inertia"),
+        F.round(F.sqrt(F.avg("sq_dist")), 3).alias("rms_dist"),
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame, k: int = 16, iters: int = 3, vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Trained centroids for similarity.ivf_topk — normalized to unit
+    length so cosine-based cell probing matches the L2 training geometry
+    (for unit-norm data, argmax cosine ≡ argmin L2)."""
+    out = []
+    for c in kmeans_fit(emb, k, iters, vec_col):
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        out.append([x / n for x in c])
+    return out

@@ -1,0 +1,134 @@
+"""Pre-aggregated temporal rollup tables.
+
+NSDb answers per-shard aggregations from pre-built facet indexes without
+scanning rows (AllFacetIndexes.scala:54-129, FacetRangeIndex.scala:42-76).
+The Spark-first analogue (SURVEY.md §4 row 3) is a materialized ROLLUP
+table at a fine interval; any coarser backward-aligned temporal GROUP BY
+is then answered from the rollup instead of the raw metric — at 100 TB
+the rollup is smaller than the raw data by the bucket compression factor
+(rows per fine bucket), so a dashboard-style temporal query scans
+megabytes, not terabytes.
+
+Correct nesting: NSDb buckets align BACKWARD from the shard-interval top
+(TimeRangeManager.scala:74-90; SURVEY.md §4.3). Both the fine and coarse
+axes hang from the SAME global upper bound, so whenever
+coarse = m * fine, fine bucket k lands wholly inside coarse bucket
+k // m — including the truncated oldest bucket. Re-aggregation is exact
+for count/sum/max (and avg via sum/count); it is NOT valid for
+count-distinct (not mergeable without sketches) — that stays on the raw
+path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def temporal_bounds(metric_df: DataFrame, shard_ms: int) -> tuple[int, int]:
+    """(lower, upper) of the bucket axis: data extent snapped to the
+    shard grid — lower = floor(min/shard)*shard, upper = the top of the
+    shard containing max. One tiny 2-value aggregate."""
+    row = metric_df.agg(F.min("timestamp"), F.max("timestamp")).first()
+    lower = (row[0] // shard_ms) * shard_ms
+    upper = (row[1] // shard_ms) * shard_ms + shard_ms
+    return lower, upper
+
+
+def build_temporal_rollup(
+    metric_df: DataFrame, fine_ms: int, shard_ms: int
+) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize the fine-grained rollup: one row per NON-EMPTY fine
+    bucket with mergeable partials (count, sum, max). Returns
+    (rollup_df, (lower, upper)) — the bounds ride along so re-aggregation
+    can rebuild the full bucket axis without touching raw data again.
+
+    At scale this is written once per ingest batch, partitioned by
+    shard_start, and incrementally appended: a fine bucket never spans two
+    shards, so late data only rewrites its own shard's rollup rows.
+    """
+    lower, upper = temporal_bounds(metric_df, shard_ms)
+    k = F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)).alias("k")
+    rollup = (
+        metric_df.filter(
+            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+        )
+        .groupBy(k)
+        .agg(
+            F.count(F.lit(1)).alias("count_value"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return rollup, (lower, upper)
+
+
+def temporal_from_rollup(
+    spark: SparkSession,
+    rollup: DataFrame,
+    bounds: tuple[int, int],
+    fine_ms: int,
+    coarse_ms: int,
+    agg: str,
+    alias: str,
+) -> DataFrame:
+    """Answer `... GROUP BY INTERVAL <coarse>` from the fine rollup.
+
+    coarse_ms must be a multiple of fine_ms. Output schema matches the
+    raw-path temporal compiler exactly: (timestamp, lower_bound,
+    upper_bound, <alias>) with empty buckets emitted as 0 — so the SAME
+    DuckDB oracle validates both paths.
+    """
+    if coarse_ms % fine_ms:
+        raise ValueError("coarse interval must be a multiple of the rollup grain")
+    lower, upper = bounds
+    m = coarse_ms // fine_ms
+    merged = rollup.groupBy((F.col("k") / m).cast("long").alias("kc")).agg(
+        F.sum("count_value").alias("count_value"),
+        F.sum("sum_value").alias("sum_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    zero = F.lit(0.0)
+    if agg == "count":
+        v = F.col("count_value")
+        zero = F.lit(0).cast("long")  # type parity with the raw count path
+    elif agg == "sum":
+        v = F.round(F.col("sum_value"), 3)
+    elif agg == "avg":
+        v = F.round(F.col("sum_value") / F.col("count_value"), 3)
+    elif agg == "max":
+        v = F.col("max_value")
+    else:
+        raise ValueError(f"aggregation {agg!r} is not rollup-mergeable")
+
+    n = -((upper - lower) // -coarse_ms)  # ceil
+    axis = spark.range(n).select(
+        F.col("id").alias("kc"),
+        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
+        F.greatest(
+            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
+        ).alias("lower_bound"),
+    )
+    return (
+        axis.join(F.broadcast(merged), "kc", "left")
+        .select(
+            F.col("upper_bound").alias("timestamp"),
+            "lower_bound",
+            "upper_bound",
+            F.coalesce(v, zero).alias(alias),
+        )
+    )
+
+
+def temporal_agg_via_rollup(
+    spark: SparkSession,
+    metric_df: DataFrame,
+    fine_ms: int,
+    coarse_ms: int,
+    shard_ms: int,
+    agg: str,
+    alias: str,
+) -> DataFrame:
+    """Build-then-query convenience used by the registry: proves the
+    rollup path is result-identical to the raw temporal path (same oracle)."""
+    rollup, bounds = build_temporal_rollup(metric_df, fine_ms, shard_ms)
+    return temporal_from_rollup(spark, rollup, bounds, fine_ms, coarse_ms, agg, alias)

@@ -518,3 +518,98 @@ def test_scrub_numbers_masks_digit_runs(spark):
     import hashlib
 
     assert out[1]["scrub_digest"] == hashlib.md5(b"call # at #").hexdigest()
+
+
+# ---------------------------------------------------------- rollup / kmeans
+
+
+def test_rollup_equals_direct_temporal(spark):
+    """Rollup-path answers must match a hand-computed backward-aligned
+    temporal aggregation, including the truncated oldest bucket and an
+    empty bucket emitted as zero."""
+    from nsdb_spark.operators import rollup
+
+    shard = 1000
+    # upper = 2000, lower = 0; coarse=400 -> 5 buckets hanging from 2000
+    rows = [
+        (150, 10.0),   # bucket (1600,2000]? no: k = floor((2000-150)/400) = 4 -> oldest (truncated)
+        (1700, 5.0),   # k = 0
+        (1750, 7.0),   # k = 0
+        (900, 2.0),    # k = 2
+    ]
+    df = spark.createDataFrame(rows, "timestamp long, value double")
+    out = rollup.temporal_agg_via_rollup(
+        spark, df, fine_ms=200, coarse_ms=400, shard_ms=shard,
+        agg="sum", alias="sum_value",
+    )
+    got = {r["upper_bound"]: (r["lower_bound"], r["sum_value"]) for r in out.collect()}
+    assert got == {
+        2000: (1600, 12.0),
+        1600: (1200, 0.0),
+        1200: (800, 2.0),
+        800: (400, 0.0),
+        400: (0, 10.0),   # truncated: lower clamped to 0
+    }
+
+
+def test_rollup_count_type_and_avg(spark):
+    from nsdb_spark.operators import rollup
+
+    df = spark.createDataFrame(
+        [(100, 4.0), (150, 8.0)], "timestamp long, value double"
+    )
+    cnt = rollup.temporal_agg_via_rollup(
+        spark, df, 100, 200, 1000, "count", "count_value"
+    )
+    assert dict(cnt.dtypes)["count_value"] == "bigint"
+    avg = {
+        r["upper_bound"]: r["avg_value"]
+        for r in rollup.temporal_agg_via_rollup(
+            spark, df, 100, 200, 1000, "avg", "avg_value"
+        ).collect()
+    }
+    assert avg[200] == 6.0  # (4+8)/2 in the oldest bucket (0,200]
+    assert avg[1000] == 0.0  # empty bucket emitted as zero
+
+
+def test_rollup_rejects_non_multiple_interval(spark):
+    from nsdb_spark.operators import rollup
+
+    df = spark.createDataFrame([(100, 1.0)], "timestamp long, value double")
+    r, b = rollup.build_temporal_rollup(df, 300, 1000)
+    with pytest.raises(ValueError):
+        rollup.temporal_from_rollup(spark, r, b, 300, 500, "sum", "s")
+
+
+def test_kmeans_separates_blobs(spark):
+    from nsdb_spark.operators import clustering
+
+    # two tight blobs far apart; init takes vec 0 (blob A) and vec 1 (blob B)
+    rows = [(0, [0.0, 0.1]), (1, [10.0, 9.9])]
+    rows += [(i, [0.0 + i * 0.001, 0.0]) for i in range(2, 12)]
+    rows += [(i, [10.0, 10.0 + i * 0.001]) for i in range(12, 22)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = {
+        r["cell"]: r["n_vecs"]
+        for r in clustering.kmeans_summary(emb, k=2, iters=3).collect()
+    }
+    assert sorted(cells.values()) == [11, 11]
+    # inertia of tight blobs is tiny
+    for r in clustering.kmeans_summary(emb, k=2, iters=3).collect():
+        assert r["rms_dist"] < 1.0
+
+
+def test_kmeans_trained_ivf_recall(spark):
+    from nsdb_spark.operators import clustering, similarity
+
+    rows = [(i, [float(i % 4) + 0.01 * i + 0.5, float((i * 7) % 5) + 0.5]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [2.0, 3.0]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    cents = clustering.ivf_centroids(emb, k=4, iters=3)
+    assert all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cents)
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, cents, k=5, nprobe=4).collect()
+    ]
+    assert approx == exact  # full probe == exact
