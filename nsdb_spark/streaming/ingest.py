@@ -72,6 +72,81 @@ def stream_filter(
     return stream_df.filter(compile_expression(condition, ctx))
 
 
+def stream_session_agg(
+    stream_df: DataFrame,
+    gap_ms: int,
+    watermark_ms: int,
+    key: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization: dynamic-gap session windows over event
+    time (the streaming twin of operators/temporal_join.sessionize).
+    Sessions close after `gap_ms` of silence per key; the watermark bounds
+    how long an open session waits for stragglers.
+
+    Run append-mode: a session row is emitted once, when the watermark
+    passes its end (Spark does not support update mode for streaming
+    session windows). State per open session is the running aggregate,
+    not raw rows — NSDb has no session concept at all (tumbling only,
+    SURVEY.md §2.6); this is a Spark-native extension.
+    """
+    df = stream_df.withColumn(
+        "__evt", F.timestamp_millis(F.col("timestamp"))
+    ).withWatermark("__evt", f"{watermark_ms / 1000.0} seconds")
+    win = F.session_window(F.col("__evt"), f"{gap_ms / 1000.0} seconds")
+    keys = [win.alias("__w")] + ([F.col(key)] if key else [])
+    out_keys = ([key] if key else []) + [
+        F.unix_millis(F.col("__w.start")).alias("session_start"),
+        F.unix_millis(F.col("__w.end")).alias("session_end"),
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(*out_keys, "n_events", "sum_value")
+    )
+
+
+def stream_sliding_agg(
+    stream_df: DataFrame,
+    window_ms: int,
+    slide_ms: int,
+    watermark_ms: int,
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding-window aggregation (window > slide ⇒ each event lands in
+    window/slide buckets) — the smoothed-dashboard variant of the tumbling
+    subscription. Emits (lower_bound, upper_bound, count_value,
+    avg_value)."""
+    df = stream_df.withColumn(
+        "__evt", F.timestamp_millis(F.col("timestamp"))
+    ).withWatermark("__evt", f"{watermark_ms / 1000.0} seconds")
+    win = F.window(
+        F.col("__evt"), f"{window_ms / 1000.0} seconds", f"{slide_ms / 1000.0} seconds"
+    )
+    return (
+        df.groupBy(win.alias("__w"))
+        .agg(F.count(F.lit(1)).alias("count_value"), F.avg(value_col).alias("avg_value"))
+        .select(
+            F.unix_millis(F.col("__w.start")).alias("lower_bound"),
+            F.unix_millis(F.col("__w.end")).alias("upper_bound"),
+            "count_value",
+            "avg_value",
+        )
+    )
+
+
+def stream_enrich(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFrame:
+    """Stream-static dimension enrichment: broadcast the static side so
+    each micro-batch joins map-side with no shuffle — the standard shape
+    for attaching dimension attributes at ingest before the subscription
+    filter runs. The static side is re-read per batch, so a slowly
+    changing dimension table picks up updates between batches."""
+    return stream_df.join(F.broadcast(dim_df), on, "left")
+
+
 def stream_temporal_agg(
     stream_df: DataFrame,
     interval_ms: int,

@@ -168,3 +168,82 @@ def test_stateful_temporal_amended_repush_across_restart(spark, tmp_path):
     second = run_once()
     # amended bucket only, full aggregates from restored state
     assert second == [(10000, 0, 3, 13.0, 1.0, 7.0, 13.0 / 3)]
+
+
+def _run_stream(df_out, ck, mode="update"):
+    got = []
+    q = (
+        df_out.writeStream.outputMode(mode)
+        .foreachBatch(lambda df, bid: got.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def test_stream_session_agg(spark, tmp_path):
+    """Session windows over a keyed stream (append mode): sessions split
+    at a >gap silence and emit once the watermark passes their end — a
+    second run with later data advances the watermark and flushes them."""
+    from nsdb_spark.streaming.ingest import stream_session_agg
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "timestamp long, value double, user string"
+        ).parquet(src)
+        out = stream_session_agg(stream, gap_ms=5000, watermark_ms=2000, key="user")
+        return _run_stream(out, ck, mode="append")
+
+    spark.createDataFrame(
+        [(1000, 1.0, "u1"), (3000, 2.0, "u1"), (60000, 4.0, "u1"), (1000, 8.0, "u2")],
+        "timestamp long, value double, user string",
+    ).write.mode("append").parquet(src)
+    rows = run_once()
+    # watermark-advance batch: push a far-future event and run again
+    spark.createDataFrame(
+        [(300000, 0.5, "u3")], "timestamp long, value double, user string"
+    ).write.mode("append").parquet(src)
+    rows += run_once()
+    # (user, start, end, n, sum): u1 splits at the 57 s gap, u2 one session
+    assert ("u1", 1000, 8000, 2, 3.0) in rows
+    assert ("u1", 60000, 65000, 1, 4.0) in rows
+    assert ("u2", 1000, 6000, 1, 8.0) in rows
+
+
+def test_stream_sliding_agg_overlap(spark, tmp_path):
+    from nsdb_spark.streaming.ingest import stream_sliding_agg
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1000, 10.0), (6000, 20.0)], "timestamp long, value double"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("timestamp long, value double").parquet(src)
+    out = stream_sliding_agg(stream, window_ms=10000, slide_ms=5000, watermark_ms=60000)
+    rows = {(r[0], r[1]): (r[2], r[3]) for r in _run_stream(out, str(tmp_path / "ck"))}
+    # event at 1 s lands in windows (-5,5] and (0,10]; event at 6 s in (0,10] and (5,15]
+    assert rows[(0, 10000)] == (2, 15.0)
+    assert rows[(-5000, 5000)] == (1, 10.0)
+    assert rows[(5000, 15000)] == (1, 20.0)
+
+
+def test_stream_enrich_broadcast_join(spark, tmp_path):
+    from nsdb_spark.streaming.ingest import stream_enrich
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1000, 1.0, 7), (2000, 2.0, 99)], "timestamp long, value double, user_id long"
+    ).write.mode("append").parquet(src)
+    dim = spark.createDataFrame([(7, "gold")], "user_id long, tier string")
+    stream = spark.readStream.schema("timestamp long, value double, user_id long").parquet(src)
+    rows = _run_stream(
+        stream_enrich(stream, dim, on="user_id").select("user_id", "timestamp", "tier"),
+        str(tmp_path / "ck"),
+        mode="append",
+    )
+    assert (7, 1000, "gold") in rows
+    assert (99, 2000, None) in rows  # left join keeps unmatched stream rows
