@@ -85,6 +85,16 @@ def main() -> None:
         "text_tfidf_topk",
         "scale_broadcast_join",
         "sample_stratified",
+        "text_bm25_topk",
+        "win_topk_per_group",
+        "win_moving_agg",
+        "events_funnel",
+        "stats_percentiles",
+        "stats_histogram",
+        "stats_corr",
+        "text_scrub_numbers",
+        "rollup_temporal_sum",
+        "kmeans_cells",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +
