@@ -36,28 +36,31 @@ def bm25_topk(
     """
     n_docs = docs.count()
     words = F.split(F.col(text_col), " ")
-    doclen = docs.select("doc_id", F.size(words).cast("double").alias("dl"))
-    avgdl = float(doclen.agg(F.avg("dl")).first()[0])
+    avgdl = float(
+        docs.select(F.size(words).cast("double").alias("dl")).agg(F.avg("dl")).first()[0]
+    )
 
-    terms = F.array(*[F.lit(t) for t in query_terms])
+    # dl rides along with the exploded tokens (one extra int per shuffle
+    # row) so no second scan / doc-length join is needed — at corpus scale
+    # a doc_id-keyed join would be another wide shuffle
     toks = docs.select(
-        "doc_id", F.explode(words).alias("term")
+        "doc_id",
+        F.size(words).cast("double").alias("dl"),
+        F.explode(words).alias("term"),
     ).filter(F.col("term").isin(query_terms))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    per_term = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, "doc_id")
-        .select(
-            "doc_id",
-            (
-                idf
-                * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-            ).alias("s"),
-        )
+    per_term = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        (
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).alias("s"),
     )
     scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
