@@ -43,6 +43,13 @@ SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
 
 #: BM25 query terms — high/mid/low df in the synthetic corpus
 BM25_TERMS = ["join", "hash", "scan"]
+#: batch-scoring query set (overlapping term lists exercise the shared
+#: per-term computation)
+BM25_QUERIES = {
+    "q_joins": ["join", "merge", "hash"],
+    "q_scans": ["scan", "filter", "row"],
+    "q_mixed": ["join", "scan", "vector"],
+}
 
 # CTE exposing events with the metric-frame column contract
 M = (
@@ -566,6 +573,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_scrub_numbers"] = lambda spark, sf: analytics.scrub_numbers(
         testdata.table(spark, sf, "events"), id_col="event_id", text_col="props"
     )
+    q["text_bm25_multi"] = lambda spark, sf: ranking.bm25_topk_multi(
+        _docs(spark, sf), BM25_QUERIES, k=5
+    )
+    q["text_top_bigrams"] = lambda spark, sf: text.top_bigrams(_docs(spark, sf), k=20)
 
     # --- multimodal plumbing ---
     q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
@@ -832,6 +843,19 @@ FROM sess GROUP BY 1, 2
     # kmeans_cells: iterative, intentionally no oracle (rows-only check)
 
     o["text_bm25_topk"] = ranking.bm25_oracle_sql(BM25_TERMS, k=15)
+    o["text_bm25_multi"] = ranking.bm25_multi_oracle_sql(BM25_QUERIES, k=5)
+    o["text_top_bigrams"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, cast(len(words)-1 AS bigint)),
+                                   i -> words[i] || ' ' || words[i+1])) AS bigram
+      FROM w WHERE len(words) >= 2),
+c AS (SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      FROM p GROUP BY bigram)
+SELECT bigram, n_occurrences, n_docs,
+       cast(row_number() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS int) AS rank
+FROM c ORDER BY n_occurrences DESC, bigram ASC LIMIT 20
+"""
     o["win_topk_per_group"] = """
 WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey

@@ -2,19 +2,59 @@
 
 NSDb has no full-text surface (the dialect's only string operator is LIKE —
 SQLStatementParser.scala:217-219); BM25 is a training-data-pipeline
-extension: score documents against a small term list, keep the top-k.
+extension: score documents against term lists, keep the top-k.
 
 Scale shape: the per-(doc, term) term-frequency aggregate is the only wide
 shuffle, and the term filter is applied BEFORE it, so at 100 TB the shuffle
 carries |query terms| rows per doc, not the whole vocabulary. Document
-frequencies for the handful of query terms collapse to |Q| rows and
-broadcast; document length is a narrow no-explode projection joined on the
-doc_id-partitioned side. Everything is built-in expressions — no UDFs.
+length rides along with the exploded tokens (one extra int per row) — no
+second scan or doc-keyed join. Document frequencies for the handful of
+query terms collapse to |Q| rows and broadcast. Everything is built-in
+expressions — no UDFs.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _per_term_scores(
+    docs: DataFrame,
+    all_terms: list[str],
+    k1: float,
+    b: float,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, term, s) — the BM25 contribution of each query term to
+    each doc containing it:
+
+        s = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+    """
+    n_docs = docs.count()
+    words = F.split(F.col(text_col), " ")
+    avgdl = float(
+        docs.select(F.size(words).cast("double").alias("dl")).agg(F.avg("dl")).first()[0]
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(words).cast("double").alias("dl"),
+        F.explode(words).alias("term"),
+    ).filter(F.col("term").isin(all_terms))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).alias("s"),
+    )
 
 
 def bm25_topk(
@@ -25,49 +65,56 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k documents by BM25 (Robertson/Sparck Jones):
-
-        score(D, Q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
-        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    """Top-k documents by BM25 (Robertson/Sparck Jones) for ONE query.
 
     Output: (doc_id, score rounded to 6, rank) — rank ties broken by doc_id
     so the result is deterministic. The same parenthesization is used in the
     DuckDB oracle so FP evaluation order matches term-for-term.
     """
-    n_docs = docs.count()
-    words = F.split(F.col(text_col), " ")
-    avgdl = float(
-        docs.select(F.size(words).cast("double").alias("dl")).agg(F.avg("dl")).first()[0]
-    )
-
-    # dl rides along with the exploded tokens (one extra int per shuffle
-    # row) so no second scan / doc-length join is needed — at corpus scale
-    # a doc_id-keyed join would be another wide shuffle
-    toks = docs.select(
-        "doc_id",
-        F.size(words).cast("double").alias("dl"),
-        F.explode(words).alias("term"),
-    ).filter(F.col("term").isin(query_terms))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    per_term = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        (
-            idf
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-        ).alias("s"),
-    )
+    per_term = _per_term_scores(docs, query_terms, k1, b, text_col)
     scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch scoring: top-k docs for EVERY query in one pass — the shape
+    of offline retrieval evaluation / hard-negative mining. The per-term
+    contributions are computed once over the union of all query terms,
+    then fanned out to queries via a broadcast join on term (the query
+    table is tiny by construction) and re-summed per (query_id, doc_id).
+    One extra narrow shuffle versus the single-query path, independent of
+    the number of queries.
+
+    Output: (query_id, doc_id, score rounded 6, rank)."""
+    spark = docs.sparkSession
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    per_term = _per_term_scores(docs, all_terms, k1, b, text_col)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        per_term.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rank")
     )
 
 
@@ -98,5 +145,44 @@ ranked AS (SELECT doc_id, score,
                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
            FROM scored)
 SELECT doc_id, round(score, 6) AS score, cast(rank AS int) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def bm25_multi_oracle_sql(
+    queries: dict[str, list[str]], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB oracle for the batch-scoring path (same arithmetic; the
+    query table is inlined as VALUES)."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    terms = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in sorted(queries.items()) for t in ts
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {qvals}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+params AS (SELECT cast(count(*) AS DOUBLE) AS n, (SELECT avg(dl) FROM dl) AS avgdl
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({terms}) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+per_term AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (params.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * ({k1} + 1.0))
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / params.avgdl)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), params
+),
+scored AS (SELECT q.query_id, p.doc_id, sum(p.s) AS score
+           FROM per_term p JOIN q USING (term) GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id, doc_id, round(score, 6) AS score, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= {k}
 """

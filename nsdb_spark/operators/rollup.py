@@ -35,7 +35,10 @@ def temporal_bounds(metric_df: DataFrame, shard_ms: int) -> tuple[int, int]:
 
 
 def build_temporal_rollup(
-    metric_df: DataFrame, fine_ms: int, shard_ms: int
+    metric_df: DataFrame,
+    fine_ms: int,
+    shard_ms: int,
+    bounds: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, tuple[int, int]]:
     """Materialize the fine-grained rollup: one row per NON-EMPTY fine
     bucket with mergeable partials (count, sum, max). Returns
@@ -45,8 +48,12 @@ def build_temporal_rollup(
     At scale this is written once per ingest batch, partitioned by
     shard_start, and incrementally appended: a fine bucket never spans two
     shards, so late data only rewrites its own shard's rollup rows.
+
+    Pass explicit `bounds` to pin the bucket axis (required when building
+    per-batch rollups destined for merge_rollups — all batches must share
+    the same upper anchor; at scale that anchor is the fixed shard grid).
     """
-    lower, upper = temporal_bounds(metric_df, shard_ms)
+    lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
     k = F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)).alias("k")
     rollup = (
         metric_df.filter(
@@ -60,6 +67,25 @@ def build_temporal_rollup(
         )
     )
     return rollup, (lower, upper)
+
+
+def merge_rollups(*rollups: DataFrame) -> DataFrame:
+    """Incremental rollup maintenance: combine per-batch rollup partials
+    into one (count/sum are additive, max re-maxes). This is how the
+    materialized rollup stays current under streaming ingest — each
+    micro-batch contributes its own tiny rollup and the union re-reduces,
+    so raw history is never re-scanned. merge(rollup(A), rollup(B)) ==
+    rollup(A ∪ B) exactly (same bounds assumed: fine buckets are
+    bound-anchored, so batches must share the axis — at scale the anchor
+    is the fixed shard grid, which never moves)."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("k").agg(
+        F.sum("count_value").alias("count_value"),
+        F.sum("sum_value").alias("sum_value"),
+        F.max("max_value").alias("max_value"),
+    )
 
 
 def temporal_from_rollup(

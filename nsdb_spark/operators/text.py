@@ -183,6 +183,34 @@ def clean_corpus(
     )
 
 
+def top_bigrams(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word bigrams: (bigram, n_occurrences, n_docs,
+    rank) — the vocabulary-statistics primitive behind tokenizer training
+    and collocation mining.
+
+    Plan: generate adjacent pairs with a zip of the word array against its
+    own tail (pure expressions — no self-join), explode, one
+    map-side-combinable groupBy, then a global top-k (TakeOrdered after a
+    window on a constant is avoided: rank assigned post-limit via a sorted
+    window over only k rows)."""
+    words = _words(text_col)
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = docs.select("doc_id", F.explode(pairs).alias("bigram"))
+    counted = exploded.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    topk = counted.orderBy(
+        F.desc("n_occurrences"), F.asc("bigram")
+    ).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k TF-IDF terms per document: (doc_id, term, tf, df, score, rank).
 

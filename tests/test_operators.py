@@ -613,3 +613,52 @@ def test_kmeans_trained_ivf_recall(spark):
         for r in similarity.ivf_topk(emb, q, cents, k=5, nprobe=4).collect()
     ]
     assert approx == exact  # full probe == exact
+
+
+def test_merge_rollups_equals_full_rollup(spark):
+    """Incremental maintenance invariant: merge(rollup(A), rollup(B)) ==
+    rollup(A ∪ B) when all share the pinned bucket axis."""
+    from nsdb_spark.operators import rollup
+
+    a = spark.createDataFrame([(100, 1.0), (850, 2.0)], "timestamp long, value double")
+    b = spark.createDataFrame([(120, 4.0), (990, 8.0)], "timestamp long, value double")
+    bounds = (0, 1000)
+    ra, _ = rollup.build_temporal_rollup(a, 100, 1000, bounds=bounds)
+    rb, _ = rollup.build_temporal_rollup(b, 100, 1000, bounds=bounds)
+    rfull, _ = rollup.build_temporal_rollup(a.unionByName(b), 100, 1000, bounds=bounds)
+    merged = rollup.merge_rollups(ra, rb)
+    key = lambda df: {r["k"]: (r["count_value"], r["sum_value"], r["max_value"])
+                      for r in df.collect()}
+    assert key(merged) == key(rfull)
+
+
+def test_bm25_multi_matches_single_query(docs):
+    """Batch scoring must agree with the single-query path per query."""
+    from nsdb_spark.operators import ranking
+
+    queries = {"q1": ["quick", "spark"], "q2": ["lazy"]}
+    multi = ranking.bm25_topk_multi(docs, queries, k=10).collect()
+    for qid, terms in queries.items():
+        single = {
+            (r["doc_id"], r["score"], r["rank"])
+            for r in ranking.bm25_topk(docs, terms, k=10).collect()
+        }
+        got = {
+            (r["doc_id"], r["score"], r["rank"])
+            for r in multi
+            if r["query_id"] == qid
+        }
+        assert got == single
+
+
+def test_top_bigrams_counts(spark):
+    from nsdb_spark.operators import text
+
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bigram"]: r for r in text.top_bigrams(docs, k=10).collect()}
+    assert out["a b"]["n_occurrences"] == 3 and out["a b"]["n_docs"] == 2
+    assert out["b a"]["n_occurrences"] == 1
+    assert out["b c"]["n_docs"] == 1
+    assert "x" not in out  # single-word doc produces no bigrams
+    assert out["a b"]["rank"] == 1
