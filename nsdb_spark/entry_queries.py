@@ -577,6 +577,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), BM25_QUERIES, k=5
     )
     q["text_top_bigrams"] = lambda spark, sf: text.top_bigrams(_docs(spark, sf), k=20)
+    q["sample_split"] = lambda spark, sf: sampling.train_val_test_split(
+        testdata.table(spark, sf, "events").select("event_id"),
+        id_col="event_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
 
     # --- multimodal plumbing ---
     q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
@@ -855,6 +860,14 @@ c AS (SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 SELECT bigram, n_occurrences, n_docs,
        cast(row_number() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS int) AS rank
 FROM c ORDER BY n_occurrences DESC, bigram ASC LIMIT 20
+"""
+    o["sample_split"] = """
+SELECT event_id,
+       CASE WHEN slot < 800 THEN 'train'
+            WHEN slot < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT event_id,
+             (event_id * 2654435761) % 4294967296 % 1000 AS slot FROM events)
 """
     o["win_topk_per_group"] = """
 WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,

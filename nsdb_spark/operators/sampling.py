@@ -29,6 +29,35 @@ def hash_sample(df: DataFrame, id_col: str, rate: float, denom: int = 1000) -> D
     return df.filter(_slot(F.col(id_col), denom) < int(rate * denom))
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    denom: int = 1000,
+) -> DataFrame:
+    """Deterministic disjoint split assignment: adds a `split` column
+    ('train'/'val'/'test'/...) chosen by consecutive hash-slot ranges in
+    weight proportion. Every row gets exactly one split; the assignment
+    is stable under repartitioning, re-runs, and engine changes (pure
+    integer arithmetic), so train/test contamination can't creep in when
+    the pipeline is re-executed on different cluster geometry. Narrow
+    projection — no shuffle, no sampling action.
+
+    weights must sum to ≤ 1; any remainder falls into the LAST split.
+    """
+    slot = _slot(F.col(id_col), denom)
+    names = list(weights)
+    expr = None
+    acc = 0
+    for name in names[:-1]:
+        acc += int(weights[name] * denom)
+        expr = F.when(slot < acc, F.lit(name)) if expr is None else expr.when(
+            slot < acc, F.lit(name)
+        )
+    out = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", out)
+
+
 def hash_stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -662,3 +662,31 @@ def test_top_bigrams_counts(spark):
     assert out["b c"]["n_docs"] == 1
     assert "x" not in out  # single-word doc produces no bigrams
     assert out["a b"]["rank"] == 1
+
+
+def test_train_val_test_split_disjoint_and_stable(spark):
+    from nsdb_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = sampling.train_val_test_split(
+        df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == 1000          # every row exactly one split
+    assert counts["train"] > 700                  # ~proportional
+    # stable under repartitioning
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {(r["id"], r["split"])
+         for r in sampling.train_val_test_split(
+             df.repartition(13), "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+         ).collect()}
+    assert a == b
+
+
+def test_split_single_bucket_degenerate(spark):
+    from nsdb_spark.operators import sampling
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = sampling.train_val_test_split(df, "id", {"all": 1.0})
+    assert {r["split"] for r in out.collect()} == {"all"}
