@@ -75,3 +75,63 @@ def test_groupby_partial_final_split(sharded_engine):
 def test_temporal_bucket_join_is_broadcast(sharded_engine):
     df = sharded_engine.execute("select sum(value) from planm group by interval 20s")
     assert "BroadcastExchange" in plan_of(df)
+
+
+def test_bm25_df_side_broadcast_and_single_wide_shuffle(spark):
+    """BM25's wide shuffle is the (doc, term) tf aggregate only: the
+    document-frequency side must broadcast (never shuffle the corpus
+    again) and doc length must NOT introduce a doc-keyed join."""
+    from nsdb_spark.operators import ranking
+
+    spark.catalog.clearCache()
+    docs = testdata.table(spark, SF_DIR, "documents")
+    plan = plan_of(ranking.bm25_topk(docs, ["join", "hash", "scan"], k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_filter_pushed_to_scan(spark):
+    from nsdb_spark.operators import analytics
+
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    ev = testdata.events_metric(spark, SF_DIR)
+    plan = plan_of(analytics.histogram(ev, "value", 0.0, 500.0, 20))
+    scan = plan.split("FileScan", 1)[1].split("ReadSchema")[0]
+    assert "GreaterThanOrEqual(value,0.0)" in scan
+    assert plan.count("Exchange hashpartitioning") == 1  # nbins-row agg only
+
+
+def test_window_topk_single_exchange(spark):
+    from nsdb_spark.operators import analytics
+
+    spark.catalog.clearCache()
+    orders = testdata.table(spark, SF_DIR, "orders")
+    plan = plan_of(
+        analytics.topk_per_group(orders, "o_custkey", "o_totalprice", 2, "o_orderkey")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rollup_axis_join_is_broadcast(spark):
+    from nsdb_spark.operators import rollup
+
+    spark.catalog.clearCache()
+    ev = testdata.events_metric(spark, SF_DIR)
+    df = rollup.temporal_agg_via_rollup(
+        spark, ev, 86400000, 604800000, 2592000000, "sum", "sum_value"
+    )
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_assignment_no_shuffle(spark):
+    from nsdb_spark.operators import sampling
+
+    spark.catalog.clearCache()
+    ev = testdata.table(spark, SF_DIR, "events").select("event_id")
+    plan = plan_of(
+        sampling.train_val_test_split(ev, "event_id", {"train": 0.9, "test": 0.1})
+    )
+    assert "Exchange" not in plan
