@@ -95,6 +95,10 @@ def main() -> None:
         "text_scrub_numbers",
         "rollup_temporal_sum",
         "kmeans_cells",
+        "text_bm25_multi",
+        "text_top_bigrams",
+        "sample_split",
+        "graph_pagerank",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -27,6 +27,7 @@ from .operators import (
     clustering,
     dedup,
     embeddings_gemm,
+    graph,
     joins,
     multimodal,
     ranking,
@@ -530,6 +531,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmeans_cells"] = lambda spark, sf: clustering.kmeans_summary(
         _emb(spark, sf), k=8, iters=4
     )
+
+    # --- link analysis over the near-dup graph (iterative: rows-only) ---
+    def _pagerank(spark, sf):
+        pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        nodes = _docs(spark, sf).select(F.col("doc_id").alias("node"))
+        return graph.pagerank(edges, nodes, iters=5)
+
+    q["graph_pagerank"] = _pagerank
 
     # --- ranked retrieval + windowed/statistical analytics ---
     q["text_bm25_topk"] = lambda spark, sf: ranking.bm25_topk(

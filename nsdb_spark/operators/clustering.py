@@ -62,29 +62,34 @@ def kmeans_fit(
 
     Empty cells keep their previous centroid (no re-seeding — keeps the
     run deterministic)."""
-    first = (
-        emb.orderBy(id_col).limit(k).select(_as_double(vec_col).alias("v")).collect()
-    )
-    centroids = [[float(x) for x in r["v"]] for r in first]
-    dim = len(centroids[0])
-    for _ in range(iters):
-        assigned = assign_cells(emb, centroids, vec_col)
-        means = (
-            assigned.select("cell", F.posexplode(_as_double(vec_col)).alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        nxt = [list(c) for c in centroids]
-        touched = set()
-        for r in means:
-            nxt[r["cell"]][r["pos"]] = float(r["m"])
-            touched.add(r["cell"])
-        if not touched:
-            break
-        centroids = nxt
-        assert all(len(c) == dim for c in centroids)
-    return centroids
+    # cast once and cache: every iteration re-reads the vectors, so paying
+    # the parquet scan + float→double cast per iteration would multiply
+    # the dominant cost by `iters`
+    vecs = emb.select(id_col, _as_double(vec_col).alias("__v")).persist()
+    try:
+        first = vecs.orderBy(id_col).limit(k).select("__v").collect()
+        centroids = [[float(x) for x in r["__v"]] for r in first]
+        dim = len(centroids[0])
+        for _ in range(iters):
+            assigned = assign_cells(vecs, centroids, "__v")
+            means = (
+                assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            nxt = [list(c) for c in centroids]
+            touched = set()
+            for r in means:
+                nxt[r["cell"]][r["pos"]] = float(r["m"])
+                touched.add(r["cell"])
+            if not touched:
+                break
+            centroids = nxt
+            assert all(len(c) == dim for c in centroids)
+        return centroids
+    finally:
+        vecs.unpersist()
 
 
 def kmeans_summary(

@@ -690,3 +690,49 @@ def test_split_single_bucket_degenerate(spark):
     df = spark.createDataFrame([(1,), (2,)], "id long")
     out = sampling.train_val_test_split(df, "id", {"all": 1.0})
     assert {r["split"] for r in out.collect()} == {"all"}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from nsdb_spark.operators import graph
+
+    # A <-> B cycle, C dangling, D isolated
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "node string")
+    iters, d, n = 10, 0.85, 4
+    # reference: dense power iteration with uniform dangling redistribution
+    ranks = {v: 1.0 / n for v in "abcd"}
+    out = {"a": ["b", "c"], "b": ["a"], "c": [], "d": []}
+    for _ in range(iters):
+        contribs = {v: 0.0 for v in "abcd"}
+        for u, targets in out.items():
+            for t in targets:
+                contribs[t] += ranks[u] / len(targets)
+        dangling = 1.0 - sum(contribs.values())
+        ranks = {
+            v: (1 - d) / n + d * (contribs[v] + dangling / n) for v in "abcd"
+        }
+    got = {r["node"]: r["rank"] for r in graph.pagerank(edges, nodes, iters=iters).collect()}
+    for v in "abcd":
+        assert abs(got[v] - ranks[v]) < 1e-6, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-5  # mass conserved
+    assert got["a"] > got["c"]  # two in-links beat one
+
+
+def test_rollup_materialize_roundtrip(spark, tmp_path):
+    """The 'written once' story: rollup persisted to parquet, read back,
+    and the coarse query from the stored rollup equals the direct path."""
+    from nsdb_spark.operators import rollup
+
+    df = spark.createDataFrame(
+        [(100, 1.0), (850, 2.0), (990, 4.0)], "timestamp long, value double"
+    )
+    r, bounds = rollup.build_temporal_rollup(df, 100, 1000)
+    path = str(tmp_path / "rollup")
+    r.write.parquet(path)
+    stored = spark.read.parquet(path)
+    direct = rollup.temporal_agg_via_rollup(spark, df, 100, 500, 1000, "sum", "s")
+    from_stored = rollup.temporal_from_rollup(spark, stored, bounds, 100, 500, "sum", "s")
+    key = lambda d: {r["upper_bound"]: r["s"] for r in d.collect()}
+    assert key(from_stored) == key(direct)
