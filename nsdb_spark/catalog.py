@@ -117,6 +117,43 @@ class Warehouse:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    # -- rollup registry ----------------------------------------------------
+    # Materialized temporal rollups (operators/rollup.py). rollups.json
+    # maps fine_ms -> {lower, upper} (the pinned bucket-axis bounds the
+    # rollup was built against). ANY write to the metric invalidates all
+    # of its rollups — the engine falls back to the raw path until a
+    # re-materialization (or incremental merge) runs.
+    def rollup_path(self, db: str, ns: str, metric: str, fine_ms: int) -> str:
+        return os.path.join(self.metric_path(db, ns, metric), "rollups", str(fine_ms))
+
+    def _rollup_meta_path(self, db: str, ns: str, metric: str) -> str:
+        return os.path.join(self.metric_path(db, ns, metric), "rollups", "rollups.json")
+
+    def register_rollup(
+        self, db: str, ns: str, metric: str, fine_ms: int, bounds: tuple[int, int]
+    ) -> None:
+        meta = self.rollups(db, ns, metric)
+        meta[fine_ms] = bounds
+        p = self._rollup_meta_path(db, ns, metric)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): list(v) for k, v in meta.items()}, fh)
+        os.replace(tmp, p)
+
+    def rollups(self, db: str, ns: str, metric: str) -> dict[int, tuple[int, int]]:
+        p = self._rollup_meta_path(db, ns, metric)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as fh:
+            raw = json.load(fh)
+        return {int(k): (v[0], v[1]) for k, v in raw.items()}
+
+    def invalidate_rollups(self, db: str, ns: str, metric: str) -> None:
+        d = os.path.join(self.metric_path(db, ns, metric), "rollups")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
     # -- drop / retention ---------------------------------------------------
     def drop_metric(self, db: str, ns: str, metric: str) -> None:
         p = self.metric_path(db, ns, metric)

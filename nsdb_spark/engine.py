@@ -90,6 +90,9 @@ class NsdbEngine:
             .partitionBy(SHARD_COL)
             .parquet(self.warehouse.data_path(db, ns, metric))
         )
+        # new data ⇒ any materialized rollup is stale; queries fall back to
+        # the raw path until materialize_rollup runs again
+        self.warehouse.invalidate_rollups(db, ns, metric)
         return len(bits)
 
     # ------------------------------------------------------------- read path
@@ -154,6 +157,9 @@ class NsdbEngine:
         parsed = analyzer.analyze(stmt, schema)
         ctx = time_context or TimeContext(self.now_fn())
         info = self.warehouse.get_info(db, ns, stmt.metric)
+        routed = self._route_via_rollup(db, ns, stmt, parsed, info)
+        if routed is not None:
+            return routed
         df = self.read_metric(db, ns, stmt.metric)
         df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])
         compiler = QueryCompiler(
@@ -264,7 +270,81 @@ class NsdbEngine:
                     shutil.move(src, dst)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        self.warehouse.invalidate_rollups(db, ns, stmt.metric)
         return len(affected)
+
+    # ------------------------------------------------------------- rollups
+    #: aggregations answerable from rollup partials (count-distinct is not
+    #: mergeable without sketches; min carries the zero-skip quirk — both
+    #: stay on the raw path)
+    _ROLLUP_AGGS = frozenset({ast.AGG_COUNT, ast.AGG_SUM, ast.AGG_MAX, ast.AGG_AVG})
+
+    def materialize_rollup(self, db: str, ns: str, metric: str, fine_ms: int) -> tuple[int, int]:
+        """Build + persist the fine-grained temporal rollup for a metric
+        (the facet-index analogue — SURVEY.md §4 row 3). Subsequent
+        `GROUP BY INTERVAL n` queries whose interval is a multiple of
+        fine_ms (no WHERE / SINCE / count-distinct / min) are answered
+        from the rollup without scanning raw data. Any write invalidates
+        it; re-run to refresh. Returns the pinned (lower, upper) bounds.
+        """
+        from .operators import rollup as rollup_ops
+
+        info = self.warehouse.get_info(db, ns, metric)
+        si = info["shardInterval"]
+        locations = self.warehouse.locations(db, ns, metric)
+        if not locations:
+            raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
+        # anchor to the SHARD grid exactly like the raw temporal path
+        # (compiler derives bucket bounds from locations when available)
+        bounds = (min(locations), max(locations) + si)
+        df = self.read_metric(db, ns, metric).drop(SHARD_COL)
+        r, _ = rollup_ops.build_temporal_rollup(df, fine_ms, si, bounds=bounds)
+        path = self.warehouse.rollup_path(db, ns, metric, fine_ms)
+        r.write.mode("overwrite").parquet(path)
+        self.warehouse.register_rollup(db, ns, metric, fine_ms, bounds)
+        return bounds
+
+    def _route_via_rollup(self, db, ns, stmt, parsed, info):
+        """Return a rollup-served DataFrame for an eligible temporal query,
+        else None (raw path). Eligible: temporal agg in _ROLLUP_AGGS, no
+        WHERE, no SINCE, interval a multiple of a registered fresh rollup.
+        ORDER BY timestamp and LIMIT keep their quirk semantics (takeRight)."""
+        from .analyzer import ParsedTemporalAggregatedQuery
+        from .compiler import agg_alias
+        from .operators import rollup as rollup_ops
+
+        if not isinstance(parsed, ParsedTemporalAggregatedQuery):
+            return None
+        if stmt.condition is not None or parsed.grace_period_ms is not None:
+            return None
+        if parsed.aggregation.kind not in self._ROLLUP_AGGS:
+            return None
+        if stmt.order and stmt.order.dimension != "timestamp":
+            return None
+        registered = self.warehouse.rollups(db, ns, stmt.metric)
+        fines = [f for f in registered if parsed.interval_ms % f == 0]
+        if not fines:
+            return None
+        fine = max(fines)  # coarsest usable grain = fewest rows scanned
+        bounds = registered[fine]
+        locations = self.warehouse.locations(db, ns, stmt.metric)
+        si = info["shardInterval"]
+        if not locations or bounds != (min(locations), max(locations) + si):
+            return None  # axis moved (e.g. retention dropped shards) — stale
+        stored = self.spark.read.parquet(
+            self.warehouse.rollup_path(db, ns, stmt.metric, fine)
+        )
+        return rollup_ops.temporal_from_rollup(
+            self.spark,
+            stored,
+            bounds,
+            fine,
+            parsed.interval_ms,
+            parsed.aggregation.kind,
+            agg_alias(parsed.aggregation),
+            limit=stmt.limit.value if stmt.limit else None,
+            descending=bool(stmt.order and stmt.order.descending),
+        )
 
     # ------------------------------------------------------------- pruning
     def _prune_shards(self, df, condition, ctx, shard_interval: int):

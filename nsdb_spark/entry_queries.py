@@ -518,13 +518,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- pre-aggregated rollup path (facet-index analogue, SURVEY §4 r3):
     # result-identical to the raw temporal path, validated by the SAME
     # backward-aligned oracle as the direct queries ---
-    q["rollup_temporal_sum"] = lambda spark, sf: rollup.temporal_agg_via_rollup(
-        spark, testdata.events_metric(spark, sf), fine_ms=86400000,
-        coarse_ms=604800000, shard_ms=SHARD, agg="sum", alias="sum_value",
+    q["rollup_temporal_sum"] = lambda spark, sf: _round(
+        rollup.temporal_agg_via_rollup(
+            spark, testdata.events_metric(spark, sf), fine_ms=86400000,
+            coarse_ms=604800000, shard_ms=SHARD, agg="sum", alias="sum_value",
+        ),
+        {"sum_value": 3},
     )
-    q["rollup_temporal_avg"] = lambda spark, sf: rollup.temporal_agg_via_rollup(
-        spark, testdata.events_metric(spark, sf), fine_ms=43200000,
-        coarse_ms=172800000, shard_ms=SHARD, agg="avg", alias="avg_value",
+    q["rollup_temporal_avg"] = lambda spark, sf: _round(
+        rollup.temporal_agg_via_rollup(
+            spark, testdata.events_metric(spark, sf), fine_ms=43200000,
+            coarse_ms=172800000, shard_ms=SHARD, agg="avg", alias="avg_value",
+        ),
+        {"avg_value": 3},
     )
 
     # --- iterative clustering (not SQL-expressible: rows-only check) ---

@@ -54,7 +54,13 @@ def build_temporal_rollup(
     the same upper anchor; at scale that anchor is the fixed shard grid).
     """
     lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
-    k = F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)).alias("k")
+    # clamp into the axis: ts == lower belongs to the truncated oldest
+    # bucket, same as the raw temporal compiler's F.least(..., n-1)
+    n_fine = -((upper - lower) // -fine_ms)  # ceil
+    k = F.least(
+        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
+        F.lit(n_fine - 1),
+    ).alias("k")
     rollup = (
         metric_df.filter(
             (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
@@ -96,37 +102,42 @@ def temporal_from_rollup(
     coarse_ms: int,
     agg: str,
     alias: str,
+    limit: int | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """Answer `... GROUP BY INTERVAL <coarse>` from the fine rollup.
 
-    coarse_ms must be a multiple of fine_ms. Output schema matches the
-    raw-path temporal compiler exactly: (timestamp, lower_bound,
-    upper_bound, <alias>) with empty buckets emitted as 0 — so the SAME
-    DuckDB oracle validates both paths.
+    coarse_ms must be a multiple of fine_ms. Output contract matches the
+    raw-path temporal compiler exactly — (timestamp, lower_bound,
+    upper_bound, <alias>), empty buckets emitted as 0, LIMIT = takeRight
+    of the time-sorted axis (post_proc/package.scala:62-66 semantics),
+    rows ordered by timestamp — so the SAME DuckDB oracle validates both
+    paths and the engine can route eligible queries here transparently.
+    Values are raw (no rounding): presentation rounding is the caller's.
     """
     if coarse_ms % fine_ms:
         raise ValueError("coarse interval must be a multiple of the rollup grain")
     lower, upper = bounds
     m = coarse_ms // fine_ms
-    merged = rollup.groupBy((F.col("k") / m).cast("long").alias("kc")).agg(
+    n = -((upper - lower) // -coarse_ms)  # ceil
+    merged = rollup.groupBy(
+        F.least(F.floor(F.col("k") / m), F.lit(n - 1)).alias("kc")
+    ).agg(
         F.sum("count_value").alias("count_value"),
         F.sum("sum_value").alias("sum_value"),
         F.max("max_value").alias("max_value"),
     )
-    zero = F.lit(0.0)
     if agg == "count":
         v = F.col("count_value")
-        zero = F.lit(0).cast("long")  # type parity with the raw count path
     elif agg == "sum":
-        v = F.round(F.col("sum_value"), 3)
+        v = F.col("sum_value")
     elif agg == "avg":
-        v = F.round(F.col("sum_value") / F.col("count_value"), 3)
+        v = F.col("sum_value") / F.col("count_value")
     elif agg == "max":
         v = F.col("max_value")
     else:
         raise ValueError(f"aggregation {agg!r} is not rollup-mergeable")
 
-    n = -((upper - lower) // -coarse_ms)  # ceil
     axis = spark.range(n).select(
         F.col("id").alias("kc"),
         (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
@@ -134,15 +145,22 @@ def temporal_from_rollup(
             F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
         ).alias("lower_bound"),
     )
-    return (
-        axis.join(F.broadcast(merged), "kc", "left")
-        .select(
-            F.col("upper_bound").alias("timestamp"),
-            "lower_bound",
-            "upper_bound",
-            F.coalesce(v, zero).alias(alias),
-        )
+    out = axis.join(F.broadcast(merged), "kc", "left").select(
+        F.col("upper_bound").alias("timestamp"),
+        "lower_bound",
+        "upper_bound",
+        F.coalesce(v, F.lit(0)).alias(alias),
+        "kc",
     )
+    if limit is not None:
+        out = (
+            out.filter(F.col("kc") < limit)
+            if not descending
+            else out.filter(F.col("kc") >= n - limit)
+        )
+    out = out.drop("kc")
+    order = F.col("timestamp").desc() if descending else F.col("timestamp").asc()
+    return out.orderBy(order)
 
 
 def temporal_agg_via_rollup(

@@ -516,3 +516,83 @@ def test_compaction_merges_small_files(engine):
     assert len(files_in(200000)) == other_before  # untouched shard preserved
     after = engine.execute("select * from fragm order by timestamp").collect()
     assert after == before
+
+
+# ------------------------------------------------------------ rollup routing
+
+
+def _rows(df):
+    return [
+        (r["timestamp"], r["lower_bound"], r["upper_bound"], r[df.columns[-1]])
+        for r in df.collect()
+    ]
+
+
+def test_rollup_route_matches_raw_path(engine, spark):
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    load(engine, "rm", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    for sql in [
+        "select count(*) from rm group by interval 2 s",
+        "select sum(value) from rm group by interval 2 s",
+        "select max(value) from rm group by interval 4 s",
+        "select avg(value) from rm group by interval 2 s",
+        "select count(*) from rm group by interval 2 s limit 3",
+        "select count(*) from rm group by interval 2 s order by timestamp desc limit 2",
+    ]:
+        raw = _rows(engine.execute(sql))
+        engine.materialize_rollup("default", "default", "rm", 1000)
+        routed_df = engine.execute(sql)
+        # the routed plan must scan the rollup store, not the raw data dir
+        plan = routed_df._jdf.queryExecution().executedPlan().toString()
+        # the rollup scan is identifiable by its partial-aggregate schema
+        assert "struct<k:bigint" in plan, sql
+        assert _rows(routed_df) == raw, sql
+        engine.warehouse.invalidate_rollups("default", "default", "rm")
+
+
+def test_rollup_route_fallback_cases(engine, spark):
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    load(engine, "rf", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_rollup("default", "default", "rf", 1000)
+
+    def plan_has_rollup(sql, **kw):
+        df = engine.execute(sql, **kw)
+        return "struct<k:bigint" in df._jdf.queryExecution().executedPlan().toString()
+
+    assert plan_has_rollup("select count(*) from rf group by interval 2 s")
+    # WHERE, SINCE, min, count distinct, non-multiple interval: raw path
+    assert not plan_has_rollup(
+        "select count(*) from rf group by interval 2 s since 5 s"
+    )
+    assert not plan_has_rollup(
+        "select count(*) from rf where value > 1 group by interval 2 s"
+    )
+    assert not plan_has_rollup("select min(value) from rf group by interval 2 s")
+    assert not plan_has_rollup(
+        "select count(distinct value) from rf group by interval 2 s"
+    )
+    # interval not a multiple of any registered grain: raw path
+    engine.warehouse.invalidate_rollups("default", "default", "rf")
+    engine.materialize_rollup("default", "default", "rf", 2000)
+    assert not plan_has_rollup("select count(*) from rf group by interval 3 s")
+    assert plan_has_rollup("select count(*) from rf group by interval 4 s")
+
+
+def test_rollup_invalidated_by_write(engine, spark):
+    from nsdb_spark.model import Bit
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    load(engine, "ri", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_rollup("default", "default", "ri", 1000)
+    sql = "select count(*) from ri group by interval 2 s"
+    before = engine.execute(sql)
+    assert "struct<k:bigint" in before._jdf.queryExecution().executedPlan().toString()
+    total_before = sum(r[3] for r in _rows(before))  # collect BEFORE the write
+    engine.insert_bits("default", "default", "ri", [Bit(1500, 7, {}, {"name": "x"})])
+    after = engine.execute(sql)
+    # stale rollup dropped -> raw path, and the new bit is counted
+    assert "struct<k:bigint" not in after._jdf.queryExecution().executedPlan().toString()
+    total_after = sum(r[3] for r in _rows(after))
+    assert total_after == total_before + 1
