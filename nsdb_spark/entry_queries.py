@@ -44,6 +44,8 @@ SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
 
 #: BM25 query terms — high/mid/low df in the synthetic corpus
 BM25_TERMS = ["join", "hash", "scan"]
+#: exact token-contiguous phrase for the phrase-retrieval variant
+BM25_PHRASE = "table scan"
 #: batch-scoring query set (overlapping term lists exercise the shared
 #: per-term computation)
 BM25_QUERIES = {
@@ -596,6 +598,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bm25_multi"] = lambda spark, sf: ranking.bm25_topk_multi(
         _docs(spark, sf), BM25_QUERIES, k=5
     )
+    q["text_bm25_and"] = lambda spark, sf: ranking.bm25_topk_and(
+        _docs(spark, sf), BM25_TERMS, k=15
+    )
+    q["text_bm25_phrase"] = lambda spark, sf: ranking.bm25_topk_phrase(
+        _docs(spark, sf), BM25_PHRASE, k=15
+    )
     q["text_top_bigrams"] = lambda spark, sf: text.top_bigrams(_docs(spark, sf), k=20)
     q["sample_split"] = lambda spark, sf: sampling.train_val_test_split(
         testdata.table(spark, sf, "events").select("event_id"),
@@ -869,6 +877,10 @@ FROM sess GROUP BY 1, 2
 
     o["text_bm25_topk"] = ranking.bm25_oracle_sql(BM25_TERMS, k=15)
     o["text_bm25_multi"] = ranking.bm25_multi_oracle_sql(BM25_QUERIES, k=5)
+    o["text_bm25_and"] = ranking.bm25_oracle_sql(BM25_TERMS, k=15, conjunctive=True)
+    o["text_bm25_phrase"] = ranking.bm25_oracle_sql(
+        sorted(set(BM25_PHRASE.split())), k=15, phrase=BM25_PHRASE
+    )
     o["text_top_bigrams"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 p AS (SELECT doc_id,

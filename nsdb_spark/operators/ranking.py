@@ -18,6 +18,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(doc_id, score, rank) for the k best of `scored`.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — each partition
+    keeps only its local top-k, the driver merges k·P rows — so the global
+    rank window (which would otherwise pull EVERY scored doc into one
+    partition) runs over ≤ k rows. Ties break by doc_id for determinism.
+    """
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def _per_term_scores(
     docs: DataFrame,
     all_terms: list[str],
@@ -73,12 +89,7 @@ def bm25_topk(
     """
     per_term = _per_term_scores(docs, query_terms, k1, b, text_col)
     scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", F.round("score", 6).alias("score"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def bm25_topk_multi(
@@ -118,11 +129,85 @@ def bm25_topk_multi(
     )
 
 
+def bm25_topk_and(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive retrieval: BM25 top-k restricted to documents that
+    contain EVERY query term (Lucene `+term` / `AND` semantics).
+
+    Same single wide shuffle as the OR path — the AND constraint is a
+    post-aggregate HAVING (per-(doc,term) rows are distinct, so matched
+    terms per doc = row count), not an extra join, so the plan shape and
+    shuffle volume are identical to `bm25_topk`.
+    """
+    nt = len(set(query_terms))
+    per_term = _per_term_scores(docs, query_terms, k1, b, text_col)
+    scored = (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"), F.count(F.lit(1)).alias("__nt"))
+        .filter(F.col("__nt") == nt)
+        .drop("__nt")
+    )
+    return _rank_topk(scored, k)
+
+
+def bm25_topk_phrase(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase retrieval: documents containing the exact token-contiguous
+    phrase, ranked by BM25 over the phrase's terms.
+
+    Corpus statistics (N, avgdl, df) stay corpus-wide — standard phrase
+    scoring — so the phrase match is a cheap narrow substring predicate
+    on the space-padded text (token-aligned because the tokenizer is
+    single-space split), evaluated in the scan before any shuffle, and
+    the match set joins the scored set as a co-partitioned semi join on
+    doc_id (the groupBy already partitioned by doc_id; only the thin
+    doc_id column shuffles on the other side).
+    """
+    terms = sorted(set(phrase.split()))
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    hits = docs.filter(padded.contains(f" {phrase} ")).select("doc_id")
+    per_term = _per_term_scores(docs, terms, k1, b, text_col)
+    scored = (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .join(hits, "doc_id", "semi")
+    )
+    return _rank_topk(scored, k)
+
+
 def bm25_oracle_sql(
-    query_terms: list[str], k: int = 15, k1: float = 1.2, b: float = 0.75
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    conjunctive: bool = False,
+    phrase: str | None = None,
 ) -> str:
-    """DuckDB oracle with identical arithmetic/parenthesization."""
+    """DuckDB oracle with identical arithmetic/parenthesization.
+
+    conjunctive=True adds the AND-semantics HAVING; phrase adds the
+    token-aligned substring filter (same padded-contains expression as
+    the Spark side)."""
     terms = ", ".join(f"'{t}'" for t in query_terms)
+    having = f"HAVING count(*) = {len(set(query_terms))}" if conjunctive else ""
+    phrase_join = (
+        f"""JOIN (SELECT doc_id FROM documents
+              WHERE contains(' ' || text || ' ', ' {phrase} ')) h USING (doc_id)"""
+        if phrase
+        else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -140,10 +225,10 @@ per_term AS (
            / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / params.avgdl)) AS s
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), params
 ),
-scored AS (SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id),
+scored AS (SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id {having}),
 ranked AS (SELECT doc_id, score,
                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-           FROM scored)
+           FROM scored {phrase_join})
 SELECT doc_id, round(score, 6) AS score, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= {k}
 """

@@ -432,6 +432,47 @@ def test_bm25_rarer_term_outscores_common(spark):
     assert out[8] > out[9]
 
 
+def test_bm25_and_requires_all_terms(spark):
+    from nsdb_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta"),          # missing gamma -> excluded
+            (2, "alpha alpha beta gamma gamma"),
+            (3, "delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ranking.bm25_topk_and(docs, ["alpha", "beta", "gamma"], k=10).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {0, 2}
+    # AND result = OR result restricted to full-match docs (same scores)
+    or_scores = {
+        r["doc_id"]: r["score"]
+        for r in ranking.bm25_topk(docs, ["alpha", "beta", "gamma"], k=10).collect()
+    }
+    for r in out:
+        assert r["score"] == or_scores[r["doc_id"]]
+
+
+def test_bm25_phrase_token_contiguous_only(spark):
+    from nsdb_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [
+            (0, "full table scan today"),       # contains phrase
+            (1, "table x scan"),                # both terms, not contiguous
+            (2, "scan table"),                  # reversed order
+            (3, "a tabletable scanscan b"),     # substring but not token-aligned
+            (4, "table scan"),                  # phrase only
+        ],
+        "doc_id long, text string",
+    )
+    out = ranking.bm25_topk_phrase(docs, "table scan", k=10).collect()
+    assert {r["doc_id"] for r in out} == {0, 4}
+
+
 def test_topk_per_group(spark):
     from nsdb_spark.operators import analytics
 

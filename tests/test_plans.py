@@ -88,6 +88,21 @@ def test_bm25_df_side_broadcast_and_single_wide_shuffle(spark):
     plan = plan_of(ranking.bm25_topk(docs, ["join", "hash", "scan"], k=5))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # global top-k must be TakeOrdered (per-partition k), never a
+    # single-partition global rank window over every scored doc
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_phrase_filter_before_shuffle(spark):
+    """The phrase predicate is a narrow scan-side filter; the final
+    top-k is TakeOrdered, not a global window."""
+    from nsdb_spark.operators import ranking
+
+    spark.catalog.clearCache()
+    docs = testdata.table(spark, SF_DIR, "documents")
+    plan = plan_of(ranking.bm25_topk_phrase(docs, "table scan", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_histogram_filter_pushed_to_scan(spark):
