@@ -138,6 +138,35 @@ def stream_sliding_agg(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    watermark_ms: int,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming exact deduplication: emit ONE event per key, dropping
+    duplicates that arrive within `watermark_ms` of it. The survivor is
+    the first occurrence in processing order (not event-time order —
+    within a micro-batch task scheduling decides; pre-aggregate with
+    min_by upstream if earliest-event-wins matters).
+
+    Built on dropDuplicatesWithinWatermark, so dedup state is BOUNDED: a
+    key's entry is evicted once the watermark passes its event time plus
+    the delay, meaning state size tracks the duplicate-arrival horizon,
+    not the full key history — the property that keeps this viable on an
+    unbounded 100 TB/day ingest stream (a plain dropDuplicates would
+    accumulate every key ever seen). Duplicates separated by more than
+    the horizon are NOT caught here; the batch dedup operators
+    (operators/dedup.py) own cross-horizon dedup in compaction.
+
+    The event-time column rides along as a millisecond timestamp; output
+    schema is the input schema (append mode)."""
+    df = stream_df.withColumn(
+        "__evt", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("__evt", f"{watermark_ms / 1000.0} seconds")
+    return df.dropDuplicatesWithinWatermark(key_cols).drop("__evt")
+
+
 def stream_enrich(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFrame:
     """Stream-static dimension enrichment: broadcast the static side so
     each micro-batch joins map-side with no shuffle — the standard shape

@@ -231,6 +231,45 @@ def test_stream_sliding_agg_overlap(spark, tmp_path):
     assert rows[(5000, 15000)] == (1, 20.0)
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """First event per key wins; duplicates inside the watermark horizon
+    are dropped (including across micro-batches via checkpointed state);
+    state for old keys is evicted once the watermark passes."""
+    from nsdb_spark.streaming.ingest import stream_dedup
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "timestamp long, value double, doc_key string"
+        ).parquet(src)
+        return _run_stream(
+            stream_dedup(stream, ["doc_key"], watermark_ms=10000),
+            ck,
+            mode="append",
+        )
+
+    spark.createDataFrame(
+        [(1000, 1.0, "a"), (1500, 2.0, "a"), (2000, 3.0, "b")],
+        "timestamp long, value double, doc_key string",
+    ).write.mode("append").parquet(src)
+    first = run_once()
+    # exactly one survivor per key (which duplicate wins is processing-
+    # order dependent within a batch — both are valid)
+    assert sorted(r[2] for r in first) == ["a", "b"]
+    assert [r for r in first if r[2] == "a"][0][1] in (1.0, 2.0)
+
+    # second batch: in-horizon duplicate of "a" dropped via restored state,
+    # new key "c" emitted
+    spark.createDataFrame(
+        [(3000, 9.0, "a"), (3500, 4.0, "c")],
+        "timestamp long, value double, doc_key string",
+    ).write.mode("append").parquet(src)
+    second = run_once()
+    assert sorted(r[2] for r in second) == ["c"]
+
+
 def test_stream_enrich_broadcast_join(spark, tmp_path):
     from nsdb_spark.streaming.ingest import stream_enrich
 
