@@ -149,6 +149,32 @@ class Warehouse:
             raw = json.load(fh)
         return {int(k): (v[0], v[1]) for k, v in raw.items()}
 
+    # group rollups: per-group mergeable partials keyed by group field.
+    # Tracked in a separate meta file (group_rollups.json) in the same
+    # rollups dir, so invalidate_rollups drops both kinds at once.
+    def group_rollup_path(self, db: str, ns: str, metric: str, field: str) -> str:
+        return os.path.join(self.metric_path(db, ns, metric), "rollups", f"group_{field}")
+
+    def _group_rollup_meta_path(self, db: str, ns: str, metric: str) -> str:
+        return os.path.join(self.metric_path(db, ns, metric), "rollups", "group_rollups.json")
+
+    def register_group_rollup(self, db: str, ns: str, metric: str, field: str) -> None:
+        fields = self.group_rollups(db, ns, metric)
+        fields.add(field)
+        p = self._group_rollup_meta_path(db, ns, metric)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(fields), fh)
+        os.replace(tmp, p)
+
+    def group_rollups(self, db: str, ns: str, metric: str) -> set[str]:
+        p = self._group_rollup_meta_path(db, ns, metric)
+        if not os.path.isfile(p):
+            return set()
+        with open(p) as fh:
+            return set(json.load(fh))
+
     def invalidate_rollups(self, db: str, ns: str, metric: str) -> None:
         d = os.path.join(self.metric_path(db, ns, metric), "rollups")
         if os.path.isdir(d):

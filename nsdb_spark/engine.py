@@ -304,15 +304,51 @@ class NsdbEngine:
         self.warehouse.register_rollup(db, ns, metric, fine_ms, bounds)
         return bounds
 
+    #: group-by aggs answerable from per-group partials. Group-by MIN has
+    #: no cross-shard zero-skip quirk (that is temporal-only), so it IS
+    #: rollup-servable here. first/last/count-distinct stay raw.
+    _GROUP_ROLLUP_AGGS = frozenset(
+        {ast.AGG_COUNT, ast.AGG_SUM, ast.AGG_MIN, ast.AGG_MAX, ast.AGG_AVG}
+    )
+
+    def materialize_group_rollup(self, db: str, ns: str, metric: str, field: str) -> int:
+        """Build + persist per-group mergeable partials (n, sum, min, max
+        of value) keyed by a tag/dimension. Subsequent `GROUP BY <field>`
+        queries with count/sum/min/max/avg on value (no WHERE, no
+        DISTINCT) are answered from this table — at scale it has one row
+        per group value versus the raw metric's row per point, so a
+        dashboard group-by scans kilobytes. The partials are additive
+        (count/sum) or re-reducible (min/max), so per-batch increments
+        can be merged without rescanning history — same maintenance model
+        as operators/rollup.merge_rollups. Returns the group count."""
+        df = self.read_metric(db, ns, metric)
+        schema = self.warehouse.get_schema(db, ns, metric)
+        if schema.field_class(field) is None:
+            raise ValueError(f"unknown group field {field!r}")
+        r = df.groupBy(field).agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        path = self.warehouse.group_rollup_path(db, ns, metric, field)
+        r.write.mode("overwrite").parquet(path)
+        self.warehouse.register_group_rollup(db, ns, metric, field)
+        return self.spark.read.parquet(path).count()
+
     def _route_via_rollup(self, db, ns, stmt, parsed, info):
-        """Return a rollup-served DataFrame for an eligible temporal query,
-        else None (raw path). Eligible: temporal agg in _ROLLUP_AGGS, no
-        WHERE, no SINCE, interval a multiple of a registered fresh rollup.
-        ORDER BY timestamp and LIMIT keep their quirk semantics (takeRight)."""
-        from .analyzer import ParsedTemporalAggregatedQuery
+        """Return a rollup-served DataFrame for an eligible temporal or
+        group-by query, else None (raw path). Temporal: agg in
+        _ROLLUP_AGGS, no WHERE, no SINCE, interval a multiple of a
+        registered fresh rollup; ORDER BY timestamp and LIMIT keep their
+        quirk semantics (takeRight). Group-by: agg on value in
+        _GROUP_ROLLUP_AGGS, no WHERE, field has a registered rollup."""
+        from .analyzer import ParsedAggregatedQuery, ParsedTemporalAggregatedQuery
         from .compiler import agg_alias
         from .operators import rollup as rollup_ops
 
+        if isinstance(parsed, ParsedAggregatedQuery):
+            return self._route_group_via_rollup(db, ns, stmt, parsed)
         if not isinstance(parsed, ParsedTemporalAggregatedQuery):
             return None
         if stmt.condition is not None or parsed.grace_period_ms is not None:
@@ -346,6 +382,38 @@ class NsdbEngine:
             descending=bool(stmt.order and stmt.order.descending),
         )
 
+    def _route_group_via_rollup(self, db, ns, stmt, parsed):
+        from .compiler import agg_alias
+
+        a = parsed.aggregation
+        if stmt.condition is not None:
+            return None
+        if a.kind not in self._GROUP_ROLLUP_AGGS or a.target != "value":
+            return None
+        if parsed.group_field not in self.warehouse.group_rollups(db, ns, stmt.metric):
+            return None
+        stored = self.spark.read.parquet(
+            self.warehouse.group_rollup_path(db, ns, stmt.metric, parsed.group_field)
+        )
+        alias = agg_alias(a)
+        v = {
+            ast.AGG_COUNT: F.col("n"),
+            ast.AGG_SUM: F.col("sum_value"),
+            ast.AGG_MIN: F.col("min_value"),
+            ast.AGG_MAX: F.col("max_value"),
+            ast.AGG_AVG: F.col("sum_value") / F.col("n"),
+        }[a.kind]
+        out = stored.select(parsed.group_field, v.alias(alias))
+        if stmt.order:
+            # ORDER BY value sorts by the aggregate, same as the raw path
+            target = alias if stmt.order.dimension == "value" else parsed.group_field
+            out = out.orderBy(
+                F.col(target).desc() if stmt.order.descending else F.col(target).asc()
+            )
+        if stmt.limit:
+            out = out.limit(stmt.limit.value)
+        return out
+
     # ------------------------------------------------------------- pruning
     def _prune_shards(self, df, condition, ctx, shard_interval: int):
         """Turn WHERE-implied time intervals into shard_start predicates so
@@ -371,7 +439,13 @@ class NsdbEngine:
         retention = self.warehouse.get_info(db, ns, metric)["retention"]
         if not retention:
             return []
-        return self.warehouse.drop_shards_older_than(db, ns, metric, self.now_fn() - retention)
+        dropped = self.warehouse.drop_shards_older_than(
+            db, ns, metric, self.now_fn() - retention
+        )
+        if dropped:
+            # evicted shards change every aggregate — rollups are stale
+            self.warehouse.invalidate_rollups(db, ns, metric)
+        return dropped
 
     # ------------------------------------------------------------- compaction
     def compact_metric(

@@ -400,6 +400,33 @@ def test_retention_eviction(engine):
     assert rows(engine.execute("select count(*) from m")) == [(0,)]
 
 
+def test_retention_eviction_invalidates_rollups(engine):
+    engine.warehouse.init_metric(
+        "default", "default", "rr", shard_interval_ms=1000, retention_ms=2000
+    )
+    engine.now_fn = lambda: 1_000
+    engine.insert_bits(
+        "default", "default", "rr", [Bit(500, 1, {}, {"name": "a"})]
+    )
+    engine.now_fn = lambda: 4_600
+    engine.insert_bits(
+        "default", "default", "rr", [Bit(4500, 2, {}, {"name": "b"})]
+    )
+    engine.materialize_rollup("default", "default", "rr", 500)
+    engine.materialize_group_rollup("default", "default", "rr", "name")
+    assert engine.warehouse.rollups("default", "default", "rr")
+    assert engine.warehouse.group_rollups("default", "default", "rr")
+    engine.now_fn = lambda: 5_000
+    assert engine.enforce_retention("default", "default", "rr") == [0]
+    # evicted shard changed every aggregate -> both rollup kinds dropped
+    assert not engine.warehouse.rollups("default", "default", "rr")
+    assert not engine.warehouse.group_rollups("default", "default", "rr")
+    got = sorted(tuple(r) for r in engine.execute(
+        "select sum(value) from rr group by name"
+    ).collect())
+    assert got == [("b", 2.0)] or got == [("b", 2)]
+
+
 # ---------------------------------------------------------------- enrichment
 
 
@@ -578,6 +605,57 @@ def test_rollup_route_fallback_cases(engine, spark):
     engine.materialize_rollup("default", "default", "rf", 2000)
     assert not plan_has_rollup("select count(*) from rf group by interval 3 s")
     assert plan_has_rollup("select count(*) from rf group by interval 4 s")
+
+
+def _is_group_rollup_plan(plan: str) -> bool:
+    # the rollup scan is identifiable by its partial columns in ReadSchema
+    # (the FileScan location string is truncated in plan output)
+    return any(
+        m in plan
+        for m in ("sum_value:", "min_value:", "max_value:", ",n:bigint", "<n:bigint")
+    )
+
+
+def test_group_rollup_route_matches_raw_path(engine, spark):
+    from fixtures import LONG_METRIC, load
+
+    load(engine, "gm", LONG_METRIC, shard_interval_ms=10000)
+    for sql in [
+        "select count(*) from gm group by name",
+        "select sum(value) from gm group by name",
+        "select min(value) from gm group by name",
+        "select max(value) from gm group by name",
+        "select avg(value) from gm group by name",
+        "select sum(value) from gm group by name order by value desc limit 2",
+        "select count(*) from gm group by name order by name",
+    ]:
+        raw = sorted(tuple(r) for r in engine.execute(sql).collect())
+        engine.materialize_group_rollup("default", "default", "gm", "name")
+        routed_df = engine.execute(sql)
+        plan = routed_df._jdf.queryExecution().executedPlan().toString()
+        assert _is_group_rollup_plan(plan), sql
+        assert sorted(tuple(r) for r in routed_df.collect()) == raw, sql
+        engine.warehouse.invalidate_rollups("default", "default", "gm")
+
+
+def test_group_rollup_fallback_cases(engine, spark):
+    from fixtures import LONG_METRIC, load
+
+    load(engine, "gf", LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_group_rollup("default", "default", "gf", "name")
+
+    def routed(sql):
+        df = engine.execute(sql)
+        return _is_group_rollup_plan(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    assert routed("select sum(value) from gf group by name")
+    # WHERE, count distinct, first/last, other group field: raw path
+    assert not routed("select sum(value) from gf where value > 1 group by name")
+    assert not routed("select count(distinct value) from gf group by name")
+    assert not routed("select first(value) from gf group by name")
+    assert not routed("select last(value) from gf group by name")
 
 
 def test_rollup_invalidated_by_write(engine, spark):
