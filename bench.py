@@ -99,6 +99,9 @@ def main() -> None:
         "text_top_bigrams",
         "sample_split",
         "graph_pagerank",
+        "scale_bucketed_join",  # includes the one-time bucketed write
+        "text_bm25_and",
+        "text_bm25_phrase",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

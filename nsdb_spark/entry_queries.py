@@ -38,7 +38,7 @@ from .operators import (
     temporal_join,
     text,
 )
-from .sources import testdata
+from .sources import bucketed, testdata
 
 SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
 
@@ -491,6 +491,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scale_broadcast_join"] = lambda spark, sf: joins.revenue_by_part_type(
         testdata.table(spark, sf, "lineitem"), testdata.table(spark, sf, "part")
     )
+    q["scale_bucketed_join"] = lambda spark, sf: bucketed.cohort_order_stats(
+        spark,
+        testdata.table(spark, sf, "orders"),
+        testdata.table(spark, sf, "customer"),
+    )
     q["sample_stratified"] = lambda spark, sf: sampling.hash_stratified_sample(
         testdata.events_metric(spark, sf).select(
             "event_id", "event_type", "user_id", "timestamp", "value"
@@ -820,6 +825,15 @@ ranked AS (SELECT *, row_number() OVER
            FROM scored)
 SELECT doc_id, term, tf, df, round(score, 6) AS score, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= 3
+"""
+    o["scale_bucketed_join"] = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
     o["scale_broadcast_join"] = """
 SELECT p_type,

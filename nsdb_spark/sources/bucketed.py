@@ -1,0 +1,98 @@
+"""Bucketed warehouse tables: shuffle-free co-located joins.
+
+NSDb co-locates a metric's index shards with their data on one node
+(ClusterListener.scala shard-allocation, SURVEY.md §4) so per-shard reads
+never cross the network. The Spark-first analogue for JOIN-heavy layouts
+is BUCKETING: both sides of a recurring equi-join are written pre-hashed
+into the same number of buckets on the join key, so every future join is
+a zipped per-bucket sort-merge with NO Exchange on either side — at
+100 TB the shuffle that normally dominates a fact-to-fact join simply
+never happens, every run, forever, for one write-time cost.
+
+Bucket files also pin `spark.sql.shuffle.partitions`-independent
+parallelism: each bucket is a task, so size bucket count to the target
+cluster (e.g. 4096 buckets ≈ 25 GB/bucket at 100 TB).
+
+These are Spark-native managed tables (`bucketBy().sortBy().
+saveAsTable()`), readable by any Spark session sharing the warehouse dir
+— no Hive metastore required for the native catalog.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, name: str, key: str, buckets: int, sort: bool = True
+) -> None:
+    """Persist df as a managed table pre-hashed into `buckets` files on
+    `key` (and sorted within each bucket, enabling merge-join without
+    even a per-bucket sort).
+
+    The default in-memory catalog loses table METADATA between sessions
+    while the warehouse DIRECTORY persists, which makes a bare
+    saveAsTable fail with LOCATION_ALREADY_EXISTS on the next session —
+    so stale unregistered locations are cleared first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, name.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(name)
+
+
+def cohort_order_stats(
+    spark: SparkSession,
+    orders: DataFrame,
+    customer: DataFrame,
+    buckets: int = 8,
+    table_prefix: str = "bkt",
+) -> DataFrame:
+    """Per-market-segment order statistics via a CO-LOCATED join.
+
+    Writes both sides bucketed on the customer key, then joins the
+    bucketed tables: the physical plan has no Exchange under the join —
+    each task merge-joins one (orders-bucket, customer-bucket) pair read
+    straight off storage (asserted in tests/test_plans.py). The only
+    shuffle in the whole query is the final tiny per-segment aggregate.
+
+    Output: (c_mktsegment, n_orders, sum_price, n_customers); the price
+    sum runs in decimal(18,2) so it is exact and addition-order
+    independent (same contract as the oracle), cast once to double.
+    """
+    ot, ct = f"{table_prefix}_orders", f"{table_prefix}_customer"
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        ot,
+        "o_custkey",
+        buckets,
+    )
+    write_bucketed(
+        customer.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        ct,
+        "o_custkey",
+        buckets,
+    )
+    joined = spark.table(ot).join(spark.table(ct), "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )

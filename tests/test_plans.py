@@ -93,6 +93,28 @@ def test_bm25_df_side_broadcast_and_single_wide_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_no_exchange_under_join(spark, tmp_path):
+    """Both sides bucketed on the join key: the sort-merge join reads
+    bucket files directly — no Exchange (shuffle) below the join. The
+    only shuffle in the whole query is the final tiny group-by."""
+    from nsdb_spark.sources import bucketed
+
+    orders = testdata.table(spark, SF_DIR, "orders")
+    customer = testdata.table(spark, SF_DIR, "customer")
+    out = bucketed.cohort_order_stats(
+        spark, orders, customer, buckets=4, table_prefix="plan_bkt"
+    )
+    # hint("merge") pins SMJ (AQE would broadcast this small test dim —
+    # the bucketing claim is about the big-big case broadcast can't serve)
+    joined = spark.table("plan_bkt_orders").hint("merge").join(
+        spark.table("plan_bkt_customer"), "o_custkey"
+    )
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in jplan
+    assert "Exchange" not in jplan  # co-located: zero shuffle for the join
+    assert "SelectedBucketsCount" in jplan
+
+
 def test_bm25_phrase_filter_before_shuffle(spark):
     """The phrase predicate is a narrow scan-side filter; the final
     top-k is TakeOrdered, not a global window."""
