@@ -610,6 +610,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), BM25_PHRASE, k=15
     )
     q["text_top_bigrams"] = lambda spark, sf: text.top_bigrams(_docs(spark, sf), k=20)
+    q["text_repetition"] = lambda spark, sf: text.repetition_scores(_docs(spark, sf))
     q["sample_split"] = lambda spark, sf: sampling.train_val_test_split(
         testdata.table(spark, sf, "events").select("event_id"),
         id_col="event_id",
@@ -906,6 +907,21 @@ c AS (SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 SELECT bigram, n_occurrences, n_docs,
        cast(row_number() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS int) AS rank
 FROM c ORDER BY n_occurrences DESC, bigram ASC LIMIT 20
+"""
+    o["text_repetition"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+b AS (SELECT doc_id, words,
+             list_transform(generate_series(1, cast(len(words)-1 AS bigint)),
+                            i -> words[i] || ' ' || words[i+1]) AS bigrams
+      FROM w)
+SELECT doc_id,
+       cast(len(words) AS bigint) AS n_tokens,
+       round(cast(len(list_distinct(words)) AS double) / len(words), 6)
+         AS uniq_word_frac,
+       round(CASE WHEN len(bigrams) > 0
+                  THEN 1.0 - cast(len(list_distinct(bigrams)) AS double) / len(bigrams)
+                  ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM b
 """
     o["sample_split"] = """
 SELECT event_id,

@@ -211,6 +211,39 @@ def top_bigrams(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFra
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-rule shape, Rae et al.
+    2021 §A1.1): highly repetitive documents are low-quality training
+    data. Per doc:
+
+      n_tokens         token count
+      uniq_word_frac   distinct words / words
+      dup_bigram_frac  1 - distinct adjacent bigrams / bigrams
+
+    All pure expressions over one scan — no shuffle, no UDF; at 100 TB
+    this runs at parquet read speed and composes with clean_corpus as an
+    extra filter stage. Fractions round 6 for the oracle contract;
+    single-word docs define both fractions as 1.0 and 0.0.
+    """
+    words = _words(text_col)
+    nb = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, nb),
+        F.slice(words, 2, nb),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n = F.size(words)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(words)) / n, 6).alias("uniq_word_frac"),
+        F.round(
+            F.when(nb > 0, 1.0 - F.size(F.array_distinct(bigrams)) / nb).otherwise(0.0),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k TF-IDF terms per document: (doc_id, term, tf, df, score, rank).
 

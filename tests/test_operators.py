@@ -432,6 +432,28 @@ def test_bm25_rarer_term_outscores_common(spark):
     assert out[8] > out[9]
 
 
+def test_repetition_scores(spark):
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),      # 3 distinct of 6 words... 2 distinct; bigrams: "a b","b a" over 5
+            (1, "x y z"),            # all unique
+            (2, "solo"),             # single word: no bigrams
+            (3, "w w w w"),          # maximal repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_scores(docs).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["uniq_word_frac"] == round(2 / 6, 6)
+    assert got[0]["dup_bigram_frac"] == round(1 - 2 / 5, 6)
+    assert got[1]["uniq_word_frac"] == 1.0 and got[1]["dup_bigram_frac"] == 0.0
+    assert got[2]["n_tokens"] == 1 and got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["uniq_word_frac"] == 0.25
+    assert got[3]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+
+
 def test_bm25_and_requires_all_terms(spark):
     from nsdb_spark.operators import ranking
 
