@@ -102,6 +102,8 @@ def main() -> None:
         "scale_bucketed_join",  # includes the one-time bucketed write
         "text_bm25_and",
         "text_bm25_phrase",
+        "sim_topk_pq",  # includes codebook training + encode
+        "text_repetition",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

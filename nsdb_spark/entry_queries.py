@@ -30,6 +30,7 @@ from .operators import (
     graph,
     joins,
     multimodal,
+    pq,
     ranking,
     rollup,
     sampling,
@@ -461,6 +462,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sim_topk_rhp"] = lambda spark, sf: similarity.rhp_topk(
         _emb(spark, sf), _query_vec(spark, sf), _rhp_planes(), k=10, multiprobe=1
+    )
+    # PQ/ADC: iterative codebook training — rows-only check (like kmeans);
+    # recall vs the exact scan asserted in tests/test_operators.py
+    q["sim_topk_pq"] = lambda spark, sf: pq.pq_search(
+        _emb(spark, sf), _query_vec(spark, sf), k=10, m=8, ks=16, iters=3,
+        shortlist=100,
     )
 
     # --- text analysis ---

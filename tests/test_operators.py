@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nsdb_spark.operators import dedup, multimodal, similarity, text
+from nsdb_spark.sources import testdata
 
 
 @pytest.fixture()
@@ -430,6 +431,62 @@ def test_bm25_rarer_term_outscores_common(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["score"] for r in ranking.bm25_topk(docs, ["rare", "common"], k=10).collect()}
     assert out[8] > out[9]
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ/ADC top-10 must recover most of the exact L2 top-10 on the
+    synthetic clustered embeddings (m=8 × ks=16 codebooks on 64-dim)."""
+    from nsdb_spark.operators import pq, similarity
+
+    emb = testdata.table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, qv, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in pq.pq_search(emb, qv, k=10, m=8, ks=16, iters=3, shortlist=100).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 8  # re-ranked recall@10
+    assert 0 in approx  # the query vector itself must be a near-neighbour
+    # raw ADC (no re-rank) still surfaces the query vector itself
+    adc = {r["vec_id"] for r in pq.pq_search(emb, qv, k=10, m=8, ks=16, iters=3, shortlist=None).collect()}
+    assert 0 in adc
+
+
+def test_pq_encode_deterministic_and_compact(spark):
+    from nsdb_spark.operators import pq
+
+    emb = testdata.table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    cbs = pq.pq_train(emb, m=4, ks=8, iters=2)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    assert all(len(c) == 16 for cb in cbs for c in cb)  # 64/4 dims
+    a = {r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(emb, cbs).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq.pq_encode(emb, cbs).collect()}
+    assert a == b  # encoding is deterministic
+    assert all(len(v) == 4 and all(0 <= c < 8 for c in v) for v in a.values())
+
+
+def test_pq_exact_when_codebook_holds_the_vectors(spark):
+    """If every stored vector IS a codebook centroid in every subspace,
+    ADC distance equals the true squared L2 — the approximation error is
+    exactly the quantization error."""
+    import numpy as np
+    from nsdb_spark.operators import pq
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(4, 8).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    # hand-built codebooks: subspace j's centroids are the 4 sub-vectors
+    cbs = [[[float(x) for x in vecs[i, j * 4 : (j + 1) * 4]] for i in range(4)] for j in range(2)]
+    enc = pq.pq_encode(emb, cbs)
+    q = [float(x) for x in vecs[2]]
+    out = {r["vec_id"]: r["adist"] for r in pq.pq_topk(enc, cbs, q, k=4).collect()}
+    true = {i: round(float(((vecs[i] - vecs[2]) ** 2).sum()), 6) for i in range(4)}
+    assert out == true
+    assert out[2] == 0.0
 
 
 def test_repetition_scores(spark):
