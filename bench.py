@@ -104,6 +104,9 @@ def main() -> None:
         "text_bm25_phrase",
         "sim_topk_pq",  # includes codebook training + encode
         "text_repetition",
+        "tsa_rate",
+        "tsa_locf",
+        "tsa_decimate",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

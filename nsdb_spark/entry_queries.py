@@ -38,6 +38,7 @@ from .operators import (
     skew,
     temporal_join,
     text,
+    tsa,
 )
 from .sources import bucketed, testdata
 
@@ -618,6 +619,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["text_top_bigrams"] = lambda spark, sf: text.top_bigrams(_docs(spark, sf), k=20)
     q["text_repetition"] = lambda spark, sf: text.repetition_scores(_docs(spark, sf))
+
+    # --- time-series analytics (PromQL/Grafana-shaped extensions) ---
+    q["tsa_rate"] = lambda spark, sf: tsa.counter_rate(
+        testdata.events_metric(spark, sf)
+    )
+    q["tsa_zscore"] = lambda spark, sf: tsa.rolling_zscore(
+        testdata.events_metric(spark, sf), n=5
+    )
+    q["tsa_locf"] = lambda spark, sf: tsa.locf_fill(
+        testdata.events_metric(spark, sf), 86400000
+    ).withColumn("is_gap", F.col("is_gap").cast("int"))
+    q["tsa_decimate"] = lambda spark, sf: tsa.decimate_minmax(
+        testdata.events_metric(spark, sf), 86400000
+    )
     q["sample_split"] = lambda spark, sf: sampling.train_val_test_split(
         testdata.table(spark, sf, "events").select("event_id"),
         id_col="event_id",
@@ -929,6 +944,54 @@ SELECT doc_id,
                   THEN 1.0 - cast(len(list_distinct(bigrams)) AS double) / len(bigrams)
                   ELSE 0.0 END, 6) AS dup_bigram_frac
 FROM b
+"""
+    o["tsa_rate"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),
+l AS (SELECT user_id, timestamp, event_id,
+             value - lag(value) OVER w AS delta,
+             timestamp - lag(timestamp) OVER w AS dt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY timestamp ASC, event_id ASC))
+SELECT user_id, timestamp, event_id, round(delta, 6) + 0.0 AS delta,
+       round(CASE WHEN dt > 0 THEN delta / (dt / 1000.0) END, 6) + 0.0 AS rate_per_s
+FROM l WHERE dt IS NOT NULL
+"""
+    o["tsa_zscore"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events)
+SELECT user_id, timestamp, event_id,
+       round(avg(value) OVER w, 4) AS mu,
+       round(stddev_samp(value) OVER w, 4) AS sigma,
+       round(CASE WHEN stddev_samp(value) OVER w > 0
+                  THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+             END, 4) + 0.0 AS z
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY timestamp ASC, event_id ASC
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+    o["tsa_locf"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),
+b AS (SELECT user_id, timestamp // 86400000 AS k,
+             max({'t': timestamp, 'i': event_id, 'v': value}) AS last
+      FROM e GROUP BY 1, 2),
+ax AS (SELECT user_id, unnest(generate_series(min(k), max(k))) AS k
+       FROM b GROUP BY user_id),
+j AS (SELECT ax.user_id, ax.k, b.last FROM ax LEFT JOIN b USING (user_id, k))
+SELECT user_id, k * 86400000 AS bucket_start,
+       round(last_value(struct_extract(last, 'v') IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY k ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS value_filled,
+       cast(last IS NULL AS INT) AS is_gap
+FROM j
+"""
+    o["tsa_decimate"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),
+a AS (SELECT user_id, timestamp // 86400000 AS k,
+             min({'v': value, 't': timestamp, 'i': event_id}) AS mn,
+             max({'v': value, 't': timestamp, 'i': event_id}) AS mx
+      FROM e GROUP BY 1, 2)
+SELECT user_id, k * 86400000 AS bucket_start,
+       struct_extract(mn, 'v') AS min_value, struct_extract(mn, 't') AS min_ts,
+       struct_extract(mx, 'v') AS max_value, struct_extract(mx, 't') AS max_ts
+FROM a
 """
     o["sample_split"] = """
 SELECT event_id,

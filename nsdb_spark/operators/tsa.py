@@ -1,0 +1,155 @@
+"""Time-series analytics over metric frames: rate/derivative, LOCF
+gap-fill, rolling z-score, min/max decimation.
+
+NSDb's dialect stops at tumbling-window aggregates (SURVEY.md §2.5-2.6);
+these are the next four queries every TSDB user asks for (PromQL `rate`,
+Grafana gap-filling, anomaly bands, dashboard decimation), expressed as
+Spark window/groupBy primitives:
+
+- every per-key operator shares ONE hash-partition exchange on the key
+  (window sorts happen within partitions — no extra shuffle);
+- decimation and gap-fill reduce at the bucket grain with
+  map-side-combinable aggregates (min/max of (value, ts, id) structs),
+  so the shuffle carries buckets, not points;
+- deterministic under timestamp ties everywhere: orderings and argmin/
+  argmax structs always extend with event id.
+
+At 100 TB these run per-key in parallel with partial aggregation before
+the exchange; none of them materializes more than (keys × buckets) rows.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def counter_rate(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key first difference and per-second rate (PromQL `rate` shape,
+    without counter-reset healing): for each sample with a predecessor,
+    delta = value - prev_value and rate_per_s = delta / (dt_ms/1000).
+    rate is NULL when two samples share a timestamp. Rounded 6."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(id_col).asc())
+    prev_v = F.lag(value).over(w)
+    prev_t = F.lag(ts).over(w)
+    dt = F.col(ts) - prev_t
+    delta = F.col(value) - prev_v
+    return (
+        df.select(
+            key,
+            ts,
+            id_col,
+            # + 0.0 canonicalizes IEEE negative zero after rounding
+            (F.round(delta, 6) + F.lit(0.0)).alias("delta"),
+            (F.round(F.when(dt > 0, delta / (dt / F.lit(1000.0))), 6) + F.lit(0.0)).alias(
+                "rate_per_s"
+            ),
+            prev_t.alias("__pt"),
+        )
+        .filter(F.col("__pt").isNotNull())
+        .drop("__pt")
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    n: int = 5,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rolling anomaly score per key: mean/stddev over the trailing n+1
+    samples (rows frame), z = (x - mu) / sigma — NULL until the frame has
+    variance. The anomaly-band primitive behind alerting UIs. mu/sigma/z
+    rounded 4 (stddev differs between engines only in final ulps)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col(id_col).asc())
+        .rowsBetween(-n, 0)
+    )
+    mu = F.avg(value).over(w)
+    sigma = F.stddev_samp(value).over(w)
+    return df.select(
+        key,
+        ts,
+        id_col,
+        F.round(mu, 4).alias("mu"),
+        F.round(sigma, 4).alias("sigma"),
+        (
+            F.round(F.when(sigma > 0, (F.col(value) - mu) / sigma), 4) + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def locf_fill(
+    df: DataFrame,
+    interval_ms: int,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-filled per-key bucket series, last observation carried forward:
+    one row per (key, bucket) over each key's [first, last] bucket range;
+    empty buckets inherit the most recent earlier value and are flagged
+    is_gap. The bucket representative is the LAST sample in the bucket
+    (ties by id). Output (key, bucket_start, value_filled rounded 6,
+    is_gap)."""
+    k = F.floor(F.col(ts) / F.lit(interval_ms)).cast("long")
+    last_s = F.max(
+        F.struct(F.col(ts).alias("t"), F.col(id_col).alias("i"), F.col(value).alias("v"))
+    )
+    per = df.groupBy(F.col(key), k.alias("k")).agg(last_s.alias("last"))
+    axis = (
+        per.groupBy(key)
+        .agg(F.min("k").alias("k0"), F.max("k").alias("k1"))
+        .select(key, F.explode(F.sequence("k0", "k1")).alias("k"))
+    )
+    joined = axis.join(per, [key, "k"], "left")
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("k").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key,
+        (F.col("k") * interval_ms).alias("bucket_start"),
+        F.round(
+            F.last(F.col("last.v"), ignorenulls=True).over(wf), 6
+        ).alias("value_filled"),
+        F.col("last").isNull().alias("is_gap"),
+    )
+
+
+def decimate_minmax(
+    df: DataFrame,
+    interval_ms: int,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dashboard decimation: per (key, bucket) keep only the extreme
+    points — (min_value, its ts) and (max_value, its ts) — the lossy
+    rendering-safe reduction (a line through min/max points bounds the
+    true series). Ties break on (ts, id) so the result is deterministic.
+    One map-side-combinable aggregate; output rows = keys × buckets."""
+    k = F.floor(F.col(ts) / F.lit(interval_ms)).cast("long")
+    s = F.struct(F.col(value).alias("v"), F.col(ts).alias("t"), F.col(id_col).alias("i"))
+    agg = df.groupBy(F.col(key), k.alias("k")).agg(
+        F.min(s).alias("mn"), F.max(s).alias("mx")
+    )
+    return agg.select(
+        key,
+        (F.col("k") * interval_ms).alias("bucket_start"),
+        F.col("mn.v").alias("min_value"),
+        F.col("mn.t").alias("min_ts"),
+        F.col("mx.v").alias("max_value"),
+        F.col("mx.t").alias("max_ts"),
+    )

@@ -489,6 +489,50 @@ def test_pq_exact_when_codebook_holds_the_vectors(spark):
     assert out[2] == 0.0
 
 
+def test_counter_rate_semantics(spark):
+    from nsdb_spark.operators import tsa
+
+    df = spark.createDataFrame(
+        [(1, 1000, 1, 10.0), (1, 3000, 2, 15.0), (1, 3000, 3, 14.0), (2, 500, 4, 1.0)],
+        "user_id long, timestamp long, event_id long, value double",
+    )
+    got = {r["event_id"]: (r["delta"], r["rate_per_s"]) for r in tsa.counter_rate(df).collect()}
+    assert 1 not in got and 4 not in got       # first sample per key excluded
+    assert got[2] == (5.0, 2.5)                # 5 over 2 s
+    assert got[3] == (-1.0, None)              # same-timestamp pair: rate NULL
+
+
+def test_locf_fill_gaps(spark):
+    from nsdb_spark.operators import tsa
+
+    df = spark.createDataFrame(
+        # user 1: buckets 0 and 3 present, 1-2 are gaps to fill with 5.0
+        [(1, 500, 1, 5.0), (1, 100, 2, 3.0), (1, 3500, 3, 9.0)],
+        "user_id long, timestamp long, event_id long, value double",
+    )
+    rows = {
+        r["bucket_start"]: (r["value_filled"], r["is_gap"])
+        for r in tsa.locf_fill(df, 1000).collect()
+    }
+    # bucket 0 keeps its LAST sample (ts 500), gaps carry it forward
+    assert rows[0] == (5.0, False)
+    assert rows[1000] == (5.0, True)
+    assert rows[2000] == (5.0, True)
+    assert rows[3000] == (9.0, False)
+
+
+def test_decimate_minmax_extremes(spark):
+    from nsdb_spark.operators import tsa
+
+    df = spark.createDataFrame(
+        [(1, 100, 1, 5.0), (1, 200, 2, 1.0), (1, 300, 3, 9.0), (1, 400, 4, 1.0)],
+        "user_id long, timestamp long, event_id long, value double",
+    )
+    r = tsa.decimate_minmax(df, 1000).collect()[0]
+    assert (r["min_value"], r["min_ts"]) == (1.0, 200)  # tie on value=1.0 -> earlier ts
+    assert (r["max_value"], r["max_ts"]) == (9.0, 300)
+
+
 def test_repetition_scores(spark):
     from nsdb_spark.operators import text
 

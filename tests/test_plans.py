@@ -115,6 +115,16 @@ def test_bucketed_join_no_exchange_under_join(spark, tmp_path):
     assert "SelectedBucketsCount" in jplan
 
 
+def test_tsa_rate_single_exchange(spark):
+    """Per-key window analytics shuffle once on the key; the window sort
+    happens inside partitions."""
+    from nsdb_spark.operators import tsa
+
+    df = testdata.events_metric(spark, SF_DIR)
+    plan = plan_of(tsa.counter_rate(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_bm25_phrase_filter_before_shuffle(spark):
     """The phrase predicate is a narrow scan-side filter; the final
     top-k is TakeOrdered, not a global window."""
