@@ -107,6 +107,7 @@ def main() -> None:
         "tsa_rate",
         "tsa_locf",
         "tsa_decimate",
+        "scale_heavy_hitters",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

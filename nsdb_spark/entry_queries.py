@@ -620,6 +620,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_top_bigrams"] = lambda spark, sf: text.top_bigrams(_docs(spark, sf), k=20)
     q["text_repetition"] = lambda spark, sf: text.repetition_scores(_docs(spark, sf))
 
+    def _hh(spark, sf):
+        toks = _docs(spark, sf).select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+        return skew.heavy_hitters(toks, "token", k=20, capacity=256)
+
+    q["scale_heavy_hitters"] = _hh
+
     # --- time-series analytics (PromQL/Grafana-shaped extensions) ---
     q["tsa_rate"] = lambda spark, sf: tsa.counter_rate(
         testdata.events_metric(spark, sf)
@@ -944,6 +952,12 @@ SELECT doc_id,
                   THEN 1.0 - cast(len(list_distinct(bigrams)) AS double) / len(bigrams)
                   ELSE 0.0 END, 6) AS dup_bigram_frac
 FROM b
+"""
+    o["scale_heavy_hitters"] = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+SELECT token, n, cast(row_number() OVER (ORDER BY n DESC, token ASC) AS int) AS rank
+FROM c ORDER BY n DESC, token ASC LIMIT 20
 """
     o["tsa_rate"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

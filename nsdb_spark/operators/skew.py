@@ -1,4 +1,5 @@
-"""Skew-resilient aggregation: salted two-phase groupBy.
+"""Skew-resilient aggregation: salted two-phase groupBy; Misra-Gries
+heavy hitters.
 
 A plain `groupBy(key)` shuffles every row of a hot key to one reducer —
 at 100 TB one pathological key (empty string, null-ish sentinel, bot
@@ -58,3 +59,69 @@ def salted_groupby_agg(
             final_cols.append(f(f"__p_{alias}").alias(alias))
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_cols)
     return partial.groupBy(*keys).agg(*final_cols)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT top-k most frequent values of `col` with a bounded shuffle.
+
+    A plain `groupBy(col).count()` over a huge-cardinality column (corpus
+    tokens, URLs, shingles) shuffles one row per DISTINCT value — at
+    100 TB that is the dominant cost and a skew hazard. This runs
+    batched Misra-Gries summaries per partition (capacity counters each,
+    pure pandas value_counts merges — no per-row Python), so the only
+    data that ever crosses the wire is:
+
+      1. ≤ capacity candidate values per partition (the MG guarantee:
+         every value with global count > N/(capacity+1) survives at
+         least one partition's summary);
+      2. the exact re-count of rows matching the candidate set, which a
+         broadcast semi join prunes BEFORE the shuffle.
+
+    Exactness: if the k-th re-counted frequency exceeds N/(capacity+1)
+    the MG bound proves no non-candidate can beat it and the result is
+    exact; otherwise (adversarially flat data) fall back to the plain
+    full groupBy. Either way the OUTPUT is exact — the sketch only
+    decides how much data moves. Ties rank by value ascending.
+
+    Output: (<col>, n, rank).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    vals = df.select(col)
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                # batched MG decrement: subtract the (capacity+1)-th
+                # largest count from everyone, drop the non-positive
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    candidates = vals.mapInPandas(mg, f"{col} string").distinct()
+    exact = (
+        vals.join(F.broadcast(candidates), col, "semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = exact.orderBy(F.desc("n"), F.asc(col)).limit(k).collect()
+    total = vals.count()
+    if len(top) < k or min(r["n"] for r in top) * (capacity + 1) <= total:
+        # MG bound can't certify exactness -> full groupBy fallback
+        exact = vals.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        top = exact.orderBy(F.desc("n"), F.asc(col)).limit(k).collect()
+
+    out = spark.createDataFrame(
+        [(r[col], r["n"], i + 1) for i, r in enumerate(top)],
+        f"{col} string, n long, rank int",
+    )
+    return out

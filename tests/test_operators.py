@@ -489,6 +489,33 @@ def test_pq_exact_when_codebook_holds_the_vectors(spark):
     assert out[2] == 0.0
 
 
+def test_heavy_hitters_matches_exact_groupby(spark):
+    """Skewed data with more distinct values than sketch capacity: the
+    MG-pruned path must still return the exact top-k."""
+    from nsdb_spark.operators import skew
+
+    rows = [("hot%d" % (i % 3),) for i in range(3000)]          # 3 heavy keys
+    rows += [("cold%d" % i,) for i in range(2000)]              # 2000 singletons
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    got = [(r["token"], r["n"]) for r in skew.heavy_hitters(df, "token", k=5, capacity=16).collect()]
+    exact = [
+        (r["token"], r["n"])
+        for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token")).limit(5).collect()
+    ]
+    assert got == exact
+    assert got[0][1] == 1000  # each hot key appears 1000x
+
+
+def test_heavy_hitters_flat_data_fallback_still_exact(spark):
+    from nsdb_spark.operators import skew
+
+    # perfectly flat: every value appears once; certificate fails -> fallback
+    df = spark.createDataFrame([("v%04d" % i,) for i in range(500)], "token string")
+    got = [(r["token"], r["n"], r["rank"]) for r in skew.heavy_hitters(df, "token", k=3, capacity=8).collect()]
+    assert got == [("v0000", 1, 1), ("v0001", 1, 2), ("v0002", 1, 3)]
+
+
 def test_counter_rate_semantics(spark):
     from nsdb_spark.operators import tsa
 
