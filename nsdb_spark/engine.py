@@ -9,6 +9,7 @@ HashAggregate partial/final replaces the shard/node reduce tree.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from typing import Any
 
@@ -90,10 +91,68 @@ class NsdbEngine:
             .partitionBy(SHARD_COL)
             .parquet(self.warehouse.data_path(db, ns, metric))
         )
-        # new data ⇒ any materialized rollup is stale; queries fall back to
-        # the raw path until materialize_rollup runs again
-        self.warehouse.invalidate_rollups(db, ns, metric)
+        # keep materialized rollups FRESH instead of dropping them: merge
+        # this batch's partials in (classic incremental view maintenance);
+        # only writes outside a rollup's pinned axis force invalidation
+        self._maintain_rollups_on_write(db, ns, metric, bits, df.drop(SHARD_COL))
         return len(bits)
+
+    def _maintain_rollups_on_write(self, db, ns, metric, bits, batch_df) -> None:
+        """Incrementally merge an insert batch into every registered
+        rollup (temporal: additive count/sum + re-max per fine bucket;
+        group: additive n/sum + re-reduced min/max per group). Cost is
+        proportional to the ROLLUP size, not history. A bit outside a
+        temporal rollup's pinned (lower, upper] axis would change the
+        bucket grid, so that case invalidates everything instead."""
+        from .operators import rollup as rollup_ops
+
+        registered = self.warehouse.rollups(db, ns, metric)
+        group_regs = self.warehouse.group_rollups(db, ns, metric)
+        if not registered and not group_regs:
+            return
+        lo = min(b.timestamp for b in bits)
+        hi = max(b.timestamp for b in bits)
+        if any(lo < bounds[0] or hi > bounds[1] for bounds in registered.values()):
+            self.warehouse.invalidate_rollups(db, ns, metric)
+            return
+        si = self.warehouse.get_info(db, ns, metric)["shardInterval"]
+        try:
+            for fine, bounds in registered.items():
+                path = self.warehouse.rollup_path(db, ns, metric, fine)
+                batch_r, _ = rollup_ops.build_temporal_rollup(
+                    batch_df, fine, si, bounds=bounds
+                )
+                stored = self.spark.read.parquet(path)
+                merged = rollup_ops.merge_rollups(stored, batch_r)
+                self._atomic_overwrite(merged, path)
+            for field in group_regs:
+                path = self.warehouse.group_rollup_path(db, ns, metric, field)
+                batch_g = batch_df.groupBy(field).agg(
+                    F.count("value").alias("n"),
+                    F.sum("value").alias("sum_value"),
+                    F.min("value").alias("min_value"),
+                    F.max("value").alias("max_value"),
+                )
+                stored = self.spark.read.parquet(path)
+                merged = stored.unionByName(batch_g).groupBy(field).agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_value").alias("sum_value"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+                self._atomic_overwrite(merged, path)
+        except Exception:
+            # maintenance must never be less safe than invalidation (e.g.
+            # a batch that widens the value type mid-merge)
+            self.warehouse.invalidate_rollups(db, ns, metric)
+
+    def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
+        """Materialize df (which may read `path`) into a staging dir, then
+        swap — the write finishes consuming the old files before they go."""
+        staging = path + ".staging"
+        df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(path)
+        os.rename(staging, path)
 
     # ------------------------------------------------------------- read path
     def read_metric(self, db: str, ns: str, metric: str) -> DataFrame:

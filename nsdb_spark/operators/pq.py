@@ -11,9 +11,10 @@ row's approximate distance is m table lookups summed — no float vector
 is ever read at query time.
 
 Spark-first layout:
-- training reuses the distributed Lloyd's loop (clustering.kmeans_fit)
-  once per subspace on a SAMPLE (FAISS-style — codebooks need thousands
-  of points, not billions; the sample fraction is the scale knob);
+- training runs ONE distributed Lloyd's loop covering all m subspaces
+  (one job per iteration) on a SAMPLE (FAISS-style — codebooks need
+  thousands of points, not billions; the sample fraction is the scale
+  knob);
 - encoding is one Arrow-batched mapInPandas pass (argmin over (B, ks)
   numpy distances per subspace — m·ks·B flops vectorized, never a
   per-row Python loop);
@@ -30,7 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import kmeans_fit
 from .similarity import _as_double
 
 
@@ -41,28 +41,54 @@ def pq_train(
     iters: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    sample_fraction: float | None = None,
+    train_size: int = 100_000,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: returns m lists of ks centroids of
-    dim D/m. D must divide evenly by m. Deterministic: k-means init is
-    the first ks sub-vectors by id; pass sample_fraction to train on a
-    deterministic-seed sample at scale."""
+    dim D/m. D must divide evenly by m.
+
+    FAISS-style training contract: codebooks need a bounded SAMPLE
+    (thousands of points per centroid), never the full corpus — so the
+    cluster's only job is drawing `train_size` rows by smallest
+    xxhash64(id) (deterministic, partition-layout-invariant, a TakeOrdered
+    heap per partition), and Lloyd's runs vectorized in numpy on the
+    driver (train_size × dim doubles; 100k × 1024-dim ≈ 800 MB is the
+    practical ceiling — lower train_size for wider vectors). Distributing
+    the iteration itself costs a full scan + shuffle + expression
+    recompile per iteration and pays off only if the codebooks must see
+    every row, which PQ training never needs. Encoding and the ADC scan —
+    the parts that DO touch every row — stay distributed (Arrow batches).
+
+    Deterministic: init is the first ks sample vectors by id; numpy
+    argmin ties take the lowest cell; empty cells keep their centroid."""
+    import numpy as np
+
     first = emb.select(_as_double(vec_col).alias("v")).first()
     dim = len(first["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    base = emb.select(id_col, _as_double(vec_col).alias("__v"))
-    if sample_fraction is not None:
-        base = base.sample(fraction=sample_fraction, seed=7)
+    rows = (
+        emb.select(id_col, _as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(train_size)
+        .collect()
+    )
+    if len(rows) < ks:
+        raise ValueError(f"need at least ks={ks} vectors to train")
+    rows.sort(key=lambda r: r[id_col])
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     codebooks = []
     for j in range(m):
-        sub_df = base.select(
-            id_col, F.slice("__v", j * sub + 1, sub).alias("embedding")
-        )
-        codebooks.append(
-            kmeans_fit(sub_df, k=ks, iters=iters, vec_col="embedding", id_col=id_col)
-        )
+        Xj = np.ascontiguousarray(X[:, j * sub : (j + 1) * sub])
+        C = Xj[:ks].copy()
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(ks):  # empty cells keep their previous centroid
+                hit = a == c
+                if hit.any():
+                    C[c] = Xj[hit].mean(axis=0)
+        codebooks.append([[float(x) for x in c] for c in C])
     return codebooks
 
 
@@ -181,13 +207,13 @@ def pq_search(
     shortlist: int | None = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    sample_fraction: float | None = None,
+    train_size: int = 100_000,
 ) -> DataFrame:
     """Train + encode + search in one call (registry-facing). In a real
     deployment train/encode happen at write time; this end-to-end form
     exists so correctness and recall are checkable from one entry point.
     shortlist=None returns the raw ADC ranking (no exact re-rank)."""
-    cbs = pq_train(emb, m, ks, iters, vec_col, id_col, sample_fraction)
+    cbs = pq_train(emb, m, ks, iters, vec_col, id_col, train_size)
     enc = pq_encode(emb, cbs, vec_col, id_col)
     if shortlist is None:
         return pq_topk(enc, cbs, query_vec, k, id_col)

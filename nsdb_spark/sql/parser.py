@@ -53,11 +53,12 @@ _TIME_UNITS = {"d", "h", "min", "m", "s"}
 
 
 class _Token:
-    __slots__ = ("kind", "text")
+    __slots__ = ("kind", "text", "raw")
 
-    def __init__(self, kind: str, text: str):
+    def __init__(self, kind: str, text: str, raw: str | None = None):
         self.kind = kind  # 'string' | 'number' | 'ident' | 'op' | 'kw' | 'eof'
         self.text = text
+        self.raw = raw if raw is not None else text  # original spelling
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"{self.kind}:{self.text}"
@@ -80,7 +81,7 @@ def _tokenize(sql: str) -> list[_Token]:
         elif m.lastgroup == "ident":
             text = m.group("ident")
             if text.upper() in _KEYWORDS:
-                tokens.append(_Token("kw", text.upper()))
+                tokens.append(_Token("kw", text.upper(), raw=text))
             else:
                 tokens.append(_Token("ident", text))
         else:
@@ -137,8 +138,10 @@ class SQLStatementParser:
         if t.kind == "ident":
             return t.text
         # allow reserved-ish words used as field names (e.g. `ts`, `metric`)
+        # — preserving the ORIGINAL spelling (metric/field names are
+        # case-sensitive; only keywords are case-insensitive)
         if t.kind == "kw" and t.text not in {"FROM", "WHERE", "EOF"}:
-            return t.text.lower()
+            return t.raw
         raise SQLParseError(f"expected identifier near {t.text!r} in {self.sql!r}")
 
     def _expect_int(self) -> int:

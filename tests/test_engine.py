@@ -658,7 +658,10 @@ def test_group_rollup_fallback_cases(engine, spark):
     assert not routed("select last(value) from gf group by name")
 
 
-def test_rollup_invalidated_by_write(engine, spark):
+def test_rollup_maintained_by_in_bounds_write(engine, spark):
+    """A write inside the rollup's pinned axis is MERGED into the stored
+    partials (incremental view maintenance): the query keeps routing
+    through the rollup and sees the new data."""
     from nsdb_spark.model import Bit
     from fixtures import TEMPORAL_LONG_METRIC, load
 
@@ -670,7 +673,52 @@ def test_rollup_invalidated_by_write(engine, spark):
     total_before = sum(r[3] for r in _rows(before))  # collect BEFORE the write
     engine.insert_bits("default", "default", "ri", [Bit(1500, 7, {}, {"name": "x"})])
     after = engine.execute(sql)
-    # stale rollup dropped -> raw path, and the new bit is counted
-    assert "struct<k:bigint" not in after._jdf.queryExecution().executedPlan().toString()
+    # still rollup-served AND fresh
+    assert "struct<k:bigint" in after._jdf.queryExecution().executedPlan().toString()
     total_after = sum(r[3] for r in _rows(after))
     assert total_after == total_before + 1
+    # raw path agrees with the maintained rollup
+    engine.warehouse.invalidate_rollups("default", "default", "ri")
+    assert sum(r[3] for r in _rows(engine.execute(sql))) == total_after
+
+
+def test_rollup_invalidated_by_out_of_bounds_write(engine, spark):
+    """A write past the pinned axis would change the bucket grid — the
+    rollup is dropped and queries fall back to raw."""
+    from nsdb_spark.model import Bit
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    load(engine, "ro", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_rollup("default", "default", "ro", 1000)
+    sql = "select count(*) from ro group by interval 2 s"
+    assert "struct<k:bigint" in engine.execute(sql)._jdf.queryExecution().executedPlan().toString()
+    # far beyond upper = max shard top
+    engine.insert_bits("default", "default", "ro", [Bit(10_000_000, 1, {}, {"name": "y"})])
+    after = engine.execute(sql)
+    assert "struct<k:bigint" not in after._jdf.queryExecution().executedPlan().toString()
+    assert not engine.warehouse.rollups("default", "default", "ro")
+
+
+def test_group_rollup_maintained_with_new_group(engine, spark):
+    """Group rollups merge in-bounds batches too — including groups never
+    seen before (union adds the row)."""
+    from nsdb_spark.model import Bit
+    from fixtures import LONG_METRIC, load
+
+    load(engine, "gw", LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_group_rollup("default", "default", "gw", "name")
+    sql = "select sum(value) from gw group by name"
+    before = {r[0]: r[1] for r in engine.execute(sql).collect()}
+    engine.insert_bits(
+        "default", "default", "gw",
+        [Bit(50, 100, {}, {"name": "NEWKEY"}), Bit(60, 2, {}, {"name": "Frank"})],
+    )
+    after_df = engine.execute(sql)
+    assert _is_group_rollup_plan(after_df._jdf.queryExecution().executedPlan().toString())
+    after = {r[0]: r[1] for r in after_df.collect()}
+    assert after["NEWKEY"] == 100
+    assert after["Frank"] == before["Frank"] + 2
+    # raw path agrees
+    engine.warehouse.invalidate_rollups("default", "default", "gw")
+    raw = {r[0]: r[1] for r in engine.execute(sql).collect()}
+    assert raw == after
