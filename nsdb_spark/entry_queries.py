@@ -449,6 +449,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), threshold=0.45
     )
 
+    q["dedup_decontaminate"] = lambda spark, sf: dedup.decontaminate(
+        _docs(spark, sf).filter(F.col("doc_id") % 10 != 0),
+        _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
+        n=4,
+    )
+
     q["dedup_clusters"] = lambda spark, sf: dedup.connected_components(
         dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5),
         _docs(spark, sf).select("doc_id"),
@@ -760,6 +766,21 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
         "FROM documents GROUP BY md5(text)"
     )
     o["dedup_ngram_jaccard"] = _jaccard_oracle(0.5)
+    # 10% of docs (doc_id % 10 = 0) act as the "benchmark" split; the
+    # Spark side joins on xxhash64(gram), the oracle on the gram string —
+    # identical counts up to 64-bit collisions (same argument as jaccard)
+    o["dedup_decontaminate"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 4
+        THEN list_transform(generate_series(1, cast(len(words)-3 AS bigint)),
+                            i -> array_to_string(words[i:i+3], ' '))
+        ELSE [array_to_string(words, ' ')] END)) AS gram FROM w),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+SELECT g.doc_id AS doc_id, count(DISTINCT g.gram) AS matched_ngrams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+"""
     # LSH at 128 hashes / 32 bands has ~1 recall at j≥0.5 → oracle is the
     # exact pair set (verified empirically on the driver's sf before shipping)
     o["dedup_minhash_lsh"] = _jaccard_oracle(0.5)

@@ -143,6 +143,54 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training docs that share at least
+    `min_matches` distinct word n-grams with an evaluation/benchmark set
+    → (doc_id, matched_ngrams). The standard pre-training hygiene pass
+    (the reference engine has no analogue; this is a training-data
+    extension over the documents table).
+
+    Scale shape — the asymmetry IS the design: the benchmark side is
+    small by definition (eval sets are thousands of docs, not billions),
+    so its distinct gram hashes are aggregated and BROADCAST; the corpus
+    side is one narrow scan → explode → broadcast hash join (no corpus
+    shuffle for the match) and a single map-side-combinable groupBy on
+    doc_id for the counts. Grams are joined as xxhash64 longs, not
+    strings — same collision argument as ngram_jaccard_pairs (counts are
+    unchanged up to 64-bit collisions, the broadcast table holds 8-byte
+    keys: a 10M-gram benchmark set is ~80 MB, comfortably broadcastable).
+
+    Docs shorter than n words collapse to one whole-text gram (same rule
+    as shingle_array both sides), so exact short-doc matches still flag.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(shingle_array(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        "doc_id", F.explode(shingle_array(text_col, n)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    # shingle_array already array_distinct's per doc, so (doc_id, gh) is
+    # unique post-join: count(*) ≡ count(DISTINCT gh) without the extra
+    # (doc_id, gh)-keyed dedup exchange a distinct-aggregate would plan
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("matched_ngrams"))
+        .filter(F.col("matched_ngrams") >= min_matches)
+    )
+
+
 # ------------------------------------------------------------------ minhash-lsh
 
 

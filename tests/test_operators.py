@@ -40,6 +40,26 @@ def test_ngram_jaccard_pairs(docs):
     assert (0, 3) not in pairs
 
 
+def test_decontaminate_counts_shared_ngrams(docs):
+    # benchmark = doc 2 (byte-identical to doc 0); corpus = the rest
+    bench = docs.filter(F.col("doc_id") == 2)
+    corpus = docs.filter(F.col("doc_id") != 2)
+    out = {r["doc_id"]: r["matched_ngrams"]
+           for r in dedup.decontaminate(corpus, bench, n=3).collect()}
+    assert out == {0: 7, 1: 6}  # exact copy: all 7 trigrams; near-dup: 6
+    strict = {r["doc_id"] for r in
+              dedup.decontaminate(corpus, bench, n=3, min_matches=7).collect()}
+    assert strict == {0}
+
+
+def test_decontaminate_short_doc_whole_text_gram(docs):
+    # a benchmark doc shorter than n matches via its whole-text gram
+    bench = docs.filter(F.col("doc_id") == 4)  # "tiny"
+    out = {r["doc_id"]: r["matched_ngrams"]
+           for r in dedup.decontaminate(docs, bench, n=3).collect()}
+    assert out == {4: 1}
+
+
 def test_minhash_lsh_matches_exact_jaccard(docs):
     exact = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

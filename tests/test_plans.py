@@ -77,6 +77,27 @@ def test_temporal_bucket_join_is_broadcast(sharded_engine):
     assert "BroadcastExchange" in plan_of(df)
 
 
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The corpus side must never shuffle for the match: benchmark gram
+    hashes broadcast, and the only corpus-keyed exchange is the final
+    doc_id aggregate (the other hash exchange is the small bench-side
+    distinct)."""
+    from nsdb_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    docs = testdata.table(spark, SF_DIR, "documents")
+    from pyspark.sql import functions as F
+
+    plan = plan_of(dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=4,
+    ))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_bm25_df_side_broadcast_and_single_wide_shuffle(spark):
     """BM25's wide shuffle is the (doc, term) tf aggregate only: the
     document-frequency side must broadcast (never shuffle the corpus
