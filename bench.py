@@ -109,6 +109,8 @@ def main() -> None:
         "tsa_locf",
         "tsa_decimate",
         "scale_heavy_hitters",
+        "text_lm_logprob",
+        "pack_sequences",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

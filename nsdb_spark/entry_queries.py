@@ -30,6 +30,7 @@ from .operators import (
     graph,
     joins,
     multimodal,
+    packing,
     pq,
     ranking,
     rollup,
@@ -625,6 +626,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["text_top_bigrams"] = lambda spark, sf: text.top_bigrams(_docs(spark, sf), k=20)
     q["text_repetition"] = lambda spark, sf: text.repetition_scores(_docs(spark, sf))
+    q["text_lm_logprob"] = lambda spark, sf: text.lm_logprob(_docs(spark, sf))
+    q["pack_sequences"] = lambda spark, sf: packing.pack_sequences(
+        _docs(spark, sf), budget=512
+    )
 
     def _hh(spark, sf):
         toks = _docs(spark, sf).select(
@@ -973,6 +978,27 @@ SELECT doc_id,
                   THEN 1.0 - cast(len(list_distinct(bigrams)) AS double) / len(bigrams)
                   ELSE 0.0 END, 6) AS dup_bigram_frac
 FROM b
+"""
+    o["text_lm_logprob"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(cnt / total)), 3) AS avg_logp
+FROM w JOIN c USING (tok), t
+GROUP BY doc_id
+"""
+    o["pack_sequences"] = """
+WITH d AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n
+           FROM documents),
+c AS (SELECT doc_id, n,
+             cast(sum(n) OVER (ORDER BY doc_id) - n AS bigint) AS start
+      FROM d)
+SELECT doc_id, chunk_id, start,
+       least(start + n, (chunk_id + 1) * 512)
+         - greatest(start, chunk_id * 512) AS tokens_in_chunk
+FROM c, unnest(generate_series(start // 512, (start + n - 1) // 512))
+       AS u(chunk_id)
 """
     o["scale_heavy_hitters"] = """
 WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

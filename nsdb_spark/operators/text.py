@@ -271,3 +271,32 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def lm_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language-model quality score per document:
+    (doc_id, n_tokens, avg_logp) where avg_logp = mean over token
+    INSTANCES of ln(count(tok)/total_tokens) — the corpus is its own LM
+    (self-perplexity), the classic cheap fluency/quality filter: gibberish
+    and boilerplate-heavy docs sit far from the corpus distribution.
+
+    Plan shape mirrors tfidf_topk: explode → token-count aggregate, then a
+    token-keyed shuffle join of the token stream against its own counts
+    (vocabulary is NOT broadcast — billions of terms at corpus scale),
+    then one map-side-combinable per-doc aggregate. total_tokens is a
+    count() action: one scalar job, no driver loop. avg_logp rounds to 3
+    decimals (FP-accumulated across engines).
+    """
+    toks = docs.select("doc_id", F.explode(_words(text_col)).alias("tok"))
+    total = toks.count()
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 3).alias(
+                "avg_logp"
+            ),
+        )
+    )

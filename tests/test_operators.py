@@ -947,3 +947,46 @@ def test_rollup_materialize_roundtrip(spark, tmp_path):
     from_stored = rollup.temporal_from_rollup(spark, stored, bounds, 100, 500, "sum", "s")
     key = lambda d: {r["upper_bound"]: r["s"] for r in d.collect()}
     assert key(from_stored) == key(direct)
+
+
+def test_lm_logprob_self_perplexity(docs):
+    import math
+
+    from nsdb_spark.operators import text as text_ops
+
+    lm = {r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+          for r in text_ops.lm_logprob(docs).collect()}
+    # total tokens = 9+9+9+6+1 = 34; doc 4 is the single token "tiny"
+    assert lm[4] == (1, round(math.log(1 / 34), 3))
+    # exact dup docs 0 and 2 score identically; both beat the singleton doc
+    assert lm[0] == lm[2]
+    assert lm[0][1] > lm[4][1]
+
+
+def test_pack_sequences_chunk_math(spark):
+    from nsdb_spark.operators import packing
+
+    rows = [(0, "a b c d"), (1, "a b c d e"), (2, "x y z"), (3, "p q r s t u v")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [tuple(r) for r in
+           packing.pack_sequences(docs, budget=10).orderBy("doc_id", "chunk_id").collect()]
+    # starts 0,4,9,12; doc 2 straddles the chunk-0/1 boundary at token 10
+    assert out == [(0, 0, 0, 4), (1, 0, 4, 5), (2, 0, 9, 1), (2, 1, 9, 2), (3, 1, 12, 7)]
+    # every chunk except the last is exactly full
+    sums = {}
+    for _, cid, _, t in out:
+        sums[cid] = sums.get(cid, 0) + t
+    assert sums == {0: 10, 1: 9}
+
+
+def test_pack_sequences_layout_invariant(spark):
+    """Start offsets must not depend on the incoming partitioning."""
+    from nsdb_spark.operators import packing
+
+    rows = [(i, " ".join(["w"] * (1 + i % 7))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r["doc_id"], r["chunk_id"]): r["start"]
+         for r in packing.pack_sequences(docs.coalesce(1), budget=8).collect()}
+    b = {(r["doc_id"], r["chunk_id"]): r["start"]
+         for r in packing.pack_sequences(docs.repartition(16), budget=8).collect()}
+    assert a == b and len(a) > 0

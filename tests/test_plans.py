@@ -203,3 +203,16 @@ def test_split_assignment_no_shuffle(spark):
         sampling.train_val_test_split(ev, "event_id", {"train": 0.9, "test": 0.1})
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_avoids_global_window(spark):
+    """The global prefix sum must come from the two-phase scan, never an
+    Exchange SinglePartition (which would serialize the whole corpus
+    through one task)."""
+    from nsdb_spark.operators import packing
+
+    spark.catalog.clearCache()
+    docs = testdata.table(spark, SF_DIR, "documents")
+    plan = plan_of(packing.pack_sequences(docs, budget=512))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
