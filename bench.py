@@ -66,6 +66,7 @@ def main() -> None:
         # we'd run at scale
         "dedup_embedding_cosine_gemm",
         "dedup_clusters",
+        "dedup_clusters_alternating",
         "dedup_decontaminate",
         "sim_topk_bruteforce",
         "sim_topk_ivf",

@@ -460,6 +460,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5),
         _docs(spark, sf).select("doc_id"),
     )
+    # diameter-independent variant (large-star/small-star) — same result,
+    # same oracle; the scale path when near-dup chains run long
+    q["dedup_clusters_alternating"] = lambda spark, sf: dedup.connected_components_alternating(
+        dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5),
+        _docs(spark, sf).select("doc_id"),
+    )
 
     # --- similarity search ---
     q["sim_topk_bruteforce"] = lambda spark, sf: similarity.cosine_topk(
@@ -816,6 +822,7 @@ reach(node, root) AS (
 )
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
+    o["dedup_clusters_alternating"] = o["dedup_clusters"]
     o["text_winnowing"] = """
 WITH pos AS (SELECT doc_id, text, greatest(length(text) - 7, 1) AS n_pos FROM documents),
 g AS (SELECT doc_id, n_pos, text,

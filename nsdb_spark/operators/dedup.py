@@ -454,6 +454,85 @@ def embedding_cosine_pairs(
 # ------------------------------------------------------------------ clustering
 
 
+def connected_components_alternating(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) — same contract as connected_components, via
+    the alternating large-star/small-star algorithm ("Connected Components
+    in MapReduce and Beyond", Kiveris et al., SoCC'14 — public paper).
+
+    Why a second variant: min-label propagation needs ~diameter rounds, so
+    a 10M-node chain (pathological but real in transitive near-dup
+    graphs) needs 10M shuffles. Star operations contract the graph to
+    rooted stars in O(log² n) rounds REGARDLESS of diameter:
+
+    - large-star: every node u points its LARGER neighbors at
+      m = min(Γ(u) ∪ {u});
+    - small-star: every node u points its SMALLER neighbors (and itself)
+      at m = min(Γ<(u)) — restricted to smaller neighbors, otherwise
+      star roots would re-emit (root, min_child) forever and the edge
+      set never reaches a fixpoint.
+
+    Both steps are per-u min aggregates joined back to the edge list on u
+    (groupBy output partitioning reused by the join — no neighbor lists
+    are ever collected, so a 100M-degree hub costs a combinable min, not
+    a collect_set OOM). Convergence = edge multiset unchanged (count +
+    order-independent hash signature: one tiny action per round).
+    Fixpoint edges are (child, root) stars; labels read off them with one
+    aggregate. Iteration count is the only driver-side state.
+    """
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        sym2 = large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        smaller = sym2.filter(F.col("v") < F.col("u"))
+        mins2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smaller.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = small
+        # bit_xor: order-independent and overflow-free (ANSI mode forbids
+        # a plain sum of 64-bit hashes); edges are distinct so xor can't
+        # cancel duplicates
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        sig = (sig_row["c"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    roots = e.groupBy("u").agg(F.min("v").alias("root"))
+    return (
+        nodes.join(roots, nodes["doc_id"] == roots["u"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

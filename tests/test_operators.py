@@ -990,3 +990,47 @@ def test_pack_sequences_layout_invariant(spark):
     b = {(r["doc_id"], r["chunk_id"]): r["start"]
          for r in packing.pack_sequences(docs.repartition(16), budget=8).collect()}
     assert a == b and len(a) > 0
+
+
+def test_alternating_cc_equals_label_propagation(spark):
+    from nsdb_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    # chain 0-1-2-...-19 (worst case for label propagation), a 4-clique
+    # with shuffled ids, and singletons
+    chain = [(i, i + 1) for i in range(20)]
+    clique = [(30, 33), (33, 31), (31, 32), (32, 30), (30, 31)]
+    pairs = spark.createDataFrame(chain + clique, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(21)] + [(i,) for i in range(30, 34)] + [(99,)],
+        "doc_id long",
+    )
+    lp = {r["doc_id"]: r["cluster_id"]
+          for r in connected_components(pairs, nodes, max_iter=30).collect()}
+    alt = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components_alternating(pairs, nodes).collect()}
+    assert alt == lp
+    assert alt[20] == 0 and alt[33] == 30 and alt[99] == 99
+
+
+def test_alternating_cc_random_graph(spark):
+    import random
+
+    from nsdb_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    lp = {r["doc_id"]: r["cluster_id"]
+          for r in connected_components(pairs, nodes, max_iter=50).collect()}
+    alt = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components_alternating(pairs, nodes).collect()}
+    assert alt == lp
