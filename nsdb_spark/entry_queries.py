@@ -323,8 +323,9 @@ def _centroids(spark, sf_dir, n=16) -> list[list[float]]:
 def _asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event enriched with the user's most recent order at-or-before
     the event time (orders.o_custkey ≙ events.user_id)."""
-    ev = testdata.table(spark, sf_dir, "events").select(
-        F.expr("ts div 1000000").alias("ts_ms"), "event_id", "user_id"
+    ev_raw = testdata.table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        testdata.ts_ms(ev_raw).alias("ts_ms"), "event_id", "user_id"
     )
     orders = testdata.table(spark, sf_dir, "orders").select(
         "o_custkey",

@@ -5,17 +5,19 @@ value (DECIMAL/double), tags event_type + user_id, dimensions event_id +
 props — so the whole NSDb query surface runs against it through the regular
 parse → analyze → compile pipeline.
 
-Timestamp determinism: events.ts is parquet TIMESTAMP(NANOS, naive), which
-Spark only reads via spark.sql.legacy.parquet.nanosAsLong; epoch ms is then
-the exact integer `ts div 1_000_000`, bit-identical to DuckDB's
-epoch_ms(ts) truncation.
+Timestamp determinism: events.ts is parquet TIMESTAMP(NANOS, naive).
+Depending on the Spark build it surfaces either as BIGINT nanos (legacy
+nanosAsLong) or as TIMESTAMP_NTZ truncated to micros; `ts_ms` floors either
+representation to epoch ms (session tz pinned to UTC so the NTZ cast is the
+identity instant), bit-identical to DuckDB's epoch_ms(ts) truncation.
 """
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..analyzer import analyze
 from ..compiler import QueryCompiler, TimeContext
@@ -37,8 +39,19 @@ SHARD_INTERVAL_MS = 30 * 24 * 3600 * 1000
 
 
 def _configure(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # removed in newer Spark builds; ts then reads as TIMESTAMP_NTZ
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def ts_ms(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-ms (floor) from a raw testdata timestamp column, whatever type
+    the Spark build read it as (BIGINT nanos vs TIMESTAMP/TIMESTAMP_NTZ)."""
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.expr(f"{col} div 1000000")
+    return F.expr(f"unix_micros(cast({col} as timestamp)) div 1000")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,7 +63,7 @@ def events_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a metric frame (timestamp ms, value, tags/dims)."""
     df = table(spark, sf_dir, "events")
     return df.select(
-        F.expr("ts div 1000000").alias("timestamp"),
+        ts_ms(df).alias("timestamp"),
         F.col("value"),
         F.col("event_id"),
         F.col("event_type"),
