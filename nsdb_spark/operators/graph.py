@@ -34,45 +34,57 @@ def pagerank(
     uniformly each round (standard stochastic-matrix fix), so total rank
     mass stays 1 and results match the textbook formulation.
     """
-    # pin inputs: the edge set is often an expensive upstream (e.g. a
-    # near-dup pair join) and every iteration references it twice —
-    # without a persist the whole upstream would re-execute 2×iters times
-    edges = edges.persist()
     nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
-        edges.unpersist()
         nodes.unpersist()
         return nodes.select(F.col(node_col), F.lit(0.0).alias("rank"))
+    # Fold the static per-source 1/out_degree weight into the edge set ONCE
+    # (the reference-to-this was a per-round edges⋈out_deg join); persist so
+    # an expensive edge upstream (e.g. a near-dup pair join) runs one time.
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    ranks = nodes.select(node_col, F.lit(1.0 / n).alias("rank"))
+    weighted = (
+        edges.join(out_deg, src)
+        .select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            (F.lit(1.0) / F.col("__deg")).alias("__w"),
+        )
+        # pre-hash on the join key: the per-round join reuses this layout
+        # instead of re-exchanging the (large) edge set every iteration
+        .repartition("__src")
+        .persist()
+    )
+    weighted.count()
+    ranks = nodes.select(node_col, F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iters):
         contribs = (
-            edges.join(out_deg, src)
-            .join(ranks, F.col(src) == F.col(node_col))
-            .select(F.col(dst).alias(node_col), (F.col("rank") / F.col("__deg")).alias("c"))
-            .groupBy(node_col)
-            .agg(F.sum("c").alias("in_mass"))
+            weighted.join(ranks, F.col("__src") == F.col(node_col))
+            .groupBy(F.col("__dst"))
+            .agg(F.sum(F.col("rank") * F.col("__w")).alias("in_mass"))
+            .withColumnRenamed("__dst", node_col)
         )
-        # dangling mass = 1 - mass that flowed along edges
-        flowed = contribs.agg(F.sum("in_mass")).first()[0] or 0.0
-        dangling = 1.0 - float(flowed)
+        # dangling mass = 1 - mass that flowed along edges. `contribs`
+        # appears twice in the plan but shares one shuffle (ReuseExchange),
+        # so there's no driver action and no second aggregation pass.
+        dmass = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("in_mass"), F.lit(0.0))).alias("__dm")
+        )
         ranks = (
             nodes.join(contribs, node_col, "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 node_col,
                 (
                     F.lit((1.0 - damping) / n)
                     + damping
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dangling / n)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("__dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            # eager: one job per round, plan depth capped at 1 round
+            .localCheckpoint(eager=True)
         )
     out = ranks.select(node_col, F.round("rank", 6).alias("rank"))
-    # materialize before releasing the pinned inputs (the lazy checkpoints
-    # above still hold lineage into `edges` until first action)
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
+    weighted.unpersist()
     nodes.unpersist()
     return out
