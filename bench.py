@@ -112,6 +112,12 @@ def main() -> None:
         "scale_heavy_hitters",
         "text_lm_logprob",
         "pack_sequences",
+        "events_retention",
+        "stats_histogram_equidepth",
+        "tsa_ema",
+        "sim_range_search",
+        "dedup_containment",
+        "scale_zorder_key",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -29,6 +29,7 @@ from .operators import (
     embeddings_gemm,
     graph,
     joins,
+    layout,
     multimodal,
     packing,
     pq,
@@ -665,6 +666,29 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weights={"train": 0.8, "val": 0.1, "test": 0.1},
     )
 
+    # --- cohort / distribution analytics ---
+    q["events_retention"] = lambda spark, sf: analytics.retention_cohorts(
+        testdata.events_metric(spark, sf), bucket_ms=604800000
+    )
+    q["stats_histogram_equidepth"] = lambda spark, sf: analytics.equidepth_histogram(
+        testdata.events_metric(spark, sf), value="value", nbins=10
+    )
+    q["tsa_ema"] = lambda spark, sf: tsa.ema_last(
+        testdata.events_metric(spark, sf), alpha=0.3
+    )
+    q["sim_range_search"] = lambda spark, sf: similarity.cosine_range_search(
+        _emb(spark, sf), _query_vec(spark, sf), min_cosine=0.3
+    )
+    q["dedup_containment"] = lambda spark, sf: dedup.containment_pairs(
+        _docs(spark, sf), n=3, threshold=0.8
+    )
+    q["scale_zorder_key"] = lambda spark, sf: testdata.events_metric(spark, sf).select(
+        "event_id",
+        layout.zorder_key(
+            [F.col("user_id") % 256, F.floor("value").cast("long") % 256], bits=8
+        ),
+    )
+
     # --- multimodal plumbing ---
     q["mm_decode_metadata"] = lambda spark, sf: multimodal.document_media_metadata(
         _docs(spark, sf)
@@ -1128,6 +1152,64 @@ SELECT event_id, cast(len(regexp_extract_all(props, '[0-9]+')) AS int) AS n_mask
        md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS scrub_digest
 FROM events
 """
+    o["events_retention"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp FROM events),
+f AS (SELECT user_id, min(timestamp // 604800000) AS cohort FROM e GROUP BY 1),
+a AS (SELECT DISTINCT user_id, timestamp // 604800000 AS b FROM e)
+SELECT cohort * 604800000 AS cohort_start, b - cohort AS "offset",
+       count(*) AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+"""
+    qcuts = ", ".join(str(i / 10) for i in range(1, 10))
+    o["stats_histogram_equidepth"] = f"""
+WITH e AS (SELECT value FROM events),
+ed AS (SELECT quantile_cont(value, [{qcuts}]) AS q FROM e),
+b AS (SELECT cast(len(list_filter(ed.q, x -> value > x)) AS int) AS bin, value
+      FROM e, ed)
+SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value
+FROM b GROUP BY bin
+"""
+    o["tsa_ema"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),
+l AS (SELECT user_id, count(*) AS n, max(timestamp) AS last_ts,
+             list(value ORDER BY timestamp, event_id) AS xs
+      FROM e GROUP BY user_id)
+SELECT user_id, n,
+       round(list_reduce(xs, (acc, x) ->
+             (0.3::DOUBLE)*x + (1::DOUBLE - 0.3::DOUBLE)*acc), 6) AS ema,
+       last_ts
+FROM l
+"""
+    o["sim_range_search"] = f"""
+WITH {_EMB_CTE},
+q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0)
+SELECT nn.vec_id AS vec_id,
+       round(list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn), 6) AS cosine
+FROM nn, q
+WHERE round(list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn), 6) >= 0.3
+"""
+    o["dedup_containment"] = f"""
+WITH {_SHINGLES_CTE},
+sized AS (SELECT doc_a, doc_b, common, ca.n_sh AS na, cb.n_sh AS nb
+          FROM p JOIN c ca ON p.doc_a = ca.doc_id
+                 JOIN c cb ON p.doc_b = cb.doc_id)
+SELECT doc_inner, doc_outer, containment FROM (
+  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+         round(common / na, 6) AS containment FROM sized
+  UNION ALL
+  SELECT doc_b, doc_a, round(common / nb, 6) FROM sized
+) WHERE containment >= 0.8
+"""
+    zterms = " + ".join(
+        f"((({col} >> {j}) & 1) << {j * 2 + i})"
+        for i, col in enumerate(
+            ["(user_id % 256)", "(cast(floor(value) AS BIGINT) % 256)"]
+        )
+        for j in range(8)
+    )
+    o["scale_zorder_key"] = (
+        f"{M} SELECT event_id, cast({zterms} AS BIGINT) AS zkey FROM m"
+    )
     o["mm_decode_metadata"] = _MM_ORACLE
     o["mm_resize"] = """
 SELECT doc_id, cast(least(strlen(text), 1024) AS int) AS out_bytes,

@@ -178,6 +178,73 @@ def group_stats(df: DataFrame, part: str, x: str, y: str) -> DataFrame:
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    bucket_ms: int,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the bucket of their
+    FIRST event; each (cohort, offset) cell counts users from that cohort
+    active `offset` buckets later — the standard product-analytics
+    retention table.
+
+    Output: (cohort_start, offset, n_users). Two map-side-combinable
+    aggregates (first-seen per user, distinct active buckets per user) and
+    one co-partitioned join on the user key; the result is cohorts ×
+    offsets rows — tiny regardless of event volume.
+    """
+    b = F.floor(F.col(ts) / F.lit(bucket_ms)).cast("long")
+    firsts = events.groupBy(user).agg(F.min(b).alias("cohort"))
+    active = events.select(F.col(user), b.alias("b")).distinct()
+    return (
+        active.join(firsts, user)
+        .groupBy(
+            (F.col("cohort") * bucket_ms).alias("cohort_start"),
+            (F.col("b") - F.col("cohort")).alias("offset"),
+        )
+        # (user, b) is distinct and a user has one cohort, so count(*) is
+        # already a distinct-user count — no count(DISTINCT) expand needed
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value: str,
+    nbins: int,
+) -> DataFrame:
+    """Equi-depth (quantile-edged) histogram: interior cut points are the
+    exact i/nbins quantiles (linear interpolation — Spark `percentile` ≡
+    DuckDB `quantile_cont`); row → bin = number of cuts strictly below its
+    value, so ties always land in the lower bin deterministically.
+
+    Output: (bin, n, min_value, max_value). Scale shape: the cut points
+    are ONE array-percentile aggregate (a single per-group buffer — at
+    true 100 TB swap in approx_percentile for a mergeable sketch), then a
+    1-row broadcast cross join and a map-side-combinable nbins-row count.
+    Unlike a global ntile (single-partition window sort), no stage ever
+    sees more than one partition's rows.
+    """
+    cuts = [i / nbins for i in range(1, nbins)]
+    plist = ", ".join(str(p) for p in cuts)
+    edges = df.agg(F.expr(f"percentile({value}, array({plist}))").alias("__edges"))
+    bin_col = F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col(value) > e, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+        )
+    )
+
+
 def scrub_numbers(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -143,6 +143,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    stop_shingle_df_limit: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate CONTAINMENT pairs: (doc_inner, doc_outer,
+    containment) where containment = |inner ∩ outer| / |inner| ≥ threshold
+    over distinct shingle sets. Catches "A is a fragment of B" (quotes,
+    boilerplate-wrapped copies, truncated docs) that symmetric Jaccard
+    misses: a 100-shingle doc fully inside a 10000-shingle doc has
+    containment 1.0 but Jaccard 0.01.
+
+    Same physical shape as ngram_jaccard_pairs — ONE shingle-keyed
+    equi-join generating each unordered pair once (a < b), then both
+    directed containments read off the same aggregated (common, |A|, |B|)
+    row; emitting the two directions is a post-aggregation projection,
+    not a second join. Same stop-shingle skew guard applies at scale.
+    """
+    sh = (
+        shingles(_parallelize(docs), n)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("sh"))
+    )
+    if stop_shingle_df_limit is not None:
+        hot = (
+            sh.groupBy("sh").count()
+            .filter(F.col("count") > stop_shingle_df_limit)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sh = sh.persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sized = (
+        common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+    )
+    fwd = sized.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 # ------------------------------------------------------------- decontamination
 
 

@@ -105,6 +105,28 @@ def ivf_topk(
     return cosine_topk(assigned, query_vec, k, vec_col)
 
 
+def cosine_range_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    min_cosine: float,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vectors with cosine(v, query) >= min_cosine: (vec_id, cosine
+    rounded 6). The radius-query counterpart of cosine_topk — retrieval
+    filters ("every chunk at least this similar to the query") rather than
+    fixed-k. Pure fold expressions over one scan; the cut applies to the
+    6-decimal rounded score (same discipline as embedding_cosine_pairs —
+    sub-ulp fold-order differences between engines can't flip membership).
+    At scale, pre-prune with an IVF cell or SRP signature filter first
+    (ivf_assign / rhp_signature) and apply this inside the surviving
+    cells."""
+    return (
+        cosine_scores(emb, query_vec, vec_col)
+        .select("vec_id", F.round(F.col("score"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 # ---------------------------------------------------------- random hyperplane
 
 

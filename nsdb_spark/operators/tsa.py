@@ -127,6 +127,46 @@ def locf_fill(
     )
 
 
+def ema_last(
+    df: DataFrame,
+    alpha: float,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, final smoothed value:
+    y_0 = x_0; y_t = alpha*x_t + (1-alpha)*y_{t-1} over the key's samples in
+    (ts, id) order. The recurrence is inherently sequential per key, so this
+    is the canonical applyInPandas case (SURVEY.md §7: Pandas-UDF-backed
+    operator where DataFrame ops can't express the semantics) — Arrow-batch
+    transfer, one hash exchange on the key, each group reduced to one row.
+
+    Output: (key, n, ema rounded 6, last_ts). The fold uses exactly the
+    textbook fma order so any engine replaying the same order reproduces
+    it to well past 6 decimals.
+    """
+    import pandas as pd
+
+    out_schema = f"{key} long, n long, ema double, last_ts long"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts, id_col])
+        acc = None
+        for x in pdf[value].to_numpy():
+            acc = float(x) if acc is None else alpha * float(x) + (1.0 - alpha) * acc
+        return pd.DataFrame(
+            {
+                key: [int(pdf[key].iloc[0])],
+                "n": [len(pdf)],
+                "ema": [round(acc, 6)],
+                "last_ts": [int(pdf[ts].iloc[-1])],
+            }
+        )
+
+    return df.select(key, ts, id_col, value).groupBy(key).applyInPandas(fn, out_schema)
+
+
 def decimate_minmax(
     df: DataFrame,
     interval_ms: int,

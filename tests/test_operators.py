@@ -1034,3 +1034,110 @@ def test_alternating_cc_random_graph(spark):
     alt = {r["doc_id"]: r["cluster_id"]
            for r in connected_components_alternating(pairs, nodes).collect()}
     assert alt == lp
+
+
+def test_retention_cohorts(spark):
+    from nsdb_spark.operators import analytics
+
+    # bucket = 10ms; user 1 first in bucket 0, active in 0 and 2;
+    # user 2 first in bucket 1, active in 1; user 3 first in 0, active 0,1
+    rows = [(1, 5), (1, 25), (2, 15), (3, 1), (3, 12), (3, 19)]
+    ev = spark.createDataFrame(rows, "user_id long, timestamp long")
+    out = {
+        (r["cohort_start"], r["offset"]): r["n_users"]
+        for r in analytics.retention_cohorts(ev, bucket_ms=10).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (10, 0): 1}
+
+
+def test_equidepth_histogram_quartiles(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "value double")
+    out = {r["bin"]: r for r in analytics.equidepth_histogram(df, "value", 4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert [out[b]["n"] for b in range(4)] == [25, 25, 25, 25]
+    assert out[0]["min_value"] == 1.0 and out[3]["max_value"] == 100.0
+    # ties land in the lower bin: constant column collapses to one bin
+    const = spark.createDataFrame([(7.0,)] * 8, "value double")
+    cout = analytics.equidepth_histogram(const, "value", 4).collect()
+    assert len(cout) == 1 and cout[0]["bin"] == 0 and cout[0]["n"] == 8
+
+
+def test_ema_last_recurrence(spark):
+    from nsdb_spark.operators import tsa
+
+    rows = [(1, 10, 100, 1.0), (1, 20, 101, 2.0), (1, 30, 102, 3.0), (2, 5, 103, 9.0)]
+    df = spark.createDataFrame(rows, "user_id long, timestamp long, event_id long, value double")
+    out = {r["user_id"]: r for r in tsa.ema_last(df, alpha=0.5).collect()}
+    # user 1: y=1; y=0.5*2+0.5*1=1.5; y=0.5*3+0.5*1.5=2.25
+    assert out[1]["ema"] == 2.25 and out[1]["n"] == 3 and out[1]["last_ts"] == 30
+    assert out[2]["ema"] == 9.0 and out[2]["n"] == 1
+
+
+def test_cosine_range_search(spark):
+    out = similarity.cosine_range_search(
+        spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        ),
+        query_vec=[1.0, 0.0],
+        min_cosine=0.5,
+    ).collect()
+    got = {r["vec_id"]: r["cosine"] for r in out}
+    assert got == {0: 1.0, 1: pytest.approx(0.707107)}
+
+
+def test_containment_pairs_fragment(spark):
+    # doc 1 is a strict fragment of doc 0: containment(1 in 0) = 1.0 but
+    # jaccard is low; symmetric jaccard at 0.5 misses it entirely
+    rows = [
+        (0, "a b c d e f g h i j k l m n o p"),
+        (1, "c d e f g"),
+        (2, "x y z w v u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in dedup.containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert out == {(1, 0): 1.0}
+    assert dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count() == 0
+
+
+def test_zorder_key_interleave(spark):
+    from nsdb_spark.operators import layout
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    # x=0b011, y=0b101 -> bit j of x at 2j, of y at 2j+1:
+    # j0: x1->1, y1->2 ; j1: x1->4, y0 ; j2: x0, y1->32  => 1+2+4+32 = 39
+    out = df.select(layout.zorder_key([F.col("x"), F.col("y")], bits=3)).collect()
+    assert out[0]["zkey"] == 39
+
+
+def test_cluster_by_zorder_locality(spark):
+    from nsdb_spark.operators import layout
+
+    # a 16x16 grid, arrival order scrambled; after z-order clustering into
+    # 4 range partitions each partition covers a compact quadrant-ish block
+    # => per-partition bounding boxes are much smaller than the full grid
+    rows = [(i, (i * 37) % 16, (i * 53) % 16) for i in range(256)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    clustered = layout.cluster_by_zorder(
+        df, [F.col("x"), F.col("y")], bits=4, num_files=4
+    )
+    assert clustered.count() == 256
+    spans = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(spans) == 4
+    # unsorted data would give every partition the full 0..15 span on both
+    # axes; z-order keeps the average bounding-box side well under that
+    avg_side = sum((r["sx"] + r["sy"]) / 2 for r in spans) / len(spans)
+    assert avg_side <= 12
