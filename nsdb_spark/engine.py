@@ -94,10 +94,93 @@ class NsdbEngine:
         # keep materialized rollups FRESH instead of dropping them: merge
         # this batch's partials in (classic incremental view maintenance);
         # only writes outside a rollup's pinned axis force invalidation
-        self._maintain_rollups_on_write(db, ns, metric, bits, df.drop(SHARD_COL))
+        lo = min(b.timestamp for b in bits)
+        hi = max(b.timestamp for b in bits)
+        self._maintain_rollups_on_write(db, ns, metric, lo, hi, df.drop(SHARD_COL))
         return len(bits)
 
-    def _maintain_rollups_on_write(self, db, ns, metric, bits, batch_df) -> None:
+    def insert_frame(
+        self,
+        db: str,
+        ns: str,
+        metric: str,
+        df: DataFrame,
+        tags: tuple[str, ...] | list[str] = (),
+        widen_ints: bool = True,
+    ) -> int:
+        """Bulk-insert a DataFrame as bits — the distributed write path.
+
+        `insert_bits` is the per-record API (RPCInsert parity,
+        WriteCoordinator.scala:387-441); this is its bulk-load complement:
+        rows never pass through the driver. The frame must carry
+        `timestamp` (integer ms) and a numeric `value`; every other column
+        becomes a dimension (or a tag if named in `tags`). Same registry
+        semantics as the record path: schema inferred from the frame,
+        union-merged, type/class conflicts rejected (Schema.scala:116-129),
+        retention enforced (MetadataCoordinator.scala:485-489 — here as one
+        distributed count instead of a per-bit check).
+
+        widen_ints: map int32 columns to BIGINT (matching the record path,
+        where Python ints infer BIGINT); with False, int32 stays INT —
+        NSDb's exact-type-match union will then reject mixing the two.
+
+        Scale shape: one retention-violation count (scan), then the append
+        repartitioned by shard with rows sorted on timestamp inside each —
+        identical physical layout to the record path.
+        """
+        from .sources.bulk import frame_schema, conform_frame
+
+        if df.isStreaming:
+            raise SchemaError("insert_frame takes a batch DataFrame")
+        incoming, df = frame_schema(df, tags=tuple(tags), widen_ints=widen_ints)
+        info = self.warehouse.get_info(db, ns, metric)
+        schema = self.warehouse.update_schema(db, ns, metric, incoming)
+        retention = info["retention"]
+        if retention:
+            now = self.now_fn()
+            bad = df.filter(
+                (F.col("timestamp") < now - retention)
+                | (F.col("timestamp") > now + retention)
+            ).count()
+            if bad:
+                raise RetentionError(
+                    f"{bad} rows outside the retention window of {retention} ms"
+                )
+        si = info["shardInterval"]
+        out = conform_frame(df, schema, si)
+        n = out.count()
+        if n == 0:
+            return 0
+        (
+            out.repartition(SHARD_COL)
+            .sortWithinPartitions("timestamp")
+            .write.mode("append")
+            .partitionBy(SHARD_COL)
+            .parquet(self.warehouse.data_path(db, ns, metric))
+        )
+        lo, hi = out.agg(F.min("timestamp"), F.max("timestamp")).first()
+        self._maintain_rollups_on_write(db, ns, metric, lo, hi, out.drop(SHARD_COL))
+        return n
+
+    def insert_from_files(
+        self,
+        db: str,
+        ns: str,
+        metric: str,
+        path: str,
+        fmt: str = "csv",
+        tags: tuple[str, ...] | list[str] = (),
+        options: dict[str, str] | None = None,
+    ) -> int:
+        """Bulk-load CSV / JSON-lines / parquet files into a metric (the
+        file-source analogue of the HTTP/gRPC insert surfaces). Formats map
+        to Spark readers; csv defaults to header+inferSchema."""
+        from .sources.bulk import read_bulk
+
+        df = read_bulk(self.spark, path, fmt, options)
+        return self.insert_frame(db, ns, metric, df, tags=tags)
+
+    def _maintain_rollups_on_write(self, db, ns, metric, lo, hi, batch_df) -> None:
         """Incrementally merge an insert batch into every registered
         rollup (temporal: additive count/sum + re-max per fine bucket;
         group: additive n/sum + re-reduced min/max per group). Cost is
@@ -110,8 +193,6 @@ class NsdbEngine:
         group_regs = self.warehouse.group_rollups(db, ns, metric)
         if not registered and not group_regs:
             return
-        lo = min(b.timestamp for b in bits)
-        hi = max(b.timestamp for b in bits)
         if any(lo < bounds[0] or hi > bounds[1] for bounds in registered.values()):
             self.warehouse.invalidate_rollups(db, ns, metric)
             return

@@ -722,3 +722,85 @@ def test_group_rollup_maintained_with_new_group(engine, spark):
     engine.warehouse.invalidate_rollups("default", "default", "gw")
     raw = {r[0]: r[1] for r in engine.execute(sql).collect()}
     assert raw == after
+
+
+# ------------------------------------------------------------- bulk ingest
+
+
+def test_insert_frame_distributed_write(engine, spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "h1", "eu"), (2, 20.0, "h2", "us"), (2592000001, 30.0, "h1", "eu")],
+        "timestamp long, value double, host string, region string",
+    )
+    n = engine.insert_frame("default", "default", "bulk", df, tags=["region"])
+    assert n == 3
+    schema = engine.warehouse.get_schema("default", "default", "bulk")
+    assert schema.tags() == ["region"] and schema.dimensions() == ["host"]
+    out = engine.execute("select * from bulk order by timestamp").collect()
+    assert [r["value"] for r in out] == [10.0, 20.0, 30.0]
+    # two shard partitions written (30 d boundary)
+    assert sorted(engine.warehouse.locations("default", "default", "bulk")) == [
+        0,
+        2592000000,
+    ]
+
+
+def test_insert_frame_unions_with_record_path(engine, spark):
+    from nsdb_spark.model import Bit, SchemaError
+
+    engine.insert_bits("default", "default", "m", [Bit(1, 5, {}, {"name": "a"})])
+    df = spark.createDataFrame(
+        [(2, 7, "b", "x")], "timestamp long, value long, name string, extra string"
+    )
+    engine.insert_frame("default", "default", "m", df, tags=["name"])
+    schema = engine.warehouse.get_schema("default", "default", "m")
+    assert schema.has_field("extra")
+    # absent-field-is-null across the union: the first bit has no `extra`
+    rows = engine.execute("select * from m order by timestamp").collect()
+    assert rows[0]["extra"] is None and rows[1]["extra"] == "x"
+    # class conflict (tag vs dimension) rejected, record-path parity
+    bad = spark.createDataFrame([(3, 1, "c")], "timestamp long, value long, name string")
+    with pytest.raises(SchemaError):
+        engine.insert_frame("default", "default", "m", bad)  # name as dimension
+
+
+def test_insert_frame_requires_timestamp_and_value(engine, spark):
+    from nsdb_spark.model import SchemaError
+
+    with pytest.raises(SchemaError):
+        engine.insert_frame(
+            "default", "default", "m2",
+            spark.createDataFrame([(1.0,)], "value double"),
+        )
+
+
+def test_insert_frame_retention_rejects(engine, spark):
+    from nsdb_spark.engine import RetentionError
+
+    engine.warehouse.init_metric("default", "default", "ret", retention_ms=1000)
+    df = spark.createDataFrame([(1, 1.0)], "timestamp long, value double")
+    with pytest.raises(RetentionError):
+        engine.insert_frame("default", "default", "ret", df)
+
+
+def test_insert_from_csv_and_json(engine, spark, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("timestamp,value,host\n1,1.5,h1\n2,2.5,h2\n")
+    assert engine.insert_from_files(
+        "default", "default", "filemetric", str(csv), fmt="csv"
+    ) == 2
+    jsonl = tmp_path / "in.json"
+    jsonl.write_text(
+        '{"timestamp": 3, "value": 3.5, "host": "h3"}\n'
+        '{"timestamp": 4, "value": 4.5, "region": "eu"}\n'
+    )
+    assert engine.insert_from_files(
+        "default", "default", "filemetric", str(jsonl), fmt="json"
+    ) == 2
+    rows = engine.execute("select * from filemetric order by timestamp").collect()
+    assert len(rows) == 4
+    assert rows[0]["host"] == "h1" and rows[3]["region"] == "eu"
+    schema = engine.warehouse.get_schema("default", "default", "filemetric")
+    # csv inferSchema int widened to BIGINT; union grew `region` later
+    assert schema.field_type("value").value == "DECIMAL"
+    assert set(schema.dimensions()) == {"host", "region"}
