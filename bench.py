@@ -118,6 +118,8 @@ def main() -> None:
         "sim_range_search",
         "dedup_containment",
         "scale_zorder_key",
+        "text_bm25_postings",  # includes the one-time index build
+        "sample_per_group",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

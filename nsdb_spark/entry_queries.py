@@ -666,6 +666,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weights={"train": 0.8, "val": 0.1, "test": 0.1},
     )
 
+    # --- materialized inverted index + balanced sampling ---
+    def _bm25_postings(spark, sf):
+        n_docs, avgdl = ranking.write_postings_table(
+            _docs(spark, sf), "bm25_postings", buckets=8
+        )
+        return ranking.bm25_topk_postings(
+            spark, "bm25_postings", n_docs, avgdl, BM25_TERMS, k=15
+        )
+
+    q["text_bm25_postings"] = _bm25_postings
+    q["sample_per_group"] = lambda spark, sf: sampling.sample_per_group(
+        testdata.table(spark, sf, "events").select("event_id", "event_type"),
+        group_col="event_type",
+        id_col="event_id",
+        k=100,
+    )
+
     # --- cohort / distribution analytics ---
     q["events_retention"] = lambda spark, sf: analytics.retention_cohorts(
         testdata.events_metric(spark, sf), bucket_ms=604800000
@@ -1151,6 +1168,17 @@ FROM lineitem GROUP BY l_returnflag
 SELECT event_id, cast(len(regexp_extract_all(props, '[0-9]+')) AS int) AS n_masked,
        md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS scrub_digest
 FROM events
+"""
+    # identical output contract to text_bm25_topk: the postings table is a
+    # physical-layout change, not a semantic one
+    o["text_bm25_postings"] = ranking.bm25_oracle_sql(BM25_TERMS, k=15)
+    o["sample_per_group"] = """
+WITH r AS (SELECT event_id, event_type,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY (event_id * 2654435761) % 4294967296 % 1000000000 ASC,
+                             event_id ASC) AS rn
+           FROM events)
+SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
 """
     o["events_retention"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp FROM events),

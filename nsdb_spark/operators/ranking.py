@@ -187,6 +187,72 @@ def bm25_topk_phrase(
     return _rank_topk(scored, k)
 
 
+def build_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full inverted index over the corpus: (term, doc_id, tf, dl) for
+    EVERY term — the materialize-once artifact behind repeated retrieval.
+    One explode + one (term, doc_id) aggregate; build cost is one corpus
+    scan, after which queries never touch the text again."""
+    words = F.split(F.col(text_col), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).cast("double").alias("dl"),
+            F.explode(words).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+
+
+def write_postings_table(
+    docs: DataFrame, name: str, buckets: int = 8, text_col: str = "text"
+) -> tuple[int, float]:
+    """Materialize the inverted index as a TERM-BUCKETED sorted table (the
+    Lucene-postings analogue of operators/rollup.py's facet tables): a
+    query for |Q| terms opens only the buckets those terms hash to —
+    bucket pruning — and the within-bucket term sort gives row-group
+    skipping on top. Returns (n_docs, avgdl) — the two corpus-level
+    scoring constants, recorded at build time like any index metadata."""
+    from ..sources.bucketed import write_bucketed
+
+    write_bucketed(build_postings(docs, text_col), name, "term", buckets)
+    words = F.split(F.col(text_col), " ")
+    n_docs, avgdl = docs.agg(
+        F.count(F.lit(1)), F.avg(F.size(words).cast("double"))
+    ).first()
+    return int(n_docs), float(avgdl)
+
+
+def bm25_topk_postings(
+    spark,
+    table: str,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 served from a materialized postings table — identical
+    results to bm25_topk (same arithmetic and parenthesization), but the
+    query-time plan reads |Q| term buckets instead of scanning and
+    re-tokenizing the corpus: the retrieval-service shape, where the
+    index build amortizes over every subsequent query."""
+    tf = spark.table(table).filter(F.col("term").isin(query_terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    per_term = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        (
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).alias("s"),
+    )
+    scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    return _rank_topk(scored, k)
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     k: int = 15,

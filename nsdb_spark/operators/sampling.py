@@ -11,7 +11,7 @@ during the scan.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Knuth multiplicative constant (2^32 / φ) — decorrelates sequential ids
@@ -56,6 +56,30 @@ def train_val_test_split(
         )
     out = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", out)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    denom: int = 1_000_000_000,
+) -> DataFrame:
+    """Exactly-k-per-group uniform sample (fewer if the group is smaller):
+    rows rank within their group by the multiplicative hash of their id
+    (ties by id) and the k lowest win. Deterministic under repartitioning
+    and re-runs like every sampler here — and NESTED in k: the k=100
+    sample contains the k=10 sample, so sweeping sample sizes never
+    re-shuffles membership. The balanced-subset primitive (k docs per
+    language, k events per type) that `df.sample()` can't express.
+
+    One hash exchange on the group key; row_number cuts inside the window
+    stage so only k rows per group survive it.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _slot(F.col(id_col), denom).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 def hash_stratified_sample(

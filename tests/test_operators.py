@@ -1141,3 +1141,39 @@ def test_cluster_by_zorder_locality(spark):
     # axes; z-order keeps the average bounding-box side well under that
     avg_side = sum((r["sx"] + r["sy"]) / 2 for r in spans) / len(spans)
     assert avg_side <= 12
+
+
+def test_bm25_postings_equals_direct(spark):
+    from nsdb_spark.operators import ranking
+
+    rows = [
+        (0, "join hash scan join merge"),
+        (1, "scan filter row scan scan"),
+        (2, "vector join table"),
+        (3, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = ranking.bm25_topk(docs, ["join", "scan"], k=3).collect()
+    n_docs, avgdl = ranking.write_postings_table(docs, "t_postings", buckets=4)
+    served = ranking.bm25_topk_postings(
+        spark, "t_postings", n_docs, avgdl, ["join", "scan"], k=3
+    ).collect()
+    assert [r.asDict() for r in direct] == [r.asDict() for r in served]
+
+
+def test_sample_per_group_exact_k_and_nested(spark):
+    from nsdb_spark.operators import sampling
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    s10 = sampling.sample_per_group(df, "event_type", "event_id", 10)
+    got = s10.groupBy("event_type").count().collect()
+    assert {r["event_type"]: r["count"] for r in got} == {"a": 10, "b": 10}
+    # nested: the k=10 sample is a subset of the k=50 sample
+    s50_ids = {r["event_id"] for r in
+               sampling.sample_per_group(df, "event_type", "event_id", 50).collect()}
+    assert {r["event_id"] for r in s10.collect()} <= s50_ids
+    # stable under repartitioning
+    ids_alt = {r["event_id"] for r in
+               sampling.sample_per_group(df.repartition(13), "event_type", "event_id", 10).collect()}
+    assert {r["event_id"] for r in s10.collect()} == ids_alt

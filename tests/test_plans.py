@@ -216,3 +216,24 @@ def test_pack_sequences_avoids_global_window(spark):
     plan = plan_of(packing.pack_sequences(docs, budget=512))
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_postings_query_prunes_term_buckets(spark):
+    """The materialized inverted index is term-bucketed: a |Q|-term query
+    must open only the buckets those terms hash to (SelectedBucketsCount),
+    not the whole postings table."""
+    from nsdb_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 50} join scan t{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    n_docs, avgdl = ranking.write_postings_table(docs, "plan_postings", buckets=8)
+    out = ranking.bm25_topk_postings(
+        spark, "plan_postings", n_docs, avgdl, ["join", "scan"], k=5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pruned = re.findall(r"SelectedBucketsCount: (\d+) out of 8", plan)
+    assert pruned and all(int(p) < 8 for p in pruned)
