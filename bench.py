@@ -120,6 +120,10 @@ def main() -> None:
         "scale_zorder_key",
         "text_bm25_postings",  # includes the one-time index build
         "sample_per_group",
+        "dedup_embedding_srp",
+        "text_normalize",
+        "stats_robust",
+        "events_transitions",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

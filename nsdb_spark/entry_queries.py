@@ -683,6 +683,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=100,
     )
 
+    q["dedup_embedding_srp"] = lambda spark, sf: dedup.embedding_srp_pairs(
+        _emb(spark, sf), threshold=0.45
+    )
+    q["text_normalize"] = lambda spark, sf: text.normalize_text(_docs(spark, sf))
+    q["stats_robust"] = lambda spark, sf: analytics.robust_stats(
+        testdata.table(spark, sf, "lineitem"), part="l_returnflag",
+        value="l_extendedprice",
+    )
+    q["events_transitions"] = lambda spark, sf: analytics.transition_counts(
+        testdata.events_metric(spark, sf)
+    )
+
     # --- cohort / distribution analytics ---
     q["events_retention"] = lambda spark, sf: analytics.retention_cohorts(
         testdata.events_metric(spark, sf), bucket_ms=604800000
@@ -1179,6 +1191,40 @@ WITH r AS (SELECT event_id, event_type,
                              event_id ASC) AS rn
            FROM events)
 SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
+"""
+    # banded SRP-LSH recalls every pair at cosine >= 0.45 on this data
+    # (collision prob ≈ 0.9997 at the threshold, ->1 above; a miss would
+    # fail this exact-pair-set gate)
+    o["dedup_embedding_srp"] = _COSINE_PAIRS_ORACLE
+    o["text_normalize"] = """
+WITH n AS (SELECT doc_id, text,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents)
+SELECT doc_id, md5(norm) AS norm_digest,
+       cast(strlen(norm) AS INT) AS norm_chars,
+       cast(strlen(text) - strlen(norm) AS INT) AS removed_chars
+FROM n
+"""
+    o["stats_robust"] = """
+WITH p AS (SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, [0.1, 0.5, 0.9]) AS q
+           FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, count(*) AS n,
+       round(any_value(p.q[2]), 6) AS median,
+       round(median(abs(l.l_extendedprice - p.q[2])), 6) AS mad,
+       round(avg(CASE WHEN l.l_extendedprice BETWEEN p.q[1] AND p.q[3]
+                      THEN l.l_extendedprice END), 3) AS trimmed_mean
+FROM lineitem l JOIN p USING (l_returnflag) GROUP BY 1
+"""
+    o["events_transitions"] = f"""
+{M},
+s AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY timestamp, event_id) AS prev_type,
+             event_type AS next_type
+      FROM m)
+SELECT prev_type, next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
 """
     o["events_retention"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp FROM events),

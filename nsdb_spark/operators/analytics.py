@@ -260,3 +260,78 @@ def scrub_numbers(
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias("n_masked"),
         F.md5(F.regexp_replace(F.col(text_col), pat, "#")).alias("scrub_digest"),
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    part: str,
+    value: str,
+) -> DataFrame:
+    """Outlier-resistant per-group statistics: median, MAD (median absolute
+    deviation from the median), and the 10%-trimmed mean (mean of values
+    within the [p10, p90] band) — the robust counterparts of
+    group_stats/group_percentiles for skewed telemetry.
+
+    Inherently two passes (deviations need the median first): pass one is
+    a single array-percentile aggregate per group (p10/median/p90), whose
+    tiny result broadcasts back onto the rows; pass two re-aggregates
+    deviations and the trimmed band. Two shuffles total, each carrying
+    one row per group.
+    """
+    p1 = df.groupBy(part).agg(
+        F.expr(f"percentile({value}, array(0.1, 0.5, 0.9))").alias("__p")
+    )
+    joined = df.join(
+        F.broadcast(
+            p1.select(
+                part,
+                F.col("__p")[0].alias("__p10"),
+                F.col("__p")[1].alias("__med"),
+                F.col("__p")[2].alias("__p90"),
+            )
+        ),
+        part,
+    )
+    return joined.groupBy(part).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("__med"), 6).alias("median"),
+        F.round(
+            F.expr(f"percentile(abs({value} - __med), 0.5)"), 6
+        ).alias("mad"),
+        # round 3, not 6: an avg over many doubles is FP-accumulation —
+        # partial-merge order differs between engines (median/mad are
+        # order statistics and stay at 6)
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col(value) >= F.col("__p10")) & (F.col(value) <= F.col("__p90")),
+                    F.col(value),
+                )
+            ),
+            3,
+        ).alias("trimmed_mean"),
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order journey transition matrix: for each user's events in
+    (ts, id) order, count consecutive (prev_type → type) steps across the
+    whole population — the input to Markov-chain attribution / journey
+    mining. Output: (prev_type, next_type, n).
+
+    One hash exchange on the user key (the lag window), then a
+    map-side-combinable count on the |types|² matrix — the result is tiny
+    regardless of event volume.
+    """
+    w = Window.partitionBy(user).orderBy(F.col(ts).asc(), F.col(id_col).asc())
+    steps = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))

@@ -507,6 +507,97 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_srp_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    planes: int = 128,
+    bands: int = 32,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded SRP-LSH, verified exactly:
+    (vec_a, vec_b, cosine ≥ threshold). The 100 TB path for embedding
+    dedup — the cross join in embedding_cosine_pairs and the B×-replicated
+    GEMM both scale superlinearly, while here candidate generation is an
+    equi-join on (band, key) buckets: shuffle O(vectors × bands).
+
+    Same structure as MinHash-LSH for Jaccard, with random-hyperplane
+    signatures for the angular metric (Charikar '02): bit = sign of dot
+    with a reproducible hyperplane; a pair at cosine j collides in ≥1 of
+    the 32 4-bit bands with prob 1-(1-p^4)^32, p = 1 - acos(j)/π — ≈0.9997
+    at j=0.45 and →1 above it, so verified recall is 1 in practice (the
+    oracle IS the exact pair set; a missed pair would fail the gate).
+
+    The 128 plane dots are a (batch × dim)·(dim × planes) BLAS product in
+    mapInPandas (Arrow batches) — an 8k-term codegen expression would
+    compile for minutes; signatures are one narrow pass, computed once.
+    Verification unrolls the dim-term dot product only on candidates.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import deterministic_hyperplanes
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    dim = len(first[0])
+    P = np.array(deterministic_hyperplanes(planes, dim), dtype=np.float64)
+    r = planes // bands
+    weights = 1 << np.arange(r)
+
+    def sig_iter(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ P.T) >= 0
+            keys = [
+                (bits[:, b * r : (b + 1) * r] * weights).sum(axis=1)
+                for b in range(bands)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "keys": list(np.stack(keys, axis=1).astype("int32")),
+                }
+            )
+
+    sig = emb.select("vec_id", vec_col).mapInPandas(
+        sig_iter, "vec_id long, keys array<int>"
+    )
+    buckets = sig.select("vec_id", F.posexplode("keys").alias("band", "key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        functools.reduce(operator.add, [v.getItem(i) * v.getItem(i) for i in range(dim)])
+    )
+    nv = F.array(*[(v.getItem(i) / norm) for i in range(dim)])
+    e = emb.select(F.col("vec_id"), nv.alias("v"))
+    dot = functools.reduce(
+        operator.add,
+        [F.col("va").getItem(i) * F.col("vb").getItem(i) for i in range(dim)],
+    )
+    return (
+        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .withColumn("cosine", F.round(dot, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 # ------------------------------------------------------------------ clustering
 
 

@@ -300,3 +300,27 @@ def lm_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the first pass of every cleaning
+    pipeline: lowercase, strip everything outside [a-z0-9 ], collapse
+    whitespace runs, trim. Output: (doc_id, norm_digest, norm_chars,
+    removed_chars) — digested so the check stays compact; real pipelines
+    keep the normalized text column instead. Pure projection, pipelines
+    with the scan, no shuffle. (Unicode NFC/NFKC folding would slot in
+    here as one more regexp/translate step; the synthetic corpus is
+    ASCII, so the portable subset is what's exercised.)"""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_digest"),
+        F.length(norm).alias("norm_chars"),
+        (F.length(text_col) - F.length(norm)).alias("removed_chars"),
+    )

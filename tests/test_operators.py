@@ -1177,3 +1177,59 @@ def test_sample_per_group_exact_k_and_nested(spark):
     ids_alt = {r["event_id"] for r in
                sampling.sample_per_group(df.repartition(13), "event_type", "event_id", 10).collect()}
     assert {r["event_id"] for r in s10.collect()} == ids_alt
+
+
+def test_embedding_srp_pairs_recall_and_threshold(spark):
+    import math
+    # three clusters: 0/1 nearly parallel (cos ~0.999), 2 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.01, 0.0]),
+        (2, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_srp_pairs(emb, threshold=0.9, planes=32, bands=8)
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out.collect()}
+    assert list(got) == [(0, 1)] and got[(0, 1)] > 0.99
+    # matches the exact cross-join baseline on the same input
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             dedup.embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert set(got) == exact
+
+
+def test_normalize_text(spark):
+    from nsdb_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "Hello,   WORLD!! 42"), (1, "clean text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.normalize_text(docs).collect()}
+    import hashlib
+    assert out[0]["norm_digest"] == hashlib.md5(b"hello world 42").hexdigest()
+    assert out[0]["norm_chars"] == 14
+    assert out[1]["removed_chars"] == 0
+
+
+def test_robust_stats_outlier_resistant(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = analytics.robust_stats(df, "g", "v").collect()[0]
+    # median/mad ignore the 1000 outlier; plain mean would be ~104.5
+    assert r["median"] == 5.5 and r["mad"] == 2.5
+    assert r["trimmed_mean"] < 10
+
+
+def test_transition_counts(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "a"),
+        (2, 10, 4, "a"), (2, 20, 5, "b"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, timestamp long, event_id long, event_type string")
+    out = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in analytics.transition_counts(ev).collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
