@@ -124,6 +124,7 @@ def main() -> None:
         "text_normalize",
         "stats_robust",
         "events_transitions",
+        "sim_topk_ivfpq",  # includes coarse assign + codebook training
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

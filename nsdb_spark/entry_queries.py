@@ -683,6 +683,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=100,
     )
 
+    # IVF-PQ composition (iterative codebook training: rows-only check;
+    # recall vs the exact scan asserted in tests)
+    q["sim_topk_ivfpq"] = lambda spark, sf: pq.ivfpq_search(
+        _emb(spark, sf), _query_vec(spark, sf), _centroids(spark, sf),
+        k=10, nprobe=8, m=8, ks=16,
+    )
     q["dedup_embedding_srp"] = lambda spark, sf: dedup.embedding_srp_pairs(
         _emb(spark, sf), threshold=0.45
     )

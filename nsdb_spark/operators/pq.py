@@ -220,3 +220,105 @@ def pq_search(
     return pq_topk_rerank(
         emb, enc, cbs, query_vec, k, shortlist, vec_col, id_col
     )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 4,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_size: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ: the full production ANN composition (Jégou et al. 2011
+    §VI; the FAISS `IVFx,PQy` index) — IVF prunes WHICH rows are scanned
+    (nprobe cells of the coarse quantizer), PQ shrinks WHAT is scanned
+    (m-byte residual codes), and a constant-size exact re-rank restores
+    precision at the top.
+
+    Residual encoding is the load-bearing detail: codes quantize
+    v - centroid(cell), not v — residuals concentrate near 0 so the same
+    codebook budget spends its resolution where vectors actually are, and
+    the query-side ADC table is rebuilt per probed cell from
+    q - centroid(cell) (driver-side, nprobe × m × ks floats — tiny).
+
+    Scale shape: at 100 TB the cell id is a partition column, so a probe
+    reads nprobe/ncells of the compressed codes and nothing else; the
+    coarse assignment + residual + encode all happen once at write time
+    (here inline so one entry point is correctness-checkable); the only
+    per-query distributed work is an Arrow-batched table-lookup scan over
+    the probed cells' codes and a ~shortlist-row semi join for re-rank.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _as_double, cosine_topk, ivf_assign
+
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(emb, centroids, vec_col)
+
+    def to_resid(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
+            R = V - C[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": pdf["cell"], "resid": list(R)}
+            )
+
+    res = assigned.select(id_col, "cell", vec_col).mapInPandas(
+        to_resid, f"{id_col} long, cell int, resid array<double>"
+    )
+    # train on the residual distribution (one bounded sample), encode all
+    res = res.persist()
+    cbs = pq_train(res, m, ks, iters, vec_col="resid", id_col=id_col, train_size=train_size)
+    enc = pq_encode(res, cbs, vec_col="resid", id_col=id_col).join(
+        res.select(id_col, "cell"), id_col
+    )
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    order = np.argsort(-(C @ q) / (cn * qn), kind="stable")
+    probes = [int(c) for c in order[:nprobe]]
+    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    sub = cbs_np[0].shape[1]
+    # per probed cell: T_c[j, code] = ||(q - C_c)_j - codebook_j[code]||^2
+    tables = {}
+    for c in probes:
+        r = q - C[c]
+        tables[c] = np.stack(
+            [((r[j * sub : (j + 1) * sub][None, :] - cbs_np[j]) ** 2).sum(axis=1) for j in range(m)]
+        )
+
+    def score(batches):
+        cols = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].map(np.asarray).values)
+            cells = pdf["cell"].to_numpy()
+            adist = np.empty(len(pdf), dtype=np.float64)
+            for c in np.unique(cells):
+                mask = cells == c
+                adist[mask] = tables[int(c)][cols[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adist": adist})
+
+    scored = (
+        enc.filter(F.col("cell").isin(probes))
+        .select(id_col, "cell", "codes")
+        .mapInPandas(score, f"{id_col} long, adist double")
+    )
+    cand = scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(shortlist)
+    hits = emb.join(F.broadcast(cand.select(id_col)), id_col, "semi")
+    out = cosine_topk(hits, query_vec, k, vec_col)
+    res.unpersist()
+    return out

@@ -1233,3 +1233,30 @@ def test_transition_counts(spark):
     out = {(r["prev_type"], r["next_type"]): r["n"]
            for r in analytics.transition_counts(ev).collect()}
     assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    from nsdb_spark.operators import pq as pq_ops
+    from nsdb_spark.operators import clustering, similarity
+    import random
+
+    rng = random.Random(11)
+    # 3 well-separated blobs in 8-dim
+    centers = [[5.0 if d == c * 2 else 0.0 for d in range(8)] for c in range(3)]
+    rows = []
+    for i in range(240):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[0][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    cents = clustering.kmeans_fit(emb, k=3, iters=4)
+    got = [
+        r["vec_id"]
+        for r in pq_ops.ivfpq_search(
+            emb, query, cents, k=10, nprobe=2, m=4, ks=8, shortlist=50
+        ).collect()
+    ]
+    # probing the 2 nearest of 3 cells with exact re-rank recovers the
+    # exact top-10 on cleanly-clustered data
+    assert got == exact
