@@ -655,6 +655,66 @@ class NsdbEngine:
             )
         return sorted(todo)
 
+    def optimize_metric_zorder(
+        self,
+        db: str,
+        ns: str,
+        metric: str,
+        cluster_fields: list[str],
+        bits: int = 16,
+        files_per_shard: int = 4,
+    ) -> list[int]:
+        """Re-cluster every shard's files along a Z-order of
+        `cluster_fields` — data skipping for NON-time predicates.
+
+        The time axis is already covered: shard partitioning prunes
+        whole shards and the timestamp sort gives row-group min/max
+        skipping inside them (the reference's only layout axis,
+        Location.scala:32-33). But a predicate on a tag/dimension (host,
+        tenant, region...) still scans every file of the surviving
+        shards. This rewrite sorts each shard by the Morton interleave of
+        the named fields, so every output file covers a compact
+        hyper-rectangle on those columns and parquet column stats skip
+        files/row-groups on ANY of them — the lakehouse OPTIMIZE ZORDER
+        pattern applied to the NSDb layout. Numeric fields quantize by
+        value, strings by a hash bucket. Same atomicity/concurrency
+        contract as compact_metric (dynamic partition overwrite).
+        """
+        from .operators.layout import zorder_key
+
+        schema = self.warehouse.get_schema(db, ns, metric)
+        for f in cluster_fields:
+            if not schema.has_field(f):
+                raise SchemaError(f"unknown cluster field {f}")
+        dp = self.warehouse.data_path(db, ns, metric)
+        shards = self.warehouse.locations(db, ns, metric)
+        if not shards:
+            return []
+        df = self.spark.read.schema(schema.to_struct_type(with_shard=True)).parquet(dp)
+        mask = (1 << bits) - 1
+        quant = []
+        for f in cluster_fields:
+            t = schema.field_type(f)
+            if t is not None and t.is_numeric:
+                quant.append(F.col(f).cast("long").bitwiseAND(F.lit(mask)))
+            else:
+                quant.append(F.abs(F.xxhash64(F.col(f))).bitwiseAND(F.lit(mask)))
+        keyed = df.withColumn("__z", zorder_key(quant, bits=bits))
+        with _spark_conf(
+            self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            (
+                keyed.repartitionByRange(
+                    files_per_shard * len(shards), F.col(SHARD_COL), F.col("__z")
+                )
+                .sortWithinPartitions(SHARD_COL, "__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .partitionBy(SHARD_COL)
+                .parquet(dp)
+            )
+        return sorted(shards)
+
     def enforce_all_retentions(self) -> dict[tuple[str, str, str], list[int]]:
         """One eviction sweep over every metric in the warehouse; returns
         the dropped shard starts per (db, ns, metric)."""

@@ -804,3 +804,44 @@ def test_insert_from_csv_and_json(engine, spark, tmp_path):
     # csv inferSchema int widened to BIGINT; union grew `region` later
     assert schema.field_type("value").value == "DECIMAL"
     assert set(schema.dimensions()) == {"host", "region"}
+
+
+def test_optimize_metric_zorder_narrows_file_stats(engine, spark):
+    import os
+    from pyspark.sql import functions as F
+    from nsdb_spark.model import Bit
+
+    # 256 bits in one shard, two independent "axes" scrambled in arrival
+    # order so appended files have full-range stats on both
+    bits = [
+        Bit(i, 1.0, {}, {"x": (i * 37) % 64, "y": (i * 53) % 64})
+        for i in range(256)
+    ]
+    engine.insert_bits("default", "default", "zm", bits)
+    dp = engine.warehouse.data_path("default", "default", "zm")
+
+    def spans():
+        df = spark.read.parquet(dp).withColumn("f", F.input_file_name())
+        rows = (
+            df.groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return sum((r["sx"] + r["sy"]) / 2 for r in rows) / len(rows), len(rows)
+
+    engine.optimize_metric_zorder(
+        "default", "default", "zm", ["x", "y"], bits=6, files_per_shard=4
+    )
+    after, nf = spans()
+    # every file would span ~63 on both axes unsorted; z-order clustering
+    # must cut the average bounding-box side sharply
+    assert nf >= 2 and after <= 40
+    # rows preserved
+    assert engine.execute("select * from zm").count() == 256
+    # unknown field rejected
+    from nsdb_spark.model import SchemaError
+    with pytest.raises(SchemaError):
+        engine.optimize_metric_zorder("default", "default", "zm", ["nope"])
