@@ -125,6 +125,7 @@ def main() -> None:
         "stats_robust",
         "events_transitions",
         "sim_topk_ivfpq",  # includes coarse assign + codebook training
+        "scale_join_chain",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

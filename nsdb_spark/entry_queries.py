@@ -683,6 +683,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=100,
     )
 
+    q["scale_join_chain"] = lambda spark, sf: joins.revenue_chain(
+        testdata.table(spark, sf, "lineitem"),
+        testdata.table(spark, sf, "orders"),
+        testdata.table(spark, sf, "customer"),
+    )
+
     # IVF-PQ composition (iterative codebook training: rows-only check;
     # recall vs the exact scan asserted in tests)
     q["sim_topk_ivfpq"] = lambda spark, sf: pq.ivfpq_search(
@@ -1197,6 +1203,19 @@ WITH r AS (SELECT event_id, event_type,
                              event_id ASC) AS rn
            FROM events)
 SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
+"""
+    o["scale_join_chain"] = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(cast(l_extendedprice AS DECIMAL(18,2))
+             * (cast(1 AS DECIMAL(18,2)) - cast(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+       cast(sum(rev) AS DOUBLE) AS revenue
+FROM per_order
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
 """
     # banded SRP-LSH recalls every pair at cosine >= 0.45 on this data
     # (collision prob ≈ 0.9997 at the threshold, ->1 above; a miss would

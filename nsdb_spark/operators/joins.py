@@ -46,3 +46,51 @@ def revenue_by_part_type(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         ],
     )
+
+
+def revenue_chain(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Three-table chain with one strategy per join class (the canonical
+    warehouse topology): lineitem ⋈ orders is big-big — an orderkey-keyed
+    shuffle join (at 100 TB: pre-bucket both on orderkey, see
+    sources/bucketed.py, and even this exchange disappears) — while
+    customer enters as an explicit BROADCAST hash join, so the joined
+    fact flow never re-shuffles on custkey.
+
+    The aggregate is pushed BELOW the joins: lineitem reduces to one row
+    per orderkey (map-side-combinable sum) before joining, so the
+    big-big join carries |orders| rows, not |lineitem|. Revenue sums run
+    in decimal(18,2)-derived types end-to-end (exact, order-independent)
+    and cast to double once at the output contract.
+
+    Output: (c_mktsegment, o_orderpriority, n_orders, revenue).
+    """
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev")
+        )
+    )
+    joined = (
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+            per_order["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )

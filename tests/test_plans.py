@@ -237,3 +237,33 @@ def test_postings_query_prunes_term_buckets(spark):
 
     pruned = re.findall(r"SelectedBucketsCount: (\d+) out of 8", plan)
     assert pruned and all(int(p) < 8 for p in pruned)
+
+
+def test_revenue_chain_plan_shape(spark):
+    """The 3-table chain must (a) reduce lineitem to per-order rows BELOW
+    the big-big join (partial aggregate before the orderkey exchange) and
+    (b) bring the customer dim in as a BroadcastHashJoin — the fact flow
+    never re-shuffles on custkey."""
+    from nsdb_spark.operators import joins
+
+    li = spark.createDataFrame(
+        [(i % 10, 100.0, 0.1) for i in range(100)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(i, i % 5, "P%d" % (i % 2)) for i in range(10)],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(i, "SEG%d" % (i % 2)) for i in range(5)],
+        "c_custkey long, c_mktsegment string",
+    )
+    plan = joins.revenue_chain(li, orders, cust)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the partial aggregate on l_orderkey appears below the join in the
+    # plan tree: find a HashAggregate on l_orderkey that is NOT above a join
+    import re
+    join_pos = min(plan.find("SortMergeJoin") % 10**9, plan.find("ShuffledHashJoin") % 10**9,
+                   plan.find("BroadcastHashJoin") % 10**9)
+    agg_pos = plan.find("HashAggregate(keys=[l_orderkey")
+    assert agg_pos > join_pos  # deeper in the printed tree = below the join
