@@ -126,6 +126,8 @@ def main() -> None:
         "events_transitions",
         "sim_topk_ivfpq",  # includes coarse assign + codebook training
         "scale_join_chain",
+        "sample_weighted",
+        "events_active_users",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

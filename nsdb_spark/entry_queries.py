@@ -683,6 +683,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=100,
     )
 
+    q["sample_weighted"] = lambda spark, sf: sampling.hash_weighted_sample(
+        testdata.events_metric(spark, sf)
+        .select("event_id", (F.col("value") / 500.0).alias("weight")),
+        id_col="event_id",
+        weight_col="weight",
+    ).select("event_id", F.round("weight", 6).alias("weight"))
+    q["events_active_users"] = lambda spark, sf: analytics.active_users(
+        testdata.events_metric(spark, sf), bucket_ms=86400000, window_buckets=7
+    )
     q["scale_join_chain"] = lambda spark, sf: joins.revenue_chain(
         testdata.table(spark, sf, "lineitem"),
         testdata.table(spark, sf, "orders"),
@@ -1203,6 +1212,25 @@ WITH r AS (SELECT event_id, event_type,
                              event_id ASC) AS rn
            FROM events)
 SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
+"""
+    # operator casts weight*denom double->long (truncation == floor for
+    # positive weights); the oracle floors explicitly since DuckDB CAST
+    # rounds instead
+    o["sample_weighted"] = f"""
+{M}
+SELECT event_id, round(value / 500.0, 6) AS weight FROM m
+WHERE (event_id * 2654435761) % 4294967296 % 1000
+      < floor((value / 500.0) * 1000)
+"""
+    o["events_active_users"] = f"""
+{M},
+p AS (SELECT DISTINCT user_id, timestamp // 86400000 AS b FROM m),
+d AS (SELECT b, count(*) AS dau FROM p GROUP BY b),
+bounds AS (SELECT max(b) AS hi FROM p),
+c AS (SELECT DISTINCT p.user_id, u.b2 AS b
+      FROM p, bounds, unnest(generate_series(p.b, least(p.b + 6, bounds.hi))) u(b2)),
+w AS (SELECT b, count(*) AS wau FROM c GROUP BY b)
+SELECT d.b * 86400000 AS bucket_start, dau, wau FROM d JOIN w USING (b)
 """
     o["scale_join_chain"] = """
 WITH per_order AS (

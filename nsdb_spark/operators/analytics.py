@@ -335,3 +335,51 @@ def transition_counts(
         F.col(type_col).alias("next_type"),
     ).filter(F.col("prev_type").isNotNull())
     return steps.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def active_users(
+    events: DataFrame,
+    bucket_ms: int,
+    window_buckets: int = 7,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Exact DAU/WAU-style rolling engagement: for every bucket (day),
+    the count of distinct users active in that bucket (`dau`) and in the
+    trailing `window_buckets` buckets (`wau`). A rolling DISTINCT is not
+    a sum of per-bucket counts (users repeat), so each (user, bucket)
+    presence CONTRIBUTES ITSELF to the next `window_buckets` buckets via
+    a bounded explode, and the rolling count is again a count of distinct
+    contributions — exact at any scale.
+
+    Shuffle shape: dedup to (user, bucket) presence (one partial-agg
+    exchange — rows = users × active buckets), a ≤window_buckets-way
+    narrow fan-out, and one final per-bucket count; no window over a
+    global sort, no set unions through the driver. Output: (bucket_start,
+    dau, wau) for buckets the data actually touches.
+    """
+    b = F.floor(F.col(ts) / F.lit(bucket_ms)).cast("long")
+    present = events.select(F.col(user), b.alias("b")).distinct().persist()
+    dau = present.groupBy("b").agg(F.count(F.lit(1)).alias("dau"))
+    bounds = present.agg(F.min("b"), F.max("b")).first()
+    lo, hi = bounds[0], bounds[1]
+    if lo is None:
+        return events.sparkSession.createDataFrame(
+            [], "bucket_start long, dau long, wau long"
+        )
+    contrib = (
+        present.select(
+            F.col(user),
+            F.explode(
+                F.sequence(F.col("b"), F.least(F.col("b") + (window_buckets - 1), F.lit(hi)))
+            ).alias("b"),
+        )
+        .distinct()
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    out = (
+        dau.join(contrib, "b")
+        .select((F.col("b") * bucket_ms).alias("bucket_start"), "dau", "wau")
+    )
+    return out

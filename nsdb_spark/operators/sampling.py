@@ -101,3 +101,21 @@ def hash_stratified_sample(
             .otherwise(thresh)
         )
     return df.filter(_slot(F.col(id_col), denom) < thresh)
+
+
+def hash_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    denom: int = 1000,
+) -> DataFrame:
+    """Per-row weighted Bernoulli sample, deterministic: a row with weight
+    w in [0, 1] is kept iff hash-slot(id) < w·denom — so keep probability
+    tracks the weight column (quality scores, language priors, source
+    boosts) while membership stays layout- and rerun-stable, and samples
+    are NESTED under any pointwise weight increase. Narrow filter, no
+    shuffle; pairs with text.quality_score for quality-weighted corpus
+    downsampling."""
+    return df.filter(
+        _slot(F.col(id_col), denom) < (F.col(weight_col) * denom).cast("long")
+    )

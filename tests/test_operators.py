@@ -1260,3 +1260,35 @@ def test_ivfpq_recall_vs_exact(spark):
     # probing the 2 nearest of 3 cells with exact re-rank recovers the
     # exact top-10 on cleanly-clustered data
     assert got == exact
+
+
+def test_hash_weighted_sample_tracks_weight(spark):
+    from nsdb_spark.operators import sampling
+
+    rows = [(i, 0.0 if i % 2 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_id long, weight double")
+    kept = sampling.hash_weighted_sample(df, "event_id", "weight").collect()
+    # weight 1.0 rows always kept, weight 0.0 never
+    assert len(kept) == 500 and all(r["weight"] == 1.0 for r in kept)
+    # nested under pointwise weight increase: w=0.3 sample ⊆ w=0.6 sample
+    flat = spark.createDataFrame([(i,) for i in range(1000)], "event_id long")
+    s3 = {r["event_id"] for r in sampling.hash_weighted_sample(
+        flat.withColumn("w", F.lit(0.3)), "event_id", "w").collect()}
+    s6 = {r["event_id"] for r in sampling.hash_weighted_sample(
+        flat.withColumn("w", F.lit(0.6)), "event_id", "w").collect()}
+    assert s3 <= s6 and 200 < len(s3) < 400
+
+
+def test_active_users_rolling_distinct(spark):
+    from nsdb_spark.operators import analytics
+
+    # bucket=10; user 1 active in buckets 0,2; user 2 in 0; user 3 in 2
+    rows = [(1, 5), (1, 6), (1, 25), (2, 1), (3, 22)]
+    ev = spark.createDataFrame(rows, "user_id long, timestamp long")
+    out = {r["bucket_start"]: r for r in
+           analytics.active_users(ev, bucket_ms=10, window_buckets=3).collect()}
+    assert out[0]["dau"] == 2 and out[0]["wau"] == 2
+    # bucket 2: active {1,3}; trailing 3 buckets {0,1,2} cover users {1,2,3}
+    assert out[20]["dau"] == 2 and out[20]["wau"] == 3
+    # bucket 1 has no events -> not emitted (axis = buckets with data)
+    assert 10 not in out
