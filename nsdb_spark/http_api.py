@@ -189,6 +189,39 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:
         try:
+            if self.path.split("?")[0] == "/query":
+                # QueryApi.scala:140-163: GET variant of /query — same
+                # enriched execution but SELECT-only (a DELETE through
+                # GET answers 405 MethodNotAllowed, unlike POST)
+                b = self._body()
+                from .sql import ast as _ast
+                from .sql.parser import parse as _parse
+
+                stmt = _parse(
+                    b["queryString"],
+                    db=b.get("db", "default"),
+                    namespace=b.get("namespace", "default"),
+                )
+                if not isinstance(stmt, _ast.SelectSQLStatement):
+                    self._send(
+                        405,
+                        {"error": f"statement {b['queryString']} is not a select statement"},
+                    )
+                    return
+                filters = [
+                    (f["dimension"], f["value"], f["operator"])
+                    for f in b.get("filters") or []
+                ]
+                df = self.engine.query(
+                    b["queryString"],
+                    db=b.get("db", "default"),
+                    ns=b.get("namespace", "default"),
+                    from_ts=b.get("from"),
+                    to_ts=b.get("to"),
+                    filters=filters,
+                )
+                self._send(200, {"records": _records(df)})
+                return
             parts = [p.split("?")[0] for p in self.path.split("/") if p]
             if len(parts) == 2 and parts[0] == "poll":
                 ch = self.channels.get(parts[1])

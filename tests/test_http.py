@@ -161,3 +161,37 @@ def test_subscribe_poll_unsubscribe(engine):
         assert _get(port, f"/poll/{uuid}?timeout_ms=100")[0] == 404
     finally:
         srv.shutdown()
+
+
+def _get_with_body(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="GET",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_get_query_select_only(server):
+    # QueryApi.scala:140-163 — GET /query executes SELECT, refuses DELETE
+    _post(server, "/data", {"bit": {"timestamp": 5, "value": 2,
+                                    "dimensions": {"h": "x"}}, "metric": "gm"})
+    code, out = _get_with_body(
+        server, "/query", {"metric": "gm", "queryString": "select * from gm"}
+    )
+    assert code == 200 and len(out["records"]) == 1
+    code, out = _get_with_body(
+        server, "/query",
+        {"metric": "gm", "queryString": "delete from gm where timestamp = 5"},
+    )
+    assert code == 405 and "not a select statement" in out["error"]
+    # the bit survived the refused DELETE
+    code, out = _get_with_body(
+        server, "/query", {"metric": "gm", "queryString": "select * from gm"}
+    )
+    assert len(out["records"]) == 1

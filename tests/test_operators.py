@@ -1292,3 +1292,25 @@ def test_active_users_rolling_distinct(spark):
     assert out[20]["dau"] == 2 and out[20]["wau"] == 3
     # bucket 1 has no events -> not emitted (axis = buckets with data)
     assert 10 not in out
+
+
+def test_postings_incremental_merge_invariant(spark):
+    """Streaming maintenance of the inverted index: postings are additive
+    partials — merge(postings(A), postings(B)) == postings(A ∪ B) (tf sums;
+    dl is per-doc constant), so a foreachBatch ingest can maintain the
+    postings table per batch without re-tokenizing history."""
+    from nsdb_spark.operators import ranking
+
+    rows = [(i, f"w{i % 7} join scan w{i % 5}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = docs.filter(F.col("doc_id") < 30)
+    b = docs.filter(F.col("doc_id") >= 30)
+    merged = (
+        ranking.build_postings(a)
+        .unionByName(ranking.build_postings(b))
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+    )
+    full = ranking.build_postings(docs)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
