@@ -132,7 +132,14 @@ class NsdbEngine:
 
         if df.isStreaming:
             raise SchemaError("insert_frame takes a batch DataFrame")
-        incoming, df = frame_schema(df, tags=tuple(tags), widen_ints=widen_ints)
+        try:
+            existing = self.warehouse.get_schema(db, ns, metric)
+            known = {n: existing.field_class(n) for n in existing.fields}
+        except Exception:
+            known = None
+        incoming, df = frame_schema(
+            df, tags=tuple(tags), widen_ints=widen_ints, known_classes=known
+        )
         info = self.warehouse.get_info(db, ns, metric)
         schema = self.warehouse.update_schema(db, ns, metric, incoming)
         retention = info["retention"]

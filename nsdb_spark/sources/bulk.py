@@ -55,11 +55,19 @@ def _nsdb_type_of(dt: T.DataType, widen_ints: bool) -> NsdbType | None:
 
 
 def frame_schema(
-    df: DataFrame, tags: tuple[str, ...], widen_ints: bool
+    df: DataFrame,
+    tags: tuple[str, ...],
+    widen_ints: bool,
+    known_classes: dict[str, FieldClass] | None = None,
 ) -> tuple[MetricSchema, DataFrame]:
     """Infer a MetricSchema from a frame's columns (timestamp + value
     required; everything else dimension, or tag when listed) and return the
-    frame with columns cast to the inferred NSDb types."""
+    frame with columns cast to the inferred NSDb types.
+
+    known_classes: field classes already registered for this metric —
+    a column not named in `tags` inherits its registered class instead of
+    defaulting to dimension, so re-ingesting into an existing metric never
+    manufactures a tag-vs-dimension conflict."""
     cols = {f.name: f.dataType for f in df.schema.fields}
     if "timestamp" not in cols or "value" not in cols:
         raise SchemaError("bulk frames must carry `timestamp` and `value` columns")
@@ -86,7 +94,12 @@ def frame_schema(
                 f"column {name}: unsupported type {dt.simpleString()} "
                 "(INT/BIGINT/DECIMAL/VARCHAR only)"
             )
-        fc = FieldClass.TAG if name in tags else FieldClass.DIMENSION
+        if name in tags:
+            fc = FieldClass.TAG
+        elif known_classes and name in known_classes:
+            fc = known_classes[name]
+        else:
+            fc = FieldClass.DIMENSION
         fields[name] = SchemaField(name, fc, t)
         casts.append(F.col(name).cast(t.spark_type).alias(name))
     return MetricSchema(val_t, fields), df.select(*casts)

@@ -39,19 +39,19 @@ def start_parquet_ingestion(
 ) -> StreamingQuery:
     """Append a stream of metric rows (timestamp BIGINT ms, value, flat
     dims/tags) into the warehouse; optionally tap each batch into a
-    SubscriptionManager (the real-time push path)."""
-    info = engine.warehouse.get_info(db, ns, metric)
-    si = info["shardInterval"]
-    data_path = engine.warehouse.data_path(db, ns, metric)
+    SubscriptionManager (the real-time push path).
+
+    Each micro-batch goes through `engine.insert_frame` — the SAME write
+    path as the bulk loader — so streaming writes get the full engine
+    contract, not a side door: schema union-merge (new fields grow the
+    registry, type conflicts reject the batch), retention rejection, the
+    shard-partitioned timestamp-sorted layout, and incremental rollup
+    maintenance (a registered rollup stays fresh under streaming ingest
+    instead of silently serving stale buckets)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.collect() if subscription_manager else None
-        out = batch_df.withColumn(
-            SHARD_COL, (F.col("timestamp") - F.col("timestamp") % si)
-        )
-        out.repartition(SHARD_COL).write.mode("append").partitionBy(SHARD_COL).parquet(
-            data_path
-        )
+        engine.insert_frame(db, ns, metric, batch_df)
         if subscription_manager and rows:
             subscription_manager.publish(db, ns, metric, [r.asDict() for r in rows])
 

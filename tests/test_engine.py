@@ -758,10 +758,19 @@ def test_insert_frame_unions_with_record_path(engine, spark):
     # absent-field-is-null across the union: the first bit has no `extra`
     rows = engine.execute("select * from m order by timestamp").collect()
     assert rows[0]["extra"] is None and rows[1]["extra"] == "x"
-    # class conflict (tag vs dimension) rejected, record-path parity
-    bad = spark.createDataFrame([(3, 1, "c")], "timestamp long, value long, name string")
+    # a known column INHERITS its registered class: `name` stays a tag
+    # even when not re-declared, so re-ingest never manufactures a
+    # conflict (bulk.frame_schema known_classes)
+    engine.insert_frame(
+        "default", "default", "m",
+        spark.createDataFrame([(3, 1, "c")], "timestamp long, value long, name string"),
+    )
+    assert engine.warehouse.get_schema("default", "default", "m").tags() == ["name"]
+    # an EXPLICIT contradiction still rejects: `extra` is registered as a
+    # dimension, declaring it a tag is a class conflict (record-path parity)
+    bad = spark.createDataFrame([(4, 1, "y")], "timestamp long, value long, extra string")
     with pytest.raises(SchemaError):
-        engine.insert_frame("default", "default", "m", bad)  # name as dimension
+        engine.insert_frame("default", "default", "m", bad, tags=["extra"])
 
 
 def test_insert_frame_requires_timestamp_and_value(engine, spark):
