@@ -128,6 +128,7 @@ def main() -> None:
         "scale_join_chain",
         "sample_weighted",
         "events_active_users",
+        "text_novelty",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -683,6 +683,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=100,
     )
 
+    q["text_novelty"] = lambda spark, sf: text.ngram_novelty(_docs(spark, sf), n=3)
     q["sample_weighted"] = lambda spark, sf: sampling.hash_weighted_sample(
         testdata.events_metric(spark, sf)
         .select("event_id", (F.col("value") / 500.0).alias("weight")),
@@ -1212,6 +1213,18 @@ WITH r AS (SELECT event_id, event_type,
                              event_id ASC) AS rn
            FROM events)
 SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
+"""
+    o["text_novelty"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3
+        THEN list_transform(generate_series(1, cast(len(words)-2 AS bigint)),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        ELSE [array_to_string(words, ' ')] END)) AS gram FROM w),
+d AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+SELECT doc_id, count(*) AS n_grams,
+       cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 6) AS novelty
+FROM g JOIN d USING (gram) GROUP BY doc_id
 """
     # operator casts weight*denom double->long (truncation == floor for
     # positive weights); the oracle floors explicitly since DuckDB CAST

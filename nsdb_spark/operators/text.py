@@ -324,3 +324,35 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(norm).alias("norm_chars"),
         (F.length(text_col) - F.length(norm)).alias("removed_chars"),
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct n-grams
+    that appear in NO other document — the data-selection inverse of
+    dedup.decontaminate (high novelty = unique content worth keeping;
+    near-zero = boilerplate). Output: (doc_id, n_grams, novel_grams,
+    novelty rounded 6).
+
+    Shape: explode grams once, a gram-keyed df count (map-side
+    combinable; gram hashed to a long like the jaccard family), join the
+    ubiquity back onto the exploded frame co-partitioned on the gram key,
+    and collapse to one row per doc — two shuffles end to end, no pair
+    joins, so it scales linearly where jaccard-style pairing wouldn't.
+    """
+    from .dedup import shingle_array
+
+    g = docs.select(
+        "doc_id", F.explode(shingle_array(text_col, n)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    gdf = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(gdf, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("novel_grams") / F.col("n_grams"), 6)
+        )
+    )

@@ -1314,3 +1314,13 @@ def test_postings_incremental_merge_invariant(spark):
     full = ranking.build_postings(docs)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_ngram_novelty(spark, docs):
+    out = {r["doc_id"]: r for r in text.ngram_novelty(docs, n=3).collect()}
+    # docs 0 and 2 are identical: every trigram shared -> novelty 0
+    assert out[0]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    # doc 3 shares nothing -> novelty 1
+    assert out[3]["novelty"] == 1.0
+    # doc 1 differs from 0/2 only in the last word: 1 novel trigram of 7
+    assert out[1]["novel_grams"] == 1 and out[1]["n_grams"] == 7
