@@ -141,7 +141,9 @@ class NsdbEngine:
             df, tags=tuple(tags), widen_ints=widen_ints, known_classes=known
         )
         info = self.warehouse.get_info(db, ns, metric)
-        schema = self.warehouse.update_schema(db, ns, metric, incoming)
+        # Validate retention BEFORE mutating the schema registry (mirrors
+        # insert_bits' validate-then-mutate order) so a rejected batch
+        # leaves the registry untouched.
         retention = info["retention"]
         if retention:
             now = self.now_fn()
@@ -153,6 +155,7 @@ class NsdbEngine:
                 raise RetentionError(
                     f"{bad} rows outside the retention window of {retention} ms"
                 )
+        schema = self.warehouse.update_schema(db, ns, metric, incoming)
         si = info["shardInterval"]
         out = conform_frame(df, schema, si)
         n = out.count()
@@ -689,6 +692,16 @@ class NsdbEngine:
         """
         from .operators.layout import zorder_key
 
+        if not cluster_fields:
+            raise SchemaError("zorder needs at least one cluster field")
+        if len(cluster_fields) * bits > 63:
+            # zorder_key interleaves len(fields)*bits bits into one signed
+            # 64-bit key; overflowing into the sign bit corrupts the sort.
+            raise SchemaError(
+                f"{len(cluster_fields)} cluster fields at {bits} bits/field "
+                f"exceeds the 63-bit z-key; use bits <= "
+                f"{63 // len(cluster_fields)}"
+            )
         schema = self.warehouse.get_schema(db, ns, metric)
         for f in cluster_fields:
             if not schema.has_field(f):

@@ -137,22 +137,56 @@ FROM buckets b LEFT JOIN agg USING (k) {limit_pred}
 
 # ---------------------------------------------------------------- documents
 
-_SHINGLES_CTE = """
+# Default stop-shingle guard for the exact pair-join entries: drop shingles
+# whose document frequency exceeds max(floor, ceil(frac * n_docs)) before
+# pairing. A shingle shared by that many docs carries no discriminating
+# signal but fans the equi-join out quadratically inside its group — at
+# 100 TB the unguarded join is the scale-killer, so the guard is the
+# DEFAULT and the unguarded form is the opt-in (`dedup_ngram_jaccard_raw`).
+_PAIR_GUARD_FLOOR = 10
+_PAIR_GUARD_FRAC = 0.005
+
+
+def _pair_guard_limit(spark, sf_dir: str) -> int:
+    import math as _math
+
+    n = _docs(spark, sf_dir).count()
+    return max(_PAIR_GUARD_FLOOR, _math.ceil(_PAIR_GUARD_FRAC * n))
+
+
+def _shingles_cte(capped: bool = False) -> str:
+    """Per-doc distinct shingles (s/sg), set sizes (c), pair commons (p).
+
+    capped=True mirrors the Spark entries' default stop-shingle guard —
+    same df cap formula, same drop-before-count semantics.
+    """
+    src, guard = "s", ""
+    if capped:
+        guard = f""",
+hot AS (SELECT sh FROM s GROUP BY sh
+        HAVING count(*) > greatest({_PAIR_GUARD_FLOOR},
+               cast(ceil({_PAIR_GUARD_FRAC} * (SELECT count(*) FROM documents)) AS bigint))),
+sg AS (SELECT s.doc_id, s.sh FROM s ANTI JOIN hot USING (sh))"""
+        src = "sg"
+    return f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3
         THEN list_transform(generate_series(1, cast(len(words)-2 AS bigint)),
                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-        ELSE [array_to_string(words, ' ')] END)) AS sh FROM w),
-c AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+        ELSE [array_to_string(words, ' ')] END)) AS sh FROM w){guard},
+c AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY doc_id),
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM {src} a JOIN {src} b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
 """
 
 
-def _jaccard_oracle(threshold: float) -> str:
+_SHINGLES_CTE = _shingles_cte(capped=False)
+
+
+def _jaccard_oracle(threshold: float, capped: bool = False) -> str:
     return f"""
-WITH {_SHINGLES_CTE}
+WITH {_shingles_cte(capped)}
 SELECT doc_a, doc_b,
        round(common / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
 FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
@@ -437,6 +471,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- dedup ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf))
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _docs(spark, sf), n=3, threshold=0.5,
+        stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+    )
+    # unguarded exact join — opt-in; quadratic inside hot-shingle groups,
+    # kept as the semantic baseline (the guarded default drops ubiquitous
+    # shingles before pairing)
+    q["dedup_ngram_jaccard_raw"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), n=3, threshold=0.5
     )
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(
@@ -459,13 +500,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["dedup_clusters"] = lambda spark, sf: dedup.connected_components(
-        dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5),
+        dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        ),
         _docs(spark, sf).select("doc_id"),
     )
     # diameter-independent variant (large-star/small-star) — same result,
     # same oracle; the scale path when near-dup chains run long
     q["dedup_clusters_alternating"] = lambda spark, sf: dedup.connected_components_alternating(
-        dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5),
+        dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        ),
         _docs(spark, sf).select("doc_id"),
     )
 
@@ -570,7 +617,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- link analysis over the near-dup graph (iterative: rows-only) ---
     def _pagerank(spark, sf):
-        pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.5)
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        )
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).unionByName(
@@ -731,7 +781,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), _query_vec(spark, sf), min_cosine=0.3
     )
     q["dedup_containment"] = lambda spark, sf: dedup.containment_pairs(
-        _docs(spark, sf), n=3, threshold=0.8
+        _docs(spark, sf), n=3, threshold=0.8,
+        stop_shingle_df_limit=_pair_guard_limit(spark, sf),
     )
     q["scale_zorder_key"] = lambda spark, sf: testdata.events_metric(spark, sf).select(
         "event_id",
@@ -852,7 +903,8 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)"
     )
-    o["dedup_ngram_jaccard"] = _jaccard_oracle(0.5)
+    o["dedup_ngram_jaccard"] = _jaccard_oracle(0.5, capped=True)
+    o["dedup_ngram_jaccard_raw"] = _jaccard_oracle(0.5)
     # 10% of docs (doc_id % 10 = 0) act as the "benchmark" split; the
     # Spark side joins on xxhash64(gram), the oracle on the gram string —
     # identical counts up to 64-bit collisions (same argument as jaccard)
@@ -883,7 +935,7 @@ GROUP BY g.doc_id
     # vs brute force is asserted separately in tests/test_operators.py)
     o["sim_topk_rhp"] = _rhp_oracle()
     o["dedup_clusters"] = f"""
-WITH RECURSIVE {_SHINGLES_CTE},
+WITH RECURSIVE {_shingles_cte(capped=True)},
 pairs AS (
   SELECT doc_a, doc_b
   FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
@@ -1303,7 +1355,8 @@ FROM a JOIN f USING (user_id) GROUP BY 1, 2
     qcuts = ", ".join(str(i / 10) for i in range(1, 10))
     o["stats_histogram_equidepth"] = f"""
 WITH e AS (SELECT value FROM events),
-ed AS (SELECT quantile_cont(value, [{qcuts}]) AS q FROM e),
+ed AS (SELECT list_transform(quantile_cont(value, [{qcuts}]),
+                             x -> round(x, 6)) AS q FROM e),
 b AS (SELECT cast(len(list_filter(ed.q, x -> value > x)) AS int) AS bin, value
       FROM e, ed)
 SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value
@@ -1329,7 +1382,7 @@ FROM nn, q
 WHERE round(list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn), 6) >= 0.3
 """
     o["dedup_containment"] = f"""
-WITH {_SHINGLES_CTE},
+WITH {_shingles_cte(capped=True)},
 sized AS (SELECT doc_a, doc_b, common, ca.n_sh AS na, cb.n_sh AS nb
           FROM p JOIN c ca ON p.doc_a = ca.doc_id
                  JOIN c cb ON p.doc_b = cb.doc_id)

@@ -228,7 +228,15 @@ def equidepth_histogram(
     """
     cuts = [i / nbins for i in range(1, nbins)]
     plist = ", ".join(str(p) for p in cuts)
-    edges = df.agg(F.expr(f"percentile({value}, array({plist}))").alias("__edges"))
+    # Round interpolated cut points to 6 decimals so a sub-ulp difference
+    # between engines' percentile interpolation can't flip a boundary row
+    # into the adjacent bin (cross-engine determinism discipline).
+    edges = df.agg(
+        F.transform(
+            F.expr(f"percentile({value}, array({plist}))"),
+            lambda e: F.round(e, 6),
+        ).alias("__edges")
+    )
     bin_col = F.aggregate(
         F.col("__edges"),
         F.lit(0),
@@ -382,4 +390,9 @@ def active_users(
         dau.join(contrib, "b")
         .select((F.col("b") * bucket_ms).alias("bucket_start"), "dau", "wau")
     )
+    # the result is buckets-count rows; materialize it and release the
+    # (users x buckets) presence pin instead of leaving it cached for the
+    # session (ivfpq_search's persist/unpersist discipline)
+    out = out.localCheckpoint(eager=True)
+    present.unpersist()
     return out

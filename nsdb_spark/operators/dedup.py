@@ -36,9 +36,29 @@ def _parallelize(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is a listing-only check; the old rdd.getNumPartitions()
+    # forced a plan->RDD conversion on every call. Non-file inputs (local
+    # relations) report zero files and are small by construction.
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
+
+
+def _finish(out: DataFrame, *pins: DataFrame) -> DataFrame:
+    """Materialize `out` and release the cache pins backing it.
+
+    The pair operators persist a shared intermediate (exploded shingles,
+    signatures, bucket rows) that feeds several consumers of one job; the
+    returned frame is lazy, so without this the pinned blocks would stay
+    in storage memory for the whole session (they are the big artifact —
+    the verified output is orders of magnitude smaller). localCheckpoint
+    runs the job once, keeps only the small result, and the intermediates
+    are dropped immediately.
+    """
+    out = out.localCheckpoint(eager=True)
+    for p in pins:
+        p.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ exact
@@ -131,7 +151,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
-    return (
+    out = (
         common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
         .withColumn(
@@ -141,6 +161,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _finish(out, sh)
 
 
 def containment_pairs(
@@ -196,7 +217,9 @@ def containment_pairs(
         F.col("doc_a").alias("doc_outer"),
         F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    return _finish(
+        fwd.unionByName(rev).filter(F.col("containment") >= threshold), sh
+    )
 
 
 # ------------------------------------------------------------- decontamination
@@ -343,7 +366,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
+    return _finish(verified, sigs)
 
 
 # ------------------------------------------------------------------ simhash
@@ -433,7 +456,7 @@ def simhash_pairs(
             .distinct()
             .withColumnRenamed("doc_id", "a_doc")
         )
-        return (
+        return _finish(
             pairs.withColumn(
                 "hamming",
                 F.bit_count(F.col("fingerprint").bitwiseXOR(F.col("fingerprint_b"))),
@@ -443,9 +466,10 @@ def simhash_pairs(
                 F.col("a_doc").alias("doc_a"),
                 F.col("doc_id_b").alias("doc_b"),
                 "hamming",
-            )
+            ),
+            fp,
         )
-    return (
+    return _finish(
         pairs.withColumn(
             "hamming",
             F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))),
@@ -455,7 +479,8 @@ def simhash_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             "hamming",
-        )
+        ),
+        fp,
     )
 
 
@@ -495,7 +520,7 @@ def embedding_cosine_pairs(
         operator.add,
         [F.col("a.v").getItem(i) * F.col("b.v").getItem(i) for i in range(dim)],
     )
-    return (
+    return _finish(
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cosine", F.round(dot, 6))
         .filter(F.col("cosine") >= threshold)
@@ -503,7 +528,8 @@ def embedding_cosine_pairs(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             "cosine",
-        )
+        ),
+        e,
     )
 
 
@@ -534,12 +560,14 @@ def embedding_srp_pairs(
     Between banding and exact verification sits a SIGNATURE-HAMMING
     prefilter: the full 128-bit signature rides along with the bucket
     rows (2 longs), and a candidate survives only if its bit-agreement
-    fraction ≥ `prefilter_agree`. The estimator E[agreement] =
-    1 - angle/π puts pairs at the 0.45 threshold at 0.649 ± 0.042, so
-    0.55 is >2σ of slack — and it runs as codegen'd bit_count(xor)
-    BEFORE the candidate distinct, cutting the wide shuffle ~4× (measured;
-    recall verified unchanged — the oracle is the exact pair set).
-    Verification unrolls the dim-term dot product only on survivors.
+    fraction clears a bound DERIVED from the threshold: mean agreement
+    for a pair at cosine t is p = 1 - acos(t)/π, sd = sqrt(p(1-p)/planes),
+    and the cut sits 4σ below the mean (P(drop a true boundary pair)
+    ≈ 3e-5, dominated by banding's own miss rate). It runs as codegen'd
+    bit_count(xor) BEFORE the candidate distinct, cutting the wide
+    shuffle ~4× (measured; recall verified unchanged — the oracle is the
+    exact pair set). Verification unrolls the dim-term dot product only
+    on survivors.
     """
     import math
 
@@ -558,8 +586,17 @@ def embedding_srp_pairs(
     r = planes // bands
     weights = 1 << np.arange(r)
     n_words = -(-planes // 64)
-    prefilter_agree = 0.55
-    max_disagree = int(planes - math.ceil(prefilter_agree * planes))
+    # Hamming prefilter bound derived from the threshold, not a constant:
+    # a pair exactly at `threshold` agrees per-plane with p = 1 - acos(t)/π,
+    # so its agreement fraction is Binomial(planes, p)/planes with sd
+    # sqrt(p(1-p)/planes). Keep 4σ of slack below the mean so a true pair
+    # at the boundary survives with P(drop) ≈ 3e-5 (vs ~1% at the old
+    # fixed 0.55 cut on 128 planes / t=0.45) — adapts to any threshold or
+    # plane count instead of silently losing recall on different data.
+    p_agree = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    sigma = math.sqrt(p_agree * (1.0 - p_agree) / planes)
+    min_agree = max(0.0, p_agree - 4.0 * sigma)
+    max_disagree = int(planes - math.ceil(min_agree * planes))
 
     def sig_iter(batches):
         for pdf in batches:
@@ -620,12 +657,13 @@ def embedding_srp_pairs(
         operator.add,
         [F.col("va").getItem(i) * F.col("vb").getItem(i) for i in range(dim)],
     )
-    return (
+    return _finish(
         cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
         .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
         .withColumn("cosine", F.round(dot, 6))
         .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+        .select("vec_a", "vec_b", "cosine"),
+        buckets,
     )
 
 

@@ -390,6 +390,41 @@ def test_retention_rejects_old_writes(engine):
     engine.insert_bits("default", "default", "m", [Bit(99_500, 1)])
 
 
+def test_retention_rejected_frame_leaves_schema_untouched(engine, spark):
+    # insert_frame must validate retention BEFORE update_schema (same
+    # order as insert_bits) so a rejected batch does not permanently
+    # union-merge its columns into the registry
+    engine.warehouse.init_metric("default", "default", "rf", retention_ms=1000)
+    engine.now_fn = lambda: 100_000
+    engine.insert_bits("default", "default", "rf", [Bit(99_500, 1)])
+    before = set(engine.warehouse.get_schema("default", "default", "rf").fields)
+    df = spark.createDataFrame(
+        [(1, 2.0, "stray")], "timestamp long, value double, rogue string"
+    )
+    with pytest.raises(RetentionError):
+        engine.insert_frame("default", "default", "rf", df, tags=[])
+    after = set(engine.warehouse.get_schema("default", "default", "rf").fields)
+    assert after == before  # no "rogue" column leaked in
+
+
+def test_zorder_rejects_bit_overflow(engine, spark):
+    from nsdb_spark.model import SchemaError
+
+    engine.insert_bits(
+        "default", "default", "zb",
+        [Bit(i, 1, {}, {"a": i, "b": i, "c": i, "d": i}) for i in range(4)],
+    )
+    # 4 fields x default 16 bits = 64 > 63: would overflow the signed key
+    with pytest.raises(SchemaError):
+        engine.optimize_metric_zorder(
+            "default", "default", "zb", ["a", "b", "c", "d"]
+        )
+    # scaled-down bits fit and succeed
+    engine.optimize_metric_zorder(
+        "default", "default", "zb", ["a", "b", "c", "d"], bits=15
+    )
+
+
 def test_retention_eviction(engine):
     engine.warehouse.init_metric("default", "default", "m", shard_interval_ms=1000, retention_ms=2000)
     engine.now_fn = lambda: 1_000
