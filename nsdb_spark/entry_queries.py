@@ -520,10 +520,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_topk_bruteforce"] = lambda spark, sf: similarity.cosine_topk(
         _emb(spark, sf), _query_vec(spark, sf), k=10
     )
-    q["sim_topk_ivf"] = lambda spark, sf: similarity.ivf_topk(
+    # stored-assignment serving path (the 100 TB story): cell/sig are
+    # computed ONCE at write time into a partitioned layout; each query is
+    # a partition-pruned probe (scan's numPartitions metric asserted in
+    # test_plans). The build amortizes over every subsequent query, like
+    # text_bm25_postings; the query-time-assign variants stay below.
+    def _sim_ivf(spark, sf):
+        cents = _centroids(spark, sf)
+        similarity.write_ivf_index(_emb(spark, sf), "ivf_index", cents)
+        return similarity.ivf_topk_indexed(
+            spark, "ivf_index", _query_vec(spark, sf), cents, k=10, nprobe=8
+        )
+
+    q["sim_topk_ivf"] = _sim_ivf
+
+    def _sim_rhp(spark, sf):
+        planes = _rhp_planes()
+        similarity.write_rhp_index(_emb(spark, sf), "rhp_index", planes)
+        return similarity.rhp_topk_indexed(
+            spark, "rhp_index", _query_vec(spark, sf), planes, k=10, multiprobe=1
+        )
+
+    q["sim_topk_rhp"] = _sim_rhp
+
+    # query-time-assign variants: correct but re-scan the corpus per query
+    # — the small-corpus / ad-hoc path, kept oracle-checked
+    q["sim_topk_ivf_scan"] = lambda spark, sf: similarity.ivf_topk(
         _emb(spark, sf), _query_vec(spark, sf), _centroids(spark, sf), k=10, nprobe=8
     )
-    q["sim_topk_rhp"] = lambda spark, sf: similarity.rhp_topk(
+    q["sim_topk_rhp_scan"] = lambda spark, sf: similarity.rhp_topk(
         _emb(spark, sf), _query_vec(spark, sf), _rhp_planes(), k=10, multiprobe=1
     )
     # PQ/ADC: iterative codebook training — rows-only check (like kmeans);
@@ -930,10 +955,12 @@ GROUP BY g.doc_id
     # IVF with nprobe=8/16 recalls the exact top-10 on this data (verified);
     # oracle = brute force
     o["sim_topk_ivf"] = _TOPK_ORACLE
+    o["sim_topk_ivf_scan"] = _TOPK_ORACLE
     # algorithm-parity oracle: the SAME hyperplane literals + probing in
     # SQL — verifies the bucketing/probing machinery, not recall (recall
     # vs brute force is asserted separately in tests/test_operators.py)
     o["sim_topk_rhp"] = _rhp_oracle()
+    o["sim_topk_rhp_scan"] = _rhp_oracle()
     o["dedup_clusters"] = f"""
 WITH RECURSIVE {_shingles_cte(capped=True)},
 pairs AS (

@@ -92,6 +92,16 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN top-k: probe the nprobe cells nearest to the query, exact top-k
     inside them. With nprobe == len(centroids) this equals cosine_topk."""
+    probes = _nearest_cells(query_vec, centroids, nprobe)
+    assigned = ivf_assign(emb, centroids, vec_col).filter(F.col("cell").isin(probes))
+    return cosine_topk(assigned, query_vec, k, vec_col)
+
+
+def _nearest_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Indices of the nprobe centroids nearest to the query by cosine —
+    driver-side arithmetic over k×dim floats (index metadata, not data)."""
     import math
 
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
@@ -100,9 +110,46 @@ def ivf_topk(
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
         dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
         scored.append((dot / (qn * cn), ci))
-    probes = [ci for _, ci in sorted(scored, reverse=True)[:nprobe]]
-    assigned = ivf_assign(emb, centroids, vec_col).filter(F.col("cell").isin(probes))
-    return cosine_topk(assigned, query_vec, k, vec_col)
+    return [ci for _, ci in sorted(scored, reverse=True)[:nprobe]]
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    name: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus with its IVF cell as a PARTITION column —
+    the stored-assignment serving path. Assignment runs ONCE at write
+    time (one narrow codegen pass); every subsequent probe filters
+    `cell IN (nprobe values)`, which the file index applies as a
+    PartitionFilter, opening only nprobe of ncells directories (the scan
+    metric is asserted in tests/test_plans.py) instead of re-assigning
+    the whole corpus per query. The reference prunes shards by time the
+    same way (ReadNodesSelection.scala:40-49); this applies that
+    discipline to the similarity axis."""
+    from ..sources.bucketed import write_partitioned
+
+    assigned = ivf_assign(emb, centroids, vec_col)
+    write_partitioned(assigned, name, "cell")
+
+
+def ivf_topk_indexed(
+    spark,
+    table: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served from a write_ivf_index table: same candidate set
+    (stored cell ≡ computed cell — assignment is deterministic) and same
+    results as ivf_topk, but the plan is a partition-pruned scan of
+    nprobe/ncells of the directories plus a k-row TakeOrdered."""
+    probes = _nearest_cells(query_vec, centroids, nprobe)
+    cand = spark.table(table).filter(F.col("cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col)
 
 
 def cosine_range_search(
@@ -176,6 +223,17 @@ def rhp_topk(
     followed by a k-row TakeOrdered. Candidate volume ~ n/2^planes per
     bucket with SRP's angle-preserving collision probability.
     """
+    probes = rhp_query_probes(query_vec, planes, multiprobe)
+    tagged = emb.withColumn("__sig", rhp_signature(vec_col, planes))
+    cand = tagged.filter(F.col("__sig").isin(probes)).drop("__sig")
+    return cosine_topk(cand, query_vec, k, vec_col)
+
+
+def rhp_query_probes(
+    query_vec: list[float], planes: list[list[float]], multiprobe: int = 1
+) -> list[int]:
+    """The query's SRP signature plus (multiprobe>=1) every 1-bit-flip
+    neighbour — the bucket set an SRP probe reads."""
     q = [float(x) for x in query_vec]
     qsig = 0
     for i, p in enumerate(planes):
@@ -184,8 +242,40 @@ def rhp_topk(
     probes = [qsig]
     if multiprobe >= 1:
         probes += [qsig ^ (1 << i) for i in range(len(planes))]
-    tagged = emb.withColumn("__sig", rhp_signature(vec_col, planes))
-    cand = tagged.filter(F.col("__sig").isin(probes)).drop("__sig")
+    return probes
+
+
+def write_rhp_index(
+    emb: DataFrame,
+    name: str,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus with its SRP signature as a PARTITION
+    column (stored-assignment counterpart of write_ivf_index): the
+    signature is computed once at write time; a probe is then
+    `sig IN (1+planes values)` applied as a PartitionFilter, opening at
+    most that many of the 2^planes directories — not the corpus."""
+    from ..sources.bucketed import write_partitioned
+
+    tagged = emb.withColumn("sig", rhp_signature(vec_col, planes))
+    write_partitioned(tagged, name, "sig")
+
+
+def rhp_topk_indexed(
+    spark,
+    table: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served from a write_rhp_index table — same results as
+    rhp_topk, plan is a partition-pruned scan of the probed signature
+    directories."""
+    probes = rhp_query_probes(query_vec, planes, multiprobe)
+    cand = spark.table(table).filter(F.col("sig").isin(probes)).drop("sig")
     return cosine_topk(cand, query_vec, k, vec_col)
 
 

@@ -27,6 +27,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def write_partitioned(
+    df: DataFrame, name: str, key: str, coalesce_per_partition: bool = True
+) -> None:
+    """Persist df as a managed table DIRECTORY-PARTITIONED on `key` — the
+    layout for stored-assignment serving (ANN cell/sig): a probe's
+    `key IN (...)` becomes a PartitionFilter, and the file index opens
+    only the probed directories. Unlike bucketing, partition pruning is
+    applied unconditionally (no DisableUnnecessaryBucketedScan heuristic
+    — a filter-only probe query gets its buckets un-pruned, measured),
+    which is exactly the reference's shard-pruning discipline
+    (ReadNodesSelection.scala:40-49) on a non-time axis.
+
+    coalesce_per_partition pre-shuffles rows by `key` so each partition
+    directory holds one file per holding task (small-file hygiene); at
+    real scale leave the natural task layout or size with AQE.
+    Same stale-location cleanup contract as write_bucketed."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, name.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+    if coalesce_per_partition:
+        df = df.repartition(F.col(key))
+    df.write.mode("overwrite").format("parquet").partitionBy(key).saveAsTable(name)
+
+
 def write_bucketed(
     df: DataFrame, name: str, key: str, buckets: int, sort: bool = True
 ) -> None:

@@ -239,6 +239,65 @@ def test_postings_query_prunes_term_buckets(spark):
     assert pruned and all(int(p) < 8 for p in pruned)
 
 
+def _partitions_read(df) -> list[int]:
+    """Execute df and return each file scan's numPartitions metric —
+    the count of partition DIRECTORIES the file index kept after
+    partition pruning."""
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()
+    leaves = ep.collectLeaves()
+    vals = []
+    for i in range(leaves.length()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numPartitions"):
+            vals.append(int(m.apply("numPartitions").value()))
+    return vals
+
+
+def test_ivf_probe_prunes_cell_partitions(spark):
+    """The stored-assignment ANN path: cell is a write-time partition
+    column, so an nprobe-cell probe must open only those cells'
+    directories (scan numPartitions metric), never re-assign or scan the
+    corpus."""
+    from nsdb_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 8), float((i * 3) % 5), float(i % 2), 1.0]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[float(c), float((c * 3) % 5), float(c % 2), 1.0] for c in range(8)]
+    similarity.write_ivf_index(emb, "plan_ivf", cents)
+    q = [7.0, 1.0, 1.0, 1.0]
+    out = similarity.ivf_topk_indexed(spark, "plan_ivf", q, cents, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    read = _partitions_read(out)
+    assert read and all(p <= 2 for p in read)  # nprobe=2 of 8 cells
+    # stored path ≡ query-time-assign path
+    assert out.collect() == similarity.ivf_topk(emb, q, cents, k=5, nprobe=2).collect()
+
+
+def test_rhp_probe_prunes_sig_partitions(spark):
+    """SRP stored-signature path: probe = sig IN (1+planes values) against
+    the sig-partitioned layout — partition-pruned scan, results identical
+    to the query-time-signature variant."""
+    from nsdb_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0, float((i * 5) % 11) - 5.0, float(i % 3) - 1.0, 1.0])
+         for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.deterministic_hyperplanes(6, 4)
+    similarity.write_rhp_index(emb, "plan_rhp", planes)
+    q = [1.0, -2.0, 0.5, 1.0]
+    out = similarity.rhp_topk_indexed(spark, "plan_rhp", q, planes, k=5, multiprobe=1)
+    read = _partitions_read(out)
+    # at most the 7 probed signatures' directories, of up to 2^6 present
+    assert read and all(p <= 7 for p in read)
+    assert out.collect() == similarity.rhp_topk(emb, q, planes, k=5, multiprobe=1).collect()
+
+
 def test_revenue_chain_plan_shape(spark):
     """The 3-table chain must (a) reduce lineitem to per-order rows BELOW
     the big-big join (partial aggregate before the orderkey exchange) and
