@@ -50,7 +50,20 @@ def start_parquet_ingestion(
     instead of silently serving stale buckets)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect() if subscription_manager else None
+        # Publish tap: never funnel the whole batch through the driver.
+        # The union of the registered subscriptions' predicates runs as a
+        # distributed filter; only matching rows are collected (a superset
+        # each subscription then narrows in-process). A full collect
+        # happens only when some subscription genuinely needs every row.
+        rows = None
+        if subscription_manager is not None:
+            pred = subscription_manager.batch_predicate(
+                db, ns, metric, batch_df.columns
+            )
+            if pred is True:
+                rows = batch_df.collect()
+            elif pred is not None:
+                rows = batch_df.filter(pred).collect()
         engine.insert_frame(db, ns, metric, batch_df)
         if subscription_manager and rows:
             subscription_manager.publish(db, ns, metric, [r.asDict() for r in rows])

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from .. import analyzer
-from ..compiler import TimeContext, like_to_regex
+from ..compiler import TimeContext, compile_expression, like_to_regex
 from ..model import MetricSchema
 from ..sql import ast
 from ..sql.parser import parse
@@ -61,6 +61,15 @@ def _resolve(v: ast.ComparisonValue, now_ms: int):
     if isinstance(v, ast.RelativeComparisonValue):
         return v.resolve(now_ms)
     return v.value
+
+
+def _expr_fields(e: ast.Expression) -> set[str]:
+    """Field names a predicate references (for schema-presence checks)."""
+    if isinstance(e, ast.NotExpression):
+        return _expr_fields(e.expression)
+    if isinstance(e, ast.TupledLogicalExpression):
+        return _expr_fields(e.expression1) | _expr_fields(e.expression2)
+    return {e.dimension}
 
 
 def _reduce_bucket(values: list, agg: ast.Aggregation):
@@ -134,6 +143,48 @@ class SubscriptionManager:
         self.subs.pop(uuid, None)
 
     # ------------------------------------------------------------ write tap
+    def batch_predicate(self, db: str, ns: str, metric: str, batch_columns: list[str]):
+        """Executor-side pre-filter for the ingest publish tap.
+
+        Returns None if no subscription consumes this metric's writes
+        (tap collects nothing), True if some subscription needs every row
+        (unconditioned plain query, or a predicate referencing a field the
+        batch lacks — publish() resolves absent-as-null in-process), else
+        a pyspark Column matching the UNION of the registered plain +
+        temporal predicates. The ingest path filters ON EXECUTORS with it
+        and collects only the matching rows — publish() then routes each
+        row to its subscription by re-evaluating the per-sub predicate on
+        that small superset. Without this, every ingested batch would
+        funnel through the driver whenever any subscription exists — the
+        scale-killer flagged in round 1; NSDb itself routes every bit
+        through PublisherActor, but Spark's analogue of "the actor sees
+        the stream" is a distributed filter, not a driver collect."""
+        now = self.engine.now_fn()
+        ctx = TimeContext(now)
+        conds = []
+        relevant = False
+        for sub in self.subs.values():
+            if (sub.db, sub.ns, sub.metric) != (db, ns, metric):
+                continue
+            if not isinstance(
+                sub.parsed,
+                (analyzer.ParsedSimpleQuery, analyzer.ParsedTemporalAggregatedQuery),
+            ):
+                continue  # standard aggs re-execute on tick(); no tap rows
+            relevant = True
+            cond = sub.statement.condition
+            if cond is None:
+                return True
+            if not _expr_fields(cond.expression) <= set(batch_columns):
+                return True
+            conds.append(compile_expression(cond.expression, ctx))
+        if not relevant:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
     def publish(self, db: str, ns: str, metric: str, rows: list[dict]) -> None:
         """Called by the ingest path for every batch of inserted records."""
         now = self.engine.now_fn()

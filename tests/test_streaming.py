@@ -132,6 +132,76 @@ def test_structured_streaming_ingestion(engine, spark, tmp_path):
     assert engine.warehouse.locations("default", "default", "s") == [0, 2_592_000_000]
 
 
+def test_publish_tap_filters_on_executors(manager, engine, spark):
+    """The ingest tap must NOT collect a batch driver-side unless a
+    subscription needs the rows: no subs → no predicate; conditioned
+    plain sub → a Column that keeps only matches; unconditioned plain
+    sub → everything."""
+    # no subscriptions on the metric → tap collects nothing
+    assert manager.batch_predicate("default", "default", "people", ["value"]) is None
+
+    cb = Collector()
+    manager.subscribe("select * from people where value > 100", cb)
+    pred = manager.batch_predicate(
+        "default", "default", "people", ["timestamp", "value", "name", "surname"]
+    )
+    assert pred is not None and pred is not True
+    big = spark.createDataFrame(
+        [(i, i % 50, "x", "y") for i in range(5000)],
+        "timestamp long, value long, name string, surname string",
+    )
+    # high-volume non-matching batch: the executor-side filter keeps 0 rows
+    assert big.filter(pred).count() == 0
+    matching = spark.createDataFrame(
+        [(1, 500, "x", "y")], "timestamp long, value long, name string, surname string"
+    )
+    assert matching.filter(pred).count() == 1
+
+    # standard-agg subscriptions re-execute on tick(): they alone never
+    # force a tap collect
+    mgr2 = SubscriptionManager(engine)
+    mgr2.subscribe("select sum(value) from people", Collector())
+    assert mgr2.batch_predicate("default", "default", "people", ["value"]) is None
+
+    # unconditioned plain sub needs every row
+    manager.subscribe("select * from people", Collector())
+    assert manager.batch_predicate("default", "default", "people", ["value"]) is True
+
+    # predicate referencing a field the batch lacks → fall back to all
+    mgr3 = SubscriptionManager(engine)
+    mgr3.subscribe("select * from people where name = Frank", Collector())
+    assert mgr3.batch_predicate("default", "default", "people", ["timestamp", "value"]) is True
+
+
+def test_publish_tap_end_to_end_filtered_stream(engine, spark, tmp_path):
+    """Streaming ingest with a conditioned subscription: matching rows are
+    pushed, non-matching high-volume data never reaches the callback (and
+    is filtered before the driver)."""
+    engine.insert_bits("default", "default", "ff", [Bit(1, 1, {}, {"name": "seed"})])
+    sub = SubscriptionManager(engine)
+    cb = Collector()
+    sub.subscribe("select * from ff where value > 1000", cb)
+    assert len(cb.pushes) == 1  # historical (empty)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(100 + i, i % 100, "bulk") for i in range(2000)] + [(9999, 5000, "hit")],
+        "timestamp long, value long, name string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("timestamp long, value long, name string").parquet(str(src))
+    q = start_parquet_ingestion(
+        engine, "default", "default", "ff", stream,
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+        subscription_manager=sub,
+    )
+    q.awaitTermination(60)
+    live = [r for push in cb.pushes[1:] for r in push]
+    assert [r["value"] for r in live] == [5000]
+    # all 2001 rows still landed in the warehouse
+    assert engine.execute("select count(*) from ff").collect()[0][0] == 2002
+
+
 def test_stateful_temporal_amended_repush_across_restart(spark, tmp_path):
     """applyInPandasWithState bucket state: a late event after a restart
     re-pushes the bucket's FULL aggregates from restored state
