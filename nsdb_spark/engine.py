@@ -332,9 +332,25 @@ class NsdbEngine:
         filters: list[tuple[str, Any, str]] | None = None,
         time_context: TimeContext | None = None,
     ) -> DataFrame:
-        """HTTP-API-style enrichment: external from/to + filters ANDed into
-        the parsed statement (QueryEnriched.scala:44-70,
-        SQLStatement.scala:400-450 parity).
+        """HTTP-API-style enriched SELECT: see enrich_statement."""
+        stmt = self.enrich_statement(
+            query_string, db=db, ns=ns, from_ts=from_ts, to_ts=to_ts, filters=filters
+        )
+        return self.execute_select(stmt, time_context)
+
+    def enrich_statement(
+        self,
+        query_string: str,
+        db: str = "default",
+        ns: str = "default",
+        from_ts: int | None = None,
+        to_ts: int | None = None,
+        filters: list[tuple[str, Any, str]] | None = None,
+    ) -> ast.SelectSQLStatement:
+        """HTTP/WS-API-style enrichment: external from/to + filters ANDed
+        into the parsed statement (QueryEnriched.scala:44-70,
+        SQLStatement.scala:400-450 parity). Shared by POST/GET /query and
+        the WebSocket RegisterQuery path.
 
         filters: (dimension, value, operator) with operator in
         {'=', '>', '>=', '<', '<=', 'like', 'isnull', 'isnotnull'}.
@@ -372,7 +388,7 @@ class NsdbEngine:
                     combined, "and", e
                 )
             stmt.condition = ast.Condition(combined)
-        return self.execute_select(stmt, time_context)
+        return stmt
 
     # ------------------------------------------------------------- delete
     def delete(self, stmt: ast.DeleteSQLStatement, time_context: TimeContext | None = None) -> int:

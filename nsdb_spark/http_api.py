@@ -13,13 +13,20 @@ Route parity (nsdb-http/.../routes/):
 - GET  /commands/<db>/<ns>/metrics                 → {"metrics": [...]}
 - GET  /commands/<db>/<ns>/<metric>/describe       → {"fields": [...]}
                   (CommandApi.scala:152-264)
+- GET  /ws-stream?refresh_period=N&retention_size=M
+                  → RFC 6455 upgrade; RegisterQuery JSON in, historical +
+                  live pushes out (nsdb_spark/ws.py; wire parity with
+                  WsResources.scala:45-160 / docs/Websocket.md)
 - POST /subscribe {db, namespace, queryString}     → {"uuid", "historical"}
 - GET  /poll/<uuid>?timeout_ms=N                   → {"batches": [[...], ...]}
 - DELETE /subscribe/<uuid>                         → {"status": "OK"}
-                  (long-poll transport over SubscriptionManager — the
-                  reference's WebSocket surface, WsResources.scala:45-97,
-                  re-expressed without a ws dependency: historical payload
-                  on subscribe, then drained pushes per poll)
+                  (long-poll fallback over the same SubscriptionManager:
+                  historical payload on subscribe, then drained pushes
+                  per poll)
+
+Authorization: pass serve(auth=NSDbAuthorizationProvider()) to gate every
+data route through the db/namespace/metric check hooks (403 on failure) —
+the reference's pluggable security seam (NSDbAuthorizationProvider.java).
 
 Concurrency: ThreadingHTTPServer — each request runs the engine on the
 shared SparkSession (Spark sessions are thread-safe; jobs from concurrent
@@ -65,6 +72,25 @@ class _Handler(BaseHTTPRequestHandler):
     engine: NsdbEngine        # injected by serve()
     subs = None               # SubscriptionManager | None
     channels: dict = {}       # uuid → _SubscriptionChannel
+    auth = None               # NSDbAuthorizationProvider | None
+    ws_retention_size = 1000  # nsdb.websocket.retention-size analogue
+
+    def _authorized(self, level: str, write: bool, db: str, ns: str = "", metric: str = "") -> bool:
+        """Run the configured authorization hook for a route; on failure
+        answers 403 and returns False (default-allow when no provider —
+        the reference's EmptyNSDbAuthorizationProvider)."""
+        if self.auth is None:
+            return True
+        payload = self.auth.extract_http_security_payload(dict(self.headers))
+        if level == "db":
+            res = self.auth.check_db_auth(db, payload, write)
+        elif level == "namespace":
+            res = self.auth.check_namespace_auth(db, ns, payload, write)
+        else:
+            res = self.auth.check_metric_auth(db, ns, metric, payload, write)
+        if not res.success:
+            self._send(403, {"error": f"unauthorized {res.fail_reason}".strip()})
+        return res.success
 
     # ------------------------------------------------------------ helpers
     def _send(self, code: int, payload) -> None:
@@ -117,6 +143,11 @@ class _Handler(BaseHTTPRequestHandler):
                     )
             elif self.path == "/query":
                 b = self._body()
+                if not self._authorized(
+                    "metric", False, b.get("db", "default"),
+                    b.get("namespace", "default"), b.get("metric", ""),
+                ):
+                    return
                 filters = [
                     (f["dimension"], f["value"], f["operator"])
                     for f in b.get("filters") or []
@@ -132,6 +163,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, {"records": _records(df)})
             elif self.path == "/data":
                 b = self._body()
+                if not self._authorized(
+                    "metric", True, b.get("db", "default"),
+                    b.get("namespace", "default"), b.get("metric", ""),
+                ):
+                    return
                 bit = b["bit"]
                 ts = bit.get("timestamp")
                 db = b.get("db", "default")
@@ -154,6 +190,11 @@ class _Handler(BaseHTTPRequestHandler):
                     self._send(400, {"error": "no subscription manager attached"})
                     return
                 b = self._body()
+                if not self._authorized(
+                    "metric", False, b.get("db", "default"),
+                    b.get("namespace", "default"), b.get("metric", ""),
+                ):
+                    return
                 ch = _SubscriptionChannel()
                 first: list = []
 
@@ -187,8 +228,64 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 
+    def _ws_upgrade(self) -> None:
+        """GET /ws-stream?refresh_period=N&retention_size=M → RFC 6455
+        upgrade; the session then speaks the RegisterQuery protocol
+        (WsResources.scala:137-160, docs/Websocket.md)."""
+        from .ws import WsSession, accept_key
+
+        if self.subs is None:
+            self._send(400, {"error": "no subscription manager attached"})
+            return
+        params = {}
+        if "?" in self.path:
+            for kv in self.path.split("?", 1)[1].split("&"):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    params[k] = v
+        floor = self.subs.refresh_period_ms
+        period = int(params.get("refresh_period", floor))
+        retention = int(params.get("retention_size", self.ws_retention_size))
+        if period < floor:
+            # rejected BEFORE the upgrade, WsResources.scala:157-160
+            self._send(
+                400,
+                {"error": f"publish period of {period} milliseconds cannot be "
+                          f"used, must be greater or equal to {floor}"},
+            )
+            return
+        key = self.headers.get("Sec-WebSocket-Key")
+        if (
+            key is None
+            or "websocket" not in (self.headers.get("Upgrade") or "").lower()
+        ):
+            self._send(400, {"error": "not a websocket upgrade request"})
+            return
+        protos = [
+            p.strip()
+            for p in (self.headers.get("Sec-WebSocket-Protocol") or "").split(",")
+            if p.strip()
+        ]
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", accept_key(key))
+        if protos:
+            self.send_header("Sec-WebSocket-Protocol", protos[0])
+        self.end_headers()
+        self.wfile.flush()
+        WsSession(
+            self.connection, self.rfile, self.engine, self.subs,
+            refresh_period_ms=period, retention_size=retention,
+            subprotocols=protos, auth=self.auth,
+        ).run()
+        self.close_connection = True
+
     def do_GET(self) -> None:
         try:
+            if self.path.split("?")[0] == "/ws-stream":
+                self._ws_upgrade()
+                return
             if self.path.split("?")[0] == "/query":
                 # QueryApi.scala:140-163: GET variant of /query — same
                 # enriched execution but SELECT-only (a DELETE through
@@ -237,10 +334,16 @@ class _Handler(BaseHTTPRequestHandler):
             if parts == ["commands", "dbs"]:
                 self._send(200, {"dbs": wh.databases()})
             elif len(parts) == 3 and parts[0] == "commands" and parts[2] == "namespaces":
+                if not self._authorized("db", False, parts[1]):
+                    return
                 self._send(200, {"namespaces": wh.namespaces(parts[1])})
             elif len(parts) == 4 and parts[0] == "commands" and parts[3] == "metrics":
+                if not self._authorized("namespace", False, parts[1], parts[2]):
+                    return
                 self._send(200, {"metrics": wh.metrics(parts[1], parts[2])})
             elif len(parts) == 5 and parts[0] == "commands" and parts[4] == "describe":
+                if not self._authorized("metric", False, parts[1], parts[2], parts[3]):
+                    return
                 out = self.engine.execute(
                     f"describe {parts[3]}", db=parts[1], ns=parts[2]
                 )
@@ -264,15 +367,18 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 0,
     subscription_manager=None,
+    auth=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the API server on a daemon thread; returns (server, thread).
     port=0 binds an ephemeral port (server.server_address[1]).
-    Pass a SubscriptionManager to enable /subscribe + /poll (inserts via
-    /data are published to it — the real-time push tap)."""
+    Pass a SubscriptionManager to enable /subscribe + /poll and the
+    /ws-stream WebSocket endpoint (inserts via /data are published to it
+    — the real-time push tap). Pass an NSDbAuthorizationProvider to gate
+    routes (403 on failure); default is allow-all."""
     handler = type(
         "BoundHandler",
         (_Handler,),
-        {"engine": engine, "subs": subscription_manager, "channels": {}},
+        {"engine": engine, "subs": subscription_manager, "channels": {}, "auth": auth},
     )
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

@@ -119,8 +119,12 @@ class SubscriptionManager:
         db: str = "default",
         ns: str = "default",
         time_context: TimeContext | None = None,
+        statement: ast.SelectSQLStatement | None = None,
     ) -> str:
-        stmt = parse(sql, db=db, namespace=ns)
+        """Register a live query. `statement` overrides `sql` when the
+        caller already parsed/enriched one (the WS RegisterQuery path,
+        where from/to/filters are ANDed in by engine.enrich_statement)."""
+        stmt = statement if statement is not None else parse(sql, db=db, namespace=ns)
         if not isinstance(stmt, ast.SelectSQLStatement):
             raise ValueError("only SELECT statements can be subscribed")
         schema = self.engine.warehouse.get_schema(db, ns, stmt.metric)

@@ -195,3 +195,228 @@ def test_get_query_select_only(server):
         server, "/query", {"metric": "gm", "queryString": "select * from gm"}
     )
     assert len(out["records"]) == 1
+
+
+# ---------------------------------------------------------------- websocket
+
+
+class WsClient:
+    """Minimal RFC 6455 client for socket-level transport tests."""
+
+    def __init__(self, port, path="/ws-stream", protocols=None, timeout=15.0):
+        import base64
+        import os
+        import socket
+
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=timeout)
+        key = base64.b64encode(os.urandom(16)).decode()
+        lines = [
+            f"GET {path} HTTP/1.1",
+            f"Host: 127.0.0.1:{port}",
+            "Upgrade: websocket",
+            "Connection: Upgrade",
+            f"Sec-WebSocket-Key: {key}",
+            "Sec-WebSocket-Version: 13",
+        ]
+        if protocols:
+            lines.append("Sec-WebSocket-Protocol: " + ", ".join(protocols))
+        self.sock.sendall(("\r\n".join(lines) + "\r\n\r\n").encode())
+        self.f = self.sock.makefile("rb")
+        self.status = int(self.f.readline().split()[1])
+        self.headers = {}
+        while True:
+            line = self.f.readline().strip()
+            if not line:
+                break
+            k, _, v = line.partition(b": ")
+            self.headers[k.decode().lower()] = v.decode()
+        if self.status == 101:
+            from nsdb_spark.ws import accept_key
+
+            assert self.headers["sec-websocket-accept"] == accept_key(key)
+
+    def send_json(self, payload):
+        from nsdb_spark.ws import OP_TEXT, encode_frame
+
+        self.sock.sendall(encode_frame(OP_TEXT, json.dumps(payload).encode(), mask=True))
+
+    def recv_json(self):
+        from nsdb_spark.ws import read_frame
+
+        op, payload = read_frame(self.f)
+        return json.loads(payload)
+
+    def body_json(self):
+        import json as _json
+
+        n = int(self.headers.get("content-length", 0))
+        return _json.loads(self.f.read(n))
+
+    def close(self):
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+@pytest.fixture()
+def ws_server(engine):
+    from nsdb_spark.model import Bit
+    from nsdb_spark.streaming import SubscriptionManager
+
+    engine.insert_bits(
+        "default", "default", "people",
+        [Bit(8, 1, {}, {"name": "Frank"}), Bit(9, 2, {}, {"name": "Bill"})],
+    )
+    subs = SubscriptionManager(engine)
+    srv, _ = http_api.serve(engine, subscription_manager=subs)
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def test_ws_subscribe_historical_then_live(ws_server):
+    port = ws_server
+    c = WsClient(port, "/ws-stream?refresh_period=100&retention_size=10")
+    assert c.status == 101
+    c.send_json({
+        "db": "default", "namespace": "default", "metric": "people",
+        "queryString": "select * from people where name = Frank",
+    })
+    first = c.recv_json()
+    assert first["queryString"].startswith("select")
+    assert [r["timestamp"] for r in first["records"]] == [8]
+    quid = first["quid"]
+
+    # live matching insert via /data → pushed over the SAME connection
+    _post(port, "/data", {
+        "metric": "people",
+        "bit": {"timestamp": 20, "value": 9, "tags": {"name": "Frank"}},
+    })
+    push = c.recv_json()
+    assert push["quid"] == quid and push["metric"] == "people"
+    assert [r["timestamp"] for r in push["records"]] == [20]
+
+    # non-matching insert → nothing arrives on the next flush cycles
+    _post(port, "/data", {
+        "metric": "people",
+        "bit": {"timestamp": 21, "value": 9, "tags": {"name": "Bill"}},
+    })
+    import socket
+
+    c.sock.settimeout(0.8)
+    try:
+        got = c.recv_json()
+        raise AssertionError(f"unexpected push {got}")
+    except (socket.timeout, TimeoutError):
+        pass
+    c.close()
+
+
+def test_ws_refresh_period_floor_rejected(ws_server):
+    # WsResources.scala:157-160: below-floor period refused BEFORE upgrade
+    c = WsClient(ws_server, "/ws-stream?refresh_period=10")
+    assert c.status == 400
+    assert "must be greater or equal" in c.body_json()["error"]
+    c.close()
+
+
+def test_ws_invalid_query_gets_failure_message(ws_server):
+    c = WsClient(ws_server, "/ws-stream")
+    c.send_json({"db": "default", "namespace": "default", "metric": "people",
+                 "queryString": "selekt nope"})
+    out = c.recv_json()
+    assert "reason" in out and out["queryString"] == "selekt nope"
+    c.close()
+
+
+def test_ws_enrichment_from_to(ws_server):
+    c = WsClient(ws_server, "/ws-stream")
+    c.send_json({
+        "db": "default", "namespace": "default", "metric": "people",
+        "queryString": "select * from people", "from": 0, "to": 8,
+    })
+    first = c.recv_json()
+    assert [r["timestamp"] for r in first["records"]] == [8]
+    c.close()
+
+
+# ------------------------------------------------------------- authorization
+
+
+class DenyBelow100(  # deny metric reads on 'secret', require token for writes
+    __import__("nsdb_spark.security", fromlist=["NSDbAuthorizationProvider"]).NSDbAuthorizationProvider
+):
+    def check_metric_auth(self, db, ns, metric, payload, write):
+        from nsdb_spark.security import AuthorizationResponse
+
+        if metric == "secret":
+            return AuthorizationResponse(False, f"metric {metric} is restricted")
+        if write and payload != "Bearer tok":
+            return AuthorizationResponse(False, "write requires a token")
+        return AuthorizationResponse(True)
+
+
+@pytest.fixture()
+def auth_server(engine):
+    from nsdb_spark.model import Bit
+
+    engine.insert_bits("default", "default", "open", [Bit(1, 1)])
+    engine.insert_bits("default", "default", "secret", [Bit(1, 1)])
+    srv, _ = http_api.serve(engine, auth=DenyBelow100())
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def _post_h(port, path, payload, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_auth_denies_restricted_metric(auth_server):
+    port = auth_server
+    code, body = _post(port, "/query", {
+        "metric": "secret", "queryString": "select * from secret"})
+    assert code == 403 and "restricted" in body["error"]
+    code, body = _get(port, "/commands/default/default/secret/describe")
+    assert code == 403
+    # open metric still readable
+    code, body = _post(port, "/query", {
+        "metric": "open", "queryString": "select * from open"})
+    assert code == 200 and len(body["records"]) == 1
+
+
+def test_auth_write_requires_token(auth_server):
+    port = auth_server
+    bit = {"metric": "open", "bit": {"timestamp": 5, "value": 2}}
+    code, body = _post(port, "/data", bit)
+    assert code == 403 and "token" in body["error"]
+    code, body = _post_h(port, "/data", bit, {"Authorization": "Bearer tok"})
+    assert code == 200 and body["status"] == "OK"
+
+
+def test_ws_auth_denied_register(engine):
+    from nsdb_spark.model import Bit
+    from nsdb_spark.streaming import SubscriptionManager
+
+    engine.insert_bits("default", "default", "secret", [Bit(1, 1)])
+    subs = SubscriptionManager(engine)
+    srv, _ = http_api.serve(engine, subscription_manager=subs, auth=DenyBelow100())
+    port = srv.server_address[1]
+    try:
+        c = WsClient(port, "/ws-stream")
+        c.send_json({"db": "default", "namespace": "default", "metric": "secret",
+                     "queryString": "select * from secret"})
+        out = c.recv_json()
+        assert out["reason"].startswith("unauthorized")
+        c.close()
+    finally:
+        srv.shutdown()
