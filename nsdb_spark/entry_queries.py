@@ -799,6 +799,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stats_histogram_equidepth"] = lambda spark, sf: analytics.equidepth_histogram(
         testdata.events_metric(spark, sf), value="value", nbins=10
     )
+    # percentiles served from the MERGEABLE quantile rollup (fixed-grid
+    # sketch partials; raw data touched only at build): t-digest-style
+    # rollup path, merge invariance asserted in test_operators.py
+    def _rollup_pct(spark, sf):
+        ev = testdata.events_metric(spark, sf)
+        r, _b, vr = rollup.build_quantile_rollup(
+            ev, fine_ms=86400000, shard_ms=SHARD, nbins=256
+        )
+        return rollup.percentiles_from_quantile_rollup(
+            spark, r, [0.25, 0.5, 0.9, 0.99], vr, nbins=256
+        )
+
+    q["rollup_percentiles"] = _rollup_pct
+
     q["tsa_ema"] = lambda spark, sf: tsa.ema_last(
         testdata.events_metric(spark, sf), alpha=0.3
     )
@@ -1388,6 +1402,26 @@ b AS (SELECT cast(len(list_filter(ed.q, x -> value > x)) AS int) AS bin, value
       FROM e, ed)
 SELECT bin, count(*) AS n, min(value) AS min_value, max(value) AS max_value
 FROM b GROUP BY bin
+"""
+    # same fixed-grid sketch arithmetic replayed relationally: identical
+    # binning, cumulative, and in-bin interpolation (exact-merge property
+    # means sketch(all) == what the Spark side serves after any merge)
+    o["rollup_percentiles"] = """
+WITH e AS (SELECT value FROM events),
+st AS (SELECT min(value) AS vlo, max(value) AS vhi, count(*) AS n FROM e),
+b AS (SELECT cast(greatest(least(floor((e.value - st.vlo) / ((st.vhi - st.vlo) / 256)),
+                           255), 0) AS int) AS bin
+      FROM e, st),
+h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99])::DOUBLE AS q),
+sel AS (SELECT qs.q AS q, min(c.bin) AS bin
+        FROM qs, st, c WHERE c.cum >= qs.q * st.n GROUP BY qs.q)
+SELECT sel.q AS q,
+       round(st.vlo + ((st.vhi - st.vlo) / 256) *
+             (sel.bin + (sel.q * st.n - (c.cum - c.cnt)) / c.cnt), 6) AS pvalue
+FROM sel JOIN c USING (bin), st
+ORDER BY q
 """
     o["tsa_ema"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

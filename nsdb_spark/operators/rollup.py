@@ -163,6 +163,112 @@ def temporal_from_rollup(
     return out.orderBy(order)
 
 
+# ----------------------------------------------------- quantile rollups
+
+
+def value_bounds(metric_df: DataFrame, value_col: str = "value") -> tuple[float, float]:
+    """(vlo, vhi) of the sketch grid — one tiny 2-value aggregate."""
+    row = metric_df.agg(F.min(value_col), F.max(value_col)).first()
+    return float(row[0]), float(row[1])
+
+
+def build_quantile_rollup(
+    metric_df: DataFrame,
+    fine_ms: int,
+    shard_ms: int,
+    nbins: int = 256,
+    value_col: str = "value",
+    bounds: tuple[int, int] | None = None,
+    value_range: tuple[float, float] | None = None,
+) -> tuple[DataFrame, tuple[int, int], tuple[float, float]]:
+    """Mergeable QUANTILE partials per fine bucket: (k, bin, cnt) rows,
+    where bin is the value's cell on a fixed [vlo, vhi]/nbins grid.
+
+    This is the t-digest idea — per-partition summaries merged instead of
+    re-scanning raw values — with fixed-grid cells instead of adaptive
+    centroids, deliberately: merge(sketch(A), sketch(B)) == sketch(A∪B)
+    EXACTLY (counts add), and the arithmetic replays bit-identically in
+    any engine, so the rollup-served percentile is oracle-checkable
+    (adaptive t-digest centroids are neither). Quantile error is bounded
+    by one bin width, (vhi-vlo)/nbins — at 100 TB pick nbins ≈ 4096 and
+    a percentile query scans nbins-row partials instead of the corpus.
+
+    Pass `bounds`/`value_range` to pin both grids when building per-batch
+    partials destined for merge_quantile_rollups (same contract as
+    build_temporal_rollup — at scale the anchors are fixed at metric
+    init, like the shard grid).
+    """
+    lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
+    vlo, vhi = value_range if value_range else value_bounds(metric_df, value_col)
+    w = (vhi - vlo) / nbins or 1.0
+    n_fine = -((upper - lower) // -fine_ms)  # ceil
+    k = F.least(
+        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
+        F.lit(n_fine - 1),
+    ).alias("k")
+    b = F.greatest(
+        F.least(F.floor((F.col(value_col) - F.lit(vlo)) / F.lit(w)), F.lit(nbins - 1)),
+        F.lit(0),
+    ).cast("int").alias("bin")
+    rollup = (
+        metric_df.filter(
+            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+        )
+        .groupBy(k, b)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return rollup, (lower, upper), (vlo, vhi)
+
+
+def merge_quantile_rollups(*rollups: DataFrame) -> DataFrame:
+    """Counts add per (k, bin): merge(sketch(A), sketch(B)) == sketch(A∪B)
+    exactly, provided the grids (bounds + value_range) match."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("k", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def percentiles_from_quantile_rollup(
+    spark: SparkSession,
+    rollup: DataFrame,
+    qs: list[float],
+    value_range: tuple[float, float],
+    nbins: int = 256,
+    alias: str = "pvalue",
+) -> DataFrame:
+    """(q, <alias>) percentiles answered from the quantile rollup alone —
+    raw data is never touched. Interpolates linearly inside the selected
+    bin: value = vlo + w·(bin + (q·n − cum_before)/cnt).
+
+    Plan shape: the per-bin partials reduce to ≤nbins rows (map-side
+    combinable), the cumulative runs over those ≤nbins rows (the one
+    single-partition window in this operator is over the sketch, not the
+    data), and each q picks its bin with a broadcast-size join. Output
+    rounded to 6 (order-statistic discipline)."""
+    vlo, vhi = value_range
+    w = (vhi - vlo) / nbins or 1.0
+    from pyspark.sql import Window
+
+    hist = rollup.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(Window.orderBy("bin")).alias("cum")
+    )
+    total = rollup.agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    sel = (
+        qdf.crossJoin(F.broadcast(total))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q", "n")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("s"))
+    )
+    value = F.lit(vlo) + F.lit(w) * (
+        F.col("s.bin")
+        + (F.col("q") * F.col("n") - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
+    )
+    return sel.select("q", F.round(value, 6).alias(alias)).orderBy("q")
+
+
 def temporal_agg_via_rollup(
     spark: SparkSession,
     metric_df: DataFrame,

@@ -843,6 +843,56 @@ def test_merge_rollups_equals_full_rollup(spark):
     assert key(merged) == key(rfull)
 
 
+def test_merge_quantile_rollups_equals_full_sketch(spark):
+    """t-digest-style invariant, exact here by construction:
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) on a pinned grid."""
+    import random
+
+    from nsdb_spark.operators import rollup
+
+    rnd = random.Random(7)
+    rows = [(i * 10, rnd.uniform(-5.0, 120.0)) for i in range(400)]
+    a = spark.createDataFrame(rows[::2], "timestamp long, value double")
+    b = spark.createDataFrame(rows[1::2], "timestamp long, value double")
+    bounds, vrange = (0, 4000), (-5.0, 120.0)
+    ra, _, _ = rollup.build_quantile_rollup(
+        a, 100, 4000, nbins=64, bounds=bounds, value_range=vrange
+    )
+    rb, _, _ = rollup.build_quantile_rollup(
+        b, 100, 4000, nbins=64, bounds=bounds, value_range=vrange
+    )
+    rfull, _, _ = rollup.build_quantile_rollup(
+        a.unionByName(b), 100, 4000, nbins=64, bounds=bounds, value_range=vrange
+    )
+    merged = rollup.merge_quantile_rollups(ra, rb)
+    key = lambda df: {(r["k"], r["bin"]): r["cnt"] for r in df.collect()}
+    assert key(merged) == key(rfull)
+
+    # percentiles served from the merged sketch are within one bin width
+    # of the exact order statistics
+    qs = [0.25, 0.5, 0.9, 0.99]
+    got = {
+        r["q"]: r["pvalue"]
+        for r in rollup.percentiles_from_quantile_rollup(
+            spark, merged, qs, vrange, nbins=64
+        ).collect()
+    }
+    values = sorted(v for _, v in rows)
+    w = (120.0 - -5.0) / 64
+    for q in qs:
+        exact = values[min(int(q * len(values)), len(values) - 1)]
+        assert abs(got[q] - exact) <= w + 1e-9
+
+
+def test_quantile_rollup_degenerate_constant_column(spark):
+    from nsdb_spark.operators import rollup
+
+    df = spark.createDataFrame([(i, 42.0) for i in range(10)], "timestamp long, value double")
+    r, _, vr = rollup.build_quantile_rollup(df, 100, 1000, nbins=16)
+    out = rollup.percentiles_from_quantile_rollup(spark, r, [0.5], vr, nbins=16).collect()
+    assert out[0]["pvalue"] == pytest.approx(42.0, abs=1.0)
+
+
 def test_bm25_multi_matches_single_query(docs):
     """Batch scoring must agree with the single-query path per query."""
     from nsdb_spark.operators import ranking
