@@ -222,6 +222,126 @@ def containment_pairs(
     )
 
 
+# ----------------------------------------------- content-defined chunking
+
+
+def cdc_chunks(
+    docs: DataFrame, k: int = 8, mask: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary trick): a chunk
+    boundary falls wherever the rolling k-gram hash ≡ 0 (mod `mask`), so
+    boundaries move WITH the content — inserting a byte shifts only the
+    chunk it lands in, while fixed-size blocks would shift every block
+    after it. Expected chunk length ≈ mask chars.
+
+    Output: (doc_id, chunk_idx, start, length, chunk_hash). The portable
+    md5-derived hash (same as SimHash/winnowing) keeps boundaries and
+    chunk ids reproducible in any engine. Physical shape: explode k-gram
+    positions → codegen hash+modulo filter (the vast majority of
+    positions drop BEFORE any shuffle) → one per-doc window for interval
+    assembly. Scales as winnowing does: all work is per-doc.
+    """
+    from pyspark.sql import Window
+
+    L = F.length(text_col)
+    n_pos = F.greatest(L - (k - 1), F.lit(1))
+    base = docs.select(
+        "doc_id", F.col(text_col).alias("__t"), L.alias("L"), n_pos.alias("np")
+    )
+    h = portable_word_hash(F.substring(F.col("__t"), F.col("p"), k))
+    bounds = (
+        base.select("doc_id", "__t", F.explode(F.sequence(F.lit(1), F.col("np"))).alias("p"))
+        .filter((h % mask == 0) & (F.col("p") > 1))
+        .select("doc_id", "__t", "p")
+    )
+    sentinels = base.select(
+        "doc_id", "__t",
+        F.explode(F.array(F.lit(1).cast("int"), (F.col("L") + 1).cast("int"))).alias("p"),
+    )
+    b = bounds.unionByName(sentinels).distinct()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    iv = b.select(
+        "doc_id", "__t",
+        F.col("p").alias("start"),
+        F.lead("p").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("start")))
+    return iv.select(
+        "doc_id",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("start")).alias("chunk_idx"),
+        F.col("start"),
+        (F.col("nxt") - F.col("start")).cast("int").alias("length"),
+        F.md5(F.col("__t").substr(F.col("start"), F.col("nxt") - F.col("start"))).alias("chunk_hash"),
+    )
+
+
+def cdc_doc_summary(
+    docs: DataFrame, k: int = 8, mask: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chunks, avg_chunk_len, chunks_digest) — per-doc CDC
+    chunk inventory digested for compact oracle checking."""
+    ch = cdc_chunks(docs, k, mask, text_col)
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.round(F.avg("length"), 6).alias("avg_chunk_len"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("chunk_hash")), ",")).alias(
+            "chunks_digest"
+        ),
+    )
+
+
+def cdc_shared_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    mask: int = 32,
+    min_chunk_len: int = 24,
+    min_shared: int = 2,
+    stop_chunk_df_limit: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Partial-overlap detection via shared content-defined chunks:
+    (doc_a, doc_b, shared_chunks, shared_bytes) for pairs sharing ≥
+    min_shared distinct chunks of ≥ min_chunk_len chars. Catches large
+    copied BLOCKS (quotations, boilerplate, file reuse) whose overall
+    Jaccard sits below a near-dup threshold — the complement of
+    ngram_jaccard_pairs/containment_pairs.
+
+    Same equi-join scale shape as the shingle join, but keyed on ~L/mask
+    chunks per doc instead of ~L shingles, and min_chunk_len drops the
+    noise chunks before the join. stop_chunk_df_limit is the same skew
+    guard (boilerplate chunks shared by half the corpus fan out
+    quadratically and carry no pairing signal).
+    """
+    ch = (
+        cdc_chunks(_parallelize(docs), k, mask, text_col)
+        .filter(F.col("length") >= min_chunk_len)
+        .select("doc_id", "chunk_hash", "length")
+        .distinct()
+    )
+    if stop_chunk_df_limit is not None:
+        hot = (
+            ch.groupBy("chunk_hash").count()
+            .filter(F.col("count") > stop_chunk_df_limit)
+            .select("chunk_hash")
+        )
+        ch = ch.join(F.broadcast(hot), "chunk_hash", "left_anti")
+    ch = ch.persist()
+    a, b = ch.alias("a"), ch.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_chunks"),
+            F.sum("a.length").alias("shared_bytes"),
+        )
+        .filter(F.col("shared_chunks") >= min_shared)
+    )
+    return _finish(out, ch)
+
+
 # ------------------------------------------------------------- decontamination
 
 

@@ -269,6 +269,74 @@ def percentiles_from_quantile_rollup(
     return sel.select("q", F.round(value, 6).alias(alias)).orderBy("q")
 
 
+def temporal_percentile_from_quantile_rollup(
+    spark: SparkSession,
+    rollup: DataFrame,
+    q: float,
+    bounds: tuple[int, int],
+    fine_ms: int,
+    coarse_ms: int,
+    value_range: tuple[float, float],
+    nbins: int = 256,
+    alias: str = "pvalue",
+) -> DataFrame:
+    """`percentile(value, q) ... GROUP BY INTERVAL <coarse>` served from
+    the quantile rollup: per coarse bucket, the fine partials merge
+    (counts add — the exact-merge property) and the percentile reads off
+    the merged histogram with the same in-bin interpolation as the global
+    path. Output contract matches the temporal compiler: (timestamp,
+    lower_bound, upper_bound, <alias>), empty buckets 0, ordered by
+    timestamp ascending.
+
+    Plan shape: one (kc, bin) partial-agg shuffle over sketch rows (≤
+    buckets×nbins), a per-bucket cumulative window partitioned BY BUCKET
+    (parallel, no single-partition sort), and a broadcast axis join."""
+    from pyspark.sql import Window
+
+    if coarse_ms % fine_ms:
+        raise ValueError("coarse interval must be a multiple of the rollup grain")
+    vlo, vhi = value_range
+    w = (vhi - vlo) / nbins or 1.0
+    lower, upper = bounds
+    m = coarse_ms // fine_ms
+    n = -((upper - lower) // -coarse_ms)  # ceil
+    hist = rollup.groupBy(
+        F.least(F.floor(F.col("k") / m), F.lit(n - 1)).alias("kc"), F.col("bin")
+    ).agg(F.sum("cnt").alias("cnt"))
+    cum = hist.select(
+        "kc", "bin", "cnt",
+        F.sum("cnt").over(Window.partitionBy("kc").orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("kc")).alias("n"),
+    )
+    sel = (
+        cum.filter(F.col("cum") >= F.lit(q) * F.col("n"))
+        .groupBy("kc", "n")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("s"))
+    )
+    value = F.lit(vlo) + F.lit(w) * (
+        F.col("s.bin")
+        + (F.lit(q) * F.col("n") - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
+    )
+    per_bucket = sel.select("kc", F.round(value, 6).alias(alias))
+    axis = spark.range(n).select(
+        F.col("id").alias("kc"),
+        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
+        F.greatest(
+            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
+        ).alias("lower_bound"),
+    )
+    return (
+        axis.join(F.broadcast(per_bucket), "kc", "left")
+        .select(
+            F.col("upper_bound").alias("timestamp"),
+            "lower_bound",
+            "upper_bound",
+            F.coalesce(F.col(alias), F.lit(0.0)).alias(alias),
+        )
+        .orderBy("timestamp")
+    )
+
+
 def temporal_agg_via_rollup(
     spark: SparkSession,
     metric_df: DataFrame,

@@ -893,6 +893,55 @@ def test_quantile_rollup_degenerate_constant_column(spark):
     assert out[0]["pvalue"] == pytest.approx(42.0, abs=1.0)
 
 
+def test_cdc_chunks_cover_text_and_shift_invariance(spark):
+    """Chunks tile the document exactly; inserting a prefix shifts only
+    the first chunk's content — most chunk hashes survive (the
+    content-defined property fixed-size blocks lack)."""
+    from nsdb_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [(0, base), (1, "XYZQ " + base)], "doc_id long, text string"
+    )
+    ch = dedup.cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert rows[0]["start"] == 1
+        total = sum(r["length"] for r in rows)
+        text_len = len(base) + (5 if d == 1 else 0)
+        assert total == text_len  # exact tiling, no gaps or overlaps
+    h0 = {r["chunk_hash"] for r in by_doc[0]}
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    assert len(h0 & h1) >= max(1, len(h0) - 2)  # only the head chunk differs
+
+
+def test_cdc_shared_pairs_catch_block_reuse_below_jaccard(spark):
+    """A long copied block inside otherwise-different documents is found
+    by shared CDC chunks even though whole-doc jaccard misses it."""
+    from nsdb_spark.operators import dedup
+
+    # varied content so boundary hashes occur INSIDE the block (a short
+    # phrase repeated verbatim adds no new 8-grams and can tile into one
+    # boundary-free chunk)
+    block = " ".join(f"tok{(i * 7) % 97}w{i}" for i in range(120))
+    tail_a = " ".join(f"aq{i}z{(i * 11) % 89}" for i in range(150))
+    head_b = " ".join(f"bm{i}y{(i * 13) % 83}" for i in range(150))
+    a = block + " " + tail_a
+    b = head_b + " " + block
+    c = " ".join(f"cv{i}x{(i * 17) % 79}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in dedup.cdc_shared_pairs(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)]["shared_bytes"] > len(block) // 2
+    assert not any(2 in p for p in pairs)
+    # jaccard at the near-dup threshold misses the same pair
+    assert dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count() == 0
+
+
 def test_bm25_multi_matches_single_query(docs):
     """Batch scoring must agree with the single-query path per query."""
     from nsdb_spark.operators import ranking
