@@ -175,6 +175,56 @@ class Warehouse:
         with open(p) as fh:
             return set(json.load(fh))
 
+    # quantile rollups: mergeable fixed-grid sketch partials
+    # (operators/rollup.build_quantile_rollup). quantile_rollups.json maps
+    # fine_ms -> {bounds, value_range, nbins} — the pinned grids; lives in
+    # the same rollups dir so invalidate_rollups drops all kinds at once.
+    def quantile_rollup_path(self, db: str, ns: str, metric: str, fine_ms: int) -> str:
+        return os.path.join(self.metric_path(db, ns, metric), "rollups", f"q_{fine_ms}")
+
+    def _quantile_rollup_meta_path(self, db: str, ns: str, metric: str) -> str:
+        return os.path.join(
+            self.metric_path(db, ns, metric), "rollups", "quantile_rollups.json"
+        )
+
+    def register_quantile_rollup(
+        self,
+        db: str, ns: str, metric: str,
+        fine_ms: int,
+        bounds: tuple[int, int],
+        value_range: tuple[float, float],
+        nbins: int,
+    ) -> None:
+        meta = self.quantile_rollups(db, ns, metric)
+        meta[fine_ms] = (bounds, value_range, nbins)
+        p = self._quantile_rollup_meta_path(db, ns, metric)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {str(k): {"bounds": list(b), "range": list(r), "nbins": n}
+                 for k, (b, r, n) in meta.items()},
+                fh,
+            )
+        os.replace(tmp, p)
+
+    def quantile_rollups(
+        self, db: str, ns: str, metric: str
+    ) -> dict[int, tuple[tuple[int, int], tuple[float, float], int]]:
+        p = self._quantile_rollup_meta_path(db, ns, metric)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as fh:
+            raw = json.load(fh)
+        return {
+            int(k): (
+                (v["bounds"][0], v["bounds"][1]),
+                (v["range"][0], v["range"][1]),
+                v["nbins"],
+            )
+            for k, v in raw.items()
+        }
+
     def invalidate_rollups(self, db: str, ns: str, metric: str) -> None:
         d = os.path.join(self.metric_path(db, ns, metric), "rollups")
         if os.path.isdir(d):

@@ -201,11 +201,24 @@ class NsdbEngine:
 
         registered = self.warehouse.rollups(db, ns, metric)
         group_regs = self.warehouse.group_rollups(db, ns, metric)
-        if not registered and not group_regs:
+        q_regs = self.warehouse.quantile_rollups(db, ns, metric)
+        if not registered and not group_regs and not q_regs:
             return
-        if any(lo < bounds[0] or hi > bounds[1] for bounds in registered.values()):
+        if any(lo < bounds[0] or hi > bounds[1] for bounds in registered.values()) or any(
+            lo < bounds[0] or hi > bounds[1] for bounds, _r, _n in q_regs.values()
+        ):
             self.warehouse.invalidate_rollups(db, ns, metric)
             return
+        # a batch value outside a quantile sketch's pinned grid would
+        # change the binning — invalidate, same rule as the time axis
+        if q_regs:
+            vr = batch_df.agg(F.min("value"), F.max("value")).first()
+            if vr[0] is not None and any(
+                float(vr[0]) < r[0] or float(vr[1]) > r[1]
+                for _b, r, _n in q_regs.values()
+            ):
+                self.warehouse.invalidate_rollups(db, ns, metric)
+                return
         si = self.warehouse.get_info(db, ns, metric)["shardInterval"]
         try:
             for fine, bounds in registered.items():
@@ -215,6 +228,15 @@ class NsdbEngine:
                 )
                 stored = self.spark.read.parquet(path)
                 merged = rollup_ops.merge_rollups(stored, batch_r)
+                self._atomic_overwrite(merged, path)
+            for fine, (bounds, vrange, nbins) in q_regs.items():
+                path = self.warehouse.quantile_rollup_path(db, ns, metric, fine)
+                batch_q, _, _ = rollup_ops.build_quantile_rollup(
+                    batch_df, fine, si, nbins=nbins,
+                    bounds=bounds, value_range=vrange,
+                )
+                stored = self.spark.read.parquet(path)
+                merged = rollup_ops.merge_quantile_rollups(stored, batch_q)
                 self._atomic_overwrite(merged, path)
             for field in group_regs:
                 path = self.warehouse.group_rollup_path(db, ns, metric, field)
@@ -469,6 +491,75 @@ class NsdbEngine:
         r.write.mode("overwrite").parquet(path)
         self.warehouse.register_rollup(db, ns, metric, fine_ms, bounds)
         return bounds
+
+    def materialize_quantile_rollup(
+        self, db: str, ns: str, metric: str, fine_ms: int, nbins: int = 256
+    ) -> tuple[tuple[int, int], tuple[float, float]]:
+        """Build + persist mergeable quantile-sketch partials (fixed-grid
+        histogram per fine bucket — operators/rollup.build_quantile_rollup)
+        so percentile queries are served from the sketch instead of raw
+        history. Maintained incrementally on insert like the temporal
+        rollup (counts add); a batch whose values fall outside the pinned
+        value grid invalidates it (grid change ⇒ rebuild), mirroring the
+        time-axis rule. Returns the pinned (bounds, value_range)."""
+        from .operators import rollup as rollup_ops
+
+        info = self.warehouse.get_info(db, ns, metric)
+        si = info["shardInterval"]
+        locations = self.warehouse.locations(db, ns, metric)
+        if not locations:
+            raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
+        bounds = (min(locations), max(locations) + si)
+        df = self.read_metric(db, ns, metric).drop(SHARD_COL)
+        r, _, vrange = rollup_ops.build_quantile_rollup(
+            df, fine_ms, si, nbins=nbins, bounds=bounds
+        )
+        path = self.warehouse.quantile_rollup_path(db, ns, metric, fine_ms)
+        r.write.mode("overwrite").parquet(path)
+        self.warehouse.register_quantile_rollup(
+            db, ns, metric, fine_ms, bounds, vrange, nbins
+        )
+        return bounds, vrange
+
+    def percentile(
+        self,
+        db: str,
+        ns: str,
+        metric: str,
+        qs: list[float],
+        coarse_ms: int | None = None,
+    ) -> DataFrame:
+        """Percentiles served from a registered quantile rollup: global
+        (q, pvalue) rows, or per coarse bucket when coarse_ms is given
+        (coarse_ms must be a multiple of a registered grain; qs must then
+        be a single q). Raises if no fresh quantile rollup can serve —
+        the caller decides whether to materialize or fall back to a raw
+        percentile scan."""
+        from .operators import rollup as rollup_ops
+
+        regs = self.warehouse.quantile_rollups(db, ns, metric)
+        fines = [
+            f for f in regs if coarse_ms is None or coarse_ms % f == 0
+        ]
+        if not fines:
+            raise ValueError(
+                f"no quantile rollup registered for {db}.{ns}.{metric}"
+                + (f" serving interval {coarse_ms}" if coarse_ms else "")
+            )
+        fine = max(fines)
+        bounds, vrange, nbins = regs[fine]
+        stored = self.spark.read.parquet(
+            self.warehouse.quantile_rollup_path(db, ns, metric, fine)
+        )
+        if coarse_ms is None:
+            return rollup_ops.percentiles_from_quantile_rollup(
+                self.spark, stored, qs, vrange, nbins=nbins
+            )
+        if len(qs) != 1:
+            raise ValueError("temporal percentile takes exactly one q")
+        return rollup_ops.temporal_percentile_from_quantile_rollup(
+            self.spark, stored, qs[0], bounds, fine, coarse_ms, vrange, nbins=nbins
+        )
 
     #: group-by aggs answerable from per-group partials. Group-by MIN has
     #: no cross-shard zero-skip quirk (that is temporal-only), so it IS

@@ -734,6 +734,74 @@ def test_rollup_invalidated_by_out_of_bounds_write(engine, spark):
     assert not engine.warehouse.rollups("default", "default", "ro")
 
 
+def test_quantile_rollup_serves_and_maintains(engine, spark):
+    """Percentiles come from the sketch store; an in-grid insert merges
+    into the stored partials and the served percentile moves accordingly;
+    the sketch answer sits within one bin width of the exact scan."""
+    from nsdb_spark.model import Bit
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    from pyspark.sql import functions as F
+
+    load(engine, "qr", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    lo_hi = engine.read_metric("default", "default", "qr").agg(
+        F.min("value"), F.max("value")
+    ).first()
+    bounds, vrange = engine.materialize_quantile_rollup(
+        "default", "default", "qr", 1000, nbins=64
+    )
+    assert (vrange[0], vrange[1]) == (float(lo_hi[0]), float(lo_hi[1]))
+    before = {r["q"]: r["pvalue"]
+              for r in engine.percentile("default", "default", "qr", [0.5]).collect()}
+    values = sorted(
+        r["value"] for r in engine.read_metric("default", "default", "qr").collect()
+    )
+    import math
+
+    # the sketch's cut (first cum >= q*n) is the rank-ceil(q*n) order
+    # statistic; compare against that, not the upper median
+    w = (vrange[1] - vrange[0]) / 64 or 1.0
+    exact = values[max(0, math.ceil(0.5 * len(values)) - 1)]
+    assert abs(before[0.5] - exact) <= w + 1e-9
+
+    # in-grid insert (value inside the pinned range): sketch is MERGED,
+    # registration survives, and the median reflects the new point
+    mid_v = int((vrange[0] + vrange[1]) / 2)  # metric value type is BIGINT
+    engine.insert_bits("default", "default", "qr", [Bit(1500, mid_v, {}, {"name": "x"})])
+    assert engine.warehouse.quantile_rollups("default", "default", "qr")
+    after = {r["q"]: r["pvalue"]
+             for r in engine.percentile("default", "default", "qr", [0.5]).collect()}
+    values.append(mid_v)
+    values.sort()
+    exact2 = values[max(0, math.ceil(0.5 * len(values)) - 1)]
+    assert abs(after[0.5] - exact2) <= w + 1e-9
+
+    # temporal serving path rides the same store
+    t = engine.percentile("default", "default", "qr", [0.5], coarse_ms=2000)
+    assert {c for c in t.columns} == {"timestamp", "lower_bound", "upper_bound", "pvalue"}
+    assert t.count() > 0
+
+
+def test_quantile_rollup_invalidated_by_out_of_grid_value(engine, spark):
+    """A value outside the pinned value grid would change the binning —
+    the sketch is dropped (same rule as the time axis)."""
+    from nsdb_spark.model import Bit
+    from fixtures import TEMPORAL_LONG_METRIC, load
+    import pytest as _pytest
+
+    load(engine, "qv", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_quantile_rollup("default", "default", "qv", 1000, nbins=64)
+    _, vrange = engine.warehouse.quantile_rollups("default", "default", "qv")[1000][0], \
+        engine.warehouse.quantile_rollups("default", "default", "qv")[1000][1]
+    engine.insert_bits(
+        "default", "default", "qv",
+        [Bit(1500, int(vrange[1] + 1000), {}, {"name": "y"})],
+    )
+    assert not engine.warehouse.quantile_rollups("default", "default", "qv")
+    with _pytest.raises(ValueError):
+        engine.percentile("default", "default", "qv", [0.5])
+
+
 def test_group_rollup_maintained_with_new_group(engine, spark):
     """Group rollups merge in-bounds batches too — including groups never
     seen before (union adds the row)."""
