@@ -163,6 +163,7 @@ def main() -> None:
         "rollup_temporal_percentile",
         "dedup_cdc_chunks",
         "dedup_cdc_pairs",
+        "sim_knn_join",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -561,6 +561,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_topk_rhp_scan"] = lambda spark, sf: similarity.rhp_topk(
         _emb(spark, sf), _query_vec(spark, sf), _rhp_planes(), k=10, multiprobe=1
     )
+    # batch k-NN join: exact top-k per query over a bounded query set
+    def _sim_knn(spark, sf):
+        rows = (
+            _emb(spark, sf).filter(F.col("vec_id") < 4)
+            .orderBy("vec_id").select("vec_id", "embedding").collect()
+        )
+        qs = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+        return similarity.cosine_topk_join(_emb(spark, sf), qs, k=5)
+
+    q["sim_knn_join"] = _sim_knn
+
     # PQ/ADC: iterative codebook training — rows-only check (like kmeans);
     # recall vs the exact scan asserted in tests/test_operators.py
     q["sim_topk_pq"] = lambda spark, sf: pq.pq_search(
@@ -879,6 +890,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_srp",
         "dedup_embedding_cosine", "rollup_percentiles",
         "rollup_temporal_percentile", "dedup_cdc_chunks", "dedup_cdc_pairs",
+        "sim_knn_join",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {
@@ -1055,6 +1067,18 @@ GROUP BY 1, 2 HAVING count(*) >= 2
     # vs brute force is asserted separately in tests/test_operators.py)
     o["sim_topk_rhp"] = _rhp_oracle()
     o["sim_topk_rhp_scan"] = _rhp_oracle()
+    o["sim_knn_join"] = f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nn WHERE vec_id < 4),
+s AS (SELECT q.query_id, nn.vec_id,
+             list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) AS s
+      FROM nn, q),
+r AS (SELECT query_id, vec_id, round(s, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, cast(rank AS int) AS rank FROM r WHERE rank <= 5
+"""
     o["dedup_clusters"] = f"""
 WITH RECURSIVE {_shingles_cte(capped=True)},
 pairs AS (

@@ -229,6 +229,54 @@ def rhp_topk(
     return cosine_topk(cand, query_vec, k, vec_col)
 
 
+def cosine_topk_join(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN join: exact top-k corpus neighbours for EVERY query in
+    a bounded query set — (query_id, vec_id, cosine, rank). The
+    batch-retrieval shape (rerank candidates for a request batch,
+    evaluate an eval set) next to cosine_topk's single query.
+
+    The query set rides as a broadcast literal array-of-structs exploded
+    against the scan — one corpus pass total, not one per query; scoring
+    stays a JVM fold (no UDF); per-query top-k is a window rank cut over
+    (query, score) — the |Q|·k result rows are the only wide output. For
+    unbounded query sets use the IVF/SRP stored-assignment path per query
+    instead (the probe cost is independent of corpus size there).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    qs = F.array(*[
+        F.struct(
+            F.lit(int(qid)).alias("query_id"),
+            _lit_vec(vec).alias("qv"),
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0).alias("qn"),
+        )
+        for qid, vec in queries
+    ])
+    v = _as_double(vec_col)
+    scored = (
+        emb.select("vec_id", v.alias("__v"), _norm(v).alias("__n"))
+        .select("vec_id", "__v", "__n", F.explode(qs).alias("q"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "vec_id",
+            (_dot(F.col("__v"), F.col("q.qv")) / (F.col("__n") * F.col("q.qn"))).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("__s", 6).alias("cosine"), "rank")
+    )
+
+
 def rhp_query_probes(
     query_vec: list[float], planes: list[list[float]], multiprobe: int = 1
 ) -> list[int]:
