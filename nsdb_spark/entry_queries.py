@@ -546,9 +546,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _sim_rhp(spark, sf):
         planes = _rhp_planes()
-        similarity.write_rhp_index(_emb(spark, sf), "rhp_index", planes)
+        # bounded-partition layout: 32 dirs (not 2^planes=256) — the
+        # directory-count-safe shape for bigger plane counts; probes
+        # prune on sig mod 32, the exact sig filter cuts within files
+        similarity.write_rhp_index(
+            _emb(spark, sf), "rhp_index", planes, partitions=32
+        )
         return similarity.rhp_topk_indexed(
-            spark, "rhp_index", _query_vec(spark, sf), planes, k=10, multiprobe=1
+            spark, "rhp_index", _query_vec(spark, sf), planes,
+            k=10, multiprobe=1, partitions=32,
         )
 
     q["sim_topk_rhp"] = _sim_rhp

@@ -298,15 +298,27 @@ def write_rhp_index(
     name: str,
     planes: list[list[float]],
     vec_col: str = "embedding",
+    partitions: int | None = None,
 ) -> None:
     """Materialize the corpus with its SRP signature as a PARTITION
     column (stored-assignment counterpart of write_ivf_index): the
     signature is computed once at write time; a probe is then
     `sig IN (1+planes values)` applied as a PartitionFilter, opening at
-    most that many of the 2^planes directories — not the corpus."""
+    most that many of the 2^planes directories — not the corpus.
+
+    `partitions=P` bounds the directory count: the layout column becomes
+    sig_part = sig mod P (2^planes directories would explode past ~8-10
+    planes), probes prune on the P-valued column, and the full `sig`
+    rides along so the row-level filter still cuts within surviving
+    files via parquet column stats. Pick P ≈ the cluster's healthy
+    partition count; pruning keeps ≤ (1+planes) of P directories."""
     from ..sources.bucketed import write_partitioned
 
     tagged = emb.withColumn("sig", rhp_signature(vec_col, planes))
+    if partitions is not None:
+        tagged = tagged.withColumn("sig_part", F.pmod(F.col("sig"), F.lit(partitions)))
+        write_partitioned(tagged, name, "sig_part")
+        return
     write_partitioned(tagged, name, "sig")
 
 
@@ -318,12 +330,22 @@ def rhp_topk_indexed(
     k: int = 10,
     multiprobe: int = 1,
     vec_col: str = "embedding",
+    partitions: int | None = None,
 ) -> DataFrame:
     """ANN top-k served from a write_rhp_index table — same results as
-    rhp_topk, plan is a partition-pruned scan of the probed signature
-    directories."""
+    rhp_topk. Pass the SAME `partitions` the index was written with:
+    None prunes on the sig directories directly; P adds the
+    sig_part IN (probes mod P) PartitionFilter (≤ 1+planes of P
+    directories open) with the exact sig filter cutting rows inside the
+    surviving files."""
     probes = rhp_query_probes(query_vec, planes, multiprobe)
-    cand = spark.table(table).filter(F.col("sig").isin(probes)).drop("sig")
+    cand = spark.table(table).filter(F.col("sig").isin(probes))
+    if partitions is not None:
+        cand = cand.filter(
+            F.col("sig_part").isin(sorted({p % partitions for p in probes}))
+        ).drop("sig", "sig_part")
+    else:
+        cand = cand.drop("sig")
     return cosine_topk(cand, query_vec, k, vec_col)
 
 

@@ -295,7 +295,20 @@ def test_rhp_probe_prunes_sig_partitions(spark):
     read = _partitions_read(out)
     # at most the 7 probed signatures' directories, of up to 2^6 present
     assert read and all(p <= 7 for p in read)
-    assert out.collect() == similarity.rhp_topk(emb, q, planes, k=5, multiprobe=1).collect()
+    expected = similarity.rhp_topk(emb, q, planes, k=5, multiprobe=1).collect()
+    assert out.collect() == expected
+
+    # bounded-partition layout (sig mod P dirs — the >8-planes shape):
+    # same results, pruning to <= the probed residues of P directories
+    similarity.write_rhp_index(emb, "plan_rhp_p", planes, partitions=8)
+    out_p = similarity.rhp_topk_indexed(
+        spark, "plan_rhp_p", q, planes, k=5, multiprobe=1, partitions=8
+    )
+    probes = similarity.rhp_query_probes(q, planes, 1)
+    residues = {p % 8 for p in probes}
+    read_p = _partitions_read(out_p)
+    assert read_p and all(p <= len(residues) for p in read_p)
+    assert out_p.collect() == expected
 
 
 def test_revenue_chain_plan_shape(spark):
