@@ -134,6 +134,24 @@ def write_ivf_index(
     write_partitioned(assigned, name, "cell")
 
 
+def append_ivf_index(
+    emb: DataFrame,
+    name: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a write_ivf_index table: assign the batch
+    against the SAME frozen centroids and append into the cell
+    directories — existing files untouched, probes see the new vectors
+    immediately. At 100 TB this is the only viable maintenance mode
+    (a full re-layout is a compaction decision, not a write-path one);
+    centroid drift is handled by periodic re-materialization, exactly
+    like the engine's rollup invalidate-and-rebuild rule."""
+    from ..sources.bucketed import append_partitioned
+
+    append_partitioned(ivf_assign(emb, centroids, vec_col), name, "cell")
+
+
 def ivf_topk_indexed(
     spark,
     table: str,

@@ -54,6 +54,16 @@ def write_partitioned(
     df.write.mode("overwrite").format("parquet").partitionBy(key).saveAsTable(name)
 
 
+def append_partitioned(df: DataFrame, name: str, key: str) -> None:
+    """Append a batch into an existing write_partitioned table: rows land
+    in their key's directory (new keys create new directories), existing
+    files untouched — the incremental-ingest path for stored-assignment
+    layouts. Same one-file-per-partition-per-batch hygiene."""
+    df.repartition(F.col(key)).write.mode("append").format("parquet").partitionBy(
+        key
+    ).saveAsTable(name)
+
+
 def write_bucketed(
     df: DataFrame, name: str, key: str, buckets: int, sort: bool = True
 ) -> None:

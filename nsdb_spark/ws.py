@@ -41,9 +41,10 @@ def accept_key(sec_websocket_key: str) -> str:
     return base64.b64encode(digest).decode()
 
 
-def encode_frame(opcode: int, payload: bytes, mask: bool = False) -> bytes:
-    """One FIN frame. Servers send unmasked; test clients pass mask=True."""
-    head = bytes([0x80 | opcode])
+def encode_frame(opcode: int, payload: bytes, mask: bool = False, fin: bool = True) -> bytes:
+    """One frame (FIN set unless fin=False for fragmented messages).
+    Servers send unmasked; test clients pass mask=True."""
+    head = bytes([(0x80 if fin else 0x00) | opcode])
     n = len(payload)
     mask_bit = 0x80 if mask else 0
     if n < 126:
@@ -61,9 +62,16 @@ def encode_frame(opcode: int, payload: bytes, mask: bool = False) -> bytes:
 
 def read_frame(rfile) -> tuple[int, bytes] | None:
     """(opcode, unmasked payload) of the next frame, None on EOF."""
+    f = read_frame_ex(rfile)
+    return None if f is None else (f[1], f[3])
+
+
+def read_frame_ex(rfile) -> tuple[bool, int, bool, bytes] | None:
+    """(fin, opcode, masked, unmasked payload) of the next frame."""
     h = rfile.read(2)
     if len(h) < 2:
         return None
+    fin = bool(h[0] & 0x80)
     opcode = h[0] & 0x0F
     masked = bool(h[1] & 0x80)
     n = h[1] & 0x7F
@@ -75,7 +83,7 @@ def read_frame(rfile) -> tuple[int, bytes] | None:
     payload = rfile.read(n) if n else b""
     if masked and key:
         payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
-    return opcode, payload
+    return fin, opcode, masked, payload
 
 
 class WsSession:
@@ -191,12 +199,13 @@ class WsSession:
     def run(self) -> None:
         flusher = threading.Thread(target=self._flusher, daemon=True)
         flusher.start()
+        fragments: list[bytes] = []
         try:
             while not self.closed.is_set():
-                frame = read_frame(self.rfile)
+                frame = read_frame_ex(self.rfile)
                 if frame is None:
                     break
-                opcode, payload = frame
+                fin, opcode, masked, payload = frame
                 if opcode == OP_CLOSE:
                     with self.lock:
                         try:
@@ -208,11 +217,30 @@ class WsSession:
                     with self.lock:
                         self.connection.sendall(encode_frame(OP_PONG, payload))
                     continue
-                if opcode == OP_TEXT:
+                if opcode == OP_PONG:
+                    continue
+                if opcode in (OP_TEXT, OP_CONT):
+                    # RFC 6455 §5.1: client data frames MUST be masked —
+                    # protocol-error close 1002 otherwise
+                    if not masked:
+                        with self.lock:
+                            try:
+                                self.connection.sendall(
+                                    encode_frame(OP_CLOSE, struct.pack(">H", 1002))
+                                )
+                            except OSError:
+                                pass
+                        break
+                    if opcode == OP_CONT and not fragments:
+                        continue  # stray continuation: drop
+                    fragments.append(payload)
+                    if not fin:
+                        continue  # wait for the rest of the message
+                    data, fragments = b"".join(fragments), []
                     try:
-                        req = json.loads(payload.decode())
+                        req = json.loads(data.decode())
                     except Exception:
-                        self._send_json({"reason": f"Message {payload[:80]!r} not handled by receiver"})
+                        self._send_json({"reason": f"Message {data[:80]!r} not handled by receiver"})
                         continue
                     self._register(req)
         finally:

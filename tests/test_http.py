@@ -329,6 +329,33 @@ def test_ws_invalid_query_gets_failure_message(ws_server):
     c.close()
 
 
+def test_ws_fragmented_register_and_unmasked_close(ws_server):
+    from nsdb_spark.ws import OP_CLOSE, OP_CONT, OP_TEXT, encode_frame, read_frame
+
+    # RegisterQuery split across TEXT(fin=0) + CONT(fin=1) frames
+    c = WsClient(ws_server, "/ws-stream")
+    payload = json.dumps({
+        "db": "default", "namespace": "default", "metric": "people",
+        "queryString": "select * from people where name = Frank",
+    }).encode()
+    half = len(payload) // 2
+    c.sock.sendall(encode_frame(OP_TEXT, payload[:half], mask=True, fin=False))
+    c.sock.sendall(encode_frame(OP_CONT, payload[half:], mask=True, fin=True))
+    first = c.recv_json()
+    assert [r["timestamp"] for r in first["records"]] == [8]
+    c.close()
+
+    # unmasked client data frame → protocol-error close 1002
+    c2 = WsClient(ws_server, "/ws-stream")
+    c2.sock.sendall(encode_frame(OP_TEXT, b"{}", mask=False))
+    op, body = read_frame(c2.f)
+    assert op == OP_CLOSE
+    import struct as _struct
+
+    assert _struct.unpack(">H", body[:2])[0] == 1002
+    c2.close()
+
+
 def test_ws_enrichment_from_to(ws_server):
     c = WsClient(ws_server, "/ws-stream")
     c.send_json({

@@ -276,6 +276,22 @@ def test_ivf_probe_prunes_cell_partitions(spark):
     # stored path ≡ query-time-assign path
     assert out.collect() == similarity.ivf_topk(emb, q, cents, k=5, nprobe=2).collect()
 
+    # incremental append: new vectors land in their cell dirs and the
+    # pruned probe sees them — equal to query-time assign on the union
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(i % 8), float((i * 3) % 5), float(i % 2), 1.0])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.append_ivf_index(extra, "plan_ivf", cents)
+    out2 = similarity.ivf_topk_indexed(spark, "plan_ivf", q, cents, k=5, nprobe=2)
+    both = emb.unionByName(extra)
+    assert out2.collect() == similarity.ivf_topk(both, q, cents, k=5, nprobe=2).collect()
+    read2 = _partitions_read(
+        similarity.ivf_topk_indexed(spark, "plan_ivf", q, cents, k=5, nprobe=2)
+    )
+    assert read2 and all(p <= 2 for p in read2)  # pruning survives append
+
 
 def test_rhp_probe_prunes_sig_partitions(spark):
     """SRP stored-signature path: probe = sig IN (1+planes values) against
