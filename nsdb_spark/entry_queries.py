@@ -803,10 +803,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # IVF-PQ composition (iterative codebook training: rows-only check;
     # recall vs the exact scan asserted in tests)
-    q["sim_topk_ivfpq"] = lambda spark, sf: pq.ivfpq_search(
-        _emb(spark, sf), _query_vec(spark, sf), _centroids(spark, sf),
-        k=10, nprobe=8, m=8, ks=16,
-    )
+    # stored IVF-PQ index: write-time assign+residual-encode into a
+    # cell-partitioned table; the ADC scan partition-prunes to nprobe
+    # cells AND column-prunes to codes (plan asserted in test_plans)
+    def _sim_ivfpq(spark, sf):
+        cents = _centroids(spark, sf)
+        cbs = pq.write_ivfpq_index(
+            _emb(spark, sf), "ivfpq_index", cents, m=8, ks=16
+        )
+        return pq.ivfpq_topk_indexed(
+            spark, "ivfpq_index", cbs, cents, _query_vec(spark, sf),
+            k=10, nprobe=8,
+        )
+
+    q["sim_topk_ivfpq"] = _sim_ivfpq
     q["dedup_embedding_srp"] = lambda spark, sf: dedup.embedding_srp_pairs(
         _emb(spark, sf), threshold=0.45
     )

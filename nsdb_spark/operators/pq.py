@@ -222,6 +222,133 @@ def pq_search(
     )
 
 
+def _ivfpq_query_side(query_vec, centroids, cbs, nprobe, id_col="vec_id"):
+    """(probes, per-cell ADC tables, scoring mapInPandas fn) — the
+    driver-side query preparation shared by the inline and stored-index
+    IVF-PQ paths."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    order = np.argsort(-(C @ q) / (cn * qn), kind="stable")
+    probes = [int(c) for c in order[:nprobe]]
+    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    m = len(cbs_np)
+    sub = cbs_np[0].shape[1]
+    tables = {}
+    for c in probes:
+        r = q - C[c]
+        tables[c] = np.stack(
+            [((r[j * sub : (j + 1) * sub][None, :] - cbs_np[j]) ** 2).sum(axis=1)
+             for j in range(m)]
+        )
+
+    def score(batches):
+        cols = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].map(np.asarray).values)
+            cells = pdf["cell"].to_numpy()
+            adist = np.empty(len(pdf), dtype=np.float64)
+            for c in np.unique(cells):
+                mask = cells == c
+                adist[mask] = tables[int(c)][cols[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adist": adist})
+
+    return probes, tables, score
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    name: str,
+    centroids: list[list[float]],
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_size: int = 100_000,
+) -> list[list[list[float]]]:
+    """The write-time half of IVF-PQ as a STORED layout: coarse-assign,
+    residual-encode, and persist (id, cell, codes, vector) partitioned by
+    cell (sources/bucketed.write_partitioned). Returns the trained
+    codebooks — index metadata the caller keeps beside the table name,
+    like the postings table's (n_docs, avgdl).
+
+    Serving reads are then exactly the docstring's 100 TB claim: the ADC
+    scan partition-prunes to nprobe cells AND column-prunes to
+    (id, cell, codes) — the raw vector column is only read for the
+    ~shortlist re-rank rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.bucketed import write_partitioned
+    from .similarity import ivf_assign
+
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(emb, centroids, vec_col)
+
+    def to_resid(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
+            R = V - C[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": pdf["cell"], "resid": list(R)}
+            )
+
+    res = assigned.select(id_col, "cell", vec_col).mapInPandas(
+        to_resid, f"{id_col} long, cell int, resid array<double>"
+    ).persist()
+    cbs = pq_train(res, m, ks, iters, vec_col="resid", id_col=id_col, train_size=train_size)
+    enc = pq_encode(res, cbs, vec_col="resid", id_col=id_col)
+    out = (
+        enc.join(res.select(id_col, "cell"), id_col)
+        .join(emb.select(id_col, vec_col), id_col)
+        .select(id_col, "cell", "codes", vec_col)
+    )
+    write_partitioned(out, name, "cell")
+    res.unpersist()
+    return cbs
+
+
+def ivfpq_topk_indexed(
+    spark,
+    table: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ served from a write_ivfpq_index table: the ADC scan reads
+    only the probed cells' directories (partition pruning — asserted in
+    test_plans) and only the codes column (column pruning); the exact
+    re-rank touches ~shortlist rows via a broadcast semi join. Results
+    match ivfpq_search given the same codebooks."""
+    probes, _tables, score = _ivfpq_query_side(query_vec, centroids, codebooks, nprobe)
+    t = spark.table(table)
+    scored = (
+        t.filter(F.col("cell").isin(probes))
+        .select(id_col, "cell", "codes")
+        .mapInPandas(score, f"{id_col} long, adist double")
+    )
+    cand = scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(shortlist)
+    hits = t.join(F.broadcast(cand.select(id_col)), id_col, "semi").select(
+        id_col, vec_col
+    )
+    from .similarity import cosine_topk
+
+    return cosine_topk(hits, query_vec, k, vec_col)
+
+
 def ivfpq_search(
     emb: DataFrame,
     query_vec: list[float],
@@ -255,12 +382,10 @@ def ivfpq_search(
     per-query distributed work is an Arrow-batched table-lookup scan over
     the probed cells' codes and a ~shortlist-row semi join for re-rank.
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
-    from .similarity import _as_double, cosine_topk, ivf_assign
+    from .similarity import cosine_topk, ivf_assign
 
     C = np.asarray(centroids, dtype=np.float64)
     assigned = ivf_assign(emb, centroids, vec_col)
@@ -283,35 +408,10 @@ def ivfpq_search(
         res.select(id_col, "cell"), id_col
     )
 
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(q)) or 1.0
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = 1.0
-    order = np.argsort(-(C @ q) / (cn * qn), kind="stable")
-    probes = [int(c) for c in order[:nprobe]]
-    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in cbs]
-    sub = cbs_np[0].shape[1]
     # per probed cell: T_c[j, code] = ||(q - C_c)_j - codebook_j[code]||^2
-    tables = {}
-    for c in probes:
-        r = q - C[c]
-        tables[c] = np.stack(
-            [((r[j * sub : (j + 1) * sub][None, :] - cbs_np[j]) ** 2).sum(axis=1) for j in range(m)]
-        )
-
-    def score(batches):
-        cols = np.arange(m)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.stack(pdf["codes"].map(np.asarray).values)
-            cells = pdf["cell"].to_numpy()
-            adist = np.empty(len(pdf), dtype=np.float64)
-            for c in np.unique(cells):
-                mask = cells == c
-                adist[mask] = tables[int(c)][cols[None, :], codes[mask]].sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "adist": adist})
-
+    probes, _tables, score = _ivfpq_query_side(
+        query_vec, centroids, cbs, nprobe, id_col=id_col
+    )
     scored = (
         enc.filter(F.col("cell").isin(probes))
         .select(id_col, "cell", "codes")

@@ -293,6 +293,38 @@ def test_ivf_probe_prunes_cell_partitions(spark):
     assert read2 and all(p <= 2 for p in read2)  # pruning survives append
 
 
+def test_ivfpq_indexed_prunes_and_column_prunes(spark):
+    """Stored IVF-PQ: the ADC scan opens only the probed cells'
+    directories AND reads only (id, cell, codes) — the raw vector column
+    is read solely for the shortlist re-rank. Results == inline path."""
+    from nsdb_spark.operators import pq, similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 8), float((i * 3) % 5), float(i % 2) + 0.1 * (i % 11), 1.0])
+         for i in range(240)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[float(c), float((c * 3) % 5), float(c % 2), 1.0] for c in range(8)]
+    cbs = pq.write_ivfpq_index(emb, "plan_ivfpq", cents, m=2, ks=8, iters=2)
+    q = [7.0, 1.0, 1.0, 1.0]
+    out = pq.ivfpq_topk_indexed(
+        spark, "plan_ivfpq", cbs, cents, q, k=5, nprobe=2, shortlist=50
+    )
+    rows = out.collect()
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    # the codes scan prunes partitions; its ReadSchema must NOT include
+    # the vector column (column pruning of the compressed scan)
+    import re
+
+    scans = re.findall(r"FileScan parquet [^\n]*", ep)
+    codes_scans = [s for s in scans if "codes" in s]
+    assert codes_scans and all("embedding" not in s for s in codes_scans)
+    inline = pq.ivfpq_search(
+        emb, q, cents, k=5, nprobe=2, m=2, ks=8, iters=2, shortlist=50
+    ).collect()
+    assert rows == inline
+
+
 def test_rhp_probe_prunes_sig_partitions(spark):
     """SRP stored-signature path: probe = sig IN (1+planes values) against
     the sig-partitioned layout — partition-pruned scan, results identical
