@@ -164,6 +164,7 @@ def main() -> None:
         "dedup_cdc_chunks",
         "dedup_cdc_pairs",
         "sim_knn_join",
+        "rollup_group_percentile",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

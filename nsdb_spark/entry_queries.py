@@ -865,6 +865,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_temporal_percentile"] = _rollup_tpct
 
+    # per-group percentile from the group-keyed sketch (GROUP BY shape)
+    def _rollup_gpct(spark, sf):
+        ev = testdata.events_metric(spark, sf)
+        r, vr = rollup.build_group_quantile_rollup(ev, "event_type", nbins=256)
+        return rollup.group_percentiles_from_quantile_rollup(
+            r, "event_type", 0.9, vr, nbins=256
+        )
+
+    q["rollup_group_percentile"] = _rollup_gpct
+
     q["tsa_ema"] = lambda spark, sf: tsa.ema_last(
         testdata.events_metric(spark, sf), alpha=0.3
     )
@@ -905,8 +915,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters", "dedup_clusters_alternating",
         "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_srp",
         "dedup_embedding_cosine", "rollup_percentiles",
-        "rollup_temporal_percentile", "dedup_cdc_chunks", "dedup_cdc_pairs",
-        "sim_knn_join",
+        "rollup_temporal_percentile", "rollup_group_percentile",
+        "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {
@@ -1574,6 +1584,25 @@ SELECT axis.upper_bound AS timestamp, axis.lower_bound AS lower_bound,
        axis.upper_bound AS upper_bound, coalesce(pv.pvalue, 0.0) AS pvalue
 FROM axis LEFT JOIN pv USING (kc)
 ORDER BY timestamp
+"""
+    o["rollup_group_percentile"] = f"""
+{M},
+st AS (SELECT min(value) AS vlo, max(value) AS vhi FROM m),
+h AS (SELECT event_type,
+             cast(greatest(least(floor((m.value - st.vlo) / ((st.vhi - st.vlo) / 256)),
+                           255), 0) AS int) AS bin,
+             count(*) AS cnt
+      FROM m, st GROUP BY 1, 2),
+c AS (SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS nn FROM h),
+sel AS (SELECT event_type, nn, min(bin) AS bin FROM c
+        WHERE cum >= 0.9::DOUBLE * nn GROUP BY event_type, nn)
+SELECT sel.event_type AS event_type, cast(sel.nn AS bigint) AS n,
+       round(st.vlo + ((st.vhi - st.vlo)/256) *
+             (sel.bin + (0.9::DOUBLE * sel.nn - (c.cum - c.cnt))/c.cnt), 6) AS pvalue
+FROM sel JOIN c ON sel.event_type = c.event_type AND sel.bin = c.bin, st
+ORDER BY event_type
 """
     o["tsa_ema"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

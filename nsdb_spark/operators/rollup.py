@@ -269,6 +269,60 @@ def percentiles_from_quantile_rollup(
     return sel.select("q", F.round(value, 6).alias(alias)).orderBy("q")
 
 
+def build_group_quantile_rollup(
+    metric_df: DataFrame,
+    field: str,
+    nbins: int = 256,
+    value_col: str = "value",
+    value_range: tuple[float, float] | None = None,
+) -> tuple[DataFrame, tuple[float, float]]:
+    """Mergeable quantile partials keyed by a tag/dimension: (field, bin,
+    cnt) on one shared fixed value grid — the GROUP BY counterpart of
+    build_quantile_rollup (same exact-merge property: counts add per
+    (group, bin)). One map-side-combinable shuffle; ≤ groups×nbins rows."""
+    vlo, vhi = value_range if value_range else value_bounds(metric_df, value_col)
+    w = (vhi - vlo) / nbins or 1.0
+    b = F.greatest(
+        F.least(F.floor((F.col(value_col) - F.lit(vlo)) / F.lit(w)), F.lit(nbins - 1)),
+        F.lit(0),
+    ).cast("int").alias("bin")
+    rollup = metric_df.groupBy(F.col(field), b).agg(F.count(F.lit(1)).alias("cnt"))
+    return rollup, (vlo, vhi)
+
+
+def group_percentiles_from_quantile_rollup(
+    rollup: DataFrame,
+    field: str,
+    q: float,
+    value_range: tuple[float, float],
+    nbins: int = 256,
+    alias: str = "pvalue",
+) -> DataFrame:
+    """(field, n, <alias>): the q-percentile of every group answered from
+    the group-keyed sketch alone — per-group cumulative window over ≤
+    nbins rows each (partitioned by group: parallel, no global sort),
+    same in-bin interpolation as the global/temporal paths."""
+    from pyspark.sql import Window
+
+    vlo, vhi = value_range
+    w = (vhi - vlo) / nbins or 1.0
+    cum = rollup.select(
+        field, "bin", "cnt",
+        F.sum("cnt").over(Window.partitionBy(field).orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(field)).alias("n"),
+    )
+    sel = (
+        cum.filter(F.col("cum") >= F.lit(q) * F.col("n"))
+        .groupBy(field, "n")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("s"))
+    )
+    value = F.lit(vlo) + F.lit(w) * (
+        F.col("s.bin")
+        + (F.lit(q) * F.col("n") - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
+    )
+    return sel.select(field, "n", F.round(value, 6).alias(alias)).orderBy(field)
+
+
 def temporal_percentile_from_quantile_rollup(
     spark: SparkSession,
     rollup: DataFrame,

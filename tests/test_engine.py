@@ -782,6 +782,20 @@ def test_quantile_rollup_serves_and_maintains(engine, spark):
     assert t.count() > 0
 
 
+def test_engine_percentile_scans_only_the_sketch(engine, spark):
+    """The served percentile plan reads the q_<fine> sketch parquet and
+    never the raw metric data directory."""
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    load(engine, "qp", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_quantile_rollup("default", "default", "qp", 1000, nbins=32)
+    out = engine.percentile("default", "default", "qp", [0.5, 0.9])
+    files = out.inputFiles()
+    assert files and all("rollups/q_1000" in f for f in files)
+    data_dir = engine.warehouse.data_path("default", "default", "qp")
+    assert not any(data_dir in f for f in files)  # raw history untouched
+
+
 def test_quantile_rollup_invalidated_by_out_of_grid_value(engine, spark):
     """A value outside the pinned value grid would change the binning —
     the sketch is dropped (same rule as the time axis)."""

@@ -884,6 +884,45 @@ def test_merge_quantile_rollups_equals_full_sketch(spark):
         assert abs(got[q] - exact) <= w + 1e-9
 
 
+def test_group_quantile_rollup_merges_and_bounds_error(spark):
+    from nsdb_spark.operators import rollup
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, "g" + str(i % 3), rnd.uniform(0.0, 50.0)) for i in range(300)]
+    df = spark.createDataFrame(rows, "timestamp long, event_type string, value double")
+    vrange = (0.0, 50.0)
+    ra, _ = rollup.build_group_quantile_rollup(
+        df.filter("timestamp % 2 = 0"), "event_type", nbins=32, value_range=vrange
+    )
+    rb, _ = rollup.build_group_quantile_rollup(
+        df.filter("timestamp % 2 = 1"), "event_type", nbins=32, value_range=vrange
+    )
+    rfull, _ = rollup.build_group_quantile_rollup(
+        df, "event_type", nbins=32, value_range=vrange
+    )
+    merged = (
+        ra.unionByName(rb).groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    key = lambda d: {(r["event_type"], r["bin"]): r["cnt"] for r in d.collect()}
+    assert key(merged) == key(rfull)
+    got = {
+        r["event_type"]: r["pvalue"]
+        for r in rollup.group_percentiles_from_quantile_rollup(
+            merged, "event_type", 0.5, vrange, nbins=32
+        ).collect()
+    }
+    import math
+
+    w = 50.0 / 32
+    for g in ("g0", "g1", "g2"):
+        vals = sorted(v for _, gg, v in rows if gg == g)
+        exact = vals[max(0, math.ceil(0.5 * len(vals)) - 1)]
+        assert abs(got[g] - exact) <= w + 1e-9
+
+
 def test_quantile_rollup_degenerate_constant_column(spark):
     from nsdb_spark.operators import rollup
 
