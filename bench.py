@@ -165,6 +165,7 @@ def main() -> None:
         "dedup_cdc_pairs",
         "sim_knn_join",
         "rollup_group_percentile",
+        "rollup_temporal_count_distinct",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -875,6 +875,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_group_percentile"] = _rollup_gpct
 
+    # count-distinct from the linear-counting bitmap rollup — the one
+    # aggregate plain rollups can't serve (set sizes don't add); LC
+    # partials union-merge exactly and the estimate is deterministic
+    def _rollup_tcd(spark, sf):
+        ev = testdata.events_metric(spark, sf)
+        r, b = rollup.build_distinct_rollup(
+            ev, "user_id", fine_ms=86400000, shard_ms=SHARD, m_buckets=4096
+        )
+        return rollup.temporal_count_distinct_from_rollup(
+            spark, r, b, fine_ms=86400000, coarse_ms=604800000, m_buckets=4096
+        )
+
+    q["rollup_temporal_count_distinct"] = _rollup_tcd
+
     q["tsa_ema"] = lambda spark, sf: tsa.ema_last(
         testdata.events_metric(spark, sf), alpha=0.3
     )
@@ -916,6 +930,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_srp",
         "dedup_embedding_cosine", "rollup_percentiles",
         "rollup_temporal_percentile", "rollup_group_percentile",
+        "rollup_temporal_count_distinct",
         "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
@@ -1603,6 +1618,29 @@ SELECT sel.event_type AS event_type, cast(sel.nn AS bigint) AS n,
              (sel.bin + (0.9::DOUBLE * sel.nn - (c.cum - c.cnt))/c.cnt), 6) AS pvalue
 FROM sel JOIN c ON sel.event_type = c.event_type AND sel.bin = c.bin, st
 ORDER BY event_type
+"""
+    o["rollup_temporal_count_distinct"] = f"""
+{M},
+b AS (SELECT (min(timestamp)//{SHARD})*{SHARD} AS lower,
+             (max(timestamp)//{SHARD})*{SHARD} + {SHARD} AS upper FROM m),
+n AS (SELECT lower, upper,
+             (upper - lower + {86400000} - 1)//{86400000} AS nf,
+             (upper - lower + {604800000} - 1)//{604800000} AS nc FROM b),
+pts AS (SELECT least(least((n.upper - m.timestamp)//{86400000}, n.nf-1)//7, n.nc-1) AS kc,
+               cast(concat('0x', substr(md5(m.user_id::VARCHAR), 1, 15)) AS bigint) % 4096 AS idx
+        FROM m, n),
+v AS (SELECT kc, count(DISTINCT idx) AS V FROM pts GROUP BY kc),
+ks AS (SELECT unnest(generate_series(0, cast(n.nc-1 AS bigint))) AS kc,
+              n.upper, n.lower FROM n),
+axis AS (SELECT kc, upper - kc*{604800000} AS upper_bound,
+                greatest(upper - (kc+1)*{604800000}, lower) AS lower_bound FROM ks)
+SELECT axis.upper_bound AS timestamp, axis.lower_bound AS lower_bound,
+       axis.upper_bound AS upper_bound,
+       CASE WHEN v.V IS NULL THEN 0.0
+            WHEN v.V < 4096 THEN round(-4096 * ln(1 - (v.V::DOUBLE) / 4096), 3)
+            ELSE NULL END AS est_distinct
+FROM axis LEFT JOIN v USING (kc)
+ORDER BY timestamp
 """
     o["tsa_ema"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

@@ -391,6 +391,117 @@ def temporal_percentile_from_quantile_rollup(
     )
 
 
+# ------------------------------------------------ distinct (LC) rollups
+
+
+def build_distinct_rollup(
+    metric_df: DataFrame,
+    field: str,
+    fine_ms: int,
+    shard_ms: int,
+    m_buckets: int = 4096,
+    bounds: tuple[int, int] | None = None,
+) -> tuple[DataFrame, tuple[int, int]]:
+    """Mergeable COUNT-DISTINCT partials via linear probabilistic
+    counting (Whang et al. '90): per fine bucket, the DISTINCT set of
+    hash-bucket indexes the field's values hit — (k, idx) rows, idx =
+    portable_hash(value) mod m_buckets.
+
+    Exact count-distinct is the one aggregate the plain rollup cannot
+    serve (set sizes don't add); the LC bitmap CAN: merge is set union
+    (distinct again — idempotent, order-free), the estimate
+    -M·ln(1-V/M) is deterministic given the same portable hash, so the
+    rollup-served answer is oracle-checkable, and each bucket's partial
+    is bounded by M rows regardless of data volume. Standard error
+    ≈ sqrt(M·(ln 2))/… ~1/sqrt(M); keep cardinality ≤ ~0.7·M per bucket
+    (past that the bitmap saturates and the estimate degrades; V == M
+    yields NULL rather than a fabricated number)."""
+    from .dedup import portable_word_hash
+
+    lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
+    n_fine = -((upper - lower) // -fine_ms)  # ceil
+    k = F.least(
+        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
+        F.lit(n_fine - 1),
+    ).alias("k")
+    idx = F.pmod(
+        portable_word_hash(F.col(field).cast("string")), F.lit(m_buckets)
+    ).cast("int").alias("idx")
+    rollup = (
+        metric_df.filter(
+            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+        )
+        .select(k, idx)
+        .distinct()
+    )
+    return rollup, (lower, upper)
+
+
+def merge_distinct_rollups(*rollups: DataFrame) -> DataFrame:
+    """Set union per bucket: merge(lc(A), lc(B)) == lc(A ∪ B) exactly."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.distinct()
+
+
+def temporal_count_distinct_from_rollup(
+    spark: SparkSession,
+    rollup: DataFrame,
+    bounds: tuple[int, int],
+    fine_ms: int,
+    coarse_ms: int,
+    m_buckets: int = 4096,
+    alias: str = "est_distinct",
+) -> DataFrame:
+    """`count(distinct field) ... GROUP BY INTERVAL <coarse>` estimated
+    from the LC rollup alone: per coarse bucket, V = |union of fine
+    bitmaps| (one distinct-count over ≤ M rows per bucket), estimate
+    -M·ln(1-V/M) rounded to 3. Output contract matches the temporal
+    compiler (timestamp, lower_bound, upper_bound, <alias>); empty
+    buckets 0; a saturated bitmap (V == M) yields NULL."""
+    if coarse_ms % fine_ms:
+        raise ValueError("coarse interval must be a multiple of the rollup grain")
+    lower, upper = bounds
+    m = coarse_ms // fine_ms
+    n = -((upper - lower) // -coarse_ms)  # ceil
+    v = (
+        rollup.select(
+            F.least(F.floor(F.col("k") / m), F.lit(n - 1)).alias("kc"), "idx"
+        )
+        .distinct()
+        .groupBy("kc")
+        .agg(F.count(F.lit(1)).alias("V"))
+    )
+    M = float(m_buckets)
+    axis = spark.range(n).select(
+        F.col("id").alias("kc"),
+        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
+        F.greatest(
+            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
+        ).alias("lower_bound"),
+    )
+    est = (
+        F.when(F.col("V").isNull(), F.lit(0.0))  # empty bucket
+        .when(
+            F.col("V") < m_buckets,
+            F.round(-F.lit(M) * F.log(F.lit(1.0) - F.col("V") / F.lit(M)), 3),
+        )
+        # saturated bitmap: no estimate, not a fabricated number
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return (
+        axis.join(F.broadcast(v), "kc", "left")
+        .select(
+            F.col("upper_bound").alias("timestamp"),
+            "lower_bound",
+            "upper_bound",
+            est.alias(alias),
+        )
+        .orderBy("timestamp")
+    )
+
+
 def temporal_agg_via_rollup(
     spark: SparkSession,
     metric_df: DataFrame,

@@ -923,6 +923,53 @@ def test_group_quantile_rollup_merges_and_bounds_error(spark):
         assert abs(got[g] - exact) <= w + 1e-9
 
 
+def test_distinct_rollup_estimates_and_merges(spark):
+    """Linear-counting rollup: union-merge is exact (set semantics),
+    estimates land within LC's error envelope, saturated bitmaps yield
+    NULL, empty buckets 0."""
+    from nsdb_spark.operators import rollup
+
+    # 900 distinct users in bucket kc=0, 30 in kc=1 (timestamps pick the
+    # backward-aligned buckets from (0, 2000] with coarse=1000)
+    rows = [(1500, i) for i in range(900)] + [(500, 10_000 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "timestamp long, user_id long")
+    bounds = (0, 2000)
+    ra, _ = rollup.build_distinct_rollup(
+        df.filter("user_id % 2 = 0"), "user_id", 100, 1000,
+        m_buckets=4096, bounds=bounds,
+    )
+    rb, _ = rollup.build_distinct_rollup(
+        df.filter("user_id % 2 = 1"), "user_id", 100, 1000,
+        m_buckets=4096, bounds=bounds,
+    )
+    rfull, _ = rollup.build_distinct_rollup(
+        df, "user_id", 100, 1000, m_buckets=4096, bounds=bounds
+    )
+    merged = rollup.merge_distinct_rollups(ra, rb)
+    key = lambda d: {(r["k"], r["idx"]) for r in d.collect()}
+    assert key(merged) == key(rfull)
+
+    out = {
+        r["timestamp"]: r["est_distinct"]
+        for r in rollup.temporal_count_distinct_from_rollup(
+            spark, merged, bounds, 100, 1000, m_buckets=4096
+        ).collect()
+    }
+    assert abs(out[2000] - 900) / 900 < 0.1  # recent bucket holds ts 1500
+    assert abs(out[1000] - 30) / 30 < 0.1
+    # saturation: tiny bitmap fully hit -> NULL, not a made-up number
+    rs, _ = rollup.build_distinct_rollup(
+        df, "user_id", 100, 1000, m_buckets=16, bounds=bounds
+    )
+    sat = {
+        r["timestamp"]: r["est_distinct"]
+        for r in rollup.temporal_count_distinct_from_rollup(
+            spark, rs, bounds, 100, 1000, m_buckets=16
+        ).collect()
+    }
+    assert sat[2000] is None
+
+
 def test_quantile_rollup_degenerate_constant_column(spark):
     from nsdb_spark.operators import rollup
 
