@@ -166,6 +166,7 @@ def main() -> None:
         "sim_knn_join",
         "rollup_group_percentile",
         "rollup_temporal_count_distinct",
+        "mm_features",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -916,6 +916,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_frame_sample"] = lambda spark, sf: multimodal.sample_frames(
         multimodal.attach_binary(_docs(spark, sf)), frame_bytes=64, every=4
     )
+    q["mm_features"] = lambda spark, sf: multimodal.extract_features(
+        multimodal.attach_binary(_docs(spark, sf))
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -932,6 +935,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_temporal_percentile", "rollup_group_percentile",
         "rollup_temporal_count_distinct",
         "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
+        "mm_features",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {
@@ -1688,6 +1692,23 @@ SELECT doc_inner, doc_outer, containment FROM (
 SELECT doc_id, cast(least(strlen(text), 1024) AS int) AS out_bytes,
        md5(substr(text, 1, 1024)) AS payload_digest
 FROM documents
+"""
+    o["mm_features"] = """
+WITH d AS (SELECT doc_id, text FROM documents),
+ch AS (SELECT doc_id, ascii(substr(text, cast(i AS int), 1)) AS b
+       FROM d, unnest(generate_series(1, strlen(text))) AS t(i)),
+g AS (SELECT doc_id, b // 32 AS bk, count(*) AS c FROM ch GROUP BY 1, 2),
+grid AS (SELECT d.doc_id, t.bk FROM d, unnest(generate_series(0, 7)) AS t(bk)),
+hist AS (SELECT grid.doc_id,
+                string_agg(coalesce(g.c, 0), ',' ORDER BY grid.bk) AS hs
+         FROM grid LEFT JOIN g ON grid.doc_id = g.doc_id AND grid.bk = g.bk
+         GROUP BY grid.doc_id),
+stats AS (SELECT doc_id, count(*) AS n_bytes, avg(b) AS mean_byte FROM ch GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       cast(coalesce(stats.n_bytes, 0) AS int) AS n_bytes,
+       round(coalesce(stats.mean_byte, 0.0), 6) AS mean_byte,
+       md5(hist.hs) AS feat_digest
+FROM d JOIN hist USING (doc_id) LEFT JOIN stats USING (doc_id)
 """
     o["mm_frame_sample"] = """
 WITH d AS (SELECT doc_id, text, cast(ceil(strlen(text)/64.0) AS bigint) AS nf

