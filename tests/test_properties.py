@@ -101,3 +101,44 @@ def test_temporal_count_matches_python_model(bucket_engine_factory, data, interv
         model.append((ub, lb, cnt))
     assert got == model
     assert sum(c for _, _, c in got) == len(data)
+
+
+# --------------------------------------------------------------- cdc tiling
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_chunks_always_tile_exactly(spark, texts):
+    """For ANY printable-ASCII corpus, a document's CDC chunks tile it
+    exactly: start at 1, lengths sum to len(text), no gaps/overlaps —
+    the invariant downstream shared-chunk joins rely on."""
+    from nsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    by_doc = {}
+    for r in dedup.cdc_chunks(docs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, t in enumerate(texts):
+        rows = sorted(by_doc.get(d, []), key=lambda r: r["chunk_idx"])
+        if len(t) == 0:
+            assert rows == []
+            continue
+        assert rows[0]["start"] == 1
+        pos = 1
+        for r in rows:
+            assert r["start"] == pos  # contiguous, no gap/overlap
+            pos += r["length"]
+        assert pos == len(t) + 1
