@@ -167,6 +167,7 @@ def main() -> None:
         "rollup_group_percentile",
         "rollup_temporal_count_distinct",
         "mm_features",
+        "join_window_orders_events",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -630,7 +630,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- temporal joins (absent in the dialect; Spark-first extensions) ---
     q["join_asof_events_orders"] = _asof_events_orders
-    q["events_sessionize"] = lambda spark, sf: _round(
+    # attribution window: per order, the user's events within 7 d AFTER
+    # the order — prefix sums + two as-of probes, never a range join
+    def _window_join(spark, sf):
+        orders = testdata.table(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").alias("ots"),
+        )
+        ev_raw = testdata.table(spark, sf, "events")
+        ev = ev_raw.select(
+            testdata.ts_ms(ev_raw).alias("ts_ms"), "event_id", "user_id", "value"
+        )
+        out = temporal_join.window_agg_join(
+            orders, ev, on=("o_custkey", "user_id"), ts=("ots", "ts_ms"),
+            window_ms=604800000, value_col="value", right_id="event_id",
+            n_alias="n_events", sum_alias="sum_value",
+        )
+        return out.select(
+            "o_orderkey", "n_events", F.round("sum_value", 3).alias("sum_value")
+        )
+
+    q["join_window_orders_events"] = _window_join
+
+    q["events_sessionize"] =lambda spark, sf: _round(
         temporal_join.sessionize(
             testdata.events_metric(spark, sf).select(
                 "user_id", "timestamp", "event_id", "value"
@@ -935,7 +958,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_temporal_percentile", "rollup_group_percentile",
         "rollup_temporal_count_distinct",
         "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
-        "mm_features",
+        "mm_features", "join_window_orders_events",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {
@@ -1246,6 +1269,19 @@ SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
        r.o_orderkey AS asof_orderkey, r.o_totalprice AS asof_totalprice
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.o_custkey AND epoch_ms(e.ts) >= r.ots
+"""
+    # direct range join is fine as the ORACLE (row counts exact; the
+    # value sum differs from the cumulative-difference path only by FP
+    # noise orders of magnitude under the round-3 grid at this SF)
+    o["join_window_orders_events"] = """
+SELECT o.o_orderkey AS o_orderkey,
+       count(e.ts) AS n_events,
+       round(coalesce(sum(e.value), 0.0), 3) AS sum_value
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND epoch_ms(e.ts) >= epoch_ms(o.o_orderdate)
+ AND epoch_ms(e.ts) < epoch_ms(o.o_orderdate) + 604800000
+GROUP BY 1
 """
     o["events_sessionize"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, value, event_id FROM events),

@@ -136,3 +136,81 @@ def sessionize(
     if value is not None:
         aggs.append(F.sum(value).alias(f"sum_{value}"))
     return with_sess.groupBy(key, "session_id").agg(*aggs)
+
+
+def window_agg_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    ts: tuple[str, str],
+    window_ms: int,
+    value_col: str,
+    right_id: str,
+    n_alias: str = "n_right",
+    sum_alias: str = "sum_value",
+) -> DataFrame:
+    """Attribution-window join: for EVERY left row, the count and value
+    sum of right rows with the same key in [l_ts, l_ts + window_ms) —
+    the conversion-window shape ("events within 7 d after each order").
+
+    NOT a range join: `l.key = r.key AND r.ts BETWEEN ...` explodes to
+    the per-key cross product before aggregation (the asof_join docstring
+    math — 10^12 intermediate rows for one hot key at 100 TB). Instead
+    PREFIX SUMS + two as-of probes: the right stream becomes per-key
+    cumulative (n, sum) ordered by (ts, id) — one window sort — and each
+    left row reads the cumulative at (l_ts + window - 1) and (l_ts - 1);
+    the window aggregate is their difference. Two probe rows per left
+    row ride the SAME union-tag shuffle as asof_join: one sort, zero row
+    amplification, any window width for free.
+
+    Columns of `left` are preserved; results append (n_alias, sum_alias)
+    with 0 for empty windows. The sum is a same-sequence cumulative
+    difference — deterministic given the (ts, id) order.
+    """
+    lk, rk = on
+    lts, rts = ts
+    cum_w = (
+        Window.partitionBy(rk)
+        .orderBy(rts, right_id)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = right.select(
+        rk,
+        rts,
+        F.col(right_id).alias("__rid"),
+        F.count(F.lit(1)).over(cum_w).alias("cum_n"),
+        F.sum(value_col).over(cum_w).alias("cum_sum"),
+    )
+    # one row per (key, ts): the LAST cumulative of that timestamp
+    cum = cum.groupBy(rk, rts).agg(
+        F.max_by(F.col("cum_n"), F.col("__rid")).alias("cum_n"),
+        F.max_by(F.col("cum_sum"), F.col("__rid")).alias("cum_sum"),
+    )
+    probes = left.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col(lts) - 1).alias("__p"), F.lit(-1).alias("__sign")
+                ),
+                F.struct(
+                    (F.col(lts) + F.lit(window_ms) - 1).alias("__p"),
+                    F.lit(1).alias("__sign"),
+                ),
+            )
+        ).alias("__pr"),
+    ).select("*", F.col("__pr.__p").alias("__p"), F.col("__pr.__sign").alias("__sign")).drop("__pr")
+    joined = asof_join(
+        probes, cum, on=(lk, rk), ts=("__p", rts), payload=["cum_n", "cum_sum"],
+        prefix="__w_",
+    )
+    group_cols = [c for c in left.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("__sign") * F.coalesce(F.col("__w_cum_n"), F.lit(0))).alias(n_alias),
+            F.sum(
+                F.col("__sign") * F.coalesce(F.col("__w_cum_sum"), F.lit(0.0))
+            ).alias(sum_alias),
+        )
+    )

@@ -923,6 +923,35 @@ def test_group_quantile_rollup_merges_and_bounds_error(spark):
         assert abs(got[g] - exact) <= w + 1e-9
 
 
+def test_window_agg_join_matches_bruteforce_and_has_no_join(spark):
+    """Attribution-window counts/sums equal the brute-force range join on
+    small data, while the physical plan contains NO join operator at all
+    (prefix sums + union-tag as-of probes — the no-amplification path)."""
+    import random
+
+    from nsdb_spark.operators import temporal_join
+
+    rnd = random.Random(11)
+    orders = [(i, i % 5, rnd.randrange(0, 900)) for i in range(40)]
+    events = [(j, j % 5, rnd.randrange(0, 1000), round(rnd.uniform(0, 10), 3))
+              for j in range(400)]
+    lo = spark.createDataFrame(orders, "o_id long, key long, ots long")
+    ro = spark.createDataFrame(events, "e_id long, key long, ts long, value double")
+    out = temporal_join.window_agg_join(
+        lo, ro, on=("key", "key"), ts=("ots", "ts"), window_ms=100,
+        value_col="value", right_id="e_id",
+    )
+    got = {r["o_id"]: (r["n_right"], round(r["sum_value"], 6)) for r in out.collect()}
+    for (oid, k, ots) in orders:
+        hits = [v for (_, ek, ts, v) in events if ek == k and ots <= ts < ots + 100]
+        assert got[oid][0] == len(hits)
+        assert abs(got[oid][1] - sum(hits)) < 1e-6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_node not in plan
+
+
 def test_distinct_rollup_estimates_and_merges(spark):
     """Linear-counting rollup: union-merge is exact (set semantics),
     estimates land within LC's error envelope, saturated bitmaps yield
