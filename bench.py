@@ -168,6 +168,7 @@ def main() -> None:
         "rollup_temporal_count_distinct",
         "mm_features",
         "join_window_orders_events",
+        "emb_pca_project",  # includes the Gram-partial fit
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

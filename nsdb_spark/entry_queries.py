@@ -685,6 +685,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"avg_value": 3},
     )
 
+    # PCA dim-reduction (eigendecomposition: not SQL-expressible — rows
+    # only; fit/projection invariants asserted in tests)
+    def _pca(spark, sf):
+        e = _emb(spark, sf)
+        mean, comps, _var = clustering.pca_fit(e, k=8)
+        return clustering.pca_project(e, mean, comps)
+
+    q["emb_pca_project"] = _pca
+
     # --- iterative clustering (not SQL-expressible: rows-only check) ---
     q["kmeans_cells"] = lambda spark, sf: clustering.kmeans_summary(
         _emb(spark, sf), k=8, iters=4
@@ -958,7 +967,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_temporal_percentile", "rollup_group_percentile",
         "rollup_temporal_count_distinct",
         "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
-        "mm_features", "join_window_orders_events",
+        "mm_features", "join_window_orders_events", "emb_pca_project",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {

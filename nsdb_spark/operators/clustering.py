@@ -121,3 +121,95 @@ def ivf_centroids(
         n = math.sqrt(sum(x * x for x in c)) or 1.0
         out.append([x / n for x in c])
     return out
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def pca_fit(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA fit: (mean, components [k x dim], explained
+    variance per component, descending).
+
+    The classic Spark shape for second-moment statistics: each Arrow
+    batch reduces to its (dim x dim) Gram matrix + column sum + count
+    (numpy BLAS — a few kilobytes per batch regardless of rows), the
+    driver sums the partials into the exact covariance and runs `eigh`
+    on the dim x dim matrix (dim <= a few thousand — driver-trivial;
+    the DATA never leaves the executors and is read exactly once).
+    Deterministic: covariance is an exact sum of partials reduced in
+    sorted partition order, eigh is deterministic for a fixed matrix;
+    each component's sign is fixed by making its largest-|x| entry
+    positive (eigenvector sign is otherwise arbitrary).
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0)],
+                    "g": [(X.T @ X).reshape(-1)],
+                }
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    import numpy as np
+
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = (g - np.outer(s, mean) - np.outer(mean, s) + n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    var = []
+    for idx in order:
+        v = evecs[:, idx]
+        j = int(np.abs(v).argmax())
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        var.append(float(max(evals[idx], 0.0)))
+    return [float(x) for x in mean], comps, var
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """(vec_id, proj array<double>): center + project onto the fitted
+    components — pure JVM fold expressions (one scan, no shuffle, no
+    Python on the read path; the model rides as literals)."""
+    from .similarity import _as_double, _lit_vec
+
+    v = _as_double(vec_col)
+    centered = F.zip_with(v, _lit_vec(mean), lambda x, m: x - m)
+    cols = []
+    for comp in components:
+        dot = F.aggregate(
+            F.zip_with(centered, _lit_vec(comp), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot, 6))
+    return emb.select("vec_id", F.array(*cols).alias(out_col))

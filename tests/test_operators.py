@@ -923,6 +923,36 @@ def test_group_quantile_rollup_merges_and_bounds_error(spark):
         assert abs(got[g] - exact) <= w + 1e-9
 
 
+def test_pca_fit_matches_numpy_and_projects(spark):
+    """Distributed Gram-partial PCA equals numpy PCA on the collected
+    data: same covariance eigenvalues, orthonormal components in
+    descending variance order, projection = centered dot products."""
+    import numpy as np
+
+    from nsdb_spark.operators import clustering
+
+    rng = np.random.default_rng(5)
+    # anisotropic data: variance concentrated in a few directions
+    base = rng.normal(size=(300, 4)) @ np.diag([10.0, 3.0, 1.0, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # float32 storage: compare against numpy on the SAME float32 values
+    X = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+    mean, comps, var = clustering.pca_fit(emb, k=4)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(var, evals, rtol=1e-8)
+    C = np.asarray(comps)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)  # orthonormal
+    assert var == sorted(var, reverse=True)
+    proj = {r["vec_id"]: r["proj"] for r in
+            clustering.pca_project(emb, mean, comps).collect()}
+    expect = (X - X.mean(axis=0)) @ C.T
+    for i in range(0, 300, 50):
+        assert np.allclose(proj[i], np.round(expect[i], 6), atol=2e-6)
+
+
 def test_window_agg_join_matches_bruteforce_and_has_no_join(spark):
     """Attribution-window counts/sums equal the brute-force range join on
     small data, while the physical plan contains NO join operator at all
