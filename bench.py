@@ -169,6 +169,7 @@ def main() -> None:
         "mm_features",
         "join_window_orders_events",
         "emb_pca_project",  # includes the Gram-partial fit
+        "rollup_group_count_distinct",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

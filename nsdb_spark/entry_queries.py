@@ -921,6 +921,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_temporal_count_distinct"] = _rollup_tcd
 
+    def _rollup_gcd(spark, sf):
+        ev = testdata.events_metric(spark, sf)
+        r = rollup.build_group_distinct_rollup(
+            ev, "event_type", "user_id", m_buckets=4096
+        )
+        return rollup.group_count_distinct_from_rollup(r, "event_type", 4096)
+
+    q["rollup_group_count_distinct"] = _rollup_gcd
+
     q["tsa_ema"] = lambda spark, sf: tsa.ema_last(
         testdata.events_metric(spark, sf), alpha=0.3
     )
@@ -968,6 +977,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_temporal_count_distinct",
         "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
         "mm_features", "join_window_orders_events", "emb_pca_project",
+        "rollup_group_count_distinct",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {
@@ -1690,6 +1700,17 @@ SELECT axis.upper_bound AS timestamp, axis.lower_bound AS lower_bound,
             ELSE NULL END AS est_distinct
 FROM axis LEFT JOIN v USING (kc)
 ORDER BY timestamp
+"""
+    o["rollup_group_count_distinct"] = f"""
+{M},
+v AS (SELECT event_type,
+             count(DISTINCT cast(concat('0x', substr(md5(user_id::VARCHAR), 1, 15)) AS bigint) % 4096) AS V
+      FROM m GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN V < 4096
+            THEN round(-4096 * ln(1 - (V::DOUBLE) / 4096), 3)
+            ELSE NULL END AS est_distinct
+FROM v ORDER BY event_type
 """
     o["tsa_ema"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

@@ -502,6 +502,41 @@ def temporal_count_distinct_from_rollup(
     )
 
 
+def build_group_distinct_rollup(
+    metric_df: DataFrame,
+    group_field: str,
+    distinct_field: str,
+    m_buckets: int = 4096,
+) -> DataFrame:
+    """Group-keyed LC partials: DISTINCT (group, idx) rows — the
+    'distinct users per tag' counterpart of build_distinct_rollup, same
+    union-merge and bounded-size properties (≤ M rows per group)."""
+    from .dedup import portable_word_hash
+
+    idx = F.pmod(
+        portable_word_hash(F.col(distinct_field).cast("string")), F.lit(m_buckets)
+    ).cast("int").alias("idx")
+    return metric_df.select(F.col(group_field), idx).distinct()
+
+
+def group_count_distinct_from_rollup(
+    rollup: DataFrame,
+    group_field: str,
+    m_buckets: int = 4096,
+    alias: str = "est_distinct",
+) -> DataFrame:
+    """(group, <alias>): LC estimate per group from the bitmap alone;
+    saturated groups (V == M) yield NULL. One count per group — the
+    partials are already distinct."""
+    M = float(m_buckets)
+    v = rollup.groupBy(group_field).agg(F.count(F.lit(1)).alias("V"))
+    est = F.when(
+        F.col("V") < m_buckets,
+        F.round(-F.lit(M) * F.log(F.lit(1.0) - F.col("V") / F.lit(M)), 3),
+    ).otherwise(F.lit(None).cast("double"))
+    return v.select(group_field, est.alias(alias)).orderBy(group_field)
+
+
 def temporal_agg_via_rollup(
     spark: SparkSession,
     metric_df: DataFrame,
