@@ -202,6 +202,37 @@ def test_publish_tap_end_to_end_filtered_stream(engine, spark, tmp_path):
     assert engine.execute("select count(*) from ff").collect()[0][0] == 2002
 
 
+def test_streaming_ingest_maintains_quantile_rollup(engine, spark, tmp_path):
+    """A registered quantile-sketch rollup stays fresh under Structured
+    Streaming ingest (insert_frame maintenance path): the served median
+    shifts to reflect streamed rows without re-materializing."""
+    engine.warehouse.init_metric("default", "default", "sq", shard_interval_ms=10_000)
+    engine.insert_bits(
+        "default", "default", "sq", [Bit(t, v) for t, v in
+                                     [(100, 1), (200, 2), (300, 3), (400, 100)]]
+    )
+    engine.materialize_quantile_rollup("default", "default", "sq", 1000, nbins=64)
+    before = engine.percentile("default", "default", "sq", [0.5]).collect()[0]["pvalue"]
+    assert before < 10  # median of {1,2,3,100}
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # stream many high values inside BOTH pinned grids (ts in axis,
+    # value within [1, 100]) → median must move up
+    spark.createDataFrame(
+        [(500 + i, 90) for i in range(20)], "timestamp long, value long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("timestamp long, value long").parquet(str(src))
+    q = start_parquet_ingestion(
+        engine, "default", "default", "sq", stream,
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(60)
+    assert engine.warehouse.quantile_rollups("default", "default", "sq")  # still fresh
+    after = engine.percentile("default", "default", "sq", [0.5]).collect()[0]["pvalue"]
+    assert after > 80  # sketch absorbed the streamed batch
+
+
 def test_stateful_temporal_amended_repush_across_restart(spark, tmp_path):
     """applyInPandasWithState bucket state: a late event after a restart
     re-pushes the bucket's FULL aggregates from restored state
