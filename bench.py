@@ -170,6 +170,7 @@ def main() -> None:
         "join_window_orders_events",
         "emb_pca_project",  # includes the Gram-partial fit
         "rollup_group_count_distinct",
+        "sim_knn_join_indexed",  # includes the index build
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -578,6 +578,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_knn_join"] = _sim_knn
 
+    # batch k-NN through the stored IVF index: per-query pruned probes
+    # (nprobe=12 of 16 cells recalls each query's exact top-5 on this
+    # data — the shared brute-force oracle IS the check)
+    def _sim_knn_idx(spark, sf):
+        cents = _centroids(spark, sf)
+        similarity.write_ivf_index(_emb(spark, sf), "ivf_index_knn", cents)
+        rows = (
+            _emb(spark, sf).filter(F.col("vec_id") < 4)
+            .orderBy("vec_id").select("vec_id", "embedding").collect()
+        )
+        qs = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+        return similarity.ivf_topk_join_indexed(
+            spark, "ivf_index_knn", qs, cents, k=5, nprobe=12
+        )
+
+    q["sim_knn_join_indexed"] = _sim_knn_idx
+
     # PQ/ADC: iterative codebook training — rows-only check (like kmeans);
     # recall vs the exact scan asserted in tests/test_operators.py
     q["sim_topk_pq"] = lambda spark, sf: pq.pq_search(
@@ -977,7 +994,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_temporal_count_distinct",
         "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
         "mm_features", "join_window_orders_events", "emb_pca_project",
-        "rollup_group_count_distinct",
+        "rollup_group_count_distinct", "sim_knn_join_indexed",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {
@@ -1154,6 +1171,18 @@ GROUP BY 1, 2 HAVING count(*) >= 2
     # vs brute force is asserted separately in tests/test_operators.py)
     o["sim_topk_rhp"] = _rhp_oracle()
     o["sim_topk_rhp_scan"] = _rhp_oracle()
+    o["sim_knn_join_indexed"] = f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nn WHERE vec_id < 4),
+s AS (SELECT q.query_id, nn.vec_id,
+             list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) AS s
+      FROM nn, q),
+r AS (SELECT query_id, vec_id, round(s, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, cast(rank AS int) AS rank FROM r WHERE rank <= 5
+"""
     o["sim_knn_join"] = f"""
 WITH {_EMB_CTE},
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nn WHERE vec_id < 4),

@@ -295,6 +295,51 @@ def cosine_topk_join(
     )
 
 
+def ivf_topk_join_indexed(
+    spark,
+    table: str,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN against a write_ivf_index table: each query probes only
+    its own nprobe cells (per-query partition-pruned scans unioned, each
+    tagged with its query_id), then one window rank cut — for Q queries
+    the scan cost is Q·(nprobe/ncells) of the corpus instead of Q full
+    passes (cosine_topk_join's shape) or one full pass × Q score columns.
+    Same output contract as cosine_topk_join; with nprobe == ncells the
+    results are identical to it."""
+    import math
+
+    from pyspark.sql import Window
+
+    t = spark.table(table)
+    parts = []
+    for qid, vec in queries:
+        probes = _nearest_cells(vec, centroids, nprobe)
+        q = _lit_vec(vec)
+        qn = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        v = _as_double(vec_col)
+        parts.append(
+            t.filter(F.col("cell").isin(probes)).select(
+                F.lit(int(qid)).alias("query_id"),
+                "vec_id",
+                (_dot(v, q) / (_norm(v) * F.lit(qn))).alias("__s"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("__s", 6).alias("cosine"), "rank")
+    )
+
+
 def rhp_query_probes(
     query_vec: list[float], planes: list[list[float]], multiprobe: int = 1
 ) -> list[int]:

@@ -45,6 +45,7 @@ def asof_join(
     payload: list[str],
     tie_break: str | None = None,
     prefix: str = "asof_",
+    salt: int | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row with r_ts <= l_ts per key.
 
@@ -53,6 +54,14 @@ def asof_join(
     row). tie_break: right column whose max wins among right rows
     sharing (key, ts) — makes the result deterministic (DuckDB's ASOF
     JOIN leaves the choice open; we pin it on both sides).
+
+    salt=N splits each key's LEFT rows across N buckets (deterministic
+    ts-hash) and replicates the RIGHT rows into every bucket, so one hot
+    key (bot user) parallelizes N-ways instead of serializing its
+    partition — results are bit-identical to unsalted (each bucket still
+    sees the key's complete right stream; asserted in tests). Cost:
+    right-side rows shuffle ×N — size N to the hot-key headroom needed,
+    per the skew.py salting discipline.
     """
     lk, rk = on
     lts, rts = ts
@@ -69,10 +78,14 @@ def asof_join(
 
     left_cols = left.columns
     rtypes = dict(right.dtypes)
+    l_salt = (
+        F.pmod(F.xxhash64(F.col(lts)), F.lit(salt)) if salt else F.lit(0)
+    ).alias("__salt")
     l_side = left.select(
         F.col(lk).alias("__key"),
         F.col(lts).alias("__ts"),
         F.lit(1).alias("__side"),
+        l_salt,
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(rtypes[c]).alias(f"{prefix}{c}") for c in pay_cols],
     )
@@ -81,13 +94,20 @@ def asof_join(
         F.col(rk).alias("__key"),
         F.col(rts).alias("__ts"),
         F.lit(0).alias("__side"),
+        F.lit(0).alias("__salt"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_cols],
         *[F.col(c).alias(f"{prefix}{c}") for c in pay_cols],
     )
+    if salt:
+        # right rows replicate into every salt bucket: each bucket holds
+        # the key's COMPLETE right stream
+        r_side = r_side.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
     # rights sort before lefts at equal ts (__side 0 < 1) → an exactly
     # simultaneous right row DOES match (at-or-before semantics)
     w = (
-        Window.partitionBy("__key")
+        Window.partitionBy("__key", "__salt")
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -96,7 +116,9 @@ def asof_join(
         unioned = unioned.withColumn(
             f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
         )
-    return unioned.filter(F.col("__side") == 1).drop("__key", "__ts", "__side")
+    return unioned.filter(F.col("__side") == 1).drop(
+        "__key", "__ts", "__side", "__salt"
+    )
 
 
 def sessionize(
@@ -148,6 +170,7 @@ def window_agg_join(
     right_id: str,
     n_alias: str = "n_right",
     sum_alias: str = "sum_value",
+    salt: int | None = None,
 ) -> DataFrame:
     """Attribution-window join: for EVERY left row, the count and value
     sum of right rows with the same key in [l_ts, l_ts + window_ms) —
@@ -202,7 +225,7 @@ def window_agg_join(
     ).select("*", F.col("__pr.__p").alias("__p"), F.col("__pr.__sign").alias("__sign")).drop("__pr")
     joined = asof_join(
         probes, cum, on=(lk, rk), ts=("__p", rts), payload=["cum_n", "cum_sum"],
-        prefix="__w_",
+        prefix="__w_", salt=salt,
     )
     group_cols = [c for c in left.columns]
     return (

@@ -981,6 +981,16 @@ def test_window_agg_join_matches_bruteforce_and_has_no_join(spark):
                       "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_node not in plan
 
+    # hot-key salting is RESULT-IDENTICAL (each salt bucket sees the
+    # key's complete right stream)
+    salted = temporal_join.window_agg_join(
+        lo, ro, on=("key", "key"), ts=("ots", "ts"), window_ms=100,
+        value_col="value", right_id="e_id", salt=4,
+    )
+    got_s = {r["o_id"]: (r["n_right"], round(r["sum_value"], 6))
+             for r in salted.collect()}
+    assert got_s == got
+
 
 def test_distinct_rollup_estimates_and_merges(spark):
     """Linear-counting rollup: union-merge is exact (set semantics),
