@@ -202,6 +202,43 @@ def test_publish_tap_end_to_end_filtered_stream(engine, spark, tmp_path):
     assert engine.execute("select count(*) from ff").collect()[0][0] == 2002
 
 
+def test_streaming_ingest_exactly_once_across_restarts(engine, spark, tmp_path):
+    """The checkpoint dir subsumes NSDb's commit log: restarting the
+    ingestion over the same checkpoint processes ONLY new files — no
+    duplicates, no losses (exactly-once per batch, as the module
+    docstring claims)."""
+    engine.insert_bits("default", "default", "eo", [Bit(1, 1)])
+    src = tmp_path / "in"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema("timestamp long, value long").parquet(str(src))
+        q = start_parquet_ingestion(
+            engine, "default", "default", "eo", stream,
+            checkpoint_dir=ck, available_now=True,
+        )
+        q.awaitTermination(60)
+
+    spark.createDataFrame([(100, 10), (200, 20)], "timestamp long, value long") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    assert engine.execute("select count(*) from eo").collect()[0][0] == 3
+
+    # restart with NO new data: nothing re-processed
+    run_once()
+    assert engine.execute("select count(*) from eo").collect()[0][0] == 3
+
+    # restart after new files land: only the delta is appended
+    spark.createDataFrame([(300, 30)], "timestamp long, value long") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    rows = engine.execute("select * from eo order by timestamp").collect()
+    assert [(r["timestamp"], r["value"]) for r in rows] == [
+        (1, 1), (100, 10), (200, 20), (300, 30)
+    ]
+
+
 def test_streaming_ingest_maintains_quantile_rollup(engine, spark, tmp_path):
     """A registered quantile-sketch rollup stays fresh under Structured
     Streaming ingest (insert_frame maintenance path): the served median
