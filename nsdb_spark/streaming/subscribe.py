@@ -72,6 +72,25 @@ def _expr_fields(e: ast.Expression) -> set[str]:
     return {e.dimension}
 
 
+def _has_relative_time(e: ast.Expression) -> bool:
+    """True if the predicate contains a `now ± n` comparison value. Such
+    predicates resolve `now` at evaluation time, so an executor-side
+    prefilter compiled at batch time could disagree with the in-process
+    re-evaluation moments later (a future-window `ts < now + X` would
+    wrongly DROP rows the subscription matches by publish time) — the
+    tap must fall back to collecting the full batch for them."""
+    if isinstance(e, ast.NotExpression):
+        return _has_relative_time(e.expression)
+    if isinstance(e, ast.TupledLogicalExpression):
+        return _has_relative_time(e.expression1) or _has_relative_time(e.expression2)
+    vals = []
+    for attr in ("value", "value1", "value2"):
+        v = getattr(e, attr, None)
+        if v is not None:
+            vals.append(v)
+    return any(isinstance(v, ast.RelativeComparisonValue) for v in vals)
+
+
 def _reduce_bucket(values: list, agg: ast.Aggregation):
     if agg.kind == ast.AGG_COUNT:
         return len(values)
@@ -181,6 +200,8 @@ class SubscriptionManager:
                 return True
             if not _expr_fields(cond.expression) <= set(batch_columns):
                 return True
+            if _has_relative_time(cond.expression):
+                return True  # now-relative window: see _has_relative_time
             conds.append(compile_expression(cond.expression, ctx))
         if not relevant:
             return None

@@ -172,6 +172,15 @@ def test_publish_tap_filters_on_executors(manager, engine, spark):
     mgr3.subscribe("select * from people where name = Frank", Collector())
     assert mgr3.batch_predicate("default", "default", "people", ["timestamp", "value"]) is True
 
+    # now-relative predicate → fall back to all (the prefilter's `now`
+    # and publish-time `now` differ; a future-window filter could
+    # wrongly drop matching rows)
+    mgr4 = SubscriptionManager(engine)
+    mgr4.subscribe("select * from people where timestamp > now - 1 h", Collector())
+    assert mgr4.batch_predicate(
+        "default", "default", "people", ["timestamp", "value"]
+    ) is True
+
 
 def test_publish_tap_end_to_end_filtered_stream(engine, spark, tmp_path):
     """Streaming ingest with a conditioned subscription: matching rows are
