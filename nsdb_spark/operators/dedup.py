@@ -14,8 +14,15 @@ no Python UDFs. Pair generation strategies:
   cross products — this is the 100 TB path.
 - SimHash: 60-bit fingerprints via a portable md5-derived word hash;
   near-dup = small Hamming distance. Banded variant for scale.
+- CDC chunking: content-defined boundaries (rolling-hash mask hits) +
+  shared-chunk pairs — block-level reuse below any jaccard threshold.
 - Embedding cosine: exact pair scoring; for scale, pre-bucket with the IVF
   routine in operators/similarity.py.
+
+The registry defaults the stop-shingle guard (df cap max(10, 0.5% docs))
+on the exact pair joins; the unguarded form is opt-in
+(dedup_ngram_jaccard_raw). BASELINE.md records the measured scale
+crossover: exact join ~quadratic, MinHash-LSH ~linear.
 """
 from __future__ import annotations
 

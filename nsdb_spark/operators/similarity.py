@@ -5,8 +5,14 @@
 - ivf_assign / ivf_topk: IVF-style inverted-file ANN — the scale path.
   Vectors are assigned to their nearest centroid cell once (a narrow
   projection against a broadcast centroid list); queries probe only the
-  nprobe nearest cells. At 100 TB the assignment is written as a partition
-  column so a probe prunes to nprobe/ncells of the data.
+  nprobe nearest cells.
+- write_ivf_index / ivf_topk_indexed (+ append_ivf_index, and the SRP
+  twins write_rhp_index / rhp_topk_indexed): the STORED-assignment
+  serving path — cell/signature persisted as a partition column at
+  write time, probes partition-prune to nprobe/ncells of the data
+  (scan numPartitions asserted in tests/test_plans.py).
+- cosine_topk_join / ivf_topk_join_indexed: batch k-NN for a bounded
+  query set — one corpus pass, or per-query pruned probes.
 """
 from __future__ import annotations
 
