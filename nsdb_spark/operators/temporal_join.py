@@ -189,6 +189,11 @@ def window_agg_join(
     Columns of `left` are preserved; results append (n_alias, sum_alias)
     with 0 for empty windows. The sum is a same-sequence cumulative
     difference — deterministic given the (ts, id) order.
+
+    CONTRACT: left rows must be unique as tuples (they are the final
+    group key — two identical left rows would collapse into one output
+    row with doubled aggregates). Real fact rows carry a unique id
+    (o_orderkey here); attach one upstream otherwise.
     """
     lk, rk = on
     lts, rts = ts
