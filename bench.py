@@ -171,6 +171,7 @@ def main() -> None:
         "emb_pca_project",  # includes the Gram-partial fit
         "rollup_group_count_distinct",
         "sim_knn_join_indexed",  # includes the index build
+        "pipeline_pretrain_corpus",  # full clean->dedup->decontam->pack chain
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

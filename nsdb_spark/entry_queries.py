@@ -509,6 +509,38 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), stop_chunk_df_limit=_pair_guard_limit(spark, sf)
     )
 
+    # full pretraining-corpus pipeline: quality/lang filter → exact dedup
+    # → guarded near-dup clustering (keep each cluster's min doc) →
+    # benchmark decontamination → sequence packing. Every stage is an
+    # already-oracled operator; the composite is hash-checked end-to-end.
+    def _pipeline_pretrain(spark, sf):
+        import math as _math
+
+        docs = _docs(spark, sf)
+        surv_ids = text.clean_corpus(docs, lang="en", min_quality=0.3).select("doc_id")
+        surv = docs.join(surv_ids, "doc_id")
+        cap = max(10, _math.ceil(0.005 * surv.count()))
+        pairs = dedup.ngram_jaccard_pairs(
+            surv, n=3, threshold=0.5, stop_shingle_df_limit=cap
+        )
+        clusters = dedup.connected_components(pairs, surv.select("doc_id"))
+        reps = (
+            clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+            .filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id")
+        )
+        corpus = docs.join(reps, "doc_id")
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        contaminated = (
+            dedup.decontaminate(corpus, bench, n=4)
+            .filter(F.col("matched_ngrams") >= 3)
+            .select("doc_id")
+        )
+        final = corpus.join(contaminated, "doc_id", "left_anti")
+        return packing.pack_sequences(final, budget=512)
+
+    q["pipeline_pretrain_corpus"] = _pipeline_pretrain
+
     q["dedup_clusters"] = lambda spark, sf: dedup.connected_components(
         dedup.ngram_jaccard_pairs(
             _docs(spark, sf), n=3, threshold=0.5,
@@ -995,6 +1027,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_chunks", "dedup_cdc_pairs", "sim_knn_join",
         "mm_features", "join_window_orders_events", "emb_pca_project",
         "rollup_group_count_distinct", "sim_knn_join_indexed",
+        "pipeline_pretrain_corpus",
         "stats_histogram_equidepth", "events_active_users", "graph_pagerank",
     ]
     q = {
@@ -1250,6 +1283,73 @@ keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
 SELECT lang.doc_id AS doc_id, pred_lang, quality
 FROM lang JOIN qual USING (doc_id) JOIN keep USING (doc_id)
 WHERE pred_lang = 'en' AND quality >= 0.3
+"""
+    # the composite pipeline replays every stage's proven fragment over
+    # the running survivor set: clean_corpus filter → capped shingle
+    # pair join → recursive CC (min-label reps) → 4-gram
+    # decontamination → order-by-doc_id sequence packing
+    o["pipeline_pretrain_corpus"] = f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
+ls AS (SELECT doc_id, {", ".join(
+        f"len(list_distinct(list_intersect(words, {_stoplist_sql(lang)}))) AS s_{lang}"
+        for lang in text.LANG_ORDER)} FROM w),
+lang AS (SELECT doc_id, CASE {" ".join(
+        f"WHEN s_{lang} = greatest({', '.join('s_' + x for x in text.LANG_ORDER)}) THEN '{lang}'"
+        for lang in text.LANG_ORDER)} END AS pred_lang FROM ls),
+qs AS (SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS nd,
+              len(list_distinct(list_intersect(words, {_stoplist_sql('en')}))) AS sh
+       FROM w),
+qual AS (SELECT doc_id,
+                round(0.4*(sh/nw) + 0.3*(nd/nw) + 0.3*least(nw/100.0, 1.0), 6) AS quality
+         FROM qs),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+surv AS (SELECT lang.doc_id AS doc_id
+         FROM lang JOIN qual USING (doc_id) JOIN keep USING (doc_id)
+         WHERE pred_lang = 'en' AND quality >= 0.3),
+sw AS (SELECT w.doc_id, w.words FROM w JOIN surv USING (doc_id)),
+shg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3
+        THEN list_transform(generate_series(1, cast(len(words)-2 AS bigint)),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        ELSE [array_to_string(words, ' ')] END)) AS sh FROM sw),
+hot AS (SELECT sh FROM shg GROUP BY sh
+        HAVING count(*) > greatest(10,
+               cast(ceil(0.005 * (SELECT count(*) FROM surv)) AS bigint))),
+sg AS (SELECT shg.doc_id, shg.sh FROM shg ANTI JOIN hot USING (sh)),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sg GROUP BY doc_id),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sg a JOIN sg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+prs AS (SELECT doc_a, doc_b
+        FROM p JOIN cnt ca ON p.doc_a = ca.doc_id JOIN cnt cb ON p.doc_b = cb.doc_id
+        WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+          UNION ALL SELECT doc_b, doc_a FROM prs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+),
+clus AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+reps AS (SELECT doc_id FROM clus WHERE doc_id = cluster_id AND doc_id % 10 <> 0),
+g4 AS (SELECT w.doc_id, unnest(list_distinct(CASE WHEN len(words) >= 4
+        THEN list_transform(generate_series(1, cast(len(words)-3 AS bigint)),
+                            i -> array_to_string(words[i:i+3], ' '))
+        ELSE [array_to_string(words, ' ')] END)) AS gram FROM w),
+bgr AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % 10 = 0),
+cont AS (SELECT g4.doc_id FROM g4 JOIN reps USING (doc_id) JOIN bgr USING (gram)
+         GROUP BY g4.doc_id HAVING count(DISTINCT g4.gram) >= 3),
+final AS (SELECT doc_id FROM reps ANTI JOIN cont USING (doc_id)),
+d AS (SELECT f.doc_id, cast(len(string_split(doc.text, ' ')) AS bigint) AS n
+      FROM final f JOIN documents doc USING (doc_id)),
+cum AS (SELECT doc_id, n,
+             cast(sum(n) OVER (ORDER BY doc_id) - n AS bigint) AS start
+        FROM d)
+SELECT doc_id, chunk_id, start,
+       least(start + n, (chunk_id + 1) * 512)
+         - greatest(start, chunk_id * 512) AS tokens_in_chunk
+FROM cum, unnest(generate_series(start // 512, (start + n - 1) // 512))
+       AS u(chunk_id)
 """
     # salted two-phase aggregation is result-identical to the plain groupBy
     o["scale_salted_groupby_sum"] = o["nsdb_groupby_sum"]
