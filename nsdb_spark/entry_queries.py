@@ -517,7 +517,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import math as _math
 
         docs = _docs(spark, sf)
-        surv_ids = text.clean_corpus(docs, lang="en", min_quality=0.3).select("doc_id")
+        # id frames are tiny — materialize each stage's survivor set once
+        # instead of recomputing the upstream stages per consumer
+        surv_ids = (
+            text.clean_corpus(docs, lang="en", min_quality=0.3)
+            .select("doc_id").localCheckpoint(eager=True)
+        )
         surv = docs.join(surv_ids, "doc_id")
         cap = max(10, _math.ceil(0.005 * surv.count()))
         pairs = dedup.ngram_jaccard_pairs(
@@ -527,7 +532,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         reps = (
             clusters.filter(F.col("doc_id") == F.col("cluster_id"))
             .filter(F.col("doc_id") % 10 != 0)
-            .select("doc_id")
+            .select("doc_id").localCheckpoint(eager=True)
         )
         corpus = docs.join(reps, "doc_id")
         bench = docs.filter(F.col("doc_id") % 10 == 0)
