@@ -172,6 +172,10 @@ def main() -> None:
         "rollup_group_count_distinct",
         "sim_knn_join_indexed",  # includes the index build
         "pipeline_pretrain_corpus",  # full clean->dedup->decontam->pack chain
+        "text_quality_lr",
+        "sample_dsir",  # includes the two LM-count passes
+        "dedup_decontaminate_fuzzy",
+        "dedup_semantic",  # includes SRP pairs + star contraction
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

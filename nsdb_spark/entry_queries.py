@@ -36,6 +36,7 @@ from .operators import (
     ranking,
     rollup,
     sampling,
+    selection,
     similarity,
     skew,
     temporal_join,
@@ -1015,11 +1016,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.attach_binary(_docs(spark, sf))
     )
 
+    # --- data selection (quality / domain relevance — what to KEEP) ---
+    q["text_quality_lr"] = lambda spark, sf: selection.quality_score_lr(
+        _docs(spark, sf)
+    )
+    q["sample_dsir"] = lambda spark, sf: selection.dsir_sample(
+        _docs(spark, sf), F.col("lang") == "en", k=100
+    )
+    q["dedup_decontaminate_fuzzy"] = lambda spark, sf: selection.decontaminate_fuzzy(
+        _docs(spark, sf).filter(F.col("doc_id") % 10 != 0),
+        _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
+    )
+    q["dedup_semantic"] = lambda spark, sf: selection.semantic_survivors(
+        _emb(spark, sf)
+    )
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
+        # round 3: data-selection operators (DSIR, LR quality, fuzzy
+        # decontamination, semantic dedup survivors)
+        "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
+        "dedup_semantic",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -1196,6 +1216,74 @@ GROUP BY 1, 2 HAVING count(*) >= 2
     # LSH at 128 hashes / 32 bands has ~1 recall at j≥0.5 → oracle is the
     # exact pair set (verified empirically on the driver's sf before shipping)
     o["dedup_minhash_lsh"] = _jaccard_oracle(0.5)
+    # fastText-shaped hashed linear scorer: integer milli-weight fold is
+    # exact cross-engine; only the final division/sigmoid is rounded
+    o["text_quality_lr"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, cast(len(toks) AS bigint) AS n,
+  cast(list_sum(list_transform(toks, t ->
+     (cast(concat('0x', substr(md5(t), 1, 15)) AS bigint) % 4096)
+     * 2654435761 % 2001 - 1000)) AS bigint) AS lm
+  FROM w)
+SELECT doc_id, lm AS logit_milli, n AS n_tokens,
+       round(lm / (1000.0 * n), 6) AS lr_logit,
+       round(1 / (1 + exp(-lm / (1000.0 * n))), 6) AS lr_prob,
+       lm > 0 AS keep
+FROM s
+"""
+    # DSIR (hashed unigram LM ratio + deterministic Gumbel top-k) — the
+    # same arithmetic relationally: per-bucket counts, add-1 smoothing,
+    # md5-derived uniform per doc
+    o["sample_dsir"] = """
+WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(text, ' ')) AS t FROM documents),
+tb AS (SELECT doc_id, tgt,
+       cast(concat('0x', substr(md5(t), 1, 15)) AS bigint) % 8192 AS b FROM tok),
+cnt AS (SELECT b, count(*) AS cr, count(*) FILTER (tgt) AS ct FROM tb GROUP BY b),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+ratio AS (SELECT b, ln(ct + 1) - ln(tt + 8192) - ln(cr + 1) + ln(tr + 8192) AS lam
+          FROM cnt, tot),
+dw AS (SELECT doc_id, sum(lam) AS logw FROM tb JOIN ratio USING (b) GROUP BY doc_id),
+g AS (SELECT doc_id, logw,
+      -ln(-ln((cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint)
+               % 1000000 + 0.5) / 1000000.0)) AS gum
+      FROM dw)
+SELECT doc_id, round(logw, 4) AS dsir_logweight, round(logw + gum, 4) AS sample_key
+FROM g ORDER BY logw + gum DESC, doc_id LIMIT 100
+"""
+    # LSH recall ≈ 1 at 128/32 for j ≥ 0.5 (same argument as
+    # dedup_minhash_lsh) → oracle is the exact cross-set pair set
+    o["dedup_decontaminate_fuzzy"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3
+        THEN list_transform(generate_series(1, cast(len(words)-2 AS bigint)),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        ELSE [array_to_string(words, ' ')] END)) AS sh FROM w),
+c AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+p AS (SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      GROUP BY 1, 2)
+SELECT p.doc_id, p.bench_id,
+       round(common / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+FROM p JOIN c ca ON p.doc_id = ca.doc_id JOIN c cb ON p.bench_id = cb.doc_id
+WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
+"""
+    # SRP-LSH recall ≈ 1 at the verified threshold (dedup_embedding_srp's
+    # oracle is the exact pair set) → components over exact cosine pairs
+    o["dedup_semantic"] = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45),
+edges AS (SELECT va AS s, vb AS d FROM pairs UNION ALL SELECT vb, va FROM pairs),
+reach(node, root) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.d, r.root FROM reach r JOIN edges e2 ON e2.s = r.node)
+SELECT node AS vec_id, min(root) AS rep_id, node = min(root) AS survivor
+FROM reach GROUP BY node
+"""
     o["dedup_simhash"] = _SIMHASH_ORACLE
     o["dedup_embedding_cosine"] = _COSINE_PAIRS_ORACLE
     o["dedup_embedding_cosine_gemm"] = _COSINE_PAIRS_ORACLE

@@ -1,0 +1,293 @@
+"""Data-selection operators for pretraining corpora.
+
+The dedup family (operators/dedup.py) removes redundancy; these operators
+decide what to KEEP — the quality / domain-relevance side of corpus
+construction (no analogue in the reference engine, which is a time-series
+store; these are training-data extensions over the documents table):
+
+- quality_score_lr: fastText-shaped hashed linear-model quality scoring.
+  The hashing trick bounds the feature space to `dim` buckets so the
+  weight vector is a fixed-size broadcastable artifact at ANY corpus
+  size; scoring is a pure per-row projection (no shuffle, no UDF).
+- dsir_weights / dsir_sample: Data Selection with Importance Resampling
+  (Xie et al., NeurIPS 2023 — public paper): hashed unigram LM built for
+  a target (in-domain) slice and for the raw corpus, per-doc importance
+  weight = log p_target(doc) - p_raw(doc) under those LMs, then
+  Gumbel-top-k sampling ≡ sampling without replacement proportional to
+  softmax(logweight / temperature).
+- decontaminate_fuzzy: MinHash-LSH matching of corpus docs against a
+  benchmark set — catches near-duplicate contamination that survives
+  light paraphrase, below exact n-gram overlap (dedup.decontaminate).
+- semantic_survivors: SemDeDup-shaped (Abbas et al., 2023) keep-one-per-
+  cluster over embedding near-duplicates, here with deterministic SRP
+  bucketing instead of trained k-means so the result is exactly
+  reproducible (and oracle-checkable) in any engine.
+
+All hot paths are JVM expressions; hashes are the portable md5-derived
+60-bit hash (dedup.portable_word_hash) so every number is reproducible
+bit-for-bit in the DuckDB oracles.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _parallelize,
+    minhash_signatures,
+    portable_word_hash,
+)
+
+# Knuth multiplicative constant — decorrelates the pseudo-weight from the
+# bucket id (bucket < dim <= 2^20, product < 2^52: no 64-bit overflow in
+# Spark or DuckDB bigint arithmetic).
+_WEIGHT_MIX = 2654435761
+
+
+def _bucket(token: Column, dim: int) -> Column:
+    return F.pmod(portable_word_hash(token), F.lit(dim))
+
+
+def quality_score_lr(
+    docs: DataFrame, dim: int = 4096, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, logit_milli, lr_logit, lr_prob, keep) — linear-model
+    quality score over hashed bag-of-words features (the fastText /
+    CCNet-classifier serving shape).
+
+    Each token hashes into one of `dim` buckets; the bucket's weight is
+    looked up and the document's logit is the mean token weight, squashed
+    to a probability. Here the weights are a deterministic function of
+    the bucket id (a stand-in for trained weights — training happens
+    offline; what matters at 100 TB is the SERVING plan, and a real
+    weight vector would arrive as a dim-sized broadcast array with the
+    same plan shape). Weights are integers in [-1000, 1000] ("milli"
+    units) and the per-doc sum is an exact integer fold, so the score is
+    bit-reproducible across engines before the final rounded division.
+
+    Physical shape: one narrow projection — split, transform, aggregate,
+    all whole-stage codegen. No shuffle, no Python. Scales trivially.
+    """
+    toks = F.split(F.col(text_col), " ")
+    weights = F.transform(
+        toks,
+        lambda t: F.pmod(_bucket(t, dim) * F.lit(_WEIGHT_MIX), F.lit(2001))
+        - F.lit(1000),
+    )
+    logit_milli = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    logit = F.col("logit_milli") / (1000.0 * F.col("n_tokens"))
+    return (
+        docs.select(
+            "doc_id",
+            logit_milli.alias("logit_milli"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "logit_milli",
+            "n_tokens",
+            F.round(logit, 6).alias("lr_logit"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("lr_prob"),
+            (F.col("logit_milli") > 0).alias("keep"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    buckets: int = 8192,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, logw) — DSIR importance log-weights: per-doc
+    log p_target(doc) - log p_raw(doc) under add-1-smoothed hashed
+    unigram LMs fit on the target slice vs the whole corpus.
+
+    Scale shape — the hashing trick is what makes this 100 TB-able: both
+    LMs live on a FIXED `buckets`-row table regardless of corpus size, so
+    (1) fitting is two map-side-combinable counts over the token stream,
+    (2) the per-bucket log-ratio table is broadcast into the scoring join
+    — the corpus token stream shuffles once (the doc_id groupBy) and the
+    LM tables never shuffle at all. The two totals are a bounded
+    driver-side collect (two scalars), same discipline as the centroid
+    collects in operators/clustering.py.
+    """
+    tok = (
+        _parallelize(docs)
+        .select("doc_id", is_target.alias("__tgt"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .select("doc_id", "__tgt", _bucket(F.col("t"), buckets).alias("b"))
+    )
+    # one pass over the token stream: per-bucket raw count + target count
+    # (map-side combinable; output bounded by `buckets` rows)
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt")).first()
+    t_raw, t_tgt = int(tot["tr"] or 0), int(tot["tt"] or 0)
+    lam = (
+        F.log(F.col("ct") + 1)
+        - F.lit(float(__import__("math").log(t_tgt + buckets)))
+        - F.log(F.col("cr") + 1)
+        + F.lit(float(__import__("math").log(t_raw + buckets)))
+    )
+    ratio = counts.select("b", lam.alias("lam"))
+    return (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").alias("logw"))
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    is_target: Column,
+    k: int = 100,
+    buckets: int = 8192,
+    temperature: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dsir_logweight, sample_key) — top-k Gumbel sample under
+    DSIR importance weights: deterministic sampling without replacement
+    with inclusion probability ∝ softmax(logw / temperature).
+
+    The Gumbel key g = -ln(-ln(u)) uses a per-doc uniform derived from
+    the portable hash of doc_id — deterministic, partition-layout-
+    invariant, and reproducible in the oracle. Selection is a TakeOrdered
+    top-k (no global sort materialization).
+    """
+    w = dsir_weights(docs, is_target, buckets, text_col)
+    u = (
+        F.pmod(portable_word_hash(F.col("doc_id").cast("string")), F.lit(1000000))
+        + 0.5
+    ) / 1000000.0
+    key = F.col("logw") / temperature + (-F.log(-F.log(u)))
+    return (
+        w.select(
+            "doc_id",
+            F.round(F.col("logw"), 4).alias("dsir_logweight"),
+            F.round(key, 4).alias("sample_key"),
+            key.alias("__k"),
+        )
+        .orderBy(F.col("__k").desc(), "doc_id")
+        .limit(k)
+        .drop("__k")
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard) — corpus docs that are NEAR-duplicates
+    of a benchmark doc (Jaccard ≥ threshold on word n-grams), found via
+    MinHash-LSH banding and verified exactly on the candidates.
+
+    Exact-gram decontamination (dedup.decontaminate) misses lightly
+    paraphrased contamination; this catches any pair above the Jaccard
+    threshold with the banding recall curve of minhash_lsh_pairs
+    (≈1 at 128/32 for j ≥ 0.5 — the oracle is the exact cross-set pair
+    set, so a missed pair fails the gate).
+
+    Scale shape: the corpus side shuffles O(docs × bands) bucket rows —
+    never pairwise; the benchmark side is small by definition, so BOTH
+    its bucket table and its shingle arrays are broadcast: the corpus is
+    never joined to itself and never shuffles for the verification. This
+    is the asymmetric version of minhash_lsh_pairs' self-join.
+    """
+    r = num_hashes // bands
+
+    def banded(sigs: DataFrame, id_out: str) -> DataFrame:
+        cols = [
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]).alias(
+                f"b{b}"
+            )
+            for b in range(bands)
+        ]
+        return (
+            sigs.select("doc_id", *cols)
+            .select(
+                F.col("doc_id").alias(id_out),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"), F.col(f"b{b}").alias("key")
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select(id_out, "bk.band", "bk.key")
+        )
+
+    corpus_sigs = minhash_signatures(docs, n, num_hashes, text_col).persist()
+    bench_sigs = minhash_signatures(benchmark, n, num_hashes, text_col).persist()
+    candidates = (
+        banded(corpus_sigs, "doc_id")
+        .join(F.broadcast(banded(bench_sigs, "bench_id")), ["band", "key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    bench_sh = bench_sigs.select(
+        F.col("doc_id").alias("bench_id"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        candidates.join(corpus_sigs.select("doc_id", F.col("shingles").alias("sh_a")), "doc_id")
+        .join(F.broadcast(bench_sh), "bench_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+    out = verified.localCheckpoint(eager=True)
+    corpus_sigs.unpersist()
+    bench_sigs.unpersist()
+    return out
+
+
+def semantic_survivors(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, rep_id, survivor) — SemDeDup-shaped semantic dedup over
+    an embedding column: group mutually-near embeddings (cosine ≥
+    threshold, transitively) and keep one representative per group
+    (the minimum id; `survivor` marks it).
+
+    SemDeDup clusters with k-means and prunes within clusters; trained
+    centroids make the output depend on the training run, so here the
+    grouping is the DETERMINISTIC scale path already oracle-checked
+    end-to-end: banded SRP-LSH candidate pairs verified exactly
+    (dedup.embedding_srp_pairs — O(vectors × bands) shuffle), then
+    alternating-star connected components (O(log² n) rounds). Both
+    stages are exactly reproducible, so keep/drop decisions are too —
+    on 100 TB reruns and in the cross-engine oracle.
+    """
+    from .dedup import connected_components_alternating, embedding_srp_pairs
+
+    pairs = embedding_srp_pairs(emb, threshold, vec_col=vec_col).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    comp = connected_components_alternating(pairs, nodes)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("rep_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("survivor"),
+    )

@@ -1578,3 +1578,80 @@ def test_ngram_novelty(spark, docs):
     assert out[3]["novelty"] == 1.0
     # doc 1 differs from 0/2 only in the last word: 1 novel trigram of 7
     assert out[1]["novel_grams"] == 1 and out[1]["n_grams"] == 7
+
+
+def test_quality_lr_score_shape(spark, docs):
+    from nsdb_spark.operators import selection
+
+    out = {r["doc_id"]: r for r in selection.quality_score_lr(docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # identical docs score identically; the score is the mean milli-weight
+    assert out[0]["logit_milli"] == out[2]["logit_milli"]
+    for r in out.values():
+        assert -1000 <= r["logit_milli"] / r["n_tokens"] <= 1000
+        assert 0.0 <= r["lr_prob"] <= 1.0
+        assert r["keep"] == (r["logit_milli"] > 0)
+    # n_tokens counts all tokens (bag of words, not distinct)
+    assert out[0]["n_tokens"] == 9 and out[4]["n_tokens"] == 1
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    from nsdb_spark.operators import selection
+
+    # target slice speaks "alpha"; the rest speaks "beta" — docs that look
+    # like the target LM must carry higher importance weights
+    rows = (
+        [(i, "alpha " * 20 + "common", True) for i in range(10)]
+        + [(100 + i, "beta " * 20 + "common", False) for i in range(30)]
+        + [(200, "alpha alpha alpha common", False)]  # raw doc, target-like
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {r["doc_id"]: r["logw"]
+         for r in selection.dsir_weights(docs, F.col("tgt"), buckets=64).collect()}
+    assert w[200] > w[100]  # target-like raw doc outweighs off-domain doc
+    assert w[0] > w[100]
+    # sampling keeps the highest-key docs and is deterministic
+    s1 = selection.dsir_sample(docs, F.col("tgt"), k=5, buckets=64).collect()
+    s2 = selection.dsir_sample(docs, F.col("tgt"), k=5, buckets=64).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    assert len(s1) == 5
+
+
+def test_decontaminate_fuzzy_catches_paraphrase(spark, docs):
+    from nsdb_spark.operators import selection
+
+    # bench = doc 2 (identical to 0, near-dup of 1); exact match AND the
+    # paraphrase must both flag, the unrelated doc must not
+    bench = docs.filter(F.col("doc_id") == 2)
+    corpus = docs.filter(F.col("doc_id") != 2)
+    out = {(r["doc_id"], r["bench_id"]): r["jaccard"]
+           for r in selection.decontaminate_fuzzy(corpus, bench, threshold=0.5).collect()}
+    assert out[(0, 2)] == 1.0
+    assert 0.5 <= out[(1, 2)] < 1.0
+    assert not any(d == 3 for d, _ in out)
+
+
+def test_semantic_survivors_one_rep_per_cluster(spark):
+    from nsdb_spark.operators import selection
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(5, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 near-identical copies per direction
+            v = b + rng.randn(16) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = selection.semantic_survivors(emb, threshold=0.9).collect()
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["rep_id"], []).append(r)
+    # 5 clusters of 3; exactly one survivor per cluster, the min id
+    assert len(out) == 15 and len(by_rep) == 5
+    for rep, members in by_rep.items():
+        assert sum(m["survivor"] for m in members) == 1
+        assert rep == min(m["vec_id"] for m in members)
