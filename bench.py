@@ -176,6 +176,7 @@ def main() -> None:
         "sample_dsir",  # includes the two LM-count passes
         "dedup_decontaminate_fuzzy",
         "dedup_semantic",  # includes SRP pairs + star contraction
+        "sample_domain_mix",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1030,6 +1030,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_semantic"] = lambda spark, sf: selection.semantic_survivors(
         _emb(spark, sf)
     )
+    q["sample_domain_mix"] = lambda spark, sf: selection.domain_mixture(
+        _docs(spark, sf), alpha=0.5
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1039,7 +1042,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 3: data-selection operators (DSIR, LR quality, fuzzy
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
-        "dedup_semantic",
+        "dedup_semantic", "sample_domain_mix",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -1250,6 +1253,25 @@ g AS (SELECT doc_id, logw,
       FROM dw)
 SELECT doc_id, round(logw, 4) AS dsir_logweight, round(logw + gum, 4) AS sample_key
 FROM g ORDER BY logw + gum DESC, doc_id LIMIT 100
+"""
+    # temperature rebalancing: same rate formula relationally; the
+    # copy count is an exact integer given the (rounded-stable) rate
+    o["sample_domain_mix"] = """
+WITH d AS (SELECT doc_id, source,
+           cast(len(string_split(text, ' ')) AS bigint) AS nt FROM documents),
+ps AS (SELECT source, sum(nt) AS ts FROM d GROUP BY source),
+w AS (SELECT sum(pow(ts, 0.5)) AS wsum, sum(ts) AS total FROM ps),
+r AS (SELECT source, total * pow(ts, 0.5) / wsum / ts AS rate FROM ps, w),
+dd AS (SELECT doc_id, d.source AS source, rate,
+       (cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint)
+        % 1000000 + 0.5) / 1000000.0 AS u
+       FROM d JOIN r USING (source)),
+n AS (SELECT doc_id, source, rate,
+      cast(floor(rate) AS bigint)
+      + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS nc FROM dd)
+SELECT doc_id, source, unnest(generate_series(1, nc)) AS copy_idx,
+       round(rate, 6) AS rate
+FROM n WHERE nc > 0
 """
     # LSH recall ≈ 1 at 128/32 for j ≥ 0.5 (same argument as
     # dedup_minhash_lsh) → oracle is the exact cross-set pair set

@@ -15,6 +15,9 @@ store; these are training-data extensions over the documents table):
   weight = log p_target(doc) - p_raw(doc) under those LMs, then
   Gumbel-top-k sampling ≡ sampling without replacement proportional to
   softmax(logweight / temperature).
+- domain_mixture: temperature-based domain rebalancing (mT5 / XLM-R
+  `tokens^alpha` rule) with deterministic epoch replication for
+  upsampled domains — zero corpus shuffle.
 - decontaminate_fuzzy: MinHash-LSH matching of corpus docs against a
   benchmark set — catches near-duplicate contamination that survives
   light paraphrase, below exact n-gram overlap (dedup.decontaminate).
@@ -174,6 +177,75 @@ def dsir_sample(
         .orderBy(F.col("__k").desc(), "doc_id")
         .limit(k)
         .drop("__k")
+    )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    total_budget_tokens: int | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, source, copy_idx, rate) — temperature-based domain
+    rebalancing of a multi-source corpus (the mT5 / XLM-R `p_s ∝
+    tokens_s^alpha` sampling rule), with deterministic epoch replication
+    when a domain's rate exceeds 1 (the data-constrained-scaling regime:
+    upsample small domains by repeating them).
+
+    Each source s gets a token budget ∝ tokens_s^alpha (alpha < 1
+    flattens head domains and upsamples tail domains); its per-doc
+    keep/replicate rate is budget_s / tokens_s. A doc emits
+    floor(rate) copies plus one more when its deterministic per-doc
+    uniform falls under frac(rate) — so every domain hits its budget in
+    expectation, rates are exact and reproducible, and reruns (or the
+    oracle) produce the identical corpus.
+
+    Scale shape: the per-source token table is #sources rows — two tiny
+    map-side-combinable aggregates — and the rate table is BROADCAST
+    into a narrow projection; the corpus itself never shuffles (compare:
+    an exact-budget cumulative-sum formulation would sort every domain
+    partition — parallelism capped at #sources — for a guarantee
+    production mixtures don't need). Replication is a per-row sequence
+    explode bounded by ceil(rate).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per_source = (
+        _parallelize(docs)
+        .groupBy(source_col)
+        .agg(F.sum(n_tok).alias("tokens_s"))
+    )
+    wsum = per_source.agg(
+        F.sum(F.pow("tokens_s", F.lit(alpha))).alias("wsum"),
+        F.sum("tokens_s").alias("total"),
+    ).first()
+    budget = int(total_budget_tokens or wsum["total"])
+    rates = per_source.select(
+        source_col,
+        (
+            F.lit(budget)
+            * F.pow("tokens_s", F.lit(alpha))
+            / F.lit(float(wsum["wsum"]))
+            / F.col("tokens_s")
+        ).alias("rate"),
+    )
+    u = (
+        F.pmod(portable_word_hash(F.col("doc_id").cast("string")), F.lit(1000000))
+        + 0.5
+    ) / 1000000.0
+    n_copies = F.floor("rate").cast("long") + F.when(
+        u < F.col("rate") - F.floor("rate"), 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            source_col,
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy_idx"),
+            F.round("rate", 6).alias("rate"),
+        )
     )
 
 

@@ -1655,3 +1655,35 @@ def test_semantic_survivors_one_rep_per_cluster(spark):
     for rep, members in by_rep.items():
         assert sum(m["survivor"] for m in members) == 1
         assert rep == min(m["vec_id"] for m in members)
+
+
+def test_domain_mixture_temperature_rebalances(spark):
+    from nsdb_spark.operators import selection
+
+    # big domain 10x the tokens of the small one; alpha=0.5 must upsample
+    # the small domain (rate > big's rate), and copy counts hit the
+    # budget in expectation
+    rows = [(i, "w " * 9 + "w", "big") for i in range(200)] + [
+        (1000 + i, "w " * 9 + "w", "small") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = selection.domain_mixture(docs, alpha=0.5).collect()
+    rates = {r["source"]: r["rate"] for r in out}
+    assert rates["small"] > 1.0 > rates["big"]
+    # sqrt weighting: small's rate/big's rate == sqrt(10)
+    assert abs(rates["small"] / rates["big"] - 10 ** 0.5) < 1e-4
+    # copies: every kept row's copy_idx is dense 1..n per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+    # expected token budget ~ total tokens (10/doc); 5% tolerance
+    total_tokens = sum(10 for _ in rows)
+    emitted = sum(10 for _ in out)
+    assert abs(emitted - total_tokens) / total_tokens < 0.05
+    # deterministic across reruns
+    again = selection.domain_mixture(docs, alpha=0.5).collect()
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in again) == sorted(
+        (r["doc_id"], r["copy_idx"]) for r in out
+    )
