@@ -219,6 +219,10 @@ def domain_mixture(
         F.sum(F.pow("tokens_s", F.lit(alpha))).alias("wsum"),
         F.sum("tokens_s").alias("total"),
     ).first()
+    if wsum["total"] is None:  # empty corpus — nothing to mix
+        return docs.sparkSession.createDataFrame(
+            [], f"doc_id long, {source_col} string, copy_idx long, rate double"
+        )
     budget = int(total_budget_tokens or wsum["total"])
     rates = per_source.select(
         source_col,
