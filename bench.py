@@ -177,6 +177,7 @@ def main() -> None:
         "dedup_decontaminate_fuzzy",
         "dedup_semantic",  # includes SRP pairs + star contraction
         "sample_domain_mix",
+        "join_interval_lineitem_orders",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

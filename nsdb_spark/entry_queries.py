@@ -1034,6 +1034,36 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), alpha=0.5
     )
 
+    def _interval_join(spark, sf):
+        # variable-length interval per lineitem (transit window =
+        # l_quantity days after shipment); count urgent orders placed
+        # inside each returned lineitem's window. 1-day cells ≈ median
+        # span/25 would over-replicate; 7-day cells keep replication
+        # at span/7+1 ≈ 4x on the filtered interval side only.
+        li = testdata.table(spark, sf, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").alias("start_d"),
+            (
+                F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+                + F.col("l_quantity").cast("long")
+            ).alias("end_d"),
+        )
+        od = testdata.table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select(
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias("pt_d")
+        )
+        return (
+            temporal_join.interval_join(od, li, "pt_d", "start_d", "end_d", bucket=7)
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("n_urgent_orders"))
+        )
+
+    q["join_interval_lineitem_orders"] = _interval_join
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1042,7 +1072,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 3: data-selection operators (DSIR, LR quality, fuzzy
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
-        "dedup_semantic", "sample_domain_mix",
+        "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -1253,6 +1283,21 @@ g AS (SELECT doc_id, logw,
       FROM dw)
 SELECT doc_id, round(logw, 4) AS dsir_logweight, round(logw + gum, 4) AS sample_key
 FROM g ORDER BY logw + gum DESC, doc_id LIMIT 100
+"""
+    # bucketed interval join ≡ the BETWEEN theta join relationally
+    # (DuckDB plans it as its IEJoin; Spark would nested-loop, hence the
+    # cell rewrite on our side)
+    o["join_interval_lineitem_orders"] = """
+WITH li AS (SELECT l_orderkey, l_linenumber,
+            cast(epoch(l_shipdate) // 86400 AS bigint) AS start_d,
+            cast(epoch(l_shipdate) // 86400 AS bigint)
+              + cast(l_quantity AS bigint) AS end_d
+            FROM lineitem WHERE l_returnflag = 'R'),
+od AS (SELECT cast(epoch(o_orderdate) // 86400 AS bigint) AS pt_d
+       FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT l_orderkey, l_linenumber, count(*) AS n_urgent_orders
+FROM li JOIN od ON od.pt_d BETWEEN li.start_d AND li.end_d
+GROUP BY 1, 2
 """
     # temperature rebalancing: same rate formula relationally; the
     # copy count is an exact integer given the (rounded-stable) rate

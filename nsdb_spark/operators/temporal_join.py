@@ -242,3 +242,49 @@ def window_agg_join(
             ).alias(sum_alias),
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Inner join of point rows onto VARIABLE-length interval rows with
+    start <= ts <= end (both inclusive, the SQL BETWEEN shape) — the
+    general range join window_agg_join can't express (that operator needs
+    a fixed window width; here every interval row carries its own
+    [start, end]).
+
+    NOT a theta join: `ON ts BETWEEN start AND end` plans as
+    BroadcastNestedLoopJoin — O(points x intervals) comparisons, dead at
+    scale. The bucketed-range-join rewrite instead: quantize the time
+    axis into `bucket`-sized cells, explode each interval into the cells
+    it covers, map each point to its single cell, EQUI-join on the cell
+    id (SortMergeJoin — shuffle is linear in rows), then apply the exact
+    BETWEEN as a post-join filter. A point matches an interval in
+    exactly one cell (the point's own), so no dedup pass is needed.
+
+    Cost knob: replication = avg_interval_span/bucket + 1 copies of the
+    interval side. Pick `bucket` near the median interval length (~2x
+    replication); the same trick underpins Databricks' range-join hints
+    and every spatial grid join. Both inputs' column sets must be
+    disjoint (standard join hygiene — rename upstream).
+    """
+    p = points.withColumn("__cell", F.floor(F.col(ts_col) / bucket))
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket),
+                F.floor(F.col(end_col) / bucket),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__cell")
+        .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__cell")
+    )

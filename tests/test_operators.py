@@ -1687,3 +1687,31 @@ def test_domain_mixture_temperature_rebalances(spark):
     assert sorted((r["doc_id"], r["copy_idx"]) for r in again) == sorted(
         (r["doc_id"], r["copy_idx"]) for r in out
     )
+
+
+def test_interval_join_matches_bruteforce_and_avoids_nested_loop(spark):
+    from nsdb_spark.operators import temporal_join
+
+    # variable-length intervals incl. zero-length and cell-straddling
+    iv = spark.createDataFrame(
+        [(1, 10, 30), (2, 25, 25), (3, 0, 100), (4, 95, 99)],
+        "iv_id long, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 9, 10, 25, 30, 31, 96, 100])],
+        "pt_id long, t long",
+    )
+    out = temporal_join.interval_join(pts, iv, "t", "s", "e", bucket=16)
+    got = {(r["pt_id"], r["iv_id"]) for r in out.collect()}
+    expect = {
+        (p["pt_id"], i["iv_id"])
+        for p in pts.collect()
+        for i in iv.collect()
+        if i["s"] <= p["t"] <= i["e"]
+    }
+    assert got == expect
+    # boundary inclusivity on both ends
+    assert (2, 1) in got and (4, 1) in got and (5, 1) not in got
+    # the plan must be an equi-join on the cell, never a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
