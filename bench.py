@@ -178,6 +178,7 @@ def main() -> None:
         "dedup_semantic",  # includes SRP pairs + star contraction
         "sample_domain_mix",
         "join_interval_lineitem_orders",
+        "dedup_minhash_incremental",  # includes index write + append
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1064,6 +1064,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_interval_lineitem_orders"] = _interval_join
 
+    def _mh_incremental(spark, sf):
+        # history (80%) indexed once; the new batch (20%) appended; pairs
+        # involving a new doc served from the stored index — history is
+        # never re-tokenized
+        docs = _docs(spark, sf)
+        dedup.write_minhash_index(docs.filter(F.col("doc_id") % 5 != 0), "mh_index")
+        dedup.append_minhash_index(docs.filter(F.col("doc_id") % 5 == 0), "mh_index")
+        return dedup.minhash_incremental_pairs(
+            spark, "mh_index", F.col("doc_id") % 5 == 0, threshold=0.5
+        )
+
+    q["dedup_minhash_incremental"] = _mh_incremental
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1073,6 +1086,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
+        "dedup_minhash_incremental",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -1283,6 +1297,16 @@ g AS (SELECT doc_id, logw,
       FROM dw)
 SELECT doc_id, round(logw, 4) AS dsir_logweight, round(logw + gum, 4) AS sample_key
 FROM g ORDER BY logw + gum DESC, doc_id LIMIT 100
+"""
+    # incremental LSH serves the same exact pair set (recall argument as
+    # dedup_minhash_lsh), restricted to pairs touching the new batch
+    o["dedup_minhash_incremental"] = f"""
+WITH {_shingles_cte(capped=False)}
+SELECT doc_a, doc_b,
+       round(common / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
+  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
 """
     # bucketed interval join ≡ the BETWEEN theta join relationally
     # (DuckDB plans it as its IEJoin; Spark would nested-loop, hence the

@@ -932,3 +932,131 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+# ------------------------------------------------------- incremental minhash
+
+
+def band_buckets(
+    sigs: DataFrame, num_hashes: int = 128, bands: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, key) bucket rows derived from stored signature arrays.
+
+    Deriving band keys from a PERSISTED `sig` column is num_hashes cheap
+    hashes per doc — no re-tokenization, no re-min over shingles (the
+    dominant signature cost); this is what makes the stored index below
+    incrementally maintainable.
+    """
+    r = num_hashes // bands
+    cols = [
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+    return (
+        sigs.select(id_col, *cols)
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(id_col, "bk.band", "bk.key")
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame, name: str, n: int = 3, num_hashes: int = 128
+) -> None:
+    """Materialize the MinHash signature index (doc_id, shingles, sig)
+    as a warehouse table — the artifact a production dedup pipeline
+    writes once so history is never re-tokenized. Mirrors the stored
+    ANN/postings-index discipline (similarity.write_ivf_index,
+    ranking.write_postings_index)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = docs.sparkSession
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, name.lower())
+    if os.path.isdir(stale) and not spark.catalog.tableExists(name):
+        shutil.rmtree(stale)  # dropped-table leftovers block saveAsTable
+    minhash_signatures(docs, n, num_hashes).write.mode("overwrite").saveAsTable(name)
+
+
+def append_minhash_index(
+    docs: DataFrame, name: str, n: int = 3, num_hashes: int = 128
+) -> None:
+    """Incremental maintenance: signatures for the NEW batch only are
+    computed and appended; existing index files are untouched."""
+    minhash_signatures(docs, n, num_hashes).write.mode("append").saveAsTable(name)
+
+
+def minhash_incremental_pairs(
+    spark,
+    name: str,
+    is_new,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs INVOLVING at least one new doc, served from
+    the stored signature index: (doc_a, doc_b, jaccard), doc_a < doc_b,
+    jaccard exact on the stored shingle arrays.
+
+    The incremental-ingest dedup shape: after append_minhash_index, only
+    the new batch's band buckets probe the full index — candidate volume
+    is O(new_docs × bands + collisions), independent of history size,
+    and history pays only the cheap stored-sig band hashing (never
+    re-tokenization). Full-recompute equivalence is pinned by the
+    invariant test (incremental ≡ minhash_lsh_pairs restricted to
+    new-involvement).
+
+    is_new: boolean Column over doc_id marking the newly appended docs.
+    """
+    sigs = spark.table(name).persist()
+    all_b = band_buckets(sigs, num_hashes, bands)
+    new_b = band_buckets(sigs.filter(is_new), num_hashes, bands)
+    cand = (
+        new_b.alias("a")
+        .join(
+            all_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return _finish(verified, sigs)

@@ -1715,3 +1715,31 @@ def test_interval_join_matches_bruteforce_and_avoids_nested_loop(spark):
     # the plan must be an equi-join on the cell, never a nested loop
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_minhash_incremental_equals_full_recompute(spark, tmp_path):
+    """Invariant: write(old) + append(new) + incremental_pairs(new) ==
+    minhash_lsh_pairs(old ∪ new) restricted to pairs involving a new doc
+    — so a foreachBatch ingest can maintain the signature index per
+    batch without ever re-tokenizing history."""
+    rows = [
+        (i, f"w{i % 4} a b c d e f g h common {i % 3}") for i in range(40)
+    ] + [(100, "w0 a b c d e f g h common 0")]  # near-dup of doc 0's family
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 30)
+    new = docs.filter(F.col("doc_id") >= 30)
+    dedup.write_minhash_index(old, "mh_test_idx")
+    dedup.append_minhash_index(new, "mh_test_idx")
+    inc = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_incremental_pairs(
+            spark, "mh_test_idx", F.col("doc_id") >= 30, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r["doc_a"] >= 30 or r["doc_b"] >= 30
+    }
+    assert inc == full and len(inc) > 0
+    spark.sql("DROP TABLE IF EXISTS mh_test_idx")
