@@ -387,3 +387,36 @@ def test_revenue_chain_plan_shape(spark):
                    plan.find("BroadcastHashJoin") % 10**9)
     agg_pos = plan.find("HashAggregate(keys=[l_orderkey")
     assert agg_pos > join_pos  # deeper in the printed tree = below the join
+
+
+def test_quality_lr_no_shuffle(spark):
+    from nsdb_spark.operators import selection
+
+    docs = testdata.table(spark, SF_DIR, "documents")
+    plan = plan_of(selection.quality_score_lr(docs))
+    # pure per-row scoring projection: no Exchange anywhere
+    assert "Exchange" not in plan and "pythonUDF" not in plan.lower()
+
+
+def test_domain_mixture_corpus_never_shuffles(spark):
+    from nsdb_spark.operators import selection
+
+    docs = testdata.table(spark, SF_DIR, "documents")
+    plan = plan_of(selection.domain_mixture(docs, alpha=0.5))
+    # the corpus joins the #sources-row rate table via broadcast; the only
+    # exchanges in the plan belong to the tiny per-source aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from nsdb_spark.operators import selection
+
+    docs = testdata.table(spark, SF_DIR, "documents")
+    plan = plan_of(selection.dsir_weights(docs, F.col("lang") == "en"))
+    # the fixed buckets-row LM ratio table broadcasts into the token
+    # stream; the only SortMergeJoin-free wide op is the doc_id groupBy
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
