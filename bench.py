@@ -179,6 +179,8 @@ def main() -> None:
         "sample_domain_mix",
         "join_interval_lineitem_orders",
         "dedup_minhash_incremental",  # includes index write + append
+        "text_bigram_pmi",
+        "graph_triangles",  # re-pays the guarded jaccard pairs upstream
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1077,6 +1077,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_incremental"] = _mh_incremental
 
+    q["text_bigram_pmi"] = lambda spark, sf: text.bigram_pmi(
+        _docs(spark, sf), k=20, min_count=5
+    )
+
+    def _triangles(spark, sf):
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        )
+        return graph.triangle_counts(pairs, _docs(spark, sf).select("doc_id"))
+
+    q["graph_triangles"] = _triangles
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1086,7 +1099,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
-        "dedup_minhash_incremental",
+        "dedup_minhash_incremental", "text_bigram_pmi", "graph_triangles",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -1297,6 +1310,47 @@ g AS (SELECT doc_id, logw,
       FROM dw)
 SELECT doc_id, round(logw, 4) AS dsir_logweight, round(logw + gum, 4) AS sample_key
 FROM g ORDER BY logw + gum DESC, doc_id LIMIT 100
+"""
+    o["text_bigram_pmi"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+uc AS (SELECT wd, count(*) AS n_w
+       FROM (SELECT unnest(words) AS wd FROM w) GROUP BY wd),
+bc AS (SELECT bigram, count(*) AS n_pair FROM (
+         SELECT words[i] || ' ' || words[i+1] AS bigram
+         FROM w, unnest(generate_series(1, cast(len(words)-1 AS bigint))) AS t(i)
+         WHERE len(words) >= 2)
+       GROUP BY bigram HAVING count(*) >= 5),
+tu AS (SELECT sum(n_w) AS t_uni FROM uc),
+tb AS (SELECT sum(n_pair) AS t_bi FROM bc),
+s AS (SELECT bigram, n_pair,
+      round(ln((n_pair / t_bi)
+               / ((u1.n_w / t_uni) * (u2.n_w / t_uni))), 6) AS pmi,
+      (n_pair / t_bi) / ((u1.n_w / t_uni) * (u2.n_w / t_uni)) AS raw
+      FROM bc JOIN uc u1 ON string_split(bigram, ' ')[1] = u1.wd
+              JOIN uc u2 ON string_split(bigram, ' ')[2] = u2.wd, tu, tb)
+SELECT bigram, n_pair, pmi,
+       cast(row_number() OVER (ORDER BY ln(raw) DESC, bigram) AS int) AS rank
+FROM s ORDER BY ln(raw) DESC, bigram LIMIT 20
+"""
+    # ordered-wedge triangle counting over the guarded jaccard pair graph
+    o["graph_triangles"] = f"""
+WITH {_shingles_cte(capped=True)},
+prs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
+),
+e AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+      FROM prs WHERE doc_a <> doc_b),
+wed AS (SELECT x.u, x.v, y.v AS w FROM e x JOIN e y
+        ON x.u = y.u AND x.v < y.v),
+tr AS (SELECT wed.u, wed.v, wed.w FROM wed
+       JOIN e ON e.u = wed.v AND e.v = wed.w),
+m AS (SELECT u AS doc_id FROM tr UNION ALL SELECT v FROM tr
+      UNION ALL SELECT w FROM tr),
+pc AS (SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pc.n_triangles, 0) AS n_triangles
+FROM documents d LEFT JOIN pc USING (doc_id)
 """
     # incremental LSH serves the same exact pair set (recall argument as
     # dedup_minhash_lsh), restricted to pairs touching the new batch

@@ -356,3 +356,66 @@ def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
             "novelty", F.round(F.col("novel_grams") / F.col("n_grams"), 6)
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame, k: int = 20, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+    (bigram, n_pair, pmi, rank) with PMI = ln(P(w1,w2) / (P(w1)·P(w2)))
+    under the bigram/unigram token distributions — raw frequency (see
+    top_bigrams) surfaces "of the"; PMI surfaces the phrases that belong
+    together, the collocation-mining primitive behind tokenizer merge
+    rules and phrase detection (word2vec's phrase pass uses this score).
+
+    Plan: bigrams via the same no-self-join zip-with-tail, ONE
+    map-side-combinable count per distribution, and two equi-joins of the
+    bigram table to the unigram table on the component words (unigram
+    table keyed by single words — orders of magnitude smaller than the
+    bigram table, broadcast when it fits; totals are 1-row broadcasts).
+    min_count suppresses the low-frequency PMI explosion (a pair seen
+    once between two hapaxes maxes the score — standard practice).
+    """
+    words = _words(text_col)
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    uni = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    bi = (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    tot = uni.agg(
+        F.sum("n_w").alias("t_uni"),
+    )
+    tot_bi = bi.agg(F.sum("n_pair").alias("t_bi"))
+    scored = (
+        bi.withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_bi))
+        .select(
+            "bigram",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("t_bi"))
+                    / ((F.col("n_w1") / F.col("t_uni")) * (F.col("n_w2") / F.col("t_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -1743,3 +1743,30 @@ def test_minhash_incremental_equals_full_recompute(spark, tmp_path):
     }
     assert inc == full and len(inc) > 0
     spark.sql("DROP TABLE IF EXISTS mh_test_idx")
+
+
+def test_bigram_pmi_surfaces_collocations(spark):
+    # "san francisco" always co-occurs (high PMI); "of the" is frequent
+    # but independent (low PMI)
+    rows = []
+    for i in range(20):
+        rows.append((i, "san francisco of the and of the to a"))
+    for i in range(20, 40):
+        rows.append((i, "of and the to of a the of and the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.bigram_pmi(docs, k=5, min_count=5).collect()
+    assert out[0]["bigram"] == "san francisco"
+    pmis = {r["bigram"]: r["pmi"] for r in out}
+    assert all(pmis["san francisco"] >= v for v in pmis.values())
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_triangle_counts_exact(spark):
+    from nsdb_spark.operators import graph
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) + a chain 4-5-6 (0)
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(4, 5), (5, 6)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    out = {r["doc_id"]: r["n_triangles"] for r in graph.triangle_counts(pairs, nodes).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
