@@ -142,3 +142,73 @@ def test_cdc_chunks_always_tile_exactly(spark, texts):
             assert r["start"] == pos  # contiguous, no gap/overlap
             pos += r["length"]
         assert pos == len(t) + 1
+
+
+@given(
+    corpora=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # source
+            st.integers(min_value=1, max_value=12),  # token count
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    alpha=st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_domain_mixture_invariants(spark, corpora, alpha):
+    """For ANY multi-source corpus and temperature: copy indexes are
+    dense per doc, rates are uniform within a source, alpha=1 is the
+    identity mixture (every rate exactly 1 → exactly one copy of every
+    doc), and expected emitted tokens equal the budget."""
+    from nsdb_spark.operators import selection
+
+    rows = [
+        (i, " ".join(["w"] * n), src) for i, (src, n) in enumerate(corpora)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = selection.domain_mixture(docs, alpha=alpha).collect()
+    by_doc, rate_by_source = {}, {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        rate_by_source.setdefault(r["source"], set()).add(r["rate"])
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+    for rates in rate_by_source.values():
+        assert len(rates) == 1
+    if alpha == 1.0:
+        # tokens^1 weighting reproduces the corpus exactly once
+        assert sorted(by_doc) == [r[0] for r in rows]
+        assert all(idxs == [1] for idxs in by_doc.values())
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_lr_permutation_invariant_and_bounded(spark, texts):
+    """The LR score is a bag-of-words mean: permuting a document's
+    tokens never changes it, and the logit is always within the weight
+    range [-1, 1]."""
+    from nsdb_spark.operators import selection
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    shuffled = spark.createDataFrame(
+        [(i, " ".join(reversed(t.split(" ")))) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: (r["logit_milli"], r["n_tokens"])
+         for r in selection.quality_score_lr(docs).collect()}
+    b = {r["doc_id"]: (r["logit_milli"], r["n_tokens"])
+         for r in selection.quality_score_lr(shuffled).collect()}
+    assert a == b
+    for lm, n in a.values():
+        assert -1000 * n <= lm <= 1000 * n
