@@ -433,3 +433,63 @@ def test_stream_enrich_broadcast_join(spark, tmp_path):
     )
     assert (7, 1000, "gold") in rows
     assert (99, 2000, None) in rows  # left join keeps unmatched stream rows
+
+
+def test_streaming_ingest_maintains_minhash_index(spark, tmp_path):
+    """End-to-end incremental near-dup dedup under Structured Streaming:
+    each micro-batch appends its signatures to the stored MinHash index
+    (history never re-tokenized) and emits pairs involving the batch;
+    the union over batches equals a full recompute over everything."""
+    from pyspark.sql import functions as F
+
+    from nsdb_spark.operators import dedup
+
+    rows_a = [(i, f"w{i % 4} a b c d e f g h common {i % 3}") for i in range(20)]
+    rows_b = [(100 + i, f"w{i % 4} a b c d e f g h common {i % 3}") for i in range(10)]
+    src = tmp_path / "docs_src"
+    all_docs = spark.createDataFrame(rows_a + rows_b, "doc_id long, text string")
+
+    spark.createDataFrame(rows_a, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(rows_b, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    dedup.write_minhash_index(
+        spark.createDataFrame([], "doc_id long, text string"), "mh_stream_idx"
+    )
+
+    emitted = []
+
+    def handle(batch_df, batch_id):
+        ids = [r["doc_id"] for r in batch_df.select("doc_id").collect()]
+        if not ids:
+            return
+        dedup.append_minhash_index(batch_df, "mh_stream_idx")
+        pairs = dedup.minhash_incremental_pairs(
+            batch_df.sparkSession, "mh_stream_idx",
+            F.col("doc_id").isin(ids), threshold=0.5,
+        )
+        emitted.extend(
+            (r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs.collect()
+        )
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(all_docs, threshold=0.5).collect()
+    }
+    # each pair is emitted by the batch of its LATER doc (the earlier one
+    # is already indexed) — dedupe in case both endpoints share a batch
+    assert set(emitted) == full and len(full) > 0
+    spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
