@@ -181,6 +181,7 @@ def main() -> None:
         "dedup_minhash_incremental",  # includes index write + append
         "text_bigram_pmi",
         "graph_triangles",  # re-pays the guarded jaccard pairs upstream
+        "text_rerank_twostage",  # BM25 recall + Arrow re-scorer
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1090,6 +1090,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = _triangles
 
+    q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
+        _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
+    )
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1100,6 +1104,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
         "dedup_minhash_incremental", "text_bigram_pmi", "graph_triangles",
+        "text_rerank_twostage",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -1310,6 +1315,19 @@ g AS (SELECT doc_id, logw,
       FROM dw)
 SELECT doc_id, round(logw, 4) AS dsir_logweight, round(logw + gum, 4) AS sample_key
 FROM g ORDER BY logw + gum DESC, doc_id LIMIT 100
+"""
+    # two-stage retrieval: BM25 recall subquery (same arithmetic) + the
+    # coverage re-scorer relationally
+    _rr_terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    o["text_rerank_twostage"] = f"""
+WITH b AS ({ranking.bm25_oracle_sql(BM25_TERMS, k=50)}),
+d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+r AS (SELECT b.doc_id, b.score AS bm25_score,
+      10.0 * len(list_intersect(d.ws, [{_rr_terms}])) + b.score AS rs
+      FROM b JOIN d USING (doc_id))
+SELECT doc_id, bm25_score, round(rs, 6) AS rerank_score,
+       cast(row_number() OVER (ORDER BY rs DESC, doc_id) AS int) AS rank
+FROM r ORDER BY rs DESC, doc_id LIMIT 10
 """
     o["text_bigram_pmi"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

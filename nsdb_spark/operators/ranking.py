@@ -337,3 +337,74 @@ ranked AS (SELECT query_id, doc_id, score,
 SELECT query_id, doc_id, round(score, 6) AS score, cast(rank AS int) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def rerank_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_candidates: int = 50,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-stage retrieval: a cheap BM25 recall stage keeps the top
+    n_candidates, then an Arrow-batched re-scorer runs over ONLY those
+    candidates — the cross-encoder serving shape (recall stage prunes the
+    corpus so the expensive model touches a constant-size candidate set
+    regardless of corpus size; swap the stand-in scorer for a real model
+    call without touching the plumbing, exactly like
+    multimodal.extract_features).
+
+    Stand-in scorer (deterministic, oracle-checkable): distinct-query-
+    term coverage * 10 + the BM25 prior — a monotone "semantic boost"
+    shape that reorders candidates the recall stage under-ranked.
+
+    Physical shape: candidates are a k-row frame; fetching their text is
+    a broadcast semi-join against the corpus (one scan, no corpus
+    shuffle); mapInPandas batches flow through Arrow; the final rank
+    window runs over n_candidates rows. Output: (doc_id, bm25_score,
+    rerank_score, rank) for the top k.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    cand = bm25_topk(docs, query_terms, k=n_candidates, k1=k1, b=b, text_col=text_col)
+    cand_docs = docs.select("doc_id", text_col).join(
+        F.broadcast(cand.select("doc_id", F.col("score").alias("bm25_score"))),
+        "doc_id",
+    )
+    qset = sorted(set(query_terms))
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        qs = set(qset)
+        for pdf in batches:
+            cov = [len(qs.intersection(t.split(" "))) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bm25_score": pdf["bm25_score"],
+                    "coverage": cov,
+                }
+            )
+
+    scored = cand_docs.mapInPandas(fn, "doc_id long, bm25_score double, coverage int")
+    rer = scored.select(
+        "doc_id",
+        "bm25_score",
+        (10.0 * F.col("coverage") + F.col("bm25_score")).alias("rs"),
+    )
+    top = rer.orderBy(F.desc("rs"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("rs"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "bm25_score",
+            F.round("rs", 6).alias("rerank_score"),
+            "rank",
+        )
+    )

@@ -1770,3 +1770,24 @@ def test_triangle_counts_exact(spark):
     nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
     out = {r["doc_id"]: r["n_triangles"] for r in graph.triangle_counts(pairs, nodes).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
+
+
+def test_rerank_twostage_reorders_candidates(spark):
+    from nsdb_spark.operators import ranking
+
+    # doc 1 repeats "join" (BM25 saturates on tf); doc 2 covers all three
+    # query terms once — the coverage re-scorer must put doc 2 first
+    rows = [
+        (1, "join join join join join filler filler filler"),
+        (2, "join hash scan filler filler filler filler filler"),
+        (3, "filler filler filler filler filler filler filler filler"),
+        (4, "hash filler filler filler filler filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ranking.rerank_topk(docs, ["join", "hash", "scan"], n_candidates=4, k=3).collect()
+    assert out[0]["doc_id"] == 2 and out[0]["rank"] == 1
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # no query term -> not in the candidate set
+    # re-scorer only touches candidates: rerank_score embeds the bm25 prior
+    for r in out:
+        assert r["rerank_score"] >= r["bm25_score"]
