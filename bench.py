@@ -182,6 +182,7 @@ def main() -> None:
         "text_bigram_pmi",
         "graph_triangles",  # re-pays the guarded jaccard pairs upstream
         "text_rerank_twostage",  # BM25 recall + Arrow re-scorer
+        "pipeline_select_corpus",  # LR gate -> DSIR -> domain mix chain
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

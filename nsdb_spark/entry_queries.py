@@ -1094,6 +1094,27 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
     )
 
+    def _pipeline_select(spark, sf):
+        # the KEEP-side pipeline composed end-to-end: LR-quality gate →
+        # DSIR in-domain top-k → domain-temperature mixture; every stage
+        # is an already-oracled operator, the chain is hash-checked
+        docs = _docs(spark, sf)
+        kept_ids = (
+            selection.quality_score_lr(docs)
+            .filter("keep")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        kept = docs.join(kept_ids, "doc_id")
+        chosen = (
+            selection.dsir_sample(kept, F.col("lang") == "en", k=200)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        return selection.domain_mixture(docs.join(chosen, "doc_id"), alpha=0.5)
+
+    q["pipeline_select_corpus"] = _pipeline_select
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1104,7 +1125,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
         "dedup_minhash_incremental", "text_bigram_pmi", "graph_triangles",
-        "text_rerank_twostage",
+        "text_rerank_twostage", "pipeline_select_corpus",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -1315,6 +1336,45 @@ g AS (SELECT doc_id, logw,
       FROM dw)
 SELECT doc_id, round(logw, 4) AS dsir_logweight, round(logw + gum, 4) AS sample_key
 FROM g ORDER BY logw + gum DESC, doc_id LIMIT 100
+"""
+    # the three selection stages composed relationally (same hashes /
+    # smoothing / rate arithmetic as the standalone oracles)
+    o["pipeline_select_corpus"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks, lang, source
+           FROM documents),
+q AS (SELECT doc_id,
+      cast(list_sum(list_transform(toks, t ->
+         (cast(concat('0x', substr(md5(t), 1, 15)) AS bigint) % 4096)
+         * 2654435761 % 2001 - 1000)) AS bigint) AS lm FROM w),
+kept AS (SELECT w.* FROM w JOIN q USING (doc_id) WHERE lm > 0),
+tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(toks) AS t FROM kept),
+tb AS (SELECT doc_id, tgt,
+       cast(concat('0x', substr(md5(t), 1, 15)) AS bigint) % 8192 AS b FROM tok),
+cnt AS (SELECT b, count(*) AS cr, count(*) FILTER (tgt) AS ct FROM tb GROUP BY b),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+ratio AS (SELECT b, ln(ct + 1) - ln(tt + 8192) - ln(cr + 1) + ln(tr + 8192) AS lam
+          FROM cnt, tot),
+dw AS (SELECT doc_id, sum(lam) AS logw FROM tb JOIN ratio USING (b) GROUP BY doc_id),
+g AS (SELECT doc_id, logw,
+      -ln(-ln((cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15)) AS bigint)
+               % 1000000 + 0.5) / 1000000.0)) AS gum
+      FROM dw),
+sel AS (SELECT doc_id FROM g ORDER BY logw + gum DESC, doc_id LIMIT 200),
+d AS (SELECT kept.doc_id, kept.source, cast(len(kept.toks) AS bigint) AS nt
+      FROM kept JOIN sel USING (doc_id)),
+ps AS (SELECT source, sum(nt) AS ts FROM d GROUP BY source),
+wsm AS (SELECT sum(pow(ts, 0.5)) AS wsum, sum(ts) AS total FROM ps),
+r AS (SELECT source, total * pow(ts, 0.5) / wsum / ts AS rate FROM ps, wsm),
+dd AS (SELECT d.doc_id, d.source, rate,
+       (cast(concat('0x', substr(md5(cast(d.doc_id AS varchar)), 1, 15)) AS bigint)
+        % 1000000 + 0.5) / 1000000.0 AS u
+       FROM d JOIN r USING (source)),
+n AS (SELECT doc_id, source, rate,
+      cast(floor(rate) AS bigint)
+      + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS nc FROM dd)
+SELECT doc_id, source, unnest(generate_series(1, nc)) AS copy_idx,
+       round(rate, 6) AS rate
+FROM n WHERE nc > 0
 """
     # two-stage retrieval: BM25 recall subquery (same arithmetic) + the
     # coverage re-scorer relationally
