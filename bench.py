@@ -183,6 +183,7 @@ def main() -> None:
         "graph_triangles",  # re-pays the guarded jaccard pairs upstream
         "text_rerank_twostage",  # BM25 recall + Arrow re-scorer
         "pipeline_select_corpus",  # LR gate -> DSIR -> domain mix chain
+        "rollup_temporal_hll",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

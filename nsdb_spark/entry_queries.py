@@ -976,6 +976,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_temporal_count_distinct"] = _rollup_tcd
 
+    def _rollup_thll(spark, sf):
+        # HLL registers: never saturate (LC answers NULL past ~M distinct
+        # per bucket) — the 100 TB default for unbounded cardinalities
+        ev = testdata.events_metric(spark, sf)
+        r, b = rollup.build_hll_rollup(
+            ev, "user_id", fine_ms=86400000, shard_ms=SHARD, p=10
+        )
+        return rollup.temporal_hll_from_rollup(
+            spark, r, b, fine_ms=86400000, coarse_ms=604800000, p=10
+        )
+
+    q["rollup_temporal_hll"] = _rollup_thll
+
     def _rollup_gcd(spark, sf):
         ev = testdata.events_metric(spark, sf)
         r = rollup.build_group_distinct_rollup(
@@ -1125,7 +1138,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
         "dedup_minhash_incremental", "text_bigram_pmi", "graph_triangles",
-        "text_rerank_twostage", "pipeline_select_corpus",
+        "text_rerank_twostage", "pipeline_select_corpus", "rollup_temporal_hll",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -2144,6 +2157,42 @@ SELECT axis.upper_bound AS timestamp, axis.lower_bound AS lower_bound,
             WHEN v.V < 4096 THEN round(-4096 * ln(1 - (v.V::DOUBLE) / 4096), 3)
             ELSE NULL END AS est_distinct
 FROM axis LEFT JOIN v USING (kc)
+ORDER BY timestamp
+"""
+    _hll_m, _hll_w, _hll_c = rollup.hll_constants(10)
+    o["rollup_temporal_hll"] = f"""
+{M},
+b AS (SELECT (min(timestamp)//{SHARD})*{SHARD} AS lower,
+             (max(timestamp)//{SHARD})*{SHARD} + {SHARD} AS upper FROM m),
+n AS (SELECT lower, upper,
+             (upper - lower + {86400000} - 1)//{86400000} AS nf,
+             (upper - lower + {604800000} - 1)//{604800000} AS nc FROM b),
+pts AS (SELECT least(least((n.upper - m.timestamp)//{86400000}, n.nf-1)//7, n.nc-1) AS kc,
+               cast(concat('0x', substr(md5(m.user_id::VARCHAR), 1, 15)) AS bigint) AS h
+        FROM m, n),
+regs AS (SELECT kc, h % {_hll_m} AS reg,
+                max(CASE WHEN h >> 10 = 0 THEN {_hll_w + 1}
+                    ELSE {_hll_w} - length(bin(h >> 10)) + 1 END) AS rho
+         FROM pts GROUP BY kc, h % {_hll_m}),
+agg AS (SELECT kc, count(*) AS present,
+               sum(1::bigint << ({_hll_w + 1} - rho)) AS t_present
+        FROM regs GROUP BY kc),
+est AS (SELECT kc, present,
+               {_hll_m} - present AS V,
+               {_hll_c!r} / (t_present + ({_hll_m} - present)
+                             * (1::bigint << {_hll_w + 1})) AS e_raw
+        FROM agg),
+ks AS (SELECT unnest(generate_series(0, cast(n.nc-1 AS bigint))) AS kc,
+              n.upper, n.lower FROM n),
+axis AS (SELECT kc, upper - kc*{604800000} AS upper_bound,
+                greatest(upper - (kc+1)*{604800000}, lower) AS lower_bound FROM ks)
+SELECT axis.upper_bound AS timestamp, axis.lower_bound AS lower_bound,
+       axis.upper_bound AS upper_bound,
+       CASE WHEN est.present IS NULL THEN 0.0
+            WHEN est.e_raw <= {2.5 * _hll_m} AND est.V > 0
+              THEN round({float(_hll_m)!r} * ln({float(_hll_m)!r} / est.V), 3)
+            ELSE round(est.e_raw, 3) END AS est_distinct
+FROM axis LEFT JOIN est USING (kc)
 ORDER BY timestamp
 """
     o["rollup_group_count_distinct"] = f"""

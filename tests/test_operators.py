@@ -1791,3 +1791,27 @@ def test_rerank_twostage_reorders_candidates(spark):
     # re-scorer only touches candidates: rerank_score embeds the bm25 prior
     for r in out:
         assert r["rerank_score"] >= r["bm25_score"]
+
+
+def test_hll_rollup_merge_invariant_and_accuracy(spark):
+    from nsdb_spark.operators import rollup
+
+    # 3000 distinct users over two disjoint halves (LC at M=1024 would
+    # saturate; HLL must estimate within its ~3% design error)
+    rows = [(i * 37 % 900000000, i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "timestamp long, user_id long")
+    shard = 100000000
+    a = df.filter(F.col("user_id") < 1500)
+    b = df.filter(F.col("user_id") >= 1500)
+    bounds = rollup.temporal_bounds(df, shard)
+    full, _ = rollup.build_hll_rollup(df, "user_id", shard, shard, p=10, bounds=bounds)
+    ra, _ = rollup.build_hll_rollup(a, "user_id", shard, shard, p=10, bounds=bounds)
+    rb, _ = rollup.build_hll_rollup(b, "user_id", shard, shard, p=10, bounds=bounds)
+    merged = rollup.merge_hll_rollups(ra, rb)
+    key = lambda frame: sorted(tuple(r) for r in frame.collect())
+    assert key(merged) == key(full)  # register-for-register exact merge
+    est = rollup.temporal_hll_from_rollup(
+        spark, full, bounds, shard, shard * 10, p=10
+    ).agg(F.sum("est_distinct")).first()[0]
+    exact = df.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.10  # 3σ of the 1.04/sqrt(1024) error
