@@ -184,6 +184,7 @@ def main() -> None:
         "text_rerank_twostage",  # BM25 recall + Arrow re-scorer
         "pipeline_select_corpus",  # LR gate -> DSIR -> domain mix chain
         "rollup_temporal_hll",
+        "text_bpe_encode",  # includes the 30-merge training loop
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

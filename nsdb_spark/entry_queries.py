@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .operators import (
     analytics,
+    bpe,
     clustering,
     dedup,
     embeddings_gemm,
@@ -1128,6 +1129,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_select_corpus"] = _pipeline_select
 
+    def _bpe(spark, sf):
+        # rows-only (iterative training, like PQ/k-means); unit tests pin
+        # the trainer against a pure-Python reference + roundtrip
+        docs = _docs(spark, sf)
+        merges, vocab = bpe.bpe_train(docs, num_merges=30)
+        return bpe.bpe_encode(docs, vocab)
+
+    q["text_bpe_encode"] = _bpe
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1139,6 +1149,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
         "dedup_minhash_incremental", "text_bigram_pmi", "graph_triangles",
         "text_rerank_twostage", "pipeline_select_corpus", "rollup_temporal_hll",
+        "text_bpe_encode",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",

@@ -1815,3 +1815,41 @@ def test_hll_rollup_merge_invariant_and_accuracy(spark):
     ).agg(F.sum("est_distinct")).first()[0]
     exact = df.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.10  # 3σ of the 1.04/sqrt(1024) error
+
+
+def test_bpe_train_matches_reference_and_roundtrips(spark):
+    from nsdb_spark.operators import bpe
+
+    rows = [(0, "low lower lowest low low"), (1, "new newer newest new"), (2, "low new")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = bpe.bpe_train(docs, num_merges=8)
+    v = {r["word"]: r["tokens"] for r in vocab.collect()}
+    assert len(merges) == 8
+    # frequent whole words compress to single tokens
+    assert v["low"] == ["low" + bpe.EOW] and v["new"] == ["new" + bpe.EOW]
+    for w, toks in v.items():
+        # the distributed rewrite implements exactly the reference pass
+        assert toks == bpe.bpe_reference_encode(w, merges)
+        # roundtrip: concatenated tokens reproduce the word
+        assert "".join(toks) == w + bpe.EOW
+    # determinism: retrain learns the identical merge list
+    merges2, _ = bpe.bpe_train(docs, num_merges=8)
+    assert merges2 == merges
+
+
+def test_bpe_encode_compresses_and_handles_oov(spark):
+    from nsdb_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    merges, vocab = bpe.bpe_train(docs, num_merges=8)
+    _, vocab0 = bpe.bpe_train(docs, num_merges=0)
+    enc = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe.bpe_encode(docs, vocab).collect()}
+    base = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe.bpe_encode(docs, vocab0).collect()}
+    assert all(enc[d] < base[d] for d in enc)  # merges shorten every doc
+    # OOV docs fall back to character symbols (+ end-of-word marker)
+    oov = spark.createDataFrame([(9, "zzz qq")], "doc_id long, text string")
+    out = bpe.bpe_encode(oov, vocab).collect()[0]
+    assert out["n_tokens_bpe"] == 4 + 3  # z z z ▁ | q q ▁
