@@ -179,6 +179,55 @@ class Warehouse:
     # (operators/rollup.build_quantile_rollup). quantile_rollups.json maps
     # fine_ms -> {bounds, value_range, nbins} — the pinned grids; lives in
     # the same rollups dir so invalidate_rollups drops all kinds at once.
+    # distinct (HLL) rollups: never-saturating count-distinct registers
+    # keyed by (field, fine grain). Same rollups dir → one invalidation.
+    def distinct_rollup_path(
+        self, db: str, ns: str, metric: str, field: str, fine_ms: int
+    ) -> str:
+        return os.path.join(
+            self.metric_path(db, ns, metric), "rollups", f"hll_{field}_{fine_ms}"
+        )
+
+    def _distinct_rollup_meta_path(self, db: str, ns: str, metric: str) -> str:
+        return os.path.join(
+            self.metric_path(db, ns, metric), "rollups", "distinct_rollups.json"
+        )
+
+    def register_distinct_rollup(
+        self,
+        db: str, ns: str, metric: str,
+        field: str,
+        fine_ms: int,
+        bounds: tuple[int, int],
+        p: int,
+    ) -> None:
+        meta = self.distinct_rollups(db, ns, metric)
+        meta[(field, fine_ms)] = (bounds, p)
+        mp = self._distinct_rollup_meta_path(db, ns, metric)
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {f"{f}|{k}": {"bounds": list(b), "p": pp}
+                 for (f, k), (b, pp) in meta.items()},
+                fh,
+            )
+        os.replace(tmp, mp)
+
+    def distinct_rollups(
+        self, db: str, ns: str, metric: str
+    ) -> dict[tuple[str, int], tuple[tuple[int, int], int]]:
+        mp = self._distinct_rollup_meta_path(db, ns, metric)
+        if not os.path.isfile(mp):
+            return {}
+        with open(mp) as fh:
+            raw = json.load(fh)
+        out = {}
+        for key, v in raw.items():
+            field, fine = key.rsplit("|", 1)
+            out[(field, int(fine))] = ((v["bounds"][0], v["bounds"][1]), v["p"])
+        return out
+
     def quantile_rollup_path(self, db: str, ns: str, metric: str, fine_ms: int) -> str:
         return os.path.join(self.metric_path(db, ns, metric), "rollups", f"q_{fine_ms}")
 

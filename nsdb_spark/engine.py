@@ -202,10 +202,13 @@ class NsdbEngine:
         registered = self.warehouse.rollups(db, ns, metric)
         group_regs = self.warehouse.group_rollups(db, ns, metric)
         q_regs = self.warehouse.quantile_rollups(db, ns, metric)
-        if not registered and not group_regs and not q_regs:
+        d_regs = self.warehouse.distinct_rollups(db, ns, metric)
+        if not registered and not group_regs and not q_regs and not d_regs:
             return
-        if any(lo < bounds[0] or hi > bounds[1] for bounds in registered.values()) or any(
-            lo < bounds[0] or hi > bounds[1] for bounds, _r, _n in q_regs.values()
+        if (
+            any(lo < bounds[0] or hi > bounds[1] for bounds in registered.values())
+            or any(lo < bounds[0] or hi > bounds[1] for bounds, _r, _n in q_regs.values())
+            or any(lo < bounds[0] or hi > bounds[1] for bounds, _p in d_regs.values())
         ):
             self.warehouse.invalidate_rollups(db, ns, metric)
             return
@@ -237,6 +240,16 @@ class NsdbEngine:
                 )
                 stored = self.spark.read.parquet(path)
                 merged = rollup_ops.merge_quantile_rollups(stored, batch_q)
+                self._atomic_overwrite(merged, path)
+            for (field, fine), (bounds, p) in d_regs.items():
+                if field not in batch_df.columns:
+                    continue  # batch carries no values for this field
+                path = self.warehouse.distinct_rollup_path(db, ns, metric, field, fine)
+                batch_h, _ = rollup_ops.build_hll_rollup(
+                    batch_df, field, fine, si, p=p, bounds=bounds
+                )
+                stored = self.spark.read.parquet(path)
+                merged = rollup_ops.merge_hll_rollups(stored, batch_h)
                 self._atomic_overwrite(merged, path)
             for field in group_regs:
                 path = self.warehouse.group_rollup_path(db, ns, metric, field)
@@ -521,6 +534,32 @@ class NsdbEngine:
         )
         return bounds, vrange
 
+    def materialize_distinct_rollup(
+        self, db: str, ns: str, metric: str, field: str, fine_ms: int, p: int = 10
+    ) -> tuple[int, int]:
+        """Build + persist HLL count-distinct registers for a field (the
+        sketch-column discipline: Druid HLL columns, Timescale continuous
+        aggregates). Temporal `count(distinct <field>)` queries are
+        served from the registers WHEN the engine opts into approximate
+        semantics (`approx_count_distinct=True` — NSDb's count distinct
+        is exact, so routing an estimate must be an explicit choice).
+        Maintained incrementally per insert batch (register-wise max);
+        writes outside the pinned axis invalidate, like every rollup."""
+        from .operators import rollup as rollup_ops
+
+        info = self.warehouse.get_info(db, ns, metric)
+        si = info["shardInterval"]
+        locations = self.warehouse.locations(db, ns, metric)
+        if not locations:
+            raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
+        bounds = (min(locations), max(locations) + si)
+        df = self.read_metric(db, ns, metric).drop(SHARD_COL)
+        r, _ = rollup_ops.build_hll_rollup(df, field, fine_ms, si, p=p, bounds=bounds)
+        path = self.warehouse.distinct_rollup_path(db, ns, metric, field, fine_ms)
+        r.write.mode("overwrite").parquet(path)
+        self.warehouse.register_distinct_rollup(db, ns, metric, field, fine_ms, bounds, p)
+        return bounds
+
     def percentile(
         self,
         db: str,
@@ -610,9 +649,11 @@ class NsdbEngine:
             return None
         if stmt.condition is not None or parsed.grace_period_ms is not None:
             return None
-        if parsed.aggregation.kind not in self._ROLLUP_AGGS:
-            return None
         if stmt.order and stmt.order.dimension != "timestamp":
+            return None
+        if parsed.aggregation.kind == ast.AGG_COUNT_DISTINCT:
+            return self._route_distinct_via_rollup(db, ns, stmt, parsed, info)
+        if parsed.aggregation.kind not in self._ROLLUP_AGGS:
             return None
         registered = self.warehouse.rollups(db, ns, stmt.metric)
         fines = [f for f in registered if parsed.interval_ms % f == 0]
@@ -638,6 +679,48 @@ class NsdbEngine:
             limit=stmt.limit.value if stmt.limit else None,
             descending=bool(stmt.order and stmt.order.descending),
         )
+
+    def _route_distinct_via_rollup(self, db, ns, stmt, parsed, info):
+        """Serve temporal count-distinct from HLL registers — ONLY when
+        the engine opted into approximate semantics (NSDb's count
+        distinct is exact; an estimate must be an explicit choice, the
+        same opt-in that switches the raw path to approx_count_distinct).
+        The estimate rounds to a whole count so the routed answer has the
+        raw path's column shape."""
+        from .compiler import agg_alias
+        from .operators import rollup as rollup_ops
+
+        if not self.approx_count_distinct:
+            return None
+        d_regs = self.warehouse.distinct_rollups(db, ns, stmt.metric)
+        field = parsed.aggregation.target
+        fines = [
+            f for (fl, f) in d_regs if fl == field and parsed.interval_ms % f == 0
+        ]
+        if not fines:
+            return None
+        fine = max(fines)
+        bounds, p = d_regs[(field, fine)]
+        locations = self.warehouse.locations(db, ns, stmt.metric)
+        si = info["shardInterval"]
+        if not locations or bounds != (min(locations), max(locations) + si):
+            return None  # axis moved — stale
+        stored = self.spark.read.parquet(
+            self.warehouse.distinct_rollup_path(db, ns, stmt.metric, field, fine)
+        )
+        alias = agg_alias(parsed.aggregation)
+        out = rollup_ops.temporal_hll_from_rollup(
+            self.spark,
+            stored,
+            bounds,
+            fine,
+            parsed.interval_ms,
+            p=p,
+            alias=alias,
+            limit=stmt.limit.value if stmt.limit else None,
+            descending=bool(stmt.order and stmt.order.descending),
+        )
+        return out.withColumn(alias, F.round(F.col(alias)).cast("long"))
 
     def _route_group_via_rollup(self, db, ns, stmt, parsed):
         from .compiler import agg_alias

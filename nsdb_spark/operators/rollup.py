@@ -593,6 +593,7 @@ def build_hll_rollup(
     ).alias("k")
     h = portable_word_hash(F.col(field).cast("string"))
     reg = F.pmod(h, F.lit(m)).cast("int").alias("reg")
+    not_null = F.col(field).isNotNull()  # count distinct ignores NULLs
     w = F.shiftright(h, p)
     rho = (
         F.when(w == 0, F.lit(w_bits + 1))
@@ -602,7 +603,7 @@ def build_hll_rollup(
     )
     rollup = (
         metric_df.filter(
-            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper) & not_null
         )
         .select(k, reg, rho)
         .groupBy("k", "reg")
@@ -638,6 +639,8 @@ def temporal_hll_from_rollup(
     coarse_ms: int,
     p: int = 10,
     alias: str = "est_distinct",
+    limit: int | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """`count(distinct field) ... GROUP BY INTERVAL <coarse>` estimated
     from the HLL rollup alone. Per coarse bucket: registers = max over
@@ -693,13 +696,20 @@ def temporal_hll_from_rollup(
             F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
         ).alias("lower_bound"),
     )
-    return (
-        axis.join(F.broadcast(per_bucket), "kc", "left")
-        .select(
-            F.col("upper_bound").alias("timestamp"),
-            "lower_bound",
-            "upper_bound",
-            est.alias(alias),
-        )
-        .orderBy("timestamp")
+    out = axis.join(F.broadcast(per_bucket), "kc", "left").select(
+        F.col("upper_bound").alias("timestamp"),
+        "lower_bound",
+        "upper_bound",
+        est.alias(alias),
+        "kc",
     )
+    # same takeRight LIMIT contract as temporal_from_rollup (engine route)
+    if limit is not None:
+        out = (
+            out.filter(F.col("kc") < limit)
+            if not descending
+            else out.filter(F.col("kc") >= n - limit)
+        )
+    out = out.drop("kc")
+    order = F.col("timestamp").desc() if descending else F.col("timestamp").asc()
+    return out.orderBy(order)

@@ -971,3 +971,57 @@ def test_optimize_metric_zorder_narrows_file_stats(engine, spark):
     from nsdb_spark.model import SchemaError
     with pytest.raises(SchemaError):
         engine.optimize_metric_zorder("default", "default", "zm", ["nope"])
+
+
+def test_distinct_rollup_routes_only_with_approx_opt_in(engine, spark, tmp_path):
+    """HLL count-distinct serving: exact semantics by default (no route),
+    estimate served from the registers only when the engine opted into
+    approx_count_distinct; small cardinalities estimate exactly."""
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    from nsdb_spark.engine import NsdbEngine
+
+    sql = "select count(distinct name) from dm group by interval 3 s"
+    load(engine, "dm", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    exact = _rows(engine.execute(sql))
+    engine.materialize_distinct_rollup("default", "default", "dm", "name", 1000)
+    # default engine: exact semantics — must NOT route to the sketch
+    plan = engine.execute(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "struct<k:bigint,reg:int" not in plan
+    assert _rows(engine.execute(sql)) == exact
+
+    approx = NsdbEngine(
+        spark, engine.warehouse.root, approx_count_distinct=True
+    )
+    routed_df = approx.execute(sql)
+    rplan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "struct<k:bigint,reg:int" in rplan  # scans registers, not raw
+    # 1-3 distinct names per bucket: the corrected estimate is exact
+    assert _rows(routed_df) == exact
+
+
+def test_distinct_rollup_maintained_and_invalidated(engine, spark):
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    from nsdb_spark.engine import NsdbEngine
+    from nsdb_spark.model import Bit
+
+    sql = "select count(distinct name) from dmm group by interval 3 s"
+    load(engine, "dmm", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_distinct_rollup("default", "default", "dmm", "name", 1000)
+    # in-bounds write: registers merged incrementally, stays registered
+    engine.insert_bits(
+        "default", "default", "dmm",
+        [Bit(31000, 9, {}, {"name": "Zoe", "age": 1, "height": 1.0})],
+    )
+    assert ("name", 1000) in engine.warehouse.distinct_rollups(
+        "default", "default", "dmm"
+    )
+    approx = NsdbEngine(spark, engine.warehouse.root, approx_count_distinct=True)
+    assert _rows(approx.execute(sql)) == _rows(engine.execute(sql))
+    # out-of-axis write invalidates (next shard)
+    engine.insert_bits(
+        "default", "default", "dmm",
+        [Bit(10**7 + 1000, 1, {}, {"name": "Far", "age": 1, "height": 1.0})],
+    )
+    assert engine.warehouse.distinct_rollups("default", "default", "dmm") == {}
