@@ -493,3 +493,39 @@ def test_streaming_ingest_maintains_minhash_index(spark, tmp_path):
     # is already indexed) — dedupe in case both endpoints share a batch
     assert set(emitted) == full and len(full) > 0
     spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
+
+
+def test_streaming_ingest_maintains_distinct_rollup(engine, spark, tmp_path):
+    """HLL count-distinct registers stay fresh under Structured Streaming
+    ingest: streamed rows with NEW tag values raise the served estimate
+    without re-materializing."""
+    from nsdb_spark.engine import NsdbEngine
+
+    engine.warehouse.init_metric("default", "default", "sd", shard_interval_ms=10_000)
+    engine.insert_bits(
+        "default", "default", "sd",
+        [Bit(100 * (i + 1), 1, {}, {"tag": f"a{i % 3}"}) for i in range(12)],
+    )
+    engine.materialize_distinct_rollup("default", "default", "sd", "tag", 1000)
+    approx = NsdbEngine(spark, engine.warehouse.root, approx_count_distinct=True)
+    sql = "select count(distinct tag) from sd group by interval 10 s"
+    before = approx.execute(sql).collect()[0][-1]
+    assert before == 3
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(2000 + i, 1, f"b{i}") for i in range(5)],
+        "timestamp long, value long, tag string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        "timestamp long, value long, tag string"
+    ).parquet(str(src))
+    q = start_parquet_ingestion(
+        engine, "default", "default", "sd", stream,
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(60)
+    assert ("tag", 1000) in engine.warehouse.distinct_rollups("default", "default", "sd")
+    after = approx.execute(sql).collect()[0][-1]
+    assert after == 8  # 3 old + 5 streamed-new distinct tags (LC-exact range)
