@@ -185,6 +185,8 @@ def main() -> None:
         "pipeline_select_corpus",  # LR gate -> DSIR -> domain mix chain
         "rollup_temporal_hll",
         "text_bpe_encode",  # includes the 30-merge training loop
+        "tsa_cusum",
+        "stats_psi",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -844,6 +844,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tsa_zscore"] = lambda spark, sf: tsa.rolling_zscore(
         testdata.events_metric(spark, sf), n=5
     )
+    q["tsa_cusum"] = lambda spark, sf: tsa.cusum_summary(
+        testdata.events_metric(spark, sf)
+    )
+    q["stats_psi"] = lambda spark, sf: analytics.psi_by_group(
+        _docs(spark, sf), "source", "n_chars", nbins=10
+    )
     q["tsa_locf"] = lambda spark, sf: tsa.locf_fill(
         testdata.events_metric(spark, sf), 86400000
     ).withColumn("is_gap", F.col("is_gap").cast("int"))
@@ -1149,7 +1155,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
         "dedup_minhash_incremental", "text_bigram_pmi", "graph_triangles",
         "text_rerank_twostage", "pipeline_select_corpus", "rollup_temporal_hll",
-        "text_bpe_encode",
+        "text_bpe_encode", "tsa_cusum", "stats_psi",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -2228,6 +2234,50 @@ SELECT user_id, n,
        last_ts
 FROM l
 """
+    # CUSUM via its prefix-sum closed form — identical window framing
+    o["tsa_cusum"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+ks AS (SELECT user_id, avg(value) AS mu, 3.0 * stddev_samp(value) AS h
+       FROM e GROUP BY user_id),
+st AS (SELECT e.user_id, t, event_id, ks.h,
+       sum(value - ks.mu)
+         OVER (PARTITION BY e.user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS p
+       FROM e JOIN ks USING (user_id)),
+cs AS (SELECT user_id, t, event_id, h,
+       p - least(0.0, min(p) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS s
+       FROM st)
+-- final_s via arg_max over the (t, id) struct = the last row's statistic
+SELECT user_id, count(*) AS n,
+       round(arg_max(s, t * 1000000 + event_id), 6) AS final_s,
+       round(max(s), 6) AS max_s,
+       cast(sum(CASE WHEN s > h THEN 1 ELSE 0 END) AS bigint) AS n_alarms
+FROM cs GROUP BY user_id
+"""
+    # PSI per group vs the whole population, Laplace-smoothed bins
+    o["stats_psi"] = """
+WITH bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+bn AS (SELECT source,
+       least(cast(floor((n_chars - lo) / ((hi - lo) / 10)) AS int), 9) AS b
+       FROM documents, bounds),
+gb AS (SELECT source, b, count(*) AS c FROM bn GROUP BY 1, 2),
+tot AS (SELECT b, sum(c) AS ct FROM gb GROUP BY b),
+grid AS (SELECT DISTINCT source FROM gb),
+bins AS (SELECT unnest(generate_series(0, 9)) AS b),
+fl AS (SELECT g.source, bins.b, coalesce(gb.c, 0) AS c, coalesce(tot.ct, 0) AS ct
+       FROM grid g CROSS JOIN bins
+       LEFT JOIN gb ON gb.source = g.source AND gb.b = bins.b
+       LEFT JOIN tot ON tot.b = bins.b),
+gn AS (SELECT source, sum(c) AS n FROM fl GROUP BY source),
+nt AS (SELECT sum(c) AS nt FROM fl)
+SELECT f.source, cast(gn.n AS bigint) AS n,
+       round(sum(((f.c + 0.5) / (gn.n + 5.0) - (f.ct + 0.5) / (nt.nt + 5.0))
+                 * ln(((f.c + 0.5) / (gn.n + 5.0))
+                      / ((f.ct + 0.5) / (nt.nt + 5.0)))), 6) AS psi
+FROM fl f JOIN gn USING (source), nt
+GROUP BY f.source, gn.n
+"""  # n cast: DuckDB sum() yields HUGEINT (pandas float) vs Spark's long
     o["sim_range_search"] = f"""
 WITH {_EMB_CTE},
 q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0)

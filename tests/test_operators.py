@@ -1853,3 +1853,44 @@ def test_bpe_encode_compresses_and_handles_oov(spark):
     oov = spark.createDataFrame([(9, "zzz qq")], "doc_id long, text string")
     out = bpe.bpe_encode(oov, vocab).collect()[0]
     assert out["n_tokens_bpe"] == 4 + 3  # z z z ▁ | q q ▁
+
+
+def test_cusum_detects_level_shift(spark):
+    from nsdb_spark.operators import tsa
+
+    # key 1: flat series then a sustained +10 shift — CUSUM must alarm;
+    # key 2: white-ish noise around a constant — no alarm
+    rows = []
+    for i in range(40):
+        v = 10.0 + (i % 2) * 0.2
+        rows.append((1, i * 1000, i, v if i < 20 else v + 10.0))
+        rows.append((2, i * 1000, 100 + i, 10.0 + (i % 3) * 0.1))
+    df = spark.createDataFrame(rows, "user_id long, timestamp long, event_id long, value double")
+    out = {r["user_id"]: r for r in tsa.cusum_summary(df).collect()}
+    assert out[1]["n_alarms"] > 0 and out[1]["max_s"] > out[1]["final_s"] * 0  # shifted key alarms
+    assert out[2]["n_alarms"] == 0
+    # closed form == explicit recurrence on the shifted key
+    xs = [r[3] for r in sorted(rows, key=lambda r: (r[1], r[2])) if r[0] == 1]
+    mu = sum(xs) / len(xs)
+    s = mx = 0.0
+    for x in xs:
+        s = max(0.0, s + (x - mu))
+        mx = max(mx, s)
+    assert abs(out[1]["final_s"] - round(s, 6)) < 1e-6
+    assert abs(out[1]["max_s"] - round(mx, 6)) < 1e-6
+
+
+def test_psi_flags_shifted_group(spark):
+    from nsdb_spark.operators import analytics
+
+    # group "shifted" concentrates in the top of the range; "like_pop"
+    # mirrors the population — its PSI must be far lower
+    rows = (
+        [(i, "like_pop", (i * 13) % 100) for i in range(200)]
+        + [(1000 + i, "shifted", 90 + (i % 10)) for i in range(50)]
+        + [(2000 + i, "also_pop", (i * 7) % 100) for i in range(200)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r["psi"] for r in analytics.psi_by_group(docs).collect()}
+    assert out["shifted"] > 0.2  # the standard alert threshold
+    assert out["like_pop"] < 0.1 and out["also_pop"] < 0.1
