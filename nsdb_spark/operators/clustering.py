@@ -213,3 +213,36 @@ def pca_project(
         )
         cols.append(F.round(dot, 6))
     return emb.select("vec_id", F.array(*cols).alias(out_col))
+
+
+def pca_whiten(
+    emb: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    variances: list[float],
+    eps: float = 1e-9,
+    vec_col: str = "embedding",
+    out_col: str = "white",
+) -> DataFrame:
+    """(vec_id, white array<double>): PCA whitening — center, project,
+    and scale each component by 1/sqrt(variance + eps) so the output has
+    identity covariance. The standard embedding-preprocessing step
+    before cosine retrieval / clustering (dominant directions stop
+    swamping the metric). Same serving shape as pca_project: the model
+    rides as literals, pure JVM fold per component, one scan."""
+    import math
+
+    from .similarity import _as_double, _lit_vec
+
+    v = _as_double(vec_col)
+    centered = F.zip_with(v, _lit_vec(mean), lambda x, m: x - m)
+    cols = []
+    for comp, var in zip(components, variances):
+        scale = 1.0 / math.sqrt(var + eps)
+        dot = F.aggregate(
+            F.zip_with(centered, _lit_vec(comp), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot * F.lit(scale), 6))
+    return emb.select("vec_id", F.array(*cols).alias(out_col))

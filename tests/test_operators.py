@@ -1894,3 +1894,26 @@ def test_psi_flags_shifted_group(spark):
     out = {r["source"]: r["psi"] for r in analytics.psi_by_group(docs).collect()}
     assert out["shifted"] > 0.2  # the standard alert threshold
     assert out["like_pop"] < 0.1 and out["also_pop"] < 0.1
+
+
+def test_pca_whiten_identity_covariance(spark):
+    import numpy as np
+
+    from nsdb_spark.operators import clustering
+
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: variance 100x larger along one direction
+    X = rng.randn(300, 8) * np.array([10, 1, 1, 1, 1, 1, 1, 1])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comps, var = clustering.pca_fit(emb, k=4)
+    W = np.array(
+        [r["white"] for r in clustering.pca_whiten(emb, mean, comps, var).orderBy("vec_id").collect()]
+    )
+    cov = np.cov(W.T)
+    # whitened covariance ≈ identity: unit diagonals, tiny off-diagonals
+    assert np.allclose(np.diag(cov), 1.0, atol=0.05)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.05
