@@ -274,6 +274,10 @@ def interval_join(
     disjoint (standard join hygiene — rename upstream).
     """
     p = points.withColumn("__cell", F.floor(F.col(ts_col) / bucket))
+    # an empty interval (end < start) matches nothing under BETWEEN —
+    # drop it BEFORE sequence(), which would otherwise count DOWN and
+    # emit bogus cells
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     iv = intervals.withColumn(
         "__cell",
         F.explode(

@@ -1917,3 +1917,13 @@ def test_pca_whiten_identity_covariance(spark):
     assert np.allclose(np.diag(cov), 1.0, atol=0.05)
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 0.05
+
+
+def test_interval_join_drops_empty_intervals(spark):
+    from nsdb_spark.operators import temporal_join
+
+    iv = spark.createDataFrame([(1, 50, 10)], "iv_id long, s long, e long")
+    pts = spark.createDataFrame([(0, 30)], "pt_id long, t long")
+    # end < start matches nothing (BETWEEN semantics) — and must not
+    # generate a descending cell sequence
+    assert temporal_join.interval_join(pts, iv, "t", "s", "e", bucket=16).count() == 0
