@@ -187,6 +187,7 @@ def main() -> None:
         "text_bpe_encode",  # includes the 30-merge training loop
         "tsa_cusum",
         "stats_psi",
+        "rollup_temporal_topk",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -996,6 +996,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_temporal_hll"] = _rollup_thll
 
+    def _rollup_ttopk(spark, sf):
+        # trending items per window, served from mergeable counts
+        ev = testdata.events_metric(spark, sf)
+        r, b = rollup.build_group_temporal_rollup(
+            ev, "event_type", fine_ms=86400000, shard_ms=SHARD
+        )
+        return rollup.temporal_topk_from_rollup(
+            spark, r, b, fine_ms=86400000, coarse_ms=604800000, n_top=3
+        )
+
+    q["rollup_temporal_topk"] = _rollup_ttopk
+
     def _rollup_gcd(spark, sf):
         ev = testdata.events_metric(spark, sf)
         r = rollup.build_group_distinct_rollup(
@@ -1155,7 +1167,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic", "sample_domain_mix", "join_interval_lineitem_orders",
         "dedup_minhash_incremental", "text_bigram_pmi", "graph_triangles",
         "text_rerank_twostage", "pipeline_select_corpus", "rollup_temporal_hll",
-        "text_bpe_encode", "tsa_cusum", "stats_psi",
+        "text_bpe_encode", "tsa_cusum", "stats_psi", "rollup_temporal_topk",
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
@@ -2175,6 +2187,26 @@ SELECT axis.upper_bound AS timestamp, axis.lower_bound AS lower_bound,
             ELSE NULL END AS est_distinct
 FROM axis LEFT JOIN v USING (kc)
 ORDER BY timestamp
+"""
+    o["rollup_temporal_topk"] = f"""
+{M},
+b AS (SELECT (min(timestamp)//{SHARD})*{SHARD} AS lower,
+             (max(timestamp)//{SHARD})*{SHARD} + {SHARD} AS upper FROM m),
+n AS (SELECT lower, upper,
+             (upper - lower + {86400000} - 1)//{86400000} AS nf,
+             (upper - lower + {604800000} - 1)//{604800000} AS nc FROM b),
+pts AS (SELECT least(least((n.upper - m.timestamp)//{86400000}, n.nf-1)//7, n.nc-1) AS kc,
+               event_type AS item FROM m, n),
+cnts AS (SELECT kc, item, count(*) AS count_value FROM pts GROUP BY 1, 2),
+rk AS (SELECT kc, item, count_value,
+              row_number() OVER (PARTITION BY kc
+                                 ORDER BY count_value DESC, item) AS rank
+       FROM cnts)
+SELECT n.upper - kc*{604800000} AS timestamp,
+       greatest(n.upper - (kc+1)*{604800000}, n.lower) AS lower_bound,
+       n.upper - kc*{604800000} AS upper_bound,
+       item, count_value, cast(rank AS int) AS rank
+FROM rk, n WHERE rank <= 3 ORDER BY timestamp, rank
 """
     _hll_m, _hll_w, _hll_c = rollup.hll_constants(10)
     o["rollup_temporal_hll"] = f"""

@@ -20,7 +20,7 @@ path.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -713,3 +713,84 @@ def temporal_hll_from_rollup(
     out = out.drop("kc")
     order = F.col("timestamp").desc() if descending else F.col("timestamp").asc()
     return out.orderBy(order)
+
+
+# ----------------------------------------------------------- top-k rollup
+
+
+def build_group_temporal_rollup(
+    metric_df: DataFrame,
+    field: str,
+    fine_ms: int,
+    shard_ms: int,
+    bounds: tuple[int, int] | None = None,
+) -> tuple[DataFrame, tuple[int, int]]:
+    """(k, item, cnt) — exact per-(fine bucket, field value) counts: the
+    mergeable partials behind "top items per window" dashboards
+    (trending terms/types per hour). Merge is count addition; size is
+    bounded by buckets x field cardinality, so this fits tag-like fields
+    (for unbounded fields pair it with the HLL rollup's hashing or a
+    heavy-hitters pass first — operators/skew.py)."""
+    lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
+    n_fine = -((upper - lower) // -fine_ms)  # ceil
+    k = F.least(
+        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
+        F.lit(n_fine - 1),
+    ).alias("k")
+    rollup = (
+        metric_df.filter(
+            (F.col("timestamp") >= lower)
+            & (F.col("timestamp") <= upper)
+            & F.col(field).isNotNull()
+        )
+        .select(k, F.col(field).alias("item"))
+        .groupBy("k", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return rollup, (lower, upper)
+
+
+def temporal_topk_from_rollup(
+    spark: SparkSession,
+    rollup: DataFrame,
+    bounds: tuple[int, int],
+    fine_ms: int,
+    coarse_ms: int,
+    n_top: int = 3,
+) -> DataFrame:
+    """Top-n items per coarse bucket served from the counts rollup:
+    (timestamp, lower_bound, upper_bound, item, count_value, rank) —
+    raw data never rescanned. Fine counts merge additively into the
+    coarse bucket, the rank window runs per bucket over at most the
+    field's cardinality rows (ties break on item for determinism);
+    empty buckets emit no rows (a dashboard shows them empty)."""
+    if coarse_ms % fine_ms:
+        raise ValueError("coarse interval must be a multiple of the rollup grain")
+    lower, upper = bounds
+    span = coarse_ms // fine_ms
+    n = -((upper - lower) // -coarse_ms)  # ceil
+    merged = (
+        rollup.groupBy(
+            F.least(F.floor(F.col("k") / span), F.lit(n - 1)).alias("kc"), "item"
+        )
+        .agg(F.sum("cnt").alias("count_value"))
+    )
+    w = Window.partitionBy("kc").orderBy(F.desc("count_value"), F.asc("item"))
+    top = (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_top)
+    )
+    axis_upper = F.lit(upper) - F.col("kc") * coarse_ms
+    return (
+        top.select(
+            axis_upper.alias("timestamp"),
+            F.greatest(
+                F.lit(upper) - (F.col("kc") + 1) * coarse_ms, F.lit(lower)
+            ).alias("lower_bound"),
+            axis_upper.alias("upper_bound"),
+            "item",
+            "count_value",
+            "rank",
+        )
+        .orderBy("timestamp", "rank")
+    )

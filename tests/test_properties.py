@@ -212,3 +212,42 @@ def test_quality_lr_permutation_invariant_and_bounded(spark, texts):
     assert a == b
     for lm, n in a.values():
         assert -1000 * n <= lm <= 1000 * n
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),  # (start, span)
+        min_size=0,
+        max_size=15,
+    ),
+    points=st.lists(st.integers(0, 260), min_size=0, max_size=20),
+    bucket=st.sampled_from([1, 7, 16, 64]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_matches_bruteforce_any_bucket(spark, intervals, points, bucket):
+    """For ANY interval set, point set, and cell size, the bucketed
+    rewrite returns exactly the BETWEEN-join pairs."""
+    from nsdb_spark.operators import temporal_join
+
+    iv = spark.createDataFrame(
+        [(i, s, s + sp) for i, (s, sp) in enumerate(intervals)] or [(99, 1, 0)],
+        "iv_id long, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(points)] or [(99, -1)],
+        "pt_id long, t long",
+    )
+    got = {
+        (r["pt_id"], r["iv_id"])
+        for r in temporal_join.interval_join(pts, iv, "t", "s", "e", bucket).collect()
+    }
+    expect = {
+        (pi, ii)
+        for pi, t in ((i, t) for i, t in enumerate(points)) or []
+        for ii, (s, sp) in enumerate(intervals)
+        if s <= t <= s + sp
+    }
+    if not points:
+        expect = set()
+    assert got == expect
