@@ -2276,13 +2276,13 @@ st AS (SELECT e.user_id, t, event_id, ks.h,
          OVER (PARTITION BY e.user_id ORDER BY t, event_id
                ROWS UNBOUNDED PRECEDING) AS p
        FROM e JOIN ks USING (user_id)),
-cs AS (SELECT user_id, t, event_id, h,
+cs AS (SELECT user_id, t, event_id, h, p,
        p - least(0.0, min(p) OVER (PARTITION BY user_id ORDER BY t, event_id
                                    ROWS UNBOUNDED PRECEDING)) AS s
        FROM st)
--- final_s via arg_max over the (t, id) struct = the last row's statistic
+-- final S = max(0, -min P): P_n = sum of mean-deviations = 0 identically
 SELECT user_id, count(*) AS n,
-       round(arg_max(s, t * 1000000 + event_id), 6) AS final_s,
+       round(greatest(0.0, -min(p)), 6) AS final_s,
        round(max(s), 6) AS max_s,
        cast(sum(CASE WHEN s > h THEN 1 ELSE 0 END) AS bigint) AS n_alarms
 FROM cs GROUP BY user_id

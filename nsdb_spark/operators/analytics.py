@@ -411,24 +411,38 @@ def psi_by_group(
     the corpus?"); rule-of-thumb alert at 0.2.
 
     Laplace-smoothed (+0.5 per bin) so empty bins contribute finitely.
-    Plan: one pass for the corpus [min, max] (broadcast 1-row bounds),
-    ONE (group, bin) count — map-side combinable, output bounded by
-    groups × nbins — and the population histogram derived from it by a
-    second tiny aggregate; no second scan of the data.
+    Plan: one tiny bounds/total aggregate collected to three driver
+    scalars, then ONE (group, bin) count over the data — map-side
+    combinable, output bounded by groups × nbins — with the population
+    histogram derived from it; the corpus is scanned exactly once for
+    the histogram. A constant value column (hi == lo) degenerates to a
+    single bin (groups differ only by the smoothing floor) instead of
+    dividing by zero.
     """
-    bounds = df.agg(
-        F.min(value).alias("lo"), F.max(value).alias("hi")
+    # three bounded scalars via one tiny aggregate (the dsir/centroid
+    # collect discipline) — lo/hi/total ride as literals, so the corpus
+    # is scanned exactly once (the (group, bin) count below)
+    row = df.agg(
+        F.min(value).alias("lo"),
+        F.max(value).alias("hi"),
+        F.count(F.lit(1)).alias("nt"),
+    ).first()
+    lo, hi, totn = row["lo"], row["hi"], int(row["nt"] or 0)
+    if totn == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{group} string, n bigint, psi double"
+        )
+    width = (hi - lo) / nbins
+    # constant column (hi == lo): every value lands in bin 0 — PSI is
+    # then 0 for every group, instead of a divide-by-zero
+    b = (
+        F.lit(0)
+        if width == 0
+        else F.least(
+            F.floor((F.col(value) - F.lit(lo)) / F.lit(width)), F.lit(nbins - 1)
+        )
     )
-    binned = df.crossJoin(F.broadcast(bounds)).select(
-        F.col(group),
-        F.least(
-            F.floor(
-                (F.col(value) - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / nbins)
-            ),
-            F.lit(nbins - 1),
-        ).cast("int").alias("b"),
-    )
+    binned = df.select(F.col(group), b.cast("int").alias("b"))
     gb = binned.groupBy(group, "b").agg(F.count(F.lit(1)).alias("c"))
     tot = gb.groupBy("b").agg(F.sum("c").alias("ct"))
     # dense (group x bin) grid so absent bins smooth instead of vanish
@@ -447,7 +461,6 @@ def psi_by_group(
         )
     )
     gn = full.groupBy(group).agg(F.sum("c").alias("n"))
-    totn = full.select(F.sum("c").alias("nt")).first()["nt"]
     contrib = (
         full.join(F.broadcast(gn), group)
         .select(

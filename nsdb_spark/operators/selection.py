@@ -223,7 +223,11 @@ def domain_mixture(
         return docs.sparkSession.createDataFrame(
             [], f"doc_id long, {source_col} string, copy_idx long, rate double"
         )
-    budget = int(total_budget_tokens or wsum["total"])
+    # `is None`, not truthiness: an explicit budget of 0 means an empty
+    # mixture, not "default to the full corpus"
+    budget = int(
+        wsum["total"] if total_budget_tokens is None else total_budget_tokens
+    )
     rates = per_source.select(
         source_col,
         (
@@ -278,31 +282,13 @@ def decontaminate_fuzzy(
     never joined to itself and never shuffles for the verification. This
     is the asymmetric version of minhash_lsh_pairs' self-join.
     """
-    r = num_hashes // bands
+    from .dedup import band_buckets
 
     def banded(sigs: DataFrame, id_out: str) -> DataFrame:
-        cols = [
-            F.xxhash64(F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]).alias(
-                f"b{b}"
-            )
-            for b in range(bands)
-        ]
-        return (
-            sigs.select("doc_id", *cols)
-            .select(
-                F.col("doc_id").alias(id_out),
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("band"), F.col(f"b{b}").alias("key")
-                            )
-                            for b in range(bands)
-                        ]
-                    )
-                ).alias("bk"),
-            )
-            .select(id_out, "bk.band", "bk.key")
+        # one band-key derivation for the whole repo (dedup.band_buckets)
+        # — compatibility with stored signature indexes depends on it
+        return band_buckets(sigs, num_hashes, bands).withColumnRenamed(
+            "doc_id", id_out
         )
 
     corpus_sigs = minhash_signatures(docs, n, num_hashes, text_col).persist()

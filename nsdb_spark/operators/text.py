@@ -407,15 +407,17 @@ def bigram_pmi(
         .select(
             "bigram",
             "n_pair",
-            F.round(
-                F.log(
-                    (F.col("n_pair") / F.col("t_bi"))
-                    / ((F.col("n_w1") / F.col("t_uni")) * (F.col("n_w2") / F.col("t_uni")))
-                ),
-                6,
-            ).alias("pmi"),
+            # sort/rank on the UNROUNDED score (repo convention — see
+            # ranking._rank_topk); round only for display
+            F.log(
+                (F.col("n_pair") / F.col("t_bi"))
+                / ((F.col("n_w1") / F.col("t_uni")) * (F.col("n_w2") / F.col("t_uni")))
+            ).alias("__raw"),
         )
     )
-    topk = scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
-    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
-    return topk.withColumn("rank", F.row_number().over(w))
+    topk = scored.orderBy(F.desc("__raw"), F.asc("bigram")).limit(k)
+    w = Window.orderBy(F.desc("__raw"), F.asc("bigram"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("bigram", "n_pair", F.round("__raw", 6).alias("pmi"), "rank")
+    )

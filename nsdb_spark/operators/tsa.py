@@ -233,19 +233,23 @@ def cusum_summary(
     p = F.sum(F.col(value) - F.col("__mu")).over(seq)
     s = p - F.least(F.lit(0.0), F.min(p).over(seq))
     h = F.col("__h")
-    # composite (ts, id) order key as one scalar — DuckDB's arg_max (the
-    # oracle) cannot order by a struct; ids are < 1e6 at the test SFs so
-    # ts*1e6 + id is collision-free and fits a long
-    okey = F.col(ts) * F.lit(1_000_000) + F.col(id_col)
+    # final S needs no last-row lookup: P_n = Σ(x - mean) ≡ 0, so
+    # S_n = P_n - min(0, min_j P_j) = max(0, -min P) — an order-free
+    # aggregate (no composite order key to overflow, nothing for the
+    # oracle's arg_max to disagree on). NULL-safe alarm count: a
+    # single-event key has stddev NULL → the comparison is NULL → the
+    # CASE yields 0, matching the oracle's CASE WHEN semantics.
     scored = df.select(
         F.col(key),
-        okey.alias("__o"),
+        p.alias("__p"),
         s.alias("__s"),
-        (s > h).cast("int").alias("__alarm"),
+        F.when(s > h, 1).otherwise(0).alias("__alarm"),
     )
     return scored.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.max_by(F.col("__s"), F.col("__o")), 6).alias("final_s"),
+        F.round(
+            F.greatest(F.lit(0.0), -F.min("__p")), 6
+        ).alias("final_s"),
         F.round(F.max("__s"), 6).alias("max_s"),
         F.sum("__alarm").alias("n_alarms"),
     )

@@ -1949,10 +1949,58 @@ def test_group_temporal_rollup_merge_and_topk(spark):
     )
     key = lambda fr: sorted(tuple(r) for r in fr.collect())
     assert key(merged) == key(full)
-    # top-1 per coarse bucket matches a direct computation
+    # top-1 per coarse bucket matches a direct computation on raw rows
     top = rollup.temporal_topk_from_rollup(spark, full, bounds, 1000, 4000, n_top=1)
-    got = {(r["timestamp"], r["item"]) for r in top.collect()}
-    assert all(r[1] == "t0" or True for r in got) and len(got) > 0
+    got = {(r["upper_bound"], r["item"]) for r in top.collect()}
+    lower, upper = bounds
+    direct = {}
+    for t, e in rows:
+        kc = min((upper - t) // 4000, -((upper - lower) // -4000) - 1)
+        direct.setdefault(kc, {}).setdefault(e, 0)
+        direct[kc][e] += 1
+    expect = {
+        (upper - kc * 4000, min((i for i, c in items.items() if c == max(items.values()))))
+        for kc, items in direct.items()
+    }
+    assert got == expect and len(got) > 0
     # the burst bucket's winner is the bursted item
     burst_bucket = [r for r in top.collect() if r["lower_bound"] <= 500 < r["upper_bound"]]
     assert burst_bucket and burst_bucket[0]["item"] == "t0"
+
+
+def test_psi_constant_column_and_cusum_single_event(spark):
+    from nsdb_spark.operators import analytics, tsa
+
+    # constant value column: every doc in one bin, PSI 0 — not a crash
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 7) for i in range(20)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["source"]: r["psi"] for r in analytics.psi_by_group(docs).collect()}
+    # identical distributions: equal, small smoothing-floor PSI (the
+    # +0.5/bin prior weighs differently at n=10 vs N=20), far below 0.2
+    assert out["s0"] == out["s1"] and out["s0"] < 0.1
+    # a key with ONE event: stddev undefined -> 0 alarms (not NULL)
+    df = spark.createDataFrame(
+        [(1, 0, 0, 5.0), (2, 0, 1, 1.0), (2, 1000, 2, 2.0), (2, 2000, 3, 3.0)],
+        "user_id long, timestamp long, event_id long, value double",
+    )
+    out = {r["user_id"]: r for r in tsa.cusum_summary(df).collect()}
+    assert out[1]["n_alarms"] == 0 and out[1]["n"] == 1
+    assert out[1]["final_s"] == 0.0  # single mean-centered point
+
+
+def test_domain_mixture_zero_budget_and_bpe_early_stop(spark):
+    from nsdb_spark.operators import bpe, selection
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "d e f", "t")], "doc_id long, text string, source string"
+    )
+    # explicit zero budget = empty mixture, not the full corpus
+    assert selection.domain_mixture(docs, total_budget_tokens=0).count() == 0
+    # no pair ever repeats -> training stops before num_merges
+    uniq = spark.createDataFrame([(0, "ab cd"), (1, "ef gh")], "doc_id long, text string")
+    merges, vocab = bpe.bpe_train(uniq, num_merges=10)
+    assert len(merges) < 10
+    for r in vocab.collect():
+        assert "".join(r["tokens"]) == r["word"] + bpe.EOW
