@@ -231,3 +231,43 @@ def stream_temporal_agg(
             F.col(alias),
         )
     )
+
+
+def stream_stream_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    on: str,
+    ts_cols: tuple[str, str],
+    window_ms: int,
+    watermark_ms: int,
+) -> DataFrame:
+    """Event-time stream-stream inner join: left events matched to right
+    events with the same key whose time falls in [l_ts, l_ts + window)
+    — the impression⋈click attribution shape, the one join class the
+    batch operators (asof/window/interval join) cannot serve because
+    BOTH sides are unbounded.
+
+    State-bound correctness comes from the two watermarks PLUS the
+    time-range join condition: Spark derives how long each side's rows
+    can still match and evicts state beyond watermark + window (without
+    the range condition the state store would grow forever — an
+    unbounded-state stream-stream join never ships to production).
+    Equality on the key keeps the join a hash exchange co-partitioned by
+    key, exactly like the batch union-tag operators.
+    """
+    lts, rts = ts_cols
+    left = left_df.withColumn(
+        "__lt", F.timestamp_millis(F.col(lts))
+    ).withWatermark("__lt", f"{watermark_ms / 1000.0} seconds")
+    right = right_df.withColumn(
+        "__rt", F.timestamp_millis(F.col(rts))
+    ).withWatermark("__rt", f"{watermark_ms / 1000.0} seconds")
+    cond = (
+        (left[on] == right[on])
+        & (right["__rt"] >= left["__lt"])
+        & (
+            right["__rt"]
+            < left["__lt"] + F.expr(f"INTERVAL {int(window_ms)} MILLISECONDS")
+        )
+    )
+    return left.join(right, cond, "inner").drop("__lt", "__rt")

@@ -529,3 +529,43 @@ def test_streaming_ingest_maintains_distinct_rollup(engine, spark, tmp_path):
     assert ("tag", 1000) in engine.warehouse.distinct_rollups("default", "default", "sd")
     after = approx.execute(sql).collect()[0][-1]
     assert after == 8  # 3 old + 5 streamed-new distinct tags (LC-exact range)
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    """Event-time stream-stream join: clicks attach to impressions of the
+    same user within the attribution window; late-beyond-watermark and
+    out-of-window clicks don't."""
+    from nsdb_spark.streaming.ingest import stream_stream_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(
+        [(1, 1000, 10), (2, 1000, 20), (3, 50000, 30)],
+        "user_id long, its long, imp_id long",
+    ).coalesce(1).write.parquet(str(imp_dir))
+    spark.createDataFrame(
+        [
+            (1, 3000, 100),   # in window (1000 + 5000)
+            (2, 9000, 200),   # out of window
+            (3, 52000, 300),  # in window for imp 30
+            (9, 3000, 900),   # no matching impression key
+        ],
+        "user_id long, cts long, click_id long",
+    ).coalesce(1).write.parquet(str(clk_dir))
+
+    imps = spark.readStream.schema("user_id long, its long, imp_id long").parquet(str(imp_dir))
+    clks = spark.readStream.schema("user_id long, cts long, click_id long").parquet(str(clk_dir))
+    joined = stream_stream_join(
+        imps, clks, on="user_id", ts_cols=("its", "cts"),
+        window_ms=5000, watermark_ms=10000,
+    )
+    got = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(
+            (r["imp_id"], r["click_id"]) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(10, 100), (30, 300)]
