@@ -305,6 +305,13 @@ class _Handler(BaseHTTPRequestHandler):
                         {"error": f"statement {b['queryString']} is not a select statement"},
                     )
                     return
+                # same auth gate as POST /query — the GET variant must
+                # not be a side door around the metric-level check
+                if not self._authorized(
+                    "metric", False, b.get("db", "default"),
+                    b.get("namespace", "default"), b.get("metric", ""),
+                ):
+                    return
                 filters = [
                     (f["dimension"], f["value"], f["operator"])
                     for f in b.get("filters") or []

@@ -256,23 +256,29 @@ def cdc_chunks(
         "doc_id", F.col(text_col).alias("__t"), L.alias("L"), n_pos.alias("np")
     )
     h = portable_word_hash(F.substring(F.col("__t"), F.col("p"), k))
+    # the hash filter runs in the narrow explode stage; only (doc_id, p)
+    # boundary rows enter the distinct + window shuffles — carrying the
+    # full text there would cost O(boundaries x doc_len) shuffle bytes
+    # per doc, quadratic in document length
     bounds = (
         base.select("doc_id", "__t", F.explode(F.sequence(F.lit(1), F.col("np"))).alias("p"))
         .filter((h % mask == 0) & (F.col("p") > 1))
-        .select("doc_id", "__t", "p")
+        .select("doc_id", "p")
     )
     sentinels = base.select(
-        "doc_id", "__t",
+        "doc_id",
         F.explode(F.array(F.lit(1).cast("int"), (F.col("L") + 1).cast("int"))).alias("p"),
     )
     b = bounds.unionByName(sentinels).distinct()
     w = Window.partitionBy("doc_id").orderBy("p")
     iv = b.select(
-        "doc_id", "__t",
+        "doc_id",
         F.col("p").alias("start"),
         F.lead("p").over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("start")))
-    return iv.select(
+    # text rejoins ONCE per doc (one copy over the wire) for the chunk
+    # substring hashing; replication onto chunk rows is executor-local
+    return iv.join(base.select("doc_id", "__t"), "doc_id").select(
         "doc_id",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("start")).alias("chunk_idx"),
         F.col("start"),

@@ -157,7 +157,10 @@ def extract_features(bin_df: DataFrame, buckets: int = 8) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    shift = 8 - (buckets - 1).bit_length()  # byte >> shift -> bucket
+    # proportional binning bucket = byte*buckets >> 8 — correct for ANY
+    # bucket count (a pure right shift silently dropped the top bins for
+    # non-powers-of-two); identical to byte // (256/buckets) at powers
+    # of two, so the DuckDB oracle (b // 32 at buckets=8) is unchanged
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -165,7 +168,13 @@ def extract_features(bin_df: DataFrame, buckets: int = 8) -> DataFrame:
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 a = np.frombuffer(bytes(p), dtype=np.uint8)
                 n = len(a)
-                hist = np.bincount(a >> shift, minlength=buckets)[:buckets] if n else np.zeros(buckets, dtype=np.int64)
+                hist = (
+                    np.bincount(
+                        (a.astype(np.int64) * buckets) >> 8, minlength=buckets
+                    )[:buckets]
+                    if n
+                    else np.zeros(buckets, dtype=np.int64)
+                )
                 ids.append(doc_id)
                 nbs.append(n)
                 # raw mean here; HALF_UP rounding happens in the Spark

@@ -333,7 +333,9 @@ def ivfpq_topk_indexed(
     test_plans) and only the codes column (column pruning); the exact
     re-rank touches ~shortlist rows via a broadcast semi join. Results
     match ivfpq_search given the same codebooks."""
-    probes, _tables, score = _ivfpq_query_side(query_vec, centroids, codebooks, nprobe)
+    probes, _tables, score = _ivfpq_query_side(
+        query_vec, centroids, codebooks, nprobe, id_col=id_col
+    )
     t = spark.table(table)
     scored = (
         t.filter(F.col("cell").isin(probes))

@@ -169,6 +169,11 @@ def temporal_from_rollup(
 def value_bounds(metric_df: DataFrame, value_col: str = "value") -> tuple[float, float]:
     """(vlo, vhi) of the sketch grid — one tiny 2-value aggregate."""
     row = metric_df.agg(F.min(value_col), F.max(value_col)).first()
+    if row[0] is None:
+        raise ValueError(
+            "cannot derive a sketch value grid from an empty frame — "
+            "pass an explicit value_range or skip the rollup"
+        )
     return float(row[0]), float(row[1])
 
 

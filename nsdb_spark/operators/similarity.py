@@ -322,6 +322,10 @@ def ivf_topk_join_indexed(
     from pyspark.sql import Window
 
     t = spark.table(table)
+    if not queries:  # degrade like cosine_topk_join, not IndexError
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     parts = []
     for qid, vec in queries:
         probes = _nearest_cells(vec, centroids, nprobe)

@@ -36,6 +36,17 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 OP_CONT, OP_TEXT, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x8, 0x9, 0xA
 
 
+#: max accepted frame payload (16 MiB) — a client-declared 64-bit length
+#: must never drive the server's allocation
+MAX_FRAME_BYTES = 16 * 1024 * 1024
+
+
+class FrameTooLarge(Exception):
+    def __init__(self, n: int):
+        super().__init__(f"frame payload of {n} bytes exceeds {MAX_FRAME_BYTES}")
+        self.n = n
+
+
 def accept_key(sec_websocket_key: str) -> str:
     digest = hashlib.sha1((sec_websocket_key + _GUID).encode()).digest()
     return base64.b64encode(digest).decode()
@@ -79,6 +90,10 @@ def read_frame_ex(rfile) -> tuple[bool, int, bool, bytes] | None:
         n = struct.unpack(">H", rfile.read(2))[0]
     elif n == 127:
         n = struct.unpack(">Q", rfile.read(8))[0]
+    if n > MAX_FRAME_BYTES:
+        # a 10-byte header may not demand an arbitrary allocation
+        # (RFC 6455 servers enforce a max message size — 1009 close)
+        raise FrameTooLarge(n)
     key = rfile.read(4) if masked else None
     payload = rfile.read(n) if n else b""
     if masked and key:
@@ -171,11 +186,18 @@ class WsSession:
             return
 
         first: list = []
+        quid_ready = threading.Event()
 
         def cb(records: list[dict]) -> None:
             if not first:
                 first.append(records)
                 return
+            # a publisher thread can push between subscribe() returning
+            # the historical payload and cb_quid being filled below —
+            # wait for registration to finish instead of IndexError-ing
+            # inside the ingest path
+            if not quid_ready.wait(timeout=5.0):
+                return  # registration aborted — drop the push
             quid = cb_quid[0]
             with self.lock:
                 buf = self.buffers.setdefault(quid, [])
@@ -190,6 +212,7 @@ class WsSession:
             fail(f"{type(e).__name__}: {e}")
             return
         cb_quid.append(quid)
+        quid_ready.set()
         self.quids.append(quid)
         self.metric_of[quid] = stmt.metric
         self._send_json(
@@ -202,7 +225,17 @@ class WsSession:
         fragments: list[bytes] = []
         try:
             while not self.closed.is_set():
-                frame = read_frame_ex(self.rfile)
+                try:
+                    frame = read_frame_ex(self.rfile)
+                except FrameTooLarge:
+                    with self.lock:
+                        try:
+                            self.connection.sendall(
+                                encode_frame(OP_CLOSE, struct.pack(">H", 1009))
+                            )
+                        except OSError:
+                            pass
+                    break
                 if frame is None:
                     break
                 fin, opcode, masked, payload = frame

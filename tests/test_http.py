@@ -447,3 +447,14 @@ def test_ws_auth_denied_register(engine):
         c.close()
     finally:
         srv.shutdown()
+
+
+def test_auth_get_query_not_a_side_door(auth_server):
+    """GET /query must apply the same metric-level gate as POST /query."""
+    port = auth_server
+    code, body = _get_with_body(port, "/query", {
+        "metric": "secret", "queryString": "select * from secret"})
+    assert code == 403 and "restricted" in body["error"]
+    code, body = _get_with_body(port, "/query", {
+        "metric": "open", "queryString": "select * from open"})
+    assert code == 200 and len(body["records"]) == 1
