@@ -240,6 +240,7 @@ def stream_stream_join(
     ts_cols: tuple[str, str],
     window_ms: int,
     watermark_ms: int,
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time stream-stream inner join: left events matched to right
     events with the same key whose time falls in [l_ts, l_ts + window)
@@ -254,6 +255,11 @@ def stream_stream_join(
     unbounded-state stream-stream join never ships to production).
     Equality on the key keeps the join a hash exchange co-partitioned by
     key, exactly like the batch union-tag operators.
+
+    how="leftOuter" additionally emits each unmatched left row (right
+    columns NULL) — but only once the watermark proves no match can
+    still arrive, so un-clicked impressions surface with watermark
+    latency, not immediately.
     """
     lts, rts = ts_cols
     left = left_df.withColumn(
@@ -270,4 +276,4 @@ def stream_stream_join(
             < left["__lt"] + F.expr(f"INTERVAL {int(window_ms)} MILLISECONDS")
         )
     )
-    return left.join(right, cond, "inner").drop("__lt", "__rt")
+    return left.join(right, cond, how).drop("__lt", "__rt")

@@ -569,3 +569,40 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == [(10, 100), (30, 300)]
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter variant: un-clicked impressions surface with NULL click
+    columns once the watermark passes their match horizon."""
+    from nsdb_spark.streaming.ingest import stream_stream_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(
+        [(1, 1000, 10), (2, 1000, 20), (7, 900000, 70)],  # 70 advances the watermark
+        "user_id long, its long, imp_id long",
+    ).coalesce(1).write.parquet(str(imp_dir))
+    spark.createDataFrame(
+        [(1, 2000, 100), (8, 900000, 800)],  # 800 advances the click watermark
+        "user_id long, cts long, click_id long",
+    ).coalesce(1).write.parquet(str(clk_dir))
+
+    imps = spark.readStream.schema("user_id long, its long, imp_id long").parquet(str(imp_dir))
+    clks = spark.readStream.schema("user_id long, cts long, click_id long").parquet(str(clk_dir))
+    joined = stream_stream_join(
+        imps, clks, on="user_id", ts_cols=("its", "cts"),
+        window_ms=5000, watermark_ms=10000, how="leftOuter",
+    )
+    got = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(
+            (r["imp_id"], r["click_id"]) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    matched = {p for p in got if p[1] is not None}
+    unmatched = {p[0] for p in got if p[1] is None}
+    assert matched == {(10, 100)}
+    assert 20 in unmatched  # expired without a click -> NULL-padded row
