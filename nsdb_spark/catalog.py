@@ -17,6 +17,7 @@ import json
 import os
 import re
 import shutil
+import threading
 
 from .model import DEFAULT_SHARD_INTERVAL_MS, MetricSchema, SchemaError
 
@@ -29,6 +30,11 @@ class Warehouse:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # schema updates are read-modify-write; concurrent inserts from
+        # the threaded HTTP server adding DIFFERENT new fields must not
+        # lose one side's registration (data already written under the
+        # lost field would read as NULL forever)
+        self._schema_lock = threading.Lock()
 
     # -- paths ----------------------------------------------------------
     def metric_path(self, db: str, ns: str, metric: str) -> str:
@@ -74,15 +80,16 @@ class Warehouse:
         mp = self.metric_path(db, ns, metric)
         os.makedirs(mp, exist_ok=True)
         p = os.path.join(mp, "schema.json")
-        if os.path.isfile(p):
-            with open(p) as fh:
-                merged = MetricSchema.from_json(fh.read()).union(incoming)
-        else:
-            merged = incoming
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(merged.to_json())
-        os.replace(tmp, p)
+        with self._schema_lock:
+            if os.path.isfile(p):
+                with open(p) as fh:
+                    merged = MetricSchema.from_json(fh.read()).union(incoming)
+            else:
+                merged = incoming
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(merged.to_json())
+            os.replace(tmp, p)
         return merged
 
     # -- metric info (INIT METRIC parity: init.proto:22-41) ----------------

@@ -127,6 +127,15 @@ def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple
     if isinstance(e, ast.RangeExpression) and e.dimension == "timestamp":
         return [(int(_resolve_value(e.value1, ctx)), int(_resolve_value(e.value2, ctx)))]
     if isinstance(e, ast.NotExpression):
+        # complementing is only sound when the inner extraction is EXACT.
+        # For a mixed predicate like NOT (timestamp > t AND host = 'a')
+        # the inner extraction is an over-approximation (the host side is
+        # treated as always-true), and the complement of an
+        # over-approximation UNDER-approximates — pruning shards that
+        # hold matching rows (wrong SELECTs, rows DELETE never rewrites).
+        # A NOT over anything non-time-only is therefore unconstrained.
+        if not _is_time_only(e.expression):
+            return []
         inner = extract_time_range(e.expression, ctx)
         if not inner:
             return []
@@ -147,6 +156,24 @@ def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple
             return []
         return _union(l + r)
     return []
+
+
+def _is_time_only(e: ast.Expression) -> bool:
+    """True iff every leaf predicate constrains `timestamp` — the
+    precondition for an exact (complement-safe) interval extraction."""
+    if isinstance(
+        e, (ast.EqualityExpression, ast.ComparisonExpression, ast.RangeExpression)
+    ):
+        return e.dimension == "timestamp"
+    if isinstance(e, ast.LikeExpression):
+        return False
+    if isinstance(e, ast.NullableExpression):
+        return False
+    if isinstance(e, ast.NotExpression):
+        return _is_time_only(e.expression)
+    if isinstance(e, ast.TupledLogicalExpression):
+        return _is_time_only(e.expression1) and _is_time_only(e.expression2)
+    return False
 
 
 def _union(ivs: list[tuple[int, int | None]]) -> list[tuple[int, int | None]]:
@@ -372,8 +399,14 @@ class QueryCompiler:
                 return self._empty_temporal(q)
             data_lower = (row[0] // si) * si
             data_upper = (row[1] // si) * si + si
-        upper = whi if whi is not None else data_upper
-        lower = wlo if wlo is not None else data_lower
+        # CLIP, not replace: the axis is the data extent intersected with
+        # the WHERE range (shards only exist where data is —
+        # ReadNodesSelection.scala:40-49). Taking the WHERE bounds
+        # verbatim would generate a bucket row for every interval of an
+        # arbitrarily wide range (`timestamp > 0` ⇒ ~10^9 empty buckets
+        # joined and emitted).
+        upper = data_upper if whi is None else min(whi, data_upper)
+        lower = data_lower if wlo is None else max(wlo, data_lower)
         if q.grace_period_ms is not None:
             lower = max(lower, ctx.current_time - q.grace_period_ms)
         if upper <= lower:

@@ -825,8 +825,12 @@ class NsdbEngine:
         sizes: dict[int, int] = {}
         for shard in self.warehouse.locations(db, ns, metric):
             d = _os.path.join(dp, f"{SHARD_COL}={shard}")
+            try:
+                names = _os.listdir(d)
+            except FileNotFoundError:
+                continue  # retention scheduler evicted it mid-iteration
             files = [
-                f for f in _os.listdir(d)
+                f for f in names
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
             ]
             if len(files) >= min_files:
@@ -839,6 +843,9 @@ class NsdbEngine:
         schema = self.warehouse.get_schema(db, ns, metric)
         df = (
             self.spark.read.schema(schema.to_struct_type(with_shard=True))
+            # same eviction-safe option every read path sets: a shard the
+            # retention scheduler drops mid-job must not fail compaction
+            .option("ignoreMissingFiles", "true")
             .parquet(dp)
             .filter(F.col(SHARD_COL).isin(todo))
         )
@@ -902,11 +909,42 @@ class NsdbEngine:
             return []
         df = self.spark.read.schema(schema.to_struct_type(with_shard=True)).parquet(dp)
         mask = (1 << bits) - 1
+        # numeric fields quantize by RANGE position, not by masking the
+        # low bits: `v & mask` wraps every `mask+1` values, scattering
+        # near-identical values across cells and colliding distant ones
+        # — per-file min/max stats then stay wide and skipping gains
+        # nothing. One tiny min/max aggregate pins the grid.
+        num_fields = [
+            f for f in cluster_fields
+            if (t := schema.field_type(f)) is not None and t.is_numeric
+        ]
+        stats = {}
+        if num_fields:
+            row = df.agg(
+                *[F.min(f).alias(f"lo_{f}") for f in num_fields],
+                *[F.max(f).alias(f"hi_{f}") for f in num_fields],
+            ).first()
+            stats = {
+                f: (row[f"lo_{f}"], row[f"hi_{f}"]) for f in num_fields
+            }
         quant = []
         for f in cluster_fields:
             t = schema.field_type(f)
             if t is not None and t.is_numeric:
-                quant.append(F.col(f).cast("long").bitwiseAND(F.lit(mask)))
+                lo, hi = stats[f]
+                if lo is None or hi == lo:  # empty/constant: one cell
+                    quant.append(F.lit(0).cast("long"))
+                else:
+                    cell = F.floor(
+                        (F.col(f).cast("double") - float(lo))
+                        * mask
+                        / (float(hi) - float(lo))
+                    )
+                    quant.append(
+                        F.coalesce(
+                            F.least(cell, F.lit(mask)), F.lit(0)
+                        ).cast("long")
+                    )
             else:
                 quant.append(F.abs(F.xxhash64(F.col(f))).bitwiseAND(F.lit(mask)))
         keyed = df.withColumn("__z", zorder_key(quant, bits=bits))

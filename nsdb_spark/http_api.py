@@ -92,6 +92,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(403, {"error": f"unauthorized {res.fail_reason}".strip()})
         return res.success
 
+    @staticmethod
+    def _stmt_metric(b: dict) -> str:
+        """Metric the queryString actually executes against; falls back
+        to the body's metric field when the statement doesn't parse (the
+        request then 400s downstream anyway)."""
+        try:
+            from .sql.parser import parse as _parse
+
+            return _parse(b.get("queryString", "")).metric
+        except Exception:
+            return b.get("metric", "")
+
     # ------------------------------------------------------------ helpers
     def _send(self, code: int, payload) -> None:
         body = json.dumps(payload).encode()
@@ -143,9 +155,12 @@ class _Handler(BaseHTTPRequestHandler):
                     )
             elif self.path == "/query":
                 b = self._body()
+                # authorize the metric the statement EXECUTES against
+                # (parsed from queryString) — the body's `metric` field
+                # is client-supplied context, not what runs
                 if not self._authorized(
                     "metric", False, b.get("db", "default"),
-                    b.get("namespace", "default"), b.get("metric", ""),
+                    b.get("namespace", "default"), self._stmt_metric(b),
                 ):
                     return
                 filters = [
@@ -192,7 +207,7 @@ class _Handler(BaseHTTPRequestHandler):
                 b = self._body()
                 if not self._authorized(
                     "metric", False, b.get("db", "default"),
-                    b.get("namespace", "default"), b.get("metric", ""),
+                    b.get("namespace", "default"), self._stmt_metric(b),
                 ):
                     return
                 ch = _SubscriptionChannel()
@@ -306,10 +321,11 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                     return
                 # same auth gate as POST /query — the GET variant must
-                # not be a side door around the metric-level check
+                # not be a side door around the metric-level check; the
+                # gate uses the PARSED statement's metric
                 if not self._authorized(
                     "metric", False, b.get("db", "default"),
-                    b.get("namespace", "default"), b.get("metric", ""),
+                    b.get("namespace", "default"), stmt.metric,
                 ):
                     return
                 filters = [
@@ -390,4 +406,9 @@ def serve(
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    if subscription_manager is not None:
+        # standard-agg re-pushes and temporal bucket closes need a live
+        # clock (nsdb.conf:140's 5 s publisher scheduler) — without it a
+        # subscriber only ever sees the historical payload
+        subscription_manager.start_scheduler()
     return srv, t

@@ -119,6 +119,9 @@ class _Subscription:
     # temporal state
     bucket_start: int = 0
     buckets: dict[int, list] = field(default_factory=dict)  # upper_bound → values
+    # rows published while the historical scan is still running are
+    # buffered here and routed after it — None once live
+    pending: list | None = None
 
 
 class SubscriptionManager:
@@ -129,6 +132,34 @@ class SubscriptionManager:
         self.subs: dict[str, _Subscription] = {}
         self.refresh_period_ms = max(refresh_period_ms, 100)  # nsdb.conf:161 floor
         self.agg_push_period_ms = agg_push_period_ms
+        self._scheduler_stop = None
+
+    def start_scheduler(self) -> None:
+        """Drive tick() every agg_push_period_ms on a daemon thread —
+        NSDb's publisher scheduler (nsdb.conf:140). The HTTP/WS servers
+        call this so standard-agg re-pushes and temporal bucket closes
+        happen without a caller in the loop; tests drive tick() manually
+        and never start it. Idempotent; stop_scheduler() to halt."""
+        import threading
+
+        if self._scheduler_stop is not None:
+            return
+        stop = threading.Event()
+        self._scheduler_stop = stop
+
+        def loop() -> None:
+            while not stop.wait(self.agg_push_period_ms / 1000.0):
+                try:
+                    self.tick()
+                except Exception:  # pragma: no cover — keep the beat alive
+                    pass
+
+        threading.Thread(target=loop, daemon=True).start()
+
+    def stop_scheduler(self) -> None:
+        if self._scheduler_stop is not None:
+            self._scheduler_stop.set()
+            self._scheduler_stop = None
 
     # ------------------------------------------------------------ subscribe
     def subscribe(
@@ -149,17 +180,33 @@ class SubscriptionManager:
         schema = self.engine.warehouse.get_schema(db, ns, stmt.metric)
         parsed = analyzer.analyze(stmt, schema)
         ctx = time_context or TimeContext(self.engine.now_fn())
-        # historical payload first (PublisherActor.scala:136-204)
-        historical = [r.asDict() for r in self.engine.execute_select(stmt, ctx).collect()]
-        callback(historical)
         sub = _Subscription(
             uuid=str(uuid_mod.uuid4()),
             db=db, ns=ns, metric=stmt.metric,
             statement=stmt, parsed=parsed, callback=callback,
+            pending=[],
         )
         if isinstance(parsed, analyzer.ParsedTemporalAggregatedQuery):
             sub.bucket_start = ctx.current_time
+        # register BEFORE the historical scan: rows inserted while the
+        # scan runs are buffered (publish() routes to sub.pending) and
+        # flushed after the historical payload — without this they are
+        # neither in the scan nor pushed, a silently lost update. A row
+        # the scan's file listing already caught may be delivered twice
+        # (at-least-once in the race window); the reference loses it
+        # instead (PublisherActor executes-then-registers).
         self.subs[sub.uuid] = sub
+        try:
+            historical = [
+                r.asDict() for r in self.engine.execute_select(stmt, ctx).collect()
+            ]
+            callback(historical)
+        except Exception:
+            self.subs.pop(sub.uuid, None)
+            raise
+        buffered, sub.pending = sub.pending, None
+        for rows, now in buffered:
+            self._route(sub, rows, now)
         return sub.uuid
 
     def unsubscribe(self, uuid: str) -> None:
@@ -213,19 +260,25 @@ class SubscriptionManager:
     def publish(self, db: str, ns: str, metric: str, rows: list[dict]) -> None:
         """Called by the ingest path for every batch of inserted records."""
         now = self.engine.now_fn()
-        for sub in self.subs.values():
+        for sub in list(self.subs.values()):
             if (sub.db, sub.ns, sub.metric) != (db, ns, metric):
                 continue
-            if isinstance(sub.parsed, analyzer.ParsedSimpleQuery):
-                cond = sub.statement.condition
-                matched = [
-                    r for r in rows
-                    if cond is None or eval_expression(cond.expression, r, now)
-                ]
-                if matched:
-                    sub.callback(matched)
-            elif isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
-                self._accumulate_temporal(sub, rows, now)
+            if sub.pending is not None:  # historical scan in flight
+                sub.pending.append((rows, now))
+                continue
+            self._route(sub, rows, now)
+
+    def _route(self, sub: _Subscription, rows: list[dict], now: int) -> None:
+        if isinstance(sub.parsed, analyzer.ParsedSimpleQuery):
+            cond = sub.statement.condition
+            matched = [
+                r for r in rows
+                if cond is None or eval_expression(cond.expression, r, now)
+            ]
+            if matched:
+                sub.callback(matched)
+        elif isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
+            self._accumulate_temporal(sub, rows, now)
 
     def _accumulate_temporal(self, sub: _Subscription, rows: list[dict], now: int) -> None:
         p = sub.parsed
@@ -239,8 +292,17 @@ class SubscriptionManager:
             ts = r["timestamp"]
             if grace is not None and ts < now - grace:
                 continue  # too late: dropped (PublisherActor.scala:342-356)
-            k = (ts - sub.bucket_start) // interval
-            ub = sub.bucket_start + (k + 1) * interval
+            # upper-INCLUSIVE buckets (lb, ub], matching the compiled
+            # historical axis (compiler: floor((upper-ts)/interval)) —
+            # a boundary timestamp must land in the same bucket live as
+            # a re-subscription would report it historically
+            k = -((ts - sub.bucket_start) // -interval)  # ceil
+            ub = sub.bucket_start + k * interval
+            if grace is None and ub <= sub.bucket_start:
+                # amendment of closed buckets is a grace-period feature;
+                # without one, late records drop (and their buckets were
+                # already released — see tick)
+                continue
             target = r.get(p.aggregation.target, r.get("value"))
             sub.buckets.setdefault(ub, []).append(target)
             if ub <= now:  # landed in an already-closed bucket → amend
@@ -271,11 +333,17 @@ class SubscriptionManager:
                     ub = sub.bucket_start + p.interval_ms
                     sub.callback([self._bucket_payload(sub, ub)])
                     sub.bucket_start = ub
-                    # drop buckets beyond the grace horizon
                     if p.grace_period_ms is not None:
+                        # drop buckets beyond the grace horizon
                         horizon = now - p.grace_period_ms
                         for old in [u for u in sub.buckets if u < horizon]:
                             del sub.buckets[old]
+                    else:
+                        # no grace ⇒ no amendments: release the closed
+                        # bucket's values immediately — otherwise a
+                        # long-lived subscription accumulates every raw
+                        # value forever (unbounded driver memory)
+                        sub.buckets.pop(ub, None)
             elif isinstance(
                 sub.parsed,
                 (analyzer.ParsedAggregatedQuery, analyzer.ParsedGlobalAggregatedQuery),

@@ -167,8 +167,16 @@ class WsSession:
             )
 
         if self.auth is not None:
+            # gate on the metric the statement EXECUTES against, not the
+            # client-supplied metric field (same rule as HTTP /query)
+            try:
+                from .sql.parser import parse as _parse
+
+                exec_metric = _parse(qs).metric
+            except Exception:
+                exec_metric = metric
             payload = self.auth.extract_ws_security_payload(self.subprotocols)
-            res = self.auth.check_metric_auth(db, ns, metric, payload, False)
+            res = self.auth.check_metric_auth(db, ns, exec_metric, payload, False)
             if not res.success:
                 fail(f"unauthorized {res.fail_reason}")
                 return

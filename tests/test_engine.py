@@ -1025,3 +1025,77 @@ def test_distinct_rollup_maintained_and_invalidated(engine, spark):
         [Bit(10**7 + 1000, 1, {}, {"name": "Far", "age": 1, "height": 1.0})],
     )
     assert engine.warehouse.distinct_rollups("default", "default", "dmm") == {}
+
+
+def test_not_over_mixed_predicate_does_not_prune(engine):
+    """NOT over (time AND non-time) must not complement an approximate
+    interval: a row outside the inner time range but failing the
+    non-time side still matches, so no shard may be pruned — and DELETE
+    must rewrite it."""
+    from nsdb_spark.model import Bit
+
+    engine.warehouse.init_metric("default", "default", "npm", 10000)
+    engine.insert_bits(
+        "default", "default", "npm",
+        [
+            Bit(1000, 1, {}, {"host": "a"}),
+            Bit(25000, 2, {}, {"host": "a"}),  # in time range, host matches
+            Bit(26000, 3, {}, {"host": "b"}),  # in time range, host differs -> matches NOT
+        ],
+    )
+    sql = "select * from npm where not (timestamp > 20000 and host = a)"
+    got = sorted(r["timestamp"] for r in engine.execute(sql).collect())
+    assert got == [1000, 26000]
+    # DELETE with the same predicate must remove BOTH matching rows,
+    # including the one in the recent shard a naive complement would skip
+    engine.execute("delete from npm where not (timestamp > 20000 and host = a)")
+    left = sorted(r["timestamp"] for r in engine.execute("select * from npm").collect())
+    assert left == [25000]
+
+
+def test_temporal_axis_clipped_to_data_extent(engine):
+    """A WHERE range far wider than the data must not inflate the bucket
+    axis: `timestamp > 0` over one shard yields that shard's buckets,
+    not a row per interval since the epoch."""
+    from nsdb_spark.model import Bit
+
+    engine.warehouse.init_metric("default", "default", "clipm", 10000)
+    engine.insert_bits(
+        "default", "default", "clipm",
+        [Bit(t, 1) for t in (1000, 5000, 9000)],
+    )
+    out = engine.execute(
+        "select count(*) from clipm where timestamp > 0 group by interval 1 s"
+    ).collect()
+    assert len(out) == 10  # one shard / 1s buckets — not ~1.7e9 rows
+    assert sum(r["count_value"] for r in out) == 3
+
+
+def test_zorder_quantization_does_not_wrap_large_values(engine, spark):
+    """Range-position quantization: values above the old bit mask must
+    keep their ordering (65535 vs 65536 were wrapping to opposite cells),
+    so per-file stats on the clustered column actually narrow."""
+    from nsdb_spark.model import Bit
+
+    engine.warehouse.init_metric("default", "default", "zbig", 10**9)
+    # ids far above 2^16, two well-separated value clusters
+    bits = [Bit(i, 1, {}, {"big_id": 10_000_000 + i}) for i in range(50)]
+    bits += [Bit(100 + i, 1, {}, {"big_id": 90_000_000 + i}) for i in range(50)]
+    engine.insert_bits("default", "default", "zbig", bits)
+    engine.optimize_metric_zorder(
+        "default", "default", "zbig", ["big_id"], bits=8, files_per_shard=2
+    )
+    # each rewritten file must cover a COMPACT big_id range: no file may
+    # span both clusters
+    import os
+
+    dp = engine.warehouse.data_path("default", "default", "zbig")
+    shard_dir = next(d for d in os.listdir(dp) if d.startswith("shard_start="))
+    for f in os.listdir(os.path.join(dp, shard_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        vals = [
+            r["big_id"]
+            for r in spark.read.parquet(os.path.join(dp, shard_dir, f)).collect()
+        ]
+        assert max(vals) - min(vals) < 50_000_000  # one cluster per file

@@ -458,3 +458,15 @@ def test_auth_get_query_not_a_side_door(auth_server):
     code, body = _get_with_body(port, "/query", {
         "metric": "open", "queryString": "select * from open"})
     assert code == 200 and len(body["records"]) == 1
+
+
+def test_auth_gates_on_executed_metric_not_body_field(auth_server):
+    """The metric-level gate must use the metric parsed from queryString
+    — a permissive body `metric` field is not a bypass."""
+    port = auth_server
+    code, body = _post(port, "/query", {
+        "metric": "open", "queryString": "select * from secret"})
+    assert code == 403 and "restricted" in body["error"]
+    code, body = _get_with_body(port, "/query", {
+        "metric": "open", "queryString": "select * from secret"})
+    assert code == 403

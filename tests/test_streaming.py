@@ -606,3 +606,66 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     unmatched = {p[0] for p in got if p[1] is None}
     assert matched == {(10, 100)}
     assert 20 in unmatched  # expired without a click -> NULL-padded row
+
+
+def test_temporal_no_grace_releases_closed_buckets(manager, engine):
+    """Without SINCE, a closed bucket's raw values are released on close
+    (no amendment path holds them) — driver memory stays bounded."""
+    cb = Collector()
+    engine.now_fn = lambda: 1000
+    quid = manager.subscribe(
+        "select count(*) from people group by interval 1 s", cb,
+        time_context=TimeContext(1000),
+    )
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 1500, "value": 1, "name": "X", "surname": "Y"}])
+    sub = manager.subs[quid]
+    assert sub.buckets  # open bucket holds the value
+    engine.now_fn = lambda: 2100
+    manager.tick(2100)
+    assert cb.pushes[-1][0]["count_value"] == 1
+    assert sub.buckets == {}  # released on close
+    # a late record for the closed bucket is dropped, not amended
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 1900, "value": 2, "name": "X", "surname": "Y"}])
+    assert sub.buckets == {} and cb.pushes[-1][0]["count_value"] == 1
+
+
+def test_subscribe_buffers_rows_published_during_historical(manager, engine):
+    """A row published while the historical scan runs is buffered and
+    delivered after the historical payload — not silently lost."""
+    pushes = []
+
+    def cb(rows):
+        if not pushes:
+            # simulate an insert landing mid-scan: the subscription is
+            # already registered, so this publish must buffer
+            pushes.append(rows)
+            manager.publish("default", "default", "people",
+                            [{"timestamp": 99, "value": 7, "name": "Frank",
+                              "surname": "Doe"}])
+            return
+        pushes.append(rows)
+
+    manager.subscribe("select * from people where name = Frank", cb)
+    assert len(pushes) == 2  # historical, then the flushed buffered row
+    assert pushes[1][0]["timestamp"] == 99
+
+
+def test_temporal_boundary_timestamp_matches_historical_axis(manager, engine):
+    """A record exactly on a bucket edge lands upper-INCLUSIVE, the same
+    bucket the compiled historical axis assigns it to."""
+    cb = Collector()
+    engine.now_fn = lambda: 1000
+    manager.subscribe(
+        "select count(*) from people group by interval 1 s since 10 s", cb,
+        time_context=TimeContext(1000),
+    )
+    engine.now_fn = lambda: 2100
+    manager.tick(2100)  # bucket (1000, 2000] closes with 0
+    # ts == 2000 belongs to (1000, 2000] — arrives late, amends that bucket
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 2000, "value": 1, "name": "X", "surname": "Y"}])
+    amended = cb.pushes[-1][0]
+    assert (amended["lower_bound"], amended["upper_bound"]) == (1000, 2000)
+    assert amended["amended"] and amended["count_value"] == 1
