@@ -47,11 +47,16 @@ def _per_term_scores(
         s = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
         idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
     """
-    n_docs = docs.count()
     words = F.split(F.col(text_col), " ")
-    avgdl = float(
-        docs.select(F.size(words).cast("double").alias("dl")).agg(F.avg("dl")).first()[0]
-    )
+    # ONE corpus pass for both stats (the write_postings_table form);
+    # two separate actions doubled the scan on every BM25 call
+    stats = docs.select(F.size(words).cast("double").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        raise ValueError("BM25 needs a non-empty corpus")
+    avgdl = float(stats["avgdl"])
     toks = docs.select(
         "doc_id",
         F.size(words).cast("double").alias("dl"),
@@ -61,15 +66,24 @@ def _per_term_scores(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     return tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",
-        (
-            idf
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-        ).alias("s"),
+        _bm25_score(n_docs, avgdl, k1, b).alias("s"),
+    )
+
+
+def _bm25_score(n_docs: int, avgdl: float, k1: float, b: float):
+    """The ONE BM25 scoring expression over (tf, df, dl) columns — shared
+    by the scan path and the postings-served path so the 'identical
+    results' contract is structural, not two hand-synchronized copies.
+    Parenthesization is part of the contract (the DuckDB oracle mirrors
+    it term for term)."""
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
     )
 
 
@@ -240,14 +254,9 @@ def bm25_topk_postings(
     index build amortizes over every subsequent query."""
     tf = spark.table(table).filter(F.col("term").isin(query_terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     per_term = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
-        (
-            idf
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-        ).alias("s"),
+        _bm25_score(n_docs, avgdl, k1, b).alias("s"),
     )
     scored = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
     return _rank_topk(scored, k)

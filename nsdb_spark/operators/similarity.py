@@ -33,7 +33,13 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    # floored so a zero-norm vector (padding / missing embedding) scores
+    # cosine 0 instead of crashing the whole query with ANSI
+    # DIVIDE_BY_ZERO; any real vector's norm is >= ~1e-154 and unaffected
+    return F.greatest(
+        F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.lit(1e-300),
+    )
 
 
 def cosine_scores(emb: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
@@ -41,7 +47,7 @@ def cosine_scores(emb: DataFrame, query_vec: list[float], vec_col: str = "embedd
     q = _lit_vec(query_vec)
     import math
 
-    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     v = _as_double(vec_col)
     return emb.select(
         "vec_id",
@@ -275,6 +281,10 @@ def cosine_topk_join(
 
     from pyspark.sql import Window
 
+    if not queries:  # explode of an empty array() is VOID-typed — guard
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     qs = F.array(*[
         F.struct(
             F.lit(int(qid)).alias("query_id"),
@@ -353,16 +363,25 @@ def ivf_topk_join_indexed(
 def rhp_query_probes(
     query_vec: list[float], planes: list[list[float]], multiprobe: int = 1
 ) -> list[int]:
-    """The query's SRP signature plus (multiprobe>=1) every 1-bit-flip
-    neighbour — the bucket set an SRP probe reads."""
+    """The query's SRP signature plus every neighbour within `multiprobe`
+    bit flips — the bucket set an SRP probe reads. The knob genuinely
+    scales: multiprobe=m probes Σ_{i<=m} C(planes, i) buckets (it used
+    to treat any value >= 1 as exactly the 1-flip set, silently capping
+    recall). Driver-side index metadata arithmetic only."""
+    import itertools
+
     q = [float(x) for x in query_vec]
     qsig = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(q, p)) >= 0:
             qsig |= 1 << i
     probes = [qsig]
-    if multiprobe >= 1:
-        probes += [qsig ^ (1 << i) for i in range(len(planes))]
+    for flips in range(1, min(multiprobe, len(planes)) + 1):
+        for combo in itertools.combinations(range(len(planes)), flips):
+            mask = 0
+            for i in combo:
+                mask |= 1 << i
+            probes.append(qsig ^ mask)
     return probes
 
 

@@ -214,6 +214,15 @@ class SQLStatementParser:
         if self._accept_op("*"):
             if self._peek().kind == "kw" and self._peek().text == "FROM":
                 return ast.AllFields()
+            # reference quirk (SQLStatementParser.scala selectFields:
+            # `(All | aggField | field) ~ rep(Comma ~> ...)` with
+            # `case All => AllFields()`): a leading * SWALLOWS any
+            # trailing field list — `select *, a` is AllFields; a
+            # trailing * after named fields stays an error there too
+            if self._peek().kind == "op" and self._peek().text == ",":
+                while self._accept_op(","):
+                    self._parse_one_field()
+                return ast.AllFields()
             raise SQLParseError(f"unexpected input after * in {self.sql!r}")
         fields = [self._parse_one_field()]
         while self._accept_op(","):

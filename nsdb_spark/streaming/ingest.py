@@ -47,9 +47,28 @@ def start_parquet_ingestion(
     registry, type conflicts reject the batch), retention rejection, the
     shard-partitioned timestamp-sorted layout, and incremental rollup
     maintenance (a registered rollup stays fresh under streaming ingest
-    instead of silently serving stale buckets)."""
+    instead of silently serving stale buckets).
+
+    Delivery: foreachBatch is at-least-once on crash, and a parquet
+    append is not idempotent, so a committed-batch marker in the
+    checkpoint dir skips batch ids already inserted on replay. The
+    residual window is a crash BETWEEN the insert and the marker write
+    (that one batch can duplicate — the honest limit of non-transactional
+    parquet; a transactional table format removes it)."""
+    import os as _os
+
+    marker = _os.path.join(checkpoint_dir, "_nsdb_committed_batch")
+
+    def _last_committed() -> int:
+        try:
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_committed():
+            return  # replayed batch already inserted — skip, don't duplicate
         # Publish tap: never funnel the whole batch through the driver.
         # The union of the registered subscriptions' predicates runs as a
         # distributed filter; only matching rows are collected (a superset
@@ -65,6 +84,11 @@ def start_parquet_ingestion(
             elif pred is not None:
                 rows = batch_df.filter(pred).collect()
         engine.insert_frame(db, ns, metric, batch_df)
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        _os.replace(tmp, marker)
         if subscription_manager and rows:
             subscription_manager.publish(db, ns, metric, [r.asDict() for r in rows])
 
@@ -207,8 +231,12 @@ def stream_temporal_agg(
     secs = interval_ms / 1000.0
     evt = F.timestamp_millis(F.col("timestamp")).alias("__evt")
     df = stream_df.withColumn("__evt", evt)
-    if grace_period_ms is not None:
-        df = df.withWatermark("__evt", f"{grace_period_ms / 1000.0} seconds")
+    # ALWAYS watermark: without one, update-mode window state is never
+    # evicted and grows for the stream's lifetime. No grace clause means
+    # NSDb drops late data outright — a 0-second watermark is exactly
+    # that semantics with bounded state.
+    delay_ms = grace_period_ms if grace_period_ms is not None else 0
+    df = df.withWatermark("__evt", f"{delay_ms / 1000.0} seconds")
     win = F.window(
         F.col("__evt"),
         f"{secs} seconds",
@@ -276,4 +304,7 @@ def stream_stream_join(
             < left["__lt"] + F.expr(f"INTERVAL {int(window_ms)} MILLISECONDS")
         )
     )
-    return left.join(right, cond, how).drop("__lt", "__rt")
+    # drop the right-side key too: both sides' `on` survive a Column-
+    # condition join, making the output key ambiguous to select/groupBy
+    # (and NULL on the right copy for unmatched leftOuter rows)
+    return left.join(right, cond, how).drop(right[on]).drop("__lt", "__rt")

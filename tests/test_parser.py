@@ -217,3 +217,35 @@ def test_parse_error_on_garbage():
         parse("selec * from m")
     with pytest.raises(SQLParseError):
         parse("select * from m where")
+
+
+def test_not_scope_swallows_following_conjunction_reference_parity():
+    """Reference parity (SQLStatementParser.scala:187-196 ordered choice:
+    notUnaryLogicalExpression is tried FIRST and `Not ~> expression`
+    greedily parses the rest): `not (a) and b` is NOT(a AND b), not
+    NOT(a) AND b — brackets bound and/or grouping, not NOT's scope."""
+    from nsdb_spark.sql import ast
+    from nsdb_spark.sql.parser import parse
+
+    stmt = parse("select * from m where not (x = 1) and y = 2")
+    e = stmt.condition.expression
+    assert isinstance(e, ast.NotExpression)
+    inner = e.expression
+    assert isinstance(inner, ast.TupledLogicalExpression)
+    assert inner.operator == "and"
+
+
+def test_star_leading_field_list_swallows_rest_reference_parity():
+    """Reference quirk: selectFields' `case All => AllFields()` discards
+    any fields after a leading * — `select *, a` is `select *`; a star
+    AFTER named fields stays a parse error (rep(Comma ~> field) cannot
+    match `*`)."""
+    import pytest
+
+    from nsdb_spark.sql import ast
+    from nsdb_spark.sql.parser import parse
+    from nsdb_spark.sql.errors import SQLParseError
+
+    assert isinstance(parse("select *, age from m").fields, ast.AllFields)
+    with pytest.raises(SQLParseError):
+        parse("select age, * from m")
