@@ -143,8 +143,12 @@ def histogram(
     is a map-side-combinable nbins-row aggregate — the ideal 100 TB shape.
     """
     w = (hi - lo) / nbins
-    bin_col = F.least(
-        F.floor((F.col(value) - lo) / F.lit(w)), F.lit(nbins - 1)
+    # constant range (hi == lo): one degenerate bin instead of an ANSI
+    # divide-by-zero (the psi_by_group guard, applied here too)
+    bin_col = (
+        F.lit(0)
+        if w == 0
+        else F.least(F.floor((F.col(value) - lo) / F.lit(w)), F.lit(nbins - 1))
     ).cast("int")
     return (
         df.filter((F.col(value) >= lo) & (F.col(value) <= hi))
@@ -422,6 +426,11 @@ def psi_by_group(
     # three bounded scalars via one tiny aggregate (the dsir/centroid
     # collect discipline) — lo/hi/total ride as literals, so the corpus
     # is scanned exactly once (the (group, bin) count below)
+    # NULL group keys would silently vanish from the output (null-unsafe
+    # equi-joins below) while still inflating the population baseline —
+    # exclude those rows from BOTH sides so the reference distribution
+    # matches the segments it is compared against
+    df = df.filter(F.col(group).isNotNull())
     row = df.agg(
         F.min(value).alias("lo"),
         F.max(value).alias("hi"),

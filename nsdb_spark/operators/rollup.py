@@ -29,6 +29,11 @@ def temporal_bounds(metric_df: DataFrame, shard_ms: int) -> tuple[int, int]:
     shard grid — lower = floor(min/shard)*shard, upper = the top of the
     shard containing max. One tiny 2-value aggregate."""
     row = metric_df.agg(F.min("timestamp"), F.max("timestamp")).first()
+    if row[0] is None:
+        raise ValueError(
+            "cannot derive a bucket axis from an empty frame — "
+            "pass explicit bounds or skip the rollup"
+        )
     lower = (row[0] // shard_ms) * shard_ms
     upper = (row[1] // shard_ms) * shard_ms + shard_ms
     return lower, upper

@@ -20,8 +20,20 @@ _MIX = 2654435761
 
 def _slot(id_col: Column, denom: int) -> Column:
     # pure integer arithmetic so any SQL engine reproduces it bit-for-bit
-    # (unlike xxhash64/md5, whose implementations differ across engines)
-    return (id_col.cast("long") * _MIX) % (2**32) % denom
+    # (unlike xxhash64/md5, whose implementations differ across engines).
+    # (id*MIX) mod 2^32 depends only on id's low 32 bits, so split the
+    # multiply 16 bits at a time: a direct id*MIX overflows int64 for ids
+    # above ~3.5e9 (ANSI ARITHMETIC_OVERFLOW; sign-biased slots with ANSI
+    # off). Identical values to the plain product wherever that didn't
+    # overflow; pmod keeps negative ids unbiased.
+    idl = F.pmod(id_col.cast("long"), F.lit(1 << 32))
+    lo = idl.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(idl, 16)
+    low32 = F.pmod(
+        lo * _MIX + F.pmod(hi * _MIX, F.lit(1 << 16)) * (1 << 16),
+        F.lit(1 << 32),
+    )
+    return low32 % denom
 
 
 def hash_sample(df: DataFrame, id_col: str, rate: float, denom: int = 1000) -> DataFrame:

@@ -93,7 +93,15 @@ def heavy_hitters(
     import pandas as pd
 
     spark = df.sparkSession
-    vals = df.select(col)
+    # NULLs are excluded up front on BOTH paths: pandas value_counts
+    # drops NaN, so the MG candidates could never contain NULL while the
+    # groupBy fallback would emit it — same data, different answers —
+    # and an un-countable NULL candidate would silently void the
+    # exactness certificate (total counts nulls, candidates can't).
+    vals = df.select(col).filter(F.col(col).isNotNull())
+    # the candidate/result schema follows the column's ACTUAL type —
+    # a hardcoded string schema crashes Arrow on numeric columns
+    col_t = df.schema[col].dataType.simpleString()
 
     def mg(batches):
         counters: dict = {}
@@ -107,7 +115,7 @@ def heavy_hitters(
                 counters = {v: c - cut for v, c in counters.items() if c > cut}
         yield pd.DataFrame({col: list(counters.keys())})
 
-    candidates = vals.mapInPandas(mg, f"{col} string").distinct()
+    candidates = vals.mapInPandas(mg, f"{col} {col_t}").distinct()
     exact = (
         vals.join(F.broadcast(candidates), col, "semi")
         .groupBy(col)
@@ -122,6 +130,6 @@ def heavy_hitters(
 
     out = spark.createDataFrame(
         [(r[col], r["n"], i + 1) for i, r in enumerate(top)],
-        f"{col} string, n long, rank int",
+        f"{col} {col_t}, n long, rank int",
     )
     return out

@@ -78,6 +78,12 @@ def asof_join(
 
     left_cols = left.columns
     rtypes = dict(right.dtypes)
+    # the payload travels as ONE struct per right row: a right row whose
+    # payload columns are legitimately NULL is still a non-null struct,
+    # so last(ignorenulls) cannot skip past it to stale older state —
+    # per-column carry-forward conflated "no prior right row" with
+    # "prior right row with a NULL value"
+    pay_struct_t = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in pay_cols) + ">"
     l_salt = (
         F.pmod(F.xxhash64(F.col(lts)), F.lit(salt)) if salt else F.lit(0)
     ).alias("__salt")
@@ -87,7 +93,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         l_salt,
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(rtypes[c]).alias(f"{prefix}{c}") for c in pay_cols],
+        F.lit(None).cast(pay_struct_t).alias("__pay"),
     )
     ltypes = dict(left.dtypes)
     r_side = right.select(
@@ -96,7 +102,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(0).alias("__salt"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"{prefix}{c}") for c in pay_cols],
+        F.struct(*[F.col(c).alias(c) for c in pay_cols]).alias("__pay"),
     )
     if salt:
         # right rows replicate into every salt bucket: each bucket holds
@@ -111,13 +117,13 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = l_side.unionByName(r_side)
+    unioned = l_side.unionByName(r_side).withColumn(
+        "__pay", F.last("__pay", ignorenulls=True).over(w)
+    )
     for c in pay_cols:
-        unioned = unioned.withColumn(
-            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
-        )
+        unioned = unioned.withColumn(f"{prefix}{c}", F.col(f"__pay.{c}"))
     return unioned.filter(F.col("__side") == 1).drop(
-        "__key", "__ts", "__side", "__salt"
+        "__key", "__ts", "__side", "__salt", "__pay"
     )
 
 

@@ -31,6 +31,18 @@ def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _bigrams(words: Column) -> Column:
+    """Adjacent word pairs "w1 w2" via a zip of the array against its own
+    tail — the ONE bigram construction shared by top_bigrams,
+    repetition_scores, and bigram_pmi (no per-doc self-join)."""
+    n = F.greatest(F.size(words) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(words, 1, n),
+        F.slice(words, 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
 def _stop_hits(words: Column, stopwords: list[str]) -> Column:
     return F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in stopwords])))
 
@@ -44,8 +56,10 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words = F.array_distinct(_words(text_col))
     scores = {lang: _stop_hits(words, sw) for lang, sw in LANG_STOPWORDS.items()}
     best_score = F.greatest(*scores.values())
+    # ties resolve by LANG_ORDER precedence: build the when-chain from
+    # the lowest-precedence language up so the earliest match wins
     pred = F.lit(LANG_ORDER[-1])
-    for lang in reversed(LANG_ORDER[:-1] + [LANG_ORDER[-1]]):
+    for lang in reversed(LANG_ORDER[:-1]):
         pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
     return docs.select(
         "doc_id", pred.alias("pred_lang"), best_score.cast("int").alias("lang_score")
@@ -194,12 +208,7 @@ def top_bigrams(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFra
     window on a constant is avoided: rank assigned post-limit via a sorted
     window over only k rows)."""
     words = _words(text_col)
-    pairs = F.zip_with(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    exploded = docs.select("doc_id", F.explode(pairs).alias("bigram"))
+    exploded = docs.select("doc_id", F.explode(_bigrams(words)).alias("bigram"))
     counted = exploded.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -226,12 +235,8 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     single-word docs define both fractions as 1.0 and 0.0.
     """
     words = _words(text_col)
+    bigrams = _bigrams(words)
     nb = F.greatest(F.size(words) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(words, 1, nb),
-        F.slice(words, 2, nb),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     n = F.size(words)
     return docs.select(
         "doc_id",
@@ -377,11 +382,7 @@ def bigram_pmi(
     once between two hapaxes maxes the score — standard practice).
     """
     words = _words(text_col)
-    pairs = F.zip_with(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    pairs = _bigrams(words)
     uni = (
         docs.select(F.explode(words).alias("w"))
         .groupBy("w")

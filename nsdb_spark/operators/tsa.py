@@ -148,7 +148,10 @@ def ema_last(
     """
     import pandas as pd
 
-    out_schema = f"{key} long, n long, ema double, last_ts long"
+    # the key's ACTUAL type rides into the output schema — a hardcoded
+    # `long` (plus int() coercion) crashed string/any non-integer keys
+    key_t = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_t}, n long, ema double, last_ts long"
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values([ts, id_col])
@@ -157,7 +160,7 @@ def ema_last(
             acc = float(x) if acc is None else alpha * float(x) + (1.0 - alpha) * acc
         return pd.DataFrame(
             {
-                key: [int(pdf[key].iloc[0])],
+                key: [pdf[key].iloc[0]],
                 "n": [len(pdf)],
                 "ema": [round(acc, 6)],
                 "last_ts": [int(pdf[ts].iloc[-1])],

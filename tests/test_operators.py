@@ -2004,3 +2004,38 @@ def test_domain_mixture_zero_budget_and_bpe_early_stop(spark):
     assert len(merges) < 10
     for r in vocab.collect():
         assert "".join(r["tokens"]) == r["word"] + bpe.EOW
+
+
+def test_hash_sample_survives_64bit_ids(spark):
+    from nsdb_spark.operators import sampling
+
+    # snowflake-scale and negative ids: no ANSI overflow, slots match the
+    # exact modular arithmetic, and the old formula where it didn't overflow
+    ids = [1, 999, 2**31 - 1, 4_000_000_000, 2**62 + 12345, -7]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = df.select("doc_id", sampling._slot(F.col("doc_id"), 1000).alias("s")).collect()
+    got = {r["doc_id"]: r["s"] for r in out}
+    for i in ids:
+        assert got[i] == ((i % 2**32) * 2654435761) % 2**32 % 1000, i
+        assert 0 <= got[i] < 1000
+
+
+def test_asof_join_null_payload_is_latest_not_stale(spark):
+    """A right row whose payload is legitimately NULL must win over an
+    older non-null row — 'latest right row', not 'latest non-null'."""
+    from nsdb_spark.operators import temporal_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 50, 5.0), (1, 90, None)], "k long, rt long, v double"
+    )
+    out = temporal_join.asof_join(
+        left, right, on=("k", "k"), ts=("lt", "rt"), payload=["v"]
+    ).collect()
+    assert out[0]["asof_v"] is None  # the ts=90 row, not the stale 5.0
+    # and a left row before any right row still gets NULL
+    left2 = spark.createDataFrame([(1, 10)], "k long, lt long")
+    out2 = temporal_join.asof_join(
+        left2, right, on=("k", "k"), ts=("lt", "rt"), payload=["v"]
+    ).collect()
+    assert out2[0]["asof_v"] is None
