@@ -152,15 +152,20 @@ def pca_fit(
     dim = len(first[0])
 
     def partials(batches):
+        # ONE partial per PARTITION, accumulated across its Arrow batches
+        # — yielding per batch would collect O(n_batches x dim^2) Gram
+        # rows to the driver (hundreds of GB at billions of rows), not
+        # the O(partitions x dim^2) the design intends
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        g = np.zeros((dim, dim), dtype=np.float64)
         for pdf in batches:
             X = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
-            yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0)],
-                    "g": [(X.T @ X).reshape(-1)],
-                }
-            )
+            n += len(X)
+            s += X.sum(axis=0)
+            g += X.T @ X
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s], "g": [g.reshape(-1)]})
 
     rows = (
         emb.select(vec_col)

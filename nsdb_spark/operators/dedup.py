@@ -136,6 +136,26 @@ def ngram_jaccard_pairs(
     hashes primitives, not UTF-8 — measured to cut both shuffle volume
     and GC-driven run-to-run variance on the pair-generation stage.
     """
+    sized, sh = _shingle_pair_sizes(docs, n, stop_shingle_df_limit)
+    out = (
+        sized.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return _finish(out, sh)
+
+
+def _shingle_pair_sizes(
+    docs: DataFrame, n: int, stop_shingle_df_limit: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE shingle-pair pipeline behind both jaccard and containment:
+    (doc_a, doc_b, common, na, nb) rows for every pair sharing a shingle
+    (a < b), plus the persisted exploded-shingle pin the caller must
+    release via _finish. Shared so the hash keying / skew guard / join
+    shape can never drift between the two operators."""
     sh = (
         shingles(_parallelize(docs), n)
         .select("doc_id", F.explode("shingles").alias("s"))
@@ -158,17 +178,11 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
-    out = (
+    sized = (
         common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
-    return _finish(out, sh)
+    return sized, sh
 
 
 def containment_pairs(
@@ -190,30 +204,7 @@ def containment_pairs(
     row; emitting the two directions is a post-aggregation projection,
     not a second join. Same stop-shingle skew guard applies at scale.
     """
-    sh = (
-        shingles(_parallelize(docs), n)
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("sh"))
-    )
-    if stop_shingle_df_limit is not None:
-        hot = (
-            sh.groupBy("sh").count()
-            .filter(F.col("count") > stop_shingle_df_limit)
-            .select("sh")
-        )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sh = sh.persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sized = (
-        common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-    )
+    sized, sh = _shingle_pair_sizes(docs, n, stop_shingle_df_limit)
     fwd = sized.select(
         F.col("doc_a").alias("doc_inner"),
         F.col("doc_b").alias("doc_outer"),
@@ -456,22 +447,14 @@ def minhash_lsh_pairs(
     generated per band bucket (shuffle O(docs×bands)) and verified exactly
     via array_intersect on the (distinct) shingle arrays.
     """
-    r = num_hashes // bands
     # signatures feed banding AND both sides of the verification join:
     # materialize them once (docs × (shingles + num_hashes longs) — the
     # same artifact a production LSH pipeline would write out)
     sigs = minhash_signatures(docs, n, num_hashes).persist()
-    band_cols = [
-        F.xxhash64(F.lit(b), *[F.col("sig")[b * r + i] for i in range(r)]).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key")) for b in range(bands)])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    # band keys via the ONE shared derivation (band_buckets) — the
+    # incremental index path pins `incremental ≡ minhash_lsh_pairs`, so
+    # a second inline copy of the banding scheme is a drift hazard
+    buckets = band_buckets(sigs, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -640,10 +623,16 @@ def embedding_cosine_pairs(
         )
     dim = len(first[0])
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(
-        functools.reduce(
-            operator.add, [v.getItem(i) * v.getItem(i) for i in range(dim)]
-        )
+    # floored like similarity._norm: a zero-norm embedding normalizes to
+    # the zero vector (cosine 0 everywhere) instead of an ANSI
+    # DIVIDE_BY_ZERO aborting the job
+    norm = F.greatest(
+        F.sqrt(
+            functools.reduce(
+                operator.add, [v.getItem(i) * v.getItem(i) for i in range(dim)]
+            )
+        ),
+        F.lit(1e-300),
     )
     # pre-normalize: the pair stage then does only the dim-term dot product
     nv = F.array(*[(v.getItem(i) / norm).alias(f"x{i}") for i in range(dim)])
@@ -781,8 +770,11 @@ def embedding_srp_pairs(
         .distinct()
     )
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(
-        functools.reduce(operator.add, [v.getItem(i) * v.getItem(i) for i in range(dim)])
+    norm = F.greatest(  # zero-norm guard, same rationale as above
+        F.sqrt(
+            functools.reduce(operator.add, [v.getItem(i) * v.getItem(i) for i in range(dim)])
+        ),
+        F.lit(1e-300),
     )
     nv = F.array(*[(v.getItem(i) / norm) for i in range(dim)])
     e = emb.select(F.col("vec_id"), nv.alias("v"))
@@ -872,6 +864,11 @@ def connected_components_alternating(
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not reach a fixpoint in {max_iter} "
+            "rounds — raise max_iter (expected O(log² n) rounds)"
+        )
     roots = e.groupBy("u").agg(F.min("v").alias("root"))
     return (
         nodes.join(roots, nodes["doc_id"] == roots["u"], "left")
@@ -936,6 +933,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted WITHOUT converging: returning the partially
+        # propagated labels would silently split one true component into
+        # several cluster_ids (the dedup pipeline then keeps extra
+        # near-duplicates). Fail loudly; long-diameter graphs should use
+        # connected_components_alternating (O(log² n) rounds).
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter) — raise max_iter or use "
+            "connected_components_alternating"
+        )
     edges.unpersist()
     return labels
 

@@ -53,11 +53,17 @@ def pack_sequences(
 
     local = d.mapInPandas(
         _local_prefix, schema="doc_id long, n long, pid int, local_start long"
-    )
+    ).localCheckpoint(eager=True)
     # P subtotal scalars: prefix-sum on the driver (P ≈ shuffle partitions,
     # never data-sized), broadcast back. Missing pids = empty partitions.
+    # Subtotals come from the CHECKPOINTED local frame, not a second
+    # evaluation of `d`: repartitionByRange samples its boundaries per
+    # job, so two independent evaluations may split rows across pids
+    # differently — subtotals from one split joined to local_starts from
+    # another silently shifts every downstream offset. The checkpoint
+    # pins one evaluation (4 longs/doc, linear) that both readers share.
     subtotals = {r["pid"]: r["s"] for r in
-                 d.groupBy("pid").agg(F.sum("n").alias("s")).collect()}
+                 local.groupBy("pid").agg(F.sum("n").alias("s")).collect()}
     offsets, acc = [], 0
     for pid in range(max(subtotals, default=-1) + 1):
         offsets.append((pid, acc))

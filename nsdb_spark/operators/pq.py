@@ -263,6 +263,34 @@ def _ivfpq_query_side(query_vec, centroids, cbs, nprobe, id_col="vec_id"):
     return probes, tables, score
 
 
+
+def _residuals(emb, centroids, vec_col: str, id_col: str):
+    """(id, cell, resid) — vectors minus their assigned coarse centroid,
+    one Arrow pass. The ONE residual computation shared by the inline
+    search and the stored-index writer: ivfpq_topk_indexed's "results
+    match ivfpq_search" contract requires both paths to produce
+    bit-identical residuals, so there is exactly one copy to keep right.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign
+
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(emb, centroids, vec_col)
+
+    def to_resid(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
+            R = V - C[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": pdf["cell"], "resid": list(R)}
+            )
+
+    return assigned.select(id_col, "cell", vec_col).mapInPandas(
+        to_resid, f"{id_col} long, cell int, resid array<double>"
+    )
+
 def write_ivfpq_index(
     emb: DataFrame,
     name: str,
@@ -290,20 +318,7 @@ def write_ivfpq_index(
     from ..sources.bucketed import write_partitioned
     from .similarity import ivf_assign
 
-    C = np.asarray(centroids, dtype=np.float64)
-    assigned = ivf_assign(emb, centroids, vec_col)
-
-    def to_resid(batches):
-        for pdf in batches:
-            V = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
-            R = V - C[pdf["cell"].to_numpy()]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cell": pdf["cell"], "resid": list(R)}
-            )
-
-    res = assigned.select(id_col, "cell", vec_col).mapInPandas(
-        to_resid, f"{id_col} long, cell int, resid array<double>"
-    ).persist()
+    res = _residuals(emb, centroids, vec_col, id_col).persist()
     cbs = pq_train(res, m, ks, iters, vec_col="resid", id_col=id_col, train_size=train_size)
     enc = pq_encode(res, cbs, vec_col="resid", id_col=id_col)
     out = (
@@ -389,20 +404,7 @@ def ivfpq_search(
 
     from .similarity import cosine_topk, ivf_assign
 
-    C = np.asarray(centroids, dtype=np.float64)
-    assigned = ivf_assign(emb, centroids, vec_col)
-
-    def to_resid(batches):
-        for pdf in batches:
-            V = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
-            R = V - C[pdf["cell"].to_numpy()]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cell": pdf["cell"], "resid": list(R)}
-            )
-
-    res = assigned.select(id_col, "cell", vec_col).mapInPandas(
-        to_resid, f"{id_col} long, cell int, resid array<double>"
-    )
+    res = _residuals(emb, centroids, vec_col, id_col)
     # train on the residual distribution (one bounded sample), encode all
     res = res.persist()
     cbs = pq_train(res, m, ks, iters, vec_col="resid", id_col=id_col, train_size=train_size)
@@ -419,8 +421,12 @@ def ivfpq_search(
         .select(id_col, "cell", "codes")
         .mapInPandas(score, f"{id_col} long, adist double")
     )
+    # materialize the k-row result BEFORE releasing the pin: the return
+    # value is lazy, so unpersisting first would recompute the full
+    # residual mapInPandas pass (twice — it feeds two subtrees) at the
+    # caller's action. Same _finish discipline as the dedup operators.
     cand = scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(shortlist)
     hits = emb.join(F.broadcast(cand.select(id_col)), id_col, "semi")
-    out = cosine_topk(hits, query_vec, k, vec_col)
+    out = cosine_topk(hits, query_vec, k, vec_col).localCheckpoint(eager=True)
     res.unpersist()
     return out

@@ -34,6 +34,7 @@ def stream_temporal_agg_stateful(
     interval_ms: int,
     anchor_ms: int = 0,
     value_col: str = "value",
+    state_ttl_ms: int = 3_600_000,
 ) -> DataFrame:
     """Per-bucket running aggregates with amended re-emission.
 
@@ -42,11 +43,19 @@ def stream_temporal_agg_stateful(
     carrying the bucket's FULL current aggregates — the re-pushed amended
     result a subscriber sees. Buckets are [lb, ub) anchored at anchor_ms
     (NSDb anchors at subscription time, SURVEY.md §2.8).
+
+    State is BOUNDED: a bucket untouched for `state_ttl_ms` of processing
+    time is evicted (its amendment horizon — NSDb's grace analogue; with
+    NoTimeout every bucket ever opened would live in the state store for
+    the stream's lifetime). A late row for an evicted bucket re-opens it
+    with partials counted from that row on. Null timestamps are dropped
+    (a NULL bucket key would poison the state function on every replay).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     iv = int(interval_ms)
+    ttl = int(state_ttl_ms)
 
     def update(
         key: Tuple[Any, ...],
@@ -54,6 +63,9 @@ def stream_temporal_agg_stateful(
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
         ub = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             cnt, sm, mn, mx = state.get
         else:
@@ -66,6 +78,7 @@ def stream_temporal_agg_stateful(
             mn = bmn if mn is None else min(mn, bmn)
             mx = bmx if mx is None else max(mx, bmx)
         state.update((cnt, sm, mn, mx))
+        state.setTimeoutDuration(ttl)
         yield pd.DataFrame(
             {
                 "upper_bound": [ub],
@@ -78,7 +91,7 @@ def stream_temporal_agg_stateful(
             }
         )
 
-    keyed = stream_df.withColumn(
+    keyed = stream_df.filter(F.col("timestamp").isNotNull()).withColumn(
         "__ub",
         (
             F.lit(anchor_ms)
@@ -91,5 +104,5 @@ def stream_temporal_agg_stateful(
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
