@@ -742,11 +742,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # PCA dim-reduction (eigendecomposition: not SQL-expressible — rows
-    # only; fit/projection invariants asserted in tests)
+    # only; fit/projection invariants asserted in tests). Registry shape
+    # is scalar pc0..pc7 doubles, not array<double>: the harness
+    # canonicalizer sorts/hashes column values and can't hash lists.
     def _pca(spark, sf):
         e = _emb(spark, sf)
         mean, comps, _var = clustering.pca_fit(e, k=8)
-        return clustering.pca_project(e, mean, comps)
+        proj = clustering.pca_project(e, mean, comps)
+        return proj.select(
+            "vec_id",
+            *[F.col("proj")[i].alias(f"pc{i}") for i in range(8)],
+        )
 
     q["emb_pca_project"] = _pca
 

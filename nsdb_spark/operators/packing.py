@@ -28,14 +28,11 @@ from pyspark.sql import functions as F
 from .text import _words
 
 
-def pack_sequences(
-    docs: DataFrame, budget: int = 512, text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, chunk_id, start, tokens_in_chunk): each doc's token span
-    [start, start+n) mapped onto every budget-sized chunk it overlaps.
-    Whitespace token count (consistent with text.py tokenization)."""
-    if budget <= 0:
-        raise ValueError("budget must be positive")
+def _local_prefix_frame(docs: DataFrame, budget: int, text_col: str) -> DataFrame:
+    """The pre-checkpoint two-phase-scan frame: range-partitioned by
+    doc_id with per-partition running sums. Exposed separately so plan
+    tests can assert the rangepartitioning exchange, which the
+    localCheckpoint in pack_sequences truncates from the final plan."""
     d = (
         docs.select("doc_id", F.size(_words(text_col)).cast("long").alias("n"))
         .repartitionByRange("doc_id")
@@ -51,9 +48,20 @@ def pack_sequences(
             run += int(pdf["n"].sum())
             yield pdf
 
-    local = d.mapInPandas(
+    return d.mapInPandas(
         _local_prefix, schema="doc_id long, n long, pid int, local_start long"
-    ).localCheckpoint(eager=True)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 512, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, chunk_id, start, tokens_in_chunk): each doc's token span
+    [start, start+n) mapped onto every budget-sized chunk it overlaps.
+    Whitespace token count (consistent with text.py tokenization)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    local = _local_prefix_frame(docs, budget, text_col).localCheckpoint(eager=True)
     # P subtotal scalars: prefix-sum on the driver (P ≈ shuffle partitions,
     # never data-sized), broadcast back. Missing pids = empty partitions.
     # Subtotals come from the CHECKPOINTED local frame, not a second

@@ -343,12 +343,18 @@ def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     ubiquity back onto the exploded frame co-partitioned on the gram key,
     and collapse to one row per doc — two shuffles end to end, no pair
     joins, so it scales linearly where jaccard-style pairing wouldn't.
+    shingle_array is per-doc DISTINCT (array_distinct), so the gram
+    count IS a true document frequency. The exploded (doc_id, gh) frame
+    feeds both the df aggregate and the join probe, so it is persisted —
+    16 bytes/gram, computed once instead of re-exploding the corpus.
     """
     from .dedup import shingle_array
 
-    g = docs.select(
-        "doc_id", F.explode(shingle_array(text_col, n)).alias("g")
-    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    g = (
+        docs.select("doc_id", F.explode(shingle_array(text_col, n)).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .persist()
+    )
     gdf = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     return (
         g.join(gdf, "gh")

@@ -208,14 +208,18 @@ def test_split_assignment_no_shuffle(spark):
 def test_pack_sequences_avoids_global_window(spark):
     """The global prefix sum must come from the two-phase scan, never an
     Exchange SinglePartition (which would serialize the whole corpus
-    through one task)."""
+    through one task). The final plan is truncated by pack_sequences'
+    localCheckpoint (which pins one repartitionByRange evaluation), so
+    the rangepartitioning shape is asserted on the pre-checkpoint frame."""
     from nsdb_spark.operators import packing
 
     spark.catalog.clearCache()
     docs = testdata.table(spark, SF_DIR, "documents")
+    pre = plan_of(packing._local_prefix_frame(docs, 512, "text"))
+    assert "rangepartitioning" in pre
+    assert "Exchange SinglePartition" not in pre
     plan = plan_of(packing.pack_sequences(docs, budget=512))
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan
 
 
 def test_postings_query_prunes_term_buckets(spark):
