@@ -204,6 +204,22 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
 
+    # recorded per-entry times from the last committed full run — the
+    # variance-protocol baseline for the 2x re-time rule below
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_detail.json")
+    baselines: dict[str, float] = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prior_run = json.load(f)
+            # only compare like-for-like: a smoke run at another SF must
+            # neither borrow nor poison the sf0.1 baselines
+            if prior_run.get("sf") == sf:
+                baselines = prior_run.get("queries", {})
+        except Exception:  # pragma: no cover
+            baselines = {}
+
     results: dict[str, float] = {}
     for name in bench_names:
         t0 = time.time()
@@ -219,8 +235,12 @@ def main() -> None:
         # This host shows rare multi-x stalls (CPU-steal bursts / GC storms)
         # on the shuffle-heavy operators — a single unlucky timed run then
         # misrepresents the steady state by 5-20x. Re-time once and keep the
-        # min; bounded extra cost, only for runs slow enough to be suspect.
-        if results[name] > 10.0:
+        # min; bounded extra cost, only for runs slow enough to be suspect:
+        # >10 s absolute, OR >2x the entry's recorded time from the last
+        # committed full run (catches sub-10 s regressions that would
+        # otherwise ship a one-off stall as a round-over-round regression).
+        prior = baselines.get(name)
+        if results[name] > 10.0 or (prior and prior > 0 and results[name] > 2 * prior):
             t0 = time.time()
             try:
                 queries[name](spark, sf_dir).collect()
@@ -242,12 +262,38 @@ def main() -> None:
 
     total = round(sum(v for k, v in results.items()
                       if k != "gatling_success_pct" and v > 0), 3)
+    # Full per-query map goes to a committed detail file; stdout gets ONE
+    # COMPACT line. The driver's capture truncated the round-2 full map
+    # (133 entries ~4 KB -> parsed:null + a 2 KB tail), which cost
+    # round-over-round visibility for half the registry — so the line
+    # carries the headline numbers + the slowest entries, and points at
+    # the detail file for everything else.
+    timed = {k: v for k, v in results.items()
+             if k not in ("gatling_100_point_queries", "gatling_success_pct")}
+    compact: dict[str, float] = dict(
+        sorted(timed.items(), key=lambda kv: -kv[1])[:10]
+    )
+    nsdb_times = [v for k, v in timed.items() if k.startswith("nsdb_") and v > 0]
+    compact["nsdb_class_max"] = max(nsdb_times) if nsdb_times else -1.0
+    compact["gatling_100_point_queries"] = results["gatling_100_point_queries"]
+    compact["gatling_success_pct"] = results["gatling_success_pct"]
+    # smoke runs at other SFs go to a scratch file so they never clobber
+    # the committed sf0.1 baseline the 2x re-time rule reads
+    out_path = detail_path if sf == 0.1 else (
+        detail_path.replace(".json", f"_{os.path.basename(sf_dir.rstrip('/'))}.json")
+    )
+    with open(out_path, "w") as f:
+        json.dump({"metric": "bench_total", "value": total, "unit": "sec",
+                   "queries": results, "sf": sf}, f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
-        "queries": results,
+        "queries": compact,
         "sf": sf,
+        "entries": len(timed),
+        "failed": sorted(k for k, v in timed.items() if v < 0),
+        "detail": os.path.basename(out_path),
     }))
     spark.stop()
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from typing import Any
 
@@ -48,6 +49,12 @@ class NsdbEngine:
         self.now_fn = now_fn
         # opt-in HLL count-distinct (exact by default — reference parity)
         self.approx_count_distinct = approx_count_distinct
+        # rollup maintenance is a read-merge-overwrite: two concurrent
+        # insert batches (ThreadingHTTPServer) that both read the same
+        # stored state would each overwrite the other's registers —
+        # serialize per metric (the Warehouse._schema_lock discipline)
+        self._rollup_locks: dict[tuple[str, str, str], threading.Lock] = {}
+        self._rollup_locks_guard = threading.Lock()
 
     # ------------------------------------------------------------- write path
     def insert_bits(self, db: str, ns: str, metric: str, bits: list[Bit]) -> int:
@@ -196,7 +203,20 @@ class NsdbEngine:
         group: additive n/sum + re-reduced min/max per group). Cost is
         proportional to the ROLLUP size, not history. A bit outside a
         temporal rollup's pinned (lower, upper] axis would change the
-        bucket grid, so that case invalidates everything instead."""
+        bucket grid, so that case invalidates everything instead.
+
+        Serialized per metric: every merge below is read-merge-overwrite,
+        and unserialized concurrent batches would silently drop each
+        other's partials (lost update)."""
+        from .operators import rollup as rollup_ops
+
+        key = (db, ns, metric)
+        with self._rollup_locks_guard:
+            lock = self._rollup_locks.setdefault(key, threading.Lock())
+        with lock:
+            return self._maintain_rollups_locked(db, ns, metric, lo, hi, batch_df)
+
+    def _maintain_rollups_locked(self, db, ns, metric, lo, hi, batch_df) -> None:
         from .operators import rollup as rollup_ops
 
         registered = self.warehouse.rollups(db, ns, metric)

@@ -186,6 +186,41 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
 _SHINGLES_CTE = _shingles_cte(capped=False)
 
 
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """PageRank over the guarded jaccard near-dup graph, the iteration
+    count UNROLLED into chained CTEs (fixed iters makes recursion
+    unnecessary and sidesteps SQL's single-self-reference rule): per
+    step one in-mass aggregate + the textbook dangling-mass
+    redistribution, exactly graph.pagerank's update."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+s{t} AS (SELECT we.d AS node, sum(r.rank * we.wt) AS in_mass
+        FROM we JOIN r{t - 1} r ON we.s = r.node GROUP BY we.d),
+r{t} AS (SELECT d.doc_id AS node,
+         (1.0 - {damping}) / (SELECT n FROM nct)
+         + {damping} * (coalesce(s.in_mass, 0)
+             + (1.0 - (SELECT coalesce(sum(in_mass), 0) FROM s{t}))
+               / (SELECT n FROM nct)) AS rank
+        FROM documents d LEFT JOIN s{t} s ON s.node = d.doc_id)""")
+    return f"""
+WITH {_shingles_cte(capped=True)},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+we AS (SELECT e.s, e.d, 1.0 / deg.deg AS wt FROM edges e JOIN deg USING (s)),
+nct AS (SELECT count(*) AS n FROM documents),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nct) AS rank FROM documents),
+{",".join(steps)}
+SELECT node, round(rank, 6) AS rank FROM r{iters}
+"""
+
+
 def _jaccard_oracle(threshold: float, capped: bool = False) -> str:
     return f"""
 WITH {_shingles_cte(capped)}
@@ -1167,6 +1202,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
+        # round 4: entries whose plan/shape/oracle changed this round —
+        # keep them inside the driver's 50-entry check prefix
+        "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
+        "pack_sequences",
         # round 3: data-selection operators (DSIR, LR quality, fuzzy
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
@@ -1609,6 +1648,10 @@ reach(node, root) AS (
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
     o["dedup_clusters_alternating"] = o["dedup_clusters"]
+    # fixed damping + fixed iteration count over the same guarded pair
+    # graph: SQL-expressible after all (unrolled steps), converting one
+    # of the two remaining rows-only entries to a hash-checked one
+    o["graph_pagerank"] = _pagerank_oracle(iters=5, damping=0.85)
     o["text_winnowing"] = """
 WITH pos AS (SELECT doc_id, text, greatest(length(text) - 7, 1) AS n_pos FROM documents),
 g AS (SELECT doc_id, n_pos, text,

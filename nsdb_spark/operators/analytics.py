@@ -429,8 +429,10 @@ def psi_by_group(
     # NULL group keys would silently vanish from the output (null-unsafe
     # equi-joins below) while still inflating the population baseline —
     # exclude those rows from BOTH sides so the reference distribution
-    # matches the segments it is compared against
-    df = df.filter(F.col(group).isNotNull())
+    # matches the segments it is compared against. Same for NULL values:
+    # they land in no bin, so counting them into totn would deflate every
+    # q_b — both distributions must be built over exactly the binned rows
+    df = df.filter(F.col(group).isNotNull() & F.col(value).isNotNull())
     row = df.agg(
         F.min(value).alias("lo"),
         F.max(value).alias("hi"),

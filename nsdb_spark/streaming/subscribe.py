@@ -19,6 +19,7 @@ Behaviour parity with PublisherActor (nsdb-core/.../actors/PublisherActor.scala)
 from __future__ import annotations
 
 import re
+import threading
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -120,8 +121,14 @@ class _Subscription:
     bucket_start: int = 0
     buckets: dict[int, list] = field(default_factory=dict)  # upper_bound → values
     # rows published while the historical scan is still running are
-    # buffered here and routed after it — None once live
+    # buffered here and routed after it — None once live. Append and
+    # swap race (publisher thread vs the subscribing thread's drain), so
+    # both happen under pending_lock: an unlocked publisher could observe
+    # the list, lose the CPU while subscribe() drains it, then append to
+    # the orphaned list — exactly the lost update this buffer exists to
+    # prevent.
     pending: list | None = None
+    pending_lock: threading.Lock = field(default_factory=threading.Lock)
 
 
 class SubscriptionManager:
@@ -204,7 +211,8 @@ class SubscriptionManager:
         except Exception:
             self.subs.pop(sub.uuid, None)
             raise
-        buffered, sub.pending = sub.pending, None
+        with sub.pending_lock:
+            buffered, sub.pending = sub.pending, None
         for rows, now in buffered:
             self._route(sub, rows, now)
         return sub.uuid
@@ -263,9 +271,10 @@ class SubscriptionManager:
         for sub in list(self.subs.values()):
             if (sub.db, sub.ns, sub.metric) != (db, ns, metric):
                 continue
-            if sub.pending is not None:  # historical scan in flight
-                sub.pending.append((rows, now))
-                continue
+            with sub.pending_lock:
+                if sub.pending is not None:  # historical scan in flight
+                    sub.pending.append((rows, now))
+                    continue
             self._route(sub, rows, now)
 
     def _route(self, sub: _Subscription, rows: list[dict], now: int) -> None:

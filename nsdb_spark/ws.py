@@ -194,24 +194,34 @@ class WsSession:
             return
 
         first: list = []
+        pending: list = []
+        pending_lock = threading.Lock()
         quid_ready = threading.Event()
 
-        def cb(records: list[dict]) -> None:
-            if not first:
-                first.append(records)
-                return
-            # a publisher thread can push between subscribe() returning
-            # the historical payload and cb_quid being filled below —
-            # wait for registration to finish instead of IndexError-ing
-            # inside the ingest path
-            if not quid_ready.wait(timeout=5.0):
-                return  # registration aborted — drop the push
-            quid = cb_quid[0]
+        def _buffer(quid: str, records: list[dict]) -> None:
             with self.lock:
                 buf = self.buffers.setdefault(quid, [])
                 room = self.retention_size - len(buf)
                 if room > 0:
                     buf.extend(records[:room])  # dropNew beyond retention
+
+        def cb(records: list[dict]) -> None:
+            if not first:
+                first.append(records)
+                return
+            # subscribe() flushes batches buffered during the historical
+            # scan through this callback INLINE, on the registration
+            # thread — quid isn't assigned yet, and blocking here would
+            # deadlock registration. Park them and flush after the quid
+            # exists; a live publisher racing registration takes the same
+            # path (double-checked under pending_lock so nothing lands in
+            # an already-drained list).
+            if not quid_ready.is_set():
+                with pending_lock:
+                    if not quid_ready.is_set():
+                        pending.append(records)
+                        return
+            _buffer(cb_quid[0], records)
 
         cb_quid: list[str] = []
         try:
@@ -221,6 +231,10 @@ class WsSession:
             return
         cb_quid.append(quid)
         quid_ready.set()
+        with pending_lock:
+            parked, pending[:] = list(pending), []
+        for records in parked:
+            _buffer(quid, records)
         self.quids.append(quid)
         self.metric_of[quid] = stmt.metric
         self._send_json(

@@ -1099,3 +1099,36 @@ def test_zorder_quantization_does_not_wrap_large_values(engine, spark):
             for r in spark.read.parquet(os.path.join(dp, shard_dir, f)).collect()
         ]
         assert max(vals) - min(vals) < 50_000_000  # one cluster per file
+
+
+def test_rollup_maintenance_serialized_per_metric(engine, monkeypatch):
+    """Rollup maintenance is read-merge-overwrite; two concurrent insert
+    batches must never run the merge simultaneously for the same metric
+    (lost update). Assert the per-metric lock actually serializes."""
+    import threading
+    import time as _time
+
+    active = {"n": 0, "max": 0}
+    guard = threading.Lock()
+
+    def slow_locked(db, ns, metric, lo, hi, batch_df):
+        with guard:
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+        _time.sleep(0.05)
+        with guard:
+            active["n"] -= 1
+
+    monkeypatch.setattr(engine, "_maintain_rollups_locked", slow_locked)
+    threads = [
+        threading.Thread(
+            target=engine._maintain_rollups_on_write,
+            args=("default", "default", "cm", 0, 1000, None),
+        )
+        for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert active["max"] == 1  # never two merges in flight for one metric

@@ -470,3 +470,51 @@ def test_auth_gates_on_executed_metric_not_body_field(auth_server):
     code, body = _get_with_body(port, "/query", {
         "metric": "open", "queryString": "select * from secret"})
     assert code == 403
+
+
+def test_ws_rows_buffered_during_historical_scan_are_flushed(engine):
+    """subscribe() flushes rows that arrived DURING the historical scan
+    through the callback inline, before it returns — i.e. before the WS
+    session knows its quid. Those batches must be parked and pushed once
+    registration completes, not block 5 s each and then be dropped."""
+    import time as _time
+
+    from nsdb_spark.model import Bit
+    from nsdb_spark.streaming import SubscriptionManager
+
+    engine.insert_bits("default", "default", "people", [Bit(8, 1, {}, {"name": "A"})])
+    subs = SubscriptionManager(engine)
+    orig = subs.subscribe
+
+    def racing_subscribe(sql, cb, **kw):
+        state = {"historical_seen": False}
+
+        def wrapped(recs):
+            first = not state["historical_seen"]
+            cb(recs)
+            if first:
+                state["historical_seen"] = True
+                # a batch published mid-scan: drained inline before
+                # subscribe() returns, exactly the pre-quid window
+                cb([{"timestamp": 99, "value": 7, "name": "A"}])
+
+        return orig(sql, wrapped, **kw)
+
+    subs.subscribe = racing_subscribe
+    srv, _ = http_api.serve(engine, subscription_manager=subs)
+    port = srv.server_address[1]
+    try:
+        t0 = _time.monotonic()
+        c = WsClient(port, "/ws-stream?refresh_period=100")
+        c.send_json({"db": "default", "namespace": "default", "metric": "people",
+                     "queryString": "select * from people"})
+        first = c.recv_json()
+        # registration must not stall on the parked batch
+        assert _time.monotonic() - t0 < 4.0
+        assert [r["timestamp"] for r in first["records"]] == [8]
+        push = c.recv_json()  # the parked batch arrives on a flush cycle
+        assert push["quid"] == first["quid"]
+        assert [r["timestamp"] for r in push["records"]] == [99]
+        c.close()
+    finally:
+        srv.shutdown()

@@ -2039,3 +2039,26 @@ def test_asof_join_null_payload_is_latest_not_stale(spark):
         left2, right, on=("k", "k"), ts=("lt", "rt"), payload=["v"]
     ).collect()
     assert out2[0]["asof_v"] is None
+
+
+def test_psi_null_values_excluded_from_population(spark):
+    """Rows whose value is NULL land in no bin; counting them into the
+    population total would deflate every q_b. PSI over a frame with NULL
+    values must equal PSI over the same frame with those rows removed."""
+    from nsdb_spark.operators import analytics
+
+    rows = (
+        [(i, "a", float((i * 13) % 100)) for i in range(100)]
+        + [(200 + i, "b", float(90 + (i % 10))) for i in range(40)]
+        + [(900 + i, "a", None) for i in range(30)]  # NULL values
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    with_nulls = {
+        r["source"]: (r["n"], r["psi"])
+        for r in analytics.psi_by_group(docs).collect()
+    }
+    clean = {
+        r["source"]: (r["n"], r["psi"])
+        for r in analytics.psi_by_group(docs.dropna(subset=["n_chars"])).collect()
+    }
+    assert with_nulls == clean
