@@ -57,6 +57,7 @@ def main() -> None:
         "nsdb_temporal_count",
         "nsdb_temporal_sum",
         "dedup_exact",
+        "dedup_passages",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",

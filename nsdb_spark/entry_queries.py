@@ -507,6 +507,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf))
+    q["dedup_passages"] = lambda spark, sf: dedup.passage_dup_stats(
+        _docs(spark, sf), k=8
+    )
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), n=3, threshold=0.5,
         stop_shingle_df_limit=_pair_guard_limit(spark, sf),
@@ -1205,7 +1208,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: entries whose plan/shape/oracle changed this round —
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
-        "pack_sequences",
+        "pack_sequences", "dedup_passages",
         # round 3: data-selection operators (DSIR, LR quality, fuzzy
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
@@ -2046,6 +2049,26 @@ WITH r AS (SELECT event_id, event_type,
                              event_id ASC) AS rn
            FROM events)
 SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
+"""
+    # passage grouping key: the oracle groups by the passage STRING, the
+    # Spark side by its xxhash64 — identical counts barring a 64-bit
+    # collision; DuckDB list slices are 1-based inclusive and clamp at
+    # the end, matching F.slice's remainder window
+    o["dedup_passages"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (SELECT doc_id,
+             unnest(generate_series(0, cast(ceil(len(words)/8.0) AS bigint) - 1)) AS pos,
+             words FROM w),
+p2 AS (SELECT doc_id, pos,
+              array_to_string(words[(pos*8+1):(pos*8+8)], ' ') AS passage FROM p),
+kk AS (SELECT doc_id, pos, passage, doc_id * 4294967296 + pos AS ck FROM p2),
+h AS (SELECT passage, count(*) AS cnt, min(ck) AS mn FROM kk GROUP BY passage)
+SELECT doc_id, count(*) AS n_passages,
+       cast(sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END) AS bigint)
+         AS dup_passages,
+       round(sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_frac
+FROM kk JOIN h USING (passage) GROUP BY doc_id
 """
     o["text_novelty"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

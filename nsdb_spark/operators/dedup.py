@@ -86,6 +86,59 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def passage_dup_stats(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Passage-level exact dedup (the RefinedWeb/MassiveText removal unit
+    between whole-doc hashing and fuzzy shingles): cut each doc into
+    consecutive non-overlapping k-word passages and flag every occurrence
+    that is not the corpus-wide canonical first copy of its content.
+    Output (doc_id, n_passages, dup_passages, dup_frac rounded 6) —
+    dup_frac is the fraction of the doc a passage-dedup pass would drop.
+
+    Canonical copy = min (doc_id, position) composite; the composite is
+    the scalar doc_id·2^32+pos (min over a struct isn't portable to the
+    SQL oracle). Plan: one posexplode, one map-side-combinable count+min
+    per passage hash, a co-partitioned join-back on the hash, one per-doc
+    aggregate — the linear ngram_novelty shape, no pair join; the
+    exploded frame is persisted so the aggregate and the probe share one
+    evaluation. Passages hash to xxhash64 longs on the wire (16 bytes a
+    row at any corpus size); the last window keeps the <k-word remainder.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    words = _word_array(text_col)
+    npass = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), npass - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
+    )
+    p = (
+        docs.select("doc_id", F.posexplode(passages).alias("pos", "passage"))
+        .select(
+            "doc_id",
+            F.xxhash64("passage").alias("ph"),
+            (F.col("doc_id") * F.lit(4294967296) + F.col("pos")).alias("ck"),
+        )
+        .persist()
+    )
+    h = p.groupBy("ph").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("ck").alias("mn")
+    )
+    dup = F.when((F.col("cnt") > 1) & (F.col("ck") != F.col("mn")), 1).otherwise(0)
+    return (
+        p.join(h, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(dup).alias("dup_passages"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("dup_passages") / F.col("n_passages"), 6)
+        )
+    )
+
+
 # ------------------------------------------------------------------ shingles
 
 

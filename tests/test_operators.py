@@ -2062,3 +2062,28 @@ def test_psi_null_values_excluded_from_population(spark):
         for r in analytics.psi_by_group(docs.dropna(subset=["n_chars"])).collect()
     }
     assert with_nulls == clean
+
+
+def test_passage_dup_stats_canonical_first_and_remainder(spark):
+    """Every occurrence of a passage except the corpus-wide (doc, pos)
+    minimum is a duplicate; the trailing <k-word remainder is its own
+    passage."""
+    from nsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "a b c d e f"),
+            (4, "q r s t"),  # remainder window: ["q r s", "t"]
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_passages"], r["dup_passages"], r["dup_frac"])
+        for r in dedup.passage_dup_stats(docs, k=3).collect()
+    }
+    assert out[1] == (2, 0, 0.0)   # both canonical copies live here
+    assert out[2] == (2, 1, 0.5)   # "a b c" repeated, "x y z" unique
+    assert out[3] == (2, 2, 1.0)   # byte-identical doc: fully duplicated
+    assert out[4] == (2, 0, 0.0)
