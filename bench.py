@@ -58,6 +58,7 @@ def main() -> None:
         "nsdb_temporal_sum",
         "dedup_exact",
         "dedup_passages",
+        "dedup_keep_best",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",

@@ -603,6 +603,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf).select("doc_id"),
     )
 
+    def _keep_best(spark, sf):
+        docs = _docs(spark, sf)
+        clusters = dedup.connected_components(
+            dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5,
+                stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+            ),
+            docs.select("doc_id"),
+        )
+        return dedup.keep_best_per_cluster(
+            clusters, text.quality_score(docs), score_col="quality"
+        )
+
+    q["dedup_keep_best"] = _keep_best
+
     # --- similarity search ---
     q["sim_topk_bruteforce"] = lambda spark, sf: similarity.cosine_topk(
         _emb(spark, sf), _query_vec(spark, sf), k=10
@@ -1208,7 +1223,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: entries whose plan/shape/oracle changed this round —
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
-        "pack_sequences", "dedup_passages",
+        "pack_sequences", "dedup_passages", "dedup_keep_best",
         # round 3: data-selection operators (DSIR, LR quality, fuzzy
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
@@ -1655,6 +1670,38 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
     # graph: SQL-expressible after all (unrolled steps), converting one
     # of the two remaining rows-only entries to a hash-checked one
     o["graph_pagerank"] = _pagerank_oracle(iters=5, damping=0.85)
+    # keep-best composes two already-oracled stages (components over the
+    # guarded 0.5-jaccard graph + the quality score); qw/qs names avoid
+    # the shingle CTE's w/s/c/p
+    o["dedup_keep_best"] = f"""
+WITH RECURSIVE {_shingles_cte(capped=True)},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+),
+cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+qw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+qn AS (SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS nd,
+              len(list_distinct(list_intersect(words, {_stoplist_sql('en')}))) AS sh
+       FROM qw),
+qs AS (SELECT doc_id,
+              round(0.4*(sh/nw) + 0.3*(nd/nw) + 0.3*least(nw/100.0, 1.0), 6)
+                AS quality
+       FROM qn),
+j AS (SELECT cl.doc_id AS doc_id, cluster_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, cl.doc_id ASC) AS rn
+      FROM cl JOIN qs ON cl.doc_id = qs.doc_id)
+SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM j
+"""
     o["text_winnowing"] = """
 WITH pos AS (SELECT doc_id, text, greatest(length(text) - 7, 1) AS n_pos FROM documents),
 g AS (SELECT doc_id, n_pos, text,

@@ -1002,6 +1002,37 @@ def connected_components(
     return labels
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality",
+) -> DataFrame:
+    """(doc_id, cluster_id, <score_col>, keep): within each near-dup
+    cluster, keep the highest-scoring member (ties to the smallest
+    doc_id) — the pipeline refinement of connected_components' keep-min-id
+    rule: production dedup keeps the BEST copy (longest, cleanest,
+    highest quality), not an arbitrary one.
+
+    One equi-join of the cluster labels onto the score table, one
+    row_number window partitioned by cluster_id — a single hash shuffle
+    on the cluster key; per-partition sort cost is bounded by cluster
+    size, which the upstream pair guard already bounds, so no global
+    sort and no skew beyond what the pair stage admits.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(scores.select("doc_id", score_col), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ------------------------------------------------------- incremental minhash
 
 

@@ -2087,3 +2087,20 @@ def test_passage_dup_stats_canonical_first_and_remainder(spark):
     assert out[2] == (2, 1, 0.5)   # "a b c" repeated, "x y z" unique
     assert out[3] == (2, 2, 1.0)   # byte-identical doc: fully duplicated
     assert out[4] == (2, 0, 0.0)
+
+
+def test_keep_best_per_cluster_prefers_score_then_min_id(spark):
+    from nsdb_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r["keep"]
+           for r in dedup.keep_best_per_cluster(clusters, scores).collect()}
+    # cluster 1: docs 2 and 3 tie on 0.9 -> min doc_id (2) wins, not min-id-overall (1)
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: True}
