@@ -59,6 +59,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_passages",
         "dedup_keep_best",
+        "sample_epoch_shuffle",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -216,9 +217,13 @@ def main() -> None:
             with open(detail_path) as f:
                 prior_run = json.load(f)
             # only compare like-for-like: a smoke run at another SF must
-            # neither borrow nor poison the sf0.1 baselines
+            # neither borrow nor poison the sf0.1 baselines. Compare
+            # against BEST-KNOWN times ("best", falling back to the last
+            # run's map for pre-"best" files): if the baseline were just
+            # the last run, a genuinely regressed run would ratchet its
+            # own baseline upward and the 2x rule would go blind to it.
             if prior_run.get("sf") == sf:
-                baselines = prior_run.get("queries", {})
+                baselines = prior_run.get("best") or prior_run.get("queries", {})
         except Exception:  # pragma: no cover
             baselines = {}
 
@@ -284,9 +289,15 @@ def main() -> None:
     out_path = detail_path if sf == 0.1 else (
         detail_path.replace(".json", f"_{os.path.basename(sf_dir.rstrip('/'))}.json")
     )
+    best = {
+        k: round(min(v, baselines.get(k, v)), 3)
+        for k, v in results.items()
+        if v > 0 and k != "gatling_success_pct"
+    }
     with open(out_path, "w") as f:
         json.dump({"metric": "bench_total", "value": total, "unit": "sec",
-                   "queries": results, "sf": sf}, f, indent=1, sort_keys=True)
+                   "queries": results, "best": best, "sf": sf},
+                  f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "bench_total",
         "value": total,

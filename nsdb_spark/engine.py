@@ -208,13 +208,20 @@ class NsdbEngine:
         Serialized per metric: every merge below is read-merge-overwrite,
         and unserialized concurrent batches would silently drop each
         other's partials (lost update)."""
-        from .operators import rollup as rollup_ops
+        with self._metric_rollup_lock(db, ns, metric):
+            return self._maintain_rollups_locked(db, ns, metric, lo, hi, batch_df)
 
+    def _metric_rollup_lock(self, db: str, ns: str, metric: str) -> threading.Lock:
+        """The per-metric lock serializing every rollup read-build-
+        overwrite-register sequence: insert maintenance AND the
+        materialize_* builders take it, so a materialize can't interleave
+        with a maintenance merge (which would read a half-written store
+        or clobber a fresh build with a merge of stale state). Entries
+        are never evicted — a few hundred bytes per metric ever written,
+        bounded by the catalog size."""
         key = (db, ns, metric)
         with self._rollup_locks_guard:
-            lock = self._rollup_locks.setdefault(key, threading.Lock())
-        with lock:
-            return self._maintain_rollups_locked(db, ns, metric, lo, hi, batch_df)
+            return self._rollup_locks.setdefault(key, threading.Lock())
 
     def _maintain_rollups_locked(self, db, ns, metric, lo, hi, batch_df) -> None:
         from .operators import rollup as rollup_ops
@@ -510,20 +517,25 @@ class NsdbEngine:
         """
         from .operators import rollup as rollup_ops
 
-        info = self.warehouse.get_info(db, ns, metric)
-        si = info["shardInterval"]
-        locations = self.warehouse.locations(db, ns, metric)
-        if not locations:
-            raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
-        # anchor to the SHARD grid exactly like the raw temporal path
-        # (compiler derives bucket bounds from locations when available)
-        bounds = (min(locations), max(locations) + si)
-        df = self.read_metric(db, ns, metric).drop(SHARD_COL)
-        r, _ = rollup_ops.build_temporal_rollup(df, fine_ms, si, bounds=bounds)
-        path = self.warehouse.rollup_path(db, ns, metric, fine_ms)
-        r.write.mode("overwrite").parquet(path)
-        self.warehouse.register_rollup(db, ns, metric, fine_ms, bounds)
-        return bounds
+        # under the per-metric lock: a concurrent insert's maintenance
+        # merge interleaving with this read-build-overwrite-register
+        # would read a half-written store or base its merge on the
+        # pre-materialize state and clobber the fresh build
+        with self._metric_rollup_lock(db, ns, metric):
+            info = self.warehouse.get_info(db, ns, metric)
+            si = info["shardInterval"]
+            locations = self.warehouse.locations(db, ns, metric)
+            if not locations:
+                raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
+            # anchor to the SHARD grid exactly like the raw temporal path
+            # (compiler derives bucket bounds from locations when available)
+            bounds = (min(locations), max(locations) + si)
+            df = self.read_metric(db, ns, metric).drop(SHARD_COL)
+            r, _ = rollup_ops.build_temporal_rollup(df, fine_ms, si, bounds=bounds)
+            path = self.warehouse.rollup_path(db, ns, metric, fine_ms)
+            r.write.mode("overwrite").parquet(path)
+            self.warehouse.register_rollup(db, ns, metric, fine_ms, bounds)
+            return bounds
 
     def materialize_quantile_rollup(
         self, db: str, ns: str, metric: str, fine_ms: int, nbins: int = 256
@@ -537,22 +549,23 @@ class NsdbEngine:
         time-axis rule. Returns the pinned (bounds, value_range)."""
         from .operators import rollup as rollup_ops
 
-        info = self.warehouse.get_info(db, ns, metric)
-        si = info["shardInterval"]
-        locations = self.warehouse.locations(db, ns, metric)
-        if not locations:
-            raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
-        bounds = (min(locations), max(locations) + si)
-        df = self.read_metric(db, ns, metric).drop(SHARD_COL)
-        r, _, vrange = rollup_ops.build_quantile_rollup(
-            df, fine_ms, si, nbins=nbins, bounds=bounds
-        )
-        path = self.warehouse.quantile_rollup_path(db, ns, metric, fine_ms)
-        r.write.mode("overwrite").parquet(path)
-        self.warehouse.register_quantile_rollup(
-            db, ns, metric, fine_ms, bounds, vrange, nbins
-        )
-        return bounds, vrange
+        with self._metric_rollup_lock(db, ns, metric):  # vs maintenance merges
+            info = self.warehouse.get_info(db, ns, metric)
+            si = info["shardInterval"]
+            locations = self.warehouse.locations(db, ns, metric)
+            if not locations:
+                raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
+            bounds = (min(locations), max(locations) + si)
+            df = self.read_metric(db, ns, metric).drop(SHARD_COL)
+            r, _, vrange = rollup_ops.build_quantile_rollup(
+                df, fine_ms, si, nbins=nbins, bounds=bounds
+            )
+            path = self.warehouse.quantile_rollup_path(db, ns, metric, fine_ms)
+            r.write.mode("overwrite").parquet(path)
+            self.warehouse.register_quantile_rollup(
+                db, ns, metric, fine_ms, bounds, vrange, nbins
+            )
+            return bounds, vrange
 
     def materialize_distinct_rollup(
         self, db: str, ns: str, metric: str, field: str, fine_ms: int, p: int = 10
@@ -567,18 +580,19 @@ class NsdbEngine:
         writes outside the pinned axis invalidate, like every rollup."""
         from .operators import rollup as rollup_ops
 
-        info = self.warehouse.get_info(db, ns, metric)
-        si = info["shardInterval"]
-        locations = self.warehouse.locations(db, ns, metric)
-        if not locations:
-            raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
-        bounds = (min(locations), max(locations) + si)
-        df = self.read_metric(db, ns, metric).drop(SHARD_COL)
-        r, _ = rollup_ops.build_hll_rollup(df, field, fine_ms, si, p=p, bounds=bounds)
-        path = self.warehouse.distinct_rollup_path(db, ns, metric, field, fine_ms)
-        r.write.mode("overwrite").parquet(path)
-        self.warehouse.register_distinct_rollup(db, ns, metric, field, fine_ms, bounds, p)
-        return bounds
+        with self._metric_rollup_lock(db, ns, metric):  # vs maintenance merges
+            info = self.warehouse.get_info(db, ns, metric)
+            si = info["shardInterval"]
+            locations = self.warehouse.locations(db, ns, metric)
+            if not locations:
+                raise ValueError(f"no data to roll up for {db}.{ns}.{metric}")
+            bounds = (min(locations), max(locations) + si)
+            df = self.read_metric(db, ns, metric).drop(SHARD_COL)
+            r, _ = rollup_ops.build_hll_rollup(df, field, fine_ms, si, p=p, bounds=bounds)
+            path = self.warehouse.distinct_rollup_path(db, ns, metric, field, fine_ms)
+            r.write.mode("overwrite").parquet(path)
+            self.warehouse.register_distinct_rollup(db, ns, metric, field, fine_ms, bounds, p)
+            return bounds
 
     def percentile(
         self,
@@ -637,20 +651,21 @@ class NsdbEngine:
         (count/sum) or re-reducible (min/max), so per-batch increments
         can be merged without rescanning history — same maintenance model
         as operators/rollup.merge_rollups. Returns the group count."""
-        df = self.read_metric(db, ns, metric)
-        schema = self.warehouse.get_schema(db, ns, metric)
-        if schema.field_class(field) is None:
-            raise ValueError(f"unknown group field {field!r}")
-        r = df.groupBy(field).agg(
-            F.count("value").alias("n"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        path = self.warehouse.group_rollup_path(db, ns, metric, field)
-        r.write.mode("overwrite").parquet(path)
-        self.warehouse.register_group_rollup(db, ns, metric, field)
-        return self.spark.read.parquet(path).count()
+        with self._metric_rollup_lock(db, ns, metric):  # vs maintenance merges
+            df = self.read_metric(db, ns, metric)
+            schema = self.warehouse.get_schema(db, ns, metric)
+            if schema.field_class(field) is None:
+                raise ValueError(f"unknown group field {field!r}")
+            r = df.groupBy(field).agg(
+                F.count("value").alias("n"),
+                F.sum("value").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            path = self.warehouse.group_rollup_path(db, ns, metric, field)
+            r.write.mode("overwrite").parquet(path)
+            self.warehouse.register_group_rollup(db, ns, metric, field)
+            return self.spark.read.parquet(path).count()
 
     def _route_via_rollup(self, db, ns, stmt, parsed, info):
         """Return a rollup-served DataFrame for an eligible temporal or

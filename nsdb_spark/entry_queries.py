@@ -186,6 +186,33 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
 _SHINGLES_CTE = _shingles_cte(capped=False)
 
 
+
+def _guarded_pairs_cte(threshold: float) -> str:
+    """pairs(doc_a, doc_b): the guarded jaccard pair set at `threshold`
+    over the capped shingle CTEs — THE near-dup graph every
+    cluster/pagerank/keep-best oracle shares; one definition so a
+    threshold or guard change can't silently diverge one of them from
+    the Spark entries."""
+    return f"""
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= {threshold}
+)"""
+
+
+_EDGES_CTE = """
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs)"""
+
+_REACH_CTE = """
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+)"""
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """PageRank over the guarded jaccard near-dup graph, the iteration
     count UNROLLED into chained CTEs (fixed iters makes recursion
@@ -204,14 +231,7 @@ r{t} AS (SELECT d.doc_id AS node,
                / (SELECT n FROM nct)) AS rank
         FROM documents d LEFT JOIN s{t} s ON s.node = d.doc_id)""")
     return f"""
-WITH {_shingles_cte(capped=True)},
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
-  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
-),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
+WITH {_shingles_cte(capped=True)},{_guarded_pairs_cte(0.5)},{_EDGES_CTE},
 deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
 we AS (SELECT e.s, e.d, 1.0 / deg.deg AS wt FROM edges e JOIN deg USING (s)),
 nct AS (SELECT count(*) AS n FROM documents),
@@ -617,6 +637,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_keep_best"] = _keep_best
+
+    # deterministic per-epoch corpus permutation (two-phase global
+    # ordering — no Exchange SinglePartition; plan pinned in test_plans)
+    q["sample_epoch_shuffle"] = lambda spark, sf: sampling.epoch_shuffle(
+        _docs(spark, sf), epoch=1
+    )
 
     # --- similarity search ---
     q["sim_topk_bruteforce"] = lambda spark, sf: similarity.cosine_topk(
@@ -1224,6 +1250,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
         "pack_sequences", "dedup_passages", "dedup_keep_best",
+        "sample_epoch_shuffle",
         # round 3: data-selection operators (DSIR, LR quality, fuzzy
         # decontamination, semantic dedup survivors)
         "text_quality_lr", "sample_dsir", "dedup_decontaminate_fuzzy",
@@ -1650,19 +1677,7 @@ r AS (SELECT query_id, vec_id, round(s, 6) AS cosine,
 SELECT query_id, vec_id, cosine, cast(rank AS int) AS rank FROM r WHERE rank <= 5
 """
     o["dedup_clusters"] = f"""
-WITH RECURSIVE {_shingles_cte(capped=True)},
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
-  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
-),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(node, root) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
-)
+WITH RECURSIVE {_shingles_cte(capped=True)},{_guarded_pairs_cte(0.5)},{_EDGES_CTE},{_REACH_CTE}
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
     o["dedup_clusters_alternating"] = o["dedup_clusters"]
@@ -1674,19 +1689,7 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
     # guarded 0.5-jaccard graph + the quality score); qw/qs names avoid
     # the shingle CTE's w/s/c/p
     o["dedup_keep_best"] = f"""
-WITH RECURSIVE {_shingles_cte(capped=True)},
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
-  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
-),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(node, root) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
-),
+WITH RECURSIVE {_shingles_cte(capped=True)},{_guarded_pairs_cte(0.5)},{_EDGES_CTE},{_REACH_CTE},
 cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
 qw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 qn AS (SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS nd,
@@ -2097,6 +2100,16 @@ WITH r AS (SELECT event_id, event_type,
            FROM events)
 SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
 """
+    # epoch key mirrors sampling._slot's portable multiplicative hash;
+    # (doc_id + epoch*2^31-1) stays far below the 3.5e9 direct-product
+    # overflow bound at any test SF
+    o["sample_epoch_shuffle"] = """
+WITH kk AS (SELECT doc_id,
+    ((doc_id + 2147483647) * 2654435761) % 4294967296 AS k
+  FROM documents)
+SELECT doc_id, cast(row_number() OVER (ORDER BY k, doc_id) - 1 AS bigint) AS pos
+FROM kk
+"""
     # passage grouping key: the oracle groups by the passage STRING, the
     # Spark side by its xxhash64 — identical counts barring a 64-bit
     # collision; DuckDB list slices are 1-based inclusive and clamp at
@@ -2108,7 +2121,7 @@ p AS (SELECT doc_id,
              words FROM w),
 p2 AS (SELECT doc_id, pos,
               array_to_string(words[(pos*8+1):(pos*8+8)], ' ') AS passage FROM p),
-kk AS (SELECT doc_id, pos, passage, doc_id * 4294967296 + pos AS ck FROM p2),
+kk AS (SELECT doc_id, pos, passage, doc_id * 1048576 + pos AS ck FROM p2),
 h AS (SELECT passage, count(*) AS cnt, min(ck) AS mn FROM kk GROUP BY passage)
 SELECT doc_id, count(*) AS n_passages,
        cast(sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END) AS bigint)

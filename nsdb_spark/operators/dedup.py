@@ -97,8 +97,12 @@ def passage_dup_stats(
     dup_frac is the fraction of the doc a passage-dedup pass would drop.
 
     Canonical copy = min (doc_id, position) composite; the composite is
-    the scalar doc_id·2^32+pos (min over a struct isn't portable to the
-    SQL oracle). Plan: one posexplode, one map-side-combinable count+min
+    the scalar doc_id·2^20+pos (min over a struct isn't portable to the
+    SQL oracle). The packing bounds — pos < 2^20 (an 8M-word doc at k=8)
+    and doc_id < 2^42 — are ASSERTED at runtime: a silent int64
+    wraparound would flip which occurrence is canonical, turning an
+    out-of-range id into wrong dup counts instead of an error.
+    Plan: one posexplode, one map-side-combinable count+min
     per passage hash, a co-partitioned join-back on the hash, one per-doc
     aggregate — the linear ngram_novelty shape, no pair join; the
     exploded frame is persisted so the aggregate and the probe share one
@@ -113,12 +117,22 @@ def passage_dup_stats(
         F.sequence(F.lit(0), npass - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
     )
+    pos_limit, doc_limit = 1 << 20, 1 << 42
+    in_range = F.assert_true(
+        (F.col("pos") < pos_limit)
+        & F.col("doc_id").between(0, doc_limit - 1),
+        F.lit("passage composite key out of range (pos>=2^20 or doc_id>=2^42)"),
+    )
     p = (
         docs.select("doc_id", F.posexplode(passages).alias("pos", "passage"))
         .select(
             "doc_id",
             F.xxhash64("passage").alias("ph"),
-            (F.col("doc_id") * F.lit(4294967296) + F.col("pos")).alias("ck"),
+            # assert_true is NULL on pass, raises the message otherwise
+            F.when(
+                in_range.isNull(),
+                F.col("doc_id") * F.lit(pos_limit) + F.col("pos"),
+            ).alias("ck"),
         )
         .persist()
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .text import _words
 
 
-def _local_prefix_frame(docs: DataFrame, budget: int, text_col: str) -> DataFrame:
+def _local_prefix_frame(docs: DataFrame, text_col: str) -> DataFrame:
     """The pre-checkpoint two-phase-scan frame: range-partitioned by
     doc_id with per-partition running sums. Exposed separately so plan
     tests can assert the rangepartitioning exchange, which the
@@ -61,7 +61,7 @@ def pack_sequences(
     Whitespace token count (consistent with text.py tokenization)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    local = _local_prefix_frame(docs, budget, text_col).localCheckpoint(eager=True)
+    local = _local_prefix_frame(docs, text_col).localCheckpoint(eager=True)
     # P subtotal scalars: prefix-sum on the driver (P ≈ shuffle partitions,
     # never data-sized), broadcast back. Missing pids = empty partitions.
     # Subtotals come from the CHECKPOINTED local frame, not a second

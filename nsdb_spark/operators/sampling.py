@@ -131,3 +131,53 @@ def hash_weighted_sample(
     return df.filter(
         _slot(F.col(id_col), denom) < (F.col(weight_col) * denom).cast("long")
     )
+
+
+def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, pos): a deterministic full permutation of the corpus for
+    one training epoch — pos is the row's 0-based position in the
+    epoch's global order. Training loops need a DIFFERENT but
+    REPRODUCIBLE order each epoch (same epoch → same order on any
+    cluster geometry; df.orderBy(rand()) is neither), keyed here by the
+    portable multiplicative hash of (id + epoch·PRIME) with id as the
+    tie-break.
+
+    Assigning global positions is the same problem as pack_sequences'
+    prefix sum: a row_number window over a global ORDER BY plans an
+    Exchange SinglePartition (one task sorts everything). Two-phase scan
+    instead: range-partition by (key, id) — globally ordered partitions,
+    P-way parallel — local 0-based positions per partition via one
+    mapInPandas pass, then P per-partition counts prefix-summed on the
+    driver and broadcast back as offsets. The checkpoint pins ONE
+    repartitionByRange evaluation so counts and local positions can't
+    come from different range splits.
+    """
+    key = _slot(F.col(id_col) + F.lit(epoch * 2147483647), 1 << 32)
+    d = (
+        df.select(F.col(id_col), key.alias("k"))
+        .repartitionByRange("k", id_col)
+        .sortWithinPartitions("k", id_col)
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def _local(it):
+        run = 0
+        for pdf in it:
+            pdf["local_pos"] = range(run, run + len(pdf))
+            run += len(pdf)
+            yield pdf
+
+    local = d.mapInPandas(
+        _local, schema=f"{id_col} long, k long, pid int, local_pos long"
+    ).localCheckpoint(eager=True)
+    counts = {r["pid"]: r["c"] for r in
+              local.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = [], 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    return local.join(F.broadcast(off), "pid").select(
+        id_col, (F.col("offset") + F.col("local_pos")).alias("pos")
+    )

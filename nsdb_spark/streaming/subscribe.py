@@ -129,6 +129,10 @@ class _Subscription:
     # prevent.
     pending: list | None = None
     pending_lock: threading.Lock = field(default_factory=threading.Lock)
+    # serializes _route/_accumulate_temporal and tick's bucket close for
+    # this subscription: publishers are concurrent HTTP threads, and
+    # unsynchronized interleaving corrupts sub.buckets / reorders pushes
+    route_lock: threading.Lock = field(default_factory=threading.Lock)
 
 
 class SubscriptionManager:
@@ -211,10 +215,18 @@ class SubscriptionManager:
         except Exception:
             self.subs.pop(sub.uuid, None)
             raise
-        with sub.pending_lock:
-            buffered, sub.pending = sub.pending, None
-        for rows, now in buffered:
-            self._route(sub, rows, now)
+        # drain-until-empty: go live (pending=None) only in the same
+        # critical section that observes the buffer empty — otherwise a
+        # batch published during the drain is routed by a publisher
+        # thread AFTER newer direct-path batches (out-of-order delivery)
+        while True:
+            with sub.pending_lock:
+                if not sub.pending:
+                    sub.pending = None
+                    break
+                buffered, sub.pending = sub.pending, []
+            for rows, now in buffered:
+                self._route(sub, rows, now)
         return sub.uuid
 
     def unsubscribe(self, uuid: str) -> None:
@@ -278,6 +290,10 @@ class SubscriptionManager:
             self._route(sub, rows, now)
 
     def _route(self, sub: _Subscription, rows: list[dict], now: int) -> None:
+        with sub.route_lock:
+            return self._route_locked(sub, rows, now)
+
+    def _route_locked(self, sub: _Subscription, rows: list[dict], now: int) -> None:
         if isinstance(sub.parsed, analyzer.ParsedSimpleQuery):
             cond = sub.statement.condition
             matched = [
@@ -338,21 +354,22 @@ class SubscriptionManager:
         for sub in self.subs.values():
             if isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
                 p = sub.parsed
-                while sub.bucket_start + p.interval_ms <= now:
-                    ub = sub.bucket_start + p.interval_ms
-                    sub.callback([self._bucket_payload(sub, ub)])
-                    sub.bucket_start = ub
-                    if p.grace_period_ms is not None:
-                        # drop buckets beyond the grace horizon
-                        horizon = now - p.grace_period_ms
-                        for old in [u for u in sub.buckets if u < horizon]:
-                            del sub.buckets[old]
-                    else:
-                        # no grace ⇒ no amendments: release the closed
-                        # bucket's values immediately — otherwise a
-                        # long-lived subscription accumulates every raw
-                        # value forever (unbounded driver memory)
-                        sub.buckets.pop(ub, None)
+                with sub.route_lock:  # vs concurrent publish accumulation
+                    while sub.bucket_start + p.interval_ms <= now:
+                        ub = sub.bucket_start + p.interval_ms
+                        sub.callback([self._bucket_payload(sub, ub)])
+                        sub.bucket_start = ub
+                        if p.grace_period_ms is not None:
+                            # drop buckets beyond the grace horizon
+                            horizon = now - p.grace_period_ms
+                            for old in [u for u in sub.buckets if u < horizon]:
+                                del sub.buckets[old]
+                        else:
+                            # no grace ⇒ no amendments: release the closed
+                            # bucket's values immediately — otherwise a
+                            # long-lived subscription accumulates every raw
+                            # value forever (unbounded driver memory)
+                            sub.buckets.pop(ub, None)
             elif isinstance(
                 sub.parsed,
                 (analyzer.ParsedAggregatedQuery, analyzer.ParsedGlobalAggregatedQuery),

@@ -230,11 +230,15 @@ class WsSession:
             fail(f"{type(e).__name__}: {e}")
             return
         cb_quid.append(quid)
-        quid_ready.set()
+        # flush parked batches and only THEN open the direct path, inside
+        # one critical section: setting quid_ready before the flush would
+        # let a racing publisher buffer a newer batch ahead of older
+        # parked ones (out-of-order delivery to the client)
         with pending_lock:
-            parked, pending[:] = list(pending), []
-        for records in parked:
-            _buffer(quid, records)
+            for records in pending:
+                _buffer(quid, records)
+            pending.clear()
+            quid_ready.set()
         self.quids.append(quid)
         self.metric_of[quid] = stmt.metric
         self._send_json(

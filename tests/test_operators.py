@@ -2104,3 +2104,35 @@ def test_keep_best_per_cluster_prefers_score_then_min_id(spark):
            for r in dedup.keep_best_per_cluster(clusters, scores).collect()}
     # cluster 1: docs 2 and 3 tie on 0.9 -> min doc_id (2) wins, not min-id-overall (1)
     assert out == {1: False, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_passage_dup_stats_rejects_out_of_range_doc_id(spark):
+    """A doc_id that would wrap the canonical composite key must raise,
+    not silently flip which occurrence is canonical."""
+    import pytest
+    from nsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1 << 42, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="out of range"):
+        dedup.passage_dup_stats(docs, k=2).collect()
+
+
+def test_epoch_shuffle_is_bijective_deterministic_and_epoch_varying(spark):
+    from nsdb_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(500)], "doc_id long, text string"
+    )
+    e1 = {r["doc_id"]: r["pos"] for r in sampling.epoch_shuffle(docs, 1).collect()}
+    # bijection onto 0..n-1
+    assert sorted(e1.values()) == list(range(500))
+    # layout-invariant: same epoch, different partitioning, same order
+    e1b = {r["doc_id"]: r["pos"]
+           for r in sampling.epoch_shuffle(docs.repartition(13), 1).collect()}
+    assert e1 == e1b
+    # different epoch: different permutation (still a bijection)
+    e2 = {r["doc_id"]: r["pos"] for r in sampling.epoch_shuffle(docs, 2).collect()}
+    assert sorted(e2.values()) == list(range(500))
+    assert e1 != e2

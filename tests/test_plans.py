@@ -215,7 +215,7 @@ def test_pack_sequences_avoids_global_window(spark):
 
     spark.catalog.clearCache()
     docs = testdata.table(spark, SF_DIR, "documents")
-    pre = plan_of(packing._local_prefix_frame(docs, 512, "text"))
+    pre = plan_of(packing._local_prefix_frame(docs, "text"))
     assert "rangepartitioning" in pre
     assert "Exchange SinglePartition" not in pre
     plan = plan_of(packing.pack_sequences(docs, budget=512))
