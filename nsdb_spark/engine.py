@@ -65,6 +65,9 @@ class NsdbEngine:
         """
         if not bits:
             return 0
+        for b in bits:
+            if b.timestamp is None or b.value is None:
+                raise SchemaError("bit timestamp and value are mandatory")
         info = self.warehouse.get_info(db, ns, metric)
         retention = info["retention"]
         now = self.now_fn()
@@ -165,7 +168,21 @@ class NsdbEngine:
         schema = self.warehouse.update_schema(db, ns, metric, incoming)
         si = info["shardInterval"]
         out = conform_frame(df, schema, si)
-        n = out.count()
+        # one stats action instead of the old count + min/max pair; a bit
+        # without timestamp or value does not exist in NSDb (Bit.scala's
+        # fields are mandatory) — and admitting NULL values would make
+        # rollup-served count/avg diverge from the raw path's
+        # NULL-skipping count(target)
+        n, n_bad, lo, hi = out.agg(
+            F.count(F.lit(1)),
+            F.count(F.when(
+                F.col("timestamp").isNull() | F.col("value").isNull(), 1
+            )),
+            F.min("timestamp"),
+            F.max("timestamp"),
+        ).first()
+        if n_bad:
+            raise SchemaError(f"{n_bad} rows with NULL timestamp or value")
         if n == 0:
             return 0
         (
@@ -175,7 +192,6 @@ class NsdbEngine:
             .partitionBy(SHARD_COL)
             .parquet(self.warehouse.data_path(db, ns, metric))
         )
-        lo, hi = out.agg(F.min("timestamp"), F.max("timestamp")).first()
         self._maintain_rollups_on_write(db, ns, metric, lo, hi, out.drop(SHARD_COL))
         return n
 

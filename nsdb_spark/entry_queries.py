@@ -1525,13 +1525,14 @@ FROM r ORDER BY rs DESC, doc_id LIMIT 10
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 uc AS (SELECT wd, count(*) AS n_w
        FROM (SELECT unnest(words) AS wd FROM w) GROUP BY wd),
-bc AS (SELECT bigram, count(*) AS n_pair FROM (
+ba AS (SELECT bigram, count(*) AS n_pair FROM (
          SELECT words[i] || ' ' || words[i+1] AS bigram
          FROM w, unnest(generate_series(1, cast(len(words)-1 AS bigint))) AS t(i)
          WHERE len(words) >= 2)
-       GROUP BY bigram HAVING count(*) >= 5),
+       GROUP BY bigram),
+bc AS (SELECT bigram, n_pair FROM ba WHERE n_pair >= 5),
 tu AS (SELECT sum(n_w) AS t_uni FROM uc),
-tb AS (SELECT sum(n_pair) AS t_bi FROM bc),
+tb AS (SELECT sum(n_pair) AS t_bi FROM ba),
 s AS (SELECT bigram, n_pair,
       round(ln((n_pair / t_bi)
                / ((u1.n_w / t_uni) * (u2.n_w / t_uni))), 6) AS pmi,
@@ -2159,7 +2160,9 @@ bounds AS (SELECT max(b) AS hi FROM p),
 c AS (SELECT DISTINCT p.user_id, u.b2 AS b
       FROM p, bounds, unnest(generate_series(p.b, least(p.b + 6, bounds.hi))) u(b2)),
 w AS (SELECT b, count(*) AS wau FROM c GROUP BY b)
-SELECT d.b * 86400000 AS bucket_start, dau, wau FROM d JOIN w USING (b)
+SELECT w.b * 86400000 AS bucket_start,
+       coalesce(dau, 0) AS dau, wau
+FROM w LEFT JOIN d USING (b)
 """
     o["scale_join_chain"] = """
 WITH per_order AS (

@@ -230,6 +230,17 @@ def equidepth_histogram(
     Unlike a global ntile (single-partition window sort), no stage ever
     sees more than one partition's rows.
     """
+    if nbins <= 0:
+        raise ValueError("nbins must be positive")
+    if nbins == 1:
+        # no interior cuts: percentile(value, array()) fails analysis —
+        # degenerate to the single full-range bin directly
+        return df.agg(
+            F.lit(0).alias("bin"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+        )
     cuts = [i / nbins for i in range(1, nbins)]
     plist = ", ".join(str(p) for p in cuts)
     # Round interpolated cut points to 6 decimals so a sub-ulp difference
@@ -362,7 +373,9 @@ def active_users(
     a sum of per-bucket counts (users repeat), so each (user, bucket)
     presence CONTRIBUTES ITSELF to the next `window_buckets` buckets via
     a bounded explode, and the rolling count is again a count of distinct
-    contributions — exact at any scale.
+    contributions — exact at any scale. The axis is every bucket whose
+    trailing window covers ANY activity: a gap bucket surfaces as
+    (dau=0, wau>0) instead of a hole in the dashboard.
 
     Shuffle shape: dedup to (user, bucket) presence (one partial-agg
     exchange — rows = users × active buckets), a ≤window_buckets-way
@@ -391,8 +404,16 @@ def active_users(
         .agg(F.count(F.lit(1)).alias("wau"))
     )
     out = (
-        dau.join(contrib, "b")
-        .select((F.col("b") * bucket_ms).alias("bucket_start"), "dau", "wau")
+        # drive from contrib: a gap bucket (nobody active THAT day but
+        # users active within the trailing window) must surface as
+        # (dau=0, wau>0) — an inner join would silently drop it and a
+        # WAU dashboard would show a hole where the window is unchanged
+        contrib.join(dau, "b", "left")
+        .select(
+            (F.col("b") * bucket_ms).alias("bucket_start"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+        )
     )
     # the result is buckets-count rows; materialize it and release the
     # (users x buckets) presence pin instead of leaving it cached for the

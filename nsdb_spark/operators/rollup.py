@@ -72,6 +72,9 @@ def build_temporal_rollup(
         )
         .groupBy(k)
         .agg(
+            # row count == count(value): the write path rejects NULL
+            # values (a bit always carries one), so the rollup count
+            # cannot diverge from the raw path's F.count(target)
             F.count(F.lit(1)).alias("count_value"),
             F.sum("value").alias("sum_value"),
             F.max("value").alias("max_value"),
@@ -439,7 +442,12 @@ def build_distinct_rollup(
     ).cast("int").alias("idx")
     rollup = (
         metric_df.filter(
-            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+            (F.col("timestamp") >= lower)
+            & (F.col("timestamp") <= upper)
+            # count distinct ignores NULLs (HLL path rule) — a NULL field
+            # would otherwise survive as its own (k, NULL) row and
+            # inflate V by one per bucket
+            & F.col(field).isNotNull()
         )
         .select(k, idx)
         .distinct()
@@ -526,7 +534,12 @@ def build_group_distinct_rollup(
     idx = F.pmod(
         portable_word_hash(F.col(distinct_field).cast("string")), F.lit(m_buckets)
     ).cast("int").alias("idx")
-    return metric_df.select(F.col(group_field), idx).distinct()
+    # count distinct ignores NULLs; NULL groups vanish downstream anyway
+    return (
+        metric_df.filter(F.col(distinct_field).isNotNull())
+        .select(F.col(group_field), idx)
+        .distinct()
+    )
 
 
 def group_count_distinct_from_rollup(

@@ -103,6 +103,7 @@ def dsir_weights(
     is_target: Column,
     buckets: int = 8192,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, logw) — DSIR importance log-weights: per-doc
     log p_target(doc) - log p_raw(doc) under add-1-smoothed hashed
@@ -117,10 +118,13 @@ def dsir_weights(
     driver-side collect (two scalars), same discipline as the centroid
     collects in operators/clustering.py.
     """
+    # persisted: the token stream feeds the counts aggregate, the totals
+    # collect, and the scoring join — unpinned it would be re-exploded 3x
     tok = (
         _parallelize(docs)
         .select("doc_id", is_target.alias("__tgt"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
         .select("doc_id", "__tgt", _bucket(F.col("t"), buckets).alias("b"))
+        .persist()
     )
     # one pass over the token stream: per-bucket raw count + target count
     # (map-side combinable; output bounded by `buckets` rows)
@@ -137,11 +141,16 @@ def dsir_weights(
         + F.lit(float(__import__("math").log(t_raw + buckets)))
     )
     ratio = counts.select("b", lam.alias("lam"))
-    return (
+    out = (
         tok.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(F.sum("lam").alias("logw"))
     )
+    if not materialize:
+        return out  # lazy, pin retained — plan tests read this shape
+    from .dedup import _finish
+
+    return _finish(out, tok)
 
 
 def dsir_sample(
@@ -210,6 +219,11 @@ def domain_mixture(
     explode bounded by ceil(rate).
     """
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # NULL sources: the null-unsafe rate join below would drop their
+    # docs while their tokens still earned a budget share — that share
+    # would silently vanish and the realized mixture would undershoot
+    # the requested budget (the psi_by_group NULL-group rule)
+    docs = docs.filter(F.col(source_col).isNotNull())
     per_source = (
         _parallelize(docs)
         .groupBy(source_col)

@@ -292,10 +292,16 @@ def lm_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     count() action: one scalar job, no driver loop. avg_logp rounds to 3
     decimals (FP-accumulated across engines).
     """
-    toks = docs.select("doc_id", F.explode(_words(text_col)).alias("tok"))
-    total = toks.count()
-    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
+    from .dedup import _finish
+
+    toks = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("tok")
+    ).persist()
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    # total from the ALREADY-AGGREGATED vocab table (vocab rows), not a
+    # third tokenize pass over the corpus
+    total = cnt.agg(F.sum("cnt")).first()[0] or 0
+    out = (
         toks.join(cnt, "tok")
         .groupBy("doc_id")
         .agg(
@@ -305,6 +311,7 @@ def lm_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+    return _finish(out, toks, cnt)
 
 
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -348,7 +355,7 @@ def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     feeds both the df aggregate and the join probe, so it is persisted —
     16 bytes/gram, computed once instead of re-exploding the corpus.
     """
-    from .dedup import shingle_array
+    from .dedup import _finish, shingle_array
 
     g = (
         docs.select("doc_id", F.explode(shingle_array(text_col, n)).alias("g"))
@@ -356,7 +363,7 @@ def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
         .persist()
     )
     gdf = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    out = (
         g.join(gdf, "gh")
         .groupBy("doc_id")
         .agg(
@@ -367,6 +374,9 @@ def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
             "novelty", F.round(F.col("novel_grams") / F.col("n_grams"), 6)
         )
     )
+    # one-doc-per-row result; materialize it and release the gram pin
+    # (dedup._finish discipline) instead of caching 16 bytes/gram forever
+    return _finish(out, g)
 
 
 def bigram_pmi(
@@ -394,16 +404,20 @@ def bigram_pmi(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    bi = (
+    bi_all = (
         docs.select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
     )
+    bi = bi_all.filter(F.col("n_pair") >= min_count)
     tot = uni.agg(
         F.sum("n_w").alias("t_uni"),
     )
-    tot_bi = bi.agg(F.sum("n_pair").alias("t_bi"))
+    # P(w1,w2) normalizes by ALL bigram tokens, not just the kept rows:
+    # totalling after the min_count filter would shift every PMI up by
+    # the constant ln(total/kept) — min_count prunes CANDIDATES, it does
+    # not re-define the distribution
+    tot_bi = bi_all.agg(F.sum("n_pair").alias("t_bi"))
     scored = (
         bi.withColumn("w1", F.split("bigram", " ")[0])
         .withColumn("w2", F.split("bigram", " ")[1])

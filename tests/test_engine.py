@@ -1132,3 +1132,26 @@ def test_rollup_maintenance_serialized_per_metric(engine, monkeypatch):
     for t in threads:
         t.join()
     assert active["max"] == 1  # never two merges in flight for one metric
+
+
+def test_insert_rejects_null_timestamp_or_value(engine, spark):
+    """A bit without timestamp or value does not exist in NSDb; NULL
+    values would also make rollup-served count/avg diverge from the raw
+    path's NULL-skipping count."""
+    import pytest
+
+    from nsdb_spark.model import Bit, SchemaError
+
+    engine.warehouse.init_metric("default", "default", "nn", 10000)
+    with pytest.raises(SchemaError):
+        engine.insert_bits("default", "default", "nn", [Bit(1000, None)])
+    with pytest.raises(SchemaError):
+        engine.insert_bits("default", "default", "nn", [Bit(None, 1)])
+    df = spark.createDataFrame(
+        [(1000, 1.0), (2000, None)], "timestamp long, value double"
+    )
+    with pytest.raises(SchemaError):
+        engine.insert_frame("default", "default", "nn", df)
+    # clean frames still insert
+    ok = spark.createDataFrame([(1000, 1.0)], "timestamp long, value double")
+    assert engine.insert_frame("default", "default", "nn", ok) == 1

@@ -1544,8 +1544,9 @@ def test_active_users_rolling_distinct(spark):
     assert out[0]["dau"] == 2 and out[0]["wau"] == 2
     # bucket 2: active {1,3}; trailing 3 buckets {0,1,2} cover users {1,2,3}
     assert out[20]["dau"] == 2 and out[20]["wau"] == 3
-    # bucket 1 has no events -> not emitted (axis = buckets with data)
-    assert 10 not in out
+    # bucket 1 has no events but the trailing window still covers users
+    # {1,2} from bucket 0 -> emitted as a zero-dau row, not dropped
+    assert out[10]["dau"] == 0 and out[10]["wau"] == 2
 
 
 def test_postings_incremental_merge_invariant(spark):
@@ -2136,3 +2137,103 @@ def test_epoch_shuffle_is_bijective_deterministic_and_epoch_varying(spark):
     e2 = {r["doc_id"]: r["pos"] for r in sampling.epoch_shuffle(docs, 2).collect()}
     assert sorted(e2.values()) == list(range(500))
     assert e1 != e2
+
+
+def test_active_users_emits_gap_bucket_with_zero_dau(spark):
+    """A bucket where nobody is active but the trailing window still
+    covers earlier users must appear as (dau=0, wau>0), not vanish."""
+    from nsdb_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [(1, 0), (2, 0), (1, 2 * 86400000)],
+        "user_id long, timestamp long",
+    )
+    out = {r["bucket_start"] // 86400000: (r["dau"], r["wau"])
+           for r in analytics.active_users(ev, 86400000, window_buckets=7).collect()}
+    assert out[0] == (2, 2)
+    assert out[1] == (0, 2)   # the gap day: zero dau, window still covers day 0
+    assert out[2] == (1, 2)   # distinct USERS: user 1 counts once despite 2 visits
+
+
+def test_bigram_pmi_total_unaffected_by_min_count(spark):
+    """min_count prunes candidates; it must not re-normalize P(w1,w2).
+    A pair kept under both settings scores identically."""
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, "a b " * 10 + "c d " * 2 + "e f") for i in range(5)],
+        "doc_id long, text string",
+    )
+    strict = {r["bigram"]: r["pmi"]
+              for r in text.bigram_pmi(docs, k=5, min_count=20).collect()}
+    loose = {r["bigram"]: r["pmi"]
+             for r in text.bigram_pmi(docs, k=50, min_count=1).collect()}
+    for bg, pmi in strict.items():
+        assert loose[bg] == pmi, bg
+
+
+def test_equidepth_histogram_single_bin(spark):
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    rows = analytics.equidepth_histogram(df, "v", 1).collect()
+    assert len(rows) == 1
+    assert (rows[0]["bin"], rows[0]["n"], rows[0]["min_value"],
+            rows[0]["max_value"]) == (0, 10, 0.0, 9.0)
+
+
+def test_domain_mixture_ignores_null_sources(spark):
+    """NULL-source docs earn no budget share (they can't be emitted
+    through the rate join) — the mixture over a frame with NULL sources
+    equals the mixture over the same frame with them removed."""
+    from pyspark.sql import functions as F
+    from nsdb_spark.operators import selection
+
+    rows = [(i, "a", "w " * 20) for i in range(40)] + \
+           [(100 + i, None, "w " * 20) for i in range(10)] + \
+           [(200 + i, "b", "w " * 5) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with_nulls = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in selection.domain_mixture(docs, alpha=0.5).collect()
+    )
+    clean = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in selection.domain_mixture(
+            docs.filter(F.col("source").isNotNull()), alpha=0.5
+        ).collect()
+    )
+    assert with_nulls == clean
+
+
+def test_lc_distinct_rollup_ignores_null_field(spark):
+    """count distinct ignores NULLs (the HLL-path rule): an LC rollup
+    built over rows with NULL field values must estimate the same count
+    as one built with those rows removed."""
+    from pyspark.sql import functions as F
+    from nsdb_spark.operators import rollup
+
+    rows = [(i * 100, float(i), f"u{i % 7}") for i in range(50)] + [
+        (i * 100 + 1, 0.0, None) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "timestamp long, value double, name string")
+    with_nulls, _ = rollup.build_distinct_rollup(
+        df, "name", 1000, 10000, bounds=(0, 10000)
+    )
+    clean, _ = rollup.build_distinct_rollup(
+        df.filter(F.col("name").isNotNull()), "name", 1000, 10000, bounds=(0, 10000)
+    )
+    a = rollup.temporal_count_distinct_from_rollup(
+        spark, with_nulls, (0, 10000), 1000, 1000
+    ).collect()
+    b = rollup.temporal_count_distinct_from_rollup(
+        spark, clean, (0, 10000), 1000, 1000
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    gw = rollup.build_group_distinct_rollup(df, "value", "name")
+    gc = rollup.build_group_distinct_rollup(
+        df.filter(F.col("name").isNotNull()), "value", "name"
+    )
+    ga = rollup.group_count_distinct_from_rollup(gw, "value").collect()
+    gb = rollup.group_count_distinct_from_rollup(gc, "value").collect()
+    assert sorted(map(tuple, ga)) == sorted(map(tuple, gb))

@@ -419,7 +419,11 @@ def test_dsir_scoring_join_is_broadcast(spark):
     from nsdb_spark.operators import selection
 
     docs = testdata.table(spark, SF_DIR, "documents")
-    plan = plan_of(selection.dsir_weights(docs, F.col("lang") == "en"))
+    # materialize=False: the released operator localCheckpoints (which
+    # truncates the plan); the lazy frame carries the shape to assert
+    plan = plan_of(
+        selection.dsir_weights(docs, F.col("lang") == "en", materialize=False)
+    )
     # the fixed buckets-row LM ratio table broadcasts into the token
     # stream; the only SortMergeJoin-free wide op is the doc_id groupBy
     assert "BroadcastHashJoin" in plan
