@@ -1702,8 +1702,9 @@ qs AS (SELECT doc_id,
        FROM qn),
 j AS (SELECT cl.doc_id AS doc_id, cluster_id, quality,
              row_number() OVER (PARTITION BY cluster_id
-                                ORDER BY quality DESC, cl.doc_id ASC) AS rn
-      FROM cl JOIN qs ON cl.doc_id = qs.doc_id)
+                                ORDER BY quality DESC NULLS LAST,
+                                         cl.doc_id ASC) AS rn
+      FROM cl LEFT JOIN qs ON cl.doc_id = qs.doc_id)
 SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM j
 """
     o["text_winnowing"] = """

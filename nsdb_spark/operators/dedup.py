@@ -43,10 +43,16 @@ def _parallelize(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # inputFiles() is a listing-only check; the old rdd.getNumPartitions()
-    # forced a plan->RDD conversion on every call. Non-file inputs (local
-    # relations) report zero files and are small by construction.
-    if len(df.inputFiles()) < target:
+    # Two-stage check. inputFiles() is listing-only: >= target files
+    # guarantees >= target scan splits, no plan->RDD conversion needed.
+    # FEWER files does NOT mean fewer splits (500 large files split into
+    # thousands of maxPartitionBytes tasks) — repartitioning on the file
+    # count alone would shuffle a big-file corpus for nothing, so only
+    # then pay the getNumPartitions() conversion to see the real split
+    # count before deciding.
+    if len(df.inputFiles()) >= target:
+        return df
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -75,10 +81,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (text_hash, keep_id, dup_count).
 
     Single map-side-combinable groupBy; at scale this is one shuffle keyed
-    by the md5 hash (uniform — no skew).
+    by the md5 hash (uniform — no skew). NULL texts are excluded: md5(NULL)
+    is NULL and groupBy would pool every content-less doc into one fake
+    duplicate group, marking unrelated docs for deletion.
     """
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("dup_count"),
@@ -140,7 +149,7 @@ def passage_dup_stats(
         F.count(F.lit(1)).alias("cnt"), F.min("ck").alias("mn")
     )
     dup = F.when((F.col("cnt") > 1) & (F.col("ck") != F.col("mn")), 1).otherwise(0)
-    return (
+    out = (
         p.join(h, "ph")
         .groupBy("doc_id")
         .agg(
@@ -151,6 +160,7 @@ def passage_dup_stats(
             "dup_frac", F.round(F.col("dup_passages") / F.col("n_passages"), 6)
         )
     )
+    return _finish(out, p)  # one-row-per-doc result; release the passage pin
 
 
 # ------------------------------------------------------------------ shingles
@@ -193,8 +203,13 @@ def ngram_jaccard_pairs(
     product outside shared-shingle groups).
 
     stop_shingle_df_limit: drop shingles occurring in more than this many
-    docs before pairing (skew guard for the 100 TB case; changes recall
-    only for pairs connected solely via ubiquitous shingles).
+    docs before pairing (skew guard for the 100 TB case). Jaccard is then
+    computed over the FILTERED sets — both the intersection and the set
+    sizes shrink — so the guard affects precision as well as recall: a
+    pair sharing mostly rare shingles scores HIGHER than its unfiltered
+    jaccard (boilerplate carries no signal, which is usually the point,
+    but it is not a pure recall knob; the unguarded operator is the
+    exact-score baseline).
 
     The join key is xxhash64(shingle), not the shingle string: set
     cardinalities (and therefore jaccard) are unchanged up to 64-bit
@@ -498,6 +513,36 @@ def minhash_signatures(
     )
 
 
+def _verify_jaccard(cand: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs: join the stored
+    (distinct) shingle arrays onto both sides and keep pairs at or above
+    threshold. THE one shared verification — minhash_lsh_pairs and the
+    incremental index pin `incremental ≡ full recompute`, so a second
+    inline copy of the denominator/rounding is a drift hazard (same rule
+    as band_buckets for the banding scheme)."""
+    sh = sigs.select("doc_id", "shingles")
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -533,22 +578,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = sigs.select("doc_id", "shingles")
-    verified = (
-        candidates.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    verified = _verify_jaccard(candidates, sigs, threshold)
     return _finish(verified, sigs)
 
 
@@ -670,6 +700,29 @@ def simhash_pairs(
 # ------------------------------------------------------------------ embeddings
 
 
+def _vec_frame(emb: DataFrame, vec_col: str):
+    """(non-null-vector frame, dim) for the embedding pair operators.
+
+    NULL vectors carry nothing to score — dropped declaratively (a NULL
+    first row would otherwise crash the dim sniff on the driver, and a
+    NULL mid-table crashes the SRP numpy batch). A vector of a DIFFERENT
+    length than the sniffed dim raises via assert_true instead of
+    silently producing NULL dot products the threshold filter would hide
+    as missed pairs. dim is 0 on an empty/all-NULL table."""
+    e = emb.filter(F.col(vec_col).isNotNull())
+    first = e.select(vec_col).first()
+    if first is None:
+        return e, 0
+    dim = len(first[0])
+    ok = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        F.lit(f"ragged embedding table: expected dim {dim}"),
+    )
+    # assert rides in the filter condition (coalesce(NULL-on-pass, True))
+    # so column pruning can't drop it
+    return e.filter(F.coalesce(ok.cast("boolean"), F.lit(True))), dim
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.9, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -683,12 +736,11 @@ def embedding_cosine_pairs(
     scale use operators.embeddings_gemm (block matrix product) or
     pre-bucket with operators.similarity.ivf_assign and join within cells.
     """
-    first = emb.select(vec_col).first()
-    if first is None:
+    emb, dim = _vec_frame(emb, vec_col)
+    if dim == 0:
         return emb.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"
         )
-    dim = len(first[0])
     v = F.col(vec_col).cast("array<double>")
     # floored like similarity._norm: a zero-norm embedding normalizes to
     # the zero vector (cosine 0 everywhere) instead of an ANSI
@@ -765,12 +817,11 @@ def embedding_srp_pairs(
 
     from .similarity import deterministic_hyperplanes
 
-    first = emb.select(vec_col).first()
-    if first is None:
+    emb, dim = _vec_frame(emb, vec_col)
+    if dim == 0:
         return emb.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"
         )
-    dim = len(first[0])
     P = np.array(deterministic_hyperplanes(planes, dim), dtype=np.float64)
     r = planes // bands
     weights = 1 << np.arange(r)
@@ -1032,12 +1083,18 @@ def keep_best_per_cluster(
     on the cluster key; per-partition sort cost is bounded by cluster
     size, which the upstream pair guard already bounds, so no global
     sort and no skew beyond what the pair stage admits.
+
+    LEFT join + NULLS LAST: a cluster member the score table missed must
+    stay in the output (keep=False behind every scored member, min-id
+    keeper if nobody is scored) — an inner join would silently drop it,
+    and a delete-everything-not-kept consumer would destroy the doc (or
+    the whole cluster).
     """
     from pyspark.sql import Window
 
-    j = clusters.join(scores.select("doc_id", score_col), "doc_id")
+    j = clusters.join(scores.select("doc_id", score_col), "doc_id", "left")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col("doc_id").asc()
+        F.col(score_col).desc_nulls_last(), F.col("doc_id").asc()
     )
     return j.select(
         "doc_id",
@@ -1151,25 +1208,5 @@ def minhash_incremental_pairs(
         )
         .distinct()
     )
-    sh = sigs.select("doc_id", "shingles")
-    verified = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-            "doc_b",
-        )
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    verified = _verify_jaccard(cand, sigs, threshold)
     return _finish(verified, sigs)

@@ -45,6 +45,14 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     return n, n % 64, (n // 64) % 64, "fake"
 
 
+def _with_payload(bin_df: DataFrame) -> DataFrame:
+    """Rows without a payload carry nothing to decode — drop them BEFORE
+    the Arrow stage (a NULL reaches the pandas fns as None and len()/
+    bytes()/np.frombuffer would crash the whole job on one bad row).
+    Declarative filter: pushes down to the scan."""
+    return bin_df.filter(F.col("payload").isNotNull())
+
+
 def decode_metadata(bin_df: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over a binary column.
 
@@ -61,7 +69,7 @@ def decode_metadata(bin_df: DataFrame) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return bin_df.mapInPandas(fn, DECODED_SCHEMA)
+    return _with_payload(bin_df).mapInPandas(fn, DECODED_SCHEMA)
 
 
 def document_media_metadata(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -99,7 +107,7 @@ def resize_media(bin_df: DataFrame, target_w: int = 32, target_h: int = 32) -> D
                 }
             )
 
-    return bin_df.mapInPandas(fn, RESIZED_SCHEMA)
+    return _with_payload(bin_df).mapInPandas(fn, RESIZED_SCHEMA)
 
 
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
@@ -135,7 +143,7 @@ def sample_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame_digest": digests}
             )
 
-    return bin_df.mapInPandas(fn, FRAMES_SCHEMA)
+    return _with_payload(bin_df).mapInPandas(fn, FRAMES_SCHEMA)
 
 
 FEATURES_SCHEMA = "doc_id long, n_bytes int, mean_byte double, feat_digest string"
@@ -191,6 +199,6 @@ def extract_features(bin_df: DataFrame, buckets: int = 8) -> DataFrame:
                  "feat_digest": digs}
             )
 
-    return bin_df.mapInPandas(fn, FEATURES_SCHEMA).withColumn(
+    return _with_payload(bin_df).mapInPandas(fn, FEATURES_SCHEMA).withColumn(
         "mean_byte", F.round("mean_byte", 6)
     )

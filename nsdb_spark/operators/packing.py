@@ -28,6 +28,27 @@ from pyspark.sql import functions as F
 from .text import _words
 
 
+def partition_offsets(local: DataFrame, size) -> DataFrame:
+    """(pid, offset): exclusive prefix sum over per-partition totals of
+    `size` — P driver scalars (P ≈ shuffle partitions, never data-sized),
+    broadcast back by the caller. The two-phase global-scan tail SHARED
+    by pack_sequences (token offsets) and sampling.epoch_shuffle (row
+    positions); one definition so the missing-pid/empty-partition edge
+    can't drift between them. Callers must pass a CHECKPOINTED frame:
+    repartitionByRange samples boundaries per job, so subtotals from one
+    evaluation joined to local values from another silently shift every
+    offset."""
+    subtotals = {r["pid"]: r["s"] for r in
+                 local.groupBy("pid").agg(F.sum(size).alias("s")).collect()}
+    offsets, acc = [], 0
+    for pid in range(max(subtotals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += subtotals.get(pid, 0) or 0
+    return local.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "pid int, offset long"
+    )
+
+
 def _local_prefix_frame(docs: DataFrame, text_col: str) -> DataFrame:
     """The pre-checkpoint two-phase-scan frame: range-partitioned by
     doc_id with per-partition running sums. Exposed separately so plan
@@ -62,22 +83,7 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
     local = _local_prefix_frame(docs, text_col).localCheckpoint(eager=True)
-    # P subtotal scalars: prefix-sum on the driver (P ≈ shuffle partitions,
-    # never data-sized), broadcast back. Missing pids = empty partitions.
-    # Subtotals come from the CHECKPOINTED local frame, not a second
-    # evaluation of `d`: repartitionByRange samples its boundaries per
-    # job, so two independent evaluations may split rows across pids
-    # differently — subtotals from one split joined to local_starts from
-    # another silently shifts every downstream offset. The checkpoint
-    # pins one evaluation (4 longs/doc, linear) that both readers share.
-    subtotals = {r["pid"]: r["s"] for r in
-                 local.groupBy("pid").agg(F.sum("n").alias("s")).collect()}
-    offsets, acc = [], 0
-    for pid in range(max(subtotals, default=-1) + 1):
-        offsets.append((pid, acc))
-        acc += subtotals.get(pid, 0)
-    spark = docs.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    off = partition_offsets(local, F.col("n"))
 
     start = F.col("offset") + F.col("local_start")
     b = F.lit(budget)

@@ -167,17 +167,12 @@ def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
             run += len(pdf)
             yield pdf
 
+    from .packing import partition_offsets
+
     local = d.mapInPandas(
         _local, schema=f"{id_col} long, k long, pid int, local_pos long"
     ).localCheckpoint(eager=True)
-    counts = {r["pid"]: r["c"] for r in
-              local.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
-    offsets, acc = [], 0
-    for pid in range(max(counts, default=-1) + 1):
-        offsets.append((pid, acc))
-        acc += counts.get(pid, 0)
-    spark = df.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    off = partition_offsets(local, F.lit(1))
     return local.join(F.broadcast(off), "pid").select(
         id_col, (F.col("offset") + F.col("local_pos")).alias("pos")
     )

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..compiler import TimeContext, compile_expression
-from ..model import MetricSchema, SHARD_COL
 from ..sql import ast
 
 
@@ -52,18 +51,29 @@ def start_parquet_ingestion(
     Delivery: foreachBatch is at-least-once on crash, and a parquet
     append is not idempotent, so a committed-batch marker in the
     checkpoint dir skips batch ids already inserted on replay. The
-    residual window is a crash BETWEEN the insert and the marker write
-    (that one batch can duplicate — the honest limit of non-transactional
-    parquet; a transactional table format removes it)."""
-    import os as _os
-
-    marker = _os.path.join(checkpoint_dir, "_nsdb_committed_batch")
+    marker goes through the Hadoop FileSystem resolved FROM the
+    checkpoint URI — python open()/os.replace would silently no-op the
+    guard on hdfs://, s3a://, etc. (the normal production checkpoint),
+    turning every crash replay into duplicated rows. The residual window
+    is a crash BETWEEN the insert and the marker write (that one batch
+    can duplicate — the honest limit of non-transactional parquet; a
+    transactional table format removes it)."""
+    jvm = engine.spark.sparkContext._jvm
+    hconf = engine.spark.sparkContext._jsc.hadoopConfiguration()
+    marker_path = jvm.org.apache.hadoop.fs.Path(
+        checkpoint_dir + "/_nsdb_committed_batch"
+    )
+    fs = marker_path.getFileSystem(hconf)
 
     def _last_committed() -> int:
         try:
-            with open(marker) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
+            st = fs.open(marker_path)
+            try:
+                data = bytes(st.readAllBytes())
+            finally:
+                st.close()
+            return int(data.decode().strip())
+        except Exception:
             return -1
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,11 +94,18 @@ def start_parquet_ingestion(
             elif pred is not None:
                 rows = batch_df.filter(pred).collect()
         engine.insert_frame(db, ns, metric, batch_df)
-        _os.makedirs(checkpoint_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        _os.replace(tmp, marker)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir + "/_nsdb_committed_batch.tmp"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(batch_id).encode()))
+        finally:
+            out.close()
+        # rename-over: Hadoop rename won't clobber on some FSes — delete
+        # the old marker first; a crash here replays at most one batch
+        fs.delete(marker_path, False)
+        fs.rename(tmp, marker_path)
         if subscription_manager and rows:
             subscription_manager.publish(db, ns, metric, [r.asDict() for r in rows])
 

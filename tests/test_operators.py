@@ -2237,3 +2237,21 @@ def test_lc_distinct_rollup_ignores_null_field(spark):
     ga = rollup.group_count_distinct_from_rollup(gw, "value").collect()
     gb = rollup.group_count_distinct_from_rollup(gc, "value").collect()
     assert sorted(map(tuple, ga)) == sorted(map(tuple, gb))
+
+
+def test_keep_best_per_cluster_retains_unscored_members(spark):
+    """A cluster member missing from the score table must stay in the
+    output (behind every scored member); an all-unscored cluster keeps
+    its min-id member."""
+    from nsdb_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5)], "doc_id long, cluster_id long"
+    )
+    scores = spark.createDataFrame([(1, 0.2)], "doc_id long, quality double")
+    out = {r["doc_id"]: (r["keep"], r["quality"])
+           for r in dedup.keep_best_per_cluster(clusters, scores).collect()}
+    assert out[1] == (True, 0.2)    # the only scored member wins
+    assert out[2] == (False, None)  # unscored: retained, not kept
+    assert out[5] == (True, None)   # all-unscored cluster: min id keeps
+    assert out[6] == (False, None)
