@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 from .similarity import _as_double
 
 
+def _unit(emb: DataFrame, vec_col: str) -> DataFrame:
+    """L2-normalize the vector column (JVM fold, one narrow projection).
+
+    The cosine-contract guard: ADC shortlists rank by squared L2, which
+    orders like the exact cosine re-rank ONLY on unit vectors — on an
+    unnormalized corpus a large-norm, perfectly-aligned vector would sit
+    far down the L2 shortlist and silently never reach the re-rank. The
+    search entry points normalize once up front (cosine itself is
+    norm-invariant, so results on already-unit corpora are unchanged).
+    Zero-norm floored like similarity._norm."""
+    from .similarity import _norm
+
+    v = _as_double(vec_col)
+    return emb.withColumn(vec_col, F.transform(v, lambda x: x / _norm(v)))
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 8,
@@ -63,6 +79,8 @@ def pq_train(
     import numpy as np
 
     first = emb.select(_as_double(vec_col).alias("v")).first()
+    if first is None or first["v"] is None:
+        raise ValueError("cannot train PQ codebooks on an empty vector table")
     dim = len(first["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -97,19 +115,26 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry: dict[str, str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>) — each vector reduced to m codebook ids.
-    One Arrow-batched pass; at scale this is the write-side step whose
-    output is stored alongside (or instead of) the raw vectors."""
+    """(id, codes array<int>[, carry...]) — each vector reduced to m
+    codebook ids. One Arrow-batched pass; at scale this is the write-side
+    step whose output is stored alongside (or instead of) the raw
+    vectors. `carry` ({column: ddl_type}) copies columns through the
+    SAME pass — the IVF-PQ paths carry `cell` this way instead of
+    re-attaching it with a corpus-wide join on id afterwards."""
     import numpy as np
     import pandas as pd
 
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     m = len(cbs)
     sub = cbs[0].shape[1]
+    carry = carry or {}
 
     def encode(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # filtered scans deliver empty Arrow batches
+                continue
             vecs = np.stack(
                 pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values
             )
@@ -119,10 +144,14 @@ def pq_encode(
                 # (B, ks) squared distances, argmin ties -> lowest code
                 d = ((seg[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+            out = {id_col: pdf[id_col], "codes": list(codes)}
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, codes array<int>"
+    carry_ddl = "".join(f", {c} {t}" for c, t in carry.items())
+    return emb.select(id_col, vec_col, *carry).mapInPandas(
+        encode, f"{id_col} long, codes array<int>{carry_ddl}"
     )
 
 
@@ -153,6 +182,8 @@ def pq_topk(
     def score(batches):
         cols = np.arange(m)
         for pdf in batches:
+            if len(pdf) == 0:  # filtered scans deliver empty Arrow batches
+                continue
             codes = np.stack(pdf["codes"].map(np.asarray).values)
             adist = table[cols[None, :], codes].sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "adist": adist})
@@ -213,6 +244,7 @@ def pq_search(
     deployment train/encode happen at write time; this end-to-end form
     exists so correctness and recall are checkable from one entry point.
     shortlist=None returns the raw ADC ranking (no exact re-rank)."""
+    emb = _unit(emb, vec_col)
     cbs = pq_train(emb, m, ks, iters, vec_col, id_col, train_size)
     enc = pq_encode(emb, cbs, vec_col, id_col)
     if shortlist is None:
@@ -281,6 +313,8 @@ def _residuals(emb, centroids, vec_col: str, id_col: str):
 
     def to_resid(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # filtered scans deliver empty Arrow batches
+                continue
             V = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
             R = V - C[pdf["cell"].to_numpy()]
             yield pd.DataFrame(
@@ -312,18 +346,16 @@ def write_ivfpq_index(
     scan partition-prunes to nprobe cells AND column-prunes to
     (id, cell, codes) — the raw vector column is only read for the
     ~shortlist re-rank rows."""
-    import numpy as np
-    import pandas as pd
-
     from ..sources.bucketed import write_partitioned
-    from .similarity import ivf_assign
 
     res = _residuals(emb, centroids, vec_col, id_col).persist()
     cbs = pq_train(res, m, ks, iters, vec_col="resid", id_col=id_col, train_size=train_size)
-    enc = pq_encode(res, cbs, vec_col="resid", id_col=id_col)
+    # cell rides through the encode pass — re-attaching it by a join on
+    # id would shuffle the whole corpus to recover a column _residuals
+    # already had beside the codes
+    enc = pq_encode(res, cbs, vec_col="resid", id_col=id_col, carry={"cell": "int"})
     out = (
-        enc.join(res.select(id_col, "cell"), id_col)
-        .join(emb.select(id_col, vec_col), id_col)
+        enc.join(emb.select(id_col, vec_col), id_col)
         .select(id_col, "cell", "codes", vec_col)
     )
     write_partitioned(out, name, "cell")
@@ -358,8 +390,14 @@ def ivfpq_topk_indexed(
         .mapInPandas(score, f"{id_col} long, adist double")
     )
     cand = scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(shortlist)
-    hits = t.join(F.broadcast(cand.select(id_col)), id_col, "semi").select(
-        id_col, vec_col
+    # every shortlist id came from a probed cell, so prune the re-rank
+    # read to those directories too — without the filter this side scans
+    # ALL cell partitions for the vector column, defeating the pruning
+    # the docstring claims
+    hits = (
+        t.filter(F.col("cell").isin(probes))
+        .join(F.broadcast(cand.select(id_col)), id_col, "semi")
+        .select(id_col, vec_col)
     )
     from .similarity import cosine_topk
 
@@ -399,18 +437,13 @@ def ivfpq_search(
     per-query distributed work is an Arrow-batched table-lookup scan over
     the probed cells' codes and a ~shortlist-row semi join for re-rank.
     """
-    import numpy as np
-    import pandas as pd
-
-    from .similarity import cosine_topk, ivf_assign
+    from .similarity import cosine_topk
 
     res = _residuals(emb, centroids, vec_col, id_col)
     # train on the residual distribution (one bounded sample), encode all
     res = res.persist()
     cbs = pq_train(res, m, ks, iters, vec_col="resid", id_col=id_col, train_size=train_size)
-    enc = pq_encode(res, cbs, vec_col="resid", id_col=id_col).join(
-        res.select(id_col, "cell"), id_col
-    )
+    enc = pq_encode(res, cbs, vec_col="resid", id_col=id_col, carry={"cell": "int"})
 
     # per probed cell: T_c[j, code] = ||(q - C_c)_j - codebook_j[code]||^2
     probes, _tables, score = _ivfpq_query_side(

@@ -189,6 +189,10 @@ def bm25_topk_phrase(
     doc_id (the groupBy already partitioned by doc_id; only the thin
     doc_id column shuffles on the other side).
     """
+    # normalize the phrase the same way split() normalizes the terms:
+    # a stray leading/trailing/double space would otherwise make the
+    # contains() match silently impossible while the terms still score
+    phrase = " ".join(phrase.split())
     terms = sorted(set(phrase.split()))
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     hits = docs.filter(padded.contains(f" {phrase} ")).select("doc_id")
@@ -230,9 +234,16 @@ def write_postings_table(
     from ..sources.bucketed import write_bucketed
 
     write_bucketed(build_postings(docs, text_col), name, "term", buckets)
-    words = F.split(F.col(text_col), " ")
-    n_docs, avgdl = docs.agg(
-        F.count(F.lit(1)), F.avg(F.size(words).cast("double"))
+    # scoring constants from the JUST-WRITTEN index (dl is stored per
+    # posting; one narrow two-column aggregate) — re-deriving them from
+    # `docs` would re-scan and re-tokenize the whole corpus a second time
+    per_doc = (
+        docs.sparkSession.table(name)
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+    )
+    n_docs, avgdl = per_doc.agg(
+        F.count(F.lit(1)), F.avg(F.col("dl").cast("double"))
     ).first()
     return int(n_docs), float(avgdl)
 

@@ -122,7 +122,10 @@ def _nearest_cells(
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
         dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
         scored.append((dot / (qn * cn), ci))
-    return [ci for _, ci in sorted(scored, reverse=True)[:nprobe]]
+    # ties: highest score first, LOWEST centroid index wins — the same
+    # rule as _ivfpq_query_side's stable argsort, so the IVF and IVF-PQ
+    # paths probe identical cells on tied/degenerate centroid layouts
+    return [ci for _, ci in sorted(scored, key=lambda t: (-t[0], t[1]))[:nprobe]]
 
 
 def write_ivf_index(
@@ -287,7 +290,7 @@ def cosine_topk_join(
         )
     qs = F.array(*[
         F.struct(
-            F.lit(int(qid)).alias("query_id"),
+            F.lit(int(qid)).cast("long").alias("query_id"),
             _lit_vec(vec).alias("qv"),
             F.lit(math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0).alias("qn"),
         )
@@ -344,7 +347,7 @@ def ivf_topk_join_indexed(
         v = _as_double(vec_col)
         parts.append(
             t.filter(F.col("cell").isin(probes)).select(
-                F.lit(int(qid)).alias("query_id"),
+                F.lit(int(qid)).cast("long").alias("query_id"),
                 "vec_id",
                 (_dot(v, q) / (_norm(v) * F.lit(qn))).alias("__s"),
             )
