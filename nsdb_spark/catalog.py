@@ -37,8 +37,23 @@ class Warehouse:
         self._schema_lock = threading.Lock()
 
     # -- paths ----------------------------------------------------------
+    #: filesystem-safe identifier: no separators, no traversal, no dot
+    #: prefix. SQL-parsed names are already regex-constrained; this guards
+    #: the HTTP/API surfaces, where db/namespace/metric arrive as raw
+    #: client strings and are joined straight into warehouse paths —
+    #: "../../tmp/x" must be an error, not a write outside the root.
+    _NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
+
+    @classmethod
+    def _safe(cls, name: str) -> str:
+        if not cls._NAME_RE.match(name) or ".." in name:
+            raise ValueError(f"invalid identifier {name!r}")
+        return name
+
     def metric_path(self, db: str, ns: str, metric: str) -> str:
-        return os.path.join(self.root, db, ns, metric)
+        return os.path.join(
+            self.root, self._safe(db), self._safe(ns), self._safe(metric)
+        )
 
     def data_path(self, db: str, ns: str, metric: str) -> str:
         return os.path.join(self.metric_path(db, ns, metric), "data")
@@ -51,13 +66,13 @@ class Warehouse:
         )
 
     def namespaces(self, db: str) -> list[str]:
-        p = os.path.join(self.root, db)
+        p = os.path.join(self.root, self._safe(db))
         if not os.path.isdir(p):
             return []
         return sorted(d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d)))
 
     def metrics(self, db: str, ns: str) -> list[str]:
-        p = os.path.join(self.root, db, ns)
+        p = os.path.join(self.root, self._safe(db), self._safe(ns))
         if not os.path.isdir(p):
             return []
         return sorted(d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d)))

@@ -68,6 +68,11 @@ class NsdbEngine:
         for b in bits:
             if b.timestamp is None or b.value is None:
                 raise SchemaError("bit timestamp and value are mandatory")
+            if b.timestamp < 0:
+                # the read/delete surface derives [0, inf) envelopes
+                # (compiler.extract_time_range floors at 0) — a negative
+                # epoch would be written but silently unreachable
+                raise SchemaError(f"negative timestamp {b.timestamp}")
         info = self.warehouse.get_info(db, ns, metric)
         retention = info["retention"]
         now = self.now_fn()
@@ -167,7 +172,11 @@ class NsdbEngine:
                 )
         schema = self.warehouse.update_schema(db, ns, metric, incoming)
         si = info["shardInterval"]
-        out = conform_frame(df, schema, si)
+        # pinned: the frame feeds the stats action, the parquet append,
+        # AND the rollup-maintenance aggregates — three evaluations of a
+        # non-deterministic source (a CSV dir modified mid-call) would
+        # otherwise let the rollup merge deltas for rows never written
+        out = conform_frame(df, schema, si).persist()
         # one stats action instead of the old count + min/max pair; a bit
         # without timestamp or value does not exist in NSDb (Bit.scala's
         # fields are mandatory) — and admitting NULL values would make
@@ -176,23 +185,33 @@ class NsdbEngine:
         n, n_bad, lo, hi = out.agg(
             F.count(F.lit(1)),
             F.count(F.when(
-                F.col("timestamp").isNull() | F.col("value").isNull(), 1
+                F.col("timestamp").isNull()
+                | (F.col("timestamp") < 0)
+                | F.col("value").isNull(),
+                1,
             )),
             F.min("timestamp"),
             F.max("timestamp"),
         ).first()
         if n_bad:
-            raise SchemaError(f"{n_bad} rows with NULL timestamp or value")
+            out.unpersist()
+            raise SchemaError(
+                f"{n_bad} rows with NULL or negative timestamp, or NULL value"
+            )
         if n == 0:
+            out.unpersist()
             return 0
-        (
-            out.repartition(SHARD_COL)
-            .sortWithinPartitions("timestamp")
-            .write.mode("append")
-            .partitionBy(SHARD_COL)
-            .parquet(self.warehouse.data_path(db, ns, metric))
-        )
-        self._maintain_rollups_on_write(db, ns, metric, lo, hi, out.drop(SHARD_COL))
+        try:
+            (
+                out.repartition(SHARD_COL)
+                .sortWithinPartitions("timestamp")
+                .write.mode("append")
+                .partitionBy(SHARD_COL)
+                .parquet(self.warehouse.data_path(db, ns, metric))
+            )
+            self._maintain_rollups_on_write(db, ns, metric, lo, hi, out.drop(SHARD_COL))
+        finally:
+            out.unpersist()
         return n
 
     def insert_from_files(
@@ -317,11 +336,18 @@ class NsdbEngine:
 
     def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
         """Materialize df (which may read `path`) into a staging dir, then
-        swap — the write finishes consuming the old files before they go."""
+        swap — the write finishes consuming the old files before they go.
+        The swap is two renames (old aside, staging in) rather than an
+        rmtree-then-rename: a concurrent reader's no-directory window
+        shrinks from the full recursive delete to a metadata op, and
+        _read_rollup_store covers what remains."""
         staging = path + ".staging"
+        trash = path + ".old"
         df.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(path)
+        shutil.rmtree(trash, ignore_errors=True)
+        os.rename(path, trash)
         os.rename(staging, path)
+        shutil.rmtree(trash, ignore_errors=True)
 
     # ------------------------------------------------------------- read path
     def read_metric(self, db: str, ns: str, metric: str) -> DataFrame:
@@ -471,7 +497,16 @@ class NsdbEngine:
     # ------------------------------------------------------------- delete
     def delete(self, stmt: ast.DeleteSQLStatement, time_context: TimeContext | None = None) -> int:
         """Anti-filter rewrite of only the affected shard partitions
-        (SURVEY.md §2.1 DELETE mapping). Untouched shards are not rewritten."""
+        (SURVEY.md §2.1 DELETE mapping). Untouched shards are not rewritten.
+
+        Runs under the per-metric rollup lock: a materialize racing the
+        rewrite could otherwise register a rollup built from pre-delete
+        data AFTER this invalidation — durably serving deleted rows."""
+        db, ns = stmt.db or "default", stmt.namespace or "default"
+        with self._metric_rollup_lock(db, ns, stmt.metric):
+            return self._delete_locked(stmt, time_context)
+
+    def _delete_locked(self, stmt, time_context=None) -> int:
         db, ns = stmt.db or "default", stmt.namespace or "default"
         schema = self.warehouse.get_schema(db, ns, stmt.metric)
         ctx = time_context or TimeContext(self.now_fn())
@@ -498,7 +533,6 @@ class NsdbEngine:
         # dynamic-partition overwrite would silently skip shards whose kept
         # set is empty. (On a real cluster this maps to Delta DELETE /
         # replaceWhere; same partition-level rewrite granularity.)
-        import shutil
         import tempfile
 
         data_path = self.warehouse.data_path(db, ns, stmt.metric)
@@ -637,9 +671,13 @@ class NsdbEngine:
             )
         fine = max(fines)
         bounds, vrange, nbins = regs[fine]
-        stored = self.spark.read.parquet(
+        stored = self._read_rollup_store(
             self.warehouse.quantile_rollup_path(db, ns, metric, fine)
         )
+        if stored is None:
+            raise ValueError(
+                f"quantile rollup for {db}.{ns}.{metric} is being rebuilt; retry"
+            )
         if coarse_ms is None:
             return rollup_ops.percentiles_from_quantile_rollup(
                 self.spark, stored, qs, vrange, nbins=nbins
@@ -683,6 +721,20 @@ class NsdbEngine:
             self.warehouse.register_group_rollup(db, ns, metric, field)
             return self.spark.read.parquet(path).count()
 
+
+    def _read_rollup_store(self, path: str):
+        """Open a rollup store for SERVING, tolerating a concurrent
+        maintenance swap: the directory can vanish between routing and
+        read (the _atomic_overwrite window) or between read and execute
+        (ignoreMissingFiles covers that). Returns None when unreadable —
+        callers fall back to the raw path instead of failing the query."""
+        try:
+            return (
+                self.spark.read.option("ignoreMissingFiles", "true").parquet(path)
+            )
+        except Exception:
+            return None
+
     def _route_via_rollup(self, db, ns, stmt, parsed, info):
         """Return a rollup-served DataFrame for an eligible temporal or
         group-by query, else None (raw path). Temporal: agg in
@@ -706,6 +758,12 @@ class NsdbEngine:
             return self._route_distinct_via_rollup(db, ns, stmt, parsed, info)
         if parsed.aggregation.kind not in self._ROLLUP_AGGS:
             return None
+        # the rollup stores VALUE partials (count over rows == count over
+        # non-null values only because ingest rejects NULL values);
+        # count(<tag>) skips NULL tags on the raw path, which no stored
+        # partial can reproduce — same target rule as the group route
+        if parsed.aggregation.target not in ("value", "*"):
+            return None
         registered = self.warehouse.rollups(db, ns, stmt.metric)
         fines = [f for f in registered if parsed.interval_ms % f == 0]
         if not fines:
@@ -716,9 +774,11 @@ class NsdbEngine:
         si = info["shardInterval"]
         if not locations or bounds != (min(locations), max(locations) + si):
             return None  # axis moved (e.g. retention dropped shards) — stale
-        stored = self.spark.read.parquet(
+        stored = self._read_rollup_store(
             self.warehouse.rollup_path(db, ns, stmt.metric, fine)
         )
+        if stored is None:
+            return None  # swapped away mid-route — raw path serves
         return rollup_ops.temporal_from_rollup(
             self.spark,
             stored,
@@ -756,9 +816,11 @@ class NsdbEngine:
         si = info["shardInterval"]
         if not locations or bounds != (min(locations), max(locations) + si):
             return None  # axis moved — stale
-        stored = self.spark.read.parquet(
+        stored = self._read_rollup_store(
             self.warehouse.distinct_rollup_path(db, ns, stmt.metric, field, fine)
         )
+        if stored is None:
+            return None  # swapped away mid-route — raw path serves
         alias = agg_alias(parsed.aggregation)
         out = rollup_ops.temporal_hll_from_rollup(
             self.spark,
@@ -783,9 +845,11 @@ class NsdbEngine:
             return None
         if parsed.group_field not in self.warehouse.group_rollups(db, ns, stmt.metric):
             return None
-        stored = self.spark.read.parquet(
+        stored = self._read_rollup_store(
             self.warehouse.group_rollup_path(db, ns, stmt.metric, parsed.group_field)
         )
+        if stored is None:
+            return None  # swapped away mid-route — raw path serves
         alias = agg_alias(a)
         v = {
             ast.AGG_COUNT: F.col("n"),
@@ -817,7 +881,7 @@ class NsdbEngine:
             return df
         pred = None
         for lo, hi in ivs:
-            p = F.col(SHARD_COL) >= (lo // shard_interval) * shard_interval - 0
+            p = F.col(SHARD_COL) >= (lo // shard_interval) * shard_interval
             if hi is not None:
                 p = p & (F.col(SHARD_COL) <= (hi // shard_interval) * shard_interval)
             pred = p if pred is None else (pred | p)
@@ -830,13 +894,17 @@ class NsdbEngine:
         retention = self.warehouse.get_info(db, ns, metric)["retention"]
         if not retention:
             return []
-        dropped = self.warehouse.drop_shards_older_than(
-            db, ns, metric, self.now_fn() - retention
-        )
-        if dropped:
-            # evicted shards change every aggregate — rollups are stale
-            self.warehouse.invalidate_rollups(db, ns, metric)
-        return dropped
+        # under the per-metric lock for the same reason as delete(): an
+        # in-flight materialize must not register a rollup built over
+        # shards this eviction is removing, after the invalidation
+        with self._metric_rollup_lock(db, ns, metric):
+            dropped = self.warehouse.drop_shards_older_than(
+                db, ns, metric, self.now_fn() - retention
+            )
+            if dropped:
+                # evicted shards change every aggregate — rollups are stale
+                self.warehouse.invalidate_rollups(db, ns, metric)
+            return dropped
 
     # ------------------------------------------------------------- compaction
     def compact_metric(
@@ -869,15 +937,14 @@ class NsdbEngine:
           a transactional table format to lift both caveats).
         """
         import math
-        import os as _os
 
         dp = self.warehouse.data_path(db, ns, metric)
         todo: list[int] = []
         sizes: dict[int, int] = {}
         for shard in self.warehouse.locations(db, ns, metric):
-            d = _os.path.join(dp, f"{SHARD_COL}={shard}")
+            d = os.path.join(dp, f"{SHARD_COL}={shard}")
             try:
-                names = _os.listdir(d)
+                names = os.listdir(d)
             except FileNotFoundError:
                 continue  # retention scheduler evicted it mid-iteration
             files = [
@@ -887,7 +954,7 @@ class NsdbEngine:
             if len(files) >= min_files:
                 todo.append(shard)
                 sizes[shard] = sum(
-                    _os.path.getsize(_os.path.join(d, f)) for f in files
+                    os.path.getsize(os.path.join(d, f)) for f in files
                 )
         if not todo:
             return []
@@ -958,7 +1025,13 @@ class NsdbEngine:
         shards = self.warehouse.locations(db, ns, metric)
         if not shards:
             return []
-        df = self.spark.read.schema(schema.to_struct_type(with_shard=True)).parquet(dp)
+        df = (
+            self.spark.read.schema(schema.to_struct_type(with_shard=True))
+            # retention eviction may drop a shard mid-rewrite; skip
+            # vanished files like every other read path
+            .option("ignoreMissingFiles", "true")
+            .parquet(dp)
+        )
         mask = (1 << bits) - 1
         # numeric fields quantize by RANGE position, not by masking the
         # low bits: `v & mask` wraps every `mask+1` values, scattering
@@ -1030,8 +1103,6 @@ class NsdbEngine:
         """Background eviction thread — the reference checks retention every
         30 s (nsdb.conf:145, MetadataCoordinator.scala:335-348). Returns a
         threading.Event; set it to stop the thread."""
-        import threading
-
         stop = threading.Event()
 
         def loop() -> None:

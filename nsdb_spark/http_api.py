@@ -234,9 +234,25 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # parse/validation/schema errors → 400
             self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
+
+    def _sub_authorized(self, uuid: str) -> bool:
+        """/poll and DELETE /subscribe act on an EXISTING subscription:
+        gate them on that subscription's own (db, ns, metric) — without
+        this, any client that learns a uuid can drain another
+        subscriber's pushes or tear the subscription down while every
+        other data route runs the 403 hook. Unknown uuids pass through
+        (the handler 404s them with no information leak beyond what the
+        404 already says)."""
+        sub = self.subs.subs.get(uuid) if self.subs is not None else None
+        if sub is None:
+            return True
+        return self._authorized("metric", False, sub.db, sub.ns, sub.metric)
+
     def do_DELETE(self) -> None:
         parts = [p for p in self.path.split("/") if p]
         if len(parts) == 2 and parts[0] == "subscribe" and self.subs is not None:
+            if not self._sub_authorized(parts[1]):
+                return
             self.subs.unsubscribe(parts[1])
             self.channels.pop(parts[1], None)
             self._send(200, {"status": "OK"})
@@ -344,6 +360,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             parts = [p.split("?")[0] for p in self.path.split("/") if p]
             if len(parts) == 2 and parts[0] == "poll":
+                if not self._sub_authorized(parts[1]):
+                    return
                 ch = self.channels.get(parts[1])
                 if ch is None:
                     self._send(404, {"error": f"unknown subscription {parts[1]}"})

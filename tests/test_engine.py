@@ -1155,3 +1155,48 @@ def test_insert_rejects_null_timestamp_or_value(engine, spark):
     # clean frames still insert
     ok = spark.createDataFrame([(1000, 1.0)], "timestamp long, value double")
     assert engine.insert_frame("default", "default", "nn", ok) == 1
+
+
+def test_count_tag_not_served_from_rollup(engine, spark):
+    """count(<tag>) skips NULL tags on the raw path; the rollup stores
+    value-row partials, so routing it would overcount — it must stay on
+    the raw path and keep matching pre-rollup results."""
+    from nsdb_spark.model import Bit
+
+    engine.warehouse.init_metric("default", "default", "ct", 10000)
+    engine.insert_bits("default", "default", "ct", [
+        Bit(1000, 1, {}, {"name": "a"}),
+        Bit(2000, 2, {}, {"name": "b"}),
+        Bit(3000, 3, {}, {}),  # no tag -> NULL name
+    ])
+    sql = "select count(name) from ct group by interval 5 s"
+    raw = [tuple(r) for r in engine.execute(sql).collect()]
+    engine.materialize_rollup("default", "default", "ct", 1000)
+    routed = engine.execute(sql)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "struct<k:bigint" not in plan  # raw path, not the rollup scan
+    assert [tuple(r) for r in routed.collect()] == raw
+    assert raw[0][-1] == 2  # NULL tag not counted
+
+
+def test_identifiers_reject_path_traversal(engine):
+    import pytest
+
+    for bad in ("../evil", "a/b", "..", ".hidden", ""):
+        with pytest.raises(ValueError):
+            engine.warehouse.init_metric("default", "default", bad, 1000)
+        with pytest.raises(ValueError):
+            engine.warehouse.metric_path(bad, "default", "m")
+
+
+def test_insert_rejects_negative_timestamp(engine, spark):
+    import pytest
+
+    from nsdb_spark.model import Bit, SchemaError
+
+    engine.warehouse.init_metric("default", "default", "neg", 10000)
+    with pytest.raises(SchemaError):
+        engine.insert_bits("default", "default", "neg", [Bit(-5, 1)])
+    df = spark.createDataFrame([(-5, 1.0)], "timestamp long, value double")
+    with pytest.raises(SchemaError):
+        engine.insert_frame("default", "default", "neg", df)

@@ -518,3 +518,44 @@ def test_ws_rows_buffered_during_historical_scan_are_flushed(engine):
         c.close()
     finally:
         srv.shutdown()
+
+
+def test_poll_and_unsubscribe_require_metric_auth(engine):
+    """/poll/<uuid> and DELETE /subscribe/<uuid> act on an existing
+    subscription — they must run the same metric gate as /subscribe,
+    not hand a uuid-holder another subscriber's stream."""
+    from nsdb_spark.model import Bit
+    from nsdb_spark.streaming import SubscriptionManager
+
+    engine.insert_bits("default", "default", "secret", [Bit(200, 1)])
+    subs = SubscriptionManager(engine)
+    srv, _ = http_api.serve(engine, subscription_manager=subs)
+    try:
+        port = srv.server_address[1]
+        code, body = _post(port, "/subscribe", {
+            "db": "default", "namespace": "default", "metric": "secret",
+            "queryString": "select * from secret"})
+        assert code == 200
+        quid = body["uuid"]
+        srv.shutdown()
+        # restart the SAME manager behind a denying provider
+        srv2, _ = http_api.serve(
+            engine, subscription_manager=subs, auth=DenyBelow100()
+        )
+        port2 = srv2.server_address[1]
+        try:
+            code, body = _get_with_body(port2, f"/poll/{quid}", {})
+            assert code == 403
+            import http.client
+
+            conn = http.client.HTTPConnection("localhost", port2, timeout=10)
+            conn.request("DELETE", f"/subscribe/{quid}")
+            assert conn.getresponse().status == 403
+            assert quid in subs.subs  # not torn down
+        finally:
+            srv2.shutdown()
+    finally:
+        try:
+            srv.shutdown()
+        except Exception:
+            pass
