@@ -444,6 +444,36 @@ def _asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nearest_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event paired with the temporally CLOSEST order of the same
+    user (either direction, 30-day tolerance) — the sensor-alignment
+    shape asof can't express; two as-of passes, never a |dt| theta
+    join."""
+    ev_raw = testdata.table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        testdata.ts_ms(ev_raw).alias("ts_ms"), "event_id", "user_id"
+    )
+    orders = testdata.table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").alias("ots"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = temporal_join.nearest_join(
+        ev,
+        orders,
+        on=("user_id", "o_custkey"),
+        ts=("ts_ms", "ots"),
+        payload=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        tolerance=2592000000,  # 30 d
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ms",
+        "near_o_orderkey", "near_o_totalprice", "near_dist",
+    )
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -935,6 +965,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stats_psi"] = lambda spark, sf: analytics.psi_by_group(
         _docs(spark, sf), "source", "n_chars", nbins=10
     )
+    # binning-free drift test: exact KS via the two-phase global-CDF
+    # scan (no single-partition window — see ks_two_sample docstring)
+    q["stats_ks"] = lambda spark, sf: analytics.ks_two_sample(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type", a="click", b="view",
+    )
+    q["stats_diversity"] = lambda spark, sf: analytics.category_diversity(
+        _docs(spark, sf), group="source", cat="lang"
+    )
+    q["join_nearest_events_orders"] = _nearest_events_orders
     q["tsa_locf"] = lambda spark, sf: tsa.locf_fill(
         testdata.events_metric(spark, sf), 86400000
     ).withColumn("is_gap", F.col("is_gap").cast("int"))
@@ -1246,6 +1286,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
+        # round 5: operators new this round
+        "stats_ks", "stats_diversity", "join_nearest_events_orders",
         # round 4: entries whose plan/shape/oracle changed this round —
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
@@ -2446,6 +2488,77 @@ SELECT f.source, cast(gn.n AS bigint) AS n,
 FROM fl f JOIN gn USING (source), nt
 GROUP BY f.source, gn.n
 """  # n cast: DuckDB sum() yields HUGEINT (pandas float) vs Spark's long
+    # pooled-sample CDF difference; cumulative counts are exact ints so
+    # the max is bit-deterministic across engines
+    o["stats_ks"] = """
+WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+g AS (SELECT v, cast(sum(ia) AS bigint) AS ca,
+             cast(count(*) - sum(ia) AS bigint) AS cb
+      FROM s GROUP BY v),
+t AS (SELECT cast(sum(ca) AS bigint) AS na, cast(sum(cb) AS bigint) AS nb
+      FROM g),
+c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b FROM g)
+SELECT round(max(abs(cum_a / cast(t.na AS double)
+                     - cum_b / cast(t.nb AS double))), 6) AS ks_stat,
+       max(t.na) AS n_a, max(t.nb) AS n_b
+FROM c, t
+"""
+    o["stats_diversity"] = """
+WITH counts AS (SELECT source, lang, count(*) AS ct FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY 1, 2),
+tot AS (SELECT source, sum(ct) AS tot FROM counts GROUP BY 1)
+SELECT c.source AS source, count(*) AS n_cats,
+       round(-sum((c.ct / cast(t.tot AS double))
+                  * ln(c.ct / cast(t.tot AS double))), 6) AS entropy,
+       round(1.0 - sum((c.ct / cast(t.tot AS double))
+                       * (c.ct / cast(t.tot AS double))), 6) AS gini
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+"""
+    # nearest = best of a backward and a forward ASOF, backward wins
+    # ties; right side deduped per (key, ts) exactly like the Spark
+    # tie_break (arg_max by o_orderkey) so both engines pick one row
+    o["join_nearest_events_orders"] = """
+WITH r AS (
+  SELECT o_custkey, epoch_ms(o_orderdate) AS rts,
+         max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+),
+e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+b AS (
+  SELECT e.event_id, e.user_id, e.ts_ms,
+         r.o_orderkey AS bkey, r.o_totalprice AS bprice,
+         e.ts_ms - r.rts AS bdist
+  FROM e ASOF LEFT JOIN r
+    ON e.user_id = r.o_custkey AND e.ts_ms >= r.rts
+),
+f AS (
+  SELECT e.event_id, r.o_orderkey AS fkey, r.o_totalprice AS fprice,
+         r.rts - e.ts_ms AS fdist
+  FROM e ASOF LEFT JOIN r
+    ON e.user_id = r.o_custkey AND e.ts_ms <= r.rts
+),
+j AS (
+  SELECT b.*, f.fkey, f.fprice, f.fdist,
+         (b.bdist IS NOT NULL AND b.bdist <= 2592000000) AS b_ok,
+         (f.fdist IS NOT NULL AND f.fdist <= 2592000000) AS f_ok
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, user_id, ts_ms,
+       CASE WHEN b_ok AND (NOT f_ok OR bdist <= fdist) THEN bkey
+            WHEN f_ok THEN fkey END AS near_o_orderkey,
+       CASE WHEN b_ok AND (NOT f_ok OR bdist <= fdist) THEN bprice
+            WHEN f_ok THEN fprice END AS near_o_totalprice,
+       CASE WHEN b_ok AND (NOT f_ok OR bdist <= fdist) THEN bdist
+            WHEN f_ok THEN fdist END AS near_dist
+FROM j
+"""
     o["sim_range_search"] = f"""
 WITH {_EMB_CTE},
 q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0)

@@ -513,3 +513,114 @@ def psi_by_group(
         .agg(F.round(F.sum(F.col("dp") * F.col("lr")), 6).alias("psi"))
         .select(group, "n", "psi")
     )
+
+
+def ks_two_sample(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic, distributed:
+    D = max_x |F_a(x) - F_b(x)| over the pooled sample points, where
+    F_s is the empirical CDF of `value` within group == s. The drift
+    test PSI can't give you when you refuse to bin (psi_by_group bins;
+    KS is binning-free and distribution-shape-agnostic).
+
+    A global ordered cumulative is the naive plan — and a
+    single-partition window, dead at scale. Instead the SAME two-phase
+    global-scan shape as pack_sequences (packing.partition_offsets):
+    collapse to per-distinct-value counts (map-side combinable), range-
+    partition by value, LOCAL per-partition cumsums, then broadcast the
+    P per-partition subtotals as offsets. No data-sized state ever
+    crosses the driver; P ≈ shuffle partitions.
+
+    Returns one row: (ks_stat double rounded to 6, n_a, n_b bigint).
+    Cumulative counts are exact integers, so the statistic is
+    bit-deterministic and SQL-oracle-checkable.
+    """
+    from nsdb_spark.operators.packing import partition_offsets
+
+    s = df.filter(
+        F.col(group).isin(a, b) & F.col(value).isNotNull()
+    ).select(
+        F.col(value).alias("v"),
+        F.when(F.col(group) == a, F.lit(1)).otherwise(F.lit(0)).alias("ia"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+    )
+    # checkpoint BEFORE deriving offsets: repartitionByRange samples its
+    # boundaries per job, so subtotals from one evaluation joined to
+    # local cumsums from another would silently shift every offset
+    # (the partition_offsets contract)
+    d = (
+        g.repartitionByRange("v")
+        .sortWithinPartitions("v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("la", F.sum("ca").over(w)).withColumn(
+        "lb", F.sum("cb").over(w)
+    )
+    off_a = partition_offsets(d, "ca").withColumnRenamed("offset", "off_a")
+    off_b = partition_offsets(d, "cb").withColumnRenamed("offset", "off_b")
+    tot = d.groupBy().agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    ).collect()[0]
+    na, nb = tot["na"] or 0, tot["nb"] or 0
+    if na == 0 or nb == 0:
+        raise ValueError(
+            f"ks_two_sample: empty sample (n_a={na}, n_b={nb}) — both "
+            f"groups {a!r} and {b!r} need at least one non-null value"
+        )
+    joined = d.join(F.broadcast(off_a), "pid").join(F.broadcast(off_b), "pid")
+    return joined.groupBy().agg(
+        F.round(
+            F.max(
+                F.abs(
+                    (F.col("la") + F.col("off_a")) / F.lit(float(na))
+                    - (F.col("lb") + F.col("off_b")) / F.lit(float(nb))
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max(F.lit(na)).cast("long").alias("n_a"),
+        F.max(F.lit(nb)).cast("long").alias("n_b"),
+    )
+
+
+def category_diversity(
+    df: DataFrame, group: str, cat: str
+) -> DataFrame:
+    """Per-group diversity of a categorical column: distinct category
+    count, Shannon entropy (nats), and Gini impurity of the category
+    distribution — the corpus-balance dashboard for a training mix
+    ("how lang-diverse is each source?").
+
+    Plan: one map-side-combinable groupBy on (group, cat) collapses the
+    corpus to the |groups x cats| grid, a second tiny groupBy derives
+    per-group totals, and the grid joins back to its totals (AQE
+    broadcasts the totals side). NULL categories are excluded from the
+    distribution, mirroring entropy over observed categories; groups
+    whose rows are all-NULL drop out entirely.
+    """
+    counts = (
+        df.filter(F.col(cat).isNotNull() & F.col(group).isNotNull())
+        .groupBy(group, cat)
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = counts.groupBy(group).agg(F.sum("ct").alias("tot"))
+    p = F.col("ct") / F.col("tot")
+    return (
+        counts.join(totals, group)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_cats"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.lit(1.0) - F.sum(p * p), 6).alias("gini"),
+        )
+    )

@@ -127,6 +127,80 @@ def asof_join(
     )
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    ts: tuple[str, str],
+    payload: list[str],
+    tie_break: str,
+    tolerance: int | None = None,
+    prefix: str = "near_",
+) -> DataFrame:
+    """Nearest-neighbor temporal join: for each left row, the right row
+    of the same key whose timestamp is CLOSEST to the left timestamp in
+    EITHER direction, optionally within `tolerance` (inclusive). The
+    backward candidate wins exact distance ties (and at distance 0 both
+    directions resolve to the same deduped right row, so the choice is
+    moot there).
+
+    Completes the temporal-join family: asof_join is "latest at-or-
+    before", window_agg_join is "aggregate over [t, t+w)", interval_join
+    is "point in [start, end]" — this is "closest either side", the
+    sensor-alignment shape ("pair each reading with the nearest
+    calibration sample").
+
+    NOT a |l_ts - r_ts| theta join (BroadcastNestedLoopJoin, O(n*m)).
+    Two as-of passes instead: the backward pass as-is, the forward pass
+    as the SAME asof_join over a negated time axis (latest negated
+    r_ts <= negated l_ts == earliest r_ts >= l_ts). Each pass is one
+    union-tag shuffle + sort with zero row amplification; the
+    distance arg-min is a per-row expression afterwards.
+
+    tie_break: right column whose max pins the choice among right rows
+    sharing (key, ts) — required, so both passes (and a SQL oracle)
+    dedupe identically. Appends `{prefix}{c}` for each payload column
+    plus `{prefix}dist` (null where no right row within tolerance).
+    """
+    lk, rk = on
+    lts, rts = ts
+    # carry the right timestamp as payload so the distance is computable
+    # after the as-of; __nb/__nf are the negated axes for the forward pass
+    rpay = right.withColumn("__rts_pay", F.col(rts).cast("long"))
+    pay = payload + ["__rts_pay"]
+    b = asof_join(
+        left, rpay, on=on, ts=(lts, rts), payload=pay,
+        tie_break=tie_break, prefix="__b_",
+    )
+    b = b.withColumn("__nlts", -F.col(lts).cast("long"))
+    rneg = rpay.withColumn("__nrts", -F.col(rts).cast("long"))
+    both = asof_join(
+        b, rneg, on=on, ts=("__nlts", "__nrts"), payload=pay,
+        tie_break=tie_break, prefix="__f_",
+    )
+    db = F.col(lts).cast("long") - F.col("__b___rts_pay")
+    df_ = F.col("__f___rts_pay") - F.col(lts).cast("long")
+    b_ok = db.isNotNull() if tolerance is None else (
+        db.isNotNull() & (db <= F.lit(tolerance))
+    )
+    f_ok = df_.isNotNull() if tolerance is None else (
+        df_.isNotNull() & (df_ <= F.lit(tolerance))
+    )
+    use_b = b_ok & (~f_ok | (db <= df_))
+    use_f = f_ok & ~use_b
+    out = both
+    for c in payload:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.when(use_b, F.col(f"__b_{c}")).when(use_f, F.col(f"__f_{c}")),
+        )
+    out = out.withColumn(
+        f"{prefix}dist", F.when(use_b, db).when(use_f, df_)
+    )
+    drop = ["__nlts"] + [f"__b_{c}" for c in pay] + [f"__f_{c}" for c in pay]
+    return out.drop(*drop)
+
+
 def sessionize(
     df: DataFrame,
     key: str,

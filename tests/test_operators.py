@@ -343,6 +343,52 @@ def test_asof_join_tie_break_deterministic(spark):
     assert out[0]["asof_id"] == 9 and out[0]["asof_px"] == 90.0
 
 
+def test_nearest_join_directions_tolerance_ties(spark):
+    from nsdb_spark.operators import temporal_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 210), (1, 155), (2, 100), (3, 100)],
+        "k long, ts long",
+    )
+    # key 1: rights at 90 and 220; key 2: right far beyond tolerance
+    right = spark.createDataFrame(
+        [(1, 90, 1, 9.0), (1, 220, 2, 22.0), (2, 1000, 3, 1.0)],
+        "k long, ts long, id int, px double",
+    )
+    out = temporal_join.nearest_join(
+        left, right, on=("k", "k"), ts=("ts", "ts"),
+        payload=["id", "px"], tie_break="id", tolerance=100,
+    )
+    got = {(r["k"], r["ts"]): r for r in out.collect()}
+    assert len(got) == 5  # no row amplification
+    r = got[(1, 100)]     # backward 10 vs forward 120>tol → backward
+    assert r["near_id"] == 1 and r["near_dist"] == 10
+    r = got[(1, 210)]     # backward 120 vs forward 10 → forward
+    assert r["near_id"] == 2 and r["near_px"] == 22.0 and r["near_dist"] == 10
+    r = got[(1, 155)]     # exact tie 65/65 → backward wins
+    assert r["near_id"] == 1 and r["near_dist"] == 65
+    assert got[(2, 100)]["near_id"] is None   # 900 > tolerance
+    assert got[(3, 100)]["near_id"] is None   # key absent on the right
+    assert got[(2, 100)]["near_dist"] is None
+
+
+def test_nearest_join_zero_distance_and_tie_break(spark):
+    from nsdb_spark.operators import temporal_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    # two rights at exactly the left ts: tie_break max id must win in
+    # BOTH directions (same deduped row), distance 0
+    right = spark.createDataFrame(
+        [(1, 100, 7, 70.0), (1, 100, 9, 90.0)],
+        "k long, ts long, id int, px double",
+    )
+    r = temporal_join.nearest_join(
+        left, right, on=("k", "k"), ts=("ts", "ts"),
+        payload=["id", "px"], tie_break="id",
+    ).collect()[0]
+    assert r["near_id"] == 9 and r["near_px"] == 90.0 and r["near_dist"] == 0
+
+
 def test_sessionize_gap_boundaries(spark):
     from nsdb_spark.operators import temporal_join
 
@@ -2255,3 +2301,56 @@ def test_keep_best_per_cluster_retains_unscored_members(spark):
     assert out[2] == (False, None)  # unscored: retained, not kept
     assert out[5] == (True, None)   # all-unscored cluster: min id keeps
     assert out[6] == (False, None)
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(0.0, 1.0, 200).round(2)      # rounding forces ties
+    b = rng.normal(0.5, 1.2, 150).round(2)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = analytics.ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    # brute-force reference: CDF difference at every pooled point
+    pooled = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    assert got["ks_stat"] == round(float(np.max(np.abs(fa - fb))), 6)
+    assert got["n_a"] == 200 and got["n_b"] == 150
+
+
+def test_ks_two_sample_identical_and_empty(spark):
+    import pytest
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0), ("b", None)],
+        "g string, v double",
+    )
+    # identical distributions → D = 0; the NULL is excluded, not a tie
+    got = analytics.ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert got["ks_stat"] == 0.0 and got["n_b"] == 2
+    with pytest.raises(ValueError, match="empty sample"):
+        analytics.ks_two_sample(df, "v", "g", "a", "missing")
+
+
+def test_category_diversity_entropy_gini(spark):
+    import math
+    from nsdb_spark.operators import analytics
+
+    rows = (
+        [("s1", "en")] * 2 + [("s1", "fr")] * 2   # uniform over 2 cats
+        + [("s2", "en")] * 5                       # single category
+        + [("s3", None)]                           # all-NULL group drops out
+        + [("s1", None)]                           # NULL excluded from s1
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {r["src"]: r for r in
+           analytics.category_diversity(df, "src", "lang").collect()}
+    assert set(got) == {"s1", "s2"}
+    assert got["s1"]["n_cats"] == 2
+    assert got["s1"]["entropy"] == round(math.log(2), 6)
+    assert got["s1"]["gini"] == 0.5
+    assert got["s2"]["entropy"] == 0.0 and got["s2"]["gini"] == 0.0
