@@ -536,8 +536,6 @@ def ks_two_sample(
     Cumulative counts are exact integers, so the statistic is
     bit-deterministic and SQL-oracle-checkable.
     """
-    from nsdb_spark.operators.packing import partition_offsets
-
     s = df.filter(
         F.col(group).isin(a, b) & F.col(value).isNotNull()
     ).select(
@@ -566,18 +564,30 @@ def ks_two_sample(
     d = d.withColumn("la", F.sum("ca").over(w)).withColumn(
         "lb", F.sum("cb").over(w)
     )
-    off_a = partition_offsets(d, "ca").withColumnRenamed("offset", "off_a")
-    off_b = partition_offsets(d, "cb").withColumnRenamed("offset", "off_b")
-    tot = d.groupBy().agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    ).collect()[0]
-    na, nb = tot["na"] or 0, tot["nb"] or 0
+    # ONE job yields both offset tables AND the totals (P driver rows);
+    # same missing-pid/empty-partition discipline as partition_offsets
+    subtotals = {
+        r["pid"]: (r["sa"] or 0, r["sb"] or 0)
+        for r in d.groupBy("pid").agg(
+            F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
+        ).collect()
+    }
+    offsets, acc_a, acc_b = [], 0, 0
+    for pid in range(max(subtotals, default=-1) + 1):
+        offsets.append((pid, acc_a, acc_b))
+        sa, sb = subtotals.get(pid, (0, 0))
+        acc_a += sa
+        acc_b += sb
+    off = d.sparkSession.createDataFrame(
+        offsets or [(0, 0, 0)], "pid int, off_a long, off_b long"
+    )
+    na, nb = acc_a, acc_b
     if na == 0 or nb == 0:
         raise ValueError(
             f"ks_two_sample: empty sample (n_a={na}, n_b={nb}) — both "
             f"groups {a!r} and {b!r} need at least one non-null value"
         )
-    joined = d.join(F.broadcast(off_a), "pid").join(F.broadcast(off_b), "pid")
+    joined = d.join(F.broadcast(off), "pid")
     return joined.groupBy().agg(
         F.round(
             F.max(

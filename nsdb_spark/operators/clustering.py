@@ -69,6 +69,11 @@ def kmeans_fit(
     try:
         first = vecs.orderBy(id_col).limit(k).select("__v").collect()
         centroids = [[float(x) for x in r["__v"]] for r in first]
+        if len(centroids) < k:
+            raise ValueError(
+                f"kmeans_fit: k={k} centroids need at least k vectors, "
+                f"got {len(centroids)}"
+            )
         dim = len(centroids[0])
         for _ in range(iters):
             assigned = assign_cells(vecs, centroids, "__v")
@@ -149,6 +154,8 @@ def pca_fit(
     import pandas as pd
 
     first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("PCA needs at least 2 vectors")
     dim = len(first[0])
 
     def partials(batches):
@@ -175,8 +182,6 @@ def pca_fit(
     n = sum(r["n"] for r in rows)
     if n < 2:
         raise ValueError("PCA needs at least 2 vectors")
-    import numpy as np
-
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
     mean = s / n
@@ -201,8 +206,9 @@ def pca_project(
     components: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "proj",
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """(vec_id, proj array<double>): center + project onto the fitted
+    """(id_col, proj array<double>): center + project onto the fitted
     components — pure JVM fold expressions (one scan, no shuffle, no
     Python on the read path; the model rides as literals)."""
     from .similarity import _as_double, _lit_vec
@@ -217,7 +223,7 @@ def pca_project(
             lambda acc, x: acc + x,
         )
         cols.append(F.round(dot, 6))
-    return emb.select("vec_id", F.array(*cols).alias(out_col))
+    return emb.select(id_col, F.array(*cols).alias(out_col))
 
 
 def pca_whiten(
@@ -228,8 +234,9 @@ def pca_whiten(
     eps: float = 1e-9,
     vec_col: str = "embedding",
     out_col: str = "white",
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """(vec_id, white array<double>): PCA whitening — center, project,
+    """(id_col, white array<double>): PCA whitening — center, project,
     and scale each component by 1/sqrt(variance + eps) so the output has
     identity covariance. The standard embedding-preprocessing step
     before cosine retrieval / clustering (dominant directions stop
@@ -250,4 +257,4 @@ def pca_whiten(
             lambda acc, x: acc + x,
         )
         cols.append(F.round(dot * F.lit(scale), 6))
-    return emb.select("vec_id", F.array(*cols).alias(out_col))
+    return emb.select(id_col, F.array(*cols).alias(out_col))

@@ -1149,15 +1149,13 @@ def write_minhash_index(
     writes once so history is never re-tokenized. Mirrors the stored
     ANN/postings-index discipline (similarity.write_ivf_index,
     ranking.write_postings_index)."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    from nsdb_spark.sources.bucketed import _clear_stale_location
 
     spark = docs.sparkSession
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    stale = os.path.join(wh, name.lower())
-    if os.path.isdir(stale) and not spark.catalog.tableExists(name):
-        shutil.rmtree(stale)  # dropped-table leftovers block saveAsTable
+    if not spark.catalog.tableExists(name):
+        # dropped-table leftovers block saveAsTable; scheme-aware
+        # (Hadoop FS) so a remote warehouse gets the same hygiene
+        _clear_stale_location(spark, name)
     minhash_signatures(docs, n, num_hashes).write.mode("overwrite").saveAsTable(name)
 
 

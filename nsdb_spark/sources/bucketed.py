@@ -19,12 +19,30 @@ saveAsTable()`), readable by any Spark session sharing the warehouse dir
 """
 from __future__ import annotations
 
-import os
-import shutil
-from urllib.parse import urlparse
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _clear_stale_location(spark: SparkSession, name: str) -> None:
+    """Delete the managed-table directory a previous session may have
+    left behind. The default in-memory catalog loses table METADATA
+    between sessions while the warehouse DIRECTORY persists, so a bare
+    saveAsTable fails with LOCATION_ALREADY_EXISTS on the next session.
+
+    Goes through the Hadoop FileSystem resolved FROM the warehouse URI
+    (same discipline as streaming/ingest.py's committed-batch marker):
+    os.path/shutil silently no-op on hdfs:// or s3a:// warehouses, which
+    is exactly where the 100 TB deployment lives. Handles db-qualified
+    names ('db.tbl' → <wh>/db.db/tbl, the managed-table layout)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parts = name.lower().split(".")
+    rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    stale = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + rel)
+    fs = stale.getFileSystem(hconf)
+    if fs.exists(stale):
+        fs.delete(stale, True)
 
 
 def write_partitioned(
@@ -45,10 +63,7 @@ def write_partitioned(
     Same stale-location cleanup contract as write_bucketed."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    stale = os.path.join(wh, name.lower())
-    if os.path.isdir(stale):
-        shutil.rmtree(stale)
+    _clear_stale_location(spark, name)
     if coalesce_per_partition:
         df = df.repartition(F.col(key))
     df.write.mode("overwrite").format("parquet").partitionBy(key).saveAsTable(name)
@@ -77,10 +92,7 @@ def write_bucketed(
     so stale unregistered locations are cleared first."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    stale = os.path.join(wh, name.lower())
-    if os.path.isdir(stale):
-        shutil.rmtree(stale)
+    _clear_stale_location(spark, name)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -49,9 +49,13 @@ def _configure(spark: SparkSession) -> None:
 def ts_ms(df: DataFrame, col: str = "ts") -> Column:
     """Epoch-ms (floor) from a raw testdata timestamp column, whatever type
     the Spark build read it as (BIGINT nanos vs TIMESTAMP/TIMESTAMP_NTZ)."""
+    # `div` truncates toward zero, but DuckDB's epoch_ms FLOORS — they
+    # differ on pre-1970 rows, so subtract the (nonnegative) pmod first:
+    # (a - pmod(a, b)) div b == floor(a / b) exactly, all in bigint
     if isinstance(df.schema[col].dataType, LongType):
-        return F.expr(f"{col} div 1000000")
-    return F.expr(f"unix_micros(cast({col} as timestamp)) div 1000")
+        return F.expr(f"({col} - pmod({col}, 1000000)) div 1000000")
+    us = f"unix_micros(cast({col} as timestamp))"
+    return F.expr(f"({us} - pmod({us}, 1000)) div 1000")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
