@@ -198,6 +198,13 @@ def analyze(statement: ast.SelectSQLStatement, schema: MetricSchema) -> ParsedQu
         agg = aggregations[0]
         if agg.kind not in ast.TEMPORAL_AGGREGATIONS:
             raise StatementValidationError(NO_GROUP_BY_AGGREGATION)
+        # the grammar accepts any integer ("interval 0 s"); a zero-width
+        # bucket would reach the compiler's axis division as a raw
+        # ZeroDivisionError — reject it as a validation error instead
+        # (no reference parity string: the reference grammar shares the
+        # gap, so this is our dialect's own guard)
+        if group_by.interval_ms <= 0:
+            raise StatementValidationError("interval must be a positive duration")
         grace = statement.grace_period.interval_ms if statement.grace_period else None
         return ParsedTemporalAggregatedQuery(statement, group_by.interval_ms, agg, grace)
 

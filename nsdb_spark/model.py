@@ -124,7 +124,11 @@ class MetricSchema:
         self.value_type = value_type
         #: name → SchemaField for dimensions/tags only
         self.fields: dict[str, SchemaField] = dict(fields or {})
-        for name in RESERVED_FIELDS:
+        # SHARD_COL is reserved too: it is the engine's internal
+        # partition column, and a user field by that name would emit
+        # duplicate columns in conform_frame/to_struct_type AFTER the
+        # schema registry was already mutated (validate-then-mutate)
+        for name in (*RESERVED_FIELDS, SHARD_COL):
             if name in self.fields:
                 raise SchemaError(f"field name {name} is reserved")
 

@@ -513,13 +513,23 @@ def minhash_signatures(
     )
 
 
+def jaccard_expr() -> Column:
+    """THE exact-Jaccard scoring convention over distinct-shingle array
+    columns `sh_a`/`sh_b`: |∩| / (|A| + |B| - |∩|), rounded to 6.
+    Shared by every verifier (self-join here, the broadcast asymmetric
+    shape in selection.decontaminate_fuzzy) — a second inline copy of
+    the denominator/rounding is a drift hazard, same rule as
+    band_buckets for the banding scheme."""
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return F.round(common / (F.size("sh_a") + F.size("sh_b") - common), 6)
+
+
 def _verify_jaccard(cand: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs: join the stored
     (distinct) shingle arrays onto both sides and keep pairs at or above
-    threshold. THE one shared verification — minhash_lsh_pairs and the
-    incremental index pin `incremental ≡ full recompute`, so a second
-    inline copy of the denominator/rounding is a drift hazard (same rule
-    as band_buckets for the banding scheme)."""
+    threshold. minhash_lsh_pairs and the incremental index pin
+    `incremental ≡ full recompute`, so both route through the one
+    jaccard_expr convention."""
     sh = sigs.select("doc_id", "shingles")
     return (
         cand.join(
@@ -530,14 +540,7 @@ def _verify_jaccard(cand: DataFrame, sigs: DataFrame, threshold: float) -> DataF
             sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
             "doc_b",
         )
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-                6,
-            ),
-        )
+        .withColumn("jaccard", jaccard_expr())
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -316,17 +316,14 @@ def decontaminate_fuzzy(
     bench_sh = bench_sigs.select(
         F.col("doc_id").alias("bench_id"), F.col("shingles").alias("sh_b")
     )
+    from .dedup import jaccard_expr
+
     verified = (
         candidates.join(corpus_sigs.select("doc_id", F.col("shingles").alias("sh_a")), "doc_id")
         .join(F.broadcast(bench_sh), "bench_id")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-                6,
-            ),
-        )
+        # the one shared scoring convention (dedup.jaccard_expr) on this
+        # operator's own broadcast-asymmetric join shape
+        .withColumn("jaccard", jaccard_expr())
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "bench_id", "jaccard")
     )

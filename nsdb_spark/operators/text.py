@@ -182,12 +182,15 @@ def clean_corpus(
     map-side-combinable groupBy, so the whole pipeline is two shuffles
     (dedup groupBy + the join, which co-partitions by doc_id).
     """
+    from .dedup import exact_duplicates
+
     lid = language_id(docs, text_col).select("doc_id", "pred_lang")
     q = quality_score(docs, text_col).select("doc_id", "quality")
-    keepers = (
-        docs.groupBy(F.md5(F.col(text_col)).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # reuse the one exact-dedup groupBy (incl. its NULL-text guard —
+    # an inline md5 groupBy would pool content-less docs into one fake
+    # dup group and crown one of them a keeper)
+    keepers = exact_duplicates(docs, text_col).select(
+        F.col("keep_id").alias("doc_id")
     )
     return (
         lid.join(q, "doc_id")
@@ -397,17 +400,24 @@ def bigram_pmi(
     min_count suppresses the low-frequency PMI explosion (a pair seen
     once between two hapaxes maxes the score — standard practice).
     """
+    from .dedup import _finish
+
     words = _words(text_col)
     pairs = _bigrams(words)
+    # both count tables feed multiple consumers (joins + the broadcast
+    # totals) — persist so the corpus is tokenized ONCE per table, not
+    # once per consumer (the ngram_novelty/_finish pin discipline)
     uni = (
         docs.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .persist()
     )
     bi_all = (
         docs.select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_pair"))
+        .persist()
     )
     bi = bi_all.filter(F.col("n_pair") >= min_count)
     tot = uni.agg(
@@ -438,7 +448,8 @@ def bigram_pmi(
     )
     topk = scored.orderBy(F.desc("__raw"), F.asc("bigram")).limit(k)
     w = Window.orderBy(F.desc("__raw"), F.asc("bigram"))
-    return (
+    out = (
         topk.withColumn("rank", F.row_number().over(w))
         .select("bigram", "n_pair", F.round("__raw", 6).alias("pmi"), "rank")
     )
+    return _finish(out, uni, bi_all)

@@ -71,7 +71,14 @@ def stream_temporal_agg_stateful(
         else:
             cnt, sm, mn, mx = 0, 0.0, None, None
         for pdf in pdfs:
-            v = pdf[value_col].astype("float64")
+            # NULL values arrive as NaN: len() would count them while
+            # sum/min/max skip them (count/avg diverge), and an all-NaN
+            # batch would seed mn/mx with NaN, which min()/max() then
+            # propagate forever — drop them, matching the batch path's
+            # count(value)/avg semantics
+            v = pdf[value_col].astype("float64").dropna()
+            if not len(v):
+                continue
             cnt += int(len(v))
             sm += float(v.sum())
             bmn, bmx = float(v.min()), float(v.max())

@@ -191,3 +191,21 @@ def test_equality_type_mismatch(schema):
 def test_order_by_unknown_field(schema):
     with pytest.raises(StatementValidationError, match="field nope does not exist"):
         _an("select * from m order by nope", schema)
+
+
+def test_zero_interval_rejected(schema):
+    # grammar accepts "interval 0 s"; a zero-width bucket must be a
+    # validation error, not a ZeroDivisionError in the compiler
+    with pytest.raises(StatementValidationError, match="positive duration"):
+        _an("select count(*) from m group by interval 0 s", schema)
+
+
+def test_shard_col_is_reserved_field_name():
+    from nsdb_spark.model import SchemaError
+
+    with pytest.raises(SchemaError, match="reserved"):
+        MetricSchema(
+            NsdbType.BIGINT,
+            {"shard_start": SchemaField(
+                "shard_start", FieldClass.DIMENSION, NsdbType.BIGINT)},
+        )

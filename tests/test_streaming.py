@@ -669,3 +669,23 @@ def test_temporal_boundary_timestamp_matches_historical_axis(manager, engine):
     amended = cb.pushes[-1][0]
     assert (amended["lower_bound"], amended["upper_bound"]) == (1000, 2000)
     assert amended["amended"] and amended["count_value"] == 1
+
+
+def test_stateful_temporal_agg_skips_null_values(spark, tmp_path):
+    """NULL values (NaN in the Arrow batch) must not inflate counts or
+    poison min/max with NaN — mirrors the batch path's count(value)."""
+    from nsdb_spark.streaming.stateful import stream_temporal_agg_stateful
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1000, None), (2000, 5.0), (15000, None)],
+        "timestamp long, value double",
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("timestamp long, value double").parquet(src)
+    agg = stream_temporal_agg_stateful(stream, interval_ms=10000, anchor_ms=0)
+    got = _run_stream(agg, ck)
+    # first bucket: one real value; all-NULL bucket: zero-count row, no NaN
+    assert (10000, 0, 1, 5.0, 5.0, 5.0, 5.0) in got
+    rows2 = [r for r in got if r[0] == 20000]
+    assert rows2 == [(20000, 10000, 0, 0.0, None, None, 0.0)]
