@@ -237,6 +237,33 @@ SELECT node, round(rank, 6) AS rank FROM r{iters}
 """
 
 
+def _label_prop_oracle(iters: int = 4) -> str:
+    """Synchronous min-label LPA unrolled into chained CTEs (the
+    pagerank-oracle discipline: fixed iterations need no recursion, so
+    none of DuckDB's recursive-CTE aggregate restrictions apply). Each
+    step: neighbor-label counts, arg-max per node via row_number
+    (cnt DESC, label ASC — the deterministic tie-break), keep-old on
+    isolated nodes."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+c{t} AS (SELECT e.s AS node, p.label, count(*) AS cnt
+        FROM edges e JOIN l{t - 1} p ON e.d = p.node GROUP BY 1, 2),
+b{t} AS (SELECT node, label AS new_label FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label ASC) AS rn
+          FROM c{t}) WHERE rn = 1),
+l{t} AS (SELECT p.node, coalesce(b.new_label, p.label) AS label
+        FROM l{t - 1} p LEFT JOIN b{t} b USING (node))""")
+    return f"""
+WITH {_shingles_cte(capped=True)},{_guarded_pairs_cte(0.5)},{_EDGES_CTE},
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{",".join(steps)}
+SELECT node, label FROM l{iters}
+"""
+
+
 def _jaccard_oracle(threshold: float, capped: bool = False) -> str:
     return f"""
 WITH {_shingles_cte(capped)}
@@ -886,6 +913,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_pagerank"] = _pagerank
 
+    def _label_prop(spark, sf):
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        )
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        nodes = _docs(spark, sf).select(F.col("doc_id").alias("node"))
+        return graph.label_propagation(edges, nodes, iters=4)
+
+    q["graph_label_prop"] = _label_prop
+
     # --- ranked retrieval + windowed/statistical analytics ---
     q["text_bm25_topk"] = lambda spark, sf: ranking.bm25_topk(
         _docs(spark, sf), BM25_TERMS, k=15
@@ -1288,6 +1330,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 5: operators new this round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
+        "graph_label_prop",
         # round 4: entries whose plan/shape/oracle changed this round —
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
@@ -1308,7 +1351,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_srp",
         "dedup_embedding_cosine", "rollup_percentiles",
         "rollup_temporal_percentile", "rollup_group_percentile",
-        "rollup_temporal_count_distinct",
         # (cdc + raw-jaccard entries rotated OUT of the prefix this
         # round: untouched for two rounds and judge-re-run green)
         "sim_knn_join",
@@ -1732,6 +1774,7 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
     # graph: SQL-expressible after all (unrolled steps), converting one
     # of the two remaining rows-only entries to a hash-checked one
     o["graph_pagerank"] = _pagerank_oracle(iters=5, damping=0.85)
+    o["graph_label_prop"] = _label_prop_oracle(iters=4)
     # keep-best composes two already-oracled stages (components over the
     # guarded 0.5-jaccard graph + the quality score); qw/qs names avoid
     # the shingle CTE's w/s/c/p

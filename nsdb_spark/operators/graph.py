@@ -90,6 +90,79 @@ def pagerank(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    2007, the deterministic variant): every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its in-neighbors, ties broken by the SMALLEST label; isolated nodes
+    keep their label. Returns (node, label) after `iters` rounds.
+
+    The usual async/random-order LPA is irreproducible; synchronous
+    updates + min-label ties make a fixed-iteration run bit-deterministic
+    and therefore SQL-oracle-checkable — the same discipline as the
+    unrolled-CTE pagerank oracle. Callers wanting undirected semantics
+    pass both edge directions (as the registry entry does).
+
+    Scale shape per round: one edges⋈labels join co-partitioned on the
+    pre-hashed edge source, a (node, label) count bounded by the edge
+    count, an arg-max per node, and a left join back to the node set;
+    label state never touches the driver, localCheckpoint caps plan
+    depth at one round. Same round structure as
+    dedup.connected_components' min-label passes.
+    """
+    und = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+        .repartition("__v")
+        .persist()
+    )
+    und.count()
+    labels = nodes.select(
+        node_col, F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        neigh = und.join(
+            labels, und["__v"] == labels[node_col]
+        ).select("__u", "label")
+        counts = neigh.groupBy("__u", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # most frequent label, smallest label on ties: max of
+        # (cnt, -label) — labels are ids, negation stays in bigint
+        best = (
+            counts.groupBy("__u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.col("__u").alias(node_col),
+                (-F.col("b.nl")).alias("new_label"),
+            )
+        )
+        labels = (
+            labels.join(best, node_col, "left")
+            .select(
+                node_col,
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels
+
+
 def triangle_counts(pairs, nodes):
     """(doc_id, n_triangles) — exact per-node triangle membership counts
     over an undirected pair graph, plus singles as zero; the local

@@ -2354,3 +2354,37 @@ def test_category_diversity_entropy_gini(spark):
     assert got["s1"]["entropy"] == round(math.log(2), 6)
     assert got["s1"]["gini"] == 0.5
     assert got["s2"]["entropy"] == 0.0 and got["s2"]["gini"] == 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    from nsdb_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    # triangle {1,2,3}, triangle {10,11,12}, bridge-less; isolated 99
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 12, 99)], "node long"
+    )
+    got = {r["node"]: r["label"] for r in
+           graph.label_propagation(edges, nodes, iters=4).collect()}
+    # sync min-label LPA converges each clique to its smallest id
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[99] == 99  # isolated keeps its own label
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    from nsdb_spark.operators import graph
+
+    # node 5 sees labels {1, 2} once each after round 1 — min label wins
+    und = [(1, 5), (2, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (5,)], "node long")
+    got = {r["node"]: r["label"] for r in
+           graph.label_propagation(edges, nodes, iters=1).collect()}
+    assert got[5] == 1
