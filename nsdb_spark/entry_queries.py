@@ -1016,6 +1016,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stats_diversity"] = lambda spark, sf: analytics.category_diversity(
         _docs(spark, sf), group="source", cat="lang"
     )
+    # location-shift sibling of stats_ks on the same two-phase scan;
+    # doubled-rank arithmetic keeps everything in exact bigints
+    q["stats_mwu"] = lambda spark, sf: analytics.mannwhitney_u(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type", a="click", b="view",
+    )
     q["join_nearest_events_orders"] = _nearest_events_orders
     q["tsa_locf"] = lambda spark, sf: tsa.locf_fill(
         testdata.events_metric(spark, sf), 86400000
@@ -1330,7 +1336,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 5: operators new this round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
-        "graph_label_prop",
+        "graph_label_prop", "stats_mwu",
         # round 4: entries whose plan/shape/oracle changed this round —
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
@@ -1348,7 +1354,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
         "dedup_ngram_jaccard", "dedup_containment",
         "dedup_clusters", "dedup_clusters_alternating",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_srp",
+        "dedup_minhash_lsh", "dedup_embedding_srp",
         "dedup_embedding_cosine", "rollup_percentiles",
         "rollup_temporal_percentile", "rollup_group_percentile",
         # (cdc + raw-jaccard entries rotated OUT of the prefix this
@@ -2551,6 +2557,27 @@ c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
              sum(cb) OVER (ORDER BY v) AS cum_b FROM g)
 SELECT round(max(abs(cum_a / cast(t.na AS double)
                      - cum_b / cast(t.nb AS double))), 6) AS ks_stat,
+       max(t.na) AS n_a, max(t.nb) AS n_b
+FROM c, t
+"""
+    # doubled average-rank identity: 2*avg_rank(v) = 2*cum_before + ct + 1
+    # keeps every term an exact integer until the final halving
+    o["stats_mwu"] = """
+WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+g AS (SELECT v, cast(sum(ia) AS bigint) AS ca,
+             cast(count(*) - sum(ia) AS bigint) AS cb
+      FROM s GROUP BY v),
+t AS (SELECT cast(sum(ca) AS bigint) AS na, cast(sum(cb) AS bigint) AS nb
+      FROM g),
+c AS (SELECT ca, cb,
+             sum(ca + cb) OVER (ORDER BY v) - (ca + cb) AS cum_before
+      FROM g)
+SELECT (cast(sum(ca * (2 * cum_before + ca + cb + 1)) AS bigint)
+        - max(t.na) * (max(t.na) + 1)) / 2.0 AS u_a,
+       cast(sum(ca * (2 * cum_before + ca + cb + 1)) AS bigint) / 2.0 AS r_a,
        max(t.na) AS n_a, max(t.nb) AS n_b
 FROM c, t
 """

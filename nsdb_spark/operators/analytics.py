@@ -515,14 +515,14 @@ def psi_by_group(
     )
 
 
-def ks_two_sample(
-    df: DataFrame, value: str, group: str, a: str, b: str
-) -> DataFrame:
-    """Exact two-sample Kolmogorov-Smirnov statistic, distributed:
-    D = max_x |F_a(x) - F_b(x)| over the pooled sample points, where
-    F_s is the empirical CDF of `value` within group == s. The drift
-    test PSI can't give you when you refuse to bin (psi_by_group bins;
-    KS is binning-free and distribution-shape-agnostic).
+def _two_sample_cum_frame(
+    df: DataFrame, value: str, group: str, a: str, b: str, caller: str
+) -> tuple[DataFrame, int, int]:
+    """Shared distributed-CDF machinery for the two-sample rank tests
+    (ks_two_sample, mannwhitney_u): per-distinct-value counts of each
+    sample with GLOBAL cumulative counts attached, without a global
+    window. Returns (frame, n_a, n_b); frame columns: v, ca, cb (counts
+    at v), la+off_a / lb+off_b (global cumulative counts at-or-below v).
 
     A global ordered cumulative is the naive plan — and a
     single-partition window, dead at scale. Instead the SAME two-phase
@@ -531,10 +531,6 @@ def ks_two_sample(
     partition by value, LOCAL per-partition cumsums, then broadcast the
     P per-partition subtotals as offsets. No data-sized state ever
     crosses the driver; P ≈ shuffle partitions.
-
-    Returns one row: (ks_stat double rounded to 6, n_a, n_b bigint).
-    Cumulative counts are exact integers, so the statistic is
-    bit-deterministic and SQL-oracle-checkable.
     """
     s = df.filter(
         F.col(group).isin(a, b) & F.col(value).isNotNull()
@@ -584,10 +580,30 @@ def ks_two_sample(
     na, nb = acc_a, acc_b
     if na == 0 or nb == 0:
         raise ValueError(
-            f"ks_two_sample: empty sample (n_a={na}, n_b={nb}) — both "
+            f"{caller}: empty sample (n_a={na}, n_b={nb}) — both "
             f"groups {a!r} and {b!r} need at least one non-null value"
         )
-    joined = d.join(F.broadcast(off), "pid")
+    return d.join(F.broadcast(off), "pid"), na, nb
+
+
+def ks_two_sample(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic, distributed:
+    D = max_x |F_a(x) - F_b(x)| over the pooled sample points, where
+    F_s is the empirical CDF of `value` within group == s. The drift
+    test PSI can't give you when you refuse to bin (psi_by_group bins;
+    KS is binning-free and distribution-shape-agnostic). Plan shape:
+    see _two_sample_cum_frame (no global window, no data-sized driver
+    state).
+
+    Returns one row: (ks_stat double rounded to 6, n_a, n_b bigint).
+    Cumulative counts are exact integers, so the statistic is
+    bit-deterministic and SQL-oracle-checkable.
+    """
+    joined, na, nb = _two_sample_cum_frame(
+        df, value, group, a, b, "ks_two_sample"
+    )
     return joined.groupBy().agg(
         F.round(
             F.max(
@@ -598,6 +614,45 @@ def ks_two_sample(
             ),
             6,
         ).alias("ks_stat"),
+        F.max(F.lit(na)).cast("long").alias("n_a"),
+        F.max(F.lit(nb)).cast("long").alias("n_b"),
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) statistic for sample `a`
+    vs sample `b`, with average ranks for ties — the KS sibling that is
+    sensitive to location shift rather than any CDF gap. Same
+    _two_sample_cum_frame scan, zero extra shuffles.
+
+    Ranks never materialize per row: for a distinct value v with counts
+    (ca, cb), the pooled ranks it occupies are
+    [cum_before+1, cum_before+ca+cb], so its average rank is
+    cum_before + (ca+cb+1)/2 and sample a's rank sum is
+    Σ ca·avg_rank. Doubling everything keeps the arithmetic in exact
+    bigints (2·avg_rank = 2·cum_before + ca + cb + 1), so the statistic
+    is bit-deterministic: U_a = (Σ ca·(2·cum_before + ca + cb + 1)
+    - n_a·(n_a+1)) / 2 — halves are exact doubles.
+
+    Returns one row: (u_a double, r_a double [rank sum], n_a, n_b).
+    """
+    joined, na, nb = _two_sample_cum_frame(
+        df, value, group, a, b, "mannwhitney_u"
+    )
+    cum_before = (
+        F.col("la") + F.col("off_a") - F.col("ca")
+        + F.col("lb") + F.col("off_b") - F.col("cb")
+    )
+    two_rank_sum = F.sum(
+        F.col("ca") * (2 * cum_before + F.col("ca") + F.col("cb") + 1)
+    ).cast("long")
+    return joined.groupBy().agg(
+        # na*(na+1) computed in Python (exact bigint; a 32-bit Spark
+        # literal product would overflow around n_a ≈ 46k)
+        ((two_rank_sum - F.lit(na * (na + 1))) / F.lit(2.0)).alias("u_a"),
+        (two_rank_sum / F.lit(2.0)).alias("r_a"),
         F.max(F.lit(na)).cast("long").alias("n_a"),
         F.max(F.lit(nb)).cast("long").alias("n_b"),
     )

@@ -2388,3 +2388,31 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
     got = {r["node"]: r["label"] for r in
            graph.label_propagation(edges, nodes, iters=1).collect()}
     assert got[5] == 1
+
+
+def test_mannwhitney_u_matches_bruteforce_with_ties(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(11)
+    a = rng.normal(0.0, 1.0, 80).round(1)    # coarse rounding → many ties
+    b = rng.normal(0.4, 1.0, 60).round(1)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = analytics.mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+    # brute force: average ranks over the pooled sample
+    pooled = np.concatenate([a, b])
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0   # average of ranks i+1..j
+        i = j
+    r_a = float(ranks[: len(a)].sum())
+    assert got["r_a"] == r_a
+    assert got["u_a"] == r_a - len(a) * (len(a) + 1) / 2.0
+    assert got["n_a"] == 80 and got["n_b"] == 60

@@ -428,3 +428,44 @@ def test_dsir_scoring_join_is_broadcast(spark):
     # stream; the only SortMergeJoin-free wide op is the doc_id groupBy
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nearest_join_no_nested_loop(spark):
+    """nearest_join must ride the two as-of union-tag shuffles — a
+    |l_ts - r_ts| formulation would plan a BroadcastNestedLoopJoin
+    (O(n*m) comparisons)."""
+    from pyspark.sql import functions as F
+
+    from nsdb_spark.operators import temporal_join
+
+    ev = testdata.table(spark, SF_DIR, "events")
+    left = ev.select(testdata.ts_ms(ev).alias("ts_ms"), "event_id", "user_id")
+    orders = testdata.table(spark, SF_DIR, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").alias("ots"),
+        "o_orderkey",
+    )
+    plan = plan_of(
+        temporal_join.nearest_join(
+            left, orders, on=("user_id", "o_custkey"), ts=("ts_ms", "ots"),
+            payload=["o_orderkey"], tie_break="o_orderkey", tolerance=1000,
+        )
+    )
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_two_phase_no_global_window(spark):
+    """The KS cumulative must come from the range-partitioned two-phase
+    scan: the only single-partition exchange allowed is the final 1-row
+    max aggregate, never a data-sized global window sort."""
+    from nsdb_spark.operators import analytics
+
+    ev = testdata.table(spark, SF_DIR, "events")
+    out = analytics.ks_two_sample(ev, "value", "event_type", "click", "view")
+    plan = plan_of(out)
+    # post-checkpoint plan: pid-partitioned window + broadcast offsets +
+    # the tiny final agg; a global (unpartitioned) ordered window would
+    # show a sort-based Window over Exchange SinglePartition feeding it
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
