@@ -1023,6 +1023,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         group="event_type", a="click", b="view",
     )
     q["join_nearest_events_orders"] = _nearest_events_orders
+    q["tsa_autocorr"] = lambda spark, sf: tsa.autocorr(
+        testdata.events_metric(spark, sf), lags=(1, 2, 3)
+    )
     q["tsa_locf"] = lambda spark, sf: tsa.locf_fill(
         testdata.events_metric(spark, sf), 86400000
     ).withColumn("is_gap", F.col("is_gap").cast("int"))
@@ -1336,7 +1339,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 5: operators new this round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
-        "graph_label_prop", "stats_mwu",
+        "graph_label_prop", "stats_mwu", "tsa_autocorr",
         # round 4: entries whose plan/shape/oracle changed this round —
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
@@ -1352,7 +1355,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 2: stored-assignment ANN, guarded pair joins, quantile
         # rollups, prefilter/binning changes
         "sim_topk_ivf", "sim_topk_rhp", "sim_topk_ivf_scan", "sim_topk_rhp_scan",
-        "dedup_ngram_jaccard", "dedup_containment",
+        "dedup_ngram_jaccard",
         "dedup_clusters", "dedup_clusters_alternating",
         "dedup_minhash_lsh", "dedup_embedding_srp",
         "dedup_embedding_cosine", "rollup_percentiles",
@@ -2485,6 +2488,22 @@ SELECT event_type,
             THEN round(-4096 * ln(1 - (V::DOUBLE) / 4096), 3)
             ELSE NULL END AS est_distinct
 FROM v ORDER BY event_type
+"""
+    o["tsa_autocorr"] = """
+WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS eid, value AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (SELECT *, avg(v) OVER (PARTITION BY k) AS mean FROM e),
+d AS (SELECT k, t, eid, v - mean AS dev FROM m),
+lagd AS (SELECT k, dev,
+        lag(dev, 1) OVER (PARTITION BY k ORDER BY t, eid) AS l1,
+        lag(dev, 2) OVER (PARTITION BY k ORDER BY t, eid) AS l2,
+        lag(dev, 3) OVER (PARTITION BY k ORDER BY t, eid) AS l3 FROM d),
+agg AS (SELECT k, sum(dev*dev) AS den, sum(dev*l1) AS n1,
+               sum(dev*l2) AS n2, sum(dev*l3) AS n3
+        FROM lagd GROUP BY k)
+SELECT k AS event_type, 1 AS lag, round(n1/den, 6) AS acf FROM agg
+UNION ALL SELECT k, 2, round(n2/den, 6) FROM agg
+UNION ALL SELECT k, 3, round(n3/den, 6) FROM agg
 """
     o["tsa_ema"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

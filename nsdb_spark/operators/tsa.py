@@ -256,3 +256,56 @@ def cusum_summary(
         F.round(F.max("__s"), 6).alias("max_s"),
         F.sum("__alarm").alias("n_alarms"),
     )
+
+
+def autocorr(
+    df: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key autocorrelation function at the given ROW lags:
+    r_k = Σ (x_t − x̄)(x_{t−k} − x̄) / Σ (x_t − x̄)² over the key's
+    series in (ts, id) order — the seasonality/persistence probe that
+    decides resampling grain and drift-test windowing for a metric
+    before heavier modeling. Returns (key, lag, acf) rows.
+
+    Plan: the per-key mean (unordered window), every lag column (one
+    ordered window), and the final covariance sums all share ONE hash
+    exchange on the key — adding a lag adds a projection, not a
+    shuffle. NULL values are excluded up front; a lag that reaches
+    before the series start contributes nothing (sum skips the NULL
+    product), matching the standard ACF denominator convention.
+    """
+    w_full = Window.partitionBy(key)
+    w_ord = Window.partitionBy(key).orderBy(ts, id_col)
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).alias("__v"))
+        .withColumn("__dev", F.col("__v") - F.avg("__v").over(w_full))
+    )
+    for k in lags:
+        d = d.withColumn(f"__l{k}", F.lag("__dev", k).over(w_ord))
+    agg = d.groupBy(key).agg(
+        F.sum(F.col("__dev") * F.col("__dev")).alias("__den"),
+        *[
+            F.sum(F.col("__dev") * F.col(f"__l{k}")).alias(f"__n{k}")
+            for k in lags
+        ],
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    F.round(F.col(f"__n{k}") / F.col("__den"), 6).alias("acf"),
+                )
+                for k in lags
+            ]
+        )
+    ).alias("__p")
+    return agg.select(key, pairs).select(
+        key, F.col("__p.lag").alias("lag"), F.col("__p.acf").alias("acf")
+    )

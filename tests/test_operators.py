@@ -2416,3 +2416,26 @@ def test_mannwhitney_u_matches_bruteforce_with_ties(spark):
     assert got["r_a"] == r_a
     assert got["u_a"] == r_a - len(a) * (len(a) + 1) / 2.0
     assert got["n_a"] == 80 and got["n_b"] == 60
+
+
+def test_autocorr_known_series(spark):
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    # alternating series: lag-1 ACF ≈ -1, lag-2 ACF ≈ +1
+    rows = [("k", i, i, float((-1) ** i)) for i in range(40)]
+    rows += [("j", 0, 100, 7.0)]  # second key, single-point series
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, value double"
+    )
+    got = {(r["event_type"], r["lag"]): r["acf"] for r in
+           tsa.autocorr(df, lags=(1, 2)).collect()}
+    x = np.array([(-1.0) ** i for i in range(40)])
+    dev = x - x.mean()
+    den = float((dev * dev).sum())
+    exp1 = round(float((dev[1:] * dev[:-1]).sum()) / den, 6)
+    exp2 = round(float((dev[2:] * dev[:-2]).sum()) / den, 6)
+    assert got[("k", 1)] == exp1 and exp1 < -0.9
+    assert got[("k", 2)] == exp2 and exp2 > 0.9
+    # single-point series: den = 0 → NULL acf, not a crash
+    assert got[("j", 1)] is None
