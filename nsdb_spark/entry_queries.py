@@ -1022,6 +1022,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "events"), value="value",
         group="event_type", a="click", b="view",
     )
+    q["stats_chi2"] = lambda spark, sf: analytics.chi2_independence(
+        _docs(spark, sf), x="lang", y="source"
+    )
     q["join_nearest_events_orders"] = _nearest_events_orders
     q["tsa_autocorr"] = lambda spark, sf: tsa.autocorr(
         testdata.events_metric(spark, sf), lags=(1, 2, 3)
@@ -1339,7 +1342,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 5: operators new this round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
-        "graph_label_prop", "stats_mwu", "tsa_autocorr",
+        "graph_label_prop", "stats_mwu", "tsa_autocorr", "stats_chi2",
         # round 4: entries whose plan/shape/oracle changed this round —
         # keep them inside the driver's 50-entry check prefix
         "emb_pca_project", "text_novelty", "graph_pagerank", "stats_psi",
@@ -1359,7 +1362,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters", "dedup_clusters_alternating",
         "dedup_minhash_lsh", "dedup_embedding_srp",
         "dedup_embedding_cosine", "rollup_percentiles",
-        "rollup_temporal_percentile", "rollup_group_percentile",
+        "rollup_temporal_percentile",
         # (cdc + raw-jaccard entries rotated OUT of the prefix this
         # round: untouched for two rounds and judge-re-run green)
         "sim_knn_join",
@@ -2599,6 +2602,21 @@ SELECT (cast(sum(ca * (2 * cum_before + ca + cb + 1)) AS bigint)
        cast(sum(ca * (2 * cum_before + ca + cb + 1)) AS bigint) / 2.0 AS r_a,
        max(t.na) AS n_a, max(t.nb) AS n_b
 FROM c, t
+"""
+    o["stats_chi2"] = """
+WITH grid AS (SELECT lang, source, count(*) AS obs FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
+rm AS (SELECT lang, sum(obs) AS rtot FROM grid GROUP BY 1),
+cm AS (SELECT source, sum(obs) AS ctot FROM grid GROUP BY 1),
+t AS (SELECT sum(obs) AS n, count(DISTINCT lang) AS nr,
+             count(DISTINCT source) AS nc FROM grid)
+SELECT round(sum((g.obs - rm.rtot * cm.ctot / cast(t.n AS double))
+                 * (g.obs - rm.rtot * cm.ctot / cast(t.n AS double))
+                 / (rm.rtot * cm.ctot / cast(t.n AS double))), 6) AS chi2,
+       cast(max((t.nr - 1) * (t.nc - 1)) AS bigint) AS dof,
+       cast(max(t.n) AS bigint) AS n
+FROM grid g JOIN rm USING (lang) JOIN cm USING (source), t
 """
     o["stats_diversity"] = """
 WITH counts AS (SELECT source, lang, count(*) AS ct FROM documents

@@ -689,3 +689,54 @@ def category_diversity(
             F.round(F.lit(1.0) - F.sum(p * p), 6).alias("gini"),
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame, x: str, y: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns: X² = Σ_cells (obs − exp)²/exp with exp = row·col/n, plus
+    the degrees of freedom (R−1)(C−1) — "is language independent of
+    source?" is the intake-balance question behind a stratified corpus.
+
+    Plan: ONE map-side-combinable groupBy collapses the corpus to the
+    R×C contingency grid; margins are two tiny aggregates of that grid
+    joined back (broadcast); everything after the first shuffle is
+    grid-sized. NULL categories are excluded pairwise. Returns one row:
+    (chi2 double rounded 6, dof bigint, n bigint).
+    """
+    grid = (
+        df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(x, y)
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .persist()
+    )
+    rm = grid.groupBy(x).agg(F.sum("obs").alias("rtot"))
+    cm = grid.groupBy(y).agg(F.sum("obs").alias("ctot"))
+    tot = grid.agg(
+        F.sum("obs").alias("n"),
+        F.count_distinct(x).alias("nr"),
+        F.count_distinct(y).alias("nc"),
+    )
+    exp = F.col("rtot") * F.col("ctot") / F.col("n")
+    out = (
+        grid.join(F.broadcast(rm), x)
+        .join(F.broadcast(cm), y)
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.round(
+                F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
+            ).alias("chi2"),
+            F.max((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    # the grid feeds margins + the final sum; materialize the 1-row
+    # result and release the pin (dedup._finish discipline, local copy
+    # to avoid a cross-module import for two lines)
+    out = out.localCheckpoint(eager=True)
+    grid.unpersist()
+    return out

@@ -2439,3 +2439,25 @@ def test_autocorr_known_series(spark):
     assert got[("k", 2)] == exp2 and exp2 > 0.9
     # single-point series: den = 0 → NULL acf, not a crash
     assert got[("j", 1)] is None
+
+
+def test_chi2_independence_known_table(spark):
+    from nsdb_spark.operators import analytics
+
+    # classic 2x2: obs [[10, 20], [30, 40]]
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 40
+        + [(None, "x"), ("a", None)]   # NULLs excluded pairwise
+    )
+    df = spark.createDataFrame(rows, "lang string, src string")
+    got = analytics.chi2_independence(df, "lang", "src").collect()[0]
+    n = 100
+    exp = [[30 * 40 / n, 30 * 60 / n], [70 * 40 / n, 70 * 60 / n]]
+    obs = [[10, 20], [30, 40]]
+    chi2 = sum(
+        (obs[i][j] - exp[i][j]) ** 2 / exp[i][j]
+        for i in range(2) for j in range(2)
+    )
+    assert got["chi2"] == round(chi2, 6)
+    assert got["dof"] == 1 and got["n"] == 100
