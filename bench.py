@@ -191,6 +191,13 @@ def main() -> None:
         "tsa_cusum",
         "stats_psi",
         "rollup_temporal_topk",
+        "stats_ks",
+        "stats_mwu",
+        "stats_chi2",
+        "stats_diversity",
+        "tsa_autocorr",
+        "graph_label_prop",  # re-pays the near-dup pair join upstream
+        "join_nearest_events_orders",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +
@@ -289,11 +296,24 @@ def main() -> None:
     out_path = detail_path if sf == 0.1 else (
         detail_path.replace(".json", f"_{os.path.basename(sf_dir.rstrip('/'))}.json")
     )
+    # Best-known time per entry, ratcheting down across committed runs.
+    # A failed run (v < 0) carries the prior best forward — a single flaky
+    # failure must not erase the baseline and blind the 2x re-time rule on
+    # the next run. The two gatling keys are a success criterion + a
+    # 100-query scenario total, not per-entry timings — keep both out.
+    # RATCHET RESET RULE: when an entry's semantics or plan change in a
+    # round, delete its key from BENCH_detail.json's "best" (and note it in
+    # BASELINE.md) so the first post-change measurement becomes the new
+    # baseline; otherwise the 2x rule flags the honest new cost forever.
+    non_entries = ("gatling_100_point_queries", "gatling_success_pct")
     best = {
         k: round(min(v, baselines.get(k, v)), 3)
         for k, v in results.items()
-        if v > 0 and k != "gatling_success_pct"
+        if v > 0 and k not in non_entries
     }
+    for k, prior in baselines.items():
+        if k not in best and prior > 0 and k not in non_entries:
+            best[k] = prior
     with open(out_path, "w") as f:
         json.dump({"metric": "bench_total", "value": total, "unit": "sec",
                    "queries": results, "best": best, "sf": sf},
