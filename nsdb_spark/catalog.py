@@ -46,7 +46,11 @@ class Warehouse:
 
     @classmethod
     def _safe(cls, name: str) -> str:
-        if not cls._NAME_RE.match(name) or ".." in name:
+        # the regex alone is sufficient: no path separators can appear, so
+        # an interior ".." (e.g. "a..b") is just a funny directory name,
+        # not traversal — and the whole-string "..", "." cases fail the
+        # leading-character class anyway
+        if not cls._NAME_RE.match(name):
             raise ValueError(f"invalid identifier {name!r}")
         return name
 

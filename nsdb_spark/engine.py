@@ -8,6 +8,7 @@ HashAggregate partial/final replaces the shard/node reduce tree.
 """
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import threading
@@ -29,6 +30,8 @@ from .model import (
 )
 from .sql import ast
 from .sql.parser import parse
+
+_log = logging.getLogger(__name__)
 
 
 class RetentionError(Exception):
@@ -672,7 +675,8 @@ class NsdbEngine:
         fine = max(fines)
         bounds, vrange, nbins = regs[fine]
         stored = self._read_rollup_store(
-            self.warehouse.quantile_rollup_path(db, ns, metric, fine)
+            self.warehouse.quantile_rollup_path(db, ns, metric, fine),
+            db, ns, metric,
         )
         if stored is None:
             raise ValueError(
@@ -722,17 +726,33 @@ class NsdbEngine:
             return self.spark.read.parquet(path).count()
 
 
-    def _read_rollup_store(self, path: str):
+    def _read_rollup_store(self, path: str, db: str, ns: str, metric: str):
         """Open a rollup store for SERVING, tolerating a concurrent
         maintenance swap: the directory can vanish between routing and
         read (the _atomic_overwrite window) or between read and execute
         (ignoreMissingFiles covers that). Returns None when unreadable —
-        callers fall back to the raw path instead of failing the query."""
+        callers fall back to the raw path instead of failing the query.
+        ONLY the missing-path case is the benign swap window; any other
+        read failure (corrupt footers, bad schema) means the store itself
+        is damaged, so the registration is invalidated — the query still
+        answers from raw, and the next materialize rebuilds the rollup —
+        instead of the fallback silently masking the corruption forever."""
+        from pyspark.errors import AnalysisException
+
         try:
             return (
                 self.spark.read.option("ignoreMissingFiles", "true").parquet(path)
             )
-        except Exception:
+        except Exception as e:
+            # PATH_NOT_FOUND is the swap; a corrupt footer surfaces as a
+            # SparkException/RuntimeError at schema-inference time instead
+            if isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in str(e):
+                return None  # swap window — raw path serves this query
+            _log.warning(
+                "rollup store %s unreadable (%s); invalidating registrations "
+                "for %s.%s.%s", path, e, db, ns, metric,
+            )
+            self.warehouse.invalidate_rollups(db, ns, metric)
             return None
 
     def _route_via_rollup(self, db, ns, stmt, parsed, info):
@@ -775,7 +795,8 @@ class NsdbEngine:
         if not locations or bounds != (min(locations), max(locations) + si):
             return None  # axis moved (e.g. retention dropped shards) — stale
         stored = self._read_rollup_store(
-            self.warehouse.rollup_path(db, ns, stmt.metric, fine)
+            self.warehouse.rollup_path(db, ns, stmt.metric, fine),
+            db, ns, stmt.metric,
         )
         if stored is None:
             return None  # swapped away mid-route — raw path serves
@@ -817,7 +838,8 @@ class NsdbEngine:
         if not locations or bounds != (min(locations), max(locations) + si):
             return None  # axis moved — stale
         stored = self._read_rollup_store(
-            self.warehouse.distinct_rollup_path(db, ns, stmt.metric, field, fine)
+            self.warehouse.distinct_rollup_path(db, ns, stmt.metric, field, fine),
+            db, ns, stmt.metric,
         )
         if stored is None:
             return None  # swapped away mid-route — raw path serves
@@ -846,7 +868,8 @@ class NsdbEngine:
         if parsed.group_field not in self.warehouse.group_rollups(db, ns, stmt.metric):
             return None
         stored = self._read_rollup_store(
-            self.warehouse.group_rollup_path(db, ns, stmt.metric, parsed.group_field)
+            self.warehouse.group_rollup_path(db, ns, stmt.metric, parsed.group_field),
+            db, ns, stmt.metric,
         )
         if stored is None:
             return None  # swapped away mid-route — raw path serves

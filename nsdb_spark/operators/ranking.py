@@ -234,18 +234,21 @@ def write_postings_table(
     from ..sources.bucketed import write_bucketed
 
     write_bucketed(build_postings(docs, text_col), name, "term", buckets)
-    # scoring constants from the JUST-WRITTEN index (dl is stored per
-    # posting; one narrow two-column aggregate) — re-deriving them from
-    # `docs` would re-scan and re-tokenize the whole corpus a second time
-    per_doc = (
+    # avgdl from the JUST-WRITTEN index (dl is stored per posting; one
+    # narrow two-column aggregate — re-deriving it from `docs` would
+    # re-tokenize the whole corpus a second time). n_docs from the SOURCE
+    # frame: a NULL-text doc emits no postings rows, so an index-resident
+    # count would silently drop it from N and shift every IDF versus the
+    # scan path (bm25_topk counts all corpus rows) and the SQL oracle's
+    # count(*) — the row count is a column-pruned scan, no tokenization.
+    avgdl = (
         docs.sparkSession.table(name)
         .groupBy("doc_id")
         .agg(F.first("dl").alias("dl"))
+        .agg(F.avg(F.col("dl").cast("double")))
+        .first()[0]
     )
-    n_docs, avgdl = per_doc.agg(
-        F.count(F.lit(1)), F.avg(F.col("dl").cast("double"))
-    ).first()
-    return int(n_docs), float(avgdl)
+    return int(docs.count()), float(avgdl)
 
 
 def bm25_topk_postings(

@@ -1187,6 +1187,41 @@ def test_identifiers_reject_path_traversal(engine):
             engine.warehouse.init_metric("default", "default", bad, 1000)
         with pytest.raises(ValueError):
             engine.warehouse.metric_path(bad, "default", "m")
+    # interior dots are NOT traversal (no separators can appear) — "a..b"
+    # is a legal metric name and must stay readable/droppable via the API
+    assert engine.warehouse._safe("a..b") == "a..b"
+    assert engine.warehouse._safe("v1.2.3") == "v1.2.3"
+
+
+def test_corrupt_rollup_store_invalidates_and_serves_raw(engine):
+    """A rollup store damaged on disk (not the benign maintenance-swap
+    vanish) must not be silently retried forever: the read failure drops
+    the registration, the query answers from the raw path, and the next
+    materialize can rebuild the store."""
+    import glob
+    import os
+
+    from nsdb_spark.model import Bit
+
+    engine.warehouse.init_metric("default", "default", "cr", 10_000)
+    engine.insert_bits("default", "default", "cr", [
+        Bit(1000, 1, {}, {"host": "a"}),
+        Bit(2000, 2, {}, {"host": "b"}),
+    ])
+    engine.materialize_group_rollup("default", "default", "cr", "host")
+    assert "host" in engine.warehouse.group_rollups("default", "default", "cr")
+    path = engine.warehouse.group_rollup_path("default", "default", "cr", "host")
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert files  # the store we are about to damage exists
+    for f in files:
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    engine.spark.catalog.clearCache()
+    got = sorted(tuple(r) for r in engine.execute(
+        "select sum(value) from cr group by host"
+    ).collect())
+    assert got == [("a", 1.0), ("b", 2.0)] or got == [("a", 1), ("b", 2)]
+    assert "host" not in engine.warehouse.group_rollups("default", "default", "cr")
 
 
 def test_insert_rejects_negative_timestamp(engine, spark):

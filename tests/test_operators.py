@@ -1461,6 +1461,29 @@ def test_bm25_postings_equals_direct(spark):
     assert [r.asDict() for r in direct] == [r.asDict() for r in served]
 
 
+def test_bm25_postings_null_text_counts_toward_n_docs(spark):
+    """A NULL-text doc emits no postings rows but is still a corpus
+    member: both paths must use the same N in IDF (the scan path counts
+    all rows), or every served score silently shifts versus the direct
+    path on corpora with missing text."""
+    from nsdb_spark.operators import ranking
+
+    rows = [
+        (0, "join hash scan join merge"),
+        (1, "scan filter row scan scan"),
+        (2, "vector join table"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = ranking.bm25_topk(docs, ["join", "scan"], k=3).collect()
+    n_docs, avgdl = ranking.write_postings_table(docs, "t_postings_null", buckets=4)
+    assert n_docs == 4  # NULL-text doc still counts toward N
+    served = ranking.bm25_topk_postings(
+        spark, "t_postings_null", n_docs, avgdl, ["join", "scan"], k=3
+    ).collect()
+    assert [r.asDict() for r in direct] == [r.asDict() for r in served]
+
+
 def test_sample_per_group_exact_k_and_nested(spark):
     from nsdb_spark.operators import sampling
 
