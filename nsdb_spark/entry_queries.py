@@ -264,6 +264,52 @@ SELECT node, label FROM l{iters}
 """
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
+    """Lloyd's k-means unrolled into chained CTEs (the graph_pagerank
+    discipline: fixed iterations need no recursion). Exactly mirrors
+    clustering.kmeans_fit(round_to=6) + kmeans_summary: init = first k
+    vectors by vec_id snapped to the decimal grid, per round a distance
+    join on the exploded dims, argmin with the (dist, cell) tie-break,
+    AVG re-centering snapped to the same grid, keep-old on empty cells;
+    the final assignment reports per-cell count / inertia / RMS. The
+    grid snap is what makes the trajectory engine-independent: raw
+    distributed means differ in the last ulp, snapped ones don't."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+d{t} AS (SELECT x.vec_id, c.cell, sum((x.xv - c.cv) * (x.xv - c.cv)) AS d
+        FROM x JOIN c{t - 1} c USING (pos) GROUP BY 1, 2),
+a{t} AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, cell ASC) AS rn
+          FROM d{t}) WHERE rn = 1),
+m{t} AS (SELECT a.cell, x.pos, round(avg(x.xv), {round_to}) AS mv
+        FROM a{t} a JOIN x USING (vec_id) GROUP BY 1, 2),
+c{t} AS (SELECT c.cell, c.pos, coalesce(m.mv, c.cv) AS cv
+        FROM c{t - 1} c LEFT JOIN m{t} m ON m.cell = c.cell AND m.pos = c.pos)""")
+    return f"""
+WITH x AS (SELECT vec_id, i - 1 AS pos, cast(embedding[i] AS double) AS xv
+           FROM embeddings,
+                unnest(generate_series(1, cast(len(embedding) AS bigint))) AS t(i)),
+init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT init.cell, x.pos, round(x.xv, {round_to}) AS cv
+       FROM init JOIN x USING (vec_id)),
+{",".join(steps)},
+df AS (SELECT x.vec_id, c.cell, sum((x.xv - c.cv) * (x.xv - c.cv)) AS d
+       FROM x JOIN c{iters} c USING (pos) GROUP BY 1, 2),
+af AS (SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rn
+        FROM df) WHERE rn = 1)
+SELECT cast(cell AS int) AS cell, count(*) AS n_vecs,
+       round(sum(d), 3) AS inertia, round(sqrt(avg(d)), 3) AS rms_dist
+FROM af GROUP BY cell
+"""
+
+
 def _jaccard_oracle(threshold: float, capped: bool = False) -> str:
     return f"""
 WITH {_shingles_cte(capped)}
@@ -892,7 +938,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pca_project"] = _pca
 
-    # --- iterative clustering (not SQL-expressible: rows-only check) ---
+    # --- iterative clustering: grid-snapped centroids (round_to=6) make
+    # the fixed-iteration trajectory engine-independent, so this carries
+    # an exact unrolled-CTE oracle (was rows-only before round 4) ---
     q["kmeans_cells"] = lambda spark, sf: clustering.kmeans_summary(
         _emb(spark, sf), k=8, iters=4
     )
@@ -1340,7 +1388,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
-        # round 5: operators new this round
+        # round 6: entries whose semantics/oracle changed this round
+        "kmeans_cells", "text_bm25_postings",
+        # round 5: operators new that round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
         "graph_label_prop", "stats_mwu", "tsa_autocorr", "stats_chi2",
         # round 4: entries whose plan/shape/oracle changed this round —
@@ -2016,7 +2066,9 @@ FROM sess GROUP BY 1, 2
     o["rollup_temporal_avg"] = _temporal_oracle(
         172800000, "round(avg(value), 3)", "avg_value"
     )
-    # kmeans_cells: iterative, intentionally no oracle (rows-only check)
+    # kmeans_cells: fixed-iteration Lloyd's with grid-snapped centroids is
+    # SQL-expressible after all — unrolled CTEs, the pagerank discipline
+    o["kmeans_cells"] = _kmeans_oracle(k=8, iters=4)
 
     o["text_bm25_topk"] = ranking.bm25_oracle_sql(BM25_TERMS, k=15)
     o["text_bm25_multi"] = ranking.bm25_multi_oracle_sql(BM25_QUERIES, k=5)

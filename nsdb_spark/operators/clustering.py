@@ -15,10 +15,13 @@ Spark-first shape per iteration:
 
 Determinism: init is the first k vectors by vec_id; argmin ties break on
 the lower cell index (array_min on (dist, cell) structs). FP sums across
-partitions can wiggle centroids in the last ulp, so downstream results
-that feed an oracle must round — the registry entry reports per-cell
-counts and inertia rounded to 3 (rows-only checked: the iteration itself
-is not SQL-expressible).
+partitions can wiggle centroids in the last ulp; with round_to set, every
+centroid coordinate is snapped to a fixed decimal grid after init and
+after each update, which makes the whole fixed-iteration trajectory
+engine-independent — the registry entry is hash-checked against a DuckDB
+oracle that unrolls the same iterations into chained CTEs (per round:
+distance join on the exploded dims, argmin with the same (dist, cell)
+tie-break, AVG re-centering, keep-old on empty cells).
 """
 from __future__ import annotations
 
@@ -57,18 +60,27 @@ def kmeans_fit(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the trained centroid list (k × dim).
 
     Empty cells keep their previous centroid (no re-seeding — keeps the
-    run deterministic)."""
+    run deterministic). `round_to` rounds every centroid coordinate
+    (init and each update) to that many decimals: distributed FP sums
+    wiggle the mean in the last ulp, so snapping to a grid far coarser
+    than the wiggle (but far finer than the data) makes the whole
+    trajectory bit-reproducible across engines — that's what lets the
+    registry entry carry an exact SQL oracle instead of a rows-only
+    check. Leave None for the IVF-training path, which feeds a
+    recall-tested index and doesn't need cross-engine determinism."""
     # cast once and cache: every iteration re-reads the vectors, so paying
     # the parquet scan + float→double cast per iteration would multiply
     # the dominant cost by `iters`
     vecs = emb.select(id_col, _as_double(vec_col).alias("__v")).persist()
     try:
+        snap = (lambda x: round(x, round_to)) if round_to is not None else float
         first = vecs.orderBy(id_col).limit(k).select("__v").collect()
-        centroids = [[float(x) for x in r["__v"]] for r in first]
+        centroids = [[snap(float(x)) for x in r["__v"]] for r in first]
         if len(centroids) < k:
             raise ValueError(
                 f"kmeans_fit: k={k} centroids need at least k vectors, "
@@ -86,7 +98,7 @@ def kmeans_fit(
             nxt = [list(c) for c in centroids]
             touched = set()
             for r in means:
-                nxt[r["cell"]][r["pos"]] = float(r["m"])
+                nxt[r["cell"]][r["pos"]] = snap(float(r["m"]))
                 touched.add(r["cell"])
             if not touched:
                 break
@@ -103,10 +115,14 @@ def kmeans_summary(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Train + report: (cell, n_vecs, inertia rounded 3, rms_dist rounded
-    3) per non-empty cell — the registry-facing summary of the fit."""
-    centroids = kmeans_fit(emb, k, iters, vec_col, id_col)
+    3) per non-empty cell — the registry-facing summary of the fit. The
+    default round_to=6 centroid snapping makes the trajectory engine-
+    independent, so the entry is hash-checked against an unrolled-CTE
+    SQL oracle (the graph_pagerank discipline)."""
+    centroids = kmeans_fit(emb, k, iters, vec_col, id_col, round_to=round_to)
     assigned = assign_cells(emb, centroids, vec_col)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"),
