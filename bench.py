@@ -58,6 +58,7 @@ def main() -> None:
         "nsdb_temporal_sum",
         "dedup_exact",
         "dedup_passages",
+        "dedup_passages_strided",  # k/stride=2x window replication
         "dedup_keep_best",
         "sample_epoch_shuffle",
         "dedup_ngram_jaccard",

@@ -264,6 +264,28 @@ SELECT node, label FROM l{iters}
 """
 
 
+def _passage_oracle(k: int = 8, stride: int = 8) -> str:
+    """Mirror of dedup.passage_dup_stats: k-word windows every `stride`
+    words (stride=k → non-overlapping), canonical copy = min scalar
+    composite doc_id·2^20 + window index."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (SELECT doc_id,
+             unnest(generate_series(0, cast(ceil(len(words)/{stride}.0) AS bigint) - 1)) AS pos,
+             words FROM w),
+p2 AS (SELECT doc_id, pos,
+              array_to_string(words[(pos*{stride}+1):(pos*{stride}+{k})], ' ') AS passage FROM p),
+kk AS (SELECT doc_id, pos, passage, doc_id * 1048576 + pos AS ck FROM p2),
+h AS (SELECT passage, count(*) AS cnt, min(ck) AS mn FROM kk GROUP BY passage)
+SELECT doc_id, count(*) AS n_passages,
+       cast(sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END) AS bigint)
+         AS dup_passages,
+       round(sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_frac
+FROM kk JOIN h USING (passage) GROUP BY doc_id
+"""
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
     """Lloyd's k-means unrolled into chained CTEs (the graph_pagerank
     discipline: fixed iterations need no recursion). Exactly mirrors
@@ -628,6 +650,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf))
     q["dedup_passages"] = lambda spark, sf: dedup.passage_dup_stats(
         _docs(spark, sf), k=8
+    )
+    # overlapping windows (stride < k): catches duplicated passages at
+    # offsets the non-overlapping pass misses, at a k/stride=2x
+    # passage-replication cost (BASELINE.md)
+    q["dedup_passages_strided"] = lambda spark, sf: dedup.passage_dup_stats(
+        _docs(spark, sf), k=8, stride=4
     )
     q["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), n=3, threshold=0.5,
@@ -1388,8 +1416,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
-        # round 6: entries whose semantics/oracle changed this round
-        "kmeans_cells", "text_bm25_postings",
+        # round 6: new/changed entries this round
+        "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
+        "dedup_passages",
         # round 5: operators new that round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
         "graph_label_prop", "stats_mwu", "tsa_autocorr", "stats_chi2",
@@ -2269,22 +2298,8 @@ FROM kk
     # Spark side by its xxhash64 — identical counts barring a 64-bit
     # collision; DuckDB list slices are 1-based inclusive and clamp at
     # the end, matching F.slice's remainder window
-    o["dedup_passages"] = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-p AS (SELECT doc_id,
-             unnest(generate_series(0, cast(ceil(len(words)/8.0) AS bigint) - 1)) AS pos,
-             words FROM w),
-p2 AS (SELECT doc_id, pos,
-              array_to_string(words[(pos*8+1):(pos*8+8)], ' ') AS passage FROM p),
-kk AS (SELECT doc_id, pos, passage, doc_id * 1048576 + pos AS ck FROM p2),
-h AS (SELECT passage, count(*) AS cnt, min(ck) AS mn FROM kk GROUP BY passage)
-SELECT doc_id, count(*) AS n_passages,
-       cast(sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END) AS bigint)
-         AS dup_passages,
-       round(sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END)
-             / count(*), 6) AS dup_frac
-FROM kk JOIN h USING (passage) GROUP BY doc_id
-"""
+    o["dedup_passages"] = _passage_oracle(k=8, stride=8)
+    o["dedup_passages_strided"] = _passage_oracle(k=8, stride=4)
     o["text_novelty"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3

@@ -96,19 +96,29 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def passage_dup_stats(
-    docs: DataFrame, k: int = 8, text_col: str = "text"
+    docs: DataFrame, k: int = 8, stride: int | None = None,
+    text_col: str = "text"
 ) -> DataFrame:
     """Passage-level exact dedup (the RefinedWeb/MassiveText removal unit
     between whole-doc hashing and fuzzy shingles): cut each doc into
-    consecutive non-overlapping k-word passages and flag every occurrence
-    that is not the corpus-wide canonical first copy of its content.
+    k-word passages starting every `stride` words and flag every
+    occurrence that is not the corpus-wide canonical first copy of its
+    content. stride defaults to k (non-overlapping windows — the cheap
+    pass); stride < k overlaps the windows, which catches duplicated
+    passages at arbitrary-ish offsets (within stride words) the way the
+    exact-substring dedup this approximates does (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at a
+    k/stride× passage-replication cost — rows and shuffle bytes scale by
+    exactly that factor, nothing else in the plan changes.
     Output (doc_id, n_passages, dup_passages, dup_frac rounded 6) —
-    dup_frac is the fraction of the doc a passage-dedup pass would drop.
+    dup_frac is the fraction of the doc's windows a passage-dedup pass
+    would drop.
 
     Canonical copy = min (doc_id, position) composite; the composite is
     the scalar doc_id·2^20+pos (min over a struct isn't portable to the
-    SQL oracle). The packing bounds — pos < 2^20 (an 8M-word doc at k=8)
-    and doc_id < 2^42 — are ASSERTED at runtime: a silent int64
+    SQL oracle). The packing bounds — window index pos < 2^20 (a
+    stride·2^20-word doc, 8M words at stride=8) and doc_id < 2^42 — are
+    ASSERTED at runtime: a silent int64
     wraparound would flip which occurrence is canonical, turning an
     out-of-range id into wrong dup counts instead of an error.
     Plan: one posexplode, one map-side-combinable count+min
@@ -120,11 +130,17 @@ def passage_dup_stats(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    stride = k if stride is None else stride
+    if not 0 < stride <= k:
+        raise ValueError(
+            f"stride must be in 1..k (got stride={stride}, k={k}); "
+            "stride > k would silently skip words between windows"
+        )
     words = _word_array(text_col)
-    npass = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    npass = F.ceil(F.size(words) / F.lit(stride)).cast("int")
     passages = F.transform(
         F.sequence(F.lit(0), npass - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
+        lambda i: F.concat_ws(" ", F.slice(words, i * stride + 1, k)),
     )
     pos_limit, doc_limit = 1 << 20, 1 << 42
     in_range = F.assert_true(

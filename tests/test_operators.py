@@ -2159,6 +2159,45 @@ def test_passage_dup_stats_canonical_first_and_remainder(spark):
     assert out[4] == (2, 0, 0.0)
 
 
+def test_passage_dup_stats_strided_catches_offset_duplicates(spark):
+    """stride < k overlaps the windows, so a passage duplicated at an
+    offset that straddles the non-overlapping window grid is still
+    caught; stride=k (the default) must stay bit-identical to the
+    original non-overlapping behavior."""
+    import pytest
+    from nsdb_spark.operators import dedup
+
+    # doc 2 repeats doc 1's words 2..5 ("c d e f") but shifted off the
+    # k=4 grid: non-overlapping windows never align on it
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y c d e f q r"),
+        ],
+        "doc_id long, text string",
+    )
+    flat = {
+        r["doc_id"]: r["dup_passages"]
+        for r in dedup.passage_dup_stats(docs, k=4).collect()
+    }
+    assert flat == {1: 0, 2: 0}  # grid-aligned pass misses the overlap
+    strided = {
+        r["doc_id"]: (r["n_passages"], r["dup_passages"])
+        for r in dedup.passage_dup_stats(docs, k=4, stride=2).collect()
+    }
+    # windows every 2 words: doc 1 pos1 = "c d e f" is canonical; doc 2
+    # pos1 = "c d e f" is the caught duplicate
+    assert strided[1] == (4, 0)
+    assert strided[2][0] == 4 and strided[2][1] >= 1
+    # explicit stride=k == default
+    a = sorted(map(tuple, dedup.passage_dup_stats(docs, k=4).collect()))
+    b = sorted(map(tuple, dedup.passage_dup_stats(docs, k=4, stride=4).collect()))
+    assert a == b
+    for bad in (0, -1, 5):
+        with pytest.raises(ValueError, match="stride"):
+            dedup.passage_dup_stats(docs, k=4, stride=bad)
+
+
 def test_keep_best_per_cluster_prefers_score_then_min_id(spark):
     from nsdb_spark.operators import dedup
 
