@@ -25,6 +25,53 @@ from ..compiler import TimeContext, compile_expression
 from ..sql import ast
 
 
+class CommittedBatchMarker:
+    """Replay guard for at-least-once foreachBatch sinks whose effect is
+    not idempotent (parquet appends, index appends): a marker file in
+    the checkpoint dir records the last fully-applied batch id, so crash
+    replays skip batches already applied. The marker goes through the
+    Hadoop FileSystem resolved FROM the checkpoint URI — python
+    open()/os.replace would silently no-op the guard on hdfs://,
+    s3a://, etc. (the normal production checkpoint), turning every
+    crash replay into duplicated rows. The residual window is a crash
+    BETWEEN the sink effect and commit() (that one batch can duplicate —
+    the honest limit of non-transactional parquet; a transactional
+    table format removes it)."""
+
+    def __init__(self, spark, checkpoint_dir: str) -> None:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._path = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir + "/_nsdb_committed_batch"
+        )
+        self._tmp = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir + "/_nsdb_committed_batch.tmp"
+        )
+        self._fs = self._path.getFileSystem(hconf)
+
+    def last(self) -> int:
+        try:
+            st = self._fs.open(self._path)
+            try:
+                data = bytes(st.readAllBytes())
+            finally:
+                st.close()
+            return int(data.decode().strip())
+        except Exception:
+            return -1
+
+    def commit(self, batch_id: int) -> None:
+        out = self._fs.create(self._tmp, True)
+        try:
+            out.write(bytearray(str(batch_id).encode()))
+        finally:
+            out.close()
+        # rename-over: Hadoop rename won't clobber on some FSes — delete
+        # the old marker first; a crash here replays at most one batch
+        self._fs.delete(self._path, False)
+        self._fs.rename(self._tmp, self._path)
+
+
 def start_parquet_ingestion(
     engine,
     db: str,
@@ -49,35 +96,12 @@ def start_parquet_ingestion(
     instead of silently serving stale buckets).
 
     Delivery: foreachBatch is at-least-once on crash, and a parquet
-    append is not idempotent, so a committed-batch marker in the
-    checkpoint dir skips batch ids already inserted on replay. The
-    marker goes through the Hadoop FileSystem resolved FROM the
-    checkpoint URI — python open()/os.replace would silently no-op the
-    guard on hdfs://, s3a://, etc. (the normal production checkpoint),
-    turning every crash replay into duplicated rows. The residual window
-    is a crash BETWEEN the insert and the marker write (that one batch
-    can duplicate — the honest limit of non-transactional parquet; a
-    transactional table format removes it)."""
-    jvm = engine.spark.sparkContext._jvm
-    hconf = engine.spark.sparkContext._jsc.hadoopConfiguration()
-    marker_path = jvm.org.apache.hadoop.fs.Path(
-        checkpoint_dir + "/_nsdb_committed_batch"
-    )
-    fs = marker_path.getFileSystem(hconf)
-
-    def _last_committed() -> int:
-        try:
-            st = fs.open(marker_path)
-            try:
-                data = bytes(st.readAllBytes())
-            finally:
-                st.close()
-            return int(data.decode().strip())
-        except Exception:
-            return -1
+    append is not idempotent — replays are skipped via
+    CommittedBatchMarker (see its docstring for the guarantees)."""
+    marker = CommittedBatchMarker(engine.spark, checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_committed():
+        if batch_id <= marker.last():
             return  # replayed batch already inserted — skip, don't duplicate
         # Publish tap: never funnel the whole batch through the driver.
         # The union of the registered subscriptions' predicates runs as a
@@ -94,18 +118,7 @@ def start_parquet_ingestion(
             elif pred is not None:
                 rows = batch_df.filter(pred).collect()
         engine.insert_frame(db, ns, metric, batch_df)
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            checkpoint_dir + "/_nsdb_committed_batch.tmp"
-        )
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(str(batch_id).encode()))
-        finally:
-            out.close()
-        # rename-over: Hadoop rename won't clobber on some FSes — delete
-        # the old marker first; a crash here replays at most one batch
-        fs.delete(marker_path, False)
-        fs.rename(tmp, marker_path)
+        marker.commit(batch_id)
         if subscription_manager and rows:
             subscription_manager.publish(db, ns, metric, [r.asDict() for r in rows])
 

@@ -689,3 +689,84 @@ def test_stateful_temporal_agg_skips_null_values(spark, tmp_path):
     assert (10000, 0, 1, 5.0, 5.0, 5.0, 5.0) in got
     rows2 = [r for r in got if r[0] == 20000]
     assert rows2 == [(20000, 10000, 0, 0.0, None, None, 0.0)]
+
+
+def test_neardup_alert_arrives_over_websocket(engine, spark, tmp_path):
+    """End-to-end join-up of the streaming near-dup alert path: parquet
+    docs stream → incremental MinHash index append + probe → alert bit
+    inserted into the alert metric → pushed over a REAL WebSocket to a
+    client subscribed on `select * from neardup_alerts`. A second
+    availableNow run over the same checkpoint/index then alerts only on
+    the NEW pair (incremental steady state, no re-alerting)."""
+    import uuid as _uuid
+
+    from nsdb_spark import http_api
+    from nsdb_spark.streaming import start_neardup_alerts
+    from test_http import WsClient
+
+    idx = f"nd_idx_{_uuid.uuid4().hex[:8]}"
+    # seed the alert metric so WS registration's historical query works
+    engine.insert_bits(
+        "default", "default", "neardup_alerts",
+        [Bit(1, 0.0, {"doc_a": 0, "doc_b": 0}, {})],
+    )
+    subs = SubscriptionManager(engine)
+    srv, _ = http_api.serve(engine, subscription_manager=subs)
+    port = srv.server_address[1]
+    c = None
+    try:
+        c = WsClient(port, "/ws-stream?refresh_period=100&retention_size=100")
+        assert c.status == 101
+        c.send_json({
+            "db": "default", "namespace": "default",
+            "metric": "neardup_alerts",
+            "queryString": "select * from neardup_alerts",
+        })
+        reg = c.recv_json()
+        assert "quid" in reg
+        assert [r["value"] for r in reg["records"]] == [0.0]  # historical
+
+        text_a = "the quick brown fox jumps over the lazy dog again today"
+        text_b = "completely different words describing completely other things entirely here now"
+        src = tmp_path / "docs_in"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, text_a), (2, text_b), (3, text_a)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "doc_id long, text string").parquet(str(src))
+            q = start_neardup_alerts(
+                engine, stream, idx, str(tmp_path / "nd_ckpt"),
+                subscription_manager=subs, threshold=0.5,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        push = c.recv_json()  # buffered live push, flushed within 100 ms
+        assert push["metric"] == "neardup_alerts"
+        assert [(r["doc_a"], r["doc_b"], r["value"]) for r in push["records"]] == [
+            (1, 3, 1.0)
+        ]
+
+        # the alert landed as a queryable bit too
+        rows = engine.execute(
+            "select * from neardup_alerts where value > 0.5").collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 3)]
+
+        # second batch: doc 4 duplicates doc 2 — only the NEW pair alerts
+        spark.createDataFrame(
+            [(4, text_b)], "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        run_once()
+        push2 = c.recv_json()
+        assert [(r["doc_a"], r["doc_b"], r["value"]) for r in push2["records"]] == [
+            (2, 4, 1.0)
+        ]
+    finally:
+        if c is not None:
+            c.close()
+        srv.shutdown()
