@@ -1418,7 +1418,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 6: new/changed entries this round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
-        "dedup_passages",
+        "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
         # round 5: operators new that round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
         "graph_label_prop", "stats_mwu", "tsa_autocorr", "stats_chi2",
@@ -2390,7 +2390,7 @@ FROM a JOIN f USING (user_id) GROUP BY 1, 2
 """
     qcuts = ", ".join(str(i / 10) for i in range(1, 10))
     o["stats_histogram_equidepth"] = f"""
-WITH e AS (SELECT value FROM events),
+WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
 ed AS (SELECT list_transform(quantile_cont(value, [{qcuts}]),
                              x -> round(x, 6)) AS q FROM e),
 b AS (SELECT cast(len(list_filter(ed.q, x -> value > x)) AS int) AS bin, value

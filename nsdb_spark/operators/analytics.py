@@ -142,6 +142,8 @@ def histogram(
     sum_value rounded 3). Bin assignment is a pure projection; the count
     is a map-side-combinable nbins-row aggregate — the ideal 100 TB shape.
     """
+    if nbins <= 0:
+        raise ValueError("nbins must be positive")
     w = (hi - lo) / nbins
     # constant range (hi == lo): one degenerate bin instead of an ANSI
     # divide-by-zero (the psi_by_group guard, applied here too)
@@ -222,6 +224,10 @@ def equidepth_histogram(
     exact i/nbins quantiles (linear interpolation — Spark `percentile` ≡
     DuckDB `quantile_cont`); row → bin = number of cuts strictly below its
     value, so ties always land in the lower bin deterministically.
+    NULL values are excluded up front (histogram/psi_by_group parity):
+    the quantile cuts already ignore them, so counting them — they'd
+    land in bin 0 via the three-valued `NULL > e` — would silently
+    break the equal-depth property.
 
     Output: (bin, n, min_value, max_value). Scale shape: the cut points
     are ONE array-percentile aggregate (a single per-group buffer — at
@@ -232,6 +238,7 @@ def equidepth_histogram(
     """
     if nbins <= 0:
         raise ValueError("nbins must be positive")
+    df = df.filter(F.col(value).isNotNull())
     if nbins == 1:
         # no interior cuts: percentile(value, array()) fails analysis —
         # degenerate to the single full-range bin directly
@@ -389,6 +396,7 @@ def active_users(
     bounds = present.agg(F.min("b"), F.max("b")).first()
     lo, hi = bounds[0], bounds[1]
     if lo is None:
+        present.unpersist()  # release the pin on the empty-input path too
         return events.sparkSession.createDataFrame(
             [], "bucket_start long, dau long, wau long"
         )
@@ -461,12 +469,20 @@ def psi_by_group(
     ).first()
     lo, hi, totn = row["lo"], row["hi"], int(row["nt"] or 0)
     if totn == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"{group} string, n bigint, psi double"
+        # build the empty frame from the INPUT's group column type: a
+        # hardcoded string here would diverge from the non-empty output
+        # schema for numeric group keys and break downstream unions
+        return df.select(group).limit(0).select(
+            F.col(group),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("psi"),
         )
     width = (hi - lo) / nbins
-    # constant column (hi == lo): every value lands in bin 0 — PSI is
-    # then 0 for every group, instead of a divide-by-zero
+    # constant column (hi == lo): every value lands in bin 0 instead of
+    # an ANSI divide-by-zero. (PSI is then near-zero, not exactly 0:
+    # Laplace smoothing still spreads 0.5-counts over the empty bins of
+    # the dense grid, so groups whose n differs from totn keep a tiny
+    # residual — by design, the smoothing is part of the estimator.)
     b = (
         F.lit(0)
         if width == 0

@@ -101,8 +101,10 @@ def label_propagation(
     """Community detection by SYNCHRONOUS label propagation (Raghavan
     2007, the deterministic variant): every node starts as its own
     label; each round every node adopts the most frequent label among
-    its in-neighbors, ties broken by the SMALLEST label; isolated nodes
-    keep their label. Returns (node, label) after `iters` rounds.
+    its OUT-neighbors (the nodes its edges point at — for a directed
+    edge set u→v, u adopts v's label, matching the unrolled-CTE
+    oracle), ties broken by the SMALLEST label; isolated nodes keep
+    their label. Returns (node, label) after `iters` rounds.
 
     The usual async/random-order LPA is irreproducible; synchronous
     updates + min-label ties make a fixed-iteration run bit-deterministic
@@ -181,8 +183,6 @@ def triangle_counts(pairs, nodes):
 
     pairs: (doc_a, doc_b) any extra columns ignored; nodes: (doc_id).
     """
-    from pyspark.sql import functions as F
-
     e = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("u"),

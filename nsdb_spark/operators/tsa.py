@@ -277,7 +277,11 @@ def autocorr(
     exchange on the key — adding a lag adds a projection, not a
     shuffle. NULL values are excluded up front; a lag that reaches
     before the series start contributes nothing (sum skips the NULL
-    product), matching the standard ACF denominator convention.
+    product), matching the standard ACF denominator convention. A
+    constant or single-sample key has zero deviation sum — its acf is
+    NULL (undefined), not an ANSI divide-by-zero that kills the query
+    (Spark 4 defaults spark.sql.ansi.enabled=true; DuckDB's x/0 is
+    NULL, so the oracle agrees without a rewrite).
     """
     w_full = Window.partitionBy(key)
     w_ord = Window.partitionBy(key).orderBy(ts, id_col)
@@ -300,7 +304,10 @@ def autocorr(
             *[
                 F.struct(
                     F.lit(k).alias("lag"),
-                    F.round(F.col(f"__n{k}") / F.col("__den"), 6).alias("acf"),
+                    F.when(
+                        F.col("__den") != 0,
+                        F.round(F.col(f"__n{k}") / F.col("__den"), 6),
+                    ).alias("acf"),
                 )
                 for k in lags
             ]

@@ -1362,6 +1362,16 @@ def test_equidepth_histogram_quartiles(spark):
     const = spark.createDataFrame([(7.0,)] * 8, "value double")
     cout = analytics.equidepth_histogram(const, "value", 4).collect()
     assert len(cout) == 1 and cout[0]["bin"] == 0 and cout[0]["n"] == 8
+    # NULL values are excluded, not silently counted into bin 0 (which
+    # would break the equal-depth property: cuts already ignore NULLs)
+    withnull = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)] * 50, "value double"
+    )
+    nout = {r["bin"]: r["n"] for r in
+            analytics.equidepth_histogram(withnull, "value", 4).collect()}
+    assert nout == {0: 25, 1: 25, 2: 25, 3: 25}
+    none1 = analytics.equidepth_histogram(withnull, "value", 1).collect()[0]
+    assert none1["n"] == 100  # nbins=1 branch filters NULLs too
 
 
 def test_ema_last_recurrence(spark):
@@ -2487,6 +2497,10 @@ def test_autocorr_known_series(spark):
     # alternating series: lag-1 ACF ≈ -1, lag-2 ACF ≈ +1
     rows = [("k", i, i, float((-1) ** i)) for i in range(40)]
     rows += [("j", 0, 100, 7.0)]  # second key, single-point series
+    # constant multi-row key: den = 0.0 with a NON-NULL numerator (0.0),
+    # the case that is an ANSI DIVIDE_BY_ZERO without the den != 0 guard
+    # (the single-point key never hits the check — its numerator is NULL)
+    rows += [("c", i, 200 + i, 5.0) for i in range(10)]
     df = spark.createDataFrame(
         rows, "event_type string, timestamp long, event_id long, value double"
     )
@@ -2501,6 +2515,8 @@ def test_autocorr_known_series(spark):
     assert got[("k", 2)] == exp2 and exp2 > 0.9
     # single-point series: den = 0 → NULL acf, not a crash
     assert got[("j", 1)] is None
+    # constant series: den = 0, num = 0.0 → NULL acf, not DIVIDE_BY_ZERO
+    assert got[("c", 1)] is None and got[("c", 2)] is None
 
 
 def test_chi2_independence_known_table(spark):

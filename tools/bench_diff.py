@@ -50,7 +50,12 @@ def main() -> None:
             rows.append((0.0, f"  NEW   {nv:8.2f}s  {k}"))
         elif nv < 0 <= ov:
             rows.append((999.0, f"  FAIL  (was {ov:.2f}s)  {k}"))
-        elif ov > 0:
+        elif nv < 0 and ov < 0:
+            rows.append((998.0, f"  FAIL  (both rounds)  {k}"))
+        elif ov <= 0:
+            # recovered from failure, or a 0.0 old time (no ratio exists)
+            rows.append((0.0, f"  RECOV {nv:8.2f}s  (was failing)  {k}"))
+        else:
             f = nv / ov
             flag = "REGR " if f > thresh else "     "
             rows.append((f, f"  {flag} {ov:8.2f}s -> {nv:8.2f}s  ({f:4.2f}x)  {k}"))
