@@ -1419,6 +1419,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: new/changed entries this round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
+        "sample_epoch_shuffle", "sample_per_group", "pack_sequences",
         # round 5: operators new that round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
         "graph_label_prop", "stats_mwu", "tsa_autocorr", "stats_chi2",
@@ -2143,7 +2144,7 @@ GROUP BY doc_id
 """
     o["pack_sequences"] = """
 WITH d AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
 c AS (SELECT doc_id, n,
              cast(sum(n) OVER (ORDER BY doc_id) - n AS bigint) AS start
       FROM d)
@@ -2282,15 +2283,21 @@ WITH r AS (SELECT event_id, event_type,
                     ORDER BY (event_id * 2654435761) % 4294967296 % 1000000000 ASC,
                              event_id ASC) AS rn
            FROM events)
-SELECT event_id, event_type, cast(rn AS int) AS rn FROM r WHERE rn <= 100
+SELECT event_id, event_type FROM r WHERE rn <= 100
 """
     # epoch key mirrors sampling._slot's portable multiplicative hash;
-    # (doc_id + epoch*2^31-1) stays far below the 3.5e9 direct-product
-    # overflow bound at any test SF
+    # two-round epoch key (mul32 → xor-shift → mul32), epoch=1; HUGEINT
+    # for the second product (h1 can reach 2^32-1, so h1*PRIME2
+    # overflows int64 — the Spark side splits the multiply instead)
     o["sample_epoch_shuffle"] = """
-WITH kk AS (SELECT doc_id,
-    ((doc_id + 2147483647) * 2654435761) % 4294967296 AS k
-  FROM documents)
+WITH x AS (SELECT doc_id, (doc_id + 2147483647) % 4294967296 AS xv FROM documents),
+h AS (SELECT doc_id,
+             cast((xv::HUGEINT * 2654435761) % 4294967296 AS bigint) AS h1
+      FROM x),
+kk AS (SELECT doc_id,
+              cast((xor(h1, h1 >> 16)::HUGEINT * 2246822519) % 4294967296
+                   AS bigint) AS k
+       FROM h)
 SELECT doc_id, cast(row_number() OVER (ORDER BY k, doc_id) - 1 AS bigint) AS pos
 FROM kk
 """

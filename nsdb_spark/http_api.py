@@ -49,7 +49,13 @@ def _records(df) -> list[dict]:
 
 class _SubscriptionChannel:
     """Queue + condition bridging SubscriptionManager callbacks to
-    long-poll readers (one channel per subscription uuid)."""
+    long-poll readers (one channel per subscription uuid). Buffering is
+    BOUNDED like the WS path's retention_size: an abandoned
+    subscription (crashed client, lost uuid) must not accumulate every
+    matching insert forever — beyond the cap new batches are dropped
+    (the reference's OverflowStrategy.dropNew)."""
+
+    MAX_BATCHES = 1000
 
     def __init__(self) -> None:
         self.batches: list[list[dict]] = []
@@ -57,7 +63,8 @@ class _SubscriptionChannel:
 
     def push(self, records: list[dict]) -> None:
         with self.cond:
-            self.batches.append(records)
+            if len(self.batches) < self.MAX_BATCHES:
+                self.batches.append(records)
             self.cond.notify_all()
 
     def drain(self, timeout_s: float) -> list[list[dict]]:
@@ -124,8 +131,19 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:
         try:
             if self.path == "/query/validate":
-                # QueryValidationApi.scala:75-103: 200 valid / 400 invalid
+                # QueryValidationApi.scala:75-103: 200 valid / 400 invalid;
+                # authorization-gated like every metric route (the
+                # reference wraps it in withMetricAuthorization,
+                # QueryValidationApi.scala:79-83) — without it the error
+                # payloads let an unauthorized client enumerate metrics
+                # and probe field names. Gated on the statement-parsed
+                # metric, the repo-wide rule.
                 b = self._body()
+                if not self._authorized(
+                    "metric", False, b.get("db", "default"),
+                    b.get("namespace", "default"), self._stmt_metric(b),
+                ):
+                    return
                 from . import analyzer
                 from .sql import ast as _ast
                 from .sql.parser import parse as _parse
@@ -249,15 +267,25 @@ class _Handler(BaseHTTPRequestHandler):
         return self._authorized("metric", False, sub.db, sub.ns, sub.metric)
 
     def do_DELETE(self) -> None:
-        parts = [p for p in self.path.split("/") if p]
-        if len(parts) == 2 and parts[0] == "subscribe" and self.subs is not None:
-            if not self._sub_authorized(parts[1]):
-                return
-            self.subs.unsubscribe(parts[1])
-            self.channels.pop(parts[1], None)
-            self._send(200, {"status": "OK"})
-        else:
-            self._send(404, {"error": f"unknown path {self.path}"})
+        try:
+            parts = [p for p in self.path.split("/") if p]
+            if len(parts) == 2 and parts[0] == "subscribe" and self.subs is not None:
+                uuid = parts[1]
+                if self.subs.subs.get(uuid) is None:
+                    # unknown uuid → 404 (the _sub_authorized contract);
+                    # answering OK would make a failed teardown look
+                    # indistinguishable from a successful one
+                    self._send(404, {"error": f"unknown subscription {uuid}"})
+                    return
+                if not self._sub_authorized(uuid):
+                    return
+                self.subs.unsubscribe(uuid)
+                self.channels.pop(uuid, None)
+                self._send(200, {"status": "OK"})
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:  # auth/teardown errors → clean 400, not a dropped conn
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
     def _ws_upgrade(self) -> None:
         """GET /ws-stream?refresh_period=N&retention_size=M → RFC 6455

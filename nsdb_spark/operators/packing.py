@@ -55,7 +55,12 @@ def _local_prefix_frame(docs: DataFrame, text_col: str) -> DataFrame:
     tests can assert the rangepartitioning exchange, which the
     localCheckpoint in pack_sequences truncates from the final plan."""
     d = (
-        docs.select("doc_id", F.size(_words(text_col)).cast("long").alias("n"))
+        # NULL texts contribute no tokens and must not enter the prefix
+        # sum: size(split(NULL)) is NULL under ANSI (-1 with it off),
+        # which would shift every later doc's global start and emit
+        # bogus descending-sequence chunks for the NULL doc itself
+        docs.filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.size(_words(text_col)).cast("long").alias("n"))
         .repartitionByRange("doc_id")
         .sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())

@@ -16,24 +16,29 @@ from pyspark.sql import functions as F
 
 #: Knuth multiplicative constant (2^32 / φ) — decorrelates sequential ids
 _MIX = 2654435761
+#: second-round odd multiplier (xxhash32's PRIME32_2) for the epoch key
+_MIX2 = 2246822519
+
+
+def _mul32(col: Column, const: int) -> Column:
+    """(col * const) mod 2^32 in pure integer arithmetic, 16 bits at a
+    time: a direct product overflows int64 for operands above ~3.5e9
+    (ANSI ARITHMETIC_OVERFLOW; sign-biased values with ANSI off).
+    Identical values to the plain product wherever that didn't
+    overflow. `col` must already be in [0, 2^32)."""
+    lo = col.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(col, 16)
+    return F.pmod(
+        lo * const + F.pmod(hi * const, F.lit(1 << 16)) * (1 << 16),
+        F.lit(1 << 32),
+    )
 
 
 def _slot(id_col: Column, denom: int) -> Column:
     # pure integer arithmetic so any SQL engine reproduces it bit-for-bit
-    # (unlike xxhash64/md5, whose implementations differ across engines).
-    # (id*MIX) mod 2^32 depends only on id's low 32 bits, so split the
-    # multiply 16 bits at a time: a direct id*MIX overflows int64 for ids
-    # above ~3.5e9 (ANSI ARITHMETIC_OVERFLOW; sign-biased slots with ANSI
-    # off). Identical values to the plain product wherever that didn't
-    # overflow; pmod keeps negative ids unbiased.
-    idl = F.pmod(id_col.cast("long"), F.lit(1 << 32))
-    lo = idl.bitwiseAND(F.lit(0xFFFF))
-    hi = F.shiftright(idl, 16)
-    low32 = F.pmod(
-        lo * _MIX + F.pmod(hi * _MIX, F.lit(1 << 16)) * (1 << 16),
-        F.lit(1 << 32),
-    )
-    return low32 % denom
+    # (unlike xxhash64/md5, whose implementations differ across engines);
+    # pmod keeps negative ids unbiased.
+    return _mul32(F.pmod(id_col.cast("long"), F.lit(1 << 32)), _MIX) % denom
 
 
 def hash_sample(df: DataFrame, id_col: str, rate: float, denom: int = 1000) -> DataFrame:
@@ -91,7 +96,11 @@ def sample_per_group(
     w = Window.partitionBy(group_col).orderBy(
         _slot(F.col(id_col), denom).asc(), F.col(id_col).asc()
     )
-    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")  # internal ranking column — output is df's schema
+    )
 
 
 def hash_stratified_sample(
@@ -138,9 +147,18 @@ def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
     one training epoch — pos is the row's 0-based position in the
     epoch's global order. Training loops need a DIFFERENT but
     REPRODUCIBLE order each epoch (same epoch → same order on any
-    cluster geometry; df.orderBy(rand()) is neither), keyed here by the
-    portable multiplicative hash of (id + epoch·PRIME) with id as the
-    tie-break.
+    cluster geometry; df.orderBy(rand()) is neither).
+
+    Key = mul32(xorshift16(mul32(id + epoch·PRIME))) — TWO multiply
+    rounds with an xor-shift between them, all portable integer
+    arithmetic (id as the tie-break). The xor-shift is load-bearing: a
+    single multiplicative round is affine in id, so the epoch term
+    would be a mere additive constant in key space and every epoch's
+    order a ROTATION of epoch 0's circular order — docs adjacent in one
+    epoch stay adjacent in all of them, which defeats the batch-
+    decorrelation purpose. The non-linear middle step makes the epoch
+    interact with every key bit, so successor pairs are reshuffled
+    between epochs (asserted in tests).
 
     Assigning global positions is the same problem as pack_sequences'
     prefix sum: a row_number window over a global ORDER BY plans an
@@ -152,7 +170,12 @@ def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
     repartitionByRange evaluation so counts and local positions can't
     come from different range splits.
     """
-    key = _slot(F.col(id_col) + F.lit(epoch * 2147483647), 1 << 32)
+    x = F.pmod(
+        F.col(id_col).cast("long") + F.lit(epoch * 2147483647),
+        F.lit(1 << 32),
+    )
+    h1 = _mul32(x, _MIX)
+    key = _mul32(h1.bitwiseXOR(F.shiftright(h1, 16)), _MIX2)
     d = (
         df.select(F.col(id_col), key.alias("k"))
         .repartitionByRange("k", id_col)

@@ -351,7 +351,18 @@ class SubscriptionManager:
         """Advance time: close+push due temporal buckets, re-run standard
         aggregations (call this from a scheduler; tests call it directly)."""
         now = now_ms if now_ms is not None else self.engine.now_fn()
-        for sub in self.subs.values():
+        for sub in list(self.subs.values()):
+            # a sub still in its historical phase (pending buffer active)
+            # must not receive tick pushes: its transport treats the FIRST
+            # callback as the historical payload, so a tick firing during
+            # the multi-second historical scan would be delivered as a
+            # bogus "historical" result (publish() parks into pending; a
+            # direct callback here would bypass that ordering). Skipping
+            # is lossless — the next tick closes every due bucket / re-runs
+            # the aggregate from live state.
+            with sub.pending_lock:
+                if sub.pending is not None:
+                    continue
             if isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
                 p = sub.parsed
                 with sub.route_lock:  # vs concurrent publish accumulation

@@ -2255,6 +2255,17 @@ def test_epoch_shuffle_is_bijective_deterministic_and_epoch_varying(spark):
     e2 = {r["doc_id"]: r["pos"] for r in sampling.epoch_shuffle(docs, 2).collect()}
     assert sorted(e2.values()) == list(range(500))
     assert e1 != e2
+    # …and genuinely DECORRELATED, not a rotation of the same circular
+    # order (a single multiplicative round is affine in id, making the
+    # epoch an additive key constant — successor pairs would then be
+    # 100% preserved and batch composition identical across epochs)
+    def successors(order):
+        by_pos = sorted(order, key=order.get)
+        return {(by_pos[i], by_pos[(i + 1) % len(by_pos)])
+                for i in range(len(by_pos))}
+
+    preserved = len(successors(e1) & successors(e2))
+    assert preserved < 25  # ~n/500 expected by chance; rotation gives 500
 
 
 def test_active_users_emits_gap_bucket_with_zero_dau(spark):
