@@ -57,6 +57,7 @@ def main() -> None:
         "nsdb_temporal_count",
         "nsdb_temporal_sum",
         "dedup_exact",
+        "dedup_source_matrix",
         "dedup_passages",
         "dedup_passages_strided",  # k/stride=2x window replication
         "dedup_keep_best",

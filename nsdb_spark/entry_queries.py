@@ -648,6 +648,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf))
+    # which source copies which: exact-copy pairs bucketed by source
+    # pair, at PASSAGE grain (8-word windows — whole-doc grain is the
+    # trivial md5 swap, but the synthetic corpus has no full-doc dups,
+    # so the passage unit is what actually exercises the matrix)
+    def _src_matrix(spark, sf):
+        words = F.split(F.col("text"), " ")
+        npass = F.ceil(F.size(words) / F.lit(8)).cast("int")
+        passages = F.transform(
+            F.sequence(F.lit(0), npass - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)),
+        )
+        units = (
+            _docs(spark, sf)
+            .filter(F.col("text").isNotNull())
+            .select("source", F.explode(passages).alias("text"))
+        )
+        return dedup.cross_source_dup_matrix(units)
+
+    q["dedup_source_matrix"] = _src_matrix
     q["dedup_passages"] = lambda spark, sf: dedup.passage_dup_stats(
         _docs(spark, sf), k=8
     )
@@ -1420,6 +1439,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
         "sample_epoch_shuffle", "sample_per_group", "pack_sequences",
+        "dedup_source_matrix",
         # round 5: operators new that round
         "stats_ks", "stats_diversity", "join_nearest_events_orders",
         "graph_label_prop", "stats_mwu", "tsa_autocorr", "stats_chi2",
@@ -1559,6 +1579,32 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count "
         "FROM documents WHERE text IS NOT NULL GROUP BY md5(text)"
     )
+    # per-hash source grid self-join; integer pair arithmetic on both
+    # sides (c*(c-1) is even, so the /2 is exact); the chr(0) sentinel
+    # mirrors the operator's NULL-source bucket
+    o["dedup_source_matrix"] = """
+WITH w AS (SELECT source, string_split(text, ' ') AS words
+           FROM documents WHERE text IS NOT NULL),
+u AS (SELECT source,
+             array_to_string(words[(pos*8+1):(pos*8+8)], ' ') AS unit
+      FROM w, unnest(generate_series(0, cast(ceil(len(words)/8.0) AS bigint) - 1))
+             AS t(pos)),
+g AS (SELECT md5(unit) AS h,
+                  coalesce(source, chr(0) || 'unattributed') AS src,
+                  count(*) AS c
+           FROM u GROUP BY 1, 2),
+p AS (SELECT a.src AS sa, b.src AS sb,
+             cast(CASE WHEN a.src = b.src THEN a.c * (a.c - 1) / 2
+                       ELSE a.c * b.c END AS bigint) AS np
+      FROM g a JOIN g b USING (h) WHERE a.src <= b.src),
+q AS (SELECT sa, sb, cast(sum(np) AS bigint) AS dup_pairs,
+             count(*) AS dup_groups
+      FROM p WHERE np > 0 GROUP BY 1, 2)
+SELECT nullif(sa, chr(0) || 'unattributed') AS source_a,
+       nullif(sb, chr(0) || 'unattributed') AS source_b,
+       dup_pairs, dup_groups
+FROM q
+"""
     o["dedup_ngram_jaccard"] = _jaccard_oracle(0.5, capped=True)
     o["dedup_ngram_jaccard_raw"] = _jaccard_oracle(0.5)
     # 10% of docs (doc_id % 10 = 0) act as the "benchmark" split; the

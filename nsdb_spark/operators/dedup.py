@@ -1123,6 +1123,76 @@ def keep_best_per_cluster(
     )
 
 
+def cross_source_dup_matrix(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source_a, source_b, dup_pairs, dup_groups) with source_a <=
+    source_b: how many exact-duplicate DOC PAIRS span each pair of
+    sources, and how many distinct duplicate text groups contribute —
+    the intake-contamination dashboard ("how much does source A copy
+    source B?") that decides which feed to dedup against which before a
+    training mix is frozen. The diagonal counts within-source
+    duplication. The content unit is whatever the input frame's rows
+    are — whole docs, exploded k-word passages (the registry entry's
+    grain), or CDC chunks — the math is per identical unit either way.
+
+    Per md5 group with per-source copy counts c_s: cross-source pairs
+    are c_a*c_b, within-source pairs C(c_s, 2) — counted from the
+    (hash, source, count) grid, never by expanding doc pairs. Plan: one
+    map-side-combinable groupBy to the grid, a per-hash self-join whose
+    fan-out is bounded by the number of SOURCES sharing that hash (tiny,
+    co-partitioned on the hash), and a final sources²-row aggregate.
+    NULL texts are excluded (exact_duplicates rule: md5(NULL) groups
+    would marry unrelated docs); NULL sources form their own bucket via
+    a sentinel so copies in an unattributed feed still surface.
+    """
+    sentinel = "\x00unattributed"
+    grid = (
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(
+            F.md5(F.col(text_col)).alias("h"),
+            F.coalesce(F.col(source_col), F.lit(sentinel)).alias("src"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a.src") <= F.col("b.src"))
+        .select(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+            F.when(
+                F.col("a.src") == F.col("b.src"),
+                F.col("a.c") * (F.col("a.c") - 1) / 2,
+            )
+            .otherwise(F.col("a.c") * F.col("b.c"))
+            .cast("long")
+            .alias("np"),
+        )
+        .filter(F.col("np") > 0)
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("np").alias("dup_pairs"),
+            F.count(F.lit(1)).alias("dup_groups"),
+        )
+        .withColumn(
+            "source_a",
+            F.when(F.col("source_a") == sentinel, F.lit(None)).otherwise(
+                F.col("source_a")
+            ),
+        )
+        .withColumn(
+            "source_b",
+            F.when(F.col("source_b") == sentinel, F.lit(None)).otherwise(
+                F.col("source_b")
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------- incremental minhash
 
 

@@ -2169,6 +2169,37 @@ def test_passage_dup_stats_canonical_first_and_remainder(spark):
     assert out[4] == (2, 0, 0.0)
 
 
+def test_cross_source_dup_matrix_counts_pairs_and_groups(spark):
+    """Pair math per hash group: within-source C(c,2), cross-source
+    c_a*c_b; unique docs contribute nothing; NULL sources bucket
+    together and come back as NULL; NULL texts are excluded."""
+    from nsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup one", "A"),
+            (2, "dup one", "A"),      # within-A pair
+            (3, "dup one", "B"),      # crosses to both A copies
+            (4, "dup two", "B"),
+            (5, "dup two", None),     # cross B x NULL-source
+            (6, "unique text", "A"),  # no pairs
+            (7, None, "A"),           # NULL text excluded entirely
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["dup_pairs"], r["dup_groups"])
+        for r in dedup.cross_source_dup_matrix(docs).collect()
+    }
+    assert out == {
+        ("A", "A"): (1, 1),   # C(2,2 copies) = 1 pair, 1 group
+        ("A", "B"): (2, 1),   # 2 A-copies x 1 B-copy
+        # the \x00 sentinel sorts before any real source, so the NULL
+        # bucket lands on the source_a side before nullif restores it
+        (None, "B"): (1, 1),  # NULL source surfaces, not silently dropped
+    }
+
+
 def test_passage_dup_stats_strided_catches_offset_duplicates(spark):
     """stride < k overlaps the windows, so a passage duplicated at an
     offset that straddles the non-overlapping window grid is still
