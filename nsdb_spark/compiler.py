@@ -102,6 +102,17 @@ def compile_expression(e: ast.Expression, ctx: TimeContext) -> Column:
 
 _UNBOUNDED = (0, None)  # timestamps are non-negative in NSDb (Interval lower 0)
 
+#: The provably-empty interval SET (Spire's Interval.empty analogue,
+#: TimeRangeManager.scala:56-59: a contradictory AND reduces to the empty
+#: interval, which computeRanges then filters out — yielding an EMPTY
+#: result, not an unconstrained one). [] keeps meaning "no time
+#: constraint"; this marker means "no timestamp can match". Chosen in the
+#: negative range so every consumer treats it correctly without a special
+#: case: no shard_start (>= 0) falls inside it (pruning drops every shard,
+#: DELETE's affected set is empty) and the temporal axis clip yields
+#: upper <= lower (empty bucket frame).
+_EMPTY_IVS = [(-1, -2)]
+
 
 def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple[int, int | None]]:
     """Closed intervals over `timestamp` implied by a WHERE expression.
@@ -109,7 +120,11 @@ def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple
     Mirrors TimeRangeManager.extractTimeRange (TimeRangeManager.scala:33-63):
     =, <, >, <=, >=, IN-range; NOT via complement; AND intersect; OR union.
     Intervals are [lo, hi] with hi=None meaning unbounded above; used for
-    partition pruning and temporal bucket bounds.
+    partition pruning and temporal bucket bounds. Returns [] for "no time
+    constraint" and _EMPTY_IVS for a provably-unsatisfiable constraint
+    (e.g. `timestamp >= 60000 and timestamp <= 5000`) — conflating the
+    two turned contradictions into full-axis scans: a temporal query
+    emitted the entire zero-bucket axis and DELETE rewrote every shard.
     """
     if e is None:
         return []
@@ -118,6 +133,9 @@ def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple
         return [(v, v)]
     if isinstance(e, ast.ComparisonExpression) and e.dimension == "timestamp":
         v = int(_resolve_value(e.value, ctx))
+        # `< 0` is empty, not [0, -1] (reference: Interval.openUpper(0, 0))
+        if e.operator == "<" and v <= 0:
+            return list(_EMPTY_IVS)
         return {
             ">": [(v + 1, None)],
             ">=": [(v, None)],
@@ -125,7 +143,11 @@ def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple
             "<=": [(0, v)],
         }[e.operator]
     if isinstance(e, ast.RangeExpression) and e.dimension == "timestamp":
-        return [(int(_resolve_value(e.value1, ctx)), int(_resolve_value(e.value2, ctx)))]
+        lo = int(_resolve_value(e.value1, ctx))
+        hi = int(_resolve_value(e.value2, ctx))
+        # inverted BETWEEN bounds: Spire's Interval.closed(v1, v2) with
+        # v1 > v2 is the empty interval
+        return [(lo, hi)] if lo <= hi else list(_EMPTY_IVS)
     if isinstance(e, ast.NotExpression):
         # complementing is only sound when the inner extraction is EXACT.
         # For a mixed predicate like NOT (timestamp > t AND host = 'a')
@@ -177,9 +199,13 @@ def _is_time_only(e: ast.Expression) -> bool:
 
 
 def _union(ivs: list[tuple[int, int | None]]) -> list[tuple[int, int | None]]:
-    ivs = sorted(ivs, key=lambda t: t[0])
+    # degenerate (empty-interval) members contribute nothing to a union;
+    # a union of ONLY empties is the empty set, not "unconstrained"
+    real = [iv for iv in ivs if iv[1] is None or iv[0] <= iv[1]]
+    if ivs and not real:
+        return list(_EMPTY_IVS)
     out: list[tuple[int, int | None]] = []
-    for lo, hi in ivs:
+    for lo, hi in sorted(real, key=lambda t: t[0]):
         if out:
             plo, phi = out[-1]
             if phi is None or lo <= phi + 1:
@@ -197,18 +223,22 @@ def _intersect(a: list[tuple[int, int | None]], b: list[tuple[int, int | None]])
             hi = hi1 if hi2 is None else hi2 if hi1 is None else min(hi1, hi2)
             if hi is None or lo <= hi:
                 out.append((lo, hi))
-    return _union(out)
+    # disjoint operands (or an empty operand) intersect to the EMPTY set —
+    # returning [] here would read as "unconstrained" upstream
+    return _union(out) if out else list(_EMPTY_IVS)
 
 
 def _complement(ivs: list[tuple[int, int | None]]) -> list[tuple[int, int | None]]:
     ivs = _union(ivs)
+    if ivs == _EMPTY_IVS:
+        return [_UNBOUNDED]  # complement of the empty set is everything
     out: list[tuple[int, int | None]] = []
     cursor = 0
     for lo, hi in ivs:
         if lo > cursor:
             out.append((cursor, lo - 1))
         if hi is None:
-            return out
+            return out if out else list(_EMPTY_IVS)
         cursor = hi + 1
     out.append((cursor, None))
     return out
@@ -354,15 +384,12 @@ class QueryCompiler:
         stmt = q.statement
         alias = agg_alias(q.aggregation)
         aggc = self._agg_columns([q.aggregation])[0]
-        out = df.groupBy(q.group_field).agg(aggc)
+        aggs = [aggc]
         if q.aggregation.kind == ast.AGG_FIRST:
-            out = df.groupBy(q.group_field).agg(
-                aggc, F.min("timestamp").alias("timestamp")
-            )
+            aggs.append(F.min("timestamp").alias("timestamp"))
         elif q.aggregation.kind == ast.AGG_LAST:
-            out = df.groupBy(q.group_field).agg(
-                aggc, F.max("timestamp").alias("timestamp")
-            )
+            aggs.append(F.max("timestamp").alias("timestamp"))
+        out = df.groupBy(q.group_field).agg(*aggs)
         if stmt.order:
             # ORDER BY value sorts by the aggregated value
             # (post_proc/package.scala:67-80); else by the group field.
@@ -396,7 +423,7 @@ class QueryCompiler:
             # frame; against parquet this reads footers, not rows.
             row = df.agg(F.min("timestamp"), F.max("timestamp")).first()
             if row[0] is None:
-                return self._empty_temporal(q)
+                return self._empty_temporal(q, df)
             data_lower = (row[0] // si) * si
             data_upper = (row[1] // si) * si + si
         # CLIP, not replace: the axis is the data extent intersected with
@@ -410,7 +437,7 @@ class QueryCompiler:
         if q.grace_period_ms is not None:
             lower = max(lower, ctx.current_time - q.grace_period_ms)
         if upper <= lower:
-            return self._empty_temporal(q)
+            return self._empty_temporal(q, df)
 
         n = -((upper - lower) // -interval)  # ceil
         alias = agg_alias(q.aggregation)
@@ -449,7 +476,13 @@ class QueryCompiler:
                 F.lit(upper) - (F.col("id") + 1) * interval, F.lit(lower)
             ).alias("lower_bound"),
         )
-        joined = buckets.join(F.broadcast(per_bucket), "__bucket", "left")
+        # broadcast only while the axis is dashboard-sized: per_bucket has
+        # up to n rows, and n scales as data-extent/interval — a 1 s
+        # interval over a year of shards is ~31M buckets, which would
+        # OOM the driver as a broadcast. Past the threshold both sides
+        # are equally-sized n-row frames; let AQE pick the join.
+        pb = F.broadcast(per_bucket) if n <= 1_000_000 else per_bucket
+        joined = buckets.join(pb, "__bucket", "left")
         value_col = F.coalesce(F.col(alias), F.lit(0)).alias(alias)
         out = joined.select(
             F.col("upper_bound").alias("timestamp"),
@@ -470,11 +503,28 @@ class QueryCompiler:
         order_col = F.col("timestamp").desc() if desc else F.col("timestamp").asc()
         return out.orderBy(order_col)
 
-    def _empty_temporal(self, q: ParsedTemporalAggregatedQuery) -> DataFrame:
+    def _empty_temporal(
+        self, q: ParsedTemporalAggregatedQuery, df: DataFrame
+    ) -> DataFrame:
+        """Zero-row frame with EXACTLY the populated path's schema: the
+        aggregate column's type is derived by running the same aggregate
+        expression over an empty slice of the input, so a count stays
+        bigint (a hardcoded double here made the type flip between an
+        empty-range run and a populated one — breaking unions and the
+        HTTP/WS serialized shape)."""
         alias = agg_alias(q.aggregation)
-        return self.spark.createDataFrame(
-            [],
-            f"timestamp bigint, lower_bound bigint, upper_bound bigint, {alias} double",
+        aggc = self._agg_columns([q.aggregation])[0]
+        return (
+            df.limit(0)
+            .groupBy()
+            .agg(aggc)  # global agg over empty input = one row; types right
+            .select(
+                F.lit(None).cast("bigint").alias("timestamp"),
+                F.lit(None).cast("bigint").alias("lower_bound"),
+                F.lit(None).cast("bigint").alias("upper_bound"),
+                F.coalesce(F.col(alias), F.lit(0)).alias(alias),
+            )
+            .limit(0)
         )
 
 

@@ -341,8 +341,12 @@ class SQLStatementParser:
             raise SQLParseError(f"expected number after '-' near {t.text!r}")
         if t.kind in ("string", "ident"):
             return ast.AbsoluteComparisonValue(t.text)
-        if t.kind == "kw":  # unquoted string that collides with a keyword
-            return ast.AbsoluteComparisonValue(t.text.lower())
+        if t.kind == "kw":
+            # unquoted string that collides with a keyword: preserve the
+            # ORIGINAL spelling (t.raw), like _expect_ident — values are
+            # case-sensitive, and lowercasing would make `host = Desc`
+            # match rows tagged 'desc' instead of 'Desc'
+            return ast.AbsoluteComparisonValue(t.raw)
         raise SQLParseError(f"expected value near {t.text!r} in {self.sql!r}")
 
     # -- INSERT (docs/SQL_doc.md:252-279) ------------------------------

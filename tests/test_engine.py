@@ -296,6 +296,77 @@ def test_temporal_with_where_range(temporal_engine):
     assert sum(r[3] for r in out) == 4
 
 
+def test_contradictory_time_range_is_empty_not_full_axis(temporal_engine):
+    """An unsatisfiable timestamp constraint is the EMPTY interval set
+    (TimeRangeManager.scala:56-59 reduce→Interval.empty→filtered), not
+    'unconstrained': the temporal axis must be empty — previously it
+    fell back to the full zero-bucket data extent — and the aggregate
+    column keeps its populated-path type (count stays bigint)."""
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where timestamp >= 60000 and timestamp <= 5000 group by interval 30s"
+    )
+    assert df.collect() == []
+    assert dict(df.dtypes)["count_value"] == "bigint"
+    # inverted BETWEEN bounds are the same empty set
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where timestamp in (60000, 5000) group by interval 30s"
+    )
+    assert df.collect() == []
+    # plain SELECT: contradictory range returns nothing (and prunes all)
+    df = temporal_engine.execute(
+        "select * from temporalLongMetric "
+        "where timestamp >= 60000 and timestamp <= 5000"
+    )
+    assert df.collect() == []
+    # NOT over an always-true range = empty, not unconstrained
+    df = temporal_engine.execute(
+        "select * from temporalLongMetric where not timestamp >= 0"
+    )
+    assert df.collect() == []
+
+
+def test_contradictory_delete_rewrites_no_shards(temporal_engine):
+    """DELETE with a provably-empty time range must be a no-op that
+    touches NO shard directories (previously ivs=[] read as 'all
+    shards affected' and every partition was rewritten)."""
+    import os
+
+    path = temporal_engine.warehouse.data_path(
+        "default", "default", "temporalLongMetric"
+    )
+    before = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            before[p] = os.path.getmtime(p)
+    temporal_engine.execute(
+        "delete from temporalLongMetric "
+        "where timestamp >= 60000 and timestamp <= 5000"
+    )
+    after = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            after[p] = os.path.getmtime(p)
+    assert after == before  # same files, untouched mtimes
+    n = temporal_engine.execute("select count(*) from temporalLongMetric")
+    assert n.collect()[0][-1] == 6  # nothing deleted
+
+
+def test_parser_preserves_case_of_keyword_colliding_values(temporal_engine):
+    """An unquoted comparison value that collides with a keyword keeps
+    its original spelling — `host = Desc` must not match rows tagged
+    'desc' (values are case-sensitive, like _expect_ident fields)."""
+    from nsdb_spark.sql.parser import parse
+
+    stmt = parse("select * from m where host = Desc")
+    assert stmt.condition.expression.value.value == "Desc"
+    stmt = parse("select * from m where host = COUNT")
+    assert stmt.condition.expression.value.value == "COUNT"
+
+
 def test_temporal_count_distinct(temporal_engine):
     df = temporal_engine.execute(
         "select count(distinct name) from temporalLongMetric group by interval 60s"
