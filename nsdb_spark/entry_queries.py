@@ -581,8 +581,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nsdb_like_wildcard"] = _nsdb(
         "select * from events where event_type like '$ror' order by event_id limit 100"
     )
+    # NOT's scope is bounded with parens: unparenthesized NOT is greedy
+    # (reference parity) and would negate the whole condition
     q["nsdb_bool_logic"] = _nsdb(
-        "select * from events where not event_type = error and value < 50 "
+        "select * from events where (not event_type = error) and value < 50 "
         "or value >= 950 order by event_id limit 500"
     )
     q["nsdb_distinct"] = _nsdb("select distinct event_type from events")
@@ -636,7 +638,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select count(*) from events where timestamp >= now - 10 d", relative_now=True
     )
     q["nsdb_nullable_predicates"] = _nsdb(
-        "select * from events where not value is null and props is not null "
+        "select * from events where value is not null and props is not null "
         "and value >= 480 order by event_id limit 100"
     )
     q["nsdb_like_infix_count"] = _nsdb(

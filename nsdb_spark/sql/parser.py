@@ -284,15 +284,20 @@ class SQLStatementParser:
 
     def _parse_term(self) -> ast.Expression:
         if self._accept_kw("NOT"):
-            return ast.NotExpression(self._parse_term())
+            # NOT is GREEDY (reference parity: SQLStatementParser.scala:188
+            # tries notUnaryLogicalExpression first, and its
+            # `Not ~> expression` swallows the entire rest — pinned by
+            # SelectSQLStatementSpec:355, where unparenthesized
+            # `NOT timestamp >= 2 OR timestamp < 4` parses as
+            # NOT(ts >= 2 OR ts < 4)). Parenthesize the inner predicate —
+            # `(NOT a = 1) OR b = 2` — to bound NOT's scope instead.
+            return ast.NotExpression(self._parse_expression())
         if self._accept_op("("):
             e = self._parse_expression()
             self._expect_op(")")
-            t = self._peek()
-            if t.kind == "kw" and t.text in ("AND", "OR"):
-                self._next()
-                right = self._parse_expression()
-                return ast.TupledLogicalExpression(e, t.text.lower(), right)
+            # no AND/OR continuation here: _parse_expression's own
+            # lookahead attaches any following connective to this term,
+            # producing the identical right-associative tree
             return e
         return self._parse_comparison()
 

@@ -95,8 +95,24 @@ def test_brackets_override_associativity():
     assert e.expression1.operator == "and"
 
 
-def test_not_applies_to_following_condition_only():
+def test_not_is_greedy_reference_parity():
+    """Unparenthesized NOT swallows the entire rest of the condition
+    (SQLStatementParser.scala:188 ordered choice + `Not ~> expression`;
+    pinned by the reference's own SelectSQLStatementSpec:355)."""
     s = parse("select * from m where not a = 1 and b = 2")
+    e = s.condition.expression
+    assert isinstance(e, ast.NotExpression)
+    inner = e.expression
+    assert isinstance(inner, ast.TupledLogicalExpression)
+    assert inner.operator == "and"
+    # the exact reference spec case, with OR
+    s = parse("select name from people where not timestamp >= 2 or timestamp < 4")
+    e = s.condition.expression
+    assert isinstance(e, ast.NotExpression)
+    assert e.expression.operator == "or"
+    # bounding NOT's scope takes parentheses, like the reference's
+    # SQLStatementBracketsSpec "not applied only to the first expression"
+    s = parse("select * from m where (not a = 1) and b = 2")
     e = s.condition.expression
     assert isinstance(e, ast.TupledLogicalExpression) and e.operator == "and"
     assert isinstance(e.expression1, ast.NotExpression)
