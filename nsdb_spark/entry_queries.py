@@ -1937,7 +1937,8 @@ j AS (SELECT cl.doc_id AS doc_id, cluster_id, quality,
 SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM j
 """
     o["text_winnowing"] = """
-WITH pos AS (SELECT doc_id, text, greatest(length(text) - 7, 1) AS n_pos FROM documents),
+WITH pos AS (SELECT doc_id, text, greatest(length(text) - 7, 1) AS n_pos
+             FROM documents WHERE text IS NOT NULL),
 g AS (SELECT doc_id, n_pos, text,
              unnest(generate_series(1, cast(n_pos AS bigint))) AS p FROM pos),
 h AS (SELECT doc_id, n_pos, p,

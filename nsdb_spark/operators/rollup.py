@@ -224,8 +224,14 @@ def build_quantile_rollup(
         F.lit(0),
     ).cast("int").alias("bin")
     rollup = (
+        # NULL values must not enter the sketch: least()/greatest() skip
+        # NULL arguments, so a NULL row would silently land in the TOP
+        # bin and skew every served percentile upward — the raw path's
+        # percentile() excludes NULLs, and rollup == raw is the invariant
         metric_df.filter(
-            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+            (F.col("timestamp") >= lower)
+            & (F.col("timestamp") <= upper)
+            & F.col(value_col).isNotNull()
         )
         .groupBy(k, b)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -299,7 +305,15 @@ def build_group_quantile_rollup(
         F.least(F.floor((F.col(value_col) - F.lit(vlo)) / F.lit(w)), F.lit(nbins - 1)),
         F.lit(0),
     ).cast("int").alias("bin")
-    rollup = metric_df.groupBy(F.col(field), b).agg(F.count(F.lit(1)).alias("cnt"))
+    # NULL values would land in the top bin (see build_quantile_rollup);
+    # NULL group keys are excluded like every group-keyed rollup
+    rollup = (
+        metric_df.filter(
+            F.col(value_col).isNotNull() & F.col(field).isNotNull()
+        )
+        .groupBy(F.col(field), b)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     return rollup, (vlo, vhi)
 
 
@@ -534,9 +548,13 @@ def build_group_distinct_rollup(
     idx = F.pmod(
         portable_word_hash(F.col(distinct_field).cast("string")), F.lit(m_buckets)
     ).cast("int").alias("idx")
-    # count distinct ignores NULLs; NULL groups vanish downstream anyway
+    # count distinct ignores NULLs. NULL GROUP keys must be filtered here
+    # too: groupBy retains NULL keys, so without this the serving path
+    # would emit a (NULL, est) row no consumer asked for
     return (
-        metric_df.filter(F.col(distinct_field).isNotNull())
+        metric_df.filter(
+            F.col(distinct_field).isNotNull() & F.col(group_field).isNotNull()
+        )
         .select(F.col(group_field), idx)
         .distinct()
     )

@@ -51,6 +51,20 @@ def _bucket(token: Column, dim: int) -> Column:
     return F.pmod(portable_word_hash(token), F.lit(dim))
 
 
+def _doc_uniform() -> Column:
+    """Deterministic per-doc uniform in (0, 1): the portable doc_id hash
+    mapped to the 1e6 grid, +0.5 to stay strictly inside the open
+    interval (log(-log(u)) must never see 0 or 1). ONE definition —
+    this is the reproducibility contract shared with the DuckDB oracles
+    by every sampler here (dsir_sample's Gumbel key, domain_mixture's
+    fractional-copy draw); two drifting inline copies would break oracle
+    parity for exactly one of them, the hard kind of bug to spot."""
+    return (
+        F.pmod(portable_word_hash(F.col("doc_id").cast("string")), F.lit(1000000))
+        + 0.5
+    ) / 1000000.0
+
+
 def quality_score_lr(
     docs: DataFrame, dim: int = 4096, text_col: str = "text"
 ) -> DataFrame:
@@ -128,10 +142,13 @@ def dsir_weights(
     )
     # one pass over the token stream: per-bucket raw count + target count
     # (map-side combinable; output bounded by `buckets` rows)
+    # persisted too (bounded at `buckets` rows): the totals .first() is
+    # an action, so an unpinned counts would re-run this aggregation over
+    # the whole token stream a second time when the scoring job runs
     counts = tok.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
-    )
+    ).persist()
     tot = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt")).first()
     t_raw, t_tgt = int(tot["tr"] or 0), int(tot["tt"] or 0)
     lam = (
@@ -147,10 +164,10 @@ def dsir_weights(
         .agg(F.sum("lam").alias("logw"))
     )
     if not materialize:
-        return out  # lazy, pin retained — plan tests read this shape
+        return out  # lazy, pins retained — plan tests read this shape
     from .dedup import _finish
 
-    return _finish(out, tok)
+    return _finish(out, tok, counts)
 
 
 def dsir_sample(
@@ -171,10 +188,7 @@ def dsir_sample(
     top-k (no global sort materialization).
     """
     w = dsir_weights(docs, is_target, buckets, text_col)
-    u = (
-        F.pmod(portable_word_hash(F.col("doc_id").cast("string")), F.lit(1000000))
-        + 0.5
-    ) / 1000000.0
+    u = _doc_uniform()
     key = F.col("logw") / temperature + (-F.log(-F.log(u)))
     return (
         w.select(
@@ -234,8 +248,13 @@ def domain_mixture(
         F.sum("tokens_s").alias("total"),
     ).first()
     if wsum["total"] is None:  # empty corpus — nothing to mix
-        return docs.sparkSession.createDataFrame(
-            [], f"doc_id long, {source_col} string, copy_idx long, rate double"
+        # derive doc_id/source types from the INPUT so the empty frame's
+        # schema matches a populated run's (the _empty_temporal rule)
+        return docs.select("doc_id", source_col).limit(0).select(
+            "doc_id",
+            source_col,
+            F.lit(None).cast("long").alias("copy_idx"),
+            F.lit(None).cast("double").alias("rate"),
         )
     # `is None`, not truthiness: an explicit budget of 0 means an empty
     # mixture, not "default to the full corpus"
@@ -251,10 +270,7 @@ def domain_mixture(
             / F.col("tokens_s")
         ).alias("rate"),
     )
-    u = (
-        F.pmod(portable_word_hash(F.col("doc_id").cast("string")), F.lit(1000000))
-        + 0.5
-    ) / 1000000.0
+    u = _doc_uniform()
     n_copies = F.floor("rate").cast("long") + F.when(
         u < F.col("rate") - F.floor("rate"), 1
     ).otherwise(0)

@@ -61,6 +61,11 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.lit(LANG_ORDER[-1])
     for lang in reversed(LANG_ORDER[:-1]):
         pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    # NULL text → NULL prediction: the when-chain's conditions are all
+    # NULL for a content-less doc, which would fall through to the seed
+    # literal and misattribute every NULL doc to LANG_ORDER[-1] (the SQL
+    # oracle's ELSE-less CASE already yields NULL — this matches it)
+    pred = F.when(F.col(text_col).isNotNull(), pred)
     return docs.select(
         "doc_id", pred.alias("pred_lang"), best_score.cast("int").alias("lang_score")
     )
@@ -69,9 +74,15 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_words, n_distinct_words, stop_ratio, dup_ratio, quality).
 
-    quality ∈ [0,1]: 0.4·stopword-ratio + 0.3·(1−dup-ratio) +
+    quality ∈ [0,1]: 0.4·stop_ratio + 0.3·(1−dup_ratio) +
     0.3·min(n_words/100, 1). Integer-derived ratios → bit-identical across
-    engines.
+    engines. NOTE on stop_ratio's numerator: it counts DISTINCT stopwords
+    present (array_intersect dedups), i.e. stoplist COVERAGE normalized
+    by length — capped at the stoplist size, so for long documents the
+    term decays toward 0 and quality is driven by distinctness + length.
+    This is the deliberate cheap signal the oracles/pipelines share, not
+    a per-token occurrence ratio (which would need a per-token stoplist
+    probe); change both sides together if upgrading.
     """
     words = _words(text_col)
     n_words = F.size(words)
@@ -134,6 +145,11 @@ def winnow_fingerprints(
     """
     from ..operators.dedup import portable_word_hash
 
+    # NULL texts have no k-grams: without the filter they'd emit an
+    # inconsistent row — count(*) counts the NULL-hash row (n=1) while
+    # collect_set drops it (digest of the empty set) — and two unrelated
+    # NULL docs would "share" a fingerprint
+    docs = docs.filter(F.col(text_col).isNotNull())
     n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
     g = docs.select(
         "doc_id",

@@ -159,6 +159,11 @@ def test_language_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(df).collect()}
     assert out == {0: "en", 1: "de", 2: "es"}
+    # NULL text → NULL prediction, not a misattribution to the
+    # when-chain's seed language (the last of LANG_ORDER)
+    dfn = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r = text.language_id(dfn).collect()[0]
+    assert r["pred_lang"] is None and r["lang_score"] is None
 
 
 def test_quality_score(spark):
@@ -1092,6 +1097,27 @@ def test_quantile_rollup_degenerate_constant_column(spark):
     r, _, vr = rollup.build_quantile_rollup(df, 100, 1000, nbins=16)
     out = rollup.percentiles_from_quantile_rollup(spark, r, [0.5], vr, nbins=16).collect()
     assert out[0]["pvalue"] == pytest.approx(42.0, abs=1.0)
+
+
+def test_quantile_rollup_excludes_null_values(spark):
+    """NULL values must not enter the sketch: least()/greatest() skip
+    NULL args, so an unfiltered NULL row lands in the TOP bin and
+    skews every served percentile upward — while the raw percentile()
+    path ignores NULLs (rollup == raw is the invariant)."""
+    from nsdb_spark.operators import rollup
+
+    rows = [(i, float(i)) for i in range(100)] + [(100 + i, None) for i in range(200)]
+    df = spark.createDataFrame(rows, "timestamp long, value double")
+    r, _, vr = rollup.build_quantile_rollup(df, 100, 1000, nbins=64)
+    assert r.agg({"cnt": "sum"}).first()[0] == 100  # NULLs not counted
+    out = rollup.percentiles_from_quantile_rollup(spark, r, [0.9], vr, nbins=64).collect()
+    # 200 NULLs in the top bin would have dragged p90 to ~99
+    assert out[0]["pvalue"] == pytest.approx(89.0, abs=2.0)
+    gr, gvr = rollup.build_group_quantile_rollup(
+        df.withColumn("g", (F.col("timestamp") < 100).cast("string")), "g", nbins=64
+    )
+    # NULL values excluded; the all-NULL group vanishes entirely
+    assert {x["g"] for x in gr.select("g").distinct().collect()} == {"true"}
 
 
 def test_cdc_chunks_cover_text_and_shift_invariance(spark):
