@@ -20,7 +20,7 @@ path.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -37,6 +37,54 @@ def temporal_bounds(metric_df: DataFrame, shard_ms: int) -> tuple[int, int]:
     lower = (row[0] // shard_ms) * shard_ms
     upper = (row[1] // shard_ms) * shard_ms + shard_ms
     return lower, upper
+
+
+# The backward-aligned bucket math is THE correctness invariant every
+# rollup shares with the raw temporal compiler — one definition each, so
+# a future change cannot be applied to four of five copies and silently
+# drift the rollup paths apart (or away from the oracle).
+
+
+def _fine_k(upper: int, fine_ms: int, n_fine: int) -> Column:
+    """Fine-bucket index of a row: backward-aligned from `upper`, the
+    oldest (truncated) bucket clamped to n_fine-1 — the raw compiler's
+    F.least(..., n-1) rule."""
+    return F.least(
+        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
+        F.lit(n_fine - 1),
+    ).alias("k")
+
+
+def _bucket_axis(
+    spark: SparkSession, n: int, upper: int, lower: int, coarse_ms: int
+) -> DataFrame:
+    """(kc, upper_bound, lower_bound) coarse serving axis: n buckets
+    backward from `upper`, oldest truncated at `lower` — the serving
+    twin of compiler._temporal_agg's bucket frame."""
+    return spark.range(n).select(
+        F.col("id").alias("kc"),
+        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
+        F.greatest(
+            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
+        ).alias("lower_bound"),
+    )
+
+
+def _take_right(
+    out: DataFrame, n: int, limit: int | None, descending: bool
+) -> DataFrame:
+    """Temporal LIMIT = takeRight of the sorted axis (the engine-route
+    contract shared with compiler._temporal_agg), then drop the bucket
+    id and sort by timestamp."""
+    if limit is not None:
+        out = (
+            out.filter(F.col("kc") < limit)
+            if not descending
+            else out.filter(F.col("kc") >= n - limit)
+        )
+    out = out.drop("kc")
+    order = F.col("timestamp").desc() if descending else F.col("timestamp").asc()
+    return out.orderBy(order)
 
 
 def build_temporal_rollup(
@@ -62,10 +110,7 @@ def build_temporal_rollup(
     # clamp into the axis: ts == lower belongs to the truncated oldest
     # bucket, same as the raw temporal compiler's F.least(..., n-1)
     n_fine = -((upper - lower) // -fine_ms)  # ceil
-    k = F.least(
-        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
-        F.lit(n_fine - 1),
-    ).alias("k")
+    k = _fine_k(upper, fine_ms, n_fine)
     rollup = (
         metric_df.filter(
             (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
@@ -146,13 +191,7 @@ def temporal_from_rollup(
     else:
         raise ValueError(f"aggregation {agg!r} is not rollup-mergeable")
 
-    axis = spark.range(n).select(
-        F.col("id").alias("kc"),
-        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
-        F.greatest(
-            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
-        ).alias("lower_bound"),
-    )
+    axis = _bucket_axis(spark, n, upper, lower, coarse_ms)
     out = axis.join(F.broadcast(merged), "kc", "left").select(
         F.col("upper_bound").alias("timestamp"),
         "lower_bound",
@@ -160,15 +199,7 @@ def temporal_from_rollup(
         F.coalesce(v, F.lit(0)).alias(alias),
         "kc",
     )
-    if limit is not None:
-        out = (
-            out.filter(F.col("kc") < limit)
-            if not descending
-            else out.filter(F.col("kc") >= n - limit)
-        )
-    out = out.drop("kc")
-    order = F.col("timestamp").desc() if descending else F.col("timestamp").asc()
-    return out.orderBy(order)
+    return _take_right(out, n, limit, descending)
 
 
 # ----------------------------------------------------- quantile rollups
@@ -215,10 +246,7 @@ def build_quantile_rollup(
     vlo, vhi = value_range if value_range else value_bounds(metric_df, value_col)
     w = (vhi - vlo) / nbins or 1.0
     n_fine = -((upper - lower) // -fine_ms)  # ceil
-    k = F.least(
-        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
-        F.lit(n_fine - 1),
-    ).alias("k")
+    k = _fine_k(upper, fine_ms, n_fine)
     b = F.greatest(
         F.least(F.floor((F.col(value_col) - F.lit(vlo)) / F.lit(w)), F.lit(nbins - 1)),
         F.lit(0),
@@ -399,13 +427,7 @@ def temporal_percentile_from_quantile_rollup(
         + (F.lit(q) * F.col("n") - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
     )
     per_bucket = sel.select("kc", F.round(value, 6).alias(alias))
-    axis = spark.range(n).select(
-        F.col("id").alias("kc"),
-        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
-        F.greatest(
-            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
-        ).alias("lower_bound"),
-    )
+    axis = _bucket_axis(spark, n, upper, lower, coarse_ms)
     return (
         axis.join(F.broadcast(per_bucket), "kc", "left")
         .select(
@@ -447,10 +469,7 @@ def build_distinct_rollup(
 
     lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
     n_fine = -((upper - lower) // -fine_ms)  # ceil
-    k = F.least(
-        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
-        F.lit(n_fine - 1),
-    ).alias("k")
+    k = _fine_k(upper, fine_ms, n_fine)
     idx = F.pmod(
         portable_word_hash(F.col(field).cast("string")), F.lit(m_buckets)
     ).cast("int").alias("idx")
@@ -506,13 +525,7 @@ def temporal_count_distinct_from_rollup(
         .agg(F.count(F.lit(1)).alias("V"))
     )
     M = float(m_buckets)
-    axis = spark.range(n).select(
-        F.col("id").alias("kc"),
-        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
-        F.greatest(
-            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
-        ).alias("lower_bound"),
-    )
+    axis = _bucket_axis(spark, n, upper, lower, coarse_ms)
     est = (
         F.when(F.col("V").isNull(), F.lit(0.0))  # empty bucket
         .when(
@@ -628,10 +641,7 @@ def build_hll_rollup(
     w_bits = 60 - p
     lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
     n_fine = -((upper - lower) // -fine_ms)  # ceil
-    k = F.least(
-        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
-        F.lit(n_fine - 1),
-    ).alias("k")
+    k = _fine_k(upper, fine_ms, n_fine)
     h = portable_word_hash(F.col(field).cast("string"))
     reg = F.pmod(h, F.lit(m)).cast("int").alias("reg")
     not_null = F.col(field).isNotNull()  # count distinct ignores NULLs
@@ -730,13 +740,7 @@ def temporal_hll_from_rollup(
         )
         .otherwise(F.round(e_raw, 3))
     )
-    axis = spark.range(n).select(
-        F.col("id").alias("kc"),
-        (F.lit(upper) - F.col("id") * coarse_ms).alias("upper_bound"),
-        F.greatest(
-            F.lit(upper) - (F.col("id") + 1) * coarse_ms, F.lit(lower)
-        ).alias("lower_bound"),
-    )
+    axis = _bucket_axis(spark, n, upper, lower, coarse_ms)
     out = axis.join(F.broadcast(per_bucket), "kc", "left").select(
         F.col("upper_bound").alias("timestamp"),
         "lower_bound",
@@ -745,15 +749,7 @@ def temporal_hll_from_rollup(
         "kc",
     )
     # same takeRight LIMIT contract as temporal_from_rollup (engine route)
-    if limit is not None:
-        out = (
-            out.filter(F.col("kc") < limit)
-            if not descending
-            else out.filter(F.col("kc") >= n - limit)
-        )
-    out = out.drop("kc")
-    order = F.col("timestamp").desc() if descending else F.col("timestamp").asc()
-    return out.orderBy(order)
+    return _take_right(out, n, limit, descending)
 
 
 # ----------------------------------------------------------- top-k rollup
@@ -774,10 +770,7 @@ def build_group_temporal_rollup(
     heavy-hitters pass first — operators/skew.py)."""
     lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
     n_fine = -((upper - lower) // -fine_ms)  # ceil
-    k = F.least(
-        F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(fine_ms)),
-        F.lit(n_fine - 1),
-    ).alias("k")
+    k = _fine_k(upper, fine_ms, n_fine)
     rollup = (
         metric_df.filter(
             (F.col("timestamp") >= lower)
