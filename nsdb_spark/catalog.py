@@ -35,6 +35,11 @@ class Warehouse:
         # lose one side's registration (data already written under the
         # lost field would read as NULL forever)
         self._schema_lock = threading.Lock()
+        # rollup registrations are the same read-modify-write pattern over
+        # their meta JSONs: two concurrent materializations (different
+        # grains/fields for one metric) must not lose one side's entry —
+        # the loser's rollup data would sit on disk never routed to
+        self._rollup_meta_lock = threading.Lock()
 
     # -- paths ----------------------------------------------------------
     #: filesystem-safe identifier: no separators, no traversal, no dot
@@ -158,14 +163,15 @@ class Warehouse:
     def register_rollup(
         self, db: str, ns: str, metric: str, fine_ms: int, bounds: tuple[int, int]
     ) -> None:
-        meta = self.rollups(db, ns, metric)
-        meta[fine_ms] = bounds
-        p = self._rollup_meta_path(db, ns, metric)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({str(k): list(v) for k, v in meta.items()}, fh)
-        os.replace(tmp, p)
+        with self._rollup_meta_lock:
+            meta = self.rollups(db, ns, metric)
+            meta[fine_ms] = bounds
+            p = self._rollup_meta_path(db, ns, metric)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({str(k): list(v) for k, v in meta.items()}, fh)
+            os.replace(tmp, p)
 
     def rollups(self, db: str, ns: str, metric: str) -> dict[int, tuple[int, int]]:
         p = self._rollup_meta_path(db, ns, metric)
@@ -185,14 +191,15 @@ class Warehouse:
         return os.path.join(self.metric_path(db, ns, metric), "rollups", "group_rollups.json")
 
     def register_group_rollup(self, db: str, ns: str, metric: str, field: str) -> None:
-        fields = self.group_rollups(db, ns, metric)
-        fields.add(field)
-        p = self._group_rollup_meta_path(db, ns, metric)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(sorted(fields), fh)
-        os.replace(tmp, p)
+        with self._rollup_meta_lock:
+            fields = self.group_rollups(db, ns, metric)
+            fields.add(field)
+            p = self._group_rollup_meta_path(db, ns, metric)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(sorted(fields), fh)
+            os.replace(tmp, p)
 
     def group_rollups(self, db: str, ns: str, metric: str) -> set[str]:
         p = self._group_rollup_meta_path(db, ns, metric)
@@ -227,18 +234,19 @@ class Warehouse:
         bounds: tuple[int, int],
         p: int,
     ) -> None:
-        meta = self.distinct_rollups(db, ns, metric)
-        meta[(field, fine_ms)] = (bounds, p)
-        mp = self._distinct_rollup_meta_path(db, ns, metric)
-        os.makedirs(os.path.dirname(mp), exist_ok=True)
-        tmp = mp + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {f"{f}|{k}": {"bounds": list(b), "p": pp}
-                 for (f, k), (b, pp) in meta.items()},
-                fh,
-            )
-        os.replace(tmp, mp)
+        with self._rollup_meta_lock:
+            meta = self.distinct_rollups(db, ns, metric)
+            meta[(field, fine_ms)] = (bounds, p)
+            mp = self._distinct_rollup_meta_path(db, ns, metric)
+            os.makedirs(os.path.dirname(mp), exist_ok=True)
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {f"{f}|{k}": {"bounds": list(b), "p": pp}
+                     for (f, k), (b, pp) in meta.items()},
+                    fh,
+                )
+            os.replace(tmp, mp)
 
     def distinct_rollups(
         self, db: str, ns: str, metric: str
@@ -270,18 +278,19 @@ class Warehouse:
         value_range: tuple[float, float],
         nbins: int,
     ) -> None:
-        meta = self.quantile_rollups(db, ns, metric)
-        meta[fine_ms] = (bounds, value_range, nbins)
-        p = self._quantile_rollup_meta_path(db, ns, metric)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {str(k): {"bounds": list(b), "range": list(r), "nbins": n}
-                 for k, (b, r, n) in meta.items()},
-                fh,
-            )
-        os.replace(tmp, p)
+        with self._rollup_meta_lock:
+            meta = self.quantile_rollups(db, ns, metric)
+            meta[fine_ms] = (bounds, value_range, nbins)
+            p = self._quantile_rollup_meta_path(db, ns, metric)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {str(k): {"bounds": list(b), "range": list(r), "nbins": n}
+                     for k, (b, r, n) in meta.items()},
+                    fh,
+                )
+            os.replace(tmp, p)
 
     def quantile_rollups(
         self, db: str, ns: str, metric: str
@@ -301,11 +310,12 @@ class Warehouse:
         }
 
     def invalidate_rollups(self, db: str, ns: str, metric: str) -> None:
-        d = os.path.join(self.metric_path(db, ns, metric), "rollups")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        with self._rollup_meta_lock:
+            d = os.path.join(self.metric_path(db, ns, metric), "rollups")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
-    # -- drop / retention ---------------------------------------------------
+        # -- drop / retention ---------------------------------------------------
     def drop_metric(self, db: str, ns: str, metric: str) -> None:
         p = self.metric_path(db, ns, metric)
         if os.path.isdir(p):

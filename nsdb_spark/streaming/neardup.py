@@ -70,13 +70,41 @@ def start_neardup_alerts(
         sigs = dedup.minhash_signatures(batch_df, n, num_hashes).withColumn(
             "ingest_batch", F.lit(batch_id)
         )
+        # The index is PARTITIONED BY ingest_batch and each batch lands
+        # via dynamic partition overwrite (replacing only its own
+        # partition), NOT a plain append: a crash between this write and
+        # marker.commit replays the batch, and an append would leave
+        # every doc with duplicate signature rows FOREVER — each future
+        # candidate pair involving them would then multiply through the
+        # verify join and re-fire alerts on every batch. Overwrite makes
+        # the replay idempotent; the marker still skips the re-probe
+        # (so alerts don't re-fire) and bounds re-work to one batch.
+        # Bonus: the is_new batch filter becomes a partition-pruned scan.
         if not spark.catalog.tableExists(index_name):
             from ..sources.bucketed import _clear_stale_location
 
             # dropped-table leftovers block saveAsTable (same hygiene as
             # write_minhash_index)
             _clear_stale_location(spark, index_name)
-        sigs.write.mode("append").saveAsTable(index_name)
+            sigs.write.mode("overwrite").partitionBy(
+                "ingest_batch"
+            ).saveAsTable(index_name)
+        else:
+            # the conf must be set on the BATCH df's session: foreachBatch
+            # plans writes under a CLONED session with isolated conf, so
+            # setting it on the outer session is invisible here, and
+            # insertInto ignores writer options (verified on this Spark)
+            # — either mistake degrades to a STATIC overwrite that
+            # silently truncates the whole history on every batch
+            bspark = sigs.sparkSession
+            prev = bspark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            bspark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                sigs.select(*spark.table(index_name).columns).write.mode(
+                    "overwrite"
+                ).insertInto(index_name)
+            finally:
+                bspark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         spark.catalog.refreshTable(index_name)
         pairs = dedup.minhash_incremental_pairs(
             spark,

@@ -98,11 +98,16 @@ def stream_temporal_agg_stateful(
             }
         )
 
+    # upper-INCLUSIVE buckets (lb, ub]: k = ceil((ts - anchor)/iv), the
+    # same formula as SubscriptionManager's live path and the compiled
+    # historical axis. floor(...)+1 differs exactly at interval
+    # multiples — a boundary timestamp would land one bucket later here
+    # than a historical re-query or re-subscription reports it.
     keyed = stream_df.filter(F.col("timestamp").isNotNull()).withColumn(
         "__ub",
         (
             F.lit(anchor_ms)
-            + (F.floor((F.col("timestamp") - F.lit(anchor_ms)) / F.lit(iv)) + 1)
+            - F.floor((F.lit(anchor_ms) - F.col("timestamp")) / F.lit(iv))
             * F.lit(iv)
         ).cast("long"),
     )

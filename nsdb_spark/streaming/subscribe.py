@@ -18,6 +18,7 @@ Behaviour parity with PublisherActor (nsdb-core/.../actors/PublisherActor.scala)
 """
 from __future__ import annotations
 
+import logging
 import re
 import threading
 import uuid as uuid_mod
@@ -29,6 +30,8 @@ from ..compiler import TimeContext, compile_expression, like_to_regex
 from ..model import MetricSchema
 from ..sql import ast
 from ..sql.parser import parse
+
+_log = logging.getLogger(__name__)
 
 
 def eval_expression(e: ast.Expression, row: dict[str, Any], now_ms: int) -> bool:
@@ -49,8 +52,16 @@ def eval_expression(e: ast.Expression, row: dict[str, Any], now_ms: int) -> bool
     if isinstance(e, ast.EqualityExpression):
         return v == _resolve(e.value, now_ms)
     if isinstance(e, ast.ComparisonExpression):
+        # if/elif, not a dict literal: this is the per-record hot path,
+        # and a dict would eagerly evaluate all four comparisons per row
         w = _resolve(e.value, now_ms)
-        return {" >": v > w, ">": v > w, ">=": v >= w, "<": v < w, "<=": v <= w}[e.operator]
+        if e.operator == ">":
+            return v > w
+        if e.operator == ">=":
+            return v >= w
+        if e.operator == "<":
+            return v < w
+        return v <= w
     if isinstance(e, ast.RangeExpression):
         return _resolve(e.value1, now_ms) <= v <= _resolve(e.value2, now_ms)
     if isinstance(e, ast.LikeExpression):
@@ -253,7 +264,9 @@ class SubscriptionManager:
         ctx = TimeContext(now)
         conds = []
         relevant = False
-        for sub in self.subs.values():
+        # list(): a concurrent subscribe() mutates the dict, and this runs
+        # on the streaming micro-batch thread (publish/tick already copy)
+        for sub in list(self.subs.values()):
             if (sub.db, sub.ns, sub.metric) != (db, ns, metric):
                 continue
             if not isinstance(
@@ -328,9 +341,20 @@ class SubscriptionManager:
                 # without one, late records drop (and their buckets were
                 # already released — see tick)
                 continue
-            target = r.get(p.aggregation.target, r.get("value"))
+            tgt = p.aggregation.target
+            target = r.get("value") if tgt in ("*", "value") else r.get(tgt)
+            if target is None:
+                # NULL/absent aggregation target: every agg skips it
+                # (count(tag) skips NULL tags on the batch path too); a
+                # None in the bucket would poison sum/min/max at close
+                continue
             sub.buckets.setdefault(ub, []).append(target)
-            if ub <= now:  # landed in an already-closed bucket → amend
+            # amend only buckets tick() has actually CLOSED and pushed
+            # (ub <= bucket_start — the same closed test as the
+            # grace-is-None guard above). `ub <= now` would fire a bogus
+            # amended push for an elapsed-but-unpushed bucket, which the
+            # next tick would then deliver AGAIN unamended.
+            if ub <= sub.bucket_start:
                 amended.add(ub)
         for ub in sorted(amended):
             sub.callback([self._bucket_payload(sub, ub, amended=True)])
@@ -363,33 +387,44 @@ class SubscriptionManager:
             with sub.pending_lock:
                 if sub.pending is not None:
                     continue
-            if isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
-                p = sub.parsed
-                with sub.route_lock:  # vs concurrent publish accumulation
-                    while sub.bucket_start + p.interval_ms <= now:
-                        ub = sub.bucket_start + p.interval_ms
-                        sub.callback([self._bucket_payload(sub, ub)])
-                        sub.bucket_start = ub
-                        if p.grace_period_ms is not None:
-                            # drop buckets beyond the grace horizon
-                            horizon = now - p.grace_period_ms
-                            for old in [u for u in sub.buckets if u < horizon]:
-                                del sub.buckets[old]
-                        else:
-                            # no grace ⇒ no amendments: release the closed
-                            # bucket's values immediately — otherwise a
-                            # long-lived subscription accumulates every raw
-                            # value forever (unbounded driver memory)
-                            sub.buckets.pop(ub, None)
-            elif isinstance(
-                sub.parsed,
-                (analyzer.ParsedAggregatedQuery, analyzer.ParsedGlobalAggregatedQuery),
-            ):
-                # full re-execution + push (PublisherActor.scala:205-218)
-                rows = [
-                    r.asDict()
-                    for r in self.engine.execute_select(
-                        sub.statement, TimeContext(now)
-                    ).collect()
-                ]
-                sub.callback(rows)
+            try:
+                self._tick_one(sub, now)
+            except Exception:
+                # per-sub isolation: one failing subscription (a broken
+                # callback, a dropped metric) must not abort the loop and
+                # silently starve every subscription iterated after it —
+                # the scheduler's keep-the-beat-alive except would hide
+                # that starvation forever
+                _log.exception("tick failed for subscription %s", sub.uuid)
+
+    def _tick_one(self, sub: _Subscription, now: int) -> None:
+        if isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
+            p = sub.parsed
+            with sub.route_lock:  # vs concurrent publish accumulation
+                while sub.bucket_start + p.interval_ms <= now:
+                    ub = sub.bucket_start + p.interval_ms
+                    sub.callback([self._bucket_payload(sub, ub)])
+                    sub.bucket_start = ub
+                    if p.grace_period_ms is not None:
+                        # drop buckets beyond the grace horizon
+                        horizon = now - p.grace_period_ms
+                        for old in [u for u in sub.buckets if u < horizon]:
+                            del sub.buckets[old]
+                    else:
+                        # no grace ⇒ no amendments: release the closed
+                        # bucket's values immediately — otherwise a
+                        # long-lived subscription accumulates every raw
+                        # value forever (unbounded driver memory)
+                        sub.buckets.pop(ub, None)
+        elif isinstance(
+            sub.parsed,
+            (analyzer.ParsedAggregatedQuery, analyzer.ParsedGlobalAggregatedQuery),
+        ):
+            # full re-execution + push (PublisherActor.scala:205-218)
+            rows = [
+                r.asDict()
+                for r in self.engine.execute_select(
+                    sub.statement, TimeContext(now)
+                ).collect()
+            ]
+            sub.callback(rows)

@@ -230,6 +230,15 @@ class WsSession:
             fail(f"{type(e).__name__}: {e}")
             return
         cb_quid.append(quid)
+        self.quids.append(quid)
+        self.metric_of[quid] = stmt.metric
+        # the registration ANSWER must go out before the buffer path
+        # opens: the flusher wakes every refresh period, and a live push
+        # delivered first would carry a quid the client has never seen
+        # (and, before metric_of was set above, a null metric)
+        self._send_json(
+            {"queryString": qs, "quid": quid, "records": first[0] if first else []}
+        )
         # flush parked batches and only THEN open the direct path, inside
         # one critical section: setting quid_ready before the flush would
         # let a racing publisher buffer a newer batch ahead of older
@@ -239,11 +248,6 @@ class WsSession:
                 _buffer(quid, records)
             pending.clear()
             quid_ready.set()
-        self.quids.append(quid)
-        self.metric_of[quid] = stmt.metric
-        self._send_json(
-            {"queryString": qs, "quid": quid, "records": first[0] if first else []}
-        )
 
     def run(self) -> None:
         flusher = threading.Thread(target=self._flusher, daemon=True)
@@ -274,7 +278,16 @@ class WsSession:
                     break
                 if opcode == OP_PING:
                     with self.lock:
-                        self.connection.sendall(encode_frame(OP_PONG, payload))
+                        try:
+                            self.connection.sendall(encode_frame(OP_PONG, payload))
+                        except OSError:
+                            # peer vanished mid-ping: end the session
+                            # cleanly like every other guarded send — an
+                            # unguarded raise would bubble into do_GET's
+                            # handler, which writes an HTTP 400 onto the
+                            # already-upgraded (dead) socket
+                            self.closed.set()
+                            break
                     continue
                 if opcode == OP_PONG:
                     continue

@@ -770,3 +770,108 @@ def test_neardup_alert_arrives_over_websocket(engine, spark, tmp_path):
         if c is not None:
             c.close()
         srv.shutdown()
+
+
+def test_elapsed_unclosed_bucket_accumulates_without_bogus_amend(manager, engine):
+    """A record landing in a bucket that has ELAPSED by wall clock but
+    that tick() has not yet closed must accumulate silently: an
+    'amended' push for a bucket the client never received would precede
+    the real (unamended) delivery at the next tick — duplicate and
+    out-of-order. Amendment is for buckets at or below bucket_start."""
+    cb = Collector()
+    engine.now_fn = lambda: 1000
+    manager.subscribe(
+        "select count(*) from people group by interval 1 s since 10 s", cb,
+        time_context=TimeContext(1000),
+    )
+    n0 = len(cb.pushes)  # historical payload
+    engine.now_fn = lambda: 3500
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 1500, "value": 1, "name": "X", "surname": "Y"}])
+    assert len(cb.pushes) == n0  # no push until the tick closes it
+    manager.tick(3500)
+    closed = [r for p in cb.pushes[n0:] for r in p]
+    b = [r for r in closed if r["upper_bound"] == 2000]
+    assert len(b) == 1 and b[0]["count_value"] == 1 and not b[0]["amended"]
+    # a genuinely LATE record (bucket already closed) still amends
+    manager.publish("default", "default", "people",
+                    [{"timestamp": 1600, "value": 1, "name": "X", "surname": "Y"}])
+    amended = [r for p in cb.pushes for r in p if r.get("amended")]
+    assert [r["upper_bound"] for r in amended] == [2000]
+    assert amended[0]["count_value"] == 2
+
+
+def test_null_agg_target_rows_are_skipped(manager, engine):
+    """A published row whose aggregation target is NULL (or absent) is
+    skipped — a None in the bucket list would crash sum() at close,
+    and the scheduler's keep-alive except would silently starve every
+    later subscription."""
+    cb = Collector()
+    engine.now_fn = lambda: 1000
+    manager.subscribe(
+        "select sum(value) from people group by interval 1 s since 10 s", cb,
+        time_context=TimeContext(1000),
+    )
+    manager.publish("default", "default", "people", [
+        {"timestamp": 2500, "value": None, "name": "X", "surname": "Y"},
+        {"timestamp": 2500, "value": 5, "name": "X", "surname": "Y"},
+        {"timestamp": 2600, "name": "X", "surname": "Y"},  # absent target
+    ])
+    manager.tick(3100)
+    rows = [r for p in cb.pushes[1:] for r in p]
+    b = [r for r in rows if r["upper_bound"] == 3000]
+    assert len(b) == 1 and b[0]["sum_value"] == 5
+
+
+def test_stateful_boundary_timestamp_upper_inclusive(spark, tmp_path):
+    """ts exactly on an interval multiple belongs to the bucket it
+    CLOSES ((lb, ub], ub == ts) — same convention as the compiled
+    historical axis and the live subscription path; floor+1 binning
+    would push it one bucket later than a re-query reports it."""
+    from nsdb_spark.streaming.stateful import stream_temporal_agg_stateful
+
+    src = str(tmp_path / "src_b")
+    ck = str(tmp_path / "ck_b")
+    spark.createDataFrame(
+        [(10000, 3.0), (10001, 4.0)], "timestamp long, value double",
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("timestamp long, value double").parquet(src)
+    agg = stream_temporal_agg_stateful(stream, interval_ms=10000, anchor_ms=0)
+    got = _run_stream(agg, ck)
+    by_ub = {r[0]: r for r in got}
+    assert by_ub[10000][2] == 1 and by_ub[10000][4] == 3.0  # boundary ts
+    assert by_ub[20000][2] == 1 and by_ub[20000][4] == 4.0
+
+
+def test_neardup_index_replay_is_idempotent(engine, spark, tmp_path):
+    """Re-processing a batch (crash between the index write and the
+    marker commit) must not duplicate signature rows: each batch lands
+    by dynamic partition overwrite of its own ingest_batch partition,
+    so a replay replaces rather than appends — duplicated sigs would
+    multiply every future candidate pair through the verify join."""
+    import shutil
+    import uuid as _uuid
+
+    from nsdb_spark.streaming import start_neardup_alerts
+
+    idx = f"nd_idem_{_uuid.uuid4().hex[:8]}"
+    src = tmp_path / "docs_idem"
+    src.mkdir()
+    text = "the quick brown fox jumps over the lazy dog again today"
+    spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = start_neardup_alerts(engine, stream, idx, ck, threshold=0.5,
+                                 available_now=True)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "nd_ck1"))
+    # simulate the replay: fresh checkpoint (marker included) over the
+    # same files and the same index — batch 0 is fully re-processed
+    run(str(tmp_path / "nd_ck2"))
+    sigs = spark.table(idx)
+    assert sigs.count() == 2
+    assert sigs.groupBy("doc_id").count().filter("count > 1").count() == 0
