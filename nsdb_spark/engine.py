@@ -142,9 +142,10 @@ class NsdbEngine:
         where Python ints infer BIGINT); with False, int32 stays INT —
         NSDb's exact-type-match union will then reject mixing the two.
 
-        Scale shape: one retention-violation count (scan), then the append
-        repartitioned by shard with rows sorted on timestamp inside each —
-        identical physical layout to the record path.
+        Scale shape: ONE validation-stats pass over the persisted frame
+        (retention + NULL checks + bounds share a single aggregate), then
+        the append repartitioned by shard with rows sorted on timestamp
+        inside each — identical physical layout to the record path.
         """
         from .sources.bulk import frame_schema, conform_frame
 
@@ -152,40 +153,63 @@ class NsdbEngine:
             raise SchemaError("insert_frame takes a batch DataFrame")
         try:
             existing = self.warehouse.get_schema(db, ns, metric)
-            known = {n: existing.field_class(n) for n in existing.fields}
         except Exception:
-            known = None
+            existing = None
+        known = (
+            {n: existing.field_class(n) for n in existing.fields}
+            if existing is not None else None
+        )
         incoming, df = frame_schema(
             df, tags=tuple(tags), widen_ints=widen_ints, known_classes=known
         )
         info = self.warehouse.get_info(db, ns, metric)
-        # Validate retention BEFORE mutating the schema registry (mirrors
-        # insert_bits' validate-then-mutate order) so a rejected batch
-        # leaves the registry untouched.
         retention = info["retention"]
-        if retention:
-            now = self.now_fn()
-            bad = df.filter(
-                (F.col("timestamp") < now - retention)
-                | (F.col("timestamp") > now + retention)
-            ).count()
-            if bad:
-                raise RetentionError(
-                    f"{bad} rows outside the retention window of {retention} ms"
-                )
-        schema = self.warehouse.update_schema(db, ns, metric, incoming)
         si = info["shardInterval"]
+        # Validate EVERYTHING before mutating the schema registry
+        # (insert_bits' validate-then-mutate order): the local union both
+        # surfaces type conflicts and gives conform_frame its target
+        # shape WITHOUT writing — a rejected batch must not durably
+        # register fields/widenings the write never lands (reads would
+        # project a phantom NULL column forever, and a later legitimate
+        # ingest of that field could then conflict).
+        # error PRECEDENCE mirrors insert_bits: retention and NULL checks
+        # fire before a schema conflict surfaces (there, the union runs
+        # after per-bit validation) — so a union failure is parked and
+        # re-raised only once the data checks pass
+        union_err: SchemaError | None = None
+        merged = incoming
+        if existing is not None:
+            try:
+                merged = existing.union(incoming)
+            except SchemaError as e:
+                union_err = e
         # pinned: the frame feeds the stats action, the parquet append,
         # AND the rollup-maintenance aggregates — three evaluations of a
         # non-deterministic source (a CSV dir modified mid-call) would
         # otherwise let the rollup merge deltas for rows never written
-        out = conform_frame(df, schema, si).persist()
-        # one stats action instead of the old count + min/max pair; a bit
+        # (on a parked union error, the raw frame still carries the
+        # timestamp/value columns the stats checks need)
+        out = (
+            conform_frame(df, merged, si) if union_err is None else df
+        ).persist()
+        # ONE stats action carries every validation count (the retention
+        # check was previously a separate full scan of the un-persisted
+        # source — a whole extra read pass per bulk ingest). A bit
         # without timestamp or value does not exist in NSDb (Bit.scala's
         # fields are mandatory) — and admitting NULL values would make
         # rollup-served count/avg diverge from the raw path's
-        # NULL-skipping count(target)
-        n, n_bad, lo, hi = out.agg(
+        # NULL-skipping count(target).
+        now = self.now_fn()
+        ret_bad_col = (
+            F.count(F.when(
+                (F.col("timestamp") < now - retention)
+                | (F.col("timestamp") > now + retention),
+                1,
+            ))
+            if retention
+            else F.lit(0)
+        )
+        n, n_bad, ret_bad, lo, hi = out.agg(
             F.count(F.lit(1)),
             F.count(F.when(
                 F.col("timestamp").isNull()
@@ -193,17 +217,30 @@ class NsdbEngine:
                 | F.col("value").isNull(),
                 1,
             )),
+            ret_bad_col,
             F.min("timestamp"),
             F.max("timestamp"),
         ).first()
+        if ret_bad:
+            out.unpersist()
+            raise RetentionError(
+                f"{ret_bad} rows outside the retention window of {retention} ms"
+            )
         if n_bad:
             out.unpersist()
             raise SchemaError(
                 f"{n_bad} rows with NULL or negative timestamp, or NULL value"
             )
+        if union_err is not None:
+            out.unpersist()
+            raise union_err
         if n == 0:
             out.unpersist()
             return 0
+        # every check passed — NOW mutate the registry (under its lock;
+        # a concurrent ingest may have widened it further, which the
+        # union inside update_schema absorbs)
+        self.warehouse.update_schema(db, ns, metric, incoming)
         try:
             (
                 out.repartition(SHARD_COL)
@@ -318,23 +355,20 @@ class NsdbEngine:
                 self._atomic_overwrite(merged, path)
             for field in group_regs:
                 path = self.warehouse.group_rollup_path(db, ns, metric, field)
-                batch_g = batch_df.groupBy(field).agg(
-                    F.count("value").alias("n"),
-                    F.sum("value").alias("sum_value"),
-                    F.min("value").alias("min_value"),
-                    F.max("value").alias("max_value"),
-                )
+                batch_g = rollup_ops.build_group_rollup(batch_df, field)
                 stored = self.spark.read.parquet(path)
-                merged = stored.unionByName(batch_g).groupBy(field).agg(
-                    F.sum("n").alias("n"),
-                    F.sum("sum_value").alias("sum_value"),
-                    F.min("min_value").alias("min_value"),
-                    F.max("max_value").alias("max_value"),
-                )
+                merged = rollup_ops.merge_group_rollups(field, stored, batch_g)
                 self._atomic_overwrite(merged, path)
         except Exception:
             # maintenance must never be less safe than invalidation (e.g.
-            # a batch that widens the value type mid-merge)
+            # a batch that widens the value type mid-merge) — but log it:
+            # a persistently failing merge otherwise silently degrades
+            # every subsequent query to raw scans with no visible signal
+            _log.warning(
+                "rollup maintenance failed for %s.%s.%s; invalidating "
+                "all rollups (queries fall back to raw scans)",
+                db, ns, metric, exc_info=True,
+            )
             self.warehouse.invalidate_rollups(db, ns, metric)
 
     def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
@@ -714,12 +748,9 @@ class NsdbEngine:
             schema = self.warehouse.get_schema(db, ns, metric)
             if schema.field_class(field) is None:
                 raise ValueError(f"unknown group field {field!r}")
-            r = df.groupBy(field).agg(
-                F.count("value").alias("n"),
-                F.sum("value").alias("sum_value"),
-                F.min("value").alias("min_value"),
-                F.max("value").alias("max_value"),
-            )
+            from .operators import rollup as rollup_ops
+
+            r = rollup_ops.build_group_rollup(df, field)
             path = self.warehouse.group_rollup_path(db, ns, metric, field)
             r.write.mode("overwrite").parquet(path)
             self.warehouse.register_group_rollup(db, ns, metric, field)
@@ -740,14 +771,29 @@ class NsdbEngine:
         from pyspark.errors import AnalysisException
 
         try:
+            # localCheckpoint(eager) PINS the store's contents at routing
+            # time — rollup tables are small by design (bounded by the
+            # bucket/group count), so this is cheap, and it closes the
+            # execution-time window: without it a maintenance swap
+            # between routing and the query's execution would vanish
+            # every planned file, and an ignoreMissingFiles scan would
+            # then serve FABRICATED ZERO aggregates instead of this
+            # fallback. No ignoreMissingFiles here for the same reason:
+            # a vanish mid-checkpoint must raise (→ raw fallback below),
+            # never silently drop rows.
             return (
-                self.spark.read.option("ignoreMissingFiles", "true").parquet(path)
+                self.spark.read.parquet(path).localCheckpoint(eager=True)
             )
         except Exception as e:
-            # PATH_NOT_FOUND is the swap; a corrupt footer surfaces as a
-            # SparkException/RuntimeError at schema-inference time instead
-            if isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in str(e):
-                return None  # swap window — raw path serves this query
+            # the swap window surfaces as PATH_NOT_FOUND at planning or
+            # FileNotFound during the checkpoint job — both benign: the
+            # raw path serves this query, the next route re-reads
+            msg = str(e)
+            if (
+                isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in msg
+            ) or "FileNotFound" in msg:
+                return None
+            # anything else (corrupt footer, bad schema) is real damage
             _log.warning(
                 "rollup store %s unreadable (%s); invalidating registrations "
                 "for %s.%s.%s", path, e, db, ns, metric,
@@ -981,26 +1027,35 @@ class NsdbEngine:
                 )
         if not todo:
             return []
-        schema = self.warehouse.get_schema(db, ns, metric)
-        df = (
-            self.spark.read.schema(schema.to_struct_type(with_shard=True))
-            # same eviction-safe option every read path sets: a shard the
-            # retention scheduler drops mid-job must not fail compaction
-            .option("ignoreMissingFiles", "true")
-            .parquet(dp)
-            .filter(F.col(SHARD_COL).isin(todo))
-        )
-        n_files = max(1, math.ceil(sum(sizes.values()) / target_file_bytes))
-        with _spark_conf(
-            self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        ):
-            (
-                df.repartition(n_files, F.col(SHARD_COL))
-                .sortWithinPartitions("timestamp")
-                .write.mode("overwrite")
-                .partitionBy(SHARD_COL)
+        # under the per-metric rollup lock, like delete() and retention:
+        # a materialize/maintenance merge scanning raw data while this
+        # overwrite swaps the files would (via ignoreMissingFiles) build
+        # and REGISTER a rollup from a fraction of the data; a delete()
+        # committing between our read and overwrite would be undone
+        # (its removed rows written back). Same caveats as documented
+        # above still apply to plain concurrent INSERTS.
+        with self._metric_rollup_lock(db, ns, metric):
+            schema = self.warehouse.get_schema(db, ns, metric)
+            df = (
+                self.spark.read.schema(schema.to_struct_type(with_shard=True))
+                # same eviction-safe option every read path sets: a shard
+                # the retention scheduler drops mid-job must not fail
+                # compaction
+                .option("ignoreMissingFiles", "true")
                 .parquet(dp)
+                .filter(F.col(SHARD_COL).isin(todo))
             )
+            n_files = max(1, math.ceil(sum(sizes.values()) / target_file_bytes))
+            with _spark_conf(
+                self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                (
+                    df.repartition(n_files, F.col(SHARD_COL))
+                    .sortWithinPartitions("timestamp")
+                    .write.mode("overwrite")
+                    .partitionBy(SHARD_COL)
+                    .parquet(dp)
+                )
         return sorted(todo)
 
     def optimize_metric_zorder(
@@ -1095,19 +1150,23 @@ class NsdbEngine:
             else:
                 quant.append(F.abs(F.xxhash64(F.col(f))).bitwiseAND(F.lit(mask)))
         keyed = df.withColumn("__z", zorder_key(quant, bits=bits))
-        with _spark_conf(
-            self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        ):
-            (
-                keyed.repartitionByRange(
-                    files_per_shard * len(shards), F.col(SHARD_COL), F.col("__z")
+        # per-metric rollup lock, same rationale as compact_metric: a
+        # concurrent materialize scanning mid-swap would register a
+        # partial rollup, a concurrent delete would be resurrected
+        with self._metric_rollup_lock(db, ns, metric):
+            with _spark_conf(
+                self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                (
+                    keyed.repartitionByRange(
+                        files_per_shard * len(shards), F.col(SHARD_COL), F.col("__z")
+                    )
+                    .sortWithinPartitions(SHARD_COL, "__z")
+                    .drop("__z")
+                    .write.mode("overwrite")
+                    .partitionBy(SHARD_COL)
+                    .parquet(dp)
                 )
-                .sortWithinPartitions(SHARD_COL, "__z")
-                .drop("__z")
-                .write.mode("overwrite")
-                .partitionBy(SHARD_COL)
-                .parquet(dp)
-            )
         return sorted(shards)
 
     def enforce_all_retentions(self) -> dict[tuple[str, str, str], list[int]]:

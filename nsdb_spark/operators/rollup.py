@@ -147,6 +147,33 @@ def merge_rollups(*rollups: DataFrame) -> DataFrame:
     )
 
 
+def build_group_rollup(metric_df: DataFrame, field: str) -> DataFrame:
+    """Per-group mergeable partials (n, sum, min, max of value) keyed by
+    a tag/dimension — ONE definition shared by the engine's
+    materialization and its incremental maintenance merge, so the
+    partial set cannot silently desynchronize between the two (the
+    _fine_k/_bucket_axis discipline applied to the group axis)."""
+    return metric_df.groupBy(field).agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def merge_group_rollups(field: str, *rollups: DataFrame) -> DataFrame:
+    """Combine build_group_rollup partials: n/sum add, min/max re-reduce."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(field).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
 def temporal_from_rollup(
     spark: SparkSession,
     rollup: DataFrame,

@@ -42,12 +42,20 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _py_norm(vec) -> float:
+    """Driver-side norm of a query/centroid with the zero-vector floor —
+    ONE definition so the `or 1.0` convention can't drift between the
+    single-query and batch-join paths (it must stay consistent with
+    _norm's executor-side 1e-300 floor for scores to agree)."""
+    import math
+
+    return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+
+
 def cosine_scores(emb: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
     """(vec_id, raw cosine as `score`) against a literal query vector."""
     q = _lit_vec(query_vec)
-    import math
-
-    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qn = _py_norm(query_vec)
     v = _as_double(vec_col)
     return emb.select(
         "vec_id",
@@ -81,17 +89,20 @@ def ivf_assign(
     """
     v = _as_double(vec_col)
     nv = _norm(v)
-    import math
-
-    # argmax via array_max over (score, cell) structs — a nested when-chain
-    # would duplicate subtrees exponentially in the expression tree
+    # argmax via array_max over (score, -cell) structs — a nested
+    # when-chain would duplicate subtrees exponentially in the expression
+    # tree. The NEGATED cell makes score ties break toward the LOWEST
+    # index, matching _nearest_cells' probe order and pq.py's argmin
+    # rule: with duplicate/degenerate centroids, a plain (score, cell)
+    # max assigned vectors to the HIGHER twin while probes tried the
+    # lower one first — nprobe=1 could scan an empty cell.
     cands = []
     for ci, c in enumerate(centroids):
-        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        cn = _py_norm(c)
         score = _dot(v, _lit_vec(c)) / (nv * F.lit(cn))
-        cands.append(F.struct(score.alias("s"), F.lit(ci).alias("cell")))
+        cands.append(F.struct(score.alias("s"), F.lit(-ci).alias("nc")))
     best = F.array_max(F.array(*cands))
-    return emb.withColumn("cell", best["cell"])
+    return emb.withColumn("cell", -best["nc"])
 
 
 def ivf_topk(
@@ -114,12 +125,10 @@ def _nearest_cells(
 ) -> list[int]:
     """Indices of the nprobe centroids nearest to the query by cosine —
     driver-side arithmetic over k×dim floats (index metadata, not data)."""
-    import math
-
-    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qn = _py_norm(query_vec)
     scored = []
     for ci, c in enumerate(centroids):
-        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        cn = _py_norm(c)
         dot = sum(float(a) * float(b) for a, b in zip(query_vec, c))
         scored.append((dot / (qn * cn), ci))
     # ties: highest score first, LOWEST centroid index wins — the same
@@ -280,8 +289,6 @@ def cosine_topk_join(
     unbounded query sets use the IVF/SRP stored-assignment path per query
     instead (the probe cost is independent of corpus size there).
     """
-    import math
-
     from pyspark.sql import Window
 
     if not queries:  # explode of an empty array() is VOID-typed — guard
@@ -292,7 +299,7 @@ def cosine_topk_join(
         F.struct(
             F.lit(int(qid)).cast("long").alias("query_id"),
             _lit_vec(vec).alias("qv"),
-            F.lit(math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0).alias("qn"),
+            F.lit(_py_norm(vec)).alias("qn"),
         )
         for qid, vec in queries
     ])
@@ -330,8 +337,6 @@ def ivf_topk_join_indexed(
     passes (cosine_topk_join's shape) or one full pass × Q score columns.
     Same output contract as cosine_topk_join; with nprobe == ncells the
     results are identical to it."""
-    import math
-
     from pyspark.sql import Window
 
     t = spark.table(table)
@@ -343,7 +348,7 @@ def ivf_topk_join_indexed(
     for qid, vec in queries:
         probes = _nearest_cells(vec, centroids, nprobe)
         q = _lit_vec(vec)
-        qn = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        qn = _py_norm(vec)
         v = _as_double(vec_col)
         parts.append(
             t.filter(F.col("cell").isin(probes)).select(

@@ -73,10 +73,40 @@ def append_partitioned(df: DataFrame, name: str, key: str) -> None:
     """Append a batch into an existing write_partitioned table: rows land
     in their key's directory (new keys create new directories), existing
     files untouched — the incremental-ingest path for stored-assignment
-    layouts. Same one-file-per-partition-per-batch hygiene."""
+    layouts. Same one-file-per-partition-per-batch hygiene.
+
+    Survives a PROCESS RESTART: the default in-memory catalog loses the
+    table metadata while the warehouse directory persists, and a bare
+    append-saveAsTable would then take the CREATE path and fail with
+    LOCATION_ALREADY_EXISTS. The write_* siblings fix that by deleting
+    the stale directory — here that would destroy the very index being
+    appended to, so instead the table is RE-REGISTERED over its
+    surviving location (external table + partition recovery) and the
+    append proceeds normally."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(name):
+        _reregister_surviving_location(spark, name)
     df.repartition(F.col(key)).write.mode("append").format("parquet").partitionBy(
         key
     ).saveAsTable(name)
+
+
+def _reregister_surviving_location(spark: SparkSession, name: str) -> None:
+    """Re-attach a catalog entry to a table directory left by a previous
+    session (schema + partitioning inferred from the files; partitions
+    recovered from the directory names). No-op when the location is
+    absent too — the subsequent saveAsTable then legitimately creates."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parts = name.lower().split(".")
+    rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    loc = wh.rstrip("/") + "/" + rel
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(loc)
+    if not p.getFileSystem(hconf).exists(p):
+        return
+    spark.catalog.createTable(name, path=loc, source="parquet")
+    spark.catalog.recoverPartitions(name)
 
 
 def write_bucketed(

@@ -27,6 +27,23 @@ def agg_engine(engine):
     return load(engine, "aggregationLongMetric", AGG_LONG_METRIC)
 
 
+def _rollup_scan(plan: str) -> bool:
+    """True when the plan reads a temporal/group rollup STORE rather than
+    raw data. The store is eagerly checkpointed at routing time
+    (engine._read_rollup_store), so it appears as a Scan ExistingRDD over
+    the store's partial-aggregate columns; the raw path never carries a
+    k/count_value or an n/sum_value column pair."""
+    return ("struct<k:bigint" in plan
+            or ("Scan ExistingRDD" in plan and "count_value#" in plan and "k#" in plan)
+            or ("Scan ExistingRDD" in plan and "sum_value#" in plan and "n#" in plan)
+            or ("Scan ExistingRDD" in plan and "cnt#" in plan and "bin#" in plan))
+
+
+def _hll_scan(plan: str) -> bool:
+    return ("struct<k:bigint,reg:int" in plan
+            or ("Scan ExistingRDD" in plan and "reg#" in plan))
+
+
 def rows(df):
     return [tuple(r) for r in df.collect()]
 
@@ -679,7 +696,7 @@ def test_rollup_route_matches_raw_path(engine, spark):
         # the routed plan must scan the rollup store, not the raw data dir
         plan = routed_df._jdf.queryExecution().executedPlan().toString()
         # the rollup scan is identifiable by its partial-aggregate schema
-        assert "struct<k:bigint" in plan, sql
+        assert _rollup_scan(plan), sql
         assert _rows(routed_df) == raw, sql
         engine.warehouse.invalidate_rollups("default", "default", "rm")
 
@@ -692,7 +709,7 @@ def test_rollup_route_fallback_cases(engine, spark):
 
     def plan_has_rollup(sql, **kw):
         df = engine.execute(sql, **kw)
-        return "struct<k:bigint" in df._jdf.queryExecution().executedPlan().toString()
+        return _rollup_scan(df._jdf.queryExecution().executedPlan().toString())
 
     assert plan_has_rollup("select count(*) from rf group by interval 2 s")
     # WHERE, SINCE, min, count distinct, non-multiple interval: raw path
@@ -714,12 +731,13 @@ def test_rollup_route_fallback_cases(engine, spark):
 
 
 def _is_group_rollup_plan(plan: str) -> bool:
-    # the rollup scan is identifiable by its partial columns in ReadSchema
-    # (the FileScan location string is truncated in plan output)
+    # the rollup store is eagerly checkpointed at routing time, so it
+    # appears as a Scan ExistingRDD over the partial columns (ReadSchema
+    # fingerprints covered the pre-checkpoint FileScan form)
     return any(
         m in plan
         for m in ("sum_value:", "min_value:", "max_value:", ",n:bigint", "<n:bigint")
-    )
+    ) or ("Scan ExistingRDD" in plan and "sum_value#" in plan and "n#" in plan)
 
 
 def test_group_rollup_route_matches_raw_path(engine, spark):
@@ -775,12 +793,12 @@ def test_rollup_maintained_by_in_bounds_write(engine, spark):
     engine.materialize_rollup("default", "default", "ri", 1000)
     sql = "select count(*) from ri group by interval 2 s"
     before = engine.execute(sql)
-    assert "struct<k:bigint" in before._jdf.queryExecution().executedPlan().toString()
+    assert _rollup_scan(before._jdf.queryExecution().executedPlan().toString())
     total_before = sum(r[3] for r in _rows(before))  # collect BEFORE the write
     engine.insert_bits("default", "default", "ri", [Bit(1500, 7, {}, {"name": "x"})])
     after = engine.execute(sql)
     # still rollup-served AND fresh
-    assert "struct<k:bigint" in after._jdf.queryExecution().executedPlan().toString()
+    assert _rollup_scan(after._jdf.queryExecution().executedPlan().toString())
     total_after = sum(r[3] for r in _rows(after))
     assert total_after == total_before + 1
     # raw path agrees with the maintained rollup
@@ -797,11 +815,11 @@ def test_rollup_invalidated_by_out_of_bounds_write(engine, spark):
     load(engine, "ro", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
     engine.materialize_rollup("default", "default", "ro", 1000)
     sql = "select count(*) from ro group by interval 2 s"
-    assert "struct<k:bigint" in engine.execute(sql)._jdf.queryExecution().executedPlan().toString()
+    assert _rollup_scan(engine.execute(sql)._jdf.queryExecution().executedPlan().toString())
     # far beyond upper = max shard top
     engine.insert_bits("default", "default", "ro", [Bit(10_000_000, 1, {}, {"name": "y"})])
     after = engine.execute(sql)
-    assert "struct<k:bigint" not in after._jdf.queryExecution().executedPlan().toString()
+    assert not _rollup_scan(after._jdf.queryExecution().executedPlan().toString())
     assert not engine.warehouse.rollups("default", "default", "ro")
 
 
@@ -862,9 +880,16 @@ def test_engine_percentile_scans_only_the_sketch(engine, spark):
     engine.materialize_quantile_rollup("default", "default", "qp", 1000, nbins=32)
     out = engine.percentile("default", "default", "qp", [0.5, 0.9])
     files = out.inputFiles()
-    assert files and all("rollups/q_1000" in f for f in files)
     data_dir = engine.warehouse.data_path("default", "default", "qp")
     assert not any(data_dir in f for f in files)  # raw history untouched
+    if files:
+        assert all("rollups/q_1000" in f for f in files)
+    else:
+        # the sketch is eagerly checkpointed at routing time
+        # (engine._read_rollup_store): the served plan scans the pinned
+        # store rows, still never the raw metric directory
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan and "cnt#" in plan
 
 
 def test_quantile_rollup_invalidated_by_out_of_grid_value(engine, spark):
@@ -1058,7 +1083,7 @@ def test_distinct_rollup_routes_only_with_approx_opt_in(engine, spark, tmp_path)
     engine.materialize_distinct_rollup("default", "default", "dm", "name", 1000)
     # default engine: exact semantics — must NOT route to the sketch
     plan = engine.execute(sql)._jdf.queryExecution().executedPlan().toString()
-    assert "struct<k:bigint,reg:int" not in plan
+    assert not _hll_scan(plan)
     assert _rows(engine.execute(sql)) == exact
 
     approx = NsdbEngine(
@@ -1066,7 +1091,7 @@ def test_distinct_rollup_routes_only_with_approx_opt_in(engine, spark, tmp_path)
     )
     routed_df = approx.execute(sql)
     rplan = routed_df._jdf.queryExecution().executedPlan().toString()
-    assert "struct<k:bigint,reg:int" in rplan  # scans registers, not raw
+    assert _hll_scan(rplan)  # scans registers, not raw
     # 1-3 distinct names per bucket: the corrected estimate is exact
     assert _rows(routed_df) == exact
 
@@ -1245,7 +1270,7 @@ def test_count_tag_not_served_from_rollup(engine, spark):
     engine.materialize_rollup("default", "default", "ct", 1000)
     routed = engine.execute(sql)
     plan = routed._jdf.queryExecution().executedPlan().toString()
-    assert "struct<k:bigint" not in plan  # raw path, not the rollup scan
+    assert not _rollup_scan(plan)  # raw path, not the rollup scan
     assert [tuple(r) for r in routed.collect()] == raw
     assert raw[0][-1] == 2  # NULL tag not counted
 
@@ -1306,3 +1331,30 @@ def test_insert_rejects_negative_timestamp(engine, spark):
     df = spark.createDataFrame([(-5, 1.0)], "timestamp long, value double")
     with pytest.raises(SchemaError):
         engine.insert_frame("default", "default", "neg", df)
+
+
+def test_rejected_bulk_ingest_leaves_schema_registry_untouched(engine, spark):
+    """insert_frame must validate BEFORE mutating the registry: a batch
+    rejected for NULL values (or retention) must not durably register
+    its new fields — reads would project a phantom NULL column forever
+    and a later legitimate ingest could then type-conflict."""
+    import pytest
+
+    from nsdb_spark.model import Bit, SchemaError
+
+    engine.warehouse.init_metric("default", "default", "vtm", 10_000)
+    engine.insert_bits("default", "default", "vtm", [Bit(1000, 1.0)])
+    before = set(engine.warehouse.get_schema("default", "default", "vtm").fields)
+    bad = spark.createDataFrame(
+        [(2000, None, "eu")], "timestamp long, value double, region string"
+    )
+    with pytest.raises(SchemaError):
+        engine.insert_frame("default", "default", "vtm", bad)
+    after = set(engine.warehouse.get_schema("default", "default", "vtm").fields)
+    assert after == before  # 'region' NOT registered by the rejected batch
+    # a clean batch with the field still lands normally afterwards
+    ok = spark.createDataFrame(
+        [(3000, 2.0, "us")], "timestamp long, value double, region string"
+    )
+    assert engine.insert_frame("default", "default", "vtm", ok) == 1
+    assert "region" in engine.warehouse.get_schema("default", "default", "vtm").fields

@@ -2607,3 +2607,48 @@ def test_chi2_independence_known_table(spark):
     )
     assert got["chi2"] == round(chi2, 6)
     assert got["dof"] == 1 and got["n"] == 100
+
+
+def test_append_partitioned_survives_catalog_loss(spark):
+    """A process restart loses the in-memory catalog while the warehouse
+    directory persists; append_partitioned must re-register the table
+    over its surviving location and append — not fail with
+    LOCATION_ALREADY_EXISTS (and the write_* siblings' delete-the-dir
+    fix would destroy the index being appended to)."""
+    import os
+    import shutil
+
+    from nsdb_spark.sources import bucketed
+
+    df = spark.createDataFrame([(1, 0), (2, 1)], "vec_id long, cell int")
+    bucketed.write_partitioned(df, "reattach_src_t", "cell")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    # simulate the lost catalog: a table directory with NO catalog entry
+    shutil.copytree(
+        os.path.join(wh, "reattach_src_t"), os.path.join(wh, "reattach_dst_t")
+    )
+    assert not spark.catalog.tableExists("reattach_dst_t")
+    batch = spark.createDataFrame([(3, 0), (4, 2)], "vec_id long, cell int")
+    bucketed.append_partitioned(batch, "reattach_dst_t", "cell")
+    out = sorted(tuple(r) for r in spark.table("reattach_dst_t").collect())
+    assert out == [(1, 0), (2, 1), (3, 0), (4, 2)]
+
+
+def test_ivf_assign_ties_break_toward_lowest_cell(spark):
+    """Duplicate centroids (k-means twins / degenerate layouts): stored
+    assignments must pick the LOWEST tied index, the same rule the
+    probe order (_nearest_cells) and pq.py's argmin use — otherwise
+    nprobe=1 probes the lower twin while every vector sits in the
+    higher one, returning zero rows for an exact-match query."""
+    from nsdb_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]  # cells 0 and 1 are twins
+    got = {r["vec_id"]: r["cell"]
+           for r in similarity.ivf_assign(emb, cents).collect()}
+    assert got == {0: 0, 1: 2}
+    # end-to-end: nprobe=1 finds the exact-match vector through the tie
+    out = similarity.ivf_topk(emb, [1.0, 0.0], cents, k=1, nprobe=1).collect()
+    assert [r["vec_id"] for r in out] == [0]
