@@ -200,6 +200,12 @@ def main() -> None:
         "tsa_autocorr",
         "graph_label_prop",  # re-pays the near-dup pair join upstream
         "join_nearest_events_orders",
+        # round-5 additions
+        "stats_ttest",
+        "stats_cube",
+        "text_jsd_by_source",
+        "emb_outliers",
+        "tsa_seasonal",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

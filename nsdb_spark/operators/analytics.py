@@ -756,3 +756,97 @@ def chi2_independence(
     out = out.localCheckpoint(eager=True)
     grid.unpersist()
     return out
+
+
+def welch_ttest(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) for `value` between
+    group == a and group == b: t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+    with Welch–Satterthwaite degrees of freedom. The parametric sibling
+    of ks_two_sample / mannwhitney_u — sensitive to a mean shift when
+    the distributions are roughly bell-shaped, and the cheapest of the
+    three: ONE map-side-combinable aggregate over the two samples (no
+    distinct-value grid, no rank scan), so at 100 TB it is a single
+    partial+final HashAggregate pass.
+
+    Variance uses the sum/sumsq decomposition ((Σx² − (Σx)²/n)/(n−1)) on
+    both the Spark and oracle sides so the arithmetic is the same
+    formula; t rounds at 6 decimals, means at 4, dof at 2 (dof is
+    O(n)-sized, so 2 decimals sits far above the Σx² summation-order
+    noise while t and the means are O(1)/O(values)). NULL values are
+    excluded (their group contributes nothing). Returns one row:
+    (t_stat, dof, mean_a, mean_b, n_a, n_b).
+    """
+    stats = (
+        df.filter(F.col(group).isin(a, b) & F.col(value).isNotNull())
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value).cast("double")).alias("s"),
+            F.sum(F.col(value).cast("double") * F.col(value)).alias("ss"),
+        )
+    )
+    # pivot the 2-row stats frame into one row of scalars (a tiny
+    # conditional aggregate, not a collect — keeps the plan lazy)
+    def side(tag: str, expr: Column) -> Column:
+        return F.max(F.when(F.col(group) == tag, expr))
+
+    one = stats.groupBy().agg(
+        side(a, F.col("n")).alias("na"),
+        side(b, F.col("n")).alias("nb"),
+        side(a, F.col("s") / F.col("n")).alias("ma"),
+        side(b, F.col("s") / F.col("n")).alias("mb"),
+        # try_divide: a 1-sample group has n-1 = 0 — its variance (and
+        # every downstream statistic) is NULL, matching DuckDB's
+        # NULL-on-/0, not an ANSI DIVIDE_BY_ZERO that kills the query
+        side(a, F.try_divide(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n"),
+            F.col("n") - 1)).alias("va"),
+        side(b, F.try_divide(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n"),
+            F.col("n") - 1)).alias("vb"),
+    )
+    sea = F.col("va") / F.col("na")
+    seb = F.col("vb") / F.col("nb")
+    se2 = sea + seb
+    # se2 = 0 when both samples are constant — t/dof NULL via try_divide
+    dof = F.try_divide(
+        se2 * se2,
+        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1),
+    )
+    return one.select(
+        F.round(
+            F.try_divide(F.col("ma") - F.col("mb"), F.sqrt(se2)), 6
+        ).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )
+
+
+def cube_counts(
+    df: DataFrame, keys: list[str], value: str
+) -> DataFrame:
+    """Multi-dimensional rollup: count and sum of `value` for every
+    subset of `keys` (the full CUBE lattice — per-cell, per-dimension
+    marginals, and the grand total in one pass). NSDb's dialect has no
+    grouping sets (SURVEY.md §2.5); this is the OLAP-dashboard shape a
+    warehouse replacement needs, and Spark's `cube` plans it as ONE
+    Expand + partial/final HashAggregate — 2^k grouping sets cost one
+    shuffle of k× expanded rows, not k separate scans.
+
+    NULL key semantics: a NULL cell in the output means "all values of
+    that dimension" (the rolled-up marginal), matching ANSI CUBE; rows
+    whose key column is genuinely NULL are excluded up front so the
+    marker is unambiguous. Output: keys..., n_rows, sum_value (round 3).
+    """
+    cleaned = df
+    for k in keys:
+        cleaned = cleaned.filter(F.col(k).isNotNull())
+    return cleaned.cube(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(value), 3).alias("sum_value"),
+    )

@@ -476,3 +476,72 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ),
         F.size(v).alias("n_dims"),
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    bottom_k: int = 3,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid-distance audit: each label's centroid is the
+    element-wise mean of its member vectors; every member scores the
+    cosine to its own centroid; the bottom-k members per label surface
+    as outliers — the embedding-space mislabel/contamination probe run
+    before using labels for stratified sampling or dedup thresholds.
+
+    Plan: the centroid is a posexploded (label, pos) mean — ONE
+    map-side-combinable aggregate whose output is |labels|·dim rows,
+    tiny at any corpus size — reassembled into an array and BROADCAST
+    back onto the members, so the corpus itself moves only into the
+    final per-label top-k exchange. Cosine stays JVM-side (zip_with +
+    aggregate). Zero-norm members (all-zero vectors) score cosine 0 via
+    the _norm floor and sort first, never an ANSI error.
+
+    Output: (label, vec_id, cos_centroid rounded 6, rn) — rn = 1 is the
+    farthest member from its centroid.
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vec_col)
+    exploded = emb.select(
+        F.col(label_col).alias("label"), F.posexplode(v).alias("pos", "x")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("__pm")
+        )
+        .select(
+            "label",
+            F.transform(F.col("__pm"), lambda s: s["m"]).alias("__cent"),
+        )
+    )
+    joined = emb.select(
+        "vec_id", F.col(label_col).alias("label"), v.alias("__v")
+    ).join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cent"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = _norm(F.col("__v")) * _norm(F.col("__cent"))
+    scored = joined.select(
+        "label",
+        "vec_id",
+        # try_divide+coalesce: if BOTH norms hit the 1e-300 floor their
+        # product underflows to 0.0 — score 0, not an ANSI error
+        F.round(F.coalesce(F.try_divide(dot, norms), F.lit(0.0)), 6).alias(
+            "cos_centroid"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= bottom_k
+    )

@@ -469,3 +469,61 @@ def bigram_pmi(
         .select("bigram", "n_pair", F.round("__raw", 6).alias("pmi"), "rank")
     )
     return _finish(out, uni, bi_all)
+
+
+def js_divergence_by_group(
+    docs: DataFrame, group: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence (base-2, in [0, 1]) between
+    the group's unigram distribution p and the whole-corpus distribution
+    q — the data-mixing diagnostic behind domain weighting: a source
+    whose JSD vs the corpus is ~0 adds no distributional diversity; a
+    high-JSD source is the one temperature-mixing (sample_domain_mix)
+    should up- or down-weight deliberately.
+
+    JSD(p, q) = ½ Σ p·log2(2p/(p+q)) + ½ Σ q·log2(2q/(p+q)). Words the
+    group never uses (p = 0) contribute exactly ½·q·log2(2) = q/2, so
+    the absent-word mass is folded in analytically as ½·(1 − Σ_present q)
+    — the (group × vocab) grid never materializes rows for absent words.
+    Plan: corpus collapses to the (group, word) grid in ONE map-side-
+    combinable count; the word-level corpus distribution is a second
+    aggregate of that grid (not a re-scan); totals broadcast. Everything
+    after the first shuffle is grid-sized. NULL text/group rows drop.
+
+    Output: (group, n_words, jsd rounded 6), one row per group.
+    """
+    from .dedup import _finish
+
+    grid = (
+        docs.filter(F.col(text_col).isNotNull() & F.col(group).isNotNull())
+        .select(F.col(group).alias("g"), F.explode(_words(text_col)).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gtot = grid.groupBy("g").agg(F.sum("c").alias("gt"))
+    corpus = grid.groupBy("w").agg(F.sum("c").alias("cc"))
+    ctot = grid.agg(F.sum("c").alias("ct"))
+    p = F.col("c") / F.col("gt")
+    q = F.col("cc") / F.col("ct")
+    m2 = p + q  # 2·m where m = (p+q)/2
+    out = (
+        grid.join(F.broadcast(gtot), "g")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            (
+                F.lit(0.5) * F.sum(p * F.log2(F.lit(2.0) * p / m2))
+                + F.lit(0.5) * F.sum(q * F.log2(F.lit(2.0) * q / m2))
+                + F.lit(0.5) * (F.lit(1.0) - F.sum(q))
+            ).alias("__jsd"),
+        )
+        .select(
+            F.col("g").alias(group),
+            "n_words",
+            F.round("__jsd", 6).alias("jsd"),
+        )
+    )
+    return _finish(out, grid)

@@ -316,3 +316,55 @@ def autocorr(
     return agg.select(key, pairs).select(
         key, F.col("__p.lag").alias("lag"), F.col("__p.acf").alias("acf")
     )
+
+
+def seasonal_adjust(
+    df: DataFrame,
+    period_ms: int = 604800000,
+    bucket_ms: int = 86400000,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key additive seasonal decomposition on a fixed calendar
+    period: phase = (floor(ts / bucket) · bucket) mod period (e.g. the
+    day-of-week slot for daily buckets in a weekly period), seasonal
+    component = per-(key, phase) mean, adjusted = value − seasonal +
+    per-key grand mean — the classic "remove the weekly shape before
+    alerting" step upstream of cusum_summary / rolling_zscore, which
+    otherwise fire on every Monday peak.
+
+    Plan: both means are unordered windows over the SAME hash exchange
+    on the key (phase is a derived column, not a second shuffle), so the
+    corpus moves once and every row gets its (seasonal, adjusted) pair
+    without a join. NULL values pass through with NULL outputs (they
+    contribute to neither mean). Output: (id_col, key, ts, phase,
+    seasonal round 4, adjusted round 4).
+    """
+    phase = (
+        (F.floor(F.col(ts) / F.lit(bucket_ms)) * F.lit(bucket_ms))
+        % F.lit(period_ms)
+    ).cast("long")
+    w_key = Window.partitionBy(key)
+    w_phase = Window.partitionBy(key, "phase")
+    return (
+        df.filter(F.col(key).isNotNull())
+        .select(id_col, key, ts, F.col(value).alias("__v"))
+        .withColumn("phase", phase)
+        # key-window FIRST: its exchange on `key` also satisfies the
+        # (key, phase) clustering, so the second window adds only a
+        # sort — windows in the other order would exchange twice
+        .withColumn("__grand", F.avg("__v").over(w_key))
+        .withColumn("__seasonal", F.avg("__v").over(w_phase))
+        .select(
+            id_col,
+            key,
+            ts,
+            "phase",
+            F.round("__seasonal", 4).alias("seasonal"),
+            F.round(
+                F.col("__v") - F.col("__seasonal") + F.col("__grand"), 4
+            ).alias("adjusted"),
+        )
+    )

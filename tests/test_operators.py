@@ -2652,3 +2652,138 @@ def test_ivf_assign_ties_break_toward_lowest_cell(spark):
     # end-to-end: nprobe=1 finds the exact-match vector through the tie
     out = similarity.ivf_topk(emb, [1.0, 0.0], cents, k=1, nprobe=1).collect()
     assert [r["vec_id"] for r in out] == [0]
+
+
+def test_welch_ttest_known_samples(spark):
+    import math
+
+    from nsdb_spark.operators import analytics
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]
+    rows = (
+        [("a", v) for v in a] + [("b", v) for v in b]
+        + [("c", 99.0), ("a", None)]   # other group + NULL excluded
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = analytics.welch_ttest(df, "value", "g", "a", "b").collect()[0]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1)
+        return n, m, v
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert got["t_stat"] == round(t, 6)
+    assert got["dof"] == round(dof, 2)
+    assert got["mean_a"] == round(ma, 4) and got["mean_b"] == round(mb, 4)
+    assert got["n_a"] == na and got["n_b"] == nb
+
+
+def test_cube_counts_lattice(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        ("O", "HIGH", 10.0), ("O", "LOW", 20.0),
+        ("F", "HIGH", 30.0), (None, "HIGH", 99.0),  # NULL key excluded
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, v double")
+    out = analytics.cube_counts(df, ["s", "p"], "v").collect()
+    cells = {(r["s"], r["p"]): (r["n_rows"], r["sum_value"]) for r in out}
+    # full lattice: 3 exact cells + 2 s-marginals + 2 p-marginals + total
+    assert len(cells) == 8
+    assert cells[("O", None)] == (2, 30.0)
+    assert cells[(None, "HIGH")] == (2, 40.0)
+    assert cells[(None, None)] == (3, 60.0)
+    assert cells[("F", "HIGH")] == (1, 30.0)
+
+
+def test_js_divergence_matches_direct_formula(spark):
+    import math
+
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "a a b", "g1"), (1, "b c", "g2"), (2, "a b", "g1"),
+         (3, None, "g1"), (4, "x", None)],   # NULL text/group excluded
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in text.js_divergence_by_group(docs, "source").collect()
+    }
+    corpus = {"a": 3, "b": 3, "c": 1}
+    ct = sum(corpus.values())
+    groups = {"g1": {"a": 3, "b": 2}, "g2": {"b": 1, "c": 1}}
+    for g, wc in groups.items():
+        gt = sum(wc.values())
+        jsd = 0.0
+        # direct two-sided sum over the FULL vocab — validates the
+        # operator's analytic absent-word folding against first
+        # principles, not against its own shortcut
+        for w, cc in corpus.items():
+            p = wc.get(w, 0) / gt
+            q = cc / ct
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log2(p / m)
+            jsd += 0.5 * q * math.log2(q / m)
+        assert out[g]["jsd"] == round(jsd, 6), g
+        assert out[g]["n_words"] == gt
+
+
+def test_centroid_outliers_flags_farthest(spark):
+    from nsdb_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.1], 0), (2, [0.0, 1.0], 0),
+        (3, [5.0, 5.0], 1), (4, [6.0, 6.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.centroid_outliers(df, bottom_k=2)
+    got = {(r["label"], r["rn"]): r["vec_id"] for r in out.collect()}
+    # label 0 centroid ~ (0.667, 0.367): vec 2 is farthest
+    assert got[(0, 1)] == 2
+    # label 1: both vectors are colinear with the centroid — cosine 1
+    # for both, tie broken by vec_id
+    assert got[(1, 1)] == 3 and got[(1, 2)] == 4
+    assert out.count() == 4  # bottom_k=2 per label
+
+
+def test_seasonal_adjust_removes_pure_seasonality(spark):
+    from nsdb_spark.operators import tsa
+
+    # period 2 ms, bucket 1 ms: even ts → 10, odd ts → 20; a pure
+    # seasonal series adjusts to the flat grand mean everywhere
+    rows = [(i, "k", i, 10.0 if i % 2 == 0 else 20.0) for i in range(6)]
+    rows.append((6, "k", 6, None))   # NULL value passes through
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, timestamp long, value double"
+    )
+    out = tsa.seasonal_adjust(
+        df, period_ms=2, bucket_ms=1, key="event_type"
+    ).collect()
+    by_id = {r["event_id"]: r for r in out}
+    assert len(by_id) == 7
+    for i in range(6):
+        assert by_id[i]["phase"] == i % 2
+        assert by_id[i]["seasonal"] == (10.0 if i % 2 == 0 else 20.0)
+        assert by_id[i]["adjusted"] == 15.0
+    assert by_id[6]["seasonal"] == 10.0 and by_id[6]["adjusted"] is None
+
+
+def test_welch_ttest_single_sample_group_is_null_not_error(spark):
+    from nsdb_spark.operators import analytics
+
+    d = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, value double"
+    )
+    got = analytics.welch_ttest(d, "value", "g", "a", "b").collect()[0]
+    # 1-sample side: variance undefined -> t/dof NULL (DuckDB /0 parity)
+    assert got["t_stat"] is None and got["dof"] is None
+    assert got["n_a"] == 1 and got["mean_a"] == 1.0
