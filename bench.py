@@ -206,6 +206,9 @@ def main() -> None:
         "text_jsd_by_source",
         "emb_outliers",
         "tsa_seasonal",
+        "dedup_passage_scrub",
+        "stats_bootstrap",
+        "emb_diversity",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1452,6 +1452,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.events_metric(spark, sf),
         period_ms=604800000, bucket_ms=86400000,
     )
+    q["dedup_passage_scrub"] = lambda spark, sf: dedup.scrub_duplicate_passages(
+        _docs(spark, sf), k=8
+    )
+    q["stats_bootstrap"] = lambda spark, sf: analytics.bootstrap_mean_ci(
+        testdata.events_metric(spark, sf), "value", "event_id",
+        n_replicates=32,
+    )
+    q["emb_diversity"] = lambda spark, sf: similarity.label_diversity(
+        _emb(spark, sf)
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1460,7 +1470,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 7: new entries this round
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
-        "tsa_seasonal",
+        "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
+        "emb_diversity",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -2953,5 +2964,62 @@ SELECT event_id, event_type, timestamp, phase,
              - avg(value) OVER (PARTITION BY event_type, phase)
              + avg(value) OVER (PARTITION BY event_type), 4) AS adjusted
 FROM p
+"""
+    # same windows/canonical-copy rule; the grouping hash differs (md5 vs
+    # xxhash64) which is immaterial — it only keys the df aggregate, and
+    # both are collision-free at test scale
+    o["dedup_passage_scrub"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+n AS (SELECT doc_id, w, cast(ceil(len(w) / 8.0) AS int) AS np FROM d),
+p AS (SELECT doc_id, i AS pos, array_to_string(w[i*8+1:i*8+8], ' ') AS passage,
+             doc_id * 1048576 + i AS ck
+      FROM n, unnest(generate_series(0, np - 1)) AS t(i)),
+h AS (SELECT md5(passage) AS ph, count(*) AS cnt, min(ck) AS mn
+      FROM p GROUP BY 1),
+j AS (SELECT p.*, h.cnt, h.mn FROM p JOIN h ON md5(p.passage) = h.ph),
+k AS (SELECT doc_id,
+             sum(CASE WHEN cnt = 1 OR ck = mn THEN 1 ELSE 0 END) AS n_kept,
+             sum(CASE WHEN cnt > 1 AND ck <> mn THEN 1 ELSE 0 END) AS n_removed,
+             coalesce(string_agg(CASE WHEN cnt = 1 OR ck = mn THEN passage END,
+                                 ' ' ORDER BY pos), '') AS clean
+      FROM j GROUP BY doc_id)
+SELECT doc_id, cast(n_kept AS bigint) AS n_kept,
+       cast(n_removed AS bigint) AS n_removed,
+       cast(strlen(clean) AS int) AS clean_len, md5(clean) AS clean_digest
+FROM k
+"""
+    o["stats_bootstrap"] = """
+WITH base AS (SELECT event_id AS id, value AS v
+              FROM events WHERE value IS NOT NULL),
+reps AS (SELECT t.r, round(avg(v), 6) AS m
+         FROM base, unnest(generate_series(0, 31)) AS t(r)
+         WHERE cast(concat('0x', substr(md5(concat(cast(id AS varchar), ':',
+                    cast(r AS varchar))), 1, 15)) AS bigint) % 2 = 0
+         GROUP BY t.r),
+ci AS (SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+              round(quantile_cont(m, 0.975), 6) AS ci_hi,
+              round(stddev_samp(m), 6) AS se_reps,
+              cast(count(*) AS int) AS n_replicates
+       FROM reps)
+SELECT round(avg(v), 6) AS mean, ci.ci_lo, ci.ci_hi, ci.se_reps,
+       count(*) AS n_rows, ci.n_replicates
+FROM base, ci GROUP BY ci.ci_lo, ci.ci_hi, ci.se_reps, ci.n_replicates
+"""
+    o["emb_diversity"] = """
+WITH b AS (SELECT label, embedding::DOUBLE[] AS v,
+                  greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])),
+                           1e-300) AS nrm
+           FROM embeddings),
+e AS (SELECT label, unnest(v) / nrm AS x,
+             generate_subscripts(v, 1) AS pos
+      FROM b),
+s AS (SELECT label, pos, sum(x) AS s FROM e GROUP BY 1, 2),
+q AS (SELECT label, sum(s * s) AS ssq FROM s GROUP BY 1),
+c AS (SELECT label, count(*) AS n FROM b GROUP BY 1)
+SELECT c.label, cast(c.n AS bigint) AS n_vecs,
+       round((q.ssq - c.n) / (c.n * (c.n - 1)), 6) AS mean_pairwise_cos
+FROM c JOIN q USING (label)
 """
     return o

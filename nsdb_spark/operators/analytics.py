@@ -850,3 +850,62 @@ def cube_counts(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(value), 3).alias("sum_value"),
     )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    n_replicates: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Deterministic half-sample bootstrap for the mean of `value`:
+    replicate r keeps the rows whose portable hash of (id, r) is even
+    (an m-out-of-n bootstrap with m ≈ n/2, drawn WITHOUT replacement —
+    the variant that needs no per-row random state and reproduces
+    bit-identically on any engine with md5), and the CI is the
+    (alpha/2, 1−alpha/2) percentile interval of the replicate means.
+    The spread of half-sample means overestimates the full-sample
+    standard error by ~sqrt(n/m) = sqrt(2) — callers comparing against a
+    parametric SE should scale; the percentile interval is reported raw,
+    as m-out-of-n bootstrap intervals conventionally are.
+
+    Plan: the corpus explodes n_replicates× BEFORE a map-side-combinable
+    (replicate → sum,count) aggregate, so the shuffle carries
+    n_replicates rows per task, not the exploded data; the final
+    percentile runs over n_replicates scalars. At 100 TB the cost is
+    n_replicates corpus scans' worth of CPU in ONE pass — no pair joins,
+    no resampled copies materialized. Replicate means round to 6 before
+    the percentile so interpolation sees identical inputs cross-engine.
+
+    Output one row: (mean, ci_lo, ci_hi, se_reps, n_rows, n_replicates).
+    """
+    from .dedup import portable_word_hash
+
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    base = df.filter(F.col(value).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(value).cast("double").alias("__v")
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("r")
+    key = F.concat_ws(":", F.col("__id").cast("string"), F.col("r").cast("string"))
+    reps = (
+        base.select("__id", "__v", rep)
+        .filter(F.pmod(portable_word_hash(key), F.lit(2)) == 0)
+        .groupBy("r")
+        .agg(F.round(F.avg("__v"), 6).alias("m"))
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = reps.groupBy().agg(
+        F.round(F.percentile("m", F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(hi)), 6).alias("ci_hi"),
+        F.round(F.stddev_samp("m"), 6).alias("se_reps"),
+        F.count(F.lit(1)).cast("int").alias("n_replicates"),
+    )
+    overall = base.agg(
+        F.round(F.avg("__v"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return overall.crossJoin(F.broadcast(ci)).select(
+        "mean", "ci_lo", "ci_hi", "se_reps", "n_rows", "n_replicates"
+    )

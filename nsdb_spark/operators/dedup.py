@@ -179,6 +179,92 @@ def passage_dup_stats(
     return _finish(out, p)  # one-row-per-doc result; release the passage pin
 
 
+def scrub_duplicate_passages(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Passage-level dedup APPLIED (passage_dup_stats only measures):
+    every non-overlapping k-word window that is a duplicate occurrence —
+    its content appears elsewhere in the corpus and this copy is not the
+    canonical min-(doc_id, position) one — is removed, and each doc's
+    surviving windows are stitched back in order (Lee et al. 2022
+    exact-substring removal at window grain: one copy of every duplicated
+    passage survives corpus-wide, so no content is lost, only repeats).
+
+    Output: (doc_id, n_kept, n_removed, clean_len, clean_digest) —
+    digest is md5 of the reassembled text, '' (not NULL) when every
+    window was a duplicate copy, so the row still certifies the doc was
+    processed. NULL-text docs drop (no windows), as in passage_dup_stats.
+
+    Plan: identical linear shape to passage_dup_stats (one posexplode,
+    one count+min per passage hash, co-partitioned join-back) plus a
+    per-doc ordered reassembly — sort_array over the doc's own
+    (pos, passage) structs inside one aggregate, so the only data moving
+    twice is the passage text itself (needed verbatim for reassembly; at
+    100 TB this is the same volume as the corpus scan, not a pair join).
+    The canonical composite key reuses the asserted 2^20/2^42 packing.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    words = _word_array(text_col)
+    npass = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), npass - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
+    )
+    pos_limit, doc_limit = 1 << 20, 1 << 42
+    in_range = F.assert_true(
+        (F.col("pos") < pos_limit)
+        & F.col("doc_id").between(0, doc_limit - 1),
+        F.lit("passage composite key out of range (pos>=2^20 or doc_id>=2^42)"),
+    )
+    p = (
+        docs.select("doc_id", F.posexplode(passages).alias("pos", "passage"))
+        .select(
+            "doc_id",
+            "pos",
+            "passage",
+            F.xxhash64("passage").alias("ph"),
+            F.when(
+                in_range.isNull(),
+                F.col("doc_id") * F.lit(pos_limit) + F.col("pos"),
+            ).alias("ck"),
+        )
+        .persist()
+    )
+    h = p.groupBy("ph").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("ck").alias("mn")
+    )
+    keep = (F.col("cnt") == 1) | (F.col("ck") == F.col("mn"))
+    kept_struct = F.when(
+        keep, F.struct(F.col("pos"), F.col("passage"))
+    )  # NULL when removed — collect_list drops NULLs
+    out = (
+        p.join(h, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.count(F.when(~keep, 1)).alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("__ks"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            "n_removed",
+            F.array_join(
+                F.transform(F.col("__ks"), lambda s: s["passage"]), " "
+            ).alias("__clean"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            "n_removed",
+            F.length("__clean").alias("clean_len"),
+            F.md5("__clean").alias("clean_digest"),
+        )
+    )
+    return _finish(out, p)
+
+
 # ------------------------------------------------------------------ shingles
 
 

@@ -545,3 +545,46 @@ def centroid_outliers(
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= bottom_k
     )
+
+
+def label_diversity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean pairwise cosine similarity — the intra-class
+    tightness score (high = redundant near-identical members worth
+    semantic-dedup; low = diverse class), computed in CLOSED FORM:
+    with unit vectors u_i, Σ_{i≠j} u_i·u_j = ||Σu||² − n, so the mean
+    pairwise cosine is (||Σu||² − n) / (n·(n−1)) and the O(n²) pair join
+    never happens — one posexplode and two label-keyed aggregates whose
+    shuffle is |labels|·dim rows at any corpus size.
+
+    Singleton labels have no pairs: NULL via try_divide (DuckDB /0
+    parity). Zero-norm vectors would break the ||u_i|| = 1 identity; the
+    _norm floor maps them to the zero vector, which undercounts the
+    diagonal — callers with genuinely zero vectors should filter first
+    (the docstring contract, asserted nowhere: real embeddings are
+    nonzero). Output: (label, n_vecs, mean_pairwise_cos rounded 6).
+    """
+    v = _as_double(vec_col)
+    sel = emb.select(F.col(label_col).alias("label"), v.alias("__v"))
+    nrm = _norm(F.col("__v"))
+    u = F.transform(F.col("__v"), lambda x: x / nrm)
+    ex = sel.select("label", F.posexplode(u).alias("pos", "x"))
+    sums = ex.groupBy("label", "pos").agg(F.sum("x").alias("s"))
+    ssq = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ssq")
+    )
+    counts = sel.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    n = F.col("n_vecs")
+    return (
+        counts.join(ssq, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.try_divide(F.col("ssq") - n, n * (n - 1)), 6
+            ).alias("mean_pairwise_cos"),
+        )
+    )

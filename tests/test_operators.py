@@ -2787,3 +2787,63 @@ def test_welch_ttest_single_sample_group_is_null_not_error(spark):
     # 1-sample side: variance undefined -> t/dof NULL (DuckDB /0 parity)
     assert got["t_stat"] is None and got["dof"] is None
     assert got["n_a"] == 1 and got["mean_a"] == 1.0
+
+
+def test_scrub_duplicate_passages_keeps_canonical_copy(spark):
+    import hashlib
+
+    from nsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b x y"), (2, "a b c d"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.scrub_duplicate_passages(docs, k=2).collect()}
+    # doc 0 holds the canonical copy of both its windows
+    assert out[0]["n_kept"] == 2 and out[0]["n_removed"] == 0
+    assert out[0]["clean_digest"] == hashlib.md5(b"a b c d").hexdigest()
+    # doc 1: "a b" is a duplicate occurrence (canonical lives in doc 0)
+    assert out[1]["n_kept"] == 1 and out[1]["n_removed"] == 1
+    assert out[1]["clean_digest"] == hashlib.md5(b"x y").hexdigest()
+    # doc 2 is a full duplicate: everything scrubbed, '' not NULL
+    assert out[2]["n_kept"] == 0 and out[2]["n_removed"] == 2
+    assert out[2]["clean_len"] == 0
+    assert out[2]["clean_digest"] == hashlib.md5(b"").hexdigest()
+    # NULL-text doc has no windows and drops
+    assert 3 not in out
+
+
+def test_bootstrap_mean_ci_deterministic_and_sane(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [(i, float(i % 10)) for i in range(200)] + [(999, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    a = analytics.bootstrap_mean_ci(df, "value", "event_id", 16).collect()[0]
+    b = analytics.bootstrap_mean_ci(df, "value", "event_id", 16).collect()[0]
+    assert a == b                       # hash-driven: bit-reproducible
+    assert a["n_rows"] == 200 and a["n_replicates"] == 16
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    # constant data: every replicate mean equals the mean, zero-width CI
+    const = spark.createDataFrame(
+        [(i, 7.0) for i in range(50)], "event_id long, value double"
+    )
+    c = analytics.bootstrap_mean_ci(const, "value", "event_id", 8).collect()[0]
+    assert c["ci_lo"] == c["ci_hi"] == c["mean"] == 7.0 and c["se_reps"] == 0.0
+
+
+def test_label_diversity_closed_form(spark):
+    from nsdb_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [2.0, 0.0], 0),     # parallel: cos 1
+        (2, [1.0, 0.0], 1), (3, [0.0, 3.0], 1),     # orthogonal: cos 0
+        (4, [5.0, 5.0], 2),                          # singleton: NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r["label"]: r for r in similarity.label_diversity(df).collect()}
+    assert got[0]["mean_pairwise_cos"] == 1.0 and got[0]["n_vecs"] == 2
+    assert got[1]["mean_pairwise_cos"] == 0.0
+    assert got[2]["mean_pairwise_cos"] is None and got[2]["n_vecs"] == 1
