@@ -209,6 +209,8 @@ def main() -> None:
         "dedup_passage_scrub",
         "stats_bootstrap",
         "emb_diversity",
+        "tsa_anomaly",
+        "text_lm_bigram",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

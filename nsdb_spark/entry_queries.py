@@ -1462,6 +1462,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_diversity"] = lambda spark, sf: similarity.label_diversity(
         _emb(spark, sf)
     )
+    q["tsa_anomaly"] = lambda spark, sf: tsa.seasonal_anomalies(
+        testdata.events_metric(spark, sf),
+        period_ms=604800000, bucket_ms=86400000, z=3.0,
+    )
+    q["text_lm_bigram"] = lambda spark, sf: text.lm_bigram_logprob(
+        _docs(spark, sf), lam=0.8
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1471,7 +1478,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7: new entries this round
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
-        "emb_diversity",
+        "emb_diversity", "tsa_anomaly", "text_lm_bigram",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -3021,5 +3028,39 @@ c AS (SELECT label, count(*) AS n FROM b GROUP BY 1)
 SELECT c.label, cast(c.n AS bigint) AS n_vecs,
        round((q.ssq - c.n) / (c.n * (c.n - 1)), 6) AS mean_pairwise_cos
 FROM c JOIN q USING (label)
+"""
+    o["tsa_anomaly"] = """
+WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS timestamp, value
+           FROM events WHERE event_type IS NOT NULL),
+p AS (SELECT *, ((timestamp // 86400000) * 86400000) % 604800000 AS phase
+      FROM e),
+r AS (SELECT *,
+             value - avg(value) OVER (PARTITION BY event_type, phase) AS resid
+      FROM p),
+z AS (SELECT *,
+             round(resid / stddev_samp(resid)
+                           OVER (PARTITION BY event_type), 4) AS z_score
+      FROM r)
+SELECT event_id, event_type, timestamp, phase, value, z_score
+FROM z WHERE abs(z_score) > 3.0
+"""
+    o["text_lm_bigram"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+bi AS (SELECT w1, w2, count(*) AS n_bi FROM s GROUP BY 1, 2),
+uni AS (SELECT unnest(w) AS word FROM d),
+u AS (SELECT word, count(*) AS n_w FROM uni GROUP BY 1),
+tot AS (SELECT sum(n_w) AS t_uni FROM u)
+SELECT s.doc_id, count(*) AS n_trans,
+       round(avg(ln(0.8 * (bi.n_bi / u1.n_w)
+                    + 0.2 * (u2.n_w / tot.t_uni))), 3) AS avg_logp
+FROM s
+JOIN bi USING (w1, w2)
+JOIN u u1 ON s.w1 = u1.word
+JOIN u u2 ON s.w2 = u2.word, tot
+GROUP BY s.doc_id
 """
     return o

@@ -527,3 +527,62 @@ def js_divergence_by_group(
         )
     )
     return _finish(out, grid)
+
+
+def lm_bigram_logprob(
+    docs: DataFrame, lam: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """Interpolated bigram language-model score per document —
+    lm_logprob's sharper sibling: each transition w1→w2 scores
+    ln(λ·P_bi(w2|w1) + (1−λ)·P_uni(w2)) with MLE estimates from the
+    corpus itself. The unigram interpolation floor means unseen
+    transitions are never −inf, the textbook Jelinek-Mercer smoothing,
+    and word-ORDER violations now hurt the score (a shuffled doc keeps
+    its unigram score but craters here) — the fluency filter unigram
+    self-perplexity can't be.
+
+    Plan: the corpus tokenizes once into a persisted bigram stream; the
+    bigram and unigram count tables aggregate from it map-side-
+    combinably; scoring joins the stream to the bigram table (bigram-
+    keyed co-shuffle — at corpus scale that table is billions of rows
+    and is NOT broadcast) and to the unigram table on each side, then
+    one per-doc aggregate. Same join discipline as bigram_pmi; totals
+    are 1-row broadcasts. avg_logp rounds to 3 decimals (ln + FP
+    accumulation across engines, the lm_logprob convention). Docs with
+    <2 words have no transitions and drop (n_trans would be 0).
+
+    Output: (doc_id, n_trans, avg_logp rounded 3).
+    """
+    from .dedup import _finish
+
+    words = _words(text_col)
+    stream = (
+        docs.select("doc_id", F.explode(_bigrams(words)).alias("bigram"))
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+        .persist()
+    )
+    bi = stream.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bi"))
+    uni = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .persist()
+    )
+    tot = uni.agg(F.sum("n_w").alias("t_uni"))
+    p_bi = F.col("n_bi") / F.col("n_w1")          # P(w2 | w1)
+    p_uni = F.col("n_w2") / F.col("t_uni")        # P(w2)
+    out = (
+        stream.join(bi, "bigram")
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.round(
+                F.avg(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)), 3
+            ).alias("avg_logp"),
+        )
+    )
+    return _finish(out, stream, uni)

@@ -368,3 +368,78 @@ def seasonal_adjust(
             ).alias("adjusted"),
         )
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    period_ms: int = 604800000,
+    bucket_ms: int = 86400000,
+    z: float = 3.0,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The alerting step seasonal_adjust exists for: flag rows whose
+    residual (value − per-(key, phase) seasonal mean) sits more than `z`
+    sample standard deviations from its key's residual distribution.
+    De-seasonalizing first is what stops the Monday peak from paging —
+    a plain rolling_zscore on seasonal data alarms every period.
+
+    The per-key residual mean is exactly 0 by construction (the mean of
+    the per-phase means, weighted by phase counts, IS the grand mean),
+    so z_score = residual / stddev_samp(residual). All three window
+    aggregates — phase mean, residual stddev — share the ONE hash
+    exchange on the key (subset-clustering reuse, as seasonal_adjust).
+    NULL values never flag (NULL comparisons are false). Thresholding
+    compares the ROUNDED z on both engines so the SQL oracle keeps the
+    identical boundary; a true z within 5e-5 of the threshold is the
+    measure-zero caveat shared by every thresholded float entry.
+
+    Output: (id_col, key, ts, phase, value, z_score rounded 4), anomalous
+    rows only.
+    """
+    phase = (
+        (F.floor(F.col(ts) / F.lit(bucket_ms)) * F.lit(bucket_ms))
+        % F.lit(period_ms)
+    ).cast("long")
+    w_key = Window.partitionBy(key)
+    w_phase = Window.partitionBy(key, "phase")
+    base = (
+        df.filter(F.col(key).isNotNull())
+        .select(id_col, key, ts, F.col(value).alias("__v"))
+        .withColumn("phase", phase)
+        # __anchor pins a key-partitioned window BELOW the (key, phase)
+        # one. Dependency order alone would plan phase-window first →
+        # Exchange(key, phase), and the later key-window (sigma depends
+        # on __resid) would then need a SECOND corpus exchange — with the
+        # anchor the single Exchange(key) satisfies all three windows
+        # (subset clustering). Measured: 1 exchange vs 2. It is an exact
+        # 0.0 folded into z below — an output dependency, because an
+        # UNUSED column is pruned and the 2-exchange plan comes back
+        # (regression-guarded in tests/test_operators.py). coalesce keeps
+        # an all-NULL key's anchor at 0.0 instead of poisoning its z.
+        .withColumn(
+            "__anchor",
+            F.coalesce(F.avg("__v").over(w_key) * 0, F.lit(0.0)),
+        )
+        .withColumn("__resid", F.col("__v") - F.avg("__v").over(w_phase))
+        .withColumn(
+            "__z", F.round(
+                F.try_divide(
+                    F.col("__resid"), F.stddev_samp("__resid").over(w_key)
+                ), 4
+            ) + F.col("__anchor")
+        )
+    )
+    return (
+        base.filter(F.abs(F.col("__z")) > F.lit(z))
+        .select(
+            id_col,
+            key,
+            ts,
+            "phase",
+            F.col("__v").alias(value),
+            F.col("__z").alias("z_score"),
+        )
+    )

@@ -2847,3 +2847,74 @@ def test_label_diversity_closed_form(spark):
     assert got[0]["mean_pairwise_cos"] == 1.0 and got[0]["n_vecs"] == 2
     assert got[1]["mean_pairwise_cos"] == 0.0
     assert got[2]["mean_pairwise_cos"] is None and got[2]["n_vecs"] == 1
+
+
+def test_seasonal_anomalies_flags_only_the_break(spark):
+    from nsdb_spark.operators import tsa
+
+    # period 2, bucket 1: a clean alternating series (10/20) with ONE
+    # wild break at ts=10 — after de-seasonalizing, only the break has a
+    # large residual; a raw z-score would have flagged every other row
+    rows = [(i, "k", i, 10.0 if i % 2 == 0 else 20.0) for i in range(10)]
+    rows.append((10, "k", 10, 500.0))   # even slot, expected ~10
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, timestamp long, value double"
+    )
+    out = tsa.seasonal_anomalies(
+        df, period_ms=2, bucket_ms=1, z=2.0, key="event_type"
+    ).collect()
+    assert [r["event_id"] for r in out] == [10]
+    assert out[0]["z_score"] > 2.0 and out[0]["value"] == 500.0
+
+
+def test_seasonal_anomalies_single_exchange_plan(spark):
+    import re
+
+    from nsdb_spark.operators import tsa
+
+    df = spark.createDataFrame(
+        [(i, "k", i, float(i)) for i in range(8)],
+        "event_id long, event_type string, timestamp long, value double",
+    )
+    plan = (
+        tsa.seasonal_anomalies(df, period_ms=2, bucket_ms=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the __anchor window trick: all three window aggregates ride ONE
+    # hash exchange on the key (regression guard for the 2-exchange plan)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_lm_bigram_logprob_known_corpus(spark):
+    import math
+
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a"), (2, "c"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text.lm_bigram_logprob(docs, lam=0.8).collect()}
+    # corpus: unigrams a:3 b:3 c:1 (T=7); bigrams "a b":2, "b a":2
+    T = 7.0
+    def score(w1n, bi, w2n):
+        return math.log(0.8 * (bi / w1n) + 0.2 * (w2n / T))
+    d0 = (score(3, 2, 3) + score(3, 2, 3) + score(3, 2, 3)) / 3  # ab, ba, ab
+    assert out[0]["n_trans"] == 3 and out[0]["avg_logp"] == round(d0, 3)
+    d1 = score(3, 2, 3)
+    assert out[1]["n_trans"] == 1 and out[1]["avg_logp"] == round(d1, 3)
+    # single-word and NULL docs have no transitions and drop
+    assert 2 not in out and 3 not in out
+    # order sensitivity: shuffling words changes the bigram score even
+    # though the unigram distribution is identical
+    shuffled = spark.createDataFrame(
+        [(0, "a a b b")], "doc_id long, text string"
+    )
+    base = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id long, text string"
+    )
+    union = base.union(shuffled.withColumn("doc_id", shuffled.doc_id + 1))
+    res = {r["doc_id"]: r["avg_logp"]
+           for r in text.lm_bigram_logprob(union, lam=0.8).collect()}
+    assert res[0] != res[1]
