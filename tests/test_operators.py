@@ -2623,6 +2623,11 @@ def test_append_partitioned_survives_catalog_loss(spark):
     df = spark.createDataFrame([(1, 0), (2, 1)], "vec_id long, cell int")
     bucketed.write_partitioned(df, "reattach_src_t", "cell")
     wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    # the warehouse dir persists across pytest runs: drop any leftover
+    # dst table AND its unregistered directory from a previous suite run,
+    # or copytree below fails on the second run against one checkout
+    spark.sql("DROP TABLE IF EXISTS reattach_dst_t")
+    shutil.rmtree(os.path.join(wh, "reattach_dst_t"), ignore_errors=True)
     # simulate the lost catalog: a table directory with NO catalog entry
     shutil.copytree(
         os.path.join(wh, "reattach_src_t"), os.path.join(wh, "reattach_dst_t")
