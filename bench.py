@@ -211,6 +211,7 @@ def main() -> None:
         "emb_diversity",
         "tsa_anomaly",
         "text_lm_bigram",
+        "dedup_decontaminate_emb",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

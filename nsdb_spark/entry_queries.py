@@ -1470,6 +1470,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), lam=0.8
     )
 
+    def _emb_decontaminate(spark, sf):
+        # embedding-space decontamination: the first 50 vectors act as
+        # the "benchmark" set, the rest as the training corpus
+        e = _emb(spark, sf)
+        return dedup.embedding_srp_join(
+            e.filter(F.col("vec_id") >= 50),
+            e.filter(F.col("vec_id") < 50),
+            threshold=0.45,
+        )
+
+    q["dedup_decontaminate_emb"] = _emb_decontaminate
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1479,6 +1491,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
         "emb_diversity", "tsa_anomaly", "text_lm_bigram",
+        "dedup_decontaminate_emb",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -3062,5 +3075,19 @@ JOIN bi USING (w1, w2)
 JOIN u u1 ON s.w1 = u1.word
 JOIN u u2 ON s.w2 = u2.word, tot
 GROUP BY s.doc_id
+"""
+    # exact cross cosine pair set — the oracle IS full recall, so a
+    # banding/prefilter miss on the Spark side fails the gate
+    o["dedup_decontaminate_emb"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])),
+                           1e-300) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id >= 50 AND b.vec_id < 50
+  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
 """
     return o

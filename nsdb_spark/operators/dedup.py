@@ -879,6 +879,43 @@ def embedding_cosine_pairs(
     )
 
 
+def _srp_sig_frame(emb: DataFrame, vec_col: str, P, bands: int) -> DataFrame:
+    """(vec_id, keys array<int> [one per band], sig array<long> [packed
+    full signature]) — the SRP signature pass shared by the self-join
+    (embedding_srp_pairs) and cross-corpus (embedding_srp_join) paths:
+    one BLAS product per Arrow batch, the only non-JVM stage either runs."""
+    import numpy as np
+    import pandas as pd
+
+    planes = int(P.shape[0])
+    r = planes // bands
+    weights = 1 << np.arange(r)
+    n_words = -(-planes // 64)
+
+    def sig_iter(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ P.T) >= 0
+            keys = [
+                (bits[:, b * r : (b + 1) * r] * weights).sum(axis=1)
+                for b in range(bands)
+            ]
+            words = np.zeros((len(V), n_words), dtype=np.uint64)
+            for p in range(planes):
+                words[:, p // 64] |= bits[:, p].astype(np.uint64) << np.uint64(p % 64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "keys": list(np.stack(keys, axis=1).astype("int32")),
+                    "sig": list(words.astype("int64")),
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        sig_iter, "vec_id long, keys array<int>, sig array<long>"
+    )
+
+
 def embedding_srp_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -918,7 +955,6 @@ def embedding_srp_pairs(
     import math
 
     import numpy as np
-    import pandas as pd
 
     from .similarity import deterministic_hyperplanes
 
@@ -928,8 +964,6 @@ def embedding_srp_pairs(
             [], "vec_a long, vec_b long, cosine double"
         )
     P = np.array(deterministic_hyperplanes(planes, dim), dtype=np.float64)
-    r = planes // bands
-    weights = 1 << np.arange(r)
     n_words = -(-planes // 64)
     # Hamming prefilter bound derived from the threshold, not a constant:
     # a pair exactly at `threshold` agrees per-plane with p = 1 - acos(t)/π,
@@ -943,28 +977,7 @@ def embedding_srp_pairs(
     min_agree = max(0.0, p_agree - 4.0 * sigma)
     max_disagree = int(planes - math.ceil(min_agree * planes))
 
-    def sig_iter(batches):
-        for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bits = (V @ P.T) >= 0
-            keys = [
-                (bits[:, b * r : (b + 1) * r] * weights).sum(axis=1)
-                for b in range(bands)
-            ]
-            words = np.zeros((len(V), n_words), dtype=np.uint64)
-            for p in range(planes):
-                words[:, p // 64] |= bits[:, p].astype(np.uint64) << np.uint64(p % 64)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "keys": list(np.stack(keys, axis=1).astype("int32")),
-                    "sig": list(words.astype("int64")),
-                }
-            )
-
-    sig = emb.select("vec_id", vec_col).mapInPandas(
-        sig_iter, "vec_id long, keys array<int>, sig array<long>"
-    )
+    sig = _srp_sig_frame(emb, vec_col, P, bands)
     # both sides of the candidate self-join read this frame: materialize
     # it once or the Python signature pass (the only non-JVM stage) runs
     # twice — same discipline as minhash_lsh_pairs' signatures
@@ -1012,6 +1025,113 @@ def embedding_srp_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine"),
         buckets,
+    )
+
+
+def embedding_srp_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.45,
+    planes: int = 128,
+    bands: int = 32,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-corpus embedding near-dup join — the EMBEDDING analog of
+    fuzzy text decontamination (selection.decontaminate_fuzzy): every
+    (left, right) pair with cosine ≥ threshold, found via the SAME
+    banded-SRP machinery as embedding_srp_pairs but joining TWO corpora
+    signed with one shared hyperplane set ("is any training vector
+    semantically a benchmark vector?"). Output: (left_id, right_id,
+    cosine ≥ threshold, rounded 6).
+
+    Scale: candidate generation is an equi-join of the two bucket
+    streams on (band, key) — shuffle O((|L|+|R|) × bands), never |L|·|R|;
+    asymmetric sizes fall out naturally (AQE broadcasts the small
+    side's buckets). The signature-Hamming prefilter and exact verify
+    follow embedding_srp_pairs exactly, so recall at a given threshold
+    is the same 1−(1−p^r)^bands banding bound.
+    """
+    import math
+
+    import numpy as np
+
+    from .similarity import deterministic_hyperplanes
+
+    left, dim_l = _vec_frame(left, vec_col)
+    right, dim_r = _vec_frame(right, vec_col)
+    if dim_l == 0 or dim_r == 0:
+        return left.sparkSession.createDataFrame(
+            [], "left_id long, right_id long, cosine double"
+        )
+    if dim_l != dim_r:
+        raise ValueError(
+            f"embedding dims differ: left {dim_l} vs right {dim_r}"
+        )
+    dim = dim_l
+    P = np.array(deterministic_hyperplanes(planes, dim), dtype=np.float64)
+    n_words = -(-planes // 64)
+    p_agree = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    sigma = math.sqrt(p_agree * (1.0 - p_agree) / planes)
+    min_agree = max(0.0, p_agree - 4.0 * sigma)
+    max_disagree = int(planes - math.ceil(min_agree * planes))
+
+    def buckets_of(emb):
+        return _srp_sig_frame(emb, vec_col, P, bands).select(
+            "vec_id", "sig", F.posexplode("keys").alias("band", "key")
+        )
+
+    # each bucket stream feeds ONE side of one join — no re-read, so no
+    # persist needed (unlike the self-join, where both aliases share one
+    # frame)
+    lb = buckets_of(left).alias("a")
+    rb = buckets_of(right).alias("b")
+    hamming = functools.reduce(
+        operator.add,
+        [
+            F.bit_count(
+                F.col("a.sig").getItem(wd).bitwiseXOR(F.col("b.sig").getItem(wd))
+            )
+            for wd in range(n_words)
+        ],
+    )
+    cand = (
+        lb.join(
+            rb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .filter(hamming <= max_disagree)
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+        )
+        .distinct()
+    )
+
+    def unit(emb, id_alias, v_alias):
+        v = F.col(vec_col).cast("array<double>")
+        norm = F.greatest(
+            F.sqrt(
+                functools.reduce(
+                    operator.add,
+                    [v.getItem(i) * v.getItem(i) for i in range(dim)],
+                )
+            ),
+            F.lit(1e-300),
+        )
+        nv = F.array(*[(v.getItem(i) / norm) for i in range(dim)])
+        return emb.select(F.col("vec_id").alias(id_alias), nv.alias(v_alias))
+
+    dot = functools.reduce(
+        operator.add,
+        [F.col("va").getItem(i) * F.col("vb").getItem(i) for i in range(dim)],
+    )
+    return (
+        cand.join(unit(left, "left_id", "va"), "left_id")
+        .join(unit(right, "right_id", "vb"), "right_id")
+        .withColumn("cosine", F.round(dot, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
     )
 
 

@@ -2923,3 +2923,28 @@ def test_lm_bigram_logprob_known_corpus(spark):
     res = {r["doc_id"]: r["avg_logp"]
            for r in text.lm_bigram_logprob(union, lam=0.8).collect()}
     assert res[0] != res[1]
+
+
+def test_embedding_srp_join_cross_corpus(spark):
+    from nsdb_spark.operators import dedup
+
+    # right 100 is (nearly) identical to left 0; right 101 is orthogonal
+    left = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [(100, [0.99, 0.01, 0.0]), (101, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = dedup.embedding_srp_join(left, right, threshold=0.9).collect()
+    assert [(r["left_id"], r["right_id"]) for r in out] == [(0, 100)]
+    assert out[0]["cosine"] > 0.99
+    # dim mismatch is an error, not silent truncation
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dims differ"):
+        dedup.embedding_srp_join(left, bad)
