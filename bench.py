@@ -212,6 +212,7 @@ def main() -> None:
         "tsa_anomaly",
         "text_lm_bigram",
         "dedup_decontaminate_emb",
+        "sample_ht_estimate",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

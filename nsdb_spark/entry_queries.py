@@ -1482,6 +1482,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_decontaminate_emb"] = _emb_decontaminate
 
+    def _ht(spark, sf):
+        ev = testdata.events_metric(spark, sf)
+        return sampling.ht_estimate(
+            ev.withColumn("weight", F.col("value") / 500.0),
+            "event_id", "value", "weight",
+        )
+
+    q["sample_ht_estimate"] = _ht
+
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
@@ -1491,7 +1500,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
         "emb_diversity", "tsa_anomaly", "text_lm_bigram",
-        "dedup_decontaminate_emb",
+        "dedup_decontaminate_emb", "sample_ht_estimate",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -3089,5 +3098,25 @@ SELECT a.vec_id AS left_id, b.vec_id AS right_id,
 FROM e a, e b
 WHERE a.vec_id >= 50 AND b.vec_id < 50
   AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+"""
+    o["sample_ht_estimate"] = f"""
+{M},
+b AS (SELECT event_id AS id, value AS v,
+             cast(floor((value / 500.0) * 1000) AS bigint) AS k
+      FROM m WHERE value IS NOT NULL),
+s AS (SELECT *,
+             k >= 1 AS covered,
+             k >= 1 AND (id * 2654435761) % 4294967296 % 1000 < k AS sampled
+      FROM b)
+SELECT count(*) AS n_total,
+       count(CASE WHEN covered THEN 1 END) AS n_covered,
+       count(CASE WHEN sampled THEN 1 END) AS n_sampled,
+       round(sum(v), 3) AS true_sum,
+       round(sum(CASE WHEN covered THEN v END), 3) AS covered_sum,
+       round(sum(CASE WHEN sampled THEN v * 1000 / k END), 3) AS ht_sum,
+       round((sum(CASE WHEN sampled THEN v * 1000 / k END)
+              - sum(CASE WHEN covered THEN v END))
+             / sum(CASE WHEN covered THEN v END), 6) AS rel_err
+FROM s
 """
     return o

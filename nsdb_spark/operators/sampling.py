@@ -199,3 +199,50 @@ def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
     return local.join(F.broadcast(off), "pid").select(
         id_col, (F.col("offset") + F.col("local_pos")).alias("pos")
     )
+
+
+def ht_estimate(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    weight_col: str,
+    denom: int = 1000,
+) -> DataFrame:
+    """Horvitz-Thompson audit of the deterministic weighted sample: each
+    row's inclusion probability under hash_weighted_sample is EXACTLY
+    π = floor(w·denom)/denom (the slot is uniform on [0, denom)), so the
+    estimator Σ_sampled v/π is unbiased for the covered total — this
+    computes the sampled estimate AND the ground truth in one pass, the
+    audit you run before trusting sampled metrics at 100 TB (where the
+    full pass is affordable once, the sample daily). Rows with
+    floor(w·denom) < 1 have π = 0 — no sample can represent them; they
+    are reported as uncovered mass, not silently folded into the bias.
+
+    ONE map-side-combinable aggregate over one scan — conditional sums,
+    no join between sample and population. Output one row: (n_total,
+    n_covered, n_sampled, true_sum r3, covered_sum r3, ht_sum r3,
+    rel_err r6 = (ht − covered)/covered).
+    """
+    base = (
+        df.filter(F.col(value).isNotNull() & F.col(weight_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(value).cast("double").alias("__v"),
+            (F.col(weight_col) * denom).cast("long").alias("__k"),
+        )
+    )
+    covered = F.col("__k") >= 1
+    sampled = covered & (_slot(F.col("__id"), denom) < F.col("__k"))
+    ht_term = F.when(sampled, F.col("__v") * denom / F.col("__k"))
+    cov_term = F.when(covered, F.col("__v"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(cov_term).alias("n_covered"),
+        F.count(ht_term).alias("n_sampled"),
+        F.round(F.sum("__v"), 3).alias("true_sum"),
+        F.round(F.sum(cov_term), 3).alias("covered_sum"),
+        F.round(F.sum(ht_term), 3).alias("ht_sum"),
+        F.round(
+            F.try_divide(F.sum(ht_term) - F.sum(cov_term), F.sum(cov_term)), 6
+        ).alias("rel_err"),
+    )

@@ -2948,3 +2948,24 @@ def test_embedding_srp_join_cross_corpus(spark):
     )
     with pytest.raises(ValueError, match="dims differ"):
         dedup.embedding_srp_join(left, bad)
+
+
+def test_ht_estimate_consistent_with_weighted_sample(spark):
+    from nsdb_spark.operators import sampling
+
+    rows = [(i, float(i % 100) + 1.0) for i in range(2000)]
+    rows += [(9001, None), (9002, 0.0)]   # NULL excluded; w=0 uncovered
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    df = df.withColumn("weight", df.value / 100.0)
+    got = sampling.ht_estimate(df, "event_id", "value", "weight").collect()[0]
+    # n_sampled must equal the actual hash_weighted_sample membership
+    n_kept = sampling.hash_weighted_sample(
+        df.filter("value is not null"), "event_id", "weight"
+    ).count()
+    assert got["n_sampled"] == n_kept
+    assert got["n_total"] == 2001           # NULL value dropped
+    assert got["n_covered"] == 2000         # w=0 row uncovered
+    # weights ~ U(0.01, 1): the HT estimate should land near the truth
+    assert abs(got["rel_err"]) < 0.05
+    # the only uncovered row carries value 0.0, so the totals coincide
+    assert got["true_sum"] == got["covered_sum"]
