@@ -251,3 +251,151 @@ def test_interval_join_matches_bruteforce_any_bucket(spark, intervals, points, b
     if not points:
         expect = set()
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([1, 2, 3]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_passage_scrub_matches_python_model(spark, texts, k):
+    """For ANY corpus and window size: counts and reassembled text match
+    an independent Python model, and exactly ONE occurrence of every
+    distinct passage survives corpus-wide (nothing lost, repeats gone)."""
+    import hashlib
+
+    from nsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           dedup.scrub_duplicate_passages(docs, k=k).collect()}
+
+    # python model
+    windows = {}   # doc -> [passage...]
+    first = {}     # passage -> (doc, pos)
+    counts = {}
+    for d, t in enumerate(texts):
+        ws = t.split(" ")
+        ps = [" ".join(ws[i:i + k]) for i in range(0, len(ws), k)]
+        windows[d] = ps
+        for pos, p in enumerate(ps):
+            counts[p] = counts.get(p, 0) + 1
+            first.setdefault(p, (d, pos))
+    total_kept = 0
+    for d, ps in windows.items():
+        kept = [p for pos, p in enumerate(ps)
+                if counts[p] == 1 or first[p] == (d, pos)]
+        clean = " ".join(kept)
+        r = got[d]
+        assert r["n_kept"] == len(kept)
+        assert r["n_removed"] == len(ps) - len(kept)
+        assert r["clean_digest"] == hashlib.md5(clean.encode()).hexdigest()
+        total_kept += len(kept)
+    # the survival invariant: one copy per distinct passage, corpus-wide
+    assert total_kept == len(counts)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1,
+                 max_size=10).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jsd_bounds_and_single_group_zero(spark, texts):
+    """JSD is always within [0, 1] (base-2), and a corpus with ONE group
+    has p == q exactly, so its divergence is exactly 0."""
+    from nsdb_spark.operators import text as text_ops
+
+    one = spark.createDataFrame(
+        [(i, t, "only") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    rows = text_ops.js_divergence_by_group(one, "source").collect()
+    assert len(rows) == 1 and rows[0]["jsd"] == 0.0
+
+    # alternate groups: still bounded
+    alt = spark.createDataFrame(
+        [(i, t, f"g{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    for r in text_ops.js_divergence_by_group(alt, "source").collect():
+        assert 0.0 <= r["jsd"] <= 1.0
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1, max_size=30,
+    ),
+    period=st.sampled_from([2, 3, 5]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_seasonal_adjust_preserves_the_mean(spark, vals, period):
+    """Additive de-seasonalization must not move the key's mean: the
+    count-weighted mean of the per-phase means IS the grand mean, so
+    mean(adjusted) == mean(value) for any series and period."""
+    from nsdb_spark.operators import tsa
+
+    df = spark.createDataFrame(
+        [(i, "k", i, float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, timestamp long, value double",
+    )
+    out = tsa.seasonal_adjust(
+        df, period_ms=period, bucket_ms=1, key="event_type"
+    ).collect()
+    got = sum(r["adjusted"] for r in out) / len(out)
+    want = sum(vals) / len(vals)
+    assert abs(got - want) < 1e-3   # rounding grain is 1e-4 per row
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2, max_size=10,
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_label_diversity_matches_bruteforce(spark, vecs):
+    """The ||Σu||² − n closed form equals the brute-force mean pairwise
+    cosine for ANY nonzero vector set (one label)."""
+    import math
+
+    from nsdb_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, list(v), 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = similarity.label_diversity(df).collect()[0]
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    us = [unit(v) for v in vecs]
+    n = len(us)
+    dots = [
+        sum(a * b for a, b in zip(us[i], us[j]))
+        for i in range(n) for j in range(n) if i != j
+    ]
+    want = sum(dots) / (n * (n - 1))
+    assert abs(got["mean_pairwise_cos"] - want) < 1e-5
