@@ -68,6 +68,18 @@ def repl(engine, stdin=None, stdout=None) -> None:
                 ns = line.split(None, 1)[1]
                 print(f"Namespace changed to {ns}", file=stdout)
                 continue
+            if line.lower().startswith("explain "):
+                # engine extension (no EXPLAIN in the reference dialect):
+                # plan preview without execution
+                info = engine.explain_select(
+                    line.split(None, 1)[1], db=db, ns=ns
+                )
+                rows = [[k, info[k]] for k in
+                        ("plan_class", "time_ranges", "shards_total",
+                         "shards_scanned", "rollup_routed")]
+                print(ascii_table(["property", "value"], rows), file=stdout)
+                print(info["physical_plan"], file=stdout)
+                continue
             print(format_result(engine.execute(line, db=db, ns=ns)), file=stdout)
         except Exception as e:
             print(f"error: {type(e).__name__}: {e}", file=stdout)

@@ -443,6 +443,14 @@ class NsdbEngine:
     def execute_select(
         self, stmt: ast.SelectSQLStatement, time_context: TimeContext | None = None
     ) -> DataFrame:
+        df, _parsed, _routed = self._plan_select(stmt, time_context)
+        return df
+
+    def _plan_select(
+        self, stmt: ast.SelectSQLStatement, time_context: TimeContext | None = None
+    ) -> tuple[DataFrame, Any, bool]:
+        """Shared SELECT planning: (DataFrame, analyzed plan, rollup-routed?).
+        execute_select returns the frame; explain_select reports the rest."""
         db, ns = stmt.db or "default", stmt.namespace or "default"
         schema = self.warehouse.get_schema(db, ns, stmt.metric)
         parsed = analyzer.analyze(stmt, schema)
@@ -450,7 +458,7 @@ class NsdbEngine:
         info = self.warehouse.get_info(db, ns, stmt.metric)
         routed = self._route_via_rollup(db, ns, stmt, parsed, info)
         if routed is not None:
-            return routed
+            return routed, parsed, True
         df = self.read_metric(db, ns, stmt.metric)
         df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])
         compiler = QueryCompiler(
@@ -459,9 +467,73 @@ class NsdbEngine:
             approx_count_distinct=self.approx_count_distinct,
         )
         locations = self.warehouse.locations(db, ns, stmt.metric)
-        return compiler.compile(
-            df.drop(SHARD_COL), schema, parsed, ctx, locations=locations or None
+        return (
+            compiler.compile(
+                df.drop(SHARD_COL), schema, parsed, ctx, locations=locations or None
+            ),
+            parsed,
+            False,
         )
+
+    def explain_select(
+        self,
+        query_string: str,
+        db: str = "default",
+        ns: str = "default",
+        time_context: TimeContext | None = None,
+    ) -> dict:
+        """EXPLAIN — an engine extension (the reference dialect has no
+        EXPLAIN; its CLI surface is SHOW/USE/DESCRIBE only): parse,
+        analyze, and PLAN a SELECT without executing it, reporting
+
+        - plan_class: which of the four ParsedQuery classes it compiles to
+          (SURVEY.md §2.5 / StatementParser.scala:49-148 analogue);
+        - time_ranges: the WHERE-implied [lo, hi] intervals the pruner
+          extracted (None hi = unbounded; empty list = no time predicate);
+        - shards_total / shards_scanned: on-disk shard partitions vs the
+          ones surviving pruning — the same arithmetic _prune_shards
+          pushes into the partition filter, previewed against the
+          catalog's locations so an operator can see WHY a query is slow
+          before paying for it;
+        - rollup_routed: whether the engine would serve it from a
+          materialized rollup instead of the raw metric;
+        - physical_plan: Spark's executed-plan tree for the compiled frame.
+        """
+        stmt = parse(query_string, db=db, namespace=ns)
+        if not isinstance(stmt, ast.SelectSQLStatement):
+            raise ValueError("explain accepts SELECT statements only")
+        sdb, sns = stmt.db or "default", stmt.namespace or "default"
+        ctx = time_context or TimeContext(self.now_fn())
+        info = self.warehouse.get_info(sdb, sns, stmt.metric)
+        interval = info["shardInterval"]
+        locations = self.warehouse.locations(sdb, sns, stmt.metric)
+        ivs = (
+            extract_time_range(stmt.condition.expression, ctx)
+            if stmt.condition
+            else []
+        )
+        if ivs:
+            # the exact shard predicate _prune_shards builds, previewed
+            scanned = [
+                s
+                for s in locations
+                if any(
+                    s >= (lo // interval) * interval
+                    and (hi is None or s <= (hi // interval) * interval)
+                    for lo, hi in ivs
+                )
+            ]
+        else:
+            scanned = list(locations)
+        df, parsed, routed = self._plan_select(stmt, ctx)
+        return {
+            "plan_class": type(parsed).__name__,
+            "time_ranges": [list(iv) for iv in ivs],
+            "shards_total": len(locations),
+            "shards_scanned": len(scanned),
+            "rollup_routed": routed,
+            "physical_plan": df._jdf.queryExecution().executedPlan().toString(),
+        }
 
     def query(
         self,

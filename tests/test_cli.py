@@ -50,3 +50,22 @@ def test_repl_type_conflict_matches_reference(engine):
     out = io.StringIO()
     repl(engine, stdin=io.StringIO(script), stdout=out)
     assert "SchemaError: value type mismatch: DECIMAL vs BIGINT" in out.getvalue()
+
+
+def test_repl_explain(engine):
+    script = "\n".join([
+        "insert into m ts = 1000 tags (g = x) val = 1.0",
+        "insert into m ts = 2000 tags (g = y) val = 2.0",
+        "explain select * from m where timestamp >= 1500",
+        "explain drop metric m",
+        "exit",
+    ]) + "\n"
+    out = io.StringIO()
+    repl(engine, stdin=io.StringIO(script), stdout=out)
+    text = out.getvalue()
+    assert "ParsedSimpleQuery" in text
+    assert "shards_scanned" in text
+    # plan preview must not execute: no result table for the select
+    assert "(1 rows)" not in text and "(2 rows)" not in text
+    # non-SELECT explain surfaces the engine error, not a crash
+    assert "error: ValueError" in text

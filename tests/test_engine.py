@@ -1358,3 +1358,48 @@ def test_rejected_bulk_ingest_leaves_schema_registry_untouched(engine, spark):
     )
     assert engine.insert_frame("default", "default", "vtm", ok) == 1
     assert "region" in engine.warehouse.get_schema("default", "default", "vtm").fields
+
+
+def test_explain_select_reports_pruning_and_plan_class(engine):
+    from nsdb_spark.model import Bit
+
+    engine.warehouse.init_metric("default", "default", "expm", 10000)
+    engine.insert_bits(
+        "default", "default", "expm",
+        [Bit(t, float(t), {}, {"g": "x"}) for t in range(0, 100000, 5000)],
+    )
+    # 10 shards on disk; ts in [0, 15000] touches shards 0 and 10000
+    info = engine.explain_select(
+        "select * from expm where timestamp in (0, 15000)"
+    )
+    assert info["plan_class"] == "ParsedSimpleQuery"
+    assert info["shards_total"] == 10
+    assert info["shards_scanned"] == 2
+    assert info["time_ranges"] == [[0, 15000]]
+    assert info["rollup_routed"] is False
+    assert "Scan" in info["physical_plan"]
+    # unconstrained query scans everything; agg classifies differently
+    info2 = engine.explain_select("select sum(value) from expm")
+    assert info2["plan_class"] == "ParsedGlobalAggregatedQuery"
+    assert info2["shards_scanned"] == 10
+    # non-SELECT is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="SELECT"):
+        engine.explain_select("drop metric expm")
+
+
+def test_explain_select_reports_rollup_routing(engine):
+    from nsdb_spark.model import Bit
+
+    engine.warehouse.init_metric("default", "default", "expr", 10000)
+    engine.insert_bits(
+        "default", "default", "expr",
+        [Bit(t, float(t), {}, {"g": "x"}) for t in range(0, 50000, 1000)],
+    )
+    engine.materialize_rollup("default", "default", "expr", fine_ms=5000)
+    info = engine.explain_select(
+        "select sum(value) from expr group by interval 10s"
+    )
+    assert info["rollup_routed"] is True
+    assert info["plan_class"] == "ParsedTemporalAggregatedQuery"
