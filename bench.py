@@ -213,6 +213,7 @@ def main() -> None:
         "text_lm_bigram",
         "dedup_decontaminate_emb",
         "sample_ht_estimate",
+        "stats_winsorize",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

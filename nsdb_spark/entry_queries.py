@@ -1490,6 +1490,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sample_ht_estimate"] = _ht
+    q["stats_winsorize"] = lambda spark, sf: analytics.winsorize_by_group(
+        testdata.events_metric(spark, sf), "event_type", "value",
+        lo_p=0.05, hi_p=0.95,
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1500,7 +1504,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
         "emb_diversity", "tsa_anomaly", "text_lm_bigram",
-        "dedup_decontaminate_emb", "sample_ht_estimate",
+        "dedup_decontaminate_emb", "sample_ht_estimate", "stats_winsorize",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -3118,5 +3122,18 @@ SELECT count(*) AS n_total,
               - sum(CASE WHEN covered THEN v END))
              / sum(CASE WHEN covered THEN v END), 6) AS rel_err
 FROM s
+"""
+    o["stats_winsorize"] = f"""
+{M},
+b AS (SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM m GROUP BY 1)
+SELECT m.event_id, m.event_type, m.value, b.lo, b.hi,
+       CASE WHEN m.value < b.lo THEN b.lo
+            WHEN m.value > b.hi THEN b.hi
+            ELSE round(m.value, 6) END AS clipped,
+       (m.value < b.lo OR m.value > b.hi) AS was_clipped
+FROM m JOIN b USING (event_type)
 """
     return o

@@ -909,3 +909,61 @@ def bootstrap_mean_ci(
     return overall.crossJoin(F.broadcast(ci)).select(
         "mean", "ci_lo", "ci_hi", "se_reps", "n_rows", "n_replicates"
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    part: str,
+    value: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group winsorization: clip `value` into its group's
+    [lo_p, hi_p] exact percentile band — the outlier-taming step before
+    means/regressions on heavy-tailed metrics (a handful of wild rows
+    otherwise own the average; robust_stats MEASURES the tail, this
+    REMOVES it without dropping rows).
+
+    Plan: ONE array-percentile aggregate collapses the corpus to
+    |groups| rows of clip bounds, broadcast-joined back — the corpus
+    itself never shuffles (the join is on the tiny side). Bounds are
+    rounded to 6 before comparing so the SQL oracle clips on the
+    identical boundary. NULL values pass through unclipped (NULL
+    comparisons are false → clipped = NULL via the when-chain).
+
+    Output: (id_col, part, value, lo round 6, hi round 6,
+    clipped round 6, was_clipped).
+    """
+    if not 0.0 <= lo_p <= hi_p <= 1.0:
+        raise ValueError("need 0 <= lo_p <= hi_p <= 1")
+    # ONE array-percentile buffer per group (two separate percentile
+    # aggregates would sort the group's values twice — the
+    # group_percentiles lesson, measured 2.3x there)
+    bounds = (
+        df.groupBy(part)
+        .agg(F.expr(f"percentile({value}, array({lo_p}, {hi_p}))").alias("__b"))
+        .select(
+            part,
+            F.round(F.col("__b")[0], 6).alias("lo"),
+            F.round(F.col("__b")[1], 6).alias("hi"),
+        )
+    )
+    v = F.col(value)
+    clipped = (
+        F.when(v < F.col("lo"), F.col("lo"))
+        .when(v > F.col("hi"), F.col("hi"))
+        .otherwise(F.round(v, 6))
+    )
+    return (
+        df.join(F.broadcast(bounds), part)
+        .select(
+            id_col,
+            part,
+            value,
+            "lo",
+            "hi",
+            clipped.alias("clipped"),
+            ((v < F.col("lo")) | (v > F.col("hi"))).alias("was_clipped"),
+        )
+    )

@@ -2969,3 +2969,24 @@ def test_ht_estimate_consistent_with_weighted_sample(spark):
     assert abs(got["rel_err"]) < 0.05
     # the only uncovered row carries value 0.0, so the totals coincide
     assert got["true_sum"] == got["covered_sum"]
+
+
+def test_winsorize_by_group_clips_exact_percentiles(spark):
+    from nsdb_spark.operators import analytics
+
+    # 0..100 in one group: p05 = 5.0, p95 = 95.0 exactly
+    rows = [(i, "g", float(i)) for i in range(101)]
+    rows.append((999, "g", None))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in analytics.winsorize_by_group(
+        df, "event_type", "value", 0.05, 0.95).collect()}
+    assert out[0]["lo"] == 5.0 and out[0]["hi"] == 95.0
+    assert out[0]["clipped"] == 5.0 and out[0]["was_clipped"] is True
+    assert out[100]["clipped"] == 95.0 and out[100]["was_clipped"] is True
+    assert out[50]["clipped"] == 50.0 and out[50]["was_clipped"] is False
+    # NULL value passes through unclipped with NULL flags
+    assert out[999]["clipped"] is None and out[999]["was_clipped"] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="lo_p"):
+        analytics.winsorize_by_group(df, "event_type", "value", 0.9, 0.1)
