@@ -214,6 +214,7 @@ def main() -> None:
         "dedup_decontaminate_emb",
         "sample_ht_estimate",
         "stats_winsorize",
+        "events_funnel_windowed",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1052,6 +1052,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.events_metric(spark, sf),
         steps=["signup", "click", "purchase"],
     )
+    q["events_funnel_windowed"] = lambda spark, sf: analytics.funnel(
+        testdata.events_metric(spark, sf),
+        steps=["signup", "click", "purchase"],
+        within_ms=604800000,
+    )
     q["stats_percentiles"] = lambda spark, sf: analytics.group_percentiles(
         testdata.table(spark, sf, "lineitem"), part="l_returnflag",
         value="l_extendedprice",
@@ -1505,6 +1510,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
         "emb_diversity", "tsa_anomaly", "text_lm_bigram",
         "dedup_decontaminate_emb", "sample_ht_estimate", "stats_winsorize",
+        "events_funnel_windowed",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -2360,6 +2366,19 @@ s2 AS (SELECT e.user_id, min(ts) AS ts_click FROM e JOIN s1 USING (user_id)
        WHERE event_type = 'click' AND ts > ts_signup GROUP BY 1),
 s3 AS (SELECT e.user_id, min(ts) AS ts_purchase FROM e JOIN s2 USING (user_id)
        WHERE event_type = 'purchase' AND ts > ts_click GROUP BY 1)
+SELECT s1.user_id, ts_signup, ts_click, ts_purchase
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+    o["events_funnel_windowed"] = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS ts_signup FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS ts_click FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > ts_signup
+         AND ts <= ts_signup + 604800000 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS ts_purchase FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > ts_click
+         AND ts <= ts_click + 604800000 GROUP BY 1)
 SELECT s1.user_id, ts_signup, ts_click, ts_purchase
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """

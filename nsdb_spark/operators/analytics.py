@@ -74,15 +74,22 @@ def funnel(
     user: str = "user_id",
     ts: str = "timestamp",
     type_col: str = "event_type",
+    within_ms: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel timestamps: for each user that performed steps[0],
     the earliest time of each subsequent step occurring STRICTLY AFTER the
     previous step's matched time (classic sequential funnel; NULL = user
-    dropped out at that stage).
+    dropped out at that stage). With `within_ms`, each step must also
+    land AT MOST that far after the previous step's match — the
+    conversion-window variant every product funnel actually uses ("click
+    within 7 days of signup"): a user whose next step is too late counts
+    as dropped, exactly like a user who never did it.
 
     Output: (user, ts_<step0>, ts_<step1>, ...). Each stage is a
     co-partitioned join on the user key plus a min-aggregate — partial
-    aggregation keeps the shuffle at one row per surviving user per stage.
+    aggregation keeps the shuffle at one row per surviving user per
+    stage; the window bound is a row filter on the same join, no extra
+    shuffle.
     """
     base = events.select(user, type_col, ts)
     out = (
@@ -92,10 +99,13 @@ def funnel(
     )
     prev = f"ts_{steps[0]}"
     for step in steps[1:]:
+        cond = F.col(ts) > F.col(prev)
+        if within_ms is not None:
+            cond = cond & (F.col(ts) <= F.col(prev) + F.lit(within_ms))
         nxt = (
             base.filter(F.col(type_col) == step)
             .join(out.select(user, prev), user)
-            .filter(F.col(ts) > F.col(prev))
+            .filter(cond)
             .groupBy(user)
             .agg(F.min(ts).alias(f"ts_{step}"))
         )

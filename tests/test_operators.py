@@ -2990,3 +2990,26 @@ def test_winsorize_by_group_clips_exact_percentiles(spark):
 
     with pytest.raises(ValueError, match="lo_p"):
         analytics.winsorize_by_group(df, "event_type", "value", 0.9, 0.1)
+
+
+def test_funnel_within_window_drops_late_steps(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        (1, "signup", 100), (1, "click", 150), (1, "purchase", 160),
+        (2, "signup", 100), (2, "click", 500),     # click too late
+        (3, "signup", 100), (3, "click", 150), (3, "purchase", 900),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, timestamp long"
+    )
+    out = {r["user_id"]: r for r in analytics.funnel(
+        df, ["signup", "click", "purchase"], within_ms=100).collect()}
+    assert out[1]["ts_click"] == 150 and out[1]["ts_purchase"] == 160
+    assert out[2]["ts_click"] is None and out[2]["ts_purchase"] is None
+    # user 3 converts the click but the purchase is outside click+100
+    assert out[3]["ts_click"] == 150 and out[3]["ts_purchase"] is None
+    # unwindowed behavior unchanged: everyone converts eventually
+    loose = {r["user_id"]: r for r in analytics.funnel(
+        df, ["signup", "click", "purchase"]).collect()}
+    assert loose[2]["ts_click"] == 500 and loose[3]["ts_purchase"] == 900
