@@ -875,3 +875,74 @@ def test_neardup_index_replay_is_idempotent(engine, spark, tmp_path):
     sigs = spark.table(idx)
     assert sigs.count() == 2
     assert sigs.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_seasonal_anomaly_alert_over_subscription(engine, spark, tmp_path):
+    """End-to-end streaming anomaly path: a frozen seasonal baseline is
+    fitted from history (even-ms phases expect 10, odd expect 20), a
+    streamed batch carries one wild value among normal ones, and exactly
+    that event lands as an alert bit AND reaches a subscribed callback;
+    a replayed availableNow run over the same checkpoint fires nothing."""
+    from nsdb_spark.streaming import (
+        SubscriptionManager,
+        fit_seasonal_baseline,
+        start_seasonal_anomaly_alerts,
+    )
+
+    history = spark.createDataFrame(
+        [(i, "k", i, 10.0 if i % 2 == 0 else 20.0) for i in range(200)],
+        "event_id long, event_type string, timestamp long, value double",
+    )
+    # small noise so sigma > 0 (constant residuals would disable alerts)
+    history = history.withColumn(
+        "value", history.value + (history.event_id % 5) * 0.01
+    )
+    baseline = fit_seasonal_baseline(
+        history, period_ms=2, bucket_ms=1
+    )
+    assert {b["phase"] for b in baseline} == {0, 1}
+
+    # live subscription on the alert metric (seed for historical payload)
+    engine.insert_bits(
+        "default", "default", "anomaly_alerts",
+        [Bit(1, 0.0, {"src_id": 0, "grp": "seed"}, {})],
+    )
+    subs = SubscriptionManager(engine)
+    got: list = []
+    subs.subscribe(
+        "select * from anomaly_alerts", lambda payload: got.append(payload),
+        db="default", ns="default",
+    )
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1000, "k", 300, 10.01), (1001, "k", 301, 20.02),
+         (1002, "k", 302, 500.0)],   # the anomaly (even phase, expects ~10)
+        "event_id long, event_type string, timestamp long, value double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, timestamp long, value double"
+        ).parquet(str(src))
+        q = start_seasonal_anomaly_alerts(
+            engine, stream, baseline, str(tmp_path / "an_ckpt"),
+            subscription_manager=subs, period_ms=2, bucket_ms=1, z=3.0,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rows = engine.execute(
+        "select * from anomaly_alerts where src_id >= 1000").collect()
+    assert [(r["src_id"], r["grp"]) for r in rows] == [(1002, "k")]
+    assert rows[0]["value"] > 3.0 and rows[0]["timestamp"] == 302
+    live = [r for p in got for r in p if r.get("src_id", 0) >= 1000]
+    assert [(r["src_id"], r["value"] > 3.0) for r in live] == [(1002, True)]
+
+    # replay: same checkpoint, no new files -> no duplicate alerts
+    run_once()
+    rows2 = engine.execute(
+        "select count(*) from anomaly_alerts where src_id >= 1000").collect()
+    assert rows2[0][0] == 1
