@@ -215,6 +215,7 @@ def main() -> None:
         "sample_ht_estimate",
         "stats_winsorize",
         "events_funnel_windowed",
+        "stats_benford",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1499,6 +1499,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.events_metric(spark, sf), "event_type", "value",
         lo_p=0.05, hi_p=0.95,
     )
+    q["stats_benford"] = lambda spark, sf: analytics.benford_digit_audit(
+        testdata.events_metric(spark, sf), "value"
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1510,7 +1513,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
         "emb_diversity", "tsa_anomaly", "text_lm_bigram",
         "dedup_decontaminate_emb", "sample_ht_estimate", "stats_winsorize",
-        "events_funnel_windowed",
+        "events_funnel_windowed", "stats_benford",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -3154,5 +3157,20 @@ SELECT m.event_id, m.event_type, m.value, b.lo, b.hi,
             ELSE round(m.value, 6) END AS clipped,
        (m.value < b.lo OR m.value > b.hi) AS was_clipped
 FROM m JOIN b USING (event_type)
+"""
+    o["stats_benford"] = f"""
+{M},
+p AS (SELECT value AS v FROM m WHERE value IS NOT NULL AND value > 0),
+c AS (SELECT cast(floor(v / power(10.0, floor(log10(v)))) AS int) AS digit,
+             count(*) AS n
+      FROM p GROUP BY 1),
+t AS (SELECT sum(n) AS t FROM c)
+SELECT digit, n,
+       round(n / t.t, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+       round((n - t.t * log10(1.0 + 1.0 / digit))
+             * (n - t.t * log10(1.0 + 1.0 / digit))
+             / (t.t * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+FROM c, t
 """
     return o

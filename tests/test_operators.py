@@ -3013,3 +3013,27 @@ def test_funnel_within_window_drops_late_steps(spark):
     loose = {r["user_id"]: r for r in analytics.funnel(
         df, ["signup", "click", "purchase"]).collect()}
     assert loose[2]["ts_click"] == 500 and loose[3]["ts_purchase"] == 900
+
+
+def test_benford_digit_audit_known_distribution(spark):
+    import math
+
+    from nsdb_spark.operators import analytics
+
+    # 1..9 once each (uniform digits), plus excluded junk
+    rows = [(i, float(i)) for i in range(1, 10)]
+    rows += [(100, 0.0), (101, -5.0), (102, None)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out = {r["digit"]: r for r in
+           analytics.benford_digit_audit(df, "value").collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert out[d]["n"] == 1
+        assert out[d]["observed_p"] == round(1 / 9, 6)
+        assert out[d]["expected_p"] == round(math.log10(1 + 1 / d), 6)
+    # leading digit survives magnitude: 0.02, 23.0, 2300.0 are all '2'
+    df2 = spark.createDataFrame(
+        [(1, 0.02), (2, 23.0), (3, 2300.0)], "event_id long, value double"
+    )
+    got = analytics.benford_digit_audit(df2, "value").collect()
+    assert [(r["digit"], r["n"]) for r in got] == [(2, 3)]
