@@ -216,6 +216,7 @@ def main() -> None:
         "stats_winsorize",
         "events_funnel_windowed",
         "stats_benford",
+        "events_stickiness",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

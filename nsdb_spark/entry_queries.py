@@ -1502,6 +1502,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stats_benford"] = lambda spark, sf: analytics.benford_digit_audit(
         testdata.events_metric(spark, sf), "value"
     )
+    q["events_stickiness"] = lambda spark, sf: analytics.stickiness(
+        testdata.events_metric(spark, sf), bucket_ms=86400000,
+        window_buckets=30,
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1513,7 +1517,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
         "emb_diversity", "tsa_anomaly", "text_lm_bigram",
         "dedup_decontaminate_emb", "sample_ht_estimate", "stats_winsorize",
-        "events_funnel_windowed", "stats_benford",
+        "events_funnel_windowed", "stats_benford", "events_stickiness",
         # round 6: new/changed entries that round
         "kmeans_cells", "text_bm25_postings", "dedup_passages_strided",
         "dedup_passages", "stats_histogram_equidepth", "tsa_autocorr",
@@ -3172,5 +3176,18 @@ SELECT digit, n,
              * (n - t.t * log10(1.0 + 1.0 / digit))
              / (t.t * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
 FROM c, t
+"""
+    o["events_stickiness"] = f"""
+{M},
+p AS (SELECT DISTINCT user_id, timestamp // 86400000 AS b FROM m),
+d AS (SELECT b, count(*) AS dau FROM p GROUP BY b),
+bounds AS (SELECT max(b) AS hi FROM p),
+c AS (SELECT DISTINCT p.user_id, u.b2 AS b
+      FROM p, bounds, unnest(generate_series(p.b, least(p.b + 29, bounds.hi))) u(b2)),
+w AS (SELECT b, count(*) AS mau FROM c GROUP BY b)
+SELECT w.b * 86400000 AS bucket_start,
+       coalesce(dau, 0) AS dau, mau,
+       round(coalesce(dau, 0) / mau, 6) AS stickiness
+FROM w LEFT JOIN d USING (b)
 """
     return o

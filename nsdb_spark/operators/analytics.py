@@ -1022,3 +1022,30 @@ def benford_digit_audit(df: DataFrame, value: str) -> DataFrame:
             F.round(chi2_term, 6).alias("chi2_term"),
         )
     )
+
+
+def stickiness(
+    events: DataFrame,
+    bucket_ms: int,
+    window_buckets: int = 30,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """DAU/MAU stickiness per bucket — the engagement-quality ratio on
+    every product dashboard ("what fraction of the month's actives came
+    back today"): exactly active_users with a 30-bucket trailing window
+    plus the ratio, so it inherits that operator's exact bounded-fan-out
+    rolling distinct (no global-sort window, no driver set unions).
+
+    Output: (bucket_start, dau, mau, stickiness rounded 6); a gap bucket
+    scores 0.0 (dau = 0 over a live window), never NULL/division error.
+    """
+    au = active_users(events, bucket_ms, window_buckets, user, ts)
+    return au.select(
+        "bucket_start",
+        "dau",
+        F.col("wau").alias("mau"),
+        F.round(F.try_divide(F.col("dau"), F.col("wau")), 6).alias(
+            "stickiness"
+        ),
+    )

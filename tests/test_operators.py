@@ -3037,3 +3037,21 @@ def test_benford_digit_audit_known_distribution(spark):
     )
     got = analytics.benford_digit_audit(df2, "value").collect()
     assert [(r["digit"], r["n"]) for r in got] == [(2, 3)]
+
+
+def test_stickiness_ratio_and_gap_bucket(spark):
+    from nsdb_spark.operators import analytics
+
+    # bucket=10ms; users 1,2 active in bucket 0; user 1 again in bucket 2;
+    # bucket 1 is a gap (dau 0) inside the live 3-bucket window
+    rows = [(1, 5), (2, 7), (1, 25)]
+    df = spark.createDataFrame(rows, "user_id long, timestamp long")
+    out = {r["bucket_start"]: r for r in analytics.stickiness(
+        df, bucket_ms=10, window_buckets=3).collect()}
+    assert out[0]["dau"] == 2 and out[0]["mau"] == 2
+    assert out[0]["stickiness"] == 1.0
+    assert out[10]["dau"] == 0 and out[10]["mau"] == 2
+    assert out[10]["stickiness"] == 0.0
+    # bucket 2: user 1 active today; window still holds both users
+    assert out[20]["dau"] == 1 and out[20]["mau"] == 2
+    assert out[20]["stickiness"] == 0.5
