@@ -671,9 +671,14 @@ def mannwhitney_u(
         F.col("la") + F.col("off_a") - F.col("ca")
         + F.col("lb") + F.col("off_b") - F.col("cb")
     )
+    # per-term products reach ~2n² and the sum ~n·2n — int64 dies near
+    # n ≈ 3e9 rows, so the accumulation runs in decimal(38,0) (exact to
+    # 1e38, mirroring DuckDB's hugeint sum); the statistic itself is
+    # reported as double either way, identical wherever bigint sufficed
     two_rank_sum = F.sum(
-        F.col("ca") * (2 * cum_before + F.col("ca") + F.col("cb") + 1)
-    ).cast("long")
+        F.col("ca").cast("decimal(38,0)")
+        * (2 * cum_before + F.col("ca") + F.col("cb") + 1).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
     return joined.groupBy().agg(
         # na*(na+1) computed in Python (exact bigint; a 32-bit Spark
         # literal product would overflow around n_a ≈ 46k)
@@ -744,7 +749,12 @@ def chi2_independence(
         F.count_distinct(x).alias("nr"),
         F.count_distinct(y).alias("nc"),
     )
-    exp = F.col("rtot") * F.col("ctot") / F.col("n")
+    # rtot/ctot are longs; their raw product overflows int64 once both
+    # margins pass ~3e9 (trivially reached at 100 TB) — route through
+    # double (the oracle's hugeint intermediate is exact, but chi2 rounds
+    # at 6 so the ~1e-16 relative double error is far below the output
+    # grain; both engines agree wherever bigint didn't overflow)
+    exp = F.col("rtot").cast("double") * F.col("ctot") / F.col("n")
     out = (
         grid.join(F.broadcast(rm), x)
         .join(F.broadcast(cm), y)
@@ -995,8 +1005,6 @@ def benford_digit_audit(df: DataFrame, value: str) -> DataFrame:
     caller's accept/reject; terms are emitted per digit so the audit
     shows WHICH digits deviate, not just that something does.
     """
-    import math
-
     v = F.col(value)
     digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
     counts = (
