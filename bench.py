@@ -217,6 +217,11 @@ def main() -> None:
         "events_funnel_windowed",
         "stats_benford",
         "events_stickiness",
+        "stats_basket_lift",
+        "stats_linreg",
+        "win_order_gaps",
+        "graph_degree_dist",
+        "text_gopher_rules",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

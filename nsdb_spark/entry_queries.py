@@ -1506,13 +1506,58 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.events_metric(spark, sf), bucket_ms=86400000,
         window_buckets=30,
     )
+    q["stats_basket_lift"] = lambda spark, sf: analytics.basket_pair_lift(
+        testdata.table(spark, sf, "lineitem"),
+        basket="l_orderkey", item="l_partkey", min_pairs=2,
+    )
+    q["stats_linreg"] = lambda spark, sf: analytics.linreg_by_group(
+        testdata.table(spark, sf, "lineitem"), part="l_returnflag",
+        x="l_quantity", y="l_extendedprice",
+    )
+    q["win_order_gaps"] = lambda spark, sf: analytics.order_gaps(
+        testdata.table(spark, sf, "orders").select(
+            "o_custkey", "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ; session tz is UTC
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 1000"
+            ).alias("odate_ms"),
+        ),
+        key="o_custkey", seq_col="odate_ms", id_col="o_orderkey",
+    )
+
+    def _cust_supp_edges(spark: SparkSession, sf: str) -> DataFrame:
+        # bipartite customer–supplier edges via the order line items;
+        # suppliers shift by 1e6 so the two id spaces can't collide in
+        # the undirected least/greatest canonicalization
+        li = testdata.table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        o_ = testdata.table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        return li.join(
+            o_, li.l_orderkey == o_.o_orderkey
+        ).select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+
+    q["graph_degree_dist"] = lambda spark, sf: graph.degree_distribution(
+        _cust_supp_edges(spark, sf)
+    )
+    q["text_gopher_rules"] = lambda spark, sf: text.gopher_rule_flags(
+        testdata.table(spark, sf, "documents")
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
-        # round 7: new entries this round
+        # round 8: new entries this round
+        "stats_basket_lift", "stats_linreg", "win_order_gaps",
+        "graph_degree_dist", "text_gopher_rules", "stats_mwu", "stats_chi2",
+        # round 7: new entries that round
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
         "emb_diversity", "tsa_anomaly", "text_lm_bigram",
@@ -3189,5 +3234,77 @@ SELECT w.b * 86400000 AS bucket_start,
        coalesce(dau, 0) AS dau, mau,
        round(coalesce(dau, 0) / mau, 6) AS stickiness
 FROM w LEFT JOIN d USING (b)
+"""
+    o["stats_basket_lift"] = """
+WITH present AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT cast(count(DISTINCT b) AS double) AS n FROM present),
+ic AS (SELECT i, count(*) AS ni FROM present GROUP BY 1),
+p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_pairs
+      FROM present a JOIN present b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, n_pairs,
+       round(n_pairs / nb.n, 6) AS support,
+       round(n_pairs / cast(ia.ni AS double), 6) AS confidence,
+       round(n_pairs * nb.n / (cast(ia.ni AS double) * ib.ni), 6) AS lift
+FROM p JOIN ic ia ON p.item_a = ia.i JOIN ic ib ON p.item_b = ib.i, nb
+"""
+    o["stats_linreg"] = """
+WITH base AS (SELECT l_returnflag AS g, cast(l_quantity AS double) AS x,
+                     cast(l_extendedprice AS double) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+m AS (SELECT g, avg(x) AS mx, avg(y) AS my FROM base GROUP BY 1),
+s AS (SELECT base.g, count(*) AS n,
+             sum((x - mx) * (x - mx)) AS sxx,
+             sum((y - my) * (y - my)) AS syy,
+             sum((x - mx) * (y - my)) AS sxy,
+             max(mx) AS mx, max(my) AS my
+      FROM base JOIN m USING (g) GROUP BY base.g)
+SELECT g AS l_returnflag, n,
+       round(sxy / sxx, 6) AS slope,
+       round(my - (sxy / sxx) * mx, 6) AS intercept,
+       round((sxy * sxy) / (sxx * syy), 6) AS r2
+FROM s
+"""
+    o["win_order_gaps"] = """
+WITH d AS (SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS odate_ms
+           FROM orders)
+SELECT o_custkey, o_orderkey, odate_ms,
+       lag(odate_ms) OVER w AS prev_seq,
+       odate_ms - lag(odate_ms) OVER w AS gap,
+       cast(row_number() OVER w AS int) AS rn
+FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY odate_ms, o_orderkey)
+"""
+    o["graph_degree_dist"] = """
+WITH e AS (SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS u,
+                  greatest(o_custkey, l_suppkey + 1000000) AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (SELECT node, count(*) AS degree
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY 1),
+hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+tot AS (SELECT cast(sum(n_nodes) AS double) AS t FROM hist)
+SELECT degree, n_nodes, round(n_nodes / t, 6) AS pct_nodes FROM hist, tot
+"""
+    o["text_gopher_rules"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+m AS (SELECT doc_id, len(words) AS nw,
+             list_sum(list_transform(words, x -> len(x))) AS tc,
+             len(list_distinct(words)) AS nd,
+             len(list_distinct(list_intersect(words, {_stoplist_sql('en')}))) AS sh
+      FROM w),
+r AS (SELECT doc_id, nw, sh,
+             round(tc / cast(nw AS double), 6) AS mwl,
+             round(1.0 - nd / cast(nw AS double), 6) AS df
+      FROM m)
+SELECT doc_id, cast(nw AS int) AS n_words, mwl AS mean_word_len,
+       df AS dup_frac, cast(sh AS int) AS stop_hits,
+       nw BETWEEN 10 AND 1000 AS ok_words,
+       mwl BETWEEN 2.0 AND 12.0 AS ok_word_len,
+       df <= 0.6 AS ok_dup,
+       sh >= 1 AS ok_stop,
+       (nw BETWEEN 10 AND 1000) AND (mwl BETWEEN 2.0 AND 12.0)
+           AND df <= 0.6 AND sh >= 1 AS passes
+FROM r
 """
     return o

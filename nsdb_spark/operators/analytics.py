@@ -1032,6 +1032,160 @@ def benford_digit_audit(df: DataFrame, value: str) -> DataFrame:
     )
 
 
+def basket_pair_lift(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Market-basket association mining: for every pair of items that
+    co-occur in at least `min_pairs` baskets, the classic rule metrics —
+    support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)·P(b)) —
+    the "frequently bought together" primitive (Agrawal et al. 1993
+    support/confidence framing) and, in a data pipeline, the co-occurrence
+    screen behind template/boilerplate detection.
+
+    Plan shape: collapse to distinct (basket, item) presence (one
+    partial-agg exchange), then the pair generation is a SELF-JOIN
+    CO-PARTITIONED ON THE BASKET KEY — fan-out is per-basket size², which
+    real baskets bound (TPC-H ~7 items/order), never corpus². The
+    min-support cut runs inside the pair aggregate, so only frequent
+    pairs survive to the metric joins; item totals are a catalog-sized
+    frame joined broadcast. n_a·n_b routes through double (two ~1e10
+    margins overflow int64). Output: (item_a, item_b, n_pairs, support,
+    confidence, lift — rounds 6), item_a < item_b.
+    """
+    present = df.select(F.col(basket).alias("__b"), F.col(item).alias("__i")).distinct()
+    n_baskets = present.agg(
+        F.count_distinct("__b").cast("double").alias("__n")
+    )
+    item_n = present.groupBy(F.col("__i")).agg(F.count(F.lit(1)).alias("__ni"))
+    pairs = (
+        present.alias("a")
+        .join(
+            present.alias("b"),
+            (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_pairs)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_n.select(F.col("__i").alias("item_a"), F.col("__ni").alias("__na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("__i").alias("item_b"), F.col("__ni").alias("__nb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("__n"), 6).alias("support"),
+            F.round(F.col("n_pairs") / F.col("__na"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pairs") * F.col("__n")
+                / (F.col("__na").cast("double") * F.col("__nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def linreg_by_group(
+    df: DataFrame, part: str, x: str, y: str
+) -> DataFrame:
+    """Per-group simple OLS: slope, intercept, and R² of y on x — the
+    closed-form regression layer above group_stats' correlation (drift
+    lines per segment, price-vs-quantity curves per flag) without MLlib.
+
+    Numerically CENTERED two-pass form: a single tiny aggregate yields
+    per-group means, broadcast back, then one map-side-combinable pass
+    accumulates Σdx², Σdy², Σdx·dy — the raw-moment one-pass form
+    (nΣxy − ΣxΣy) catastrophically cancels when x is large-magnitude
+    (epoch-millis timestamps), and engines disagree in the surviving
+    digits; centered deviations keep ~15 significant digits so the
+    6-decimal rounding is stable cross-engine. Same two-shuffle shape as
+    robust_stats, each carrying one row per group. Pairs with NULL in
+    either column are excluded from BOTH passes. try_divide: a constant-x
+    group has Σdx² = 0 → slope/intercept/r2 NULL, not an ANSI error.
+
+    Output: (part, n, slope r6, intercept r6, r2 r6).
+    """
+    base = df.filter(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(part, F.col(x).cast("double").alias("__x"), F.col(y).cast("double").alias("__y"))
+    means = base.groupBy(part).agg(
+        F.avg("__x").alias("__mx"), F.avg("__y").alias("__my")
+    )
+    dx = F.col("__x") - F.col("__mx")
+    dy = F.col("__y") - F.col("__my")
+    agged = (
+        base.join(F.broadcast(means), part)
+        .groupBy(part)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dx * dx).alias("__sxx"),
+            F.sum(dy * dy).alias("__syy"),
+            F.sum(dx * dy).alias("__sxy"),
+            F.first("__mx").alias("__mx"),
+            F.first("__my").alias("__my"),
+        )
+    )
+    slope = F.try_divide(F.col("__sxy"), F.col("__sxx"))
+    return agged.select(
+        part,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias("intercept"),
+        F.round(
+            F.try_divide(
+                F.col("__sxy") * F.col("__sxy"),
+                F.col("__sxx") * F.col("__syy"),
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def order_gaps(
+    df: DataFrame,
+    key: str,
+    seq_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival analysis via lead/lag — the window-function
+    family member NSDb's dialect lacks entirely (SURVEY.md §2.6): each
+    row gets its predecessor's sequence value, the gap to it, and its
+    position, turning an order log into a purchase-cadence series
+    (churn-risk feature: "time since previous order").
+
+    seq_col must be numeric (callers pass epoch millis, not date types —
+    integer subtraction is exact and engine-agnostic, where date columns
+    round-trip differently per engine). One hash exchange on the key;
+    lag/row_number share the single (seq, id) partition sort. Output:
+    (key, id, seq_col, prev_seq, gap, rn); a key's first row has NULL
+    prev/gap.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(seq_col).over(w)
+    return df.select(
+        key,
+        id_col,
+        seq_col,
+        prev.alias("prev_seq"),
+        (F.col(seq_col) - prev).alias("gap"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
 def stickiness(
     events: DataFrame,
     bucket_ms: int,

@@ -213,3 +213,41 @@ def triangle_counts(pairs, nodes):
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+def degree_distribution(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree histogram of an undirected graph: how many nodes have
+    degree d, for every observed d — the first diagnostic run on any
+    link/similarity graph (a heavy-tailed near-dup graph means giant
+    clusters are coming; a spiky bipartite degree histogram exposes
+    crawler/bot hubs before they poison PageRank priors or dedup
+    thresholds).
+
+    Dedup to distinct undirected edges, count per endpoint, then count
+    per degree: three map-side-combinable aggregates, monotonically
+    shrinking (edges → nodes → distinct degrees). Self-loops are
+    dropped. Output: (degree, n_nodes, pct_nodes rounded 6), tiny at
+    any graph size.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").cast("double").alias("__t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        F.round(F.col("n_nodes") / F.col("__t"), 6).alias("pct_nodes"),
+    )

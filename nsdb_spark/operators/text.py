@@ -586,3 +586,62 @@ def lm_bigram_logprob(
         )
     )
     return _finish(out, stream, uni)
+
+
+def gopher_rule_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_word_frac: float = 0.6,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Per-document rule-based quality GATES in the Gopher/MassiveText
+    style (Rae et al. 2021 §A1.1 heuristics, adapted to this corpus's
+    whitespace text): each rule emits its measured value AND a boolean
+    flag, plus the conjunction `passes` — unlike quality_score's blended
+    scalar, a failed doc shows WHICH rule rejected it, which is what a
+    filtering-pipeline audit actually needs (rule hit-rates per source
+    are the tuning dashboard).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; duplicate-word fraction
+    ≤ max_dup_word_frac; at least min_stop_hits distinct stopwords.
+    All ratios are integer-derived (exact cross-engine); mean word
+    length rounds at 6 BEFORE its bounds compare so both engines gate
+    on the identical value. Pure projection — no shuffle, pipelines
+    with the scan; NULL text fails every rule with NULL measures.
+
+    Output: (doc_id, n_words, mean_word_len r6, dup_frac r6, stop_hits,
+    ok_words, ok_word_len, ok_dup, ok_stop, passes).
+    """
+    words = _words(text_col)
+    n_words = F.size(words)
+    # mean word length over the words themselves (total non-space chars /
+    # word count) — aggregate() keeps it JVM-side, no second tokenizer
+    total_chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.round(F.try_divide(total_chars, n_words), 6)
+    dup_frac = F.round(
+        F.lit(1.0) - F.try_divide(F.size(F.array_distinct(words)), n_words), 6
+    )
+    stop_hits = _stop_hits(words, LANG_STOPWORDS["en"])
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_word_len = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_dup = dup_frac <= max_dup_word_frac
+    ok_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_dup.alias("ok_dup"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_word_len & ok_dup & ok_stop).alias("passes"),
+    )

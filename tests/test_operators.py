@@ -3055,3 +3055,87 @@ def test_stickiness_ratio_and_gap_bucket(spark):
     # bucket 2: user 1 active today; window still holds both users
     assert out[20]["dau"] == 1 and out[20]["mau"] == 2
     assert out[20]["stickiness"] == 0.5
+
+
+def test_basket_pair_lift_metrics(spark):
+    from nsdb_spark.operators import analytics
+
+    # 4 baskets: {a,b} x3, {a,c} x1 — pair (a,b) support 3/4,
+    # conf P(b|a) = 3/4, lift = (3/4)/((4/4)*(3/4)) = 1.0
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+        (4, "c"),  # duplicate presence must not double-count
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           analytics.basket_pair_lift(df, "basket", "item", min_pairs=2).collect()}
+    assert set(out) == {("a", "b")}  # (a,c) has 1 pair < min_pairs
+    r = out[("a", "b")]
+    assert r["n_pairs"] == 3
+    assert r["support"] == 0.75
+    assert r["confidence"] == 0.75
+    assert r["lift"] == 1.0
+
+
+def test_linreg_by_group_exact_line_and_degenerate(spark):
+    from nsdb_spark.operators import analytics
+
+    # group g: exact y = 2x + 1 (r2 = 1); group h: constant x -> NULLs
+    rows = [("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),
+            ("h", 4.0, 1.0), ("h", 4.0, 2.0), ("g", None, 9.0)]
+    df = spark.createDataFrame(rows, "p string, x double, y double")
+    out = {r["p"]: r for r in
+           analytics.linreg_by_group(df, "p", "x", "y").collect()}
+    assert out["g"]["n"] == 3  # NULL x row excluded
+    assert out["g"]["slope"] == 2.0
+    assert out["g"]["intercept"] == 1.0
+    assert out["g"]["r2"] == 1.0
+    assert out["h"]["slope"] is None and out["h"]["r2"] is None
+
+
+def test_order_gaps_lag_and_ties(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [(1, 10, 100), (1, 11, 150), (1, 12, 150), (2, 20, 99)]
+    df = spark.createDataFrame(rows, "k long, id long, s long")
+    out = {r["id"]: r for r in
+           analytics.order_gaps(df, "k", "s", "id").collect()}
+    assert out[10]["prev_seq"] is None and out[10]["gap"] is None
+    assert out[10]["rn"] == 1
+    assert out[11]["gap"] == 50 and out[11]["rn"] == 2
+    # tie on s breaks by id: 12 follows 11, gap 0
+    assert out[12]["gap"] == 0 and out[12]["rn"] == 3
+    assert out[20]["rn"] == 1
+
+
+def test_degree_distribution_histogram(spark):
+    from nsdb_spark.operators import graph
+
+    # path a-b-c plus duplicate + reversed + self-loop noise:
+    # degrees: a=1, b=2, c=1 -> hist {1: 2, 2: 1}
+    rows = [(1, 2), (2, 1), (2, 3), (2, 3), (5, 5)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    out = {r["degree"]: r for r in graph.degree_distribution(df).collect()}
+    assert out[1]["n_nodes"] == 2 and out[2]["n_nodes"] == 1
+    assert out[1]["pct_nodes"] == round(2 / 3, 6)
+
+
+def test_gopher_rule_flags_gates(spark):
+    from nsdb_spark.operators import text
+
+    good = "the quick brown fox jumps over the lazy dog again " * 2
+    short = "too short"
+    dup = "word word word word word word word word word word word word"
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, short), (3, dup)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.gopher_rule_flags(df).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["ok_words"] is False and out[2]["passes"] is False
+    # 12 copies of one word: dup_frac 11/12 > 0.6
+    assert out[3]["ok_dup"] is False and out[3]["passes"] is False
+    assert out[3]["n_words"] == 12
