@@ -222,6 +222,8 @@ def main() -> None:
         "win_order_gaps",
         "graph_degree_dist",
         "text_gopher_rules",
+        "stats_gini",
+        "tsa_changepoint",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1548,6 +1548,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_gopher_rules"] = lambda spark, sf: text.gopher_rule_flags(
         testdata.table(spark, sf, "documents")
     )
+    q["stats_gini"] = lambda spark, sf: analytics.gini_by_group(
+        testdata.table(spark, sf, "orders"), part="o_orderpriority",
+        value="o_totalprice", scale=100,
+    )
+    q["tsa_changepoint"] = lambda spark, sf: tsa.changepoint_single(
+        testdata.events_metric(spark, sf), scale=100,
+        key="event_type", ts="timestamp", value="value",
+        id_col="event_id",
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1556,7 +1565,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
-        "graph_degree_dist", "text_gopher_rules", "stats_mwu", "stats_chi2",
+        "graph_degree_dist", "text_gopher_rules", "stats_gini",
+        "tsa_changepoint", "stats_mwu", "stats_chi2",
         # round 7: new entries that round
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
@@ -3234,6 +3244,55 @@ SELECT w.b * 86400000 AS bucket_start,
        coalesce(dau, 0) AS dau, mau,
        round(coalesce(dau, 0) / mau, 6) AS stickiness
 FROM w LEFT JOIN d USING (b)
+"""
+    # R(t) = A(t)^2 / (n*n1*n2) with A = s1*n - s*rn over integer-scaled
+    # values: exact hugeint intermediates, then the identical double
+    # division as the Spark side — bit-deterministic argmax, ties to the
+    # earliest split
+    # rank form over integer cents: row_number within group is the rank;
+    # 2·sum(rk·v) in hugeint ≡ the Spark side's doubled decimal rank-sum
+    o["stats_gini"] = """
+WITH base AS (SELECT o_orderpriority AS g,
+                     cast(round(o_totalprice * 100) AS bigint) AS v
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+      FROM base),
+t AS (SELECT g, count(*) AS n, sum(cast(v AS hugeint)) AS s,
+             2 * sum(cast(rk AS hugeint) * v) AS t2
+      FROM r GROUP BY g)
+SELECT g AS o_orderpriority, n,
+       round(cast(t2 AS double) / (n * cast(s AS double)) - (n + 1.0) / n,
+             6) AS gini,
+       round(cast(s AS double) / (n * 100.0), 6) AS mean_value
+FROM t
+"""
+    o["tsa_changepoint"] = """
+WITH base AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id,
+                     cast(round(value * 100) AS bigint) AS v
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+d AS (SELECT k, t, event_id, v,
+             count(*) OVER (PARTITION BY k) AS n,
+             sum(v) OVER (PARTITION BY k) AS s,
+             row_number() OVER w AS rn,
+             sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS s1
+      FROM base WINDOW w AS (PARTITION BY k ORDER BY t, event_id)),
+c AS (SELECT k, n, rn, t,
+             cast(s1 AS hugeint) * n - cast(s AS hugeint) * rn AS a,
+             s, s1
+      FROM d WHERE rn < n),
+sc AS (SELECT k, n, rn, t,
+              cast(a AS double) * cast(a AS double)
+                / (n * cast(rn AS double) * (n - rn)) / 10000.0 AS score,
+              cast(s1 AS double) / (rn * 100.0) AS m1,
+              cast(s - s1 AS double) / ((n - rn) * 100.0) AS m2
+       FROM c)
+SELECT k AS event_type, n, rn AS split_rn, t AS split_ts,
+       round(score, 6) AS score, round(m1, 6) AS mean_left,
+       round(m2, 6) AS mean_right
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY score DESC, rn ASC) = 1
 """
     o["stats_basket_lift"] = """
 WITH present AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

@@ -1032,6 +1032,101 @@ def benford_digit_audit(df: DataFrame, value: str) -> DataFrame:
     )
 
 
+def gini_by_group(
+    df: DataFrame,
+    part: str,
+    value: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative measure — the
+    inequality/concentration index (revenue concentration per segment,
+    token-share concentration per source) via the rank form
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with ascending ranks (tie-
+    invariant: permuting equal values leaves the sum unchanged).
+
+    The rank is the scale problem: a per-group global sort is a
+    single-partition window when one group dominates. Same two-phase
+    range-partition shape as _two_sample_cum_frame, keyed per group:
+    collapse to per-(group, value) counts, range-partition by
+    (group, value), LOCAL cumulative counts per (pid, group), then the
+    P×|groups| per-partition subtotals prefix-sum on the driver and
+    broadcast back — a distinct value v with count c and cum-below cb
+    contributes v·(c·cb + c(c+1)/2) to Σ i·x₍ᵢ₎ in EXACT integer
+    arithmetic (values scale to ints; sums in decimal(38,0), DuckDB's
+    hugeint mirror), and the closing division is the identical double
+    expression on both engines. Driver state is P×|groups| rows — group
+    cardinality must be bounded (segments/priorities/sources), like
+    every per-group driver-offset operator here.
+
+    Output: (part, n, gini r6, mean_value r6); all-NULL groups drop.
+    """
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(
+        F.col(part),
+        F.round(F.col(value) * scale).cast("long").alias("__v"),
+    )
+    g = base.groupBy(part, "__v").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint BEFORE deriving offsets: repartitionByRange samples its
+    # boundaries per job (the partition_offsets contract)
+    d = (
+        g.repartitionByRange(part, "__v")
+        .sortWithinPartitions(part, "__v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("pid", part)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("lc", F.sum("c").over(w))
+    subtotals = d.groupBy("pid", part).agg(F.sum("c").alias("sc")).collect()
+    acc: dict = {}
+    offsets = []
+    for r in sorted(subtotals, key=lambda r: (str(r[part]), r["pid"])):
+        offsets.append((r["pid"], r[part], acc.get(r[part], 0)))
+        acc[r[part]] = acc.get(r[part], 0) + (r["sc"] or 0)
+    if not offsets:
+        return df.select(part).limit(0).select(
+            F.col(part),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("gini"),
+            F.lit(None).cast("double").alias("mean_value"),
+        )
+    part_t = df.schema[part].dataType.simpleString()
+    off = df.sparkSession.createDataFrame(
+        offsets, f"pid int, {part} {part_t}, off long"
+    )
+    joined = d.join(F.broadcast(off), ["pid", part])
+    cb = (F.col("off") + F.col("lc") - F.col("c")).cast(dec)
+    c = F.col("c").cast(dec)
+    # doubled rank-sum term keeps everything integral (c·(2cb+c+1) is the
+    # 2× of c·cb + c(c+1)/2, so no decimal division anywhere): 2·Σ i·x
+    term2 = c * (F.lit(2).cast(dec) * cb + c + F.lit(1).cast(dec)) * F.col(
+        "__v"
+    ).cast(dec)
+    agged = joined.groupBy(part).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast(dec) * F.col("__v").cast(dec)).alias("__s"),
+        F.sum(term2).alias("__t2"),
+    )
+    s_d = F.col("__s").cast("double")
+    return agged.select(
+        part,
+        "n",
+        F.round(
+            F.col("__t2").cast("double") / (F.col("n") * s_d)
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(s_d / (F.col("n") * F.lit(float(scale))), 6).alias(
+            "mean_value"
+        ),
+    )
+
+
 def basket_pair_lift(
     df: DataFrame,
     basket: str,

@@ -443,3 +443,90 @@ def seasonal_anomalies(
             F.col("__z").alias("z_score"),
         )
     )
+
+
+def changepoint_single(
+    df: DataFrame,
+    scale: int = 100,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key best single mean-shift changepoint: the split position t
+    (in (ts, id) order) maximizing the between-segment sum of squares
+    R(t) = n₁(m₁−m)² + n₂(m₂−m)² — the first step of binary-segmentation
+    changepoint detection (Scott & Knott '74 shape), and the "when did
+    this metric's level shift" question CUSUM alarms but doesn't locate.
+
+    EXACT arithmetic end to end: values scale to integers (×`scale`,
+    e.g. cents), running/total sums stay integral, and R(t) collapses
+    algebraically to A(t)²/(n·n₁·n₂) with A = s₁·n − s·n₁ — s₁+s₂=s
+    makes the right-segment term the same A, so ONE integer per split
+    decides the argmax. A is computed in decimal(38,0) (the bigint
+    product dies near 1e9-row keys) and the final score division is the
+    identical double expression on both engines — bit-deterministic, no
+    FP-accumulation drift, ties broken by the earliest split. Same
+    window discipline as cusum_summary: running sum, row_number, and
+    the per-key totals all share ONE hash exchange on the key.
+
+    Output: (key, n, split_rn, split_ts, score r6, mean_left r6,
+    mean_right r6) — the split is AFTER row split_rn; keys with n < 2
+    drop (no valid split).
+    """
+    v = F.round(F.col(value) * scale).cast("long")
+    base = df.filter(F.col(value).isNotNull() & F.col(key).isNotNull()).select(
+        key, ts, id_col, v.alias("__v")
+    )
+    w_key = Window.partitionBy(key)
+    w_ord = Window.partitionBy(key).orderBy(ts, id_col)
+    run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        base
+        # unordered window FIRST so the single Exchange(key) also serves
+        # the ordered windows (seasonal_adjust's subset-clustering rule)
+        .withColumn("__n", F.count(F.lit(1)).over(w_key))
+        .withColumn("__s", F.sum("__v").over(w_key))
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn("__s1", F.sum("__v").over(run))
+    )
+    dec = "decimal(38,0)"
+    a = (
+        F.col("__s1").cast(dec) * F.col("__n").cast(dec)
+        - F.col("__s").cast(dec) * F.col("__rn").cast(dec)
+    )
+    n1 = F.col("__rn").cast("double")
+    n2 = (F.col("__n") - F.col("__rn")).cast("double")
+    scaled2 = float(scale) * scale
+    score = (
+        a.cast("double") * a.cast("double")
+        / (F.col("__n").cast("double") * n1 * n2)
+        / F.lit(scaled2)
+    )
+    cand = d.filter(F.col("__rn") < F.col("__n")).select(
+        F.col(key),
+        F.col("__n").alias("n"),
+        F.col("__rn").alias("rn"),
+        F.col(ts).alias("__ts"),
+        score.alias("__score"),
+        (F.col("__s1").cast("double") / (n1 * scale)).alias("__m1"),
+        (
+            (F.col("__s") - F.col("__s1")).cast("double") / (n2 * scale)
+        ).alias("__m2"),
+    )
+    best = cand.groupBy(key, "n").agg(
+        F.max_by(
+            F.struct("rn", "__ts", "__score", "__m1", "__m2"),
+            # unique ordering: score desc, then EARLIEST split wins ties
+            F.struct(F.col("__score"), (-F.col("rn")).alias("__neg")),
+        ).alias("__b")
+    )
+    return best.select(
+        key,
+        "n",
+        F.col("__b.rn").alias("split_rn"),
+        F.col("__b.__ts").alias("split_ts"),
+        F.round(F.col("__b.__score"), 6).alias("score"),
+        F.round(F.col("__b.__m1"), 6).alias("mean_left"),
+        F.round(F.col("__b.__m2"), 6).alias("mean_right"),
+    )

@@ -3139,3 +3139,40 @@ def test_gopher_rule_flags_gates(spark):
     # 12 copies of one word: dup_frac 11/12 > 0.6
     assert out[3]["ok_dup"] is False and out[3]["passes"] is False
     assert out[3]["n_words"] == 12
+
+
+def test_changepoint_single_mean_shift(spark):
+    from nsdb_spark.operators import tsa
+
+    rows = [("a", t, t, 0.0 if t <= 3 else 10.0) for t in range(1, 7)]
+    rows += [("b", 1, 1, 5.0)]          # n < 2: no valid split, drops
+    rows += [("c", 1, 1, 2.0), ("c", 2, 2, None), ("c", 3, 3, 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, value double"
+    )
+    out = {r["event_type"]: r for r in
+           tsa.changepoint_single(df, scale=100).collect()}
+    assert "b" not in out
+    a = out["a"]
+    assert a["n"] == 6 and a["split_rn"] == 3 and a["split_ts"] == 3
+    assert a["mean_left"] == 0.0 and a["mean_right"] == 10.0
+    # R = 3*(0-5)^2 + 3*(10-5)^2 = 150
+    assert a["score"] == 150.0
+    # constant series: every split scores 0; tie -> earliest split
+    c = out["c"]
+    assert c["n"] == 2 and c["split_rn"] == 1 and c["score"] == 0.0
+
+
+def test_gini_by_group_known_values(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [("eq", float(v)) for v in (3, 3, 3, 3)]
+    rows += [("con", 0.0), ("con", 0.0), ("con", 0.0), ("con", 4.0)]
+    rows += [("skip", None), (None, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           analytics.gini_by_group(df, "g", "v").collect()}
+    assert set(out) == {"eq", "con"}   # all-NULL group drops
+    assert out["eq"]["gini"] == 0.0 and out["eq"]["mean_value"] == 3.0
+    # [0,0,0,4]: G = 2*16/(4*4) - 5/4 = 0.75
+    assert out["con"]["gini"] == 0.75 and out["con"]["n"] == 4
