@@ -224,6 +224,8 @@ def main() -> None:
         "text_gopher_rules",
         "stats_gini",
         "tsa_changepoint",
+        "sim_mmr",
+        "emb_knn_classify",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -482,6 +482,45 @@ def _docs(spark, sf_dir):
     return testdata.table(spark, sf_dir, "documents")
 
 
+def _mmr_oracle(k: int = 5, shortlist: int = 30, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR selection, one CTE pair per rank: rank i's
+    pick is the argmax over the unselected shortlist of
+    λ·rel − (1−λ)·max cos-to-selected — rel and the pairwise cosines
+    round at 6 exactly like the Spark driver loop, and the λ weights are
+    the SAME double expressions ({lam} and (1.0 − {lam}); a literal 0.3
+    is a different double than 1.0 − 0.7)."""
+    steps = [f"""
+sel1 AS (SELECT vec_id, v, nrm, rel, {lam} * rel AS score, 1 AS rank
+         FROM short ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    for i in range(2, k + 1):
+        steps.append(f"""
+d{i} AS (SELECT c.vec_id,
+               max(round(list_dot_product(c.v, s.v) / (c.nrm * s.nrm), 6)) AS dv
+        FROM short c, sel{i - 1} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY c.vec_id),
+p{i} AS (SELECT short.vec_id, short.v, short.nrm, short.rel,
+               {lam} * short.rel - (1.0 - {lam}) * d{i}.dv AS score
+        FROM short JOIN d{i} USING (vec_id)
+        ORDER BY score DESC, vec_id LIMIT 1),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL
+           SELECT vec_id, v, nrm, rel, score, {i} AS rank FROM p{i})""")
+    return f"""
+WITH {_EMB_CTE},
+q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0),
+short AS (SELECT nn.vec_id, nn.v, nn.nrm,
+                 round(list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn), 6) AS rel
+          FROM nn, q
+          ORDER BY list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) DESC,
+                   nn.vec_id
+          LIMIT {shortlist}),
+{",".join(steps)}
+SELECT cast(rank AS int) AS rank, vec_id, rel AS relevance,
+       round(score, 6) AS mmr_score
+FROM sel{k}
+"""
+
+
 def _emb(spark, sf_dir):
     return testdata.table(spark, sf_dir, "embeddings")
 
@@ -1548,6 +1587,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_gopher_rules"] = lambda spark, sf: text.gopher_rule_flags(
         testdata.table(spark, sf, "documents")
     )
+    q["sim_mmr"] = lambda spark, sf: similarity.mmr_topk(
+        _emb(spark, sf), _query_vec(spark, sf), k=5, shortlist=30, lam=0.7,
+    )
+    q["emb_knn_classify"] = lambda spark, sf: similarity.knn_label_vote(
+        _emb(spark, sf), k=5,
+    )
     q["stats_gini"] = lambda spark, sf: analytics.gini_by_group(
         testdata.table(spark, sf, "orders"), part="o_orderpriority",
         value="o_totalprice", scale=100,
@@ -1566,7 +1611,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
-        "tsa_changepoint", "stats_mwu", "stats_chi2",
+        "tsa_changepoint", "sim_mmr", "emb_knn_classify",
+        "stats_mwu", "stats_chi2",
         # round 7: new entries that round
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
         "tsa_seasonal", "dedup_passage_scrub", "stats_bootstrap",
@@ -3249,6 +3295,24 @@ FROM w LEFT JOIN d USING (b)
     # values: exact hugeint intermediates, then the identical double
     # division as the Spark side — bit-deterministic argmax, ties to the
     # earliest split
+    o["sim_mmr"] = _mmr_oracle(k=5, shortlist=30, lam=0.7)
+    o["emb_knn_classify"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+pr AS (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+              list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS s
+       FROM nn a JOIN nn b ON a.vec_id != b.vec_id),
+top AS (SELECT * FROM pr
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY s DESC, nbr_id) <= 5),
+v AS (SELECT vec_id, label, nbr_label, count(*) AS n_votes
+      FROM top GROUP BY 1, 2, 3)
+SELECT vec_id, label, nbr_label AS pred_label, n_votes,
+       nbr_label = label AS agree
+FROM v
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY n_votes DESC, nbr_label) = 1
+"""
     # rank form over integer cents: row_number within group is the rank;
     # 2·sum(rk·v) in hugeint ≡ the Spark side's doubled decimal rank-sum
     o["stats_gini"] = """

@@ -588,3 +588,150 @@ def label_diversity(
             ).alias("mean_pairwise_cos"),
         )
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    shortlist: int = 30,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein SIGIR'98): greedily select argmax_c of
+    λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s) — the result-diversification
+    step after any similarity retrieval (a plain top-k returns five
+    near-copies of the best hit; MMR returns the best hit plus four
+    genuinely different ones).
+
+    Two-stage, like text_rerank_twostage: stage 1 is the DISTRIBUTED
+    exact top-`shortlist` by cosine (TakeOrderedAndProject — the corpus
+    never sorts globally and only `shortlist` rows ever leave the
+    executors, vectors included); stage 2 is the greedy argmax over that
+    bounded shortlist on the driver — the selection is inherently
+    sequential in k and touches shortlist² ≤ 30² pairs, far below the
+    kmeans-centroid collect this repo already bounds at. Relevance and
+    pairwise cosines round to 6 BEFORE the greedy compare so the SQL
+    oracle's unrolled selection walks the identical lattice; ties break
+    by vec_id ascending.
+
+    Output: (rank 1-based, vec_id, relevance r6, mmr_score r6) — row
+    rank 1 is always the globally most relevant candidate (its MMR
+    score is defined as λ·rel, no diversity term yet).
+    """
+    import math
+
+    q = _lit_vec(query_vec)
+    qn = _py_norm(query_vec)
+    v = _as_double(vec_col)
+    rows = (
+        emb.select(
+            "vec_id",
+            v.alias("__v"),
+            (_dot(v, q) / (_norm(v) * F.lit(qn))).alias("__s"),
+        )
+        .orderBy(F.col("__s").desc(), F.col("vec_id").asc())
+        .limit(shortlist)
+        .collect()
+    )
+    cand = [
+        (int(r["vec_id"]), list(r["__v"]), round(r["__s"], 6)) for r in rows
+    ]
+
+    def cos(a: list, b: list) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return round(d / (na * nb), 6)
+
+    selected: list[tuple] = []  # (vec_id, vec, relevance, mmr_score)
+    remaining = list(cand)
+    while remaining and len(selected) < k:
+        best = None
+        for vid, vec, rel in remaining:
+            div = max((cos(vec, sv) for _, sv, _, _ in selected), default=0.0)
+            score = lam * rel - (1.0 - lam) * div
+            # ties: higher score wins, then smaller vec_id
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, (vid, vec, rel, score))
+        selected.append(best[1])
+        remaining = [c for c in remaining if c[0] != best[1][0]]
+    out = [
+        (i + 1, vid, rel, round(score, 6))
+        for i, (vid, _, rel, score) in enumerate(selected)
+    ]
+    return emb.sparkSession.createDataFrame(
+        out, "rank int, vec_id long, relevance double, mmr_score double"
+    )
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leave-one-out k-NN label classification over the embedding table:
+    each vector's predicted label is the majority label of its k nearest
+    OTHER vectors by cosine — the standard label-quality audit
+    (`agree` = False rows are mislabel/boundary candidates, the same
+    consumers as centroid_outliers but neighborhood- instead of
+    centroid-based).
+
+    This is the EXACT all-pairs anchor, like dedup_embedding_cosine: the
+    pair join is O(n²) by declaration, the oracle-checkable ground truth
+    the bucketed paths (IVF cells, SRP bands) are measured against — at
+    100 TB the same vote runs over their candidate pairs instead. Both
+    stages after the join are window/aggregate cuts: per-vector top-k by
+    raw cosine (ties by neighbour id — raw dots are bit-identical across
+    engines because both fold left-to-right), then a (vector, label)
+    count with a (count desc, label asc) rank-1 cut.
+
+    Output: (vec_id, label, pred_label, n_votes, agree).
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vec_col)
+    side = emb.select(
+        "vec_id", F.col(label_col).alias("__l"), v.alias("__v"),
+        _norm(v).alias("__n"),
+    )
+    pairs = (
+        side.alias("a")
+        .join(side.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.__l").alias("label"),
+            F.col("b.vec_id").alias("nbr_id"),
+            F.col("b.__l").alias("nbr_label"),
+            (
+                _dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("__s"),
+        )
+    )
+    wk = Window.partitionBy("vec_id").orderBy(
+        F.desc("__s"), F.asc("nbr_id")
+    )
+    nbrs = pairs.withColumn("__rn", F.row_number().over(wk)).filter(
+        F.col("__rn") <= k
+    )
+    votes = nbrs.groupBy("vec_id", "label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    return (
+        votes.withColumn("__rv", F.row_number().over(wv))
+        .filter(F.col("__rv") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("nbr_label").alias("pred_label"),
+            "n_votes",
+            (F.col("nbr_label") == F.col("label")).alias("agree"),
+        )
+    )

@@ -3176,3 +3176,49 @@ def test_gini_by_group_known_values(spark):
     assert out["eq"]["gini"] == 0.0 and out["eq"]["mean_value"] == 3.0
     # [0,0,0,4]: G = 2*16/(4*4) - 5/4 = 0.75
     assert out["con"]["gini"] == 0.75 and out["con"]["n"] == 4
+
+
+def test_mmr_topk_diversifies_against_redundant_shortlist(spark):
+    from nsdb_spark.operators import similarity
+
+    # query (1,0); a and b are near-duplicates of each other (both rel
+    # .99), c is diverse but less relevant. Low lambda should pick c
+    # second even though b outranks it on pure relevance.
+    rows = [
+        (1, [0.99, 0.141]),
+        (2, [0.99, -0.141]),
+        (3, [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.mmr_topk(
+        df, [1.0, 0.0], k=2, shortlist=3, lam=0.3
+    ).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["vec_id"] == 1          # rel tie with 2 -> smaller id
+    assert out[0]["mmr_score"] == round(0.3 * out[0]["relevance"], 6)
+    assert out[1]["vec_id"] == 3          # diversity beats the near-dup
+    # high lambda reverts to pure relevance order
+    rel = similarity.mmr_topk(
+        df, [1.0, 0.0], k=2, shortlist=3, lam=1.0
+    ).collect()
+    assert [r["vec_id"] for r in rel] == [1, 2]
+
+
+def test_knn_label_vote_flags_mislabels(spark):
+    from nsdb_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0], "A"),
+        (2, [1.0, 0.0], "A"),
+        (3, [1.0, 0.0], "B"),   # sits in the A cluster: mislabel
+        (4, [0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["vec_id"]: r for r in
+           similarity.knn_label_vote(df, k=2).collect()}
+    assert out[3]["pred_label"] == "A" and out[3]["agree"] is False
+    assert out[3]["n_votes"] == 2
+    # vec 1's top-2 are {2 (A), 3 (B)}: 1-1 vote, tie -> label asc = A
+    assert out[1]["pred_label"] == "A" and out[1]["agree"] is True
