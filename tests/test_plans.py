@@ -469,3 +469,32 @@ def test_ks_two_phase_no_global_window(spark):
     # show a sort-based Window over Exchange SinglePartition feeding it
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_changepoint_single_key_exchange(spark):
+    """All four window aggregates (per-key count/sum, row_number, the
+    running sum) must ride ONE hash exchange on the key — the anchored
+    window-ordering discipline of seasonal_adjust — and the final argmax
+    is a partial/final aggregate, not another sort."""
+    from nsdb_spark.operators import tsa
+
+    ev = testdata.events_metric(spark, SF_DIR)
+    plan = plan_of(tsa.changepoint_single(ev))
+    # one exchange for the windows + one for the (key, n) argmax agg
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_gini_no_global_sort(spark):
+    """The per-group rank machinery must stay range-partitioned: no
+    single-partition exchange anywhere (the naive per-group row_number
+    plan would sort each group in one task)."""
+    from nsdb_spark.operators import analytics
+
+    orders = testdata.table(spark, SF_DIR, "orders")
+    out = analytics.gini_by_group(
+        orders, "o_orderpriority", "o_totalprice"
+    )
+    plan = plan_of(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
