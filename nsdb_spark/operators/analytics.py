@@ -1116,8 +1116,12 @@ def gini_by_group(
     return agged.select(
         part,
         "n",
+        # try_divide: an all-zero group has Σx = 0 — its Gini is 0/0,
+        # undefined → NULL (DuckDB /0 parity), not an ANSI error
         F.round(
-            F.col("__t2").cast("double") / (F.col("n") * s_d)
+            F.try_divide(
+                F.col("__t2").cast("double"), F.col("n") * s_d
+            )
             - (F.col("n") + F.lit(1.0)) / F.col("n"),
             6,
         ).alias("gini"),

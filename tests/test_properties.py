@@ -399,3 +399,151 @@ def test_label_diversity_matches_bruteforce(spark, vecs):
     ]
     want = sum(dots) / (n * (n - 1))
     assert abs(got["mean_pairwise_cos"] - want) < 1e-5
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=2, max_size=40
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gini_matches_bruteforce_rank_form(spark, vals):
+    """The range-partitioned tie-grouped rank machinery equals the
+    textbook sorted-rank formula for ANY non-negative integer list
+    (one group) — including all-equal (G = 0) and heavy-tie inputs."""
+    from nsdb_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    got = analytics.gini_by_group(df, "g", "v", scale=1).collect()[0]
+    xs = sorted(vals)
+    n = len(xs)
+    s = sum(xs)
+    if s == 0:
+        assert got["gini"] is None  # 0/0: undefined, reported as NULL
+        return
+    want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) \
+        - (n + 1) / n
+    assert abs(got["gini"] - want) < 1e-6
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=2, max_size=25
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_changepoint_matches_bruteforce_argmax(spark, vals):
+    """A(t)²/(n·n1·n2) equals the brute-force between-segment sum of
+    squares at every split, and the chosen split is the argmax with
+    earliest-split tie-breaking, for ANY integer series."""
+    from nsdb_spark.operators import tsa
+
+    df = spark.createDataFrame(
+        [("k", i, i, float(v)) for i, v in enumerate(vals)],
+        "event_type string, timestamp long, event_id long, value double",
+    )
+    got = tsa.changepoint_single(df, scale=1).collect()[0]
+    n = len(vals)
+    m = sum(vals) / n
+    best_rn, best_score = None, None
+    for t in range(1, n):
+        m1 = sum(vals[:t]) / t
+        m2 = sum(vals[t:]) / (n - t)
+        score = t * (m1 - m) ** 2 + (n - t) * (m2 - m) ** 2
+        if best_score is None or score > best_score + 1e-12:
+            best_rn, best_score = t, score
+    assert got["split_rn"] == best_rn
+    assert abs(got["score"] - best_score) < 1e-5
+    assert abs(got["mean_left"] - sum(vals[:best_rn]) / best_rn) < 1e-5
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+        ).filter(lambda v: sum(x * x for x in v) > 1e-4),
+        min_size=3, max_size=8,
+    ),
+    lam=st.sampled_from([0.3, 0.5, 0.7]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mmr_matches_bruteforce_greedy(spark, vecs, lam):
+    """The two-stage MMR (distributed shortlist + driver greedy) equals
+    a pure-Python greedy over the same rounded scores for ANY vector
+    set and lambda."""
+    import math
+
+    from nsdb_spark.operators import similarity
+
+    q = [1.0, 0.5]
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k = 3
+    got = similarity.mmr_topk(df, q, k=k, shortlist=len(vecs), lam=lam).collect()
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    cand = [(i, list(v), cos(v, q)) for i, v in enumerate(vecs)]
+    sel = []
+    while cand and len(sel) < k:
+        scored = [
+            (lam * rel - (1 - lam) * max(
+                (cos(v, sv) for _, sv, _ in sel), default=0.0), vid, v, rel)
+            for vid, v, rel in cand
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        s, vid, v, rel = scored[0]
+        sel.append((vid, v, rel))
+        cand = [c for c in cand if c[0] != vid]
+    assert [r["vec_id"] for r in got] == [vid for vid, _, _ in sel]
+
+
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1,
+                 max_size=5),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_basket_lift_matches_bruteforce(spark, baskets):
+    """Pair counts / support / confidence / lift equal brute-force
+    set-based counting for ANY basket collection (duplicates inside a
+    basket must not double-count)."""
+    from itertools import combinations
+
+    from nsdb_spark.operators import analytics
+
+    rows = [(bi, it) for bi, b in enumerate(baskets) for it in b]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {(r["item_a"], r["item_b"]): r for r in
+           analytics.basket_pair_lift(df, "basket", "item", min_pairs=1)
+           .collect()}
+    sets = [set(b) for b in baskets]
+    nb = len(sets)
+    items = sorted({i for s in sets for i in s})
+    cnt = {i: sum(1 for s in sets if i in s) for i in items}
+    want = {}
+    for a, b in combinations(items, 2):
+        np_ = sum(1 for s in sets if a in s and b in s)
+        if np_ >= 1:
+            want[(a, b)] = np_
+    assert set(got) == set(want)
+    for (a, b), np_ in want.items():
+        r = got[(a, b)]
+        assert r["n_pairs"] == np_
+        assert abs(r["support"] - np_ / nb) < 1e-6
+        assert abs(r["confidence"] - np_ / cnt[a]) < 1e-6
+        assert abs(r["lift"] - np_ * nb / (cnt[a] * cnt[b])) < 1e-6
