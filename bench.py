@@ -226,6 +226,9 @@ def main() -> None:
         "tsa_changepoint",
         "sim_mmr",
         "emb_knn_classify",
+        "scale_salted_join",
+        "events_rfm",
+        "tsa_rolling_quantiles",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

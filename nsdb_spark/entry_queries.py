@@ -1593,6 +1593,40 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_knn_classify"] = lambda spark, sf: similarity.knn_label_vote(
         _emb(spark, sf), k=5,
     )
+    q["scale_salted_join"] = lambda spark, sf: skew.salted_join(
+        testdata.table(spark, sf, "events").select(
+            "event_id", "user_id", "value"
+        ),
+        testdata.table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.round(F.sum("o_totalprice"), 3).alias("cust_total")),
+        key="user_id", salt_buckets=8, salt_on="event_id",
+    ).select("event_id", "user_id", "value", "cust_total")
+
+    def _rfm(spark: SparkSession, sf: str) -> DataFrame:
+        o_ = testdata.table(spark, sf, "orders").select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 1000"
+            ).alias("__ots"),
+            "o_totalprice",
+        )
+        # "now" = the data's own max order instant: deterministic across
+        # runs/engines, unlike wall-clock now (one tiny driver scalar,
+        # the psi bounds discipline)
+        now_ms = int(o_.agg(F.max("__ots")).first()[0])
+        return analytics.rfm_segments(
+            o_, cust="o_custkey", ts_col="__ots", amount="o_totalprice",
+            now_ms=now_ms, nseg=5,
+        )
+
+    q["events_rfm"] = _rfm
+    q["tsa_rolling_quantiles"] = lambda spark, sf: tsa.rolling_quantiles(
+        testdata.events_metric(spark, sf).select(
+            "user_id", "timestamp", "event_id", "value"
+        ),
+        n=5,
+    )
     q["stats_gini"] = lambda spark, sf: analytics.gini_by_group(
         testdata.table(spark, sf, "orders"), part="o_orderpriority",
         value="o_totalprice", scale=100,
@@ -1612,6 +1646,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
         "tsa_changepoint", "sim_mmr", "emb_knn_classify",
+        "scale_salted_join", "events_rfm", "tsa_rolling_quantiles",
         "stats_mwu", "stats_chi2",
         # round 7: new entries that round
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
@@ -3295,6 +3330,53 @@ FROM w LEFT JOIN d USING (b)
     # values: exact hugeint intermediates, then the identical double
     # division as the Spark side — bit-deterministic argmax, ties to the
     # earliest split
+    # result-identity oracle: salting must be invisible in the output
+    o["scale_salted_join"] = """
+WITH d AS (SELECT o_custkey AS user_id,
+                  round(sum(o_totalprice), 3) AS cust_total
+           FROM orders GROUP BY 1)
+SELECT event_id, user_id, value, cust_total
+FROM events JOIN d USING (user_id)
+"""
+    o["events_rfm"] = """
+WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS ots, o_totalprice
+           FROM orders),
+nowt AS (SELECT max(ots) AS nw FROM o),
+p AS (SELECT o_custkey, max(nw) - max(ots) AS recency_ms,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 3) AS monetary
+      FROM o, nowt GROUP BY o_custkey),
+e AS (SELECT
+        list_transform(quantile_cont(recency_ms, [0.2, 0.4, 0.6, 0.8]),
+                       x -> round(x, 6)) AS er,
+        list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+                       x -> round(x, 6)) AS ef,
+        list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+                       x -> round(x, 6)) AS em
+      FROM p),
+s AS (SELECT o_custkey, recency_ms, frequency, monetary,
+             cast(5 - len(list_filter(er, x -> recency_ms > x)) AS int)
+                 AS r_score,
+             cast(1 + len(list_filter(ef, x -> frequency > x)) AS int)
+                 AS f_score,
+             cast(1 + len(list_filter(em, x -> monetary > x)) AS int)
+                 AS m_score
+      FROM p, e)
+SELECT o_custkey, recency_ms, frequency, monetary, r_score, f_score,
+       m_score, cast(r_score * 100 + f_score * 10 + m_score AS int) AS rfm
+FROM s
+"""
+    o["tsa_rolling_quantiles"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value
+           FROM events)
+SELECT user_id, timestamp, event_id, value,
+       round(q[1], 6) AS roll_p50, round(q[2], 6) AS roll_p90
+FROM (SELECT *,
+             quantile_cont(value, [0.5, 0.9])
+                 OVER (PARTITION BY user_id ORDER BY timestamp, event_id
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS q
+      FROM e)
+"""
     o["sim_mmr"] = _mmr_oracle(k=5, shortlist=30, lam=0.7)
     o["emb_knn_classify"] = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1032,6 +1032,72 @@ def benford_digit_audit(df: DataFrame, value: str) -> DataFrame:
     )
 
 
+def rfm_segments(
+    df: DataFrame,
+    cust: str,
+    ts_col: str,
+    amount: str,
+    now_ms: int,
+    nseg: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — recency (ms since last order),
+    frequency (order count), monetary (total spend) per customer, each
+    scored 1..nseg against POPULATION quantile cuts (higher = better:
+    recent, frequent, big-spending). The classic lifecycle-marketing
+    segmentation, and in a data pipeline the per-source "freshness ×
+    volume × value" triage.
+
+    The scoring deliberately avoids ntile: a global ntile is a
+    single-partition window sort. Instead the equidepth_histogram
+    discipline per dimension: ONE array-percentile aggregate over the
+    |customers|-row frame yields the nseg−1 interior cuts (rounded 6),
+    broadcast back, score = 1 + #cuts strictly below (recency inverts).
+    At true 100 TB the cuts swap to approx_percentile, like every
+    percentile entry here. Monetary sums round at 3 before the cuts so
+    both engines cut on identical values. Output: (cust, recency_ms,
+    frequency, monetary r3, r_score, f_score, m_score, rfm).
+    """
+    if nseg < 2:
+        raise ValueError("nseg must be >= 2")
+    per = df.groupBy(cust).agg(
+        (F.lit(now_ms) - F.max(ts_col)).alias("recency_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(amount), 3).alias("monetary"),
+    )
+    cuts = [i / nseg for i in range(1, nseg)]
+    plist = ", ".join(str(p) for p in cuts)
+    edges = per.agg(
+        *[
+            F.transform(
+                F.expr(f"percentile({c}, array({plist}))"),
+                lambda e: F.round(e, 6),
+            ).alias(f"__e_{c}")
+            for c in ("recency_ms", "frequency", "monetary")
+        ]
+    )
+
+    def below(col: str) -> Column:
+        return F.aggregate(
+            F.col(f"__e_{col}"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) > e, 1).otherwise(0),
+        )
+
+    r_score = F.lit(nseg) - below("recency_ms")  # smaller recency = better
+    f_score = F.lit(1) + below("frequency")
+    m_score = F.lit(1) + below("monetary")
+    return per.crossJoin(F.broadcast(edges)).select(
+        cust,
+        "recency_ms",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).alias("rfm"),
+    )
+
+
 def gini_by_group(
     df: DataFrame,
     part: str,

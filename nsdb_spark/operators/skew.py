@@ -133,3 +133,43 @@ def heavy_hitters(
         f"{col} {col_t}, n long, rank int",
     )
     return out
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-resilient equi-join: the fact side's join key extends with a
+    deterministic salt (hash of `salt_on`, a unique-ish fact column, so
+    re-runs replay identically), and the dimension side REPLICATES
+    salt_buckets× with every salt value — a hot fact key's rows spread
+    across salt_buckets reducers instead of serializing one. The result
+    set is row-for-row identical to the plain join (every fact row meets
+    its dim row exactly once, under exactly one salt).
+
+    This is the join-side sibling of salted_groupby_agg: AQE's skew-join
+    splitting handles sort-merge skew after the fact at runtime, but
+    salting is the portable pre-planned form that also works when the
+    dim side is too big to broadcast yet small enough to replicate
+    (replication cost = |dim|·salt_buckets rows, the explicit trade).
+
+    Output: the plain join's columns (salt dropped).
+    """
+    if salt_buckets <= 0:
+        raise ValueError("salt_buckets must be positive")
+    salt_src = F.col(salt_on if salt_on is not None else key)
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("int"), F.lit(salt_buckets - 1).cast("int")
+            )
+        ),
+    )
+    return f.join(d, [key, "__salt"]).drop("__salt")

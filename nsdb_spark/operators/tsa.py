@@ -530,3 +530,41 @@ def changepoint_single(
         F.round(F.col("__b.__m1"), 6).alias("mean_left"),
         F.round(F.col("__b.__m2"), 6).alias("mean_right"),
     )
+
+
+def rolling_quantiles(
+    df: DataFrame,
+    n: int = 5,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key trailing exact rolling median and p90 over the last n+1
+    samples (rows frame) — the robust anomaly band next to
+    rolling_zscore's mean/σ (one wild sample drags a rolling mean for n
+    rows; the rolling median shrugs it off, which is why latency
+    dashboards band on p50/p90).
+
+    Both quantiles come from ONE array-percentile window aggregate (one
+    value buffer per frame, not one per quantile — the group_percentiles
+    lesson applied to frames), riding the same single key exchange as
+    every per-key operator here. Exact linear interpolation (Spark
+    `percentile` ≡ DuckDB `quantile_cont`); order statistics over ≤ n+1
+    values are engine-exact, rounded 6 for the interpolation halves.
+    Output: (key, ts, id, value, roll_p50 r6, roll_p90 r6).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col(id_col).asc())
+        .rowsBetween(-n, 0)
+    )
+    qs = F.expr(f"percentile({value}, array(0.5, 0.9))").over(w)
+    return df.select(
+        key,
+        ts,
+        id_col,
+        value,
+        F.round(qs[0], 6).alias("roll_p50"),
+        F.round(qs[1], 6).alias("roll_p90"),
+    )

@@ -3222,3 +3222,64 @@ def test_knn_label_vote_flags_mislabels(spark):
     assert out[3]["n_votes"] == 2
     # vec 1's top-2 are {2 (A), 3 (B)}: 1-1 vote, tie -> label asc = A
     assert out[1]["pred_label"] == "A" and out[1]["agree"] is True
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    from nsdb_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "event_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "unmatched")],
+        "k long, name string",
+    )
+    got = sorted(
+        skew.salted_join(fact, dim, "k", salt_buckets=4, salt_on="event_id")
+        .select("event_id", "k", "v", "name").collect()
+    )
+    want = sorted(fact.join(dim, "k").select("event_id", "k", "v", "name").collect())
+    assert got == want
+    assert len(got) == 30  # every fact row matched exactly once
+
+
+def test_rfm_segments_scores(spark):
+    from nsdb_spark.operators import analytics
+
+    # 5 customers, clearly separated R/F/M profiles; now = 1000
+    rows = []
+    for c in range(5):
+        # customer c: last order at 1000 - 100*c; c+1 orders of 10*(c+1)
+        for j in range(c + 1):
+            rows.append((c, 1000 - 100 * c - j, 10.0 * (c + 1)))
+    df = spark.createDataFrame(rows, "cust long, ts long, amt double")
+    out = {r["cust"]: r for r in analytics.rfm_segments(
+        df, "cust", "ts", "amt", now_ms=1000, nseg=5).collect()}
+    # customer 0: most recent (r=5), least frequent (f=1), lowest spend (m=1)
+    assert out[0]["r_score"] == 5 and out[0]["f_score"] == 1
+    assert out[0]["m_score"] == 1 and out[0]["rfm"] == 511
+    # customer 4: stalest, most frequent, highest spend
+    assert out[4]["r_score"] == 1 and out[4]["f_score"] == 5
+    assert out[4]["m_score"] == 5 and out[4]["rfm"] == 155
+    assert out[4]["frequency"] == 5 and out[4]["monetary"] == 250.0
+    assert out[0]["recency_ms"] == 0 and out[4]["recency_ms"] == 400
+
+
+def test_rolling_quantiles_window(spark):
+    from nsdb_spark.operators import tsa
+
+    rows = [(1, t, t, float(v)) for t, v in
+            enumerate([10, 20, 30, 1000, 40, 50])]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, value double"
+    )
+    out = {r["timestamp"]: r for r in
+           tsa.rolling_quantiles(df, n=2).collect()}
+    assert out[0]["roll_p50"] == 10.0          # frame = [10]
+    assert out[1]["roll_p50"] == 15.0          # [10,20]
+    assert out[2]["roll_p50"] == 20.0          # [10,20,30]
+    # the 1000 spike: rolling MEDIAN stays at the middle value
+    assert out[3]["roll_p50"] == 30.0          # [20,30,1000]
+    assert out[4]["roll_p50"] == 40.0          # [30,1000,40]
+    assert out[3]["roll_p90"] == 806.0         # interp toward the spike
