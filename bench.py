@@ -229,6 +229,9 @@ def main() -> None:
         "scale_salted_join",
         "events_rfm",
         "tsa_rolling_quantiles",
+        "graph_common_neighbors",
+        "stats_anova",
+        "emb_centroid_drift",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1627,6 +1627,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         n=5,
     )
+    q["graph_common_neighbors"] = lambda spark, sf: graph.common_neighbor_similarity(
+        # suppliers sharing customers: per-customer supplier degree is
+        # bounded (~40), so the per-dst wedge fan-out stays degree²-small
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+        ),
+        min_common=40,
+    )
+    q["stats_anova"] = lambda spark, sf: analytics.welch_anova(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type",
+    )
+    q["emb_centroid_drift"] = lambda spark, sf: similarity.centroid_drift(
+        _emb(spark, sf)
+    )
     q["stats_gini"] = lambda spark, sf: analytics.gini_by_group(
         testdata.table(spark, sf, "orders"), part="o_orderpriority",
         value="o_totalprice", scale=100,
@@ -1647,6 +1669,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
         "tsa_changepoint", "sim_mmr", "emb_knn_classify",
         "scale_salted_join", "events_rfm", "tsa_rolling_quantiles",
+        "graph_common_neighbors", "stats_anova", "emb_centroid_drift",
         "stats_mwu", "stats_chi2",
         # round 7: new entries that round
         "stats_ttest", "stats_cube", "text_jsd_by_source", "emb_outliers",
@@ -3330,6 +3353,61 @@ FROM w LEFT JOIN d USING (b)
     # values: exact hugeint intermediates, then the identical double
     # division as the Spark side — bit-deterministic argmax, ties to the
     # earliest split
+    o["graph_common_neighbors"] = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+p AS (SELECT a.s AS node_a, b.s AS node_b, count(*) AS n_common
+      FROM e a JOIN e b ON a.d = b.d AND a.s < b.s
+      GROUP BY 1, 2 HAVING count(*) >= 40)
+SELECT node_a, node_b, n_common,
+       round(n_common / cast(da.deg + db.deg - n_common AS double), 6)
+           AS jaccard
+FROM p JOIN deg da ON node_a = da.s JOIN deg db ON node_b = db.s
+"""
+    o["stats_anova"] = """
+WITH stats AS (SELECT event_type, count(*) AS n, sum(value) AS s,
+                      sum(value * value) AS ss
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1 HAVING count(*) >= 2),
+per AS (SELECT n, s / n AS m, (ss - s * s / n) / (n - 1) AS v
+        FROM stats WHERE (ss - s * s / n) / (n - 1) > 0),
+tot AS (SELECT count(*) AS k, sum(n) AS n_total, sum(n / v) AS sw,
+               sum((n / v) * m) AS swm FROM per),
+o AS (SELECT k, n_total,
+             sum((n / v) * (m - swm / sw) * (m - swm / sw)) AS num,
+             sum(pow(1 - (n / v) / sw, 2) / (n - 1)) AS sh
+      FROM per, tot GROUP BY k, n_total)
+SELECT round((num / (k - 1)) / (1 + (2.0 * (k - 2) / (k * k - 1)) * sh), 6)
+           AS f_stat,
+       cast(k - 1 AS bigint) AS dof1,
+       round((k * k - 1.0) / (3.0 * sh), 2) AS dof2,
+       cast(k AS bigint) AS k, cast(n_total AS bigint) AS n_total
+FROM o
+"""
+    o["emb_centroid_drift"] = """
+WITH e AS (SELECT label, vec_id % 2 AS half, unnest(embedding)::DOUBLE AS x,
+                  generate_subscripts(embedding, 1) - 1 AS pos
+           FROM embeddings),
+cent AS (SELECT label, half, pos, avg(x) AS m, count(*) AS c
+         FROM e GROUP BY 1, 2, 3),
+cl AS (SELECT label, half, list(m ORDER BY pos) AS cvec, max(c) AS n
+       FROM cent GROUP BY 1, 2),
+a AS (SELECT label, cvec AS ca, n AS n_even FROM cl WHERE half = 0),
+b AS (SELECT label, cvec AS cb, n AS n_odd FROM cl WHERE half = 1)
+SELECT label, n_even, n_odd,
+       round(coalesce(
+           list_dot_product(ca, cb)
+           / nullif(greatest(sqrt(list_dot_product(ca, ca)), 1e-300)
+                    * greatest(sqrt(list_dot_product(cb, cb)), 1e-300), 0),
+           0.0), 6) AS cos_drift,
+       round(greatest(sqrt(list_dot_product(ca, ca)), 1e-300), 6)
+           AS norm_even,
+       round(greatest(sqrt(list_dot_product(cb, cb)), 1e-300), 6)
+           AS norm_odd
+FROM a JOIN b USING (label)
+"""
     # result-identity oracle: salting must be invisible in the output
     o["scale_salted_join"] = """
 WITH d AS (SELECT o_custkey AS user_id,

@@ -847,6 +847,77 @@ def welch_ttest(
     )
 
 
+def welch_anova(
+    df: DataFrame, value: str, group: str
+) -> DataFrame:
+    """Welch's one-way ANOVA (unequal variances) across ALL groups of
+    `group` — the k-sample extension of welch_ttest ("does mean value
+    differ across event types at all?" before pairwise tests):
+    F* = Σw_j(m_j − m̄_w)²/(k−1) / (1 + 2(k−2)/(k²−1)·Σh_j) with
+    w_j = n_j/v_j, m̄_w = Σw_j·m_j/Σw_j, h_j = (1−w_j/Σw)²/(n_j−1),
+    and Welch–Satterthwaite-style dof₂ = (k²−1)/(3Σh_j).
+
+    ONE map-side-combinable aggregate collapses the corpus to k rows of
+    (n, Σx, Σx²) — the cheapest possible multi-group drift screen, same
+    sum/sumsq decomposition as welch_ttest on both engines. Groups with
+    n < 2 or zero variance drop (their w_j is undefined); k after
+    filtering must be ≥ 2 or the single row is NULL via try_divide.
+    Returns one row: (f_stat r6, dof1, dof2 r2, k, n_total).
+    """
+    stats = (
+        df.filter(F.col(value).isNotNull() & F.col(group).isNotNull())
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value).cast("double")).alias("s"),
+            F.sum(F.col(value).cast("double") * F.col(value)).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    v = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    # pin the k-row moment frame: it feeds the weight totals AND the
+    # centered pass — without the checkpoint the corpus aggregate runs
+    # twice (k rows, so the pin is free)
+    per = (
+        stats.select(
+            F.col("n"),
+            (F.col("s") / F.col("n")).alias("m"),
+            v.alias("v"),
+        )
+        .filter(F.col("v") > 0)
+        .localCheckpoint(eager=True)
+    )
+    w = F.col("n") / F.col("v")
+    # weight totals first (k-row aggregate), then a second pass over the
+    # SAME k-row stats frame for the centered and h_j terms — both
+    # aggregations are over k rows, so the two-pass shape is free
+    tot = per.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum(w).alias("sw"),
+        F.sum(w * F.col("m")).alias("swm"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    mw = F.col("swm") / F.col("sw")
+    h = F.pow(F.lit(1.0) - w / F.col("sw"), 2) / (F.col("n") - 1)
+    out = joined.groupBy("k", "n_total").agg(
+        F.sum(w * (F.col("m") - mw) * (F.col("m") - mw)).alias("num"),
+        F.sum(h).alias("sh"),
+    )
+    k = F.col("k")
+    num = F.try_divide(F.col("num"), k - 1)
+    den = F.lit(1.0) + (2.0 * (k - 2) / (k * k - 1)) * F.col("sh")
+    return out.select(
+        F.round(F.try_divide(num, den), 6).alias("f_stat"),
+        (k - 1).cast("long").alias("dof1"),
+        F.round(
+            F.try_divide((k * k - F.lit(1.0)), 3.0 * F.col("sh")), 2
+        ).alias("dof2"),
+        k.cast("long").alias("k"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
 def cube_counts(
     df: DataFrame, keys: list[str], value: str
 ) -> DataFrame:

@@ -251,3 +251,62 @@ def degree_distribution(
         "n_nodes",
         F.round(F.col("n_nodes") / F.col("__t"), 6).alias("pct_nodes"),
     )
+
+
+def common_neighbor_similarity(
+    edges: DataFrame,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Node-pair similarity by shared neighborhoods — common-neighbor
+    count and neighbor-set Jaccard for every src pair sharing at least
+    `min_common` dst neighbors: the classic link-prediction /
+    "customers who buy from the same suppliers" signal, and on a
+    doc-similarity graph the cluster-merge candidate generator.
+
+    The wedge plan of triangle_counts pointed at a bipartite edge set:
+    pairs are generated by self-joining the edge list CO-PARTITIONED ON
+    THE SHARED NEIGHBOR (dst) with src_a < src_b, so fan-out per dst is
+    its degree², bounded by the dst-side degree distribution (inspect
+    with degree_distribution first; a hub dst needs the df-cap guard of
+    dedup's pair joins). The min_common cut runs inside the pair
+    aggregate; degrees join back broadcast (|nodes| rows). Jaccard =
+    common / (deg_a + deg_b − common), exact integer ratios rounded 6.
+
+    Output: (node_a, node_b, n_common, jaccard r6), node_a < node_b.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.d") == F.col("b.d")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(
+            F.col("a.s").alias("node_a"), F.col("b.s").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("s").alias("node_a"), F.col("deg").alias("__da"))),
+            "node_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("s").alias("node_b"), F.col("deg").alias("__db"))),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("__da") + F.col("__db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

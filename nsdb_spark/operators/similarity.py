@@ -749,3 +749,66 @@ def knn_label_vote(
         )
     )
     return out
+
+
+def centroid_drift(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label centroid drift between two deterministic corpus halves
+    (id parity): the embedding-space DRIFT monitor — run it between two
+    ingest batches / embedding-model versions and a label whose two
+    half-centroids diverge (low cosine) has shifted meaning, mixed
+    sources, or a model regression, before any downstream threshold
+    (dedup, ANN recall) quietly degrades. Splitting on id parity makes
+    the audit self-contained and rerun-stable; callers comparing real
+    batches pass a precomputed 0/1 column as `id_col`'s parity instead.
+
+    Plan: ONE posexploded (label, half, pos) mean — map-side-combinable,
+    output 2·|labels|·dim rows — reassembled per half and joined per
+    label (tiny frames); cosine is a JVM fold. Output: (label, n_even,
+    n_odd, cos_drift r6, norm_even r6, norm_odd r6); labels missing a
+    half drop (no drift defined).
+    """
+    v = _as_double(vec_col)
+    half = F.pmod(F.col(id_col), F.lit(2)).cast("int")
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        half.alias("half"),
+        F.posexplode(v).alias("pos", "x"),
+    )
+    cent = (
+        ex.groupBy("label", "half", "pos")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("c"))
+        .groupBy("label", "half")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"),
+            F.max("c").alias("n"),
+        )
+        .select(
+            "label",
+            "half",
+            F.transform(F.col("__pm"), lambda s: s["m"]).alias("__c"),
+            "n",
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", F.col("__c").alias("__ca"), F.col("n").alias("n_even")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", F.col("__c").alias("__cb"), F.col("n").alias("n_odd")
+    )
+    dot = _dot(F.col("__ca"), F.col("__cb"))
+    na, nb = _norm(F.col("__ca")), _norm(F.col("__cb"))
+    return a.join(b, "label").select(
+        "label",
+        "n_even",
+        "n_odd",
+        F.round(F.coalesce(F.try_divide(dot, na * nb), F.lit(0.0)), 6).alias(
+            "cos_drift"
+        ),
+        F.round(na, 6).alias("norm_even"),
+        F.round(nb, 6).alias("norm_odd"),
+    )

@@ -3283,3 +3283,79 @@ def test_rolling_quantiles_window(spark):
     assert out[3]["roll_p50"] == 30.0          # [20,30,1000]
     assert out[4]["roll_p50"] == 40.0          # [30,1000,40]
     assert out[3]["roll_p90"] == 806.0         # interp toward the spike
+
+
+def test_common_neighbor_similarity_jaccard(spark):
+    from nsdb_spark.operators import graph
+
+    # suppliers 1,2 share customers {10, 11}; supplier 3 only sees 10
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10),
+            (1, 10)]  # duplicate edge must not double-count
+    df = spark.createDataFrame(rows, "src long, dst long")
+    out = {(r["node_a"], r["node_b"]): r for r in
+           graph.common_neighbor_similarity(df, min_common=1).collect()}
+    r12 = out[(1, 2)]
+    assert r12["n_common"] == 2
+    # deg(1)=3, deg(2)=2: jaccard = 2/(3+2-2)
+    assert r12["jaccard"] == round(2 / 3, 6)
+    assert out[(1, 3)]["n_common"] == 1 and out[(2, 3)]["n_common"] == 1
+    # min_common cut
+    cut = {(r["node_a"], r["node_b"]) for r in
+           graph.common_neighbor_similarity(df, min_common=2).collect()}
+    assert cut == {(1, 2)}
+
+
+def test_welch_anova_zero_and_positive_f(spark):
+    from nsdb_spark.operators import analytics
+
+    # identical group means -> F = 0 exactly
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + \
+           [("b", v) for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = analytics.welch_anova(df, "v", "g").collect()[0]
+    assert r["f_stat"] == 0.0 and r["k"] == 2 and r["n_total"] == 6
+    # constant group (zero variance) drops from k
+    rows += [("c", 5.0), ("c", 5.0)]
+    df2 = spark.createDataFrame(rows, "g string, v double")
+    r2 = analytics.welch_anova(df2, "v", "g").collect()[0]
+    assert r2["k"] == 2
+    # a separated third group -> F > 0, matches the pure-Python formula
+    rows3 = rows[:6] + [("c", 10.0), ("c", 11.0), ("c", 12.0)]
+    df3 = spark.createDataFrame(rows3, "g string, v double")
+    r3 = analytics.welch_anova(df3, "v", "g").collect()[0]
+    groups = {"a": [1, 2, 3], "b": [1, 2, 3], "c": [10, 11, 12]}
+    import statistics as st
+    ms = {g: st.mean(v) for g, v in groups.items()}
+    vs = {g: st.variance(v) for g, v in groups.items()}
+    ws = {g: len(v) / vs[g] for g, v in groups.items()}
+    sw = sum(ws.values())
+    mw = sum(ws[g] * ms[g] for g in groups) / sw
+    k = 3
+    num = sum(ws[g] * (ms[g] - mw) ** 2 for g in groups) / (k - 1)
+    sh = sum((1 - ws[g] / sw) ** 2 / (len(v) - 1) for g, v in groups.items())
+    want = num / (1 + 2 * (k - 2) / (k * k - 1) * sh)
+    assert abs(r3["f_stat"] - want) < 1e-4
+    assert abs(r3["dof2"] - (k * k - 1) / (3 * sh)) < 1e-2 + 1e-9
+
+
+def test_centroid_drift_known_halves(spark):
+    from nsdb_spark.operators import similarity
+
+    rows = [
+        # label "x": even ids point at e1, odd ids at e2 -> drift cos 0
+        (0, [1.0, 0.0], "x"), (2, [1.0, 0.0], "x"),
+        (1, [0.0, 1.0], "x"), (3, [0.0, 1.0], "x"),
+        # label "y": both halves identical -> cos 1
+        (4, [3.0, 4.0], "y"), (5, [3.0, 4.0], "y"),
+        # label "z": only one half present -> drops
+        (6, [1.0, 1.0], "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["label"]: r for r in similarity.centroid_drift(df).collect()}
+    assert set(out) == {"x", "y"}
+    assert out["x"]["cos_drift"] == 0.0
+    assert out["x"]["n_even"] == 2 and out["x"]["n_odd"] == 2
+    assert out["y"]["cos_drift"] == 1.0
+    assert out["y"]["norm_even"] == 5.0
