@@ -232,6 +232,9 @@ def main() -> None:
         "graph_common_neighbors",
         "stats_anova",
         "emb_centroid_drift",
+        "stats_spearman",
+        "stats_mi",
+        "graph_adamic_adar",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

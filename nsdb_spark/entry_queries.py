@@ -1658,12 +1658,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key="event_type", ts="timestamp", value="value",
         id_col="event_id",
     )
+    q["stats_spearman"] = lambda spark, sf: analytics.spearman_corr(
+        testdata.table(spark, sf, "lineitem"),
+        x="l_quantity", y="l_extendedprice",
+    )
+    q["stats_mi"] = lambda spark, sf: analytics.mutual_information(
+        testdata.table(spark, sf, "documents"), x="source", y="lang",
+    )
+    q["graph_adamic_adar"] = lambda spark, sf: graph.adamic_adar(
+        # same supplier–customer bipartite graph as graph_common_neighbors
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+        ),
+        min_common=40,
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
+        # round 8 wave 2: new entries this round
+        "stats_spearman", "stats_mi", "graph_adamic_adar",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3364,6 +3387,49 @@ SELECT node_a, node_b, n_common,
        round(n_common / cast(da.deg + db.deg - n_common AS double), 6)
            AS jaccard
 FROM p JOIN deg da ON node_a = da.s JOIN deg db ON node_b = db.s
+"""
+    o["stats_spearman"] = """
+WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+r AS (SELECT rank() OVER (ORDER BY x)
+             + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+             rank() OVER (ORDER BY y)
+             + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      FROM base),
+t AS (SELECT count(*) AS nt FROM base)
+SELECT round(sum((rx - (nt + 1) / 2.0) * (ry - (nt + 1) / 2.0))
+             / sqrt(sum(power(rx - (nt + 1) / 2.0, 2))
+                    * sum(power(ry - (nt + 1) / 2.0, 2))), 6)
+           AS spearman_rho,
+       cast(count(*) AS bigint) AS n
+FROM r, t
+"""
+    o["stats_mi"] = """
+WITH base AS (SELECT source AS cx, lang AS cy FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL),
+jt AS (SELECT cx, cy, count(*) AS nxy FROM base GROUP BY 1, 2),
+nxt AS (SELECT cx, sum(nxy) AS nx FROM jt GROUP BY 1),
+nyt AS (SELECT cy, sum(nxy) AS ny FROM jt GROUP BY 1),
+t AS (SELECT cast(sum(nxy) AS double) AS nn FROM jt),
+mi AS (SELECT sum((nxy / nn) * ln(nxy * nn / (nx * ny))) AS mi,
+              cast(sum(nxy) AS bigint) AS n
+       FROM jt JOIN nxt USING (cx) JOIN nyt USING (cy), t),
+hx AS (SELECT sum(-(nx / nn) * ln(nx / nn)) AS h_x FROM nxt, t),
+hy AS (SELECT sum(-(ny / nn) * ln(ny / nn)) AS h_y FROM nyt, t)
+SELECT round(mi, 6) AS mi_nats,
+       CASE WHEN h_x > 0 AND h_y > 0
+            THEN round(mi / sqrt(h_x * h_y), 6) ELSE 0.0 END AS nmi,
+       round(h_x, 6) AS h_x, round(h_y, 6) AS h_y, n
+FROM mi, hx, hy
+"""
+    o["graph_adamic_adar"] = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+degd AS (SELECT d, count(*) AS degd FROM e GROUP BY 1)
+SELECT a.s AS node_a, b.s AS node_b, count(*) AS n_common,
+       round(sum(1.0 / ln(degd)), 6) AS aa_score
+FROM e a JOIN e b ON a.d = b.d AND a.s < b.s JOIN degd ON a.d = degd.d
+GROUP BY 1, 2 HAVING count(*) >= 40
 """
     o["stats_anova"] = """
 WITH stats AS (SELECT event_type, count(*) AS n, sum(value) AS s,

@@ -1460,3 +1460,171 @@ def stickiness(
             "stickiness"
         ),
     )
+
+
+def _avg_rank_frame(
+    one_col: DataFrame, col: str
+) -> tuple[DataFrame, int]:
+    """Average (tie-adjusted) rank per DISTINCT value of `col`, without a
+    global window: the single-sample sibling of _two_sample_cum_frame.
+    Collapse to per-value counts, range-partition by value, LOCAL
+    cumsums, broadcast the P per-partition subtotals as offsets — only
+    P driver rows ever materialize. avg_rank(v) = (# rows <= v) -
+    (count(v) - 1) / 2, the midrank. Returns ((v, avg_rank), n_total).
+    """
+    g = one_col.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # checkpoint BEFORE deriving offsets (partition_offsets contract):
+    # repartitionByRange re-samples boundaries per job, so subtotals and
+    # cumsums from different evaluations would silently disagree
+    d = (
+        g.repartitionByRange("v")
+        .sortWithinPartitions("v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("lc", F.sum("c").over(w))
+    subtotals = {
+        r["pid"]: r["sc"] or 0
+        for r in d.groupBy("pid").agg(F.sum("c").alias("sc")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(subtotals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += subtotals.get(pid, 0)
+    off = one_col.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "pid int, off long"
+    )
+    ranked = d.join(F.broadcast(off), "pid").select(
+        "v",
+        (
+            (F.col("lc") + F.col("off")).cast("double")
+            - (F.col("c") - F.lit(1)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    return ranked, acc
+
+
+def spearman_corr(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Exact Spearman rank correlation between two numeric columns,
+    distributed and tie-correct: Pearson correlation of the midranks
+    (average ranks), the standard tie treatment. Catches any MONOTONE
+    association Pearson's linearity assumption misses — the right first
+    look at heavy-tailed pipeline metrics (quality score vs doc length,
+    price vs quantity) where a few huge values dominate covariance.
+
+    Plan: rows with either side NULL drop (pairwise-complete), then each
+    column independently collapses to per-distinct-value midranks via
+    _avg_rank_frame (range-partition cumsum + P-row broadcast offsets —
+    no global window, no data-sized driver state), ranks join back on
+    the value columns, and one aggregate forms the centered sums.
+    Midranks always total n(n+1)/2, so the exact mean rank (n+1)/2
+    centers both sides — no catastrophic n*Sxy - Sx*Sy cancellation.
+
+    Output one row: (spearman_rho rounded 6, n bigint).
+    """
+    base = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).alias("vx"), F.col(y).alias("vy")
+    )
+    rx, n = _avg_rank_frame(base.select(F.col("vx").alias("v")), "v")
+    if n == 0:
+        raise ValueError("spearman_corr: no rows with both columns non-null")
+    ry, _ = _avg_rank_frame(base.select(F.col("vy").alias("v")), "v")
+    m = (n + 1) / 2.0
+    j = (
+        base.join(rx.select(F.col("v").alias("vx"), F.col("avg_rank").alias("rx")), "vx")
+        .join(ry.select(F.col("v").alias("vy"), F.col("avg_rank").alias("ry")), "vy")
+        .select(
+            (F.col("rx") - F.lit(m)).alias("dx"),
+            (F.col("ry") - F.lit(m)).alias("dy"),
+        )
+    )
+    return j.groupBy().agg(
+        F.round(
+            F.sum(F.col("dx") * F.col("dy"))
+            / F.sqrt(
+                F.sum(F.col("dx") * F.col("dx"))
+                * F.sum(F.col("dy") * F.col("dy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    the sqrt-normalized NMI — the corpus-mixing diagnostic ("how much
+    does source determine language?") and the model-free feature-
+    association score chi2_independence's p-value can't give you (MI is
+    effect size, chi2 is significance; a 100 TB table makes everything
+    significant).
+
+    Plan: one groupBy(x, y) collapses the data to the joint contingency
+    (map-side combinable, the only data-sized shuffle); marginals
+    re-aggregate FROM the collapsed joint frame (never rescan the data);
+    one row out. MI = sum p_xy * ln(p_xy / (p_x * p_y)); H via the same
+    counts; NMI = MI / sqrt(Hx * Hy), 0 when either entropy is 0
+    (degenerate single-category column).
+
+    Output one row: (mi_nats r6, nmi r6, h_x r6, h_y r6, n bigint).
+    """
+    base = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).alias("cx"), F.col(y).alias("cy")
+    )
+    jt = base.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    nx = jt.groupBy("cx").agg(F.sum("nxy").alias("nx"))
+    ny = jt.groupBy("cy").agg(F.sum("nxy").alias("ny"))
+    tot = jt.agg(F.sum("nxy").cast("double").alias("nn"))
+    cell = (
+        jt.join(nx, "cx")
+        .join(ny, "cy")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("nxy") / F.col("nn"))
+                * F.log(
+                    F.col("nxy") * F.col("nn") / (F.col("nx") * F.col("ny"))
+                )
+            ).alias("term"),
+            "nxy",
+        )
+    )
+    hx = (
+        nx.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(F.col("nx") / F.col("nn")) * F.log(F.col("nx") / F.col("nn"))).alias("h_x"))
+    )
+    hy = (
+        ny.crossJoin(F.broadcast(tot))
+        .agg(F.sum(-(F.col("ny") / F.col("nn")) * F.log(F.col("ny") / F.col("nn"))).alias("h_y"))
+    )
+    agg = cell.agg(
+        F.sum("term").alias("mi"),
+        F.sum("nxy").cast("long").alias("n"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round(F.col("mi"), 6).alias("mi_nats"),
+            F.when(
+                (F.col("h_x") > 0) & (F.col("h_y") > 0),
+                F.round(
+                    F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nmi"),
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            "n",
+        )
+    )

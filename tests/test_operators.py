@@ -3359,3 +3359,72 @@ def test_centroid_drift_known_halves(spark):
     assert out["x"]["n_even"] == 2 and out["x"]["n_odd"] == 2
     assert out["y"]["cos_drift"] == 1.0
     assert out["y"]["norm_even"] == 5.0
+
+
+def test_spearman_perfect_monotone_and_ties(spark):
+    from nsdb_spark.operators import analytics
+
+    # strictly monotone (nonlinear) relation -> rho = 1 exactly
+    rows = [(float(i), float(i * i)) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = analytics.spearman_corr(df, "x", "y").collect()[0]
+    assert r["spearman_rho"] == 1.0 and r["n"] == 19
+    # reversed -> rho = -1
+    df2 = spark.createDataFrame(
+        [(x, -y) for x, y in rows], "x double, y double"
+    )
+    assert analytics.spearman_corr(df2, "x", "y").collect()[0][
+        "spearman_rho"] == -1.0
+    # ties + NULLs: match scipy-convention midrank formula computed by hand
+    rows3 = [(1.0, 2.0), (1.0, 1.0), (2.0, 3.0), (None, 9.0), (3.0, None)]
+    df3 = spark.createDataFrame(rows3, "x double, y double")
+    r3 = analytics.spearman_corr(df3, "x", "y").collect()[0]
+    # ranks x: [1.5, 1.5, 3], y: [2, 1, 3]; centered dot products:
+    # dx=[-.5,-.5,1], dy=[0,-1,1] -> sxy=1.5, sxx=1.5, syy=2
+    import math
+    assert r3["n"] == 3
+    assert r3["spearman_rho"] == round(1.5 / math.sqrt(1.5 * 2), 6)
+
+
+def test_mutual_information_independent_and_determined(spark):
+    from nsdb_spark.operators import analytics
+    import math
+
+    # independent 2x2 uniform -> MI = 0, NMI = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.mutual_information(df, "a", "b").collect()[0]
+    assert r["mi_nats"] == 0.0 and r["nmi"] == 0.0 and r["n"] == 20
+    assert r["h_x"] == round(math.log(2), 6) == r["h_y"]
+    # y fully determined by x -> MI = H(x) = H(y), NMI = 1
+    rows2 = [("x", "u")] * 3 + [("y", "v")] * 7
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = analytics.mutual_information(df2, "a", "b").collect()[0]
+    h = -(0.3 * math.log(0.3) + 0.7 * math.log(0.7))
+    assert r2["mi_nats"] == round(h, 6) and r2["nmi"] == 1.0
+    # degenerate single-category column -> MI 0, NMI 0 (not NULL/NaN)
+    df3 = spark.createDataFrame(
+        [("x", "u"), ("x", "v")], "a string, b string"
+    )
+    r3 = analytics.mutual_information(df3, "a", "b").collect()[0]
+    assert r3["mi_nats"] == 0.0 and r3["nmi"] == 0.0 and r3["h_x"] == 0.0
+
+
+def test_adamic_adar_scores(spark):
+    from nsdb_spark.operators import graph
+    import math
+
+    # dst 10 has degree 3 (shared by 1,2,3); dst 11 degree 2 (shared 1,2)
+    rows = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11), (1, 11)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    out = {(r["node_a"], r["node_b"]): r for r in
+           graph.adamic_adar(df, min_common=1).collect()}
+    r12 = out[(1, 2)]
+    assert r12["n_common"] == 2
+    assert r12["aa_score"] == round(1 / math.log(3) + 1 / math.log(2), 6)
+    # pairs sharing only the degree-3 hub score lower than the (1,2) pair
+    assert out[(1, 3)]["aa_score"] == round(1 / math.log(3), 6)
+    assert out[(2, 3)]["aa_score"] == round(1 / math.log(3), 6)
+    # min_common cut keeps only (1,2)
+    assert {(r["node_a"], r["node_b"]) for r in
+            graph.adamic_adar(df, min_common=2).collect()} == {(1, 2)}
