@@ -235,6 +235,9 @@ def main() -> None:
         "stats_spearman",
         "stats_mi",
         "graph_adamic_adar",
+        "tsa_periodogram",
+        "stats_theil_sen",
+        "stats_cramers_v",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1665,6 +1665,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stats_mi"] = lambda spark, sf: analytics.mutual_information(
         testdata.table(spark, sf, "documents"), x="source", y="lang",
     )
+    q["tsa_periodogram"] = lambda spark, sf: tsa.periodogram(
+        testdata.events_metric(spark, sf), key="event_type",
+        ts="timestamp", value="value",
+    )
+
+    def _theil_sen_orders(spark, sf):
+        # collapse to one point per (priority, day) FIRST — the pair join
+        # is quadratic in points, so feed it calendar-bounded daily counts
+        daily = (
+            testdata.table(spark, sf, "orders")
+            .filter(
+                F.col("o_orderpriority").isNotNull()
+                & F.col("o_orderdate").isNotNull()
+            )
+            .groupBy(
+                "o_orderpriority",
+                F.unix_date(F.to_date("o_orderdate")).alias("day"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+        )
+        return analytics.theil_sen_by_group(
+            daily, part="o_orderpriority", x="day", y="n_orders"
+        )
+
+    q["stats_theil_sen"] = _theil_sen_orders
+    q["stats_cramers_v"] = lambda spark, sf: analytics.chi2_independence(
+        testdata.table(spark, sf, "orders"),
+        x="o_orderstatus", y="o_orderpriority", effect_size=True,
+    )
     q["graph_adamic_adar"] = lambda spark, sf: graph.adamic_adar(
         # same supplier–customer bipartite graph as graph_common_neighbors
         testdata.table(spark, sf, "lineitem")
@@ -1687,6 +1716,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
+        "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3010,9 +3040,9 @@ rm AS (SELECT lang, sum(obs) AS rtot FROM grid GROUP BY 1),
 cm AS (SELECT source, sum(obs) AS ctot FROM grid GROUP BY 1),
 t AS (SELECT sum(obs) AS n, count(DISTINCT lang) AS nr,
              count(DISTINCT source) AS nc FROM grid)
-SELECT round(sum((g.obs - rm.rtot * cm.ctot / cast(t.n AS double))
-                 * (g.obs - rm.rtot * cm.ctot / cast(t.n AS double))
-                 / (rm.rtot * cm.ctot / cast(t.n AS double))), 6) AS chi2,
+SELECT round(sum(cast(g.obs AS double) * g.obs
+                 / (rm.rtot * cm.ctot / cast(t.n AS double)))
+             - max(t.n), 6) AS chi2,
        cast(max((t.nr - 1) * (t.nc - 1)) AS bigint) AS dof,
        cast(max(t.n) AS bigint) AS n
 FROM grid g JOIN rm USING (lang) JOIN cm USING (source), t
@@ -3421,6 +3451,79 @@ SELECT round(mi, 6) AS mi_nats,
             THEN round(mi / sqrt(h_x * h_y), 6) ELSE 0.0 END AS nmi,
        round(h_x, 6) AS h_x, round(h_y, 6) AS h_y, n
 FROM mi, hx, hy
+"""
+    import math as _math
+
+    _pg_vals = ", ".join(
+        f"({p}, {2.0 * _math.pi / p!r})"
+        for p in (3_600_000, 21_600_000, 86_400_000, 604_800_000)
+    )
+    # the angular frequencies are embedded as shortest-round-trip float
+    # literals so both engines multiply the IDENTICAL double w; only the
+    # final cos/sin differ (<= 1 ulp), washed out by the variance
+    # normalization + round(6)
+    o["tsa_periodogram"] = f"""
+WITH pts AS (SELECT event_type, epoch_ms(ts) AS t, value AS x
+             FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+               AND event_type IS NOT NULL),
+per(period_ms, w) AS (VALUES {_pg_vals}),
+g AS (SELECT event_type, period_ms,
+             sum(x * cos(w * t)) AS sxc, sum(cos(w * t)) AS sc,
+             sum(x * sin(w * t)) AS sxs, sum(sin(w * t)) AS ss,
+             sum(x) AS sx, sum(x * x) AS sxx, count(*) AS n
+      FROM pts CROSS JOIN per GROUP BY 1, 2)
+SELECT event_type, cast(period_ms AS bigint) AS period_ms,
+       CASE WHEN sxx - sx * (sx / n) > 0 THEN round(
+         2.0 * ((sxc - sx / n * sc) * (sxc - sx / n * sc)
+                + (sxs - sx / n * ss) * (sxs - sx / n * ss))
+         / (n * (sxx - sx * (sx / n))), 6) ELSE 0.0 END AS power_frac,
+       cast(n AS bigint) AS n
+FROM g
+"""
+    o["stats_theil_sen"] = """
+WITH daily AS (SELECT o_orderpriority,
+                      date_diff('day', DATE '1970-01-01',
+                                cast(o_orderdate AS date)) AS day,
+                      cast(count(*) AS double) AS n
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL
+                 AND o_orderdate IS NOT NULL
+               GROUP BY 1, 2),
+pairs AS (SELECT a.o_orderpriority AS g,
+                 (b.n - a.n) / (b.day - a.day) AS slope
+          FROM daily a JOIN daily b
+            ON a.o_orderpriority = b.o_orderpriority AND a.day < b.day),
+np AS (SELECT o_orderpriority AS g, cast(count(*) AS bigint) AS n_points
+       FROM daily GROUP BY 1)
+SELECT p.g AS o_orderpriority, np.n_points,
+       cast(count(*) AS bigint) AS n_pairs,
+       round(quantile_cont(slope, 0.5), 6) AS ts_slope
+FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
+"""
+    o["stats_cramers_v"] = """
+WITH grid AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+                     count(*) AS obs
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+              GROUP BY 1, 2),
+rm AS (SELECT x, sum(obs) AS rtot FROM grid GROUP BY 1),
+cm AS (SELECT y, sum(obs) AS ctot FROM grid GROUP BY 1),
+t AS (SELECT sum(obs) AS n, count(DISTINCT x) AS nr,
+             count(DISTINCT y) AS nc FROM grid),
+c2 AS (SELECT round(sum(cast(g.obs AS double) * g.obs
+                        / (rm.rtot * cm.ctot / cast(t.n AS double)))
+                    - max(t.n), 6) AS chi2,
+              cast(max((t.nr - 1) * (t.nc - 1)) AS bigint) AS dof,
+              cast(max(t.n) AS bigint) AS n,
+              max(least(t.nr, t.nc)) AS minrc
+       FROM grid g JOIN rm USING (x) JOIN cm USING (y), t)
+SELECT chi2, dof,
+       CASE WHEN minrc > 1
+            THEN round(sqrt(chi2 / n / (minrc - 1)), 6) ELSE 0.0 END
+           AS cramers_v,
+       n
+FROM c2
 """
     o["graph_adamic_adar"] = """
 WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS d

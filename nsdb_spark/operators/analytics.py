@@ -723,7 +723,7 @@ def category_diversity(
 
 
 def chi2_independence(
-    df: DataFrame, x: str, y: str
+    df: DataFrame, x: str, y: str, effect_size: bool = False
 ) -> DataFrame:
     """Pearson chi-squared test of independence between two categorical
     columns: X² = Σ_cells (obs − exp)²/exp with exp = row·col/n, plus
@@ -735,6 +735,18 @@ def chi2_independence(
     joined back (broadcast); everything after the first shuffle is
     grid-sized. NULL categories are excluded pairwise. Returns one row:
     (chi2 double rounded 6, dof bigint, n bigint).
+
+    Empty cells COUNT: the grid only materializes nonzero cells, so the
+    sum uses the algebraic identity X² = Σ obs²/exp − n (expand
+    (obs−exp)²/exp and use Σ_full-grid exp = n) — the zero-obs cells'
+    (0−exp)²/exp mass lands in the −n term without ever materializing
+    the R×C cross product.
+
+    effect_size=True appends Cramér's V = sqrt((X²/n)/(min(R,C)−1)),
+    the [0,1] association STRENGTH a p-value can't give you at scale
+    (every chi2 is "significant" at 100 TB rows; V stays comparable
+    across n). V derives from the ROUNDED chi2 so the value is
+    bit-reproducible across engines.
     """
     grid = (
         df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
@@ -748,6 +760,7 @@ def chi2_independence(
         F.sum("obs").alias("n"),
         F.count_distinct(x).alias("nr"),
         F.count_distinct(y).alias("nc"),
+        F.least(F.count_distinct(x), F.count_distinct(y)).alias("minrc"),
     )
     # rtot/ctot are longs; their raw product overflows int64 once both
     # margins pass ~3e9 (trivially reached at 100 TB) — route through
@@ -762,14 +775,40 @@ def chi2_independence(
         .groupBy()
         .agg(
             F.round(
-                F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
+                F.sum(F.col("obs").cast("double") * F.col("obs") / exp)
+                - F.max("n"),
+                6,
             ).alias("chi2"),
             F.max((F.col("nr") - 1) * (F.col("nc") - 1))
             .cast("long")
             .alias("dof"),
             F.max("n").cast("long").alias("n"),
+            F.max("minrc").cast("long").alias("__minrc"),
         )
     )
+    if effect_size:
+        out = out.select(
+            "chi2",
+            "dof",
+            # a 1-category column gives dof 0; V is undefined -> 0.0,
+            # never a division error
+            F.when(
+                F.col("__minrc") > 1,
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / F.col("n")
+                        / (F.col("__minrc") - F.lit(1))
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cramers_v"),
+            "n",
+        )
+    else:
+        out = out.drop("__minrc")
     # the grid feeds margins + the final sum; materialize the 1-row
     # result and release the pin (dedup._finish discipline, local copy
     # to avoid a cross-module import for two lines)
@@ -1626,5 +1665,55 @@ def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
             F.round("h_x", 6).alias("h_x"),
             F.round("h_y", 6).alias("h_y"),
             "n",
+        )
+    )
+
+
+def theil_sen_by_group(
+    df: DataFrame, part: str, x: str, y: str
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) over points with distinct x — the
+    29%-breakdown slope estimator that shrugs off the outlier days an
+    OLS fit (linreg_by_group) chases. Sen (1968), Theil (1950).
+
+    Feed it a frame already COLLAPSED to one point per (group, x) — e.g.
+    daily totals — so the pair self-join is quadratic in the number of
+    points per group (calendar-bounded: ~2.5k days -> ~3M pairs), never
+    in raw rows; at 100 TB the collapse is the caller's map-side-
+    combinable aggregate and this operator's cost is unchanged. The
+    self-join co-partitions on the group key (one exchange, reused by
+    the final aggregate); the median is Spark's exact interpolated
+    percentile within each group.
+
+    Output: (group, n_points, n_pairs, ts_slope rounded 6).
+    """
+    pts = df.filter(
+        F.col(part).isNotNull() & F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(F.col(part).alias("g"), F.col(x).alias("px"), F.col(y).alias("py"))
+    pairs = (
+        pts.alias("a")
+        .join(
+            pts.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.px") < F.col("b.px")),
+        )
+        .select(
+            F.col("a.g").alias("g"),
+            (
+                (F.col("b.py") - F.col("a.py"))
+                / (F.col("b.px") - F.col("a.px"))
+            ).alias("slope"),
+        )
+    )
+    npts = pts.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        pairs.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias("ts_slope"),
+        )
+        .join(npts, "g")
+        .select(
+            F.col("g").alias(part), "n_points", "n_pairs", "ts_slope"
         )
     )

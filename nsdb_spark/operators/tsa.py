@@ -568,3 +568,85 @@ def rolling_quantiles(
         F.round(qs[0], 6).alias("roll_p50"),
         F.round(qs[1], 6).alias("roll_p90"),
     )
+
+
+def periodogram(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    periods_ms: tuple[int, ...] = (
+        3_600_000, 21_600_000, 86_400_000, 604_800_000
+    ),
+) -> DataFrame:
+    """Normalized DFT periodogram per key at a fixed set of candidate
+    periods — "does this metric have an hourly / daily / weekly cycle,
+    and how strong?" The power at period p is the squared projection of
+    the (mean-centered) series onto cos/sin at frequency 1/p, divided by
+    the total sum of squares: power_frac in ~[0, 1], the fraction of
+    variance that cycle explains. The seasonal operators (seasonal_adjust,
+    seasonal_anomalies) REQUIRE the period as input; this is the operator
+    that finds it.
+
+    Single-shuffle plan: rows fan out |periods|x against a broadcast
+    (period, angular-frequency) frame, then ONE map-side-combinable
+    groupBy(key, period) accumulates the six sufficient sums
+    (sum x-cos, sum cos, sum x-sin, sum sin, sum x, sum x**2, n); the
+    centering folds in algebraically (C = sum x-cos - mean * sum cos), so
+    no second pass and no join-back. Irregular sampling is handled the
+    Lomb way-station: real timestamps enter the trig args, not row
+    indexes. At 100 TB: partial aggregation collapses each partition to
+    keys x periods rows before the exchange.
+
+    Output: (key, period_ms, power_frac rounded 6, n) per key x period.
+    """
+    import math
+
+    spark = df.sparkSession
+    freqs = spark.createDataFrame(
+        [(int(p), 2.0 * math.pi / p) for p in periods_ms],
+        "period_ms long, w double",
+    )
+    pts = df.filter(
+        F.col(value).isNotNull()
+        & F.col(ts).isNotNull()
+        & F.col(key).isNotNull()
+    ).select(
+        F.col(key),
+        # `ts` is epoch-ms (the metric-frame convention, sources/
+        # testdata.ts_ms) — exact in double up to 2^53 ms (~285,000 yr)
+        F.col(ts).cast("double").alias("t"),
+        F.col(value).alias("x"),
+    )
+    ang = F.col("w") * F.col("t")
+    g = (
+        pts.crossJoin(F.broadcast(freqs))
+        .groupBy(key, "period_ms")
+        .agg(
+            F.sum(F.col("x") * F.cos(ang)).alias("sxc"),
+            F.sum(F.cos(ang)).alias("sc"),
+            F.sum(F.col("x") * F.sin(ang)).alias("sxs"),
+            F.sum(F.sin(ang)).alias("ss"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    xbar = F.col("sx") / F.col("n")
+    c = F.col("sxc") - xbar * F.col("sc")
+    s = F.col("sxs") - xbar * F.col("ss")
+    sst = F.col("sxx") - F.col("sx") * xbar
+    return g.select(
+        key,
+        "period_ms",
+        # R-squared of the two-column {cos, sin} fit: the factor 2 makes a
+        # pure full-cycle sinusoid score 1.0 (each quadrature carries half
+        # the projection mass)
+        F.when(
+            sst > 0,
+            F.round(F.lit(2.0) * (c * c + s * s) / (F.col("n") * sst), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("power_frac"),
+        "n",
+    )

@@ -3428,3 +3428,71 @@ def test_adamic_adar_scores(spark):
     # min_common cut keeps only (1,2)
     assert {(r["node_a"], r["node_b"]) for r in
             graph.adamic_adar(df, min_common=2).collect()} == {(1, 2)}
+
+
+def test_periodogram_finds_planted_cycle(spark):
+    from nsdb_spark.operators import tsa
+    import math
+
+    # plant a pure 1-hour cycle sampled every minute for 48 h: power at
+    # the true period ~1, at an uncontained period ~0
+    hour = 3_600_000
+    rows = [
+        ("m", i * 60_000, math.sin(2 * math.pi * i / 60))
+        for i in range(48 * 60)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = {r["period_ms"]: r["power_frac"] for r in tsa.periodogram(
+        df, key="k", ts="t", value="x",
+        periods_ms=(hour, 7 * hour)).collect()}
+    assert out[hour] > 0.99
+    assert out[7 * hour] < 0.05
+    # constant series -> sst = 0 -> power 0, not NaN
+    dfc = spark.createDataFrame(
+        [("m", i * 60_000, 5.0) for i in range(100)],
+        "k string, t long, x double")
+    assert {r["power_frac"] for r in tsa.periodogram(
+        dfc, "k", "t", "x", periods_ms=(hour,)).collect()} == {0.0}
+
+
+def test_theil_sen_exact_and_outlier_resistant(spark):
+    from nsdb_spark.operators import analytics
+
+    # exact line -> slope recovered exactly, n_pairs = C(5,2)
+    rows = [("a", float(i), 2.0 * i + 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = analytics.theil_sen_by_group(df, "g", "x", "y").collect()[0]
+    assert r["ts_slope"] == 2.0 and r["n_points"] == 5 and r["n_pairs"] == 10
+    # one wild outlier point: OLS slope would blow up; TS median holds
+    rows2 = rows + [("a", 5.0, 1000.0)]
+    df2 = spark.createDataFrame(rows2, "g string, x double, y double")
+    r2 = analytics.theil_sen_by_group(df2, "g", "x", "y").collect()[0]
+    assert r2["ts_slope"] == 2.0
+    # duplicate x never produces a pair (no div-by-zero slope)
+    df3 = spark.createDataFrame(
+        [("b", 1.0, 1.0), ("b", 1.0, 9.0), ("b", 2.0, 3.0)],
+        "g string, x double, y double")
+    r3 = analytics.theil_sen_by_group(df3, "g", "x", "y").collect()[0]
+    assert r3["n_pairs"] == 2
+
+
+def test_cramers_v_bounds(spark):
+    from nsdb_spark.operators import analytics
+
+    # perfect association on a square table -> V = 1
+    rows = [("x", "u")] * 4 + [("y", "v")] * 6
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = analytics.chi2_independence(df, "a", "b", effect_size=True).collect()[0]
+    assert r["cramers_v"] == 1.0
+    # independence -> V = 0
+    rows2 = [(a, b) for a in "xy" for b in "uv" for _ in range(3)]
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = analytics.chi2_independence(df2, "a", "b", effect_size=True).collect()[0]
+    assert r2["cramers_v"] == 0.0
+    # single-category column -> V = 0 (not NULL / div error); plain call
+    # keeps the original 3-column schema
+    df3 = spark.createDataFrame([("x", "u"), ("x", "v")], "a string, b string")
+    assert analytics.chi2_independence(df3, "a", "b", effect_size=True
+        ).collect()[0]["cramers_v"] == 0.0
+    assert analytics.chi2_independence(df2, "a", "b").columns == [
+        "chi2", "dof", "n"]
