@@ -238,6 +238,8 @@ def main() -> None:
         "tsa_periodogram",
         "stats_theil_sen",
         "stats_cramers_v",
+        "stats_kendall",
+        "tsa_crosscorr",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1690,6 +1690,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stats_theil_sen"] = _theil_sen_orders
+
+    def _kendall_orders(spark, sf):
+        daily = (
+            testdata.table(spark, sf, "orders")
+            .filter(
+                F.col("o_orderpriority").isNotNull()
+                & F.col("o_orderdate").isNotNull()
+            )
+            .groupBy(
+                "o_orderpriority",
+                F.unix_date(F.to_date("o_orderdate")).alias("day"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+        )
+        return analytics.kendall_tau_by_group(
+            daily, part="o_orderpriority", x="day", y="n_orders"
+        )
+
+    q["stats_kendall"] = _kendall_orders
+    q["tsa_crosscorr"] = lambda spark, sf: tsa.cross_correlation(
+        testdata.events_metric(spark, sf), key_a="view", key_b="purchase",
+        key="event_type", ts="timestamp", value="value",
+        bucket_ms=3_600_000, max_lag=5,
+    )
     q["stats_cramers_v"] = lambda spark, sf: analytics.chi2_independence(
         testdata.table(spark, sf, "orders"),
         x="o_orderstatus", y="o_orderpriority", effect_size=True,
@@ -1717,6 +1741,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
+        "stats_kendall", "tsa_crosscorr", "stats_chi2",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3499,6 +3524,57 @@ SELECT p.g AS o_orderpriority, np.n_points,
        cast(count(*) AS bigint) AS n_pairs,
        round(quantile_cont(slope, 0.5), 6) AS ts_slope
 FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
+"""
+    o["stats_kendall"] = """
+WITH daily AS (SELECT o_orderpriority,
+                      date_diff('day', DATE '1970-01-01',
+                                cast(o_orderdate AS date)) AS day,
+                      cast(count(*) AS double) AS n
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL
+                 AND o_orderdate IS NOT NULL
+               GROUP BY 1, 2),
+pairs AS (SELECT a.o_orderpriority AS g,
+                 sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END) AS concordant,
+                 sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) AS discordant,
+                 sum(CASE WHEN b.n = a.n THEN 1 ELSE 0 END) AS ties_y
+          FROM daily a JOIN daily b
+            ON a.o_orderpriority = b.o_orderpriority AND a.day < b.day
+          GROUP BY 1),
+np AS (SELECT o_orderpriority AS g, cast(count(*) AS bigint) AS n_points,
+              count(*) * (count(*) - 1) / 2 AS n0
+       FROM daily GROUP BY 1)
+SELECT p.g AS o_orderpriority, np.n_points,
+       cast(p.concordant AS bigint) AS concordant,
+       cast(p.discordant AS bigint) AS discordant,
+       round((p.concordant - p.discordant)
+             / sqrt(np.n0 * (np.n0 - p.ties_y)), 6) AS tau_b
+FROM pairs p JOIN np ON p.g = np.g
+"""
+    o["tsa_crosscorr"] = """
+WITH pts AS (SELECT event_type, epoch_ms(ts) AS t, value AS x
+             FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+sa AS (SELECT (t - t % 3600000) / 3600000 AS b, sum(x) / count(*) AS v
+       FROM pts WHERE event_type = 'view' GROUP BY 1),
+sbase AS (SELECT (t - t % 3600000) / 3600000 AS b, sum(x) / count(*) AS v
+          FROM pts WHERE event_type = 'purchase' GROUP BY 1),
+lags(lag) AS (VALUES (-5), (-4), (-3), (-2), (-1), (0),
+                     (1), (2), (3), (4), (5)),
+j AS (SELECT l.lag, sa.v AS va, sb.v AS vb
+      FROM sbase sb CROSS JOIN lags l
+      JOIN sa ON sa.b = sb.b + l.lag),
+g AS (SELECT lag, cast(count(*) AS bigint) AS n_buckets,
+             sum(va) AS suma, sum(vb) AS sumb, sum(va * vb) AS sab,
+             sum(va * va) AS saa, sum(vb * vb) AS sbb
+      FROM j GROUP BY 1)
+SELECT cast(lag AS bigint) AS lag, n_buckets,
+       CASE WHEN saa - suma * (suma / n_buckets) > 0
+             AND sbb - sumb * (sumb / n_buckets) > 0
+            THEN round((sab - suma * (sumb / n_buckets))
+                       / sqrt((saa - suma * (suma / n_buckets))
+                              * (sbb - sumb * (sumb / n_buckets))), 6)
+            ELSE 0.0 END AS ccf
+FROM g ORDER BY lag
 """
     o["stats_cramers_v"] = """
 WITH grid AS (SELECT o_orderstatus AS x, o_orderpriority AS y,

@@ -1717,3 +1717,79 @@ def theil_sen_by_group(
             F.col("g").alias(part), "n_points", "n_pairs", "ts_slope"
         )
     )
+
+
+def kendall_tau_by_group(
+    df: DataFrame, part: str, x: str, y: str
+) -> DataFrame:
+    """Kendall tau-b rank correlation per group over a frame with ONE
+    point per (group, x) — concordant-vs-discordant pair fractions with
+    the standard tie-in-y correction. Completes the correlation family:
+    Pearson (linreg_by_group) assumes linearity, Spearman
+    (spearman_corr) uses rank magnitudes, Kendall counts pair
+    inversions — the most robust of the three and the one with a direct
+    probabilistic reading (P[concordant] − P[discordant]).
+
+    Same contract and plan as theil_sen_by_group: the caller collapses
+    to calendar-bounded points first, the pair self-join co-partitions
+    on the group key, and every count is an exact integer, so tau-b is
+    bit-deterministic. x values are unique per group by contract
+    (enforced: duplicate x raises), so x-ties need no correction term.
+
+    Output: (group, n_points, concordant, discordant, tau_b rounded 6).
+    """
+    pts = df.filter(
+        F.col(part).isNotNull() & F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(F.col(part).alias("g"), F.col(x).alias("px"), F.col(y).alias("py"))
+    # one-point-per-x contract: a duplicate x silently skews the pair
+    # census, so fail loudly inside the same scan — the assert folds into
+    # the KEPT n_points column (coalesce(NULL-on-pass, 0) adds 0), so
+    # column pruning can never drop it (dedup.py discipline)
+    dup_guard = F.coalesce(
+        F.assert_true(
+            F.count(F.lit(1)) == F.count_distinct(F.col("px")),
+            f"kendall_tau_by_group: duplicate {x} within a {part} group",
+        ).cast("long"),
+        F.lit(0),
+    )
+    npts = pts.groupBy("g").agg(
+        (F.count(F.lit(1)) + dup_guard).cast("long").alias("n_points"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).alias("n0"),
+    )
+    pair = (
+        pts.alias("a")
+        .join(
+            pts.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.px") < F.col("b.px")),
+        )
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.py") > F.col("a.py"), 1).otherwise(0)
+            ).cast("long").alias("concordant"),
+            F.sum(
+                F.when(F.col("b.py") < F.col("a.py"), 1).otherwise(0)
+            ).cast("long").alias("discordant"),
+            F.sum(
+                F.when(F.col("b.py") == F.col("a.py"), 1).otherwise(0)
+            ).cast("long").alias("ties_y"),
+        )
+    )
+    # npts DRIVES (left side): a group whose pairs are all filtered out
+    # (every point at one x) would otherwise let AQE propagate the empty
+    # pair relation and skip the npts aggregate — and with it the
+    # duplicate-x assert. Left-joining from npts keeps the guard live.
+    denom = F.col("n0") * (F.col("n0") - F.col("ties_y"))
+    return npts.join(pair, "g", "left").select(
+        F.col("g").alias(part),
+        "n_points",
+        F.coalesce("concordant", F.lit(0)).alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).alias("discordant"),
+        F.when(
+            denom > 0,
+            F.round(
+                (F.col("concordant") - F.col("discordant")) / F.sqrt(denom),
+                6,
+            ),
+        ).alias("tau_b"),
+    )

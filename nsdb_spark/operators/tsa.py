@@ -650,3 +650,76 @@ def periodogram(
         .alias("power_frac"),
         "n",
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    bucket_ms: int = 60_000,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Lagged cross-correlation (CCF) between two keys' series: Pearson
+    correlation of key_a's bucket-average series against key_b's shifted
+    by each lag in [-max_lag, +max_lag] buckets — "does checkout follow
+    page_view, and by how many minutes?" A positive peak at lag k means
+    key_b LEADS by k buckets. autocorr is the self-pair special case.
+
+    Plan: ONE map-side-combinable bucket aggregate per key (shuffle on
+    (key, bucket), carrying buckets not points), the b-side fans out
+    2·max_lag+1 ways against a broadcast lag frame with the bucket index
+    shifted, an equi-join on bucket aligns the series (co-partitioned:
+    both sides arrive hashed on the bucket), and one tiny groupBy(lag)
+    forms the correlation from raw sufficient sums. Buckets without both
+    series drop (pairwise-complete). Empty overlap or a constant series
+    in the window yields ccf = 0.0, never NULL/NaN.
+
+    Output: (lag, n_buckets, ccf rounded 6), one row per lag.
+    """
+    spark = df.sparkSession
+    lags = spark.createDataFrame(
+        [(int(l),) for l in range(-max_lag, max_lag + 1)], "lag long"
+    )
+    base = df.filter(
+        F.col(value).isNotNull() & F.col(ts).isNotNull()
+    )
+    bucket = (F.col(ts).cast("long") - F.pmod(F.col(ts).cast("long"), F.lit(bucket_ms))) / F.lit(bucket_ms)
+
+    def series(k: str) -> DataFrame:
+        return (
+            base.filter(F.col(key) == k)
+            .groupBy(bucket.cast("long").alias("b"))
+            .agg((F.sum(value) / F.count(F.lit(1))).alias("v"))
+        )
+    sa = series(key_a)
+    sb = (
+        series(key_b)
+        .crossJoin(F.broadcast(lags))
+        .select("lag", (F.col("b") + F.col("lag")).alias("b"), F.col("v").alias("vb"))
+    )
+    j = sa.join(sb, "b").select("lag", F.col("v").alias("va"), "vb")
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("va").alias("suma"),
+        F.sum("vb").alias("sumb"),
+        F.sum(F.col("va") * F.col("vb")).alias("sab"),
+        F.sum(F.col("va") * F.col("va")).alias("saa"),
+        F.sum(F.col("vb") * F.col("vb")).alias("sbb"),
+    )
+    n = F.col("n_buckets")
+    cov = F.col("sab") - F.col("suma") * (F.col("sumb") / n)
+    vara = F.col("saa") - F.col("suma") * (F.col("suma") / n)
+    varb = F.col("sbb") - F.col("sumb") * (F.col("sumb") / n)
+    return g.select(
+        "lag",
+        "n_buckets",
+        F.when(
+            (vara > 0) & (varb > 0),
+            F.round(cov / F.sqrt(vara * varb), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ccf"),
+    ).orderBy("lag")

@@ -3496,3 +3496,59 @@ def test_cramers_v_bounds(spark):
         ).collect()[0]["cramers_v"] == 0.0
     assert analytics.chi2_independence(df2, "a", "b").columns == [
         "chi2", "dof", "n"]
+
+
+def test_kendall_tau_exact_counts(spark):
+    from nsdb_spark.operators import analytics
+    import math
+
+    # monotone -> tau = 1; reversed -> -1
+    rows = [("a", float(i), float(i * 3)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = analytics.kendall_tau_by_group(df, "g", "x", "y").collect()[0]
+    assert r["tau_b"] == 1.0 and r["concordant"] == 15 and r["discordant"] == 0
+    # one inversion: swap y of last two points -> C=14, D=1
+    rows2 = rows[:4] + [("a", 4.0, 15.0), ("a", 5.0, 12.0)]
+    r2 = analytics.kendall_tau_by_group(
+        spark.createDataFrame(rows2, "g string, x double, y double"),
+        "g", "x", "y").collect()[0]
+    assert (r2["concordant"], r2["discordant"]) == (14, 1)
+    assert r2["tau_b"] == round(13 / 15, 6)
+    # y-ties use the tau-b denominator: y = [1,1,2] -> C=2, D=0, ties=1
+    rows3 = [("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 2.0)]
+    r3 = analytics.kendall_tau_by_group(
+        spark.createDataFrame(rows3, "g string, x double, y double"),
+        "g", "x", "y").collect()[0]
+    assert r3["tau_b"] == round(2 / math.sqrt(3 * 2), 6)
+    # duplicate x violates the contract -> loud failure, not a skewed count
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    dup = spark.createDataFrame(
+        [("c", 1.0, 1.0), ("c", 1.0, 2.0)], "g string, x double, y double")
+    with _pytest.raises(Exception):
+        analytics.kendall_tau_by_group(dup, "g", "x", "y").collect()
+
+
+def test_cross_correlation_planted_lag(spark):
+    from nsdb_spark.operators import tsa
+
+    # series b leads a by exactly 2 buckets: a[t] = b[t-2]
+    vals = [5.0, 1.0, 4.0, 9.0, 2.0, 8.0, 3.0, 7.0, 6.0, 0.0]
+    rows = []
+    for t, v in enumerate(vals):
+        rows.append(("b", t * 1000, v))
+        rows.append(("a", (t + 2) * 1000, v))
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["lag"]: r for r in tsa.cross_correlation(
+        df, key_a="a", key_b="b", key="k", ts="t", value="v",
+        bucket_ms=1000, max_lag=3).collect()}
+    assert out[2]["ccf"] == 1.0 and out[2]["n_buckets"] == 10
+    assert all(out[l]["ccf"] < 1.0 for l in out if l != 2)
+    # constant overlap -> ccf 0.0, never NaN
+    dfc = spark.createDataFrame(
+        [("a", t * 1000, 1.0) for t in range(5)]
+        + [("b", t * 1000, float(t)) for t in range(5)],
+        "k string, t long, v double")
+    assert {r["ccf"] for r in tsa.cross_correlation(
+        dfc, "a", "b", key="k", ts="t", value="v", bucket_ms=1000,
+        max_lag=1).collect()} == {0.0}
