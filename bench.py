@@ -240,6 +240,8 @@ def main() -> None:
         "stats_cramers_v",
         "stats_kendall",
         "tsa_crosscorr",
+        "text_ttr",
+        "stats_pct_rank",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1709,6 +1709,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stats_kendall"] = _kendall_orders
+    q["text_ttr"] = lambda spark, sf: text.vocab_stats_by_group(
+        _docs(spark, sf), group="source"
+    )
+    q["stats_pct_rank"] = lambda spark, sf: analytics.midrank_pct(
+        testdata.table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders")),
+        id_col="o_custkey", value="n_orders",
+    )
     q["tsa_crosscorr"] = lambda spark, sf: tsa.cross_correlation(
         testdata.events_metric(spark, sf), key_a="view", key_b="purchase",
         key="event_type", ts="timestamp", value="value",
@@ -1742,6 +1751,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
         "stats_kendall", "tsa_crosscorr", "stats_chi2",
+        "text_ttr", "stats_pct_rank",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3524,6 +3534,28 @@ SELECT p.g AS o_orderpriority, np.n_points,
        cast(count(*) AS bigint) AS n_pairs,
        round(quantile_cont(slope, 0.5), 6) AS ts_slope
 FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
+"""
+    o["text_ttr"] = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             FROM documents
+             WHERE source IS NOT NULL AND text IS NOT NULL),
+c AS (SELECT source, w, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT source,
+       cast(count(*) AS bigint) AS vocab,
+       cast(sum(n) AS bigint) AS total_tokens,
+       cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS bigint) AS hapax,
+       round(count(*) / cast(sum(n) AS double), 6) AS ttr,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / cast(count(*) AS double), 6) AS hapax_frac
+FROM c GROUP BY 1
+"""
+    o["stats_pct_rank"] = """
+WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT o_custkey, n_orders,
+       round((rank() OVER (ORDER BY n_orders)
+              + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0)
+             / (SELECT count(*) FROM c), 6) AS pct_rank
+FROM c
 """
     o["stats_kendall"] = """
 WITH daily AS (SELECT o_orderpriority,

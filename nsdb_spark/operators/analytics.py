@@ -1793,3 +1793,33 @@ def kendall_tau_by_group(
             ),
         ).alias("tau_b"),
     )
+
+
+def midrank_pct(df: DataFrame, id_col: str, value: str) -> DataFrame:
+    """Percentile rank of every row by `value` (midrank/n, tie-fair, in
+    (0, 1]) — "which spend/activity percentile is this customer in" at
+    full population scale. A naive percent_rank() is a global-sort
+    single-partition window, dead at 100 TB; this reuses the
+    _avg_rank_frame machinery: collapse to per-distinct-value counts,
+    range-partition cumsums, P-row broadcast offsets, then join the
+    |distinct values|-sized rank table back on the value column.
+
+    Ties matter: feed it EXACT-arithmetic values (counts, integer
+    cents). Float sums that differ in final ulps across engines/runs
+    silently reshape tie groups and thus every midrank.
+
+    Output: (id_col, value, pct_rank rounded 6).
+    """
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(value).isNotNull()
+    ).select(id_col, value)
+    ranks, n = _avg_rank_frame(base.select(F.col(value).alias("v")), "v")
+    if n == 0:
+        raise ValueError("midrank_pct: no rows with non-null id and value")
+    return base.join(
+        ranks.select(F.col("v").alias(value), "avg_rank"), value
+    ).select(
+        id_col,
+        value,
+        F.round(F.col("avg_rank") / F.lit(float(n)), 6).alias("pct_rank"),
+    )

@@ -645,3 +645,46 @@ def gopher_rule_flags(
         ok_stop.alias("ok_stop"),
         (ok_words & ok_word_len & ok_dup & ok_stop).alias("passes"),
     )
+
+
+def vocab_stats_by_group(
+    docs: DataFrame, group: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group lexical-richness profile: vocabulary size, total token
+    count, type-token ratio, and hapax-legomenon fraction (share of the
+    vocabulary appearing exactly once). The corpus-comparison companion
+    to quality_score: template/boilerplate sources show low TTR and low
+    hapax fraction; OCR noise and spam show pathologically HIGH hapax
+    (every garble is unique). Token = whitespace split, the same
+    convention as token_stats/fingerprint, so oracles agree on ''
+    tokens from repeated spaces too.
+
+    Plan: explode to (group, token), then ONE map-side-combinable
+    groupBy(group, token) count — the only data-sized shuffle — and a
+    per-group rollup of that collapsed frame. At 100 TB the vocabulary
+    frame is the corpus' distinct-token set per group, orders of
+    magnitude smaller than the token stream the combiners absorb.
+
+    Output: (group, vocab, total_tokens, hapax, ttr r6, hapax_frac r6).
+    """
+    tok = docs.filter(
+        F.col(group).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(group), F.explode(_words(text_col)).alias("w")
+    )
+    counts = tok.groupBy(group, "w").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy(group).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_frac"),
+    )

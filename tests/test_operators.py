@@ -3552,3 +3552,42 @@ def test_cross_correlation_planted_lag(spark):
     assert {r["ccf"] for r in tsa.cross_correlation(
         dfc, "a", "b", key="k", ts="t", value="v", bucket_ms=1000,
         max_lag=1).collect()} == {0.0}
+
+
+def test_vocab_stats_ttr_and_hapax(spark):
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c", "s1"),     # vocab {a,b,c}, total 4, hapax {a,c}
+            (2, "c d", "s1"),         # s1 now: a1 b2 c2 d1 -> hapax {a,d}
+            (3, "x x x", "s2"),       # s2: vocab 1, total 3, hapax 0
+            (4, None, "s1"),          # NULL text drops
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in
+           text.vocab_stats_by_group(docs, group="source").collect()}
+    s1 = out["s1"]
+    assert (s1["vocab"], s1["total_tokens"], s1["hapax"]) == (4, 6, 2)
+    assert s1["ttr"] == round(4 / 6, 6) and s1["hapax_frac"] == 0.5
+    s2 = out["s2"]
+    assert (s2["vocab"], s2["total_tokens"], s2["hapax"]) == (1, 3, 0)
+    assert s2["ttr"] == round(1 / 3, 6) and s2["hapax_frac"] == 0.0
+
+
+def test_midrank_pct_ties_and_bounds(spark):
+    from nsdb_spark.operators import analytics
+
+    # values [10, 20, 20, 40]: midranks [1, 2.5, 2.5, 4] -> /4
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 40)], "id long, v long"
+    )
+    out = {r["id"]: r["pct_rank"] for r in
+           analytics.midrank_pct(df, "id", "v").collect()}
+    assert out == {1: 0.25, 2: 0.625, 3: 0.625, 4: 1.0}
+    # empty input raises (not a silent empty frame)
+    import pytest as _pytest
+    empty = spark.createDataFrame([], "id long, v long")
+    with _pytest.raises(ValueError):
+        analytics.midrank_pct(empty, "id", "v")

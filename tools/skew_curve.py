@@ -70,14 +70,23 @@ def main() -> None:
             )
             .localCheckpoint(eager=True)
         )
-        t0 = time.time()
-        n_plain = fact.join(dim, "k").count()
-        t_plain = round(time.time() - t0, 2)
-        t0 = time.time()
-        n_salted = skew.salted_join(
-            fact, dim, "k", salt_buckets=SALT, salt_on="rid"
-        ).count()
-        t_salted = round(time.time() - t0, 2)
+        def timed(thunk):
+            # min of 2: the machine also runs tests/benches, so single
+            # samples carry multi-second scheduler noise
+            best, n = None, None
+            for _ in range(2):
+                t0 = time.time()
+                n = thunk()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            return round(best, 2), n
+
+        t_plain, n_plain = timed(lambda: fact.join(dim, "k").count())
+        t_salted, n_salted = timed(
+            lambda: skew.salted_join(
+                fact, dim, "k", salt_buckets=SALT, salt_on="rid"
+            ).count()
+        )
         assert n_plain == n_salted, (n_plain, n_salted)
         results[hf] = {"plain_s": t_plain, "salted_s": t_salted}
         print(f"hot_frac={hf}: plain {t_plain}s salted {t_salted}s "
