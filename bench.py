@@ -242,6 +242,8 @@ def main() -> None:
         "tsa_crosscorr",
         "text_ttr",
         "stats_pct_rank",
+        "emb_silhouette",
+        "stats_partial_corr",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -296,6 +296,24 @@ def _kmeans_oracle(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
     the final assignment reports per-cell count / inertia / RMS. The
     grid snap is what makes the trajectory engine-independent: raw
     distributed means differ in the last ulp, snapped ones don't."""
+    return f"""
+{_kmeans_cte_prefix(k, iters, round_to)},
+af AS (SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rn
+        FROM df) WHERE rn = 1)
+SELECT cast(cell AS int) AS cell, count(*) AS n_vecs,
+       round(sum(d), 3) AS inertia, round(sqrt(avg(d)), 3) AS rms_dist
+FROM af GROUP BY cell
+"""
+
+
+def _kmeans_cte_prefix(k: int, iters: int, round_to: int) -> str:
+    """Shared WITH-chain for the k-means-derived oracles: training rounds
+    c1..c{iters} plus `df`, the squared distance of every vector to every
+    FINAL centroid — kmeans_summary and silhouette_by_cell both read
+    from that frame."""
     steps = []
     for t in range(1, iters + 1):
         steps.append(f"""
@@ -320,15 +338,31 @@ c0 AS (SELECT init.cell, x.pos, round(x.xv, {round_to}) AS cv
        FROM init JOIN x USING (vec_id)),
 {",".join(steps)},
 df AS (SELECT x.vec_id, c.cell, sum((x.xv - c.cv) * (x.xv - c.cv)) AS d
-       FROM x JOIN c{iters} c USING (pos) GROUP BY 1, 2),
-af AS (SELECT vec_id, cell, d FROM (
-        SELECT vec_id, cell, d,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d ASC, cell ASC) AS rn
-        FROM df) WHERE rn = 1)
-SELECT cast(cell AS int) AS cell, count(*) AS n_vecs,
-       round(sum(d), 3) AS inertia, round(sqrt(avg(d)), 3) AS rms_dist
-FROM af GROUP BY cell
+       FROM x JOIN c{iters} c USING (pos) GROUP BY 1, 2)"""
+
+
+def _silhouette_oracle(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
+    """Simplified-silhouette oracle on the same trained trajectory as
+    _kmeans_oracle: rank every vector's k distances (d, cell), rn=1 is
+    its own cell, rn=2 the nearest other centroid (exact ties give
+    s = 0 in both engines — same tie-break as the Spark struct sort)."""
+    return f"""
+{_kmeans_cte_prefix(k, iters, round_to)},
+sf AS (SELECT vec_id, cell, d,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cell ASC) AS rn
+       FROM df),
+ab AS (SELECT a.vec_id, a.cell, a.d AS da, b.d AS db
+       FROM sf a JOIN sf b ON a.vec_id = b.vec_id
+       WHERE a.rn = 1 AND b.rn = 2),
+s AS (SELECT cell,
+             CASE WHEN db > 0
+                  THEN round((sqrt(db) - sqrt(da)) / sqrt(db), 6)
+                  ELSE 0.0 END AS sil
+      FROM ab)
+SELECT cast(cell AS int) AS cell, cast(count(*) AS bigint) AS n_vecs,
+       round(avg(sil), 6) AS avg_silhouette
+FROM s GROUP BY 1
 """
 
 
@@ -1712,6 +1746,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ttr"] = lambda spark, sf: text.vocab_stats_by_group(
         _docs(spark, sf), group="source"
     )
+    q["emb_silhouette"] = lambda spark, sf: clustering.silhouette_by_cell(
+        _emb(spark, sf), k=8, iters=4
+    )
+    q["stats_partial_corr"] = lambda spark, sf: analytics.partial_corr(
+        testdata.table(spark, sf, "lineitem"),
+        x="l_quantity", y="l_extendedprice", z="l_discount",
+    )
     q["stats_pct_rank"] = lambda spark, sf: analytics.midrank_pct(
         testdata.table(spark, sf, "orders")
         .groupBy("o_custkey")
@@ -1751,7 +1792,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
         "stats_kendall", "tsa_crosscorr", "stats_chi2",
-        "text_ttr", "stats_pct_rank",
+        "text_ttr", "stats_pct_rank", "emb_silhouette",
+        "stats_partial_corr", "kmeans_cells",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3534,6 +3576,39 @@ SELECT p.g AS o_orderpriority, np.n_points,
        cast(count(*) AS bigint) AS n_pairs,
        round(quantile_cont(slope, 0.5), 6) AS ts_slope
 FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
+"""
+    o["emb_silhouette"] = _silhouette_oracle(k=8, iters=4)
+    o["stats_partial_corr"] = """
+WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y,
+                     l_discount AS z
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL),
+m AS (SELECT avg(x) AS mx, avg(y) AS my, avg(z) AS mz FROM base),
+g AS (SELECT sum((x - mx) * (y - my)) AS sxy,
+             sum((x - mx) * (z - mz)) AS sxz,
+             sum((y - my) * (z - mz)) AS syz,
+             sum((x - mx) * (x - mx)) AS sxx,
+             sum((y - my) * (y - my)) AS syy,
+             sum((z - mz) * (z - mz)) AS szz,
+             cast(count(*) AS bigint) AS n
+      FROM base, m),
+r AS (SELECT CASE WHEN sxx > 0 AND syy > 0
+                  THEN sxy / sqrt(sxx * syy) END AS rxy,
+             CASE WHEN sxx > 0 AND szz > 0
+                  THEN sxz / sqrt(sxx * szz) END AS rxz,
+             CASE WHEN syy > 0 AND szz > 0
+                  THEN syz / sqrt(syy * szz) END AS ryz,
+             n
+      FROM g)
+SELECT round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0
+            THEN round((rxy - rxz * ryz)
+                       / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+            END AS partial_r,
+       n
+FROM r
 """
     o["text_ttr"] = """
 WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w

@@ -1823,3 +1823,60 @@ def midrank_pct(df: DataFrame, id_col: str, value: str) -> DataFrame:
         value,
         F.round(F.col("avg_rank") / F.lit(float(n)), 6).alias("pct_rank"),
     )
+
+
+def partial_corr(df: DataFrame, x: str, y: str, z: str) -> DataFrame:
+    """First-order partial correlation r_xy·z — the x↔y association with
+    the confounder z linearly removed: (r_xy − r_xz·r_yz) /
+    sqrt((1−r_xz²)(1−r_yz²)). The "is quantity really driving price, or
+    is discount driving both" question; stats_corr gives the raw r's,
+    this is the causal-hygiene follow-up.
+
+    Two-pass centered sums, the stats_linreg discipline: raw-moment
+    n·Σxy − ΣxΣy cancels catastrophically on wide-magnitude columns, so
+    pass 1 is one tiny aggregate for the three means (broadcast back),
+    pass 2 one map-side-combinable aggregate for the six centered
+    co-moments. Rows with ANY of the three NULL drop (listwise-complete,
+    the standard partial-correlation convention).
+
+    Output one row: (r_xy, r_xz, r_yz, partial_r, all rounded 6; n).
+    Degenerate inputs (a constant column, |r|=1 collinearity) yield NULL
+    partial_r rather than a division error.
+    """
+    base = df.filter(
+        F.col(x).isNotNull() & F.col(y).isNotNull() & F.col(z).isNotNull()
+    ).select(F.col(x).alias("vx"), F.col(y).alias("vy"), F.col(z).alias("vz"))
+    means = base.agg(
+        F.avg("vx").alias("mx"), F.avg("vy").alias("my"),
+        F.avg("vz").alias("mz"),
+    )
+    dx, dy, dz = (
+        F.col("vx") - F.col("mx"),
+        F.col("vy") - F.col("my"),
+        F.col("vz") - F.col("mz"),
+    )
+    g = base.crossJoin(F.broadcast(means)).agg(
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dz).alias("sxz"),
+        F.sum(dy * dz).alias("syz"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dz * dz).alias("szz"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    def r(sab, saa, sbb):
+        return F.when(
+            (F.col(saa) > 0) & (F.col(sbb) > 0),
+            F.col(sab) / F.sqrt(F.col(saa) * F.col(sbb)),
+        )
+    rxy, rxz, ryz = r("sxy", "sxx", "syy"), r("sxz", "sxx", "szz"), r("syz", "syy", "szz")
+    denom = (1 - rxz * rxz) * (1 - ryz * ryz)
+    return g.select(
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.when(
+            denom > 0, F.round((rxy - rxz * ryz) / F.sqrt(denom), 6)
+        ).alias("partial_r"),
+        "n",
+    )

@@ -274,3 +274,57 @@ def pca_whiten(
         )
         cols.append(F.round(dot * F.lit(scale), 6))
     return emb.select(id_col, F.array(*cols).alias(out_col))
+
+
+def silhouette_by_cell(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cell: for each
+    vector a = distance to its OWN centroid, b = distance to the nearest
+    OTHER centroid, s = (b − a)/b ∈ [0, 1) — the cluster-quality audit
+    kmeans_summary's inertia can't give (inertia always improves with k;
+    silhouette peaks where the clustering is actually crisp). The exact
+    silhouette needs all O(n²) pairwise distances; the centroid form is
+    the standard scale substitute (Hripcsak's "simplified silhouette")
+    and needs only the k-distance row every assignment already computes.
+
+    Same trained trajectory as kmeans_summary (grid-snapped centroids →
+    engine-independent, SQL-oracle-checkable); per-vector distances stay
+    in one narrow projection (no shuffle beyond kmeans_fit's own), the
+    per-cell rollup is one map-side-combinable aggregate. b ≥ a by
+    construction, so s = (√b − √a)/√b with a zero-guard; per-vector s
+    rounds at 6 before the cell average (both engines mean identical
+    rounded values).
+
+    Output: (cell int, n_vecs, avg_silhouette rounded 6).
+    """
+    if k < 2:
+        raise ValueError("silhouette_by_cell: needs k >= 2 cells")
+    centroids = kmeans_fit(emb, k, iters, vec_col, id_col, round_to=round_to)
+    v = _as_double(vec_col)
+    cands = [
+        F.struct(_sq_dist(v, c).alias("d"), F.lit(ci).alias("cell"))
+        for ci, c in enumerate(centroids)
+    ]
+    # struct sort orders by (d, cell) — identical tie-break to the
+    # oracle's row_number(ORDER BY d, cell); element 2 is the nearest
+    # OTHER centroid even under exact ties (then s = 0)
+    ds = F.sort_array(F.array(*cands))
+    a_sq, b_sq = ds[0]["d"], ds[1]["d"]
+    sil = (
+        F.when(
+            b_sq > 0,
+            F.round((F.sqrt(b_sq) - F.sqrt(a_sq)) / F.sqrt(b_sq), 6),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    per = emb.select(ds[0]["cell"].alias("cell"), sil.alias("sil"))
+    return per.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("sil"), 6).alias("avg_silhouette"),
+    )

@@ -3591,3 +3591,42 @@ def test_midrank_pct_ties_and_bounds(spark):
     empty = spark.createDataFrame([], "id long, v long")
     with _pytest.raises(ValueError):
         analytics.midrank_pct(empty, "id", "v")
+
+
+def test_silhouette_separated_clusters(spark):
+    from nsdb_spark.operators import clustering
+
+    # two tight, far-apart blobs: silhouette near 1 for both cells
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(4)] + \
+           [(10 + i, [100.0 + 0.01 * i, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = clustering.silhouette_by_cell(df, k=2, iters=3).collect()
+    assert len(out) == 2 and sum(r["n_vecs"] for r in out) == 8
+    assert all(r["avg_silhouette"] > 0.99 for r in out)
+    # k < 2 is a contract violation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        clustering.silhouette_by_cell(df, k=1)
+
+
+def test_partial_corr_removes_confounder(spark):
+    from nsdb_spark.operators import analytics
+
+    # x and y both driven ONLY by z (plus distinct deterministic noise):
+    # raw r_xy is strongly positive, partial r_xy.z collapses toward 0
+    rows = []
+    for i in range(200):
+        z = float(i % 40)
+        nx = ((i * 37) % 17) / 17.0
+        ny = ((i * 53) % 19) / 19.0
+        rows.append((z + nx, z + ny, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = analytics.partial_corr(df, "x", "y", "z").collect()[0]
+    assert r["r_xy"] > 0.9
+    assert abs(r["partial_r"]) < 0.2
+    assert r["n"] == 200
+    # constant column -> NULL r's and partial, not a crash
+    dfc = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 3.0, 5.0)], "x double, y double, z double")
+    rc = analytics.partial_corr(dfc, "x", "y", "z").collect()[0]
+    assert rc["r_xz"] is None and rc["partial_r"] is None
