@@ -498,3 +498,62 @@ def test_gini_no_global_sort(spark):
     plan = plan_of(out)
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+
+
+def test_spearman_no_global_window(spark):
+    """Both midrank frames must come from the range-partitioned two-phase
+    scan (the KS discipline): offsets join back broadcast, and the only
+    single-partition exchange is the final 1-row aggregate."""
+    from nsdb_spark.operators import analytics
+
+    li = testdata.table(spark, SF_DIR, "lineitem")
+    out = analytics.spearman_corr(li, "l_quantity", "l_extendedprice")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_midrank_pct_no_global_sort(spark):
+    """Population percentile ranks must never pay a global-sort window:
+    rank table joins back on the value; no single-partition exchange."""
+    from nsdb_spark.operators import analytics
+    from pyspark.sql import functions as F
+
+    counts = (
+        testdata.table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    plan = plan_of(analytics.midrank_pct(counts, "o_custkey", "n_orders"))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_periodogram_single_shuffle(spark):
+    """The six sufficient sums must ride ONE map-side-combinable
+    aggregate: one hash exchange on (key, period), the lag frame enters
+    broadcast, and nothing sorts globally."""
+    from nsdb_spark.operators import tsa
+
+    ev = testdata.events_metric(spark, SF_DIR)
+    plan = plan_of(tsa.periodogram(ev, key="event_type", ts="timestamp"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_crosscorr_no_global_sort(spark):
+    """Bucket series align via broadcast lag fan-out + hash join on the
+    bucket; the final per-lag aggregate is tiny. No single-partition
+    exchange before the closing 11-row sort."""
+    from nsdb_spark.operators import tsa
+
+    ev = testdata.events_metric(spark, SF_DIR)
+    out = tsa.cross_correlation(
+        ev, key_a="view", key_b="purchase", key="event_type",
+        ts="timestamp", value="value", bucket_ms=3_600_000, max_lag=5,
+    )
+    plan = plan_of(out)
+    # the closing orderBy of 11 rows may plan as a single-partition sort;
+    # nothing DATA-sized may: allow at most that one
+    assert plan.count("Exchange SinglePartition") <= 1
