@@ -244,6 +244,8 @@ def main() -> None:
         "stats_pct_rank",
         "emb_silhouette",
         "stats_partial_corr",
+        "stats_lorenz",
+        "graph_hits",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

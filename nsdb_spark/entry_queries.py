@@ -341,6 +341,37 @@ df AS (SELECT x.vec_id, c.cell, sum((x.xv - c.cv) * (x.xv - c.cv)) AS d
        FROM x JOIN c{iters} c USING (pos) GROUP BY 1, 2)"""
 
 
+def _hits_oracle(iters: int = 4, round_to: int = 6) -> str:
+    """HITS unrolled into chained CTEs (the pagerank/kmeans discipline):
+    per round an in-edge sum, an L2 normalize snapped to the decimal
+    grid, an out-edge sum, another snapped normalize. The grid snap per
+    half-step is what keeps the trajectory engine-independent."""
+    # each CTE is referenced exactly ONCE downstream and the L2 norm is a
+    # sum(...) OVER () window, not a scalar subquery — a second reference
+    # would let DuckDB's CTE inlining re-expand the whole upstream chain
+    # into both uses, doubling per half-step (2^(2·iters) plan blowup,
+    # measured as a >5 min hang at sf0.01 before this form)
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+ar{t} AS (SELECT d, sum(h) AS v FROM e JOIN h{t - 1} USING (s) GROUP BY 1),
+a{t} AS (SELECT d, round(v / sqrt(sum(v * v) OVER ()),
+                         {round_to}) AS a FROM ar{t}),
+hr{t} AS (SELECT s, sum(a) AS v FROM e JOIN a{t} USING (d) GROUP BY 1),
+h{t} AS (SELECT s, round(v / sqrt(sum(v * v) OVER ()),
+                         {round_to}) AS h FROM hr{t})""")
+    return f"""
+WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+h0 AS (SELECT s, round(1.0 / sqrt(count(*) OVER ()), {round_to}) AS h
+       FROM (SELECT DISTINCT s FROM e)),
+{",".join(steps)}
+SELECT s AS node, 'hub' AS role, h AS score FROM h{iters}
+UNION ALL
+SELECT d AS node, 'authority' AS role, a AS score FROM a{iters}
+"""
+
+
 def _silhouette_oracle(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
     """Simplified-silhouette oracle on the same trained trajectory as
     _kmeans_oracle: rank every vector's k distances (d, cell), rn=1 is
@@ -1746,6 +1777,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ttr"] = lambda spark, sf: text.vocab_stats_by_group(
         _docs(spark, sf), group="source"
     )
+    q["stats_lorenz"] = lambda spark, sf: analytics.lorenz_deciles(
+        testdata.table(spark, sf, "orders"), value="o_totalprice"
+    )
+    q["graph_hits"] = lambda spark, sf: graph.hits_scores(
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+        ),
+        iters=4,
+    )
     q["emb_silhouette"] = lambda spark, sf: clustering.silhouette_by_cell(
         _emb(spark, sf), k=8, iters=4
     )
@@ -1793,7 +1840,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
         "stats_kendall", "tsa_crosscorr", "stats_chi2",
         "text_ttr", "stats_pct_rank", "emb_silhouette",
-        "stats_partial_corr", "kmeans_cells",
+        "stats_partial_corr", "kmeans_cells", "stats_lorenz", "graph_hits",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3578,6 +3625,22 @@ SELECT p.g AS o_orderpriority, np.n_points,
 FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
 """
     o["emb_silhouette"] = _silhouette_oracle(k=8, iters=4)
+    o["graph_hits"] = _hits_oracle(iters=4)
+    o["stats_lorenz"] = """
+WITH r AS (SELECT o_totalprice AS v,
+                  rank() OVER (ORDER BY o_totalprice)
+                  + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0
+                      AS ar,
+                  count(*) OVER () AS n
+           FROM orders WHERE o_totalprice IS NOT NULL),
+d AS (SELECT least(10, cast(ceil(ar * 10 / n) AS int)) AS decile, v FROM r),
+g AS (SELECT decile, cast(count(*) AS bigint) AS n_rows, sum(v) AS sv
+      FROM d GROUP BY 1),
+t AS (SELECT sum(sv) AS tot FROM g)
+SELECT decile, n_rows, round(sv / tot, 6) AS value_share,
+       round(sum(sv) OVER (ORDER BY decile) / tot, 6) AS cum_share
+FROM g, t ORDER BY decile
+"""
     o["stats_partial_corr"] = """
 WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y,
                      l_discount AS z

@@ -355,3 +355,71 @@ def adamic_adar(
         )
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """HITS hub/authority scores on a (src → dst) edge set, fixed
+    iterations (Kleinberg 1999): authority(d) = Σ hub(s) over in-edges,
+    hub(s) = Σ authority(d) over out-edges, each side L2-normalized per
+    half-step. On the supplier→customer graph hubs are breadth
+    suppliers and authorities the customers breadth concentrates on —
+    the mutually-reinforcing centrality PageRank's single score can't
+    separate on a bipartite graph.
+
+    kmeans/pagerank determinism discipline: every normalized score
+    snaps to the round_to decimal grid per half-step, so distributed
+    FP sum wiggle (~1e-15) never escapes into the next round and the
+    whole trajectory is engine-independent → exact unrolled-CTE SQL
+    oracle. Per round: two co-partitioned joins on the distinct edge
+    set + two 1-row norm aggregates broadcast back; scores
+    localCheckpoint per round to cap plan depth (the pagerank pattern).
+
+    Output: (node, role 'hub'|'authority', score r6) for every node
+    with at least one edge.
+    """
+    F_ = F
+    e = edges.select(
+        F_.col(src).alias("s"), F_.col(dst).alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    n_s = e.select("s").distinct().count()
+    if n_s == 0:
+        raise ValueError("hits_scores: empty edge set")
+    h = e.select("s").distinct().withColumn(
+        "h", F_.round(F_.lit(1.0 / (n_s ** 0.5)), round_to)
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        nrm = df.agg(
+            F_.sqrt(F_.sum(F_.col(col) * F_.col(col))).alias("__n")
+        )
+        return (
+            df.crossJoin(F_.broadcast(nrm))
+            .select(
+                *[c for c in df.columns if c != col],
+                F_.round(F_.col(col) / F_.col("__n"), round_to).alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iters):
+        a = _norm(
+            e.join(h, "s").groupBy("d").agg(F_.sum("h").alias("a")), "a"
+        )
+        h = _norm(
+            e.join(a, "d").groupBy("s").agg(F_.sum("a").alias("h")), "h"
+        )
+    return h.select(
+        F_.col("s").alias("node"), F_.lit("hub").alias("role"),
+        F_.col("h").alias("score"),
+    ).unionByName(
+        a.select(
+            F_.col("d").alias("node"), F_.lit("authority").alias("role"),
+            F_.col("a").alias("score"),
+        )
+    )

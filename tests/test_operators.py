@@ -3630,3 +3630,44 @@ def test_partial_corr_removes_confounder(spark):
         [(1.0, 2.0, 5.0), (2.0, 3.0, 5.0)], "x double, y double, z double")
     rc = analytics.partial_corr(dfc, "x", "y", "z").collect()[0]
     assert rc["r_xz"] is None and rc["partial_r"] is None
+
+
+def test_lorenz_deciles_uniform_and_concentrated(spark):
+    from nsdb_spark.operators import analytics
+
+    # 10 equal values -> every decile holds exactly 10% and cum is linear
+    df = spark.createDataFrame([(100.0,)] * 10, "v double")
+    out = analytics.lorenz_deciles(df, "v").collect()
+    # all ties -> same midrank -> single decile bucket holding everything
+    assert len(out) == 1 and out[0]["cum_share"] == 1.0
+    # strictly increasing values -> bottom decile share < top decile share
+    df2 = spark.createDataFrame([(float(2 ** i),) for i in range(20)], "v double")
+    rows = {r["decile"]: r for r in analytics.lorenz_deciles(df2, "v").collect()}
+    assert rows[1]["value_share"] < rows[10]["value_share"]
+    assert rows[10]["cum_share"] == 1.0
+    assert sum(r["n_rows"] for r in rows.values()) == 20
+    # monotone cumulative
+    cums = [rows[d]["cum_share"] for d in sorted(rows)]
+    assert cums == sorted(cums)
+
+
+def test_hits_bipartite_hub_authority(spark):
+    from nsdb_spark.operators import graph
+
+    # star: supplier 1 serves customers 10,11,12; supplier 2 only 10.
+    # hub(1) > hub(2); authority(10) > authority(11) (extra in-edge)
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long")
+    out = {(r["role"], r["node"]): r["score"]
+           for r in graph.hits_scores(edges, iters=3).collect()}
+    assert out[("hub", 1)] > out[("hub", 2)]
+    assert out[("authority", 10)] > out[("authority", 11)]
+    assert out[("authority", 11)] == out[("authority", 12)]
+    # L2 norms ~1 per role after the final snap
+    h2 = sum(v * v for (r, _), v in out.items() if r == "hub")
+    a2 = sum(v * v for (r, _), v in out.items() if r == "authority")
+    assert abs(h2 - 1.0) < 1e-4 and abs(a2 - 1.0) < 1e-4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        graph.hits_scores(
+            spark.createDataFrame([], "src long, dst long"))
