@@ -1735,10 +1735,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts="timestamp", value="value",
     )
 
-    def _theil_sen_orders(spark, sf):
-        # collapse to one point per (priority, day) FIRST — the pair join
-        # is quadratic in points, so feed it calendar-bounded daily counts
-        daily = (
+    def _daily_orders(spark, sf):
+        # collapse to one point per (priority, day) FIRST — the pair joins
+        # of theil_sen/kendall are quadratic in points, so feed them
+        # calendar-bounded daily counts; shared so the two entries (and
+        # their oracles' identical `daily` CTE) can never desynchronize
+        return (
             testdata.table(spark, sf, "orders")
             .filter(
                 F.col("o_orderpriority").isNotNull()
@@ -1750,30 +1752,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
         )
-        return analytics.theil_sen_by_group(
-            daily, part="o_orderpriority", x="day", y="n_orders"
-        )
 
-    q["stats_theil_sen"] = _theil_sen_orders
+    q["stats_theil_sen"] = lambda spark, sf: analytics.theil_sen_by_group(
+        _daily_orders(spark, sf), part="o_orderpriority", x="day",
+        y="n_orders",
+    )
 
-    def _kendall_orders(spark, sf):
-        daily = (
-            testdata.table(spark, sf, "orders")
-            .filter(
-                F.col("o_orderpriority").isNotNull()
-                & F.col("o_orderdate").isNotNull()
-            )
-            .groupBy(
-                "o_orderpriority",
-                F.unix_date(F.to_date("o_orderdate")).alias("day"),
-            )
-            .agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
-        )
-        return analytics.kendall_tau_by_group(
-            daily, part="o_orderpriority", x="day", y="n_orders"
-        )
-
-    q["stats_kendall"] = _kendall_orders
+    q["stats_kendall"] = lambda spark, sf: analytics.kendall_tau_by_group(
+        _daily_orders(spark, sf), part="o_orderpriority", x="day",
+        y="n_orders",
+    )
     q["text_ttr"] = lambda spark, sf: text.vocab_stats_by_group(
         _docs(spark, sf), group="source"
     )
@@ -3164,9 +3152,9 @@ rm AS (SELECT lang, sum(obs) AS rtot FROM grid GROUP BY 1),
 cm AS (SELECT source, sum(obs) AS ctot FROM grid GROUP BY 1),
 t AS (SELECT sum(obs) AS n, count(DISTINCT lang) AS nr,
              count(DISTINCT source) AS nc FROM grid)
-SELECT round(sum(cast(g.obs AS double) * g.obs
-                 / (rm.rtot * cm.ctot / cast(t.n AS double)))
-             - max(t.n), 6) AS chi2,
+SELECT greatest(round(sum(cast(g.obs AS double) * g.obs
+                       / (rm.rtot * cm.ctot / cast(t.n AS double)))
+                   - max(t.n), 6), 0.0) AS chi2,
        cast(max((t.nr - 1) * (t.nc - 1)) AS bigint) AS dof,
        cast(max(t.n) AS bigint) AS n
 FROM grid g JOIN rm USING (lang) JOIN cm USING (source), t
@@ -3714,12 +3702,14 @@ pairs AS (SELECT a.o_orderpriority AS g,
 np AS (SELECT o_orderpriority AS g, cast(count(*) AS bigint) AS n_points,
               count(*) * (count(*) - 1) / 2 AS n0
        FROM daily GROUP BY 1)
-SELECT p.g AS o_orderpriority, np.n_points,
-       cast(p.concordant AS bigint) AS concordant,
-       cast(p.discordant AS bigint) AS discordant,
-       round((p.concordant - p.discordant)
-             / sqrt(np.n0 * (np.n0 - p.ties_y)), 6) AS tau_b
-FROM pairs p JOIN np ON p.g = np.g
+SELECT np.g AS o_orderpriority, np.n_points,
+       cast(coalesce(p.concordant, 0) AS bigint) AS concordant,
+       cast(coalesce(p.discordant, 0) AS bigint) AS discordant,
+       CASE WHEN np.n0 * (np.n0 - coalesce(p.ties_y, 0)) > 0
+            THEN round((p.concordant - p.discordant)
+                       / sqrt(np.n0 * (np.n0 - p.ties_y)), 6)
+            END AS tau_b
+FROM np LEFT JOIN pairs p ON p.g = np.g
 """
     o["tsa_crosscorr"] = """
 WITH pts AS (SELECT event_type, epoch_ms(ts) AS t, value AS x
@@ -3757,9 +3747,9 @@ rm AS (SELECT x, sum(obs) AS rtot FROM grid GROUP BY 1),
 cm AS (SELECT y, sum(obs) AS ctot FROM grid GROUP BY 1),
 t AS (SELECT sum(obs) AS n, count(DISTINCT x) AS nr,
              count(DISTINCT y) AS nc FROM grid),
-c2 AS (SELECT round(sum(cast(g.obs AS double) * g.obs
-                        / (rm.rtot * cm.ctot / cast(t.n AS double)))
-                    - max(t.n), 6) AS chi2,
+c2 AS (SELECT greatest(round(sum(cast(g.obs AS double) * g.obs
+                              / (rm.rtot * cm.ctot / cast(t.n AS double)))
+                          - max(t.n), 6), 0.0) AS chi2,
               cast(max((t.nr - 1) * (t.nc - 1)) AS bigint) AS dof,
               cast(max(t.n) AS bigint) AS n,
               max(least(t.nr, t.nc)) AS minrc

@@ -740,7 +740,14 @@ def chi2_independence(
     sum uses the algebraic identity X² = Σ obs²/exp − n (expand
     (obs−exp)²/exp and use Σ_full-grid exp = n) — the zero-obs cells'
     (0−exp)²/exp mass lands in the −n term without ever materializing
-    the R×C cross product.
+    the R×C cross product. The identity subtracts two ~n-sized
+    quantities, so a near-independent table's tiny X² carries absolute
+    FP error ~n·2⁻⁵², which can dip the raw value below zero — both
+    engines clamp at 0 (X² is nonnegative by definition), which also
+    keeps Cramér's V's sqrt off negative inputs. Past n ≈ 1e10 rows
+    that error exceeds the 6-decimal oracle grain for near-zero X²;
+    large X² values (the ones decisions ride on) keep full relative
+    precision.
 
     effect_size=True appends Cramér's V = sqrt((X²/n)/(min(R,C)−1)),
     the [0,1] association STRENGTH a p-value can't give you at scale
@@ -774,10 +781,13 @@ def chi2_independence(
         .crossJoin(F.broadcast(tot))
         .groupBy()
         .agg(
-            F.round(
-                F.sum(F.col("obs").cast("double") * F.col("obs") / exp)
-                - F.max("n"),
-                6,
+            F.greatest(
+                F.round(
+                    F.sum(F.col("obs").cast("double") * F.col("obs") / exp)
+                    - F.max("n"),
+                    6,
+                ),
+                F.lit(0.0),
             ).alias("chi2"),
             F.max((F.col("nr") - 1) * (F.col("nc") - 1))
             .cast("long")

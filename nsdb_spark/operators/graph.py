@@ -383,6 +383,8 @@ def hits_scores(
     Output: (node, role 'hub'|'authority', score r6) for every node
     with at least one edge.
     """
+    if iters < 1:
+        raise ValueError("hits_scores: iters must be >= 1")
     F_ = F
     e = edges.select(
         F_.col(src).alias("s"), F_.col(dst).alias("d")

@@ -674,10 +674,14 @@ def cross_correlation(
     shifted, an equi-join on bucket aligns the series (co-partitioned:
     both sides arrive hashed on the bucket), and one tiny groupBy(lag)
     forms the correlation from raw sufficient sums. Buckets without both
-    series drop (pairwise-complete). Empty overlap or a constant series
-    in the window yields ccf = 0.0, never NULL/NaN.
+    series drop (pairwise-complete). A constant series in the overlap
+    yields ccf = 0.0, never NULL/NaN; a lag whose shift leaves NO
+    overlapping buckets emits no row at all (there is no n to correlate
+    over) — consumers iterating the full lag range must treat a missing
+    lag as no-overlap, not zero correlation.
 
-    Output: (lag, n_buckets, ccf rounded 6), one row per lag.
+    Output: (lag, n_buckets, ccf rounded 6), one row per lag with
+    overlap.
     """
     spark = df.sparkSession
     lags = spark.createDataFrame(
