@@ -246,6 +246,7 @@ def main() -> None:
         "stats_partial_corr",
         "stats_lorenz",
         "graph_hits",
+        "join_asof_forward",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

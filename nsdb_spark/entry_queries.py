@@ -1021,6 +1021,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- temporal joins (absent in the dialect; Spark-first extensions) ---
     q["join_asof_events_orders"] = _asof_events_orders
+
+    def _asof_forward(spark, sf):
+        # each order enriched with the customer's FIRST event at-or-after
+        # the order time — the forward half of merge_asof semantics
+        # (orders predate the event window, so every customer with events
+        # gets a real match; the reverse direction would be all-NULL)
+        ev_raw = testdata.table(spark, sf, "events")
+        ev = ev_raw.select(
+            testdata.ts_ms(ev_raw).alias("ts_ms"), "event_id", "user_id",
+            "value",
+        )
+        orders = testdata.table(spark, sf, "orders").select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 1000"
+            ).alias("ots"),
+            "o_orderkey",
+        )
+        return temporal_join.asof_join(
+            orders, ev, on=("o_custkey", "user_id"), ts=("ots", "ts_ms"),
+            payload=["event_id", "value"],
+            tie_break="event_id", direction="forward",
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "ots",
+            F.col("asof_event_id").alias("asof_event_id"),
+            F.col("asof_value").alias("asof_value"),
+        )
+
+    q["join_asof_forward"] = _asof_forward
     # attribution window: per order, the user's events within 7 d AFTER
     # the order — prefix sums + two as-of probes, never a range join
     def _window_join(spark, sf):
@@ -1829,6 +1860,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kendall", "tsa_crosscorr", "stats_chi2",
         "text_ttr", "stats_pct_rank", "emb_silhouette",
         "stats_partial_corr", "kmeans_cells", "stats_lorenz", "graph_hits",
+        "join_asof_forward",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -2514,6 +2546,18 @@ SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
        r.o_orderkey AS asof_orderkey, r.o_totalprice AS asof_totalprice
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.o_custkey AND epoch_ms(e.ts) >= r.ots
+"""
+    o["join_asof_forward"] = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         max(event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT o.o_orderkey, o.o_custkey, epoch_ms(o.o_orderdate) AS ots,
+       r.event_id AS asof_event_id, r.value AS asof_value
+FROM orders o ASOF LEFT JOIN r
+  ON o.o_custkey = r.user_id AND epoch_ms(o.o_orderdate) <= r.ts_ms
 """
     # direct range join is fine as the ORACLE (row counts exact; the
     # value sum differs from the cumulative-difference path only by FP

@@ -46,14 +46,20 @@ def asof_join(
     tie_break: str | None = None,
     prefix: str = "asof_",
     salt: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with r_ts <= l_ts per key.
+    """Left as-of join: latest right row with r_ts <= l_ts per key
+    (direction='backward', the default), or EARLIEST right row with
+    r_ts >= l_ts (direction='forward' — "the next shipment after the
+    order", the other half of DuckDB/pandas merge_asof semantics; same
+    single-exchange plan, the running carry just scans time reversed).
 
     on=(left_key, right_key), ts=(left_ts, right_ts); payload = right
     columns carried onto matching left rows (null when no prior right
     row). tie_break: right column whose max wins among right rows
     sharing (key, ts) — makes the result deterministic (DuckDB's ASOF
-    JOIN leaves the choice open; we pin it on both sides).
+    JOIN leaves the choice open; we pin it on both sides). Both
+    directions are INCLUSIVE: a right row exactly at l_ts matches.
 
     salt=N splits each key's LEFT rows across N buckets (deterministic
     ts-hash) and replicates the RIGHT rows into every bucket, so one hot
@@ -63,6 +69,11 @@ def asof_join(
     right-side rows shuffle ×N — size N to the hot-key headroom needed,
     per the skew.py salting discipline.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', "
+            f"got {direction!r}"
+        )
     lk, rk = on
     lts, rts = ts
     if tie_break is not None:
@@ -111,10 +122,13 @@ def asof_join(
             "__salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
         )
     # rights sort before lefts at equal ts (__side 0 < 1) → an exactly
-    # simultaneous right row DOES match (at-or-before semantics)
+    # simultaneous right row DOES match (at-or-before semantics);
+    # forward scans time descending with the same side order, so the
+    # carry holds the EARLIEST right row at-or-after each left row
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__key", "__salt")
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l_side.unionByName(r_side).withColumn(

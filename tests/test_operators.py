@@ -3671,3 +3671,32 @@ def test_hits_bipartite_hub_authority(spark):
     with _pytest.raises(ValueError):
         graph.hits_scores(
             spark.createDataFrame([], "src long, dst long"))
+
+
+def test_asof_join_forward_direction(spark):
+    from nsdb_spark.operators import temporal_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 250, "e2"), (1, 400, "e3"), (2, 50, "e4")],
+        "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 300, 30.0), (2, 40, 4.0)],
+        "k long, rt long, v double")
+    out = {r["name"]: r for r in temporal_join.asof_join(
+        left, right, on=("k", "k"), ts=("t", "rt"), payload=["v"],
+        direction="forward").collect()}
+    # inclusive: right at exactly t matches; else the NEXT right row
+    assert out["e1"]["asof_v"] == 10.0     # rt=100 == t=100
+    assert out["e2"]["asof_v"] == 30.0     # next is rt=300
+    assert out["e3"]["asof_v"] is None     # nothing after 400
+    assert out["e4"]["asof_v"] is None     # rt=40 is BEFORE, not after
+    # backward on the same data for contrast
+    back = {r["name"]: r for r in temporal_join.asof_join(
+        left, right, on=("k", "k"), ts=("t", "rt"), payload=["v"],
+        direction="backward").collect()}
+    assert back["e2"]["asof_v"] == 10.0 and back["e4"]["asof_v"] == 4.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temporal_join.asof_join(
+            left, right, on=("k", "k"), ts=("t", "rt"), payload=["v"],
+            direction="nearest")
