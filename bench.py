@@ -247,6 +247,8 @@ def main() -> None:
         "stats_lorenz",
         "graph_hits",
         "join_asof_forward",
+        "stats_zipf",
+        "stats_cohens_d",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

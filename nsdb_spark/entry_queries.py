@@ -1796,6 +1796,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ttr"] = lambda spark, sf: text.vocab_stats_by_group(
         _docs(spark, sf), group="source"
     )
+    q["stats_zipf"] = lambda spark, sf: text.zipf_slope(
+        _docs(spark, sf), top_n=100
+    )
+    q["stats_cohens_d"] = lambda spark, sf: analytics.cohens_d(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type", a="click", b="view",
+    )
     q["stats_lorenz"] = lambda spark, sf: analytics.lorenz_deciles(
         testdata.table(spark, sf, "orders"), value="o_totalprice"
     )
@@ -1860,7 +1867,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kendall", "tsa_crosscorr", "stats_chi2",
         "text_ttr", "stats_pct_rank", "emb_silhouette",
         "stats_partial_corr", "kmeans_cells", "stats_lorenz", "graph_hits",
-        "join_asof_forward",
+        "join_asof_forward", "stats_zipf", "stats_cohens_d",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3658,6 +3665,47 @@ FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
 """
     o["emb_silhouette"] = _silhouette_oracle(k=8, iters=4)
     o["graph_hits"] = _hits_oracle(iters=4)
+    o["stats_zipf"] = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+             FROM documents WHERE text IS NOT NULL),
+c AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+top AS (SELECT w, n FROM c ORDER BY n DESC, w ASC LIMIT 100),
+l AS (SELECT ln(cast(row_number() OVER (ORDER BY n DESC, w ASC)
+                     AS double)) AS x,
+             ln(cast(n AS double)) AS y
+      FROM top),
+m AS (SELECT avg(x) AS mx, avg(y) AS my FROM l)
+SELECT round(sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx)), 6)
+           AS zipf_slope,
+       round(pow(sum((x - mx) * (y - my)), 2)
+             / (sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 6)
+           AS r2,
+       cast(count(*) AS bigint) AS n_tokens
+FROM l, m
+"""
+    o["stats_cohens_d"] = """
+WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+g AS (SELECT cast(sum(ia) AS bigint) AS na,
+             cast(count(*) - sum(ia) AS bigint) AS nb,
+             sum(CASE WHEN ia = 1 THEN v ELSE 0.0 END) AS sa,
+             sum(CASE WHEN ia = 0 THEN v ELSE 0.0 END) AS sb,
+             sum(CASE WHEN ia = 1 THEN v * v ELSE 0.0 END) AS qa,
+             sum(CASE WHEN ia = 0 THEN v * v ELSE 0.0 END) AS qb
+      FROM s),
+p AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             sqrt(((qa - sa * (sa / na)) + (qb - sb * (sb / nb)))
+                  / (na + nb - 2)) AS pooled
+      FROM g)
+SELECT round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(pooled, 6) AS pooled_sd,
+       CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0
+            THEN round((ma - mb) / pooled, 6) END AS cohens_d,
+       na AS n_a, nb AS n_b
+FROM p
+"""
     o["stats_lorenz"] = """
 WITH r AS (SELECT o_totalprice AS v,
                   rank() OVER (ORDER BY o_totalprice)

@@ -1941,3 +1941,59 @@ def lorenz_deciles(
         )
         .orderBy("decile")
     )
+
+
+def cohens_d(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Cohen's d standardized mean difference between two groups —
+    the EFFECT SIZE welch_ttest's p-value can't give at scale (every
+    difference is "significant" at 100 TB rows; d stays comparable
+    across n): (mean_a − mean_b) / pooled_sd with the classic
+    (n−1)-weighted pooled variance.
+
+    One map-side-combinable aggregate over both samples (sum/sumsq
+    partials, the welch_ttest plan) — no second pass, no join. Output
+    one row: (mean_a, mean_b, pooled_sd, cohens_d, all r6; n_a, n_b).
+    Degenerate inputs (a group with < 2 rows, zero pooled variance)
+    yield NULL d, never a division error.
+    """
+    s = df.filter(
+        F.col(group).isin(a, b) & F.col(value).isNotNull()
+    ).select(
+        F.col(value).alias("v"),
+        F.when(F.col(group) == a, F.lit(1)).otherwise(F.lit(0)).alias("ia"),
+    )
+    ia = F.col("ia") == 1
+
+    def side(flag, expr):
+        return F.sum(F.when(flag, expr).otherwise(F.lit(0.0)))
+
+    g = s.agg(
+        F.sum("ia").cast("long").alias("na"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("nb"),
+        side(ia, F.col("v")).alias("sa"),
+        side(~ia, F.col("v")).alias("sb"),
+        side(ia, F.col("v") * F.col("v")).alias("qa"),
+        side(~ia, F.col("v") * F.col("v")).alias("qb"),
+    )
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    # centered sums via the one-pass identity; means here are WITHIN one
+    # engine so no cross-engine tie hazard, and the oracle mirrors the
+    # exact expression shape
+    ssa = F.col("qa") - F.col("sa") * ma
+    ssb = F.col("qb") - F.col("sb") * mb
+    pooled = F.sqrt(
+        (ssa + ssb) / (F.col("na") + F.col("nb") - F.lit(2))
+    )
+    return g.select(
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        F.when(
+            (F.col("na") >= 2) & (F.col("nb") >= 2) & (pooled > 0),
+            F.round((ma - mb) / pooled, 6),
+        ).alias("cohens_d"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+    )

@@ -688,3 +688,50 @@ def vocab_stats_by_group(
             6,
         ).alias("hapax_frac"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) for the top_n most frequent tokens —
+    natural text sits near −1; templated/boilerplate corpora flatten
+    (slope > −0.7 means a few tokens dominate less than language
+    predicts), token-soup noise steepens. The one-number companion to
+    vocab_stats_by_group's richness ratios.
+
+    Plan: the (token) count is the only data-sized shuffle (map-side
+    combinable, same as vocab_stats); the top-n cut is a bounded
+    TakeOrdered by (count DESC, token ASC) — total order, so the rank
+    axis is engine-deterministic — and the log-log OLS runs on top_n
+    rows, where a single-partition window is free at any corpus size.
+
+    Output one row: (zipf_slope r6, r2 r6, n_tokens bigint).
+    """
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(_words(text_col)).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("w").asc()).limit(top_n)
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    m = ranked.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    dx, dy = F.col("x") - F.col("mx"), F.col("y") - F.col("my")
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .agg(
+            F.round(F.sum(dx * dy) / F.sum(dx * dx), 6).alias("zipf_slope"),
+            F.round(
+                F.pow(F.sum(dx * dy), 2)
+                / (F.sum(dx * dx) * F.sum(dy * dy)),
+                6,
+            ).alias("r2"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -3700,3 +3700,48 @@ def test_asof_join_forward_direction(spark):
         temporal_join.asof_join(
             left, right, on=("k", "k"), ts=("t", "rt"), payload=["v"],
             direction="nearest")
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from nsdb_spark.operators import text
+
+    # corpus where token t_r appears round(1000 * r^-1) times -> slope
+    # very near -1 and r2 near 1 on the log-log fit
+    docs = []
+    did = 0
+    for r in range(1, 21):
+        n = round(1000 * r ** -1.0)
+        word = f"w{r:02d}"
+        docs.append((did, " ".join([word] * n)))
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.zipf_slope(df, top_n=20).collect()[0]
+    assert out["n_tokens"] == 20
+    assert -1.05 < out["zipf_slope"] < -0.95
+    assert out["r2"] > 0.999
+    # uniform counts -> slope 0
+    df2 = spark.createDataFrame(
+        [(i, " ".join([f"u{i}"] * 5)) for i in range(10)],
+        "doc_id long, text string")
+    assert text.zipf_slope(df2, top_n=10).collect()[0]["zipf_slope"] == 0.0
+
+
+def test_cohens_d_known_values(spark):
+    from nsdb_spark.operators import analytics
+    import statistics as st
+
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [3.0, 4.0, 5.0, 6.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals] + \
+           [("c", 99.0)]  # other groups excluded
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = analytics.cohens_d(df, "v", "g", "a", "b").collect()[0]
+    sp = ((3 * st.variance(a_vals) + 3 * st.variance(b_vals)) / 6) ** 0.5
+    assert r["cohens_d"] == round((2.5 - 4.5) / sp, 6)
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    # zero-variance pooled sd -> NULL d, not a crash
+    dfz = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "g string, v double")
+    assert analytics.cohens_d(dfz, "v", "g", "a", "b").collect()[0][
+        "cohens_d"] is None
