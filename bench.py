@@ -249,6 +249,8 @@ def main() -> None:
         "join_asof_forward",
         "stats_zipf",
         "stats_cohens_d",
+        "sim_topk_filtered",
+        "events_concurrency",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1796,6 +1796,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ttr"] = lambda spark, sf: text.vocab_stats_by_group(
         _docs(spark, sf), group="source"
     )
+    q["sim_topk_filtered"] = lambda spark, sf: similarity.cosine_topk_filtered(
+        _emb(spark, sf),
+        _docs(spark, sf).filter(F.col("lang") == "en").select("doc_id"),
+        _query_vec(spark, sf),
+        k=10,
+    )
+
+    def _events_concurrency(spark, sf):
+        sess = temporal_join.sessionize(
+            testdata.events_metric(spark, sf).select(
+                "user_id", "timestamp", "event_id"
+            ),
+            key="user_id", ts="timestamp", gap_ms=14_400_000,
+            order_tie="event_id",
+        )
+        return temporal_join.interval_concurrency(
+            sess, start="session_start", end="session_end"
+        )
+
+    q["events_concurrency"] = _events_concurrency
     q["stats_zipf"] = lambda spark, sf: text.zipf_slope(
         _docs(spark, sf), top_n=100
     )
@@ -1868,6 +1888,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr", "stats_pct_rank", "emb_silhouette",
         "stats_partial_corr", "kmeans_cells", "stats_lorenz", "graph_hits",
         "join_asof_forward", "stats_zipf", "stats_cohens_d",
+        "sim_topk_filtered", "events_concurrency",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3665,6 +3686,40 @@ FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
 """
     o["emb_silhouette"] = _silhouette_oracle(k=8, iters=4)
     o["graph_hits"] = _hits_oracle(iters=4)
+    o["sim_topk_filtered"] = f"""
+WITH {_EMB_CTE},
+allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+f AS (SELECT nn.* FROM nn JOIN allowed ON nn.vec_id = allowed.doc_id),
+q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0)
+SELECT f.vec_id AS vec_id,
+       round(list_dot_product(f.v, q.qv) / (f.nrm * q.qn), 6) AS cosine
+FROM f, q
+ORDER BY list_dot_product(f.v, q.qv) / (f.nrm * q.qn) DESC, f.vec_id
+LIMIT 10
+"""
+    o["events_concurrency"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id
+           FROM events),
+lagd AS (SELECT *, lag(timestamp) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id) AS prev
+         FROM e),
+flag AS (SELECT *, CASE WHEN prev IS NULL OR timestamp - prev > 14400000
+                        THEN 1 ELSE 0 END AS new_s FROM lagd),
+sess AS (SELECT *, CAST(sum(new_s) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+         FROM flag),
+s2 AS (SELECT user_id, session_id, min(timestamp) AS ss,
+              max(timestamp) AS se
+       FROM sess GROUP BY 1, 2),
+deltas AS (SELECT ss AS t, 1 AS d FROM s2
+           UNION ALL SELECT se + 1, -1 FROM s2),
+per AS (SELECT t, sum(d) AS d FROM deltas GROUP BY 1),
+run AS (SELECT t, sum(d) OVER (ORDER BY t) AS c FROM per),
+n AS (SELECT cast(count(*) AS bigint) AS n_intervals FROM s2)
+SELECT cast(c AS bigint) AS peak_concurrent, t AS at_ts, n_intervals
+FROM run, n ORDER BY c DESC, t ASC LIMIT 1
+"""
     o["stats_zipf"] = """
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
              FROM documents WHERE text IS NOT NULL),

@@ -812,3 +812,30 @@ def centroid_drift(
         F.round(na, 6).alias("norm_even"),
         F.round(nb, 6).alias("norm_odd"),
     )
+
+
+def cosine_topk_filtered(
+    emb: DataFrame,
+    allowed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Filtered exact vector search: top-k by cosine WITHIN an allowlist
+    of ids (a metadata predicate resolved to ids — lang = 'en', source
+    in a tenant set, license-clean docs). The filter applies BEFORE any
+    distance arithmetic via a semi join, so the score computation —
+    the expensive part at 100 TB — runs only over qualifying vectors;
+    a post-filter top-k would either over-fetch blindly or return
+    fewer than k. Composes with the stored-index paths the same way
+    (probe, semi-join the allowlist, then rank).
+
+    `allowed`: one-column DataFrame of qualifying ids. Output:
+    (vec_id, cosine r6), exactly as cosine_topk.
+    """
+    key = allowed.columns[0]
+    pruned = emb.join(
+        allowed.select(F.col(key).alias(id_col)).distinct(), id_col, "semi"
+    )
+    return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col)

@@ -386,3 +386,67 @@ def interval_join(
         .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
         .drop("__cell")
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame, start: str, end: str
+) -> DataFrame:
+    """Peak concurrency over a set of [start, end] (inclusive, epoch-ms)
+    intervals — "how many sessions were open at the busiest instant,
+    and when" — the capacity-planning sweep-line. Classic single-node
+    form sorts all boundaries and scans; at 100 TB that's the global
+    sort this repo never pays: boundaries collapse to per-distinct-ts
+    deltas (map-side combinable), the running count comes from the
+    range-partition + local-cumsum + broadcast-P-offsets discipline
+    (packing.partition_offsets), and the argmax is a bounded top-1.
+
+    Ties resolve to the EARLIEST instant attaining the peak. Output one
+    row: (peak_concurrent, at_ts, n_intervals). Empty input raises.
+    """
+    iv = intervals.filter(
+        F.col(start).isNotNull() & F.col(end).isNotNull()
+    ).select(F.col(start).alias("s"), F.col(end).alias("e"))
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    per = deltas.groupBy("t").agg(F.sum("d").cast("long").alias("d"))
+    # checkpoint BEFORE deriving offsets (partition_offsets contract)
+    p = (
+        per.repartitionByRange("t")
+        .sortWithinPartitions("t")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = p.withColumn("lc", F.sum("d").over(w))
+    subtotals = {
+        r["pid"]: r["sd"] or 0
+        for r in p.groupBy("pid").agg(F.sum("d").alias("sd")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(subtotals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += subtotals.get(pid, 0)
+    if not subtotals:
+        raise ValueError("interval_concurrency: no intervals")
+    off = intervals.sparkSession.createDataFrame(
+        offsets, "pid int, off long"
+    )
+    run = p.join(F.broadcast(off), "pid").select(
+        "t", (F.col("lc") + F.col("off")).alias("c")
+    )
+    n_iv = iv.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    return (
+        run.orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(1)
+        .crossJoin(F.broadcast(n_iv))
+        .select(
+            F.col("c").alias("peak_concurrent"),
+            F.col("t").alias("at_ts"),
+            "n_intervals",
+        )
+    )

@@ -3745,3 +3745,44 @@ def test_cohens_d_known_values(spark):
         "g string, v double")
     assert analytics.cohens_d(dfz, "v", "g", "a", "b").collect()[0][
         "cohens_d"] is None
+
+
+def test_cosine_topk_filtered_excludes(spark):
+    from nsdb_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.98, 0.2]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    q = [1.0, 0.0]
+    # unfiltered: 1 then 2 lead (besides the query itself)
+    allowed_all = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    top = similarity.cosine_topk_filtered(emb, allowed_all, q, k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    # filter out the best matches: ranking recomputes within the allowlist
+    allowed = spark.createDataFrame([(2,), (3,)], "id long")
+    top2 = similarity.cosine_topk_filtered(emb, allowed, q, k=2).collect()
+    assert [r["vec_id"] for r in top2] == [2, 3]
+    # filter smaller than k: returns what qualifies, never pads
+    one = spark.createDataFrame([(3,)], "id long")
+    assert [r["vec_id"] for r in
+            similarity.cosine_topk_filtered(emb, one, q, k=5).collect()] == [3]
+
+
+def test_interval_concurrency_peak_and_ties(spark):
+    from nsdb_spark.operators import temporal_join
+
+    # [0,10], [5,20], [15,30]: peak 2 first reached at t=5
+    df = spark.createDataFrame(
+        [(0, 10), (5, 20), (15, 30)], "s long, e long")
+    r = temporal_join.interval_concurrency(df, "s", "e").collect()[0]
+    assert (r["peak_concurrent"], r["at_ts"], r["n_intervals"]) == (2, 5, 3)
+    # inclusive ends: [0,5] and [5,9] overlap AT t=5
+    df2 = spark.createDataFrame([(0, 5), (5, 9)], "s long, e long")
+    r2 = temporal_join.interval_concurrency(df2, "s", "e").collect()[0]
+    assert (r2["peak_concurrent"], r2["at_ts"]) == (2, 5)
+    # empty input raises
+    import pytest as _pytest
+    empty = spark.createDataFrame([], "s long, e long")
+    with _pytest.raises(ValueError):
+        temporal_join.interval_concurrency(empty, "s", "e")
