@@ -251,6 +251,8 @@ def main() -> None:
         "stats_cohens_d",
         "sim_topk_filtered",
         "events_concurrency",
+        "stats_wilson",
+        "sample_token_budget",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

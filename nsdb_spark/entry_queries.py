@@ -1796,6 +1796,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ttr"] = lambda spark, sf: text.vocab_stats_by_group(
         _docs(spark, sf), group="source"
     )
+    q["stats_wilson"] = lambda spark, sf: analytics.wilson_ci_by_group(
+        _docs(spark, sf), part="source", success=F.col("lang") == "en",
+    )
+    q["sample_token_budget"] = lambda spark, sf: selection.select_token_budget(
+        _docs(spark, sf).select(
+            "doc_id", "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+        ),
+        quality="n_chars", tokens="tok", budget=15_000,
+    )
     q["sim_topk_filtered"] = lambda spark, sf: similarity.cosine_topk_filtered(
         _emb(spark, sf),
         _docs(spark, sf).filter(F.col("lang") == "en").select("doc_id"),
@@ -1888,7 +1898,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr", "stats_pct_rank", "emb_silhouette",
         "stats_partial_corr", "kmeans_cells", "stats_lorenz", "graph_hits",
         "join_asof_forward", "stats_zipf", "stats_cohens_d",
-        "sim_topk_filtered", "events_concurrency",
+        "sim_topk_filtered", "events_concurrency", "stats_wilson",
+        "sample_token_budget",
         # round 8: new entries this round
         "stats_basket_lift", "stats_linreg", "win_order_gaps",
         "graph_degree_dist", "text_gopher_rules", "stats_gini",
@@ -3686,6 +3697,37 @@ FROM pairs p JOIN np ON p.g = np.g GROUP BY 1, 2
 """
     o["emb_silhouette"] = _silhouette_oracle(k=8, iters=4)
     o["graph_hits"] = _hits_oracle(iters=4)
+    _z = analytics.WILSON_Z
+    _z2 = _z * _z
+    o["stats_wilson"] = f"""
+WITH g AS (SELECT source, cast(count(*) AS bigint) AS n,
+                  cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS bigint) AS k
+           FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1)
+SELECT source, n, k,
+       round(k / n, 6) AS p_hat,
+       round((k / n + {_z2!r} / (2 * n)) / (1 + {_z2!r} / n)
+             - {_z!r} * sqrt(k / n * (1 - k / n) / n
+                             + {_z2!r} / (4 * n * n))
+               / (1 + {_z2!r} / n), 6) AS ci_low,
+       round((k / n + {_z2!r} / (2 * n)) / (1 + {_z2!r} / n)
+             + {_z!r} * sqrt(k / n * (1 - k / n) / n
+                             + {_z2!r} / (4 * n * n))
+               / (1 + {_z2!r} / n), 6) AS ci_high
+FROM g
+"""
+    o["sample_token_budget"] = """
+WITH d AS (SELECT doc_id, n_chars AS q,
+                  cast(len(string_split(text, ' ')) AS bigint) AS tok
+           FROM documents
+           WHERE n_chars IS NOT NULL AND text IS NOT NULL
+             AND doc_id IS NOT NULL),
+cls AS (SELECT q, sum(tok) AS ct FROM d GROUP BY 1),
+cum AS (SELECT q, sum(ct) OVER (ORDER BY q DESC) AS c FROM cls),
+keep AS (SELECT q FROM cum WHERE c <= 15000)
+SELECT doc_id, q AS n_chars, tok AS n_tokens FROM d JOIN keep USING (q)
+"""
     o["sim_topk_filtered"] = f"""
 WITH {_EMB_CTE},
 allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),

@@ -1997,3 +1997,46 @@ def cohens_d(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
     )
+
+
+#: two-sided 95% normal quantile, full double precision — the literal is
+#: embedded in the SQL oracles too so both engines square the same bits
+WILSON_Z = 1.959963984540054
+
+
+def wilson_ci_by_group(
+    df: DataFrame, part: str, success: Column | str
+) -> DataFrame:
+    """Per-group binomial proportion with the Wilson 95% score interval —
+    the conversion-rate/defect-rate dashboard row done right (the naive
+    Wald interval collapses to zero width at p̂ ∈ {0, 1} and escapes
+    [0, 1]; Wilson stays honest at any n). `success` is a boolean
+    column/expression counted within each group.
+
+    ONE map-side-combinable aggregate (n, k per group), closed-form
+    math on the group-count frame after. Output: (part, n, k, p_hat r6,
+    ci_low r6, ci_high r6).
+    """
+    s = F.col(success) if isinstance(success, str) else success
+    g = df.filter(F.col(part).isNotNull() & s.isNotNull()).groupBy(part).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s.cast("int")).cast("long").alias("k"),
+    )
+    z2 = WILSON_Z * WILSON_Z
+    n, k = F.col("n"), F.col("k")
+    p = k / n
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        WILSON_Z
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return g.select(
+        part,
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_low"),
+        F.round(center + half, 6).alias("ci_high"),
+    )

@@ -32,7 +32,7 @@ bit-for-bit in the DuckDB oracles.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import (
@@ -379,4 +379,69 @@ def semantic_survivors(
         F.col("doc_id").alias("vec_id"),
         F.col("cluster_id").alias("rep_id"),
         (F.col("doc_id") == F.col("cluster_id")).alias("survivor"),
+    )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    quality: str,
+    tokens: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-docs-within-a-token-budget selection: keep the largest
+    prefix of quality CLASSES (descending quality) whose total token
+    count fits `budget` — "give me the highest-quality ~1B tokens"
+    without ever sorting the corpus. Class-granular by design: a class
+    is either fully in or fully out, so the cut is deterministic and
+    engine-independent (no arbitrary tie-split inside a class; if the
+    single top class already exceeds the budget the selection is empty
+    — budget up or pre-bin quality finer).
+
+    Scale shape: one map-side-combinable collapse to per-class token
+    totals, the descending cumulative via range-partition + local
+    cumsums + broadcast P-offsets (the partition_offsets discipline —
+    class count is bounded by the quality grid, but the plan survives
+    even a pathological one-class-per-doc corpus), then the kept-class
+    set joins back as a filter. The CORPUS never sorts and never
+    shuffles beyond the class collapse + the semi-join.
+
+    Output: (id_col, quality, n_tokens) for every selected doc.
+    """
+    d = docs.filter(
+        F.col(quality).isNotNull()
+        & F.col(tokens).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(id_col, F.col(quality).alias("q"), F.col(tokens).alias("tok"))
+    cls = d.groupBy("q").agg(F.sum("tok").cast("long").alias("ct"))
+    p = (
+        cls.repartitionByRange(F.col("q").desc())
+        .sortWithinPartitions(F.col("q").desc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = p.withColumn("lc", F.sum("ct").over(w))
+    subtotals = {
+        r["pid"]: r["sc"] or 0
+        for r in p.groupBy("pid").agg(F.sum("ct").alias("sc")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(subtotals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += subtotals.get(pid, 0)
+    off = docs.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "pid int, off long"
+    )
+    keep = (
+        p.join(F.broadcast(off), "pid")
+        .filter(F.col("lc") + F.col("off") <= budget)
+        .select("q")
+    )
+    return d.join(keep, "q", "semi").select(
+        id_col, F.col("q").alias(quality), F.col("tok").alias("n_tokens")
     )

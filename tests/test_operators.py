@@ -3786,3 +3786,39 @@ def test_interval_concurrency_peak_and_ties(spark):
     empty = spark.createDataFrame([], "s long, e long")
     with _pytest.raises(ValueError):
         temporal_join.interval_concurrency(empty, "s", "e")
+
+
+def test_select_token_budget_class_prefix(spark):
+    from nsdb_spark.operators import selection
+
+    # classes q=3 (20 tok), q=2 (30 tok), q=1 (50 tok); budget 55 keeps
+    # q=3 and q=2 fully (50 <= 55), q=1 would hit 100
+    rows = [(1, 3, 20), (2, 2, 10), (3, 2, 20), (4, 1, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, q long, tok long")
+    out = selection.select_token_budget(df, "q", "tok", budget=55)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 2, 3}
+    # exact-fit boundary is INCLUSIVE
+    got2 = {r["doc_id"] for r in selection.select_token_budget(
+        df, "q", "tok", budget=50).collect()}
+    assert got2 == {1, 2, 3}
+    # top class alone exceeding the budget -> empty selection
+    assert selection.select_token_budget(df, "q", "tok", budget=10).count() == 0
+
+
+def test_wilson_ci_bounds_and_extremes(spark):
+    from nsdb_spark.operators import analytics
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 5 + [("c", 0)] * 5
+    df = spark.createDataFrame(rows, "g string, s int")
+    out = {r["g"]: r for r in analytics.wilson_ci_by_group(
+        df, "g", F.col("s") == 1).collect()}
+    a = out["a"]
+    assert a["p_hat"] == 0.8 and a["ci_low"] < 0.8 < a["ci_high"]
+    # p_hat = 1: Wald would give a zero-width CI at 1; Wilson stays below
+    b = out["b"]
+    assert b["p_hat"] == 1.0 and b["ci_low"] < 1.0 and b["ci_high"] <= 1.0
+    # p_hat = 0: lower bound clamps at >= 0
+    c = out["c"]
+    assert c["p_hat"] == 0.0 and c["ci_low"] >= 0.0 and c["ci_high"] > 0.0
