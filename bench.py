@@ -253,6 +253,10 @@ def main() -> None:
         "events_concurrency",
         "stats_wilson",
         "sample_token_budget",
+        # round-6 additions
+        "stats_wasserstein",
+        "stats_cvm",
+        "events_paths",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1259,6 +1259,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "events"), value="value",
         group="event_type", a="click", b="view",
     )
+    # unit-bearing drift metric + whole-distribution drift test, both on
+    # the SAME two-phase CDF scan as stats_ks / stats_mwu
+    q["stats_wasserstein"] = lambda spark, sf: analytics.wasserstein_1d(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type", a="click", b="view",
+    )
+    q["stats_cvm"] = lambda spark, sf: analytics.cvm_two_sample(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type", a="click", b="view",
+    )
+    q["events_paths"] = lambda spark, sf: temporal_join.session_paths(
+        testdata.events_metric(spark, sf).select(
+            "user_id", "timestamp", "event_id", "event_type"
+        ),
+        key="user_id", ts="timestamp", gap_ms=14_400_000,
+        order_tie="event_id", label="event_type", k=20,
+    )
     q["stats_chi2"] = lambda spark, sf: analytics.chi2_independence(
         _docs(spark, sf), x="lang", y="source"
     )
@@ -1891,6 +1908,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
+        # round 9: new entries this round
+        "stats_wasserstein", "stats_cvm", "events_paths",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3226,6 +3245,72 @@ SELECT (cast(sum(ca * (2 * cum_before + ca + cb + 1)) AS bigint)
        cast(sum(ca * (2 * cum_before + ca + cb + 1)) AS bigint) / 2.0 AS r_a,
        max(t.na) AS n_a, max(t.nb) AS n_b
 FROM c, t
+"""
+    # W1 = sum over consecutive distinct pooled values of
+    # |F_a - F_b| * gap; the largest value's row has |F_a - F_b| = 0 so
+    # dropping its NULL lead() gap is exactly the Spark side's zero-fill
+    o["stats_wasserstein"] = """
+WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+g AS (SELECT v, cast(sum(ia) AS bigint) AS ca,
+             cast(count(*) - sum(ia) AS bigint) AS cb
+      FROM s GROUP BY v),
+t AS (SELECT cast(sum(ca) AS bigint) AS na, cast(sum(cb) AS bigint) AS nb
+      FROM g),
+c AS (SELECT v, lead(v) OVER (ORDER BY v) AS nv,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b FROM g)
+SELECT round(sum(abs(cum_a / cast(t.na AS double)
+                     - cum_b / cast(t.nb AS double)) * (nv - v)), 6)
+         AS w1_dist,
+       max(t.na) AS n_a, max(t.nb) AS n_b
+FROM c, t WHERE nv IS NOT NULL
+"""
+    # tie-aware pooled form: T = na*nb/N^2 * sum (ca+cb)(F_a-F_b)^2
+    o["stats_cvm"] = """
+WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+g AS (SELECT v, cast(sum(ia) AS bigint) AS ca,
+             cast(count(*) - sum(ia) AS bigint) AS cb
+      FROM s GROUP BY v),
+t AS (SELECT cast(sum(ca) AS bigint) AS na, cast(sum(cb) AS bigint) AS nb
+      FROM g),
+c AS (SELECT ca, cb,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b FROM g)
+SELECT round(cast(max(t.na) AS double) * max(t.nb)
+             / ((max(t.na) + max(t.nb)) * cast(max(t.na) + max(t.nb)
+                                               AS double))
+             * sum((ca + cb)
+                   * (cum_a / cast(t.na AS double)
+                      - cum_b / cast(t.nb AS double))
+                   * (cum_a / cast(t.na AS double)
+                      - cum_b / cast(t.nb AS double))), 6) AS cvm_stat,
+       max(t.na) AS n_a, max(t.nb) AS n_b
+FROM c, t
+"""
+    o["events_paths"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, event_type
+           FROM events),
+lagd AS (SELECT *, lag(timestamp) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id) AS prev
+         FROM e),
+flag AS (SELECT *, CASE WHEN prev IS NULL OR timestamp - prev > 14400000
+                        THEN 1 ELSE 0 END AS new_s FROM lagd),
+sess AS (SELECT *, sum(new_s) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flag),
+p AS (SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY timestamp, event_id)
+               AS path
+      FROM sess GROUP BY 1, 2)
+SELECT path, cast(count(*) AS bigint) AS n_sessions
+FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
 """
     o["stats_chi2"] = """
 WITH grid AS (SELECT lang, source, count(*) AS obs FROM documents

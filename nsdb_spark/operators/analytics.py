@@ -689,6 +689,113 @@ def mannwhitney_u(
     )
 
 
+def wasserstein_1d(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    empirical distributions of `value` in group `a` vs group `b`:
+    W1 = ∫ |F_a(x) - F_b(x)| dx — the drift METRIC the KS statistic
+    isn't (KS reports the worst pointwise CDF gap; W1 reports how much
+    mass must move how far, in the value's own units, so a 2× location
+    shift reads as 2× the distance).
+
+    Same _two_sample_cum_frame scan as ks/mwu. The integral is the sum
+    over consecutive distinct pooled values of |cumdiff(v_i)| ·
+    (v_{i+1} - v_i), which needs each row's NEXT distinct value: a
+    lead() inside each range partition covers all but the partition's
+    last row, and that row's successor is the next non-empty
+    partition's minimum — P driver rows (partition mins), the same
+    bounded-boundary discipline as partition_offsets. The globally
+    largest value has |F_a - F_b| = 0 (both CDFs have reached 1), so
+    its missing gap contributes nothing by construction.
+
+    Returns one row: (w1_dist double rounded to 6, n_a, n_b bigint).
+    """
+    joined, na, nb = _two_sample_cum_frame(
+        df, value, group, a, b, "wasserstein_1d"
+    )
+    # per-partition minimum v: P rows (bounded), one job over the
+    # already-checkpointed distinct-value frame
+    mins = {
+        r["pid"]: r["mv"]
+        for r in joined.groupBy("pid").agg(F.min("v").alias("mv")).collect()
+    }
+    pids = sorted(mins)
+    boundary_rows = [
+        (int(p), mins[pids[i + 1]]) for i, p in enumerate(pids[:-1])
+    ]
+    from pyspark.sql import types as T
+
+    vtype = joined.schema["v"].dataType
+    bdf = df.sparkSession.createDataFrame(
+        boundary_rows,
+        T.StructType(
+            [
+                T.StructField("pid", T.IntegerType()),
+                T.StructField("next_min", vtype),
+            ]
+        ),
+    ) if boundary_rows else df.sparkSession.createDataFrame(
+        [], T.StructType([T.StructField("pid", T.IntegerType()),
+                          T.StructField("next_min", vtype)])
+    )
+    w = Window.partitionBy("pid").orderBy("v")
+    gap = (
+        F.coalesce(F.lead("v").over(w), F.col("next_min")) - F.col("v")
+    ).cast("double")
+    cumdiff = F.abs(
+        (F.col("la") + F.col("off_a")) / F.lit(float(na))
+        - (F.col("lb") + F.col("off_b")) / F.lit(float(nb))
+    )
+    return (
+        joined.join(F.broadcast(bdf), "pid", "left")
+        .withColumn("gap", F.coalesce(gap, F.lit(0.0)))
+        .groupBy()
+        .agg(
+            F.round(F.sum(cumdiff * F.col("gap")), 6).alias("w1_dist"),
+            F.max(F.lit(na)).cast("long").alias("n_a"),
+            F.max(F.lit(nb)).cast("long").alias("n_b"),
+        )
+    )
+
+
+def cvm_two_sample(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion, tie-aware pooled form:
+    T = (n_a·n_b / N²) · Σ_v (c_a(v)+c_b(v)) · (F_a(v) - F_b(v))²
+    — the whole-distribution drift test between KS (max gap only) and
+    W1 (unnormalized, unit-bearing): every pooled observation's squared
+    CDF gap counts, so persistent moderate divergence registers even
+    when no single point's gap is extreme. For untied samples this is
+    Anderson's classic two-sample T (Anderson, "On the distribution of
+    the two-sample Cramér-von Mises criterion", 1962); ties collapse to
+    distinct-value blocks weighted by their pooled multiplicity.
+
+    Same single _two_sample_cum_frame scan as ks/mwu/wasserstein — no
+    extra shuffle, no boundary state at all (each row's own cumulative
+    is all the formula needs).
+
+    Returns one row: (cvm_stat double rounded to 6, n_a, n_b bigint).
+    """
+    joined, na, nb = _two_sample_cum_frame(
+        df, value, group, a, b, "cvm_two_sample"
+    )
+    d = (
+        (F.col("la") + F.col("off_a")) / F.lit(float(na))
+        - (F.col("lb") + F.col("off_b")) / F.lit(float(nb))
+    )
+    n_tot = float(na + nb)
+    scale = float(na) * float(nb) / (n_tot * n_tot)
+    return joined.groupBy().agg(
+        F.round(
+            F.lit(scale) * F.sum((F.col("ca") + F.col("cb")) * d * d), 6
+        ).alias("cvm_stat"),
+        F.max(F.lit(na)).cast("long").alias("n_a"),
+        F.max(F.lit(nb)).cast("long").alias("n_b"),
+    )
+
+
 def category_diversity(
     df: DataFrame, group: str, cat: str
 ) -> DataFrame:

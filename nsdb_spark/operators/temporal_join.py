@@ -254,6 +254,64 @@ def sessionize(
     return with_sess.groupBy(key, "session_id").agg(*aggs)
 
 
+def session_paths(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_ms: int,
+    order_tie: str,
+    label: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session paths: the most frequent ordered sequences of
+    `label` values within gap-based sessions — trajectory mining over
+    an event log ("which page/event flows dominate?"), the sequence
+    sibling of transition_counts (which only sees adjacent pairs and
+    loses everything about full journeys).
+
+    Same session-boundary window as sessionize (one hash-shuffle on
+    `key`, lag + running sum share the sort). Each session then
+    collapses to one path string via a per-group collect_list sorted by
+    (ts, order_tie) — bounded by session length, the same per-group
+    bound sessionize's aggregates rely on, NOT corpus-sized. Path
+    counting is a map-side-combinable groupBy on the path string, and
+    the final ORDER BY n DESC LIMIT k sorts only the distinct-path
+    frame with a k-row TakeOrdered. Ties break on path ASC so the
+    result is deterministic.
+
+    Output: (path string, n_sessions bigint), k rows.
+    """
+    w_order = Window.partitionBy(key).orderBy(ts, order_tie)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts).over(w_order)
+    boundary = F.when(
+        prev.isNull() | (F.col(ts) - prev > gap_ms), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = df.withColumn(
+        "session_id", F.sum(boundary).over(w_run) - F.lit(1)
+    )
+    # sort key rides inside the collected struct: field order
+    # (ts, order_tie, label) makes array_sort reproduce the session's
+    # event order without a second window
+    paths = with_sess.groupBy(key, "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(ts, order_tie, label))
+                ),
+                lambda s: s[label],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
 def window_agg_join(
     left: DataFrame,
     right: DataFrame,

@@ -3822,3 +3822,87 @@ def test_wilson_ci_bounds_and_extremes(spark):
     # p_hat = 0: lower bound clamps at >= 0
     c = out["c"]
     assert c["p_hat"] == 0.0 and c["ci_low"] >= 0.0 and c["ci_high"] > 0.0
+
+
+def test_wasserstein_1d_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(13)
+    a = rng.normal(0.0, 1.0, 180).round(2)   # rounding forces ties
+    b = rng.normal(0.7, 1.3, 140).round(2)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = analytics.wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    # brute force: sum over consecutive pooled values of |Fa-Fb| * gap
+    pooled = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    ref = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(pooled)))
+    assert abs(got["w1_dist"] - ref) < 1e-6
+    assert got["n_a"] == 180 and got["n_b"] == 140
+
+
+def test_wasserstein_1d_location_shift_exact(spark):
+    # a and b = a + c: W1 between the empirical distributions is exactly c
+    from nsdb_spark.operators import analytics
+
+    base = [1.0, 2.5, 4.0, 7.0]
+    rows = [("a", v) for v in base] + [("b", v + 3.0) for v in base]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = analytics.wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert got["w1_dist"] == 3.0
+
+
+def test_cvm_two_sample_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(17)
+    a = rng.normal(0.0, 1.0, 120).round(1)
+    b = rng.normal(0.5, 1.0, 90).round(1)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = analytics.cvm_two_sample(df, "v", "g", "a", "b").collect()[0]
+    pooled, counts = np.unique(
+        np.concatenate([a, b]), return_counts=True
+    )
+    fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    n, m = len(a), len(b)
+    ref = n * m / float(n + m) ** 2 * float(
+        np.sum(counts * (fa - fb) ** 2)
+    )
+    assert abs(got["cvm_stat"] - ref) < 1e-6
+    # identical samples → 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    assert analytics.cvm_two_sample(same, "v", "g", "a", "b").collect()[
+        0
+    ]["cvm_stat"] == 0.0
+
+
+def test_session_paths_orders_and_counts(spark):
+    from nsdb_spark.operators import temporal_join
+
+    rows = [
+        # user 1, session 0: A > B (ordered by ts)
+        (1, 1000, 1, "A"), (1, 2000, 2, "B"),
+        # user 1, session 1 (gap > 5000): A > B again
+        (1, 60_000, 3, "A"), (1, 61_000, 4, "B"),
+        # user 2, one session: B alone
+        (2, 1000, 5, "B"),
+        # user 3: same ts twice — event_id breaks the tie (6 before 7)
+        (3, 1000, 6, "C"), (3, 1000, 7, "D"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, eid long, et string")
+    got = temporal_join.session_paths(
+        df, key="u", ts="ts", gap_ms=5000, order_tie="eid",
+        label="et", k=10,
+    ).collect()
+    out = {r["path"]: r["n_sessions"] for r in got}
+    assert out == {"A>B": 2, "B": 1, "C>D": 1}
+    # ordering: count desc, then path asc
+    assert [r["path"] for r in got] == ["A>B", "B", "C>D"]
