@@ -257,6 +257,9 @@ def main() -> None:
         "stats_wasserstein",
         "stats_cvm",
         "events_paths",
+        "graph_kcore",
+        "stats_levene",
+        "emb_hamming_topk",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -372,6 +372,30 @@ SELECT d AS node, 'authority' AS role, a AS score FROM a{iters}
 """
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """k-core peeling unrolled into chained CTEs, one alive-set +
+    surviving-edge-set pair per round (the pagerank/kmeans discipline;
+    peeling is confluent so the fixpoint is order-independent and the
+    fixed-round prefix matches the Spark side exactly). Node ids carry
+    an 's'/'c' prefix because the graph is the supplier–customer
+    bipartite and the two key spaces overlap."""
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+alive{r} AS (SELECT a FROM u{r} GROUP BY a HAVING count(*) >= {k}),
+u{r + 1} AS (SELECT u.a, u.b FROM u{r} u
+             JOIN alive{r} x ON u.a = x.a
+             JOIN alive{r} y ON u.b = y.a)""")
+    return f"""
+WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+u0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+{",".join(steps)}
+SELECT a AS node, cast(count(*) AS bigint) AS degree
+FROM u{rounds} GROUP BY 1
+"""
+
+
 def _silhouette_oracle(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
     """Simplified-silhouette oracle on the same trained trajectory as
     _kmeans_oracle: rank every vector's k distances (d, cell), rn=1 is
@@ -1902,6 +1926,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         min_common=40,
     )
+    q["graph_kcore"] = lambda spark, sf: graph.kcore_peel(
+        # supplier–customer bipartite; prefixes disjoin the key spaces
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        ),
+        k=8, rounds=4,
+    )
+    q["stats_levene"] = lambda spark, sf: analytics.brown_forsythe(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type",
+    )
+    q["emb_hamming_topk"] = lambda spark, sf: similarity.hamming_topk_signbits(
+        _emb(spark, sf), _query_vec(spark, sf), k=10
+    )
 
     # The driver's correctness gate checks the FIRST 50 registry entries:
     # rotate the operators touched most recently (highest regression risk)
@@ -1910,6 +1956,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # round 9: new entries this round
         "stats_wasserstein", "stats_cvm", "events_paths",
+        "graph_kcore", "stats_levene", "emb_hamming_topk",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4043,6 +4090,42 @@ SELECT a.s AS node_a, b.s AS node_b, count(*) AS n_common,
        round(sum(1.0 / ln(degd)), 6) AS aa_score
 FROM e a JOIN e b ON a.d = b.d AND a.s < b.s JOIN degd ON a.d = degd.d
 GROUP BY 1, 2 HAVING count(*) >= 40
+"""
+    o["graph_kcore"] = _kcore_oracle(k=8, rounds=4)
+    # Brown–Forsythe: one-way ANOVA on |x − group_median|
+    o["stats_levene"] = """
+WITH d AS (SELECT event_type AS g, value AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM d GROUP BY 1),
+z AS (SELECT d.g, abs(x - med.med) AS z FROM d JOIN med ON d.g = med.g),
+s AS (SELECT g, cast(count(*) AS bigint) AS n, sum(z) AS sz,
+             sum(z * z) AS szz
+      FROM z GROUP BY 1 HAVING count(*) >= 2),
+t AS (SELECT sum(n) AS tn, count(*) AS nk, sum(sz) AS tsz FROM s)
+SELECT round((max(t.tn) - max(t.nk)) / (max(t.nk) - 1.0)
+             * sum(n * (sz / n - t.tsz / t.tn) * (sz / n - t.tsz / t.tn))
+             / sum(szz - sz * sz / n), 6) AS bf_stat,
+       cast(max(t.nk) - 1 AS bigint) AS df1,
+       cast(max(t.tn) - max(t.nk) AS bigint) AS df2,
+       cast(max(t.nk) AS bigint) AS k,
+       cast(max(t.tn) AS bigint) AS n_total
+FROM s, t
+"""
+    # sign-bit sketch: bit j of word w is 1 iff component 32w+j >= 0;
+    # hamming = popcount of per-word xor against vec 0's sketch
+    o["emb_hamming_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (SELECT vec_id, i,
+                CASE WHEN v[i + 1] >= 0 THEN 1::BIGINT ELSE 0 END AS b
+         FROM e, range(0, 64) r(i)),
+w AS (SELECT vec_id, i // 32 AS wi,
+             sum(b * (1::BIGINT << (i % 32))) AS word
+      FROM bits GROUP BY 1, 2),
+q AS (SELECT wi, word AS qword FROM w WHERE vec_id = 0),
+d AS (SELECT w.vec_id,
+             cast(sum(bit_count(xor(w.word, q.qword))) AS int) AS hamming
+      FROM w JOIN q USING (wi) GROUP BY 1)
+SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT 10
 """
     o["stats_anova"] = """
 WITH stats AS (SELECT event_type, count(*) AS n, sum(value) AS s,

@@ -2147,3 +2147,65 @@ def wilson_ci_by_group(
         F.round(center - half, 6).alias("ci_low"),
         F.round(center + half, 6).alias("ci_high"),
     )
+
+
+def brown_forsythe(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Brown-Forsythe test for equality of VARIANCES across the groups
+    of `group` (Brown & Forsythe 1974) — the robust Levene variant:
+    transform every observation to its absolute deviation from the
+    GROUP MEDIAN, z = |x − med_g|, then one-way ANOVA on z. The
+    spread-drift screen welch_anova (means) and ks/cvm (one pair at a
+    time) don't cover: "did variance change across event types?"
+    W = ((N−k)/(k−1)) · Σ n_g(z̄_g − z̄)² / Σ_g Σ_i (z_gi − z̄_g)².
+
+    Plan: exact per-group medians via the sort-based percentile
+    aggregate (one shuffle on `group`; with few distinct groups this
+    is the exact-median cost — the 100 TB path swaps in
+    approx_percentile at the caller's accuracy budget, same shape),
+    the k-row median frame broadcasts back onto the scan (no second
+    data shuffle), and z collapses map-side to k rows of
+    (n, Σz, Σz²) — every downstream term derives from that frame.
+    Returns one row: (bf_stat r6, df1 bigint, df2 bigint, k, n_total).
+    """
+    d = df.filter(
+        F.col(value).isNotNull() & F.col(group).isNotNull()
+    ).select(F.col(group).alias("g"), F.col(value).cast("double").alias("x"))
+    med = d.groupBy("g").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    z = d.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    s = (
+        z.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("z").alias("sz"),
+            F.sum(F.col("z") * F.col("z")).alias("szz"),
+        )
+        .filter(F.col("n") >= 2)
+        .localCheckpoint(eager=True)  # k rows; feeds totals AND the stat
+    )
+    tot = s.groupBy().agg(
+        F.sum("n").alias("tot_n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("sz").alias("tot_sz"),
+    )
+    zbar_g = F.col("sz") / F.col("n")
+    zbar = F.col("tot_sz") / F.col("tot_n")
+    num = F.sum(F.col("n") * (zbar_g - zbar) * (zbar_g - zbar))
+    den = F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("n"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.round(
+                (F.max("tot_n") - F.max("n_groups"))
+                / (F.max("n_groups") - F.lit(1.0))
+                * F.try_divide(num, den),
+                6,
+            ).alias("bf_stat"),
+            (F.max("n_groups") - 1).cast("long").alias("df1"),
+            (F.max("tot_n") - F.max("n_groups")).cast("long").alias("df2"),
+            F.max("n_groups").cast("long").alias("k"),
+            F.max("tot_n").cast("long").alias("n_total"),
+        )
+    )

@@ -425,3 +425,59 @@ def hits_scores(
             F_.col("a").alias("score"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling with a FIXED round budget: repeatedly delete
+    every node whose degree in the surviving subgraph is < k — after
+    convergence the survivors are exactly the k-core (Seidman 1983,
+    "Network structure and minimum degree"), the standard dense-
+    subgraph filter (spam rings, bot cliques, well-connected buyer/
+    supplier communities) that a plain degree cut misses because
+    deleting one weak node can strand its neighbors.
+
+    Peeling is CONFLUENT — the fixpoint is unique whatever the removal
+    order — so synchronous rounds are bit-deterministic and a fixed
+    `rounds` budget is SQL-oracle-checkable (the unrolled-CTE
+    discipline of pagerank/label_propagation; if the peel converges
+    earlier the remaining rounds are no-ops on both sides).
+
+    Input is a directed edge list; it is symmetrized here, so degrees
+    are undirected. Per round: one map-side-combinable degree
+    aggregate + two semi joins, each co-partitioned on an endpoint —
+    the edge set only ever SHRINKS, so round cost is monotone
+    non-increasing; localCheckpoint caps plan depth at one round.
+    Survivor state never touches the driver.
+
+    Output: (node, degree bigint) for nodes alive after `rounds`
+    peels, degree measured inside the surviving subgraph.
+    """
+    d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        e = (
+            e.join(alive, "a", "semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

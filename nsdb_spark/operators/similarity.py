@@ -839,3 +839,69 @@ def cosine_topk_filtered(
         allowed.select(F.col(key).alias(id_col)).distinct(), id_col, "semi"
     )
     return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col)
+
+
+def signbit_words(vec_col: str, dim: int) -> list[Column]:
+    """Sign-bit sketch of a `dim`-float vector as ceil(dim/32) packed
+    32-bit words (each held in a long): bit j of word w is 1 iff
+    component w*32+j is >= 0. The expression is a fixed unrolled sum of
+    conditional bigint literals — pure JVM whole-stage-codegen, no UDF,
+    and each word stays in [0, 2^32), so no sign-bit edge cases."""
+    v = _as_double(vec_col)
+    words = []
+    for w in range((dim + 31) // 32):
+        terms = None
+        for j in range(min(32, dim - w * 32)):
+            bit = F.when(
+                F.element_at(v, w * 32 + j + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            terms = bit if terms is None else terms + bit
+        words.append(terms.cast("long").alias(f"w{w}"))
+    return words
+
+
+def hamming_topk_signbits(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest by SIGN-BIT Hamming distance: quantize every
+    embedding to a 1-bit-per-dimension sketch (dim bits, packed into
+    32-bit words) and rank by popcount of the XOR against the query's
+    sketch. For unit-norm-ish embeddings the sign sketch preserves
+    angular order in expectation (each hyperplane {x_i = 0} is a random
+    cut — the same guarantee SimHash/SRP rely on), so this is the
+    32x-compressed shortlist stage: at 100 TB the sketch column is
+    ~0.4 TB, scanned with two bit ops per word and NO float math,
+    and the shortlist re-ranks exactly via cosine_topk on k' << n
+    survivors (compose with cosine_topk_filtered). Here it serves the
+    ranking itself so the semantics are oracle-checkable end to end.
+
+    Plan: narrow projection (id + packed words), xor + bit_count per
+    word — whole-stage codegen throughout — then TakeOrderedAndProject
+    for the k rows (ties break on hamming ASC, vec_id ASC). The sketch
+    is computed inline here; a stored-index variant would write the
+    words once at ingest exactly like write_rhp_index.
+
+    Output: (vec_id, hamming int), k rows.
+    """
+    dim = len(query_vec)
+    qwords = []
+    for w in range((dim + 31) // 32):
+        acc = 0
+        for j in range(min(32, dim - w * 32)):
+            if query_vec[w * 32 + j] >= 0:
+                acc |= 1 << j
+        qwords.append(acc)
+    packed = emb.select("vec_id", *signbit_words(vec_col, dim))
+    dist = None
+    for w, qw in enumerate(qwords):
+        d = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.lit(qw)))
+        dist = d if dist is None else dist + d
+    return (
+        packed.withColumn("hamming", dist.cast("int"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "hamming")
+    )

@@ -3906,3 +3906,69 @@ def test_session_paths_orders_and_counts(spark):
     assert out == {"A>B": 2, "B": 1, "C>D": 1}
     # ordering: count desc, then path asc
     assert [r["path"] for r in got] == ["A>B", "B", "C>D"]
+
+
+def test_kcore_peel_triangle_survives_chain_dies(spark):
+    from nsdb_spark.operators import graph
+
+    # triangle a-b-c plus a pendant chain c-d-e: 2-core = the triangle
+    # (the chain peels back one node per round: e first, then d)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in graph.kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # a fixed budget too small to converge keeps the partially-peeled
+    # frontier: after ONE round only e (deg 1) is gone
+    got1 = {
+        r["node"]: r["degree"]
+        for r in graph.kcore_peel(edges, k=2, rounds=1).collect()
+    }
+    assert set(got1) == {"a", "b", "c", "d"} and got1["d"] == 1
+
+
+def test_brown_forsythe_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(23)
+    groups = {
+        "g1": rng.normal(0, 1.0, 90),
+        "g2": rng.normal(0, 2.0, 70),   # inflated variance
+        "g3": rng.normal(5, 1.0, 80),   # shifted mean, same variance
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = analytics.brown_forsythe(df, "x", "g").collect()[0]
+    z = {g: np.abs(vs - np.median(vs)) for g, vs in groups.items()}
+    N = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = sum(v.sum() for v in z.values()) / N
+    num = sum(len(v) * (v.mean() - zbar) ** 2 for v in z.values())
+    den = sum(((v - v.mean()) ** 2).sum() for v in z.values())
+    ref = (N - k) / (k - 1) * num / den
+    assert abs(got["bf_stat"] - ref) < 1e-5
+    assert got["df1"] == k - 1 and got["df2"] == N - k
+    assert got["k"] == 3 and got["n_total"] == 240
+
+
+def test_hamming_topk_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(29)
+    vecs = rng.normal(0, 1, (50, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[7]]
+    got = similarity.hamming_topk_signbits(df, q, k=5).collect()
+    signs = vecs >= 0
+    ref = np.sum(signs != (vecs[7] >= 0), axis=1)
+    order = sorted(range(50), key=lambda i: (int(ref[i]), i))[:5]
+    assert [r["vec_id"] for r in got] == order
+    assert [r["hamming"] for r in got] == [int(ref[i]) for i in order]
+    assert got[0]["vec_id"] == 7 and got[0]["hamming"] == 0
