@@ -260,6 +260,9 @@ def main() -> None:
         "graph_kcore",
         "stats_levene",
         "emb_hamming_topk",
+        "events_markov",
+        "events_kaplan_meier",
+        "stats_qq",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1379,6 +1379,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_transitions"] = lambda spark, sf: analytics.transition_counts(
         testdata.events_metric(spark, sf)
     )
+    q["events_markov"] = lambda spark, sf: analytics.markov_transition_probs(
+        testdata.events_metric(spark, sf), alpha=1.0
+    )
+    q["events_kaplan_meier"] = lambda spark, sf: analytics.kaplan_meier(
+        testdata.table(spark, sf, "orders"),
+        subject="o_custkey", ts="o_orderdate",
+    )
+    q["stats_qq"] = lambda spark, sf: analytics.qq_table(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type", a="click", b="view", n_q=20,
+    )
 
     # --- cohort / distribution analytics ---
     q["events_retention"] = lambda spark, sf: analytics.retention_cohorts(
@@ -1957,6 +1968,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: new entries this round
         "stats_wasserstein", "stats_cvm", "events_paths",
         "graph_kcore", "stats_levene", "emb_hamming_topk",
+        "events_markov", "events_kaplan_meier", "stats_qq",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3002,6 +3014,72 @@ s AS (SELECT lag(event_type) OVER (PARTITION BY user_id
       FROM m)
 SELECT prev_type, next_type, count(*) AS n
 FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+    o["events_markov"] = f"""
+{M},
+s AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY timestamp, event_id) AS prev_type,
+             event_type AS next_type
+      FROM m),
+c AS (SELECT prev_type, next_type, cast(count(*) AS bigint) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type AS t FROM events
+       WHERE event_type IS NOT NULL),
+nv AS (SELECT cast(count(*) AS double) AS v FROM ty),
+tot AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT g1.t AS prev_type, g2.t AS next_type,
+       coalesce(c.n, 0) AS n,
+       round((coalesce(c.n, 0) + 1.0)
+             / (coalesce(tot.tot, 0) + 1.0 * nv.v), 6) AS p
+FROM ty g1 CROSS JOIN ty g2 CROSS JOIN nv
+LEFT JOIN c ON g1.t = c.prev_type AND g2.t = c.next_type
+LEFT JOIN tot ON g1.t = tot.prev_type
+"""
+    # KM: at_risk = N - cum_before over distinct durations; survival =
+    # exp of the running sum of ln(1 - d/n); a final all-events row is
+    # the only ln(0) case, guarded to 0 exactly as the Spark side
+    o["events_kaplan_meier"] = """
+WITH o AS (SELECT o_custkey AS s, cast(o_orderdate AS date) AS d
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+mx AS (SELECT max(d) AS m FROM o),
+seq AS (SELECT s, d, lead(d) OVER (PARTITION BY s ORDER BY d) AS nd
+        FROM o),
+dur AS (SELECT CASE WHEN nd IS NOT NULL THEN date_diff('day', d, nd)
+                    ELSE date_diff('day', d, (SELECT m FROM mx))
+               END AS t,
+               CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM seq),
+g AS (SELECT t, cast(sum(e) AS bigint) AS de,
+             cast(count(*) AS bigint) AS ct
+      FROM dur GROUP BY 1),
+tt AS (SELECT sum(ct) AS n FROM g),
+c AS (SELECT t, de, ct,
+             sum(ct) OVER (ORDER BY t) - ct AS cum_before FROM g),
+km AS (SELECT t, de,
+              cast((SELECT n FROM tt) - cum_before AS bigint) AS at_risk,
+              exp(sum(CASE WHEN de < (SELECT n FROM tt) - cum_before
+                           THEN ln(1 - de / cast((SELECT n FROM tt)
+                                                 - cum_before AS double))
+                           ELSE 0 END) OVER (ORDER BY t)) AS surv
+       FROM c)
+SELECT t, at_risk AS n_risk, de AS n_events,
+       round(CASE WHEN de = at_risk THEN 0.0 ELSE surv END, 6) AS survival
+FROM km WHERE de > 0
+"""
+    o["stats_qq"] = """
+WITH d AS (SELECT event_type AS g, value AS v FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+la AS (SELECT quantile_cont(v, [x / 20.0 FOR x IN range(1, 20)]) AS l
+       FROM d WHERE g = 'click'),
+lb AS (SELECT quantile_cont(v, [x / 20.0 FOR x IN range(1, 20)]) AS l
+       FROM d WHERE g = 'view'),
+idx AS (SELECT unnest(range(1, 20)) AS i)
+SELECT round(i / 20.0, 6) AS q,
+       round(la.l[i], 6) AS q_a,
+       round(lb.l[i], 6) AS q_b,
+       round(lb.l[i] - la.l[i], 6) AS gap
+FROM idx, la, lb
 """
     o["events_retention"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp FROM events),

@@ -2209,3 +2209,189 @@ def brown_forsythe(df: DataFrame, value: str, group: str) -> DataFrame:
             F.max("tot_n").cast("long").alias("n_total"),
         )
     )
+
+
+def markov_transition_probs(
+    events: DataFrame,
+    alpha: float = 1.0,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Laplace-smoothed first-order Markov transition matrix over the
+    same per-user steps as transition_counts: P(next|prev) =
+    (c + α) / (tot_prev + α·V) over the FULL V×V type grid, so unseen
+    transitions get honest nonzero mass and every row sums to exactly 1
+    — what journey simulation / next-event prediction consumes, where
+    the raw count matrix's zeros break the chain.
+
+    Cost beyond transition_counts is nil at any scale: the grid is the
+    V² type cross (broadcast literal-sized), counts and row totals are
+    V²/V-row frames. Types that never appear as a predecessor get the
+    uniform row (tot = 0 → p = 1/V).
+
+    Output: (prev_type, next_type, n bigint, p r6), V² rows.
+    """
+    counts = transition_counts(
+        events, user=user, ts=ts, type_col=type_col, id_col=id_col
+    )
+    types = events.select(
+        F.col(type_col).alias("t")
+    ).filter(F.col("t").isNotNull()).distinct()
+    grid = (
+        types.select(F.col("t").alias("prev_type"))
+        .crossJoin(F.broadcast(types.select(F.col("t").alias("next_type"))))
+    )
+    v = types.count()  # |types| — a handful; drives the smoothing mass
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        grid.join(F.broadcast(counts), ["prev_type", "next_type"], "left")
+        .join(F.broadcast(tot), "prev_type", "left")
+        .select(
+            "prev_type",
+            "next_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.round(
+                (F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("tot"), F.lit(0)) + F.lit(alpha * v)),
+                6,
+            ).alias("p"),
+        )
+    )
+
+
+def qq_table(
+    df: DataFrame,
+    value: str,
+    group: str,
+    a: str,
+    b: str,
+    n_q: int = 20,
+) -> DataFrame:
+    """Quantile-quantile table between the `value` distributions of
+    group `a` and group `b`: exact quantiles at i/n_q for
+    i = 1..n_q−1, side by side with their gap — the diagnostic VIEW
+    behind the two-sample tests (ks/cvm/wasserstein say "how much
+    drift"; the Q-Q table says WHERE in the distribution it lives —
+    tails vs body, one-sided vs symmetric).
+
+    One scan: a single groupBy computes each group's full quantile
+    vector with the exact sort-based percentile aggregate (the 100 TB
+    path swaps approx_percentile in at the caller's accuracy budget,
+    identical shape), then the two (n_q−1)-length vectors explode and
+    pivot into rows. Everything after the scan is literal-sized.
+
+    Output: (q r6, q_a r6, q_b r6, gap r6), n_q−1 rows.
+    """
+    qs = [i / n_q for i in range(1, n_q)]
+    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    g = (
+        df.filter(
+            F.col(group).isin(a, b) & F.col(value).isNotNull()
+        )
+        .groupBy(group)
+        .agg(F.expr(f"percentile({value}, {arr})").alias("qv"))
+    )
+    ex = g.select(group, F.posexplode("qv").alias("i", "val"))
+    qlit = F.element_at(
+        F.array([F.lit(q) for q in qs]), F.col("i").cast("int") + 1
+    )
+    return (
+        ex.groupBy("i")
+        .agg(
+            F.max(F.when(F.col(group) == a, F.col("val"))).alias("__qa"),
+            F.max(F.when(F.col(group) == b, F.col("val"))).alias("__qb"),
+        )
+        .select(
+            F.round(qlit, 6).alias("q"),
+            F.round(F.col("__qa"), 6).alias("q_a"),
+            F.round(F.col("__qb"), 6).alias("q_b"),
+            F.round(F.col("__qb") - F.col("__qa"), 6).alias("gap"),
+        )
+    )
+
+
+def kaplan_meier(df: DataFrame, subject: str, ts: str) -> DataFrame:
+    """Kaplan-Meier survival curve over inter-event gaps with
+    right-censoring at the observation horizon: each subject's
+    consecutive-event gaps (in whole days) are observed events; the
+    tail from its last event to the corpus max date is a CENSORED
+    duration (Kaplan & Meier 1958). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    with d_i = events at t_i and n_i = subjects still at risk — the
+    honest "time to next order" curve a naive gap histogram gets wrong
+    by silently dropping every not-yet-repeated customer.
+
+    Distributed shape: gaps come from one lag window per subject (gap
+    multisets are invariant to tie order, so no tie-break column is
+    needed); then the SAME _two_sample_cum_frame scan as ks/mwu with
+    groups (event, censored) yields per-distinct-duration counts with
+    global cumulatives — at-risk = N − cum_before falls out directly.
+    The survival product runs as exp of a running sum of
+    log(1 − d/n), accumulated with a second application of the
+    partition_offsets discipline (local cumsums + P-row driver
+    offsets); no global window, no data-sized driver state. The only
+    ln(0) case is a final all-events row, guarded to survival = 0 on
+    both engines.
+
+    Output: (t bigint, n_risk bigint, n_events bigint, survival r6),
+    one row per distinct event duration.
+    """
+    d0 = df.select(
+        F.col(subject).alias("s"), F.to_date(F.col(ts)).alias("d")
+    ).filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+    mx = d0.agg(F.max("d")).first()[0]
+    w = Window.partitionBy("s").orderBy("d")
+    nd = F.lead("d").over(w)
+    dur = d0.select(
+        F.when(nd.isNotNull(), F.datediff(nd, F.col("d")))
+        .otherwise(F.datediff(F.lit(mx), F.col("d")))
+        .cast("long")
+        .alias("t"),
+        F.when(nd.isNotNull(), F.lit("event"))
+        .otherwise(F.lit("censored"))
+        .alias("kind"),
+    )
+    joined, ne, nc = _two_sample_cum_frame(
+        dur, "t", "kind", "event", "censored", "kaplan_meier"
+    )
+    n_tot = ne + nc
+    cum_at = (
+        F.col("la") + F.col("off_a") + F.col("lb") + F.col("off_b")
+    )
+    at_risk = F.lit(n_tot) - (cum_at - F.col("ca") - F.col("cb"))
+    term = F.when(
+        F.col("ca") < at_risk,
+        F.log(F.lit(1.0) - F.col("ca") / at_risk),
+    ).otherwise(F.lit(0.0))
+    base = joined.withColumn("at_risk", at_risk).withColumn("term", term)
+    wloc = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = base.withColumn("lt", F.sum("term").over(wloc))
+    subt = {
+        r["pid"]: r["st"]
+        for r in base.groupBy("pid").agg(F.sum("term").alias("st")).collect()
+    }
+    offs, acc = [], 0.0
+    for pid in range(max(subt, default=-1) + 1):
+        offs.append((pid, acc))
+        acc += subt.get(pid) or 0.0
+    odf = df.sparkSession.createDataFrame(
+        offs or [(0, 0.0)], "pid int, term_off double"
+    )
+    return (
+        base.join(F.broadcast(odf), "pid")
+        .filter(F.col("ca") > 0)
+        .select(
+            F.col("v").cast("long").alias("t"),
+            F.col("at_risk").cast("long").alias("n_risk"),
+            F.col("ca").cast("long").alias("n_events"),
+            F.round(
+                F.when(F.col("ca") == F.col("at_risk"), F.lit(0.0)).otherwise(
+                    F.exp(F.col("lt") + F.col("term_off"))
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )

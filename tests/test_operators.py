@@ -3972,3 +3972,95 @@ def test_hamming_topk_matches_bruteforce(spark):
     assert [r["vec_id"] for r in got] == order
     assert [r["hamming"] for r in got] == [int(ref[i]) for i in order]
     assert got[0]["vec_id"] == 7 and got[0]["hamming"] == 0
+
+
+def test_markov_transition_probs_rows_sum_to_one(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        (1, 100, 1, "A"), (1, 200, 2, "B"), (1, 300, 3, "A"),
+        (2, 100, 4, "A"), (2, 200, 5, "B"),
+        (3, 100, 6, "C"),  # C never a predecessor -> uniform row
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, event_type string"
+    )
+    got = analytics.markov_transition_probs(df, alpha=1.0).collect()
+    assert len(got) == 9  # 3x3 grid, unseen pairs included
+    out = {(r["prev_type"], r["next_type"]): r for r in got}
+    # A -> B twice, A -> nothing else: p(B|A) = (2+1)/(2+3) = 0.6
+    assert out[("A", "B")]["n"] == 2 and out[("A", "B")]["p"] == 0.6
+    assert out[("A", "A")]["n"] == 0 and out[("A", "A")]["p"] == 0.2
+    # C row is uniform 1/3
+    assert out[("C", "A")]["p"] == round(1 / 3, 6)
+    for prev in ("A", "B", "C"):
+        s = sum(out[(prev, nxt)]["p"] for nxt in ("A", "B", "C"))
+        assert abs(s - 1.0) < 1e-5
+
+
+def test_qq_table_matches_numpy_quantiles(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(31)
+    a = rng.normal(0, 1, 200)
+    b = rng.normal(1, 1, 150)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["q"]: r for r in
+           analytics.qq_table(df, "v", "g", "a", "b", n_q=4).collect()}
+    assert set(got) == {0.25, 0.5, 0.75}
+    for q in (0.25, 0.5, 0.75):
+        # numpy 'linear' interpolation == Spark exact percentile
+        assert abs(got[q]["q_a"] - np.quantile(a, q)) < 1e-6
+        assert abs(got[q]["q_b"] - np.quantile(b, q)) < 1e-6
+        assert abs(
+            got[q]["gap"] - round(
+                round(float(np.quantile(b, q)), 10)
+                - float(np.quantile(a, q)), 10)
+        ) < 1e-5
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    # subject 1: events on days 0, 2, 5 -> gaps 2, 3; censored 5 (max=10)
+    # subject 2: events on days 0, 3    -> gap 3; censored 7
+    # subject 3: single event day 10    -> censored 0 (defines the horizon)
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-03"), (1, "2024-01-06"),
+        (2, "2024-01-01"), (2, "2024-01-04"),
+        (3, "2024-01-11"),
+    ]
+    df = spark.createDataFrame(rows, "s long, d string").select(
+        "s", F.to_date("d").alias("d")
+    )
+    got = {r["t"]: r for r in
+           analytics.kaplan_meier(df, "s", "d").collect()}
+    # durations: events {2, 3, 3}, censored {0, 5, 7}; N = 6
+    # t=2: at risk 5 (the 0-censored is gone), 1 event -> S = 4/5
+    # t=3: at risk 4, 2 events -> S = 4/5 * 2/4 = 0.4
+    assert set(got) == {2, 3}
+    assert got[2]["n_risk"] == 5 and got[2]["n_events"] == 1
+    assert abs(got[2]["survival"] - 0.8) < 1e-6
+    assert got[3]["n_risk"] == 4 and got[3]["n_events"] == 2
+    assert abs(got[3]["survival"] - 0.4) < 1e-6
+
+
+def test_kaplan_meier_all_events_final_row_zero(spark):
+    from nsdb_spark.operators import analytics
+
+    # two subjects, both with a repeat on the horizon date: the final
+    # event row exhausts the risk set -> survival exactly 0, no ln(0)
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-05"),
+        (2, "2024-01-01"), (2, "2024-01-05"),
+    ]
+    df = spark.createDataFrame(rows, "s long, d string").select(
+        "s", F.to_date("d").alias("d")
+    )
+    got = {r["t"]: r for r in
+           analytics.kaplan_meier(df, "s", "d").collect()}
+    # durations: events {4, 4}, censored {0, 0}
+    assert got[4]["n_events"] == 2 and got[4]["n_risk"] == 2
+    assert got[4]["survival"] == 0.0
