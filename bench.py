@@ -263,6 +263,9 @@ def main() -> None:
         "events_markov",
         "events_kaplan_meier",
         "stats_qq",
+        "tsa_ljung_box",
+        "stats_runs",
+        "sim_topk_hamming_rerank",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

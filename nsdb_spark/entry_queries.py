@@ -1390,6 +1390,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "events"), value="value",
         group="event_type", a="click", b="view", n_q=20,
     )
+    q["tsa_ljung_box"] = lambda spark, sf: tsa.ljung_box(
+        testdata.table(spark, sf, "events"), h=5,
+        key="event_type", ts="ts", value="value", id_col="event_id",
+    )
+
+    def _stats_runs(spark, sf):
+        daily = (
+            testdata.table(spark, sf, "orders")
+            .filter(F.col("o_orderdate").isNotNull())
+            .groupBy(F.to_date("o_orderdate").alias("day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+        )
+        return analytics.runs_test(daily, value="n_orders", order="day")
+
+    q["stats_runs"] = _stats_runs
+    q["sim_topk_hamming_rerank"] = (
+        lambda spark, sf: similarity.hamming_rerank_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10, shortlist=100
+        )
+    )
 
     # --- cohort / distribution analytics ---
     q["events_retention"] = lambda spark, sf: analytics.retention_cohorts(
@@ -1969,6 +1989,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_wasserstein", "stats_cvm", "events_paths",
         "graph_kcore", "stats_levene", "emb_hamming_topk",
         "events_markov", "events_kaplan_meier", "stats_qq",
+        "tsa_ljung_box", "stats_runs", "sim_topk_hamming_rerank",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3275,6 +3296,80 @@ agg AS (SELECT k, sum(dev*dev) AS den, sum(dev*l1) AS n1,
 SELECT k AS event_type, 1 AS lag, round(n1/den, 6) AS acf FROM agg
 UNION ALL SELECT k, 2, round(n2/den, 6) FROM agg
 UNION ALL SELECT k, 3, round(n3/den, 6) FROM agg
+"""
+    o["tsa_ljung_box"] = """
+WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS eid,
+                  value AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (SELECT *, avg(v) OVER (PARTITION BY k) AS mean FROM e),
+d AS (SELECT k, t, eid, v - mean AS dev FROM m),
+lagd AS (SELECT k, dev,
+        lag(dev, 1) OVER (PARTITION BY k ORDER BY t, eid) AS l1,
+        lag(dev, 2) OVER (PARTITION BY k ORDER BY t, eid) AS l2,
+        lag(dev, 3) OVER (PARTITION BY k ORDER BY t, eid) AS l3,
+        lag(dev, 4) OVER (PARTITION BY k ORDER BY t, eid) AS l4,
+        lag(dev, 5) OVER (PARTITION BY k ORDER BY t, eid) AS l5 FROM d),
+agg AS (SELECT k, cast(count(*) AS bigint) AS n, sum(dev*dev) AS den,
+               sum(dev*l1) AS n1, sum(dev*l2) AS n2, sum(dev*l3) AS n3,
+               sum(dev*l4) AS n4, sum(dev*l5) AS n5
+        FROM lagd GROUP BY k)
+SELECT k AS event_type, n,
+       round(n * (n + 2)
+             * ((n1/den)*(n1/den)/(n-1) + (n2/den)*(n2/den)/(n-2)
+                + (n3/den)*(n3/den)/(n-3) + (n4/den)*(n4/den)/(n-4)
+                + (n5/den)*(n5/den)/(n-5)), 6) AS q_stat
+FROM agg
+"""
+    o["stats_runs"] = """
+WITH daily AS (SELECT cast(o_orderdate AS date) AS o,
+                      cast(count(*) AS double) AS x
+               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+med AS (SELECT quantile_cont(x, 0.5) AS m FROM daily),
+s AS (SELECT o, CASE WHEN x > (SELECT m FROM med) THEN 1 ELSE -1 END AS sgn
+      FROM daily WHERE x != (SELECT m FROM med)),
+r AS (SELECT sgn,
+             CASE WHEN lag(sgn) OVER (ORDER BY o) IS NULL
+                  OR lag(sgn) OVER (ORDER BY o) != sgn
+                  THEN 1 ELSE 0 END AS brk
+      FROM s),
+a AS (SELECT cast(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_pos,
+             cast(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_neg,
+             cast(sum(brk) AS bigint) AS n_runs
+      FROM r)
+SELECT n_pos, n_neg, n_runs,
+       round((n_runs - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1))
+             / sqrt((2.0 * n_pos * n_neg)
+                    * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                    / ((n_pos + n_neg) * (n_pos + n_neg)
+                       * (n_pos + n_neg - 1))), 6) AS z_stat
+FROM a
+"""
+    # stage 1: sign-bit hamming shortlist (ties on vec_id); stage 2:
+    # exact cosine over the survivors — mirrors hamming_rerank_topk
+    o["sim_topk_hamming_rerank"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+bits AS (SELECT vec_id, i,
+                CASE WHEN v[i + 1] >= 0 THEN 1::BIGINT ELSE 0 END AS b
+         FROM e, range(0, 64) r(i)),
+w AS (SELECT vec_id, i // 32 AS wi,
+             sum(b * (1::BIGINT << (i % 32))) AS word
+      FROM bits GROUP BY 1, 2),
+q AS (SELECT wi, word AS qword FROM w WHERE vec_id = 0),
+hd AS (SELECT w.vec_id, sum(bit_count(xor(w.word, q.qword))) AS hamming
+       FROM w JOIN q USING (wi) GROUP BY 1),
+short AS (SELECT vec_id FROM hd ORDER BY hamming, vec_id LIMIT 100),
+sel AS (SELECT nn.* FROM nn JOIN short USING (vec_id)),
+qv AS (SELECT v AS qvec, nrm AS qn FROM nn WHERE vec_id = 0)
+SELECT sel.vec_id AS vec_id,
+       round(list_dot_product(sel.v, qv.qvec) / (sel.nrm * qv.qn), 6)
+         AS cosine
+FROM sel, qv
+ORDER BY list_dot_product(sel.v, qv.qvec) / (sel.nrm * qv.qn) DESC,
+         sel.vec_id
+LIMIT 10
 """
     o["tsa_ema"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

@@ -2395,3 +2395,64 @@ def kaplan_meier(df: DataFrame, subject: str, ts: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+def runs_test(df: DataFrame, value: str, order: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a SEQUENCE: classify
+    each observation as above/below the series median (exact-median
+    values drop, the standard convention), count runs of consecutive
+    same-sign observations in `order` order, and standardize against
+    the null that signs are exchangeable:
+    μ_R = 2·n₁n₂/(n₁+n₂) + 1,
+    σ²_R = 2n₁n₂(2n₁n₂ − n₁ − n₂) / ((n₁+n₂)²(n₁+n₂−1)).
+    A z far below 0 = trending/sticky (fewer, longer runs than
+    chance); far above 0 = oscillating. The sequence-order complement
+    of ljung_box's magnitude view.
+
+    CONTRACT: `df` must already be a per-`order`-key aggregate (one
+    row per order value — a daily/hourly rollup), so the frame is
+    calendar-bounded and the single ordered window sorts thousands of
+    rows, not the corpus — the same bounded-frame discipline as the
+    theil_sen/kendall daily inputs. Point it at raw events and the
+    global sort IS the bottleneck; roll up first.
+
+    Output: one row (n_pos, n_neg, n_runs bigint, z_stat r6).
+    """
+    d = df.filter(
+        F.col(value).isNotNull() & F.col(order).isNotNull()
+    ).select(F.col(order).alias("o"), F.col(value).cast("double").alias("x"))
+    med = d.agg(F.expr("percentile(x, 0.5)")).first()[0]
+    s = d.filter(F.col("x") != F.lit(med)).withColumn(
+        "sgn", F.when(F.col("x") > F.lit(med), F.lit(1)).otherwise(F.lit(-1))
+    )
+    w = Window.orderBy("o")
+    runs = s.withColumn(
+        "brk",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    agg = runs.groupBy().agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_pos"), F.col("n_neg"), F.col("n_runs")
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1
+    var = (
+        (2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - 1))
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.round(F.try_divide(r - mu, F.sqrt(var)), 6).alias("z_stat"),
+    )

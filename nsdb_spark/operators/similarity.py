@@ -905,3 +905,32 @@ def hamming_topk_signbits(
         .limit(k)
         .select("vec_id", "hamming")
     )
+
+
+def hamming_rerank_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The two-stage sketch-then-exact search the sign-bit sketch
+    exists for: shortlist `shortlist` candidates by Hamming distance
+    over the 1-bit sketches (32x less IO than the float column, pure
+    bit ops), then rank the survivors by EXACT cosine. At 100 TB the
+    first stage touches only the sketch column and the second touches
+    `shortlist` float vectors instead of n — the same recall/cost
+    shape as text_rerank_twostage (BM25 recall → exact re-score).
+
+    Both stages are deterministic (hamming ties break on vec_id, the
+    exact stage on raw score then vec_id), so the composition is
+    oracle-checkable end to end. The shortlist ids broadcast into a
+    semi join — no shuffle of the embedding table.
+
+    Output: (vec_id, cosine r6), k rows.
+    """
+    short = hamming_topk_signbits(
+        emb, query_vec, k=shortlist, vec_col=vec_col
+    ).select("vec_id")
+    pruned = emb.join(F.broadcast(short), "vec_id", "semi")
+    return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col)

@@ -727,3 +727,64 @@ def cross_correlation(
         .otherwise(F.lit(0.0))
         .alias("ccf"),
     ).orderBy("lag")
+
+
+def ljung_box(
+    df: DataFrame,
+    h: int = 5,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Ljung-Box portmanteau statistic at lags 1..h:
+    Q = n(n+2) · Σ_k ρ_k² / (n−k) (Ljung & Box 1978) — the ONE-NUMBER
+    "is this series white noise?" screen on top of autocorr's per-lag
+    view: large Q means SOME autocorrelation up to lag h is present,
+    which is the gate before trusting i.i.d.-assuming tests (ks/cvm/
+    psi treat rows as exchangeable; a strongly autocorrelated metric
+    violates that silently).
+
+    Exactly autocorr's single-hash-exchange plan (per-key mean, h lag
+    columns and the covariance sums all share one shuffle on `key`) —
+    plus a row count per key; the Q arithmetic runs on the k-row
+    aggregate frame. ρ_k uses the standard full-sample denominator
+    (lag products before the series start drop out of the numerator).
+    A constant series has zero deviation sum → NULL Q (undefined),
+    NULL-safe on both engines via /0 → NULL semantics.
+
+    Output: (key, n bigint, q_stat r6), one row per key.
+    """
+    w_full = Window.partitionBy(key)
+    w_ord = Window.partitionBy(key).orderBy(ts, id_col)
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).alias("__v"))
+        .withColumn("__dev", F.col("__v") - F.avg("__v").over(w_full))
+    )
+    lags = range(1, h + 1)
+    for k in lags:
+        d = d.withColumn(f"__l{k}", F.lag("__dev", k).over(w_ord))
+    agg = d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__dev") * F.col("__dev")).alias("__den"),
+        *[
+            F.sum(F.col("__dev") * F.col(f"__l{k}")).alias(f"__n{k}")
+            for k in lags
+        ],
+    )
+    rho2_terms = None
+    for k in lags:
+        # try_divide: a constant series has __den = 0 → NULL Q, and a
+        # series shorter than k has n − k ≤ 0 handled by the numerator
+        # already being NULL (no lag pairs exist)
+        rk = F.try_divide(F.col(f"__n{k}"), F.col("__den"))
+        term = F.try_divide(rk * rk, (F.col("n") - F.lit(k)))
+        rho2_terms = term if rho2_terms is None else rho2_terms + term
+    return agg.select(
+        key,
+        "n",
+        F.round(
+            F.col("n") * (F.col("n") + 2) * rho2_terms, 6
+        ).alias("q_stat"),
+    )

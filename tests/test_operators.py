@@ -4064,3 +4064,75 @@ def test_kaplan_meier_all_events_final_row_zero(spark):
     # durations: events {4, 4}, censored {0, 0}
     assert got[4]["n_events"] == 2 and got[4]["n_risk"] == 2
     assert got[4]["survival"] == 0.0
+
+
+def test_ljung_box_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    rng = np.random.RandomState(37)
+    # AR(1)-ish series: strong autocorrelation -> large Q
+    x = [0.0]
+    for _ in range(199):
+        x.append(0.8 * x[-1] + rng.normal())
+    rows = [("k1", i, i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, value double"
+    )
+    got = tsa.ljung_box(df, h=3).collect()[0]
+    xs = np.array(x)
+    dev = xs - xs.mean()
+    den = float((dev**2).sum())
+    n = len(xs)
+    q = 0.0
+    for k in (1, 2, 3):
+        rk = float((dev[k:] * dev[:-k]).sum()) / den
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    assert got["n"] == n and abs(got["q_stat"] - q) < 1e-4
+    # constant series: undefined (NULL) Q, not an error
+    const = spark.createDataFrame(
+        [("c", i, i, 5.0) for i in range(10)],
+        "event_type string, timestamp long, event_id long, value double",
+    )
+    assert tsa.ljung_box(const, h=2).collect()[0]["q_stat"] is None
+
+
+def test_runs_test_alternating_and_trending(spark):
+    from nsdb_spark.operators import analytics
+
+    # perfectly alternating around the median -> max runs, z > 0
+    alt = spark.createDataFrame(
+        [(i, 10.0 if i % 2 else 0.0) for i in range(20)],
+        "o long, x double",
+    )
+    r = analytics.runs_test(alt, "x", "o").collect()[0]
+    assert r["n_pos"] == 10 and r["n_neg"] == 10 and r["n_runs"] == 20
+    assert r["z_stat"] > 3
+    # fully separated (all lows then all highs) -> 2 runs, z < 0
+    trend = spark.createDataFrame(
+        [(i, 0.0 if i < 10 else 10.0) for i in range(20)],
+        "o long, x double",
+    )
+    r2 = analytics.runs_test(trend, "x", "o").collect()[0]
+    assert r2["n_runs"] == 2 and r2["z_stat"] < -3
+
+
+def test_hamming_rerank_matches_exact_on_shortlist(spark):
+    import numpy as np
+    from nsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(41)
+    vecs = rng.normal(0, 1, (60, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[3]]
+    # shortlist >= n: two-stage == exact brute force
+    got = similarity.hamming_rerank_topk(df, q, k=5, shortlist=60).collect()
+    exact = similarity.cosine_topk(df, q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+    # narrow shortlist still returns k rows led by the query itself
+    got2 = similarity.hamming_rerank_topk(df, q, k=5, shortlist=10).collect()
+    assert len(got2) == 5 and got2[0]["vec_id"] == 3
