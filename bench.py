@@ -266,6 +266,9 @@ def main() -> None:
         "tsa_ljung_box",
         "stats_runs",
         "sim_topk_hamming_rerank",
+        "stats_ad",
+        "sample_neyman",
+        "emb_matryoshka_overlap",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1410,6 +1410,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), _query_vec(spark, sf), k=10, shortlist=100
         )
     )
+    q["stats_ad"] = lambda spark, sf: analytics.anderson_darling_2s(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type", a="click", b="view",
+    )
+    q["sample_neyman"] = lambda spark, sf: sampling.neyman_allocation(
+        _docs(spark, sf), stratum="source", value="n_chars", total_n=1000
+    )
+    q["emb_matryoshka_overlap"] = (
+        lambda spark, sf: similarity.matryoshka_overlap(
+            _emb(spark, sf), _query_vec(spark, sf), k=10, prefix=32
+        )
+    )
 
     # --- cohort / distribution analytics ---
     q["events_retention"] = lambda spark, sf: analytics.retention_cohorts(
@@ -1990,6 +2002,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore", "stats_levene", "emb_hamming_topk",
         "events_markov", "events_kaplan_meier", "stats_qq",
         "tsa_ljung_box", "stats_runs", "sim_topk_hamming_rerank",
+        "stats_ad", "sample_neyman", "emb_matryoshka_overlap",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3512,6 +3525,71 @@ SELECT round(cast(max(t.na) AS double) * max(t.nb)
                       - cum_b / cast(t.nb AS double))), 6) AS cvm_stat,
        max(t.na) AS n_a, max(t.nb) AS n_b
 FROM c, t
+"""
+    # Scholz-Stephens tie-adjusted midrank form; degenerate-denominator
+    # rows (one value carrying the whole pooled sample) drop on both sides
+    o["stats_ad"] = """
+WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+           FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+g AS (SELECT v, cast(sum(ia) AS bigint) AS ca,
+             cast(count(*) - sum(ia) AS bigint) AS cb
+      FROM s GROUP BY v),
+t AS (SELECT cast(sum(ca) AS bigint) AS na, cast(sum(cb) AS bigint) AS nb
+      FROM g),
+c AS (SELECT ca, cb,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b FROM g),
+x AS (SELECT cast(t.na AS bigint) AS bna, cast(t.nb AS bigint) AS bnb,
+             cast(t.na AS double) AS dna, cast(t.nb AS double) AS dnb,
+             cast(t.na + t.nb AS double) AS dn,
+             ca + cb AS l,
+             cum_a - ca / 2.0 AS ma,
+             cum_b - cb / 2.0 AS mb,
+             cum_a + cum_b - (ca + cb) / 2.0 AS bj
+      FROM c, t),
+y AS (SELECT bna, bnb, dna, dnb, dn, l,
+             bj * (dn - bj) - dn * l / 4.0 AS denom,
+             dn * ma - dna * bj AS da,
+             dn * mb - dnb * bj AS db
+      FROM x)
+SELECT round((max(dn) - 1.0) / max(dn)
+             * sum((l / dn) * (da * da / dna + db * db / dnb) / denom),
+             6) AS ad_stat,
+       max(bna) AS n_a, max(bnb) AS n_b
+FROM y WHERE denom > 0
+"""
+    o["sample_neyman"] = """
+WITH g AS (SELECT source, cast(count(*) AS bigint) AS n_rows,
+                  stddev_samp(cast(n_chars AS double)) AS s
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1 HAVING count(*) >= 2),
+t AS (SELECT sum(n_rows * s) AS tot FROM g)
+SELECT source, n_rows, round(s, 6) AS std,
+       round((n_rows * s) / t.tot, 6) AS alloc_share,
+       round(1000.0 * (n_rows * s) / t.tot, 6) AS n_alloc
+FROM g, t
+"""
+    o["emb_matryoshka_overlap"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0),
+topf AS (SELECT nn.vec_id FROM nn, q
+         ORDER BY list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) DESC,
+                  nn.vec_id
+         LIMIT 10),
+p AS (SELECT vec_id, v[1:32] AS v FROM e),
+np AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM p),
+qp AS (SELECT v AS qv, nrm AS qn FROM np WHERE vec_id = 0),
+topp AS (SELECT np.vec_id FROM np, qp
+         ORDER BY list_dot_product(np.v, qp.qv) / (np.nrm * qp.qn) DESC,
+                  np.vec_id
+         LIMIT 10)
+SELECT cast(10 AS bigint) AS k, cast(count(*) AS bigint) AS n_overlap,
+       round(count(*) / 10.0, 6) AS overlap_frac
+FROM topf JOIN topp USING (vec_id)
 """
     o["events_paths"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, event_type

@@ -2456,3 +2456,58 @@ def runs_test(df: DataFrame, value: str, order: str) -> DataFrame:
         "n_runs",
         F.round(F.try_divide(r - mu, F.sqrt(var)), 6).alias("z_stat"),
     )
+
+
+def anderson_darling_2s(
+    df: DataFrame, value: str, group: str, a: str, b: str
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic, tie-adjusted midrank form
+    (Scholz & Stephens 1987, "K-sample Anderson-Darling tests", eq. 7
+    with k = 2): over the L distinct pooled values with multiplicities
+    l_j, midrank pooled cumulative B_j and per-sample midrank
+    cumulatives M_ij,
+    A² = (N−1)/N · Σ_i (1/n_i) Σ_j (l_j/N)(N·M_ij − n_i·B_j)² /
+         (B_j(N−B_j) − N·l_j/4).
+    The tail-sensitive member of the two-sample family: the 1/(B(N−B))
+    weighting up-weights CDF gaps near the extremes, catching
+    tail-only drift that KS (max), CvM (uniform weight), and W1
+    (unit-weighted) all understate.
+
+    Same single _two_sample_cum_frame scan as its siblings — midranks
+    fall out of each row's own cumulative and counts (M = cum − c/2,
+    B = cum_pooled − l/2), no boundary state. The degenerate
+    denominator B(N−B) − N·l/4 ≤ 0 happens only when one distinct
+    value carries the whole pooled sample; such terms are skipped on
+    both engines (the statistic is undefined there anyway).
+
+    Returns one row: (ad_stat r6, n_a, n_b bigint).
+    """
+    joined, na, nb = _two_sample_cum_frame(
+        df, value, group, a, b, "anderson_darling_2s"
+    )
+    n_tot = float(na + nb)
+    ell = F.col("ca") + F.col("cb")
+    cum_a = F.col("la") + F.col("off_a")
+    cum_b = F.col("lb") + F.col("off_b")
+    ma = cum_a - F.col("ca") / 2.0
+    mb = cum_b - F.col("cb") / 2.0
+    bj = (cum_a + cum_b) - ell / 2.0
+    denom = bj * (F.lit(n_tot) - bj) - F.lit(n_tot) * ell / 4.0
+    da = F.lit(n_tot) * ma - F.lit(float(na)) * bj
+    db = F.lit(n_tot) * mb - F.lit(float(nb)) * bj
+    term = (
+        (ell / F.lit(n_tot))
+        * (da * da / F.lit(float(na)) + db * db / F.lit(float(nb)))
+        / denom
+    )
+    return (
+        joined.filter(denom > 0)
+        .groupBy()
+        .agg(
+            F.round(
+                F.lit((n_tot - 1.0) / n_tot) * F.sum(term), 6
+            ).alias("ad_stat"),
+            F.max(F.lit(na)).cast("long").alias("n_a"),
+            F.max(F.lit(nb)).cast("long").alias("n_b"),
+        )
+    )

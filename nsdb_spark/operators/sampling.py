@@ -246,3 +246,48 @@ def ht_estimate(
             F.try_divide(F.sum(ht_term) - F.sum(cov_term), F.sum(cov_term)), 6
         ).alias("rel_err"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame, stratum: str, value: str, total_n: int
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a survey
+    budget of `total_n` rows, allocate n_h ∝ N_h·S_h (stratum size ×
+    within-stratum std of `value`) — the allocation that minimizes the
+    variance of the stratified mean estimator (Neyman 1934). The
+    planning table that should precede stratified_sample when strata
+    differ in spread: proportional allocation oversamples big
+    homogeneous strata and starves small volatile ones.
+
+    ONE map-side-combinable moment aggregate (n, Σx, Σx²) per stratum,
+    then closed-form arithmetic on the |strata|-row frame with the
+    mass total broadcast back. Strata with n < 2 (undefined S_h) drop,
+    matching the estimator's requirements. Allocations are left
+    real-valued (r6) — integerization is a separate apportionment
+    choice the caller owns.
+
+    Output: (stratum, n_rows bigint, std r6, alloc_share r6, n_alloc r6).
+    """
+    g = (
+        df.filter(F.col(value).isNotNull() & F.col(stratum).isNotNull())
+        .groupBy(stratum)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.stddev_samp(F.col(value).cast("double")).alias("__s"),
+        )
+        .filter(F.col("n_rows") >= 2)
+    )
+    mass = F.col("n_rows") * F.col("__s")
+    tot = g.select(F.sum(mass).alias("__tot"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            stratum,
+            "n_rows",
+            F.round(F.col("__s"), 6).alias("std"),
+            F.round(mass / F.col("__tot"), 6).alias("alloc_share"),
+            F.round(F.lit(float(total_n)) * mass / F.col("__tot"), 6).alias(
+                "n_alloc"
+            ),
+        )
+    )

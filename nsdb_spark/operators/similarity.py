@@ -934,3 +934,48 @@ def hamming_rerank_topk(
     ).select("vec_id")
     pruned = emb.join(F.broadcast(short), "vec_id", "semi")
     return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col)
+
+
+def matryoshka_overlap(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix: int = 32,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prefix-dimension retrieval-quality audit: how much of the exact
+    full-dimension top-k survives when the search uses only the FIRST
+    `prefix` components (the Matryoshka/MRL serving trick — truncated
+    embeddings cut index size and scan cost by dim/prefix, IF the
+    model front-loads information; this measures whether it does, on
+    YOUR corpus, before committing the index build).
+
+    Two exact top-k rankings (full and sliced — the slice is a
+    projection, so the prefix scan reads dim·(prefix/dim) of the
+    column bytes at parquet level too) and a k-row semi join. Both
+    rankings are deterministic (score desc, vec_id asc), so the
+    overlap count is oracle-checkable.
+
+    Output: one row (k, n_overlap bigint, overlap_frac r6).
+    """
+    full = cosine_topk(emb, query_vec, k=k, vec_col=vec_col)
+    pre = cosine_topk(
+        emb.select(
+            "vec_id", F.slice(F.col(vec_col), 1, prefix).alias(vec_col)
+        ),
+        query_vec[:prefix],
+        k=k,
+        vec_col=vec_col,
+    )
+    return (
+        full.select("vec_id")
+        .join(F.broadcast(pre.select("vec_id")), "vec_id", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )

