@@ -269,6 +269,9 @@ def main() -> None:
         "stats_ad",
         "sample_neyman",
         "emb_matryoshka_overlap",
+        "sample_pps_systematic",
+        "stats_deming",
+        "graph_assortativity",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1422,6 +1422,29 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), _query_vec(spark, sf), k=10, prefix=32
         )
     )
+    q["sample_pps_systematic"] = lambda spark, sf: sampling.pps_systematic(
+        _docs(spark, sf).select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+        ),
+        id_col="doc_id", size="tok", n=1000,
+    )
+    q["stats_deming"] = lambda spark, sf: analytics.deming_regression(
+        testdata.table(spark, sf, "lineitem"), part="l_returnflag",
+        x="l_quantity", y="l_extendedprice",
+    )
+    q["graph_assortativity"] = lambda spark, sf: graph.degree_assortativity(
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+        ),
+    )
 
     # --- cohort / distribution analytics ---
     q["events_retention"] = lambda spark, sf: analytics.retention_cohorts(
@@ -2003,6 +2026,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov", "events_kaplan_meier", "stats_qq",
         "tsa_ljung_box", "stats_runs", "sim_topk_hamming_rerank",
         "stats_ad", "sample_neyman", "emb_matryoshka_overlap",
+        "sample_pps_systematic", "stats_deming", "graph_assortativity",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3571,6 +3595,65 @@ SELECT source, n_rows, round(s, 6) AS std,
        round((n_rows * s) / t.tot, 6) AS alloc_share,
        round(1000.0 * (n_rows * s) / t.tot, 6) AS n_alloc
 FROM g, t
+"""
+    # cumulative-size systematic PPS: hit count is closed-form floor
+    # arithmetic on each item's (cum_before, cum] size interval
+    o["sample_pps_systematic"] = """
+WITH d AS (SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS sz
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+c AS (SELECT doc_id, sz, sum(sz) OVER (ORDER BY doc_id) AS cum FROM d),
+t AS (SELECT cast(sum(sz) AS bigint) AS tot FROM d),
+sel AS (SELECT doc_id, sz,
+               cast(floor((2000 * cum - t.tot) / (2.0 * t.tot))
+                    - floor((2000 * (cum - sz) - t.tot) / (2.0 * t.tot))
+                 AS bigint) AS n_hits
+        FROM c, t)
+SELECT doc_id, sz AS size, n_hits FROM sel WHERE n_hits > 0
+"""
+    o["stats_deming"] = """
+WITH g AS (SELECT l_returnflag, cast(count(*) AS bigint) AS n,
+                  sum(cast(l_quantity AS double)) AS sx,
+                  sum(cast(l_extendedprice AS double)) AS sy,
+                  sum(cast(l_quantity AS double)
+                      * cast(l_quantity AS double)) AS sxx_r,
+                  sum(cast(l_extendedprice AS double)
+                      * cast(l_extendedprice AS double)) AS syy_r,
+                  sum(cast(l_quantity AS double)
+                      * cast(l_extendedprice AS double)) AS sxy_r
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_returnflag IS NOT NULL
+           GROUP BY 1 HAVING count(*) >= 2),
+m AS (SELECT l_returnflag, n, sx, sy,
+             sxx_r - sx * sx / n AS sxx,
+             syy_r - sy * sy / n AS syy,
+             sxy_r - sx * sy / n AS sxy
+      FROM g),
+s2 AS (SELECT l_returnflag, n, sx, sy,
+              (syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+                                + 4.0 * sxy * sxy)) / (2.0 * sxy) AS slope
+       FROM m)
+SELECT l_returnflag, n, round(slope, 6) AS slope,
+       round(sy / n - slope * sx / n, 6) AS intercept
+FROM s2
+"""
+    o["graph_assortativity"] = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ds AS (SELECT s, cast(count(*) AS double) AS dega FROM e GROUP BY 1),
+dd AS (SELECT d, cast(count(*) AS double) AS degb FROM e GROUP BY 1),
+j AS (SELECT dega AS a, degb AS b FROM e JOIN ds USING (s)
+      JOIN dd USING (d)),
+m AS (SELECT cast(count(*) AS bigint) AS n_edges, sum(a) AS sa,
+             sum(b) AS sb, sum(a * a) AS saa, sum(b * b) AS sbb,
+             sum(a * b) AS sab
+      FROM j)
+SELECT n_edges,
+       round((cast(n_edges AS double) * sab - sa * sb)
+             / sqrt((cast(n_edges AS double) * saa - sa * sa)
+                    * (cast(n_edges AS double) * sbb - sb * sb)), 6)
+         AS assortativity
+FROM m
 """
     o["emb_matryoshka_overlap"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

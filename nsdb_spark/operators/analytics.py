@@ -2511,3 +2511,57 @@ def anderson_darling_2s(
             F.max(F.lit(nb)).cast("long").alias("n_b"),
         )
     )
+
+
+def deming_regression(
+    df: DataFrame, part: str, x: str, y: str
+) -> DataFrame:
+    """Per-group orthogonal (Deming, δ = 1) regression — total least
+    squares: minimizes PERPENDICULAR distance to the line instead of
+    vertical, the right fit when BOTH variables carry error (sensor vs
+    sensor, price vs price), where OLS (linreg_by_group) is biased
+    toward zero slope by the x-noise. Closed form from centered second
+    moments: slope = (s_yy − s_xx + √((s_yy − s_xx)² + 4·s_xy²)) /
+    (2·s_xy), intercept = ȳ − slope·x̄ (the major axis of the
+    covariance ellipse).
+
+    ONE map-side-combinable moment aggregate (n, Σx, Σy, Σx², Σy²,
+    Σxy) per group — identical scan cost to linreg_by_group — and
+    closed-form arithmetic on the k-row frame. s_xy = 0 (no linear
+    association, or a vertical/horizontal ellipse) leaves the slope
+    undefined → NULL via try_divide, never a divide-by-zero.
+
+    Output: (part, n bigint, slope r6, intercept r6).
+    """
+    xd = F.col(x).cast("double")
+    yd = F.col(y).cast("double")
+    g = (
+        df.filter(
+            F.col(x).isNotNull()
+            & F.col(y).isNotNull()
+            & F.col(part).isNotNull()
+        )
+        .groupBy(part)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * xd).alias("sxx_r"),
+            F.sum(yd * yd).alias("syy_r"),
+            F.sum(xd * yd).alias("sxy_r"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    sxx = F.col("sxx_r") - F.col("sx") * F.col("sx") / F.col("n")
+    syy = F.col("syy_r") - F.col("sy") * F.col("sy") / F.col("n")
+    sxy = F.col("sxy_r") - F.col("sx") * F.col("sy") / F.col("n")
+    d = syy - sxx
+    slope = F.try_divide(d + F.sqrt(d * d + 4.0 * sxy * sxy), 2.0 * sxy)
+    return g.select(
+        part,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
+    )

@@ -481,3 +481,49 @@ def kcore_peel(
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an edge set (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation between the
+    src-side and dst-side degrees taken over EDGES. Positive = hubs
+    link to hubs (robust core, redundant edges); negative = hubs fan
+    out to leaves (hub-and-spoke — one hot key away from a skew
+    problem, which is exactly why this is worth one cheap pass before
+    pointing a pair join at a graph).
+
+    Plan: distinct edges, one degree aggregate per side, each joined
+    back CO-PARTITIONED on its own endpoint key (the same shuffle the
+    degree count itself used), then a single six-moment aggregate and
+    the closed-form correlation on one row. Degrees stay exact
+    bigints; moments run in double (round 6).
+
+    Output: one row (n_edges bigint, assortativity r6).
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct()
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
+    dd = e.groupBy("d").agg(F.count(F.lit(1)).alias("deg_d"))
+    j = e.join(ds, "s").join(dd, "d")
+    a = F.col("deg_s").cast("double")
+    b = F.col("deg_d").cast("double")
+    m = j.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(a).alias("sa"),
+        F.sum(b).alias("sb"),
+        F.sum(a * a).alias("saa"),
+        F.sum(b * b).alias("sbb"),
+        F.sum(a * b).alias("sab"),
+    )
+    n = F.col("n_edges").cast("double")
+    num = n * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (n * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (n * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return m.select(
+        "n_edges", F.round(F.try_divide(num, den), 6).alias("assortativity")
+    )

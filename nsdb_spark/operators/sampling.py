@@ -291,3 +291,67 @@ def neyman_allocation(
             ),
         )
     )
+
+
+def pps_systematic(
+    df: DataFrame, id_col: str, size: str, n: int
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (the
+    classic cumulative-size method, Madow 1949): lay the corpus out on
+    a line where each item occupies `size` units, drop n equally-
+    spaced sampling points (offset half a step, so the design is
+    deterministic and centered), and keep every item a point lands in.
+    Selection probability ∝ size, large items can be hit multiple
+    times (`n_hits` — the standard with-replacement-style multiplicity
+    a PPS estimator divides by), and the spacing guarantees the sample
+    spreads across the whole corpus instead of clustering the way
+    Poisson/Bernoulli PPS draws can.
+
+    Distributed shape: the running size prefix is the pack_sequences
+    two-phase scan (range partition by `id_col`, local cumsums,
+    partition_offsets' P-row driver prefix) — no global window. The
+    hit count is closed-form floor arithmetic on (cum_before, cum]:
+    hits = ⌊(2n·cum − S)/2S⌋ − ⌊(2n·cum_before − S)/2S⌋ — evaluated in
+    double, exact while 2n·S < 2^53 (≈ 4e15 size-units at n = 1000;
+    beyond that swap the two floors to decimal(38,0) arithmetic).
+
+    Output: (id_col, size bigint, n_hits bigint), selected rows only.
+    """
+    from .packing import partition_offsets
+
+    d = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(size).isNotNull()
+        & (F.col(size) > 0)
+    ).select(id_col, F.col(size).cast("long").alias("__sz"))
+    local = (
+        d.repartitionByRange(id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("pid").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = local.withColumn("__cum_loc", F.sum("__sz").over(w))
+    off = partition_offsets(local, "__sz")
+    total = local.agg(F.sum("__sz")).first()[0]
+    if not total:
+        return local.filter(F.lit(False)).select(
+            id_col,
+            F.col("__sz").alias("size"),
+            F.lit(0).cast("long").alias("n_hits"),
+        )
+    cum = F.col("__cum_loc") + F.col("offset")
+    cum_before = cum - F.col("__sz")
+    two_n = 2 * n
+    denom = F.lit(2.0 * float(total))
+    hits = F.floor(
+        (F.lit(two_n) * cum - F.lit(total)) / denom
+    ) - F.floor((F.lit(two_n) * cum_before - F.lit(total)) / denom)
+    return (
+        local.join(F.broadcast(off), "pid")
+        .withColumn("n_hits", hits.cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .select(id_col, F.col("__sz").alias("size"), "n_hits")
+    )

@@ -4216,3 +4216,56 @@ def test_matryoshka_overlap_full_prefix_is_identity(spark):
     # noise and the first 4 dims identical for two vectors
     r2 = similarity.matryoshka_overlap(df, q, k=8, prefix=4).collect()[0]
     assert 0 <= r2["n_overlap"] <= 8
+
+
+def test_pps_systematic_coverage_and_multiplicity(spark):
+    from nsdb_spark.operators import sampling
+
+    # 10 items of size 1 plus one giant item of size 90: with n = 10
+    # points over S = 100 (step 10), the giant takes ~9 hits
+    rows = [(i, 1) for i in range(10)] + [(10, 90)]
+    df = spark.createDataFrame(rows, "doc_id long, sz long")
+    got = {r["doc_id"]: r for r in
+           sampling.pps_systematic(df, "doc_id", "sz", n=10).collect()}
+    assert sum(r["n_hits"] for r in got.values()) == 10
+    assert got[10]["n_hits"] == 9
+    # equal sizes: every k-th item selected exactly once
+    eq = spark.createDataFrame([(i, 5) for i in range(20)],
+                               "doc_id long, sz long")
+    sel = sampling.pps_systematic(eq, "doc_id", "sz", n=4).collect()
+    assert len(sel) == 4 and all(r["n_hits"] == 1 for r in sel)
+    # zero/NULL sizes drop; empty input yields an empty frame
+    empty = spark.createDataFrame([], "doc_id long, sz long")
+    assert sampling.pps_systematic(empty, "doc_id", "sz", n=5).count() == 0
+
+
+def test_deming_regression_known_line_and_symmetry(spark):
+    from nsdb_spark.operators import analytics
+
+    # exact line y = 2x + 1: TLS recovers it exactly
+    pts = [(float(x), 2.0 * x + 1.0) for x in range(10)]
+    df = spark.createDataFrame([("g", *p) for p in pts],
+                               "g string, x double, y double")
+    got = analytics.deming_regression(df, "g", "x", "y").collect()[0]
+    assert abs(got["slope"] - 2.0) < 1e-6
+    assert abs(got["intercept"] - 1.0) < 1e-6
+    # TLS symmetry: slope(y~x) * slope(x~y) == 1 (unlike OLS)
+    inv = analytics.deming_regression(df, "g", "y", "x").collect()[0]
+    assert abs(got["slope"] * inv["slope"] - 1.0) < 1e-6
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from nsdb_spark.operators import graph
+
+    # star: one hub to 5 leaves + one leaf-leaf edge -> disassortative
+    edges = [("h", f"l{i}") for i in range(5)] + [("x", "l0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = graph.degree_assortativity(df).collect()[0]
+    assert got["n_edges"] == 6
+    assert got["assortativity"] is not None and got["assortativity"] < 0
+    # regular bipartite (all degrees equal): correlation undefined -> NULL
+    reg = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "src string, dst string",
+    )
+    assert graph.degree_assortativity(reg).collect()[0]["assortativity"] is None
