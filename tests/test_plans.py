@@ -557,3 +557,87 @@ def test_crosscorr_no_global_sort(spark):
     # the closing orderBy of 11 rows may plan as a single-partition sort;
     # nothing DATA-sized may: allow at most that one
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_wasserstein_no_global_window(spark):
+    """The W1 gap lookup must stay inside the range partitions: lead()
+    is pid-partitioned, boundary mins join back broadcast, and the only
+    single-partition exchange is the final 1-row sum."""
+    from nsdb_spark.operators import analytics
+
+    ev = testdata.table(spark, SF_DIR, "events")
+    out = analytics.wasserstein_1d(
+        ev, "value", "event_type", "click", "view"
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_kaplan_meier_no_global_window(spark):
+    """Both running sums (pooled counts and the log-survival product)
+    must ride the pid-partitioned windows with broadcast offsets — the
+    per-subject lag window is the only hash exchange family; no
+    data-sized single-partition sort anywhere."""
+    from nsdb_spark.operators import analytics
+
+    orders = testdata.table(spark, SF_DIR, "orders")
+    out = analytics.kaplan_meier(orders, "o_custkey", "o_orderdate")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_hamming_topk_single_scan_no_shuffle(spark):
+    """The sign-bit sketch ranking is one narrow projection over the
+    scan feeding TakeOrdered — no exchange of the embedding table at
+    all (the whole point of the sketch path)."""
+    from nsdb_spark.operators import similarity
+
+    emb = testdata.table(spark, SF_DIR, "embeddings")
+    q = [float(i % 7 - 3) for i in range(64)]
+    plan = plan_of(similarity.hamming_topk_signbits(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pps_systematic_two_phase_scan(spark):
+    """The size prefix must come from the pack_sequences two-phase scan:
+    range partition + local window + broadcast offsets; no global
+    ordered window (post-checkpoint the range exchange is truncated,
+    so assert the absence of the single-partition sort instead)."""
+    from nsdb_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    docs = testdata.table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+    )
+    out = sampling.pps_systematic(docs, "doc_id", "tok", n=50)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_kcore_round_plan_is_bounded(spark):
+    """Each peel round joins the (checkpointed) shrinking edge set to
+    the alive set twice — semi joins on the endpoint keys — and the
+    plan depth stays one-round-deep behind the checkpoint: no
+    single-partition exchange, no nested-loop join."""
+    from nsdb_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    li = testdata.table(spark, SF_DIR, "lineitem")
+    orders = testdata.table(spark, SF_DIR, "orders")
+    edges = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+    )
+    out = graph.kcore_peel(edges, k=8, rounds=2)
+    plan = plan_of(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
