@@ -272,6 +272,9 @@ def main() -> None:
         "sample_pps_systematic",
         "stats_deming",
         "graph_assortativity",
+        "graph_clustering_coeff",  # re-pays the guarded jaccard pairs
+        "events_json_stats",
+        "stats_mood",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1645,6 +1645,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = _triangles
 
+    def _clustering_coeff(spark, sf):
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        )
+        return graph.clustering_coefficient(
+            pairs, _docs(spark, sf).select("doc_id")
+        )
+
+    q["graph_clustering_coeff"] = _clustering_coeff
+    q["events_json_stats"] = lambda spark, sf: analytics.json_field_stats(
+        testdata.table(spark, sf, "events"),
+        json_col="props", path="$.k", group="event_type",
+    )
+    q["stats_mood"] = lambda spark, sf: analytics.mood_median_test(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type",
+    )
+
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
     )
@@ -2027,6 +2046,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsa_ljung_box", "stats_runs", "sim_topk_hamming_rerank",
         "stats_ad", "sample_neyman", "emb_matryoshka_overlap",
         "sample_pps_systematic", "stats_deming", "graph_assortativity",
+        "graph_clustering_coeff", "events_json_stats", "stats_mood",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -2402,6 +2422,68 @@ m AS (SELECT u AS doc_id FROM tr UNION ALL SELECT v FROM tr
 pc AS (SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY doc_id)
 SELECT d.doc_id, coalesce(pc.n_triangles, 0) AS n_triangles
 FROM documents d LEFT JOIN pc USING (doc_id)
+"""
+    # triangles oracle + per-node degrees; coeff undefined below deg 2
+    o["graph_clustering_coeff"] = f"""
+WITH {_shingles_cte(capped=True)},
+prs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN c ca ON p.doc_a = ca.doc_id JOIN c cb ON p.doc_b = cb.doc_id
+  WHERE round(common / (ca.n_sh + cb.n_sh - common), 6) >= 0.5
+),
+e AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+      FROM prs WHERE doc_a <> doc_b),
+wed AS (SELECT x.u, x.v, y.v AS w FROM e x JOIN e y
+        ON x.u = y.u AND x.v < y.v),
+tr AS (SELECT wed.u, wed.v, wed.w FROM wed
+       JOIN e ON e.u = wed.v AND e.v = wed.w),
+m AS (SELECT u AS doc_id FROM tr UNION ALL SELECT v FROM tr
+      UNION ALL SELECT w FROM tr),
+pc AS (SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY doc_id),
+dg AS (SELECT doc_id, cast(count(*) AS bigint) AS degree
+       FROM (SELECT u AS doc_id FROM e UNION ALL SELECT v FROM e)
+       GROUP BY 1)
+SELECT d.doc_id,
+       cast(coalesce(pc.n_triangles, 0) AS bigint) AS n_triangles,
+       coalesce(dg.degree, 0) AS degree,
+       CASE WHEN dg.degree >= 2
+            THEN round(2.0 * coalesce(pc.n_triangles, 0)
+                       / (dg.degree * (dg.degree - 1)), 6)
+       END AS coeff
+FROM documents d LEFT JOIN pc USING (doc_id) LEFT JOIN dg USING (doc_id)
+"""
+    o["events_json_stats"] = """
+WITH x AS (SELECT event_type,
+                  cast(json_extract_string(props, '$.k') AS bigint) AS v
+           FROM events WHERE event_type IS NOT NULL)
+SELECT event_type, cast(count(*) AS bigint) AS n,
+       round(avg(v), 6) AS avg_val,
+       min(v) AS min_val, max(v) AS max_val
+FROM x WHERE v IS NOT NULL GROUP BY 1
+"""
+    o["stats_mood"] = """
+WITH d AS (SELECT event_type AS g, value AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+med AS (SELECT quantile_cont(x, 0.5) AS m FROM d),
+s AS (SELECT g, x FROM d WHERE x != (SELECT m FROM med)),
+gg AS (SELECT g,
+              cast(sum(CASE WHEN x > (SELECT m FROM med)
+                            THEN 1 ELSE 0 END) AS bigint) AS ab,
+              cast(sum(CASE WHEN x < (SELECT m FROM med)
+                            THEN 1 ELSE 0 END) AS bigint) AS bl
+       FROM s GROUP BY 1),
+t AS (SELECT cast(sum(ab) AS bigint) AS ta, cast(sum(bl) AS bigint) AS tb,
+             cast(count(*) AS bigint) AS nk FROM gg)
+SELECT round(sum((ab - (ab + bl) * t.ta / (t.ta + t.tb))
+                 * (ab - (ab + bl) * t.ta / (t.ta + t.tb))
+                 / ((ab + bl) * t.ta / (t.ta + t.tb))
+               + (bl - (ab + bl) * t.tb / (t.ta + t.tb))
+                 * (bl - (ab + bl) * t.tb / (t.ta + t.tb))
+                 / ((ab + bl) * t.tb / (t.ta + t.tb))), 6) AS chi2,
+       max(t.nk) - 1 AS df1,
+       max(t.nk) AS k,
+       max(t.ta) + max(t.tb) AS n_total
+FROM gg, t
 """
     # incremental LSH serves the same exact pair set (recall argument as
     # dedup_minhash_lsh), restricted to pairs touching the new batch

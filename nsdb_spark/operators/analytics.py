@@ -2565,3 +2565,94 @@ def deming_regression(
             F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
         ).alias("intercept"),
     )
+
+
+def json_field_stats(
+    events: DataFrame,
+    json_col: str = "props",
+    path: str = "$.k",
+    group: str = "event_type",
+) -> DataFrame:
+    """Typed extraction from a semi-structured JSON attribute column +
+    per-group numeric profile — the "props bag" pattern every event
+    pipeline hits: attributes too sparse/variable to be real columns
+    ride as JSON strings, and analysis needs one of them back as a
+    number WITHOUT a Python UDF. `get_json_object` is a JVM-side
+    Catalyst expression (whole-stage codegen, SIMD-friendly string
+    scan), so this runs at full scan speed; rows where the path is
+    missing or non-numeric cast to NULL and drop.
+
+    ONE map-side-combinable aggregate. At 100 TB the win is columnar:
+    only (json_col, group) are read — check ReadSchema — and a
+    frequently-queried path should graduate to a materialized column
+    at ingest, which this operator's output justifies.
+
+    Output: (group, n bigint, avg_val r6, min_val bigint, max_val bigint).
+    """
+    val = F.get_json_object(F.col(json_col), path).cast("long")
+    return (
+        events.filter(F.col(group).isNotNull() & val.isNotNull())
+        .withColumn("__v", val)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__v"), 6).alias("avg_val"),
+            F.min("__v").cast("long").alias("min_val"),
+            F.max("__v").cast("long").alias("max_val"),
+        )
+    )
+
+
+def mood_median_test(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Mood's median test across ALL groups of `group`: classify every
+    observation as above/below the POOLED median (exact-median values
+    drop, the standard convention), then chi² over the resulting 2×k
+    contingency table. The crudest — and most outlier-immune — of the
+    k-sample location tests: it only sees which side of the median a
+    value falls on, so a group of wild outliers can't dominate the way
+    it can in welch_anova, at the cost of power when distributions are
+    clean (Mood 1950; the k-sample sibling of mannwhitney_u's
+    two-sample rank view).
+
+    One exact pooled median (sort-based percentile; swap in
+    approx_percentile at scale, same shape), then one
+    map-side-combinable (above, below) count per group and closed-form
+    chi² on the k-row frame with totals broadcast back.
+
+    Returns one row: (chi2 r6, df1 bigint, k bigint, n_total bigint).
+    """
+    d = df.filter(
+        F.col(value).isNotNull() & F.col(group).isNotNull()
+    ).select(F.col(group).alias("g"), F.col(value).cast("double").alias("x"))
+    med = d.agg(F.expr("percentile(x, 0.5)")).first()[0]
+    s = d.filter(F.col("x") != F.lit(med))
+    g = s.groupBy("g").agg(
+        F.sum(F.when(F.col("x") > F.lit(med), 1).otherwise(0))
+        .cast("long")
+        .alias("ab"),
+        F.sum(F.when(F.col("x") < F.lit(med), 1).otherwise(0))
+        .cast("long")
+        .alias("bl"),
+    )
+    tot = g.groupBy().agg(
+        F.sum("ab").alias("ta"),
+        F.sum("bl").alias("tb"),
+        F.count(F.lit(1)).alias("nk"),
+    )
+    n_g = F.col("ab") + F.col("bl")
+    n_all = F.col("ta") + F.col("tb")
+    ea = n_g * F.col("ta") / n_all
+    eb = n_g * F.col("tb") / n_all
+    cell = (F.col("ab") - ea) * (F.col("ab") - ea) / ea + (
+        F.col("bl") - eb
+    ) * (F.col("bl") - eb) / eb
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.round(F.sum(cell), 6).alias("chi2"),
+            (F.max("nk") - 1).cast("long").alias("df1"),
+            F.max("nk").cast("long").alias("k"),
+            F.max(n_all).cast("long").alias("n_total"),
+        )
+    )

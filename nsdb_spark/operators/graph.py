@@ -527,3 +527,77 @@ def degree_assortativity(
     return m.select(
         "n_edges", F.round(F.try_divide(num, den), 6).alias("assortativity")
     )
+
+
+def clustering_coefficient(pairs, nodes):
+    """Per-node LOCAL clustering coefficient over an undirected pair
+    graph: C_i = 2·T_i / (deg_i·(deg_i − 1)) — the fraction of a
+    node's neighbor pairs that are themselves connected (Watts &
+    Strogatz 1998). On a near-dup graph this separates true duplicate
+    CLIQUES (C ≈ 1: safe to keep one representative) from chain-shaped
+    borderline matches (C ≈ 0: transitive merging would over-delete) —
+    the per-node refinement of triangle_counts' raw count.
+
+    Same ordered-wedge triangle plan as triangle_counts, sharing ONE
+    materialization of the deduped edge set (localCheckpoint) between
+    the wedge join and the degree count, so the expensive upstream
+    pair join is paid once. Nodes with degree < 2 have no neighbor
+    pairs — their coefficient is NULL (undefined), degree and zero
+    triangles still reported.
+
+    pairs: (doc_a, doc_b); nodes: (doc_id).
+    Output: (doc_id, n_triangles bigint, degree bigint, coeff r6).
+    """
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wedges = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+        )
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("x.v").alias("v"),
+            F.col("y.v").alias("w"),
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("u").alias("v"), F.col("v").alias("w")), ["v", "w"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    deg = (
+        e.select(F.col("u").alias("doc_id"))
+        .union(e.select(F.col("v").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    return (
+        nodes.join(per_node, "doc_id", "left")
+        .join(deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.coalesce("__d", F.lit(0)).cast("long").alias("degree"),
+            F.round(
+                F.when(
+                    F.col("__d") >= 2,
+                    2.0
+                    * F.coalesce("__t", F.lit(0))
+                    / (F.col("__d") * (F.col("__d") - 1)),
+                ),
+                6,
+            ).alias("coeff"),
+        )
+    )

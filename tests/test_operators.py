@@ -4269,3 +4269,63 @@ def test_degree_assortativity_star_is_negative(spark):
         "src string, dst string",
     )
     assert graph.degree_assortativity(reg).collect()[0]["assortativity"] is None
+
+
+def test_clustering_coefficient_clique_vs_chain(spark):
+    from nsdb_spark.operators import graph
+
+    # docs 1-2-3 form a triangle (C = 1); 4-5-6 a chain (C = 0 at the
+    # middle, undefined at the ends); 7 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)],
+                                  "doc_id long")
+    got = {r["doc_id"]: r for r in
+           graph.clustering_coefficient(pairs, nodes).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["coeff"] == 1.0 and got[i]["n_triangles"] == 1
+        assert got[i]["degree"] == 2
+    assert got[5]["coeff"] == 0.0 and got[5]["degree"] == 2
+    assert got[4]["coeff"] is None and got[4]["degree"] == 1
+    assert got[7]["coeff"] is None and got[7]["degree"] == 0
+
+
+def test_json_field_stats_extracts_and_skips_bad_rows(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        ("a", '{"k": 10}'), ("a", '{"k": 20}'),
+        ("a", '{"other": 5}'),      # path missing -> dropped
+        ("a", None),                 # NULL json -> dropped
+        ("b", '{"k": 7}'),
+        (None, '{"k": 1}'),          # NULL group -> dropped
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    got = {r["event_type"]: r for r in
+           analytics.json_field_stats(df).collect()}
+    assert got["a"]["n"] == 2 and got["a"]["avg_val"] == 15.0
+    assert got["a"]["min_val"] == 10 and got["a"]["max_val"] == 20
+    assert got["b"]["n"] == 1 and got["b"]["avg_val"] == 7.0
+
+
+def test_mood_median_test_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    # g1 all below the pooled median, g2 all above -> maximal chi2 = N
+    rows = [("g1", float(v)) for v in range(10)] + [
+        ("g2", float(v)) for v in range(100, 110)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = analytics.mood_median_test(df, "x", "g").collect()[0]
+    # median = 54.5 (between the groups): no drops, N = 20, chi2 = 20
+    assert got["n_total"] == 20 and got["k"] == 2 and got["df1"] == 1
+    assert abs(got["chi2"] - 20.0) < 1e-6
+    # identical groups -> chi2 == 0 (after median-value drops)
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)],
+        "g string, x double",
+    )
+    r2 = analytics.mood_median_test(same, "x", "g").collect()[0]
+    assert r2["chi2"] == 0.0
