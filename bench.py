@@ -275,6 +275,9 @@ def main() -> None:
         "graph_clustering_coeff",  # re-pays the guarded jaccard pairs
         "events_json_stats",
         "stats_mood",
+        "stats_kruskal",
+        "tsa_kpss",
+        "text_lang_confusion",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

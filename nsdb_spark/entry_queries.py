@@ -1663,6 +1663,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "events"), value="value",
         group="event_type",
     )
+    q["stats_kruskal"] = lambda spark, sf: analytics.kruskal_wallis(
+        testdata.table(spark, sf, "events"), value="value",
+        group="event_type",
+    )
+    q["tsa_kpss"] = lambda spark, sf: tsa.kpss_stat(
+        testdata.table(spark, sf, "events"), q=4,
+        key="event_type", ts="ts", value="value", id_col="event_id",
+    )
+    q["text_lang_confusion"] = lambda spark, sf: text.langid_confusion(
+        _docs(spark, sf)
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2047,6 +2058,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ad", "sample_neyman", "emb_matryoshka_overlap",
         "sample_pps_systematic", "stats_deming", "graph_assortativity",
         "graph_clustering_coeff", "events_json_stats", "stats_mood",
+        "stats_kruskal", "tsa_kpss", "text_lang_confusion",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -2460,6 +2472,81 @@ SELECT event_type, cast(count(*) AS bigint) AS n,
        round(avg(v), 6) AS avg_val,
        min(v) AS min_val, max(v) AS max_val
 FROM x WHERE v IS NOT NULL GROUP BY 1
+"""
+    # midranks over the pooled distinct values; tie masses in hugeint
+    # (Spark: decimal(38,0)) before the double correction
+    o["stats_kruskal"] = """
+WITH d AS (SELECT event_type AS g, value AS v FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+cg AS (SELECT g, v, cast(count(*) AS bigint) AS c FROM d GROUP BY 1, 2),
+vc AS (SELECT v, cast(sum(c) AS bigint) AS cv FROM cg GROUP BY 1),
+r AS (SELECT v, cast(sum(cv) OVER (ORDER BY v) AS double)
+               - (cv - 1) / 2.0 AS avg_rank FROM vc),
+t AS (SELECT cast(sum(cv) AS bigint) AS n,
+             cast(sum(cv::HUGEINT * cv * cv - cv) AS double) AS tsum
+      FROM vc),
+gr AS (SELECT g, cast(sum(c) AS bigint) AS n_g, sum(c * avg_rank) AS rs
+       FROM cg JOIN r USING (v) GROUP BY 1)
+SELECT round((12.0 / (max(t.n) * (max(t.n) + 1.0))
+              * sum(rs * rs / n_g) - 3.0 * (max(t.n) + 1.0))
+             / (1.0 - max(t.tsum)
+                / (cast(max(t.n) AS double) * max(t.n) * max(t.n)
+                   - max(t.n))), 6) AS h_stat,
+       cast(count(*) - 1 AS bigint) AS df1,
+       cast(count(*) AS bigint) AS k,
+       max(t.n) AS n_total
+FROM gr, t
+"""
+    _bw = {j: 1.0 - j / 5.0 for j in (1, 2, 3, 4)}
+    o["tsa_kpss"] = f"""
+WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS eid,
+                  value AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (SELECT *, avg(v) OVER (PARTITION BY k) AS mean FROM e),
+d AS (SELECT k, t, eid, v - mean AS dev FROM m),
+sq AS (SELECT k, dev,
+              sum(dev) OVER (PARTITION BY k ORDER BY t, eid
+                             ROWS UNBOUNDED PRECEDING) AS s,
+              lag(dev, 1) OVER (PARTITION BY k ORDER BY t, eid) AS l1,
+              lag(dev, 2) OVER (PARTITION BY k ORDER BY t, eid) AS l2,
+              lag(dev, 3) OVER (PARTITION BY k ORDER BY t, eid) AS l3,
+              lag(dev, 4) OVER (PARTITION BY k ORDER BY t, eid) AS l4
+       FROM d),
+agg AS (SELECT k, cast(count(*) AS bigint) AS n, sum(s * s) AS ss,
+               sum(dev * dev) AS g0, sum(dev * l1) AS g1,
+               sum(dev * l2) AS g2, sum(dev * l3) AS g3,
+               sum(dev * l4) AS g4
+        FROM sq GROUP BY k)
+SELECT k AS event_type, n,
+       round((ss / (cast(n AS double) * n))
+             / ((g0 + 2.0 * ({_bw[1]!r} * g1 + {_bw[2]!r} * g2
+                             + {_bw[3]!r} * g3 + {_bw[4]!r} * g4))
+                / cast(n AS double)), 6) AS kpss_stat
+FROM agg
+"""
+    _lc_scores = ",\n  ".join(
+        f"len(list_distinct(list_intersect(words, {_stoplist_sql(lang)})))"
+        f" AS s_{lang}"
+        for lang in text.LANG_ORDER
+    )
+    _lc_best = (
+        "greatest(" + ", ".join(f"s_{lang}" for lang in text.LANG_ORDER) + ")"
+    )
+    _lc_case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {_lc_best} THEN '{lang}'"
+        for lang in text.LANG_ORDER
+    ) + " END"
+    o["text_lang_confusion"] = f"""
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+           FROM documents),
+s AS (SELECT doc_id, {_lc_scores} FROM w),
+pred AS (SELECT doc_id, {_lc_case} AS pred_lang FROM s),
+conf AS (SELECT d.lang, p.pred_lang, cast(count(*) AS bigint) AS n
+         FROM documents d JOIN pred p USING (doc_id)
+         WHERE d.lang IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT lang, sum(n) AS rt FROM conf GROUP BY 1)
+SELECT conf.lang, pred_lang, n, round(n / t.rt, 6) AS row_share
+FROM conf JOIN tot t USING (lang)
 """
     o["stats_mood"] = """
 WITH d AS (SELECT event_type AS g, value AS x FROM events

@@ -2656,3 +2656,65 @@ def mood_median_test(df: DataFrame, value: str, group: str) -> DataFrame:
             F.max(n_all).cast("long").alias("n_total"),
         )
     )
+
+
+def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL groups of `group` — the
+    k-sample extension of mannwhitney_u (rank-based location test, no
+    normality assumption), with the standard tie correction:
+    H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), divided by
+    C = 1 − Σ_v (t_v³ − t_v)/(N³ − N). The screen to run before k·(k−1)/2
+    pairwise MWU comparisons.
+
+    Rank machinery: the corpus collapses once to the (group, value)
+    grid; midranks per distinct value come from _avg_rank_frame's
+    range-partition + P-offset scan (no global window), and per-group
+    rank sums are a co-partitioned grid⋈ranks join on the value key.
+    Tie masses t_v³ accumulate in decimal(38,0) (exact past int64,
+    mirroring DuckDB's hugeint sums) before the final double division.
+
+    Returns one row: (h_stat r6 [tie-corrected], df1, k, n_total
+    bigint). All-tied input has C = 0 → NULL (undefined), not an
+    error.
+    """
+    d = df.filter(
+        F.col(value).isNotNull() & F.col(group).isNotNull()
+    ).select(F.col(group).alias("g"), F.col(value).alias("v"))
+    cg = d.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ranks, n_tot = _avg_rank_frame(d.select("v"), "v")
+    per_g = (
+        cg.join(ranks, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("rs"),
+        )
+    )
+    ties = d.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cv"))
+    tie_sum = ties.select(
+        F.sum(
+            F.col("cv").cast("decimal(38,0)")
+            * F.col("cv").cast("decimal(38,0)")
+            * F.col("cv").cast("decimal(38,0)")
+            - F.col("cv").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ts")
+    )
+    n = float(n_tot)
+    h_raw = (
+        F.lit(12.0 / (n * (n + 1.0)))
+        * F.sum(F.col("rs") * F.col("rs") / F.col("n_g"))
+        - F.lit(3.0 * (n + 1.0))
+    )
+    corr = F.lit(1.0) - F.max("ts") / F.lit(n * n * n - n)
+    return (
+        per_g.crossJoin(F.broadcast(tie_sum))
+        .groupBy()
+        .agg(
+            F.round(F.try_divide(h_raw, corr), 6).alias("h_stat"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("df1"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.lit(n_tot).cast("long").alias("n_total"),
+        )
+    )

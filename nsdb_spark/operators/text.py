@@ -735,3 +735,38 @@ def zipf_slope(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def langid_confusion(
+    docs: DataFrame, label_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Confusion matrix of the n-gram/stopword language detector
+    against a labeled column — the accuracy audit that should precede
+    trusting language_id for corpus routing: per (true, predicted)
+    pair, the count and the row-normalized share (recall
+    decomposition; the diagonal share IS per-language recall).
+
+    language_id is a pure projection, so the matrix costs one scan +
+    one map-side-combinable count on the |langs|² grid; row totals
+    join back broadcast. NULL labels drop (nothing to audit against).
+
+    Output: (lang, pred_lang, n bigint, row_share r6).
+    """
+    pred = language_id(docs, text_col=text_col).select(
+        "doc_id", "pred_lang"
+    )
+    joined = (
+        docs.filter(F.col(label_col).isNotNull())
+        .select("doc_id", label_col)
+        .join(pred, "doc_id")
+    )
+    grid = joined.groupBy(label_col, "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = grid.groupBy(label_col).agg(F.sum("n").alias("__rt"))
+    return grid.join(F.broadcast(tot), label_col).select(
+        label_col,
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.col("__rt"), 6).alias("row_share"),
+    )

@@ -788,3 +788,64 @@ def ljung_box(
             F.col("n") * (F.col("n") + 2) * rho2_terms, 6
         ).alias("q_stat"),
     )
+
+
+def kpss_stat(
+    df: DataFrame,
+    q: int = 4,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key KPSS level-stationarity statistic (Kwiatkowski,
+    Phillips, Schmidt & Shin 1992): η = n⁻² Σ_t S_t² / σ̂²_lr, where
+    S_t is the running sum of the demeaned series and σ̂²_lr is the
+    Bartlett-window long-run variance estimate
+    (γ₀ + 2 Σ_{j≤q} (1 − j/(q+1)) γ_j)/n. Large η rejects "stationary
+    around a level" — the complement of ljung_box's white-noise view:
+    LB asks "is there structure?", KPSS asks "does the level wander?"
+    (a drifting metric violates every fixed-baseline alert threshold
+    downstream).
+
+    Plan: the per-key mean, the running sum, and the q lag columns all
+    ride ONE hash exchange on the key (the cusum/autocorr window
+    discipline); the closing statistic is arithmetic on a k-row
+    aggregate. A constant series has σ̂²_lr = 0 → NULL (undefined) via
+    try_divide.
+
+    Output: (key, n bigint, kpss_stat r6).
+    """
+    w_full = Window.partitionBy(key)
+    w_ord = Window.partitionBy(key).orderBy(ts, id_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).cast("double").alias("__v"))
+        .withColumn("__e", F.col("__v") - F.avg("__v").over(w_full))
+        .withColumn("__s", F.sum("__e").over(w_run))
+    )
+    for j in range(1, q + 1):
+        d = d.withColumn(f"__l{j}", F.lag("__e", j).over(w_ord))
+    agg = d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__s") * F.col("__s")).alias("ss"),
+        F.sum(F.col("__e") * F.col("__e")).alias("g0"),
+        *[
+            F.sum(F.col("__e") * F.col(f"__l{j}")).alias(f"g{j}")
+            for j in range(1, q + 1)
+        ],
+    )
+    gamma_tail = None
+    for j in range(1, q + 1):
+        t = F.lit(1.0 - j / (q + 1.0)) * F.col(f"g{j}")
+        gamma_tail = t if gamma_tail is None else gamma_tail + t
+    nd = F.col("n").cast("double")
+    lrv = (F.col("g0") + 2.0 * gamma_tail) / nd
+    return agg.select(
+        key,
+        "n",
+        F.round(F.try_divide(F.col("ss") / (nd * nd), lrv), 6).alias(
+            "kpss_stat"
+        ),
+    )

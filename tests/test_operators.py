@@ -4329,3 +4329,102 @@ def test_mood_median_test_hand_computed(spark):
     )
     r2 = analytics.mood_median_test(same, "x", "g").collect()[0]
     assert r2["chi2"] == 0.0
+
+
+def test_kruskal_wallis_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(53)
+    groups = {
+        "g1": rng.normal(0, 1, 60).round(1),
+        "g2": rng.normal(0.5, 1, 50).round(1),
+        "g3": rng.normal(1.0, 1, 40).round(1),
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = analytics.kruskal_wallis(df, "v", "g").collect()[0]
+    pooled = np.concatenate(list(groups.values()))
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sv = pooled[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    N = len(pooled)
+    off, h = 0, 0.0
+    for vs in groups.values():
+        r = ranks[off:off + len(vs)]
+        h += r.sum() ** 2 / len(vs)
+        off += len(vs)
+    h = 12.0 / (N * (N + 1)) * h - 3.0 * (N + 1)
+    _, counts = np.unique(pooled, return_counts=True)
+    c = 1.0 - float((counts.astype(float) ** 3 - counts).sum()) / (
+        N**3 - N
+    )
+    assert abs(got["h_stat"] - h / c) < 1e-4
+    assert got["k"] == 3 and got["df1"] == 2 and got["n_total"] == 150
+    # all-tied input: correction 0 -> NULL, not an error
+    same = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 1.0)], "g string, v double"
+    )
+    assert analytics.kruskal_wallis(same, "v", "g").collect()[0][
+        "h_stat"
+    ] is None
+
+
+def test_kpss_stat_level_shift_vs_noise(spark):
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    rng = np.random.RandomState(59)
+    noise = rng.normal(0, 1, 300)
+    shift = np.concatenate([rng.normal(0, 1, 150), rng.normal(6, 1, 150)])
+    rows = [("flat", i, i, float(v)) for i, v in enumerate(noise)] + [
+        ("shift", i, i, float(v)) for i, v in enumerate(shift)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, value double"
+    )
+    got = {r["event_type"]: r for r in
+           tsa.kpss_stat(df, q=4, ts="timestamp").collect()}
+    # a level shift wanders far from any constant mean -> much larger eta
+    assert got["shift"]["kpss_stat"] > 10 * got["flat"]["kpss_stat"]
+    assert got["flat"]["n"] == 300
+    # constant series: zero long-run variance -> NULL
+    const = spark.createDataFrame(
+        [("c", i, i, 2.0) for i in range(20)],
+        "event_type string, timestamp long, event_id long, value double",
+    )
+    assert tsa.kpss_stat(const, q=2, ts="timestamp").collect()[0][
+        "kpss_stat"
+    ] is None
+
+
+def test_langid_confusion_shares_sum_to_one(spark):
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in", "en"),
+            (2, "the of and to in", "en"),
+            (3, "der die und das ist", "de"),
+            (4, "the of and", "de"),   # mislabeled or misdetected row
+            (5, "whatever words", None),  # NULL label drops
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = text.langid_confusion(docs).collect()
+    assert all(r["lang"] is not None for r in got)
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += r["row_share"]
+    for share in by_lang.values():
+        assert abs(share - 1.0) < 1e-6
+    diag = {(r["lang"], r["pred_lang"]): r["n"] for r in got}
+    assert diag[("en", "en")] == 2
