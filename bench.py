@@ -278,6 +278,9 @@ def main() -> None:
         "stats_kruskal",
         "tsa_kpss",
         "text_lang_confusion",
+        "join_band_prices",
+        "stats_hill",
+        "graph_modularity",  # re-pays pairs + the LPA rounds upstream
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -264,6 +264,49 @@ SELECT node, label FROM l{iters}
 """
 
 
+def _modularity_oracle(iters: int = 4) -> str:
+    """Newman Q over the SAME trajectory as _label_prop_oracle: the
+    LPA chain runs to l{iters}, then per-community within-edge counts
+    and degree sums close the sum — every CTE shared verbatim with the
+    LPA oracle so the two entries can't diverge."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+c{t} AS (SELECT e.s AS node, p.label, count(*) AS cnt
+        FROM edges e JOIN l{t - 1} p ON e.d = p.node GROUP BY 1, 2),
+b{t} AS (SELECT node, label AS new_label FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label ASC) AS rn
+          FROM c{t}) WHERE rn = 1),
+l{t} AS (SELECT p.node, coalesce(b.new_label, p.label) AS label
+        FROM l{t - 1} p LEFT JOIN b{t} b USING (node))""")
+    return f"""
+WITH {_shingles_cte(capped=True)},{_guarded_pairs_cte(0.5)},{_EDGES_CTE},
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{",".join(steps)},
+ue AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+       FROM pairs WHERE doc_a <> doc_b),
+mm AS (SELECT cast(count(*) AS bigint) AS m FROM ue),
+wj AS (SELECT ue.u, ue.v, a.label AS la, b.label AS lb
+       FROM ue JOIN l{iters} a ON ue.u = a.node
+       JOIN l{iters} b ON ue.v = b.node),
+wc AS (SELECT la AS label, cast(count(*) AS bigint) AS ec FROM wj
+       WHERE la = lb GROUP BY 1),
+dg AS (SELECT node, cast(count(*) AS bigint) AS d FROM
+       (SELECT u AS node FROM ue UNION ALL SELECT v FROM ue) GROUP BY 1),
+dc AS (SELECT l.label, cast(sum(dg.d) AS bigint) AS dsum
+       FROM dg JOIN l{iters} l ON dg.node = l.node GROUP BY 1),
+nc AS (SELECT cast(count(DISTINCT label) AS bigint) AS n_communities
+       FROM l{iters})
+SELECT max(mm.m) AS m, max(nc.n_communities) AS n_communities,
+       round(sum(coalesce(wc.ec, 0) / cast(mm.m AS double)
+                 - (dc.dsum / (2.0 * mm.m))
+                   * (dc.dsum / (2.0 * mm.m))), 6) AS modularity
+FROM dc LEFT JOIN wc USING (label), mm, nc
+"""
+
+
 def _passage_oracle(k: int = 8, stride: int = 8) -> str:
     """Mirror of dedup.passage_dup_stats: k-word windows every `stride`
     words (stride=k → non-overlapping), canonical copy = min scalar
@@ -1674,6 +1717,40 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_confusion"] = lambda spark, sf: text.langid_confusion(
         _docs(spark, sf)
     )
+    q["join_band_prices"] = lambda spark, sf: joins.band_self_count(
+        testdata.table(spark, sf, "orders"),
+        id_col="o_orderkey", x="o_totalprice", delta=100.0,
+    )
+
+    def _stats_hill(spark, sf):
+        per_user = (
+            testdata.table(spark, sf, "events")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+        )
+        return analytics.hill_tail_index(per_user, value="n_events", k=200)
+
+    q["stats_hill"] = _stats_hill
+
+    def _graph_modularity(spark, sf):
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        )
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        nodes = _docs(spark, sf).select(F.col("doc_id").alias("node"))
+        return graph.modularity(
+            edges, graph.label_propagation(edges, nodes, iters=4)
+        )
+
+    q["graph_modularity"] = _graph_modularity
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2059,6 +2136,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pps_systematic", "stats_deming", "graph_assortativity",
         "graph_clustering_coeff", "events_json_stats", "stats_mood",
         "stats_kruskal", "tsa_kpss", "text_lang_confusion",
+        "join_band_prices", "stats_hill", "graph_modularity",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -2696,6 +2774,28 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
     # of the two remaining rows-only entries to a hash-checked one
     o["graph_pagerank"] = _pagerank_oracle(iters=5, damping=0.85)
     o["graph_label_prop"] = _label_prop_oracle(iters=4)
+    o["graph_modularity"] = _modularity_oracle(iters=4)
+    # DuckDB plans the abs() range predicate as an IEJoin; the Spark
+    # side is the bucketed rewrite — same pair set by construction
+    o["join_band_prices"] = """
+SELECT a.o_orderkey, a.o_totalprice,
+       cast(count(*) - 1 AS bigint) AS n_within
+FROM orders a JOIN orders b
+  ON abs(b.o_totalprice - a.o_totalprice) <= 100
+WHERE a.o_orderkey IS NOT NULL AND a.o_totalprice IS NOT NULL
+GROUP BY 1, 2
+"""
+    o["stats_hill"] = """
+WITH c AS (SELECT user_id, cast(count(*) AS double) AS n FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1),
+top AS (SELECT n, row_number() OVER (ORDER BY n DESC) AS rn
+        FROM c WHERE n > 0),
+sel AS (SELECT n, rn FROM top WHERE rn <= 201)
+SELECT cast(200 AS bigint) AS k, min(n) AS x_tail,
+       round(1.0 / (avg(CASE WHEN rn <= 200 THEN ln(n) END)
+                    - ln(min(n))), 6) AS alpha
+FROM sel
+"""
     # keep-best composes two already-oracled stages (components over the
     # guarded 0.5-jaccard graph + the quality score); qw/qs names avoid
     # the shingle CTE's w/s/c/p

@@ -2718,3 +2718,47 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
             F.lit(n_tot).cast("long").alias("n_total"),
         )
     )
+
+
+def hill_tail_index(
+    df: DataFrame, value: str, k: int = 200
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the k largest
+    values of `value`: α̂ = 1 / (mean_{i≤k} ln x_(i) − ln x_(k+1))
+    (Hill 1975) — the MLE complement to zipf_slope's log-log OLS, and
+    the number that decides skew strategy: α < 2 means the hot keys'
+    share grows with corpus size (salt/df-cap MANDATORY), α > 2
+    means the tail thins and plain hash partitioning holds.
+
+    The corpus collapses to whatever bounded frame the caller passes
+    (per-key counts here); TakeOrderedAndProject pulls the k+1 largest
+    — the only rows the estimator touches — and the closing math runs
+    on that literal-sized frame (a single-partition window over k+1
+    rows, bounded by construction). Ties at the boundary are
+    value-identical, so the estimate is deterministic regardless of
+    which tied row ranks k+1. All-equal top values → denominator 0 →
+    NULL via try_divide.
+
+    Output: one row (k bigint, x_tail double, alpha r6); x_tail is
+    x_(k+1), the tail cutoff.
+    """
+    top = (
+        df.filter(F.col(value).isNotNull() & (F.col(value) > 0))
+        .select(F.col(value).cast("double").alias("__x"))
+        .orderBy(F.desc("__x"))
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.desc("__x"))
+    ranked = top.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy().agg(
+        F.lit(k).cast("long").alias("k"),
+        F.min("__x").alias("x_tail"),
+        F.round(
+            F.try_divide(
+                F.lit(1.0),
+                F.avg(F.when(F.col("__rn") <= k, F.log("__x")))
+                - F.log(F.min("__x")),
+            ),
+            6,
+        ).alias("alpha"),
+    )

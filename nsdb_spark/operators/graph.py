@@ -601,3 +601,79 @@ def clustering_coefficient(pairs, nodes):
             ).alias("coeff"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected edge
+    set: Q = Σ_c (e_c/m − (d_c/2m)²) — within-community edge share
+    minus the share expected under the degree-preserving null (Newman
+    & Girvan 2004). THE one-number quality check on
+    label_propagation's output before communities drive downstream
+    decisions (Q ≈ 0 means the "communities" are no better than random
+    — don't dedup/keep-best inside them).
+
+    Plan: edges dedupe to u < v once (checkpointed — shared by the
+    label join and the degree count), labels join on each endpoint
+    co-partitioned on the node key, then everything collapses to
+    per-community rows: e_c from the within filter, d_c from a
+    degree⋈label join. The closing sum runs over |communities| rows.
+
+    Output: one row (m bigint [undirected edges], n_communities
+    bigint, modularity r6). An empty edge set yields NULL Q.
+    """
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = e.count()
+    lab = labels.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("l")
+    )
+    j = (
+        e.join(lab.select(F.col("n").alias("u"), F.col("l").alias("lu")), "u")
+        .join(lab.select(F.col("n").alias("v"), F.col("l").alias("lv")), "v")
+    )
+    within = (
+        j.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(lab, "n")
+        .groupBy("l")
+        .agg(F.sum("d").cast("long").alias("dsum"))
+    )
+    n_comm = lab.select("l").distinct().count()
+    if m == 0:
+        return labels.sparkSession.createDataFrame(
+            [(0, n_comm, None)],
+            "m long, n_communities long, modularity double",
+        )
+    term = F.coalesce(F.col("ec"), F.lit(0)) / F.lit(float(m)) - (
+        F.col("dsum") / F.lit(2.0 * m)
+    ) * (F.col("dsum") / F.lit(2.0 * m))
+    return (
+        dc.join(within, "l", "left")
+        .groupBy()
+        .agg(
+            F.lit(m).cast("long").alias("m"),
+            F.lit(n_comm).cast("long").alias("n_communities"),
+            F.round(F.sum(term), 6).alias("modularity"),
+        )
+    )

@@ -94,3 +94,45 @@ def revenue_chain(
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+def band_self_count(
+    df: DataFrame, id_col: str, x: str, delta: float
+) -> DataFrame:
+    """Numeric band self-join, aggregated: for every row, how many
+    OTHER rows have |x − x'| ≤ delta — the "price collision" /
+    near-duplicate-amount screen (fraud rings quoting near-identical
+    amounts, duplicate invoices with cent-level jitter) that an
+    equi-join can't express.
+
+    NOT the naive theta join: `ON abs(a.x − b.x) <= δ` explodes to the
+    full cross product before filtering (10¹² intermediate rows at
+    100 TB — the asof_join docstring math). Instead the standard
+    BUCKETED band rewrite: both sides key on floor(x/δ); a pair within
+    δ can differ by at most one bucket, so each probe row fans out to
+    exactly 3 candidate buckets (b−1, b, b+1) and the join is a plain
+    hash equi-join on the bucket key with the |diff| ≤ δ check as a
+    codegen row filter. Shuffle volume = 3× rows, candidate volume =
+    Σ per-bucket products — inspect the bucket histogram for skew,
+    exactly like interval_join's bucket-width note. Self-pairs drop
+    arithmetically (count − 1).
+
+    Output: (id_col, x, n_within bigint), one row per input row.
+    """
+    d = df.filter(
+        F.col(id_col).isNotNull() & F.col(x).isNotNull()
+    ).select(id_col, F.col(x).cast("double").alias("__x"))
+    b = F.floor(F.col("__x") / F.lit(float(delta))).cast("long")
+    rgt = d.select(
+        F.col("__x").alias("__rx"), b.alias("__b")
+    )
+    probes = d.withColumn(
+        "__pb", F.explode(F.array(b - 1, b, b + 1))
+    )
+    j = probes.join(rgt, probes["__pb"] == rgt["__b"]).filter(
+        F.abs(F.col("__rx") - F.col("__x")) <= F.lit(float(delta))
+    )
+    return j.groupBy(id_col).agg(
+        F.first("__x").alias(x),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_within"),
+    )

@@ -4428,3 +4428,66 @@ def test_langid_confusion_shares_sum_to_one(spark):
         assert abs(share - 1.0) < 1e-6
     diag = {(r["lang"], r["pred_lang"]): r["n"] for r in got}
     assert diag[("en", "en")] == 2
+
+
+def test_band_self_count_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import joins
+
+    rng = np.random.RandomState(61)
+    xs = rng.uniform(0, 100, 80).round(1)
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = {r["id"]: r["n_within"] for r in
+           joins.band_self_count(df, "id", "x", delta=5.0).collect()}
+    for i, x in enumerate(xs):
+        ref = int(np.sum(np.abs(xs - x) <= 5.0)) - 1
+        assert got[i] == ref
+    # boundary is inclusive on both sides
+    b = spark.createDataFrame([(1, 0.0), (2, 5.0), (3, 10.5)],
+                              "id long, x double")
+    gb = {r["id"]: r["n_within"] for r in
+          joins.band_self_count(b, "id", "x", delta=5.0).collect()}
+    assert gb == {1: 1, 2: 1, 3: 0}
+
+
+def test_hill_tail_index_pareto_recovery(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    # exact Pareto(alpha=2) quantile sample: x_i = (1 - u_i)^(-1/2)
+    rng = np.random.RandomState(67)
+    u = rng.uniform(0, 1, 5000)
+    xs = (1.0 - u) ** (-1.0 / 2.0)
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    got = analytics.hill_tail_index(df, "v", k=500).collect()[0]
+    assert got["k"] == 500
+    assert 1.6 < got["alpha"] < 2.4   # consistent estimator near 2
+    # all-equal top values: denominator 0 -> NULL
+    const = spark.createDataFrame([(3.0,)] * 20, "v double")
+    assert analytics.hill_tail_index(const, "v", k=5).collect()[0][
+        "alpha"
+    ] is None
+
+
+def test_modularity_two_cliques_vs_random(spark):
+    from nsdb_spark.operators import graph
+
+    # two 4-cliques joined by one bridge edge, perfect partition
+    def clique(members):
+        return [(a, b) for a in members for b in members if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([5, 6, 7, 8]) + [(4, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, 1 if i <= 4 else 2) for i in range(1, 9)],
+        "node long, label long",
+    )
+    got = graph.modularity(edf, labels).collect()[0]
+    assert got["m"] == 13 and got["n_communities"] == 2
+    # known value: 12/13 - (13/26)^2 - (13/26)^2 = 12/13 - 0.5
+    assert abs(got["modularity"] - (12 / 13 - 0.5)) < 1e-6
+    # everything in ONE community: Q = 1 - 1 = 0 exactly
+    one = spark.createDataFrame([(i, 0) for i in range(1, 9)],
+                                "node long, label long")
+    assert graph.modularity(edf, one).collect()[0]["modularity"] == 0.0
