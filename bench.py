@@ -281,6 +281,9 @@ def main() -> None:
         "join_band_prices",
         "stats_hill",
         "graph_modularity",  # re-pays pairs + the LPA rounds upstream
+        "stats_ccc",
+        "events_entropy_rate",
+        "text_compress_ratio",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1751,6 +1751,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["graph_modularity"] = _graph_modularity
+    q["stats_ccc"] = lambda spark, sf: analytics.concordance_ccc(
+        testdata.table(spark, sf, "lineitem"),
+        x="l_extendedprice", y="l_quantity",
+    )
+    q["events_entropy_rate"] = (
+        lambda spark, sf: analytics.markov_entropy_rate(
+            testdata.events_metric(spark, sf)
+        )
+    )
+    # rows-only (zlib byte counts aren't SQL-expressible); property
+    # tests pin repetitive < natural < high-entropy ordering
+    q["text_compress_ratio"] = lambda spark, sf: text.compression_ratio(
+        _docs(spark, sf)
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2137,6 +2151,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff", "events_json_stats", "stats_mood",
         "stats_kruskal", "tsa_kpss", "text_lang_confusion",
         "join_band_prices", "stats_hill", "graph_modularity",
+        "stats_ccc", "events_entropy_rate", "text_compress_ratio",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -2784,6 +2799,42 @@ FROM orders a JOIN orders b
   ON abs(b.o_totalprice - a.o_totalprice) <= 100
 WHERE a.o_orderkey IS NOT NULL AND a.o_totalprice IS NOT NULL
 GROUP BY 1, 2
+"""
+    o["stats_ccc"] = """
+WITH b AS (SELECT cast(l_extendedprice AS double) AS x,
+                  cast(l_quantity AS double) AS y
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+m AS (SELECT avg(x) AS mx, avg(y) AS my FROM b),
+a AS (SELECT cast(count(*) AS bigint) AS n,
+             sum((x - m.mx) * (x - m.mx)) AS sxx,
+             sum((y - m.my) * (y - m.my)) AS syy,
+             sum((x - m.mx) * (y - m.my)) AS sxy,
+             max(m.mx) AS mx, max(m.my) AS my
+      FROM b, m)
+SELECT n, round(sxy / sqrt(sxx * syy), 6) AS pearson_r,
+       round(2.0 * sxy / (sxx + syy + n * (mx - my) * (mx - my)), 6) AS ccc
+FROM a
+"""
+    o["events_entropy_rate"] = f"""
+{M},
+s AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY timestamp, event_id) AS prev_type,
+             event_type AS next_type
+      FROM m),
+c AS (SELECT prev_type, next_type, cast(count(*) AS bigint) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, cast(sum(n) AS bigint) AS rt FROM c GROUP BY 1),
+al AS (SELECT cast(sum(rt) AS bigint) AS steps,
+              cast(count(*) AS bigint) AS nt FROM tot),
+j AS (SELECT c.n, tot.rt, al.steps, al.nt
+      FROM c JOIN tot USING (prev_type) CROSS JOIN al)
+SELECT max(steps) AS n_steps, max(nt) AS n_types,
+       round(-sum((rt / cast(steps AS double))
+                  * (n / cast(rt AS double))
+                  * ln(n / cast(rt AS double))), 6) AS entropy_rate,
+       round(ln(cast(max(nt) AS double)), 6) AS max_entropy
+FROM j
 """
     o["stats_hill"] = """
 WITH c AS (SELECT user_id, cast(count(*) AS double) AS n FROM events

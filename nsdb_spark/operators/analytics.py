@@ -2762,3 +2762,110 @@ def hill_tail_index(
             6,
         ).alias("alpha"),
     )
+
+
+def concordance_ccc(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between two paired
+    measurements: ρ_c = 2·s_xy / (s_xx + s_yy + n·(x̄ − ȳ)²·…) in the
+    sample form ρ_c = 2·Sxy / (Sxx + Syy + n·(x̄ − ȳ)²) (Lin 1989) —
+    AGREEMENT, not just correlation: Pearson r is blind to scale and
+    location bias (y = 2x + 5 has r = 1), ρ_c penalizes any departure
+    from the identity line y = x. The right check when two pipelines /
+    sensors are supposed to produce the SAME number (a quantized
+    embedding score vs the fp32 score, a rollup-served aggregate vs
+    the raw path).
+
+    One centered two-pass moment aggregate (the stats_linreg
+    discipline — raw moments cancel catastrophically on large-
+    magnitude columns): a 1-row mean pass broadcast back, then one
+    map-side-combinable deviation aggregate. Degenerate input (both
+    columns constant) → NULL via try_divide.
+
+    Output: one row (n bigint, pearson_r r6, ccc r6).
+    """
+    base = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    means = base.groupBy().agg(
+        F.avg("__x").alias("__mx"), F.avg("__y").alias("__my")
+    )
+    dx = F.col("__x") - F.col("__mx")
+    dy = F.col("__y") - F.col("__my")
+    agg = base.crossJoin(F.broadcast(means)).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.first("__mx").alias("mx"),
+        F.first("__my").alias("my"),
+    )
+    bias = F.col("mx") - F.col("my")
+    return agg.select(
+        "n",
+        F.round(
+            F.try_divide(
+                F.col("sxy"),
+                F.sqrt(F.col("sxx") * F.col("syy")),
+            ),
+            6,
+        ).alias("pearson_r"),
+        F.round(
+            F.try_divide(
+                2.0 * F.col("sxy"),
+                F.col("sxx") + F.col("syy") + F.col("n") * bias * bias,
+            ),
+            6,
+        ).alias("ccc"),
+    )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Entropy rate of the first-order journey Markov chain:
+    H = −Σ_i π_i Σ_j p_ij·ln p_ij (nats/step), with π the empirical
+    distribution of transition SOURCES and p_ij the unsmoothed
+    conditional transition probabilities — the one-number
+    predictability of user journeys (H ≈ 0: deterministic flows worth
+    caching/precomputing; H near ln|types|: navigation is noise and
+    "next event prediction" features won't work).
+
+    Same single user-key exchange as transition_counts; everything
+    after is arithmetic on the ≤|types|² count grid (row totals join
+    back broadcast). Zero-probability cells contribute exactly 0 (the
+    x·ln x → 0 limit), matching the sum-over-observed-cells form.
+
+    Output: one row (n_steps bigint, n_types bigint, entropy_rate r6,
+    max_entropy r6 [ln of observed source count]).
+    """
+    import math
+
+    counts = transition_counts(
+        events, user=user, ts=ts, type_col=type_col, id_col=id_col
+    )
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("rt"))
+    all_steps = counts.agg(F.sum("n")).first()[0] or 0
+    n_types = tot.count()
+    if all_steps == 0:
+        return events.sparkSession.createDataFrame(
+            [(0, 0, None, None)],
+            "n_steps long, n_types long, entropy_rate double, "
+            "max_entropy double",
+        )
+    p = F.col("n") / F.col("rt")
+    pi = F.col("rt") / F.lit(float(all_steps))
+    return (
+        counts.join(F.broadcast(tot), "prev_type")
+        .groupBy()
+        .agg(
+            F.lit(all_steps).cast("long").alias("n_steps"),
+            F.lit(n_types).cast("long").alias("n_types"),
+            F.round(-F.sum(pi * p * F.log(p)), 6).alias("entropy_rate"),
+            F.lit(round(math.log(n_types), 6)).alias("max_entropy"),
+        )
+    )

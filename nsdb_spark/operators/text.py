@@ -770,3 +770,62 @@ def langid_confusion(
         "n",
         F.round(F.col("n") / F.col("__rt"), 6).alias("row_share"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the CCNet/Gopher-family
+    quality signal the n-gram fractions approximate from the other
+    side: highly repetitive or templated text compresses far below
+    natural prose (ratio ≪ 1 → boilerplate/spam candidate), random or
+    already-compressed payloads sit near/above 1. One number that
+    catches repetition patterns longer than any fixed n-gram window.
+
+    Compression is genuinely not expressible in DataFrame functions,
+    so this is the documented mapInPandas path (SURVEY §7 rule:
+    Arrow-batched Pandas, NEVER a row-at-a-time Python UDF): batches
+    arrive as pandas Series, zlib runs per batch in one Python loop,
+    and the plan stays a single scan → ArrowEvalPython projection —
+    no shuffle. Deterministic for a fixed zlib level, but the exact
+    byte count is a library property, not SQL-expressible — this is a
+    rows-only registry entry with property tests (repetitive <
+    natural < random), like BPE.
+
+    Output: (doc_id, n_bytes bigint, n_compressed bigint, ratio r6).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    schema = "doc_id long, n_bytes long, n_compressed long, ratio double"
+
+    def fn(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            n_raw, n_comp, ratios = [], [], []
+            for t in texts:
+                if t is None:
+                    n_raw.append(None)
+                    n_comp.append(None)
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                n_raw.append(len(raw))
+                n_comp.append(len(comp))
+                ratios.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_raw,
+                    "n_compressed": n_comp,
+                    "ratio": ratios,
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(fn, schema)

@@ -4491,3 +4491,85 @@ def test_modularity_two_cliques_vs_random(spark):
     one = spark.createDataFrame([(i, 0) for i in range(1, 9)],
                                 "node long, label long")
     assert graph.modularity(edf, one).collect()[0]["modularity"] == 0.0
+
+
+def test_concordance_ccc_identity_vs_scaled(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(71)
+    x = rng.normal(10, 2, 200)
+    # y == x: perfect agreement, ccc == pearson == 1
+    df = spark.createDataFrame(
+        [(float(a), float(a)) for a in x], "x double, y double"
+    )
+    got = analytics.concordance_ccc(df, "x", "y").collect()[0]
+    assert got["ccc"] == 1.0 and got["pearson_r"] == 1.0
+    # y = 2x + 5: r stays 1, ccc drops well below
+    df2 = spark.createDataFrame(
+        [(float(a), float(2 * a + 5)) for a in x], "x double, y double"
+    )
+    got2 = analytics.concordance_ccc(df2, "x", "y").collect()[0]
+    assert abs(got2["pearson_r"] - 1.0) < 1e-6
+    assert got2["ccc"] < 0.5
+    # constant columns: undefined -> NULL
+    c = spark.createDataFrame([(1.0, 1.0)] * 5, "x double, y double")
+    assert analytics.concordance_ccc(c, "x", "y").collect()[0][
+        "ccc"
+    ] is None
+
+
+def test_markov_entropy_rate_deterministic_vs_uniform(spark):
+    import math
+    from nsdb_spark.operators import analytics
+
+    # deterministic cycle A->B->A->B: every row's p = 1 -> H = 0
+    det = [(1, i, i, "A" if i % 2 == 0 else "B") for i in range(40)]
+    df = spark.createDataFrame(
+        det, "user_id long, timestamp long, event_id long, event_type string"
+    )
+    got = analytics.markov_entropy_rate(df).collect()[0]
+    assert got["entropy_rate"] == 0.0
+    assert got["max_entropy"] == round(math.log(2), 6)
+    # A alternating uniformly to B or C -> H = pi_A * ln 2
+    seq = []
+    nxt = ["B", "C"]
+    t = 0
+    for i in range(40):
+        seq.append((1, t, t, "A")); t += 1
+        seq.append((1, t, t, nxt[i % 2])); t += 1
+    df2 = spark.createDataFrame(
+        seq, "user_id long, timestamp long, event_id long, event_type string"
+    )
+    got2 = analytics.markov_entropy_rate(df2).collect()[0]
+    # sources: A (from B/C returns and A->x steps) — H > 0, < ln 3
+    assert 0 < got2["entropy_rate"] < math.log(3)
+
+
+def test_compression_ratio_orders_text_kinds(spark):
+    from nsdb_spark.operators import text
+
+    import hashlib
+
+    # chained hex digests: near-maximal entropy over the hex alphabet
+    noisy, h = [], b"seed"
+    for _ in range(50):
+        h = hashlib.sha256(h).digest()
+        noisy.append(h.hex())
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),                       # highly repetitive
+            (2, "the quick brown fox jumps over the lazy dog " * 20),
+            (3, "".join(noisy)),
+            (4, None),                                 # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.compression_ratio(docs).collect()}
+    assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
+    assert got[3]["ratio"] > 0.5          # high-entropy barely compresses
+    assert got[1]["ratio"] < 0.05         # pure repetition collapses
+    assert got[4]["ratio"] is None and got[4]["n_bytes"] is None
+    assert got[2]["n_bytes"] == len(
+        ("the quick brown fox jumps over the lazy dog " * 20).encode()
+    )
