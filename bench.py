@@ -284,6 +284,9 @@ def main() -> None:
         "stats_ccc",
         "events_entropy_rate",
         "text_compress_ratio",
+        "stats_odds_ratio",
+        "events_mcnemar",
+        "sample_neyman_apply",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

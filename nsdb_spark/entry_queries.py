@@ -50,6 +50,9 @@ SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
 
 #: BM25 query terms — high/mid/low df in the synthetic corpus
 BM25_TERMS = ["join", "hash", "scan"]
+#: McNemar before/after boundary — 2024-07-01T00:00:00Z, mid-range of
+#: the synthetic events span at every SF
+MCNEMAR_SPLIT_MS = 1_719_792_000_000
 #: exact token-contiguous phrase for the phrase-retrieval variant
 BM25_PHRASE = "table scan"
 #: batch-scoring query set (overlapping term lists exercise the shared
@@ -1765,6 +1768,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_compress_ratio"] = lambda spark, sf: text.compression_ratio(
         _docs(spark, sf)
     )
+    q["stats_odds_ratio"] = lambda spark, sf: analytics.odds_ratio_2x2(
+        testdata.table(spark, sf, "orders"),
+        exposure=F.col("o_orderpriority") == "1-URGENT",
+        outcome=F.col("o_orderstatus") == "F",
+    )
+    q["events_mcnemar"] = lambda spark, sf: analytics.mcnemar_paired(
+        testdata.table(spark, sf, "events").select(
+            "user_id", testdata.ts_ms(testdata.table(spark, sf, "events"))
+            .alias("t")
+        ),
+        split_ms=MCNEMAR_SPLIT_MS, user="user_id", ts="t",
+    )
+    q["sample_neyman_apply"] = (
+        lambda spark, sf: sampling.neyman_stratified_sample(
+            _docs(spark, sf), stratum="source", value="n_chars",
+            id_col="doc_id", total_n=100,
+        )
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2152,6 +2173,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kruskal", "tsa_kpss", "text_lang_confusion",
         "join_band_prices", "stats_hill", "graph_modularity",
         "stats_ccc", "events_entropy_rate", "text_compress_ratio",
+        "stats_odds_ratio", "events_mcnemar", "sample_neyman_apply",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -2799,6 +2821,81 @@ FROM orders a JOIN orders b
   ON abs(b.o_totalprice - a.o_totalprice) <= 100
 WHERE a.o_orderkey IS NOT NULL AND a.o_totalprice IS NOT NULL
 GROUP BY 1, 2
+"""
+    o["stats_odds_ratio"] = f"""
+WITH b0 AS (SELECT (o_orderpriority = '1-URGENT') AS e,
+                   (o_orderstatus = 'F') AS o
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL),
+cells AS (SELECT
+  cast(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS bigint) AS a,
+  cast(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS bigint) AS b,
+  cast(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS bigint) AS c,
+  cast(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS bigint) AS d
+  FROM b0),
+x AS (SELECT a, b, c, d,
+             a * d / cast(b * c AS double) AS orr,
+             sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se,
+             a / cast(a + b AS double) AS p1,
+             c / cast(c + d AS double) AS p2,
+             (a + c) / cast(a + b + c + d AS double) AS pp
+      FROM cells)
+SELECT a, b, c, d,
+       round(orr, 6) AS odds_ratio,
+       round(exp(ln(orr) - {analytics.WILSON_Z!r} * se), 6) AS ci_low,
+       round(exp(ln(orr) + {analytics.WILSON_Z!r} * se), 6) AS ci_high,
+       round(p1, 6) AS p1, round(p2, 6) AS p2,
+       round((p1 - p2) / sqrt(pp * (1 - pp)
+                              * (1.0 / (a + b) + 1.0 / (c + d))), 6)
+         AS z_stat
+FROM x
+"""
+    o["events_mcnemar"] = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+per AS (SELECT user_id,
+               max(CASE WHEN t < {MCNEMAR_SPLIT_MS} THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN t >= {MCNEMAR_SPLIT_MS} THEN 1 ELSE 0 END) AS p2
+        FROM e GROUP BY 1),
+a AS (SELECT cast(count(*) AS bigint) AS n_users,
+             cast(sum(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+               AS bigint) AS n_both,
+             cast(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+               AS bigint) AS n_only_before,
+             cast(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+               AS bigint) AS n_only_after,
+             cast(sum(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+               AS bigint) AS n_neither
+      FROM per)
+SELECT n_users, n_both, n_only_before, n_only_after, n_neither,
+       round((abs(n_only_before - n_only_after) - 1)
+             * (abs(n_only_before - n_only_after) - 1)
+             / cast(n_only_before + n_only_after AS double), 6) AS chi2
+FROM a
+"""
+    # allocation identical to sample_neyman (round-6 BEFORE the floor,
+    # mirroring the Spark side); md5-of-id order is engine-portable
+    o["sample_neyman_apply"] = """
+WITH g AS (SELECT source, cast(count(*) AS bigint) AS n_rows,
+                  stddev_samp(cast(n_chars AS double)) AS s
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1 HAVING count(*) >= 2),
+t AS (SELECT sum(n_rows * s) AS tot FROM g),
+al AS (SELECT source,
+              cast(floor(round(100.0 * (n_rows * s) / t.tot, 6))
+                AS bigint) AS take
+       FROM g, t),
+d AS (SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        AND n_chars IS NOT NULL),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY source
+         ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
+      FROM d)
+SELECT doc_id, source, n_chars FROM r JOIN al USING (source)
+WHERE rk <= take
 """
     o["stats_ccc"] = """
 WITH b AS (SELECT cast(l_extendedprice AS double) AS x,

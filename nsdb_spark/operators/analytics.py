@@ -2869,3 +2869,117 @@ def markov_entropy_rate(
             F.lit(round(math.log(n_types), 6)).alias("max_entropy"),
         )
     )
+
+
+def odds_ratio_2x2(
+    df: DataFrame, exposure: Column | str, outcome: Column | str
+) -> DataFrame:
+    """2×2 association summary for two binary conditions: cell counts,
+    odds ratio with the Woolf 95% log-CI
+    (SE = √(1/a + 1/b + 1/c + 1/d)), and the two-proportion z
+    statistic under the pooled null — the A/B readout for binary
+    outcomes ("does the urgent-priority cohort fail more?") that
+    chi2_independence reports only as an unsigned association
+    strength.
+
+    ONE map-side-combinable conditional aggregate produces all four
+    cells; everything after is closed form on a single row. Any empty
+    cell → OR/CI NULL via try_divide (the standard "add 0.5" Haldane
+    correction is a caller choice, not silently applied). z uses the
+    pooled-variance form, exposed with its two proportions.
+
+    Output: one row (a, b, c, d bigint, odds_ratio r6, ci_low r6,
+    ci_high r6, p1 r6, p2 r6, z_stat r6). Cells: a = exp∧out,
+    b = exp∧¬out, c = ¬exp∧out, d = ¬exp∧¬out.
+    """
+    ex = F.col(exposure) if isinstance(exposure, str) else exposure
+    ou = F.col(outcome) if isinstance(outcome, str) else outcome
+    base = df.filter(ex.isNotNull() & ou.isNotNull()).select(
+        ex.cast("boolean").alias("__e"), ou.cast("boolean").alias("__o")
+    )
+    cells = base.groupBy().agg(
+        F.sum((F.col("__e") & F.col("__o")).cast("int"))
+        .cast("long").alias("a"),
+        F.sum((F.col("__e") & ~F.col("__o")).cast("int"))
+        .cast("long").alias("b"),
+        F.sum((~F.col("__e") & F.col("__o")).cast("int"))
+        .cast("long").alias("c"),
+        F.sum((~F.col("__e") & ~F.col("__o")).cast("int"))
+        .cast("long").alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    orr = F.try_divide(a * d, b * c)
+    se = F.sqrt(
+        F.try_divide(F.lit(1.0), a) + F.try_divide(F.lit(1.0), b)
+        + F.try_divide(F.lit(1.0), c) + F.try_divide(F.lit(1.0), d)
+    )
+    p1 = F.try_divide(a, a + b)
+    p2 = F.try_divide(c, c + d)
+    pp = F.try_divide(a + c, a + b + c + d)
+    z = F.try_divide(
+        p1 - p2,
+        F.sqrt(
+            pp * (1 - pp)
+            * (F.try_divide(F.lit(1.0), a + b)
+               + F.try_divide(F.lit(1.0), c + d))
+        ),
+    )
+    return cells.select(
+        "a", "b", "c", "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - WILSON_Z * se), 6).alias("ci_low"),
+        F.round(F.exp(F.log(orr) + WILSON_Z * se), 6).alias("ci_high"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def mcnemar_paired(
+    events: DataFrame,
+    split_ms: int,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """McNemar's test on PAIRED binary states: was each subject active
+    before vs after `split_ms`? Discordant counts b (active→inactive)
+    and c (inactive→active) drive χ² = (|b−c|−1)²/(b+c) with the
+    continuity correction (McNemar 1947) — the right significance
+    test for "did retention change?", where a two-sample proportion
+    test is WRONG because the same subjects appear in both periods
+    (paired, not independent).
+
+    One (user, period) dedup collapses the event log; the pairing is
+    a per-user boolean aggregate (no self-join), and the statistic is
+    closed form on one row. b + c = 0 (no discordant subjects) →
+    NULL via try_divide.
+
+    Output: one row (n_users bigint, n_both, n_only_before,
+    n_only_after, n_neither bigint, chi2 r6).
+    """
+    per = (
+        events.filter(F.col(user).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(user)
+        .agg(
+            F.max((F.col(ts) < split_ms).cast("int")).alias("__p1"),
+            F.max((F.col(ts) >= split_ms).cast("int")).alias("__p2"),
+        )
+    )
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(((F.col("__p1") == 1) & (F.col("__p2") == 1)).cast("int"))
+        .cast("long").alias("n_both"),
+        F.sum(((F.col("__p1") == 1) & (F.col("__p2") == 0)).cast("int"))
+        .cast("long").alias("n_only_before"),
+        F.sum(((F.col("__p1") == 0) & (F.col("__p2") == 1)).cast("int"))
+        .cast("long").alias("n_only_after"),
+        F.sum(((F.col("__p1") == 0) & (F.col("__p2") == 0)).cast("int"))
+        .cast("long").alias("n_neither"),
+    )
+    b = F.col("n_only_before")
+    c = F.col("n_only_after")
+    num = (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+    return agg.select(
+        "n_users", "n_both", "n_only_before", "n_only_after", "n_neither",
+        F.round(F.try_divide(num, b + c), 6).alias("chi2"),
+    )

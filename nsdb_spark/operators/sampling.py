@@ -355,3 +355,42 @@ def pps_systematic(
         .filter(F.col("n_hits") > 0)
         .select(id_col, F.col("__sz").alias("size"), "n_hits")
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame, stratum: str, value: str, id_col: str, total_n: int
+) -> DataFrame:
+    """DRAW the Neyman-allocated stratified sample: per stratum, take
+    ⌊n_h⌋ rows where n_h is neyman_allocation's optimal share, chosen
+    by a deterministic md5-hash order over ids (the stats_bootstrap
+    membership discipline — bit-reproducible on any engine and
+    layout-invariant, unlike anything seeded by partition ids). The
+    companion operator that turns the allocation TABLE into an actual
+    sample; zero-variance strata get zero rows by construction.
+
+    Plan: the allocation is a k-row broadcast; the draw is
+    sample_per_group's shape — one hash exchange on the stratum key,
+    a rank window inside each stratum, rank ≤ take cut. Per-stratum
+    sort cost is the price of exactly-n-per-stratum semantics; with
+    heavy strata at 100 TB, pre-filter with a Bernoulli hash gate to
+    ~2× the target rate first, then rank the survivors.
+
+    Output: (id_col, stratum, value) — the selected rows.
+    """
+    alloc = neyman_allocation(df, stratum, value, total_n).select(
+        stratum, F.floor("n_alloc").cast("long").alias("__take")
+    )
+    d = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(stratum).isNotNull()
+        & F.col(value).isNotNull()
+    ).select(id_col, stratum, value)
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(alloc), stratum)
+        .filter(F.col("__rk") <= F.col("__take"))
+        .select(id_col, stratum, value)
+    )

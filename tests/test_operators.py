@@ -4573,3 +4573,78 @@ def test_compression_ratio_orders_text_kinds(spark):
     assert got[2]["n_bytes"] == len(
         ("the quick brown fox jumps over the lazy dog " * 20).encode()
     )
+
+
+def test_odds_ratio_2x2_hand_computed(spark):
+    import math
+    from nsdb_spark.operators import analytics
+
+    # a=20, b=10, c=5, d=15 -> OR = 20*15/(10*5) = 6
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 10
+        + [(False, True)] * 5 + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    got = analytics.odds_ratio_2x2(df, "e", "o").collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (20, 10, 5, 15)
+    assert got["odds_ratio"] == 6.0
+    se = math.sqrt(1 / 20 + 1 / 10 + 1 / 5 + 1 / 15)
+    assert abs(got["ci_low"] - math.exp(math.log(6) - 1.959963984540054 * se)) < 1e-5
+    assert got["ci_low"] < 6.0 < got["ci_high"]
+    assert got["p1"] == round(20 / 30, 6) and got["p2"] == 0.25
+    # empty cell -> OR undefined, no crash
+    deg = spark.createDataFrame(
+        [(True, True), (False, False)], "e boolean, o boolean"
+    )
+    assert analytics.odds_ratio_2x2(deg, "e", "o").collect()[0][
+        "odds_ratio"
+    ] is None
+
+
+def test_mcnemar_paired_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = []
+    # 3 users active both periods
+    for u in range(3):
+        rows += [(u, 50), (u, 150)]
+    # 6 users only before, 2 only after
+    for u in range(10, 16):
+        rows.append((u, 50))
+    for u in range(20, 22):
+        rows.append((u, 150))
+    df = spark.createDataFrame(rows, "user_id long, t long")
+    got = analytics.mcnemar_paired(df, split_ms=100, ts="t").collect()[0]
+    assert got["n_users"] == 11 and got["n_both"] == 3
+    assert got["n_only_before"] == 6 and got["n_only_after"] == 2
+    # chi2 = (|6-2|-1)^2 / 8 = 9/8
+    assert abs(got["chi2"] - 9 / 8) < 1e-6
+    # no discordant users -> NULL
+    same = spark.createDataFrame([(1, 50), (1, 150)], "user_id long, t long")
+    assert analytics.mcnemar_paired(same, split_ms=100, ts="t").collect()[
+        0
+    ]["chi2"] is None
+
+
+def test_neyman_stratified_sample_takes_floor_counts(spark):
+    from nsdb_spark.operators import sampling
+
+    rows = (
+        [("A", i, float(i * 10)) for i in range(20)]          # spread
+        + [("B", 100 + i, 5.0) for i in range(20)]            # constant
+        + [("C", 200, 1.0)]                                    # n=1 drops
+    )
+    df = spark.createDataFrame(rows, "st string, id long, x double")
+    got = sampling.neyman_stratified_sample(
+        df, stratum="st", value="x", id_col="id", total_n=10
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["st"], []).append(r["id"])
+    # all mass on A (B has zero std, C dropped): A takes all 10
+    assert set(by) == {"A"} and len(by["A"]) == 10
+    # deterministic: same call returns the identical id set
+    again = sampling.neyman_stratified_sample(
+        df, stratum="st", value="x", id_col="id", total_n=10
+    ).collect()
+    assert sorted(r["id"] for r in again) == sorted(by["A"])
