@@ -287,6 +287,10 @@ def main() -> None:
         "stats_odds_ratio",
         "events_mcnemar",
         "sample_neyman_apply",
+        "stats_auc",
+        "stats_brier",
+        "stats_calibration",
+        "stats_lift",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

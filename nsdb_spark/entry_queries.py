@@ -1787,6 +1787,32 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    def _scored_docs(spark, sf):
+        # deterministic quality-LR probability + the lang=='en' label:
+        # the standing classifier-evaluation frame for the ML-eval pack
+        docs = _docs(spark, sf)
+        return selection.quality_score_lr(docs).select(
+            "doc_id", "lr_prob"
+        ).join(
+            docs.filter(F.col("lang").isNotNull()).select(
+                "doc_id", (F.col("lang") == "en").alias("y")
+            ),
+            "doc_id",
+        )
+
+    q["stats_auc"] = lambda spark, sf: analytics.auc_rank(
+        _scored_docs(spark, sf), score="lr_prob", label="y"
+    )
+    q["stats_brier"] = lambda spark, sf: analytics.brier_score(
+        _scored_docs(spark, sf), score="lr_prob", label="y"
+    )
+    q["stats_calibration"] = lambda spark, sf: analytics.calibration_bins(
+        _scored_docs(spark, sf), score="lr_prob", label="y", nbins=10
+    )
+    q["stats_lift"] = lambda spark, sf: analytics.lift_table(
+        _scored_docs(spark, sf), score="lr_prob", label="y", nbins=10
+    )
+
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
     )
@@ -2174,6 +2200,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_band_prices", "stats_hill", "graph_modularity",
         "stats_ccc", "events_entropy_rate", "text_compress_ratio",
         "stats_odds_ratio", "events_mcnemar", "sample_neyman_apply",
+        "stats_auc", "stats_brier", "stats_calibration", "stats_lift",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -2821,6 +2848,78 @@ FROM orders a JOIN orders b
   ON abs(b.o_totalprice - a.o_totalprice) <= 100
 WHERE a.o_orderkey IS NOT NULL AND a.o_totalprice IS NOT NULL
 GROUP BY 1, 2
+"""
+    # shared scored-frame CTE for the ML-eval pack: the quality_lr
+    # probability (bit-exact integer fold) + the lang=='en' label
+    _SCORED = """
+w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sq AS (SELECT doc_id, cast(len(toks) AS bigint) AS n,
+  cast(list_sum(list_transform(toks, t ->
+     (cast(concat('0x', substr(md5(t), 1, 15)) AS bigint) % 4096)
+     * 2654435761 % 2001 - 1000)) AS bigint) AS lm
+  FROM w),
+sc AS (SELECT sq.doc_id, round(1 / (1 + exp(-lm / (1000.0 * n))), 6) AS s,
+              d.lang = 'en' AS y
+       FROM sq JOIN documents d ON sq.doc_id = d.doc_id
+       WHERE d.lang IS NOT NULL)"""
+    o["stats_auc"] = f"""
+WITH {_SCORED},
+g AS (SELECT s AS v,
+             cast(sum(CASE WHEN y THEN 1 ELSE 0 END) AS bigint) AS ca,
+             cast(count(*) - sum(CASE WHEN y THEN 1 ELSE 0 END)
+               AS bigint) AS cb
+      FROM sc GROUP BY 1),
+t AS (SELECT cast(sum(ca) AS bigint) AS na, cast(sum(cb) AS bigint) AS nb
+      FROM g),
+c AS (SELECT ca, cb,
+             sum(ca + cb) OVER (ORDER BY v) - (ca + cb) AS cum_before
+      FROM g)
+SELECT round(((cast(sum(ca * (2 * cum_before + ca + cb + 1)) AS bigint)
+               - max(t.na) * (max(t.na) + 1)) / 2.0)
+             / (max(t.na) * max(t.nb)), 6) AS auc,
+       max(t.na) AS n_pos, max(t.nb) AS n_neg
+FROM c, t
+"""
+    o["stats_brier"] = f"""
+WITH {_SCORED}
+SELECT cast(count(*) AS bigint) AS n,
+       round(avg((s - CASE WHEN y THEN 1 ELSE 0 END)
+                 * (s - CASE WHEN y THEN 1 ELSE 0 END)), 6) AS brier,
+       round(avg(CASE WHEN y THEN 1 ELSE 0 END), 6) AS base_rate
+FROM sc
+"""
+    o["stats_calibration"] = f"""
+WITH {_SCORED}
+SELECT cast(least(floor(s * 10), 9) AS int) AS bin,
+       cast(count(*) AS bigint) AS n,
+       round(avg(s), 6) AS avg_score,
+       round(avg(CASE WHEN y THEN 1 ELSE 0 END), 6) AS frac_pos,
+       round(avg(CASE WHEN y THEN 1 ELSE 0 END) - avg(s), 6) AS gap
+FROM sc GROUP BY 1
+"""
+    o["stats_lift"] = f"""
+WITH {_SCORED},
+vc AS (SELECT s AS v, cast(count(*) AS bigint) AS cv,
+              cast(sum(CASE WHEN y THEN 1 ELSE 0 END) AS bigint) AS pv
+       FROM sc GROUP BY 1),
+r AS (SELECT v, cv, pv,
+             cast(sum(cv) OVER (ORDER BY v) AS double)
+               - (cv - 1) / 2.0 AS avg_rank FROM vc),
+t0 AS (SELECT cast(sum(cv) AS bigint) AS n FROM vc),
+bd AS (SELECT cast(9 - least(floor(avg_rank / t0.n * 10), 9) AS int)
+                AS band,
+              cv, pv FROM r, t0),
+per AS (SELECT band, cast(sum(cv) AS bigint) AS n,
+               cast(sum(pv) AS bigint) AS n_pos FROM bd GROUP BY 1),
+tt AS (SELECT cast(sum(n) AS bigint) AS tn,
+              cast(sum(n_pos) AS bigint) AS tp FROM per),
+cum AS (SELECT band, n, n_pos,
+               cast(sum(n) OVER (ORDER BY band) AS bigint) AS cn,
+               cast(sum(n_pos) OVER (ORDER BY band) AS bigint) AS cp
+        FROM per)
+SELECT band, n, n_pos, round(n_pos / n, 6) AS resp_rate,
+       round((cp / cn) / (tt.tp / tt.tn), 6) AS cum_lift
+FROM cum, tt
 """
     o["stats_odds_ratio"] = f"""
 WITH b0 AS (SELECT (o_orderpriority = '1-URGENT') AS e,

@@ -2983,3 +2983,149 @@ def mcnemar_paired(
         "n_users", "n_both", "n_only_before", "n_only_after", "n_neither",
         F.round(F.try_divide(num, b + c), 6).alias("chi2"),
     )
+
+
+def auc_rank(df: DataFrame, score: str, label: Column | str) -> DataFrame:
+    """Exact ROC AUC via the rank-sum identity AUC = U/(n_pos·n_neg)
+    — the probability a random positive outscores a random negative,
+    with midrank tie handling (ties contribute ½, the standard
+    trapezoidal convention). THE threshold-free quality-classifier
+    metric to check before trusting a score column to gate a corpus
+    (quality_score_lr, a dedup keep-score, a reranker).
+
+    Rides mannwhitney_u wholesale: one _two_sample_cum_frame scan of
+    the score column, exact bigint rank arithmetic, no per-row ranks
+    ever materialized. AUC is u_a scaled by the pair count.
+
+    Output: one row (auc r6, n_pos, n_neg bigint).
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    d = df.filter(lab.isNotNull() & F.col(score).isNotNull()).select(
+        F.col(score).alias("s"),
+        F.when(lab, F.lit("p")).otherwise(F.lit("n")).alias("g"),
+    )
+    u = mannwhitney_u(d, "s", "g", "p", "n")
+    return u.select(
+        F.round(F.col("u_a") / (F.col("n_a") * F.col("n_b")), 6).alias(
+            "auc"
+        ),
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+    )
+
+
+def brier_score(
+    df: DataFrame, score: str, label: Column | str
+) -> DataFrame:
+    """Brier score of a probabilistic classifier: mean squared error
+    between predicted probability and the 0/1 outcome — the PROPER
+    scoring rule AUC is not (AUC only ranks; a model can have perfect
+    AUC and badly-shifted probabilities, which matters the moment the
+    score is used as a sampling weight or a threshold in probability
+    units). Reported with the base rate, whose p·(1−p) is the
+    always-predict-the-mean reference value.
+
+    One map-side-combinable aggregate. Output: one row (n bigint,
+    brier r6, base_rate r6).
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    d = df.filter(lab.isNotNull() & F.col(score).isNotNull()).select(
+        F.col(score).cast("double").alias("s"),
+        lab.cast("int").alias("y"),
+    )
+    return d.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.avg((F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))), 6
+        ).alias("brier"),
+        F.round(F.avg("y"), 6).alias("base_rate"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame, score: str, label: Column | str, nbins: int = 10
+) -> DataFrame:
+    """Reliability table: fixed-width probability bins over the score,
+    each with its mean predicted probability and observed positive
+    fraction — the calibration diagnostic behind the Brier number
+    (WHERE is the model over/under-confident?). gap = observed −
+    predicted per bin; a well-calibrated score has gaps ≈ 0
+    everywhere.
+
+    One map-side-combinable aggregate onto ≤ nbins rows; scores
+    exactly 1.0 fold into the top bin.
+
+    Output: (bin int, n bigint, avg_score r6, frac_pos r6, gap r6).
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    d = df.filter(lab.isNotNull() & F.col(score).isNotNull()).select(
+        F.col(score).cast("double").alias("s"),
+        lab.cast("int").alias("y"),
+    )
+    b = F.least(F.floor(F.col("s") * nbins), F.lit(nbins - 1)).cast("int")
+    return d.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("s"), 6).alias("avg_score"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+        F.round(F.avg("y") - F.avg("s"), 6).alias("gap"),
+    )
+
+
+def lift_table(
+    df: DataFrame, score: str, label: Column | str, nbins: int = 10
+) -> DataFrame:
+    """Decile gain/lift table: rank the population by score (midrank
+    percentile, so ties land deterministically in one decile), split
+    into nbins equal-population bands, and report each band's response
+    rate plus the CUMULATIVE lift of targeting only the top bands —
+    the "is the top decile worth 3× a random sample?" readout that
+    turns a score into a selection budget decision.
+
+    Percentiles come from _avg_rank_frame's range-partition scan (no
+    global window over rows); scores join their band co-partitioned on
+    the score value; the closing cumulative runs over nbins rows.
+
+    Output: (band int [0 = top scores], n bigint, n_pos bigint,
+    resp_rate r6, cum_lift r6).
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    d = df.filter(lab.isNotNull() & F.col(score).isNotNull()).select(
+        F.col(score).alias("v"), lab.cast("int").alias("y")
+    )
+    ranks, n_tot = _avg_rank_frame(d.select("v"), "v")
+    pct = F.col("avg_rank") / F.lit(float(n_tot))
+    banded = d.join(ranks, "v").withColumn(
+        "band",
+        (
+            F.lit(nbins - 1)
+            - F.least(F.floor(pct * nbins), F.lit(nbins - 1))
+        ).cast("int"),
+    )
+    per = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n").alias("tn"), F.sum("n_pos").alias("tp")
+    )
+    w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cn", F.sum("n").over(w))
+        .withColumn("cp", F.sum("n_pos").over(w))
+        .select(
+            "band",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("resp_rate"),
+            F.round(
+                F.try_divide(
+                    F.col("cp") / F.col("cn"),
+                    F.col("tp") / F.col("tn"),
+                ),
+                6,
+            ).alias("cum_lift"),
+        )
+    )

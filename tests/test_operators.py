@@ -4648,3 +4648,70 @@ def test_neyman_stratified_sample_takes_floor_counts(spark):
         df, stratum="st", value="x", id_col="id", total_n=10
     ).collect()
     assert sorted(r["id"] for r in again) == sorted(by["A"])
+
+
+def test_auc_rank_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(73)
+    pos = rng.normal(0.7, 0.2, 80).round(2)
+    neg = rng.normal(0.4, 0.2, 120).round(2)
+    rows = [(float(s), True) for s in pos] + [
+        (float(s), False) for s in neg
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = analytics.auc_rank(df, "s", "y").collect()[0]
+    # brute force with ties = 0.5
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p in pos for q in neg
+    )
+    assert abs(got["auc"] - wins / (80 * 120)) < 1e-6
+    assert got["n_pos"] == 80 and got["n_neg"] == 120
+    # perfect separation
+    sep = spark.createDataFrame(
+        [(0.9, True)] * 5 + [(0.1, False)] * 5, "s double, y boolean"
+    )
+    assert analytics.auc_rank(sep, "s", "y").collect()[0]["auc"] == 1.0
+
+
+def test_brier_and_calibration_perfect_vs_flipped(spark):
+    from nsdb_spark.operators import analytics
+
+    perfect = spark.createDataFrame(
+        [(1.0, True)] * 6 + [(0.0, False)] * 4, "s double, y boolean"
+    )
+    b = analytics.brier_score(perfect, "s", "y").collect()[0]
+    assert b["brier"] == 0.0 and b["base_rate"] == 0.6 and b["n"] == 10
+    flipped = spark.createDataFrame(
+        [(0.0, True)] * 6 + [(1.0, False)] * 4, "s double, y boolean"
+    )
+    assert analytics.brier_score(flipped, "s", "y").collect()[0][
+        "brier"
+    ] == 1.0
+    cal = {r["bin"]: r for r in analytics.calibration_bins(
+        perfect, "s", "y").collect()}
+    # score 1.0 folds into the top bin; both bins perfectly calibrated
+    assert set(cal) == {0, 9}
+    assert cal[9]["frac_pos"] == 1.0 and cal[9]["gap"] == 0.0
+    assert cal[0]["frac_pos"] == 0.0 and cal[0]["gap"] == 0.0
+
+
+def test_lift_table_top_band_concentrates_positives(spark):
+    from nsdb_spark.operators import analytics
+
+    # 100 rows, scores 0.00..0.99; positives are exactly the top 20
+    rows = [(i / 100.0, i >= 80) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = {r["band"]: r for r in
+           analytics.lift_table(df, "s", "y", nbins=10).collect()}
+    # percentile multiples of 0.1 land in the UPPER band (floor on the
+    # right-closed midrank), so the top band takes ranks 90..100
+    assert len(got) == 10 and sum(r["n"] for r in got.values()) == 100
+    assert got[0]["n"] == 11 and got[0]["resp_rate"] == 1.0
+    assert got[0]["cum_lift"] == 5.0            # 11/11 over base 0.2
+    assert got[1]["n_pos"] == 9 and got[1]["resp_rate"] == 0.9
+    assert got[2]["resp_rate"] == 0.0
+    # bottom band cumulative covers everything: lift exactly 1
+    assert got[9]["cum_lift"] == 1.0
