@@ -291,6 +291,9 @@ def main() -> None:
         "stats_brier",
         "stats_calibration",
         "stats_lift",
+        "dedup_split_leakage",  # re-pays the guarded jaccard pairs
+        "graph_bfs_hops",
+        "tsa_seasonal_strength",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

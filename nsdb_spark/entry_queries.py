@@ -310,6 +310,29 @@ FROM dc LEFT JOIN wc USING (label), mm, nc
 """
 
 
+def _bfs_oracle(source: str, rounds: int) -> str:
+    """Single-source BFS unrolled into chained CTEs on the prefixed
+    supplier-customer bipartite (the kcore-oracle graph): per round,
+    min over (previous distances ∪ frontier+1). BFS layering is
+    confluent, so the fixed-round prefix matches the Spark side."""
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+d{r + 1} AS (SELECT node, cast(min(hops) AS int) AS hops FROM (
+   SELECT node, hops FROM d{r}
+   UNION ALL
+   SELECT u.b AS node, d{r}.hops + 1 FROM u0 u JOIN d{r} ON u.a = d{r}.node
+) GROUP BY node)""")
+    return f"""
+WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+u0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+d0 AS (SELECT '{source}' AS node, 0 AS hops),
+{",".join(steps)}
+SELECT node, hops FROM d{rounds}
+"""
+
+
 def _passage_oracle(k: int = 8, stride: int = 8) -> str:
     """Mirror of dedup.passage_dup_stats: k-word windows every `stride`
     words (stride=k → non-overlapping), canonical copy = min scalar
@@ -1813,6 +1836,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _scored_docs(spark, sf), score="lr_prob", label="y", nbins=10
     )
 
+    def _split_leakage(spark, sf):
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5,
+            stop_shingle_df_limit=_pair_guard_limit(spark, sf),
+        )
+        splits = sampling.train_val_test_split(
+            _docs(spark, sf).select("doc_id"), id_col="doc_id",
+            weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        return dedup.split_leakage(pairs, splits)
+
+    q["dedup_split_leakage"] = _split_leakage
+    q["graph_bfs_hops"] = lambda spark, sf: graph.bfs_hops(
+        # same prefixed supplier–customer bipartite as graph_kcore
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        ),
+        source="s1", rounds=3,
+    )
+    q["tsa_seasonal_strength"] = lambda spark, sf: tsa.seasonal_strength(
+        testdata.events_metric(spark, sf)
+    )
+
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
     )
@@ -2201,6 +2255,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ccc", "events_entropy_rate", "text_compress_ratio",
         "stats_odds_ratio", "events_mcnemar", "sample_neyman_apply",
         "stats_auc", "stats_brier", "stats_calibration", "stats_lift",
+        "dedup_split_leakage", "graph_bfs_hops", "tsa_seasonal_strength",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4942,6 +4997,38 @@ FROM e a JOIN e b ON a.d = b.d AND a.s < b.s JOIN degd ON a.d = degd.d
 GROUP BY 1, 2 HAVING count(*) >= 40
 """
     o["graph_kcore"] = _kcore_oracle(k=8, rounds=4)
+    o["graph_bfs_hops"] = _bfs_oracle(source="s1", rounds=3)
+    o["dedup_split_leakage"] = f"""
+WITH {_shingles_cte(capped=True)},{_guarded_pairs_cte(0.5)},
+sp AS (SELECT doc_id,
+              CASE WHEN slot < 800 THEN 'train'
+                   WHEN slot < 900 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    (doc_id * 2654435761) % 4294967296 % 1000 AS slot
+             FROM documents)),
+j AS (SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b
+      FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+      JOIN sp b ON p.doc_b = b.doc_id)
+SELECT split_a, split_b, cast(count(*) AS bigint) AS n_pairs,
+       split_a <> split_b AS is_leak
+FROM j GROUP BY 1, 2
+"""
+    o["tsa_seasonal_strength"] = """
+WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, value AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+p AS (SELECT k, (t // 86400000 * 86400000) % 604800000 AS ph, v FROM e),
+g AS (SELECT k, ph, cast(count(*) AS bigint) AS np, sum(v) AS sp,
+             sum(v * v) AS ssp FROM p GROUP BY 1, 2),
+per AS (SELECT k, cast(sum(np) AS bigint) AS n,
+               cast(count(*) AS bigint) AS n_phases,
+               sum(ssp - sp * sp / np) AS ssw,
+               sum(ssp) - sum(sp) * sum(sp) / sum(np) AS sst
+        FROM g GROUP BY 1)
+SELECT k AS event_type, n, n_phases,
+       round(1.0 - ssw / sst, 6) AS strength
+FROM per
+"""
     # Brown–Forsythe: one-way ANOVA on |x − group_median|
     o["stats_levene"] = """
 WITH d AS (SELECT event_type AS g, value AS x FROM events

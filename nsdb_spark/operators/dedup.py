@@ -1503,3 +1503,46 @@ def minhash_incremental_pairs(
     )
     verified = _verify_jaccard(cand, sigs, threshold)
     return _finish(verified, sigs)
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-duplicate LEAKAGE audit: given a near-dup pair
+    set and a split assignment, count pairs per (split, split) cell —
+    off-diagonal cells are evaluation leakage (a test doc with a
+    near-copy in train inflates every benchmark it touches; the
+    within-corpus version of decontaminate_against). The audit that
+    should gate any train/val/test split BEFORE training, since
+    hash-splitting is oblivious to content similarity by design.
+
+    Two co-partitioned joins attach each endpoint's split to the pair
+    set (the pair set is the expensive part and is already computed
+    upstream); the grid collapse is map-side-combinable onto ≤ |splits|²
+    rows. Cell labels order as (least, greatest) so (train, test) and
+    (test, train) fold together.
+
+    Output: (split_a, split_b, n_pairs bigint, is_leak boolean).
+    """
+    sa = splits.select(
+        F.col(id_col).alias("doc_a"), F.col(split_col).alias("__sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("doc_b"), F.col(split_col).alias("__sb")
+    )
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "is_leak", F.col("split_a") != F.col("split_b")
+        )
+    )

@@ -677,3 +677,61 @@ def modularity(
             F.round(F.sum(term), 6).alias("modularity"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source BFS hop distances with a FIXED round budget:
+    after r rounds every node within r hops of `source` carries its
+    exact shortest hop count (unreached nodes are absent) — the
+    reachability/radius primitive under "everything within 3 hops of
+    this compromised account" queries, and the missing companion to
+    kcore/label_prop's round discipline. Fixed rounds → unrolled-CTE
+    oracle; BFS layers are confluent (min of monotone candidates), so
+    synchronous rounds are bit-deterministic.
+
+    Per round: one co-partitioned frontier⋈edges join + a min
+    aggregate over (old ∪ new) distances; localCheckpoint caps plan
+    depth. The distance frame only grows up to the reachable set —
+    never corpus-sized state on the driver.
+
+    Output: (node, hops int), one row per reached node.
+    """
+    d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    node_type = e.schema["a"].dataType
+    from pyspark.sql import types as T
+
+    dist = spark.createDataFrame(
+        [(source, 0)],
+        T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("hops", T.IntegerType()),
+            ]
+        ),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nxt = (
+            e.join(dist, e["a"] == dist["node"])
+            .select(F.col("b").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.union(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -849,3 +849,60 @@ def kpss_stat(
             "kpss_stat"
         ),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    period_ms: int = 604800000,
+    bucket_ms: int = 86400000,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key seasonal STRENGTH on seasonal_adjust's phase grid: the
+    fraction of variance the phase-mean model explains,
+    strength = 1 − SS_within / SS_total (the ANOVA η² of the phase
+    grouping) — the go/no-go number for seasonal_adjust itself
+    (strength ≈ 0: there is no weekly shape, de-seasonalizing just
+    adds noise; ≈ 1: alerts MUST run on the adjusted series).
+
+    ONE map-side-combinable (key, phase) moment aggregate; the per-key
+    rollup and the closing ratio run on keys×phases rows. A constant
+    series (SS_total = 0) → NULL via try_divide.
+
+    Output: (key, n bigint, n_phases bigint, strength r6).
+    """
+    phase = (
+        (F.floor(F.col(ts) / F.lit(bucket_ms)) * F.lit(bucket_ms))
+        % F.lit(period_ms)
+    ).cast("long")
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(
+            key, F.col(value).cast("double").alias("__v"), phase.alias("__p")
+        )
+    )
+    g = d.groupBy(key, "__p").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("__v").alias("sp"),
+        F.sum(F.col("__v") * F.col("__v")).alias("ssp"),
+    )
+    per = g.groupBy(key).agg(
+        F.sum("np").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_phases"),
+        F.sum(F.col("ssp") - F.col("sp") * F.col("sp") / F.col("np")).alias(
+            "__ssw"
+        ),
+        (
+            F.sum("ssp")
+            - F.sum("sp") * F.sum("sp") / F.sum("np")
+        ).alias("__sst"),
+    )
+    return per.select(
+        key,
+        "n",
+        "n_phases",
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("__ssw"), F.col("__sst")), 6
+        ).alias("strength"),
+    )

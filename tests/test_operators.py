@@ -4715,3 +4715,70 @@ def test_lift_table_top_band_concentrates_positives(spark):
     assert got[2]["resp_rate"] == 0.0
     # bottom band cumulative covers everything: lift exactly 1
     assert got[9]["cum_lift"] == 1.0
+
+
+def test_split_leakage_grid_counts(spark):
+    from nsdb_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "doc_a long, doc_b long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "train"), (4, "test"),
+         (5, "test"), (6, "val"), (7, "val"), (8, "val")],
+        "doc_id long, split string",
+    )
+    got = {(r["split_a"], r["split_b"]): r for r in
+           dedup.split_leakage(pairs, splits).collect()}
+    assert got[("train", "train")]["n_pairs"] == 1
+    assert got[("train", "train")]["is_leak"] is False
+    assert got[("test", "train")]["n_pairs"] == 1
+    assert got[("test", "train")]["is_leak"] is True
+    assert got[("test", "val")]["n_pairs"] == 1
+    assert got[("val", "val")]["n_pairs"] == 1
+
+
+def test_bfs_hops_chain_and_budget(spark):
+    from nsdb_spark.operators import graph
+
+    # chain a-b-c-d-e plus shortcut a-c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["hops"] for r in
+           graph.bfs_hops(edges, "a", rounds=3).collect()}
+    # shortcut wins: c at 1, d at 2, e at 3
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    # budget of 1: only the direct neighbors
+    got1 = {r["node"]: r["hops"] for r in
+            graph.bfs_hops(edges, "a", rounds=1).collect()}
+    assert got1 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_seasonal_strength_pure_wave_vs_noise(spark):
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    rng = np.random.RandomState(79)
+    day = 86_400_000
+    rows = []
+    for i in range(7 * 20):   # 20 weeks of daily points
+        ts = i * day
+        phase_val = float(i % 7) * 10.0
+        rows.append(("wave", ts, phase_val))            # pure seasonal
+        rows.append(("noise", ts, float(rng.normal())))  # no structure
+    df = spark.createDataFrame(rows, "event_type string, timestamp long, value double")
+    got = {r["event_type"]: r for r in
+           tsa.seasonal_strength(df, ts="timestamp").collect()}
+    assert got["wave"]["strength"] == 1.0
+    assert got["wave"]["n_phases"] == 7
+    assert got["noise"]["strength"] < 0.15
+    # constant series -> NULL strength
+    const = spark.createDataFrame(
+        [("c", i * day, 5.0) for i in range(14)],
+        "event_type string, timestamp long, value double",
+    )
+    assert tsa.seasonal_strength(const, ts="timestamp").collect()[0][
+        "strength"
+    ] is None
