@@ -294,6 +294,9 @@ def main() -> None:
         "dedup_split_leakage",  # re-pays the guarded jaccard pairs
         "graph_bfs_hops",
         "tsa_seasonal_strength",
+        "stats_g_test",
+        "text_source_overlap",
+        "win_longest_streaks",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

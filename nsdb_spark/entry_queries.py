@@ -1866,6 +1866,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tsa_seasonal_strength"] = lambda spark, sf: tsa.seasonal_strength(
         testdata.events_metric(spark, sf)
     )
+    q["stats_g_test"] = lambda spark, sf: analytics.g_test_independence(
+        _docs(spark, sf), x="lang", y="source"
+    )
+    q["text_source_overlap"] = lambda spark, sf: text.source_vocab_overlap(
+        _docs(spark, sf)
+    )
+    q["win_longest_streaks"] = lambda spark, sf: analytics.longest_streaks(
+        testdata.events_metric(spark, sf), min_len=3
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2256,6 +2265,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_odds_ratio", "events_mcnemar", "sample_neyman_apply",
         "stats_auc", "stats_brier", "stats_calibration", "stats_lift",
         "dedup_split_leakage", "graph_bfs_hops", "tsa_seasonal_strength",
+        "stats_g_test", "text_source_overlap", "win_longest_streaks",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -5013,6 +5023,54 @@ j AS (SELECT least(a.split, b.split) AS split_a,
 SELECT split_a, split_b, cast(count(*) AS bigint) AS n_pairs,
        split_a <> split_b AS is_leak
 FROM j GROUP BY 1, 2
+"""
+    o["stats_g_test"] = """
+WITH grid AS (SELECT lang, source, cast(count(*) AS bigint) AS obs
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+rm AS (SELECT lang, cast(sum(obs) AS bigint) AS rtot FROM grid GROUP BY 1),
+cm AS (SELECT source, cast(sum(obs) AS bigint) AS ctot
+       FROM grid GROUP BY 1),
+t AS (SELECT cast(sum(obs) AS bigint) AS n,
+             cast(count(DISTINCT lang) AS bigint) AS nr,
+             cast(count(DISTINCT source) AS bigint) AS nc FROM grid)
+SELECT round(2.0 * sum(obs * ln(obs / (rm.rtot * cm.ctot
+                                       / cast(t.n AS double)))), 6)
+         AS g_stat,
+       (max(t.nr) - 1) * (max(t.nc) - 1) AS dof,
+       max(t.n) AS n
+FROM grid JOIN rm USING (lang) JOIN cm USING (source), t
+"""
+    o["text_source_overlap"] = """
+WITH st AS (SELECT DISTINCT source AS g,
+                   unnest(string_split(text, ' ')) AS t
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL),
+v AS (SELECT g, cast(count(*) AS bigint) AS vs FROM st GROUP BY 1),
+p AS (SELECT a.g AS source_a, b.g AS source_b,
+             cast(count(*) AS bigint) AS n_shared
+      FROM st a JOIN st b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+       round(n_shared / cast(va.vs + vb.vs - n_shared AS double), 6)
+         AS jaccard
+FROM p JOIN v va ON p.source_a = va.g JOIN v vb ON p.source_b = vb.g
+"""
+    o["win_longest_streaks"] = f"""
+{M},
+d AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY timestamp, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY timestamp, event_id) AS isl
+      FROM m WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+r AS (SELECT user_id, event_type, isl, cast(count(*) AS bigint) AS len
+      FROM d GROUP BY 1, 2, 3)
+SELECT event_type, max(len) AS max_streak,
+       cast(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS bigint)
+         AS n_streaks,
+       cast(count(DISTINCT CASE WHEN len >= 3 THEN user_id END) AS bigint)
+         AS n_users
+FROM r GROUP BY 1
 """
     o["tsa_seasonal_strength"] = """
 WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, value AS v

@@ -3129,3 +3129,100 @@ def lift_table(
             ).alias("cum_lift"),
         )
     )
+
+
+def g_test_independence(df: DataFrame, x: str, y: str) -> DataFrame:
+    """G-test of independence (log-likelihood ratio):
+    G = 2·Σ O·ln(O/E) over the x×y contingency grid — chi²'s
+    information-theoretic sibling (G = 2N·MI in nats), additive across
+    partitions of the table and better behaved when expected counts
+    are small-ish. Same null distribution (χ² with (R−1)(C−1) dof).
+
+    Identical plan to chi2_independence: ONE groupBy collapses the
+    corpus to the grid, margins re-aggregate from the collapsed grid
+    and join back grid-sized. Zero-observed cells contribute 0
+    exactly (O·ln(O/E) → 0), so only observed cells participate —
+    no dense grid needed.
+
+    Returns one row: (g_stat r6, dof bigint, n bigint).
+    """
+    grid = (
+        df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(x, y)
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rm = grid.groupBy(x).agg(F.sum("obs").alias("rtot"))
+    cm = grid.groupBy(y).agg(F.sum("obs").alias("ctot"))
+    tot = grid.groupBy().agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct(x).alias("nr"),
+        F.countDistinct(y).alias("nc"),
+    )
+    e = F.col("rtot") * F.col("ctot") / F.col("n")
+    return (
+        grid.join(F.broadcast(rm), x)
+        .join(F.broadcast(cm), y)
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.round(
+                2.0 * F.sum(F.col("obs") * F.log(F.col("obs") / e)), 6
+            ).alias("g_stat"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+
+
+def longest_streaks(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-type longest same-type streaks across users — the classic
+    gaps-and-islands pattern: within each user's (ts, id)-ordered
+    stream, an island is a maximal run of consecutive rows with the
+    same type; island id = row_number − row_number-within-type (both
+    ride ONE key exchange). Reports, per event type, the longest run
+    anywhere, how many runs reach `min_len`, and how many users own
+    one — the "doom-scrolling / retry-storm / bot-loop" detector that
+    plain counts can't see (100 clicks spread out ≠ 100 clicks in a
+    row).
+
+    Shuffle shape: one hash exchange on the user key for both
+    row_numbers (shared sort), a map-side-combinable (user, type,
+    island) collapse, then a tiny per-type rollup.
+
+    Output: (type_col, max_streak bigint, n_streaks bigint
+    [runs ≥ min_len], n_users bigint [distinct users with such a run]).
+    """
+    w = Window.partitionBy(user).orderBy(ts, id_col)
+    wt = Window.partitionBy(user, type_col).orderBy(ts, id_col)
+    d = (
+        events.filter(
+            F.col(user).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .withColumn(
+            "__isl", F.row_number().over(w) - F.row_number().over(wt)
+        )
+    )
+    runs = d.groupBy(user, type_col, "__isl").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return (
+        runs.groupBy(type_col)
+        .agg(
+            F.max("len").alias("max_streak"),
+            F.sum((F.col("len") >= min_len).cast("int"))
+            .cast("long")
+            .alias("n_streaks"),
+            F.countDistinct(
+                F.when(F.col("len") >= min_len, F.col(user))
+            ).cast("long").alias("n_users"),
+        )
+    )

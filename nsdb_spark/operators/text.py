@@ -829,3 +829,69 @@ def compression_ratio(
             )
 
     return docs.select("doc_id", text_col).mapInPandas(fn, schema)
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    group: str = "source",
+    text_col: str = "text",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: for every source
+    pair, |shared distinct tokens| / |union| — the corpus-mixing
+    diagnostic ("are src3 and src7 the same crawl twice?") one level
+    above doc-level dedup: near-identical VOCABULARIES flag whole
+    duplicated slices even when individual docs differ.
+
+    The wedge discipline of common_neighbor_similarity pointed at the
+    (source, token) bipartite: distinct (source, token) rows collapse
+    the corpus (vocabulary-sized, not token-count-sized), pairs
+    generate per shared token CO-PARTITIONED ON THE TOKEN — fan-out
+    per token = sources-sharing-it², bounded by |groups|² — and
+    per-source vocab sizes broadcast back. Output pairs order
+    source_a < source_b.
+
+    Output: (source_a, source_b, n_shared bigint, jaccard r6).
+    """
+    st = (
+        docs.filter(F.col(group).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(group).alias("g"), F.explode(_words(text_col)).alias("t"))
+        .distinct()
+    )
+    vocab = st.groupBy("g").agg(F.count(F.lit(1)).alias("vs"))
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.t") == F.col("b.t")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                vocab.select(F.col("g").alias("source_a"), F.col("vs").alias("__va"))
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(F.col("g").alias("source_b"), F.col("vs").alias("__vb"))
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__va") + F.col("__vb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

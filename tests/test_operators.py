@@ -4782,3 +4782,71 @@ def test_seasonal_strength_pure_wave_vs_noise(spark):
     assert tsa.seasonal_strength(const, ts="timestamp").collect()[0][
         "strength"
     ] is None
+
+
+def test_g_test_independence_vs_bruteforce(spark):
+    import math
+    from nsdb_spark.operators import analytics
+
+    rows = (
+        [("en", "s1")] * 30 + [("en", "s2")] * 10
+        + [("de", "s1")] * 10 + [("de", "s2")] * 30
+    )
+    df = spark.createDataFrame(rows, "lang string, src string")
+    got = analytics.g_test_independence(df, "lang", "src").collect()[0]
+    n = 80
+    obs = {("en", "s1"): 30, ("en", "s2"): 10,
+           ("de", "s1"): 10, ("de", "s2"): 30}
+    ref = 2 * sum(
+        o * math.log(o / (40 * 40 / n)) for o in obs.values()
+    )
+    assert abs(got["g_stat"] - ref) < 1e-5
+    assert got["dof"] == 1 and got["n"] == 80
+    # perfectly independent table -> G == 0
+    ind = spark.createDataFrame(
+        [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 4
+        + [("b", "y")] * 4,
+        "lang string, src string",
+    )
+    assert analytics.g_test_independence(ind, "lang", "src").collect()[
+        0
+    ]["g_stat"] == 0.0
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "c d e f", "s2"),      # shares {c, d} with s1
+            (3, "x y", "s3"),          # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source_a"], r["source_b"]): r for r in
+           text.source_vocab_overlap(docs).collect()}
+    assert got[("s1", "s2")]["n_shared"] == 2
+    assert got[("s1", "s2")]["jaccard"] == round(2 / 6, 6)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+def test_longest_streaks_gaps_and_islands(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        # user 1: A A A B A A  -> A streaks 3 and 2, B streak 1
+        (1, 1, 1, "A"), (1, 2, 2, "A"), (1, 3, 3, "A"),
+        (1, 4, 4, "B"), (1, 5, 5, "A"), (1, 6, 6, "A"),
+        # user 2: B B B B      -> B streak 4
+        (2, 1, 7, "B"), (2, 2, 8, "B"), (2, 3, 9, "B"), (2, 4, 10, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, event_type string"
+    )
+    got = {r["event_type"]: r for r in
+           analytics.longest_streaks(df, min_len=3).collect()}
+    assert got["A"]["max_streak"] == 3
+    assert got["A"]["n_streaks"] == 1 and got["A"]["n_users"] == 1
+    assert got["B"]["max_streak"] == 4
+    assert got["B"]["n_streaks"] == 1 and got["B"]["n_users"] == 1
