@@ -297,6 +297,9 @@ def main() -> None:
         "stats_g_test",
         "text_source_overlap",
         "win_longest_streaks",
+        "stats_jarque_bera",
+        "sim_recall_int8",
+        "sample_class_balance",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

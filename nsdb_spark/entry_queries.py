@@ -1875,6 +1875,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["win_longest_streaks"] = lambda spark, sf: analytics.longest_streaks(
         testdata.events_metric(spark, sf), min_len=3
     )
+    q["stats_jarque_bera"] = lambda spark, sf: analytics.jarque_bera_by_group(
+        testdata.table(spark, sf, "events"), part="event_type",
+        value="value",
+    )
+    q["sim_recall_int8"] = lambda spark, sf: similarity.int8_recall_topk(
+        _emb(spark, sf), _query_vec(spark, sf), k=10
+    )
+    q["sample_class_balance"] = lambda spark, sf: sampling.class_balance(
+        _docs(spark, sf).filter(F.col("lang").isNotNull()),
+        id_col="doc_id", positive=F.col("lang") == "de", ratio=1.0,
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2266,6 +2277,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_auc", "stats_brier", "stats_calibration", "stats_lift",
         "dedup_split_leakage", "graph_bfs_hops", "tsa_seasonal_strength",
         "stats_g_test", "text_source_overlap", "win_longest_streaks",
+        "stats_jarque_bera", "sim_recall_int8", "sample_class_balance",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -5023,6 +5035,60 @@ j AS (SELECT least(a.split, b.split) AS split_a,
 SELECT split_a, split_b, cast(count(*) AS bigint) AS n_pairs,
        split_a <> split_b AS is_leak
 FROM j GROUP BY 1, 2
+"""
+    o["stats_jarque_bera"] = """
+WITH b AS (SELECT event_type AS g, value AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (SELECT g, avg(x) AS mu FROM b GROUP BY 1),
+a AS (SELECT b.g, cast(count(*) AS bigint) AS n,
+             sum((x - mu) * (x - mu)) AS s2,
+             sum((x - mu) * (x - mu) * (x - mu)) AS s3,
+             sum((x - mu) * (x - mu) * (x - mu) * (x - mu)) AS s4
+      FROM b JOIN m ON b.g = m.g GROUP BY 1),
+x AS (SELECT g, n, (s3 / n) / sqrt((s2 / n) * (s2 / n) * (s2 / n)) AS sk,
+             (s4 / n) / ((s2 / n) * (s2 / n)) - 3.0 AS ku
+      FROM a)
+SELECT g AS event_type, n, round(sk, 6) AS skewness,
+       round(ku, 6) AS ex_kurtosis,
+       round(n / 6.0 * (sk * sk + ku * ku / 4.0), 6) AS jb
+FROM x
+"""
+    o["sim_recall_int8"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT v AS qv, nrm AS qn FROM nn WHERE vec_id = 0),
+topf AS (SELECT nn.vec_id FROM nn, q
+         ORDER BY list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) DESC,
+                  nn.vec_id
+         LIMIT 10),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e),
+dq AS (SELECT vec_id,
+              list_transform(v, x -> cast(round(x * 127.0 / scale) AS int)
+                                     * scale / 127.0) AS v
+       FROM s),
+nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dq),
+qq AS (SELECT v AS qv, nrm AS qn FROM nq WHERE vec_id = 0),
+topq AS (SELECT nq.vec_id FROM nq, qq
+         ORDER BY list_dot_product(nq.v, qq.qv) / (nq.nrm * qq.qn) DESC,
+                  nq.vec_id
+         LIMIT 10)
+SELECT cast(10 AS bigint) AS k, cast(count(*) AS bigint) AS n_overlap,
+       round(count(*) / 10.0, 6) AS overlap_frac
+FROM topf JOIN topq USING (vec_id)
+"""
+    o["sample_class_balance"] = """
+WITH d AS (SELECT doc_id, lang = 'de' AS is_pos FROM documents
+           WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT cast(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS bigint)
+               AS np,
+             cast(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS bigint)
+               AS nneg
+      FROM d),
+r AS (SELECT cast(trunc(least(1.0, 1.0 * np / nneg) * 1000000)
+               AS bigint) AS rs FROM c)
+SELECT doc_id, is_pos FROM d, r
+WHERE is_pos OR (doc_id * 2654435761) % 4294967296 % 1000000 < rs
 """
     o["stats_g_test"] = """
 WITH grid AS (SELECT lang, source, cast(count(*) AS bigint) AS obs

@@ -3226,3 +3226,50 @@ def longest_streaks(
             ).cast("long").alias("n_users"),
         )
     )
+
+
+def jarque_bera_by_group(
+    df: DataFrame, part: str, value: str
+) -> DataFrame:
+    """Per-group skewness, excess kurtosis, and the Jarque-Bera
+    normality statistic JB = n/6·(S² + K²/4) — the "can I use
+    mean±k·σ thresholds here at all?" gate for every z-score-based
+    alert downstream (rolling_zscore, cusum's σ threshold): heavy
+    tails or skew make 3σ fire constantly or never.
+
+    Two-pass centered moments (the stats_linreg discipline — raw
+    third/fourth moments cancel catastrophically): a per-group mean
+    broadcast back onto the scan, then ONE map-side-combinable
+    aggregate of Σd², Σd³, Σd⁴. Constant groups → NULL via
+    try_divide.
+
+    Output: (part, n bigint, skewness r6, ex_kurtosis r6, jb r6).
+    """
+    base = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    means = base.groupBy(part).agg(F.avg("__x").alias("__m"))
+    d = F.col("__x") - F.col("__m")
+    agg = (
+        base.join(F.broadcast(means), part)
+        .groupBy(part)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d * d).alias("s2"),
+            F.sum(d * d * d).alias("s3"),
+            F.sum(d * d * d * d).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("s2") / nd
+    skew = F.try_divide(F.col("s3") / nd, F.sqrt(m2 * m2 * m2))
+    kurt = F.try_divide(F.col("s4") / nd, m2 * m2) - 3.0
+    return agg.select(
+        part,
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("ex_kurtosis"),
+        F.round(nd / 6.0 * (skew * skew + kurt * kurt / 4.0), 6).alias(
+            "jb"
+        ),
+    )

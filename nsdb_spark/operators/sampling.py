@@ -394,3 +394,43 @@ def neyman_stratified_sample(
         .filter(F.col("__rk") <= F.col("__take"))
         .select(id_col, stratum, value)
     )
+
+
+def class_balance(
+    df: DataFrame,
+    id_col: str,
+    positive: Column | str,
+    ratio: float = 1.0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic negative downsampling to a target class ratio:
+    keep EVERY positive, keep a negative iff its hash slot falls under
+    rate = min(1, ratio·n_pos/n_neg) — the classifier-training
+    rebalance (quality gates, contamination detectors) done without
+    RNG: the same corpus always yields the same sample, and the keep
+    decision is a pure function of the id (train_val_test_split's
+    slot arithmetic), so it survives repartitions and re-runs.
+
+    One count aggregate fixes the rate (two driver scalars), then a
+    narrow codegen filter — the corpus never shuffles. The realized
+    negative count is Binomial-tight around the target
+    (hash-uniformity), reported by the caller via a plain count.
+
+    Output: the selected rows as (id_col, is_pos boolean).
+    """
+    pos = F.col(positive) if isinstance(positive, str) else positive
+    d = df.filter(F.col(id_col).isNotNull() & pos.isNotNull()).select(
+        id_col, pos.alias("is_pos")
+    )
+    counts = d.groupBy().agg(
+        F.sum(F.col("is_pos").cast("int")).alias("np"),
+        F.sum((~F.col("is_pos")).cast("int")).alias("nn"),
+    ).first()
+    n_pos, n_neg = counts["np"] or 0, counts["nn"] or 0
+    if n_neg == 0:
+        return d
+    rate_slots = int(min(1.0, ratio * n_pos / n_neg) * denom)
+    slot = (
+        F.col(id_col).cast("long") * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(denom)
+    return d.filter(F.col("is_pos") | (slot < rate_slots))

@@ -979,3 +979,56 @@ def matryoshka_overlap(
             ),
         )
     )
+
+
+def int8_recall_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieval-quality audit of int8 quantization: how much of the
+    exact fp top-k survives when BOTH corpus and query are
+    symmetric-int8 quantized (quantize_int8's exact codes,
+    reconstructed as code·scale/127)? The measured go/no-go for the
+    4x-storage-cut index — the same audit shape as
+    matryoshka_overlap, pointed at precision loss instead of
+    dimension loss.
+
+    The dequantized ranking is deterministic (same HALF_UP rounding
+    both engines — the emb_quantize_int8 oracle contract) and the
+    query is quantized THROUGH the corpus expression (it is corpus
+    vector 0), so no driver-side rounding can diverge. Two exact
+    top-k scans + a k-row semi join.
+
+    Output: one row (k, n_overlap bigint, overlap_frac r6).
+    """
+    v = _as_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    deq = F.transform(
+        v,
+        lambda x: F.round(
+            F.coalesce(F.try_divide(x * 127.0, scale), F.lit(0.0))
+        ).cast("int")
+        * scale
+        / 127.0,
+    )
+    qd = emb.select("vec_id", deq.alias(vec_col))
+    dq_query = [
+        float(x)
+        for x in qd.filter(F.col("vec_id") == 0).first()[vec_col]
+    ]
+    pre = cosine_topk(qd, dq_query, k=k, vec_col=vec_col)
+    full = cosine_topk(emb, query_vec, k=k, vec_col=vec_col)
+    return (
+        full.select("vec_id")
+        .join(F.broadcast(pre.select("vec_id")), "vec_id", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(k)), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )

@@ -4850,3 +4850,69 @@ def test_longest_streaks_gaps_and_islands(spark):
     assert got["A"]["n_streaks"] == 1 and got["A"]["n_users"] == 1
     assert got["B"]["max_streak"] == 4
     assert got["B"]["n_streaks"] == 1 and got["B"]["n_users"] == 1
+
+
+def test_jarque_bera_normal_vs_heavy_tail(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(83)
+    rows = [("norm", float(v)) for v in rng.normal(0, 1, 2000)] + [
+        ("exp", float(v)) for v in rng.exponential(1.0, 2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in
+           analytics.jarque_bera_by_group(df, "g", "x").collect()}
+    # normal sample: small skew/kurt, JB well under the exp sample's
+    assert abs(got["norm"]["skewness"]) < 0.2
+    assert abs(got["norm"]["ex_kurtosis"]) < 0.5
+    assert got["exp"]["skewness"] > 1.5     # exponential: skew ~ 2
+    assert got["exp"]["jb"] > 100 * got["norm"]["jb"]
+    # numpy cross-check of the exact formula on the exp sample
+    x = np.array([v for g, v in rows if g == "exp"])
+    d = x - x.mean()
+    m2 = (d**2).mean()
+    sk = (d**3).mean() / m2**1.5
+    ku = (d**4).mean() / m2**2 - 3
+    jb = len(x) / 6 * (sk**2 + ku**2 / 4)
+    assert abs(got["exp"]["jb"] - jb) < 1e-3
+    # constant group -> NULLs
+    const = spark.createDataFrame([("c", 1.0)] * 5, "g string, x double")
+    assert analytics.jarque_bera_by_group(const, "g", "x").collect()[0][
+        "skewness"
+    ] is None
+
+
+def test_int8_recall_topk_bounds(spark):
+    import numpy as np
+    from nsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(89)
+    vecs = rng.normal(0, 1, (60, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    got = similarity.int8_recall_topk(df, q, k=10).collect()[0]
+    # int8 keeps ~7 bits of precision: overlap should be near-total
+    assert got["k"] == 10 and got["n_overlap"] >= 8
+    assert got["overlap_frac"] == round(got["n_overlap"] / 10, 6)
+
+
+def test_class_balance_keeps_positives_downsamples_negatives(spark):
+    from pyspark.sql import functions as F
+    from nsdb_spark.operators import sampling
+
+    rows = [(i, i < 50) for i in range(1050)]   # 50 pos, 1000 neg
+    df = spark.createDataFrame(rows, "id long, y boolean")
+    got = sampling.class_balance(df, "id", "y", ratio=1.0).collect()
+    pos = [r for r in got if r["is_pos"]]
+    neg = [r for r in got if not r["is_pos"]]
+    assert len(pos) == 50                       # every positive kept
+    assert 25 <= len(neg) <= 90                 # ~50 expected, hash-tight
+    # deterministic: identical second draw
+    again = sampling.class_balance(df, "id", "y", ratio=1.0).collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in got)
+    # already-balanced input: rate 1, nothing dropped
+    bal = spark.createDataFrame([(i, i % 2 == 0) for i in range(100)],
+                                "id long, y boolean")
+    assert sampling.class_balance(bal, "id", "y", ratio=1.0).count() == 100
