@@ -300,6 +300,9 @@ def main() -> None:
         "stats_jarque_bera",
         "sim_recall_int8",
         "sample_class_balance",
+        "tsa_holt",
+        "tsa_drawdown",
+        "stats_tukey",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1886,6 +1886,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf).filter(F.col("lang").isNotNull()),
         id_col="doc_id", positive=F.col("lang") == "de", ratio=1.0,
     )
+    q["tsa_holt"] = lambda spark, sf: tsa.holt_last(
+        testdata.events_metric(spark, sf), alpha=0.5, beta=0.3
+    )
+    q["tsa_drawdown"] = lambda spark, sf: tsa.max_drawdown(
+        testdata.events_metric(spark, sf)
+    )
+    q["stats_tukey"] = lambda spark, sf: analytics.tukey_outlier_share(
+        testdata.table(spark, sf, "events"), part="event_type",
+        value="value", k=1.5,
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2278,6 +2288,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_split_leakage", "graph_bfs_hops", "tsa_seasonal_strength",
         "stats_g_test", "text_source_overlap", "win_longest_streaks",
         "stats_jarque_bera", "sim_recall_int8", "sample_class_balance",
+        "tsa_holt", "tsa_drawdown", "stats_tukey",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4000,6 +4011,65 @@ FROM sel, qv
 ORDER BY list_dot_product(sel.v, qv.qvec) / (sel.nrm * qv.qn) DESC,
          sel.vec_id
 LIMIT 10
+"""
+    # Holt fold replayed as a recursive CTE stepping the (ts, id)-ordered
+    # sequence one element per iteration — DuckDB 1.0's list_reduce
+    # aliases struct-accumulator fields (the b expression observes the
+    # already-updated l), so the pair recurrence can't use it. The
+    # l-expression inlines twice per step (same double both times).
+    o["tsa_holt"] = """
+WITH RECURSIVE
+e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL),
+seq AS (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY timestamp, event_id) AS i
+        FROM e),
+meta AS (SELECT user_id, cast(count(*) AS bigint) AS n,
+                max(timestamp) AS last_ts
+         FROM e GROUP BY 1),
+rec(user_id, i, l, b) AS (
+  SELECT user_id, 1::BIGINT, value::DOUBLE, 0.0::DOUBLE
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT r.user_id, r.i + 1,
+         0.5 * s.value + 0.5 * (r.l + r.b),
+         0.3 * ((0.5 * s.value + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT m.user_id, m.n, round(r.l, 6) AS level, round(r.b, 6) AS trend,
+       round(r.l + r.b, 6) AS forecast_1, m.last_ts
+FROM rec r JOIN meta m ON r.user_id = m.user_id AND r.i = m.n
+"""
+    o["tsa_drawdown"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id AS eid,
+                  value AS v
+           FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL),
+r AS (SELECT user_id, v,
+             max(v) OVER (PARTITION BY user_id ORDER BY t, eid
+                          ROWS UNBOUNDED PRECEDING) AS rm
+      FROM e)
+SELECT user_id, cast(count(*) AS bigint) AS n, round(max(v), 6) AS peak,
+       round(max(rm - v), 6) AS max_drawdown
+FROM r GROUP BY 1
+"""
+    o["stats_tukey"] = """
+WITH d AS (SELECT event_type AS g, value AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+q AS (SELECT g, round(quantile_cont(x, 0.25), 6) AS q1,
+             round(quantile_cont(x, 0.75), 6) AS q3 FROM d GROUP BY 1),
+f AS (SELECT g, q1, q3, round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+             round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM q)
+SELECT d.g AS event_type, cast(count(*) AS bigint) AS n,
+       max(q1) AS q1, max(q3) AS q3,
+       max(lo) AS lo_fence, max(hi) AS hi_fence,
+       cast(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS bigint)
+         AS n_outliers,
+       round(avg(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END), 6)
+         AS outlier_share
+FROM d JOIN f ON d.g = f.g GROUP BY 1
 """
     o["tsa_ema"] = """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value FROM events),

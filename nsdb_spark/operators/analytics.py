@@ -3273,3 +3273,49 @@ def jarque_bera_by_group(
             "jb"
         ),
     )
+
+
+def tukey_outlier_share(
+    df: DataFrame, part: str, value: str, k: float = 1.5
+) -> DataFrame:
+    """Per-group Tukey-fence outlier profile: exact quartiles, the
+    [q1 − k·IQR, q3 + k·IQR] fences, and the share of rows outside
+    them — the boxplot's outlier definition as a monitorable number
+    (the robust complement to jarque_bera: JB says "not normal",
+    the Tukey share says how much mass is actually in the flagged
+    region). k = 1.5 is the standard fence, 3.0 the "far out" one.
+
+    One exact array-percentile aggregate → |groups|-row fence table
+    broadcast back onto the scan (the stats_winsorize plan), then a
+    map-side-combinable conditional count. Fences round 6 pre-compare
+    so both engines cut on the identical boundary.
+
+    Output: (part, n bigint, q1 r6, q3 r6, lo_fence r6, hi_fence r6,
+    n_outliers bigint, outlier_share r6).
+    """
+    d = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    qs = d.groupBy(part).agg(
+        F.expr("percentile(__x, array(0.25, 0.75))").alias("__q")
+    ).select(
+        part,
+        F.round(F.element_at("__q", 1), 6).alias("q1"),
+        F.round(F.element_at("__q", 2), 6).alias("q3"),
+    )
+    lo = F.round(F.col("q1") - k * (F.col("q3") - F.col("q1")), 6)
+    hi = F.round(F.col("q3") + k * (F.col("q3") - F.col("q1")), 6)
+    fenced = qs.select(part, "q1", "q3", lo.alias("lo_fence"), hi.alias("hi_fence"))
+    j = d.join(F.broadcast(fenced), part)
+    out = (F.col("__x") < F.col("lo_fence")) | (
+        F.col("__x") > F.col("hi_fence")
+    )
+    return j.groupBy(part).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("q1").alias("q1"),
+        F.first("q3").alias("q3"),
+        F.first("lo_fence").alias("lo_fence"),
+        F.first("hi_fence").alias("hi_fence"),
+        F.sum(out.cast("int")).cast("long").alias("n_outliers"),
+        F.round(F.avg(out.cast("int")), 6).alias("outlier_share"),
+    )

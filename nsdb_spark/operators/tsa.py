@@ -906,3 +906,101 @@ def seasonal_strength(
             F.lit(1.0) - F.try_divide(F.col("__ssw"), F.col("__sst")), 6
         ).alias("strength"),
     )
+
+
+def holt_last(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend),
+    final state: l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, seeded l₀ = x₀, b₀ = 0 —
+    what ema_last can't give a drifting series: EMA lags a trend
+    forever, Holt tracks it and yields the one-step forecast l + b
+    (Holt 1957 / the ETS(A,A,N) recursion).
+
+    The coupled recurrence is inherently sequential per key — the
+    applyInPandas contract exactly like ema_last (Arrow batches, one
+    hash exchange, one output row per key). The textbook operation
+    order is pinned so the DuckDB oracle's struct-accumulator
+    list_reduce replays bit-identical arithmetic.
+
+    Output: (key, n, level r6, trend r6, forecast_1 r6, last_ts).
+    """
+    import pandas as pd  # noqa: F401
+
+    key_t = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_t}, n long, level double, trend double, "
+        "forecast_1 double, last_ts long"
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts, id_col])
+        xs = pdf[value].to_numpy()
+        level, trend = float(xs[0]), 0.0
+        for x in xs[1:]:
+            l_new = alpha * float(x) + (1.0 - alpha) * (level + trend)
+            trend = beta * (l_new - level) + (1.0 - beta) * trend
+            level = l_new
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n": [len(pdf)],
+                "level": [round(level, 6)],
+                "trend": [round(trend, 6)],
+                "forecast_1": [round(level + trend, 6)],
+                "last_ts": [int(pdf[ts].iloc[-1])],
+            }
+        )
+
+    return (
+        df.select(key, ts, id_col, value)
+        .filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .groupBy(key)
+        .applyInPandas(fn, out_schema)
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key maximum drawdown: the largest peak-to-trough drop of the
+    (ts, id)-ordered series, max_t (running_max_t − x_t) — the
+    worst-case-regression number for any cumulative metric (model
+    eval score across checkpoints, cache hit rate, account balance)
+    where variance alone hides one catastrophic dip.
+
+    Two window expressions on ONE key exchange (running max shares
+    the sort with the outer max via the plain aggregate); reported
+    with the peak value for context. Never negative — a monotone
+    series scores exactly 0.
+
+    Output: (key, n bigint, peak r6, max_drawdown r6).
+    """
+    w = Window.partitionBy(key).orderBy(ts, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).cast("double").alias("__v"))
+        .withColumn("__rm", F.max("__v").over(w))
+    )
+    return d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("__v"), 6).alias("peak"),
+        F.round(F.max(F.col("__rm") - F.col("__v")), 6).alias(
+            "max_drawdown"
+        ),
+    )

@@ -4916,3 +4916,72 @@ def test_class_balance_keeps_positives_downsamples_negatives(spark):
     bal = spark.createDataFrame([(i, i % 2 == 0) for i in range(100)],
                                 "id long, y boolean")
     assert sampling.class_balance(bal, "id", "y", ratio=1.0).count() == 100
+
+
+def test_holt_last_tracks_linear_trend(spark):
+    from nsdb_spark.operators import tsa
+
+    # exact line x_t = 5 + 2t: Holt converges toward trend 2 and the
+    # one-step forecast approaches the true next value
+    rows = [(1, t, t, 5.0 + 2.0 * t) for t in range(60)]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, value double"
+    )
+    got = tsa.holt_last(df, alpha=0.5, beta=0.3).collect()[0]
+    assert got["n"] == 60
+    assert abs(got["trend"] - 2.0) < 0.05
+    assert abs(got["forecast_1"] - (5.0 + 2.0 * 60)) < 0.5
+    # python reference fold, exact to rounding
+    level, trend = 5.0, 0.0
+    for t in range(1, 60):
+        x = 5.0 + 2.0 * t
+        ln = 0.5 * x + 0.5 * (level + trend)
+        trend = 0.3 * (ln - level) + 0.7 * trend
+        level = ln
+    assert got["level"] == round(level, 6)
+    assert got["trend"] == round(trend, 6)
+    # single sample: level = x0, trend = 0
+    one = spark.createDataFrame(
+        [(2, 0, 0, 7.5)], "user_id long, timestamp long, event_id long, value double"
+    )
+    r1 = tsa.holt_last(one).collect()[0]
+    assert r1["level"] == 7.5 and r1["trend"] == 0.0
+
+
+def test_max_drawdown_hand_computed(spark):
+    from nsdb_spark.operators import tsa
+
+    # series 10, 15, 8, 12, 4: peak 15, worst drop 15 -> 4 = 11
+    rows = [(1, t, t, v) for t, v in
+            enumerate([10.0, 15.0, 8.0, 12.0, 4.0])]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, value double"
+    )
+    got = tsa.max_drawdown(df).collect()[0]
+    assert got["peak"] == 15.0 and got["max_drawdown"] == 11.0
+    # monotone series: drawdown exactly 0
+    up = spark.createDataFrame(
+        [(2, t, t, float(t)) for t in range(5)],
+        "user_id long, timestamp long, event_id long, value double",
+    )
+    assert tsa.max_drawdown(up).collect()[0]["max_drawdown"] == 0.0
+
+
+def test_tukey_outlier_share_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    # 0..99 plus two wild points; q1=25.25?, use numpy to cross-check
+    import numpy as np
+
+    vals = [float(v) for v in range(100)] + [1000.0, -1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, x double")
+    got = analytics.tukey_outlier_share(df, "g", "x").collect()[0]
+    q1 = round(float(np.quantile(vals, 0.25)), 6)
+    q3 = round(float(np.quantile(vals, 0.75)), 6)
+    assert got["q1"] == q1 and got["q3"] == q3
+    lo = round(q1 - 1.5 * (q3 - q1), 6)
+    hi = round(q3 + 1.5 * (q3 - q1), 6)
+    n_out = sum(1 for v in vals if v < lo or v > hi)
+    assert got["n_outliers"] == n_out == 2
+    assert got["outlier_share"] == round(2 / 102, 6)
