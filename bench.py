@@ -303,6 +303,9 @@ def main() -> None:
         "tsa_holt",
         "tsa_drawdown",
         "stats_tukey",
+        "rollup_temporal_skew",  # includes the moment-rollup build
+        "stats_cvar",
+        "tsa_variance_ratio",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1896,6 +1896,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "events"), part="event_type",
         value="value", k=1.5,
     )
+    q["rollup_temporal_skew"] = lambda spark, sf: rollup.temporal_skew_via_rollup(
+        spark, testdata.events_metric(spark, sf), fine_ms=86400000,
+        coarse_ms=604800000, shard_ms=SHARD,
+    )
+    q["stats_cvar"] = lambda spark, sf: analytics.cvar_by_group(
+        testdata.table(spark, sf, "events"), part="event_type",
+        value="value", p=0.95,
+    )
+    q["tsa_variance_ratio"] = lambda spark, sf: tsa.variance_ratio(
+        testdata.table(spark, sf, "events"), q=4,
+        key="event_type", ts="ts", value="value", id_col="event_id",
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2289,6 +2301,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_g_test", "text_source_overlap", "win_longest_streaks",
         "stats_jarque_bera", "sim_recall_int8", "sample_class_balance",
         "tsa_holt", "tsa_drawdown", "stats_tukey",
+        "rollup_temporal_skew", "stats_cvar", "tsa_variance_ratio",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4017,6 +4030,77 @@ LIMIT 10
     # aliases struct-accumulator fields (the b expression observes the
     # already-updated l), so the pair recurrence can't use it. The
     # l-expression inlines twice per step (same double both times).
+    # raw-path oracle for the moment rollup: same backward bucket axis
+    # as _temporal_oracle, power sums per coarse bucket, closed-form
+    # standardized moments in the identical expression order
+    o["rollup_temporal_skew"] = f"""
+{M},
+b AS (SELECT (min(timestamp)//{SHARD})*{SHARD} AS lower,
+             (max(timestamp)//{SHARD})*{SHARD} + {SHARD} AS upper FROM m),
+n AS (SELECT lower, upper,
+             (upper - lower + 604800000 - 1)//604800000 AS nb FROM b),
+ks AS (SELECT unnest(generate_series(0, cast(n.nb-1 AS bigint))) AS k,
+              n.upper, n.lower FROM n),
+buckets AS (
+  SELECT k, upper - k*604800000 AS upper_bound,
+         greatest(upper - (k+1)*604800000, lower) AS lower_bound
+  FROM ks
+),
+agg AS (
+  SELECT least((n.upper - m.timestamp)//604800000, n.nb-1) AS k,
+         cast(count(*) AS bigint) AS cnt,
+         sum(value) AS s1, sum(value*value) AS s2,
+         sum(value*value*value) AS s3,
+         sum(value*value*value*value) AS s4
+  FROM m, n WHERE m.timestamp >= n.lower GROUP BY 1
+),
+x AS (SELECT k, cnt, s1 / cnt AS mu,
+             s2 / cnt - (s1 / cnt) * (s1 / cnt) AS m2,
+             s3 / cnt - 3.0 * (s1 / cnt) * (s2 / cnt)
+               + 2.0 * (s1 / cnt) * (s1 / cnt) * (s1 / cnt) AS m3,
+             s4 / cnt - 4.0 * (s1 / cnt) * (s3 / cnt)
+               + 6.0 * (s1 / cnt) * (s1 / cnt) * (s2 / cnt)
+               - 3.0 * (s1 / cnt) * (s1 / cnt) * (s1 / cnt) * (s1 / cnt)
+               AS m4
+      FROM agg)
+SELECT b.upper_bound AS timestamp, b.lower_bound AS lower_bound,
+       b.upper_bound AS upper_bound,
+       cast(coalesce(x.cnt, 0) AS bigint) AS n_value,
+       round(x.mu, 6) AS mean,
+       round(x.m3 / sqrt(x.m2 * x.m2 * x.m2), 6) AS skewness,
+       round(x.m4 / (x.m2 * x.m2) - 3.0, 6) AS ex_kurtosis
+FROM buckets b LEFT JOIN x USING (k)
+"""
+    o["stats_cvar"] = """
+WITH d AS (SELECT event_type AS g, value AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT g, round(quantile_cont(x, 0.95), 6) AS var_p
+      FROM d GROUP BY 1)
+SELECT d.g AS event_type, cast(count(*) AS bigint) AS n,
+       max(c.var_p) AS var_p,
+       round(avg(CASE WHEN x >= c.var_p THEN x END), 6) AS cvar_p,
+       cast(sum(CASE WHEN x >= c.var_p THEN 1 ELSE 0 END) AS bigint)
+         AS n_tail
+FROM d JOIN c ON d.g = c.g GROUP BY 1
+"""
+    o["tsa_variance_ratio"] = """
+WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS eid,
+                  value AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+l AS (SELECT k, v,
+             v - lag(v, 1) OVER (PARTITION BY k ORDER BY t, eid) AS d1,
+             v - lag(v, 4) OVER (PARTITION BY k ORDER BY t, eid) AS dq
+      FROM e),
+a AS (SELECT k, cast(count(*) AS bigint) AS n,
+             count(d1) AS n1, sum(d1) AS a1, sum(d1 * d1) AS b1,
+             count(dq) AS nq, sum(dq) AS aq, sum(dq * dq) AS bq
+      FROM l GROUP BY 1)
+SELECT k AS event_type, n,
+       round(((bq - aq * aq / nq) / nq)
+             / (4.0 * ((b1 - a1 * a1 / n1) / n1)), 6) AS vr
+FROM a
+"""
     o["tsa_holt"] = """
 WITH RECURSIVE
 e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id, value

@@ -3319,3 +3319,36 @@ def tukey_outlier_share(
         F.sum(out.cast("int")).cast("long").alias("n_outliers"),
         F.round(F.avg(out.cast("int")), 6).alias("outlier_share"),
     )
+
+
+def cvar_by_group(
+    df: DataFrame, part: str, value: str, p: float = 0.95
+) -> DataFrame:
+    """Per-group Value-at-Risk and Conditional VaR (expected
+    shortfall): the exact p-quantile and the mean of everything AT OR
+    ABOVE it — "when the metric lands in its worst 5%, how bad is it
+    on average?" The tail-severity number a percentile alone hides
+    (p95 latency says where the tail starts, CVaR says how deep it
+    runs), and the coherent risk measure VaR famously isn't.
+
+    One exact array-percentile aggregate → |groups|-row cut table
+    broadcast back onto the scan (the winsorize/tukey plan), then a
+    conditional mean. The cut rounds to 6 pre-compare so both engines
+    take the identical tail.
+
+    Output: (part, n bigint, var_p r6, cvar_p r6, n_tail bigint).
+    """
+    d = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    cut = d.groupBy(part).agg(
+        F.round(F.expr(f"percentile(__x, {p!r})"), 6).alias("var_p")
+    )
+    j = d.join(F.broadcast(cut), part)
+    tail = F.col("__x") >= F.col("var_p")
+    return j.groupBy(part).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("var_p").alias("var_p"),
+        F.round(F.avg(F.when(tail, F.col("__x"))), 6).alias("cvar_p"),
+        F.sum(tail.cast("int")).cast("long").alias("n_tail"),
+    )

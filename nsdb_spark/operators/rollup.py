@@ -855,3 +855,123 @@ def temporal_topk_from_rollup(
         )
         .orderBy("timestamp", "rank")
     )
+
+
+def build_moment_rollup(
+    metric_df: DataFrame,
+    fine_ms: int,
+    shard_ms: int,
+    bounds: tuple[int, int] | None = None,
+) -> tuple[DataFrame, tuple[int, int]]:
+    """Fine-bucket MERGEABLE central-moment partials: one row per
+    non-empty fine bucket with (n, Σx, Σx², Σx³, Σx⁴) — power sums add
+    across batches and across fine→coarse re-grouping, so
+    skew/kurtosis dashboards serve from the rollup store without
+    rescanning raw history, exactly like the count/sum/percentile/HLL
+    families. Raw power sums cancel catastrophically for
+    large-magnitude values; at scale, shift by a per-shard anchor
+    before summing (the shard grid is fixed, so anchors merge too).
+
+    Same axis/anchor contract as build_temporal_rollup.
+    """
+    lower, upper = bounds if bounds else temporal_bounds(metric_df, shard_ms)
+    n_fine = -((upper - lower) // -fine_ms)  # ceil
+    k = _fine_k(upper, fine_ms, n_fine)
+    v = F.col("value").cast("double")
+    rollup = (
+        metric_df.filter(
+            (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+        )
+        .groupBy(k)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+            F.sum(v * v * v).alias("s3"),
+            F.sum(v * v * v * v).alias("s4"),
+        )
+    )
+    return rollup, (lower, upper)
+
+
+def merge_moment_rollups(*rollups: DataFrame) -> DataFrame:
+    """Additive merge — power sums simply add per fine bucket, so
+    merge(rollup(A), rollup(B)) == rollup(A ∪ B) exactly."""
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("k").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+
+
+def temporal_skew_from_moment_rollup(
+    spark: SparkSession,
+    rollup: DataFrame,
+    bounds: tuple[int, int],
+    fine_ms: int,
+    coarse_ms: int,
+) -> DataFrame:
+    """Coarse-bucket mean/skewness/excess-kurtosis served from the
+    moment rollup: fine partials re-sum to the coarse grid (pure
+    addition), then the standardized moments come out closed-form.
+    Same axis contract as temporal_from_rollup (timestamp = bucket
+    upper bound, empty buckets emitted with n = 0 and NULL moments,
+    rows ordered by timestamp). Degenerate buckets (constant values,
+    m₂ = 0) yield NULL skew/kurt via try_divide.
+    """
+    if coarse_ms % fine_ms:
+        raise ValueError("coarse interval must be a multiple of the rollup grain")
+    lower, upper = bounds
+    m = coarse_ms // fine_ms
+    n = -((upper - lower) // -coarse_ms)  # ceil
+    merged = rollup.groupBy(
+        F.least(F.floor(F.col("k") / m), F.lit(n - 1)).alias("kc")
+    ).agg(
+        F.sum("n").alias("cnt"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+    cnt = F.col("cnt").cast("double")
+    mu = F.col("s1") / cnt
+    m2 = F.col("s2") / cnt - mu * mu
+    m3 = F.col("s3") / cnt - 3.0 * mu * (F.col("s2") / cnt) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / cnt
+        - 4.0 * mu * (F.col("s3") / cnt)
+        + 6.0 * mu * mu * (F.col("s2") / cnt)
+        - 3.0 * mu * mu * mu * mu
+    )
+    axis = _bucket_axis(spark, n, upper, lower, coarse_ms)
+    out = axis.join(F.broadcast(merged), "kc", "left").select(
+        F.col("upper_bound").alias("timestamp"),
+        "lower_bound",
+        "upper_bound",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_value"),
+        F.round(mu, 6).alias("mean"),
+        F.round(F.try_divide(m3, F.sqrt(m2 * m2 * m2)), 6).alias("skewness"),
+        F.round(F.try_divide(m4, m2 * m2) - 3.0, 6).alias("ex_kurtosis"),
+        "kc",
+    )
+    return _take_right(out, n, None, False)
+
+
+def temporal_skew_via_rollup(
+    spark: SparkSession,
+    metric_df: DataFrame,
+    fine_ms: int,
+    coarse_ms: int,
+    shard_ms: int,
+) -> DataFrame:
+    """Build-then-query convenience for the registry: proves the moment
+    rollup path matches the raw-scan oracle."""
+    rollup, bounds = build_moment_rollup(metric_df, fine_ms, shard_ms)
+    return temporal_skew_from_moment_rollup(
+        spark, rollup, bounds, fine_ms, coarse_ms
+    )

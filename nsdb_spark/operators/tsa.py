@@ -1004,3 +1004,51 @@ def max_drawdown(
             "max_drawdown"
         ),
     )
+
+
+def variance_ratio(
+    df: DataFrame,
+    q: int = 4,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Lo-MacKinlay variance ratio VR(q) =
+    Var(x_t − x_{t−q}) / (q · Var(x_t − x_{t−1})) (population
+    variances, no small-sample correction — documented): the
+    random-walk diagnostic. VR ≈ 1: increments are uncorrelated
+    (differencing is safe); VR > 1: positive drift/momentum
+    (aggregation amplifies variance); VR < 1: mean reversion (the
+    metric snaps back — alerts on single-step jumps overfire).
+
+    Both lag columns ride ONE hash exchange on the key (the
+    autocorr/kpss window discipline); variances come from sum/sumsq
+    over the defined lags only. Constant series → NULL via
+    try_divide.
+
+    Output: (key, n bigint, vr r6).
+    """
+    w = Window.partitionBy(key).orderBy(ts, id_col)
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).cast("double").alias("__v"))
+        .withColumn("__d1", F.col("__v") - F.lag("__v", 1).over(w))
+        .withColumn("__dq", F.col("__v") - F.lag("__v", q).over(w))
+    )
+    agg = d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("__d1").alias("n1"),
+        F.sum("__d1").alias("a1"),
+        F.sum(F.col("__d1") * F.col("__d1")).alias("b1"),
+        F.count("__dq").alias("nq"),
+        F.sum("__dq").alias("aq"),
+        F.sum(F.col("__dq") * F.col("__dq")).alias("bq"),
+    )
+    v1 = (F.col("b1") - F.col("a1") * F.col("a1") / F.col("n1")) / F.col("n1")
+    vq = (F.col("bq") - F.col("aq") * F.col("aq") / F.col("nq")) / F.col("nq")
+    return agg.select(
+        key,
+        "n",
+        F.round(F.try_divide(vq, F.lit(float(q)) * v1), 6).alias("vr"),
+    )

@@ -4985,3 +4985,76 @@ def test_tukey_outlier_share_hand_computed(spark):
     n_out = sum(1 for v in vals if v < lo or v > hi)
     assert got["n_outliers"] == n_out == 2
     assert got["outlier_share"] == round(2 / 102, 6)
+
+
+def test_moment_rollup_merge_invariant_and_skew(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from nsdb_spark.operators import rollup
+    from nsdb_spark.sources import testdata
+
+    rng = np.random.RandomState(97)
+    day = 86_400_000
+    rows = [(int(i * day / 4), float(v), i) for i, v in
+            enumerate(rng.exponential(2.0, 400))]
+    df = spark.createDataFrame(rows, "timestamp long, value double, event_id long")
+    shard = testdata.SHARD_INTERVAL_MS
+    bounds = rollup.temporal_bounds(df, shard)
+    full, _ = rollup.build_moment_rollup(df, day, shard, bounds=bounds)
+    ra, _ = rollup.build_moment_rollup(
+        df.filter(F.col("event_id") % 2 == 0), day, shard, bounds=bounds
+    )
+    rb, _ = rollup.build_moment_rollup(
+        df.filter(F.col("event_id") % 2 == 1), day, shard, bounds=bounds
+    )
+    merged = rollup.merge_moment_rollups(ra, rb)
+    a = {r["k"]: r for r in full.collect()}
+    b = {r["k"]: r for r in merged.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n"] == b[k]["n"]
+        for c in ("s1", "s2", "s3", "s4"):
+            assert abs(a[k][c] - b[k][c]) < 1e-6 * max(1, abs(a[k][c]))
+    # served skew of an exponential sample is clearly positive
+    served = rollup.temporal_skew_from_moment_rollup(
+        spark, full, bounds, day, 7 * day
+    ).collect()
+    filled = [r for r in served if r["n_value"] >= 25]
+    assert filled and all(r["skewness"] > 0.3 for r in filled)
+
+
+def test_cvar_by_group_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    vals = [float(v) for v in range(1, 101)]   # 1..100
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+    got = analytics.cvar_by_group(df, "g", "x", p=0.9).collect()[0]
+    # exact p90 of 1..100 = 90.1; tail = {91..100}, mean 95.5
+    assert got["var_p"] == 90.1
+    assert got["cvar_p"] == 95.5 and got["n_tail"] == 10
+
+
+def test_variance_ratio_random_walk_vs_reverting(spark):
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    rng = np.random.RandomState(101)
+    steps = rng.normal(0, 1, 800)
+    walk = np.cumsum(steps)                     # VR ~ 1
+    noise = rng.normal(0, 1, 800)               # strongly mean-reverting: VR < 1
+    rows = [("walk", i, i, float(v)) for i, v in enumerate(walk)] + [
+        ("noise", i, i, float(v)) for i, v in enumerate(noise)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, value double"
+    )
+    got = {r["event_type"]: r["vr"] for r in
+           tsa.variance_ratio(df, q=4, ts="timestamp").collect()}
+    assert 0.7 < got["walk"] < 1.3
+    assert got["noise"] < 0.5
+    # constant series -> NULL
+    const = spark.createDataFrame(
+        [("c", i, i, 3.0) for i in range(20)],
+        "event_type string, timestamp long, event_id long, value double",
+    )
+    assert tsa.variance_ratio(const, ts="timestamp").collect()[0]["vr"] is None
