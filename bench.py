@@ -306,6 +306,9 @@ def main() -> None:
         "rollup_temporal_skew",  # includes the moment-rollup build
         "stats_cvar",
         "tsa_variance_ratio",
+        "stats_cov_matrix",
+        "events_poisson_check",
+        "win_latest_percentile",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1908,6 +1908,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "events"), q=4,
         key="event_type", ts="ts", value="value", id_col="event_id",
     )
+    q["stats_cov_matrix"] = lambda spark, sf: analytics.covariance_matrix(
+        testdata.table(spark, sf, "lineitem"),
+        cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    q["events_poisson_check"] = lambda spark, sf: analytics.poisson_check(
+        testdata.events_metric(spark, sf), user="user_id", ts="timestamp"
+    )
+    q["win_latest_percentile"] = lambda spark, sf: analytics.latest_percentile(
+        testdata.events_metric(spark, sf), key="user_id",
+        ts="timestamp", value="value", id_col="event_id",
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2302,6 +2313,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_jarque_bera", "sim_recall_int8", "sample_class_balance",
         "tsa_holt", "tsa_drawdown", "stats_tukey",
         "rollup_temporal_skew", "stats_cvar", "tsa_variance_ratio",
+        "stats_cov_matrix", "events_poisson_check", "win_latest_percentile",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4070,6 +4082,75 @@ SELECT b.upper_bound AS timestamp, b.lower_bound AS lower_bound,
        round(x.m3 / sqrt(x.m2 * x.m2 * x.m2), 6) AS skewness,
        round(x.m4 / (x.m2 * x.m2) - 3.0, 6) AS ex_kurtosis
 FROM buckets b LEFT JOIN x USING (k)
+"""
+    _cm = {"l_quantity": "a", "l_extendedprice": "b",
+           "l_discount": "c", "l_tax": "e"}
+    _cm_names = list(_cm)
+    _cm_sums, _cm_cells = [], []
+    for _i, _x in enumerate(_cm_names):
+        for _y in _cm_names[_i:]:
+            _ax, _ay = _cm[_x], _cm[_y]
+            _cm_sums.append(
+                f"sum(({_ax} - m.m{_ax}) * ({_ay} - m.m{_ay}))"
+                f" AS s_{_ax}{_ay}"
+            )
+            _cm_cells.append(
+                f"SELECT '{_x}' AS col_a, '{_y}' AS col_b, n,\n"
+                f"       round(s_{_ax}{_ay} / (n - 1), 6) AS cov,\n"
+                f"       round(s_{_ax}{_ay}"
+                f" / sqrt(s_{_ax}{_ax} * s_{_ay}{_ay}), 6) AS corr\n"
+                f"FROM s"
+            )
+    o["stats_cov_matrix"] = f"""
+WITH d AS (SELECT cast(l_quantity AS double) AS a,
+                  cast(l_extendedprice AS double) AS b,
+                  cast(l_discount AS double) AS c,
+                  cast(l_tax AS double) AS e
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+m AS (SELECT avg(a) AS ma, avg(b) AS mb, avg(c) AS mc, avg(e) AS me
+      FROM d),
+s AS (SELECT cast(count(*) AS bigint) AS n,
+             {", ".join(_cm_sums)}
+      FROM d, m)
+{" UNION ALL ".join(_cm_cells)}
+"""
+    o["events_poisson_check"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+gp AS (SELECT cast(t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+              AS double) AS g
+       FROM e),
+gg AS (SELECT g FROM gp WHERE g IS NOT NULL),
+st AS (SELECT cast(count(*) AS bigint) AS n, avg(g) AS mg FROM gg),
+c AS (SELECT g, cast(count(*) AS bigint) AS ct FROM gg GROUP BY 1),
+cc AS (SELECT g, ct, sum(ct) OVER (ORDER BY g) AS cum FROM c)
+SELECT max(st.n) AS n_gaps, round(1.0 / max(st.mg), 6) AS lambda_hat,
+       round(max(greatest(
+          abs(cum / cast(st.n AS double)
+              - (1.0 - exp(-(1.0 / st.mg) * g))),
+          abs((cum - ct) / cast(st.n AS double)
+              - (1.0 - exp(-(1.0 / st.mg) * g))))), 6) AS ks_dist
+FROM cc, st
+"""
+    o["win_latest_percentile"] = f"""
+{M},
+d AS (SELECT user_id, value, timestamp, event_id FROM m
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY timestamp DESC, event_id DESC)
+               AS rn
+      FROM d),
+lv AS (SELECT user_id, value AS lastv FROM r WHERE rn = 1)
+SELECT d.user_id, cast(count(*) AS bigint) AS n,
+       round(max(lv.lastv), 6) AS last_value,
+       round((sum(CASE WHEN d.value < lv.lastv THEN 1 ELSE 0 END)
+              + (sum(CASE WHEN d.value = lv.lastv THEN 1 ELSE 0 END)
+                 + 1) / 2.0)
+             / count(*), 6) AS pct_rank
+FROM d JOIN lv USING (user_id) GROUP BY 1
 """
     o["stats_cvar"] = """
 WITH d AS (SELECT event_type AS g, value AS x FROM events

@@ -3352,3 +3352,188 @@ def cvar_by_group(
         F.round(F.avg(F.when(tail, F.col("__x"))), 6).alias("cvar_p"),
         F.sum(tail.cast("int")).cast("long").alias("n_tail"),
     )
+
+
+def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Full pairwise covariance + correlation matrix over k numeric
+    columns in ONE pass: every co-moment Σdᵢdⱼ rides a single
+    map-side-combinable aggregate (k(k+1)/2 sum expressions), centered
+    against a broadcast mean row (the stats_linreg discipline — raw
+    co-moments cancel catastrophically). The multivariate step up from
+    stats_corr's single pair: feature screening, whitening prep, and
+    redundant-metric detection read the whole matrix at once.
+
+    Rows with a NULL in ANY of the columns drop (listwise deletion) so
+    every cell describes the same population. Output is the upper
+    triangle including the diagonal, exploded to rows.
+
+    Output: (col_a, col_b, n bigint, cov r6 [sample, n−1], corr r6).
+    """
+    d = df
+    for c in cols:
+        d = d.filter(F.col(c).isNotNull())
+    d = d.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    means = d.groupBy().agg(
+        *[F.avg(c).alias(f"__m_{c}") for c in cols]
+    )
+    j = d.crossJoin(F.broadcast(means))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            da = F.col(a) - F.col(f"__m_{a}")
+            db = F.col(b) - F.col(f"__m_{b}")
+            aggs.append(F.sum(da * db).alias(f"__s_{a}__{b}"))
+    m = j.groupBy().agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            s_ab = F.col(f"__s_{a}__{b}")
+            s_aa = F.col(f"__s_{a}__{a}")
+            s_bb = F.col(f"__s_{b}__{b}")
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(s_ab / (F.col("n") - 1), 6).alias("cov"),
+                    F.round(
+                        F.try_divide(s_ab, F.sqrt(s_aa * s_bb)), 6
+                    ).alias("corr"),
+                )
+            )
+    return m.select(
+        "n", F.explode(F.array(*rows)).alias("cell")
+    ).select(
+        F.col("cell.col_a").alias("col_a"),
+        F.col("cell.col_b").alias("col_b"),
+        "n",
+        F.col("cell.cov").alias("cov"),
+        F.col("cell.corr").alias("corr"),
+    )
+
+
+def poisson_check(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Is the event stream Poisson? Fit the exponential rate to the
+    pooled inter-arrival gaps (λ̂ = 1/mean gap, the MLE) and report
+    the exact KS distance between the empirical gap CDF and
+    Exp(λ̂) — big D means bursty or scheduled traffic, so
+    Poisson-based capacity/staleness math (and "events are
+    independent" assumptions in the drift tests) doesn't apply.
+
+    Gaps come from one per-user lag window (tie order irrelevant —
+    the gap multiset is tie-invariant); the empirical CDF uses the
+    ks/mwu range-partition cum frame (per-distinct-gap counts, local
+    cumsums, P-row offsets — no global window), and the theoretical
+    CDF is a pure expression on that collapsed frame. D is exact over
+    the observed support (the sup over each step's TOP corner; the
+    bottom corner is checked via the previous row's cumulative — both
+    corners of every step covered by evaluating F at both cum and
+    cum_before).
+
+    Output: one row (n_gaps bigint, lambda_hat r6, ks_dist r6).
+    """
+    w = Window.partitionBy(user).orderBy("__t")
+    gaps = (
+        events.filter(F.col(user).isNotNull() & F.col(ts).isNotNull())
+        .select(user, F.col(ts).alias("__t"))
+        .withColumn("__g", F.col("__t") - F.lag("__t").over(w))
+        .filter(F.col("__g").isNotNull())
+        .select(F.col("__g").cast("double").alias("g"))
+    )
+    lam_row = gaps.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("g").alias("mean_g")
+    ).first()
+    n, mean_g = lam_row["n"], lam_row["mean_g"]
+    if not n:
+        return events.sparkSession.createDataFrame(
+            [(0, None, None)],
+            "n_gaps long, lambda_hat double, ks_dist double",
+        )
+    lam = 1.0 / mean_g
+    # distinct-gap cumulative via the shared two-phase scan: reuse
+    # _avg_rank_frame's discipline inline (counts + local cumsum +
+    # offsets), then D = max over rows of both step corners
+    g = gaps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    d = (
+        g.repartitionByRange("g")
+        .sortWithinPartitions("g")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = Window.partitionBy("pid").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("lc", F.sum("c").over(wloc))
+    subtotals = {
+        r["pid"]: r["sc"] or 0
+        for r in d.groupBy("pid").agg(F.sum("c").alias("sc")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(subtotals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += subtotals.get(pid, 0)
+    off = events.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "pid int, off long"
+    )
+    cum = (F.col("lc") + F.col("off")).cast("double") / F.lit(float(n))
+    cum_before = (
+        F.col("lc") + F.col("off") - F.col("c")
+    ).cast("double") / F.lit(float(n))
+    fx = F.lit(1.0) - F.exp(-F.lit(lam) * F.col("g"))
+    dist = F.greatest(F.abs(cum - fx), F.abs(cum_before - fx))
+    return (
+        d.join(F.broadcast(off), "pid")
+        .groupBy()
+        .agg(
+            F.lit(n).cast("long").alias("n_gaps"),
+            F.round(F.lit(lam), 6).alias("lambda_hat"),
+            F.round(F.max(dist), 6).alias("ks_dist"),
+        )
+    )
+
+
+def latest_percentile(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+) -> DataFrame:
+    """Where does each key's LATEST observation sit within that key's
+    own history? Midrank percentile of the most recent value —
+    "today's spend is at this customer's 98th percentile" — the
+    per-entity anomaly framing that global z-scores miss entirely
+    (a whale's normal day out-z-scores a shrimp's wildest).
+
+    One hash exchange on the key: the latest value arrives as an
+    unordered-window max over (ts, id, value) structs, and the
+    percentile is a conditional aggregate against it in the SAME
+    pass — no self-join, no sort. pct = (below + (ties+1)/2) / n.
+
+    Output: (key, n bigint, last_value r6, pct_rank r6).
+    """
+    w = Window.partitionBy(key)
+    last = F.max(
+        F.struct(
+            F.col(ts).alias("t"), F.col(id_col).alias("i"),
+            F.col("__v").alias("v"),
+        )
+    ).over(w)
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).cast("double").alias("__v"))
+        .withColumn("__last", last["v"])
+    )
+    below = F.sum((F.col("__v") < F.col("__last")).cast("int"))
+    ties = F.sum((F.col("__v") == F.col("__last")).cast("int"))
+    n = F.count(F.lit(1))
+    return d.groupBy(key).agg(
+        n.cast("long").alias("n"),
+        F.round(F.first("__last"), 6).alias("last_value"),
+        F.round(
+            (below + (ties + 1) / 2.0) / n, 6
+        ).alias("pct_rank"),
+    )

@@ -5058,3 +5058,72 @@ def test_variance_ratio_random_walk_vs_reverting(spark):
         "event_type string, timestamp long, event_id long, value double",
     )
     assert tsa.variance_ratio(const, ts="timestamp").collect()[0]["vr"] is None
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(103)
+    x = rng.normal(0, 1, 300)
+    y = 2 * x + rng.normal(0, 0.5, 300)
+    z = rng.normal(5, 3, 300)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {(r["col_a"], r["col_b"]): r for r in
+           analytics.covariance_matrix(df, ["x", "y", "z"]).collect()}
+    assert len(got) == 6                        # upper triangle of 3x3
+    cm = np.cov(np.vstack([x, y, z]))           # sample covariance
+    names = ["x", "y", "z"]
+    for i, a in enumerate(names):
+        for j in range(i, 3):
+            b = names[j]
+            assert abs(got[(a, b)]["cov"] - cm[i, j]) < 1e-4
+    assert got[("x", "x")]["corr"] == 1.0
+    assert got[("x", "y")]["corr"] > 0.96
+
+
+def test_poisson_check_exponential_vs_regular(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(107)
+    # true Poisson process: exponential gaps -> small KS distance
+    exp_ts = np.cumsum(rng.exponential(1000.0, 3000)).astype(int)
+    df_exp = spark.createDataFrame(
+        [(1, int(t)) for t in exp_ts], "user_id long, timestamp long"
+    )
+    r_exp = analytics.poisson_check(df_exp).collect()[0]
+    # perfectly regular schedule: gaps constant -> KS near its max
+    df_reg = spark.createDataFrame(
+        [(1, i * 1000) for i in range(3000)], "user_id long, timestamp long"
+    )
+    r_reg = analytics.poisson_check(df_reg).collect()[0]
+    assert r_exp["ks_dist"] < 0.05
+    assert r_reg["ks_dist"] > 0.3
+    assert r_reg["lambda_hat"] == round(1 / 1000.0, 6)
+    assert r_exp["n_gaps"] == 2999
+
+
+def test_latest_percentile_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = (
+        # user 1: history 1..9, latest (ts=10) value 5 -> below=4,
+        # ties=1 (itself): pct = (4 + 1) / 10? -> (4 + (1+1)/2)/10 = 0.5
+        [(1, t, t, float(t)) for t in range(1, 10)] + [(1, 10, 10, 5.0)]
+        # user 2: latest is its own maximum -> pct = (2 + 1) / 3
+        + [(2, 1, 11, 1.0), (2, 2, 12, 2.0), (2, 3, 13, 9.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, value double"
+    )
+    got = {r["user_id"]: r for r in analytics.latest_percentile(
+        df, "user_id", "timestamp", "value", "event_id").collect()}
+    assert got[1]["last_value"] == 5.0 and got[1]["n"] == 10
+    # below = 4 (values 1-4), ties = 2 (the old 5 and the latest 5)
+    assert got[1]["pct_rank"] == round((4 + (2 + 1) / 2) / 10, 6)
+    assert got[2]["last_value"] == 9.0
+    assert got[2]["pct_rank"] == round((2 + 1) / 3, 6)
