@@ -309,6 +309,9 @@ def main() -> None:
         "stats_cov_matrix",
         "events_poisson_check",
         "win_latest_percentile",
+        "stats_cochran_armitage",
+        "graph_rich_club",
+        "text_bigram_entropy",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1919,6 +1919,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.events_metric(spark, sf), key="user_id",
         ts="timestamp", value="value", id_col="event_id",
     )
+    q["stats_cochran_armitage"] = lambda spark, sf: analytics.cochran_armitage(
+        testdata.table(spark, sf, "orders"), group="o_orderpriority",
+        success=F.col("o_orderstatus") == "F",
+        scores={"1-URGENT": 1.0, "2-HIGH": 2.0, "3-MEDIUM": 3.0,
+                "4-NOT SPECIFIED": 4.0, "5-LOW": 5.0},
+    )
+    q["graph_rich_club"] = lambda spark, sf: graph.rich_club(
+        # same supplier–customer bipartite as the other graph entries
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        ),
+        ks=(4, 8, 16),
+    )
+    q["text_bigram_entropy"] = lambda spark, sf: text.bigram_entropy(
+        _docs(spark, sf)
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2314,6 +2338,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsa_holt", "tsa_drawdown", "stats_tukey",
         "rollup_temporal_skew", "stats_cvar", "tsa_variance_ratio",
         "stats_cov_matrix", "events_poisson_check", "win_latest_percentile",
+        "stats_cochran_armitage", "graph_rich_club", "text_bigram_entropy",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4101,6 +4126,78 @@ FROM buckets b LEFT JOIN x USING (k)
                 f" / sqrt(s_{_ax}{_ax} * s_{_ay}{_ay}), 6) AS corr\n"
                 f"FROM s"
             )
+    o["stats_cochran_armitage"] = """
+WITH d AS (SELECT o_orderpriority AS g,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                  CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 1.0 WHEN '2-HIGH' THEN 2.0
+                       WHEN '3-MEDIUM' THEN 3.0
+                       WHEN '4-NOT SPECIFIED' THEN 4.0
+                       WHEN '5-LOW' THEN 5.0 END AS s
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL
+             AND o_orderstatus IS NOT NULL),
+d2 AS (SELECT * FROM d WHERE s IS NOT NULL),
+per AS (SELECT g, max(s) AS s, cast(count(*) AS bigint) AS n,
+               cast(sum(y) AS bigint) AS a
+        FROM d2 GROUP BY 1),
+t AS (SELECT cast(sum(n) AS bigint) AS nt,
+             cast(sum(a) AS bigint) AS a_t FROM per),
+j AS (SELECT per.*, t.nt, t.a_t / cast(t.nt AS double) AS pb
+      FROM per, t)
+SELECT max(nt) AS n_total, cast(count(*) AS bigint) AS k,
+       round(max(pb), 6) AS p_pooled,
+       round(sum(s * (a - n * pb)), 6) AS t_stat,
+       round(sum(s * (a - n * pb))
+             / sqrt(max(pb) * (1 - max(pb))
+                    * (sum(n * s * s)
+                       - sum(n * s) * sum(n * s) / max(nt))), 6)
+         AS z_stat
+FROM j
+"""
+    _rc_edges = """
+e AS (SELECT DISTINCT least('s' || l_suppkey, 'c' || o_custkey) AS u,
+             greatest('s' || l_suppkey, 'c' || o_custkey) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+dg AS (SELECT nn2 AS n, cast(count(*) AS bigint) AS dg FROM
+       (SELECT u AS nn2 FROM e UNION ALL SELECT v FROM e) GROUP BY 1)"""
+    _rc_cells = []
+    for _k in (4, 8, 16):
+        _rc_cells.append(f"""
+SELECT cast({_k} AS int) AS k,
+       (SELECT cast(count(*) AS bigint) FROM dg WHERE dg > {_k})
+         AS n_nodes,
+       (SELECT cast(count(*) AS bigint) FROM e
+        JOIN dg x ON e.u = x.n AND x.dg > {_k}
+        JOIN dg y ON e.v = y.n AND y.dg > {_k}) AS n_edges""")
+    o["graph_rich_club"] = f"""
+WITH {_rc_edges},
+cells AS ({" UNION ALL ".join(_rc_cells)})
+SELECT k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2
+            THEN round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6)
+       END AS phi
+FROM cells
+"""
+    o["text_bigram_entropy"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(1, cast(len(words) - 1 AS bigint)),
+                 i -> words[i] || ' ' || words[i + 1])) AS bg
+      FROM w WHERE len(words) >= 2),
+cnt AS (SELECT doc_id, bg, cast(count(*) AS bigint) AS c
+        FROM p GROUP BY 1, 2),
+tot AS (SELECT doc_id, cast(sum(c) AS bigint) AS nb FROM cnt GROUP BY 1),
+per AS (SELECT cnt.doc_id, max(tot.nb) AS n_bigrams,
+               round(-sum((c / cast(nb AS double))
+                          * ln(c / cast(nb AS double))), 6) AS entropy,
+               round(ln(cast(count(*) AS double)), 6) AS max_entropy
+        FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY 1)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       per.entropy, per.max_entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
     o["stats_cov_matrix"] = f"""
 WITH d AS (SELECT cast(l_quantity AS double) AS a,
                   cast(l_extendedprice AS double) AS b,

@@ -3537,3 +3537,71 @@ def latest_percentile(
             (below + (ties + 1) / 2.0) / n, 6
         ).alias("pct_rank"),
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group: str,
+    success: Column | str,
+    scores: dict | None = None,
+) -> DataFrame:
+    """Cochran-Armitage trend-in-proportions test: is the success rate
+    MONOTONE across ordered categories? z² = T²/Var(T) with
+    T = Σ_i s_i(a_i − n_i·p̄), category scores s_i, per-category
+    successes a_i of n_i, pooled rate p̄, and
+    Var(T) = p̄(1−p̄)·(Σ n_i s_i² − (Σ n_i s_i)²/N) (Armitage 1955) —
+    the ONE-df ordered alternative chi2_independence wastes power on
+    ("does failure rate rise with order priority?" is a trend
+    question, not an any-difference question).
+
+    `scores`: category → numeric score; unlisted categories drop.
+    ONE conditional (n, a) aggregate per category, closed form on the
+    k-row frame with pooled totals broadcast back. Degenerate input
+    (p̄ ∈ {0,1} or constant scores) → NULL via try_divide.
+
+    Output: one row (n_total bigint, k bigint, p_pooled r6, t_stat r6,
+    z_stat r6).
+    """
+    s = F.col(success) if isinstance(success, str) else success
+    d = df.filter(F.col(group).isNotNull() & s.isNotNull()).select(
+        F.col(group).alias("g"), s.cast("int").alias("y")
+    )
+    if scores:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in scores.items() for x in kv]
+        )
+        d = d.withColumn("s", mapping[F.col("g")]).filter(
+            F.col("s").isNotNull()
+        )
+    else:
+        d = d.withColumn("s", F.col("g").cast("double"))
+    per = d.groupBy("g").agg(
+        F.first("s").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("a"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n").alias("nt"), F.sum("a").alias("at")
+    )
+    pbar = F.col("at") / F.col("nt")
+    t = F.sum(F.col("s") * (F.col("a") - F.col("n") * pbar))
+    var = (
+        F.max(pbar) * (1 - F.max(pbar))
+        * (
+            F.sum(F.col("n") * F.col("s") * F.col("s"))
+            - F.sum(F.col("n") * F.col("s"))
+            * F.sum(F.col("n") * F.col("s"))
+            / F.max("nt")
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.max("nt").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.round(F.max(pbar), 6).alias("p_pooled"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(F.try_divide(t, F.sqrt(var)), 6).alias("z_stat"),
+        )
+    )

@@ -735,3 +735,73 @@ def bfs_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: tuple[int, ...] = (2, 4, 8),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficients: for each degree threshold k, the edge
+    density AMONG nodes of degree > k, φ(k) = 2·E_k / (N_k(N_k − 1))
+    (Zhou & Mondragón 2004) — do the hubs form their own dense club?
+    A rising φ(k) means high-degree keys interconnect (one hot
+    subgraph — pair joins over it explode together); flat/falling φ
+    means hubs are independent and per-key salting is enough.
+
+    One degree aggregate off the deduped undirected edge set
+    (checkpointed — shared by every threshold), then per k: two
+    degree-map joins onto the edges (co-partitioned on each endpoint)
+    and a count. |ks| passes over the shrinking hub subsets, each a
+    plain equi-join — never a pair join.
+
+    Output: (k int, n_nodes bigint, n_edges bigint, phi r6); φ NULL
+    when fewer than two nodes qualify.
+    """
+    d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        d.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    rows = []
+    for k in ks:
+        hubs = deg.filter(F.col("dg") > k).select("n")
+        nk = hubs.count()
+        ek = (
+            e.join(hubs.select(F.col("n").alias("u")), "u", "semi")
+            .join(hubs.select(F.col("n").alias("v")), "v", "semi")
+            .count()
+        )
+        rows.append((k, nk, ek))
+    # phi rounds INSIDE Spark (HALF_UP — the cross-engine convention;
+    # Python's round() is banker's and could disagree at .5 boundaries)
+    return (
+        spark.createDataFrame(rows, "k int, n_nodes long, n_edges long")
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.when(
+                    F.col("n_nodes") >= 2,
+                    2.0 * F.col("n_edges")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )

@@ -895,3 +895,53 @@ def source_vocab_overlap(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def bigram_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the adjacent-bigram
+    distribution (nats) — the GRADED repetition signal:
+    repetition_scores' dup_bigram_frac says how many bigrams repeat,
+    entropy says how concentrated the repetition is (a doc cycling
+    two phrases and a doc repeating one both have high dup fractions;
+    their entropies differ sharply). Low entropy relative to
+    ln(n_bigrams) = template/spam candidate.
+
+    Pure per-doc computation: explode to (doc, bigram) counts (the
+    corpus collapses to distinct-bigram rows per doc), then one
+    map-side-combinable per-doc entropy aggregate. Single-word docs
+    have no bigrams — entropy NULL, n_bigrams 0.
+
+    Output: (doc_id, n_bigrams bigint, entropy r6, max_entropy r6
+    [ln of the doc's distinct-bigram count]).
+    """
+    words = _words(text_col)
+    bigrams = _bigrams(words)
+    d = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    cnt = d.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("nb"))
+    p = F.col("c") / F.col("nb")
+    per = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("nb").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.log(F.count(F.lit(1)).cast("double")), 6).alias(
+                "max_entropy"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "entropy",
+            "max_entropy",
+        )
+    )

@@ -5127,3 +5127,75 @@ def test_latest_percentile_hand_computed(spark):
     assert got[1]["pct_rank"] == round((4 + (2 + 1) / 2) / 10, 6)
     assert got[2]["last_value"] == 9.0
     assert got[2]["pct_rank"] == round((2 + 1) / 3, 6)
+
+
+def test_cochran_armitage_trend_vs_flat(spark):
+    from nsdb_spark.operators import analytics
+
+    # success rate rises with score: strong positive z
+    rows = []
+    for g, s_rate, n in (("a", 0.1, 100), ("b", 0.3, 100), ("c", 0.6, 100)):
+        rows += [(g, i < int(s_rate * n)) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    got = analytics.cochran_armitage(
+        df, "g", "y", scores={"a": 1.0, "b": 2.0, "c": 3.0}
+    ).collect()[0]
+    assert got["n_total"] == 300 and got["k"] == 3
+    assert got["z_stat"] > 5
+    # identical rates -> t near 0
+    flat = spark.createDataFrame(
+        [(g, i < 30) for g in ("a", "b", "c") for i in range(100)],
+        "g string, y boolean",
+    )
+    r2 = analytics.cochran_armitage(
+        flat, "g", "y", scores={"a": 1.0, "b": 2.0, "c": 3.0}
+    ).collect()[0]
+    assert abs(r2["t_stat"]) < 1e-6
+
+
+def test_rich_club_clique_plus_leaves(spark):
+    from nsdb_spark.operators import graph
+
+    # 4-clique of hubs, each hub also feeding 3 private leaves:
+    # hubs have degree 6, leaves degree 1
+    edges = []
+    hubs = ["h1", "h2", "h3", "h4"]
+    for i, a in enumerate(hubs):
+        for b in hubs[i + 1:]:
+            edges.append((a, b))
+        for j in range(3):
+            edges.append((a, f"{a}_l{j}"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["k"]: r for r in graph.rich_club(df, ks=(2, 5)).collect()}
+    # k=2: only the 4 hubs qualify (deg 6 > 2); club = the full clique
+    assert got[2]["n_nodes"] == 4 and got[2]["n_edges"] == 6
+    assert got[2]["phi"] == 1.0
+    # k=5: hubs still qualify (6 > 5) — same club
+    assert got[5]["phi"] == 1.0
+    # k above every degree: empty club -> NULL phi
+    empty = graph.rich_club(df, ks=(10,)).collect()[0]
+    assert empty["n_nodes"] == 0 and empty["phi"] is None
+
+
+def test_bigram_entropy_repetitive_vs_varied(spark):
+    import math
+    from nsdb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),        # one bigram dominates
+            (2, "a b c d e f g h"),        # all bigrams distinct
+            (3, "single"),                 # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.bigram_entropy(docs).collect()}
+    # doc 2: 7 distinct bigrams, uniform -> entropy = ln 7 = max
+    assert got[2]["n_bigrams"] == 7
+    assert got[2]["entropy"] == round(math.log(7), 6)
+    assert got[2]["entropy"] == got[2]["max_entropy"]
+    # doc 1: 'a b' x4 + 'b a' x3 of 7 -> entropy < ln 2 fully mixed? it
+    # equals H(4/7, 3/7) < ln(2) and well under doc 2's
+    assert got[1]["entropy"] < got[2]["entropy"]
+    assert got[1]["max_entropy"] == round(math.log(2), 6)
+    assert got[3]["n_bigrams"] == 0 and got[3]["entropy"] is None
