@@ -312,6 +312,9 @@ def main() -> None:
         "stats_cochran_armitage",
         "graph_rich_club",
         "text_bigram_entropy",
+        "events_gone_quiet",
+        "events_user_overlap",
+        "sample_time_split",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

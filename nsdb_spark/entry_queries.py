@@ -50,9 +50,9 @@ SHARD = testdata.SHARD_INTERVAL_MS  # 2592000000 (30 d)
 
 #: BM25 query terms — high/mid/low df in the synthetic corpus
 BM25_TERMS = ["join", "hash", "scan"]
-#: McNemar before/after boundary — 2024-07-01T00:00:00Z, mid-range of
-#: the synthetic events span at every SF
-MCNEMAR_SPLIT_MS = 1_719_792_000_000
+#: McNemar / time-split boundary — 2024-01-16T00:00:00Z, the midpoint
+#: of the synthetic events span (all SFs cover January 2024)
+MCNEMAR_SPLIT_MS = 1_705_363_200_000
 #: exact token-contiguous phrase for the phrase-retrieval variant
 BM25_PHRASE = "table scan"
 #: batch-scoring query set (overlapping term lists exercise the shared
@@ -1944,6 +1944,29 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf)
     )
 
+    def _gone_quiet(spark, sf):
+        orders = testdata.table(spark, sf, "orders").select(
+            F.col("o_custkey").alias("user_id"),
+            testdata.ts_ms(
+                testdata.table(spark, sf, "orders"), "o_orderdate"
+            ).alias("t"),
+        )
+        now = orders.agg(F.max("t")).first()[0]
+        return analytics.gone_quiet(
+            orders, now_ms=now, silent_ms=15_552_000_000,
+            active_window_ms=31_536_000_000, user="user_id", ts="t",
+        )
+
+    q["events_gone_quiet"] = _gone_quiet
+    q["events_user_overlap"] = lambda spark, sf: analytics.audience_overlap(
+        testdata.events_metric(spark, sf)
+    )
+    q["sample_time_split"] = lambda spark, sf: sampling.time_split_embargo(
+        testdata.events_metric(spark, sf).select("event_id", "timestamp"),
+        id_col="event_id", ts="timestamp",
+        split_ms=MCNEMAR_SPLIT_MS, embargo_ms=604_800_000,
+    )
+
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
     )
@@ -2339,6 +2362,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_temporal_skew", "stats_cvar", "tsa_variance_ratio",
         "stats_cov_matrix", "events_poisson_check", "win_latest_percentile",
         "stats_cochran_armitage", "graph_rich_club", "text_bigram_entropy",
+        "events_gone_quiet", "events_user_overlap", "sample_time_split",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4126,6 +4150,39 @@ FROM buckets b LEFT JOIN x USING (k)
                 f" / sqrt(s_{_ax}{_ax} * s_{_ay}{_ay}), 6) AS corr\n"
                 f"FROM s"
             )
+    o["events_gone_quiet"] = """
+WITH o AS (SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS t
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+mx AS (SELECT max(t) AS m FROM o),
+per AS (SELECT user_id, max(t) AS last_ts FROM o GROUP BY 1)
+SELECT user_id, last_ts, mx.m - last_ts AS silent_ms_actual
+FROM per, mx
+WHERE last_ts < mx.m - 15552000000
+  AND last_ts >= mx.m - 15552000000 - 31536000000
+"""
+    o["events_user_overlap"] = """
+WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+sz AS (SELECT t, cast(count(*) AS bigint) AS sz FROM tu GROUP BY 1),
+p AS (SELECT a.t AS type_a, b.t AS type_b,
+             cast(count(*) AS bigint) AS n_both
+      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+SELECT type_a, type_b, n_both,
+       round(n_both / cast(sa.sz + sb.sz - n_both AS double), 6)
+         AS jaccard
+FROM p JOIN sz sa ON p.type_a = sa.t JOIN sz sb ON p.type_b = sb.t
+"""
+    o["sample_time_split"] = f"""
+SELECT event_id, epoch_ms(ts) AS timestamp,
+       CASE WHEN epoch_ms(ts) < {MCNEMAR_SPLIT_MS} THEN 'train'
+            WHEN epoch_ms(ts) >= {MCNEMAR_SPLIT_MS} + 604800000
+            THEN 'test' END AS split
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL
+  AND (epoch_ms(ts) < {MCNEMAR_SPLIT_MS}
+       OR epoch_ms(ts) >= {MCNEMAR_SPLIT_MS} + 604800000)
+"""
     o["stats_cochran_armitage"] = """
 WITH d AS (SELECT o_orderpriority AS g,
                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,

@@ -3605,3 +3605,102 @@ def cochran_armitage(
             F.round(F.try_divide(t, F.sqrt(var)), 6).alias("z_stat"),
         )
     )
+
+
+def gone_quiet(
+    events: DataFrame,
+    now_ms: int,
+    silent_ms: int,
+    active_window_ms: int,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Churn-risk absence list: subjects whose last event is older
+    than `silent_ms` but who WERE active within `active_window_ms`
+    before that cutoff — the "went quiet recently" set, excluding
+    long-dead accounts that would drown the list. The alerting
+    complement of stickiness/retention (those measure cohorts; this
+    names the accounts to act on).
+
+    ONE map-side-combinable max-ts per subject, then a pure filter —
+    no joins, no windows; `now` arrives pinned by the caller (the
+    engine's deterministic-now convention).
+
+    Output: (user, last_ts bigint, silent_ms_actual bigint), only the
+    gone-quiet subjects.
+    """
+    per = (
+        events.filter(F.col(user).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(user)
+        .agg(F.max(ts).alias("last_ts"))
+    )
+    cutoff = now_ms - silent_ms
+    floor_ts = cutoff - active_window_ms
+    return per.filter(
+        (F.col("last_ts") < cutoff) & (F.col("last_ts") >= floor_ts)
+    ).select(
+        user,
+        F.col("last_ts").cast("long").alias("last_ts"),
+        (F.lit(now_ms) - F.col("last_ts")).cast("long").alias(
+            "silent_ms_actual"
+        ),
+    )
+
+
+def audience_overlap(
+    events: DataFrame,
+    user: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how
+    many users touched BOTH, with the Jaccard of the two audiences —
+    "do purchasers also view?" / feature-adoption overlap. Same wedge
+    discipline as text_source_overlap pointed at the (type, user)
+    bipartite: the corpus collapses to distinct (type, user) rows
+    first, pairs generate CO-PARTITIONED ON THE USER (fan-out per
+    user = types-touched², bounded by |types|), audience sizes
+    broadcast back. Pairs order type_a < type_b.
+
+    Output: (type_a, type_b, n_both bigint, jaccard r6).
+    """
+    tu = (
+        events.filter(
+            F.col(user).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .select(F.col(type_col).alias("t"), F.col(user).alias("u"))
+        .distinct()
+    )
+    size = tu.groupBy("t").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                size.select(F.col("t").alias("type_a"), F.col("sz").alias("__sa"))
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                size.select(F.col("t").alias("type_b"), F.col("sz").alias("__sb"))
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("__sa") + F.col("__sb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

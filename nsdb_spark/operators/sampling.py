@@ -434,3 +434,37 @@ def class_balance(
         F.col(id_col).cast("long") * F.lit(2654435761)
     ) % F.lit(4294967296) % F.lit(denom)
     return d.filter(F.col("is_pos") | (slot < rate_slots))
+
+
+def time_split_embargo(
+    df: DataFrame,
+    id_col: str,
+    ts: str,
+    split_ms: int,
+    embargo_ms: int,
+) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap: train strictly
+    before `split_ms`, test at or after `split_ms + embargo_ms`, and
+    the gap rows dropped — the temporally-sound alternative to hash
+    splitting for forecasting/temporal models, where a random split
+    leaks the future into training and the embargo kills the
+    boundary-adjacency leak (autocorrelated rows just across the
+    cut; the time-series cross-validation "purge" discipline).
+
+    Pure projection + filter — pipelines with the scan, zero shuffle,
+    assignment a total function of the row's own timestamp (stable
+    under repartitions, appends, engine versions).
+
+    Output: (id_col, ts, split string) — gap rows absent.
+    """
+    return (
+        df.filter(F.col(id_col).isNotNull() & F.col(ts).isNotNull())
+        .select(
+            id_col,
+            ts,
+            F.when(F.col(ts) < split_ms, F.lit("train"))
+            .when(F.col(ts) >= split_ms + embargo_ms, F.lit("test"))
+            .alias("split"),
+        )
+        .filter(F.col("split").isNotNull())
+    )

@@ -5199,3 +5199,49 @@ def test_bigram_entropy_repetitive_vs_varied(spark):
     assert got[1]["entropy"] < got[2]["entropy"]
     assert got[1]["max_entropy"] == round(math.log(2), 6)
     assert got[3]["n_bigrams"] == 0 and got[3]["entropy"] is None
+
+
+def test_gone_quiet_windows(spark):
+    from nsdb_spark.operators import analytics
+
+    day = 86_400_000
+    rows = [
+        (1, 100 * day),   # active recently -> excluded
+        (2, 80 * day),    # quiet 20d, inside the active window -> listed
+        (3, 10 * day),    # dead for 90d, outside the window -> excluded
+    ]
+    df = spark.createDataFrame(rows, "u long, t long")
+    got = analytics.gone_quiet(
+        df, now_ms=100 * day, silent_ms=15 * day,
+        active_window_ms=50 * day, user="u", ts="t",
+    ).collect()
+    assert [r["u"] for r in got] == [2]
+    assert got[0]["silent_ms_actual"] == 20 * day
+
+
+def test_audience_overlap_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        (1, "A"), (2, "A"), (3, "A"),
+        (1, "B"), (2, "B"),
+        (9, "C"),
+        (1, "A"),  # duplicate event: distinct collapse handles it
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {(r["type_a"], r["type_b"]): r for r in
+           analytics.audience_overlap(df).collect()}
+    assert got[("A", "B")]["n_both"] == 2
+    assert got[("A", "B")]["jaccard"] == round(2 / 3, 6)
+    assert ("A", "C") not in got   # zero overlap pairs absent
+
+
+def test_time_split_embargo_boundaries(spark):
+    from nsdb_spark.operators import sampling
+
+    rows = [(i, t) for i, t in enumerate([50, 99, 100, 149, 150, 200])]
+    df = spark.createDataFrame(rows, "id long, t long")
+    got = {r["id"]: r["split"] for r in sampling.time_split_embargo(
+        df, "id", "t", split_ms=100, embargo_ms=50).collect()}
+    # t < 100 -> train; 100 <= t < 150 -> dropped; t >= 150 -> test
+    assert got == {0: "train", 1: "train", 4: "test", 5: "test"}
