@@ -315,6 +315,9 @@ def main() -> None:
         "events_gone_quiet",
         "events_user_overlap",
         "sample_time_split",
+        "stats_wilcoxon",
+        "stats_cohen_kappa",
+        "tsa_burstiness",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -1967,6 +1967,47 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         split_ms=MCNEMAR_SPLIT_MS, embargo_ms=604_800_000,
     )
 
+    def _wilcoxon(spark, sf):
+        e = testdata.events_metric(spark, sf)
+        paired = (
+            e.filter(
+                F.col("user_id").isNotNull() & F.col("value").isNotNull()
+            )
+            .groupBy("user_id")
+            .agg(
+                F.avg(
+                    F.when(
+                        F.col("timestamp") < MCNEMAR_SPLIT_MS,
+                        F.col("value"),
+                    )
+                ).alias("before"),
+                F.avg(
+                    F.when(
+                        F.col("timestamp") >= MCNEMAR_SPLIT_MS,
+                        F.col("value"),
+                    )
+                ).alias("after"),
+            )
+        )
+        return analytics.wilcoxon_signed_rank(
+            paired, subject="user_id", x="before", y="after"
+        )
+
+    q["stats_wilcoxon"] = _wilcoxon
+
+    def _cohen_kappa(spark, sf):
+        docs = _docs(spark, sf)
+        pred = text.language_id(docs).select("doc_id", "pred_lang")
+        j = docs.filter(F.col("lang").isNotNull()).select(
+            "doc_id", "lang"
+        ).join(pred, "doc_id")
+        return analytics.cohen_kappa(j, rater_a="lang", rater_b="pred_lang")
+
+    q["stats_cohen_kappa"] = _cohen_kappa
+    q["tsa_burstiness"] = lambda spark, sf: tsa.burstiness(
+        testdata.events_metric(spark, sf)
+    )
+
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
     )
@@ -2363,6 +2404,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cov_matrix", "events_poisson_check", "win_latest_percentile",
         "stats_cochran_armitage", "graph_rich_club", "text_bigram_entropy",
         "events_gone_quiet", "events_user_overlap", "sample_time_split",
+        "stats_wilcoxon", "stats_cohen_kappa", "tsa_burstiness",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -4150,6 +4192,80 @@ FROM buckets b LEFT JOIN x USING (k)
                 f" / sqrt(s_{_ax}{_ax} * s_{_ay}{_ay}), 6) AS corr\n"
                 f"FROM s"
             )
+    o["stats_wilcoxon"] = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+pu AS (SELECT user_id,
+              avg(CASE WHEN t < {MCNEMAR_SPLIT_MS} THEN value END) AS xa,
+              avg(CASE WHEN t >= {MCNEMAR_SPLIT_MS} THEN value END) AS xb
+       FROM e GROUP BY 1),
+d AS (SELECT user_id, xb - xa AS d, abs(xb - xa) AS ad FROM pu
+      WHERE xa IS NOT NULL AND xb IS NOT NULL AND xb - xa != 0),
+vc AS (SELECT ad, cast(count(*) AS bigint) AS cv FROM d GROUP BY 1),
+r AS (SELECT ad, cast(sum(cv) OVER (ORDER BY ad) AS double)
+              - (cv - 1) / 2.0 AS avg_rank FROM vc),
+mm AS (SELECT cast(count(*) AS bigint) AS m FROM d)
+SELECT max(mm.m) AS m,
+       round(sum(CASE WHEN d.d > 0 THEN r.avg_rank ELSE 0 END), 6)
+         AS w_plus,
+       round((sum(CASE WHEN d.d > 0 THEN r.avg_rank ELSE 0 END)
+              - max(mm.m) * (max(mm.m) + 1) / 4.0)
+             / sqrt(max(mm.m) * (max(mm.m) + 1)
+                    * (2 * max(mm.m) + 1) / 24.0), 6) AS z_stat
+FROM d JOIN r USING (ad), mm
+"""
+    _ck_scores = ",\n  ".join(
+        f"len(list_distinct(list_intersect(words, {_stoplist_sql(lang)})))"
+        f" AS s_{lang}"
+        for lang in text.LANG_ORDER
+    )
+    _ck_best = (
+        "greatest(" + ", ".join(f"s_{lang}" for lang in text.LANG_ORDER) + ")"
+    )
+    _ck_case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {_ck_best} THEN '{lang}'"
+        for lang in text.LANG_ORDER
+    ) + " END"
+    o["stats_cohen_kappa"] = f"""
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+           FROM documents),
+s AS (SELECT doc_id, {_ck_scores} FROM w),
+pred AS (SELECT doc_id, {_ck_case} AS pred_lang FROM s),
+g AS (SELECT d.lang AS ra, p.pred_lang AS rb,
+             cast(count(*) AS bigint) AS c
+      FROM documents d JOIN pred p USING (doc_id)
+      WHERE d.lang IS NOT NULL GROUP BY 1, 2),
+base AS (SELECT cast(sum(c) AS bigint) AS n,
+                cast(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS bigint)
+                  AS agree
+         FROM g),
+ma AS (SELECT ra, sum(c) AS ca FROM g GROUP BY 1),
+mb AS (SELECT rb, sum(c) AS cb FROM g GROUP BY 1),
+pes AS (SELECT sum(ca * cb) AS pesum FROM ma JOIN mb ON ma.ra = mb.rb)
+SELECT n, round(agree / cast(n AS double), 6) AS p_o,
+       round(coalesce(pesum, 0) / (cast(n AS double) * n), 6) AS p_e,
+       round((agree / cast(n AS double)
+              - coalesce(pesum, 0) / (cast(n AS double) * n))
+             / (1.0 - coalesce(pesum, 0) / (cast(n AS double) * n)), 6)
+         AS kappa
+FROM base, pes
+"""
+    o["tsa_burstiness"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT user_id,
+             cast(t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+               AS double) AS gp
+      FROM e),
+gg AS (SELECT user_id, gp FROM g WHERE gp IS NOT NULL),
+a AS (SELECT user_id, cast(count(*) AS bigint) AS n_gaps, avg(gp) AS mu,
+             sum(gp * gp) AS ss, sum(gp) AS s1 FROM gg GROUP BY 1)
+SELECT user_id, n_gaps, round(mu, 6) AS mean_gap,
+       round((sqrt((ss - s1 * s1 / n_gaps) / (n_gaps - 1)) - mu)
+             / (sqrt((ss - s1 * s1 / n_gaps) / (n_gaps - 1)) + mu), 6)
+         AS b
+FROM a WHERE n_gaps >= 2
+"""
     o["events_gone_quiet"] = """
 WITH o AS (SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS t
            FROM orders

@@ -3704,3 +3704,110 @@ def audience_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, subject: str, x: str, y: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED values: per subject,
+    d = y − x; zero diffs drop (Wilcoxon's convention), |d| midranks
+    over the remaining subjects, W⁺ = Σ ranks of positive d, and the
+    normal approximation z = (W⁺ − μ)/σ with μ = m(m+1)/4,
+    σ² = m(m+1)(2m+1)/24 (no tie-variance correction — documented) —
+    the paired-location test McNemar (binary) and the sign test
+    (direction only) both underpower: it weighs HOW LARGE each
+    subject's change is, without welch_ttest's normality assumption.
+
+    The |d| ranks come from _avg_rank_frame's range-partition scan
+    over the per-subject diff frame (one row per subject — already
+    collapsed), joined back co-partitioned on the |d| value. No
+    global window, no data-sized driver state.
+
+    Output: one row (m bigint [nonzero pairs], w_plus r6, z_stat r6).
+    """
+    d = (
+        df.filter(
+            F.col(subject).isNotNull()
+            & F.col(x).isNotNull()
+            & F.col(y).isNotNull()
+        )
+        .select(
+            F.col(subject).alias("s"),
+            (F.col(y).cast("double") - F.col(x).cast("double")).alias("d"),
+        )
+        .filter(F.col("d") != 0)
+        .withColumn("ad", F.abs("d"))
+    )
+    ranks, m = _avg_rank_frame(d.select(F.col("ad").alias("v")), "v")
+    agg = (
+        d.join(ranks, d["ad"] == ranks["v"])
+        .groupBy()
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 0, F.col("avg_rank")).otherwise(0.0)
+            ).alias("wp")
+        )
+    )
+    mu = m * (m + 1) / 4.0
+    sigma = (m * (m + 1) * (2 * m + 1) / 24.0) ** 0.5
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.round(F.col("wp"), 6).alias("w_plus"),
+        F.round(
+            (F.col("wp") - F.lit(mu)) / F.lit(sigma), 6
+        ).alias("z_stat")
+        if m > 0
+        else F.lit(None).cast("double").alias("z_stat"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelings of the same
+    items: κ = (p_o − p_e)/(1 − p_e), observed agreement vs the
+    agreement expected from the two raters' marginal distributions —
+    the chance-corrected accuracy for classifier-vs-truth or
+    annotator-vs-annotator audits (raw agreement flatters any pair
+    of raters that both favor the majority class).
+
+    One grid count collapses the corpus; marginals re-aggregate from
+    the grid and p_e is a |labels|-sized sum. κ = 1 exactly on
+    perfect agreement; p_e = 1 (both raters constant) → NULL via
+    try_divide.
+
+    Output: one row (n bigint, p_o r6, p_e r6, kappa r6).
+    """
+    grid = (
+        df.filter(
+            F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+        )
+        .groupBy(
+            F.col(rater_a).alias("ra"), F.col(rater_b).alias("rb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # grid feeds three tiny reductions
+    )
+    base = grid.groupBy().agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = grid.groupBy("ra").agg(F.sum("c").alias("ca"))
+    mb = grid.groupBy("rb").agg(F.sum("c").alias("cb"))
+    pes = (
+        ma.join(mb, ma["ra"] == mb["rb"])
+        .groupBy()
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("pesum"))
+    )
+    j = base.crossJoin(F.broadcast(pes))
+    nd = F.col("n").cast("double")
+    po = F.col("agree") / nd
+    pe = F.coalesce(F.col("pesum"), F.lit(0)) / (nd * nd)
+    return j.select(
+        "n",
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -1052,3 +1052,49 @@ def variance_ratio(
         "n",
         F.round(F.try_divide(vq, F.lit(float(q)) * v1), 6).alias("vr"),
     )
+
+
+def burstiness(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Per-key burstiness of inter-arrival gaps:
+    B = (σ − μ)/(σ + μ) (Goh & Barabási 2008) — one number per key on
+    the Poisson↔bursty axis: B ≈ −1 metronome-regular, B ≈ 0
+    Poisson-like, B → 1 heavy-tailed bursts. The per-key companion of
+    the pooled events_poisson_check, cheap enough to run on every
+    entity (bot heuristics love it: humans are bursty, cron jobs are
+    not).
+
+    One lag window per key (gap multiset tie-invariant) and a
+    sum/sumsq aggregate — a single hash exchange. Keys with < 2 gaps
+    or zero mean drop the score to NULL via try_divide.
+
+    Output: (key, n_gaps bigint, mean_gap r6, b r6).
+    """
+    w = Window.partitionBy(key).orderBy("__t")
+    d = (
+        df.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+        .select(key, F.col(ts).alias("__t"))
+        .withColumn("__g", (F.col("__t") - F.lag("__t").over(w)).cast("double"))
+        .filter(F.col("__g").isNotNull())
+    )
+    agg = d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("__g").alias("mu"),
+        F.sum(F.col("__g") * F.col("__g")).alias("ss"),
+        F.sum("__g").alias("s1"),
+    )
+    var = (F.col("ss") - F.col("s1") * F.col("s1") / F.col("n_gaps")) / (
+        F.col("n_gaps") - 1
+    )
+    sig = F.sqrt(var)
+    return agg.filter(F.col("n_gaps") >= 2).select(
+        key,
+        "n_gaps",
+        F.round(F.col("mu"), 6).alias("mean_gap"),
+        F.round(F.try_divide(sig - F.col("mu"), sig + F.col("mu")), 6).alias(
+            "b"
+        ),
+    )

@@ -5245,3 +5245,68 @@ def test_time_split_embargo_boundaries(spark):
         df, "id", "t", split_ms=100, embargo_ms=50).collect()}
     # t < 100 -> train; 100 <= t < 150 -> dropped; t >= 150 -> test
     assert got == {0: "train", 1: "train", 4: "test", 5: "test"}
+
+
+def test_wilcoxon_signed_rank_matches_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(109)
+    x = rng.normal(10, 2, 120).round(1)
+    y = (x + rng.normal(0.5, 1.0, 120)).round(1)   # positive shift
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "s long, x double, y double")
+    got = analytics.wilcoxon_signed_rank(df, "s", "x", "y").collect()[0]
+    d = y - x
+    d = d[d != 0]
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(len(ad))
+    sv = ad[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    wp = float(ranks[d > 0].sum())
+    m = len(d)
+    mu = m * (m + 1) / 4.0
+    sig = (m * (m + 1) * (2 * m + 1) / 24.0) ** 0.5
+    assert got["m"] == m
+    assert abs(got["w_plus"] - wp) < 1e-6
+    assert abs(got["z_stat"] - (wp - mu) / sig) < 1e-5
+    assert got["z_stat"] > 2   # true positive shift
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    from nsdb_spark.operators import analytics
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 6 + [("b", "b")] * 4, "ra string, rb string"
+    )
+    got = analytics.cohen_kappa(perfect, "ra", "rb").collect()[0]
+    assert got["kappa"] == 1.0 and got["p_o"] == 1.0
+    # rater B constant: p_e equals A's marginal share of 'a'; kappa 0
+    const = spark.createDataFrame(
+        [("a", "a")] * 6 + [("b", "a")] * 4, "ra string, rb string"
+    )
+    r2 = analytics.cohen_kappa(const, "ra", "rb").collect()[0]
+    assert r2["p_o"] == 0.6 and r2["p_e"] == 0.6 and r2["kappa"] == 0.0
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    from nsdb_spark.operators import tsa
+
+    regular = [(1, i * 100) for i in range(50)]          # constant gaps
+    bursty = [(2, t) for t in
+              [0, 1, 2, 3, 1000, 1001, 1002, 5000, 5001, 9000]]
+    df = spark.createDataFrame(regular + bursty, "user_id long, timestamp long")
+    got = {r["user_id"]: r for r in tsa.burstiness(df).collect()}
+    assert got[1]["b"] == -1.0                            # sigma = 0
+    assert got[2]["b"] > 0.2
+    assert got[1]["mean_gap"] == 100.0
+    # single event -> no gaps -> excluded
+    single = spark.createDataFrame([(3, 5)], "user_id long, timestamp long")
+    assert tsa.burstiness(single).count() == 0
