@@ -318,6 +318,9 @@ def main() -> None:
         "stats_wilcoxon",
         "stats_cohen_kappa",
         "tsa_burstiness",
+        "stats_pr_curve",
+        "stats_theil",
+        "events_growth_accounting",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

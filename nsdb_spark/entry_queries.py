@@ -2007,6 +2007,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tsa_burstiness"] = lambda spark, sf: tsa.burstiness(
         testdata.events_metric(spark, sf)
     )
+    q["stats_pr_curve"] = lambda spark, sf: analytics.pr_curve(
+        _scored_docs(spark, sf), score="lr_prob", label="y"
+    )
+    q["stats_theil"] = lambda spark, sf: analytics.theil_index_by_group(
+        testdata.table(spark, sf, "orders"), part="o_orderpriority",
+        value="o_totalprice",
+    )
+    q["events_growth_accounting"] = (
+        lambda spark, sf: analytics.growth_accounting(
+            testdata.events_metric(spark, sf), bucket_ms=604800000
+        )
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2405,6 +2417,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cochran_armitage", "graph_rich_club", "text_bigram_entropy",
         "events_gone_quiet", "events_user_overlap", "sample_time_split",
         "stats_wilcoxon", "stats_cohen_kappa", "tsa_burstiness",
+        "stats_pr_curve", "stats_theil", "events_growth_accounting",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3124,6 +3137,58 @@ cum AS (SELECT band, n, n_pos,
 SELECT band, n, n_pos, round(n_pos / n, 6) AS resp_rate,
        round((cp / cn) / (tt.tp / tt.tn), 6) AS cum_lift
 FROM cum, tt
+"""
+    _pr_cells = []
+    for _t in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+        _pr_cells.append(f"""
+SELECT round({_t!r}, 6) AS tau,
+       cast(sum(CASE WHEN s >= {_t!r} AND y THEN 1 ELSE 0 END)
+         AS bigint) AS tp,
+       cast(sum(CASE WHEN s >= {_t!r} AND NOT y THEN 1 ELSE 0 END)
+         AS bigint) AS fp,
+       cast(sum(CASE WHEN s < {_t!r} AND y THEN 1 ELSE 0 END)
+         AS bigint) AS fn
+FROM sc""")
+    o["stats_pr_curve"] = f"""
+WITH {_SCORED},
+cells AS ({" UNION ALL ".join(_pr_cells)})
+SELECT tau, tp, fp, fn,
+       round(tp / (tp + fp), 6) AS precision,
+       round(tp / (tp + fn), 6) AS recall,
+       round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+             / ((tp / (tp + fp)) + (tp / (tp + fn))), 6) AS f1
+FROM cells
+"""
+    o["stats_theil"] = """
+WITH b AS (SELECT o_orderpriority AS g, cast(o_totalprice AS double) AS x
+           FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND o_orderpriority IS NOT NULL),
+p AS (SELECT g, x FROM b WHERE x > 0),
+m AS (SELECT g, avg(x) AS mu, cast(count(*) AS bigint) AS n
+      FROM p GROUP BY 1),
+dr AS (SELECT g, cast(count(*) AS bigint) AS nd FROM b
+       WHERE x <= 0 GROUP BY 1),
+t AS (SELECT p.g, max(m.n) AS n,
+             round(avg((x / mu) * ln(x / mu)), 6) AS theil,
+             round(avg((x / mu) * ln(x / mu))
+                   / ln(cast(max(m.n) AS double)), 6) AS theil_norm
+      FROM p JOIN m ON p.g = m.g GROUP BY 1)
+SELECT t.g AS o_orderpriority, n,
+       cast(coalesce(dr.nd, 0) AS bigint) AS n_dropped, theil, theil_norm
+FROM t LEFT JOIN dr ON t.g = dr.g
+"""
+    o["events_growth_accounting"] = f"""
+{M},
+ub AS (SELECT DISTINCT user_id AS u,
+              (timestamp // 604800000) * 604800000 AS b
+       FROM m WHERE user_id IS NOT NULL AND timestamp IS NOT NULL),
+f AS (SELECT u, min(b) AS fb FROM ub GROUP BY 1)
+SELECT b AS bucket_start, cast(count(*) AS bigint) AS n_active,
+       cast(sum(CASE WHEN b = fb THEN 1 ELSE 0 END) AS bigint) AS n_new,
+       cast(sum(CASE WHEN b <> fb THEN 1 ELSE 0 END) AS bigint)
+         AS n_returning
+FROM ub JOIN f USING (u) GROUP BY 1
 """
     o["stats_odds_ratio"] = f"""
 WITH b0 AS (SELECT (o_orderpriority = '1-URGENT') AS e,

@@ -3811,3 +3811,161 @@ def cohen_kappa(
         F.round(pe, 6).alias("p_e"),
         F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score: str,
+    label: Column | str,
+    taus: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Precision/recall/F1 at a fixed threshold grid — the operating-
+    point table between AUC (threshold-free) and a deployed gate (one
+    threshold): pick τ by reading the row that meets the recall
+    floor. ONE scan computes every threshold's confusion counts as
+    conditional sums (adding a threshold adds two expressions, not a
+    pass), so the full curve costs the same as a single operating
+    point.
+
+    Output: (tau r6, tp, fp, fn bigint, precision r6, recall r6,
+    f1 r6); empty-prediction or empty-positive cells give NULL via
+    try_divide.
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    d = df.filter(lab.isNotNull() & F.col(score).isNotNull()).select(
+        F.col(score).cast("double").alias("s"), lab.alias("y")
+    )
+    aggs = []
+    for i, t in enumerate(taus):
+        pred = F.col("s") >= t
+        aggs.append(
+            F.sum((pred & F.col("y")).cast("int")).cast("long").alias(f"tp{i}")
+        )
+        aggs.append(
+            F.sum((pred & ~F.col("y")).cast("int")).cast("long").alias(f"fp{i}")
+        )
+        aggs.append(
+            F.sum(((~pred) & F.col("y")).cast("int"))
+            .cast("long")
+            .alias(f"fn{i}")
+        )
+    m = d.groupBy().agg(*aggs)
+    rows = []
+    for i, t in enumerate(taus):
+        tp, fp, fn = F.col(f"tp{i}"), F.col(f"fp{i}"), F.col(f"fn{i}")
+        prec = F.try_divide(tp, tp + fp)
+        rec = F.try_divide(tp, tp + fn)
+        rows.append(
+            F.struct(
+                F.round(F.lit(t), 6).alias("tau"),
+                tp.alias("tp"),
+                fp.alias("fp"),
+                fn.alias("fn"),
+                F.round(prec, 6).alias("precision"),
+                F.round(rec, 6).alias("recall"),
+                F.round(
+                    F.try_divide(2.0 * prec * rec, prec + rec), 6
+                ).alias("f1"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def theil_index_by_group(
+    df: DataFrame, part: str, value: str
+) -> DataFrame:
+    """Per-group Theil T inequality index:
+    T = (1/n) Σ (x/μ)·ln(x/μ) over POSITIVE values — the
+    information-theoretic inequality measure whose group/within
+    DECOMPOSITION is exact (unlike Gini): T ∈ [0, ln n], 0 = perfect
+    equality. Reported with the equality-normalized share
+    T/ln(n) so groups of different sizes compare.
+
+    One per-group mean broadcast back onto the scan, one aggregate.
+    Non-positive values drop (ln undefined) and are counted so the
+    exclusion is visible. Constant groups score exactly 0.
+
+    Output: (part, n bigint, n_dropped bigint, theil r6,
+    theil_norm r6).
+    """
+    base = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    pos = base.filter(F.col("__x") > 0)
+    means = pos.groupBy(part).agg(
+        F.avg("__x").alias("__mu"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    dropped = base.filter(F.col("__x") <= 0).groupBy(part).agg(
+        F.count(F.lit(1)).cast("long").alias("__nd")
+    )
+    r = F.col("__x") / F.col("__mu")
+    return (
+        pos.join(F.broadcast(means), part)
+        .groupBy(part)
+        .agg(
+            F.max("__n").alias("n"),
+            F.round(F.avg(r * F.log(r)), 6).alias("theil"),
+            F.round(
+                F.try_divide(
+                    F.avg(r * F.log(r)),
+                    F.log(F.max("__n").cast("double")),
+                ),
+                6,
+            ).alias("theil_norm"),
+        )
+        .join(F.broadcast(dropped), part, "left")
+        .select(
+            part,
+            "n",
+            F.coalesce("__nd", F.lit(0)).cast("long").alias("n_dropped"),
+            "theil",
+            "theil_norm",
+        )
+    )
+
+
+def growth_accounting(
+    events: DataFrame,
+    bucket_ms: int = 604800000,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Weekly growth accounting: per bucket, how many active users are
+    NEW (first-ever activity in this bucket) vs RETURNING — the
+    honest split behind any "active users" chart (flat DAU can be
+    healthy retention or a churn treadmill; only this split tells
+    them apart).
+
+    One (user, bucket) dedup collapses the log; each user's first
+    bucket is a per-user min; new/returning is a comparison inside
+    ONE map-side-combinable per-bucket count (first-bucket joins back
+    co-partitioned on the user key it was grouped by).
+
+    Output: (bucket_start bigint, n_active, n_new, n_returning
+    bigint), one row per non-empty bucket.
+    """
+    ub = (
+        events.filter(F.col(user).isNotNull() & F.col(ts).isNotNull())
+        .select(
+            F.col(user).alias("u"),
+            (F.floor(F.col(ts) / bucket_ms) * bucket_ms)
+            .cast("long")
+            .alias("b"),
+        )
+        .distinct()
+    )
+    first = ub.groupBy("u").agg(F.min("b").alias("fb"))
+    return (
+        ub.join(first, "u")
+        .groupBy(F.col("b").alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum((F.col("b") == F.col("fb")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("b") != F.col("fb")).cast("int"))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )

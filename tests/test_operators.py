@@ -5310,3 +5310,58 @@ def test_burstiness_regular_vs_bursty(spark):
     # single event -> no gaps -> excluded
     single = spark.createDataFrame([(3, 5)], "user_id long, timestamp long")
     assert tsa.burstiness(single).count() == 0
+
+
+def test_pr_curve_perfect_separator(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [(0.9, True)] * 10 + [(0.2, False)] * 30
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = {r["tau"]: r for r in analytics.pr_curve(
+        df, "s", "y", taus=(0.1, 0.5, 0.95)).collect()}
+    # tau 0.5 separates perfectly
+    assert got[0.5]["tp"] == 10 and got[0.5]["fp"] == 0
+    assert got[0.5]["precision"] == 1.0 and got[0.5]["recall"] == 1.0
+    assert got[0.5]["f1"] == 1.0
+    # tau 0.1 predicts everything positive
+    assert got[0.1]["precision"] == 0.25 and got[0.1]["recall"] == 1.0
+    # tau 0.95 predicts nothing: precision NULL, recall 0
+    assert got[0.95]["precision"] is None and got[0.95]["recall"] == 0.0
+
+
+def test_theil_index_equal_vs_concentrated(spark):
+    import math
+    from nsdb_spark.operators import analytics
+
+    rows = (
+        [("eq", 10.0)] * 8
+        + [("con", 100.0)] + [("con", 1e-9)] * 7   # near-total concentration
+        + [("dr", 5.0), ("dr", -1.0), ("dr", 0.0)]  # non-positive drops
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in
+           analytics.theil_index_by_group(df, "g", "x").collect()}
+    assert got["eq"]["theil"] == 0.0 and got["eq"]["theil_norm"] == 0.0
+    # concentrated group approaches ln(n) = ln(8)
+    assert got["con"]["theil"] > 0.9 * math.log(8)
+    assert got["con"]["theil_norm"] > 0.9
+    assert got["dr"]["n"] == 1 and got["dr"]["n_dropped"] == 2
+
+
+def test_growth_accounting_new_vs_returning(spark):
+    from nsdb_spark.operators import analytics
+
+    wk = 604_800_000
+    rows = [
+        (1, 0), (2, 0),               # week 0: both new
+        (1, wk), (3, wk),             # week 1: 1 returns, 3 new
+        (1, 2 * wk), (2, 2 * wk), (3, 2 * wk),  # week 2: all returning
+        (1, 2 * wk + 5),              # duplicate activity same week
+    ]
+    df = spark.createDataFrame(rows, "user_id long, timestamp long")
+    got = {r["bucket_start"]: r for r in
+           analytics.growth_accounting(df).collect()}
+    assert got[0]["n_new"] == 2 and got[0]["n_returning"] == 0
+    assert got[wk]["n_new"] == 1 and got[wk]["n_returning"] == 1
+    assert got[2 * wk]["n_active"] == 3
+    assert got[2 * wk]["n_new"] == 0 and got[2 * wk]["n_returning"] == 3
