@@ -321,6 +321,9 @@ def main() -> None:
         "stats_pr_curve",
         "stats_theil",
         "events_growth_accounting",
+        "stats_fisher_z",
+        "emb_effective_dim",
+        "win_time_in_state",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

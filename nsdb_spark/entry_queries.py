@@ -2019,6 +2019,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             testdata.events_metric(spark, sf), bucket_ms=604800000
         )
     )
+    q["stats_fisher_z"] = lambda spark, sf: analytics.fisher_z_corr_diff(
+        testdata.table(spark, sf, "lineitem"), group="l_returnflag",
+        a="A", b="R", x="l_quantity", y="l_extendedprice",
+    )
+    q["emb_effective_dim"] = lambda spark, sf: similarity.effective_dimension(
+        _emb(spark, sf)
+    )
+    q["win_time_in_state"] = lambda spark, sf: analytics.time_in_state(
+        testdata.events_metric(spark, sf)
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2418,6 +2428,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gone_quiet", "events_user_overlap", "sample_time_split",
         "stats_wilcoxon", "stats_cohen_kappa", "tsa_burstiness",
         "stats_pr_curve", "stats_theil", "events_growth_accounting",
+        "stats_fisher_z", "emb_effective_dim", "win_time_in_state",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3137,6 +3148,63 @@ cum AS (SELECT band, n, n_pos,
 SELECT band, n, n_pos, round(n_pos / n, 6) AS resp_rate,
        round((cp / cn) / (tt.tp / tt.tn), 6) AS cum_lift
 FROM cum, tt
+"""
+    o["stats_fisher_z"] = """
+WITH b AS (SELECT l_returnflag AS g,
+                  cast(l_quantity AS double) AS x,
+                  cast(l_extendedprice AS double) AS y
+           FROM lineitem
+           WHERE l_returnflag IN ('A', 'R')
+             AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+m AS (SELECT g, avg(x) AS mx, avg(y) AS my FROM b GROUP BY 1),
+per AS (SELECT b.g, cast(count(*) AS bigint) AS n,
+               sum((x - mx) * (x - mx)) AS sxx,
+               sum((y - my) * (y - my)) AS syy,
+               sum((x - mx) * (y - my)) AS sxy
+        FROM b JOIN m ON b.g = m.g GROUP BY 1),
+rr AS (SELECT g, n, sxy / sqrt(sxx * syy) AS r FROM per),
+wide AS (SELECT
+    max(CASE WHEN g = 'A' THEN n END) AS n_a,
+    max(CASE WHEN g = 'R' THEN n END) AS n_b,
+    max(CASE WHEN g = 'A' THEN r END) AS ra,
+    max(CASE WHEN g = 'R' THEN r END) AS rb,
+    max(CASE WHEN g = 'A' THEN 0.5 * ln((1.0 + r) / (1.0 - r)) END) AS za,
+    max(CASE WHEN g = 'R' THEN 0.5 * ln((1.0 + r) / (1.0 - r)) END) AS zb
+  FROM rr)
+SELECT n_a, n_b, round(ra, 6) AS r_a, round(rb, 6) AS r_b,
+       round((za - zb) / sqrt(1.0 / (n_a - 3) + 1.0 / (n_b - 3)), 6)
+         AS z_stat
+FROM wide
+"""
+    o["emb_effective_dim"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+x AS (SELECT i, v[i + 1] AS x FROM e, range(0, 64) r(i)),
+per AS (SELECT i, cast(count(*) AS bigint) AS n, sum(x) AS s1,
+               sum(x * x) AS s2
+        FROM x GROUP BY 1),
+vv AS (SELECT n, s2 / n - (s1 / n) * (s1 / n) AS v FROM per)
+SELECT cast(count(*) AS int) AS dim,
+       cast(max(n) AS bigint) AS n_vectors,
+       round(sum(v), 6) AS var_total,
+       round(max(v), 6) AS var_top,
+       round(sum(v) * sum(v) / sum(v * v), 6) AS pr_dim
+FROM vv
+"""
+    o["win_time_in_state"] = f"""
+{M},
+d AS (SELECT event_type,
+             lead(timestamp) OVER (PARTITION BY user_id
+                                   ORDER BY timestamp, event_id)
+             - timestamp AS dur
+      FROM m WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+per AS (SELECT event_type, cast(sum(dur) AS bigint) AS total_ms,
+               cast(count(dur) AS bigint) AS n_intervals
+        FROM d WHERE dur IS NOT NULL GROUP BY 1),
+t AS (SELECT cast(sum(total_ms) AS bigint) AS tt FROM per)
+SELECT event_type, total_ms, n_intervals,
+       round(total_ms / cast(t.tt AS double), 6) AS share
+FROM per, t
 """
     _pr_cells = []
     for _t in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):

@@ -3969,3 +3969,117 @@ def growth_accounting(
             .alias("n_returning"),
         )
     )
+
+
+def fisher_z_corr_diff(
+    df: DataFrame, group: str, a: str, b: str, x: str, y: str
+) -> DataFrame:
+    """Fisher z-test for a DIFFERENCE between two groups' correlations:
+    r within each group, Fisher-transformed z_r = atanh(r) =
+    ½·ln((1+r)/(1−r)), and z = (z_a − z_b)/√(1/(n_a−3) + 1/(n_b−3)) —
+    the "did the relationship itself change?" test (drift monitors
+    watch marginals; a feature can keep its distribution while its
+    correlation with the target silently flips).
+
+    One centered co-moment aggregate per group (two-pass means, the
+    stats_linreg discipline), closed form on the 2-row frame.
+    Degenerate groups (constant columns or n ≤ 3) → NULL via
+    try_divide.
+
+    Output: one row (n_a, n_b bigint, r_a r6, r_b r6, z_stat r6).
+    """
+    base = df.filter(
+        F.col(group).isin(a, b)
+        & F.col(x).isNotNull()
+        & F.col(y).isNotNull()
+    ).select(
+        F.col(group).alias("g"),
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    means = base.groupBy("g").agg(
+        F.avg("__x").alias("__mx"), F.avg("__y").alias("__my")
+    )
+    dx = F.col("__x") - F.col("__mx")
+    dy = F.col("__y") - F.col("__my")
+    per = (
+        base.join(F.broadcast(means), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dy * dy).alias("syy"),
+            F.sum(dx * dy).alias("sxy"),
+        )
+    )
+    r = F.try_divide(F.col("sxy"), F.sqrt(F.col("sxx") * F.col("syy")))
+    zr = 0.5 * F.log((1.0 + r) / (1.0 - r))
+    wide = per.groupBy().agg(
+        F.max(F.when(F.col("g") == a, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("g") == b, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("g") == a, r)).alias("ra"),
+        F.max(F.when(F.col("g") == b, r)).alias("rb"),
+        F.max(F.when(F.col("g") == a, zr)).alias("za"),
+        F.max(F.when(F.col("g") == b, zr)).alias("zb"),
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("ra"), 6).alias("r_a"),
+        F.round(F.col("rb"), 6).alias("r_b"),
+        F.round(
+            F.try_divide(
+                F.col("za") - F.col("zb"),
+                F.sqrt(
+                    1.0 / (F.col("n_a") - 3) + 1.0 / (F.col("n_b") - 3)
+                ),
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+def time_in_state(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state attribution: each inter-event interval belongs to
+    the EARLIER event's type (the state the subject was in until the
+    next transition), summed per type across the population — the
+    dwell-time view a plain event count inverts (many short "error"
+    events ≠ much time in the error state).
+
+    One lag-window pass per user (the transition_counts exchange),
+    then a map-side-combinable per-type total. Terminal events have
+    no successor and contribute no dwell (documented right-censoring
+    — the KM entry handles it properly when it matters).
+
+    Output: (type_col, total_ms bigint, n_intervals bigint,
+    share r6 [of all attributed dwell]).
+    """
+    w = Window.partitionBy(user).orderBy(ts, id_col)
+    d = (
+        events.filter(
+            F.col(user).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .withColumn("__nxt", F.lead(ts).over(w))
+        .filter(F.col("__nxt").isNotNull())
+        .select(
+            type_col,
+            (F.col("__nxt") - F.col(ts)).cast("long").alias("__d"),
+        )
+    )
+    per = d.groupBy(type_col).agg(
+        F.sum("__d").cast("long").alias("total_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+    tot = per.groupBy().agg(F.sum("total_ms").alias("__t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        type_col,
+        "total_ms",
+        "n_intervals",
+        F.round(F.col("total_ms") / F.col("__t"), 6).alias("share"),
+    )

@@ -1032,3 +1032,50 @@ def int8_recall_topk(
             ),
         )
     )
+
+
+def effective_dimension(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space anisotropy audit via per-dimension variances:
+    the participation ratio PR = (Σᵢ vᵢ)² / Σᵢ vᵢ² over the per-
+    dimension variances vᵢ — the "how many dimensions actually carry
+    signal?" number (PR = dim for isotropic embeddings, PR ≪ dim for
+    the collapsed/anisotropic spaces that sink cosine retrieval), and
+    the cheap go/no-go before PCA truncation or Matryoshka serving.
+
+    One posexplode collapses the corpus to dim rows of (n, Σx, Σx²)
+    — map-side combinable, shuffle bounded by dim — and PR is closed
+    form on that frame. Diagonal-only (full covariance is
+    emb_pca_project's job); population variance (÷n) on both engines.
+
+    Output: one row (dim int, n_vectors bigint, var_total r6,
+    var_top r6 [largest single dimension], pr_dim r6).
+    """
+    d = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(_as_double(vec_col)).alias("i", "x")
+    )
+    per = d.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    v = F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (
+        F.col("s1") / F.col("n")
+    )
+    agg = per.select(v.alias("v"), F.col("n")).groupBy().agg(
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.max("n").alias("n_vectors"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.max("v").alias("vt"),
+    )
+    return agg.select(
+        "dim",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(F.col("sv"), 6).alias("var_total"),
+        F.round(F.col("vt"), 6).alias("var_top"),
+        F.round(
+            F.try_divide(F.col("sv") * F.col("sv"), F.col("svv")), 6
+        ).alias("pr_dim"),
+    )

@@ -5365,3 +5365,71 @@ def test_growth_accounting_new_vs_returning(spark):
     assert got[wk]["n_new"] == 1 and got[wk]["n_returning"] == 1
     assert got[2 * wk]["n_active"] == 3
     assert got[2 * wk]["n_new"] == 0 and got[2 * wk]["n_returning"] == 3
+
+
+def test_fisher_z_corr_diff_detects_flip(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(113)
+    x = rng.normal(0, 1, 300)
+    rows = [("a", float(v), float(v * 2 + rng.normal(0, 0.5))) for v in x]
+    rows += [("b", float(v), float(-v * 2 + rng.normal(0, 0.5)))
+             for v in rng.normal(0, 1, 300)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = analytics.fisher_z_corr_diff(df, "g", "a", "b", "x", "y").collect()[0]
+    assert got["r_a"] > 0.9 and got["r_b"] < -0.9
+    assert got["z_stat"] > 10
+    # identical relationship: z near 0
+    same = [("a", float(v), float(v + rng.normal(0, 1))) for v in x] + [
+        ("b", float(v), float(v + rng.normal(0, 1)))
+        for v in rng.normal(0, 1, 300)
+    ]
+    df2 = spark.createDataFrame(same, "g string, x double, y double")
+    r2 = analytics.fisher_z_corr_diff(df2, "g", "a", "b", "x", "y").collect()[0]
+    assert abs(r2["z_stat"]) < 3
+
+
+def test_effective_dimension_isotropic_vs_collapsed(spark):
+    import numpy as np
+    from nsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(127)
+    iso = rng.normal(0, 1, (300, 16)).astype("float32")
+    # collapsed: dimension 0 carries almost everything
+    col = rng.normal(0, 1, (300, 16)).astype("float32") * 0.05
+    col[:, 0] = rng.normal(0, 5, 300)
+    di = spark.createDataFrame(
+        [(i, [float(v) for v in iso[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    dc = spark.createDataFrame(
+        [(i, [float(v) for v in col[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    ri = similarity.effective_dimension(di).collect()[0]
+    rc = similarity.effective_dimension(dc).collect()[0]
+    assert ri["dim"] == 16 and ri["n_vectors"] == 300
+    assert ri["pr_dim"] > 14           # near-isotropic
+    assert rc["pr_dim"] < 2            # one dominant direction
+    assert rc["var_top"] > 0.9 * rc["var_total"]
+
+
+def test_time_in_state_attribution(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        # user 1: A(0) -> B(100) -> A(300) -> end: A holds 0-100 and
+        # 300-end(no successor), B holds 100-300
+        (1, 0, 1, "A"), (1, 100, 2, "B"), (1, 300, 3, "A"),
+        # user 2: B(0) -> B(50): B holds 50
+        (2, 0, 4, "B"), (2, 50, 5, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, event_type string"
+    )
+    got = {r["event_type"]: r for r in
+           analytics.time_in_state(df).collect()}
+    assert got["A"]["total_ms"] == 100 and got["A"]["n_intervals"] == 1
+    assert got["B"]["total_ms"] == 250 and got["B"]["n_intervals"] == 2
+    assert got["A"]["share"] == round(100 / 350, 6)
