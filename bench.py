@@ -324,6 +324,9 @@ def main() -> None:
         "stats_fisher_z",
         "emb_effective_dim",
         "win_time_in_state",
+        "dedup_family_sizes",
+        "events_load_factor",
+        "win_running_records",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

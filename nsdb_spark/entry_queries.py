@@ -2029,6 +2029,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["win_time_in_state"] = lambda spark, sf: analytics.time_in_state(
         testdata.events_metric(spark, sf)
     )
+    q["dedup_family_sizes"] = lambda spark, sf: dedup.duplicate_family_sizes(
+        _docs(spark, sf)
+    )
+    q["events_load_factor"] = lambda spark, sf: analytics.load_factor(
+        testdata.events_metric(spark, sf), bucket_ms=3600000
+    )
+    q["win_running_records"] = lambda spark, sf: analytics.running_records(
+        testdata.events_metric(spark, sf), key="user_id",
+        ts="timestamp", value="value", id_col="event_id",
+    )
 
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
@@ -2429,6 +2439,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_wilcoxon", "stats_cohen_kappa", "tsa_burstiness",
         "stats_pr_curve", "stats_theil", "events_growth_accounting",
         "stats_fisher_z", "emb_effective_dim", "win_time_in_state",
+        "dedup_family_sizes", "events_load_factor", "win_running_records",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3148,6 +3159,55 @@ cum AS (SELECT band, n, n_pos,
 SELECT band, n, n_pos, round(n_pos / n, 6) AS resp_rate,
        round((cp / cn) / (tt.tp / tt.tn), 6) AS cum_lift
 FROM cum, tt
+"""
+    o["dedup_family_sizes"] = """
+WITH fam AS (SELECT md5(text) AS h, cast(count(*) AS bigint) AS sz
+             FROM documents WHERE text IS NOT NULL GROUP BY 1)
+SELECT sz AS family_size, cast(count(*) AS bigint) AS n_families,
+       cast(sz * count(*) AS bigint) AS n_docs,
+       cast((sz - 1) * count(*) AS bigint) AS n_excess
+FROM fam GROUP BY 1
+"""
+    o["events_load_factor"] = f"""
+{M},
+per AS (SELECT event_type, (timestamp // 3600000) * 3600000 AS b,
+               cast(count(*) AS bigint) AS c
+        FROM m WHERE event_type IS NOT NULL AND timestamp IS NOT NULL
+        GROUP BY 1, 2),
+pk AS (SELECT event_type, c AS peak_count, b AS peak_bucket,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY c DESC, b ASC) AS rn
+       FROM per),
+ag AS (SELECT event_type, cast(count(*) AS bigint) AS n_buckets,
+              round(avg(c), 6) AS mean_per_bucket,
+              max(c) AS peak_count,
+              round(max(c) / avg(c), 6) AS load_factor
+       FROM per GROUP BY 1)
+SELECT ag.event_type, ag.n_buckets, ag.mean_per_bucket, ag.peak_count,
+       cast(pk.peak_bucket AS bigint) AS peak_bucket, ag.load_factor
+FROM ag JOIN pk ON ag.event_type = pk.event_type AND pk.rn = 1
+"""
+    o["win_running_records"] = f"""
+{M},
+d AS (SELECT user_id, timestamp, event_id, value FROM m
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (SELECT user_id, timestamp, value,
+             max(value) OVER (PARTITION BY user_id
+                              ORDER BY timestamp, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+      FROM d),
+bt AS (SELECT user_id, value AS best, timestamp AS best_ts,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY value DESC, timestamp ASC) AS rn
+       FROM d)
+SELECT r.user_id, cast(count(*) AS bigint) AS n,
+       cast(sum(CASE WHEN pm IS NULL OR value > pm THEN 1 ELSE 0 END)
+         AS bigint) AS n_records,
+       round(max(bt.best), 6) AS best,
+       cast(max(bt.best_ts) AS bigint) AS best_ts
+FROM r JOIN bt ON r.user_id = bt.user_id AND bt.rn = 1
+GROUP BY 1
 """
     o["stats_fisher_z"] = """
 WITH b AS (SELECT l_returnflag AS g,

@@ -4083,3 +4083,83 @@ def time_in_state(
         "n_intervals",
         F.round(F.col("total_ms") / F.col("__t"), 6).alias("share"),
     )
+
+
+def load_factor(
+    events: DataFrame,
+    bucket_ms: int = 3600000,
+    type_col: str = "event_type",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Per-type load factor over fixed time buckets: peak bucket count
+    vs mean bucket count (over the type's ACTIVE buckets, documented)
+    — the capacity-planning number ("provision for peak = load_factor
+    × average") and the burstiness view at the fleet grain that
+    per-key burstiness can't see.
+
+    One map-side-combinable (type, bucket) count — rows bounded by
+    types × buckets — then a per-type max/avg rollup. Peak bucket
+    reported for drill-down; ties break on the earliest bucket.
+
+    Output: (type_col, n_buckets bigint, mean_per_bucket r6,
+    peak_count bigint, peak_bucket bigint, load_factor r6).
+    """
+    b = (F.floor(F.col(ts) / bucket_ms) * bucket_ms).cast("long")
+    per = (
+        events.filter(F.col(type_col).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(type_col, b.alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    peak = F.max(
+        F.struct(F.col("c").alias("c"), (-F.col("b")).alias("nb"))
+    )
+    return per.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.avg("c"), 6).alias("mean_per_bucket"),
+        F.max("c").alias("peak_count"),
+        (-peak["nb"]).cast("long").alias("peak_bucket"),
+        F.round(F.max("c") / F.avg("c"), 6).alias("load_factor"),
+    )
+
+
+def running_records(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key record-high census: how many observations set a new
+    all-time high for their key (strictly above every earlier value;
+    the first observation is record #1), plus when the standing
+    record was set — "is this metric still improving, and how stale
+    is its best?" (record counts of an i.i.d. series grow like ln n —
+    far more frequent records mean drift, far fewer mean early
+    saturation).
+
+    Running max + one comparison on a single key exchange; the record
+    census is a map-side-combinable aggregate over the flagged rows.
+    Strictness makes ties non-records on both engines identically.
+
+    Output: (key, n bigint, n_records bigint, best r6,
+    best_ts bigint [earliest ts achieving the standing record]).
+    """
+    w = Window.partitionBy(key).orderBy(ts, id_col)
+    prev_max = F.max("__v").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).cast("double").alias("__v"))
+        .withColumn(
+            "__rec",
+            prev_max.isNull() | (F.col("__v") > prev_max),
+        )
+    )
+    best = F.max(F.struct(F.col("__v").alias("v"), (-F.col(ts)).alias("nt")))
+    return d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__rec").cast("int")).cast("long").alias("n_records"),
+        F.round(best["v"], 6).alias("best"),
+        (-best["nt"]).cast("long").alias("best_ts"),
+    )

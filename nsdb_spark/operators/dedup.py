@@ -1546,3 +1546,38 @@ def split_leakage(
             "is_leak", F.col("split_a") != F.col("split_b")
         )
     )
+
+
+def duplicate_family_sizes(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distribution of exact-duplicate family sizes: how many groups of
+    byte-identical texts exist at each multiplicity — the ONE-glance
+    dedup damage report (a corpus with ten 4-copy families is fine; a
+    corpus with one 40 000-copy family has a template/mirror problem
+    the mean dup rate hides completely), and the number that predicts
+    exact-dedup's savings before running it: bytes saved =
+    Σ (size − 1)·n_groups·avg_len.
+
+    Two monotonically-shrinking map-side-combinable aggregates on top
+    of exact_duplicates' single hash-keyed shuffle: hash groups →
+    (size, n_groups). Output rows bounded by the largest family size.
+
+    Output: (family_size bigint, n_families bigint, n_docs bigint
+    [size × families], n_excess bigint [(size − 1) × families]).
+    """
+    fam = exact_duplicates(docs, text_col)
+    return (
+        fam.groupBy(F.col("dup_count").alias("family_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_families"))
+        .select(
+            F.col("family_size").cast("long").alias("family_size"),
+            "n_families",
+            (F.col("family_size") * F.col("n_families"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("family_size") - 1) * F.col("n_families"))
+            .cast("long")
+            .alias("n_excess"),
+        )
+    )

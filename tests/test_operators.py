@@ -5433,3 +5433,67 @@ def test_time_in_state_attribution(spark):
     assert got["A"]["total_ms"] == 100 and got["A"]["n_intervals"] == 1
     assert got["B"]["total_ms"] == 250 and got["B"]["n_intervals"] == 2
     assert got["A"]["share"] == round(100 / 350, 6)
+
+
+def test_duplicate_family_sizes_hand_computed(spark):
+    from nsdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"),      # family of 3
+         (4, "bbb"), (5, "bbb"),                  # family of 2
+         (6, "ccc"), (7, None)],                  # singleton; NULL drops
+        "doc_id long, text string",
+    )
+    got = {r["family_size"]: r for r in
+           dedup.duplicate_family_sizes(docs).collect()}
+    assert got[3]["n_families"] == 1 and got[3]["n_excess"] == 2
+    assert got[2]["n_families"] == 1 and got[2]["n_docs"] == 2
+    assert got[1]["n_families"] == 1 and got[1]["n_excess"] == 0
+    assert sum(r["n_docs"] for r in got.values()) == 6
+
+
+def test_load_factor_peak_and_ties(spark):
+    from nsdb_spark.operators import analytics
+
+    hr = 3_600_000
+    rows = (
+        [("A", 10)] * 4                       # bucket 0: 4 events
+        + [("A", hr + 5)] * 2                 # bucket 1: 2
+        + [("A", 3 * hr)] * 4                 # bucket 3: 4 (tie with 0)
+        + [("B", 5)]                          # single bucket
+    )
+    df = spark.createDataFrame(
+        [(t, ts) for t, ts in rows], "event_type string, timestamp long"
+    )
+    got = {r["event_type"]: r for r in
+           analytics.load_factor(df, bucket_ms=hr).collect()}
+    a = got["A"]
+    assert a["n_buckets"] == 3 and a["peak_count"] == 4
+    assert a["peak_bucket"] == 0            # tie -> earliest bucket
+    assert abs(a["load_factor"] - 4 / (10 / 3)) < 1e-6
+    assert got["B"]["load_factor"] == 1.0
+
+
+def test_running_records_census(spark):
+    from nsdb_spark.operators import analytics
+
+    # values 3, 5, 5, 4, 7: records at 3, 5, 7 (tie at 5 is NOT a record)
+    rows = [(1, t, t, v) for t, v in
+            enumerate([3.0, 5.0, 5.0, 4.0, 7.0])]
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_id long, value double"
+    )
+    got = analytics.running_records(
+        df, "user_id", "timestamp", "value", "event_id"
+    ).collect()[0]
+    assert got["n"] == 5 and got["n_records"] == 3
+    assert got["best"] == 7.0 and got["best_ts"] == 4
+    # monotone decreasing: only the first observation is a record
+    dn = spark.createDataFrame(
+        [(2, t, t, float(9 - t)) for t in range(5)],
+        "user_id long, timestamp long, event_id long, value double",
+    )
+    r2 = analytics.running_records(
+        dn, "user_id", "timestamp", "value", "event_id"
+    ).collect()[0]
+    assert r2["n_records"] == 1 and r2["best_ts"] == 0
