@@ -327,6 +327,9 @@ def main() -> None:
         "dedup_family_sizes",
         "events_load_factor",
         "win_running_records",
+        "stats_bland_altman",
+        "stats_gmean",
+        "rollup_group_skew",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -2040,6 +2040,47 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts="timestamp", value="value", id_col="event_id",
     )
 
+    def _bland_altman(spark, sf):
+        e = testdata.events_metric(spark, sf)
+        paired = (
+            e.filter(
+                F.col("user_id").isNotNull() & F.col("value").isNotNull()
+            )
+            .groupBy("user_id")
+            .agg(
+                F.avg(
+                    F.when(
+                        F.col("timestamp") < MCNEMAR_SPLIT_MS,
+                        F.col("value"),
+                    )
+                ).alias("before"),
+                F.avg(
+                    F.when(
+                        F.col("timestamp") >= MCNEMAR_SPLIT_MS,
+                        F.col("value"),
+                    )
+                ).alias("after"),
+            )
+            .filter(
+                F.col("before").isNotNull() & F.col("after").isNotNull()
+            )
+        )
+        return analytics.bland_altman(
+            paired, subject="user_id", x="before", y="after"
+        )
+
+    q["stats_bland_altman"] = _bland_altman
+    q["stats_gmean"] = lambda spark, sf: analytics.pythagorean_means(
+        testdata.table(spark, sf, "lineitem"), part="l_returnflag",
+        value="l_quantity",
+    )
+    q["rollup_group_skew"] = lambda spark, sf: rollup.group_skew_from_moment_rollup(
+        rollup.build_group_moment_rollup(
+            testdata.events_metric(spark, sf), "event_type"
+        ),
+        "event_type",
+    )
+
     q["text_rerank_twostage"] = lambda spark, sf: ranking.rerank_topk(
         _docs(spark, sf), BM25_TERMS, n_candidates=50, k=10
     )
@@ -2440,6 +2481,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pr_curve", "stats_theil", "events_growth_accounting",
         "stats_fisher_z", "emb_effective_dim", "win_time_in_state",
         "dedup_family_sizes", "events_load_factor", "win_running_records",
+        "stats_bland_altman", "stats_gmean", "rollup_group_skew",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
@@ -3159,6 +3201,64 @@ cum AS (SELECT band, n, n_pos,
 SELECT band, n, n_pos, round(n_pos / n, 6) AS resp_rate,
        round((cp / cn) / (tt.tp / tt.tn), 6) AS cum_lift
 FROM cum, tt
+"""
+    o["stats_bland_altman"] = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+pu AS (SELECT user_id,
+              avg(CASE WHEN t < {MCNEMAR_SPLIT_MS} THEN value END) AS xa,
+              avg(CASE WHEN t >= {MCNEMAR_SPLIT_MS} THEN value END) AS xb
+       FROM e GROUP BY 1),
+d AS (SELECT xb - xa AS d FROM pu
+      WHERE xa IS NOT NULL AND xb IS NOT NULL),
+m AS (SELECT cast(count(*) AS bigint) AS n, avg(d) AS bias,
+             stddev_samp(d) AS sd FROM d),
+bd AS (SELECT n, round(bias, 6) AS bias,
+              round(bias - {analytics.WILSON_Z!r} * sd, 6) AS loa_low,
+              round(bias + {analytics.WILSON_Z!r} * sd, 6) AS loa_high
+       FROM m)
+SELECT max(bd.n) AS n, max(bd.bias) AS bias,
+       max(bd.loa_low) AS loa_low, max(bd.loa_high) AS loa_high,
+       cast(sum(CASE WHEN d.d < bd.loa_low OR d.d > bd.loa_high
+                     THEN 1 ELSE 0 END) AS bigint) AS n_outside
+FROM d, bd
+"""
+    o["stats_gmean"] = """
+WITH b AS (SELECT l_returnflag AS g, cast(l_quantity AS double) AS x
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL)
+SELECT g AS l_returnflag,
+       cast(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bigint) AS n,
+       cast(sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_dropped,
+       round(avg(CASE WHEN x > 0 THEN x END), 6) AS am,
+       round(exp(avg(CASE WHEN x > 0 THEN ln(x) END)), 6) AS gm,
+       round(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END)
+             / sum(CASE WHEN x > 0 THEN 1.0 / x END), 6) AS hm
+FROM b GROUP BY 1
+"""
+    # group sibling of rollup_temporal_skew: same standardized-moment
+    # closed form off per-group power sums
+    o["rollup_group_skew"] = f"""
+{M},
+r AS (SELECT event_type AS g, cast(count(*) AS bigint) AS cnt,
+             sum(value) AS s1, sum(value*value) AS s2,
+             sum(value*value*value) AS s3,
+             sum(value*value*value*value) AS s4
+      FROM m WHERE event_type IS NOT NULL GROUP BY 1),
+x AS (SELECT g, cnt, s1 / cnt AS mu,
+             s2 / cnt - (s1 / cnt) * (s1 / cnt) AS m2,
+             s3 / cnt - 3.0 * (s1 / cnt) * (s2 / cnt)
+               + 2.0 * (s1 / cnt) * (s1 / cnt) * (s1 / cnt) AS m3,
+             s4 / cnt - 4.0 * (s1 / cnt) * (s3 / cnt)
+               + 6.0 * (s1 / cnt) * (s1 / cnt) * (s2 / cnt)
+               - 3.0 * (s1 / cnt) * (s1 / cnt) * (s1 / cnt) * (s1 / cnt)
+               AS m4
+      FROM r)
+SELECT g AS event_type, cnt AS n_value, round(mu, 6) AS mean,
+       round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS ex_kurtosis
+FROM x
 """
     o["dedup_family_sizes"] = """
 WITH fam AS (SELECT md5(text) AS h, cast(count(*) AS bigint) AS sz

@@ -4163,3 +4163,100 @@ def running_records(
         F.round(best["v"], 6).alias("best"),
         (-best["nt"]).cast("long").alias("best_ts"),
     )
+
+
+def bland_altman(
+    df: DataFrame, subject: str, x: str, y: str
+) -> DataFrame:
+    """Bland-Altman agreement bounds for paired measurements: mean
+    difference (bias) and the 95% limits of agreement
+    bias ± 1.96·SD(diff) (Bland & Altman 1986) — the clinical-method
+    standard for "can method B replace method A?", reporting the
+    RANGE a new measurement may differ by, which correlation (even
+    ccc) cannot: two methods can agree on average and still disagree
+    by ±50% per subject.
+
+    One paired-diff projection + a single sum/sumsq aggregate; the
+    share of subjects outside the limits is computed in the SAME scan
+    against the closed-form bounds (rounded 6 pre-compare, the tukey
+    fence discipline, via a broadcast join of the 1-row bounds).
+
+    Output: one row (n bigint, bias r6, loa_low r6, loa_high r6,
+    n_outside bigint).
+    """
+    d = df.filter(
+        F.col(subject).isNotNull()
+        & F.col(x).isNotNull()
+        & F.col(y).isNotNull()
+    ).select(
+        (F.col(y).cast("double") - F.col(x).cast("double")).alias("d")
+    )
+    m = d.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("d").alias("bias"),
+        F.stddev_samp("d").alias("sd"),
+    )
+    bounds = m.select(
+        "n",
+        F.round(F.col("bias"), 6).alias("bias"),
+        F.round(F.col("bias") - WILSON_Z * F.col("sd"), 6).alias("loa_low"),
+        F.round(F.col("bias") + WILSON_Z * F.col("sd"), 6).alias("loa_high"),
+    )
+    out = d.crossJoin(F.broadcast(bounds)).groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("bias").alias("bias"),
+        F.max("loa_low").alias("loa_low"),
+        F.max("loa_high").alias("loa_high"),
+        F.sum(
+            (
+                (F.col("d") < F.col("loa_low"))
+                | (F.col("d") > F.col("loa_high"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_outside"),
+    )
+    return out
+
+
+def pythagorean_means(
+    df: DataFrame, part: str, value: str
+) -> DataFrame:
+    """Per-group arithmetic, geometric, and harmonic means over
+    POSITIVE values — the three Pythagorean means side by side:
+    rates and ratios average correctly under HM (mean speed over
+    fixed distances), growth factors under GM (compound rates), and
+    the AM ≥ GM ≥ HM spread itself is a dispersion signal (equal only
+    for constant data). Non-positive values drop (ln/reciprocal
+    undefined) and are counted.
+
+    One conditional aggregate: Σx, Σln x, Σ1/x per group — a single
+    map-side-combinable pass.
+
+    Output: (part, n bigint, n_dropped bigint, am r6, gm r6, hm r6).
+    """
+    base = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    return base.groupBy(part).agg(
+        F.sum((F.col("__x") > 0).cast("int")).cast("long").alias("n"),
+        F.sum((F.col("__x") <= 0).cast("int")).cast("long").alias(
+            "n_dropped"
+        ),
+        F.round(F.avg(F.when(F.col("__x") > 0, F.col("__x"))), 6).alias(
+            "am"
+        ),
+        F.round(
+            F.exp(
+                F.avg(F.when(F.col("__x") > 0, F.log(F.col("__x"))))
+            ),
+            6,
+        ).alias("gm"),
+        F.round(
+            F.try_divide(
+                F.sum((F.col("__x") > 0).cast("int")),
+                F.sum(F.when(F.col("__x") > 0, 1.0 / F.col("__x"))),
+            ),
+            6,
+        ).alias("hm"),
+    )

@@ -975,3 +975,47 @@ def temporal_skew_via_rollup(
     return temporal_skew_from_moment_rollup(
         spark, rollup, bounds, fine_ms, coarse_ms
     )
+
+
+def build_group_moment_rollup(
+    metric_df: DataFrame, field: str
+) -> DataFrame:
+    """Group-keyed mergeable moment partials — the tag-dimension
+    sibling of build_moment_rollup: one row per group value with
+    (n, Σx, Σx², Σx³, Σx⁴); power sums add across batches so per-tag
+    skew/kurtosis dashboards serve from the store without raw
+    rescans, like build_group_rollup/build_group_quantile_rollup."""
+    v = F.col("value").cast("double")
+    return metric_df.filter(F.col(field).isNotNull()).groupBy(
+        F.col(field).alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+
+
+def group_skew_from_moment_rollup(rollup: DataFrame, field: str) -> DataFrame:
+    """Per-group mean/skewness/excess-kurtosis served from the group
+    moment rollup — identical standardized-moment closed form (and
+    expression order) as temporal_skew_from_moment_rollup; degenerate
+    groups (m₂ = 0) yield NULL via try_divide."""
+    cnt = F.col("n").cast("double")
+    mu = F.col("s1") / cnt
+    m2 = F.col("s2") / cnt - mu * mu
+    m3 = F.col("s3") / cnt - 3.0 * mu * (F.col("s2") / cnt) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / cnt
+        - 4.0 * mu * (F.col("s3") / cnt)
+        + 6.0 * mu * mu * (F.col("s2") / cnt)
+        - 3.0 * mu * mu * mu * mu
+    )
+    return rollup.select(
+        F.col("g").alias(field),
+        F.col("n").cast("long").alias("n_value"),
+        F.round(mu, 6).alias("mean"),
+        F.round(F.try_divide(m3, F.sqrt(m2 * m2 * m2)), 6).alias("skewness"),
+        F.round(F.try_divide(m4, m2 * m2) - 3.0, 6).alias("ex_kurtosis"),
+    )

@@ -5497,3 +5497,68 @@ def test_running_records_census(spark):
         dn, "user_id", "timestamp", "value", "event_id"
     ).collect()[0]
     assert r2["n_records"] == 1 and r2["best_ts"] == 0
+
+
+def test_bland_altman_hand_computed(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(131)
+    a = rng.normal(50, 5, 200)
+    b = a + 2.0 + rng.normal(0, 1, 200)   # constant bias 2, sd 1
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(a, b))]
+    df = spark.createDataFrame(rows, "s long, x double, y double")
+    got = analytics.bland_altman(df, "s", "x", "y").collect()[0]
+    d = b - a
+    assert got["n"] == 200
+    assert abs(got["bias"] - d.mean()) < 1e-5
+    sd = d.std(ddof=1)
+    assert abs(got["loa_low"] - (d.mean() - 1.959963984540054 * sd)) < 1e-4
+    assert abs(got["loa_high"] - (d.mean() + 1.959963984540054 * sd)) < 1e-4
+    # ~5% of subjects fall outside the 95% limits
+    assert 0 <= got["n_outside"] <= 25
+
+
+def test_pythagorean_means_ordering(spark):
+    import math
+    from nsdb_spark.operators import analytics
+
+    rows = [("g", 1.0), ("g", 4.0), ("g", 16.0), ("g", -2.0), ("g", 0.0)]
+    df = spark.createDataFrame(rows, "p string, x double")
+    got = analytics.pythagorean_means(df, "p", "x").collect()[0]
+    assert got["n"] == 3 and got["n_dropped"] == 2
+    assert got["am"] == 7.0
+    assert got["gm"] == round(math.exp(
+        (math.log(1) + math.log(4) + math.log(16)) / 3), 6)
+    assert got["hm"] == round(3 / (1 + 0.25 + 1 / 16), 6)
+    assert got["hm"] < got["gm"] < got["am"]
+    # constant data: all three equal
+    c = spark.createDataFrame([("g", 5.0)] * 4, "p string, x double")
+    r = analytics.pythagorean_means(c, "p", "x").collect()[0]
+    assert r["am"] == r["gm"] == r["hm"] == 5.0
+
+
+def test_group_moment_rollup_matches_direct(spark):
+    import numpy as np
+    from nsdb_spark.operators import rollup
+
+    rng = np.random.RandomState(137)
+    rows = [("a", float(v)) for v in rng.exponential(2, 500)] + [
+        ("b", float(v)) for v in rng.normal(0, 1, 500)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    served = {r["event_type"]: r for r in
+              rollup.group_skew_from_moment_rollup(
+                  rollup.build_group_moment_rollup(df, "event_type"),
+                  "event_type").collect()}
+    for g, vals in (("a", [v for k, v in rows if k == "a"]),
+                    ("b", [v for k, v in rows if k == "b"])):
+        x = np.array(vals)
+        d = x - x.mean()
+        m2 = (d**2).mean()
+        sk = (d**3).mean() / m2**1.5
+        ku = (d**4).mean() / m2**2 - 3
+        assert abs(served[g]["skewness"] - sk) < 1e-4
+        assert abs(served[g]["ex_kurtosis"] - ku) < 1e-3
+    assert served["a"]["skewness"] > 1.0      # exponential is skewed
+    assert abs(served["b"]["skewness"]) < 0.3
