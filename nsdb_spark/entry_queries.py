@@ -2456,32 +2456,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into that prefix; the stable NSDb-parity rows and older extensions
     # fill the rest in their definition order.
     priority = [
-        # round 9: new entries this round
-        "stats_wasserstein", "stats_cvm", "events_paths",
-        "graph_kcore", "stats_levene", "emb_hamming_topk",
-        "events_markov", "events_kaplan_meier", "stats_qq",
-        "tsa_ljung_box", "stats_runs", "sim_topk_hamming_rerank",
-        "stats_ad", "sample_neyman", "emb_matryoshka_overlap",
-        "sample_pps_systematic", "stats_deming", "graph_assortativity",
-        "graph_clustering_coeff", "events_json_stats", "stats_mood",
-        "stats_kruskal", "tsa_kpss", "text_lang_confusion",
-        "join_band_prices", "stats_hill", "graph_modularity",
-        "stats_ccc", "events_entropy_rate", "text_compress_ratio",
-        "stats_odds_ratio", "events_mcnemar", "sample_neyman_apply",
-        "stats_auc", "stats_brier", "stats_calibration", "stats_lift",
-        "dedup_split_leakage", "graph_bfs_hops", "tsa_seasonal_strength",
-        "stats_g_test", "text_source_overlap", "win_longest_streaks",
-        "stats_jarque_bera", "sim_recall_int8", "sample_class_balance",
-        "tsa_holt", "tsa_drawdown", "stats_tukey",
-        "rollup_temporal_skew", "stats_cvar", "tsa_variance_ratio",
-        "stats_cov_matrix", "events_poisson_check", "win_latest_percentile",
-        "stats_cochran_armitage", "graph_rich_club", "text_bigram_entropy",
-        "events_gone_quiet", "events_user_overlap", "sample_time_split",
-        "stats_wilcoxon", "stats_cohen_kappa", "tsa_burstiness",
-        "stats_pr_curve", "stats_theil", "events_growth_accounting",
-        "stats_fisher_z", "emb_effective_dim", "win_time_in_state",
-        "dedup_family_sizes", "events_load_factor", "win_running_records",
+        # round 9: new entries this round, NEWEST WAVES FIRST — with 79
+        # additions only 50 fit the driver's check prefix, and the
+        # latest waves have soaked the least
         "stats_bland_altman", "stats_gmean", "rollup_group_skew",
+        "dedup_family_sizes", "events_load_factor", "win_running_records",
+        "stats_fisher_z", "emb_effective_dim", "win_time_in_state",
+        "stats_pr_curve", "stats_theil", "events_growth_accounting",
+        "stats_wilcoxon", "stats_cohen_kappa", "tsa_burstiness",
+        "events_gone_quiet", "events_user_overlap", "sample_time_split",
+        "stats_cochran_armitage", "graph_rich_club", "text_bigram_entropy",
+        "stats_cov_matrix", "events_poisson_check", "win_latest_percentile",
+        "rollup_temporal_skew", "stats_cvar", "tsa_variance_ratio",
+        "tsa_holt", "tsa_drawdown", "stats_tukey",
+        "stats_jarque_bera", "sim_recall_int8", "sample_class_balance",
+        "stats_g_test", "text_source_overlap", "win_longest_streaks",
+        "dedup_split_leakage", "graph_bfs_hops", "tsa_seasonal_strength",
+        "stats_auc", "stats_brier", "stats_calibration", "stats_lift",
+        "stats_odds_ratio", "events_mcnemar", "sample_neyman_apply",
+        "stats_ccc", "events_entropy_rate", "text_compress_ratio",
+        "join_band_prices", "stats_hill", "graph_modularity",
+        "stats_kruskal", "tsa_kpss", "text_lang_confusion",
+        "graph_clustering_coeff", "events_json_stats", "stats_mood",
+        "sample_pps_systematic", "stats_deming", "graph_assortativity",
+        "stats_ad", "sample_neyman", "emb_matryoshka_overlap",
+        "tsa_ljung_box", "stats_runs", "sim_topk_hamming_rerank",
+        "events_markov", "events_kaplan_meier", "stats_qq",
+        "graph_kcore", "stats_levene", "emb_hamming_topk",
+        "stats_wasserstein", "stats_cvm", "events_paths",
         # round 8 wave 2: new entries this round
         "stats_spearman", "stats_mi", "graph_adamic_adar",
         "tsa_periodogram", "stats_theil_sen", "stats_cramers_v",
