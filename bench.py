@@ -330,6 +330,9 @@ def main() -> None:
         "stats_bland_altman",
         "stats_gmean",
         "rollup_group_skew",
+        "stats_eta_squared",
+        "events_hourly_profile",
+        "sim_knn_join_hamming",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -2074,6 +2074,27 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "lineitem"), part="l_returnflag",
         value="l_quantity",
     )
+    q["stats_eta_squared"] = lambda spark, sf: analytics.eta_squared(
+        testdata.table(spark, sf, "events"), part="event_type",
+        value="value",
+    )
+    q["events_hourly_profile"] = lambda spark, sf: analytics.hourly_profile(
+        testdata.events_metric(spark, sf)
+    )
+
+    def _knn_hamming(spark, sf):
+        qs = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in _emb(spark, sf)
+            .filter(F.col("vec_id") < 4)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        return similarity.hamming_knn_join(
+            _emb(spark, sf), qs, k=5, shortlist=100
+        )
+
+    q["sim_knn_join_hamming"] = _knn_hamming
     q["rollup_group_skew"] = lambda spark, sf: rollup.group_skew_from_moment_rollup(
         rollup.build_group_moment_rollup(
             testdata.events_metric(spark, sf), "event_type"
@@ -2459,6 +2480,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: new entries this round, NEWEST WAVES FIRST — with 79
         # additions only 50 fit the driver's check prefix, and the
         # latest waves have soaked the least
+        "stats_eta_squared", "events_hourly_profile",
+        "sim_knn_join_hamming",
         "stats_bland_altman", "stats_gmean", "rollup_group_skew",
         "dedup_family_sizes", "events_load_factor", "win_running_records",
         "stats_fisher_z", "emb_effective_dim", "win_time_in_state",
@@ -3203,6 +3226,64 @@ cum AS (SELECT band, n, n_pos,
 SELECT band, n, n_pos, round(n_pos / n, 6) AS resp_rate,
        round((cp / cn) / (tt.tp / tt.tn), 6) AS cum_lift
 FROM cum, tt
+"""
+    o["stats_eta_squared"] = """
+WITH g AS (SELECT event_type AS p, cast(count(*) AS bigint) AS ng,
+                  sum(value) AS sg, sum(value * value) AS ssg
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1),
+t AS (SELECT cast(sum(ng) AS bigint) AS tn, sum(sg) AS tsg FROM g),
+j AS (SELECT g.*, t.tn, t.tsg, t.tsg / t.tn AS grand FROM g, t)
+SELECT cast(count(*) AS bigint) AS k, max(tn) AS n,
+       round(sum(ng * (sg / ng - grand) * (sg / ng - grand))
+             / (sum(ssg) - max(tsg) * max(tsg) / max(tn)), 6) AS eta_sq
+FROM j
+"""
+    o["events_hourly_profile"] = f"""
+{M},
+per AS (SELECT event_type,
+               cast((timestamp % 86400000) // 3600000 AS int) AS hour,
+               cast(count(*) AS bigint) AS n
+        FROM m WHERE event_type IS NOT NULL AND timestamp IS NOT NULL
+        GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(n) AS t FROM per GROUP BY 1)
+SELECT per.event_type, hour, n, round(n / cast(t.t AS double), 6) AS share
+FROM per JOIN tot t USING (event_type)
+"""
+    o["sim_knn_join_hamming"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+bits AS (SELECT vec_id, i,
+                CASE WHEN v[i + 1] >= 0 THEN 1::BIGINT ELSE 0 END AS b
+         FROM e, range(0, 64) r(i)),
+w AS (SELECT vec_id, i // 32 AS wi,
+             sum(b * (1::BIGINT << (i % 32))) AS word
+      FROM bits GROUP BY 1, 2),
+qw AS (SELECT vec_id AS query_id, wi, word AS qword FROM w
+       WHERE vec_id < 4),
+hd AS (SELECT qw.query_id, w.vec_id,
+              cast(sum(bit_count(xor(w.word, qw.qword))) AS int)
+                AS hamming
+       FROM w JOIN qw USING (wi) GROUP BY 1, 2),
+short AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, vec_id) AS rn
+            FROM hd) WHERE rn <= 100),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn FROM nn
+       WHERE vec_id < 4),
+sc AS (SELECT s.query_id, nn.vec_id,
+              round(list_dot_product(nn.v, qv.qvec)
+                    / (nn.nrm * qv.qn), 6) AS cosine
+       FROM short s JOIN nn ON s.vec_id = nn.vec_id
+       JOIN qv ON s.query_id = qv.query_id),
+rk AS (SELECT query_id, vec_id, cosine,
+              cast(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id)
+                AS int) AS rank
+       FROM sc)
+SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 5
 """
     o["stats_bland_altman"] = f"""
 WITH e AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events

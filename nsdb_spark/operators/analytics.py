@@ -4260,3 +4260,83 @@ def pythagorean_means(
             6,
         ).alias("hm"),
     )
+
+
+def eta_squared(df: DataFrame, part: str, value: str) -> DataFrame:
+    """Correlation ratio η² of a numeric column against a categorical:
+    SS_between / SS_total — the share of the metric's variance the
+    category explains, the mixed-type dependence number between
+    stats_corr (numeric-numeric) and stats_mi/cramers_v
+    (categorical-categorical). η² = 0: the grouping is irrelevant;
+    η² = 1: the category determines the value.
+
+    ONE map-side-combinable (n, Σx, Σx²) aggregate per category; both
+    sums close on the k-row frame with the pooled totals broadcast
+    back. Constant data (SS_total = 0) → NULL via try_divide.
+
+    Output: one row (k bigint, n bigint, eta_sq r6).
+    """
+    g = (
+        df.filter(F.col(value).isNotNull() & F.col(part).isNotNull())
+        .groupBy(part)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(F.col(value).cast("double")).alias("sg"),
+            F.sum(
+                F.col(value).cast("double") * F.col(value).cast("double")
+            ).alias("ssg"),
+        )
+    )
+    tot = g.groupBy().agg(
+        F.sum("ng").alias("tn"), F.sum("sg").alias("ts_")
+    )
+    grand = F.col("ts_") / F.col("tn")
+    ss_between = F.sum(
+        F.col("ng") * (F.col("sg") / F.col("ng") - grand)
+        * (F.col("sg") / F.col("ng") - grand)
+    )
+    ss_total = F.sum(F.col("ssg")) - F.max("ts_") * F.max("ts_") / F.max(
+        "tn"
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.max("tn").cast("long").alias("n"),
+            F.round(F.try_divide(ss_between, ss_total), 6).alias(
+                "eta_sq"
+            ),
+        )
+    )
+
+
+def hourly_profile(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Hour-of-day activity profile per event type: count and
+    within-type share for each of the 24 hours — the wall-clock
+    fingerprint (support tickets cluster in business hours, cron
+    traffic on the hour, bots never sleep) that seasonal_adjust
+    consumes as its phase mean and dashboards want raw.
+
+    One map-side-combinable (type, hour) count — ≤ 24·|types| rows —
+    with type totals broadcast back for the share.
+
+    Output: (type_col, hour int, n bigint, share r6).
+    """
+    hour = ((F.col(ts) % 86400000) / 3600000).cast("int")
+    per = (
+        events.filter(F.col(type_col).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(type_col, hour.alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = per.groupBy(type_col).agg(F.sum("n").alias("__t"))
+    return per.join(F.broadcast(tot), type_col).select(
+        type_col,
+        "hour",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+    )

@@ -1079,3 +1079,88 @@ def effective_dimension(
             F.try_divide(F.col("sv") * F.col("sv"), F.col("svv")), 6
         ).alias("pr_dim"),
     )
+
+
+def hamming_knn_join(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN join through the sign-bit sketch: for every query in
+    a bounded set, a per-query hamming shortlist (one packed-words
+    corpus pass shared by ALL queries — the query sketches ride as a
+    broadcast literal exploded against the scan, exactly the
+    cosine_topk_join shape but over 1-bit words) followed by ONE exact
+    re-rank pass over the union of shortlists. The batch sibling of
+    hamming_rerank_topk: at 100 TB the sketch pass reads 32× fewer
+    bytes than cosine_topk_join's fp32 scan, and the exact pass
+    touches |Q|·shortlist vectors instead of |Q|·n.
+
+    Output: (query_id, vec_id, cosine r6, rank int), rank 1..k per
+    query — the cosine_topk_join contract, so the two paths are
+    directly comparable.
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+    dim = len(queries[0][1])
+    n_words = (dim + 31) // 32
+    packed = emb.select("vec_id", *signbit_words(vec_col, dim))
+    qrows = []
+    for qid, vec in queries:
+        words = []
+        for w in range(n_words):
+            acc = 0
+            for j in range(min(32, dim - w * 32)):
+                if vec[w * 32 + j] >= 0:
+                    acc |= 1 << j
+            words.append(acc)
+        qrows.append((int(qid), words))
+    qs = F.array(*[
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.array(*[F.lit(w).cast("long") for w in words]).alias("qw"),
+        )
+        for qid, words in qrows
+    ])
+    e = packed.select("vec_id", *[f"w{i}" for i in range(n_words)],
+                      F.explode(qs).alias("q"))
+    dist = None
+    for i in range(n_words):
+        d = F.bit_count(
+            F.col(f"w{i}").bitwiseXOR(F.element_at(F.col("q.qw"), i + 1))
+        )
+        dist = d if dist is None else dist + d
+    wsh = Window.partitionBy("q.query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    short = (
+        e.withColumn("hamming", dist)
+        .withColumn("rn", F.row_number().over(wsh))
+        .filter(F.col("rn") <= shortlist)
+        .select(F.col("q.query_id").alias("query_id"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    cand = emb.join(
+        F.broadcast(short.select("vec_id").distinct()), "vec_id", "semi"
+    )
+    # k = the union bound: nothing may be cut before the own-shortlist
+    # semi join (a query's candidate can rank below `shortlist` in the
+    # UNION while still being in that query's own list)
+    exact = cosine_topk_join(
+        cand, queries, k=shortlist * len(queries), vec_col=vec_col
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        exact.join(short, ["query_id", "vec_id"], "semi")
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -5562,3 +5562,70 @@ def test_group_moment_rollup_matches_direct(spark):
         assert abs(served[g]["ex_kurtosis"] - ku) < 1e-3
     assert served["a"]["skewness"] > 1.0      # exponential is skewed
     assert abs(served["b"]["skewness"]) < 0.3
+
+
+def test_eta_squared_determined_vs_independent(spark):
+    from nsdb_spark.operators import analytics
+
+    # value fully determined by category -> eta^2 == 1
+    det = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 9.0)] * 5, "g string, v double"
+    )
+    assert analytics.eta_squared(det, "g", "v").collect()[0][
+        "eta_sq"
+    ] == 1.0
+    # identical distributions across groups -> eta^2 == 0
+    ind = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    r = analytics.eta_squared(ind, "g", "v").collect()[0]
+    assert r["eta_sq"] == 0.0 and r["k"] == 2 and r["n"] == 4
+    # constant data: undefined -> NULL
+    c = spark.createDataFrame([("a", 2.0), ("b", 2.0)], "g string, v double")
+    assert analytics.eta_squared(c, "g", "v").collect()[0][
+        "eta_sq"
+    ] is None
+
+
+def test_hourly_profile_shares(spark):
+    from nsdb_spark.operators import analytics
+
+    hr = 3_600_000
+    rows = [("A", 2 * hr)] * 3 + [("A", 5 * hr + 17)] * 1 + [("B", 0)] * 2
+    df = spark.createDataFrame(rows, "event_type string, timestamp long")
+    got = {(r["event_type"], r["hour"]): r for r in
+           analytics.hourly_profile(df).collect()}
+    assert got[("A", 2)]["n"] == 3 and got[("A", 2)]["share"] == 0.75
+    assert got[("A", 5)]["share"] == 0.25
+    assert got[("B", 0)]["share"] == 1.0
+
+
+def test_hamming_knn_join_full_shortlist_matches_exact(spark):
+    import numpy as np
+    from nsdb_spark.operators import similarity
+
+    rng = np.random.RandomState(139)
+    vecs = rng.normal(0, 1, (50, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = [(i, [float(x) for x in vecs[i]]) for i in range(3)]
+    # shortlist >= corpus: identical to the exact batch join
+    got = similarity.hamming_knn_join(df, qs, k=5, shortlist=50).collect()
+    exact = similarity.cosine_topk_join(df, qs, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in got]) == \
+        sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in exact])
+    # narrow shortlist still returns k rows per query, self at rank 1
+    got2 = similarity.hamming_knn_join(df, qs, k=5, shortlist=10).collect()
+    per = {}
+    for r in got2:
+        per.setdefault(r["query_id"], []).append(r)
+    for qid in (0, 1, 2):
+        assert len(per[qid]) == 5
+        top = min(per[qid], key=lambda r: r["rank"])
+        assert top["vec_id"] == qid
+    # empty query set -> empty typed frame
+    assert similarity.hamming_knn_join(df, [], k=5).count() == 0
