@@ -333,6 +333,9 @@ def main() -> None:
         "stats_eta_squared",
         "events_hourly_profile",
         "sim_knn_join_hamming",
+        "stats_cpk",
+        "events_wow_growth",
+        "graph_knn_degree",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

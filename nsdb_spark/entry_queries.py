@@ -2074,6 +2074,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.table(spark, sf, "lineitem"), part="l_returnflag",
         value="l_quantity",
     )
+    q["stats_cpk"] = lambda spark, sf: analytics.process_capability(
+        testdata.table(spark, sf, "events"), part="event_type",
+        value="value", lsl=0.0, usl=90.0,
+    )
+    q["events_wow_growth"] = lambda spark, sf: analytics.wow_growth(
+        testdata.events_metric(spark, sf), bucket_ms=604800000
+    )
+    q["graph_knn_degree"] = lambda spark, sf: graph.avg_neighbor_degree(
+        testdata.table(spark, sf, "lineitem")
+        .join(
+            testdata.table(spark, sf, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        ),
+    )
     q["stats_eta_squared"] = lambda spark, sf: analytics.eta_squared(
         testdata.table(spark, sf, "events"), part="event_type",
         value="value",
@@ -2480,6 +2500,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: new entries this round, NEWEST WAVES FIRST — with 79
         # additions only 50 fit the driver's check prefix, and the
         # latest waves have soaked the least
+        "stats_cpk", "events_wow_growth", "graph_knn_degree",
         "stats_eta_squared", "events_hourly_profile",
         "sim_knn_join_hamming",
         "stats_bland_altman", "stats_gmean", "rollup_group_skew",
@@ -3226,6 +3247,57 @@ cum AS (SELECT band, n, n_pos,
 SELECT band, n, n_pos, round(n_pos / n, 6) AS resp_rate,
        round((cp / cn) / (tt.tp / tt.tn), 6) AS cum_lift
 FROM cum, tt
+"""
+    o["stats_cpk"] = """
+WITH d AS (SELECT event_type AS g, value AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+a AS (SELECT g, cast(count(*) AS bigint) AS n, sum(x) AS s1,
+             sum(x * x) AS s2,
+             cast(sum(CASE WHEN x >= 0.0 AND x <= 90.0
+                           THEN 1 ELSE 0 END) AS bigint) AS ok
+      FROM d GROUP BY 1),
+x AS (SELECT g, n, ok, s1 / n AS mu,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sig
+      FROM a)
+SELECT g AS event_type, n, round(ok / cast(n AS double), 6)
+         AS in_spec_share,
+       round(90.0 / (6.0 * sig), 6) AS cp,
+       round(least(90.0 - mu, mu - 0.0) / (3.0 * sig), 6) AS cpk
+FROM x
+"""
+    o["events_wow_growth"] = f"""
+{M},
+per AS (SELECT event_type,
+               (timestamp // 604800000) * 604800000 AS bucket_start,
+               cast(count(*) AS bigint) AS n
+        FROM m WHERE event_type IS NOT NULL AND timestamp IS NOT NULL
+        GROUP BY 1, 2)
+SELECT event_type, bucket_start, n,
+       lag(n) OVER (PARTITION BY event_type ORDER BY bucket_start)
+         AS prev_n,
+       round((n - lag(n) OVER (PARTITION BY event_type
+                               ORDER BY bucket_start))
+             / lag(n) OVER (PARTITION BY event_type
+                            ORDER BY bucket_start) * 100.0, 6)
+         AS growth_pct
+FROM per
+"""
+    o["graph_knn_degree"] = """
+WITH e AS (SELECT DISTINCT least('s' || l_suppkey, 'c' || o_custkey) AS u,
+                  greatest('s' || l_suppkey, 'c' || o_custkey) AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+dg AS (SELECT nx AS n, cast(count(*) AS bigint) AS dg FROM
+       (SELECT u AS nx FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+bidi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+j AS (SELECT b.u, du.dg AS du, dv.dg AS dv
+      FROM bidi b JOIN dg du ON b.u = du.n JOIN dg dv ON b.v = dv.n),
+pn AS (SELECT u, max(du) AS du, avg(dv) AS knn FROM j GROUP BY 1),
+cnt AS (SELECT dg AS degree, cast(count(*) AS bigint) AS n_nodes
+        FROM dg GROUP BY 1),
+cv AS (SELECT du AS degree, round(avg(knn), 6) AS avg_neighbor_degree
+       FROM pn GROUP BY 1)
+SELECT cv.degree, cnt.n_nodes, cv.avg_neighbor_degree
+FROM cv JOIN cnt USING (degree)
 """
     o["stats_eta_squared"] = """
 WITH g AS (SELECT event_type AS p, cast(count(*) AS bigint) AS ng,

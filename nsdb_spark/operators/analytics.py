@@ -4340,3 +4340,87 @@ def hourly_profile(
         "n",
         F.round(F.col("n") / F.col("__t"), 6).alias("share"),
     )
+
+
+def process_capability(
+    df: DataFrame, part: str, value: str, lsl: float, usl: float
+) -> DataFrame:
+    """Per-group process-capability profile against spec limits
+    [lsl, usl]: the in-spec share, and the Cp / Cpk indices
+    (Cp = (USL−LSL)/6σ — the potential if centered; Cpk =
+    min(USL−μ, μ−LSL)/3σ — the reality including off-centering).
+    The SLO view of a metric: "what fraction is in bounds" plus "how
+    much margin the distribution actually has" (Cpk < 1 means the
+    tails cross the limits even if today's sample happened to pass).
+
+    ONE map-side-combinable aggregate per group (n, Σx, Σx², in-spec
+    count); closed form after. Constant groups (σ = 0) → NULL indices
+    via try_divide.
+
+    Output: (part, n bigint, in_spec_share r6, cp r6, cpk r6).
+    """
+    d = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    g = d.groupBy(part).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("s1"),
+        F.sum(F.col("__x") * F.col("__x")).alias("s2"),
+        F.sum(
+            ((F.col("__x") >= lsl) & (F.col("__x") <= usl)).cast("int")
+        ).alias("ok"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    sig = F.sqrt(var)
+    return g.select(
+        part,
+        "n",
+        F.round(F.col("ok") / F.col("n"), 6).alias("in_spec_share"),
+        F.round(F.try_divide(F.lit(usl - lsl), 6.0 * sig), 6).alias("cp"),
+        F.round(
+            F.try_divide(
+                F.least(F.lit(usl) - mu, mu - F.lit(lsl)), 3.0 * sig
+            ),
+            6,
+        ).alias("cpk"),
+    )
+
+
+def wow_growth(
+    events: DataFrame,
+    bucket_ms: int = 604800000,
+    type_col: str = "event_type",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Week-over-week growth per event type: each bucket's count next
+    to the previous bucket's, with the percentage change — the
+    trend-at-a-glance table under every growth dashboard, computed
+    exactly (a missing previous bucket yields NULL growth, not a fake
+    0% or ∞).
+
+    One (type, bucket) count — types × buckets rows — then a per-type
+    lag over the BUCKET frame (window sorts buckets, never events).
+
+    Output: (type_col, bucket_start bigint, n bigint, prev_n bigint,
+    growth_pct r6).
+    """
+    b = (F.floor(F.col(ts) / bucket_ms) * bucket_ms).cast("long")
+    per = (
+        events.filter(F.col(type_col).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(type_col, b.alias("bucket_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy(type_col).orderBy("bucket_start")
+    prev = F.lag("n").over(w)
+    return per.select(
+        type_col,
+        "bucket_start",
+        "n",
+        prev.alias("prev_n"),
+        F.round(
+            (F.col("n") - prev) / prev * 100.0, 6
+        ).alias("growth_pct"),
+    )

@@ -805,3 +805,60 @@ def rich_club(
             ).alias("phi"),
         )
     )
+
+
+def avg_neighbor_degree(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Average neighbor degree by degree class, k_nn(k) — degree
+    assortativity's LOCAL view: for nodes of each degree k, the mean
+    degree of their neighbors. A falling k_nn(k) curve shows WHERE
+    hub-to-leaf mixing happens (which degree classes to salt/df-cap);
+    the single assortativity coefficient can hide a curve that only
+    turns at the top decile.
+
+    Undirected dedupe once (checkpointed), degrees once, then the
+    edge list joins its endpoints' degrees co-partitioned on each
+    endpoint key and both edge directions feed one (k → avg) rollup —
+    rows bounded by distinct degrees.
+
+    Output: (degree bigint, n_nodes bigint, avg_neighbor_degree r6).
+    """
+    d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        d.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+        .localCheckpoint(eager=True)
+    )
+    both = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    j = (
+        both.join(deg.select(F.col("n").alias("u"), F.col("dg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("dg").alias("dv")), "v")
+    )
+    per_node = j.groupBy("u", "du").agg(F.avg("dv").alias("knn"))
+    counts = deg.groupBy("dg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    curve = per_node.groupBy(F.col("du").alias("degree")).agg(
+        F.round(F.avg("knn"), 6).alias("avg_neighbor_degree")
+    )
+    return (
+        curve.join(
+            counts.select(F.col("dg").alias("degree"), "n_nodes"),
+            "degree",
+        )
+        .select("degree", "n_nodes", "avg_neighbor_degree")
+    )

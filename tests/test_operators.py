@@ -5629,3 +5629,52 @@ def test_hamming_knn_join_full_shortlist_matches_exact(spark):
         assert top["vec_id"] == qid
     # empty query set -> empty typed frame
     assert similarity.hamming_knn_join(df, [], k=5).count() == 0
+
+
+def test_process_capability_centered_vs_shifted(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(149)
+    centered = rng.normal(50, 5, 1000)      # limits [20, 80]: Cpk ~ 2
+    shifted = rng.normal(70, 5, 1000)       # same spread, off-center
+    rows = [("c", float(v)) for v in centered] + [
+        ("s", float(v)) for v in shifted
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in analytics.process_capability(
+        df, "g", "x", lsl=20.0, usl=80.0).collect()}
+    assert got["c"]["cpk"] > 1.5 and got["c"]["in_spec_share"] == 1.0
+    # off-centering: cp stays ~2 but cpk collapses toward (80-70)/15
+    assert abs(got["s"]["cp"] - got["c"]["cp"]) < 0.4
+    assert got["s"]["cpk"] < 0.9
+    # constant group -> NULL indices
+    const = spark.createDataFrame([("k", 5.0)] * 4, "g string, x double")
+    assert analytics.process_capability(
+        const, "g", "x", 0.0, 10.0).collect()[0]["cpk"] is None
+
+
+def test_wow_growth_hand_computed(spark):
+    from nsdb_spark.operators import analytics
+
+    wk = 604_800_000
+    rows = [("A", 10)] * 4 + [("A", wk + 3)] * 6 + [("A", 2 * wk)] * 3
+    df = spark.createDataFrame(rows, "event_type string, timestamp long")
+    got = {r["bucket_start"]: r for r in
+           analytics.wow_growth(df).collect()}
+    assert got[0]["prev_n"] is None and got[0]["growth_pct"] is None
+    assert got[wk]["growth_pct"] == 50.0
+    assert got[2 * wk]["growth_pct"] == -50.0
+
+
+def test_avg_neighbor_degree_star(spark):
+    from nsdb_spark.operators import graph
+
+    # star: hub degree 4, leaves degree 1
+    edges = [("h", f"l{i}") for i in range(4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["degree"]: r for r in
+           graph.avg_neighbor_degree(df).collect()}
+    # leaves (deg 1) neighbor only the hub (deg 4); hub neighbors leaves
+    assert got[1]["n_nodes"] == 4 and got[1]["avg_neighbor_degree"] == 4.0
+    assert got[4]["n_nodes"] == 1 and got[4]["avg_neighbor_degree"] == 1.0
