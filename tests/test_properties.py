@@ -547,3 +547,94 @@ def test_basket_lift_matches_bruteforce(spark, baskets):
         assert abs(r["support"] - np_ / nb) < 1e-6
         assert abs(r["confidence"] - np_ / cnt[a]) < 1e-6
         assert abs(r["lift"] - np_ * nb / (cnt[a] * cnt[b])) < 1e-6
+
+
+# ------------------------------------------- rank-statistic invariances
+
+
+@given(
+    a=st.lists(st.integers(min_value=-50, max_value=50), min_size=5,
+               max_size=25),
+    b=st.lists(st.integers(min_value=-50, max_value=50), min_size=5,
+               max_size=25),
+    scale=st.integers(min_value=1, max_value=9),
+    shift=st.integers(min_value=-100, max_value=100),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rank_tests_invariant_under_monotone_transform(
+    spark, a, b, scale, shift
+):
+    """MWU, KS, and CvM depend only on the pooled ordering, so any
+    strictly increasing transform (here affine with positive slope)
+    must leave them exactly unchanged — a property no single
+    example-based test pins."""
+    from nsdb_spark.operators import analytics
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    tows = [
+        (g, float(scale) * v + float(shift)) for g, v in rows
+    ]
+    df1 = spark.createDataFrame(rows, "g string, v double")
+    df2 = spark.createDataFrame(tows, "g string, v double")
+    for fn, col in (
+        (analytics.mannwhitney_u, "u_a"),
+        (analytics.ks_two_sample, "ks_stat"),
+        (analytics.cvm_two_sample, "cvm_stat"),
+    ):
+        r1 = fn(df1, "v", "g", "a", "b").collect()[0][col]
+        r2 = fn(df2, "v", "g", "a", "b").collect()[0][col]
+        assert r1 == r2, (fn.__name__, r1, r2)
+
+
+@given(
+    a=st.lists(st.integers(min_value=-40, max_value=40), min_size=4,
+               max_size=20),
+    b=st.lists(st.integers(min_value=-40, max_value=40), min_size=4,
+               max_size=20),
+    scale=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_wasserstein_scales_linearly(spark, a, b, scale):
+    """W1 is a distance in the value's own units: scaling both samples
+    by c scales W1 by exactly c (up to the 6-dp output rounding)."""
+    from nsdb_spark.operators import analytics
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df1 = spark.createDataFrame(rows, "g string, v double")
+    df2 = spark.createDataFrame(
+        [(g, v * scale) for g, v in rows], "g string, v double"
+    )
+    w1 = analytics.wasserstein_1d(df1, "v", "g", "a", "b").collect()[0][
+        "w1_dist"
+    ]
+    w2 = analytics.wasserstein_1d(df2, "v", "g", "a", "b").collect()[0][
+        "w1_dist"
+    ]
+    assert abs(w2 - scale * w1) < 5e-6
+
+
+@given(
+    pos=st.lists(st.integers(min_value=0, max_value=100), min_size=3,
+                 max_size=20),
+    neg=st.lists(st.integers(min_value=0, max_value=100), min_size=3,
+                 max_size=20),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_auc_complement_symmetry(spark, pos, neg):
+    """Flipping the labels maps AUC to 1 − AUC exactly (midrank tie
+    handling makes this an identity, not an approximation)."""
+    from nsdb_spark.operators import analytics
+
+    rows = [(float(v) / 100.0, True) for v in pos] + [
+        (float(v) / 100.0, False) for v in neg
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    flipped = spark.createDataFrame(
+        [(s, not y) for s, y in rows], "s double, y boolean"
+    )
+    a1 = analytics.auc_rank(df, "s", "y").collect()[0]["auc"]
+    a2 = analytics.auc_rank(flipped, "s", "y").collect()[0]["auc"]
+    assert abs((a1 + a2) - 1.0) < 2e-6
