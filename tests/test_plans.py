@@ -641,3 +641,77 @@ def test_kcore_round_plan_is_bounded(spark):
     plan = plan_of(out)
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_paths_single_key_exchange(spark):
+    """Boundary lag, running sum, and the per-session collect all ride
+    the ONE hash exchange on the user key; the closing top-k is a
+    TakeOrdered over the distinct-path frame."""
+    from nsdb_spark.operators import temporal_join
+
+    ev = testdata.events_metric(spark, SF_DIR).select(
+        "user_id", "timestamp", "event_id", "event_type"
+    )
+    plan = plan_of(temporal_join.session_paths(
+        ev, key="user_id", ts="timestamp", gap_ms=14_400_000,
+        order_tie="event_id", label="event_type", k=20,
+    ))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_kruskal_no_global_window(spark):
+    """Midranks come from the range-partition scan (KS discipline);
+    the only single-partition exchange is the closing 1-row aggregate."""
+    from nsdb_spark.operators import analytics
+
+    ev = testdata.table(spark, SF_DIR, "events")
+    plan = plan_of(analytics.kruskal_wallis(ev, "value", "event_type"))
+    assert "BroadcastHashJoin" in plan
+    # two 1-row reductions plan as SinglePartition (the closing H
+    # aggregate and the tie-mass sum) — both consume P partial rows,
+    # never data-sized input; anything beyond those two would be a
+    # global sort creeping in
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_latest_percentile_single_exchange(spark):
+    """The unordered-window last value and the conditional percentile
+    aggregate share ONE hash exchange on the key — no self-join."""
+    from nsdb_spark.operators import analytics
+
+    ev = testdata.events_metric(spark, SF_DIR)
+    plan = plan_of(analytics.latest_percentile(
+        ev, "user_id", "timestamp", "value", "event_id"
+    ))
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_band_join_is_hash_equi_join(spark):
+    """The bucketed band rewrite must plan as a hash equi-join on the
+    bucket key with a codegen residual filter — never a nested-loop
+    theta join."""
+    from nsdb_spark.operators import joins
+
+    orders = testdata.table(spark, SF_DIR, "orders")
+    plan = plan_of(joins.band_self_count(
+        orders, "o_orderkey", "o_totalprice", delta=100.0
+    ))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_split_is_pure_projection(spark):
+    """The embargoed split is scan + filter + projection: no exchange
+    of any kind (assignment is a total function of the row's own ts)."""
+    from nsdb_spark.operators import sampling
+
+    ev = testdata.events_metric(spark, SF_DIR).select(
+        "event_id", "timestamp"
+    )
+    plan = plan_of(sampling.time_split_embargo(
+        ev, "event_id", "timestamp", split_ms=1_705_363_200_000,
+        embargo_ms=604_800_000,
+    ))
+    assert "Exchange" not in plan
