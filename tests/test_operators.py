@@ -5678,3 +5678,29 @@ def test_avg_neighbor_degree_star(spark):
     # leaves (deg 1) neighbor only the hub (deg 4); hub neighbors leaves
     assert got[1]["n_nodes"] == 4 and got[1]["avg_neighbor_degree"] == 4.0
     assert got[4]["n_nodes"] == 1 and got[4]["avg_neighbor_degree"] == 1.0
+
+
+def test_kpss_matches_numpy_bruteforce(spark):
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    rng = np.random.RandomState(151)
+    x = np.cumsum(rng.normal(0, 1, 250)) * 0.2 + rng.normal(0, 1, 250)
+    rows = [("k", i, i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, value double"
+    )
+    q = 4
+    got = tsa.kpss_stat(df, q=q, ts="timestamp").collect()[0]
+    # independent implementation of the KPSS level statistic
+    e = x - x.mean()
+    s = np.cumsum(e)
+    n = len(x)
+    g0 = float((e**2).sum())
+    lrv = g0
+    for j in range(1, q + 1):
+        lrv += 2.0 * (1.0 - j / (q + 1.0)) * float((e[j:] * e[:-j]).sum())
+    lrv /= n
+    eta = float((s**2).sum()) / (n * n) / lrv
+    assert got["n"] == n
+    assert abs(got["kpss_stat"] - eta) < 1e-5
