@@ -3684,14 +3684,17 @@ SELECT max(steps) AS n_steps, max(nt) AS n_types,
        round(ln(cast(max(nt) AS double)), 6) AS max_entropy
 FROM j
 """
+    # effective-k semantics: with fewer than 201 qualifying rows the
+    # estimator shrinks to n_fetched − 1 and the cutoff row is excluded
+    # from the log-mean (mirrors hill_tail_index exactly)
     o["stats_hill"] = """
 WITH c AS (SELECT user_id, cast(count(*) AS double) AS n FROM events
            WHERE user_id IS NOT NULL GROUP BY 1),
 top AS (SELECT n, row_number() OVER (ORDER BY n DESC) AS rn
         FROM c WHERE n > 0),
-sel AS (SELECT n, rn FROM top WHERE rn <= 201)
-SELECT cast(200 AS bigint) AS k, min(n) AS x_tail,
-       round(1.0 / (avg(CASE WHEN rn <= 200 THEN ln(n) END)
+sel AS (SELECT n, rn, count(*) OVER () AS cnt FROM top WHERE rn <= 201)
+SELECT cast(least(200, max(cnt) - 1) AS bigint) AS k, min(n) AS x_tail,
+       round(1.0 / (avg(CASE WHEN rn <= cnt - 1 THEN ln(n) END)
                     - ln(min(n))), 6) AS alpha
 FROM sel
 """
@@ -5066,10 +5069,11 @@ c AS (SELECT v, lead(v) OVER (ORDER BY v) AS nv,
              sum(ca) OVER (ORDER BY v) AS cum_a,
              sum(cb) OVER (ORDER BY v) AS cum_b FROM g)
 SELECT round(sum(abs(cum_a / cast(t.na AS double)
-                     - cum_b / cast(t.nb AS double)) * (nv - v)), 6)
+                     - cum_b / cast(t.nb AS double))
+                 * coalesce(nv - v, 0)), 6)
          AS w1_dist,
        max(t.na) AS n_a, max(t.nb) AS n_b
-FROM c, t WHERE nv IS NOT NULL
+FROM c, t
 """
     # tie-aware pooled form: T = na*nb/N^2 * sum (ca+cb)(F_a-F_b)^2
     o["stats_cvm"] = """

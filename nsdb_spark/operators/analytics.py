@@ -2739,8 +2739,15 @@ def hill_tail_index(
     which tied row ranks k+1. All-equal top values → denominator 0 →
     NULL via try_divide.
 
-    Output: one row (k bigint, x_tail double, alpha r6); x_tail is
-    x_(k+1), the tail cutoff.
+    When the input has fewer than k+1 rows there is no x_(k+1) at the
+    requested order: the estimator shrinks to the EFFECTIVE k
+    (n_fetched − 1 — the largest order statistic count that leaves a
+    cutoff row), the mean excludes the cutoff, and the reported `k`
+    column is that effective value, never the nominal request. A 0/1
+    row input yields alpha NULL.
+
+    Output: one row (k bigint — effective order used, x_tail double,
+    alpha r6); x_tail is x_(k_eff+1), the tail cutoff.
     """
     top = (
         df.filter(F.col(value).isNotNull() & (F.col(value) > 0))
@@ -2749,14 +2756,21 @@ def hill_tail_index(
         .limit(k + 1)
     )
     w = Window.orderBy(F.desc("__x"))
-    ranked = top.withColumn("__rn", F.row_number().over(w))
+    ranked = top.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt",
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
     return ranked.groupBy().agg(
-        F.lit(k).cast("long").alias("k"),
+        F.least(F.lit(k), F.max("__cnt") - 1).cast("long").alias("k"),
         F.min("__x").alias("x_tail"),
         F.round(
             F.try_divide(
                 F.lit(1.0),
-                F.avg(F.when(F.col("__rn") <= k, F.log("__x")))
+                F.avg(
+                    F.when(F.col("__rn") <= F.col("__cnt") - 1, F.log("__x"))
+                )
                 - F.log(F.min("__x")),
             ),
             6,
@@ -4013,7 +4027,10 @@ def fisher_z_corr_diff(
         )
     )
     r = F.try_divide(F.col("sxy"), F.sqrt(F.col("sxx") * F.col("syy")))
-    zr = 0.5 * F.log((1.0 + r) / (1.0 - r))
+    # atanh diverges at |r| = 1 (an exactly-collinear group); try_divide
+    # turns the 1−r = 0 denominator into NULL instead of an ANSI
+    # DIVIDE_BY_ZERO that would kill the whole query.
+    zr = 0.5 * F.log(F.try_divide(1.0 + r, 1.0 - r))
     wide = per.groupBy().agg(
         F.max(F.when(F.col("g") == a, F.col("n"))).alias("n_a"),
         F.max(F.when(F.col("g") == b, F.col("n"))).alias("n_b"),
@@ -4028,10 +4045,17 @@ def fisher_z_corr_diff(
         F.round(F.col("ra"), 6).alias("r_a"),
         F.round(F.col("rb"), 6).alias("r_b"),
         F.round(
-            F.try_divide(
-                F.col("za") - F.col("zb"),
-                F.sqrt(
-                    1.0 / (F.col("n_a") - 3) + 1.0 / (F.col("n_b") - 3)
+            # the Fisher z approximation is undefined for n ≤ 3: gate the
+            # statistic (NULL) and try_divide the 1/(n−3) terms so a 3-row
+            # group yields NULL rather than ANSI DIVIDE_BY_ZERO / NaN.
+            F.when(
+                (F.col("n_a") > 3) & (F.col("n_b") > 3),
+                F.try_divide(
+                    F.col("za") - F.col("zb"),
+                    F.sqrt(
+                        F.try_divide(F.lit(1.0), F.col("n_a") - 3)
+                        + F.try_divide(F.lit(1.0), F.col("n_b") - 3)
+                    ),
                 ),
             ),
             6,

@@ -430,10 +430,10 @@ def class_balance(
     if n_neg == 0:
         return d
     rate_slots = int(min(1.0, ratio * n_pos / n_neg) * denom)
-    slot = (
-        F.col(id_col).cast("long") * F.lit(2654435761)
-    ) % F.lit(4294967296) % F.lit(denom)
-    return d.filter(F.col("is_pos") | (slot < rate_slots))
+    # _slot's 16-bit-limb product: the plain (id * MIX) form overflows
+    # int64 for ids above ~3.5e9 (ANSI ARITHMETIC_OVERFLOW) and its %
+    # goes negative for negative ids, silently keeping them all.
+    return d.filter(F.col("is_pos") | (_slot(F.col(id_col), denom) < rate_slots))
 
 
 def time_split_embargo(

@@ -4470,6 +4470,28 @@ def test_hill_tail_index_pareto_recovery(spark):
     ] is None
 
 
+def test_hill_tail_index_short_input_uses_effective_k(spark):
+    """ADVICE round-4: with n <= k rows there is no x_(k+1); the
+    estimator must shrink to the effective k = n-1 (cutoff row excluded
+    from the log-mean) and REPORT that k, not the nominal request."""
+    import math
+
+    from nsdb_spark.operators import analytics
+
+    xs = [16.0, 8.0, 4.0, 2.0, 1.0]  # 5 rows, ask k=200
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    got = analytics.hill_tail_index(df, "v", k=200).collect()[0]
+    assert got["k"] == 4              # effective, not 200
+    assert got["x_tail"] == 1.0       # x_(5) is the cutoff
+    # hand-computed Hill over the 4 largest with cutoff x_tail=1:
+    expect = 1.0 / (sum(math.log(x) for x in xs[:4]) / 4 - math.log(1.0))
+    assert abs(got["alpha"] - expect) < 1e-6
+    # single row: no cutoff exists at all -> alpha NULL, k = 0
+    one = spark.createDataFrame([(5.0,)], "v double")
+    r1 = analytics.hill_tail_index(one, "v", k=10).collect()[0]
+    assert r1["k"] == 0 and r1["alpha"] is None
+
+
 def test_modularity_two_cliques_vs_random(spark):
     from nsdb_spark.operators import graph
 
@@ -4918,7 +4940,26 @@ def test_class_balance_keeps_positives_downsamples_negatives(spark):
     assert sampling.class_balance(bal, "id", "y", ratio=1.0).count() == 100
 
 
-def test_holt_last_tracks_linear_trend(spark):
+def test_class_balance_huge_and_negative_ids_no_overflow(spark):
+    """ADVICE round-4: the old inline (id * 2654435761) slot overflowed
+    int64 above ~3.5e9 (ANSI ARITHMETIC_OVERFLOW) and kept ALL negative
+    ids (% goes negative < rate_slots). The _slot limb product must
+    handle both: run succeeds and negatives are hash-decided, not
+    blanket-kept."""
+    from nsdb_spark.operators import sampling
+
+    big = 4_000_000_000  # above the int64 product overflow threshold
+    rows = [(big + i, True) for i in range(20)] + [
+        (big + 1000 + i, False) for i in range(2000)
+    ] + [(-(i + 1), False) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, y boolean")
+    got = sampling.class_balance(df, "id", "y", ratio=1.0).collect()
+    assert sum(1 for r in got if r["is_pos"]) == 20
+    neg = [r for r in got if not r["is_pos"]]
+    # rate = 20/4000 = 0.5%: keeping all 2000 negatives of either sign
+    # would mean the hash is biased; expect a small sample from both
+    assert len(neg) < 200
+    assert any(r["id"] < 0 for r in got) or len(neg) < 200  # negatives not blanket-kept
     from nsdb_spark.operators import tsa
 
     # exact line x_t = 5 + 2t: Holt converges toward trend 2 and the
@@ -5388,6 +5429,31 @@ def test_fisher_z_corr_diff_detects_flip(spark):
     df2 = spark.createDataFrame(same, "g string, x double, y double")
     r2 = analytics.fisher_z_corr_diff(df2, "g", "a", "b", "x", "y").collect()[0]
     assert abs(r2["z_stat"]) < 3
+
+
+def test_fisher_z_corr_diff_degenerate_groups_null_not_error(spark):
+    """ADVICE round-4: exactly-collinear group gives r=±1 (atanh pole)
+    and a 3-row group gives 1/(n-3) = 1/0 — both must yield NULL, not
+    an ANSI DIVIDE_BY_ZERO that kills the query."""
+    from nsdb_spark.operators import analytics
+
+    # group a: 2-row exactly collinear (r = 1); group b: healthy
+    rows = [("a", 0.0, 0.0), ("a", 2.0, 4.0)] + [
+        ("b", float(i), float(i * (-1) ** i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = analytics.fisher_z_corr_diff(df, "g", "a", "b", "x", "y").collect()[0]
+    assert got["r_a"] == 1.0
+    assert got["z_stat"] is None  # atanh(1) undefined -> NULL propagates
+
+    # exactly-3-row groups: Fisher z undefined below n=4 -> NULL, no error
+    tri = [("a", float(i), float(2 * i + (i == 2))) for i in range(3)] + [
+        ("b", float(i), float(3 - i + (i == 1))) for i in range(3)
+    ]
+    df3 = spark.createDataFrame(tri, "g string, x double, y double")
+    r3 = analytics.fisher_z_corr_diff(df3, "g", "a", "b", "x", "y").collect()[0]
+    assert r3["n_a"] == 3 and r3["n_b"] == 3
+    assert r3["z_stat"] is None
 
 
 def test_effective_dimension_isotropic_vs_collapsed(spark):
