@@ -1062,11 +1062,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_knn_join_indexed"] = _sim_knn_idx
 
-    # PQ/ADC: iterative codebook training — rows-only check (like kmeans);
-    # recall vs the exact scan asserted in tests/test_operators.py
+    # PQ/ADC + exact re-rank: the codebook training is iterative, but the
+    # OUTPUT is the exact cosine top-k whenever the ADC shortlist covers
+    # it (it does at the validation SFs — recall pinned in tests), so the
+    # brute-force top-k oracle binds regardless of training noise
     q["sim_topk_pq"] = lambda spark, sf: pq.pq_search(
         _emb(spark, sf), _query_vec(spark, sf), k=10, m=8, ks=16, iters=3,
-        shortlist=100,
+        shortlist=250,
     )
 
     # --- text analysis ---
@@ -1200,20 +1202,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"avg_value": 3},
     )
 
-    # PCA dim-reduction (eigendecomposition: not SQL-expressible — rows
-    # only; fit/projection invariants asserted in tests). Registry shape
-    # is scalar pc0..pc7 doubles, not array<double>: the harness
-    # canonicalizer sorts/hashes column values and can't hash lists.
-    def _pca(spark, sf):
-        e = _emb(spark, sf)
-        mean, comps, _var = clustering.pca_fit(e, k=8)
-        proj = clustering.pca_project(e, mean, comps)
-        return proj.select(
-            "vec_id",
-            *[F.col("proj")[i].alias(f"pc{i}") for i in range(8)],
-        )
-
-    q["emb_pca_project"] = _pca
+    # PCA fit + projection, checked through its algebraic invariants:
+    # the eigendecomposition itself is not SQL-expressible, but
+    # trace(cov) = Σ var_samp(dim_i) IS — so the oracle independently
+    # recomputes the eigenvalue sum from the raw table while the
+    # orthonormality / eigenvalue-order / projected-variance checks run
+    # against the actual fitted model and pca_project output (was
+    # rows-only pc0..pc7 before round 5; per-vector projection still
+    # covered by tests/test_operators.py)
+    q["emb_pca_project"] = lambda spark, sf: clustering.pca_invariants(
+        _emb(spark, sf), k=8
+    )
 
     # --- iterative clustering: grid-snapped centroids (round_to=6) make
     # the fixed-iteration trajectory engine-independent, so this carries
@@ -1433,7 +1432,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pq.ivfpq_topk_indexed(
             spark, "ivfpq_index", cbs, cents, _query_vec(spark, sf),
-            k=10, nprobe=8,
+            k=10, nprobe=12, shortlist=250,
         )
 
     q["sim_topk_ivfpq"] = _sim_ivfpq
@@ -1786,11 +1785,33 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             testdata.events_metric(spark, sf)
         )
     )
-    # rows-only (zlib byte counts aren't SQL-expressible); property
-    # tests pin repetitive < natural < high-entropy ordering
-    q["text_compress_ratio"] = lambda spark, sf: text.compression_ratio(
-        _docs(spark, sf)
-    )
+    # zlib byte counts aren't SQL-expressible, but the raw length and the
+    # deflate bound (0 < compressed ≤ raw + 64 for any input) are: the
+    # registry projects those checkable columns; the ratio itself stays
+    # on text.compression_ratio for direct users, with property tests
+    # pinning repetitive < natural < high-entropy ordering
+    def _compress_ratio(spark, sf):
+        r = text.compression_ratio(_docs(spark, sf))
+        return r.filter(F.col("n_bytes").isNotNull()).select(
+            "doc_id",
+            "n_bytes",
+            (
+                (F.col("n_compressed") > 0)
+                & (F.col("n_compressed") <= F.col("n_bytes") + 64)
+                & (
+                    F.col("ratio")
+                    == F.round(
+                        F.try_divide(
+                            F.col("n_compressed").cast("double"),
+                            F.col("n_bytes"),
+                        ),
+                        6,
+                    )
+                )
+            ).alias("bounds_ok"),
+        )
+
+    q["text_compress_ratio"] = _compress_ratio
     q["stats_odds_ratio"] = lambda spark, sf: analytics.odds_ratio_2x2(
         testdata.table(spark, sf, "orders"),
         exposure=F.col("o_orderpriority") == "1-URGENT",
@@ -2148,11 +2169,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipeline_select_corpus"] = _pipeline_select
 
     def _bpe(spark, sf):
-        # rows-only (iterative training, like PQ/k-means); unit tests pin
-        # the trainer against a pure-Python reference + roundtrip
+        # training is iterative (pinned against a pure-Python reference
+        # in unit tests), but the decode roundtrip is training-INVARIANT:
+        # the oracle pins (n_words, n_chars, roundtrip_ok=true) per doc
+        # from the raw corpus, and any encoder/decoder corruption flips
+        # roundtrip_ok (was rows-only before round 5)
         docs = _docs(spark, sf)
         merges, vocab = bpe.bpe_train(docs, num_merges=30)
-        return bpe.bpe_encode(docs, vocab)
+        return bpe.bpe_roundtrip(docs, vocab)
 
     q["text_bpe_encode"] = _bpe
 
@@ -3126,6 +3150,13 @@ FROM reach GROUP BY node
     # oracle = brute force
     o["sim_topk_ivf"] = _TOPK_ORACLE
     o["sim_topk_ivf_scan"] = _TOPK_ORACLE
+    # PQ / IVF-PQ end in an EXACT cosine re-rank over the ADC shortlist
+    # (raw vectors, bit-identical arithmetic to the brute-force scan), so
+    # whenever the shortlist covers the true top-10 — verified at the
+    # validation SFs, recall pinned in tests — the output IS the exact
+    # top-10, independent of codebook-training noise: brute force binds
+    o["sim_topk_pq"] = _TOPK_ORACLE
+    o["sim_topk_ivfpq"] = _TOPK_ORACLE
     # algorithm-parity oracle: the SAME hyperplane literals + probing in
     # SQL — verifies the bucketing/probing machinery, not recall (recall
     # vs brute force is asserted separately in tests/test_operators.py)
@@ -6369,5 +6400,39 @@ SELECT doc_id, cast(nw AS int) AS n_words, mwl AS mean_word_len,
        (nw BETWEEN 10 AND 1000) AND (mwl BETWEEN 2.0 AND 12.0)
            AND df <= 0.6 AND sh >= 1 AS passes
 FROM r
+"""
+    # --- round 5: training-invariant projections for the formerly
+    # rows-only iterative entries (BPE / PCA / zlib) ---
+    # BPE decode is lossless for ANY merge table: the oracle pins the
+    # whitespace-normalized word/char counts and roundtrip_ok=true from
+    # the raw corpus; docs with no non-empty word never enter the encoder
+    o["text_bpe_encode"] = """
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       cast(len(ws) AS bigint) AS n_words,
+       cast(length(array_to_string(ws, ' ')) AS bigint) AS n_chars,
+       true AS roundtrip_ok
+FROM w WHERE len(ws) > 0
+"""
+    # trace invariance: Σ eigenvalues(cov) = Σ_dims var_samp(x_i) — the
+    # SQL side recomputes the eigenvalue sum without an eigensolver; the
+    # boolean invariants are computed Spark-side from the actual model
+    o["emb_pca_project"] = """
+WITH d AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+per AS (SELECT i, var_samp(v[i + 1]) AS vr
+        FROM d, range(0, 64) r(i) GROUP BY i)
+SELECT (SELECT cast(count(*) AS bigint) FROM d) AS n_rows,
+       cast(64 AS bigint) AS dim, cast(8 AS bigint) AS k,
+       round(sum(vr), 6) AS trace_total,
+       true AS orthon_ok, true AS var_order_ok, true AS proj_var_ok
+FROM per
+"""
+    # zlib byte counts are a library property, but the raw byte length
+    # and the deflate bound (0 < compressed <= raw + 64) are checkable
+    o["text_compress_ratio"] = """
+SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes, true AS bounds_ok
+FROM documents WHERE text IS NOT NULL
 """
     return o

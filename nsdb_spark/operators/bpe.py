@@ -114,17 +114,12 @@ def bpe_train(
     return merges, vocab.select("word", "freq", F.col("syms").alias("tokens"))
 
 
-def bpe_encode(
-    docs: DataFrame,
-    vocab: DataFrame,
-    text_col: str = "text",
+def _encode_stream(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, n_tokens_bpe, tokens_digest) — encode the corpus with the
-    trained segmentation: posexplode words, broadcast-join the word→
-    tokens table, reassemble in word order; md5 digest of the
-    pipe-joined token stream makes the full encoding comparable without
-    shipping it. OOV words fall back to character symbols (+ EOW).
-    """
+    """(doc_id, stream array<string>) — the shared encode pass:
+    posexplode words, broadcast-join the word→tokens table, reassemble
+    in word order. OOV words fall back to character symbols (+ EOW)."""
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
@@ -136,7 +131,7 @@ def bpe_encode(
         "pos",
         F.coalesce(F.col("tokens"), _initial_symbols()).alias("tokens"),
     )
-    per_doc = seg.groupBy("doc_id").agg(
+    return seg.groupBy("doc_id").agg(
         F.flatten(
             F.transform(
                 F.array_sort(
@@ -146,10 +141,71 @@ def bpe_encode(
             )
         ).alias("stream")
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens_bpe, tokens_digest) — encode the corpus with the
+    trained segmentation; md5 digest of the pipe-joined token stream
+    makes the full encoding comparable without shipping it.
+    """
+    per_doc = _encode_stream(docs, vocab, text_col)
     return per_doc.select(
         "doc_id",
         F.size("stream").alias("n_tokens_bpe"),
         F.md5(F.array_join("stream", "|")).alias("tokens_digest"),
+    )
+
+
+def bpe_roundtrip(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_chars, roundtrip_ok) — decode the encoded
+    token stream back to text and compare against the whitespace-
+    normalized original (words re-joined by single spaces). BPE is
+    lossless by construction: concat(tokens) with EOW→space must
+    reproduce the normalized input exactly, for every merge table.
+
+    This is the TRAINING-INVARIANT projection of the tokenizer: the
+    token boundaries depend on the learned merges (iterative — not
+    SQL-expressible), but the decode result doesn't, so a SQL oracle can
+    pin (n_words, n_chars, roundtrip_ok=true) per document from the raw
+    corpus alone and any encoder/decoder corruption (lost symbol,
+    misordered word, broken OOV fallback) flips roundtrip_ok. Merge-
+    table semantics are pinned separately against bpe_reference_encode
+    in unit tests. Same single-scan encode plan as bpe_encode plus one
+    broadcast join back to the originals.
+    """
+    per_doc = _encode_stream(docs, vocab, text_col)
+    decoded = F.rtrim(
+        F.translate(F.array_join("stream", ""), EOW, " ")
+    )
+    return (
+        per_doc.join(
+            docs.select("doc_id", F.col(text_col).alias("__text")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            F.col("stream"),
+            decoded.alias("__decoded"),
+            F.array_join(
+                F.filter(
+                    F.split(F.col("__text"), " "), lambda w: w != ""
+                ),
+                " ",
+            ).alias("__norm"),
+        )
+        .select(
+            "doc_id",
+            F.size(F.split("__norm", " ")).cast("long").alias("n_words"),
+            F.length("__norm").cast("long").alias("n_chars"),
+            (F.col("__decoded") == F.col("__norm")).alias("roundtrip_ok"),
+        )
     )
 
 

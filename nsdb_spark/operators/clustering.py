@@ -276,6 +276,77 @@ def pca_whiten(
     return emb.select(id_col, F.array(*cols).alias(out_col))
 
 
+def pca_invariants(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row audit of a PCA fit+projection through its ALGEBRAIC
+    INVARIANTS — the oracle-checkable projection of an eigendecomposition
+    no SQL engine can run directly:
+
+    - trace_total: Σ all eigenvalues of the sample covariance. By trace
+      invariance this equals Σ_dims var_samp(x_i), which ANY SQL engine
+      computes from the raw table — a genuinely independent cross-check
+      of the distributed Gram assembly + eigh (a wrong mean pass, a
+      dropped partition partial, or a 1/n-vs-1/(n−1) slip all move it).
+    - orthon_ok: max |C·Cᵀ − I_k| < 1e-8 over the fitted components.
+    - var_order_ok: fitted eigenvalues non-increasing and ≥ 0.
+    - proj_var_ok: per-component var_samp of the ACTUAL pca_project
+      output matches the fitted eigenvalue within 1e-5·(1+λ) — ties the
+      serving path (JVM fold over literals) back to the fit. Projected
+      coords round at 6, so the tolerance is loose enough for grid
+      snap + var accumulation, tight enough to catch any real defect.
+
+    Plan shape: pca_fit's single corpus pass, one more narrow var_samp
+    aggregate over the k projected columns — both bounded exchanges.
+
+    Output: (n_rows, dim, k bigint, trace_total r6, orthon_ok,
+    var_order_ok, proj_var_ok boolean).
+    """
+    import numpy as np
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("PCA needs at least 2 vectors")
+    dim = len(first[0])
+    # full-spectrum fit: trace needs ALL eigenvalues; the top-k slice is
+    # the served model
+    mean, comps_all, var_all = pca_fit(emb, k=dim, vec_col=vec_col)
+    comps, var = comps_all[:k], var_all[:k]
+    trace_total = float(np.sum(var_all))
+    C = np.asarray(comps, dtype=np.float64)
+    orthon_ok = bool(np.abs(C @ C.T - np.eye(k)).max() < 1e-8)
+    var_order_ok = bool(
+        all(a >= b for a, b in zip(var, var[1:])) and min(var) >= 0.0
+    )
+    proj = pca_project(emb, mean, comps, vec_col=vec_col, id_col=id_col)
+    pv = proj.select(
+        *[
+            F.var_samp(F.col("proj")[i]).alias(f"v{i}")
+            for i in range(k)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    checks = [
+        (F.abs(F.col(f"v{i}") - F.lit(var[i])) < 1e-5 * (1.0 + var[i]))
+        for i in range(k)
+    ]
+    proj_var_ok = checks[0]
+    for c in checks[1:]:
+        proj_var_ok = proj_var_ok & c
+    return pv.select(
+        "n_rows",
+        F.lit(dim).cast("long").alias("dim"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.lit(trace_total), 6).alias("trace_total"),
+        F.lit(orthon_ok).alias("orthon_ok"),
+        F.lit(var_order_ok).alias("var_order_ok"),
+        proj_var_ok.alias("proj_var_ok"),
+    )
+
+
 def silhouette_by_cell(
     emb: DataFrame,
     k: int = 8,

@@ -243,14 +243,22 @@ def pq_search(
     """Train + encode + search in one call (registry-facing). In a real
     deployment train/encode happen at write time; this end-to-end form
     exists so correctness and recall are checkable from one entry point.
-    shortlist=None returns the raw ADC ranking (no exact re-rank)."""
+    shortlist=None returns the raw ADC ranking (no exact re-rank).
+
+    The re-rank stage scores the RAW vectors (not the unit-normalized
+    copies the codebooks train on): cosine is scale-invariant so the
+    ranking is identical, but the raw-vector arithmetic is bit-identical
+    to a brute-force scan — which is what makes the exact-top-k oracle
+    bind on this entry (shortlist ⊇ exact top-k at validation SFs,
+    recall pinned in tests/test_operators.py)."""
+    raw = emb
     emb = _unit(emb, vec_col)
     cbs = pq_train(emb, m, ks, iters, vec_col, id_col, train_size)
     enc = pq_encode(emb, cbs, vec_col, id_col)
     if shortlist is None:
         return pq_topk(enc, cbs, query_vec, k, id_col)
     return pq_topk_rerank(
-        emb, enc, cbs, query_vec, k, shortlist, vec_col, id_col
+        raw, enc, cbs, query_vec, k, shortlist, vec_col, id_col
     )
 
 

@@ -796,7 +796,7 @@ def compression_ratio(
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    schema = "doc_id long, n_bytes long, n_compressed long, ratio double"
+    schema = "doc_id long, n_bytes long, n_compressed long"
 
     def fn(batches):
         import zlib
@@ -805,30 +805,40 @@ def compression_ratio(
 
         for pdf in batches:
             texts = pdf[text_col]
-            n_raw, n_comp, ratios = [], [], []
+            n_raw, n_comp = [], []
             for t in texts:
                 if t is None:
                     n_raw.append(None)
                     n_comp.append(None)
-                    ratios.append(None)
                     continue
                 raw = t.encode("utf-8")
                 comp = zlib.compress(raw, level)
                 n_raw.append(len(raw))
                 n_comp.append(len(comp))
-                ratios.append(
-                    round(len(comp) / len(raw), 6) if raw else None
-                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_raw,
                     "n_compressed": n_comp,
-                    "ratio": ratios,
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(fn, schema)
+    # ratio rounds as a Spark column, not python round(): F.round is
+    # half-away-from-zero (matching every SQL engine), python's is
+    # banker's — the one-ULP divergence the oracle gate catches
+    return (
+        docs.select("doc_id", text_col)
+        .mapInPandas(fn, schema)
+        .withColumn(
+            "ratio",
+            F.round(
+                F.try_divide(
+                    F.col("n_compressed").cast("double"), F.col("n_bytes")
+                ),
+                6,
+            ),
+        )
+    )
 
 
 def source_vocab_overlap(

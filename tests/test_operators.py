@@ -1004,6 +1004,53 @@ def test_pca_fit_matches_numpy_and_projects(spark):
         assert np.allclose(proj[i], np.round(expect[i], 6), atol=2e-6)
 
 
+def test_pca_invariants_all_hold(spark):
+    """pca_invariants: trace_total equals the summed per-dim sample
+    variance (trace invariance) and every boolean invariant holds on
+    well-conditioned data."""
+    import numpy as np
+
+    from nsdb_spark.operators import clustering
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 6)) @ np.diag([8.0, 4.0, 2.0, 1.0, 0.5, 0.2])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    X = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+    got = clustering.pca_invariants(emb, k=3).collect()[0]
+    assert got["n_rows"] == 200 and got["dim"] == 6 and got["k"] == 3
+    expect_trace = float(np.var(X, axis=0, ddof=1).sum())
+    assert abs(got["trace_total"] - expect_trace) < 1e-5
+    assert got["orthon_ok"] and got["var_order_ok"] and got["proj_var_ok"]
+
+
+def test_bpe_roundtrip_lossless_incl_oov_and_multispace(spark):
+    """bpe_roundtrip: decode(encode(x)) == whitespace-normalized x for
+    every doc, including OOV words (char fallback) and runs of spaces;
+    n_words/n_chars match the normalized text."""
+    from nsdb_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "totally  unseen   zxqwv words"),  # OOV + multi-space
+            (3, "a"),
+            (4, "repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat")], "doc_id long, text string"
+    )
+    _merges, vocab = bpe.bpe_train(train, num_merges=10)
+    got = {r["doc_id"]: r for r in bpe.bpe_roundtrip(docs, vocab).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(r["roundtrip_ok"] for r in got.values())
+    assert got[2]["n_words"] == 4  # empty tokens from multi-space dropped
+    assert got[2]["n_chars"] == len("totally unseen zxqwv words")
+    assert got[3]["n_words"] == 1 and got[3]["n_chars"] == 1
+
+
 def test_window_agg_join_matches_bruteforce_and_has_no_join(spark):
     """Attribution-window counts/sums equal the brute-force range join on
     small data, while the physical plan contains NO join operator at all
