@@ -762,6 +762,68 @@ def _nearest_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Round-5 driver-check prefix: the 3 formerly-`no_oracle` entries (new
+#: cross-engine oracles this round — their stale err status must clear) +
+#: the 47 OLDEST never-driver-checked entries (text_compress_ratio also
+#: changed this round). All 50 verified green against DuckDB at sf0.01
+#: before the round close.
+_CHECK_PREFIX_R5 = [
+    "sim_topk_pq", "text_bpe_encode", "emb_pca_project",
+    "text_compress_ratio",
+    "mm_frame_sample", "mm_resize", "mm_decode_metadata",
+    "scale_zorder_key", "sim_range_search", "tsa_ema",
+    "events_retention", "events_transitions", "stats_robust",
+    "text_normalize", "sim_topk_ivfpq", "scale_join_chain",
+    "sample_weighted", "sample_split", "tsa_decimate", "tsa_locf",
+    "tsa_zscore", "tsa_rate", "scale_heavy_hitters", "text_lm_logprob",
+    "text_repetition", "text_top_bigrams", "text_bm25_phrase",
+    "text_bm25_and", "text_bm25_multi", "text_scrub_numbers",
+    "stats_corr", "stats_histogram", "stats_percentiles",
+    "events_funnel", "win_moving_agg", "win_topk_per_group",
+    "text_bm25_topk", "rollup_temporal_avg", "rollup_temporal_sum",
+    "events_sessionize", "join_asof_events_orders", "sample_stratified",
+    "scale_bucketed_join", "scale_broadcast_join", "emb_quantize_int8",
+    "dedup_source_matrix", "sample_per_group", "dedup_passages_strided",
+    "text_bm25_postings", "events_stickiness",
+]
+
+#: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
+#: Round 6 takes _ROTATION_QUEUE[:50]; round 7 takes the rest (33) plus
+#: re-verification of anything changed in rounds 5-6. Entries changed in
+#: a round jump the queue into that round's prefix.
+_ROTATION_QUEUE = [
+    # --- round 6 block (50) ---
+    "stats_benford", "events_funnel_windowed", "stats_winsorize",
+    "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
+    "tsa_anomaly", "emb_diversity", "stats_bootstrap",
+    "dedup_passage_scrub", "tsa_seasonal", "emb_outliers",
+    "text_jsd_by_source", "stats_cube", "stats_ttest",
+    "emb_centroid_drift", "stats_anova", "graph_common_neighbors",
+    "tsa_rolling_quantiles", "events_rfm", "scale_salted_join",
+    "emb_knn_classify", "sim_mmr", "tsa_changepoint", "stats_gini",
+    "text_gopher_rules", "graph_degree_dist", "win_order_gaps",
+    "stats_linreg", "stats_basket_lift", "sample_token_budget",
+    "stats_wilson", "events_concurrency", "sim_topk_filtered",
+    "stats_cohens_d", "stats_zipf", "join_asof_forward", "graph_hits",
+    "stats_lorenz", "kmeans_cells", "stats_partial_corr",
+    "emb_silhouette", "stats_pct_rank", "text_ttr", "tsa_crosscorr",
+    "stats_kendall", "stats_cramers_v", "stats_theil_sen",
+    "tsa_periodogram", "graph_adamic_adar",
+    # --- round 7 block (33 + changed-entry re-verifies) ---
+    "stats_mi", "stats_spearman", "events_paths", "stats_cvm",
+    "stats_wasserstein", "emb_hamming_topk", "stats_levene",
+    "graph_kcore", "stats_qq", "events_kaplan_meier", "events_markov",
+    "sim_topk_hamming_rerank", "stats_runs", "tsa_ljung_box",
+    "emb_matryoshka_overlap", "sample_neyman", "stats_ad",
+    "graph_assortativity", "stats_deming", "sample_pps_systematic",
+    "stats_mood", "events_json_stats", "graph_clustering_coeff",
+    "text_lang_confusion", "tsa_kpss", "stats_kruskal",
+    "graph_modularity", "stats_hill", "join_band_prices",
+    "events_entropy_rate", "stats_ccc", "sample_neyman_apply",
+    "events_mcnemar",
+]
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -2516,11 +2578,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), _query_vec(spark, sf), k=10
     )
 
-    # The driver's correctness gate checks the FIRST 50 registry entries:
-    # rotate the operators touched most recently (highest regression risk)
-    # into that prefix; the stable NSDb-parity rows and older extensions
-    # fill the rest in their definition order.
-    priority = [
+    # The driver's correctness gate checks the FIRST 50 registry entries.
+    # ROTATION RULE (round 5+, inverting the round-4 newest-first policy
+    # per VERDICT r4 item 1): the prefix drains the oldest-NEVER-driver-
+    # checked entries first, so every entry appears in some
+    # CORRECTNESS_r*.json. Each round: prefix := entries changed this
+    # round (re-verify) + the next 50-ish from _ROTATION_QUEUE below
+    # (oldest first); move the spent block out of the queue and append
+    # any brand-new entries to its tail. After round 7 the queue is
+    # empty and the prefix reverts to most-recently-touched-first.
+    priority = _CHECK_PREFIX_R5 + [
         # round 9: new entries this round, NEWEST WAVES FIRST — with 79
         # additions only 50 fit the driver's check prefix, and the
         # latest waves have soaked the least
