@@ -148,6 +148,46 @@ class Warehouse:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def shard_stats(self, db: str, ns: str, metric: str) -> list[dict]:
+        """Per-shard location descriptors — the Location(metric, node,
+        from, to) listing of the reference's GetLiveLocations
+        (nsdb-core/src/main/scala/io/radicalbit/nsdb/model/Location.scala:32,
+        served over HTTP by CommandApi.scala's /locations route), enriched
+        with the physical stats the Parquet layout gives for free: file
+        count, byte size, and exact row count from the parquet FOOTERS
+        (pyarrow metadata read — no data pages touched, so this stays
+        cheap on a 100 TB metric: O(files) footer reads, zero scans)."""
+        if not self.exists(db, ns, metric):
+            raise MetricNotFound(f"{db}.{ns}.{metric}")
+        import pyarrow.parquet as pq
+
+        interval = self.get_info(db, ns, metric)["shardInterval"]
+        dp = self.data_path(db, ns, metric)
+        out = []
+        for start in self.locations(db, ns, metric):
+            sd = os.path.join(dp, f"shard_start={start}")
+            files = [
+                os.path.join(sd, f)
+                for f in os.listdir(sd)
+                if f.endswith(".parquet")
+            ]
+            rows = 0
+            size = 0
+            for f in files:
+                rows += pq.ParquetFile(f).metadata.num_rows
+                size += os.path.getsize(f)
+            out.append(
+                {
+                    "shard_start": start,
+                    "from": start,
+                    "to": start + interval - 1,
+                    "n_files": len(files),
+                    "bytes": size,
+                    "rows": rows,
+                }
+            )
+        return out
+
     # -- rollup registry ----------------------------------------------------
     # Materialized temporal rollups (operators/rollup.py). rollups.json
     # maps fine_ms -> {lower, upper} (the pinned bucket-axis bounds the
@@ -314,6 +354,126 @@ class Warehouse:
             d = os.path.join(self.metric_path(db, ns, metric), "rollups")
             if os.path.isdir(d):
                 shutil.rmtree(d)
+
+    # -- dump / restore -----------------------------------------------------
+    # Parity surface: the reference ships a restore tool + rpc endpoint
+    # (nsdb-cli/src/main/scala/io/radicalbit/nsdb/cli/NsdbRestore.scala,
+    # nsdb-rpc/src/main/protobuf/restore.proto) that imports a previously
+    # exported bundle. Here a bundle is the metric directory tree
+    # (schema.json + meta.json + data/shard_start=* + rollups/*) plus a
+    # manifest.json inventory; restore validates the manifest and swaps
+    # the tree into place atomically (single directory rename — a reader
+    # sees the old metric or the new one, never a half-copied mix).
+    BUNDLE_FORMAT = 1
+    _BUNDLE_MANIFEST = "manifest.json"
+
+    def dump_metric(self, db: str, ns: str, metric: str, dest: str) -> dict:
+        """Export one metric as a self-describing bundle directory at
+        `dest` (must not exist). The schema/meta/rollup registry files are
+        snapshotted under the registry locks (consistent with each other);
+        data shard directories are copied as-is — quiesce writers for a
+        point-in-time data snapshot (shard swaps are atomic renames, so a
+        racing write surfaces as a copy error, not silent corruption).
+        Returns the manifest dict."""
+        if not self.exists(db, ns, metric):
+            raise MetricNotFound(f"{db}.{ns}.{metric}")
+        if os.path.exists(dest):
+            raise ValueError(f"dump destination already exists: {dest}")
+        src = self.metric_path(db, ns, metric)
+        tmp = dest + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        with self._schema_lock, self._rollup_meta_lock:
+            shutil.copytree(src, tmp)
+        inventory = {}
+        total = 0
+        for base, _dirs, files in os.walk(tmp):
+            for f in files:
+                p = os.path.join(base, f)
+                rel = os.path.relpath(p, tmp)
+                size = os.path.getsize(p)
+                inventory[rel] = size
+                total += size
+        manifest = {
+            "format": self.BUNDLE_FORMAT,
+            "db": db,
+            "namespace": ns,
+            "metric": metric,
+            "shard_starts": self.locations(db, ns, metric),
+            "info": self.get_info(db, ns, metric),
+            "n_files": len(inventory),
+            "total_bytes": total,
+            "files": inventory,
+        }
+        mpath = os.path.join(tmp, self._BUNDLE_MANIFEST)
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.rename(tmp, dest)
+        return manifest
+
+    def restore_metric(
+        self,
+        bundle: str,
+        db: str | None = None,
+        ns: str | None = None,
+        metric: str | None = None,
+        overwrite: bool = False,
+    ) -> dict:
+        """Import a dump_metric bundle. Target identity defaults to the
+        manifest's; pass db/ns/metric to restore under a different name.
+        The bundle is staged next to the target and verified (manifest
+        format, file inventory byte-for-byte sizes, parseable schema)
+        BEFORE the atomic swap — a truncated or tampered bundle never
+        becomes visible. Refuses an existing target unless overwrite."""
+        mpath = os.path.join(bundle, self._BUNDLE_MANIFEST)
+        if not os.path.isfile(mpath):
+            raise ValueError(f"not a metric bundle (no manifest): {bundle}")
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        if manifest.get("format") != self.BUNDLE_FORMAT:
+            raise ValueError(
+                f"unsupported bundle format {manifest.get('format')!r}"
+            )
+        db = self._safe(db or manifest["db"])
+        ns = self._safe(ns or manifest["namespace"])
+        metric = self._safe(metric or manifest["metric"])
+        target = self.metric_path(db, ns, metric)
+        if os.path.exists(target) and not overwrite:
+            raise ValueError(
+                f"metric {db}.{ns}.{metric} already exists (pass overwrite=True)"
+            )
+        # verify inventory against the on-disk bundle before touching the
+        # warehouse
+        for rel, size in manifest["files"].items():
+            p = os.path.join(bundle, rel)
+            if not os.path.isfile(p) or os.path.getsize(p) != size:
+                raise ValueError(f"bundle file missing or truncated: {rel}")
+        schema_p = os.path.join(bundle, "schema.json")
+        if not os.path.isfile(schema_p):
+            raise ValueError("bundle has no schema.json")
+        with open(schema_p) as fh:
+            MetricSchema.from_json(fh.read())  # raises on corruption
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        stage = target + ".restore_tmp"
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        shutil.copytree(
+            bundle, stage,
+            ignore=shutil.ignore_patterns(self._BUNDLE_MANIFEST),
+        )
+        with self._schema_lock, self._rollup_meta_lock:
+            old = None
+            if os.path.exists(target):
+                old = target + ".restore_old"
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                os.rename(target, old)
+            os.rename(stage, target)
+            if old:
+                shutil.rmtree(old)
+        out = dict(manifest)
+        out.update({"db": db, "namespace": ns, "metric": metric})
+        return out
 
         # -- drop / retention ---------------------------------------------------
     def drop_metric(self, db: str, ns: str, metric: str) -> None:

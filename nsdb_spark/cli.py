@@ -68,6 +68,31 @@ def repl(engine, stdin=None, stdout=None) -> None:
                 ns = line.split(None, 1)[1]
                 print(f"Namespace changed to {ns}", file=stdout)
                 continue
+            if line.lower().startswith("dump "):
+                # dump <metric> <dest-path> — NsdbRestore.scala's export
+                # half, scoped to the session's db/namespace
+                _, m, dest = line.split(None, 2)
+                man = engine.dump_metric_bundle(db, ns, m, dest)
+                print(
+                    f"Dumped {db}.{ns}.{m}: {man['n_files']} files, "
+                    f"{man['total_bytes']} bytes -> {dest}",
+                    file=stdout,
+                )
+                continue
+            if line.lower().startswith("restore "):
+                # restore <bundle-path> [metric] — import under the
+                # session db/namespace (metric defaults to the bundle's)
+                parts = line.split(None, 2)
+                man = engine.restore_metric_bundle(
+                    parts[1], db=db, ns=ns,
+                    metric=parts[2] if len(parts) > 2 else None,
+                )
+                print(
+                    f"Restored {man['db']}.{man['namespace']}.{man['metric']} "
+                    f"({man['n_files']} files)",
+                    file=stdout,
+                )
+                continue
             if line.lower().startswith("explain "):
                 # engine extension (no EXPLAIN in the reference dialect):
                 # plan preview without execution

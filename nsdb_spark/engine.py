@@ -1047,6 +1047,33 @@ class NsdbEngine:
                 self.warehouse.invalidate_rollups(db, ns, metric)
             return dropped
 
+    # ------------------------------------------------------------- dump/restore
+    # NsdbRestore.scala / restore.proto parity: export a metric as a
+    # verified bundle, import it atomically (possibly under a new name).
+    # The engine wrapper serializes against the per-metric rollup lock so
+    # a dump never snapshots mid-materialization registry state and a
+    # restore-with-overwrite never swaps underneath an in-flight write.
+    def dump_metric_bundle(self, db: str, ns: str, metric: str, dest: str) -> dict:
+        with self._metric_rollup_lock(db, ns, metric):
+            return self.warehouse.dump_metric(db, ns, metric, dest)
+
+    def restore_metric_bundle(
+        self,
+        bundle: str,
+        db: str | None = None,
+        ns: str | None = None,
+        metric: str | None = None,
+        overwrite: bool = False,
+    ) -> dict:
+        manifest = self.warehouse.restore_metric(
+            bundle, db=db, ns=ns, metric=metric, overwrite=overwrite
+        )
+        # parquet footers may be cached from a pre-overwrite read of the
+        # same path — drop them so the first post-restore query sees the
+        # restored bytes
+        self.spark.catalog.clearCache()
+        return manifest
+
     # ------------------------------------------------------------- compaction
     def compact_metric(
         self,

@@ -12,6 +12,8 @@ Route parity (nsdb-http/.../routes/):
 - GET  /commands/<db>/namespaces                   → {"namespaces": [...]}
 - GET  /commands/<db>/<ns>/metrics                 → {"metrics": [...]}
 - GET  /commands/<db>/<ns>/<metric>/describe       → {"fields": [...]}
+- GET  /commands/topology                          → {"nodes": [...], ...}
+- GET  /locations/<db>/<ns>/<metric>               → {"locations": [...]}
                   (CommandApi.scala:152-264)
 - GET  /ws-stream?refresh_period=N&retention_size=M
                   → RFC 6455 upgrade; RegisterQuery JSON in, historical +
@@ -400,7 +402,42 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, {"batches": ch.drain(timeout_ms / 1000.0)})
                 return
             wh = self.engine.warehouse
-            if parts == ["commands", "dbs"]:
+            if parts == ["commands", "topology"]:
+                # CommandApi.scala:82 (show topology): cluster members. The
+                # Spark analogue of the Akka-cluster node set is the
+                # executor set of the session this server fronts.
+                sc = self.engine.spark.sparkContext
+                try:
+                    infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+                    nodes = [
+                        {"host": e.host(), "port": e.port()} for e in infos
+                    ]
+                except Exception:  # status tracker shape varies by master
+                    nodes = [{"host": "driver", "port": 0}]
+                self._send(
+                    200,
+                    {
+                        "nodes": nodes,
+                        "applicationId": sc.applicationId,
+                        "master": sc.master,
+                        "defaultParallelism": sc.defaultParallelism,
+                    },
+                )
+            elif len(parts) == 4 and parts[0] == "locations":
+                # CommandApi.scala:117 (/locations/<db>/<ns>/<metric>):
+                # the metric's shard partitions with physical stats
+                if not self._authorized("metric", False, parts[1], parts[2], parts[3]):
+                    return
+                stats = wh.shard_stats(parts[1], parts[2], parts[3])
+                self._send(
+                    200,
+                    {
+                        "locations": [
+                            {"metric": parts[3], **s} for s in stats
+                        ]
+                    },
+                )
+            elif parts == ["commands", "dbs"]:
                 self._send(200, {"dbs": wh.databases()})
             elif len(parts) == 3 and parts[0] == "commands" and parts[2] == "namespaces":
                 if not self._authorized("db", False, parts[1]):

@@ -69,3 +69,25 @@ def test_repl_explain(engine):
     assert "(1 rows)" not in text and "(2 rows)" not in text
     # non-SELECT explain surfaces the engine error, not a crash
     assert "error: ValueError" in text
+
+
+def test_repl_dump_and_restore(engine, tmp_path):
+    # NsdbRestore.scala's CLI surface: dump a metric, restore it under a
+    # new name in the same session namespace, query both
+    b = str(tmp_path / "bundle")
+    script = "\n".join([
+        "insert into temps ts = 1000 dim (city = rome) tags (kind = out) val = 21.5",
+        "insert into temps ts = 2000 dim (city = milan) tags (kind = out) val = 30.0",
+        f"dump temps {b}",
+        f"restore {b} temps2",
+        "select count(*) from temps2",
+        f"restore {b}",   # existing target -> error surfaced, not crash
+        "exit",
+    ]) + "\n"
+    out = io.StringIO()
+    repl(engine, stdin=io.StringIO(script), stdout=out)
+    text = out.getvalue()
+    assert "Dumped default.default.temps" in text
+    assert "Restored default.default.temps2" in text
+    assert "| 2" in text
+    assert "error: ValueError" in text and "already exists" in text

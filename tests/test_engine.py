@@ -1403,3 +1403,129 @@ def test_explain_select_reports_rollup_routing(engine):
     )
     assert info["rollup_routed"] is True
     assert info["plan_class"] == "ParsedTemporalAggregatedQuery"
+
+
+# ---------------------------------------------------------------- dump/restore
+# Parity: reference NsdbRestore.scala + restore.proto (export/import a
+# previously dumped bundle); atomicity + verification are the Spark-side
+# additions the Parquet layout makes possible.
+
+
+def _fresh_engine(spark, tmp_path, name):
+    from nsdb_spark.engine import NsdbEngine
+
+    return NsdbEngine(spark, str(tmp_path / name))
+
+
+def test_dump_restore_roundtrip_hash_matches(engine, spark, tmp_path):
+    from fixtures import LONG_METRIC, load
+
+    load(engine, "longMetric", LONG_METRIC, shard_interval_ms=5000)
+    sql = "select * from longMetric order by timestamp"
+    before = rows(engine.execute(sql))
+    man = engine.dump_metric_bundle(
+        "default", "default", "longMetric", str(tmp_path / "bundle")
+    )
+    assert man["metric"] == "longMetric" and man["n_files"] >= 2
+    assert man["info"]["shardInterval"] == 5000
+    # restore into a brand-new warehouse: query results hash-match
+    other = _fresh_engine(spark, tmp_path, "wh2")
+    got = other.restore_metric_bundle(str(tmp_path / "bundle"))
+    assert got["metric"] == "longMetric"
+    assert rows(other.execute(sql)) == before
+    assert (
+        other.warehouse.get_schema("default", "default", "longMetric").to_json()
+        == engine.warehouse.get_schema("default", "default", "longMetric").to_json()
+    )
+    assert other.warehouse.get_info("default", "default", "longMetric") == {
+        "shardInterval": 5000,
+        "retention": 0,
+    }
+    assert other.warehouse.locations(
+        "default", "default", "longMetric"
+    ) == engine.warehouse.locations("default", "default", "longMetric")
+
+
+def test_dump_restore_preserves_rollup_registrations(engine, spark, tmp_path):
+    from fixtures import TEMPORAL_LONG_METRIC, load
+
+    load(engine, "rm", TEMPORAL_LONG_METRIC, shard_interval_ms=10000)
+    engine.materialize_rollup("default", "default", "rm", 1000)
+    engine.dump_metric_bundle("default", "default", "rm", str(tmp_path / "b"))
+    other = _fresh_engine(spark, tmp_path, "wh3")
+    other.restore_metric_bundle(str(tmp_path / "b"))
+    assert other.warehouse.rollups("default", "default", "rm") == \
+        engine.warehouse.rollups("default", "default", "rm")
+    # the restored rollup store still routes temporal queries
+    sql = "select count(*) from rm group by interval 2 s"
+    routed = other.execute(sql)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert _rollup_scan(plan)
+    assert _rows(routed) == _rows(engine.execute(sql))
+
+
+def test_restore_under_new_name_and_overwrite_rules(engine, spark, tmp_path):
+    from fixtures import LONG_METRIC, load
+
+    load(engine, "longMetric", LONG_METRIC)
+    engine.dump_metric_bundle(
+        "default", "default", "longMetric", str(tmp_path / "b")
+    )
+    # same warehouse, new metric name
+    engine.restore_metric_bundle(str(tmp_path / "b"), metric="copyMetric")
+    assert rows(engine.execute("select count(*) from copyMetric")) == rows(
+        engine.execute("select count(*) from longMetric")
+    )
+    # existing target refused without overwrite=True
+    with pytest.raises(ValueError, match="already exists"):
+        engine.restore_metric_bundle(str(tmp_path / "b"))
+    # with overwrite: mutate, then restore rolls back to the dumped state
+    engine.insert_bits(
+        "default", "default", "longMetric",
+        [Bit(99, 1, {"surname": "Y"}, {"name": "X"})],
+    )
+    n_mut = rows(engine.execute("select count(*) from longMetric"))
+    engine.restore_metric_bundle(str(tmp_path / "b"), overwrite=True)
+    n_restored = rows(engine.execute("select count(*) from longMetric"))
+    assert n_restored != n_mut and n_restored == [(len(LONG_METRIC),)]
+
+
+def test_restore_rejects_truncated_or_bogus_bundle(engine, spark, tmp_path):
+    import os
+
+    from fixtures import LONG_METRIC, load
+
+    load(engine, "longMetric", LONG_METRIC)
+    b = str(tmp_path / "b")
+    engine.dump_metric_bundle("default", "default", "longMetric", b)
+    # truncate one data file: restore must refuse BEFORE touching the target
+    victim = None
+    for base, _d, files in os.walk(os.path.join(b, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(base, f)
+                break
+    with open(victim, "wb") as fh:
+        fh.write(b"short")
+    other = _fresh_engine(spark, tmp_path, "wh4")
+    with pytest.raises(ValueError, match="truncated"):
+        other.restore_metric_bundle(b)
+    assert not other.warehouse.exists("default", "default", "longMetric")
+    # a random directory is not a bundle
+    os.makedirs(str(tmp_path / "junk"))
+    with pytest.raises(ValueError, match="manifest"):
+        other.restore_metric_bundle(str(tmp_path / "junk"))
+
+
+def test_dump_refuses_missing_metric_and_existing_dest(engine, tmp_path):
+    from nsdb_spark.catalog import MetricNotFound
+
+    with pytest.raises(MetricNotFound):
+        engine.dump_metric_bundle("default", "default", "nope", str(tmp_path / "x"))
+    from fixtures import LONG_METRIC, load
+
+    load(engine, "longMetric", LONG_METRIC)
+    dest = tmp_path / "taken"
+    dest.mkdir()
+    with pytest.raises(ValueError, match="already exists"):
+        engine.dump_metric_bundle("default", "default", "longMetric", str(dest))

@@ -559,3 +559,37 @@ def test_poll_and_unsubscribe_require_metric_auth(engine):
             srv.shutdown()
         except Exception:
             pass
+
+
+def test_topology_and_locations_routes(server, engine):
+    # CommandApi.scala:82 /commands/topology + :117 /locations/db/ns/metric
+    port = server
+    # shard interval 1000 ms -> the two bits land in two shards
+    engine.warehouse.init_metric("db1", "ns1", "temps", 1000)
+    for ts, v in [(500, 1.0), (1500, 2.0), (1600, 3.0)]:
+        code, _ = _post(port, "/data", {
+            "db": "db1", "namespace": "ns1", "metric": "temps",
+            "bit": {"timestamp": ts, "value": v,
+                    "dimensions": {}, "tags": {"sensor": "a"}},
+        })
+        assert code == 200
+
+    code, body = _get(port, "/commands/topology")
+    assert code == 200
+    assert body["nodes"] and body["applicationId"]
+    assert body["defaultParallelism"] >= 1
+
+    code, body = _get(port, "/locations/db1/ns1/temps")
+    assert code == 200
+    locs = body["locations"]
+    assert [l["shard_start"] for l in locs] == [0, 1000]
+    by_start = {l["shard_start"]: l for l in locs}
+    assert by_start[0]["rows"] == 1 and by_start[1000]["rows"] == 2
+    for l in locs:
+        assert l["metric"] == "temps"
+        assert l["to"] == l["from"] + 999
+        assert l["n_files"] >= 1 and l["bytes"] > 0
+
+    # unknown metric -> error status, not a crash
+    code, body = _get(port, "/locations/db1/ns1/nope")
+    assert code == 400 and "MetricNotFound" in body["error"]
