@@ -610,7 +610,10 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
 
 def test_temporal_no_grace_releases_closed_buckets(manager, engine):
     """Without SINCE, a closed bucket's raw values are released on close
-    (no amendment path holds them) — driver memory stays bounded."""
+    (no amendment path holds them) — driver memory stays bounded.
+
+    Parity fixture: PublisherActorSpec.scala:465 ("do nothing if a late
+    event comes for a temporal query without a grace period set")."""
     cb = Collector()
     engine.now_fn = lambda: 1000
     quid = manager.subscribe(
@@ -629,6 +632,98 @@ def test_temporal_no_grace_releases_closed_buckets(manager, engine):
     manager.publish("default", "default", "people",
                     [{"timestamp": 1900, "value": 2, "name": "X", "surname": "Y"}])
     assert sub.buckets == {} and cb.pushes[-1][0]["count_value"] == 1
+
+
+def test_publisher_spec_late_event_beyond_grace_dropped(manager, engine):
+    """Parity fixture: PublisherActorSpec.scala:488 ("do nothing if a
+    late event comes beyond the grace period"). Sequence mirrored: 10
+    in-bucket events → one closed-bucket push of count 10; an event
+    older than now − grace produces NO push and NO state; once the
+    grace horizon passes the closed bucket, its amendment state is
+    trimmed (lateTemporalBuckets 1 → 0 analogue)."""
+    cb = Collector()
+    engine.now_fn = lambda: 1000
+    quid = manager.subscribe(
+        "select count(*) from people group by interval 1 s since 20 s",
+        cb, time_context=TimeContext(1000),
+    )
+    assert len(cb.pushes) == 1  # historical
+    manager.publish(
+        "default", "default", "people",
+        [{"timestamp": 1000 + i, "value": 25, "name": "john", "surname": "D"}
+         for i in range(1, 11)],
+    )
+    engine.now_fn = lambda: 2100
+    manager.tick(2100)
+    closed = cb.pushes[-1][0]
+    assert (closed["lower_bound"], closed["upper_bound"],
+            closed["count_value"], closed["amended"]) == (1000, 2000, 10, False)
+    n_pushes = len(cb.pushes)
+    sub = manager.subs[quid]
+    assert 2000 in sub.buckets  # held for amendment within grace
+
+    # event beyond the grace period (ts < now - 20000): dropped outright
+    engine.now_fn = lambda: 25000
+    manager.publish(
+        "default", "default", "people",
+        [{"timestamp": 3000, "value": 25, "name": "john", "surname": "D"}],
+    )
+    assert len(cb.pushes) == n_pushes  # no push
+    assert 4000 not in sub.buckets     # no state for the dropped event
+
+    # the grace horizon has passed the closed bucket: tick trims its
+    # amendment state (spec's lateTemporalBuckets.size shouldBe 0)
+    manager.tick(25000)
+    assert 2000 not in sub.buckets
+
+
+def test_publisher_spec_late_event_within_grace_amends(manager, engine):
+    """Parity fixture: PublisherActorSpec.scala:560 ("send an update for
+    a late event within a grace period for a temporal query"). Exact
+    amended payload sequence mirrored: closed push count 10 → one late
+    event → amended push count 11 (same bucket bounds) → ten more late
+    events in one batch → ONE amended push count 21.
+
+    Axis note: the spec's buckets are newest-event-anchored; ours are
+    the fixed grid the HISTORICAL compiler uses (upper-inclusive
+    (lb, ub], pinned by test_temporal_boundary_timestamp_matches_
+    historical_axis), so the late event here is mid-bucket — the
+    amend/re-push SEQUENCE is the behaviour under test."""
+    cb = Collector()
+    engine.now_fn = lambda: 1000
+    manager.subscribe(
+        "select count(*) from people group by interval 1 s since 20 s",
+        cb, time_context=TimeContext(1000),
+    )
+    manager.publish(
+        "default", "default", "people",
+        [{"timestamp": 1000 + i, "value": 25, "name": "john", "surname": "D"}
+         for i in range(1, 11)],
+    )
+    engine.now_fn = lambda: 2100
+    manager.tick(2100)
+
+    # late event within grace: count 10 -> 11, same bounds, amended flag
+    manager.publish(
+        "default", "default", "people",
+        [{"timestamp": 1500, "value": 25, "name": "john", "surname": "D"}],
+    )
+    # ten more late events in ONE batch: a single amended push, count 21
+    manager.publish(
+        "default", "default", "people",
+        [{"timestamp": 1000 + i, "value": 25, "name": "john", "surname": "D"}
+         for i in range(1, 11)],
+    )
+    seq = [
+        (p[0]["lower_bound"], p[0]["upper_bound"],
+         p[0]["count_value"], p[0]["amended"])
+        for p in cb.pushes[1:]
+    ]
+    assert seq == [
+        (1000, 2000, 10, False),   # bucket close
+        (1000, 2000, 11, True),    # single late event amends
+        (1000, 2000, 21, True),    # batch of 10 late events: one re-push
+    ]
 
 
 def test_subscribe_buffers_rows_published_during_historical(manager, engine):
