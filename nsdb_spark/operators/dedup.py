@@ -916,6 +916,64 @@ def _srp_sig_frame(emb: DataFrame, vec_col: str, P, bands: int) -> DataFrame:
     )
 
 
+def _blas_cosine_verify(
+    cand: DataFrame,
+    sides: list[tuple[DataFrame, str]],
+    threshold: float,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine verification of candidate id pairs — the closing
+    stage shared by the SRP self-join and cross-corpus paths. `sides`
+    is [(frame, id_alias)] for the pair's two id columns (the same
+    frame twice for a self-join). Two equi-joins attach the RAW vectors
+    (the scale path: no broadcast of the vector table), then ONE Arrow
+    pass computes dot/(|a|·|b|) per batch in BLAS; rounding and the
+    threshold cut stay Spark-side columns (F.round is half-away-from-
+    zero like every SQL engine — oracle parity; raw-dot-then-divide is
+    also the oracle's own float structure).
+
+    Replaces a dim-unrolled codegen dot that cost ~6 µs/candidate at
+    dim=64 (measured sf0.1, round 5): the recall-safe 4σ Hamming
+    prefilter passes ~59% of bucket collisions at threshold 0.45 on
+    label-clustered data, so verify THROUGHPUT — not candidate count —
+    is what the wall-clock buys. Arrow ships ~1 KB/candidate (two
+    64-dim doubles); the BLAS row rate is ~50× the codegen expression's.
+    """
+    import numpy as np
+    import pandas as pd
+
+    (fa, a_name), (fb, b_name) = sides
+    v = F.col(vec_col).cast("array<double>")
+    ea = fa.select(F.col("vec_id").alias(a_name), v.alias("va"))
+    eb = fb.select(F.col("vec_id").alias(b_name), v.alias("vb"))
+    joined = cand.join(ea, a_name).join(eb, b_name)
+
+    def cos_iter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            na = np.maximum(np.sqrt((A * A).sum(axis=1)), 1e-300)
+            nb = np.maximum(np.sqrt((B * B).sum(axis=1)), 1e-300)
+            yield pd.DataFrame(
+                {
+                    a_name: pdf[a_name],
+                    b_name: pdf[b_name],
+                    "raw_cos": (A * B).sum(axis=1) / (na * nb),
+                }
+            )
+
+    scored = joined.mapInPandas(
+        cos_iter, f"{a_name} long, {b_name} long, raw_cos double"
+    )
+    return (
+        scored.withColumn("cosine", F.round("raw_cos", 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(a_name, b_name, "cosine")
+    )
+
+
 def embedding_srp_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -949,8 +1007,11 @@ def embedding_srp_pairs(
     ≈ 3e-5, dominated by banding's own miss rate). It runs as codegen'd
     bit_count(xor) BEFORE the candidate distinct, cutting the wide
     shuffle ~4× (measured; recall verified unchanged — the oracle is the
-    exact pair set). Verification unrolls the dim-term dot product only
-    on survivors.
+    exact pair set). Survivors verify through _blas_cosine_verify — the
+    4σ cut is loose by design on label-clustered data (it only bounds
+    the BOUNDARY pair's miss rate), so the verify stage is throughput-
+    bound and runs as one Arrow/BLAS pass, not a dim-unrolled codegen
+    dot (~50× the row rate, measured round 5).
     """
     import math
 
@@ -1005,25 +1066,10 @@ def embedding_srp_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.greatest(  # zero-norm guard, same rationale as above
-        F.sqrt(
-            functools.reduce(operator.add, [v.getItem(i) * v.getItem(i) for i in range(dim)])
-        ),
-        F.lit(1e-300),
-    )
-    nv = F.array(*[(v.getItem(i) / norm) for i in range(dim)])
-    e = emb.select(F.col("vec_id"), nv.alias("v"))
-    dot = functools.reduce(
-        operator.add,
-        [F.col("va").getItem(i) * F.col("vb").getItem(i) for i in range(dim)],
-    )
     return _finish(
-        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
-        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
-        .withColumn("cosine", F.round(dot, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine"),
+        _blas_cosine_verify(
+            cand, [(emb, "vec_a"), (emb, "vec_b")], threshold, vec_col
+        ),
         buckets,
     )
 
@@ -1108,30 +1154,8 @@ def embedding_srp_join(
         .distinct()
     )
 
-    def unit(emb, id_alias, v_alias):
-        v = F.col(vec_col).cast("array<double>")
-        norm = F.greatest(
-            F.sqrt(
-                functools.reduce(
-                    operator.add,
-                    [v.getItem(i) * v.getItem(i) for i in range(dim)],
-                )
-            ),
-            F.lit(1e-300),
-        )
-        nv = F.array(*[(v.getItem(i) / norm) for i in range(dim)])
-        return emb.select(F.col("vec_id").alias(id_alias), nv.alias(v_alias))
-
-    dot = functools.reduce(
-        operator.add,
-        [F.col("va").getItem(i) * F.col("vb").getItem(i) for i in range(dim)],
-    )
-    return (
-        cand.join(unit(left, "left_id", "va"), "left_id")
-        .join(unit(right, "right_id", "vb"), "right_id")
-        .withColumn("cosine", F.round(dot, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("left_id", "right_id", "cosine")
+    return _blas_cosine_verify(
+        cand, [(left, "left_id"), (right, "right_id")], threshold, vec_col
     )
 
 
