@@ -56,7 +56,7 @@ BLOCKS = 10
 HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash_h3",
     "dedup_embedding_srp",
     "dedup_semantic",
     "sim_topk_ivf",
@@ -204,6 +204,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     generate(spark)
     q = entry_queries.build_queries()
+    # Ladder-only variant: the registry's dedup_simhash (max_hamming=6)
+    # has a QUADRATIC TRUE RESULT on this synthetic corpus — same-vocab
+    # random docs land within hamming 6 for ~10.6% of ALL pairs (13,238
+    # of 124,750 at sf0.01), so its sf1 time measures output size, not
+    # candidate efficiency. hamming≤3 keeps the result sparse and
+    # measures the banded path itself.
+    from nsdb_spark.operators import dedup
+    from nsdb_spark.sources import testdata as _td
+
+    q["dedup_simhash_h3"] = lambda s, d: dedup.simhash_pairs(
+        s.read.parquet(f"{d}/documents.parquet"), max_hamming=3, banded=True
+    )
     table = []
     for name in names:
         out = {"entry": name}
