@@ -30,6 +30,10 @@ class NSDbAuthorizationProvider:
     #: commonly use Authorization)
     http_header = "Authorization"
 
+    #: request-metadata key the gRPC interceptor reads
+    #: (NSDbAuthorizationProvider.getGrpcSecurityHeader)
+    grpc_security_header = "authorization"
+
     def extract_http_security_payload(self, headers: dict[str, str]) -> str:
         for k, v in headers.items():
             if k.lower() == self.http_header.lower():

@@ -1,0 +1,354 @@
+"""Wire-level gRPC endpoint tests — stdlib HTTP/2 + HPACK + proto3 codec.
+
+Layers under test:
+- HPACK decode against the published RFC 7541 Appendix C vectors
+  (C.2.1 plain literal, C.3.1-3 dynamic-table requests, C.4.1-3 the same
+  requests Huffman-coded, C.6.1 Huffman response) — these pin the
+  Huffman table and the dynamic-table state machine against the spec,
+  not against our own encoder.
+- proto3 codec roundtrips incl. oneof / map / repeated / negative int64.
+- The full server: every rpc in service.proto + health/init/restore +
+  the streamSQL server-stream (streaming.proto:53-55), through a real
+  socket with our stdlib client.
+"""
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from fixtures import LONG_METRIC, load
+from nsdb_spark.grpc import hpack, proto
+from nsdb_spark.grpc.server import parse_duration_ms, serve_grpc
+from nsdb_spark.grpc.client import GrpcError, NsdbGrpcClient
+
+
+# --------------------------------------------------------------- HPACK
+
+def test_hpack_rfc_c2_1_literal_with_indexing():
+    dec = hpack.Decoder()
+    data = bytes.fromhex("400a637573746f6d2d6b65790d637573746f6d2d686561646572")
+    assert dec.decode(data) == [("custom-key", "custom-header")]
+    assert dec.table == [("custom-key", "custom-header")]
+    assert dec.size == 55
+
+
+def test_hpack_rfc_c3_requests_plain():
+    dec = hpack.Decoder()
+    first = bytes.fromhex("828684410f7777772e6578616d706c652e636f6d")
+    assert dec.decode(first) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    second = bytes.fromhex("828684be58086e6f2d6361636865")
+    assert dec.decode(second) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"), ("cache-control", "no-cache"),
+    ]
+    third = bytes.fromhex("828785bf400a637573746f6d2d6b65790c637573746f6d2d76616c7565")
+    assert dec.decode(third) == [
+        (":method", "GET"), (":scheme", "https"), (":path", "/index.html"),
+        (":authority", "www.example.com"), ("custom-key", "custom-value"),
+    ]
+    assert dec.table[0] == ("custom-key", "custom-value")
+
+
+def test_hpack_rfc_c4_requests_huffman():
+    dec = hpack.Decoder()
+    first = bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff")
+    assert dec.decode(first) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    second = bytes.fromhex("828684be5886a8eb10649cbf")
+    assert dec.decode(second)[-1] == ("cache-control", "no-cache")
+    third = bytes.fromhex("828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf")
+    assert dec.decode(third)[-1] == ("custom-key", "custom-value")
+
+
+def test_hpack_rfc_c6_1_response_huffman():
+    dec = hpack.Decoder(max_table_size=256)
+    data = bytes.fromhex(
+        "488264025885aec3771a4b6196d07abe941054d444a8200595040b8166e082a6"
+        "2d1bff6e919d29ad171863c78f0b97c8e9ae82ae43d3"
+    )
+    assert dec.decode(data) == [
+        (":status", "302"),
+        ("cache-control", "private"),
+        ("date", "Mon, 21 Oct 2013 20:13:21 GMT"),
+        ("location", "https://www.example.com"),
+    ]
+
+
+def test_hpack_huffman_padding_must_be_ones():
+    with pytest.raises(hpack.HpackError):
+        # 'e' = 00101 + three 0 pad bits → invalid padding
+        hpack.huffman_decode(bytes([0b00101000]))
+
+
+def test_hpack_encoder_roundtrips_through_decoder():
+    enc, dec = hpack.Encoder(), hpack.Decoder()
+    headers = [
+        (":method", "POST"), (":scheme", "http"),
+        (":path", "/io.radicalbit.nsdb.rpc.NSDBServiceSQL/InsertBit"),
+        (":authority", "localhost:7817"),
+        ("content-type", "application/grpc"), ("te", "trailers"),
+        ("grpc-status", "0"), ("authorization", "Bearer tok~en"),
+    ]
+    assert dec.decode(enc.encode(headers)) == headers
+
+
+# --------------------------------------------------------------- proto3
+
+def test_proto_bit_roundtrip_oneofs_and_maps():
+    bit = {
+        "timestamp": 1704844800000,
+        "decimalValue": 2.5,
+        "dimensions": {"surname": {"stringValue": "Doe"}, "n": {"longValue": -3}},
+        "tags": {"name": {"stringValue": "John"}, "h": {"decimalValue": 30.5}},
+    }
+    assert proto.decode(proto.BIT, proto.encode(proto.BIT, bit)) == bit
+
+
+def test_proto_oneof_zero_value_is_serialized():
+    # longValue: 0 must survive (oneof presence ≠ proto3 default-skip)
+    raw = proto.encode(proto.RPC_INSERT, {"metric": "m", "longValue": 0})
+    out = proto.decode(proto.RPC_INSERT, raw)
+    assert out["longValue"] == 0 and "decimalValue" not in out
+
+
+def test_proto_negative_int64_ten_byte_varint():
+    raw = proto.encode(proto.BIT, {"timestamp": -5, "longValue": -9})
+    out = proto.decode(proto.BIT, raw)
+    assert out == {"timestamp": -5, "longValue": -9}
+
+
+def test_proto_default_values_omitted_on_wire():
+    raw = proto.encode(proto.SQL_STATEMENT_RESPONSE,
+                       {"db": "", "completedSuccessfully": False, "reason": ""})
+    assert raw == b""
+
+
+def test_proto_unknown_fields_skipped():
+    # a field number outside the descriptor must be skipped, not crash
+    inner = proto.encode(proto.SQL_REQUEST_STATEMENT, {"db": "d", "statement": "s"})
+    extra = bytearray(inner)
+    proto.write_varint((99 << 3) | 0, extra)  # varint field 99
+    proto.write_varint(7, extra)
+    out = proto.decode(proto.SQL_REQUEST_STATEMENT, bytes(extra))
+    assert out == {"db": "d", "statement": "s"}
+
+
+def test_parse_duration_ms():
+    assert parse_duration_ms("1d") == 86_400_000
+    assert parse_duration_ms("30 minutes") == 1_800_000
+    assert parse_duration_ms("500ms") == 500
+    with pytest.raises(ValueError):
+        parse_duration_ms("soon")
+
+
+# ------------------------------------------------------------- endpoint
+
+@pytest.fixture()
+def grpc_server(engine):
+    server = serve_grpc(engine, port=0)
+    yield server
+    server.stop()
+
+
+@pytest.fixture()
+def grpc_client(grpc_server):
+    client = NsdbGrpcClient(grpc_server.host, grpc_server.port)
+    yield client
+    client.close()
+
+
+def test_grpc_health_check(grpc_client):
+    assert grpc_client.health_check()["status"] == proto.SERVING_STATUS["SERVING"]
+
+
+def test_grpc_insert_bit_then_select(engine, grpc_client):
+    res = grpc_client.insert_bit({
+        "database": "db", "namespace": "ns", "metric": "people",
+        "timestamp": 4, "longValue": 3,
+        "dimensions": {"surname": {"stringValue": "Doe"}},
+        "tags": {"name": {"stringValue": "John"}},
+    })
+    assert res == {"completedSuccessfully": True}
+    out = grpc_client.execute_sql("db", "ns", "select * from people limit 1")
+    assert out["completedSuccessfully"] is True
+    [record] = out["records"]
+    assert record["timestamp"] == 4 and record["longValue"] == 3
+    assert record["dimensions"]["surname"] == {"stringValue": "Doe"}
+    assert record["tags"]["name"] == {"stringValue": "John"}
+
+
+def test_grpc_execute_sql_select_group_by(engine, grpc_client):
+    load(engine, "people", LONG_METRIC)
+    out = grpc_client.execute_sql(
+        "default", "default", "select sum(value) from people group by name")
+    assert out["completedSuccessfully"] is True
+    got = {b["tags"]["name"]["stringValue"]: b["longValue"] for b in out["records"]}
+    assert got == {"John": 3, "J": 3, "Bill": 4, "Frank": 5, "Frankie": 6}
+
+
+def test_grpc_execute_sql_parse_failure_shape(grpc_client):
+    out = grpc_client.execute_sql("default", "default", "selct nope")
+    assert not out.get("completedSuccessfully", False)  # proto3 default absent
+    assert out["reason"] == "sql statement not valid"
+    assert out.get("message")
+
+
+def test_grpc_execute_sql_missing_metric_reason(grpc_client):
+    out = grpc_client.execute_sql("default", "default", "select * from ghost limit 1")
+    assert not out.get("completedSuccessfully", False) and out.get("reason")
+
+
+def test_grpc_show_namespaces_and_metrics(engine, grpc_client):
+    load(engine, "people", LONG_METRIC)
+    ns = grpc_client.show_namespaces("default")
+    assert ns["completedSuccessfully"] is True and "default" in ns["namespaces"]
+    mg = grpc_client.show_metrics("default", "default")
+    assert mg["metrics"] == ["people"]
+
+
+def test_grpc_describe_metric(engine, grpc_client):
+    load(engine, "people", LONG_METRIC)
+    out = grpc_client.describe_metric("default", "default", "people")
+    assert out["completedSuccessfully"] is True
+    fields = {f["name"]: f for f in out["fields"]}
+    # TIMESTAMP enum value is 0 → absent on the wire (proto3 default)
+    assert fields["timestamp"].get("fieldClassType", 0) == proto.FIELD_CLASS_TYPE["TIMESTAMP"]
+    assert fields["value"]["fieldClassType"] == proto.FIELD_CLASS_TYPE["VALUE"]
+    assert fields["surname"]["fieldClassType"] == proto.FIELD_CLASS_TYPE["DIMENSION"]
+    assert fields["name"]["fieldClassType"] == proto.FIELD_CLASS_TYPE["TAG"]
+    assert out["metricInfo"]["shardInterval"] > 0
+
+
+def test_grpc_init_metric_duration_strings(engine, grpc_client):
+    out = grpc_client.init_metric("db", "ns", "m", shard_interval="1d", retention="2h")
+    assert out["completedSuccessfully"] is True
+    info = engine.warehouse.get_info("db", "ns", "m")
+    assert info == {"shardInterval": 86_400_000, "retention": 7_200_000}
+
+
+def test_grpc_restore_bundle(engine, grpc_client, tmp_path):
+    load(engine, "people", LONG_METRIC)
+    bundle = str(tmp_path / "people_bundle")
+    engine.dump_metric_bundle("default", "default", "people", bundle)
+    engine.execute("drop metric people")
+    out = grpc_client.restore(bundle)
+    assert out["completedSuccessfully"] is True, out
+    back = grpc_client.execute_sql("default", "default", "select count(*) from people")
+    assert back["records"][0]["longValue"] == len(LONG_METRIC)
+
+
+def test_grpc_unimplemented_method_status(grpc_server):
+    client = NsdbGrpcClient(grpc_server.host, grpc_server.port)
+    try:
+        with pytest.raises(GrpcError) as exc:
+            client.call("/io.radicalbit.nsdb.rpc.NSDBServiceSQL/NoSuchRpc",
+                        proto.HEALTH_CHECK_REQUEST, proto.HEALTH_CHECK_RESPONSE, {})
+        assert exc.value.code == 12  # UNIMPLEMENTED
+    finally:
+        client.close()
+
+
+def test_grpc_auth_interceptor_parity(engine):
+    from nsdb_spark.security import AuthorizationResponse, NSDbAuthorizationProvider
+
+    class DenyNs(NSDbAuthorizationProvider):
+        def check_metric_auth(self, db, namespace, metric, payload, write):
+            if payload != "Bearer good":
+                return AuthorizationResponse(False, "bad token")
+            return AuthorizationResponse(True)
+
+    server = serve_grpc(engine, port=0, auth=DenyNs())
+    try:
+        # empty token → UNAUTHENTICATED(16), GrpcAuthInterceptor.scala:61-63
+        anon = NsdbGrpcClient(server.host, server.port)
+        with pytest.raises(GrpcError) as exc:
+            anon.execute_sql("default", "default", "select * from people limit 1")
+        assert exc.value.code == 16
+        anon.close()
+        # wrong token → PERMISSION_DENIED(7)
+        bad = NsdbGrpcClient(server.host, server.port,
+                             metadata=[("authorization", "Bearer bad")])
+        with pytest.raises(GrpcError) as exc:
+            bad.execute_sql("default", "default", "select * from people limit 1")
+        assert exc.value.code == 7
+        bad.close()
+        # good token reaches the engine (metric missing → in-band failure)
+        good = NsdbGrpcClient(server.host, server.port,
+                              metadata=[("authorization", "Bearer good")])
+        out = good.execute_sql("default", "default", "select * from people limit 1")
+        assert not out.get("completedSuccessfully", False)
+        good.close()
+    finally:
+        server.stop()
+
+
+def test_grpc_stream_sql_subscribe_then_live_push(engine, grpc_server, grpc_client):
+    load(engine, "people", LONG_METRIC)
+    _, next_msg, cancel = grpc_client.stream_sql(
+        "default", "default", "select * from people where value >= 4")
+    first = next_msg(timeout=30.0)
+    sub = first.get("subscribedByQueryString")
+    assert sub is not None and sub.get("quid")
+    historical = {b["longValue"] for b in sub.get("records", [])}
+    assert historical == {4, 5, 6}
+    # a matching insert through the same server must arrive as RecordsPublished
+    grpc_client.insert_bit({
+        "database": "default", "namespace": "default", "metric": "people",
+        "timestamp": 99, "longValue": 9,
+        "tags": {"name": {"stringValue": "Zed"}},
+    })
+    push = next_msg(timeout=30.0)
+    pub = push.get("recordsPublished")
+    assert pub is not None and pub["quid"] == sub["quid"]
+    assert [b["longValue"] for b in pub["records"]] == [9]
+    # a non-matching insert (value < 4) must NOT be pushed
+    grpc_client.insert_bit({
+        "database": "default", "namespace": "default", "metric": "people",
+        "timestamp": 100, "longValue": 1,
+    })
+    with pytest.raises(TimeoutError):
+        next_msg(timeout=1.0)
+    cancel()
+    deadline = time.time() + 10
+    while grpc_server.subs.subs and time.time() < deadline:
+        time.sleep(0.05)
+    assert not grpc_server.subs.subs  # unsubscribed on RST_STREAM
+
+
+def test_grpc_stream_sql_invalid_statement_fails_in_band(grpc_client):
+    _, next_msg, cancel = grpc_client.stream_sql("default", "default", "selct x")
+    msg = next_msg(timeout=30.0)
+    failed = msg.get("subscriptionByQueryStringFailed")
+    assert failed is not None and failed["queryString"] == "selct x"
+    assert next_msg(timeout=10.0) is None  # stream closed cleanly
+
+
+def test_grpc_concurrent_unary_calls_multiplexed(engine, grpc_client):
+    """Several streams on ONE connection — HTTP/2 multiplexing."""
+    import threading
+
+    load(engine, "people", LONG_METRIC)
+    results: list[dict] = []
+    errors: list[Exception] = []
+
+    def call():
+        try:
+            results.append(grpc_client.execute_sql(
+                "default", "default", "select count(*) from people"))
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=call) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    assert len(results) == 6
+    assert all(r["records"][0]["longValue"] == len(LONG_METRIC) for r in results)
