@@ -2578,6 +2578,68 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), _query_vec(spark, sf), k=10
     )
 
+    # --- round-5 wave: inferential stats beyond the r4 families ---
+    q["stats_dagostino"] = lambda spark, sf: analytics.dagostino_k2_by_group(
+        testdata.table(spark, sf, "events"), part="event_type", value="value"
+    )
+
+    def _logrank_durations(spark, sf):
+        ev = testdata.table(spark, sf, "events")
+        t = testdata.ts_ms(ev)
+        per = (
+            ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                (F.max(t) - F.min(t)).cast("double").alias("dur"),
+                F.max((F.col("event_type") == "purchase").cast("int")).alias("pu"),
+            )
+            .select("dur", (F.col("pu") == 1).alias("grp"))
+        )
+        return analytics.log_rank_test(per, group="grp", time_col="dur")
+
+    q["stats_logrank"] = _logrank_durations
+    q["stats_cronbach"] = lambda spark, sf: analytics.cronbach_alpha(
+        _emb(spark, sf).select(
+            *[
+                F.element_at("embedding", i).cast("double").alias(f"it{i}")
+                for i in range(1, 9)
+            ]
+        ),
+        items=[f"it{i}" for i in range(1, 9)],
+    )
+    q["stats_icc"] = lambda spark, sf: analytics.icc_oneway(
+        testdata.table(spark, sf, "events"), part="user_id", value="value"
+    )
+    # timestamps are all-2024 (positive), so truncating div == floor div
+    q["stats_friedman"] = lambda spark, sf: analytics.friedman_test(
+        testdata.events_metric(spark, sf),
+        block=F.expr("(timestamp div 86400000) * 86400000").cast("long"),
+        treatment="event_type",
+        value="value",
+    )
+    q["stats_risk_ratio"] = lambda spark, sf: analytics.risk_ratio_2x2(
+        _docs(spark, sf),
+        exposure=F.col("lang") == "en",
+        outcome=F.col("n_chars") >= 2000,
+    )
+    q["tsa_hurst"] = lambda spark, sf: tsa.hurst_rs(
+        testdata.events_metric(spark, sf)
+    )
+    q["tsa_durbin_watson"] = lambda spark, sf: tsa.durbin_watson(
+        testdata.events_metric(spark, sf)
+    )
+    q["tsa_granger"] = lambda spark, sf: tsa.granger_f(
+        testdata.events_metric(spark, sf), cause="view", effect="purchase"
+    )
+    q["tsa_spectral_entropy"] = lambda spark, sf: tsa.spectral_entropy(
+        testdata.events_metric(spark, sf)
+    )
+    q["stats_gamma"] = lambda spark, sf: analytics.gk_gamma(
+        testdata.events_metric(spark, sf),
+        x=F.expr("(timestamp div 3600000) % 24").cast("long"),
+        y=F.floor(F.col("value") / 100).cast("long"),
+    )
+
     # The driver's correctness gate checks the FIRST 50 registry entries.
     # ROTATION RULE (round 5+, inverting the round-4 newest-first policy
     # per VERDICT r4 item 1): the prefix drains the oldest-NEVER-driver-
@@ -6501,5 +6563,304 @@ FROM per
     o["text_compress_ratio"] = """
 SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes, true AS bounds_ok
 FROM documents WHERE text IS NOT NULL
+"""
+    o["stats_dagostino"] = """
+WITH b AS (SELECT event_type AS g, value AS x FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (SELECT g, avg(x) AS mu FROM b GROUP BY 1),
+a AS (SELECT b.g, cast(count(*) AS bigint) AS n,
+             sum((x - mu) * (x - mu)) AS s2,
+             sum((x - mu) * (x - mu) * (x - mu)) AS s3,
+             sum((x - mu) * (x - mu) * (x - mu) * (x - mu)) AS s4
+      FROM b JOIN m ON b.g = m.g GROUP BY 1),
+mo AS (SELECT g, n, n::DOUBLE AS nd,
+              (s3 / n) / sqrt((s2 / n) * (s2 / n) * (s2 / n)) AS g1,
+              (s4 / n) / ((s2 / n) * (s2 / n)) AS b2
+       FROM a),
+sk AS (SELECT g, n, nd, b2,
+              g1 * sqrt((nd + 1) * (nd + 3) / (6.0 * (nd - 2))) AS y,
+              3.0 * (nd * nd + 27 * nd - 70) * (nd + 1) * (nd + 3)
+                / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9)) AS beta2
+       FROM mo),
+sk2 AS (SELECT g, n, nd, b2, y,
+               sqrt(2.0 * (beta2 - 1)) - 1.0 AS w2
+        FROM sk),
+sk3 AS (SELECT g, n, nd, b2,
+               (1.0 / sqrt(ln(sqrt(w2))))
+                 * ln(y / sqrt(2.0 / (w2 - 1))
+                      + sqrt((y / sqrt(2.0 / (w2 - 1)))
+                             * (y / sqrt(2.0 / (w2 - 1))) + 1)) AS z1
+        FROM sk2),
+ku AS (SELECT g, n, nd, z1,
+              (b2 - 3.0 * (nd - 1) / (nd + 1))
+                / sqrt(24.0 * nd * (nd - 2) * (nd - 3)
+                       / ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))) AS xk,
+              6.0 * (nd * nd - 5 * nd + 2) / ((nd + 7) * (nd + 9))
+                * sqrt(6.0 * (nd + 3) * (nd + 5)
+                       / (nd * (nd - 2) * (nd - 3))) AS sb1
+       FROM sk3),
+ku2 AS (SELECT g, n, nd, z1,
+               xk,
+               6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS a
+        FROM ku),
+ku3 AS (SELECT g, n, z1,
+               (1.0 - 2.0 / (9.0 * a)
+                - sign((1.0 - 2.0 / a) / (1.0 + xk * sqrt(2.0 / (a - 4))))
+                  * pow(abs((1.0 - 2.0 / a) / (1.0 + xk * sqrt(2.0 / (a - 4)))),
+                        1.0 / 3.0))
+                 / sqrt(2.0 / (9.0 * a)) AS z2
+        FROM ku2)
+SELECT g AS event_type, n,
+       CASE WHEN n > 8 THEN round(z1, 6) END AS skew_z,
+       CASE WHEN n > 8 THEN round(z2, 6) END AS kurt_z,
+       CASE WHEN n > 8 THEN round(z1 * z1 + z2 * z2, 6) END AS k2
+FROM ku3
+"""
+    o["stats_logrank"] = """
+WITH per AS (SELECT user_id,
+                    cast(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS DOUBLE) AS t,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      = 1 AS g1
+             FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             GROUP BY user_id),
+pt AS (SELECT t, sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+              cast(count(*) AS bigint) AS dj
+       FROM per GROUP BY t),
+rk AS (SELECT t, d1, dj,
+              sum(d1) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS n1j,
+              sum(dj) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS nj
+       FROM pt),
+ag AS (SELECT sum(d1)::BIGINT AS n1, sum(dj - d1)::BIGINT AS n2,
+              sum(dj::DOUBLE * n1j / nj) AS e1,
+              sum(CASE WHEN nj > 1
+                       THEN dj::DOUBLE * (n1j::DOUBLE / nj)
+                            * (1 - n1j::DOUBLE / nj) * (nj - dj) / (nj - 1)
+                       ELSE 0 END) AS vs,
+              sum(d1)::DOUBLE AS o1
+       FROM rk)
+SELECT n1, n2, round(e1, 6) AS expected1, round(vs, 6) AS var_sum,
+       round((o1 - e1) * (o1 - e1) / nullif(vs, 0), 6) AS chi2
+FROM ag
+"""
+    o["stats_cronbach"] = """
+WITH d AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+g AS (SELECT cast(count(*) AS bigint) AS n,
+             var_samp(v[1]) + var_samp(v[2]) + var_samp(v[3]) + var_samp(v[4])
+             + var_samp(v[5]) + var_samp(v[6]) + var_samp(v[7])
+             + var_samp(v[8]) AS sv,
+             var_samp(v[1] + v[2] + v[3] + v[4] + v[5] + v[6] + v[7] + v[8])
+               AS vt
+      FROM d)
+SELECT n, cast(8 AS int) AS k, round(sv, 6) AS sum_item_var,
+       round(vt, 6) AS total_var,
+       round((8.0 / 7.0) * (1.0 - sv / nullif(vt, 0)), 6) AS alpha
+FROM g
+"""
+    o["stats_icc"] = """
+WITH b AS (SELECT user_id AS g, value AS x FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+per AS (SELECT g, count(*)::DOUBLE AS ni, sum(x) AS sx, sum(x * x) AS sxx
+        FROM b GROUP BY g),
+t AS (SELECT cast(count(*) AS bigint) AS n_groups, sum(ni) AS nn,
+             sum(sx) AS tsx, sum(sxx) AS tsxx,
+             sum(sx * sx / ni) AS sgm, sum(ni * ni) AS sn2
+      FROM per)
+SELECT n_groups, cast(nn AS bigint) AS n,
+       round((nn - sn2 / nn) / nullif(n_groups - 1, 0), 6) AS k0,
+       round((sgm - tsx * tsx / nn) / nullif(n_groups - 1, 0), 6) AS msb,
+       round((tsxx - sgm) / nullif(nn - n_groups, 0), 6) AS msw,
+       round(((sgm - tsx * tsx / nn) / nullif(n_groups - 1, 0)
+              - (tsxx - sgm) / nullif(nn - n_groups, 0))
+             / nullif((sgm - tsx * tsx / nn) / nullif(n_groups - 1, 0)
+                      + ((nn - sn2 / nn) / nullif(n_groups - 1, 0) - 1)
+                        * ((tsxx - sgm) / nullif(nn - n_groups, 0)), 0),
+             6) AS icc
+FROM t
+"""
+    o["stats_friedman"] = """
+WITH m AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS b,
+                  event_type AS t, value AS x
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL),
+cells AS (SELECT b, t, avg(x) AS x FROM m GROUP BY b, t),
+kt AS (SELECT count(DISTINCT t) AS k FROM cells),
+complete AS (SELECT b FROM cells GROUP BY b
+             HAVING count(*) = (SELECT k FROM kt)),
+kept AS (SELECT cells.* FROM cells JOIN complete USING (b)),
+ranked AS (SELECT b, t,
+                  rank() OVER (PARTITION BY b ORDER BY x)
+                  + (count(*) OVER (PARTITION BY b, x) - 1) / 2.0 AS r
+           FROM kept),
+rs AS (SELECT t, sum(r) AS rj FROM ranked GROUP BY t),
+dims AS (SELECT count(DISTINCT b)::DOUBLE AS bb,
+                count(DISTINCT t)::DOUBLE AS kk
+         FROM ranked)
+SELECT cast(bb AS bigint) AS n_blocks, cast(kk AS bigint) AS k,
+       round(12.0 / (bb * kk * (kk + 1)) * (SELECT sum(rj * rj) FROM rs)
+             - 3.0 * bb * (kk + 1), 6) AS chi2
+FROM dims
+"""
+    o["stats_risk_ratio"] = """
+WITH b AS (SELECT (lang = 'en') AS e, (n_chars >= 2000) AS o FROM documents
+           WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+c AS (SELECT sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+             sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+      FROM b),
+x AS (SELECT a, b, c, d,
+             a::DOUBLE / nullif(a + b, 0) AS p1,
+             c::DOUBLE / nullif(c + d, 0) AS p2,
+             sqrt(1.0 / nullif(a, 0) - 1.0 / nullif(a + b, 0)
+                  + 1.0 / nullif(c, 0) - 1.0 / nullif(c + d, 0)) AS se
+      FROM c)
+SELECT a, b, c, d,
+       round(p1 / nullif(p2, 0), 6) AS risk_ratio,
+       round(exp(ln(p1 / nullif(p2, 0)) - 1.959963984540054 * se), 6)
+         AS ci_low,
+       round(exp(ln(p1 / nullif(p2, 0)) + 1.959963984540054 * se), 6)
+         AS ci_high,
+       round(p1 - p2, 6) AS risk_diff,
+       round(1.0 / nullif(abs(p1 - p2), 0), 6) AS nnt
+FROM x
+"""
+    o["tsa_hurst"] = """
+WITH b AS (SELECT event_type AS k, epoch_ms(ts) // 3600000 AS bk,
+                  sum(value) AS x
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+seq AS (SELECT k, x,
+               row_number() OVER (PARTITION BY k ORDER BY bk) - 1 AS i
+        FROM b),
+fan AS (SELECT k, x, i, w, i // w AS chunk
+        FROM seq, (VALUES (8), (16), (32)) ws(w)),
+pre AS (SELECT k, w, chunk, x, i,
+               count(*) OVER (PARTITION BY k, w, chunk) AS cn,
+               avg(x) OVER (PARTITION BY k, w, chunk) AS mc
+        FROM fan),
+walked AS (SELECT k, w, chunk, x, cn,
+                  sum(x - mc)
+                    OVER (PARTITION BY k, w, chunk ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+           FROM pre),
+rs AS (SELECT k, w, chunk, max(c) - min(c) AS r, stddev_pop(x) AS s
+       FROM walked WHERE cn = w GROUP BY k, w, chunk),
+pts AS (SELECT k, log2(w) AS lx, avg(log2(r / s)) AS y
+        FROM rs WHERE s > 0 GROUP BY k, w),
+g AS (SELECT k, cast(count(*) AS int) AS n_windows,
+             sum(lx * y) AS sxy, sum(lx * lx) AS sxx,
+             sum(lx) AS sx, sum(y) AS sy, count(*)::DOUBLE AS n
+      FROM pts GROUP BY k)
+SELECT k AS event_type, n_windows,
+       round((sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0), 6) AS hurst
+FROM g
+"""
+    o["tsa_durbin_watson"] = """
+WITH b AS (SELECT event_type AS k,
+                  cast(epoch_ms(ts) // 86400000 AS DOUBLE) AS t,
+                  avg(value) AS y
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+fit AS (SELECT k, cast(count(*) AS bigint) AS n, avg(t) AS mt, avg(y) AS my,
+               sum(t * y) AS sty, sum(t * t) AS stt, sum(t) AS st,
+               sum(y) AS sy
+        FROM b GROUP BY k),
+par AS (SELECT k, n,
+               round((sty - st * sy / n) / nullif(stt - st * st / n, 0), 6)
+                 AS slope,
+               round(my - (sty - st * sy / n)
+                          / nullif(stt - st * st / n, 0) * mt, 6) AS icept
+        FROM fit),
+res AS (SELECT b.k, n, slope,
+               round(y - (icept + slope * t), 6) AS e,
+               round(y - (icept + slope * t), 6)
+               - lag(round(y - (icept + slope * t), 6))
+                   OVER (PARTITION BY b.k ORDER BY t) AS de
+        FROM b JOIN par ON b.k = par.k)
+SELECT k AS event_type, any_value(n) AS n, any_value(slope) AS slope,
+       round(sum(de * de) / nullif(sum(e * e), 0), 6) AS dw
+FROM res GROUP BY k
+"""
+    o["tsa_granger"] = """
+WITH base AS (SELECT epoch_ms(ts) // 3600000 AS h, event_type AS k
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+counts AS (SELECT h,
+                  sum(CASE WHEN k = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+                  sum(CASE WHEN k = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+           FROM base GROUP BY h),
+spine AS (SELECT unnest(range((SELECT min(h) FROM counts),
+                              (SELECT max(h) FROM counts) + 1)) AS h),
+dense AS (SELECT spine.h, coalesce(x, 0)::DOUBLE AS x,
+                 coalesce(y, 0)::DOUBLE AS y
+          FROM spine LEFT JOIN counts ON spine.h = counts.h),
+lagged AS (SELECT y, lag(y) OVER (ORDER BY h) AS y1,
+                  lag(x) OVER (ORDER BY h) AS x1
+           FROM dense),
+g AS (SELECT cast(count(*) AS bigint) AS n,
+             corr(y, y1) AS r1, corr(y, x1) AS r2, corr(y1, x1) AS r12
+      FROM lagged WHERE y1 IS NOT NULL)
+SELECT n, round(r1 * r1, 6) AS r2_restricted,
+       round((r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12)
+             / nullif(1 - r12 * r12, 0), 6) AS r2_unrestricted,
+       round((n - 3) * ((r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12)
+                        / nullif(1 - r12 * r12, 0) - r1 * r1)
+             / nullif(1 - (r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12)
+                          / nullif(1 - r12 * r12, 0), 0), 6) AS f_stat
+FROM g
+"""
+    o["tsa_spectral_entropy"] = """
+WITH b AS (SELECT event_type AS k, epoch_ms(ts) // 3600000 AS bk,
+                  sum(value) AS x
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+seq AS (SELECT k,
+               row_number() OVER (PARTITION BY k ORDER BY bk) - 1 AS i,
+               count(*) OVER (PARTITION BY k) AS n,
+               x - avg(x) OVER (PARTITION BY k) AS xc
+        FROM b),
+proj AS (SELECT k, h, any_value(n) AS n,
+                round(pow(sum(xc * cos(2 * pi() * h * i / n)), 2)
+                      + pow(sum(xc * sin(2 * pi() * h * i / n)), 2), 6) AS p
+         FROM seq, range(1, 13) hs(h)
+         GROUP BY k, h),
+ent AS (SELECT k, n, p / nullif(sum(p) OVER (PARTITION BY k), 0) AS pk
+        FROM proj)
+SELECT k AS event_type, cast(any_value(n) AS bigint) AS n_buckets,
+       round(sum(CASE WHEN pk > 0 THEN -pk * ln(pk) ELSE 0 END) / ln(12), 6)
+         AS entropy
+FROM ent GROUP BY k
+"""
+    o["stats_gamma"] = """
+WITH m AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS cx,
+                  cast(floor(value / 100) AS bigint) AS cy
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+cells AS (SELECT cx, cy, cast(count(*) AS bigint) AS n FROM m
+          GROUP BY cx, cy),
+cc AS (SELECT sum(a.n * b.n) AS concordant
+       FROM cells a JOIN cells b ON a.cx < b.cx AND a.cy < b.cy),
+dd AS (SELECT sum(a.n * b.n) AS discordant
+       FROM cells a JOIN cells b ON a.cx < b.cx AND a.cy > b.cy)
+SELECT (SELECT cast(count(*) AS bigint) FROM cells) AS n_cells,
+       coalesce(concordant, 0)::BIGINT AS concordant,
+       coalesce(discordant, 0)::BIGINT AS discordant,
+       round((coalesce(concordant, 0) - coalesce(discordant, 0))
+             / nullif((coalesce(concordant, 0)
+                       + coalesce(discordant, 0))::DOUBLE, 0), 6) AS gamma
+FROM cc, dd
 """
     return o

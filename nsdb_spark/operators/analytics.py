@@ -4448,3 +4448,392 @@ def wow_growth(
             (F.col("n") - prev) / prev * 100.0, 6
         ).alias("growth_pct"),
     )
+
+
+def dagostino_k2_by_group(
+    df: DataFrame, part: str, value: str
+) -> DataFrame:
+    """Per-group D'Agostino K² normality omnibus: the skewness z-test
+    (D'Agostino 1970 transformation), the kurtosis z-test
+    (Anscombe-Glaisher 1983), and K² = Z₁² + Z₂² ~ χ²(2) under
+    normality. Complements jarque_bera_by_group: JB's asymptotic χ²
+    needs n in the thousands before its size is honest, while the
+    K² component transforms are calibrated down to n ≈ 20 — the right
+    gate for per-segment normality checks where segments are small.
+
+    Same two-pass centered-moment plan as jarque_bera_by_group (mean
+    broadcast back, ONE map-side-combinable Σd²/Σd³/Σd⁴ pass); the
+    rest is closed-form on the |groups|-row aggregate. Groups with
+    n ≤ 8 yield NULL z-stats (the transforms are undefined/unstable
+    below that — SciPy raises at n < 8; we go NULL, not error). The
+    signed cube root uses sign·|v|^(1/3) so a negative base never
+    feeds pow.
+
+    Output: (part, n bigint, skew_z r6, kurt_z r6, k2 r6).
+    """
+    base = df.filter(
+        F.col(value).isNotNull() & F.col(part).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    means = base.groupBy(part).agg(F.avg("__x").alias("__m"))
+    d = F.col("__x") - F.col("__m")
+    agg = (
+        base.join(F.broadcast(means), part)
+        .groupBy(part)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d * d).alias("s2"),
+            F.sum(d * d * d).alias("s3"),
+            F.sum(d * d * d * d).alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m2 = F.col("s2") / n
+    g1 = F.try_divide(F.col("s3") / n, F.sqrt(m2 * m2 * m2))
+    b2 = F.try_divide(F.col("s4") / n, m2 * m2)
+    # -- skewness transform (D'Agostino 1970)
+    y = g1 * F.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w2 = F.sqrt(2.0 * (beta2 - 1)) - 1.0
+    delta = F.try_divide(F.lit(1.0), F.sqrt(F.log(F.sqrt(w2))))
+    alpha = F.sqrt(F.try_divide(F.lit(2.0), w2 - 1))
+    ya = F.try_divide(y, alpha)
+    z1 = delta * F.log(ya + F.sqrt(ya * ya + 1))
+    # -- kurtosis transform (Anscombe-Glaisher 1983)
+    eb2 = 3.0 * (n - 1) / (n + 1)
+    vb2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    xk = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * F.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    inner = F.try_divide(1.0 - 2.0 / a, 1.0 + xk * F.sqrt(2.0 / (a - 4)))
+    cbrt_inner = F.signum(inner) * F.pow(F.abs(inner), 1.0 / 3.0)
+    z2 = F.try_divide(1.0 - 2.0 / (9.0 * a) - cbrt_inner, F.sqrt(2.0 / (9.0 * a)))
+    small = F.col("n") <= 8
+    z1o = F.when(~small, F.round(z1, 6))
+    z2o = F.when(~small, F.round(z2, 6))
+    return agg.select(
+        part,
+        "n",
+        z1o.alias("skew_z"),
+        z2o.alias("kurt_z"),
+        F.when(~small, F.round(z1 * z1 + z2 * z2, 6)).alias("k2"),
+    )
+
+
+def log_rank_test(
+    durations: DataFrame, group: str = "grp", time_col: str = "dur"
+) -> DataFrame:
+    """Two-group log-rank test over uncensored durations — "do these two
+    cohorts have the same survival curve?", the inferential follow-up
+    to kaplan_meier's descriptive curve. At each distinct event time:
+    n₁ⱼ/nⱼ at risk, dⱼ events, E₁ⱼ = dⱼ·n₁ⱼ/nⱼ, hypergeometric
+    variance Vⱼ; χ² = (ΣO₁ⱼ − ΣE₁ⱼ)² / ΣVⱼ ~ χ²(1).
+
+    Plan: collapse to per-(time, group) death counts first (the only
+    pass over the raw rows, map-side combinable), then at-risk counts
+    come from reverse cumulative sums over the DISTINCT-TIME frame —
+    the window sorts |distinct durations| rows, never subjects.
+    `group` must be boolean-like: TRUE = group 1.
+
+    Output: one row (n1, n2 bigint, observed1 r6→bigint-valued,
+    expected1 r6, var_sum r6, chi2 r6).
+    """
+    base = durations.filter(
+        F.col(time_col).isNotNull() & F.col(group).isNotNull()
+    ).select(
+        F.col(time_col).cast("double").alias("t"),
+        F.col(group).cast("boolean").alias("g1"),
+    )
+    per_t = base.groupBy("t").agg(
+        F.sum(F.col("g1").cast("long")).alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("dj"),
+    )
+    # at-risk at time t = subjects with duration >= t: reverse cumsum
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t", "d1", "dj",
+        F.sum("d1").over(w).alias("n1j"),
+        F.sum("dj").over(w).alias("nj"),
+    )
+    d1, dj, n1j, nj = (F.col(c).cast("double") for c in ("d1", "dj", "n1j", "nj"))
+    e1 = dj * n1j / nj
+    v = F.when(
+        nj > 1,
+        dj * (n1j / nj) * (1 - n1j / nj) * (nj - dj) / (nj - 1),
+    ).otherwise(F.lit(0.0))
+    agg = risk.groupBy().agg(
+        F.sum("d1").cast("long").alias("observed1"),
+        F.sum(F.col("dj") - F.col("d1")).cast("long").alias("observed2"),
+        F.sum(e1).alias("e1"),
+        F.sum(v).alias("vs"),
+        F.sum("d1").cast("double").alias("o1"),
+    )
+    chi2 = F.try_divide(
+        (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")), F.col("vs")
+    )
+    return agg.select(
+        F.col("observed1").alias("n1"),
+        F.col("observed2").alias("n2"),
+        F.round("e1", 6).alias("expected1"),
+        F.round("vs", 6).alias("var_sum"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame, items: list, id_col: str | None = None
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over k item
+    columns: α = k/(k−1) · (1 − Σ var(itemᵢ) / var(Σ items)) — "do these
+    k signals measure one underlying thing?" (quality sub-scores,
+    embedding facets). Sample variances throughout.
+
+    ONE aggregate computes every per-item variance and the row-sum
+    variance simultaneously (no pivot, no per-item pass): k var_samp
+    expressions + var_samp of the in-row sum. Rows with any NULL item
+    are dropped (listwise deletion — the standard convention).
+
+    Output: one row (n bigint, k int, sum_item_var r6, total_var r6,
+    alpha r6).
+    """
+    k = len(items)
+    cond = F.lit(True)
+    for it in items:
+        cond = cond & F.col(it).isNotNull()
+    rows = df.filter(cond)
+    total = sum((F.col(it).cast("double") for it in items[1:]),
+                F.col(items[0]).cast("double"))
+    aggs = [F.var_samp(F.col(it).cast("double")).alias(f"v{i}")
+            for i, it in enumerate(items)]
+    g = rows.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.var_samp(total).alias("vt"),
+        *aggs,
+    )
+    sv = sum((F.col(f"v{i}") for i in range(1, k)), F.col("v0"))
+    alpha = (k / (k - 1.0)) * (1.0 - F.try_divide(sv, F.col("vt")))
+    return g.select(
+        "n",
+        F.lit(k).alias("k"),
+        F.round(sv, 6).alias("sum_item_var"),
+        F.round("vt", 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame, part: str, value: str
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1): how much of
+    the total variance is BETWEEN groups — "are repeated measurements of
+    the same subject more alike than measurements of different
+    subjects?" (user-level value consistency, rater agreement).
+    Unbalanced design uses the standard k₀ = (N − Σnᵢ²/N)/(a−1)
+    average group size. ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW).
+
+    Two map-side-combinable aggregates: per-group (nᵢ, Σx, Σx²) — one
+    shuffle on the group key — then a single global combine of the
+    |groups|-row frame. No row ever crosses the wire twice.
+
+    Output: one row (n_groups bigint, n bigint, k0 r6, msb r6, msw r6,
+    icc r6).
+    """
+    base = df.filter(
+        F.col(part).isNotNull() & F.col(value).isNotNull()
+    ).select(F.col(part).alias("g"), F.col(value).cast("double").alias("x"))
+    per = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("ni"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    g = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("ni").alias("nn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("ni")).alias("sgm"),
+        F.sum(F.col("ni") * F.col("ni")).alias("sn2"),
+    )
+    a = F.col("n_groups").cast("double")
+    nn = F.col("nn")
+    ssb = F.col("sgm") - F.col("tsx") * F.col("tsx") / nn
+    ssw = F.col("tsxx") - F.col("sgm")
+    msb = F.try_divide(ssb, a - 1)
+    msw = F.try_divide(ssw, nn - a)
+    k0 = F.try_divide(nn - F.col("sn2") / nn, a - 1)
+    icc = F.try_divide(msb - msw, msb + (k0 - 1) * msw)
+    return g.select(
+        "n_groups",
+        nn.cast("long").alias("n"),
+        F.round(k0, 6).alias("k0"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(icc, 6).alias("icc"),
+    )
+
+
+def friedman_test(
+    df: DataFrame, block: Column | str, treatment: str, value: str
+) -> DataFrame:
+    """Friedman rank test over a (block × treatment) table — the
+    nonparametric repeated-measures ANOVA: within each complete block,
+    rank the k treatment cell values (ties → midrank), then
+    χ² = 12/(b·k·(k+1)) · Σⱼ Rⱼ² − 3·b·(k+1) on the per-treatment rank
+    sums. "Does event_type level differ day over day, ignoring the
+    day-to-day scale?"
+
+    Cells collapse first (ONE groupBy over the raw rows, map-side
+    combinable, avg per cell); only COMPLETE blocks (all k treatments
+    present) enter, per the test's definition. The rank window sorts
+    k rows per block — bounded by the treatment cardinality, never the
+    event count.
+
+    Output: one row (n_blocks bigint, k int→bigint, chi2 r6) plus the
+    per-treatment rank sums as a check column (rank_sums array stringly
+    avoided — emitted as separate frame would break the single-row
+    contract; the sums live in chi2 already).
+    """
+    bcol = F.col(block) if isinstance(block, str) else block
+    cells = (
+        df.filter(
+            bcol.isNotNull()
+            & F.col(treatment).isNotNull()
+            & F.col(value).isNotNull()
+        )
+        .groupBy(bcol.alias("b"), F.col(treatment).alias("t"))
+        .agg(F.avg(F.col(value).cast("double")).alias("x"))
+    )
+    k_total = cells.select(F.count_distinct("t").alias("k"))
+    complete = (
+        cells.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("kb"))
+        .join(F.broadcast(k_total), F.col("kb") == F.col("k"))
+        .select("b")
+    )
+    kept = cells.join(complete, "b")
+    # midrank within block: min-rank + (ties − 1)/2 (identical SQL shape
+    # on both engines: rank() + (count(*) over (b, x) − 1)/2)
+    minrank = F.rank().over(Window.partitionBy("b").orderBy("x"))
+    nties = F.count(F.lit(1)).over(Window.partitionBy("b", "x"))
+    ranked = kept.select(
+        "b", "t",
+        (minrank + (nties - 1) / 2.0).alias("r"),
+    )
+    rsums = ranked.groupBy("t").agg(F.sum("r").alias("rj"))
+    out = rsums.crossJoin(
+        F.broadcast(
+            ranked.groupBy().agg(
+                F.count_distinct("b").cast("double").alias("bb"),
+                F.count_distinct("t").cast("double").alias("kk"),
+            )
+        )
+    ).groupBy().agg(
+        F.first("bb").alias("bb"),
+        F.first("kk").alias("kk"),
+        F.sum(F.col("rj") * F.col("rj")).alias("sr2"),
+    )
+    bb, kk = F.col("bb"), F.col("kk")
+    chi2 = 12.0 / (bb * kk * (kk + 1)) * F.col("sr2") - 3.0 * bb * (kk + 1)
+    return out.select(
+        bb.cast("long").alias("n_blocks"),
+        kk.cast("long").alias("k"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def risk_ratio_2x2(
+    df: DataFrame, exposure: Column | str, outcome: Column | str
+) -> DataFrame:
+    """2×2 relative risk with the Katz 95% log-CI — the epidemiology
+    companion to odds_ratio_2x2: RR = P(out|exp)/P(out|¬exp) reads
+    directly as "how many times likelier", which the odds ratio only
+    approximates when the outcome is rare. SE(log RR) =
+    √(1/a − 1/(a+b) + 1/c − 1/(c+d)) (Katz 1978). Also emits the risk
+    difference and NNT = 1/|RD| (number needed to treat).
+
+    Same single conditional-aggregate plan as odds_ratio_2x2; empty
+    cells → NULL via try_divide, no silent continuity correction.
+
+    Output: one row (a, b, c, d bigint, risk_ratio r6, ci_low r6,
+    ci_high r6, risk_diff r6, nnt r6).
+    """
+    ex = F.col(exposure) if isinstance(exposure, str) else exposure
+    ou = F.col(outcome) if isinstance(outcome, str) else outcome
+    base = df.filter(ex.isNotNull() & ou.isNotNull()).select(
+        ex.cast("boolean").alias("__e"), ou.cast("boolean").alias("__o")
+    )
+    cells = base.groupBy().agg(
+        F.sum((F.col("__e") & F.col("__o")).cast("int")).cast("long").alias("a"),
+        F.sum((F.col("__e") & ~F.col("__o")).cast("int")).cast("long").alias("b"),
+        F.sum((~F.col("__e") & F.col("__o")).cast("int")).cast("long").alias("c"),
+        F.sum((~F.col("__e") & ~F.col("__o")).cast("int")).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    p1 = F.try_divide(a, a + b)
+    p2 = F.try_divide(c, c + d)
+    rr = F.try_divide(p1, p2)
+    se = F.sqrt(
+        F.try_divide(F.lit(1.0), a) - F.try_divide(F.lit(1.0), a + b)
+        + F.try_divide(F.lit(1.0), c) - F.try_divide(F.lit(1.0), c + d)
+    )
+    rd = p1 - p2
+    return cells.select(
+        "a", "b", "c", "d",
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(F.exp(F.log(rr) - WILSON_Z * se), 6).alias("ci_low"),
+        F.round(F.exp(F.log(rr) + WILSON_Z * se), 6).alias("ci_high"),
+        F.round(rd, 6).alias("risk_diff"),
+        F.round(F.try_divide(F.lit(1.0), F.abs(rd)), 6).alias("nnt"),
+    )
+
+
+def gk_gamma(
+    df: DataFrame, x: Column | str, y: Column | str
+) -> DataFrame:
+    """Goodman-Kruskal gamma between two ORDINAL bucketed columns:
+    γ = (C − D)/(C + D) over concordant/discordant pairs, ties ignored
+    — the ordinal-association measure that stays interpretable under
+    heavy ties (where tau-b's denominator drags toward 0). "Do later
+    hours carry higher values?" on bucketed axes.
+
+    Never a row-level pair join: rows collapse to the (x, y)
+    contingency CELLS first (bounded by bucket cardinalities), and C/D
+    come from the cells×cells self-join — |cells|² work independent of
+    the row count, the only pair census that survives 100 TB.
+
+    Output: one row (n_cells bigint, concordant bigint, discordant
+    bigint, gamma r6).
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    cells = (
+        df.filter(xc.isNotNull() & yc.isNotNull())
+        .groupBy(xc.alias("cx"), yc.alias("cy"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    conc = (
+        a.join(b, (F.col("a.cx") < F.col("b.cx")) & (F.col("a.cy") < F.col("b.cy")))
+        .groupBy().agg(F.sum(F.col("a.n") * F.col("b.n")).alias("concordant"))
+    )
+    disc = (
+        a.join(b, (F.col("a.cx") < F.col("b.cx")) & (F.col("a.cy") > F.col("b.cy")))
+        .groupBy().agg(F.sum(F.col("a.n") * F.col("b.n")).alias("discordant"))
+    )
+    nc = cells.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    out = nc.crossJoin(F.broadcast(conc)).crossJoin(F.broadcast(disc))
+    cN = F.coalesce(F.col("concordant"), F.lit(0)).cast("long")
+    dN = F.coalesce(F.col("discordant"), F.lit(0)).cast("long")
+    return out.select(
+        "n_cells",
+        cN.alias("concordant"),
+        dN.alias("discordant"),
+        F.round(F.try_divide(cN - dN, (cN + dN).cast("double")), 6).alias("gamma"),
+    )

@@ -1098,3 +1098,315 @@ def burstiness(
             "b"
         ),
     )
+
+
+def hurst_rs(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    bucket_ms: int = 3_600_000,
+    windows: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Rescaled-range (R/S) Hurst exponent per key: bucket the series,
+    chunk it into windows of w buckets, compute R/S per chunk
+    (R = range of the cumulative mean-deviation walk, S = population σ),
+    average log₂(R/S) per w, and fit the slope of log₂(R/S) on log₂(w)
+    — H ≈ 0.5 random walk, > 0.5 trending/persistent, < 0.5 mean-
+    reverting. The long-memory diagnostic behind "will this load spike
+    persist?" that variance_ratio only answers at one lag.
+
+    Plan: ONE bucket aggregate over the raw rows (map-side combinable),
+    then the chunk machinery runs on the (key × buckets) frame fanned
+    |windows|× — cumulative sums window-partitioned by (key, w, chunk),
+    so no sort ever exceeds w rows per chunk. Incomplete chunks are
+    dropped (R/S needs the full window). Degenerate chunks (σ = 0)
+    are excluded from the log-mean, matching the classical estimator.
+
+    Output: (key, n_windows int, hurst r6) — slope of the 2-column OLS
+    on the |windows| mean points.
+    """
+    spark = df.sparkSession
+    wins = spark.createDataFrame([(int(w),) for w in windows], "w int")
+    b = (
+        df.filter(
+            F.col(key).isNotNull()
+            & F.col(ts).isNotNull()
+            & F.col(value).isNotNull()
+        )
+        .groupBy(
+            key, F.expr(f"({ts} div {bucket_ms})").cast("long").alias("bk")
+        )
+        .agg(F.sum(value).alias("x"))
+    )
+    idx = F.row_number().over(Window.partitionBy(key).orderBy("bk")) - 1
+    seq = b.select(key, F.col("x"), idx.alias("i"))
+    fan = seq.crossJoin(F.broadcast(wins)).withColumn(
+        "chunk", (F.col("i") / F.col("w")).cast("long")
+    )
+    per_chunk_n = F.count(F.lit(1)).over(
+        Window.partitionBy(key, "w", "chunk")
+    )
+    mean_c = F.avg("x").over(Window.partitionBy(key, "w", "chunk"))
+    cum = F.sum(F.col("x") - mean_c).over(
+        Window.partitionBy(key, "w", "chunk").orderBy("i")
+    )
+    walked = fan.select(
+        key, "w", "chunk", "x",
+        per_chunk_n.alias("cn"),
+        cum.alias("c"),
+    ).filter(F.col("cn") == F.col("w"))
+    rs = (
+        walked.groupBy(key, "w", "chunk")
+        .agg(
+            (F.max("c") - F.min("c")).alias("r"),
+            F.stddev_pop("x").alias("s"),
+        )
+        .filter(F.col("s") > 0)
+        .select(key, "w", (F.log2(F.col("r") / F.col("s"))).alias("lrs"))
+    )
+    pts = rs.groupBy(key, "w").agg(F.avg("lrs").alias("y")).select(
+        key, F.log2("w").alias("lx"), "y"
+    )
+    g = pts.groupBy(key).agg(
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+        F.avg("lx").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("lx") * F.col("y")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum("lx").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    n = F.col("n_windows").cast("double")
+    slope = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / n,
+        F.col("sxx") - F.col("sx") * F.col("sx") / n,
+    )
+    return g.select(key, "n_windows", F.round(slope, 6).alias("hurst"))
+
+
+def durbin_watson(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of a per-key linear
+    trend: DW = Σ(eₜ − eₜ₋₁)² / Σeₜ² ∈ [0, 4] — ≈2 means the trend
+    residuals are serially uncorrelated, < 2 positive autocorrelation
+    (the "my linear fit is lying about its error bars" alarm for every
+    stats_linreg consumer), > 2 negative.
+
+    The daily series collapses first (ONE map-side-combinable bucket
+    aggregate); the closed-form OLS (β from the five sufficient sums)
+    joins back as a broadcast |keys|-row frame, and the lag runs on the
+    (key × buckets) frame. Residuals are rounded 6 BEFORE the DW sums
+    so both engines difference identical doubles.
+
+    Output: (key, n bigint, slope r6, dw r6).
+    """
+    b = (
+        df.filter(
+            F.col(key).isNotNull()
+            & F.col(ts).isNotNull()
+            & F.col(value).isNotNull()
+        )
+        .groupBy(
+            key, F.expr(f"({ts} div {bucket_ms})").cast("double").alias("t")
+        )
+        .agg(F.avg(value).alias("y"))
+    )
+    fit = b.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("t").alias("mt"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = F.try_divide(
+        F.col("sty") - F.col("st") * F.col("sy") / nd,
+        F.col("stt") - F.col("st") * F.col("st") / nd,
+    )
+    params = fit.select(
+        key, "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mt"), 6).alias("icept"),
+    )
+    j = b.join(F.broadcast(params), key)
+    e = F.round(F.col("y") - (F.col("icept") + F.col("slope") * F.col("t")), 6)
+    lag_e = F.lag(e).over(Window.partitionBy(key).orderBy("t"))
+    rows = j.select(
+        key, "n", "slope",
+        e.alias("e"),
+        ((e - lag_e) * (e - lag_e)).alias("d2"),
+    )
+    out = rows.groupBy(key).agg(
+        F.first("n").alias("n"),
+        F.first("slope").alias("slope"),
+        F.sum("d2").alias("sd2"),
+        F.sum(F.col("e") * F.col("e")).alias("se2"),
+    )
+    return out.select(
+        key, "n", "slope",
+        F.round(F.try_divide(F.col("sd2"), F.col("se2")), 6).alias("dw"),
+    )
+
+
+def granger_f(
+    df: DataFrame,
+    cause: str,
+    effect: str,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Lag-1 Granger-causality F-test between two event-count series:
+    does knowing xₜ₋₁ (hourly `cause` count) improve the prediction of
+    yₜ (hourly `effect` count) beyond yₜ₋₁ alone?
+    F = (n−3)(R²ᵤ − R²ᵣ)/(1 − R²ᵤ) with R²ᵣ = corr(yₜ, yₜ₋₁)² and the
+    two-regressor R²ᵤ from the correlation identity
+    (r₁² + r₂² − 2r₁r₂r₁₂)/(1 − r₁₂²) — exact for OLS with intercept,
+    so the whole test reduces to THREE corr() aggregates, no matrix
+    solve and no iteration.
+
+    The hour grid is dense (missing hours = 0 counts) via a bucket
+    spine from min to max hour — sequence() on an 800-hour month is a
+    bounded driver-side array, exploded distributed. One window lag
+    per series on the |hours|-row frame.
+
+    Output: one row (n bigint, r2_restricted r6, r2_unrestricted r6,
+    f_stat r6).
+    """
+    base = df.filter(
+        F.col(ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
+        F.expr(f"({ts} div {bucket_ms})").cast("long").alias("h"),
+        F.col(key).alias("k"),
+    )
+    counts = base.groupBy("h").agg(
+        F.sum((F.col("k") == cause).cast("long")).alias("x"),
+        F.sum((F.col("k") == effect).cast("long")).alias("y"),
+    )
+    span = counts.groupBy().agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    dense = spine.join(counts, "h", "left").select(
+        "h",
+        F.coalesce("x", F.lit(0)).cast("double").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+    )
+    w = Window.orderBy("h")
+    lagged = dense.select(
+        "y",
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    ).filter(F.col("y1").isNotNull())
+    g = lagged.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("y", "y1").alias("r1"),
+        F.corr("y", "x1").alias("r2"),
+        F.corr("y1", "x1").alias("r12"),
+    )
+    r1, r2, r12 = F.col("r1"), F.col("r2"), F.col("r12")
+    r2r = r1 * r1
+    r2u = F.try_divide(
+        r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12, 1 - r12 * r12
+    )
+    f = F.try_divide(
+        (F.col("n").cast("double") - 3) * (r2u - r2r), 1 - r2u
+    )
+    return g.select(
+        "n",
+        F.round(r2r, 6).alias("r2_restricted"),
+        F.round(r2u, 6).alias("r2_unrestricted"),
+        F.round(f, 6).alias("f_stat"),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    bucket_ms: int = 3_600_000,
+    n_freqs: int = 12,
+) -> DataFrame:
+    """Normalized spectral entropy per key: DFT power at the first
+    n_freqs harmonics of the bucketed series, normalized to a
+    distribution, H = −Σ p·ln p / ln(n_freqs) ∈ [0, 1] — 0 means one
+    dominant cycle (pure rhythm), 1 means white-noise-flat spectrum.
+    The single-number "how seasonal is this key?" complement to
+    periodogram's per-period table.
+
+    Same sufficient-sums plan as periodogram: the bucketed series fans
+    out n_freqs× against a broadcast harmonic frame, ONE
+    map-side-combinable aggregate accumulates the centered cos/sin
+    projections per (key, harmonic), and the entropy folds over the
+    |keys × harmonics| frame.
+
+    Output: (key, n_buckets bigint, entropy r6).
+    """
+    import math
+
+    spark = df.sparkSession
+    b = (
+        df.filter(
+            F.col(key).isNotNull()
+            & F.col(ts).isNotNull()
+            & F.col(value).isNotNull()
+        )
+        .groupBy(
+            key, F.expr(f"({ts} div {bucket_ms})").cast("long").alias("bk")
+        )
+        .agg(F.sum(value).alias("x"))
+    )
+    idx = F.row_number().over(Window.partitionBy(key).orderBy("bk")) - 1
+    nn = F.count(F.lit(1)).over(Window.partitionBy(key))
+    mean_k = F.avg("x").over(Window.partitionBy(key))
+    seq = b.select(
+        key,
+        idx.alias("i"),
+        nn.alias("n"),
+        (F.col("x") - mean_k).alias("xc"),
+    )
+    harm = spark.createDataFrame(
+        [(h,) for h in range(1, n_freqs + 1)], "h int"
+    )
+    ang = (
+        F.lit(2.0 * math.pi)
+        * F.col("h").cast("double")
+        * F.col("i").cast("double")
+        / F.col("n").cast("double")
+    )
+    proj = (
+        seq.crossJoin(F.broadcast(harm))
+        .groupBy(key, "h")
+        .agg(
+            F.sum(F.col("xc") * F.cos(ang)).alias("c"),
+            F.sum(F.col("xc") * F.sin(ang)).alias("s"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            key, "n",
+            F.round(
+                F.col("c") * F.col("c") + F.col("s") * F.col("s"), 6
+            ).alias("p"),
+        )
+    )
+    tot = Window.partitionBy(key)
+    pk = F.try_divide(F.col("p"), F.sum("p").over(tot))
+    ent = proj.select(
+        key, "n",
+        F.when(pk > 0, -pk * F.log(pk)).otherwise(F.lit(0.0)).alias("e"),
+    )
+    return ent.groupBy(key).agg(
+        F.first("n").cast("long").alias("n_buckets"),
+        F.round(F.sum("e") / math.log(n_freqs), 6).alias("entropy"),
+    )
