@@ -2622,6 +2622,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exposure=F.col("lang") == "en",
         outcome=F.col("n_chars") >= 2000,
     )
+    q["text_readability"] = lambda spark, sf: text.readability(_docs(spark, sf))
+    q["text_hapax"] = lambda spark, sf: text.hapax_by_source(_docs(spark, sf))
+    q["text_pii_scrub"] = lambda spark, sf: text.pii_scrub(_docs(spark, sf))
+    q["events_interevent_exp"] = lambda spark, sf: analytics.interevent_exponential(
+        testdata.events_metric(spark, sf)
+    )
+    q["events_attribution"] = lambda spark, sf: analytics.attribution_touch(
+        testdata.events_metric(spark, sf)
+    )
     q["tsa_hurst"] = lambda spark, sf: tsa.hurst_rs(
         testdata.events_metric(spark, sf)
     )
@@ -6730,6 +6739,104 @@ SELECT a, b, c, d,
        round(p1 - p2, 6) AS risk_diff,
        round(1.0 / nullif(abs(p1 - p2), 0), 6) AS nnt
 FROM x
+"""
+    o["text_readability"] = """
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS int) AS n_words,
+       cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS int)
+         AS n_sentences,
+       cast(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS int)
+         AS n_syllables,
+       round(206.835
+             - 1.015 * len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      / nullif(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0),
+             6) AS flesch
+FROM documents WHERE text IS NOT NULL
+"""
+    o["text_hapax"] = """
+WITH toks AS (SELECT source, tok
+              FROM (SELECT source,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL)
+              WHERE tok <> ''),
+per AS (SELECT source, tok, cast(count(*) AS bigint) AS n
+        FROM toks GROUP BY source, tok)
+SELECT source, sum(n)::BIGINT AS n_tokens,
+       cast(count(*) AS bigint) AS vocab,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / nullif(count(*), 0)::DOUBLE, 6) AS hapax_ratio
+FROM per GROUP BY source
+"""
+    o["text_pii_scrub"] = """
+SELECT doc_id,
+       cast(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS int)
+         AS n_email,
+       cast(len(regexp_extract_all(text,
+            '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}')) AS int) AS n_phone,
+       cast(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS int)
+         AS n_url,
+       cast(len(regexp_extract_all(text, '[0-9]{9,}')) AS int)
+         AS n_long_digits,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+            '[REDACTED_EMAIL]', 'g'),
+            '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '[REDACTED_PHONE]', 'g'),
+            'https?://[^\\s]+', '[REDACTED_URL]', 'g'),
+            '[0-9]{9,}', '[REDACTED_LONG_DIGITS]', 'g')) AS scrub_digest
+FROM documents WHERE text IS NOT NULL
+"""
+    o["events_interevent_exp"] = """
+WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT k,
+             cast(t - lag(t) OVER (PARTITION BY k ORDER BY t, event_id)
+                  AS DOUBLE) AS gp
+      FROM e),
+gaps AS (SELECT k, gp FROM g WHERE gp IS NOT NULL),
+st AS (SELECT k, cast(count(*) AS bigint) AS n_gaps, avg(gp) AS mu
+       FROM gaps GROUP BY k),
+rk AS (SELECT gaps.k, n_gaps, mu, gp,
+              row_number() OVER (PARTITION BY gaps.k ORDER BY gp)::DOUBLE AS i
+       FROM gaps JOIN st ON gaps.k = st.k),
+d AS (SELECT k, n_gaps, mu,
+             greatest(i / n_gaps - round(1.0 - exp(-gp / mu), 6),
+                      round(1.0 - exp(-gp / mu), 6) - (i - 1) / n_gaps) AS dd
+      FROM rk)
+SELECT k AS event_type, any_value(n_gaps) AS n_gaps,
+       round(any_value(mu), 6) AS mean_gap_ms,
+       round(1000.0 / any_value(mu), 6) AS lambda_per_s,
+       round(max(dd), 6) AS ks_stat
+FROM d GROUP BY k
+"""
+    o["events_attribution"] = """
+WITH m AS (SELECT user_id, event_type, epoch_ms(ts) AS t, event_id
+           FROM events),
+conv AS (SELECT user_id, min(t) AS conv_ts FROM m
+         WHERE event_type = 'purchase' GROUP BY user_id),
+pre AS (SELECT m.user_id, m.event_type, m.t, m.event_id
+        FROM m JOIN conv ON m.user_id = conv.user_id
+        WHERE m.event_type <> 'purchase' AND m.t < conv.conv_ts),
+rk AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS rf,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t DESC, event_id DESC) AS rl
+       FROM pre),
+firsts AS (SELECT event_type AS channel, cast(count(*) AS bigint)
+             AS n_first_touch
+           FROM rk WHERE rf = 1 GROUP BY 1),
+lasts AS (SELECT event_type AS channel, cast(count(*) AS bigint)
+            AS n_last_touch
+          FROM rk WHERE rl = 1 GROUP BY 1)
+SELECT coalesce(firsts.channel, lasts.channel) AS channel,
+       coalesce(n_first_touch, 0) AS n_first_touch,
+       coalesce(n_last_touch, 0) AS n_last_touch
+FROM firsts FULL JOIN lasts ON firsts.channel = lasts.channel
 """
     o["tsa_hurst"] = """
 WITH b AS (SELECT event_type AS k, epoch_ms(ts) // 3600000 AS bk,

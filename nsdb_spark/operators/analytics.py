@@ -4837,3 +4837,113 @@ def gk_gamma(
         dN.alias("discordant"),
         F.round(F.try_divide(cN - dN, (cN + dN).cast("double")), 6).alias("gamma"),
     )
+
+
+def interevent_exponential(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-arrival-time model check: the exponential MLE
+    (λ = 1/mean gap) plus the exact KS distance between the empirical
+    gap distribution and Exponential(λ̂) — "is this stream Poisson, or
+    does it burst?" as a single calibrated number per key (burstiness
+    gives the sign; the KS distance says how far the whole CDF is off).
+
+    Gaps come from ONE lag over the per-key time-ordered frame (ties
+    broken by id — deterministic); the KS sup runs over the per-key
+    SORTED gap frame with the standard two-sided bound
+    max(i/n − F(xᵢ), F(xᵢ) − (i−1)/n). The sort is per-key inside the
+    hash partition — no global sort. At 100 TB the per-key sort is the
+    cost driver; sample per key first if keys are huge.
+
+    Output: (key, n_gaps bigint, mean_gap_ms r6, lambda_per_s r6,
+    ks_stat r6).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(id_col).asc())
+    gaps = (
+        df.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+        .select(key, (F.col(ts) - F.lag(ts).over(w)).cast("double").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    stats = gaps.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("g").alias("mu"),
+    )
+    ranked = gaps.join(F.broadcast(stats), key).select(
+        key, "n_gaps", "mu", "g",
+        F.row_number()
+        .over(Window.partitionBy(key).orderBy(F.col("g").asc()))
+        .cast("double")
+        .alias("i"),
+    )
+    # F(x) under Exponential(1/mu), rounded 6 pre-sup so both engines
+    # compare identical doubles
+    fx = F.round(1.0 - F.exp(-F.col("g") / F.col("mu")), 6)
+    nd = F.col("n_gaps").cast("double")
+    d = F.greatest(F.col("i") / nd - fx, fx - (F.col("i") - 1) / nd)
+    out = ranked.select(key, "n_gaps", "mu", d.alias("d")).groupBy(key).agg(
+        F.first("n_gaps").alias("n_gaps"),
+        F.first("mu").alias("mu"),
+        F.max("d").alias("ks"),
+    )
+    return out.select(
+        key,
+        "n_gaps",
+        F.round("mu", 6).alias("mean_gap_ms"),
+        F.round(F.lit(1000.0) / F.col("mu"), 6).alias("lambda_per_s"),
+        F.round("ks", 6).alias("ks_stat"),
+    )
+
+
+def attribution_touch(
+    df: DataFrame,
+    conversion: str = "purchase",
+    user: str = "user_id",
+    kind: str = "event_type",
+    ts: str = "timestamp",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: for every user
+    with a conversion, which channel (event kind) was their FIRST and
+    which their LAST non-conversion event strictly before their first
+    conversion — the two bookend models every marketing-attribution
+    question starts from. Emitted as per-channel credit counts.
+
+    Plan: per-user first-conversion time (ONE filtered min), broadcast
+    back onto the scan, min_by/max_by over (ts, id) structs pick the
+    bookends (deterministic under ts ties via the id extension), then
+    a channels-sized union-count. Users with no pre-conversion touch
+    fall out (no fabricated "direct" channel).
+
+    Output: (channel, n_first_touch bigint, n_last_touch bigint).
+    """
+    conv = (
+        df.filter(F.col(kind) == conversion)
+        .groupBy(user)
+        .agg(F.min(ts).alias("conv_ts"))
+    )
+    pre = (
+        df.filter(F.col(kind) != conversion)
+        .join(F.broadcast(conv), user)
+        .filter(F.col(ts) < F.col("conv_ts"))
+    )
+    bounds = pre.groupBy(user).agg(
+        F.min_by(kind, F.struct(ts, id_col)).alias("first_touch"),
+        F.max_by(kind, F.struct(ts, id_col)).alias("last_touch"),
+    )
+    firsts = bounds.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first_touch")
+    )
+    lasts = bounds.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last_touch")
+    )
+    return (
+        firsts.join(lasts, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+        )
+    )

@@ -955,3 +955,128 @@ def bigram_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "max_entropy",
         )
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Flesch reading-ease approximation: words by
+    whitespace split, sentences by terminal-punctuation runs (floor 1 —
+    a fragment is one sentence), syllables ≈ vowel groups per word
+    (the standard cheap estimator; hyphenation dictionaries are a
+    quality refinement, not a different operator). flesch = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words). The pretraining
+    heuristic behind "drop unreadable boilerplate" filters.
+
+    Pure JVM regexp counters on the scan — no UDF, no shuffle, column-
+    pruned to (id, text). At 100 TB this is a map-only pass.
+
+    Output: (doc_id, n_words int, n_sentences int, n_syllables int,
+    flesch r6); NULL-text rows dropped.
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z0-9]+")).cast("int")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("int"), F.lit(1)
+    )
+    syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("int")
+    return docs.filter(t.isNotNull()).select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * F.try_divide(words, sents)
+            - 84.6 * F.try_divide(syll, words),
+            6,
+        ).alias("flesch"),
+    )
+
+
+def hapax_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source hapax-legomena profile: vocabulary size, the count of
+    once-occurring types, and the hapax ratio — the classic lexical-
+    richness signal (natural prose runs ~40-60% hapax; template/spam
+    text collapses toward 0) that TTR misses because TTR weights all
+    types equally.
+
+    explode → ONE (source, token) count aggregate (map-side combinable)
+    → ONE per-source combine. The shuffle carries distinct (source,
+    token) pairs — vocabulary-bounded, not corpus-bounded.
+
+    Output: (source, n_tokens bigint, vocab bigint, hapax bigint,
+    hapax_ratio r6).
+    """
+    toks = (
+        docs.filter(F.col(text_col).isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_type = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per_type.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum((F.col("n") == 1).cast("long")).cast("long").alias("hapax"),
+        )
+        .select(
+            "source", "n_tokens", "vocab", "hapax",
+            F.round(
+                F.try_divide(F.col("hapax"), F.col("vocab").cast("double")), 6
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+#: PII patterns shared by pii_scrub and its oracle mirror — RE2-safe
+#: (no lookarounds), so the same strings run on Spark (Java regex) and
+#: DuckDB (RE2) identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}",
+    "url": r"https?://[^\s]+",
+    "long_digits": r"[0-9]{9,}",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII scrub for training-data pipelines: count and
+    mask emails, phone-shaped numbers, URLs, and ≥9-digit runs
+    (account/SSN-shaped), emitting the per-pattern hit counts and an
+    md5 digest of the scrubbed text (the digest travels instead of the
+    text so the result frame stays narrow). Patterns are RE2-safe and
+    deliberately conservative — recall-first scrubbing with lookbehind
+    context is a model-based refinement, not a regex.
+
+    Map-only JVM regexp pass (regexp_count + chained regexp_replace);
+    no shuffle, prunes to (id, text). The [REDACTED_*] masks are
+    distinct per class so downstream token statistics can still see
+    WHAT was removed.
+
+    Output: (id_col, n_email int, n_phone int, n_url int,
+    n_long_digits int, scrub_digest).
+    """
+    t = F.col(text_col)
+    scrubbed = t
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(
+            scrubbed, pat, f"[REDACTED_{name.upper()}]"
+        )
+    return docs.filter(t.isNotNull()).select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_PATTERNS["email"])).cast("int").alias("n_email"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["phone"])).cast("int").alias("n_phone"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["url"])).cast("int").alias("n_url"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["long_digits"])).cast("int")
+        .alias("n_long_digits"),
+        F.md5(scrubbed).alias("scrub_digest"),
+    )

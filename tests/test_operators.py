@@ -5817,3 +5817,106 @@ def test_kpss_matches_numpy_bruteforce(spark):
     eta = float((s**2).sum()) / (n * n) / lrv
     assert got["n"] == n
     assert abs(got["kpss_stat"] - eta) < 1e-5
+
+
+def test_pii_scrub_positive_cases(spark):
+    """The synthetic corpus carries no PII, so the registry oracle only
+    proves no false positives — this pins the positive path."""
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk or call 555-123-4567 now"),
+        (2, "see https://example.com/a?b=1 and account 123456789012"),
+        (3, "clean text with digits 1234 only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_url"] == 1 and out[2]["n_long_digits"] == 1
+    assert (
+        out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_url"]
+        == out[3]["n_long_digits"] == 0
+    )
+    # masks actually replace the match (digest must differ from raw md5)
+    raw = {r["doc_id"]: r[0] for r in df.select(F.md5("text"), "doc_id").collect()}
+    assert out[1]["scrub_digest"] != raw[1]
+    assert out[3]["scrub_digest"] == raw[3]
+
+
+def test_readability_flesch_known_value(spark):
+    from nsdb_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!")], "doc_id long, text string"
+    )
+    got = readability(df).collect()[0]
+    # 6 words, 2 sentences, 6 vowel groups
+    assert got["n_words"] == 6 and got["n_sentences"] == 2
+    assert got["n_syllables"] == 6
+    expected = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert abs(got["flesch"] - expected) < 1e-6
+
+
+def test_log_rank_identical_groups_chi2_zero(spark):
+    """Two groups with IDENTICAL duration multisets → O = E, chi2 = 0."""
+    from nsdb_spark.operators import analytics
+
+    rows = [(float(d), True) for d in (5, 10, 15, 20)] + [
+        (float(d), False) for d in (5, 10, 15, 20)
+    ]
+    df = spark.createDataFrame(rows, "dur double, grp boolean")
+    got = analytics.log_rank_test(df, group="grp", time_col="dur").collect()[0]
+    assert got["n1"] == 4 and got["n2"] == 4
+    assert got["chi2"] == 0.0
+
+
+def test_attribution_touch_bookends(spark):
+    from nsdb_spark.operators import analytics
+
+    rows = [
+        # user 1: click → view → purchase → view (post-conv ignored)
+        (1, "click", 10, 1), (1, "view", 20, 2),
+        (1, "purchase", 30, 3), (1, "view", 40, 4),
+        # user 2: view only AFTER purchase → no credit at all
+        (2, "purchase", 10, 5), (2, "view", 20, 6),
+        # user 3: single touch is both first and last
+        (3, "error", 5, 7), (3, "purchase", 9, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, timestamp long, event_id long"
+    )
+    got = {r["channel"]: r for r in analytics.attribution_touch(df).collect()}
+    assert got["click"]["n_first_touch"] == 1
+    assert got["view"]["n_last_touch"] == 1
+    assert got["error"]["n_first_touch"] == 1
+    assert got["error"]["n_last_touch"] == 1
+    assert "purchase" not in got
+
+
+def test_cronbach_alpha_perfect_consistency(spark):
+    """Items that are identical copies → alpha exactly 1."""
+    from nsdb_spark.operators import analytics
+
+    rows = [(float(v), float(v)) for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = analytics.cronbach_alpha(df, items=["a", "b"]).collect()[0]
+    assert got["alpha"] == 1.0
+
+
+def test_hurst_random_walk_near_one(spark):
+    """A cumulative random walk is strongly persistent: H well above
+    the 0.5 white-noise line (and the pure-noise series lands lower)."""
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    rng = np.random.RandomState(7)
+    steps = rng.normal(0, 1, 512)
+    walk = np.cumsum(steps)
+    rows = [("walk", i * 3_600_000, float(v)) for i, v in enumerate(walk)]
+    rows += [("noise", i * 3_600_000, float(v)) for i, v in enumerate(steps)]
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, value double"
+    )
+    got = {r["event_type"]: r["hurst"] for r in tsa.hurst_rs(
+        df, windows=(8, 16, 32, 64)
+    ).collect()}
+    assert got["walk"] > 0.8
+    assert got["noise"] < got["walk"] - 0.2
