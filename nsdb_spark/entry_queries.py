@@ -821,6 +821,15 @@ _ROTATION_QUEUE = [
     "graph_modularity", "stats_hill", "join_band_prices",
     "events_entropy_rate", "stats_ccc", "sample_neyman_apply",
     "events_mcnemar",
+    # --- appended round 5 (new entries this round, self-verified at
+    # sf0.01 via tools/check_oracles.py; enter the driver prefix in
+    # round 7 per the rotation rule) ---
+    "stats_dagostino", "stats_logrank", "stats_cronbach", "stats_icc",
+    "stats_friedman", "stats_risk_ratio", "stats_gamma", "tsa_hurst",
+    "tsa_durbin_watson", "tsa_granger", "tsa_spectral_entropy",
+    "text_readability", "text_hapax", "text_pii_scrub",
+    "events_interevent_exp", "events_attribution",
+    "graph_pref_attachment", "graph_katz", "emb_isotropy",
 ]
 
 
@@ -2621,6 +2630,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf),
         exposure=F.col("lang") == "en",
         outcome=F.col("n_chars") >= 2000,
+    )
+    def _supplier_customer_edges(spark, sf):
+        return (
+            testdata.table(spark, sf, "lineitem")
+            .join(
+                testdata.table(spark, sf, "orders").select(
+                    "o_orderkey", "o_custkey"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            )
+        )
+
+    q["graph_pref_attachment"] = lambda spark, sf: graph.preferential_attachment(
+        _supplier_customer_edges(spark, sf), top_n=50, k=20
+    )
+
+    def _katz(spark, sf):
+        # simple graph: repeat (s, c) purchases are one endorsement
+        edges = _supplier_customer_edges(spark, sf).distinct()
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        return graph.katz_centrality(edges, nodes, iters=4, alpha=0.05)
+
+    q["graph_katz"] = _katz
+    q["emb_isotropy"] = lambda spark, sf: similarity.isotropy_profile(
+        _emb(spark, sf)
     )
     q["text_readability"] = lambda spark, sf: text.readability(_docs(spark, sf))
     q["text_hapax"] = lambda spark, sf: text.hapax_by_source(_docs(spark, sf))
@@ -6739,6 +6781,61 @@ SELECT a, b, c, d,
        round(p1 - p2, 6) AS risk_diff,
        round(1.0 / nullif(abs(p1 - p2), 0), 6) AS nnt
 FROM x
+"""
+    o["graph_pref_attachment"] = """
+WITH e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'c' || o_custkey AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (SELECT s, cast(count(*) AS bigint) AS deg FROM e GROUP BY s),
+top AS (SELECT s, deg FROM deg ORDER BY deg DESC, s LIMIT 50),
+pairs AS (SELECT a.s AS node_a, b.s AS node_b, a.deg AS deg_a,
+                 b.deg AS deg_b, (a.deg * b.deg)::BIGINT AS pa_score
+          FROM top a JOIN top b ON a.s < b.s),
+common AS (SELECT DISTINCT x.s AS node_a, y.s AS node_b
+           FROM e x JOIN e y ON x.d = y.d AND x.s < y.s)
+SELECT pairs.node_a, pairs.node_b, deg_a, deg_b, pa_score,
+       common.node_a IS NOT NULL AS has_common
+FROM pairs LEFT JOIN common
+  ON pairs.node_a = common.node_a AND pairs.node_b = common.node_b
+ORDER BY pa_score DESC, pairs.node_a, pairs.node_b LIMIT 20
+"""
+    o["graph_katz"] = """
+WITH e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'c' || o_custkey AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+x0 AS (SELECT node, 1.0 AS katz FROM nodes),
+s1 AS (SELECT e.d AS node, sum(x0.katz) AS in_sum
+        FROM e JOIN x0 ON e.s = x0.node GROUP BY e.d),
+x1 AS (SELECT n.node, 1.0 + 0.05 * coalesce(s1.in_sum, 0) AS katz
+        FROM nodes n LEFT JOIN s1 ON n.node = s1.node),
+s2 AS (SELECT e.d AS node, sum(x1.katz) AS in_sum
+        FROM e JOIN x1 ON e.s = x1.node GROUP BY e.d),
+x2 AS (SELECT n.node, 1.0 + 0.05 * coalesce(s2.in_sum, 0) AS katz
+        FROM nodes n LEFT JOIN s2 ON n.node = s2.node),
+s3 AS (SELECT e.d AS node, sum(x2.katz) AS in_sum
+        FROM e JOIN x2 ON e.s = x2.node GROUP BY e.d),
+x3 AS (SELECT n.node, 1.0 + 0.05 * coalesce(s3.in_sum, 0) AS katz
+        FROM nodes n LEFT JOIN s3 ON n.node = s3.node),
+s4 AS (SELECT e.d AS node, sum(x3.katz) AS in_sum
+        FROM e JOIN x3 ON e.s = x3.node GROUP BY e.d),
+x4 AS (SELECT n.node, 1.0 + 0.05 * coalesce(s4.in_sum, 0) AS katz
+        FROM nodes n LEFT JOIN s4 ON n.node = s4.node)
+SELECT node, round(katz, 6) AS katz FROM x4
+"""
+    o["emb_isotropy"] = """
+WITH d AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+mu AS (SELECT i, avg(v[i + 1]) AS m FROM d, range(0, 64) r(i) GROUP BY i),
+ml AS (SELECT list(m ORDER BY i) AS mv FROM mu),
+pv AS (SELECT sqrt(list_dot_product(v, v)) AS nrm,
+              list_dot_product(v, (SELECT mv FROM ml)) AS dot_mu
+       FROM d),
+mn AS (SELECT sqrt(list_dot_product(mv, mv)) AS mu_norm FROM ml)
+SELECT cast(count(*) AS bigint) AS n_vectors,
+       round(any_value(mu_norm), 6) AS mu_norm,
+       round(avg(nrm), 6) AS mean_norm,
+       round(any_value(mu_norm) / nullif(avg(nrm), 0), 6) AS mean_norm_ratio,
+       round(avg(dot_mu / nullif(nrm * mu_norm, 0)), 6) AS avg_cos_mu
+FROM pv, mn
 """
     o["text_readability"] = """
 SELECT doc_id,

@@ -862,3 +862,112 @@ def avg_neighbor_degree(
         )
         .select("degree", "n_nodes", "avg_neighbor_degree")
     )
+
+
+def preferential_attachment(
+    edges: DataFrame,
+    top_n: int = 50,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Preferential-attachment link prediction among the top_n
+    highest-degree src nodes: score(a, b) = deg(a)·deg(b) for every
+    unordered candidate pair, flagged with whether the pair already
+    shares a dst neighbor — the zero-signal baseline every fancier
+    link predictor (common_neighbors, adamic_adar) must beat, and the
+    one that needs NO neighborhood intersection at all.
+
+    The candidate universe is capped at top_n nodes (ties broken by
+    node id), so the pair join is top_n²/2 rows against a broadcast —
+    constant work regardless of graph size; the only full-data pass is
+    the degree aggregate. Output: top k pairs by score (ties → lexical
+    pair order).
+
+    Output: (node_a, node_b, deg_a, deg_b bigint, pa_score bigint,
+    has_common boolean).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    top = deg.orderBy(F.col("deg").desc(), F.col("s").asc()).limit(top_n)
+    pairs = (
+        top.alias("a")
+        .join(F.broadcast(top.alias("b")), F.col("a.s") < F.col("b.s"))
+        .select(
+            F.col("a.s").alias("node_a"),
+            F.col("b.s").alias("node_b"),
+            F.col("a.deg").alias("deg_a"),
+            F.col("b.deg").alias("deg_b"),
+            (F.col("a.deg") * F.col("b.deg")).cast("long").alias("pa_score"),
+        )
+    )
+    common = (
+        e.alias("x")
+        .join(e.alias("y"), (F.col("x.d") == F.col("y.d")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("node_a"), F.col("y.s").alias("node_b"))
+        .distinct()
+        .withColumn("has_common", F.lit(True))
+    )
+    return (
+        pairs.join(common, ["node_a", "node_b"], "left")
+        .select(
+            "node_a", "node_b", "deg_a", "deg_b", "pa_score",
+            F.coalesce("has_common", F.lit(False)).alias("has_common"),
+        )
+        .orderBy(F.col("pa_score").desc(), "node_a", "node_b")
+        .limit(k)
+    )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 4,
+    alpha: float = 0.05,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Katz centrality by the standard fixed-point iteration
+    x ← 1 + α·Aᵀx (β = 1): each node's score counts walks of every
+    length INTO it, geometrically damped — the centrality that, unlike
+    PageRank, doesn't dilute a source's influence across its out-edges
+    (an endorsement from a prolific node still counts fully). α must
+    sit below 1/λ_max for convergence; iters bounds the walk length
+    explicitly (the registry pins iters so the oracle can unroll).
+
+    pagerank's plan discipline: the edge set pre-hashes on src once
+    and persists; each round is ONE join + aggregate with an eager
+    localCheckpoint capping plan depth. Isolated nodes keep the β = 1
+    base score via the left join.
+
+    Output: (node, katz rounded 6).
+    """
+    e = (
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .repartition("__src")
+        .persist()
+    )
+    e.count()
+    x = nodes.select(node_col, F.lit(1.0).alias("katz")).localCheckpoint()
+    for _ in range(iters):
+        inw = (
+            e.join(x, F.col("__src") == F.col(node_col))
+            .groupBy("__dst")
+            .agg(F.sum("katz").alias("in_sum"))
+            .withColumnRenamed("__dst", node_col)
+        )
+        x = (
+            nodes.join(inw, node_col, "left")
+            .select(
+                node_col,
+                (
+                    F.lit(1.0)
+                    + alpha * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("katz"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = x.select(node_col, F.round("katz", 6).alias("katz"))
+    e.unpersist()
+    return out

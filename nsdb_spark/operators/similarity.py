@@ -1164,3 +1164,57 @@ def hamming_knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def isotropy_profile(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """First-moment isotropy diagnostics: how far the embedding cloud
+    sits from the origin relative to its spread. mean_norm_ratio =
+    ‖μ‖ / mean‖x‖ (0 = centered cloud, →1 = all vectors point one way
+    — the anisotropic cone LLM embeddings famously collapse into), and
+    avg_cos_mu = mean cosine of each vector to μ, the standard
+    "average pairwise cosine" estimator (E[cos(x, y)] ≈ cos-to-mean²
+    when the cloud is cone-shaped). Complements effective_dimension's
+    second-moment participation ratio: PR can look healthy while every
+    vector still shares a dominant direction.
+
+    Two passes, both map-side combinable and dim-bounded: (1)
+    posexplode → per-dimension means; (2) the dim-row mean vector
+    broadcasts back and one aggregate accumulates ‖x‖, x·μ. No
+    pairwise joins anywhere.
+
+    Output: one row (n_vectors bigint, mu_norm r6, mean_norm r6,
+    mean_norm_ratio r6, avg_cos_mu r6).
+    """
+    d = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.monotonically_increasing_id().alias("__rid"),
+        _as_double(vec_col).alias("v"),
+    )
+    dims = d.select(F.col("__rid"), F.posexplode("v").alias("i", "x"))
+    mu = dims.groupBy("i").agg(F.avg("x").alias("m"))
+    j = dims.join(F.broadcast(mu), "i")
+    per_vec = j.groupBy("__rid").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"),
+        F.sum(F.col("x") * F.col("m")).alias("dot_mu"),
+    )
+    mu_norm_df = mu.groupBy().agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("mu_norm")
+    )
+    agg = per_vec.crossJoin(F.broadcast(mu_norm_df)).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.first("mu_norm").alias("mu_norm"),
+        F.avg("nrm").alias("mean_norm"),
+        F.avg(
+            F.try_divide(F.col("dot_mu"), F.col("nrm") * F.col("mu_norm"))
+        ).alias("avg_cos_mu"),
+    )
+    return agg.select(
+        "n_vectors",
+        F.round("mu_norm", 6).alias("mu_norm"),
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round(
+            F.try_divide(F.col("mu_norm"), F.col("mean_norm")), 6
+        ).alias("mean_norm_ratio"),
+        F.round("avg_cos_mu", 6).alias("avg_cos_mu"),
+    )
