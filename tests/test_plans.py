@@ -715,3 +715,81 @@ def test_time_split_is_pure_projection(spark):
         embargo_ms=604_800_000,
     ))
     assert "Exchange" not in plan
+
+
+def test_pii_scrub_map_only_no_exchange(spark):
+    """pii_scrub is scan + regexp projection: zero shuffles, and the
+    scan prunes to (doc_id, text)."""
+    from nsdb_spark.operators import text
+
+    docs = testdata.table(spark, SF_DIR, "documents")
+    plan = plan_of(text.pii_scrub(docs))
+    assert "Exchange" not in plan
+    scan = plan.split("FileScan", 1)[1]
+    assert "lang" not in scan.split("ReadSchema")[0]
+
+
+def test_readability_map_only_no_exchange(spark):
+    from nsdb_spark.operators import text
+
+    plan = plan_of(text.readability(testdata.table(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan
+
+
+def test_gk_gamma_pairs_only_on_cells(spark):
+    """The concordance census self-joins the CELLS aggregate, never the
+    raw rows: both join inputs must sit above a partial/final aggregate
+    pair, and the plan has no nested-loop row join."""
+    from pyspark.sql import functions as F
+    from nsdb_spark.operators import analytics
+
+    ev = testdata.events_metric(spark, SF_DIR)
+    df = analytics.gk_gamma(
+        ev,
+        x=F.expr("(timestamp div 3600000) % 24").cast("long"),
+        y=F.floor(F.col("value") / 100).cast("long"),
+    )
+    plan = plan_of(df)
+    # the inequality pair join runs on the bounded CELLS frame, so it
+    # must be broadcast-shaped — a SortMergeJoin here would mean the
+    # census shuffles row-grain data
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # and the cells collapse (HashAggregate over the bucketed keys)
+    # exists below the joins
+    assert "HashAggregate" in plan
+
+
+def test_katz_round_plan_is_bounded(spark):
+    """Each Katz round ends in an eager localCheckpoint, so the FINAL
+    plan is one join + aggregate over the checkpointed scores — plan
+    depth must not grow with iters (the pagerank discipline)."""
+    from pyspark.sql import functions as F
+    from nsdb_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    p2 = plan_of(graph.katz_centrality(edges, nodes, iters=2))
+    p6 = plan_of(graph.katz_centrality(edges, nodes, iters=6))
+    assert abs(len(p6.splitlines()) - len(p2.splitlines())) <= 2
+
+
+def test_pref_attachment_pairs_are_broadcast(spark):
+    """The top_n×top_n candidate join must be a broadcast join (both
+    sides are limit-bounded), never a shuffle of the full edge set for
+    the pair step."""
+    from nsdb_spark.operators import graph
+
+    from pyspark.sql import functions as F
+
+    li = testdata.table(spark, SF_DIR, "lineitem")
+    orders = testdata.table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).selectExpr("l_suppkey as src", "o_custkey as dst")
+    plan = plan_of(graph.preferential_attachment(edges, top_n=10, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
