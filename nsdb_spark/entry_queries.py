@@ -830,6 +830,9 @@ _ROTATION_QUEUE = [
     "text_readability", "text_hapax", "text_pii_scrub",
     "events_interevent_exp", "events_attribution",
     "graph_pref_attachment", "graph_katz", "emb_isotropy",
+    "stats_jonckheere", "stats_somers_d", "stats_cohens_h", "stats_grubbs",
+    "tsa_mann_kendall", "events_conversion_latency", "events_dow_hour",
+    "emb_hubness",
 ]
 
 
@@ -2631,6 +2634,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exposure=F.col("lang") == "en",
         outcome=F.col("n_chars") >= 2000,
     )
+    q["stats_jonckheere"] = lambda spark, sf: analytics.jonckheere_terpstra(
+        testdata.events_metric(spark, sf),
+        group_expr=F.expr("((timestamp div 3600000) % 24) div 6").cast("int"),
+        value_expr=F.floor(F.col("value") / 10).cast("long"),
+    )
+    q["stats_somers_d"] = lambda spark, sf: analytics.somers_d(
+        testdata.events_metric(spark, sf),
+        x=F.expr("(timestamp div 3600000) % 24").cast("long"),
+        y=F.floor(F.col("value") / 100).cast("long"),
+    )
+    q["stats_cohens_h"] = lambda spark, sf: analytics.cohens_h(
+        _docs(spark, sf),
+        exposure=F.col("lang") == "en",
+        outcome=F.col("n_chars") >= 2000,
+    )
+    q["stats_grubbs"] = lambda spark, sf: analytics.grubbs_statistic(
+        testdata.table(spark, sf, "events"), part="event_type", value="value"
+    )
+    q["tsa_mann_kendall"] = lambda spark, sf: tsa.mann_kendall(
+        testdata.events_metric(spark, sf)
+    )
+    q["events_conversion_latency"] = lambda spark, sf: analytics.conversion_latency(
+        testdata.events_metric(spark, sf)
+    )
+    q["events_dow_hour"] = lambda spark, sf: analytics.dow_hour_profile(
+        testdata.events_metric(spark, sf)
+    )
+    q["emb_hubness"] = lambda spark, sf: similarity.hubness_profile(
+        _emb(spark, sf), n_queries=100, k=10
+    )
+
     def _supplier_customer_edges(spark, sf):
         return (
             testdata.table(spark, sf, "lineitem")
@@ -6781,6 +6815,163 @@ SELECT a, b, c, d,
        round(p1 - p2, 6) AS risk_diff,
        round(1.0 / nullif(abs(p1 - p2), 0), 6) AS nnt
 FROM x
+"""
+    o["stats_jonckheere"] = """
+WITH m AS (SELECT ((epoch_ms(ts) // 3600000) % 24) // 6 AS g,
+                  cast(floor(value / 10) AS bigint) AS y
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+cells AS (SELECT g, y, cast(count(*) AS bigint) AS n FROM m GROUP BY g, y),
+ul AS (SELECT sum(a.n * b.n) AS u_less
+       FROM cells a JOIN cells b ON a.g < b.g AND a.y < b.y),
+ue AS (SELECT sum(a.n * b.n) AS u_eq
+       FROM cells a JOIN cells b ON a.g < b.g AND a.y = b.y),
+sz AS (SELECT g, sum(n) AS ng FROM cells GROUP BY g),
+tot AS (SELECT sum(ng) AS nn, cast(count(*) AS int) AS n_groups,
+               sum(ng * ng) AS sn2,
+               sum(ng * ng * (2 * ng + 3)) AS sn23
+        FROM sz),
+x AS (SELECT nn, n_groups,
+             coalesce(u_less, 0) + 0.5 * coalesce(u_eq, 0) AS jt,
+             (nn::DOUBLE * nn - sn2) / 4.0 AS mean_jt,
+             (nn::DOUBLE * nn * (2 * nn + 3) - sn23) / 72.0 AS var_jt
+      FROM tot, ul, ue)
+SELECT cast(nn AS bigint) AS n, n_groups, round(jt, 6) AS jt,
+       round(mean_jt, 6) AS mean_jt, round(var_jt, 6) AS var_jt,
+       round((jt - mean_jt) / nullif(sqrt(var_jt), 0), 6) AS z
+FROM x
+"""
+    o["stats_somers_d"] = """
+WITH m AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS cx,
+                  cast(floor(value / 100) AS bigint) AS cy
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+cells AS (SELECT cx, cy, cast(count(*) AS bigint) AS n FROM m
+          GROUP BY cx, cy),
+cc AS (SELECT sum(a.n * b.n) AS concordant
+       FROM cells a JOIN cells b ON a.cx < b.cx AND a.cy < b.cy),
+dd AS (SELECT sum(a.n * b.n) AS discordant
+       FROM cells a JOIN cells b ON a.cx < b.cx AND a.cy > b.cy),
+tt AS (SELECT sum(a.n * b.n) AS ties_y
+       FROM cells a JOIN cells b ON a.cx < b.cx AND a.cy = b.cy)
+SELECT (SELECT cast(count(*) AS bigint) FROM cells) AS n_cells,
+       coalesce(concordant, 0)::BIGINT AS concordant,
+       coalesce(discordant, 0)::BIGINT AS discordant,
+       coalesce(ties_y, 0)::BIGINT AS ties_y,
+       round((coalesce(concordant, 0) - coalesce(discordant, 0))
+             / nullif((coalesce(concordant, 0) + coalesce(discordant, 0)
+                       + coalesce(ties_y, 0))::DOUBLE, 0), 6) AS d_yx
+FROM cc, dd, tt
+"""
+    o["stats_cohens_h"] = """
+WITH b AS (SELECT (lang = 'en') AS e, (n_chars >= 2000) AS o FROM documents
+           WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+g AS (SELECT sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN NOT e THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS k1,
+             sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS k2
+      FROM b)
+SELECT n1, n2,
+       round(k1 / nullif(n1, 0)::DOUBLE, 6) AS p1,
+       round(k2 / nullif(n2, 0)::DOUBLE, 6) AS p2,
+       round(2.0 * asin(sqrt(k1 / nullif(n1, 0)::DOUBLE))
+             - 2.0 * asin(sqrt(k2 / nullif(n2, 0)::DOUBLE)), 6) AS h
+FROM g
+"""
+    o["stats_grubbs"] = """
+WITH b AS (SELECT event_type AS g, value AS x FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+ms AS (SELECT g, cast(count(*) AS bigint) AS n, avg(x) AS mu,
+              stddev_samp(x) AS sd
+       FROM b GROUP BY g),
+j AS (SELECT b.g, n, mu, sd, x, round(abs(x - mu), 6) AS dev,
+             row_number() OVER (PARTITION BY b.g
+                                ORDER BY round(abs(x - mu), 6) DESC,
+                                         x DESC) AS rn
+      FROM b JOIN ms ON b.g = ms.g)
+SELECT g AS event_type, n, round(mu, 6) AS mean, round(sd, 6) AS sd,
+       round(x, 6) AS extreme_value,
+       round(dev / nullif(sd, 0), 6) AS g
+FROM j WHERE rn = 1
+"""
+    o["tsa_mann_kendall"] = """
+WITH b AS (SELECT event_type AS k, epoch_ms(ts) // 86400000 AS t,
+                  round(avg(value), 6) AS y
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+pairs AS (SELECT a.k, sum(sign(b.y - a.y))::BIGINT AS s
+          FROM b a JOIN b b ON a.k = b.k AND a.t < b.t GROUP BY a.k),
+ties AS (SELECT k, y, count(*)::DOUBLE AS tk FROM b GROUP BY k, y),
+var AS (SELECT k, sum(tk) AS n,
+               sum(tk * (tk - 1) * (2 * tk + 5)) AS tie_term
+        FROM ties GROUP BY k),
+j AS (SELECT pairs.k, n, s,
+             (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS vs
+      FROM pairs JOIN var ON pairs.k = var.k)
+SELECT k AS event_type, cast(n AS bigint) AS n, s, round(vs, 6) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(vs)
+                  WHEN s < 0 THEN (s + 1) / sqrt(vs)
+                  ELSE 0.0 END, 6) AS z
+FROM j
+"""
+    o["events_conversion_latency"] = """
+WITH m AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+per AS (SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN t END) AS t0
+        FROM m GROUP BY user_id),
+conv AS (SELECT m.user_id,
+                cast(min(m.t) - any_value(per.t0) AS DOUBLE) AS lat
+         FROM m JOIN per ON m.user_id = per.user_id
+         WHERE m.event_type = 'purchase' AND per.t0 IS NOT NULL
+           AND m.t >= per.t0
+         GROUP BY m.user_id)
+SELECT cast(count(*) AS bigint) AS n_converted,
+       round(avg(lat), 6) AS mean_ms,
+       round(quantile_cont(lat, 0.5), 6) AS p50_ms,
+       round(quantile_cont(lat, 0.9), 6) AS p90_ms,
+       round(quantile_cont(lat, 0.99), 6) AS p99_ms
+FROM conv
+"""
+    o["events_dow_hour"] = """
+WITH base AS (SELECT cast(((epoch_ms(ts) // 86400000) + 4) % 7 AS int)
+                AS dow,
+              cast((epoch_ms(ts) // 3600000) % 24 AS int) AS hour
+              FROM events WHERE ts IS NOT NULL),
+grid AS (SELECT dow, hour, cast(count(*) AS bigint) AS n
+         FROM base GROUP BY dow, hour),
+rm AS (SELECT dow, sum(n) AS nr FROM grid GROUP BY dow),
+cm AS (SELECT hour, sum(n) AS nc FROM grid GROUP BY hour),
+tt AS (SELECT sum(n)::DOUBLE AS nt FROM grid)
+SELECT grid.dow, grid.hour, n,
+       round(nr * nc / nt, 6) AS expected,
+       round((n - nr * nc / nt) * (n - nr * nc / nt)
+             / (nr * nc / nt), 6) AS chi2_cell
+FROM grid JOIN rm ON grid.dow = rm.dow JOIN cm ON grid.hour = cm.hour, tt
+"""
+    o["emb_hubness"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nn
+      WHERE vec_id < 100),
+s AS (SELECT q.query_id, nn.vec_id,
+             list_dot_product(nn.v, q.qv) / (nn.nrm * q.qn) AS s
+      FROM nn, q WHERE nn.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id ASC) AS rank
+      FROM s),
+hits AS (SELECT vec_id FROM r WHERE rank <= 10),
+indeg AS (SELECT vec_id, cast(count(*) AS bigint) AS d FROM hits
+          GROUP BY vec_id),
+top AS (SELECT vec_id, d FROM indeg ORDER BY d DESC, vec_id ASC LIMIT 1)
+SELECT cast(100 AS int) AS n_queries, cast(10 AS int) AS k,
+       (SELECT sum(d)::BIGINT FROM indeg) AS n_hits,
+       (SELECT cast(count(*) AS bigint) FROM indeg)
+         AS n_distinct_neighbors,
+       d AS max_in_degree, vec_id AS hub_vec_id,
+       round(d / (SELECT sum(d)::DOUBLE FROM indeg), 6) AS hub_share
+FROM top
 """
     o["graph_pref_attachment"] = """
 WITH e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'c' || o_custkey AS d

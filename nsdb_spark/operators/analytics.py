@@ -4947,3 +4947,287 @@ def attribution_touch(
             F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
         )
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_expr: Column | str,
+    value_expr: Column | str,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test on BUCKETED
+    values: JT = Σ over ordered group pairs (a < b) of the Mann-Whitney
+    count #(xₐ < x_b) + ½·#(xₐ = x_b) — "does the value level RISE
+    across the ordered groups?", strictly sharper than Kruskal-Wallis
+    when the alternative is monotone. Mean and the no-tie variance give
+    the normal z (the exact tie-corrected variance is a caller
+    refinement; both engines compute the identical approximation).
+
+    The value axis must be bucketed (integer cells) by the caller via
+    `value_expr` — rows collapse to (group, value-cell) counts first,
+    so the pair census is |cells|² work on a bounded grid, independent
+    of the row count (the gk_gamma discipline).
+
+    Output: one row (n bigint, n_groups int, jt r6, mean_jt r6,
+    var_jt r6, z r6).
+    """
+    g = group_expr if not isinstance(group_expr, str) else F.col(group_expr)
+    v = value_expr if not isinstance(value_expr, str) else F.col(value_expr)
+    cells = (
+        df.filter(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("g"), v.alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    less = (
+        a.join(b, (F.col("a.g") < F.col("b.g")) & (F.col("a.y") < F.col("b.y")))
+        .groupBy().agg(F.sum(F.col("a.n") * F.col("b.n")).alias("u_less"))
+    )
+    eq = (
+        a.join(b, (F.col("a.g") < F.col("b.g")) & (F.col("a.y") == F.col("b.y")))
+        .groupBy().agg(F.sum(F.col("a.n") * F.col("b.n")).alias("u_eq"))
+    )
+    sizes = cells.groupBy("g").agg(F.sum("n").alias("ng"))
+    tot = sizes.groupBy().agg(
+        F.sum("ng").alias("nn"),
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+        F.sum(F.col("ng") * F.col("ng")).alias("sn2"),
+        F.sum(F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3)).alias("sn23"),
+    )
+    out = tot.crossJoin(F.broadcast(less)).crossJoin(F.broadcast(eq))
+    nn = F.col("nn").cast("double")
+    jt = F.coalesce(F.col("u_less"), F.lit(0)).cast("double") + 0.5 * F.coalesce(
+        F.col("u_eq"), F.lit(0)
+    ).cast("double")
+    mean_jt = (nn * nn - F.col("sn2")) / 4.0
+    var_jt = (nn * nn * (2 * nn + 3) - F.col("sn23")) / 72.0
+    return out.select(
+        F.col("nn").cast("long").alias("n"),
+        "n_groups",
+        F.round(jt, 6).alias("jt"),
+        F.round(mean_jt, 6).alias("mean_jt"),
+        F.round(var_jt, 6).alias("var_jt"),
+        F.round(F.try_divide(jt - mean_jt, F.sqrt(var_jt)), 6).alias("z"),
+    )
+
+
+def somers_d(
+    df: DataFrame, x: Column | str, y: Column | str
+) -> DataFrame:
+    """Somers' D_yx — the ASYMMETRIC ordinal association (y dependent):
+    (C − D) / (C + D + T_y) where T_y counts pairs tied on y but split
+    on x. The directional refinement of gk_gamma (gamma drops ALL ties
+    and overstates association on coarse scales; D charges y-ties
+    against the predictor x). D_yx is also the Gini/AUC companion:
+    AUC = (D + 1)/2 when y is binary.
+
+    Identical cells-first plan to gk_gamma: |cells|² census on the
+    bounded bucket grid, never a row-level pair join.
+
+    Output: one row (n_cells bigint, concordant bigint, discordant
+    bigint, ties_y bigint, d_yx r6).
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    cells = (
+        df.filter(xc.isNotNull() & yc.isNotNull())
+        .groupBy(xc.alias("cx"), yc.alias("cy"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    conc = (
+        a.join(b, (F.col("a.cx") < F.col("b.cx")) & (F.col("a.cy") < F.col("b.cy")))
+        .groupBy().agg(F.sum(F.col("a.n") * F.col("b.n")).alias("concordant"))
+    )
+    disc = (
+        a.join(b, (F.col("a.cx") < F.col("b.cx")) & (F.col("a.cy") > F.col("b.cy")))
+        .groupBy().agg(F.sum(F.col("a.n") * F.col("b.n")).alias("discordant"))
+    )
+    ty = (
+        a.join(b, (F.col("a.cx") < F.col("b.cx")) & (F.col("a.cy") == F.col("b.cy")))
+        .groupBy().agg(F.sum(F.col("a.n") * F.col("b.n")).alias("ties_y"))
+    )
+    nc = cells.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    out = (
+        nc.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(ty))
+    )
+    cN = F.coalesce(F.col("concordant"), F.lit(0)).cast("long")
+    dN = F.coalesce(F.col("discordant"), F.lit(0)).cast("long")
+    tN = F.coalesce(F.col("ties_y"), F.lit(0)).cast("long")
+    return out.select(
+        "n_cells",
+        cN.alias("concordant"),
+        dN.alias("discordant"),
+        tN.alias("ties_y"),
+        F.round(
+            F.try_divide(cN - dN, (cN + dN + tN).cast("double")), 6
+        ).alias("d_yx"),
+    )
+
+
+def cohens_h(
+    df: DataFrame, exposure: Column | str, outcome: Column | str
+) -> DataFrame:
+    """Cohen's h effect size for two proportions: h = 2·asin(√p₁) −
+    2·asin(√p₂) (the arcsine-stabilized difference) — the effect-size
+    companion to risk_ratio_2x2's inferential CI: h is comparable
+    across baseline rates where a raw risk difference is not
+    (0.01→0.02 and 0.50→0.51 have the same RD but wildly different h).
+
+    Same single conditional-aggregate plan as odds_ratio_2x2.
+
+    Output: one row (n1, n2 bigint, p1 r6, p2 r6, h r6).
+    """
+    ex = F.col(exposure) if isinstance(exposure, str) else exposure
+    ou = F.col(outcome) if isinstance(outcome, str) else outcome
+    base = df.filter(ex.isNotNull() & ou.isNotNull()).select(
+        ex.cast("boolean").alias("__e"), ou.cast("boolean").alias("__o")
+    )
+    g = base.groupBy().agg(
+        F.sum(F.col("__e").cast("long")).alias("n1"),
+        F.sum((~F.col("__e")).cast("long")).alias("n2"),
+        F.sum((F.col("__e") & F.col("__o")).cast("long")).alias("k1"),
+        F.sum((~F.col("__e") & F.col("__o")).cast("long")).alias("k2"),
+    )
+    p1 = F.try_divide(F.col("k1"), F.col("n1").cast("double"))
+    p2 = F.try_divide(F.col("k2"), F.col("n2").cast("double"))
+    h = 2.0 * F.asin(F.sqrt(p1)) - 2.0 * F.asin(F.sqrt(p2))
+    return g.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(h, 6).alias("h"),
+    )
+
+
+def grubbs_statistic(
+    df: DataFrame, part: str, value: str
+) -> DataFrame:
+    """Per-group Grubbs outlier statistic G = max|x − x̄|/s (sample s)
+    with the offending value — "is the single most extreme point in
+    this segment an outlier?" The one-point complement to
+    tukey_outlier_share's mass measure; compare G against the
+    t-distribution critical value for the formal test (the statistic
+    is the distributed part; the critical value is a constant lookup).
+
+    Two-pass: per-group (mean, s) broadcast back, then ONE max_by
+    aggregate picks the extreme (ties → larger |dev| then larger x,
+    via the struct ordering — deterministic cross-engine).
+
+    Output: (part, n bigint, mean r6, sd r6, extreme_value r6, g r6).
+    """
+    base = df.filter(
+        F.col(part).isNotNull() & F.col(value).isNotNull()
+    ).select(part, F.col(value).cast("double").alias("__x"))
+    ms = base.groupBy(part).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("mu"),
+        F.stddev_samp("__x").alias("sd"),
+    )
+    j = base.join(F.broadcast(ms), part)
+    dev = F.round(F.abs(F.col("__x") - F.col("mu")), 6)
+    out = j.groupBy(part).agg(
+        F.first("n").alias("n"),
+        F.first("mu").alias("mu"),
+        F.first("sd").alias("sd"),
+        F.max(F.struct(dev.alias("d"), F.col("__x").alias("x"))).alias("ext"),
+    )
+    return out.select(
+        part,
+        "n",
+        F.round("mu", 6).alias("mean"),
+        F.round("sd", 6).alias("sd"),
+        F.round(F.col("ext.x"), 6).alias("extreme_value"),
+        F.round(F.try_divide(F.col("ext.d"), F.col("sd")), 6).alias("g"),
+    )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_kind: str = "signup",
+    to_kind: str = "purchase",
+    user: str = "user_id",
+    kind: str = "event_type",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Signup→first-purchase latency distribution: for every user with
+    both a `from_kind` and a LATER `to_kind` event, the gap between
+    their first `from_kind` and the first `to_kind` at-or-after it —
+    exact p50/p90/p99 and mean across converting users. The
+    time-to-value funnel number product dashboards lead with.
+
+    ONE conditional min aggregate per user computes both anchors (no
+    join, no window over raw events); percentiles are one exact
+    array-percentile over the |converting users| frame.
+
+    Output: one row (n_converted bigint, mean_ms r6, p50_ms r6,
+    p90_ms r6, p99_ms r6).
+    """
+    per = (
+        df.filter(F.col(user).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(user)
+        .agg(
+            F.min(F.when(F.col(kind) == from_kind, F.col(ts))).alias("t0")
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    first_to = (
+        df.filter(F.col(kind) == to_kind)
+        .join(F.broadcast(per), user)
+        .filter(F.col(ts) >= F.col("t0"))
+        .groupBy(user)
+        .agg((F.min(ts) - F.first("t0")).cast("double").alias("lat"))
+    )
+    return first_to.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.avg("lat"), 6).alias("mean_ms"),
+        F.round(F.expr("percentile(lat, 0.5)"), 6).alias("p50_ms"),
+        F.round(F.expr("percentile(lat, 0.9)"), 6).alias("p90_ms"),
+        F.round(F.expr("percentile(lat, 0.99)"), 6).alias("p99_ms"),
+    )
+
+
+def dow_hour_profile(
+    df: DataFrame, ts: str = "timestamp"
+) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid with the independence
+    χ²: the 7×24 cell counts, each cell's expected count under
+    dow ⊥ hour, and the total χ² with df = 6·23 — "is the weekly
+    rhythm just the daily rhythm repeated, or do weekends have their
+    own shape?" (hourly_profile answers the 24-axis alone).
+
+    Day-of-week computes ARITHMETICALLY from epoch ms ((days+4) mod 7,
+    0 = Sunday) — no calendar/timezone functions, so both engines and
+    any session timezone agree. One grid aggregate (≤168 rows), then
+    margins re-aggregate from the grid.
+
+    Output: (dow int, hour int, n bigint, expected r6, chi2_cell r6)
+    — 168 rows; total χ² = sum(chi2_cell), recoverable by the caller.
+    """
+    base = df.filter(F.col(ts).isNotNull()).select(
+        F.expr(f"cast((({ts} div 86400000) + 4) % 7 as int)").alias("dow"),
+        F.expr(f"cast(({ts} div 3600000) % 24 as int)").alias("hour"),
+    )
+    grid = base.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rowm = grid.groupBy("dow").agg(F.sum("n").alias("nr"))
+    colm = grid.groupBy("hour").agg(F.sum("n").alias("nc"))
+    tot = grid.groupBy().agg(F.sum("n").alias("nt"))
+    j = (
+        grid.join(F.broadcast(rowm), "dow")
+        .join(F.broadcast(colm), "hour")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("nr") * F.col("nc") / F.col("nt").cast("double")
+    return j.select(
+        "dow",
+        "hour",
+        "n",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+            "chi2_cell"
+        ),
+    )

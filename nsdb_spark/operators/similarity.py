@@ -1218,3 +1218,82 @@ def isotropy_profile(
         ).alias("mean_norm_ratio"),
         F.round("avg_cos_mu", 6).alias("avg_cos_mu"),
     )
+
+
+def hubness_profile(
+    emb: DataFrame,
+    n_queries: int = 100,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-NN hubness audit: run exact top-k retrieval for a bounded
+    query sample (the first n_queries vectors, self-hits excluded) and
+    summarize the IN-DEGREE distribution of the returned neighbors —
+    high-dimensional spaces concentrate retrieval onto "hub" vectors
+    that appear in everyone's neighbor list, silently wrecking kNN
+    label votes and dedup verdicts (Radovanović et al., JMLR 2010).
+    hub_share near k/n_hits ⇒ healthy; a single vector owning a large
+    share ⇒ hubness problem (mean-center or re-normalize first).
+
+    One corpus pass: the query sample rides as a broadcast literal
+    (cosine_topk_join's plan), the per-query top-k is a window cut,
+    and the in-degree rollup runs on the |n_queries·k| hit frame.
+
+    Output: one row (n_queries int, k int, n_hits bigint,
+    n_distinct_neighbors bigint, max_in_degree bigint, hub_vec_id,
+    hub_share r6).
+    """
+    from pyspark.sql import Window
+
+    queries = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col(id_col) < n_queries)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    v = _as_double(vec_col)
+    qs = F.array(*[
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            _lit_vec(vec).alias("qv"),
+            F.lit(_py_norm(vec)).alias("qn"),
+        )
+        for qid, vec in queries
+    ])
+    scored = (
+        emb.select(F.col(id_col).alias("vid"), v.alias("__v"), _norm(v).alias("__n"))
+        .select("vid", "__v", "__n", F.explode(qs).alias("q"))
+        .filter(F.col("vid") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "vid",
+            (_dot(F.col("__v"), F.col("q.qv")) / (F.col("__n") * F.col("q.qn"))).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("vid").asc()
+    )
+    hits = scored.select(
+        "query_id", "vid", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+    indeg = hits.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    out = indeg.groupBy().agg(
+        F.sum("d").alias("n_hits"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_neighbors"),
+        F.max(F.struct(F.col("d"), (-F.col("vid")).alias("nv"))).alias("mx"),
+    )
+    return out.select(
+        F.lit(len(queries)).cast("int").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "n_distinct_neighbors",
+        F.col("mx.d").alias("max_in_degree"),
+        (-F.col("mx.nv")).cast("long").alias("hub_vec_id"),
+        F.round(
+            F.try_divide(F.col("mx.d"), F.col("n_hits").cast("double")), 6
+        ).alias("hub_share"),
+    )

@@ -1410,3 +1410,75 @@ def spectral_entropy(
         F.first("n").cast("long").alias("n_buckets"),
         F.round(F.sum("e") / math.log(n_freqs), 6).alias("entropy"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per key on the bucketed series:
+    S = Σᵢ<ⱼ sign(yⱼ − yᵢ), tie-corrected variance
+    (n(n−1)(2n+5) − Σ tₖ(tₖ−1)(2tₖ+5))/18, and the continuity-corrected
+    z — the nonparametric "is there ANY monotone drift?" companion to
+    durbin_watson's linear-residual view (MK needs no linearity and
+    shrugs at outliers). Kendall (1975) / Mann (1945).
+
+    The series collapses to per-bucket means first (ONE map-side-
+    combinable aggregate, buckets rounded 6 so both engines compare
+    identical doubles); the pair join runs on the (key × buckets)
+    frame co-partitioned on key — a month of daily buckets is ~31
+    rows/key, so the census is bounded by the calendar, not the data.
+
+    Output: (key, n bigint, s bigint, var_s r6, z r6).
+    """
+    b = (
+        df.filter(
+            F.col(key).isNotNull()
+            & F.col(ts).isNotNull()
+            & F.col(value).isNotNull()
+        )
+        .groupBy(
+            key, F.expr(f"({ts} div {bucket_ms})").cast("long").alias("t")
+        )
+        .agg(F.round(F.avg(value), 6).alias("y"))
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a." + key) == F.col("b." + key))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a." + key).alias("k"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = b.groupBy(F.col(key).alias("k"), "y").agg(
+        F.count(F.lit(1)).cast("double").alias("tk")
+    )
+    var = ties.groupBy("k").agg(
+        F.sum("tk").alias("n"),
+        F.sum(F.col("tk") * (F.col("tk") - 1) * (2 * F.col("tk") + 5)).alias(
+            "tie_term"
+        ),
+    )
+    j = pairs.join(var, "k")
+    n = F.col("n")
+    vs = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sd - 1) / F.sqrt(vs)).when(
+        F.col("s") < 0, (sd + 1) / F.sqrt(vs)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("k").alias(key),
+        n.cast("long").alias("n"),
+        "s",
+        F.round(vs, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
