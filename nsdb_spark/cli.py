@@ -110,17 +110,116 @@ def repl(engine, stdin=None, stdout=None) -> None:
             print(f"error: {type(e).__name__}: {e}", file=stdout)
 
 
+def _bits_table(records: list[dict]) -> str:
+    """Render proto Bit dicts (grpc.proto.BIT decode shape) as the same
+    ASCII table the engine path prints."""
+    from .grpc import proto
+
+    def value_of(bit: dict):
+        if "decimalValue" in bit:
+            return bit["decimalValue"]
+        if "longValue" in bit:
+            return bit["longValue"]
+        return None
+
+    extra: list[str] = []
+    for b in records:
+        for k in sorted({**b.get("dimensions", {}), **b.get("tags", {})}):
+            if k not in extra:
+                extra.append(k)
+    extra.sort()
+    headers = ["timestamp", "value", *extra]
+    rows = []
+    for b in records:
+        fields = {**b.get("dimensions", {}), **b.get("tags", {})}
+        rows.append(
+            [b.get("timestamp", 0), value_of(b)]
+            + [
+                proto.proto_value(fields[k]) if k in fields else None
+                for k in extra
+            ]
+        )
+    return ascii_table(headers, rows) + f"\n({len(records)} rows)"
+
+
+def repl_grpc(client, stdin=None, stdout=None) -> None:
+    """REPL over the gRPC WIRE client — the reference console's shape
+    (nsdb-cli/.../NsdbILoop.scala drives GRPCClient.executeSQLStatement
+    and the command RPCs; no local engine, no Spark session on the
+    client side)."""
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    db, ns = "default", "default"
+    print("nsdb-spark CLI (gRPC) — `use <ns>`, `db <db>`, `exit`", file=stdout)
+    for raw in stdin:
+        line = raw.strip()
+        if not line:
+            continue
+        low = line.lower()
+        if low in ("exit", "quit"):
+            break
+        try:
+            if low.startswith("db "):
+                db = line.split(None, 1)[1]
+                print(f"Database changed to {db}", file=stdout)
+            elif low.startswith("use "):
+                ns = line.split(None, 1)[1]
+                print(f"Namespace changed to {ns}", file=stdout)
+            elif low == "show namespaces":
+                res = client.show_namespaces(db)
+                print("\n".join(res.get("namespaces", [])) or "(empty)", file=stdout)
+            elif low == "show metrics":
+                res = client.show_metrics(db, ns)
+                print("\n".join(res.get("metrics", [])) or "(empty)", file=stdout)
+            elif low.startswith("describe "):
+                res = client.describe_metric(db, ns, line.split(None, 1)[1])
+                if not res.get("completedSuccessfully", False):
+                    print(f"error: {res.get('errors', '')}", file=stdout)
+                    continue
+                names = {0: "timestamp", 1: "value", 2: "dimension", 3: "tag"}
+                rows = [
+                    [f["name"], f.get("indexType", ""),
+                     names.get(f.get("fieldClassType", 0), "?")]
+                    for f in res.get("fields", [])
+                ]
+                print(ascii_table(["field", "type", "class"], rows), file=stdout)
+            else:
+                res = client.execute_sql(db, ns, line)
+                if res.get("completedSuccessfully", False):
+                    recs = res.get("records", [])
+                    print(_bits_table(recs) if recs else "Ok", file=stdout)
+                else:
+                    reason = res.get("reason", "")
+                    msg = res.get("message", "")
+                    print(f"error: {reason}{(' — ' + msg) if msg else ''}",
+                          file=stdout)
+        except Exception as e:
+            print(f"error: {type(e).__name__}: {e}", file=stdout)
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
+
+    ap = argparse.ArgumentParser(description="nsdb-spark interactive CLI")
+    ap.add_argument("--warehouse", help="local engine mode: warehouse path")
+    ap.add_argument(
+        "--grpc", help="wire mode: HOST:PORT of a running nsdb gRPC endpoint"
+    )
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+    if bool(args.warehouse) == bool(args.grpc):
+        ap.error("exactly one of --warehouse or --grpc is required")
+    if args.grpc:
+        from .grpc import NsdbGrpcClient
+
+        host, _, port = args.grpc.rpartition(":")
+        repl_grpc(NsdbGrpcClient(host or "127.0.0.1", int(port)))
+        return
 
     from pyspark.sql import SparkSession
 
     from .engine import NsdbEngine
 
-    ap = argparse.ArgumentParser(description="nsdb-spark interactive CLI")
-    ap.add_argument("--warehouse", required=True)
-    ap.add_argument("--master", default="local[*]")
-    args = ap.parse_args(argv)
     spark = (
         SparkSession.builder.master(args.master)
         .appName("nsdb-spark-cli")

@@ -91,3 +91,37 @@ def test_repl_dump_and_restore(engine, tmp_path):
     assert "Restored default.default.temps2" in text
     assert "| 2" in text
     assert "error: ValueError" in text and "already exists" in text
+
+
+def test_repl_grpc_session(engine):
+    """The gRPC-mode REPL drives a real wire server end-to-end — the
+    reference console's shape (NsdbILoop → GRPCClient, no local engine
+    on the client side)."""
+    from nsdb_spark.cli import repl_grpc
+    from nsdb_spark.grpc import NsdbGrpcClient, serve_grpc
+
+    server = serve_grpc(engine, port=0)
+    client = NsdbGrpcClient(server.host, server.port)
+    try:
+        script = "\n".join([
+            "db mydb",
+            "use sensors",
+            "insert into temps ts = 1000 dim (city = rome) "
+            "tags (kind = out) val = 21.5",
+            "select * from temps order by timestamp",
+            "show metrics",
+            "describe temps",
+            "select * frm temps",
+            "exit",
+        ]) + "\n"
+        out = io.StringIO()
+        repl_grpc(client, stdin=io.StringIO(script), stdout=out)
+        text = out.getvalue()
+        assert "Database changed to mydb" in text
+        assert "rome" in text and "21.5" in text
+        assert "temps" in text  # show metrics
+        assert "| city " in text or "city" in text  # describe table
+        assert "sql statement not valid" in text  # parse error, in-band
+    finally:
+        client.close()
+        server.stop()
