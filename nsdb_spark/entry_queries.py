@@ -788,9 +788,10 @@ _CHECK_PREFIX_R5 = [
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
-#: Round 6 takes _ROTATION_QUEUE[:50]; round 7 takes the rest (33) plus
-#: re-verification of anything changed in rounds 5-6. Entries changed in
-#: a round jump the queue into that round's prefix.
+#: Round 6 takes _ROTATION_QUEUE[:50]; round 7 the next 50; round 8 the
+#: remainder (the 27 round-5 additions at the tail) plus re-verification
+#: of anything changed in rounds 6-7. Entries changed in a round jump
+#: the queue into that round's prefix.
 _ROTATION_QUEUE = [
     # --- round 6 block (50) ---
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
@@ -832,7 +833,8 @@ _ROTATION_QUEUE = [
     "graph_pref_attachment", "graph_katz", "emb_isotropy",
     "stats_jonckheere", "stats_somers_d", "stats_cohens_h", "stats_grubbs",
     "tsa_mann_kendall", "events_conversion_latency", "events_dow_hour",
-    "emb_hubness",
+    "emb_hubness", "stats_bhattacharyya", "events_pareto_share",
+    "text_burrows_delta",
 ]
 
 
@@ -2633,6 +2635,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf),
         exposure=F.col("lang") == "en",
         outcome=F.col("n_chars") >= 2000,
+    )
+    q["stats_bhattacharyya"] = lambda spark, sf: analytics.bhattacharyya_overlap(
+        testdata.table(spark, sf, "events").filter(
+            F.col("event_type").isin("view", "purchase")
+        ),
+        group=F.col("event_type") == "purchase",
+        value="value",
+        bin_width=50.0,
+    )
+    q["events_pareto_share"] = lambda spark, sf: analytics.pareto_share(
+        testdata.table(spark, sf, "events")
+    )
+    q["text_burrows_delta"] = lambda spark, sf: text.burrows_delta(
+        _docs(spark, sf), top_n=50
     )
     q["stats_jonckheere"] = lambda spark, sf: analytics.jonckheere_terpstra(
         testdata.events_metric(spark, sf),
@@ -6815,6 +6831,74 @@ SELECT a, b, c, d,
        round(p1 - p2, 6) AS risk_diff,
        round(1.0 / nullif(abs(p1 - p2), 0), 6) AS nnt
 FROM x
+"""
+    o["stats_bhattacharyya"] = """
+WITH b AS (SELECT (event_type = 'purchase') AS g,
+                  cast(floor(value / 50.0) AS bigint) AS bin
+           FROM events
+           WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+grid AS (SELECT bin, sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS np_,
+                sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS nq_
+         FROM b GROUP BY bin),
+tot AS (SELECT sum(np_) AS tp, sum(nq_) AS tq,
+               cast(count(*) AS bigint) AS n_bins
+        FROM grid),
+s AS (SELECT any_value(tp)::BIGINT AS n_p, any_value(tq)::BIGINT AS n_q,
+             any_value(n_bins) AS n_bins,
+             sum(sqrt((np_ / tp::DOUBLE) * (nq_ / tq::DOUBLE))) AS bc
+      FROM grid, tot)
+SELECT n_p, n_q, n_bins, round(bc, 6) AS bc,
+       round(-ln(bc), 6) AS b_dist,
+       round(sqrt(1.0 - least(bc, 1.0)), 6) AS hellinger
+FROM s
+"""
+    o["events_pareto_share"] = """
+WITH per AS (SELECT user_id, cast(count(*) AS bigint) AS n FROM events
+             WHERE user_id IS NOT NULL GROUP BY user_id),
+rk AS (SELECT n,
+              row_number() OVER (ORDER BY n DESC, user_id ASC) AS r,
+              sum(n) OVER (ORDER BY n DESC, user_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+       FROM per),
+tot AS (SELECT cast(count(*) AS bigint) AS n_keys,
+               sum(n)::BIGINT AS n_total
+        FROM per)
+SELECT n_keys, n_total,
+       round(max(CASE WHEN r = ceil(n_keys * 0.1) THEN cum END)
+             / n_total::DOUBLE, 6) AS top10_share,
+       round(max(CASE WHEN r = ceil(n_keys * 0.2) THEN cum END)
+             / n_total::DOUBLE, 6) AS top20_share
+FROM rk, tot GROUP BY n_keys, n_total
+"""
+    o["text_burrows_delta"] = """
+WITH toks AS (SELECT source AS src, tok
+              FROM (SELECT source,
+                           unnest(string_split_regex(lower(text), '\\s+'))
+                             AS tok
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL)
+              WHERE tok <> ''),
+counts AS (SELECT src, tok, cast(count(*) AS bigint) AS n
+           FROM toks GROUP BY src, tok),
+totals AS (SELECT src, sum(n) AS tot FROM counts GROUP BY src),
+top AS (SELECT tok FROM (SELECT tok, sum(n) AS cn FROM counts GROUP BY tok)
+        ORDER BY cn DESC, tok ASC LIMIT 50),
+grid AS (SELECT totals.src, top.tok,
+                coalesce(counts.n, 0) / totals.tot::DOUBLE AS f
+         FROM totals CROSS JOIN top
+         LEFT JOIN counts ON counts.src = totals.src
+                         AND counts.tok = top.tok),
+st AS (SELECT tok, avg(f) AS mu, stddev_samp(f) AS sd FROM grid
+       GROUP BY tok),
+z AS (SELECT src, grid.tok,
+             round((f - mu) / nullif(sd, 0), 6) AS z
+      FROM grid JOIN st ON grid.tok = st.tok)
+SELECT a.src AS source_a, b.src AS source_b,
+       cast(count(*) AS int) AS n_words,
+       round(avg(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.tok = b.tok AND a.src < b.src
+GROUP BY a.src, b.src
 """
     o["stats_jonckheere"] = """
 WITH m AS (SELECT ((epoch_ms(ts) // 3600000) % 24) // 6 AS g,

@@ -5231,3 +5231,111 @@ def dow_hour_profile(
             "chi2_cell"
         ),
     )
+
+
+def bhattacharyya_overlap(
+    df: DataFrame,
+    group: Column | str,
+    value: str,
+    bin_width: float = 50.0,
+) -> DataFrame:
+    """Two-distribution histogram overlap on a fixed-width bin grid:
+    Bhattacharyya coefficient BC = Σ √(pᵢ·qᵢ), distance −ln BC, and the
+    Hellinger distance √(1 − BC) — the drift measure that rewards
+    OVERLAP rather than penalizing displacement (PSI explodes on empty
+    bins, KS only sees the worst single quantile; BC degrades smoothly
+    and is symmetric). `group` must be boolean-like: TRUE = p side.
+
+    ONE binned grid aggregate over the rows (map-side combinable,
+    |bins| output rows), then closed form on the grid. Bins with mass
+    on only one side contribute 0 to BC exactly — no smoothing is
+    silently applied.
+
+    Output: one row (n_p, n_q bigint, n_bins bigint, bc r6,
+    b_dist r6, hellinger r6).
+    """
+    g = group if not isinstance(group, str) else F.col(group)
+    base = df.filter(g.isNotNull() & F.col(value).isNotNull()).select(
+        g.cast("boolean").alias("__g"),
+        F.floor(F.col(value) / bin_width).cast("long").alias("__b"),
+    )
+    grid = base.groupBy("__b").agg(
+        F.sum(F.col("__g").cast("long")).alias("np_"),
+        F.sum((~F.col("__g")).cast("long")).alias("nq_"),
+    )
+    tot = grid.groupBy().agg(
+        F.sum("np_").alias("tp"), F.sum("nq_").alias("tq"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    j = grid.crossJoin(F.broadcast(tot))
+    bc_term = F.sqrt(
+        (F.col("np_") / F.col("tp").cast("double"))
+        * (F.col("nq_") / F.col("tq").cast("double"))
+    )
+    out = j.groupBy().agg(
+        F.first("tp").cast("long").alias("n_p"),
+        F.first("tq").cast("long").alias("n_q"),
+        F.first("n_bins").alias("n_bins"),
+        F.sum(bc_term).alias("bc"),
+    )
+    return out.select(
+        "n_p", "n_q", "n_bins",
+        F.round("bc", 6).alias("bc"),
+        F.round(-F.log(F.col("bc")), 6).alias("b_dist"),
+        F.round(F.sqrt(1.0 - F.least(F.col("bc"), F.lit(1.0))), 6).alias(
+            "hellinger"
+        ),
+    )
+
+
+def pareto_share(
+    df: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Concentration audit: what share of all events do the top 10% /
+    20% of keys produce (the "80/20" number), plus the exact count
+    cutoffs. The single-row executive complement to stats_gini's
+    curve-shaped output.
+
+    The raw rows collapse to per-key counts first (the only data-sized
+    shuffle); ranking then runs on the |keys| frame — fine while keys ≪
+    rows (users vs events). Ties broken by key id so both engines cut
+    the same cohort.
+
+    Output: one row (n_keys bigint, n_total bigint, top10_share r6,
+    top20_share r6).
+    """
+    per = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col(key).asc())
+    ranked = per.select(
+        "n",
+        F.row_number().over(w).alias("r"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    tot = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    k10 = F.ceil(F.col("n_keys") * 0.1).cast("long")
+    k20 = F.ceil(F.col("n_keys") * 0.2).cast("long")
+    out = j.groupBy().agg(
+        F.first("n_keys").alias("n_keys"),
+        F.first("n_total").alias("n_total"),
+        F.max(F.when(F.col("r") == k10, F.col("cum"))).alias("c10"),
+        F.max(F.when(F.col("r") == k20, F.col("cum"))).alias("c20"),
+    )
+    return out.select(
+        "n_keys", "n_total",
+        F.round(F.col("c10") / F.col("n_total").cast("double"), 6).alias(
+            "top10_share"
+        ),
+        F.round(F.col("c20") / F.col("n_total").cast("double"), 6).alias(
+            "top20_share"
+        ),
+    )
