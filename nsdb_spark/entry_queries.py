@@ -834,7 +834,7 @@ _ROTATION_QUEUE = [
     "stats_jonckheere", "stats_somers_d", "stats_cohens_h", "stats_grubbs",
     "tsa_mann_kendall", "events_conversion_latency", "events_dow_hour",
     "emb_hubness", "stats_bhattacharyya", "events_pareto_share",
-    "text_burrows_delta",
+    "text_burrows_delta", "pipeline_source_scorecard",
 ]
 
 
@@ -2636,6 +2636,40 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exposure=F.col("lang") == "en",
         outcome=F.col("n_chars") >= 2000,
     )
+    def _source_scorecard(spark, sf):
+        """Composite: one quality row per source — readability, lexical
+        richness, PII exposure, and size — each stage an oracled
+        operator, joined on the |sources|-row grain."""
+        docs = _docs(spark, sf)
+        read = text.readability(docs).join(
+            docs.select("doc_id", "source"), "doc_id"
+        ).groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            F.round(F.avg(F.col("n_words").cast("double")), 6).alias(
+                "avg_words"
+            ),
+        )
+        hap = text.hapax_by_source(docs).select("source", "hapax_ratio")
+        pii = text.pii_scrub(docs).join(
+            docs.select("doc_id", "source"), "doc_id"
+        ).groupBy("source").agg(
+            F.sum(
+                (
+                    (F.col("n_email") + F.col("n_phone") + F.col("n_url")
+                     + F.col("n_long_digits")) > 0
+                ).cast("long")
+            ).alias("n_pii_docs")
+        )
+        return (
+            read.join(hap, "source").join(pii, "source")
+            .select(
+                "source", "n_docs", "avg_flesch", "avg_words",
+                "hapax_ratio", "n_pii_docs",
+            )
+        )
+
+    q["pipeline_source_scorecard"] = _source_scorecard
     q["stats_bhattacharyya"] = lambda spark, sf: analytics.bhattacharyya_overlap(
         testdata.table(spark, sf, "events").filter(
             F.col("event_type").isin("view", "purchase")
@@ -6831,6 +6865,43 @@ SELECT a, b, c, d,
        round(p1 - p2, 6) AS risk_diff,
        round(1.0 / nullif(abs(p1 - p2), 0), 6) AS nnt
 FROM x
+"""
+    o["pipeline_source_scorecard"] = """
+WITH read AS (SELECT d.source, count(*)::BIGINT AS n_docs,
+                     round(avg(206.835
+                        - 1.015 * len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                          / nullif(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)),
+                        6) AS avg_flesch,
+                     round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))::DOUBLE),
+                        6) AS avg_words
+              FROM documents d WHERE text IS NOT NULL AND source IS NOT NULL
+              GROUP BY d.source),
+toks AS (SELECT source, tok
+         FROM (SELECT source,
+                      unnest(string_split_regex(lower(text), '\\s+')) AS tok
+               FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+         WHERE tok <> ''),
+per AS (SELECT source, tok, count(*)::BIGINT AS n FROM toks
+        GROUP BY source, tok),
+hap AS (SELECT source,
+               round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                     / nullif(count(*), 0)::DOUBLE, 6) AS hapax_ratio
+        FROM per GROUP BY source),
+pii AS (SELECT source,
+               sum(CASE WHEN len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text,
+                     '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}'))
+                   + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                   + len(regexp_extract_all(text, '[0-9]{9,}')) > 0
+                   THEN 1 ELSE 0 END)::BIGINT AS n_pii_docs
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        GROUP BY source)
+SELECT read.source, n_docs, avg_flesch, avg_words, hapax_ratio, n_pii_docs
+FROM read JOIN hap ON read.source = hap.source
+JOIN pii ON read.source = pii.source
 """
     o["stats_bhattacharyya"] = """
 WITH b AS (SELECT (event_type = 'purchase') AS g,

@@ -161,6 +161,10 @@ class NsdbGrpcServer:
             pass
         finally:
             conn.close()
+            try:
+                self._conns.remove(conn)
+            except ValueError:
+                pass
 
     def _on_headers(self, conn: Http2Connection, stream: Stream, end: bool) -> None:
         threading.Thread(
