@@ -336,6 +336,39 @@ def main() -> None:
         "stats_cpk",
         "events_wow_growth",
         "graph_knn_degree",
+        # round-5 wave: inferential stats, long-memory tsa, text/events
+        # pipeline additions, link prediction, isotropy/hubness
+        "stats_dagostino",
+        "stats_logrank",
+        "stats_cronbach",
+        "stats_icc",
+        "stats_friedman",
+        "stats_risk_ratio",
+        "stats_gamma",
+        "tsa_hurst",
+        "tsa_durbin_watson",
+        "tsa_granger",
+        "tsa_spectral_entropy",
+        "text_readability",
+        "text_hapax",
+        "text_pii_scrub",
+        "events_interevent_exp",
+        "events_attribution",
+        "graph_pref_attachment",
+        "graph_katz",
+        "emb_isotropy",
+        "stats_jonckheere",
+        "stats_somers_d",
+        "stats_cohens_h",
+        "stats_grubbs",
+        "tsa_mann_kendall",
+        "events_conversion_latency",
+        "events_dow_hour",
+        "emb_hubness",
+        "stats_bhattacharyya",
+        "events_pareto_share",
+        "text_burrows_delta",
+        "pipeline_source_scorecard",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +
