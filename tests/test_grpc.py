@@ -352,3 +352,32 @@ def test_grpc_concurrent_unary_calls_multiplexed(engine, grpc_client):
     assert not errors
     assert len(results) == 6
     assert all(r["records"][0]["longValue"] == len(LONG_METRIC) for r in results)
+
+
+def test_fluent_grpc_client_roundtrip(engine, grpc_server):
+    """NSDB.connect(host, port) parity — the scala-api's wire-backed
+    builder DSL (NSDB.scala:109): write over InsertBit, read over
+    executeSQLStatement, subscribe over streamSQL."""
+    from nsdb_spark.api import connect
+
+    client = connect(grpc_server.host, grpc_server.port).db("d").namespace("n")
+    try:
+        res = client.write(
+            client.metric("temps").timestamp(1000).value(21.5)
+            .dimension("city", "rome").tag("unit", "C")
+        )
+        assert res == {"completedSuccessfully": True}
+        out = client.execute("select * from temps limit 5")
+        assert out["completedSuccessfully"] is True
+        [bit] = out["records"]
+        assert bit["decimalValue"] == 21.5
+        assert bit["dimensions"]["city"] == {"stringValue": "rome"}
+        next_msg, cancel = client.subscribe("select * from temps")
+        first = next_msg(timeout=30.0)
+        assert first["subscribedByQueryString"]["records"][0]["decimalValue"] == 21.5
+        client.write(client.metric("temps").timestamp(2000).value(25.0))
+        push = next_msg(timeout=30.0)
+        assert push["recordsPublished"]["records"][0]["decimalValue"] == 25.0
+        cancel()
+    finally:
+        client.close()
