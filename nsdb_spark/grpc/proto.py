@@ -425,12 +425,21 @@ def bit_to_proto(record: dict, schema) -> dict:
     value = record.get("value")
     consumed = {"timestamp", "value"}
     if value is None:
-        for k, v in record.items():
-            in_schema = schema is not None and k in schema.fields
-            if k not in consumed and not in_schema and isinstance(v, (int, float)):
-                value = v
-                consumed.add(k)
-                break
+        # aggregate alias names (count_value, sum_value, ...) take
+        # priority; the temporal rows also carry lower_bound/upper_bound
+        # axis columns which must stay dimensions
+        candidates = [
+            k for k, v in record.items()
+            if k not in consumed
+            and not (schema is not None and k in schema.fields)
+            and isinstance(v, (int, float))
+            and not isinstance(v, bool)
+        ]
+        preferred = [k for k in candidates if k.endswith("_value")]
+        pick = preferred[0] if preferred else (candidates[0] if candidates else None)
+        if pick is not None:
+            value = record[pick]
+            consumed.add(pick)
     if value is not None:
         if isinstance(value, float):
             out["decimalValue"] = value

@@ -381,3 +381,40 @@ def test_fluent_grpc_client_roundtrip(engine, grpc_server):
         cancel()
     finally:
         client.close()
+
+
+def test_grpc_stream_sql_temporal_bucket_push(engine, grpc_server, grpc_client):
+    """A temporal GROUP BY INTERVAL subscription over the WIRE: the
+    historical payload arrives as SubscribedByQueryString, then a
+    scheduler tick closes the (1000, 2000] bucket and the closed bucket
+    arrives as RecordsPublished — the PublisherActor temporal push path
+    (StreamActor → publisher), end-to-end through HTTP/2 framing."""
+    from fixtures import load
+
+    engine.now_fn = lambda: 1000
+    # small shard: the temporal axis is the shard-aligned data extent, so
+    # a 30-day default shard would make the historical payload ~2.6M
+    # empty 1 s buckets (semantics-correct but not what this test pins)
+    load(engine, "people", LONG_METRIC, shard_interval_ms=10_000)
+    _, next_msg, cancel = grpc_client.stream_sql(
+        "default", "default",
+        "select count(*) from people group by interval 1 s since 10 s",
+    )
+    first = next_msg(timeout=30.0)
+    assert first.get("subscribedByQueryString") is not None
+    grpc_client.insert_bit({
+        "database": "default", "namespace": "default", "metric": "people",
+        "timestamp": 1500, "longValue": 1,
+        "tags": {"name": {"stringValue": "X"}},
+    })
+    engine.now_fn = lambda: 2100
+    grpc_server.subs.tick(2100)  # bucket (1000, 2000] closes
+    push = next_msg(timeout=30.0)
+    pub = push.get("recordsPublished")
+    assert pub is not None
+    [bit] = pub["records"]
+    assert bit["longValue"] == 1  # count_value rides Bit.value
+    dims = {**bit.get("dimensions", {}), **bit.get("tags", {})}
+    assert proto.proto_value(dims["lower_bound"]) == 1000
+    assert proto.proto_value(dims["upper_bound"]) == 2000
+    cancel()
