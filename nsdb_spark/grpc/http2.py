@@ -47,6 +47,11 @@ class ConnectionClosed(Exception):
     pass
 
 
+class UnsupportedCompression(Exception):
+    """gRPC message arrived with the compressed flag set but no
+    grpc-encoding was negotiated (we never negotiate one)."""
+
+
 class Stream:
     """Receive-side state of one HTTP/2 stream."""
 
@@ -85,6 +90,10 @@ class Stream:
         with self.body_cond:
             while True:
                 if len(self.body) >= 5:
+                    if self.body[0] not in (0,):
+                        raise UnsupportedCompression(
+                            "compressed gRPC message without negotiated encoding"
+                        )
                     ln = struct.unpack(">I", self.body[1:5])[0]
                     if len(self.body) >= 5 + ln:
                         msg = bytes(self.body[5 : 5 + ln])

@@ -43,11 +43,10 @@ from .hpack import HpackError
 from .http2 import (
     ConnectionClosed,
     ERR_COMPRESSION,
-    ERR_PROTOCOL,
     Http2Connection,
     PREFACE,
-    RST_STREAM,
     Stream,
+    UnsupportedCompression,
 )
 
 GRPC_OK = 0
@@ -195,6 +194,8 @@ class NsdbGrpcServer:
             conn.send_headers(stream.sid, [("grpc-status", "0")], end_stream=True)
         except _GrpcStatus as st:
             self._trailers_only(conn, stream.sid, st.code, st.message)
+        except UnsupportedCompression as ex:
+            self._trailers_only(conn, stream.sid, GRPC_UNIMPLEMENTED, str(ex))
         except (ConnectionClosed, OSError):
             pass
         except Exception as ex:  # engine errors → gRPC UNKNOWN

@@ -418,3 +418,104 @@ def test_grpc_stream_sql_temporal_bucket_push(engine, grpc_server, grpc_client):
     assert proto.proto_value(dims["lower_bound"]) == 1000
     assert proto.proto_value(dims["upper_bound"]) == 2000
     cancel()
+
+
+# ----------------------------------------------------- protocol negatives
+
+def test_grpc_bad_preface_closes_connection(grpc_server):
+    import socket
+
+    s = socket.create_connection((grpc_server.host, grpc_server.port), timeout=10)
+    s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n" + b"x" * 10)
+    s.settimeout(10)
+    try:
+        data = s.recv(1024)
+    except ConnectionError:
+        data = b""  # RST is as good as FIN: the server refused the preface
+    assert data == b""  # server closes without HTTP/2 frames
+    s.close()
+
+
+def test_grpc_ping_is_acked_and_unknown_frames_ignored(grpc_server):
+    """Frame-level conformance: PING gets a PING-ack with the same
+    payload; an unknown frame type must be ignored (RFC 7540 §4.1), and
+    the connection keeps serving rpcs afterwards."""
+    import socket
+    import struct as st
+    from nsdb_spark.grpc.http2 import Http2Connection, PREFACE, PING, FLAG_ACK
+
+    sock = socket.create_connection((grpc_server.host, grpc_server.port), timeout=10)
+    conn = Http2Connection(sock, is_server=False)
+    sock.sendall(PREFACE)
+    conn.send_settings({})
+    conn.send_frame(0xFA, 0, 0, b"garbage-frame-type")  # must be ignored
+    conn.send_frame(PING, 0, 0, b"12345678")
+    deadline = 50
+    got_ack = False
+    for _ in range(deadline):
+        ftype, flags, sid, payload = conn.read_frame()
+        if ftype == PING and flags & FLAG_ACK:
+            assert payload == b"12345678"
+            got_ack = True
+            break
+    assert got_ack
+    conn.close()
+
+
+def test_grpc_compressed_flag_rejected_unimplemented(grpc_server):
+    """A gRPC message with the compressed flag set (no grpc-encoding was
+    negotiated) must answer UNIMPLEMENTED, not garbage-decode."""
+    import struct as st
+    from nsdb_spark.grpc import proto
+    from nsdb_spark.grpc.client import NsdbGrpcClient, GrpcError
+
+    client = NsdbGrpcClient(grpc_server.host, grpc_server.port)
+    try:
+        body = proto.encode(proto.HEALTH_CHECK_REQUEST, {})
+        sid, stream = client._new_stream()
+        client.conn.send_headers(sid, [
+            (":method", "POST"), (":scheme", "http"),
+            (":path", "/io.radicalbit.nsdb.rpc.Health/Check"),
+            (":authority", client.authority),
+            ("content-type", "application/grpc"), ("te", "trailers"),
+        ])
+        client.conn.send_data(
+            sid, b"\x01" + st.pack(">I", len(body)) + body, end_stream=True
+        )
+        with pytest.raises(GrpcError) as exc:
+            msg = stream.read_message(timeout=15.0)
+            if msg is None:
+                client._check_trailers(stream)
+        assert exc.value.code == 12  # UNIMPLEMENTED
+    finally:
+        client.close()
+
+
+def test_hpack_integer_overflow_rejected():
+    from nsdb_spark.grpc import hpack
+
+    dec = hpack.Decoder()
+    bomb = bytes([0x1F] + [0xFF] * 8 + [0x7F])  # >35-bit continuation
+    with pytest.raises(hpack.HpackError):
+        dec.decode(bomb)
+
+
+def test_hpack_index_beyond_tables_rejected():
+    from nsdb_spark.grpc import hpack
+
+    dec = hpack.Decoder()
+    with pytest.raises(hpack.HpackError):
+        dec.decode(bytes([0x80 | 0x7F, 0x10]))  # indexed field ~index 143
+
+
+def test_grpc_unary_after_stream_cancel_same_connection(engine, grpc_client):
+    """RST_STREAM on a streaming rpc must not poison the connection:
+    a fresh unary call on the SAME connection still works."""
+    load(engine, "people", LONG_METRIC)
+    _, next_msg, cancel = grpc_client.stream_sql(
+        "default", "default", "select * from people")
+    assert next_msg(timeout=30.0) is not None
+    cancel()
+    out = grpc_client.execute_sql("default", "default",
+                                  "select count(*) from people")
+    assert out["records"][0]["longValue"] == len(LONG_METRIC)
