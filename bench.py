@@ -369,6 +369,8 @@ def main() -> None:
         "events_pareto_share",
         "text_burrows_delta",
         "pipeline_source_scorecard",
+        "tsa_dickey_fuller",
+        "stats_poisson_rate",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -835,6 +835,7 @@ _ROTATION_QUEUE = [
     "tsa_mann_kendall", "events_conversion_latency", "events_dow_hour",
     "emb_hubness", "stats_bhattacharyya", "events_pareto_share",
     "text_burrows_delta", "pipeline_source_scorecard",
+    "tsa_dickey_fuller", "stats_poisson_rate",
 ]
 
 
@@ -2670,6 +2671,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipeline_source_scorecard"] = _source_scorecard
+    q["tsa_dickey_fuller"] = lambda spark, sf: tsa.dickey_fuller(
+        testdata.events_metric(spark, sf)
+    )
+    q["stats_poisson_rate"] = lambda spark, sf: analytics.poisson_rate_test(
+        testdata.events_metric(spark, sf), split_ms=MCNEMAR_SPLIT_MS
+    )
     q["stats_bhattacharyya"] = lambda spark, sf: analytics.bhattacharyya_overlap(
         testdata.table(spark, sf, "events").filter(
             F.col("event_type").isin("view", "purchase")
@@ -6902,6 +6909,55 @@ pii AS (SELECT source,
 SELECT read.source, n_docs, avg_flesch, avg_words, hapax_ratio, n_pii_docs
 FROM read JOIN hap ON read.source = hap.source
 JOIN pii ON read.source = pii.source
+"""
+    o["tsa_dickey_fuller"] = """
+WITH b AS (SELECT event_type AS k, epoch_ms(ts) // 86400000 AS t,
+                  round(avg(value), 6) AS y
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+l AS (SELECT k, y - lag(y) OVER (PARTITION BY k ORDER BY t) AS dy,
+             lag(y) OVER (PARTITION BY k ORDER BY t) AS y1
+      FROM b),
+f AS (SELECT k, cast(count(*) AS bigint) AS n, sum(dy) AS sd,
+             sum(y1) AS s1, sum(dy * y1) AS sd1, sum(y1 * y1) AS s11,
+             sum(dy * dy) AS sdd
+      FROM l WHERE y1 IS NOT NULL GROUP BY k),
+x AS (SELECT k, n,
+             (sd1 - s1 * sd / n) / nullif(s11 - s1 * s1 / n, 0) AS gamma,
+             s11 - s1 * s1 / n AS sxx,
+             sdd - sd * sd / n
+               - (sd1 - s1 * sd / n) / nullif(s11 - s1 * s1 / n, 0)
+                 * (sd1 - s1 * sd / n) AS rss
+      FROM f)
+SELECT k AS event_type, n, round(gamma, 6) AS gamma_hat,
+       round(gamma / nullif(sqrt(rss / ((n - 2) * sxx)), 0), 6) AS t_stat
+FROM x
+"""
+    o["stats_poisson_rate"] = f"""
+WITH b AS (SELECT epoch_ms(ts) < {MCNEMAR_SPLIT_MS} AS pre, epoch_ms(ts) AS t,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS hit
+           FROM events WHERE ts IS NOT NULL),
+g AS (SELECT sum(CASE WHEN pre THEN hit END)::BIGINT AS k1,
+             sum(CASE WHEN NOT pre THEN hit END)::BIGINT AS k2,
+             max(CASE WHEN pre THEN t END) - min(CASE WHEN pre THEN t END)
+               AS t1,
+             max(CASE WHEN NOT pre THEN t END)
+               - min(CASE WHEN NOT pre THEN t END) AS t2
+      FROM b),
+x AS (SELECT k1, k2, t1, t2,
+             k1 / nullif(t1 / 3600000.0, 0) AS r1,
+             k2 / nullif(t2 / 3600000.0, 0) AS r2
+      FROM g)
+SELECT k1, k2, t1 AS t1_ms, t2 AS t2_ms,
+       round(r1, 6) AS rate1, round(r2, 6) AS rate2,
+       round(r1 / nullif(r2, 0), 6) AS rate_ratio,
+       round((r1 - r2) / nullif(sqrt(
+           k1 / nullif((t1 / 3600000.0) * (t1 / 3600000.0), 0)
+           + k2 / nullif((t2 / 3600000.0) * (t2 / 3600000.0), 0)), 0), 6)
+         AS z
+FROM x
 """
     o["stats_bhattacharyya"] = """
 WITH b AS (SELECT (event_type = 'purchase') AS g,

@@ -5339,3 +5339,55 @@ def pareto_share(
             "top20_share"
         ),
     )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    split_ms: int,
+    kind_value: str = "error",
+    kind: str = "event_type",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Two-period Poisson rate comparison for one event kind: counts and
+    exposures before/after `split_ms`, the rate ratio, and the normal-
+    approximation z for H₀: equal rates (z = (r₁−r₂)/√(k₁/t₁² + k₂/t₂²))
+    — "did the error rate actually change after the deploy?" with the
+    exposure windows measured from the data itself (min/max ts per
+    side), not assumed equal.
+
+    ONE conditional aggregate computes both sides' counts and exposure
+    bounds; everything after is closed form on a single row.
+
+    Output: one row (k1, k2 bigint, t1_ms, t2_ms bigint, rate1 r6,
+    rate2 r6 [per hour], rate_ratio r6, z r6).
+    """
+    base = df.filter(F.col(ts).isNotNull()).select(
+        (F.col(ts) < split_ms).alias("__pre"),
+        F.col(ts).alias("__t"),
+        (F.col(kind) == kind_value).cast("long").alias("__hit"),
+    )
+    g = base.groupBy().agg(
+        F.sum(F.when(F.col("__pre"), F.col("__hit"))).alias("k1"),
+        F.sum(F.when(~F.col("__pre"), F.col("__hit"))).alias("k2"),
+        (F.max(F.when(F.col("__pre"), F.col("__t")))
+         - F.min(F.when(F.col("__pre"), F.col("__t")))).alias("t1"),
+        (F.max(F.when(~F.col("__pre"), F.col("__t")))
+         - F.min(F.when(~F.col("__pre"), F.col("__t")))).alias("t2"),
+    )
+    hour = 3_600_000.0
+    r1 = F.try_divide(F.col("k1").cast("double"), F.col("t1") / hour)
+    r2 = F.try_divide(F.col("k2").cast("double"), F.col("t2") / hour)
+    var = (
+        F.try_divide(F.col("k1").cast("double"), (F.col("t1") / hour) * (F.col("t1") / hour))
+        + F.try_divide(F.col("k2").cast("double"), (F.col("t2") / hour) * (F.col("t2") / hour))
+    )
+    return g.select(
+        F.col("k1").cast("long").alias("k1"),
+        F.col("k2").cast("long").alias("k2"),
+        F.col("t1").cast("long").alias("t1_ms"),
+        F.col("t2").cast("long").alias("t2_ms"),
+        F.round(r1, 6).alias("rate1"),
+        F.round(r2, 6).alias("rate2"),
+        F.round(F.try_divide(r1, r2), 6).alias("rate_ratio"),
+        F.round(F.try_divide(r1 - r2, F.sqrt(var)), 6).alias("z"),
+    )

@@ -1482,3 +1482,65 @@ def mann_kendall(
         F.round(vs, 6).alias("var_s"),
         F.round(z, 6).alias("z"),
     )
+
+
+def dickey_fuller(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Dickey-Fuller unit-root t-statistic per key (lag-0, with
+    intercept): regress Δyₜ on yₜ₋₁; γ̂'s t-ratio far below ~−2.9 rejects
+    the unit root ⇒ the series is mean-reverting. The complement to
+    tsa_kpss (KPSS null = stationary, DF null = unit root; run both and
+    read the quadrant). Compare against the Dickey-Fuller table, not the
+    normal — the statistic is the distributed part, the critical value
+    is a constant lookup.
+
+    Bucket means collapse first (rounded 6 — both engines difference the
+    identical doubles); the lag is one window on the (key × buckets)
+    frame; γ̂, its standard error, and the t-ratio are closed form on the
+    five OLS sufficient sums.
+
+    Output: (key, n bigint, gamma_hat r6, t_stat r6).
+    """
+    b = (
+        df.filter(
+            F.col(key).isNotNull()
+            & F.col(ts).isNotNull()
+            & F.col(value).isNotNull()
+        )
+        .groupBy(
+            key, F.expr(f"({ts} div {bucket_ms})").cast("long").alias("t")
+        )
+        .agg(F.round(F.avg(value), 6).alias("y"))
+    )
+    w = Window.partitionBy(key).orderBy("t")
+    lagged = b.select(
+        key,
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("y1"),
+    ).filter(F.col("y1").isNotNull())
+    g = lagged.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dy").alias("sd"),
+        F.sum("y1").alias("s1"),
+        F.sum(F.col("dy") * F.col("y1")).alias("sd1"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sdd"),
+    )
+    n = F.col("n").cast("double")
+    sxx = F.col("s11") - F.col("s1") * F.col("s1") / n
+    sxy = F.col("sd1") - F.col("s1") * F.col("sd") / n
+    syy = F.col("sdd") - F.col("sd") * F.col("sd") / n
+    gamma = F.try_divide(sxy, sxx)
+    rss = syy - gamma * sxy
+    se = F.sqrt(F.try_divide(rss, (n - 2) * sxx))
+    return g.select(
+        key,
+        "n",
+        F.round(gamma, 6).alias("gamma_hat"),
+        F.round(F.try_divide(gamma, se), 6).alias("t_stat"),
+    )
