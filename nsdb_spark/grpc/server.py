@@ -423,19 +423,47 @@ class NsdbGrpcServer:
             return
 
         try:
+            import time as time_mod
+
+            # StreamActor parity (StreamActor.scala publish cycle, same
+            # floor the WS transport applies): the historical payload goes
+            # out immediately; live pushes buffer and flush at most once
+            # per refresh period, combined into ONE RecordsPublished
+            refresh_s = self.subs.refresh_period_ms / 1000.0
             first = True
+            buffered: list[dict] = []
+            last_flush = time_mod.monotonic()
             while not stream.reset and not conn.closed:
                 try:
-                    records = pushes.get(timeout=0.25)
+                    records = pushes.get(timeout=0.05)
                 except queue_mod.Empty:
-                    continue
-                bits = [proto.bit_to_proto(r, schema_box["schema"]) for r in records]
-                if first:
-                    msg = {**base, "subscribedByQueryString": {"quid": quid, "records": bits}}
-                    first = False
-                else:
-                    msg = {**base, "recordsPublished": {"quid": quid, "records": bits}}
-                self._send_stream_msg(conn, stream, msg)
+                    records = None
+                if records is not None:
+                    if first:
+                        bits = [
+                            proto.bit_to_proto(r, schema_box["schema"])
+                            for r in records
+                        ]
+                        self._send_stream_msg(conn, stream, {
+                            **base,
+                            "subscribedByQueryString": {"quid": quid, "records": bits},
+                        })
+                        first = False
+                        last_flush = time_mod.monotonic()
+                        continue
+                    buffered.extend(records)
+                now = time_mod.monotonic()
+                if buffered and now - last_flush >= refresh_s:
+                    bits = [
+                        proto.bit_to_proto(r, schema_box["schema"])
+                        for r in buffered
+                    ]
+                    buffered = []
+                    last_flush = now
+                    self._send_stream_msg(conn, stream, {
+                        **base,
+                        "recordsPublished": {"quid": quid, "records": bits},
+                    })
         except (ConnectionClosed, OSError):
             pass
         finally:

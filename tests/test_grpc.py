@@ -519,3 +519,33 @@ def test_grpc_unary_after_stream_cancel_same_connection(engine, grpc_client):
     out = grpc_client.execute_sql("default", "default",
                                   "select count(*) from people")
     assert out["records"][0]["longValue"] == len(LONG_METRIC)
+
+
+def test_grpc_stream_refresh_period_batches_pushes(engine):
+    """Two rapid matching inserts inside one refresh period arrive as a
+    SINGLE combined RecordsPublished (StreamActor publish-cycle parity),
+    not two messages."""
+    from nsdb_spark.streaming.subscribe import SubscriptionManager
+
+    subs = SubscriptionManager(engine, refresh_period_ms=400)
+    server = serve_grpc(engine, port=0, subscriptions=subs)
+    client = NsdbGrpcClient(server.host, server.port)
+    try:
+        load(engine, "people", LONG_METRIC)
+        _, next_msg, cancel = client.stream_sql(
+            "default", "default", "select * from people")
+        assert next_msg(timeout=30.0).get("subscribedByQueryString")
+        # two back-to-back publisher batches (engine writes would take
+        # ~1 s each and leave the refresh window between them)
+        for ts in (100, 101):
+            subs.publish("default", "default", "people",
+                         [{"timestamp": ts, "value": 7,
+                           "name": "X", "surname": "Y"}])
+        push = next_msg(timeout=30.0)
+        pub = push.get("recordsPublished")
+        assert pub is not None
+        assert sorted(b["timestamp"] for b in pub["records"]) == [100, 101]
+        cancel()
+    finally:
+        client.close()
+        server.stop()
