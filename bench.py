@@ -447,8 +447,40 @@ def main() -> None:
     results["gatling_100_point_queries"] = round(time.time() - t0, 3)
     results["gatling_success_pct"] = 100.0 * ok / 100
 
+    # gRPC-wire scenario: the same 100-point-query shape through the
+    # stdlib HTTP/2 + HPACK + proto3 endpoint (one connection, unary
+    # executeSQLStatement per query) — measures the full wire stack over
+    # a warehouse-backed metric, next to the HTTP Gatling number.
+    import tempfile
+
+    from nsdb_spark.engine import NsdbEngine
+    from nsdb_spark.grpc import NsdbGrpcClient, serve_grpc
+    from nsdb_spark.model import Bit
+
+    grpc_engine = NsdbEngine(spark, tempfile.mkdtemp(prefix="grpc_bench_"))
+    grpc_engine.insert_bits(
+        "default", "default", "points",
+        [Bit(t, t % 97, {}, {"k": f"g{t % 5}"}) for t in range(200)],
+    )
+    server = serve_grpc(grpc_engine, port=0)
+    client = NsdbGrpcClient(server.host, server.port)
+    try:
+        t0 = time.time()
+        ok = 0
+        for _ in range(100):
+            res = client.execute_sql(
+                "default", "default", "select * from points limit 1")
+            if res.get("completedSuccessfully") and res.get("records"):
+                ok += 1
+        results["grpc_100_point_queries"] = round(time.time() - t0, 3)
+        results["grpc_success_pct"] = 100.0 * ok / 100
+    finally:
+        client.close()
+        server.stop()
+
     total = round(sum(v for k, v in results.items()
-                      if k != "gatling_success_pct" and v > 0), 3)
+                      if k not in ("gatling_success_pct", "grpc_success_pct")
+                      and v > 0), 3)
     # Full per-query map goes to a committed detail file; stdout gets ONE
     # COMPACT line. The driver's capture truncated the round-2 full map
     # (133 entries ~4 KB -> parsed:null + a 2 KB tail), which cost
@@ -456,7 +488,8 @@ def main() -> None:
     # carries the headline numbers + the slowest entries, and points at
     # the detail file for everything else.
     timed = {k: v for k, v in results.items()
-             if k not in ("gatling_100_point_queries", "gatling_success_pct")}
+             if k not in ("gatling_100_point_queries", "gatling_success_pct",
+                          "grpc_100_point_queries", "grpc_success_pct")}
     compact: dict[str, float] = dict(
         sorted(timed.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -464,6 +497,8 @@ def main() -> None:
     compact["nsdb_class_max"] = max(nsdb_times) if nsdb_times else -1.0
     compact["gatling_100_point_queries"] = results["gatling_100_point_queries"]
     compact["gatling_success_pct"] = results["gatling_success_pct"]
+    compact["grpc_100_point_queries"] = results["grpc_100_point_queries"]
+    compact["grpc_success_pct"] = results["grpc_success_pct"]
     # smoke runs at other SFs go to a scratch file so they never clobber
     # the committed sf0.1 baseline the 2x re-time rule reads
     out_path = detail_path if sf == 0.1 else (
@@ -478,7 +513,8 @@ def main() -> None:
     # round, delete its key from BENCH_detail.json's "best" (and note it in
     # BASELINE.md) so the first post-change measurement becomes the new
     # baseline; otherwise the 2x rule flags the honest new cost forever.
-    non_entries = ("gatling_100_point_queries", "gatling_success_pct")
+    non_entries = ("gatling_100_point_queries", "gatling_success_pct",
+                   "grpc_100_point_queries", "grpc_success_pct")
     best = {
         k: round(min(v, baselines.get(k, v)), 3)
         for k, v in results.items()
