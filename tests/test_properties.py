@@ -782,3 +782,76 @@ def test_log_rank_matches_bruteforce(spark):
     chi2 = (o1 - e1) ** 2 / v
     assert abs(got["expected1"] - e1) < 1e-4
     assert abs(got["chi2"] - chi2) < 1e-4
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.builds(
+        dict,
+        timestamp=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        value=st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        ),
+        dims=st.dictionaries(
+            st.text(min_size=1, max_size=8),
+            st.one_of(
+                st.text(max_size=12),
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+            max_size=4,
+        ),
+    )
+)
+def test_proto_bit_roundtrip_fuzz(payload):
+    """Arbitrary Bit payloads survive encode→decode bit-exactly (proto3
+    wire codec fuzz: full int64 range, doubles, nested maps, oneofs)."""
+    from nsdb_spark.grpc import proto
+
+    def slot(v):
+        if isinstance(v, float):
+            return {"decimalValue": v}
+        if isinstance(v, int):
+            return {"longValue": v}
+        return {"stringValue": v}
+
+    bit = {"timestamp": payload["timestamp"]}
+    v = payload["value"]
+    if isinstance(v, float):
+        bit["decimalValue"] = v
+    else:
+        bit["longValue"] = v
+    if payload["dims"]:
+        bit["dimensions"] = {k: slot(x) for k, x in payload["dims"].items()}
+    out = proto.decode(proto.BIT, proto.encode(proto.BIT, bit))
+    # proto3 skips defaults for non-oneof fields: timestamp 0 is absent
+    if bit["timestamp"] == 0:
+        assert "timestamp" not in out or out["timestamp"] == 0
+        out["timestamp"] = 0
+    assert out == bit
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+                min_size=1, max_size=16,
+            ).map(str.lower),
+            st.text(
+                alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                max_size=32,
+            ),
+        ),
+        max_size=12,
+    )
+)
+def test_hpack_roundtrip_fuzz(headers):
+    """Arbitrary ASCII header lists survive Encoder→Decoder exactly
+    (indexed static hits, literal names/values, any ordering)."""
+    from nsdb_spark.grpc import hpack
+
+    enc, dec = hpack.Encoder(), hpack.Decoder()
+    assert dec.decode(enc.encode(headers)) == headers
