@@ -371,6 +371,7 @@ def main() -> None:
         "pipeline_source_scorecard",
         "tsa_dickey_fuller",
         "stats_poisson_rate",
+        "sample_ess",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

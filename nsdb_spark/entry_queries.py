@@ -835,7 +835,7 @@ _ROTATION_QUEUE = [
     "tsa_mann_kendall", "events_conversion_latency", "events_dow_hour",
     "emb_hubness", "stats_bhattacharyya", "events_pareto_share",
     "text_burrows_delta", "pipeline_source_scorecard",
-    "tsa_dickey_fuller", "stats_poisson_rate",
+    "tsa_dickey_fuller", "stats_poisson_rate", "sample_ess",
 ]
 
 
@@ -2671,6 +2671,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipeline_source_scorecard"] = _source_scorecard
+    q["sample_ess"] = lambda spark, sf: selection.importance_ess(
+        selection.dsir_weights(_docs(spark, sf), F.col("lang") == "en")
+    )
     q["tsa_dickey_fuller"] = lambda spark, sf: tsa.dickey_fuller(
         testdata.events_metric(spark, sf)
     )
@@ -6909,6 +6912,38 @@ pii AS (SELECT source,
 SELECT read.source, n_docs, avg_flesch, avg_words, hapax_ratio, n_pii_docs
 FROM read JOIN hap ON read.source = hap.source
 JOIN pii ON read.source = pii.source
+"""
+    o["sample_ess"] = """
+WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(text, ' ')) AS t FROM documents),
+tb AS (SELECT doc_id, tgt,
+       cast(concat('0x', substr(md5(t), 1, 15)) AS bigint) % 8192 AS b
+       FROM tok),
+cnt AS (SELECT b, count(*) AS cr, count(*) FILTER (tgt) AS ct FROM tb
+        GROUP BY b),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+ratio AS (SELECT b,
+                 ln(ct + 1) - ln(tt + 8192) - ln(cr + 1) + ln(tr + 8192)
+                   AS lam
+          FROM cnt, tot),
+dw AS (SELECT doc_id, sum(lam) AS logw FROM tb JOIN ratio USING (b)
+       GROUP BY doc_id),
+mx AS (SELECT max(logw) AS m FROM dw),
+s AS (SELECT cast(count(*) AS bigint) AS n,
+             sum(exp(logw - m)) AS s1,
+             sum(exp(logw - m) * exp(logw - m)) AS s2,
+             quantile_cont(exp(logw - m), 0.99) AS c
+      FROM dw, mx),
+cl AS (SELECT sum(least(exp(logw - m), (SELECT c FROM s))) AS cs1,
+              sum(least(exp(logw - m), (SELECT c FROM s))
+                  * least(exp(logw - m), (SELECT c FROM s))) AS cs2
+       FROM dw, mx)
+SELECT n, round(s1 * s1 / nullif(s2, 0), 6) AS ess,
+       round(s1 * s1 / nullif(s2, 0) / n, 6) AS ess_frac,
+       round(c, 6) AS clip_w,
+       round(cs1 * cs1 / nullif(cs2, 0), 6) AS ess_clipped,
+       round(cs1 * cs1 / nullif(cs2, 0) / n, 6) AS ess_clipped_frac
+FROM s, cl
 """
     o["tsa_dickey_fuller"] = """
 WITH b AS (SELECT event_type AS k, epoch_ms(ts) // 86400000 AS t,

@@ -445,3 +445,56 @@ def select_token_budget(
     return d.join(keep, "q", "semi").select(
         id_col, F.col("q").alias(quality), F.col("tok").alias("n_tokens")
     )
+
+
+def importance_ess(
+    weights: DataFrame, logw_col: str = "logw", clip_pct: float = 0.99
+) -> DataFrame:
+    """Effective-sample-size audit for importance weights:
+    ESS = (Σw)²/Σw² over w = exp(logw − max logw) (max-shifted for
+    overflow safety; ESS is shift-invariant), plus the ESS after
+    clipping at the `clip_pct` weight percentile — the standard
+    truncated-importance-sampling diagnostic. A tiny ESS fraction means
+    the DSIR/importance resample is effectively drawing from a handful
+    of documents; clip-vs-raw shows how much of that is a few runaway
+    weights versus genuine distribution shift.
+
+    Two aggregates over the |docs| weight frame (max, then the three
+    moment sums + one exact percentile) — nothing here touches the
+    corpus itself.
+
+    Output: one row (n bigint, ess r6, ess_frac r6, clip_w r6,
+    ess_clipped r6, ess_clipped_frac r6).
+    """
+    base = weights.filter(F.col(logw_col).isNotNull()).select(
+        F.col(logw_col).alias("lw")
+    )
+    mx = base.groupBy().agg(F.max("lw").alias("m"))
+    w = F.exp(F.col("lw") - F.col("m"))
+    j = base.crossJoin(F.broadcast(mx))
+    stats = j.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).alias("s1"),
+        F.sum(w * w).alias("s2"),
+        F.expr(
+            f"percentile(exp(lw - m), {clip_pct})"
+        ).alias("c"),
+    )
+    clipped = j.crossJoin(
+        F.broadcast(stats.select("c"))
+    ).groupBy().agg(
+        F.sum(F.least(w, F.col("c"))).alias("cs1"),
+        F.sum(F.least(w, F.col("c")) * F.least(w, F.col("c"))).alias("cs2"),
+    )
+    out = stats.crossJoin(F.broadcast(clipped))
+    nd = F.col("n").cast("double")
+    ess = F.try_divide(F.col("s1") * F.col("s1"), F.col("s2"))
+    essc = F.try_divide(F.col("cs1") * F.col("cs1"), F.col("cs2"))
+    return out.select(
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / nd, 6).alias("ess_frac"),
+        F.round("c", 6).alias("clip_w"),
+        F.round(essc, 6).alias("ess_clipped"),
+        F.round(essc / nd, 6).alias("ess_clipped_frac"),
+    )
