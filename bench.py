@@ -372,6 +372,9 @@ def main() -> None:
         "tsa_dickey_fuller",
         "stats_poisson_rate",
         "sample_ess",
+        "dedup_shingle_profile",
+        "tsa_cointegration",
+        "stats_bartlett",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

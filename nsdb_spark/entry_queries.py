@@ -836,6 +836,7 @@ _ROTATION_QUEUE = [
     "emb_hubness", "stats_bhattacharyya", "events_pareto_share",
     "text_burrows_delta", "pipeline_source_scorecard",
     "tsa_dickey_fuller", "stats_poisson_rate", "sample_ess",
+    "dedup_shingle_profile", "tsa_cointegration", "stats_bartlett",
 ]
 
 
@@ -2671,6 +2672,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipeline_source_scorecard"] = _source_scorecard
+    q["dedup_shingle_profile"] = lambda spark, sf: dedup.shingle_df_profile(
+        _docs(spark, sf)
+    )
+    q["tsa_cointegration"] = lambda spark, sf: tsa.engle_granger(
+        testdata.events_metric(spark, sf), x_kind="view", y_kind="purchase"
+    )
+    q["stats_bartlett"] = lambda spark, sf: analytics.bartlett_test(
+        testdata.table(spark, sf, "events"), part="event_type", value="value"
+    )
     q["sample_ess"] = lambda spark, sf: selection.importance_ess(
         selection.dsir_weights(_docs(spark, sf), F.col("lang") == "en")
     )
@@ -6912,6 +6922,86 @@ pii AS (SELECT source,
 SELECT read.source, n_docs, avg_flesch, avg_words, hapax_ratio, n_pii_docs
 FROM read JOIN hap ON read.source = hap.source
 JOIN pii ON read.source = pii.source
+"""
+    o["dedup_shingle_profile"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3
+        THEN list_transform(generate_series(1, cast(len(words)-2 AS bigint)),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        ELSE [array_to_string(words, ' ')] END)) AS sh FROM w),
+lim AS (SELECT greatest(10,
+               cast(ceil(0.005 * (SELECT count(*) FROM documents)) AS bigint))
+               AS df_limit),
+dfc AS (SELECT sh, cast(count(*) AS bigint) AS df FROM s GROUP BY sh),
+pro AS (SELECT sum(df)::BIGINT AS n_instances,
+               cast(count(*) AS bigint) AS n_distinct,
+               sum(CASE WHEN df > (SELECT df_limit FROM lim)
+                   THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+               sum(CASE WHEN df > (SELECT df_limit FROM lim)
+                   THEN df END) AS stop_inst,
+               max(df)::BIGINT AS max_df,
+               quantile_cont(df, 0.99) AS p99
+        FROM dfc)
+SELECT (SELECT cast(count(*) AS bigint) FROM documents) AS n_docs,
+       n_instances, n_distinct, (SELECT df_limit FROM lim) AS df_limit,
+       n_stop,
+       round(coalesce(stop_inst, 0) / n_instances::DOUBLE, 6)
+         AS stop_instance_share,
+       max_df, round(p99, 6) AS p99_df
+FROM pro
+"""
+    o["tsa_cointegration"] = """
+WITH base AS (SELECT epoch_ms(ts) // 3600000 AS h, event_type AS k
+              FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+counts AS (SELECT h,
+                  sum(CASE WHEN k = 'view' THEN 1 ELSE 0 END)::DOUBLE AS x,
+                  sum(CASE WHEN k = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+                    AS y
+           FROM base GROUP BY h),
+fit AS (SELECT cast(count(*) AS bigint) AS n, avg(x) AS mx, avg(y) AS my,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(x) AS sx,
+               sum(y) AS sy
+        FROM counts),
+par AS (SELECT n,
+               round((sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0), 6)
+                 AS beta,
+               round(my - (sxy - sx * sy / n)
+                          / nullif(sxx - sx * sx / n, 0) * mx, 6) AS alpha
+        FROM fit),
+resid AS (SELECT h, n, beta, alpha,
+                 round(y - (alpha + beta * x), 6) AS e
+          FROM counts, par),
+lagged AS (SELECT n, beta, alpha,
+                  e - lag(e) OVER (ORDER BY h) AS de,
+                  lag(e) OVER (ORDER BY h) AS e1
+           FROM resid),
+g AS (SELECT any_value(n) AS n, any_value(beta) AS beta,
+             any_value(alpha) AS alpha, count(*)::DOUBLE AS m,
+             sum(de * e1) AS sde1, sum(e1 * e1) AS s11,
+             sum(de * de) AS sdd
+      FROM lagged WHERE e1 IS NOT NULL)
+SELECT n, beta, alpha,
+       round((sde1 / nullif(s11, 0))
+             / nullif(sqrt((sdd - (sde1 / nullif(s11, 0)) * sde1)
+                           / ((m - 1) * s11)), 0), 6) AS adf_t
+FROM g
+"""
+    o["stats_bartlett"] = """
+WITH b AS (SELECT event_type AS g, value AS x FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+per AS (SELECT g, count(*)::DOUBLE AS ni, var_samp(x) AS vi
+        FROM b GROUP BY g HAVING count(*) >= 2),
+t AS (SELECT cast(count(*) AS int) AS k, sum(ni) AS nn,
+             sum((ni - 1) * vi) AS ssw,
+             sum((ni - 1) * ln(vi)) AS slog,
+             sum(1.0 / (ni - 1)) AS sinv
+      FROM per)
+SELECT k, cast(nn AS bigint) AS n,
+       round(ssw / nullif(nn - k, 0), 6) AS pooled_var,
+       round(((nn - k) * ln(ssw / nullif(nn - k, 0)) - slog)
+             / nullif(1.0 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1)), 0),
+             6) AS chi2
+FROM t
 """
     o["sample_ess"] = """
 WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,

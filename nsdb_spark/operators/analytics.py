@@ -5391,3 +5391,52 @@ def poisson_rate_test(
         F.round(F.try_divide(r1, r2), 6).alias("rate_ratio"),
         F.round(F.try_divide(r1 - r2, F.sqrt(var)), 6).alias("z"),
     )
+
+
+def bartlett_test(
+    df: DataFrame, part: str, value: str
+) -> DataFrame:
+    """Bartlett's test of equal variances across k groups: χ² =
+    ((N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ) / C with the small-sample
+    correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)) — the
+    parametric (normality-assuming, more powerful) sibling of the
+    already-present Brown-Forsythe/Levene; run both: agreement says
+    heteroscedasticity, disagreement says heavy tails.
+
+    ONE per-group sufficient-sums aggregate, then a k-row combine —
+    no row crosses the wire twice. Groups with nᵢ < 2 are excluded
+    (their sample variance is undefined), matching the textbook
+    definition.
+
+    Output: one row (k int, n bigint, pooled_var r6, chi2 r6).
+    """
+    base = df.filter(
+        F.col(part).isNotNull() & F.col(value).isNotNull()
+    ).select(F.col(part).alias("g"), F.col(value).cast("double").alias("x"))
+    per = (
+        base.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ni"),
+            F.var_samp("x").alias("vi"),
+        )
+        .filter(F.col("ni") >= 2)
+    )
+    g = per.groupBy().agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("ni").alias("nn"),
+        F.sum((F.col("ni") - 1) * F.col("vi")).alias("ssw"),
+        F.sum((F.col("ni") - 1) * F.log("vi")).alias("slog"),
+        F.sum(1.0 / (F.col("ni") - 1)).alias("sinv"),
+    )
+    nk = F.col("nn") - F.col("k")
+    sp2 = F.try_divide(F.col("ssw"), nk)
+    c = 1.0 + F.try_divide(
+        F.col("sinv") - 1.0 / nk, 3.0 * (F.col("k") - 1)
+    )
+    chi2 = F.try_divide(nk * F.log(sp2) - F.col("slog"), c)
+    return g.select(
+        "k",
+        F.col("nn").cast("long").alias("n"),
+        F.round(sp2, 6).alias("pooled_var"),
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -1677,3 +1677,62 @@ def duplicate_family_sizes(
             .alias("n_excess"),
         )
     )
+
+
+def shingle_df_profile(
+    docs: DataFrame,
+    n: int = 3,
+    stop_shingle_df_limit: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Observability for the guarded-jaccard skew defense: the document-
+    frequency distribution of the corpus's distinct-shingle stream and
+    exactly what the stop-shingle cap would drop. Run this BEFORE a
+    100 TB pair join — it answers "how hot is the hottest shingle"
+    (max_df² bounds the single worst join group) and "how much pair mass
+    does the guard remove" (stop instances fuel df² pair productions).
+
+    One (shingle → df) aggregate over the distinct-shingle stream (the
+    exact stream ngram_jaccard_pairs joins on), then a bounded profile
+    aggregate. No pair join anywhere — this is the cheap pre-flight.
+
+    Output: one row (n_docs bigint, n_instances bigint, n_distinct
+    bigint, df_limit bigint, n_stop bigint, stop_instance_share r6,
+    max_df bigint, p99_df r6).
+    """
+    docs_n = docs.count()
+    limit = stop_shingle_df_limit
+    if limit is None:
+        import math as _math
+
+        limit = max(10, _math.ceil(0.005 * docs_n))
+    stream = (
+        shingles(docs, n, text_col)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    df_counts = stream.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    out = df_counts.groupBy().agg(
+        F.sum("df").cast("long").alias("n_instances"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("df") > limit, 1).otherwise(0)).cast("long").alias("n_stop"),
+        F.sum(F.when(F.col("df") > limit, F.col("df"))).alias("stop_inst"),
+        F.max("df").alias("max_df"),
+        F.expr("percentile(df, 0.99)").alias("p99"),
+    )
+    return out.select(
+        F.lit(docs_n).cast("long").alias("n_docs"),
+        "n_instances",
+        "n_distinct",
+        F.lit(limit).cast("long").alias("df_limit"),
+        "n_stop",
+        F.round(
+            F.coalesce(F.col("stop_inst"), F.lit(0))
+            / F.col("n_instances").cast("double"),
+            6,
+        ).alias("stop_instance_share"),
+        F.col("max_df").cast("long").alias("max_df"),
+        F.round("p99", 6).alias("p99_df"),
+    )

@@ -1544,3 +1544,82 @@ def dickey_fuller(
         F.round(gamma, 6).alias("gamma_hat"),
         F.round(F.try_divide(gamma, se), 6).alias("t_stat"),
     )
+
+
+def engle_granger(
+    df: DataFrame,
+    x_kind: str,
+    y_kind: str,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration check between two event-count
+    series: OLS yₜ = α + β·xₜ, then the lag-0 Dickey-Fuller t-statistic
+    on the residuals (no intercept — residuals are centered by
+    construction). A strongly negative adf_t says the two series share a
+    long-run equilibrium (the spread mean-reverts) even when each is
+    individually a random walk — the pairs-trading / shared-driver
+    diagnostic that plain correlation fakes on trending series.
+
+    Both series come from ONE bucket aggregate; the OLS is closed form
+    on the joined |buckets| frame; residuals round 6 before differencing
+    so both engines difference identical doubles.
+
+    Output: one row (n bigint, beta r6, alpha r6, adf_t r6).
+    """
+    base = df.filter(
+        F.col(ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
+        F.expr(f"({ts} div {bucket_ms})").cast("long").alias("h"),
+        F.col(key).alias("k"),
+    )
+    counts = base.groupBy("h").agg(
+        F.sum((F.col("k") == x_kind).cast("long")).cast("double").alias("x"),
+        F.sum((F.col("k") == y_kind).cast("long")).cast("double").alias("y"),
+    )
+    fit = counts.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    nd = F.col("n").cast("double")
+    beta = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / nd,
+        F.col("sxx") - F.col("sx") * F.col("sx") / nd,
+    )
+    params = fit.select(
+        "n",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.col("my") - beta * F.col("mx"), 6).alias("alpha"),
+    )
+    e = F.round(F.col("y") - (F.col("alpha") + F.col("beta") * F.col("x")), 6)
+    resid = counts.crossJoin(F.broadcast(params)).select(
+        "h", "n", "beta", "alpha", e.alias("e")
+    )
+    w = Window.orderBy("h")
+    lagged = resid.select(
+        "n", "beta", "alpha",
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+        F.lag("e").over(w).alias("e1"),
+    ).filter(F.col("e1").isNotNull())
+    g = lagged.groupBy().agg(
+        F.first("n").alias("n"),
+        F.first("beta").alias("beta"),
+        F.first("alpha").alias("alpha"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.col("de") * F.col("e1")).alias("sde1"),
+        F.sum(F.col("e1") * F.col("e1")).alias("s11"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+    )
+    gamma = F.try_divide(F.col("sde1"), F.col("s11"))
+    rss = F.col("sdd") - gamma * F.col("sde1")
+    se = F.sqrt(F.try_divide(rss, (F.col("m") - 1) * F.col("s11")))
+    return g.select(
+        "n", "beta", "alpha",
+        F.round(F.try_divide(gamma, se), 6).alias("adf_t"),
+    )
