@@ -855,3 +855,54 @@ def test_hpack_roundtrip_fuzz(headers):
 
     enc, dec = hpack.Encoder(), hpack.Decoder()
     assert dec.decode(enc.encode(headers)) == headers
+
+
+def test_bartlett_matches_numpy_reference(spark):
+    import numpy as np
+    from nsdb_spark.operators import analytics
+
+    rng = np.random.RandomState(5)
+    groups = {"a": rng.normal(0, 1, 40), "b": rng.normal(0, 2, 35),
+              "c": rng.normal(0, 1.5, 50)}
+    rows = [(g, float(v)) for g, arr in groups.items() for v in arr]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = analytics.bartlett_test(df, "g", "x").collect()[0]
+    ni = np.array([len(a) for a in groups.values()], dtype=float)
+    vi = np.array([a.var(ddof=1) for a in groups.values()])
+    nn, k = ni.sum(), len(ni)
+    sp2 = ((ni - 1) * vi).sum() / (nn - k)
+    chi2 = ((nn - k) * np.log(sp2) - ((ni - 1) * np.log(vi)).sum()) / (
+        1 + ((1 / (ni - 1)).sum() - 1 / (nn - k)) / (3 * (k - 1))
+    )
+    assert got["k"] == 3 and got["n"] == int(nn)
+    assert abs(got["chi2"] - chi2) < 1e-4
+
+
+def test_engle_granger_detects_cointegrated_pair(spark):
+    """Two random walks sharing a common stochastic trend (y = 2x + noise)
+    must produce a strongly negative residual ADF t; two INDEPENDENT
+    random walks must not."""
+    import numpy as np
+    from nsdb_spark.operators import tsa
+
+    rng = np.random.RandomState(13)
+    n = 400
+    xw = np.cumsum(rng.normal(0, 1, n)) + 50
+    y_coint = 2.0 * xw + rng.normal(0, 1, n)
+    y_indep = np.cumsum(rng.normal(0, 1, n)) + 50
+
+    def to_rows(x, y):
+        rows = []
+        for t in range(n):
+            rows += [((t * 3_600_000) + i, "xa") for i in range(max(int(round(x[t])), 0))]
+            rows += [((t * 3_600_000) + i, "yb") for i in range(max(int(round(y[t])), 0))]
+        return rows
+
+    df1 = spark.createDataFrame(to_rows(xw, y_coint),
+                                "timestamp long, event_type string")
+    df2 = spark.createDataFrame(to_rows(xw, y_indep),
+                                "timestamp long, event_type string")
+    t_coint = tsa.engle_granger(df1, "xa", "yb").collect()[0]["adf_t"]
+    t_indep = tsa.engle_granger(df2, "xa", "yb").collect()[0]["adf_t"]
+    assert t_coint < -5.0          # spread mean-reverts hard
+    assert t_indep > t_coint + 3   # independent walks: much weaker evidence
