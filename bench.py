@@ -375,6 +375,9 @@ def main() -> None:
         "dedup_shingle_profile",
         "tsa_cointegration",
         "stats_bartlett",
+        "emb_cluster_purity",
+        "stats_ab_srm",
+        "events_funnel_timing",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

@@ -837,6 +837,7 @@ _ROTATION_QUEUE = [
     "text_burrows_delta", "pipeline_source_scorecard",
     "tsa_dickey_fuller", "stats_poisson_rate", "sample_ess",
     "dedup_shingle_profile", "tsa_cointegration", "stats_bartlett",
+    "emb_cluster_purity", "stats_ab_srm", "events_funnel_timing",
 ]
 
 
@@ -2672,6 +2673,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipeline_source_scorecard"] = _source_scorecard
+    q["emb_cluster_purity"] = lambda spark, sf: clustering.cluster_purity(
+        _emb(spark, sf), k=8, iters=4
+    )
+    q["stats_ab_srm"] = lambda spark, sf: analytics.ab_srm_check(
+        testdata.table(spark, sf, "events")
+    )
+    q["events_funnel_timing"] = lambda spark, sf: analytics.funnel_step_timing(
+        testdata.events_metric(spark, sf),
+        steps=["view", "click", "purchase"],
+    )
     q["dedup_shingle_profile"] = lambda spark, sf: dedup.shingle_df_profile(
         _docs(spark, sf)
     )
@@ -6922,6 +6933,69 @@ pii AS (SELECT source,
 SELECT read.source, n_docs, avg_flesch, avg_words, hapax_ratio, n_pii_docs
 FROM read JOIN hap ON read.source = hap.source
 JOIN pii ON read.source = pii.source
+"""
+    o["emb_cluster_purity"] = f"""
+{_kmeans_cte_prefix(8, 4, 6)},
+af AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rn
+        FROM df) WHERE rn = 1),
+lab AS (SELECT af.cell, e.label, count(*)::DOUBLE AS nij
+        FROM af JOIN embeddings e USING (vec_id)
+        WHERE e.label IS NOT NULL GROUP BY af.cell, e.label),
+tot AS (SELECT sum(nij) AS nn FROM lab),
+cm AS (SELECT cell, sum(nij) AS ni, max(nij) AS maj FROM lab GROUP BY cell),
+lm AS (SELECT label, sum(nij) AS nj FROM lab GROUP BY label),
+mi AS (SELECT sum((nij / nn) * ln(nn * nij / (ni * nj))) AS mi
+       FROM lab JOIN cm USING (cell) JOIN lm USING (label), tot),
+hc AS (SELECT sum(-(ni / nn) * ln(ni / nn)) AS hc FROM cm, tot),
+hl AS (SELECT sum(-(nj / nn) * ln(nj / nn)) AS hl FROM lm, tot),
+pu AS (SELECT sum(maj) AS smaj, cast(count(*) AS int) AS n_cells FROM cm)
+SELECT cast(8 AS int) AS k, cast(nn AS bigint) AS n, n_cells,
+       round(smaj / nn, 6) AS purity,
+       round(mi / nullif(sqrt(hc * hl), 0), 6) AS nmi
+FROM tot, mi, hc, hl, pu
+"""
+    o["stats_ab_srm"] = """
+WITH keys AS (SELECT cast((user_id * 2654435761) % 4294967296 % 2 AS int)
+                AS arm
+              FROM (SELECT DISTINCT user_id FROM events
+                    WHERE user_id IS NOT NULL)),
+grid AS (SELECT arm, cast(count(*) AS bigint) AS n FROM keys GROUP BY arm),
+tot AS (SELECT sum(n) AS nn FROM grid)
+SELECT cast(nn AS bigint) AS n_keys,
+       coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS n_a,
+       coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS n_b,
+       round(max(CASE WHEN arm = 0 THEN n END) / nn::DOUBLE, 6) AS share_a,
+       round(sum((n - nn / 2.0) * (n - nn / 2.0) / (nn / 2.0)), 6) AS chi2
+FROM grid, tot GROUP BY nn
+"""
+    o["events_funnel_timing"] = """
+WITH per AS (SELECT user_id,
+                    min(CASE WHEN event_type = 'view'
+                        THEN epoch_ms(ts) END) AS t0,
+                    min(CASE WHEN event_type = 'click'
+                        THEN epoch_ms(ts) END) AS t1,
+                    min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_ms(ts) END) AS t2
+             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             GROUP BY user_id),
+s1 AS (SELECT cast(t1 - t0 AS DOUBLE) AS lat FROM per
+       WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0),
+s2 AS (SELECT cast(t2 - t1 AS DOUBLE) AS lat FROM per
+       WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1)
+SELECT 'view' AS step_from, 'click' AS step_to,
+       cast(count(*) AS bigint) AS n_users,
+       round(quantile_cont(lat, 0.5), 6) AS p50_ms,
+       round(quantile_cont(lat, 0.9), 6) AS p90_ms,
+       round(avg(lat), 6) AS mean_ms
+FROM s1
+UNION ALL
+SELECT 'click', 'purchase', cast(count(*) AS bigint),
+       round(quantile_cont(lat, 0.5), 6), round(quantile_cont(lat, 0.9), 6),
+       round(avg(lat), 6)
+FROM s2
 """
     o["dedup_shingle_profile"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

