@@ -549,3 +549,37 @@ def test_grpc_stream_refresh_period_batches_pushes(engine):
     finally:
         client.close()
         server.stop()
+
+
+def test_grpc_flow_control_small_client_window(engine, grpc_server):
+    """Backpressure: the client advertises a small INITIAL_WINDOW_SIZE,
+    so a multi-KB response can only flow as the client grants
+    WINDOW_UPDATEs — the server must block-and-resume, not overrun or
+    deadlock."""
+    from nsdb_spark.grpc.http2 import SETTINGS_INITIAL_WINDOW_SIZE
+
+    load(engine, "people", LONG_METRIC)
+    client = NsdbGrpcClient(grpc_server.host, grpc_server.port)
+    try:
+        # shrink what the SERVER may send per stream before updates
+        client.conn.send_settings({SETTINGS_INITIAL_WINDOW_SIZE: 512})
+        out = client.execute_sql(
+            "default", "default", "select * from people")
+        assert out["completedSuccessfully"] is True
+        assert len(out["records"]) == len(LONG_METRIC)
+    finally:
+        client.close()
+
+
+def test_hpack_dynamic_table_eviction_on_size_update():
+    """RFC 7541 §4.3: a table-size update to 0 evicts everything; the
+    next indexed reference into the dynamic range must fail cleanly."""
+    from nsdb_spark.grpc import hpack
+
+    dec = hpack.Decoder()
+    dec.decode(bytes.fromhex("400a637573746f6d2d6b65790d637573746f6d2d686561646572"))
+    assert dec.table
+    dec.decode(bytes([0x20]))  # size update → 0
+    assert not dec.table and dec.size == 0
+    with pytest.raises(hpack.HpackError):
+        dec.decode(bytes([0x80 | 62]))  # first dynamic index now invalid
