@@ -378,6 +378,9 @@ def main() -> None:
         "emb_cluster_purity",
         "stats_ab_srm",
         "events_funnel_timing",
+        "stats_tost",
+        "events_new_vs_returning",
+        "tsa_rolling_corr",
     ]
 
     # Warm-up pass: run every query once untimed at the target SF so JIT +

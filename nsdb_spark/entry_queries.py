@@ -838,6 +838,7 @@ _ROTATION_QUEUE = [
     "tsa_dickey_fuller", "stats_poisson_rate", "sample_ess",
     "dedup_shingle_profile", "tsa_cointegration", "stats_bartlett",
     "emb_cluster_purity", "stats_ab_srm", "events_funnel_timing",
+    "stats_tost", "events_new_vs_returning", "tsa_rolling_corr",
 ]
 
 
@@ -2673,6 +2674,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipeline_source_scorecard"] = _source_scorecard
+    q["stats_tost"] = lambda spark, sf: analytics.tost_equivalence(
+        testdata.table(spark, sf, "events").filter(
+            F.col("event_type").isin("view", "click")
+        ),
+        group=F.col("event_type") == "view",
+        value="value",
+        margin=10.0,
+    )
+    q["events_new_vs_returning"] = lambda spark, sf: analytics.new_vs_returning(
+        testdata.events_metric(spark, sf)
+    )
+    q["tsa_rolling_corr"] = lambda spark, sf: tsa.rolling_corr(
+        testdata.events_metric(spark, sf), x_kind="view", y_kind="purchase"
+    )
     q["emb_cluster_purity"] = lambda spark, sf: clustering.cluster_purity(
         _emb(spark, sf), k=8, iters=4
     )
@@ -6933,6 +6948,68 @@ pii AS (SELECT source,
 SELECT read.source, n_docs, avg_flesch, avg_words, hapax_ratio, n_pii_docs
 FROM read JOIN hap ON read.source = hap.source
 JOIN pii ON read.source = pii.source
+"""
+    o["stats_tost"] = """
+WITH b AS (SELECT (event_type = 'view') AS g, value AS x FROM events
+           WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+a AS (SELECT sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN g THEN x END) AS s1,
+             sum(CASE WHEN NOT g THEN x END) AS s2,
+             sum(CASE WHEN g THEN x * x END) AS q1,
+             sum(CASE WHEN NOT g THEN x * x END) AS q2
+      FROM b),
+x AS (SELECT n1, n2,
+             s1 / n1 - s2 / n2 AS diff,
+             (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS a2
+      FROM a)
+SELECT n1, n2, round(diff, 6) AS mean_diff,
+       round(sqrt(a1 + a2), 6) AS se,
+       round((a1 + a2) * (a1 + a2)
+             / nullif(a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1), 0), 6) AS df,
+       round((diff + 10.0) / nullif(sqrt(a1 + a2), 0), 6) AS t_low,
+       round((diff - 10.0) / nullif(sqrt(a1 + a2), 0), 6) AS t_high
+FROM x
+"""
+    o["events_new_vs_returning"] = """
+WITH ub AS (SELECT DISTINCT user_id AS u,
+                   (epoch_ms(ts) // 86400000) * 86400000 AS b
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+fs AS (SELECT u, min(b) AS fb FROM ub GROUP BY u)
+SELECT ub.b AS bucket_start, cast(count(*) AS bigint) AS n_active,
+       sum(CASE WHEN ub.b = fs.fb THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       (count(*) - sum(CASE WHEN ub.b = fs.fb THEN 1 ELSE 0 END))::BIGINT
+         AS n_returning,
+       round(sum(CASE WHEN ub.b = fs.fb THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS new_share
+FROM ub JOIN fs ON ub.u = fs.u
+GROUP BY ub.b
+"""
+    o["tsa_rolling_corr"] = """
+WITH base AS (SELECT epoch_ms(ts) // 3600000 AS h, event_type AS k
+              FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+counts AS (SELECT h,
+                  sum(CASE WHEN k = 'view' THEN 1 ELSE 0 END)::DOUBLE AS x,
+                  sum(CASE WHEN k = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+                    AS y
+           FROM base GROUP BY h),
+spine AS (SELECT unnest(range((SELECT min(h) FROM counts),
+                              (SELECT max(h) FROM counts) + 1)) AS h),
+dense AS (SELECT spine.h, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+          FROM spine LEFT JOIN counts ON spine.h = counts.h),
+win AS (SELECT h,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        FROM dense
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT h AS bucket, cast(n AS int) AS n,
+       round((sxy - sx * sy / n)
+             / nullif(sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 0),
+             6) AS r
+FROM win
 """
     o["emb_cluster_purity"] = f"""
 {_kmeans_cte_prefix(8, 4, 6)},

@@ -5541,3 +5541,105 @@ def funnel_step_timing(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group: Column | str,
+    value: str,
+    margin: float,
+) -> DataFrame:
+    """Two one-sided tests (TOST) for mean EQUIVALENCE within ±margin:
+    t_low tests μ₁−μ₂ > −Δ, t_high tests μ₁−μ₂ < +Δ, both on the Welch
+    statistic with Welch-Satterthwaite df — the right tool when the
+    question is "are these the same?", where a non-significant t-test is
+    NOT evidence of equivalence (absence of evidence ≠ evidence of
+    absence). Equivalence is claimed when BOTH t statistics clear their
+    one-sided critical value; the statistics and df are the distributed
+    part, the critical value a constant lookup.
+
+    One sum/sumsq aggregate over both groups (the welch_ttest plan).
+    `group` boolean-like: TRUE = group 1.
+
+    Output: one row (n1, n2 bigint, mean_diff r6, se r6, df r6,
+    t_low r6, t_high r6).
+    """
+    g = group if not isinstance(group, str) else F.col(group)
+    base = df.filter(g.isNotNull() & F.col(value).isNotNull()).select(
+        g.cast("boolean").alias("__g"),
+        F.col(value).cast("double").alias("__x"),
+    )
+    agg = base.groupBy().agg(
+        F.sum(F.col("__g").cast("long")).alias("n1"),
+        F.sum((~F.col("__g")).cast("long")).alias("n2"),
+        F.sum(F.when(F.col("__g"), F.col("__x"))).alias("s1"),
+        F.sum(F.when(~F.col("__g"), F.col("__x"))).alias("s2"),
+        F.sum(F.when(F.col("__g"), F.col("__x") * F.col("__x"))).alias("q1"),
+        F.sum(F.when(~F.col("__g"), F.col("__x") * F.col("__x"))).alias("q2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1") / n1
+    m2 = F.col("s2") / n2
+    v1 = (F.col("q1") - F.col("s1") * m1) / (n1 - 1)
+    v2 = (F.col("q2") - F.col("s2") * m2) / (n2 - 1)
+    a1, a2 = v1 / n1, v2 / n2
+    se = F.sqrt(a1 + a2)
+    dfree = F.try_divide(
+        (a1 + a2) * (a1 + a2),
+        a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1),
+    )
+    diff = m1 - m2
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(se, 6).alias("se"),
+        F.round(dfree, 6).alias("df"),
+        F.round(F.try_divide(diff + margin, se), 6).alias("t_low"),
+        F.round(F.try_divide(diff - margin, se), 6).alias("t_high"),
+    )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Per-day new-vs-returning active-user split: a user is NEW on
+    their first-ever bucket and RETURNING on every later active bucket —
+    the composition read under every DAU curve (flat DAU can hide a
+    leaky bucket: all-new means churn is eating growth).
+
+    Rows collapse to distinct (user, bucket) first (one map-side-
+    combinable aggregate); first-seen comes from a per-user min on that
+    frame — the window never touches raw events.
+
+    Output: (bucket_start bigint, n_active bigint, n_new bigint,
+    n_returning bigint, new_share r6).
+    """
+    ub = (
+        df.filter(F.col(user).isNotNull() & F.col(ts).isNotNull())
+        .select(
+            F.col(user).alias("u"),
+            F.expr(f"({ts} div {bucket_ms}) * {bucket_ms}")
+            .cast("long")
+            .alias("b"),
+        )
+        .distinct()
+    )
+    first = ub.groupBy("u").agg(F.min("b").alias("fb"))
+    j = ub.join(first, "u")
+    out = j.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum((F.col("b") == F.col("fb")).cast("long")).cast("long").alias("n_new"),
+    )
+    return out.select(
+        F.col("b").alias("bucket_start"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias("n_returning"),
+        F.round(F.col("n_new") / F.col("n_active").cast("double"), 6).alias(
+            "new_share"
+        ),
+    )

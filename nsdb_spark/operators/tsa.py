@@ -1623,3 +1623,59 @@ def engle_granger(
         "n", "beta", "alpha",
         F.round(F.try_divide(gamma, se), 6).alias("adf_t"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    x_kind: str,
+    y_kind: str,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    bucket_ms: int = 3_600_000,
+    window: int = 24,
+) -> DataFrame:
+    """Rolling Pearson correlation between two event-count series over a
+    trailing `window` of buckets — "is the view↔purchase coupling
+    stable, or did it decouple this week?" The time-resolved companion
+    to tsa_crosscorr's single global number; regime changes show up as
+    the rolling r crossing zero.
+
+    Both series come from ONE bucket aggregate on a dense spine; the
+    five sufficient sums run in a single trailing window frame (one
+    sort of |buckets| rows), so r is exact per window — no
+    re-aggregation per position. Windows shorter than `window` (the
+    head) are emitted with their actual n.
+
+    Output: (bucket bigint, n int, r r6).
+    """
+    base = df.filter(
+        F.col(ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
+        F.expr(f"({ts} div {bucket_ms})").cast("long").alias("h"),
+        F.col(key).alias("k"),
+    )
+    counts = base.groupBy("h").agg(
+        F.sum((F.col("k") == x_kind).cast("long")).cast("double").alias("x"),
+        F.sum((F.col("k") == y_kind).cast("long")).cast("double").alias("y"),
+    )
+    span = counts.groupBy().agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = span.select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    dense = spine.join(counts, "h", "left").select(
+        "h",
+        F.coalesce("x", F.lit(0.0)).alias("x"),
+        F.coalesce("y", F.lit(0.0)).alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-(window - 1), 0)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    num = sxy - sx * sy / n
+    den = F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return dense.select(
+        F.col("h").alias("bucket"),
+        n.cast("int").alias("n"),
+        F.round(F.try_divide(num, den), 6).alias("r"),
+    )
