@@ -154,6 +154,8 @@ def main() -> None:
         "nsdb_temporal_min",
         "nsdb_temporal_max",
         "nsdb_temporal_since",
+        "nsdb_temporal_not_range",
+        "nsdb_temporal_or_ranges",
         "nsdb_relative_time",
         "nsdb_nullable_predicates",
         "nsdb_like_infix_count",

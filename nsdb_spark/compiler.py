@@ -414,7 +414,7 @@ class QueryCompiler:
         # bucket bounds: shard-aligned data extent clipped by the WHERE range
         # (ReadCoordinator.scala:256-272 + TimeRangeManager.computeRangesFor...)
         cond = stmt.condition.expression if stmt.condition else None
-        wlo, whi = envelope(extract_time_range(cond, ctx))
+        ivs = extract_time_range(cond, ctx)
         if locations:
             data_lower = min(locations)
             data_upper = max(locations) + si
@@ -426,27 +426,72 @@ class QueryCompiler:
                 return self._empty_temporal(q, df)
             data_lower = (row[0] // si) * si
             data_upper = (row[1] // si) * si + si
-        # CLIP, not replace: the axis is the data extent intersected with
-        # the WHERE range (shards only exist where data is —
-        # ReadNodesSelection.scala:40-49). Taking the WHERE bounds
-        # verbatim would generate a bucket row for every interval of an
-        # arbitrarily wide range (`timestamp > 0` ⇒ ~10^9 empty buckets
-        # joined and emitted).
-        upper = data_upper if whi is None else min(whi, data_upper)
-        lower = data_lower if wlo is None else max(wlo, data_lower)
+        glo = data_lower
         if q.grace_period_ms is not None:
-            lower = max(lower, ctx.current_time - q.grace_period_ms)
-        if upper <= lower:
+            glo = max(glo, ctx.current_time - q.grace_period_ms)
+        # Per-interval axes (TimeRangeManager.computeRangesForIntervalAndCondition,
+        # TimeRangeManager.scala:102-124): ONE backward-aligned bucket axis per
+        # extracted WHERE interval — a disjoint range (e.g. a NOT-complement)
+        # yields disjoint axes with NO zero-filled buckets inside the excluded
+        # gap, each aligned backward from its own interval's top. CLIP each
+        # interval to the data extent, not the reference's verbatim bounds:
+        # shards only exist where data is (ReadNodesSelection.scala:40-49), and
+        # taking the WHERE bounds verbatim would generate a bucket row for
+        # every interval of an arbitrarily wide range (`timestamp > 0` ⇒ ~10^9
+        # empty buckets joined and emitted).
+        if not ivs:
+            eff = [(glo, data_upper)]
+        else:
+            eff = []
+            for ilo, ihi in ivs:
+                u = data_upper if ihi is None else min(ihi, data_upper)
+                l = max(ilo, glo)
+                if u > l:
+                    eff.append((l, u))
+        if not eff:
             return self._empty_temporal(q, df)
 
-        n = -((upper - lower) // -interval)  # ceil
+        # segments ordered by DESCENDING upper bound: the global __bucket index
+        # (per-interval offset + local backward bucket) is then monotone in
+        # DESCENDING upper_bound, which the temporal-LIMIT takeRight below
+        # relies on. Intervals are disjoint (extract_time_range unions), so
+        # the order is total.
+        eff.sort(key=lambda t: t[1], reverse=True)
+        segs = []  # (offset, lower, upper, n_buckets)
+        off = 0
+        for l, u in eff:
+            nb = -((u - l) // -interval)  # ceil
+            segs.append((off, l, u, nb))
+            off += nb
+        n = off  # total buckets across all interval axes
         alias = agg_alias(q.aggregation)
 
-        rows = df.filter((F.col("timestamp") >= lower) & (F.col("timestamp") <= upper))
-        k = F.least(
-            F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(interval)),
-            F.lit(n - 1),
-        ).alias("__bucket")
+        if len(segs) == 1:
+            _, lower, upper, _ = segs[0]
+            rows = df.filter(
+                (F.col("timestamp") >= lower) & (F.col("timestamp") <= upper)
+            )
+            k = F.least(
+                F.floor((F.lit(upper) - F.col("timestamp")) / F.lit(interval)),
+                F.lit(n - 1),
+            ).alias("__bucket")
+        else:
+            in_any = None
+            key = None
+            for soff, l, u, nb in segs:
+                seg_pred = (F.col("timestamp") >= l) & (F.col("timestamp") <= u)
+                local = F.lit(soff) + F.least(
+                    F.floor((F.lit(u) - F.col("timestamp")) / F.lit(interval)),
+                    F.lit(nb - 1),
+                )
+                in_any = seg_pred if in_any is None else (in_any | seg_pred)
+                key = (
+                    F.when(seg_pred, local)
+                    if key is None
+                    else key.when(seg_pred, local)
+                )
+            rows = df.filter(in_any)
+            k = key.alias("__bucket")
         if q.aggregation.kind == ast.AGG_MIN:
             # ⚠ reference quirk (post_proc/package.scala:170-176): the
             # cross-shard temporal-min reduce drops ZERO shard partials
@@ -468,14 +513,23 @@ class QueryCompiler:
         else:
             per_bucket = rows.groupBy(k).agg(self._agg_columns([q.aggregation])[0])
 
-        # bucket axis including empty buckets (spec emits them with 0)
-        buckets = self.spark.range(n).select(
-            F.col("id").alias("__bucket"),
-            (F.lit(upper) - F.col("id") * interval).alias("upper_bound"),
-            F.greatest(
-                F.lit(upper) - (F.col("id") + 1) * interval, F.lit(lower)
-            ).alias("lower_bound"),
-        )
+        # bucket axis including empty buckets (spec emits them with 0);
+        # one range frame per interval axis, unioned — still a handful of
+        # driver-known segments, each a codegen'd Range, no data scan
+        seg_frames = []
+        for soff, l, u, nb in segs:
+            seg_frames.append(
+                self.spark.range(nb).select(
+                    (F.col("id") + F.lit(soff)).alias("__bucket"),
+                    (F.lit(u) - F.col("id") * interval).alias("upper_bound"),
+                    F.greatest(
+                        F.lit(u) - (F.col("id") + 1) * interval, F.lit(l)
+                    ).alias("lower_bound"),
+                )
+            )
+        buckets = seg_frames[0]
+        for extra in seg_frames[1:]:
+            buckets = buckets.unionByName(extra)
         # broadcast only while the axis is dashboard-sized: per_bucket has
         # up to n rows, and n scales as data-extent/interval — a 1 s
         # interval over a year of shards is ~31M buckets, which would

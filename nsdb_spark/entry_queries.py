@@ -140,6 +140,50 @@ FROM buckets b LEFT JOIN agg USING (k) {limit_pred}
 """
 
 
+def _temporal_multi_oracle(
+    interval_ms: int,
+    agg_sql: str,
+    alias: str,
+    intervals: list[tuple[int | None, int | None]],
+) -> str:
+    """Per-interval backward-aligned temporal axes for a DISJOINT WHERE
+    time-range set (TimeRangeManager.computeRangesForIntervalAndCondition,
+    TimeRangeManager.scala:102-124): one axis per interval, each aligned
+    backward from its own (data-extent-clipped) top; no zero-buckets in
+    excluded gaps. `intervals`: (lo, hi) with None = unbounded (clipped to
+    the shard-aligned data extent, matching the compiler's scale stance).
+    """
+    segs = []
+    for lo, hi in intervals:
+        lo_sql = "dlo" if lo is None else f"greatest(CAST({lo} AS BIGINT), dlo)"
+        hi_sql = "dup" if hi is None else f"least(CAST({hi} AS BIGINT), dup)"
+        segs.append(f"SELECT {lo_sql} AS lo, {hi_sql} AS up FROM b")
+    segs_sql = "\nUNION ALL\n".join(segs)
+    return f"""
+{M},
+b AS (SELECT (min(timestamp)//{SHARD})*{SHARD} AS dlo,
+             (max(timestamp)//{SHARD})*{SHARD} + {SHARD} AS dup FROM m),
+segs AS ({segs_sql}),
+n AS (SELECT lo, up, (up - lo + {interval_ms} - 1)//{interval_ms} AS nb
+      FROM segs WHERE up > lo),
+offs AS (SELECT lo, up, nb,
+         CAST(coalesce(sum(nb) OVER (ORDER BY up DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+         FROM n),
+ks AS (SELECT off + unnest(generate_series(0, cast(nb-1 AS bigint))) AS k,
+              up, lo, off FROM offs),
+buckets AS (SELECT k, up - (k-off)*{interval_ms} AS upper_bound,
+            greatest(up - (k-off+1)*{interval_ms}, lo) AS lower_bound FROM ks),
+agg AS (SELECT o.off + least((o.up - m.timestamp)//{interval_ms}, o.nb-1) AS k,
+               {agg_sql} AS v
+        FROM m JOIN offs o ON m.timestamp BETWEEN o.lo AND o.up GROUP BY 1)
+SELECT bu.upper_bound AS timestamp, bu.lower_bound AS lower_bound,
+       bu.upper_bound AS upper_bound, coalesce(agg.v, 0) AS {alias}
+FROM buckets bu LEFT JOIN agg USING (k)
+"""
+
+
 # ---------------------------------------------------------------- documents
 
 # Default stop-shingle guard for the exact pair-join entries: drop shingles
@@ -787,13 +831,14 @@ _CHECK_PREFIX_R5 = [
     "text_bm25_postings", "events_stickiness",
 ]
 
-#: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
-#: Round 6 takes _ROTATION_QUEUE[:50]; round 7 the next 50; round 8 the
-#: remainder (the 27 round-5 additions at the tail) plus re-verification
-#: of anything changed in rounds 6-7. Entries changed in a round jump
-#: the queue into that round's prefix.
-_ROTATION_QUEUE = [
-    # --- round 6 block (50) ---
+#: Round-6 driver-check prefix: entries NEW this round (the per-interval
+#: temporal-axis queries) + the round-6 rotation block — the 48 oldest
+#: never-driver-checked entries (was _ROTATION_QUEUE[:50] at the round-5
+#: close; the last 2 of that block yield their slots to the new entries
+#: and return to the queue head for round 7). All 50 verified green
+#: against DuckDB at sf0.01 via tools/check_oracles.py before the close.
+_CHECK_PREFIX_R6 = [
+    "nsdb_temporal_not_range", "nsdb_temporal_or_ranges",
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
     "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
     "tsa_anomaly", "emb_diversity", "stats_bootstrap",
@@ -809,6 +854,14 @@ _ROTATION_QUEUE = [
     "stats_lorenz", "kmeans_cells", "stats_partial_corr",
     "emb_silhouette", "stats_pct_rank", "text_ttr", "tsa_crosscorr",
     "stats_kendall", "stats_cramers_v", "stats_theil_sen",
+]
+
+#: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
+#: Round 7 takes _ROTATION_QUEUE[:50]; round 8 the remainder plus
+#: re-verification of anything changed in rounds 6-7. Entries changed in
+#: a round jump the queue into that round's prefix.
+_ROTATION_QUEUE = [
+    # --- displaced from the round-6 block by the 2 new temporal entries ---
     "tsa_periodogram", "graph_adamic_adar",
     # --- round 7 block (33 + changed-entry re-verifies) ---
     "stats_mi", "stats_spearman", "events_paths", "stats_cvm",
@@ -910,6 +963,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nsdb_temporal_since"] = _nsdb(
         "select count(*) from events group by interval 1d since 10 d",
         relative_now=True,
+    )
+    # disjoint WHERE intervals → one backward-aligned bucket axis PER
+    # interval (TimeRangeManager.scala:102-124), no zero-buckets in the gap
+    q["nsdb_temporal_not_range"] = _nsdb(
+        "select count(*) from events "
+        "where not timestamp in (1705017600000, 1705622400000) "
+        "group by interval 2d"
+    )
+    q["nsdb_temporal_or_ranges"] = _nsdb(
+        "select sum(value) from events "
+        "where timestamp in (1704067200000, 1704672000000) "
+        "or timestamp in (1705276800000, 1705881600000) "
+        "group by interval 3d",
+        rounds={"sum_value": 3},
     )
     q["nsdb_relative_time"] = _nsdb(
         "select count(*) from events where timestamp >= now - 10 d", relative_now=True
@@ -2830,7 +2897,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (oldest first); move the spent block out of the queue and append
     # any brand-new entries to its tail. After round 7 the queue is
     # empty and the prefix reverts to most-recently-touched-first.
-    priority = _CHECK_PREFIX_R5 + [
+    priority = _CHECK_PREFIX_R6 + _CHECK_PREFIX_R5 + [
         # round 9: new entries this round, NEWEST WAVES FIRST — with 79
         # additions only 50 fit the driver's check prefix, and the
         # latest waves have soaked the least
@@ -3006,6 +3073,19 @@ FROM f, a ORDER BY f.timestamp LIMIT 20
     o["nsdb_temporal_max"] = _temporal_oracle(604800000, "max(value)", "max_value")
     o["nsdb_temporal_since"] = _temporal_oracle(
         86400000, "count(*)", "count_value", grace_ms=864000000
+    )
+    o["nsdb_temporal_not_range"] = _temporal_multi_oracle(
+        172800000,
+        "count(*)",
+        "count_value",
+        # NOT timestamp IN (a, b) ⇒ [0, a-1] ∪ [b+1, ∞), extent-clipped
+        [(None, 1705017599999), (1705622400001, None)],
+    )
+    o["nsdb_temporal_or_ranges"] = _temporal_multi_oracle(
+        259200000,
+        "round(sum(value), 3)",
+        "sum_value",
+        [(1704067200000, 1704672000000), (1705276800000, 1705881600000)],
     )
     o["nsdb_relative_time"] = (
         f"{M} SELECT count(*) AS count_value FROM m "

@@ -313,6 +313,55 @@ def test_temporal_with_where_range(temporal_engine):
     assert sum(r[3] for r in out) == 4
 
 
+def test_temporal_disjoint_not_range_builds_per_interval_axes(temporal_engine):
+    """A NOT-complement WHERE yields DISJOINT time intervals; the reference
+    builds one backward-aligned bucket axis PER interval
+    (TimeRangeManager.computeRangesForIntervalAndCondition,
+    TimeRangeManager.scala:102-124) — no zero-filled buckets inside the
+    excluded gap, and each axis aligns backward from its own interval top."""
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where not timestamp in (60000, 130000) group by interval 30s"
+    )
+    out = rows(df)
+    assert out == [
+        (29999, 0, 29999, 1),       # [0, 29999] — lower axis, backward from 59999
+        (59999, 29999, 59999, 1),   # (29999, 59999]
+        (140000, 130001, 140000, 0),  # [130001, 140000] — upper axis truncated
+        (170000, 140000, 170000, 1),  # (140000, 170000] — ts=150000
+        (200000, 170000, 200000, 0),
+    ]
+    # rows at 60000/90000/120000 fall in the excluded gap: no bucket covers
+    # them and no zero-filled bucket is emitted inside (59999, 130001)
+    assert sum(r[3] for r in out) == 3
+
+
+def test_temporal_or_ranges_per_interval_axes(temporal_engine):
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where timestamp in (0, 50000) or timestamp in (120000, 160000) "
+        "group by interval 30s"
+    )
+    out = rows(df)
+    assert out == [
+        (20000, 0, 20000, 1),        # [0, 20000] backward from 50000
+        (50000, 20000, 50000, 1),    # (20000, 50000] — ts=30000
+        (130000, 120000, 130000, 1), # [120000, 130000] backward from 160000
+        (160000, 130000, 160000, 1), # (130000, 160000] — ts=150000
+    ]
+
+
+def test_temporal_disjoint_limit_takes_most_recent_across_axes(temporal_engine):
+    # temporal LIMIT = takeRight of the globally time-sorted axis even when
+    # the axis is a union of per-interval axes (post_proc/package.scala:62-66)
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where not timestamp in (60000, 130000) group by interval 30s limit 2"
+    )
+    out = rows(df)
+    assert [r[0] for r in out] == [170000, 200000]
+
+
 def test_contradictory_time_range_is_empty_not_full_axis(temporal_engine):
     """An unsatisfiable timestamp constraint is the EMPTY interval set
     (TimeRangeManager.scala:56-59 reduce→Interval.empty→filtered), not
