@@ -13,6 +13,7 @@ import os
 import shutil
 import threading
 import time
+from collections import OrderedDict
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,40 @@ class NsdbEngine:
         # serialize per metric (the Warehouse._schema_lock discipline)
         self._rollup_locks: dict[tuple[str, str, str], threading.Lock] = {}
         self._rollup_locks_guard = threading.Lock()
+        # statement→plan cache for the point-query path: repeated identical
+        # SELECTs (the reference's signature Gatling/gRPC workload shape,
+        # LoadSimulation.scala:47) re-pay parse→analyze→spark.read→compile
+        # on every call — ~99 ms/rpc of pure plan build at local[32]. Keyed
+        # on (db, ns, metric, statement fingerprint) and guarded by a
+        # per-metric mutation counter + schema-file mtime, so any write,
+        # delete, drop, restore, retention eviction, or rollup (de)registration
+        # invalidates. Time-dependent statements (relative `now`, SINCE
+        # grace) bypass — their compiled literals embed the clock.
+        self._plan_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._plan_cache_lock = threading.Lock()
+        self._plan_cache_cap = 256
+        self._metric_versions: dict[tuple[str, str, str], int] = {}
+
+    # ------------------------------------------------------ plan-cache plumbing
+    def _metric_version(self, db: str, ns: str, metric: str) -> int:
+        return self._metric_versions.get((db, ns, metric), 0)
+
+    def _bump_metric_version(self, db: str, ns: str, metric: str) -> None:
+        """Any mutation that can change a compiled plan's result: data
+        writes/deletes, schema unions, drops, restores, retention
+        eviction, rollup materialization/invalidation."""
+        key = (db, ns, metric)
+        with self._plan_cache_lock:
+            self._metric_versions[key] = self._metric_versions.get(key, 0) + 1
+
+    def _schema_mtime(self, db: str, ns: str, metric: str) -> int:
+        """mtime_ns of schema.json — catches out-of-process schema unions
+        (a second engine over the same warehouse dir)."""
+        p = os.path.join(self.warehouse.metric_path(db, ns, metric), "schema.json")
+        try:
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            return -1
 
     # ------------------------------------------------------------- write path
     def insert_bits(self, db: str, ns: str, metric: str, bits: list[Bit]) -> int:
@@ -283,6 +318,9 @@ class NsdbEngine:
         Serialized per metric: every merge below is read-merge-overwrite,
         and unserialized concurrent batches would silently drop each
         other's partials (lost update)."""
+        # common chokepoint for every completed data write (record, bulk,
+        # streaming): cached plans over this metric are now stale
+        self._bump_metric_version(db, ns, metric)
         with self._metric_rollup_lock(db, ns, metric):
             return self._maintain_rollups_locked(db, ns, metric, lo, hi, batch_df)
 
@@ -423,6 +461,7 @@ class NsdbEngine:
             return self.delete(stmt, time_context)
         if isinstance(stmt, ast.DropSQLStatement):
             self.warehouse.drop_metric(db, ns, stmt.metric)
+            self._bump_metric_version(db, ns, stmt.metric)
             return None
         if isinstance(stmt, ast.ShowMetrics):
             return self.warehouse.metrics(db, ns)
@@ -446,34 +485,103 @@ class NsdbEngine:
         df, _parsed, _routed = self._plan_select(stmt, time_context)
         return df
 
+    #: result rows are cached alongside the plan only under this bound —
+    #: the cache is for the dashboard/point-query shape, not bulk scans
+    _RESULT_CACHE_MAX_ROWS = 10_000
+
+    def collect_select(
+        self, stmt: ast.SelectSQLStatement, time_context: TimeContext | None = None
+    ) -> list:
+        """execute_select + collect, with the collected rows cached under
+        the SAME (statement fingerprint, metric version, schema mtime)
+        token as the compiled plan: a repeated identical point query (the
+        reference's Gatling/gRPC load shape) skips Spark's per-action
+        overhead entirely, and any mutation invalidates rows and plan
+        together. Results above _RESULT_CACHE_MAX_ROWS rows are returned
+        but not retained."""
+        db, ns = stmt.db or "default", stmt.namespace or "default"
+        fp = repr(stmt)
+        cacheable = (
+            stmt.grace_period is None and "RelativeComparisonValue" not in fp
+        )
+        key = token = None
+        if cacheable:
+            key = (db, ns, stmt.metric, fp)
+            token = (
+                self._metric_version(db, ns, stmt.metric),
+                self._schema_mtime(db, ns, stmt.metric),
+            )
+            with self._plan_cache_lock:
+                hit = self._plan_cache.get(key)
+                if hit is not None and hit[0] == token and hit[2] is not None:
+                    self._plan_cache.move_to_end(key)
+                    return hit[2]
+        rows = self.execute_select(stmt, time_context).collect()
+        if cacheable and len(rows) <= self._RESULT_CACHE_MAX_ROWS:
+            with self._plan_cache_lock:
+                hit = self._plan_cache.get(key)
+                # only attach to an entry still carrying the same token —
+                # a mutation mid-collect must not resurrect stale rows
+                if hit is not None and hit[0] == token:
+                    hit[2] = rows
+        return rows
+
     def _plan_select(
         self, stmt: ast.SelectSQLStatement, time_context: TimeContext | None = None
     ) -> tuple[DataFrame, Any, bool]:
         """Shared SELECT planning: (DataFrame, analyzed plan, rollup-routed?).
         execute_select returns the frame; explain_select reports the rest."""
         db, ns = stmt.db or "default", stmt.namespace or "default"
+        # plan-cache fast path: deterministic statements (no relative `now`,
+        # no SINCE grace — both compile clock-dependent literals) keyed by
+        # the frozen-dataclass AST fingerprint, validated against the
+        # per-metric mutation counter + schema-file mtime
+        fp = repr(stmt)
+        cacheable = (
+            stmt.grace_period is None and "RelativeComparisonValue" not in fp
+        )
+        if cacheable:
+            key = (db, ns, stmt.metric, fp)
+            token = (
+                self._metric_version(db, ns, stmt.metric),
+                self._schema_mtime(db, ns, stmt.metric),
+            )
+            with self._plan_cache_lock:
+                hit = self._plan_cache.get(key)
+                if hit is not None and hit[0] == token:
+                    self._plan_cache.move_to_end(key)
+                    return hit[1]
         schema = self.warehouse.get_schema(db, ns, stmt.metric)
         parsed = analyzer.analyze(stmt, schema)
         ctx = time_context or TimeContext(self.now_fn())
         info = self.warehouse.get_info(db, ns, stmt.metric)
         routed = self._route_via_rollup(db, ns, stmt, parsed, info)
         if routed is not None:
-            return routed, parsed, True
-        df = self.read_metric(db, ns, stmt.metric)
-        df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])
-        compiler = QueryCompiler(
-            self.spark,
-            shard_interval_ms=info["shardInterval"],
-            approx_count_distinct=self.approx_count_distinct,
-        )
-        locations = self.warehouse.locations(db, ns, stmt.metric)
-        return (
-            compiler.compile(
-                df.drop(SHARD_COL), schema, parsed, ctx, locations=locations or None
-            ),
-            parsed,
-            False,
-        )
+            out = (routed, parsed, True)
+        else:
+            df = self.read_metric(db, ns, stmt.metric)
+            df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])
+            compiler = QueryCompiler(
+                self.spark,
+                shard_interval_ms=info["shardInterval"],
+                approx_count_distinct=self.approx_count_distinct,
+            )
+            locations = self.warehouse.locations(db, ns, stmt.metric)
+            out = (
+                compiler.compile(
+                    df.drop(SHARD_COL), schema, parsed, ctx, locations=locations or None
+                ),
+                parsed,
+                False,
+            )
+        if cacheable:
+            with self._plan_cache_lock:
+                # [token, (df, parsed, routed), collected-rows-or-None]
+                self._plan_cache[key] = [token, out, None]
+                self._plan_cache.move_to_end(key)
+                while len(self._plan_cache) > self._plan_cache_cap:
+                    self._plan_cache.popitem(last=False)
+        return out
 
     def explain_select(
         self,
@@ -550,6 +658,26 @@ class NsdbEngine:
             query_string, db=db, ns=ns, from_ts=from_ts, to_ts=to_ts, filters=filters
         )
         return self.execute_select(stmt, time_context)
+
+    def query_records(
+        self,
+        query_string: str,
+        db: str = "default",
+        ns: str = "default",
+        from_ts: int | None = None,
+        to_ts: int | None = None,
+        filters: list[tuple[str, Any, str]] | None = None,
+        time_context: TimeContext | None = None,
+    ) -> list[dict]:
+        """`query` + collect through the result cache — the HTTP/WS
+        serving path (QueryApi's record payload shape)."""
+        stmt = self.enrich_statement(
+            query_string, db=db, ns=ns, from_ts=from_ts, to_ts=to_ts, filters=filters
+        )
+        return [
+            r.asDict(recursive=True)
+            for r in self.collect_select(stmt, time_context)
+        ]
 
     def enrich_statement(
         self,
@@ -658,6 +786,7 @@ class NsdbEngine:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         self.warehouse.invalidate_rollups(db, ns, stmt.metric)
+        self._bump_metric_version(db, ns, stmt.metric)
         return len(affected)
 
     # ------------------------------------------------------------- rollups
@@ -694,6 +823,7 @@ class NsdbEngine:
             path = self.warehouse.rollup_path(db, ns, metric, fine_ms)
             r.write.mode("overwrite").parquet(path)
             self.warehouse.register_rollup(db, ns, metric, fine_ms, bounds)
+            self._bump_metric_version(db, ns, metric)
             return bounds
 
     def materialize_quantile_rollup(
@@ -724,6 +854,7 @@ class NsdbEngine:
             self.warehouse.register_quantile_rollup(
                 db, ns, metric, fine_ms, bounds, vrange, nbins
             )
+            self._bump_metric_version(db, ns, metric)
             return bounds, vrange
 
     def materialize_distinct_rollup(
@@ -751,6 +882,7 @@ class NsdbEngine:
             path = self.warehouse.distinct_rollup_path(db, ns, metric, field, fine_ms)
             r.write.mode("overwrite").parquet(path)
             self.warehouse.register_distinct_rollup(db, ns, metric, field, fine_ms, bounds, p)
+            self._bump_metric_version(db, ns, metric)
             return bounds
 
     def percentile(
@@ -826,6 +958,7 @@ class NsdbEngine:
             path = self.warehouse.group_rollup_path(db, ns, metric, field)
             r.write.mode("overwrite").parquet(path)
             self.warehouse.register_group_rollup(db, ns, metric, field)
+            self._bump_metric_version(db, ns, metric)
             return self.spark.read.parquet(path).count()
 
 
@@ -1045,6 +1178,7 @@ class NsdbEngine:
             if dropped:
                 # evicted shards change every aggregate — rollups are stale
                 self.warehouse.invalidate_rollups(db, ns, metric)
+                self._bump_metric_version(db, ns, metric)
             return dropped
 
     # ------------------------------------------------------------- dump/restore
@@ -1072,6 +1206,11 @@ class NsdbEngine:
         # same path — drop them so the first post-restore query sees the
         # restored bytes
         self.spark.catalog.clearCache()
+        # a restore can land under ANY metric name (manifest-driven) —
+        # drop every cached plan rather than guessing the key
+        with self._plan_cache_lock:
+            self._plan_cache.clear()
+            self._metric_versions.clear()
         return manifest
 
     # ------------------------------------------------------------- compaction

@@ -38,7 +38,10 @@ class NsdbGrpcClient:
             while True:
                 ftype, flags, sid, payload = self.conn.read_frame()
                 self.conn.handle_frame(ftype, flags, sid, payload, lambda *a: None)
-        except (ConnectionClosed, OSError):
+        except Exception:
+            # not just ConnectionClosed/OSError: an HpackError (or any
+            # decode error) must also tear the connection down, else every
+            # pending read_message waiter blocks until its own timeout
             self.conn.close()
 
     def _new_stream(self):
@@ -66,7 +69,10 @@ class NsdbGrpcClient:
         meta = dict(stream.headers) | dict(stream.trailers)
         code = int(meta.get("grpc-status", "0"))
         if code != 0:
-            raise GrpcError(code, meta.get("grpc-message", ""))
+            # grpc-message is percent-encoded UTF-8 per the gRPC spec
+            from urllib.parse import unquote
+
+            raise GrpcError(code, unquote(meta.get("grpc-message", "")))
 
     def call(self, path: str, req_desc, resp_desc, request: dict, timeout: float = 30.0) -> dict:
         sid, stream = self._start_call(path, proto.encode(req_desc, request))

@@ -35,6 +35,10 @@ SETTINGS_INITIAL_WINDOW_SIZE = 0x4
 SETTINGS_MAX_FRAME_SIZE = 0x5
 
 DEFAULT_WINDOW = 65535
+#: per-stream receive-buffer cap: stop replenishing the stream window once
+#: Stream.body holds this much unconsumed data (gRPC messages here are
+#: dashboard-sized; 4 MiB is generous for any legitimate insert batch)
+MAX_BUFFERED_BODY = 4 * 1024 * 1024
 
 # RFC 7540 §7 error codes we emit
 ERR_PROTOCOL = 0x1
@@ -110,6 +114,14 @@ class Http2Connection:
 
     def __init__(self, sock: socket.socket, is_server: bool):
         self.sock = sock
+        # a unary RPC response is 3+ separate sends (HEADERS, DATA,
+        # trailers) — with Nagle on, the later sends stall behind the
+        # peer's delayed ACK (~40 ms/rpc on loopback). gRPC over HTTP/2
+        # does its own buffering; disable Nagle like every gRPC runtime.
+        try:
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        except OSError:  # pragma: no cover - non-TCP test doubles
+            pass
         self.is_server = is_server
         self.write_lock = threading.Lock()
         self.hpack_dec = Decoder()
@@ -204,6 +216,13 @@ class Http2Connection:
         with self.window_cond:
             self.closed = True
             self.window_cond.notify_all()
+        # wake every blocked read_message waiter — a reader-thread death
+        # (e.g. an HPACK decode error) must fail pending calls NOW, not
+        # after each one's own timeout
+        with self.streams_lock:
+            streams = list(self.streams.values())
+        for st in streams:
+            st.mark_reset()
         try:
             self.sock.close()
         except OSError:
@@ -231,7 +250,14 @@ class Http2Connection:
                                 st.send_window += delta
                         self.window_cond.notify_all()
                 elif k == SETTINGS_HEADER_TABLE_SIZE:
-                    self.hpack_dec.protocol_max = v
+                    # RFC 7541 §4.2: the peer's SETTINGS_HEADER_TABLE_SIZE
+                    # bounds the table OUR ENCODER may use toward the peer
+                    # (our encoder is stateless, so nothing to do); our
+                    # DECODER is bounded by the size WE advertised (4096
+                    # default). Applying the peer's value to the decoder
+                    # let a peer arbitrarily raise our memory cap or force
+                    # spurious COMPRESSION_ERRORs on valid size updates.
+                    pass
             self.send_settings(ack=True)
         elif ftype == PING:
             if not flags & FLAG_ACK:
@@ -260,6 +286,11 @@ class Http2Connection:
         elif ftype == CONTINUATION:
             if self._pending_header_block is None or sid != self._pending_header_sid:
                 raise HpackError("unexpected CONTINUATION")
+            # CONTINUATION flood guard: header blocks here are a handful of
+            # small gRPC headers; an endless un-END_HEADERS'd stream of
+            # CONTINUATION frames must not grow driver memory unboundedly
+            if len(self._pending_header_block) + len(payload) > 64 * 1024:
+                raise HpackError("header block exceeds 64 KiB")
             self._pending_header_block += payload
             if flags & FLAG_END_HEADERS:
                 block = bytes(self._pending_header_block)
@@ -273,11 +304,28 @@ class Http2Connection:
                 body = body[1:-pad] if pad else body[1:]
             st = self.get_stream(sid)
             st.feed(body, bool(flags & FLAG_END_STREAM))
-            # replenish receive windows for the full frame (incl. padding)
+            # replenish receive windows for the full frame (incl. padding).
+            # The CONNECTION window always replenishes (one flooding stream
+            # must not starve the others), but the STREAM window only
+            # replenishes while the buffered body stays under the cap — a
+            # peer streaming unbounded DATA on a unary stream (whose
+            # handler reads exactly one message) would otherwise grow
+            # Stream.body without limit. Past the cap the peer stalls on
+            # its ~64 KiB remaining window; exceeding cap + 2 windows is a
+            # flow-control violation and kills the stream.
             if payload:
                 self.send_frame(WINDOW_UPDATE, 0, 0, struct.pack(">I", len(payload)))
                 if not flags & FLAG_END_STREAM:
-                    self.send_frame(WINDOW_UPDATE, 0, sid, struct.pack(">I", len(payload)))
+                    buffered = len(st.body)
+                    if buffered > MAX_BUFFERED_BODY + 2 * DEFAULT_WINDOW:
+                        self.send_frame(
+                            RST_STREAM, 0, sid, struct.pack(">I", ERR_FLOW_CONTROL)
+                        )
+                        st.mark_reset()
+                    elif buffered <= MAX_BUFFERED_BODY:
+                        self.send_frame(
+                            WINDOW_UPDATE, 0, sid, struct.pack(">I", len(payload))
+                        )
         elif ftype == RST_STREAM:
             with self.streams_lock:
                 st = self.streams.get(sid)

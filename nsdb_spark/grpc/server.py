@@ -203,6 +203,22 @@ class NsdbGrpcServer:
         finally:
             conn.release_stream(stream.sid)
 
+    @staticmethod
+    def _grpc_message(message: str) -> str:
+        """Percent-encode per the gRPC spec (grpc-message is
+        percent-encoded UTF-8): bytes outside printable ASCII — and '%'
+        itself — become %XX. An engine exception carrying non-latin-1
+        text previously blew up inside the HPACK encoder, so no trailers
+        were sent and the client stalled to its timeout."""
+        raw = message.replace("\n", " ")[:512].encode("utf-8")
+        out = []
+        for b in raw:
+            if 0x20 <= b <= 0x7E and b != 0x25:  # printable, not '%'
+                out.append(chr(b))
+            else:
+                out.append(f"%{b:02X}")
+        return "".join(out)
+
     def _trailers_only(self, conn: Http2Connection, sid: int, code: int, message: str) -> None:
         try:
             conn.send_headers(
@@ -211,7 +227,7 @@ class NsdbGrpcServer:
                     (":status", "200"),
                     ("content-type", "application/grpc"),
                     ("grpc-status", str(code)),
-                    ("grpc-message", message.replace("\n", " ")[:512]),
+                    ("grpc-message", self._grpc_message(message)),
                 ],
                 end_stream=True,
             )
@@ -291,7 +307,7 @@ class NsdbGrpcServer:
             metric = getattr(stmt, "metric", "")
             if isinstance(stmt, ast.SelectSQLStatement):
                 schema = self.engine.warehouse.get_schema(db, ns, metric)
-                rows = [r.asDict() for r in self.engine.execute_select(stmt).collect()]
+                rows = [r.asDict() for r in self.engine.collect_select(stmt)]
                 records = [proto.bit_to_proto(r, schema) for r in rows]
                 return {**base, "metric": metric, "completedSuccessfully": True,
                         "records": records}

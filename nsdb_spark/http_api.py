@@ -187,7 +187,7 @@ class _Handler(BaseHTTPRequestHandler):
                     (f["dimension"], f["value"], f["operator"])
                     for f in b.get("filters") or []
                 ]
-                df = self.engine.query(
+                records = self.engine.query_records(
                     b["queryString"],
                     db=b.get("db", "default"),
                     ns=b.get("namespace", "default"),
@@ -195,7 +195,7 @@ class _Handler(BaseHTTPRequestHandler):
                     to_ts=b.get("to"),
                     filters=filters,
                 )
-                self._send(200, {"records": _records(df)})
+                self._send(200, {"records": records})
             elif self.path == "/data":
                 b = self._body()
                 if not self._authorized(
@@ -378,7 +378,7 @@ class _Handler(BaseHTTPRequestHandler):
                     (f["dimension"], f["value"], f["operator"])
                     for f in b.get("filters") or []
                 ]
-                df = self.engine.query(
+                records = self.engine.query_records(
                     b["queryString"],
                     db=b.get("db", "default"),
                     ns=b.get("namespace", "default"),
@@ -386,7 +386,7 @@ class _Handler(BaseHTTPRequestHandler):
                     to_ts=b.get("to"),
                     filters=filters,
                 )
-                self._send(200, {"records": _records(df)})
+                self._send(200, {"records": records})
                 return
             parts = [p.split("?")[0] for p in self.path.split("/") if p]
             if len(parts) == 2 and parts[0] == "poll":

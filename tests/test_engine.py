@@ -1578,3 +1578,67 @@ def test_dump_refuses_missing_metric_and_existing_dest(engine, tmp_path):
     dest.mkdir()
     with pytest.raises(ValueError, match="already exists"):
         engine.dump_metric_bundle("default", "default", "longMetric", str(dest))
+
+
+# ---------------------------------------------------------------- plan cache
+
+
+def test_plan_cache_hits_and_write_invalidation(long_engine):
+    """Repeated identical SELECTs serve the compiled plan from the cache
+    (the reference's Gatling/gRPC point-query shape); any insert bumps the
+    metric version so the next call replans and sees the new row — and a
+    schema-unioning insert's new field appears in SELECT *."""
+    sql = "select * from longMetric order by timestamp limit 3"
+    df1 = long_engine.execute(sql)
+    df2 = long_engine.execute(sql)
+    assert df2 is df1  # cache hit returns the same compiled frame
+    n_before = len(long_engine.execute("select * from longMetric").collect())
+    long_engine.insert_bits(
+        "default", "default", "longMetric",
+        [Bit(999999, 42, {"surname": "Doe"}, {"name": "Zed", "fresh": "yes"})],
+    )
+    df3 = long_engine.execute("select * from longMetric")
+    out = df3.collect()
+    assert len(out) == n_before + 1  # replanned: new row visible
+    assert "fresh" in df3.columns  # schema union visible post-invalidation
+
+
+def test_plan_cache_bypasses_relative_time(long_engine):
+    """Relative-`now` statements compile the clock into literals — they
+    must never be served from the cache."""
+    sql = "select * from longMetric where timestamp >= now - 1 s"
+    # fixture timestamps are 1..10 ms: now=1005 keeps ts>=5, now=2000 none
+    a = long_engine.execute(sql, time_context=TimeContext(1005))
+    b = long_engine.execute(sql, time_context=TimeContext(2000))
+    assert a is not b
+    assert len(a.collect()) == 3 and len(b.collect()) == 0
+
+
+def test_plan_cache_delete_and_drop_invalidate(long_engine):
+    sql = "select count(*) from longMetric"
+    before = long_engine.execute(sql).collect()[0][0]
+    long_engine.execute("delete from longMetric where timestamp >= 8")
+    after = long_engine.execute(sql).collect()[0][0]
+    assert after < before
+    long_engine.execute("drop metric longMetric")
+    from nsdb_spark.catalog import MetricNotFound
+
+    with pytest.raises(MetricNotFound):
+        long_engine.execute(sql)
+
+
+def test_result_cache_serves_and_invalidates(long_engine):
+    """collect_select caches collected rows under the plan-cache token:
+    identical repeats skip the Spark action; any write invalidates."""
+    from nsdb_spark.sql.parser import parse
+
+    stmt = parse("select * from longMetric", db="default", namespace="default")
+    r1 = long_engine.collect_select(stmt)
+    r2 = long_engine.collect_select(stmt)
+    assert r2 is r1  # served from the result cache, no second action
+    long_engine.insert_bits(
+        "default", "default", "longMetric",
+        [Bit(11, 7, {"surname": "Doe"}, {"name": "New"})],
+    )
+    r3 = long_engine.collect_select(stmt)
+    assert len(r3) == len(r1) + 1

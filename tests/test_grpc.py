@@ -583,3 +583,181 @@ def test_hpack_dynamic_table_eviction_on_size_update():
     assert not dec.table and dec.size == 0
     with pytest.raises(hpack.HpackError):
         dec.decode(bytes([0x80 | 62]))  # first dynamic index now invalid
+
+
+# -------------------------------------------------- round-6 hardening
+
+
+def test_peer_header_table_size_does_not_raise_decoder_cap(grpc_server):
+    """RFC 7541 §4.2: a peer's SETTINGS_HEADER_TABLE_SIZE constrains the
+    peer-facing ENCODER, never our decoder. A peer announcing a huge (or
+    tiny) value must not move the server decoder's memory cap — a
+    size-update within our advertised 4096 stays valid either way."""
+    import socket
+    import struct as st
+    from nsdb_spark.grpc.http2 import (
+        Http2Connection, PREFACE, PING, FLAG_ACK, SETTINGS_HEADER_TABLE_SIZE,
+    )
+
+    sock = socket.create_connection((grpc_server.host, grpc_server.port), timeout=10)
+    conn = Http2Connection(sock, is_server=False)
+    sock.sendall(PREFACE)
+    # announce a 16 MiB header table (attack: raise server memory cap),
+    # then a 0-byte one (attack: force COMPRESSION_ERROR on size updates)
+    conn.send_settings({SETTINGS_HEADER_TABLE_SIZE: 16 * 1024 * 1024})
+    conn.send_settings({SETTINGS_HEADER_TABLE_SIZE: 0})
+    conn.send_frame(PING, 0, 0, b"settleok")
+    alive = False
+    for _ in range(50):
+        ftype, flags, sid, payload = conn.read_frame()
+        if ftype == PING and flags & FLAG_ACK:
+            alive = True
+            break
+    assert alive
+    conn.close()
+
+
+def test_data_flood_on_unary_stream_is_bounded(grpc_server, monkeypatch):
+    """A client streaming unbounded DATA on a unary stream (whose handler
+    reads exactly one message) must not grow server memory without limit:
+    past the buffer cap the server stops granting stream WINDOW_UPDATEs
+    and RSTs a flow-control violator — and keeps serving the connection."""
+    import socket
+    import struct as st
+    from nsdb_spark.grpc import http2 as h2
+
+    monkeypatch.setattr(h2, "MAX_BUFFERED_BODY", 8192)
+    sock = socket.create_connection((grpc_server.host, grpc_server.port), timeout=10)
+    conn = h2.Http2Connection(sock, is_server=False)
+    sock.sendall(h2.PREFACE)
+    conn.send_settings({})
+    sid = 1
+    conn.send_headers(sid, [
+        (":method", "POST"), (":scheme", "http"),
+        (":path", "/io.radicalbit.nsdb.rpc.NSDBServiceSQL/ExecuteSQLStatement"),
+        (":authority", "t"), ("content-type", "application/grpc"),
+        ("te", "trailers"),
+    ])
+    # flood: valid length-prefixed garbage messages, way past the 8 KiB cap
+    chunk = b"\x00" + st.pack(">I", 1024) + b"z" * 1024
+    grants = 0
+    rst = False
+    import threading
+    def pump():
+        nonlocal grants, rst
+        try:
+            while True:
+                ftype, flags, fsid, payload = conn.read_frame()
+                if ftype == h2.WINDOW_UPDATE and fsid == sid:
+                    grants += st.unpack(">I", payload)[0] & 0x7FFFFFFF
+                if ftype == h2.RST_STREAM and fsid == sid:
+                    rst = True
+                    return
+        except Exception:
+            pass
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    sent = 0
+    try:
+        for _ in range(256):  # 256 KiB total, 32x the cap
+            conn.send_frame(h2.DATA, 0, sid, chunk)
+            sent += len(chunk)
+    except (ConnectionError, OSError):
+        pass  # server may RST/close mid-flood — that's the defense working
+    t.join(timeout=10)
+    # stream window grants must stop at the cap (plus the initial 64 KiB
+    # window the flood rode in on); a violator gets RST_STREAM
+    assert grants <= 8192 + 2 * h2.DEFAULT_WINDOW
+    conn.close()
+
+
+def test_grpc_message_percent_encodes_non_ascii():
+    from nsdb_spark.grpc.server import NsdbGrpcServer
+
+    enc = NsdbGrpcServer._grpc_message("métric ∉ catalog %50")
+    assert all(0x20 <= ord(c) <= 0x7E for c in enc)
+    from urllib.parse import unquote
+
+    assert unquote(enc) == "métric ∉ catalog %50"
+
+
+def test_grpc_unicode_error_message_reaches_client(grpc_server, grpc_client):
+    """End-to-end: a handler error whose text carries non-latin-1
+    characters must arrive as a decoded gRPC trailer error, not blow up
+    inside the HPACK encoder and stall the client until timeout."""
+    from nsdb_spark.grpc import proto
+    from nsdb_spark.grpc.client import GrpcError
+
+    path = "/io.radicalbit.nsdb.rpc.NSDBServiceCommand/describeMetric"
+    req_desc, resp_desc, _handler, auth = grpc_server._unary[path]
+
+    def boom(request):
+        raise ValueError("métric ∉ catalog")
+
+    grpc_server._unary[path] = (req_desc, resp_desc, boom, auth)
+    try:
+        with pytest.raises(GrpcError) as ei:
+            grpc_client.call(
+                path, proto.DESCRIBE_METRIC, proto.DESCRIBE_METRIC_RESPONSE,
+                {"db": "default", "namespace": "default", "metric": "m"},
+                timeout=10.0,
+            )
+        assert "métric ∉ catalog" in str(ei.value)
+    finally:
+        grpc_server._unary[path] = (req_desc, resp_desc, _handler, auth)
+
+
+def test_continuation_flood_is_rejected(grpc_server):
+    """h2spec-style: HEADERS without END_HEADERS followed by an unbounded
+    CONTINUATION stream must tear the connection down (bounded memory),
+    not accumulate forever."""
+    import socket
+    from nsdb_spark.grpc import http2 as h2
+
+    sock = socket.create_connection((grpc_server.host, grpc_server.port), timeout=10)
+    conn = h2.Http2Connection(sock, is_server=False)
+    sock.sendall(h2.PREFACE)
+    conn.send_settings({})
+    block = conn.hpack_enc.encode([(":method", "POST"), (":path", "/x")])
+    conn.send_frame(h2.HEADERS, 0, 1, block)  # no END_HEADERS
+    closed = False
+    try:
+        for _ in range(64):  # 64 × 8 KiB = 512 KiB >> 64 KiB cap
+            conn.send_frame(h2.CONTINUATION, 0, 1, b"\x00" * 8192)
+    except (ConnectionError, OSError):
+        closed = True
+    if not closed:
+        sock.settimeout(10)
+        try:
+            while True:
+                if not sock.recv(4096):
+                    closed = True
+                    break
+        except (ConnectionError, OSError, TimeoutError):
+            closed = True
+    assert closed
+    conn.close()
+
+
+def test_priority_and_settings_ack_misuse_do_not_disrupt(grpc_server):
+    """h2spec-style: PRIORITY frames (incl. on stream 0) are ignored and a
+    spurious SETTINGS ACK never deadlocks — the connection keeps serving."""
+    import socket
+    from nsdb_spark.grpc import http2 as h2
+
+    sock = socket.create_connection((grpc_server.host, grpc_server.port), timeout=10)
+    conn = h2.Http2Connection(sock, is_server=False)
+    sock.sendall(h2.PREFACE)
+    conn.send_settings({})
+    conn.send_frame(h2.PRIORITY, 0, 0, b"\x00\x00\x00\x01\x10")  # misuse: sid 0
+    conn.send_frame(h2.PRIORITY, 0, 3, b"\x00\x00\x00\x01\x10")
+    conn.send_frame(h2.SETTINGS, h2.FLAG_ACK, 0, b"")  # unsolicited ack
+    conn.send_frame(h2.PING, 0, 0, b"stillokk")
+    alive = False
+    for _ in range(50):
+        ftype, flags, sid, payload = conn.read_frame()
+        if ftype == h2.PING and flags & h2.FLAG_ACK and payload == b"stillokk":
+            alive = True
+            break
+    assert alive
+    conn.close()
