@@ -13,10 +13,18 @@ by content size upstream if payloads are skewed.
 """
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: injection seams (round 6): every operator below takes an optional codec
+#: callable — decode_metadata(decoder=), resize_media(resizer=),
+#: sample_frames(frame_sampler=) — defaulting to the deterministic stubs,
+#: so a real PIL/ffmpeg implementation plugs in WITHOUT touching the Arrow
+#: plumbing. Callables are pickled into the executor closure: pass a
+#: module-level function (or functools.partial over one), not a lambda
+#: defined in a REPL.
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, format string"
@@ -53,16 +61,23 @@ def _with_payload(bin_df: DataFrame) -> DataFrame:
     return bin_df.filter(F.col("payload").isNotNull())
 
 
-def decode_metadata(bin_df: DataFrame) -> DataFrame:
+def decode_metadata(
+    bin_df: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, int, str]] | None = None,
+) -> DataFrame:
     """Arrow-batched metadata extraction over a binary column.
 
     Input: (doc_id, payload binary). Output: DECODED_SCHEMA.
+    decoder: payload → (n_bytes, width, height, format). Default is the
+    deterministic stub; inject a real codec (e.g. PIL) here.
     """
     import pandas as pd
 
+    decode = decoder or _decode_stub
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            meta = [_decode_stub(p) for p in pdf["payload"]]
+            meta = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 meta, columns=["n_bytes", "width", "height", "format"]
             )
@@ -80,12 +95,23 @@ def document_media_metadata(docs: DataFrame, text_col: str = "text") -> DataFram
 RESIZED_SCHEMA = "doc_id long, out_bytes int, payload_digest string"
 
 
-def resize_media(bin_df: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
-    """Arrow-batched 'resize': the stub crops/keeps the payload to
-    target_w × target_h bytes (a real implementation swaps in
-    PIL.Image.resize). Output carries the resized size and an md5 digest of
-    the resized payload so results stay oracle-checkable without shipping
-    binaries through the compare.
+def _resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic fake resize: crop/keep to target_w × target_h bytes."""
+    return bytes(payload)[: target_w * target_h]
+
+
+def resize_media(
+    bin_df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched 'resize'. Output carries the resized size and an md5
+    digest of the resized payload so results stay oracle-checkable without
+    shipping binaries through the compare.
+
+    resizer: (payload, w, h) → resized bytes. Default is the deterministic
+    crop stub; inject PIL.Image.resize-backed bytes here.
 
     Input: (doc_id, payload binary). One pass, no shuffle; Arrow moves each
     batch once in each direction.
@@ -94,11 +120,11 @@ def resize_media(bin_df: DataFrame, target_w: int = 32, target_h: int = 32) -> D
 
     import pandas as pd
 
-    cap = target_w * target_h
+    resize = resizer or _resize_stub
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            resized = [bytes(p)[:cap] for p in pdf["payload"]]
+            resized = [resize(p, target_w, target_h) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -113,32 +139,46 @@ def resize_media(bin_df: DataFrame, target_w: int = 32, target_h: int = 32) -> D
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
 
 
+def _frame_walk_stub(
+    payload: bytes, frame_bytes: int, every: int
+) -> list[tuple[int, bytes]]:
+    """Deterministic fake keyframe walk: fixed-size frames, every
+    `every`-th kept; partial trailing frames kept (truncated last GOP)."""
+    b = bytes(payload)
+    n_frames = -(-len(b) // frame_bytes) if b else 0
+    return [
+        (i, b[i * frame_bytes : (i + 1) * frame_bytes])
+        for i in range(0, n_frames, every)
+    ]
+
+
 def sample_frames(
-    bin_df: DataFrame, frame_bytes: int = 64, every: int = 4
+    bin_df: DataFrame,
+    frame_bytes: int = 64,
+    every: int = 4,
+    frame_sampler: Callable[[bytes, int, int], list[tuple[int, bytes]]] | None = None,
 ) -> DataFrame:
-    """Arrow-batched frame sampling: treat the payload as a stream of
-    fixed-size frames and keep every `every`-th one (a real implementation
-    swaps in an ffmpeg keyframe walk). Output one row per sampled frame —
+    """Arrow-batched frame sampling. Output one row per sampled frame —
     the row-expanding mapInPandas shape a video pipeline needs.
 
-    Partial trailing frames are kept (like a truncated last GOP).
+    frame_sampler: (payload, frame_bytes, every) → [(frame_idx, frame
+    bytes), ...]. Default is the deterministic fixed-size walk; inject an
+    ffmpeg keyframe walk here.
     """
     import hashlib
 
     import pandas as pd
 
+    sampler = frame_sampler or _frame_walk_stub
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
-                n_frames = -(-len(b) // frame_bytes) if b else 0
-                for i in range(0, n_frames, every):
+                for i, frame in sampler(p, frame_bytes, every):
                     ids.append(doc_id)
                     idxs.append(i)
-                    digests.append(
-                        hashlib.md5(b[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
-                    )
+                    digests.append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_digest": digests}
             )

@@ -5920,3 +5920,50 @@ def test_hurst_random_walk_near_one(spark):
     ).collect()}
     assert got["walk"] > 0.8
     assert got["noise"] < got["walk"] - 0.2
+
+
+def test_multimodal_codec_injection_seams(spark):
+    """A real codec plugs in through the decoder/resizer/frame_sampler
+    callables without touching the Arrow plumbing; the default stub path
+    is unchanged (same digests the mm_* oracles pin). The fakes are
+    nested so cloudpickle ships them by value (a pytest module isn't
+    importable on executors)."""
+    import hashlib
+
+    from nsdb_spark.operators import multimodal
+
+    def _fake_decoder(payload):
+        return len(payload), 640, 480, "jpeg"
+
+    def _fake_resizer(payload, w, h):
+        return bytes(payload)[::-1][: w * h]  # reversed crop — distinguishable
+
+    def _fake_frame_walk(payload, frame_bytes, every):
+        b = bytes(payload)
+        return [(0, b[:frame_bytes])] if b else []  # keyframe-only walk
+
+    docs = spark.createDataFrame(
+        [(1, "payload-one"), (2, "p2")], "doc_id long, text string"
+    )
+    b = multimodal.attach_binary(docs)
+
+    dec = {r["doc_id"]: r for r in
+           multimodal.decode_metadata(b, decoder=_fake_decoder).collect()}
+    assert dec[1]["width"] == 640 and dec[1]["format"] == "jpeg"
+    assert dec[1]["n_bytes"] == len("payload-one")
+
+    rz = {r["doc_id"]: r for r in
+          multimodal.resize_media(b, 2, 2, resizer=_fake_resizer).collect()}
+    assert rz[1]["out_bytes"] == 4
+    assert rz[1]["payload_digest"] == hashlib.md5(
+        b"payload-one"[::-1][:4]).hexdigest()
+
+    fr = multimodal.sample_frames(
+        b, frame_bytes=4, every=1, frame_sampler=_fake_frame_walk
+    ).collect()
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in fr) == [(1, 0), (2, 0)]
+
+    # stub path identical with and without explicit default
+    d_default = multimodal.decode_metadata(b).collect()
+    d_explicit = multimodal.decode_metadata(b, decoder=None).collect()
+    assert sorted(map(tuple, d_default)) == sorted(map(tuple, d_explicit))
