@@ -156,6 +156,12 @@ def main() -> None:
         "nsdb_temporal_since",
         "nsdb_temporal_not_range",
         "nsdb_temporal_or_ranges",
+        "profile_columns",
+        "profile_moments",
+        "profile_fk_orphans",
+        "profile_pk_unique",
+        "profile_daily_completeness",
+        "profile_weekly_drift",
         "nsdb_relative_time",
         "nsdb_nullable_predicates",
         "nsdb_like_infix_count",

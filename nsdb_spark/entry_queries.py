@@ -34,6 +34,7 @@ from .operators import (
     multimodal,
     packing,
     pq,
+    profiling,
     ranking,
     rollup,
     sampling,
@@ -839,6 +840,9 @@ _CHECK_PREFIX_R5 = [
 #: against DuckDB at sf0.01 via tools/check_oracles.py before the close.
 _CHECK_PREFIX_R6 = [
     "nsdb_temporal_not_range", "nsdb_temporal_or_ranges",
+    "profile_columns", "profile_moments", "profile_fk_orphans",
+    "profile_pk_unique", "profile_daily_completeness",
+    "profile_weekly_drift",
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
     "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
     "tsa_anomaly", "emb_diversity", "stats_bootstrap",
@@ -852,8 +856,7 @@ _CHECK_PREFIX_R6 = [
     "stats_wilson", "events_concurrency", "sim_topk_filtered",
     "stats_cohens_d", "stats_zipf", "join_asof_forward", "graph_hits",
     "stats_lorenz", "kmeans_cells", "stats_partial_corr",
-    "emb_silhouette", "stats_pct_rank", "text_ttr", "tsa_crosscorr",
-    "stats_kendall", "stats_cramers_v", "stats_theil_sen",
+    "emb_silhouette",
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
@@ -861,7 +864,11 @@ _CHECK_PREFIX_R6 = [
 #: re-verification of anything changed in rounds 6-7. Entries changed in
 #: a round jump the queue into that round's prefix.
 _ROTATION_QUEUE = [
-    # --- displaced from the round-6 block by the 2 new temporal entries ---
+    # --- displaced from the round-6 block by the 8 new round-6 entries
+    # (2 temporal + 6 profiling); all displaced were verified green at
+    # sf0.01 this round anyway (see the pre-rotation check run) ---
+    "stats_pct_rank", "text_ttr", "tsa_crosscorr",
+    "stats_kendall", "stats_cramers_v", "stats_theil_sen",
     "tsa_periodogram", "graph_adamic_adar",
     # --- round 7 block (33 + changed-entry re-verifies) ---
     "stats_mi", "stats_spearman", "events_paths", "stats_cvm",
@@ -2886,6 +2893,38 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.events_metric(spark, sf),
         x=F.expr("(timestamp div 3600000) % 24").cast("long"),
         y=F.floor(F.col("value") / 100).cast("long"),
+    )
+
+    # --- data profiling / quality auditing (round 6) ---
+    q["profile_columns"] = lambda spark, sf: profiling.column_profile(
+        testdata.table(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+    q["profile_moments"] = lambda spark, sf: profiling.numeric_moments(
+        testdata.table(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    q["profile_fk_orphans"] = lambda spark, sf: profiling.fk_orphans([
+        ("orders->customer", testdata.table(spark, sf, "orders"), "o_custkey",
+         testdata.table(spark, sf, "customer"), "c_custkey"),
+        ("lineitem->orders", testdata.table(spark, sf, "lineitem"), "l_orderkey",
+         testdata.table(spark, sf, "orders"), "o_orderkey"),
+        ("lineitem->part", testdata.table(spark, sf, "lineitem"), "l_partkey",
+         testdata.table(spark, sf, "part"), "p_partkey"),
+    ])
+    q["profile_pk_unique"] = lambda spark, sf: profiling.pk_duplicates([
+        ("customer", testdata.table(spark, sf, "customer"), "c_custkey"),
+        ("documents", testdata.table(spark, sf, "documents"), "doc_id"),
+        ("events", testdata.table(spark, sf, "events"), "event_id"),
+        ("orders", testdata.table(spark, sf, "orders"), "o_orderkey"),
+        ("part", testdata.table(spark, sf, "part"), "p_partkey"),
+    ])
+    q["profile_daily_completeness"] = lambda spark, sf: profiling.daily_completeness(
+        testdata.table(spark, sf, "events"), "ts"
+    )
+    q["profile_weekly_drift"] = lambda spark, sf: profiling.weekly_drift(
+        testdata.table(spark, sf, "events"), "value", "ts"
     )
 
     # The driver's correctness gate checks the FIRST 50 registry entries.
@@ -7824,5 +7863,119 @@ SELECT (SELECT cast(count(*) AS bigint) FROM cells) AS n_cells,
              / nullif((coalesce(concordant, 0)
                        + coalesce(discordant, 0))::DOUBLE, 0), 6) AS gamma
 FROM cc, dd
+"""
+
+    # --- data profiling / quality auditing (round 6) ---
+    def _col_profile_sql(table: str, cols: list[str]) -> str:
+        parts = [
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"round((count(*) - count({c})) * 1.0 / count(*), 6) AS null_frac, "
+            f"count(DISTINCT {c}) AS n_distinct FROM {table}"
+            for c in cols
+        ]
+        return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+    o["profile_columns"] = _col_profile_sql(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+    def _moments_sql(table: str, cols: list[str]) -> str:
+        parts = []
+        for c in cols:
+            parts.append(f"""
+SELECT '{c}' AS col_name, cnt AS n_values,
+       round(m1, 6) AS mean,
+       round(sqrt(m2 - m1*m1), 6) AS std_pop,
+       round((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 6) AS skewness,
+       round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*pow(m1, 4))
+             / pow(m2 - m1*m1, 2) - 3, 6) AS excess_kurtosis
+FROM (SELECT count({c})::BIGINT AS cnt, avg({c}::DOUBLE) AS m1,
+             avg(({c}::DOUBLE)*({c}::DOUBLE)) AS m2,
+             avg(({c}::DOUBLE)*({c}::DOUBLE)*({c}::DOUBLE)) AS m3,
+             avg(({c}::DOUBLE)*({c}::DOUBLE)*({c}::DOUBLE)*({c}::DOUBLE)) AS m4
+      FROM {table}) s""")
+        return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+    o["profile_moments"] = _moments_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    o["profile_fk_orphans"] = """
+WITH rel AS (
+  SELECT 'orders->customer' AS relation,
+         (SELECT count(*) FROM orders) AS n_child,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_fk,
+         (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+         (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+         (SELECT count(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+)
+SELECT relation, n_child, n_null_fk, n_orphans,
+       round(n_orphans * 1.0 / n_child, 6) AS orphan_frac
+FROM rel ORDER BY relation
+"""
+
+    def _pk_sql(label: str, table: str, key: str) -> str:
+        return f"""
+SELECT '{label}' AS table_name, sum(c)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_keys,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_rows,
+       max(c)::BIGINT AS max_multiplicity
+FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key})"""
+
+    o["profile_pk_unique"] = " UNION ALL ".join([
+        _pk_sql("customer", "customer", "c_custkey"),
+        _pk_sql("documents", "documents", "doc_id"),
+        _pk_sql("events", "events", "event_id"),
+        _pk_sql("orders", "orders", "o_orderkey"),
+        _pk_sql("part", "part", "p_partkey"),
+    ]) + " ORDER BY table_name"
+    o["profile_daily_completeness"] = """
+WITH days AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+              FROM events GROUP BY 1),
+axis AS (SELECT unnest(generate_series((SELECT min(day) FROM days),
+                                       (SELECT max(day) FROM days),
+                                       INTERVAL 1 DAY))::DATE AS day),
+filled AS (SELECT a.day, coalesce(d.n_rows, 0) AS n_rows
+           FROM axis a LEFT JOIN days d USING (day)),
+summ AS (SELECT count(*) AS n_days_span,
+                sum(CASE WHEN n_rows = 0 THEN 1 ELSE 0 END) AS n_empty_days,
+                max(n_rows) AS max_daily
+         FROM filled)
+SELECT strftime(f.day, '%Y-%m-%d') AS day, f.n_rows,
+       s.n_days_span::BIGINT AS n_days_span,
+       s.n_empty_days::BIGINT AS n_empty_days,
+       s.max_daily::BIGINT AS max_daily
+FROM filled f, summ s ORDER BY day
+"""
+    o["profile_weekly_drift"] = """
+WITH b AS (SELECT weekofyear(ts) AS week,
+                  least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 9) AS bin
+           FROM events),
+wk AS (SELECT week, bin, count(*) AS c FROM b GROUP BY week, bin),
+wk_tot AS (SELECT week, sum(c) AS wn FROM wk GROUP BY week),
+gl AS (SELECT bin, sum(c) AS g FROM wk GROUP BY bin),
+gl_tot AS (SELECT sum(g) AS gn FROM gl),
+grid AS (SELECT t.week, t.wn, g.bin, g.g, gt.gn
+         FROM wk_tot t CROSS JOIN gl g CROSS JOIN gl_tot gt),
+j AS (SELECT grid.week,
+             greatest(coalesce(wk.c, 0) * 1.0 / grid.wn, 1e-6) AS pw,
+             greatest(grid.g * 1.0 / grid.gn, 1e-6) AS pg
+      FROM grid LEFT JOIN wk ON wk.week = grid.week AND wk.bin = grid.bin)
+SELECT week, round(sum((pw - pg) * ln(pw / pg)), 6) AS psi
+FROM j GROUP BY week ORDER BY week
 """
     return o

@@ -5967,3 +5967,56 @@ def test_multimodal_codec_injection_seams(spark):
     d_default = multimodal.decode_metadata(b).collect()
     d_explicit = multimodal.decode_metadata(b, decoder=None).collect()
     assert sorted(map(tuple, d_default)) == sorted(map(tuple, d_explicit))
+
+
+def test_profiling_with_dirty_data(spark):
+    """The registry oracles run on clean TPC-H tables (zero nulls/dups/
+    orphans); this exercises the non-trivial counts."""
+    from nsdb_spark.operators import profiling
+
+    dirty = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None), (3, "a"), (None, "c")],
+        "k long, v string",
+    )
+    prof = {r["col_name"]: r for r in
+            profiling.column_profile(dirty, ["k", "v"]).collect()}
+    assert prof["k"]["n_rows"] == 5 and prof["k"]["n_nulls"] == 1
+    assert prof["k"]["n_distinct"] == 3  # NULL excluded
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 3
+    assert abs(prof["k"]["null_frac"] - 0.2) < 1e-9
+
+    pk = profiling.pk_duplicates([("t", dirty, "k")]).collect()[0]
+    # keys: 1 (x2), 2, 3, NULL(x1 as its own group)
+    assert pk["n_rows"] == 5 and pk["n_dup_keys"] == 1
+    assert pk["n_dup_rows"] == 2 and pk["max_multiplicity"] == 2
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    fk = profiling.fk_orphans([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert fk["n_child"] == 4 and fk["n_null_fk"] == 1 and fk["n_orphans"] == 1
+    assert abs(fk["orphan_frac"] - 0.25) < 1e-9
+
+
+def test_profiling_daily_gap_and_moments(spark):
+    from nsdb_spark.operators import profiling
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 11:00:00",),
+         ("2024-01-04 09:00:00",)],
+        "ts string",
+    ).select(F.to_timestamp("ts").alias("ts"))
+    rows = profiling.daily_completeness(ev, "ts").collect()
+    assert [r["day"] for r in rows] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    ]
+    assert [r["n_rows"] for r in rows] == [2, 0, 0, 1]
+    assert rows[0]["n_empty_days"] == 2 and rows[0]["n_days_span"] == 4
+
+    vals = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4]], "x double")
+    m = profiling.numeric_moments(vals, ["x"]).collect()[0]
+    assert m["n_values"] == 4 and abs(m["mean"] - 2.5) < 1e-9
+    import math
+    assert abs(m["std_pop"] - math.sqrt(1.25)) < 1e-6
+    assert abs(m["skewness"]) < 1e-9  # symmetric
