@@ -162,6 +162,8 @@ def main() -> None:
         "profile_pk_unique",
         "profile_daily_completeness",
         "profile_weekly_drift",
+        "text_chunk_sliding",
+        "text_vocab_coverage",
         "nsdb_relative_time",
         "nsdb_nullable_predicates",
         "nsdb_like_infix_count",

@@ -842,7 +842,7 @@ _CHECK_PREFIX_R6 = [
     "nsdb_temporal_not_range", "nsdb_temporal_or_ranges",
     "profile_columns", "profile_moments", "profile_fk_orphans",
     "profile_pk_unique", "profile_daily_completeness",
-    "profile_weekly_drift",
+    "profile_weekly_drift", "text_chunk_sliding", "text_vocab_coverage",
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
     "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
     "tsa_anomaly", "emb_diversity", "stats_bootstrap",
@@ -855,8 +855,7 @@ _CHECK_PREFIX_R6 = [
     "stats_linreg", "stats_basket_lift", "sample_token_budget",
     "stats_wilson", "events_concurrency", "sim_topk_filtered",
     "stats_cohens_d", "stats_zipf", "join_asof_forward", "graph_hits",
-    "stats_lorenz", "kmeans_cells", "stats_partial_corr",
-    "emb_silhouette",
+    "stats_lorenz", "kmeans_cells",
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
@@ -865,8 +864,9 @@ _CHECK_PREFIX_R6 = [
 #: a round jump the queue into that round's prefix.
 _ROTATION_QUEUE = [
     # --- displaced from the round-6 block by the 8 new round-6 entries
-    # (2 temporal + 6 profiling); all displaced were verified green at
-    # sf0.01 this round anyway (see the pre-rotation check run) ---
+    # (2 temporal + 6 profiling + 2 text); all displaced were verified
+    # green at sf0.01 this round anyway (see the pre-rotation check run) ---
+    "stats_partial_corr", "emb_silhouette",
     "stats_pct_rank", "text_ttr", "tsa_crosscorr",
     "stats_kendall", "stats_cramers_v", "stats_theil_sen",
     "tsa_periodogram", "graph_adamic_adar",
@@ -2925,6 +2925,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["profile_weekly_drift"] = lambda spark, sf: profiling.weekly_drift(
         testdata.table(spark, sf, "events"), "value", "ts"
+    )
+    q["text_chunk_sliding"] = lambda spark, sf: text.chunk_sliding(
+        _docs(spark, sf), chunk_tokens=64, stride=48
+    )
+    q["text_vocab_coverage"] = lambda spark, sf: text.vocab_coverage(
+        _docs(spark, sf), vocab_size=500
     )
 
     # The driver's correctness gate checks the FIRST 50 registry entries.
@@ -7977,5 +7983,29 @@ j AS (SELECT grid.week,
       FROM grid LEFT JOIN wk ON wk.week = grid.week AND wk.bin = grid.bin)
 SELECT week, round(sum((pw - pg) * ln(pw / pg)), 6) AS psi
 FROM j GROUP BY week ORDER BY week
+"""
+    o["text_chunk_sliding"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+nn AS (SELECT doc_id, t, len(t) AS n FROM w WHERE len(t) > 0),
+ex AS (SELECT doc_id, t, n,
+              unnest(generate_series(0, CAST(n - 1 AS BIGINT), 48)) AS start_tok
+       FROM nn)
+SELECT doc_id, (start_tok // 48)::INT AS chunk_id, start_tok::INT AS start_tok,
+       least(64, n - start_tok)::INT AS n_tok,
+       md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 64), ' '))
+         AS chunk_digest
+FROM ex ORDER BY doc_id, chunk_id
+"""
+    o["text_vocab_coverage"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tk AS (SELECT * FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cn FROM tk GROUP BY tok
+                           ORDER BY cn DESC, tok ASC LIMIT 500)),
+m AS (SELECT tk.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tk LEFT JOIN vocab v ON tk.tok = v.tok)
+SELECT doc_id, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
+       round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+FROM m GROUP BY doc_id ORDER BY doc_id
 """
     return o

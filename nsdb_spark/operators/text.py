@@ -1156,3 +1156,85 @@ def burrows_delta(
             ),
         )
     )
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the context-packing front door of a
+    pretraining pipeline: each document yields windows of `chunk_tokens`
+    whitespace tokens starting every `stride` tokens (overlap =
+    chunk_tokens - stride), the final window truncated.
+
+    One row per chunk: (doc_id, chunk_id, start_tok, n_tok, chunk_digest),
+    the digest an md5 of the space-rejoined window so results are
+    oracle-checkable without shipping text through the compare.
+
+    Scale shape: everything is JVM-side array expressions (split /
+    sequence / slice) + ONE posexplode — no Python, no shuffle; output
+    volume is rows x ceil(len/stride), the inherent chunking fan-out.
+    Empty/whitespace-only documents yield no chunks (declarative filter).
+    """
+    w = docs.select("doc_id", _words(text_col).alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") > 0)
+    starts = F.expr(f"sequence(0, n - 1, {stride})")
+    ex = w.select(
+        "doc_id", "t", "n", F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("start_tok")).alias(
+            "n_tok"
+        ),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("t"), F.col("start_tok") + 1, F.lit(chunk_tokens)),
+                " ",
+            )
+        ).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the corpus top-`vocab_size`
+    term list (frequency desc, term asc tie-break — deterministic), then
+    report each document's out-of-vocabulary token count and rate.
+
+    Scale shape: one token-count aggregate builds the vocab (k rows,
+    broadcast); the per-doc pass joins the exploded token stream against
+    the broadcast vocab — the corpus shuffles once on (doc_id) for the
+    count-back, never on the vocabulary.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(_words(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .orderBy(F.col("cn").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

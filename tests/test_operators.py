@@ -6020,3 +6020,29 @@ def test_profiling_daily_gap_and_moments(spark):
     import math
     assert abs(m["std_pop"] - math.sqrt(1.25)) < 1e-6
     assert abs(m["skewness"]) < 1e-9  # symmetric
+
+
+def test_chunk_sliding_and_vocab_coverage(spark):
+    from nsdb_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    ch = text_ops.chunk_sliding(docs, chunk_tokens=4, stride=3).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 7 tokens → starts 0,3,6; window 4 truncated at the end
+    assert [(r["start_tok"], r["n_tok"]) for r in by[1]] == [(0, 4), (3, 4), (6, 1)]
+    # doc 2: 2 tokens → one truncated chunk
+    assert [(r["start_tok"], r["n_tok"]) for r in by[2]] == [(0, 2)]
+    # doc 3: split("") = [""] (1 empty token) — one degenerate chunk, not a crash
+    assert len(by.get(3, [])) == 1
+
+    cov = {r["doc_id"]: r for r in
+           text_ops.vocab_coverage(docs, vocab_size=3).collect()}
+    # vocab = top-3 by (freq desc, term asc): all terms freq 1 → a, b, c
+    assert cov[1]["n_tokens"] == 7 and cov[1]["n_oov"] == 4
+    assert cov[2]["n_oov"] == 2  # x, y out of vocab
+    assert 3 not in cov  # empty-token doc filtered out
