@@ -216,7 +216,14 @@ def weekly_drift(
             F.lit(n_bins - 1),
         ).cast("long").alias("bin"),
     )
-    wk = binned.groupBy("week", "bin").agg(F.count(F.lit(1)).alias("c"))
+    # persist the (week × bin) partials: four downstream branches derive
+    # from this frame, and without pinning it each branch re-scans the
+    # raw table (4 full scans at 100 TB). The frame is ≤ weeks·bins rows.
+    wk = (
+        binned.groupBy("week", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     wk_tot = wk.groupBy("week").agg(F.sum("c").alias("wn"))
     gl = wk.groupBy("bin").agg(F.sum("c").alias("g"))
     gl_tot = gl.agg(F.sum("g").alias("gn"))

@@ -793,3 +793,41 @@ def test_pref_attachment_pairs_are_broadcast(spark):
     ).selectExpr("l_suppkey as src", "o_custkey as dst")
     plan = plan_of(graph.preferential_attachment(edges, top_n=10, k=5))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_profiling_fk_orphans_prunes_to_key_columns(spark):
+    """The FK audit must ship ONLY the key columns through its scans —
+    a wide child table read for a single-key integrity check is wrong at
+    100 TB."""
+    from nsdb_spark.operators import profiling
+
+    spark.catalog.clearCache()
+    child = testdata.table(spark, SF_DIR, "lineitem")
+    parent = testdata.table(spark, SF_DIR, "orders")
+    df = profiling.fk_orphans(
+        [("li->o", child, "l_orderkey", parent, "o_orderkey")]
+    )
+    plan = plan_of(df)
+    # every lineitem scan reads just the FK column; orders just the PK
+    import re
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = m.group(1)
+        assert cols in ("l_orderkey:bigint", "o_orderkey:bigint"), cols
+
+
+def test_profiling_weekly_drift_single_scan_shared(spark):
+    """weekly_drift derives the global histogram from the weekly partials:
+    the events table must appear as ONE FileScan in the plan (the reused
+    exchange/subtree), not two independent scans racing the same file."""
+    from nsdb_spark.operators import profiling
+
+    spark.catalog.clearCache()
+    df = profiling.weekly_drift(testdata.table(spark, SF_DIR, "events"))
+    plan = plan_of(df)
+    # the (week, bin) partials are persisted: downstream branches read the
+    # InMemoryRelation, so the raw table appears in exactly ONE scan subtree
+    # (each InMemoryRelation PRINTS its build plan incl. the FileScan, so
+    # counting FileScan strings over-counts; the runtime guarantee is that
+    # all four branches read the cache)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:500]
+    df.sparkSession.catalog.clearCache()
