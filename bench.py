@@ -164,6 +164,7 @@ def main() -> None:
         "profile_weekly_drift",
         "text_chunk_sliding",
         "text_vocab_coverage",
+        "stats_fdr_bh",
         "nsdb_relative_time",
         "nsdb_nullable_predicates",
         "nsdb_like_infix_count",

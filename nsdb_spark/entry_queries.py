@@ -843,6 +843,7 @@ _CHECK_PREFIX_R6 = [
     "profile_columns", "profile_moments", "profile_fk_orphans",
     "profile_pk_unique", "profile_daily_completeness",
     "profile_weekly_drift", "text_chunk_sliding", "text_vocab_coverage",
+    "stats_fdr_bh",
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
     "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
     "tsa_anomaly", "emb_diversity", "stats_bootstrap",
@@ -855,7 +856,7 @@ _CHECK_PREFIX_R6 = [
     "stats_linreg", "stats_basket_lift", "sample_token_budget",
     "stats_wilson", "events_concurrency", "sim_topk_filtered",
     "stats_cohens_d", "stats_zipf", "join_asof_forward", "graph_hits",
-    "stats_lorenz", "kmeans_cells",
+    "stats_lorenz",
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
@@ -866,7 +867,7 @@ _ROTATION_QUEUE = [
     # --- displaced from the round-6 block by the 8 new round-6 entries
     # (2 temporal + 6 profiling + 2 text); all displaced were verified
     # green at sf0.01 this round anyway (see the pre-rotation check run) ---
-    "stats_partial_corr", "emb_silhouette",
+    "kmeans_cells", "stats_partial_corr", "emb_silhouette",
     "stats_pct_rank", "text_ttr", "tsa_crosscorr",
     "stats_kendall", "stats_cramers_v", "stats_theil_sen",
     "tsa_periodogram", "graph_adamic_adar",
@@ -2931,6 +2932,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["text_vocab_coverage"] = lambda spark, sf: text.vocab_coverage(
         _docs(spark, sf), vocab_size=500
+    )
+    q["stats_fdr_bh"] = lambda spark, sf: analytics.fdr_bh(
+        testdata.events_metric(spark, sf), "value", "event_type", q=0.10
     )
 
     # The driver's correctness gate checks the FIRST 50 registry entries.
@@ -8007,5 +8011,31 @@ m AS (SELECT tk.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
 SELECT doc_id, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
        round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+    o["stats_fdr_bh"] = """
+WITH m0 AS (SELECT event_type, value::DOUBLE AS v FROM events
+            WHERE value IS NOT NULL),
+per AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v*v) AS ss
+        FROM m0 GROUP BY event_type),
+tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss,
+               count(*) AS m FROM per),
+sc AS (SELECT p.event_type, p.n, t.m,
+              ((p.s/p.n) - (t.ts - p.s)/(t.tn - p.n))
+              / sqrt(((p.ss - p.s*p.s/p.n)/(p.n - 1))/p.n
+                     + (((t.tss - p.ss) - (t.ts - p.s)*(t.ts - p.s)/(t.tn - p.n))
+                        /(t.tn - p.n - 1))/(t.tn - p.n)) AS z
+       FROM per p CROSS JOIN tot t),
+pp AS (SELECT event_type, n, m, z,
+              2.0 / (1.0 + exp(1.702 * abs(z))) AS p FROM sc),
+rk AS (SELECT *, row_number() OVER (ORDER BY p ASC, event_type ASC) AS p_rank
+       FROM pp),
+th AS (SELECT *, p_rank * 1.0 / m * 0.10 AS thr FROM rk),
+km AS (SELECT *, max(CASE WHEN p <= thr THEN p_rank END) OVER () AS kmax
+       FROM th)
+SELECT event_type, n::BIGINT AS n, round(z, 6) AS z,
+       round(p, 6) AS p_value, p_rank::INT AS p_rank,
+       round(thr, 6) AS bh_threshold,
+       (p_rank <= coalesce(kmax, 0)) AS rejected
+FROM km ORDER BY p_rank
 """
     return o
