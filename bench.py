@@ -165,6 +165,8 @@ def main() -> None:
         "text_chunk_sliding",
         "text_vocab_coverage",
         "stats_fdr_bh",
+        "tsa_snaive_backtest",
+        "stats_power_two_prop",
         "nsdb_relative_time",
         "nsdb_nullable_predicates",
         "nsdb_like_infix_count",

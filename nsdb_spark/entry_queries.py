@@ -843,7 +843,7 @@ _CHECK_PREFIX_R6 = [
     "profile_columns", "profile_moments", "profile_fk_orphans",
     "profile_pk_unique", "profile_daily_completeness",
     "profile_weekly_drift", "text_chunk_sliding", "text_vocab_coverage",
-    "stats_fdr_bh",
+    "stats_fdr_bh", "tsa_snaive_backtest", "stats_power_two_prop",
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
     "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
     "tsa_anomaly", "emb_diversity", "stats_bootstrap",
@@ -855,8 +855,7 @@ _CHECK_PREFIX_R6 = [
     "text_gopher_rules", "graph_degree_dist", "win_order_gaps",
     "stats_linreg", "stats_basket_lift", "sample_token_budget",
     "stats_wilson", "events_concurrency", "sim_topk_filtered",
-    "stats_cohens_d", "stats_zipf", "join_asof_forward", "graph_hits",
-    "stats_lorenz",
+    "stats_cohens_d", "stats_zipf", "join_asof_forward",
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
@@ -867,6 +866,7 @@ _ROTATION_QUEUE = [
     # --- displaced from the round-6 block by the 8 new round-6 entries
     # (2 temporal + 6 profiling + 2 text); all displaced were verified
     # green at sf0.01 this round anyway (see the pre-rotation check run) ---
+    "graph_hits", "stats_lorenz",
     "kmeans_cells", "stats_partial_corr", "emb_silhouette",
     "stats_pct_rank", "text_ttr", "tsa_crosscorr",
     "stats_kendall", "stats_cramers_v", "stats_theil_sen",
@@ -2935,6 +2935,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["stats_fdr_bh"] = lambda spark, sf: analytics.fdr_bh(
         testdata.events_metric(spark, sf), "value", "event_type", q=0.10
+    )
+    q["tsa_snaive_backtest"] = lambda spark, sf: tsa.snaive_backtest(
+        testdata.events_metric(spark, sf), "timestamp", season_days=7
+    )
+    q["stats_power_two_prop"] = lambda spark, sf: analytics.power_two_prop(
+        testdata.events_metric(spark, sf),
+        success=F.col("value") >= 900,
+        group="event_type",
     )
 
     # The driver's correctness gate checks the FIRST 50 registry entries.
@@ -8037,5 +8045,46 @@ SELECT event_type, n::BIGINT AS n, round(z, 6) AS z,
        round(thr, 6) AS bh_threshold,
        (p_rank <= coalesce(kmax, 0)) AS rejected
 FROM km ORDER BY p_rank
+"""
+    o["tsa_snaive_backtest"] = """
+WITH m AS (SELECT epoch_ms(ts) AS timestamp FROM events WHERE ts IS NOT NULL),
+days AS (SELECT timestamp // 86400000 AS day, count(*)::DOUBLE AS actual
+         FROM m GROUP BY 1),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+dense AS (SELECT s.day, coalesce(d.actual, 0.0) AS actual
+          FROM spine s LEFT JOIN days d USING (day)),
+fc AS (SELECT day + 7 AS day, actual AS forecast FROM dense),
+ev AS (SELECT d.day, d.actual, f.forecast,
+              abs(d.actual - f.forecast) AS abs_err,
+              round(CASE WHEN d.actual = 0 THEN NULL
+                    ELSE abs(d.actual - f.forecast) / d.actual END, 6) AS pct_err
+       FROM dense d JOIN fc f USING (day)),
+summ AS (SELECT round(avg(abs_err), 6) AS mae,
+                round(avg(CASE WHEN actual = 0 THEN NULL
+                          ELSE abs_err / actual END), 6) AS mape,
+                round(avg(forecast - actual), 6) AS bias
+         FROM ev)
+SELECT ev.day, ev.actual, ev.forecast, ev.abs_err, ev.pct_err,
+       s.mae, s.mape, s.bias
+FROM ev, summ s ORDER BY ev.day
+"""
+    o["stats_power_two_prop"] = """
+WITH m AS (SELECT event_type, CASE WHEN value >= 900 THEN 1 ELSE 0 END AS cv
+           FROM events),
+per AS (SELECT event_type, count(*)::DOUBLE AS n, sum(cv)::DOUBLE AS c
+        FROM m GROUP BY event_type),
+tot AS (SELECT sum(n) AS tn, sum(c) AS tc FROM per),
+j AS (SELECT p.event_type, p.n, p.c / p.n AS p1,
+             (t.tc - p.c) / (t.tn - p.n) AS p0, t.tc / t.tn AS pbar
+      FROM per p CROSS JOIN tot t)
+SELECT event_type, n::BIGINT AS n_obs,
+       round(p1, 6) AS rate_group, round(p0, 6) AS rate_rest,
+       round(p1 - p0, 6) AS delta,
+       CAST(ceil(pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                     + 0.841621 * sqrt(p1*(1.0-p1) + p0*(1.0-p0)), 2)
+                 / nullif(pow(p1 - p0, 2), 0)) AS BIGINT)
+         AS n_required_per_arm
+FROM j ORDER BY event_type
 """
     return o

@@ -5715,3 +5715,46 @@ def fdr_bh(
             "rejected"
         ),
     ).orderBy("p_rank")
+
+
+def power_two_prop(
+    df: DataFrame,
+    success: Column,
+    group: str,
+    alpha_z: float = 1.959964,
+    power_z: float = 0.841621,
+) -> DataFrame:
+    """Two-proportion sample-size planning per segment: for each group,
+    the observed conversion rate vs the REST of the population, and the
+    per-arm n required to detect that delta at α=0.05 (two-sided) with
+    80% power — the "how long must this experiment run" table.
+
+    n = (z_α/2·√(2·p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₀(1−p₀)))² / δ², z-values
+    passed as literals so both engines share the exact constants.
+
+    ONE conditional aggregate collapses the scan to k rows; rest-side
+    rates derive from (global − group) totals.
+    """
+    per = df.groupBy(group).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(success.cast("long")).cast("double").alias("c"),
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("c").alias("tc"))
+    j = per.crossJoin(F.broadcast(tot))
+    p1 = F.col("c") / F.col("n")
+    p0 = (F.col("tc") - F.col("c")) / (F.col("tn") - F.col("n"))
+    pbar = (F.col("c") + (F.col("tc") - F.col("c"))) / F.col("tn")  # = tc/tn
+    delta = p1 - p0
+    num = (
+        F.lit(alpha_z) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+        + F.lit(power_z) * F.sqrt(p1 * (1.0 - p1) + p0 * (1.0 - p0))
+    )
+    n_req = F.try_divide(num * num, delta * delta)
+    return j.select(
+        F.col(group),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(p1, 6).alias("rate_group"),
+        F.round(p0, 6).alias("rate_rest"),
+        F.round(delta, 6).alias("delta"),
+        F.ceil(n_req).cast("bigint").alias("n_required_per_arm"),
+    ).orderBy(group)

@@ -1679,3 +1679,57 @@ def rolling_corr(
         n.cast("int").alias("n"),
         F.round(F.try_divide(num, den), 6).alias("r"),
     )
+
+
+def snaive_backtest(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    season_days: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over daily event counts: the
+    forecast for day d is the actual of day d − season_days; evaluated
+    where both exist. The capacity-planning sanity baseline every
+    fancier forecaster must beat — run it before trusting a model.
+
+    Output: one row per evaluated day (day, actual, forecast, abs_err,
+    pct_err) plus the span-level MAE/MAPE/bias duplicated per row (one
+    frame keeps the oracle a single result set).
+
+    Scale shape: raw events collapse to the day-count frame in ONE
+    aggregate; the lag join is a self-equi-join on the tiny day frame
+    (days, not events). Missing days count 0 (dense spine via sequence).
+    """
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select((F.col(ts_col) / 86400000).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("actual"))
+    )
+    span = days.groupBy().agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    dense = spine.join(days, "day", "left").select(
+        "day", F.coalesce("actual", F.lit(0.0)).alias("actual")
+    )
+    fc = dense.select(
+        (F.col("day") + season_days).alias("day"),
+        F.col("actual").alias("forecast"),
+    )
+    ev = dense.join(fc, "day").select(
+        "day", "actual", "forecast",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+        F.round(
+            F.try_divide(
+                F.abs(F.col("actual") - F.col("forecast")), F.col("actual")
+            ),
+            6,
+        ).alias("pct_err"),
+    )
+    summ = ev.agg(
+        F.round(F.avg("abs_err"), 6).alias("mae"),
+        F.round(F.avg(F.try_divide("abs_err", "actual")), 6).alias("mape"),
+        F.round(F.avg(F.col("forecast") - F.col("actual")), 6).alias("bias"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(summ))
+        .orderBy("day")
+    )
