@@ -1642,3 +1642,38 @@ def test_result_cache_serves_and_invalidates(long_engine):
     )
     r3 = long_engine.collect_select(stmt)
     assert len(r3) == len(r1) + 1
+
+
+def test_plan_cache_threaded_write_read_coherence(long_engine):
+    """ThreadingHTTPServer-shape stress: queries racing inserts must never
+    serve a count older than the last COMPLETED insert (the version bump
+    happens before insert_bits returns)."""
+    import threading
+
+    from nsdb_spark.sql.parser import parse
+
+    stmt = parse("select count(*) from longMetric", db="default", namespace="default")
+    base = long_engine.collect_select(stmt)[0][0]
+    errors = []
+
+    def writer():
+        for i in range(5):
+            long_engine.insert_bits(
+                "default", "default", "longMetric",
+                [Bit(1000 + i, i, {"surname": "Doe"}, {"name": f"w{i}"})],
+            )
+            # a query issued strictly after this insert returned must see it
+            seen = long_engine.collect_select(stmt)[0][0]
+            if seen < base + i + 1:
+                errors.append((i, seen))
+
+    def reader():
+        for _ in range(20):
+            n = long_engine.collect_select(stmt)[0][0]
+            if n < base:
+                errors.append(("reader", n))
+
+    t1, t2 = threading.Thread(target=writer), threading.Thread(target=reader)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert long_engine.collect_select(stmt)[0][0] == base + 5
