@@ -497,12 +497,27 @@ def main() -> None:
                 ok += 1
         results["grpc_100_point_queries"] = round(time.time() - t0, 3)
         results["grpc_success_pct"] = 100.0 * ok / 100
+        # Honest complement: 100 DISTINCT statements (unique LIMIT per
+        # rpc) so the statement→result cache can't serve repeats — this
+        # measures the full per-statement parse→analyze→compile→collect
+        # path over the wire, the number the cached scenario no longer
+        # shows.
+        t0 = time.time()
+        ok2 = 0
+        for i in range(100):
+            res2 = client.execute_sql(
+                "default", "default", f"select * from points limit {i + 1}")
+            if res2.get("completedSuccessfully") and res2.get("records"):
+                ok2 += 1
+        results["grpc_100_distinct_queries"] = round(time.time() - t0, 3)
+        results["grpc_distinct_success_pct"] = 100.0 * ok2 / 100
     finally:
         client.close()
         server.stop()
 
     total = round(sum(v for k, v in results.items()
-                      if k not in ("gatling_success_pct", "grpc_success_pct")
+                      if k not in ("gatling_success_pct", "grpc_success_pct",
+                                   "grpc_distinct_success_pct")
                       and v > 0), 3)
     # Full per-query map goes to a committed detail file; stdout gets ONE
     # COMPACT line. The driver's capture truncated the round-2 full map
@@ -512,7 +527,9 @@ def main() -> None:
     # the detail file for everything else.
     timed = {k: v for k, v in results.items()
              if k not in ("gatling_100_point_queries", "gatling_success_pct",
-                          "grpc_100_point_queries", "grpc_success_pct")}
+                          "grpc_100_point_queries", "grpc_success_pct",
+                          "grpc_100_distinct_queries",
+                          "grpc_distinct_success_pct")}
     compact: dict[str, float] = dict(
         sorted(timed.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -522,6 +539,8 @@ def main() -> None:
     compact["gatling_success_pct"] = results["gatling_success_pct"]
     compact["grpc_100_point_queries"] = results["grpc_100_point_queries"]
     compact["grpc_success_pct"] = results["grpc_success_pct"]
+    compact["grpc_100_distinct_queries"] = results["grpc_100_distinct_queries"]
+    compact["grpc_distinct_success_pct"] = results["grpc_distinct_success_pct"]
     # smoke runs at other SFs go to a scratch file so they never clobber
     # the committed sf0.1 baseline the 2x re-time rule reads
     out_path = detail_path if sf == 0.1 else (
@@ -537,7 +556,8 @@ def main() -> None:
     # BASELINE.md) so the first post-change measurement becomes the new
     # baseline; otherwise the 2x rule flags the honest new cost forever.
     non_entries = ("gatling_100_point_queries", "gatling_success_pct",
-                   "grpc_100_point_queries", "grpc_success_pct")
+                   "grpc_100_point_queries", "grpc_success_pct",
+                   "grpc_100_distinct_queries", "grpc_distinct_success_pct")
     best = {
         k: round(min(v, baselines.get(k, v)), 3)
         for k, v in results.items()

@@ -72,6 +72,8 @@ class NsdbEngine:
         self._plan_cache_lock = threading.Lock()
         self._plan_cache_cap = 256
         self._metric_versions: dict[tuple[str, str, str], int] = {}
+        # (db, ns, metric) -> (token, base DataFrame): see read_metric
+        self._metric_frame_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------ plan-cache plumbing
     def _metric_version(self, db: str, ns: str, metric: str) -> int:
@@ -427,19 +429,42 @@ class NsdbEngine:
     # ------------------------------------------------------------- read path
     def read_metric(self, db: str, ns: str, metric: str) -> DataFrame:
         """Metric frame with the registry schema (absent fields = NULL even
-        in old files — read with an explicit schema)."""
+        in old files — read with an explicit schema).
+
+        The constructed frame is memoized under the same per-metric
+        version token as the plan cache: `spark.read.parquet` builds a
+        JVM file index on every call (~tens of ms), which dominates the
+        plan path for DISTINCT statements over the same metric. Any
+        mutation bumps the version and the next read re-lists."""
+        key = (db, ns, metric)
+        token = (
+            self._metric_version(db, ns, metric),
+            self._schema_mtime(db, ns, metric),
+        )
+        with self._plan_cache_lock:
+            hit = self._metric_frame_cache.get(key)
+            if hit is not None and hit[0] == token:
+                return hit[1]
         schema = self.warehouse.get_schema(db, ns, metric)
         dp = self.warehouse.data_path(db, ns, metric)
         if not self.warehouse.locations(db, ns, metric):
-            return self.spark.createDataFrame([], schema.to_struct_type(with_shard=True))
-        return (
-            self.spark.read.schema(schema.to_struct_type(with_shard=True))
-            # retention eviction may drop a shard between query planning and
-            # execution; skip vanished files instead of failing the read
-            # (the role NSDb's Lucene searcher refcounts play)
-            .option("ignoreMissingFiles", "true")
-            .parquet(dp)
-        )
+            df = self.spark.createDataFrame(
+                [], schema.to_struct_type(with_shard=True)
+            )
+        else:
+            df = (
+                self.spark.read.schema(schema.to_struct_type(with_shard=True))
+                # retention eviction may drop a shard between query planning
+                # and execution; skip vanished files instead of failing the
+                # read (the role NSDb's Lucene searcher refcounts play)
+                .option("ignoreMissingFiles", "true")
+                .parquet(dp)
+            )
+        with self._plan_cache_lock:
+            self._metric_frame_cache[key] = (token, df)
+            while len(self._metric_frame_cache) > self._plan_cache_cap:
+                self._metric_frame_cache.pop(next(iter(self._metric_frame_cache)))
+        return df
 
     def execute(
         self,
@@ -1210,6 +1235,7 @@ class NsdbEngine:
         # drop every cached plan rather than guessing the key
         with self._plan_cache_lock:
             self._plan_cache.clear()
+            self._metric_frame_cache.clear()
             self._metric_versions.clear()
         return manifest
 
@@ -1294,6 +1320,10 @@ class NsdbEngine:
                     .partitionBy(SHARD_COL)
                     .parquet(dp)
                 )
+        # same rows, new files: cached base frames hold a stale file
+        # index (reads survive via ignoreMissingFiles but would silently
+        # MISS the rewritten rows)
+        self._bump_metric_version(db, ns, metric)
         return sorted(todo)
 
     def optimize_metric_zorder(
@@ -1405,6 +1435,8 @@ class NsdbEngine:
                     .partitionBy(SHARD_COL)
                     .parquet(dp)
                 )
+        # rewritten files: invalidate cached base frames (see compact_metric)
+        self._bump_metric_version(db, ns, metric)
         return sorted(shards)
 
     def enforce_all_retentions(self) -> dict[tuple[str, str, str], list[int]]:
