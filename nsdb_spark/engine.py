@@ -96,6 +96,39 @@ class NsdbEngine:
         except OSError:
             return -1
 
+    def _cache_token(self, db: str, ns: str, metric: str) -> tuple:
+        """Validity token shared by the plan/result/frame caches.
+
+        Coverage, precisely: (a) the in-process mutation counter covers
+        EVERY mutation made through this engine; (b) schema.json mtime
+        covers out-of-process INSERTS (update_schema rewrites the file on
+        every write) and schema unions; (c) the data-dir mtime covers
+        out-of-process DELETE / DROP / retention eviction (each removes or
+        swaps shard_start= child dirs, touching the parent). NOT covered:
+        an out-of-process compaction/Z-order rewrite (same rows, new files
+        inside existing shard dirs) — those are documented writes-paused
+        maintenance ops; a cooperating process should call
+        invalidate_plan_caches() (or simply restart) afterwards."""
+        dp = self.warehouse.data_path(db, ns, metric)
+        try:
+            dir_mtime = os.stat(dp).st_mtime_ns
+        except OSError:
+            dir_mtime = -1
+        return (
+            self._metric_version(db, ns, metric),
+            self._schema_mtime(db, ns, metric),
+            dir_mtime,
+        )
+
+    def invalidate_plan_caches(self) -> None:
+        """Drop every cached plan, result set, and base frame — the seam
+        for out-of-process maintenance (compaction/Z-order from another
+        engine) that the mtime-based token cannot observe."""
+        with self._plan_cache_lock:
+            self._plan_cache.clear()
+            self._metric_frame_cache.clear()
+            self._metric_versions.clear()
+
     # ------------------------------------------------------------- write path
     def insert_bits(self, db: str, ns: str, metric: str, bits: list[Bit]) -> int:
         """Validate → union-merge schema → append to shard partitions.
@@ -321,10 +354,17 @@ class NsdbEngine:
         and unserialized concurrent batches would silently drop each
         other's partials (lost update)."""
         # common chokepoint for every completed data write (record, bulk,
-        # streaming): cached plans over this metric are now stale
+        # streaming): cached plans over this metric are now stale. Bump
+        # BEFORE the merge (prompt invalidation of raw-path plans) and
+        # AFTER it (a rollup-routed query that planned DURING the merge
+        # window cached pre-merge aggregates under the mid-merge token —
+        # without the second bump it would serve them forever).
         self._bump_metric_version(db, ns, metric)
-        with self._metric_rollup_lock(db, ns, metric):
-            return self._maintain_rollups_locked(db, ns, metric, lo, hi, batch_df)
+        try:
+            with self._metric_rollup_lock(db, ns, metric):
+                return self._maintain_rollups_locked(db, ns, metric, lo, hi, batch_df)
+        finally:
+            self._bump_metric_version(db, ns, metric)
 
     def _metric_rollup_lock(self, db: str, ns: str, metric: str) -> threading.Lock:
         """The per-metric lock serializing every rollup read-build-
@@ -437,10 +477,7 @@ class NsdbEngine:
         plan path for DISTINCT statements over the same metric. Any
         mutation bumps the version and the next read re-lists."""
         key = (db, ns, metric)
-        token = (
-            self._metric_version(db, ns, metric),
-            self._schema_mtime(db, ns, metric),
-        )
+        token = self._cache_token(db, ns, metric)
         with self._plan_cache_lock:
             hit = self._metric_frame_cache.get(key)
             if hit is not None and hit[0] == token:
@@ -532,10 +569,7 @@ class NsdbEngine:
         key = token = None
         if cacheable:
             key = (db, ns, stmt.metric, fp)
-            token = (
-                self._metric_version(db, ns, stmt.metric),
-                self._schema_mtime(db, ns, stmt.metric),
-            )
+            token = self._cache_token(db, ns, stmt.metric)
             with self._plan_cache_lock:
                 hit = self._plan_cache.get(key)
                 if hit is not None and hit[0] == token and hit[2] is not None:
@@ -567,10 +601,7 @@ class NsdbEngine:
         )
         if cacheable:
             key = (db, ns, stmt.metric, fp)
-            token = (
-                self._metric_version(db, ns, stmt.metric),
-                self._schema_mtime(db, ns, stmt.metric),
-            )
+            token = self._cache_token(db, ns, stmt.metric)
             with self._plan_cache_lock:
                 hit = self._plan_cache.get(key)
                 if hit is not None and hit[0] == token:
@@ -1233,10 +1264,7 @@ class NsdbEngine:
         self.spark.catalog.clearCache()
         # a restore can land under ANY metric name (manifest-driven) —
         # drop every cached plan rather than guessing the key
-        with self._plan_cache_lock:
-            self._plan_cache.clear()
-            self._metric_frame_cache.clear()
-            self._metric_versions.clear()
+        self.invalidate_plan_caches()
         return manifest
 
     # ------------------------------------------------------------- compaction

@@ -832,12 +832,14 @@ _CHECK_PREFIX_R5 = [
     "text_bm25_postings", "events_stickiness",
 ]
 
-#: Round-6 driver-check prefix: entries NEW this round (the per-interval
-#: temporal-axis queries) + the round-6 rotation block — the 48 oldest
-#: never-driver-checked entries (was _ROTATION_QUEUE[:50] at the round-5
-#: close; the last 2 of that block yield their slots to the new entries
-#: and return to the queue head for round 7). All 50 verified green
-#: against DuckDB at sf0.01 via tools/check_oracles.py before the close.
+#: Round-6 driver-check prefix: the 13 entries NEW this round (2
+#: per-interval temporal axes, 6 profiling, 2 text, fdr/snaive/power) +
+#: the 37 oldest never-driver-checked entries from the round-6 rotation
+#: block (was _ROTATION_QUEUE[:50] at the round-5 close; the displaced 13
+#: of that block return to the queue head for round 7 — all 50 of the
+#: ORIGINAL block were nevertheless verified green at sf0.01 this round,
+#: see the full-registry sweep). Prefix verified green via
+#: tools/check_oracles.py before the close.
 _CHECK_PREFIX_R6 = [
     "nsdb_temporal_not_range", "nsdb_temporal_or_ranges",
     "profile_columns", "profile_moments", "profile_fk_orphans",
@@ -863,9 +865,9 @@ _CHECK_PREFIX_R6 = [
 #: re-verification of anything changed in rounds 6-7. Entries changed in
 #: a round jump the queue into that round's prefix.
 _ROTATION_QUEUE = [
-    # --- displaced from the round-6 block by the 8 new round-6 entries
-    # (2 temporal + 6 profiling + 2 text); all displaced were verified
-    # green at sf0.01 this round anyway (see the pre-rotation check run) ---
+    # --- displaced from the round-6 block by the 13 new round-6 entries;
+    # all displaced were verified green at sf0.01 this round anyway (see
+    # the pre-rotation check run + the full-registry sweep) ---
     "graph_hits", "stats_lorenz",
     "kmeans_cells", "stats_partial_corr", "emb_silhouette",
     "stats_pct_rank", "text_ttr", "tsa_crosscorr",
@@ -8035,7 +8037,7 @@ sc AS (SELECT p.event_type, p.n, t.m,
        FROM per p CROSS JOIN tot t),
 pp AS (SELECT event_type, n, m, z,
               2.0 / (1.0 + exp(1.702 * abs(z))) AS p FROM sc),
-rk AS (SELECT *, row_number() OVER (ORDER BY p ASC, event_type ASC) AS p_rank
+rk AS (SELECT *, row_number() OVER (ORDER BY p ASC NULLS LAST, event_type ASC) AS p_rank
        FROM pp),
 th AS (SELECT *, p_rank * 1.0 / m * 0.10 AS thr FROM rk),
 km AS (SELECT *, max(CASE WHEN p <= thr THEN p_rank END) OVER () AS kmax

@@ -36,9 +36,16 @@ SETTINGS_MAX_FRAME_SIZE = 0x5
 
 DEFAULT_WINDOW = 65535
 #: per-stream receive-buffer cap: stop replenishing the stream window once
-#: Stream.body holds this much unconsumed data (gRPC messages here are
-#: dashboard-sized; 4 MiB is generous for any legitimate insert batch)
+#: Stream.body holds this much unconsumed COMPLETE-message data (gRPC
+#: messages here are dashboard-sized; 4 MiB is generous for any legitimate
+#: insert batch). Withheld window bytes are repaid when the consumer
+#: drains the buffer.
 MAX_BUFFERED_BODY = 4 * 1024 * 1024
+#: absolute single-message ceiling: a peer declaring a larger gRPC message
+#: (or streaming one without ever completing it) is killed with
+#: FLOW_CONTROL_ERROR rather than buffered — the in-flight-message
+#: exemption above must not become an unbounded-memory loophole
+MAX_MESSAGE_SIZE = 64 * 1024 * 1024
 
 # RFC 7540 §7 error codes we emit
 ERR_PROTOCOL = 0x1
@@ -69,6 +76,12 @@ class Stream:
         self.reset = False
         # send-side flow-control window (peer's receive budget for us)
         self.send_window = DEFAULT_WINDOW
+        # receive-side backpressure bookkeeping: bytes whose stream-window
+        # replenishment was withheld while the buffer sat over the cap —
+        # repaid when read_message drains the buffer (set by the owning
+        # Http2Connection so a consumer catching up un-stalls the peer)
+        self.withheld = 0
+        self._conn: "Http2Connection | None" = None
 
     def feed(self, data: bytes, end: bool) -> None:
         with self.body_cond:
@@ -102,11 +115,31 @@ class Stream:
                     if len(self.body) >= 5 + ln:
                         msg = bytes(self.body[5 : 5 + ln])
                         del self.body[: 5 + ln]
+                        self._repay_withheld()
                         return msg
                 if self.end_stream:
                     return None
                 if not self.body_cond.wait(timeout=timeout):
                     raise TimeoutError("no gRPC message within timeout")
+
+    def _repay_withheld(self) -> None:
+        """Grant back withheld stream-window bytes once the consumer has
+        drained the buffer below the cap — without this, a reader that
+        temporarily fell behind would leave the peer stalled at a
+        permanent window deficit (called under body_cond)."""
+        if (
+            self.withheld > 0
+            and len(self.body) <= MAX_BUFFERED_BODY
+            and self._conn is not None
+            and not self.reset
+        ):
+            n, self.withheld = self.withheld, 0
+            try:
+                self._conn.send_frame(
+                    WINDOW_UPDATE, 0, self.sid, struct.pack(">I", n)
+                )
+            except (OSError, ConnectionClosed):  # peer already gone
+                pass
 
 
 class Http2Connection:
@@ -199,6 +232,7 @@ class Http2Connection:
             if st is None:
                 st = Stream(sid)
                 st.send_window = self.peer_initial_window
+                st._conn = self
                 self.streams[sid] = st
             return st
 
@@ -306,26 +340,51 @@ class Http2Connection:
             st.feed(body, bool(flags & FLAG_END_STREAM))
             # replenish receive windows for the full frame (incl. padding).
             # The CONNECTION window always replenishes (one flooding stream
-            # must not starve the others), but the STREAM window only
-            # replenishes while the buffered body stays under the cap — a
-            # peer streaming unbounded DATA on a unary stream (whose
-            # handler reads exactly one message) would otherwise grow
-            # Stream.body without limit. Past the cap the peer stalls on
-            # its ~64 KiB remaining window; exceeding cap + 2 windows is a
-            # flow-control violation and kills the stream.
+            # must not starve the others). The STREAM window withholds its
+            # replenishment only while the buffer BOTH exceeds the cap AND
+            # already holds a complete unconsumed gRPC message — so a
+            # single legitimately large in-flight message keeps flowing
+            # (its buffer grows but holds no complete message), while a
+            # flood of messages a unary handler will never read stalls at
+            # cap + one window. Withheld bytes are repaid by
+            # Stream._repay_withheld when read_message drains the buffer,
+            # so a slow-but-live consumer un-stalls its peer. Exceeding
+            # cap + 2 windows is a flow-control violation → RST_STREAM.
             if payload:
                 self.send_frame(WINDOW_UPDATE, 0, 0, struct.pack(">I", len(payload)))
                 if not flags & FLAG_END_STREAM:
-                    buffered = len(st.body)
-                    if buffered > MAX_BUFFERED_BODY + 2 * DEFAULT_WINDOW:
-                        self.send_frame(
-                            RST_STREAM, 0, sid, struct.pack(">I", ERR_FLOW_CONTROL)
+                    with st.body_cond:
+                        buffered = len(st.body)
+                        declared = (
+                            int.from_bytes(st.body[1:5], "big")
+                            if buffered >= 5
+                            else 0
                         )
-                        st.mark_reset()
-                    elif buffered <= MAX_BUFFERED_BODY:
-                        self.send_frame(
-                            WINDOW_UPDATE, 0, sid, struct.pack(">I", len(payload))
-                        )
+                        if declared > MAX_MESSAGE_SIZE or buffered > (
+                            MAX_MESSAGE_SIZE + 5 + MAX_BUFFERED_BODY
+                        ):
+                            self.send_frame(
+                                RST_STREAM, 0, sid,
+                                struct.pack(">I", ERR_FLOW_CONTROL),
+                            )
+                            st.mark_reset()
+                            return
+                        complete = buffered >= 5 and buffered >= 5 + declared
+                        over = buffered > MAX_BUFFERED_BODY
+                        if over and complete:
+                            if buffered > MAX_BUFFERED_BODY + 2 * DEFAULT_WINDOW:
+                                self.send_frame(
+                                    RST_STREAM, 0, sid,
+                                    struct.pack(">I", ERR_FLOW_CONTROL),
+                                )
+                                st.mark_reset()
+                            else:
+                                st.withheld += len(payload)
+                        else:
+                            self.send_frame(
+                                WINDOW_UPDATE, 0, sid,
+                                struct.pack(">I", len(payload)),
+                            )
         elif ftype == RST_STREAM:
             with self.streams_lock:
                 st = self.streams.get(sid)

@@ -45,10 +45,6 @@ from .engine import NsdbEngine
 from .model import Bit
 
 
-def _records(df) -> list[dict]:
-    return [r.asDict(recursive=True) for r in df.collect()]
-
-
 class _SubscriptionChannel:
     """Queue + condition bridging SubscriptionManager callbacks to
     long-poll readers (one channel per subscription uuid). Buffering is

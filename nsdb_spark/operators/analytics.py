@@ -5693,7 +5693,11 @@ def fdr_bh(
         F.col(group), F.col("n").cast("long").alias("n"),
         F.col("m").cast("long").alias("m"), z.alias("__z"), p.alias("__p"),
     )
-    w = Window.orderBy(F.col("__p").asc(), F.col(group).asc())
+    # NULL p (a 1-row group: variance undefined) must sort LAST on both
+    # engines — Spark asc() is NULLS FIRST, DuckDB ASC is NULLS LAST; an
+    # explicit asc_nulls_last keeps ranks identical, and a NULL p can
+    # never satisfy p <= threshold, so it is never rejected
+    w = Window.orderBy(F.col("__p").asc_nulls_last(), F.col(group).asc())
     ranked = scored.select(
         "*", F.row_number().over(w).alias("p_rank")
     ).withColumn("__thr", F.col("p_rank") / F.col("m") * F.lit(q))

@@ -216,14 +216,20 @@ def weekly_drift(
             F.lit(n_bins - 1),
         ).cast("long").alias("bin"),
     )
-    # persist the (week × bin) partials: four downstream branches derive
-    # from this frame, and without pinning it each branch re-scans the
-    # raw table (4 full scans at 100 TB). The frame is ≤ weeks·bins rows.
-    wk = (
+    # materialize the (week × bin) partials once: four downstream branches
+    # derive from this frame, and as a lazy lineage each branch would
+    # re-scan the raw table (4 full scans at 100 TB). The frame is bounded
+    # by construction (weekofyear ≤ 53 × n_bins rows — a driver-bounded
+    # scalar frame, same discipline as k-centroid collects), so one
+    # collect + createDataFrame pins it without the unpersist-lifetime
+    # problem a cached DataFrame leaves in a long-lived session.
+    spark = df.sparkSession
+    wk_rows = (
         binned.groupBy("week", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .collect()
     )
+    wk = spark.createDataFrame(wk_rows, "week int, bin long, c bigint")
     wk_tot = wk.groupBy("week").agg(F.sum("c").alias("wn"))
     gl = wk.groupBy("bin").agg(F.sum("c").alias("g"))
     gl_tot = gl.agg(F.sum("g").alias("gn"))

@@ -761,3 +761,83 @@ def test_priority_and_settings_ack_misuse_do_not_disrupt(grpc_server):
             break
     assert alive
     conn.close()
+
+
+def test_large_response_message_flows_past_buffer_cap(engine, monkeypatch):
+    """A single gRPC message larger than MAX_BUFFERED_BODY must still flow:
+    the in-flight-message exemption keeps replenishing while the buffer
+    holds no complete message (the first cap implementation deadlocked
+    any response > cap + one window)."""
+    from nsdb_spark.grpc import http2 as h2
+    from nsdb_spark.grpc import serve_grpc, NsdbGrpcClient
+    from nsdb_spark.model import Bit
+
+    monkeypatch.setattr(h2, "MAX_BUFFERED_BODY", 8192)
+    load(engine, "bigresp", [
+        Bit(t, t, {"pad": "x" * 200}, {"g": f"t{t % 7}"}) for t in range(500)
+    ])
+    server = serve_grpc(engine, port=0)
+    client = NsdbGrpcClient(server.host, server.port)
+    try:
+        out = client.execute_sql("default", "default", "select * from bigresp")
+        assert out["completedSuccessfully"] is True
+        assert len(out["records"]) == 500  # well past the 8 KiB cap
+    finally:
+        client.close()
+        server.stop()
+
+
+def test_withheld_window_repaid_on_drain(monkeypatch):
+    """Backpressure must be temporary: once read_message drains a buffer
+    that had crossed the cap, the withheld stream-window bytes are granted
+    back (a consumer that fell behind un-stalls its peer)."""
+    import socket
+    import struct as st
+    import threading
+    from nsdb_spark.grpc import http2 as h2
+
+    monkeypatch.setattr(h2, "MAX_BUFFERED_BODY", 1000)
+    a, b = socket.socketpair()
+    conn = h2.Http2Connection(a, is_server=True)
+    stream = conn.get_stream(1)
+    # feed complete 300-byte gRPC messages until well over the 1000-byte cap
+    msg = b"\x00" + st.pack(">I", 295) + b"m" * 295
+    withheld_before = None
+    for _ in range(6):  # 1800 bytes buffered
+        conn.handle_frame(h2.DATA, 0, 1, msg, lambda *x: None)
+    assert stream.withheld > 0  # cap crossed with complete messages buffered
+    withheld_before = stream.withheld
+    # drain below the cap: repayment must hit the wire as WINDOW_UPDATEs
+    got = []
+    done = threading.Event()
+    total_fed = 6 * len(msg)
+    def reader():
+        peer_sock = b
+        peer_sock.settimeout(5)
+        buf = b""
+        try:
+            while sum(got) < total_fed:
+                hdr = peer_sock.recv(9)
+                if len(hdr) < 9:
+                    return
+                ln = int.from_bytes(hdr[:3], "big")
+                ftype, sid = hdr[3], int.from_bytes(hdr[5:9], "big") & 0x7FFFFFFF
+                payload = b""
+                while len(payload) < ln:
+                    payload += peer_sock.recv(ln - len(payload))
+                if ftype == h2.WINDOW_UPDATE and sid == 1:
+                    got.append(st.unpack(">I", payload)[0] & 0x7FFFFFFF)
+            done.set()
+        except Exception:
+            pass
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    # drain everything: the repay fires once the buffer falls below cap
+    for _ in range(6):
+        assert stream.read_message(timeout=1) is not None
+    assert done.wait(5), (got, withheld_before)
+    # every fed byte is eventually granted back: 3 immediate replenishes
+    # + the withheld remainder repaid on drain
+    assert sum(got) == total_fed
+    assert stream.withheld == 0
+    a.close(); b.close()

@@ -6046,3 +6046,24 @@ def test_chunk_sliding_and_vocab_coverage(spark):
     assert cov[1]["n_tokens"] == 7 and cov[1]["n_oov"] == 4
     assert cov[2]["n_oov"] == 2  # x, y out of vocab
     assert 3 not in cov  # empty-token doc filtered out
+
+
+def test_fdr_bh_null_p_ranks_last_never_rejected(spark):
+    """A 1-row group has undefined variance → NULL z/p: it must rank LAST
+    (matching DuckDB's ASC NULLS LAST) and never be rejected, instead of
+    (Spark's default NULLS FIRST) taking rank 1 and shifting every BH
+    threshold."""
+    from nsdb_spark.operators import analytics
+
+    rows = (
+        [("a", float(v)) for v in range(100)]
+        + [("b", float(v) + 500) for v in range(100)]
+        + [("lonely", 42.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = analytics.fdr_bh(df, "value", "grp", q=0.10).collect()
+    by = {r["grp"]: r for r in out}
+    assert by["lonely"]["p_value"] is None
+    assert by["lonely"]["p_rank"] == 3  # last of m=3
+    assert by["lonely"]["rejected"] is False
+    assert by["b"]["rejected"] is True  # the +500 shift is unmissable

@@ -816,18 +816,14 @@ def test_profiling_fk_orphans_prunes_to_key_columns(spark):
 
 
 def test_profiling_weekly_drift_single_scan_shared(spark):
-    """weekly_drift derives the global histogram from the weekly partials:
-    the events table must appear as ONE FileScan in the plan (the reused
-    exchange/subtree), not two independent scans racing the same file."""
+    """weekly_drift materializes the bounded (week, bin) partials ONCE
+    (one scan during build) and derives all four downstream branches from
+    the local frame — the returned plan must contain NO FileScan of the
+    raw table (a lazy lineage would re-scan it once per branch)."""
     from nsdb_spark.operators import profiling
 
     spark.catalog.clearCache()
     df = profiling.weekly_drift(testdata.table(spark, SF_DIR, "events"))
     plan = plan_of(df)
-    # the (week, bin) partials are persisted: downstream branches read the
-    # InMemoryRelation, so the raw table appears in exactly ONE scan subtree
-    # (each InMemoryRelation PRINTS its build plan incl. the FileScan, so
-    # counting FileScan strings over-counts; the runtime guarantee is that
-    # all four branches read the cache)
-    assert plan.count("InMemoryTableScan") >= 3, plan[:500]
-    df.sparkSession.catalog.clearCache()
+    assert plan.count("FileScan parquet") == 0, plan[:800]
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
