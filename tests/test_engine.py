@@ -1677,3 +1677,23 @@ def test_plan_cache_threaded_write_read_coherence(long_engine):
     t1.start(); t2.start(); t1.join(); t2.join()
     assert not errors, errors
     assert long_engine.collect_select(stmt)[0][0] == base + 5
+
+
+def test_temporal_disjoint_with_grace_clips_each_axis(temporal_engine):
+    """SINCE grace under a disjoint WHERE: the reference clips each
+    per-interval lower bound at now - grace and drops intervals wholly
+    before it (computeRangesForIntervalAndCondition,
+    TimeRangeManager.scala:109-124)."""
+    # intervals: [0, 59999] and [130001, inf); now=200000, grace 80 s
+    # → cutoff 120000: the lower interval dies entirely, the upper axis
+    # survives clipped to [130001, 200000]
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where not timestamp in (60000, 130000) "
+        "group by interval 30s since 80 s",
+        time_context=TimeContext(200000),
+    )
+    out = rows(df)
+    assert [r[0] for r in out] == [140000, 170000, 200000]
+    assert out[0][1] == 130001  # lower_bound clipped to the interval's own lo
+    assert sum(r[3] for r in out) == 1  # only ts=150000 matches
