@@ -167,6 +167,9 @@ def main() -> None:
         "stats_fdr_bh",
         "tsa_snaive_backtest",
         "stats_power_two_prop",
+        "events_cohort_ltv",
+        "dedup_prefix_hash",
+        "emb_norm_profile",
         "nsdb_relative_time",
         "nsdb_nullable_predicates",
         "nsdb_like_infix_count",

@@ -846,18 +846,19 @@ _CHECK_PREFIX_R6 = [
     "profile_pk_unique", "profile_daily_completeness",
     "profile_weekly_drift", "text_chunk_sliding", "text_vocab_coverage",
     "stats_fdr_bh", "tsa_snaive_backtest", "stats_power_two_prop",
+    "events_cohort_ltv", "dedup_prefix_hash", "emb_norm_profile",
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
     "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
     "tsa_anomaly", "emb_diversity", "stats_bootstrap",
     "dedup_passage_scrub", "tsa_seasonal", "emb_outliers",
     "text_jsd_by_source", "stats_cube", "stats_ttest",
     "emb_centroid_drift", "stats_anova", "graph_common_neighbors",
-    "tsa_rolling_quantiles", "events_rfm", "scale_salted_join",
+    "tsa_rolling_quantiles",
     "emb_knn_classify", "sim_mmr", "tsa_changepoint", "stats_gini",
     "text_gopher_rules", "graph_degree_dist", "win_order_gaps",
     "stats_linreg", "stats_basket_lift", "sample_token_budget",
     "stats_wilson", "events_concurrency", "sim_topk_filtered",
-    "stats_cohens_d", "stats_zipf", "join_asof_forward",
+    "stats_cohens_d", "stats_zipf",
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
@@ -868,6 +869,7 @@ _ROTATION_QUEUE = [
     # --- displaced from the round-6 block by the 13 new round-6 entries;
     # all displaced were verified green at sf0.01 this round anyway (see
     # the pre-rotation check run + the full-registry sweep) ---
+    "events_rfm", "scale_salted_join", "join_asof_forward",
     "graph_hits", "stats_lorenz",
     "kmeans_cells", "stats_partial_corr", "emb_silhouette",
     "stats_pct_rank", "text_ttr", "tsa_crosscorr",
@@ -2945,6 +2947,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         testdata.events_metric(spark, sf),
         success=F.col("value") >= 900,
         group="event_type",
+    )
+    q["events_cohort_ltv"] = lambda spark, sf: analytics.cohort_ltv(
+        testdata.events_metric(spark, sf)
+    )
+    q["dedup_prefix_hash"] = lambda spark, sf: dedup.prefix_duplicates(
+        _docs(spark, sf), k_tokens=8
+    )
+    q["emb_norm_profile"] = lambda spark, sf: similarity.norm_profile(
+        _emb(spark, sf)
     )
 
     # The driver's correctness gate checks the FIRST 50 registry entries.
@@ -8088,5 +8099,41 @@ SELECT event_type, n::BIGINT AS n_obs,
                  / nullif(pow(p1 - p0, 2), 0)) AS BIGINT)
          AS n_required_per_arm
 FROM j ORDER BY event_type
+"""
+    o["events_cohort_ltv"] = """
+WITH m AS (SELECT epoch_ms(ts) AS timestamp, user_id, value::DOUBLE AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+ev AS (SELECT timestamp // 604800000 AS w, user_id AS u, v FROM m),
+first AS (SELECT u, min(w) AS cohort FROM ev GROUP BY u),
+sizes AS (SELECT cohort, count(*) AS cohort_users FROM first GROUP BY cohort),
+cells AS (SELECT f.cohort, e.w - f.cohort AS week_index, sum(e.v) AS pv
+          FROM ev e JOIN first f USING (u) GROUP BY 1, 2)
+SELECT c.cohort, c.week_index, s.cohort_users,
+       round(c.pv, 3) AS period_value,
+       round(sum(c.pv) OVER (PARTITION BY c.cohort ORDER BY c.week_index
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / s.cohort_users, 6) AS cum_value_per_user
+FROM cells c JOIN sizes s USING (cohort)
+ORDER BY c.cohort, c.week_index
+"""
+    o["dedup_prefix_hash"] = """
+WITH p AS (SELECT doc_id,
+                  md5(array_to_string(list_slice(
+                      string_split(lower(text), ' '), 1, 8), ' ')) AS prefix_hash
+           FROM documents)
+SELECT prefix_hash, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id, max(doc_id) AS max_doc_id
+FROM p GROUP BY prefix_hash HAVING count(*) > 1 ORDER BY prefix_hash
+"""
+    o["emb_norm_profile"] = """
+WITH n AS (SELECT label AS lbl,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+SELECT lbl, count(*) AS n_vecs,
+       round(min(nrm), 6) AS min_norm,
+       round(avg(nrm), 6) AS mean_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY lbl ORDER BY lbl
 """
     return o

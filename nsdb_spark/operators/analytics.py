@@ -5762,3 +5762,56 @@ def power_two_prop(
         F.round(delta, 6).alias("delta"),
         F.ceil(n_req).cast("bigint").alias("n_required_per_arm"),
     ).orderBy(group)
+
+
+def cohort_ltv(
+    df: DataFrame,
+    ts: str = "timestamp",
+    user: str = "user_id",
+    value: str = "value",
+    bucket_ms: int = 604800000,
+) -> DataFrame:
+    """Signup-cohort LTV triangle: users grouped by their first-seen
+    bucket (cohort); for each (cohort, weeks-since) cell, the period
+    value and the cumulative value PER COHORT USER — the
+    revenue-equivalent of the retention matrix, and the table a
+    data-mix planner reads to weight fresh vs seasoned user data.
+
+    Scale shape: events co-shuffle once on the user key against the
+    per-user first-seen frame; cells collapse to ≤ cohorts × weeks rows;
+    the cumulative window partitions by cohort over that bounded frame.
+    """
+    ev = df.filter(
+        F.col(user).isNotNull() & F.col(ts).isNotNull()
+    ).select(
+        (F.col(ts) / bucket_ms).cast("long").alias("w"),
+        F.col(user).alias("u"),
+        F.col(value).cast("double").alias("v"),
+    )
+    first = ev.groupBy("u").agg(F.min("w").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        ev.join(first, "u")
+        .groupBy("cohort", (F.col("w") - F.col("cohort")).alias("week_index"))
+        .agg(F.sum("v").alias("pv"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_index")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_index",
+            "cohort_users",
+            F.round("pv", 3).alias("period_value"),
+            F.round(
+                F.sum("pv").over(w) / F.col("cohort_users"), 6
+            ).alias("cum_value_per_user"),
+        )
+        .orderBy("cohort", "week_index")
+    )

@@ -1736,3 +1736,34 @@ def shingle_df_profile(
         F.col("max_df").cast("long").alias("max_df"),
         F.round("p99", 6).alias("p99_df"),
     )
+
+
+def prefix_duplicates(
+    docs: DataFrame, k_tokens: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Normalized-prefix exact dedup — the cheap first-pass web-corpus
+    heuristic: documents sharing their lowercased first k tokens are
+    near-certain duplicates (boilerplate reposts, mirrored articles)
+    without paying any pair join. One hash groupBy; reports only
+    groups with >1 member: (prefix_hash, n_docs, keep_doc_id,
+    max_doc_id) with keep = the smallest id, the survivor convention
+    the exact-dup family uses."""
+    pref = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.lower(F.col(text_col)), " "), 1, k_tokens),
+                " ",
+            )
+        ).alias("prefix_hash"),
+    )
+    return (
+        pref.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("prefix_hash")
+    )

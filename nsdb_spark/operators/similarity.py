@@ -1297,3 +1297,30 @@ def hubness_profile(
             F.try_divide(F.col("mx.d"), F.col("n_hits").cast("double")), 6
         ).alias("hub_share"),
     )
+
+
+def norm_profile(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Embedding L2-norm QA per label: n, min/mean/max norm — the
+    pre-flight check before any cosine machinery (an unnormalized or
+    collapsed-norm slice silently skews every similarity).
+
+    Scale shape: explode to (vec, component) once, one two-level
+    aggregate (norms per vector map-side, k-row profile after) —
+    whole-stage codegen, no Python, no pair joins."""
+    comp = emb.select(
+        "vec_id", F.col(label_col).alias("lbl"),
+        F.explode("embedding").alias("x"),
+    )
+    norms = comp.groupBy("vec_id", "lbl").agg(
+        F.sqrt(F.sum(F.col("x").cast("double") * F.col("x"))).alias("nrm")
+    )
+    return (
+        norms.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("lbl")
+    )
