@@ -6067,3 +6067,50 @@ def test_fdr_bh_null_p_ranks_last_never_rejected(spark):
     assert by["lonely"]["p_rank"] == 3  # last of m=3
     assert by["lonely"]["rejected"] is False
     assert by["b"]["rejected"] is True  # the +500 shift is unmissable
+
+
+def test_cohort_ltv_triangle(spark):
+    from nsdb_spark.operators import analytics
+
+    wk = 604800000
+    rows = [
+        # user 1 joins week 0, spends 10 then 20; user 2 joins week 0,
+        # spends 30 in week 1; user 3 joins week 1, spends 5
+        (0 * wk + 1, 1, 10.0), (1 * wk + 1, 1, 20.0),
+        (0 * wk + 2, 2, 0.0), (1 * wk + 2, 2, 30.0),
+        (1 * wk + 3, 3, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "timestamp long, user_id long, value double")
+    out = {(r["cohort"], r["week_index"]): r for r in
+           analytics.cohort_ltv(df).collect()}
+    assert out[(0, 0)]["cohort_users"] == 2
+    assert out[(0, 0)]["period_value"] == 10.0
+    assert out[(0, 1)]["period_value"] == 50.0
+    assert abs(out[(0, 1)]["cum_value_per_user"] - 30.0) < 1e-9  # 60 / 2
+    assert out[(1, 0)]["cohort_users"] == 1 and out[(1, 0)]["period_value"] == 5.0
+
+
+def test_prefix_duplicates_and_norm_profile(spark):
+    from nsdb_spark.operators import dedup as dd
+    from nsdb_spark.operators import similarity as sim
+
+    docs = spark.createDataFrame(
+        [(1, "The Quick brown fox jumps over the lazy dog end one"),
+         (2, "the quick BROWN fox jumps over the lazy dog different tail"),
+         (3, "completely other text with no shared prefix at all here")],
+        "doc_id long, text string",
+    )
+    out = dd.prefix_duplicates(docs, k_tokens=8).collect()
+    assert len(out) == 1  # docs 1+2 share the lowercased 8-token prefix
+    assert out[0]["n_docs"] == 2 and out[0]["keep_doc_id"] == 1
+    assert out[0]["max_doc_id"] == 2
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [0.6, 0.8], 0), (3, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    prof = {r["lbl"]: r for r in sim.norm_profile(emb).collect()}
+    assert prof[0]["n_vecs"] == 2
+    assert abs(prof[0]["max_norm"] - 5.0) < 1e-6
+    assert abs(prof[0]["min_norm"] - 1.0) < 1e-6
+    assert abs(prof[1]["mean_norm"] - 1.0) < 1e-6
