@@ -170,6 +170,7 @@ def main() -> None:
         "events_cohort_ltv",
         "dedup_prefix_hash",
         "emb_norm_profile",
+        "events_rolling_wau",
         "nsdb_relative_time",
         "nsdb_nullable_predicates",
         "nsdb_like_infix_count",

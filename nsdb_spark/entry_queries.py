@@ -847,6 +847,7 @@ _CHECK_PREFIX_R6 = [
     "profile_weekly_drift", "text_chunk_sliding", "text_vocab_coverage",
     "stats_fdr_bh", "tsa_snaive_backtest", "stats_power_two_prop",
     "events_cohort_ltv", "dedup_prefix_hash", "emb_norm_profile",
+    "events_rolling_wau",
     "stats_benford", "events_funnel_windowed", "stats_winsorize",
     "sample_ht_estimate", "dedup_decontaminate_emb", "text_lm_bigram",
     "tsa_anomaly", "emb_diversity", "stats_bootstrap",
@@ -858,7 +859,7 @@ _CHECK_PREFIX_R6 = [
     "text_gopher_rules", "graph_degree_dist", "win_order_gaps",
     "stats_linreg", "stats_basket_lift", "sample_token_budget",
     "stats_wilson", "events_concurrency", "sim_topk_filtered",
-    "stats_cohens_d", "stats_zipf",
+    "stats_cohens_d",
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
@@ -869,7 +870,7 @@ _ROTATION_QUEUE = [
     # --- displaced from the round-6 block by the 13 new round-6 entries;
     # all displaced were verified green at sf0.01 this round anyway (see
     # the pre-rotation check run + the full-registry sweep) ---
-    "events_rfm", "scale_salted_join", "join_asof_forward",
+    "events_rfm", "scale_salted_join", "join_asof_forward", "stats_zipf",
     "graph_hits", "stats_lorenz",
     "kmeans_cells", "stats_partial_corr", "emb_silhouette",
     "stats_pct_rank", "text_ttr", "tsa_crosscorr",
@@ -2956,6 +2957,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["emb_norm_profile"] = lambda spark, sf: similarity.norm_profile(
         _emb(spark, sf)
+    )
+    q["events_rolling_wau"] = lambda spark, sf: analytics.rolling_active_users(
+        testdata.events_metric(spark, sf), window_days=7
     )
 
     # The driver's correctness gate checks the FIRST 50 registry entries.
@@ -8135,5 +8139,17 @@ SELECT lbl, count(*) AS n_vecs,
        round(avg(nrm), 6) AS mean_norm,
        round(max(nrm), 6) AS max_norm
 FROM n GROUP BY lbl ORDER BY lbl
+"""
+    o["events_rolling_wau"] = """
+WITH m AS (SELECT epoch_ms(ts) AS timestamp, user_id FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+pairs AS (SELECT DISTINCT timestamp // 86400000 AS day, user_id AS u FROM m),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM pairs),
+contrib AS (SELECT DISTINCT p.u,
+                   unnest(generate_series(p.day,
+                          least(p.day + 6, s.hi))) AS d
+            FROM pairs p CROSS JOIN span s)
+SELECT d AS day, count(*) AS active_users
+FROM contrib GROUP BY d ORDER BY day
 """
     return o

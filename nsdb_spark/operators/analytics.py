@@ -5815,3 +5815,51 @@ def cohort_ltv(
         )
         .orderBy("cohort", "week_index")
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    ts: str = "timestamp",
+    user: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Sliding window-active-users per day (WAU when window_days=7): for
+    each calendar day, the count of distinct users seen in the trailing
+    window. A rolling COUNT DISTINCT has no window-function form on
+    either engine; the scalable shape is contribution fan-out — each
+    distinct (user, day) pair contributes to the `window_days` days it
+    keeps the user active in, then one distinct count per day. Shuffle
+    volume: distinct pairs × window_days, linear in users — never a
+    range join against raw events.
+
+    Days outside the observed span are clipped (the spine is the data's
+    own [min_day, max_day])."""
+    day_ms = 86400000
+    pairs = (
+        df.filter(F.col(user).isNotNull() & F.col(ts).isNotNull())
+        .select(
+            (F.col(ts) / day_ms).cast("long").alias("day"),
+            F.col(user).alias("u"),
+        )
+        .distinct()
+    )
+    span = pairs.groupBy().agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = (
+        pairs.crossJoin(F.broadcast(span))
+        .select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.col("day") + window_days - 1, F.col("hi")),
+                )
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(F.col("d").alias("day"), "active_users")
+        .orderBy("day")
+    )

@@ -6114,3 +6114,22 @@ def test_prefix_duplicates_and_norm_profile(spark):
     assert abs(prof[0]["max_norm"] - 5.0) < 1e-6
     assert abs(prof[0]["min_norm"] - 1.0) < 1e-6
     assert abs(prof[1]["mean_norm"] - 1.0) < 1e-6
+
+
+def test_rolling_active_users_window(spark):
+    from nsdb_spark.operators import analytics
+
+    day = 86400000
+    rows = [
+        (0 * day + 5, 1), (0 * day + 6, 1),  # u1 active day 0 (dup collapses)
+        (1 * day + 5, 2),                     # u2 day 1
+        (9 * day + 5, 1),                     # u1 again day 9
+    ]
+    df = spark.createDataFrame(rows, "timestamp long, user_id long")
+    out = {r["day"]: r["active_users"] for r in
+           analytics.rolling_active_users(df, window_days=7).collect()}
+    # day 0: {u1}=1; days 1-6: {u1,u2}=2; day 7: {u2}=1 (u1's day-0 window
+    # ended); day 8: 0 absent (no contribution); day 9: {u1}=1
+    assert out[0] == 1 and out[1] == 2 and out[6] == 2
+    assert out[7] == 1 and out[9] == 1
+    assert 8 not in out  # no spine fill — absent day means zero actives
