@@ -832,14 +832,13 @@ _CHECK_PREFIX_R5 = [
     "text_bm25_postings", "events_stickiness",
 ]
 
-#: Round-6 driver-check prefix: the 13 entries NEW this round (2
-#: per-interval temporal axes, 6 profiling, 2 text, fdr/snaive/power) +
-#: the 37 oldest never-driver-checked entries from the round-6 rotation
-#: block (was _ROTATION_QUEUE[:50] at the round-5 close; the displaced 13
-#: of that block return to the queue head for round 7 — all 50 of the
-#: ORIGINAL block were nevertheless verified green at sf0.01 this round,
-#: see the full-registry sweep). Prefix verified green via
-#: tools/check_oracles.py before the close.
+#: Round-6 driver-check prefix (SPENT — driver-verified 50/50 green in
+#: CORRECTNESS_r06.json): the 17 entries NEW that round (2 per-interval
+#: temporal axes, 6 profiling, 2 text, fdr/snaive/power,
+#: cohort-LTV/prefix-dedup/norm-profile/WAU) + the 33 oldest
+#: never-driver-checked entries from the round-6 rotation block (was
+#: _ROTATION_QUEUE[:50] at the round-5 close; the displaced 17 of that
+#: block returned to the queue head and are in _CHECK_PREFIX_R7 now).
 _CHECK_PREFIX_R6 = [
     "nsdb_temporal_not_range", "nsdb_temporal_or_ranges",
     "profile_columns", "profile_moments", "profile_fk_orphans",
@@ -862,35 +861,37 @@ _CHECK_PREFIX_R6 = [
     "stats_cohens_d",
 ]
 
-#: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
-#: Round 7 takes _ROTATION_QUEUE[:50]; round 8 the remainder plus
-#: re-verification of anything changed in rounds 6-7. Entries changed in
-#: a round jump the queue into that round's prefix.
-_ROTATION_QUEUE = [
-    # --- displaced from the round-6 block by the 13 new round-6 entries;
-    # all displaced were verified green at sf0.01 this round anyway (see
-    # the pre-rotation check run + the full-registry sweep) ---
-    "events_rfm", "scale_salted_join", "join_asof_forward", "stats_zipf",
-    "graph_hits", "stats_lorenz",
-    "kmeans_cells", "stats_partial_corr", "emb_silhouette",
-    "stats_pct_rank", "text_ttr", "tsa_crosscorr",
-    "stats_kendall", "stats_cramers_v", "stats_theil_sen",
-    "tsa_periodogram", "graph_adamic_adar",
-    # --- round 7 block (33 + changed-entry re-verifies) ---
-    "stats_mi", "stats_spearman", "events_paths", "stats_cvm",
-    "stats_wasserstein", "emb_hamming_topk", "stats_levene",
-    "graph_kcore", "stats_qq", "events_kaplan_meier", "events_markov",
-    "sim_topk_hamming_rerank", "stats_runs", "tsa_ljung_box",
-    "emb_matryoshka_overlap", "sample_neyman", "stats_ad",
+#: Round-7 driver-check prefix: stats_fdr_bh re-enters first (its BH
+#: rank was rewritten this round onto the two-phase range-partitioned
+#: global-rank primitive — changed entries jump the queue), then the 49
+#: oldest never-driver-checked entries from _ROTATION_QUEUE (the 17
+#: displaced from the round-6 block + the first 32 of the old round-7
+#: block). The remaining 44 queue entries are round 8's prefix. Verified
+#: green via tools/check_oracles.py before the close.
+_CHECK_PREFIX_R7 = [
+    "stats_fdr_bh", "events_rfm", "scale_salted_join", "join_asof_forward",
+    "stats_zipf", "graph_hits", "stats_lorenz", "kmeans_cells",
+    "stats_partial_corr", "emb_silhouette", "stats_pct_rank", "text_ttr",
+    "tsa_crosscorr", "stats_kendall", "stats_cramers_v", "stats_theil_sen",
+    "tsa_periodogram", "graph_adamic_adar", "stats_mi", "stats_spearman",
+    "events_paths", "stats_cvm", "stats_wasserstein", "emb_hamming_topk",
+    "stats_levene", "graph_kcore", "stats_qq", "events_kaplan_meier",
+    "events_markov", "sim_topk_hamming_rerank", "stats_runs",
+    "tsa_ljung_box", "emb_matryoshka_overlap", "sample_neyman", "stats_ad",
     "graph_assortativity", "stats_deming", "sample_pps_systematic",
     "stats_mood", "events_json_stats", "graph_clustering_coeff",
-    "text_lang_confusion", "tsa_kpss", "stats_kruskal",
-    "graph_modularity", "stats_hill", "join_band_prices",
-    "events_entropy_rate", "stats_ccc", "sample_neyman_apply",
+    "text_lang_confusion", "tsa_kpss", "stats_kruskal", "graph_modularity",
+    "stats_hill", "join_band_prices", "events_entropy_rate", "stats_ccc",
+    "sample_neyman_apply",
+]
+
+#: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
+#: Round 8 takes the full remainder (44 entries) plus re-verification of
+#: anything changed in round 7-8. Entries changed in a round jump the
+#: queue into that round's prefix. (All 44 were self-verified green at
+#: sf0.01 via tools/check_oracles.py when added in round 5.)
+_ROTATION_QUEUE = [
     "events_mcnemar",
-    # --- appended round 5 (new entries this round, self-verified at
-    # sf0.01 via tools/check_oracles.py; enter the driver prefix in
-    # round 7 per the rotation rule) ---
     "stats_dagostino", "stats_logrank", "stats_cronbach", "stats_icc",
     "stats_friedman", "stats_risk_ratio", "stats_gamma", "tsa_hurst",
     "tsa_durbin_watson", "tsa_granger", "tsa_spectral_entropy",
@@ -2971,7 +2972,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (oldest first); move the spent block out of the queue and append
     # any brand-new entries to its tail. After round 7 the queue is
     # empty and the prefix reverts to most-recently-touched-first.
-    priority = _CHECK_PREFIX_R6 + _CHECK_PREFIX_R5 + [
+    priority = _CHECK_PREFIX_R7 + _CHECK_PREFIX_R6 + _CHECK_PREFIX_R5 + [
         # round 9: new entries this round, NEWEST WAVES FIRST — with 79
         # additions only 50 fit the driver's check prefix, and the
         # latest waves have soaked the least

@@ -5661,9 +5661,16 @@ def fdr_bh(
     BH: rank p ascending (group tie-break), reject ranks ≤ argmax{i :
     p_(i) ≤ i/m·q}.
 
-    Scale shape: the scan collapses to k = |groups| rows; the
-    unpartitioned windows below run on that k-row frame, never the data
-    (same bounded-contract discipline as welch_anova).
+    Scale shape: the scan collapses to k = |groups| rows, but k itself
+    can be huge (per-user tests ⇒ 10⁷–10⁸ hypotheses at 100 TB), so the
+    BH rank must NOT be an unpartitioned window. Same two-phase
+    global-rank shape as _two_sample_cum_frame / packing
+    .partition_offsets: range-partition the scored frame on the sort
+    key (with an explicit null-flag so NULL p ranks LAST on both
+    engines), LOCAL row_number per partition, broadcast the P
+    per-partition counts as rank offsets. kmax (the largest rejected
+    rank) is a plain 1-row aggregate broadcast-joined back — the only
+    single-partition exchange in the plan.
     """
     per = (
         df.filter(F.col(value).isNotNull())
@@ -5694,20 +5701,47 @@ def fdr_bh(
         F.col("m").cast("long").alias("m"), z.alias("__z"), p.alias("__p"),
     )
     # NULL p (a 1-row group: variance undefined) must sort LAST on both
-    # engines — Spark asc() is NULLS FIRST, DuckDB ASC is NULLS LAST; an
-    # explicit asc_nulls_last keeps ranks identical, and a NULL p can
-    # never satisfy p <= threshold, so it is never rejected
-    w = Window.orderBy(F.col("__p").asc_nulls_last(), F.col(group).asc())
-    ranked = scored.select(
-        "*", F.row_number().over(w).alias("p_rank")
-    ).withColumn("__thr", F.col("p_rank") / F.col("m") * F.lit(q))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # engines — range partitioning and the local sort both order the
+    # explicit __pnull flag first (false < true), matching DuckDB's ASC
+    # NULLS LAST; a NULL p can never satisfy p <= threshold, so it is
+    # never rejected. checkpoint BEFORE deriving offsets:
+    # repartitionByRange samples boundaries per job (the
+    # partition_offsets contract).
+    d = (
+        scored.withColumn("__pnull", F.col("__p").isNull())
+        .repartitionByRange("__pnull", "__p", group)
+        .sortWithinPartitions("__pnull", "__p", group)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    out = ranked.withColumn(
-        "__kmax",
-        F.max(F.when(F.col("__p") <= F.col("__thr"), F.col("p_rank"))).over(wall),
+    wloc = Window.partitionBy("__pid").orderBy(
+        "__pnull", F.col("__p").asc(), F.col(group).asc()
     )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offs, acc = [], 0
+    for pid in range(max(counts, default=-1) + 1):
+        offs.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off = d.sparkSession.createDataFrame(
+        offs or [(0, 0)], "__pid int, __off long"
+    )
+    ranked = (
+        d.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "p_rank",
+            (F.row_number().over(wloc) + F.col("__off")).cast("int"),
+        )
+        .withColumn("__thr", F.col("p_rank") / F.col("m") * F.lit(q))
+    )
+    kmax = ranked.agg(
+        F.max(
+            F.when(F.col("__p") <= F.col("__thr"), F.col("p_rank"))
+        ).alias("__kmax")
+    )
+    out = ranked.crossJoin(F.broadcast(kmax))
     return out.select(
         group,
         "n",

@@ -827,3 +827,18 @@ def test_profiling_weekly_drift_single_scan_shared(spark):
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 0, plan[:800]
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_fdr_bh_no_global_rank_window(spark):
+    """The BH rank must ride the two-phase range-partitioned scan (the
+    KS discipline): NULL-flagged range partitions + local row_number +
+    broadcast rank offsets. The only single-partition exchange allowed
+    is the 1-row kmax aggregate — never a hypothesis-count-sized global
+    sort window (VERDICT r6 'What's wrong' #1)."""
+    from nsdb_spark.operators import analytics
+
+    ev = testdata.events_metric(spark, SF_DIR)
+    out = analytics.fdr_bh(ev, "value", "event_type", q=0.10)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+    assert plan.count("Exchange SinglePartition") <= 1
