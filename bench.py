@@ -515,6 +515,20 @@ def main() -> None:
                 ok2 += 1
         results["grpc_100_distinct_queries"] = round(time.time() - t0, 3)
         results["grpc_distinct_success_pct"] = 100.0 * ok2 / 100
+        # Honest complement #2: 100 distinct SHAPES (unique filter
+        # literal per rpc) — the shape cache binds only LIMIT slots, so
+        # each of these pays the full parse→analyze→compile→collect
+        # path. This is the true uncached per-statement floor.
+        t0 = time.time()
+        ok3 = 0
+        for i in range(100):
+            res3 = client.execute_sql(
+                "default", "default",
+                f"select * from points where value >= {i % 90} limit 5")
+            if res3.get("completedSuccessfully") and res3.get("records"):
+                ok3 += 1
+        results["grpc_100_distinct_shapes"] = round(time.time() - t0, 3)
+        results["grpc_shapes_success_pct"] = 100.0 * ok3 / 100
     finally:
         client.close()
         server.stop()
@@ -533,7 +547,9 @@ def main() -> None:
              if k not in ("gatling_100_point_queries", "gatling_success_pct",
                           "grpc_100_point_queries", "grpc_success_pct",
                           "grpc_100_distinct_queries",
-                          "grpc_distinct_success_pct")}
+                          "grpc_distinct_success_pct",
+                          "grpc_100_distinct_shapes",
+                          "grpc_shapes_success_pct")}
     compact: dict[str, float] = dict(
         sorted(timed.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -545,6 +561,8 @@ def main() -> None:
     compact["grpc_success_pct"] = results["grpc_success_pct"]
     compact["grpc_100_distinct_queries"] = results["grpc_100_distinct_queries"]
     compact["grpc_distinct_success_pct"] = results["grpc_distinct_success_pct"]
+    compact["grpc_100_distinct_shapes"] = results["grpc_100_distinct_shapes"]
+    compact["grpc_shapes_success_pct"] = results["grpc_shapes_success_pct"]
     # smoke runs at other SFs go to a scratch file so they never clobber
     # the committed sf0.1 baseline the 2x re-time rule reads
     out_path = detail_path if sf == 0.1 else (
@@ -561,7 +579,8 @@ def main() -> None:
     # baseline; otherwise the 2x rule flags the honest new cost forever.
     non_entries = ("gatling_100_point_queries", "gatling_success_pct",
                    "grpc_100_point_queries", "grpc_success_pct",
-                   "grpc_100_distinct_queries", "grpc_distinct_success_pct")
+                   "grpc_100_distinct_queries", "grpc_distinct_success_pct",
+                   "grpc_100_distinct_shapes", "grpc_shapes_success_pct")
     best = {
         k: round(min(v, baselines.get(k, v)), 3)
         for k, v in results.items()

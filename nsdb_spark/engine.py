@@ -8,6 +8,7 @@ HashAggregate partial/final replaces the shard/node reduce tree.
 """
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import shutil
@@ -74,6 +75,13 @@ class NsdbEngine:
         self._metric_versions: dict[tuple[str, str, str], int] = {}
         # (db, ns, metric) -> (token, base DataFrame): see read_metric
         self._metric_frame_cache: dict[tuple, tuple] = {}
+        # shape-keyed cache for plain SELECTs with a LIMIT: key = the AST
+        # fingerprint with the LIMIT slot stripped; value = [token,
+        # pre-limit DataFrame, over-fetched row superset (or None),
+        # fetch bound, exhaustive?]. 100 statements identical but for the
+        # LIMIT literal (the dashboard shape) compile+execute ONCE and
+        # bind each limit as a row slice — see _collect_via_shape.
+        self._shape_cache: "OrderedDict[tuple, list]" = OrderedDict()
 
     # ------------------------------------------------------ plan-cache plumbing
     def _metric_version(self, db: str, ns: str, metric: str) -> int:
@@ -127,6 +135,7 @@ class NsdbEngine:
         with self._plan_cache_lock:
             self._plan_cache.clear()
             self._metric_frame_cache.clear()
+            self._shape_cache.clear()
             self._metric_versions.clear()
 
     # ------------------------------------------------------------- write path
@@ -560,7 +569,11 @@ class NsdbEngine:
         reference's Gatling/gRPC load shape) skips Spark's per-action
         overhead entirely, and any mutation invalidates rows and plan
         together. Results above _RESULT_CACHE_MAX_ROWS rows are returned
-        but not retained."""
+        but not retained. Cache hits return a COPY of the stored list —
+        callers may mutate their result without poisoning the cache.
+
+        Statements that differ only in the LIMIT literal additionally
+        share one shape-keyed execution (see _collect_via_shape)."""
         db, ns = stmt.db or "default", stmt.namespace or "default"
         fp = repr(stmt)
         cacheable = (
@@ -574,7 +587,11 @@ class NsdbEngine:
                 hit = self._plan_cache.get(key)
                 if hit is not None and hit[0] == token and hit[2] is not None:
                     self._plan_cache.move_to_end(key)
-                    return hit[2]
+                    return list(hit[2])
+            if stmt.limit is not None:
+                shaped = self._collect_via_shape(db, ns, stmt, time_context, token)
+                if shaped is not None:
+                    return shaped
         rows = self.execute_select(stmt, time_context).collect()
         if cacheable and len(rows) <= self._RESULT_CACHE_MAX_ROWS:
             with self._plan_cache_lock:
@@ -582,8 +599,82 @@ class NsdbEngine:
                 # only attach to an entry still carrying the same token —
                 # a mutation mid-collect must not resurrect stale rows
                 if hit is not None and hit[0] == token:
-                    hit[2] = rows
+                    hit[2] = list(rows)
         return rows
+
+    #: over-fetch bound for the shape cache: the first execution of a
+    #: LIMIT-k plain SELECT fetches max(k, this) rows so every later
+    #: limit ≤ the bound binds as a slice with NO Spark job. CollectLimit
+    #: / TakeOrdered make the over-fetch nearly free at point-query scale.
+    _SHAPE_OVERFETCH = 10_000
+
+    def _collect_via_shape(
+        self,
+        db: str,
+        ns: str,
+        stmt: ast.SelectSQLStatement,
+        time_context: TimeContext | None,
+        token: tuple,
+    ) -> list | None:
+        """Shape-keyed LIMIT binding for the distinct-statement dashboard
+        workload: statements identical but for the LIMIT literal compile
+        and execute ONCE — the cached entry holds the pre-limit DataFrame
+        plus an over-fetched row superset, and each limit binds at serve
+        time as a prefix slice.
+
+        Scope is deliberately the plain (ParsedSimpleQuery) class only,
+        where LIMIT k = "the first k matching rows" and a prefix of a
+        superset is exactly equivalent (with ORDER BY the superset is the
+        globally ordered prefix, so the slice is the exact top-k).
+        Aggregate classes are excluded because their VALUES depend on the
+        limit (global count clamps to LIMIT; temporal LIMIT = takeRight —
+        SURVEY §2.5), not just their row count. Returns None when the
+        statement isn't shape-eligible (the caller falls through to the
+        normal path, which also surfaces analyze errors)."""
+        k = stmt.limit.value
+        if k <= 0:
+            return None
+        try:
+            schema = self.warehouse.get_schema(db, ns, stmt.metric)
+            parsed = analyzer.analyze(stmt, schema)
+        except Exception:
+            return None
+        if not isinstance(parsed, analyzer.ParsedSimpleQuery):
+            return None
+        nolimit = dataclasses.replace(stmt, limit=None)
+        skey = (db, ns, stmt.metric, repr(nolimit))
+        df_nolimit = None
+        with self._plan_cache_lock:
+            ent = self._shape_cache.get(skey)
+            if ent is not None and ent[0] == token:
+                self._shape_cache.move_to_end(skey)
+                rows, exhaustive = ent[2], ent[4]
+                if rows is not None and (exhaustive or len(rows) >= k):
+                    return list(rows[:k])
+                df_nolimit = ent[1]
+        if df_nolimit is None:
+            df_nolimit, _parsed, _routed = self._plan_select(nolimit, time_context)
+        bound = max(k, self._SHAPE_OVERFETCH)
+        rows = df_nolimit.limit(bound).collect()
+        exhaustive = len(rows) < bound
+        keep = rows if len(rows) <= self._RESULT_CACHE_MAX_ROWS else None
+        with self._plan_cache_lock:
+            cur = self._shape_cache.get(skey)
+            # replace a STALE entry (its token is ≤ ours — tokens are
+            # lexicographically monotone: mutation counter first, then
+            # mtimes), but never clobber one another thread stored under
+            # a NEWER token; a mutation mid-collect bumped the version,
+            # so our store can never be served stale (future tokens
+            # differ from the pre-collect token we key on)
+            if cur is None or cur[0] <= token:
+                self._shape_cache[skey] = [
+                    token, df_nolimit, keep, bound,
+                    exhaustive and keep is not None,
+                ]
+                self._shape_cache.move_to_end(skey)
+                while len(self._shape_cache) > self._plan_cache_cap:
+                    self._shape_cache.popitem(last=False)
+        return list(rows[:k])
 
     def _plan_select(
         self, stmt: ast.SelectSQLStatement, time_context: TimeContext | None = None

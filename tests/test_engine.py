@@ -1635,13 +1635,93 @@ def test_result_cache_serves_and_invalidates(long_engine):
     stmt = parse("select * from longMetric", db="default", namespace="default")
     r1 = long_engine.collect_select(stmt)
     r2 = long_engine.collect_select(stmt)
-    assert r2 is r1  # served from the result cache, no second action
+    assert r2 == r1
+    # hits return a COPY: mutating a served result must not poison the
+    # cache for later callers
+    r2.append("POISON")
+    assert long_engine.collect_select(stmt) == r1
     long_engine.insert_bits(
         "default", "default", "longMetric",
         [Bit(11, 7, {"surname": "Doe"}, {"name": "New"})],
     )
     r3 = long_engine.collect_select(stmt)
     assert len(r3) == len(r1) + 1
+
+
+def test_shape_cache_binds_distinct_limits_one_execution(long_engine):
+    """Statements identical but for the LIMIT literal (the dashboard /
+    gRPC distinct-statement workload) must compile and execute ONCE:
+    every later limit binds as a slice of the shape superset — exact for
+    ordered queries — with no further plan construction."""
+    from nsdb_spark.sql.parser import parse
+
+    plans = []
+    orig = long_engine._plan_select
+
+    def spy(stmt, tc=None):
+        plans.append(repr(stmt))
+        return orig(stmt, tc)
+
+    long_engine._plan_select = spy
+    ts = [1, 2, 4, 6, 8, 10]  # the fixture's timestamps
+    try:
+        for k in (2, 7, 1, 10, 4):
+            stmt = parse(
+                f"select * from longMetric order by timestamp limit {k}",
+                db="default", namespace="default",
+            )
+            got = [r["timestamp"] for r in long_engine.collect_select(stmt)]
+            assert got == ts[:k], (k, got)
+    finally:
+        long_engine._plan_select = orig
+    # one compile for the shared (limit-stripped) shape, nothing else
+    assert len(plans) == 1 and "limit=None" in plans[0]
+
+
+def test_shape_cache_mutation_replaces_stale_entry(long_engine):
+    """A write invalidates the shape superset; the NEXT distinct-limit
+    query re-executes, sees the new row, and re-primes the cache (a stale
+    entry must be replaced, not wedge the shape into permanent misses)."""
+    from nsdb_spark.sql.parser import parse
+
+    def q(k):
+        stmt = parse(
+            f"select * from longMetric order by timestamp desc limit {k}",
+            db="default", namespace="default",
+        )
+        return [r["timestamp"] for r in long_engine.collect_select(stmt)]
+
+    assert q(3) == [10, 8, 6]
+    long_engine.insert_bits(
+        "default", "default", "longMetric",
+        [Bit(99, 1, {"surname": "Doe"}, {"name": "Zed"})],
+    )
+    assert q(2) == [99, 10]  # stale superset not served
+    plans = []
+    orig = long_engine._plan_select
+    long_engine._plan_select = lambda s, tc=None: (plans.append(1), orig(s, tc))[1]
+    try:
+        assert q(4) == [99, 10, 8, 6]  # re-primed: served with no replan
+    finally:
+        long_engine._plan_select = orig
+    assert plans == []
+
+
+def test_shape_cache_excludes_aggregate_classes(long_engine):
+    """Aggregate statements' VALUES depend on the limit (global count
+    clamps to LIMIT — SURVEY §2.5), so they must keep full-fingerprint
+    caching: correct clamped values per limit, and no shape entry."""
+    from nsdb_spark.sql.parser import parse
+
+    for k, want in ((3, 3), (20, 6)):
+        stmt = parse(
+            f"select count(*) from longMetric limit {k}",
+            db="default", namespace="default",
+        )
+        assert long_engine.collect_select(stmt)[0][0] == want
+    assert not any(
+        "count" in key[3] for key in long_engine._shape_cache
+    )
 
 
 def test_plan_cache_threaded_write_read_coherence(long_engine):
