@@ -113,10 +113,15 @@ class NsdbEngine:
         every write) and schema unions; (c) the data-dir mtime covers
         out-of-process DELETE / DROP / retention eviction (each removes or
         swaps shard_start= child dirs, touching the parent). NOT covered:
-        an out-of-process compaction/Z-order rewrite (same rows, new files
-        inside existing shard dirs) — those are documented writes-paused
-        maintenance ops; a cooperating process should call
-        invalidate_plan_caches() (or simply restart) afterwards."""
+        (1) an out-of-process compaction/Z-order rewrite (same rows, new
+        files inside existing shard dirs) — those are documented
+        writes-paused maintenance ops; a cooperating process should call
+        invalidate_plan_caches() (or simply restart) afterwards; (2) on
+        filesystems with coarse mtime granularity (1 s on classic NFS /
+        HFS+), an out-of-process INSERT landing within the same timestamp
+        tick as a token read can serve stale cached plans/rows until the
+        next tick — deploy multi-writer setups on a filesystem with ns
+        mtimes (ext4/XFS/APFS) or route writes through one engine."""
         dp = self.warehouse.data_path(db, ns, metric)
         try:
             dir_mtime = os.stat(dp).st_mtime_ns

@@ -81,6 +81,11 @@ class Stream:
         # repaid when read_message drains the buffer (set by the owning
         # Http2Connection so a consumer catching up un-stalls the peer)
         self.withheld = 0
+        # offset of the first not-fully-buffered message in `body` — the
+        # flow-control decision resumes its message-boundary walk here
+        # instead of rescanning the whole buffer on every DATA frame
+        # (body is append-only between read_message pops)
+        self.scan_off = 0
         self._conn: "Http2Connection | None" = None
 
     def feed(self, data: bytes, end: bool) -> None:
@@ -103,7 +108,12 @@ class Stream:
 
     def read_message(self, timeout: float | None = None):
         """Pop one length-prefixed gRPC message (flag + 4-byte len) from
-        the body buffer; None at clean end-of-stream."""
+        the body buffer; None at clean end-of-stream. Withheld window
+        repayment is decided under body_cond but SENT after releasing it
+        — a blocking send while holding the condition would wedge every
+        other consumer of this stream behind a peer that stopped
+        reading."""
+        msg, repay = None, 0
         with self.body_cond:
             while True:
                 if len(self.body) >= 5:
@@ -115,18 +125,23 @@ class Stream:
                     if len(self.body) >= 5 + ln:
                         msg = bytes(self.body[5 : 5 + ln])
                         del self.body[: 5 + ln]
-                        self._repay_withheld()
-                        return msg
+                        self.scan_off = max(0, self.scan_off - (5 + ln))
+                        repay = self._drain_repay_locked()
+                        break
                 if self.end_stream:
-                    return None
+                    break
                 if not self.body_cond.wait(timeout=timeout):
                     raise TimeoutError("no gRPC message within timeout")
+        if repay:
+            self._send_repay(repay)
+        return msg
 
-    def _repay_withheld(self) -> None:
-        """Grant back withheld stream-window bytes once the consumer has
-        drained the buffer below the cap — without this, a reader that
-        temporarily fell behind would leave the peer stalled at a
-        permanent window deficit (called under body_cond)."""
+    def _drain_repay_locked(self) -> int:
+        """Withheld stream-window bytes to grant back once the consumer
+        has drained the buffer below the cap — without this, a reader
+        that temporarily fell behind would leave the peer stalled at a
+        permanent window deficit. Called under body_cond; returns the
+        byte count for the caller to send AFTER releasing the lock."""
         if (
             self.withheld > 0
             and len(self.body) <= MAX_BUFFERED_BODY
@@ -134,12 +149,16 @@ class Stream:
             and not self.reset
         ):
             n, self.withheld = self.withheld, 0
-            try:
-                self._conn.send_frame(
-                    WINDOW_UPDATE, 0, self.sid, struct.pack(">I", n)
-                )
-            except (OSError, ConnectionClosed):  # peer already gone
-                pass
+            return n
+        return 0
+
+    def _send_repay(self, n: int) -> None:
+        try:
+            self._conn.send_frame(
+                WINDOW_UPDATE, 0, self.sid, struct.pack(">I", n)
+            )
+        except (OSError, ConnectionClosed):  # peer already gone
+            pass
 
 
 class Http2Connection:
@@ -342,49 +361,33 @@ class Http2Connection:
             # The CONNECTION window always replenishes (one flooding stream
             # must not starve the others). The STREAM window withholds its
             # replenishment only while the buffer BOTH exceeds the cap AND
-            # already holds a complete unconsumed gRPC message — so a
-            # single legitimately large in-flight message keeps flowing
-            # (its buffer grows but holds no complete message), while a
-            # flood of messages a unary handler will never read stalls at
-            # cap + one window. Withheld bytes are repaid by
-            # Stream._repay_withheld when read_message drains the buffer,
-            # so a slow-but-live consumer un-stalls its peer. Exceeding
-            # cap + 2 windows is a flow-control violation → RST_STREAM.
+            # ends on a message boundary (all buffered messages complete
+            # and unconsumed) — a legitimately large message still in
+            # flight leaves a PARTIAL tail, even behind earlier small
+            # unread messages, and keeps flowing. Withheld bytes are
+            # repaid when read_message drains the buffer, so a
+            # slow-but-live consumer un-stalls its peer. Exceeding
+            # cap + 2 windows (or the 64 MiB message ceiling) is a
+            # flow-control violation → RST_STREAM. The decision is made
+            # under body_cond but frames are sent AFTER releasing it —
+            # a blocking send under the condition would wedge every
+            # read_message consumer behind a peer that stopped reading.
             if payload:
                 self.send_frame(WINDOW_UPDATE, 0, 0, struct.pack(">I", len(payload)))
                 if not flags & FLAG_END_STREAM:
-                    with st.body_cond:
-                        buffered = len(st.body)
-                        declared = (
-                            int.from_bytes(st.body[1:5], "big")
-                            if buffered >= 5
-                            else 0
+                    action = self._stream_window_decision(st, len(payload))
+                    if action == "rst":
+                        self.send_frame(
+                            RST_STREAM, 0, sid,
+                            struct.pack(">I", ERR_FLOW_CONTROL),
                         )
-                        if declared > MAX_MESSAGE_SIZE or buffered > (
-                            MAX_MESSAGE_SIZE + 5 + MAX_BUFFERED_BODY
-                        ):
-                            self.send_frame(
-                                RST_STREAM, 0, sid,
-                                struct.pack(">I", ERR_FLOW_CONTROL),
-                            )
-                            st.mark_reset()
-                            return
-                        complete = buffered >= 5 and buffered >= 5 + declared
-                        over = buffered > MAX_BUFFERED_BODY
-                        if over and complete:
-                            if buffered > MAX_BUFFERED_BODY + 2 * DEFAULT_WINDOW:
-                                self.send_frame(
-                                    RST_STREAM, 0, sid,
-                                    struct.pack(">I", ERR_FLOW_CONTROL),
-                                )
-                                st.mark_reset()
-                            else:
-                                st.withheld += len(payload)
-                        else:
-                            self.send_frame(
-                                WINDOW_UPDATE, 0, sid,
-                                struct.pack(">I", len(payload)),
-                            )
+                        st.mark_reset()
+                        return
+                    if action == "replenish":
+                        self.send_frame(
+                            WINDOW_UPDATE, 0, sid,
+                            struct.pack(">I", len(payload)),
+                        )
         elif ftype == RST_STREAM:
             with self.streams_lock:
                 st = self.streams.get(sid)
@@ -393,6 +396,40 @@ class Http2Connection:
         elif ftype == GOAWAY:
             raise ConnectionClosed()
         # PRIORITY / PUSH_PROMISE / unknown frame types: ignored
+
+    def _stream_window_decision(self, st: Stream, n: int) -> str:
+        """Flow-control verdict for n freshly-buffered DATA bytes:
+        'replenish' (grant the stream window back), 'withhold' (flood
+        backpressure — repay on drain), or 'rst' (violation). Walks the
+        buffer's message boundaries from the cached scan offset so a
+        partial message ANYWHERE at the tail — including behind earlier
+        complete-but-unread messages on a streaming RPC — is recognized
+        as in-flight and exempted. No frames are sent here (called with
+        body_cond held only long enough to decide)."""
+        with st.body_cond:
+            buffered = len(st.body)
+            off = st.scan_off
+            oversize = partial = False
+            while off + 5 <= buffered:
+                declared = int.from_bytes(st.body[off + 1 : off + 5], "big")
+                if declared > MAX_MESSAGE_SIZE:
+                    oversize = True
+                    break
+                if off + 5 + declared > buffered:
+                    partial = True
+                    break
+                off += 5 + declared
+            st.scan_off = off
+            if not (oversize or partial) and off < buffered:
+                partial = True  # a 1-4 byte length-prefix fragment
+            if oversize or buffered > MAX_MESSAGE_SIZE + 5 + MAX_BUFFERED_BODY:
+                return "rst"
+            if buffered > MAX_BUFFERED_BODY and not partial:
+                if buffered > MAX_BUFFERED_BODY + 2 * DEFAULT_WINDOW:
+                    return "rst"
+                st.withheld += n
+                return "withhold"
+            return "replenish"
 
     def _complete_headers(self, sid: int, block: bytes, flags: int, on_headers) -> None:
         headers = self.hpack_dec.decode(block)

@@ -375,6 +375,12 @@ class SubscriptionManager:
         """Advance time: close+push due temporal buckets, re-run standard
         aggregations (call this from a scheduler; tests call it directly)."""
         now = now_ms if now_ms is not None else self.engine.now_fn()
+        # standard aggregations coalesce by statement fingerprint: N
+        # identical subscribed statements execute ONCE per tick and fan
+        # the result out (the reference re-executes per subscription —
+        # PublisherActor.scala:205-218 — so this is an improvement, not
+        # a parity constraint; same now ⇒ identical results by definition)
+        agg_groups: dict[str, list] = {}
         for sub in list(self.subs.values()):
             # a sub still in its historical phase (pending buffer active)
             # must not receive tick pushes: its transport treats the FIRST
@@ -387,6 +393,12 @@ class SubscriptionManager:
             with sub.pending_lock:
                 if sub.pending is not None:
                     continue
+            if isinstance(
+                sub.parsed,
+                (analyzer.ParsedAggregatedQuery, analyzer.ParsedGlobalAggregatedQuery),
+            ):
+                agg_groups.setdefault(repr(sub.statement), []).append(sub)
+                continue
             try:
                 self._tick_one(sub, now)
             except Exception:
@@ -396,6 +408,27 @@ class SubscriptionManager:
                 # the scheduler's keep-the-beat-alive except would hide
                 # that starvation forever
                 _log.exception("tick failed for subscription %s", sub.uuid)
+        for group in agg_groups.values():
+            # full re-execution + push (PublisherActor.scala:205-218),
+            # once per DISTINCT statement
+            try:
+                rows = [
+                    r.asDict()
+                    for r in self.engine.execute_select(
+                        group[0].statement, TimeContext(now)
+                    ).collect()
+                ]
+            except Exception:
+                for sub in group:
+                    _log.exception("tick failed for subscription %s", sub.uuid)
+                continue
+            for sub in group:
+                try:
+                    # fresh dicts per subscriber: a callback mutating its
+                    # payload must not leak into its siblings'
+                    sub.callback([dict(r) for r in rows])
+                except Exception:
+                    _log.exception("tick failed for subscription %s", sub.uuid)
 
     def _tick_one(self, sub: _Subscription, now: int) -> None:
         if isinstance(sub.parsed, analyzer.ParsedTemporalAggregatedQuery):
@@ -416,15 +449,6 @@ class SubscriptionManager:
                         # long-lived subscription accumulates every raw
                         # value forever (unbounded driver memory)
                         sub.buckets.pop(ub, None)
-        elif isinstance(
-            sub.parsed,
-            (analyzer.ParsedAggregatedQuery, analyzer.ParsedGlobalAggregatedQuery),
-        ):
-            # full re-execution + push (PublisherActor.scala:205-218)
-            rows = [
-                r.asDict()
-                for r in self.engine.execute_select(
-                    sub.statement, TimeContext(now)
-                ).collect()
-            ]
-            sub.callback(rows)
+        # standard aggregations are handled by tick()'s coalescing loop
+        # (one execution per distinct statement, fanned out); plain
+        # queries push per-record from publish() and have no tick work

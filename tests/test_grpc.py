@@ -841,3 +841,38 @@ def test_withheld_window_repaid_on_drain(monkeypatch):
     assert sum(got) == total_fed
     assert stream.withheld == 0
     a.close(); b.close()
+
+
+def test_partial_message_behind_unread_small_one_keeps_flowing(monkeypatch):
+    """The in-flight-message exemption must look at the TAIL of the
+    buffer, not just the first message: on a streaming RPC a legitimate
+    larger-than-cap message arriving behind one small unread message
+    must keep receiving stream-window grants while in flight — not be
+    withheld or RST as a flooder (round-6 ADVICE finding)."""
+    import socket
+    import struct as st
+    from nsdb_spark.grpc import http2 as h2
+
+    monkeypatch.setattr(h2, "MAX_BUFFERED_BODY", 1000)
+    a, b = socket.socketpair()
+    conn = h2.Http2Connection(a, is_server=True)
+    stream = conn.get_stream(1)
+    # one small COMPLETE message the handler hasn't read yet...
+    small = b"\x00" + st.pack(">I", 10) + b"s" * 10
+    conn.handle_frame(h2.DATA, 0, 1, small, lambda *x: None)
+    # ...then one 5000-byte message streamed in 500-byte DATA frames —
+    # the buffer crosses the cap many frames before the message completes
+    big_len = 5000
+    payload = b"B" * big_len
+    frames = [b"\x00" + st.pack(">I", big_len) + payload[:495]]
+    frames += [payload[i:i + 500] for i in range(495, big_len, 500)]
+    for fr in frames[:-1]:
+        conn.handle_frame(h2.DATA, 0, 1, fr, lambda *x: None)
+    # in flight: every frame replenished despite buffered >> cap
+    assert not stream.reset and stream.withheld == 0
+    conn.handle_frame(h2.DATA, 0, 1, frames[-1], lambda *x: None)
+    assert not stream.reset  # completion over cap = backpressure, never RST
+    assert stream.read_message(timeout=1) == b"s" * 10
+    assert stream.read_message(timeout=1) == payload
+    assert stream.withheld == 0  # drained: any withheld tail repaid
+    a.close(); b.close()

@@ -1103,3 +1103,38 @@ def test_publish_tap_bounds_driver_traffic_under_subscription_mix(
     assert sum(len(p) for p in cb_name.pushes[1:]) == nm
     # and the full batch still landed in the warehouse
     assert engine.execute("select count(*) from mix").collect()[0][0] == n + 1
+
+
+def test_identical_agg_subscriptions_execute_once_per_tick(manager, engine):
+    """N subscribers on the SAME standard-agg statement must cost ONE
+    engine execution per tick, fanned out to every callback with
+    independent payload dicts (the reference re-executes per
+    subscription; coalescing is an improvement, not a parity break)."""
+    engine.now_fn = lambda: 100
+    same = [Collector() for _ in range(10)]
+    other = Collector()
+    for cb in same:
+        manager.subscribe("select sum(value) from people group by name", cb)
+    manager.subscribe("select count(*) from people", other)
+
+    execs = []
+    orig = engine.execute_select
+
+    def spy(stmt, tc=None):
+        execs.append(repr(stmt))
+        return orig(stmt, tc)
+
+    engine.execute_select = spy
+    try:
+        manager.tick(5100)
+    finally:
+        engine.execute_select = orig
+    # one execution per DISTINCT statement (2), not per subscriber (11)
+    assert len(execs) == 2 and len(set(execs)) == 2
+    for cb in same:
+        assert len(cb.pushes) == 2  # historical + tick
+        assert {r["name"]: r["sum_value"] for r in cb.pushes[1]}["John"] == 3
+    assert len(other.pushes) == 2
+    # payload isolation: one subscriber mutating its rows must not leak
+    same[0].pushes[1][0]["sum_value"] = -999
+    assert same[1].pushes[1][0]["sum_value"] != -999
