@@ -516,15 +516,17 @@ def main() -> None:
         results["grpc_100_distinct_queries"] = round(time.time() - t0, 3)
         results["grpc_distinct_success_pct"] = 100.0 * ok2 / 100
         # Honest complement #2: 100 distinct SHAPES (unique filter
-        # literal per rpc) — the shape cache binds only LIMIT slots, so
-        # each of these pays the full parse→analyze→compile→collect
-        # path. This is the true uncached per-statement floor.
+        # literal per rpc — timestamps span 0..199, so every i yields a
+        # unique statement with non-empty results) — the shape cache
+        # binds only LIMIT slots, so each of these pays the full
+        # parse→analyze→compile→collect path. This is the true uncached
+        # per-statement floor.
         t0 = time.time()
         ok3 = 0
         for i in range(100):
             res3 = client.execute_sql(
                 "default", "default",
-                f"select * from points where value >= {i % 90} limit 5")
+                f"select * from points where timestamp >= {i} limit 5")
             if res3.get("completedSuccessfully") and res3.get("records"):
                 ok3 += 1
         results["grpc_100_distinct_shapes"] = round(time.time() - t0, 3)

@@ -639,13 +639,9 @@ class NsdbEngine:
         k = stmt.limit.value
         if k <= 0:
             return None
-        try:
-            schema = self.warehouse.get_schema(db, ns, stmt.metric)
-            parsed = analyzer.analyze(stmt, schema)
-        except Exception:
-            return None
-        if not isinstance(parsed, analyzer.ParsedSimpleQuery):
-            return None
+        # cache lookup FIRST — a hit under a matching token already
+        # proved eligibility at store time, so the serve path pays no
+        # schema-file read and no analyze pass
         nolimit = dataclasses.replace(stmt, limit=None)
         skey = (db, ns, stmt.metric, repr(nolimit))
         df_nolimit = None
@@ -653,11 +649,21 @@ class NsdbEngine:
             ent = self._shape_cache.get(skey)
             if ent is not None and ent[0] == token:
                 self._shape_cache.move_to_end(skey)
-                rows, exhaustive = ent[2], ent[4]
+                rows, exhaustive = ent[2], ent[3]
                 if rows is not None and (exhaustive or len(rows) >= k):
                     return list(rows[:k])
                 df_nolimit = ent[1]
         if df_nolimit is None:
+            # miss: eligibility check (schema read + analyze) happens
+            # only here; errors fall through to the normal path, which
+            # surfaces them with full context
+            try:
+                schema = self.warehouse.get_schema(db, ns, stmt.metric)
+                parsed = analyzer.analyze(stmt, schema)
+            except Exception:
+                return None
+            if not isinstance(parsed, analyzer.ParsedSimpleQuery):
+                return None
             df_nolimit, _parsed, _routed = self._plan_select(nolimit, time_context)
         bound = max(k, self._SHAPE_OVERFETCH)
         rows = df_nolimit.limit(bound).collect()
@@ -665,16 +671,16 @@ class NsdbEngine:
         keep = rows if len(rows) <= self._RESULT_CACHE_MAX_ROWS else None
         with self._plan_cache_lock:
             cur = self._shape_cache.get(skey)
-            # replace a STALE entry (its token is ≤ ours — tokens are
-            # lexicographically monotone: mutation counter first, then
-            # mtimes), but never clobber one another thread stored under
-            # a NEWER token; a mutation mid-collect bumped the version,
-            # so our store can never be served stale (future tokens
-            # differ from the pre-collect token we key on)
-            if cur is None or cur[0] <= token:
+            # replace stale entries; the only newer-vs-older signal that
+            # is actually monotone is the in-process mutation counter
+            # (token[0]) — mtime components can REGRESS (an
+            # out-of-process drop+recreate restarts them), and comparing
+            # full tuples would wedge the key into permanent misses.
+            # Serving requires exact token equality, so a lost race here
+            # costs one wasted re-execution, never stale data.
+            if cur is None or cur[0][0] <= token[0]:
                 self._shape_cache[skey] = [
-                    token, df_nolimit, keep, bound,
-                    exhaustive and keep is not None,
+                    token, df_nolimit, keep, exhaustive and keep is not None,
                 ]
                 self._shape_cache.move_to_end(skey)
                 while len(self._shape_cache) > self._plan_cache_cap:

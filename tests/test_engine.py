@@ -1707,6 +1707,33 @@ def test_shape_cache_mutation_replaces_stale_entry(long_engine):
     assert plans == []
 
 
+def test_shape_cache_store_survives_mtime_regression(long_engine):
+    """An out-of-process drop+recreate can REGRESS the token's mtime
+    components; the store guard compares only the monotone in-process
+    mutation counter, so the shape key re-primes on the next execution
+    instead of wedging into permanent misses (serving still requires
+    exact token equality, so nothing stale is ever returned)."""
+    from nsdb_spark.sql.parser import parse
+
+    def stmt(k):
+        return parse(
+            f"select * from longMetric order by timestamp limit {k}",
+            db="default", namespace="default",
+        )
+
+    long_engine.collect_select(stmt(2))
+    ((skey, ent),) = list(long_engine._shape_cache.items())
+    # simulate a stored token whose mtime components sit in the future
+    # of every token this engine will ever compute again
+    ent[0] = (ent[0][0], ent[0][1] + 10**15, ent[0][2] + 10**15)
+    ent[2] = None  # and force the serve path to miss
+    rows = long_engine.collect_select(stmt(3))
+    assert len(rows) == 3
+    cur = long_engine._shape_cache[skey]
+    assert cur[0] == long_engine._cache_token("default", "default", "longMetric")
+    assert cur[2] is not None  # re-primed: later limits serve as slices
+
+
 def test_shape_cache_excludes_aggregate_classes(long_engine):
     """Aggregate statements' VALUES depend on the limit (global count
     clamps to LIMIT — SURVEY §2.5), so they must keep full-fingerprint
