@@ -399,17 +399,40 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             wh = self.engine.warehouse
             if parts == ["commands", "topology"]:
-                # CommandApi.scala:82 (show topology): cluster members. The
-                # Spark analogue of the Akka-cluster node set is the
-                # executor set of the session this server fronts.
+                # CommandApi.scala:82 (show topology) → TopologyGot
+                # (MessageProtocol.scala:244): a set of NSDbNode
+                # {nodeAddress, nodeFsId, volatileNodeUuid}
+                # (NSDbNode.scala:26). The Spark analogue of the
+                # Akka-cluster member set is the executor set of the
+                # session this server fronts: nodeAddress = host:port,
+                # nodeFsId = the stable warehouse-filesystem identity
+                # that executor serves (shared-dir deployment ⇒ same id,
+                # exactly how the reference ties locations to a node's
+                # volume), volatileNodeUuid = per-app-run identity (dies
+                # with the process, like the reference's restart uuid).
+                import hashlib as _hl
+
                 sc = self.engine.spark.sparkContext
+                fs_id = _hl.md5(
+                    str(self.engine.warehouse.root).encode()
+                ).hexdigest()[:12]
                 try:
                     infos = sc._jsc.sc().statusTracker().getExecutorInfos()
                     nodes = [
-                        {"host": e.host(), "port": e.port()} for e in infos
+                        {
+                            "nodeAddress": f"{e.host()}:{e.port()}",
+                            "nodeFsId": fs_id,
+                            "volatileNodeUuid":
+                                f"{sc.applicationId}-{e.host()}-{e.port()}",
+                        }
+                        for e in infos
                     ]
                 except Exception:  # status tracker shape varies by master
-                    nodes = [{"host": "driver", "port": 0}]
+                    nodes = [{
+                        "nodeAddress": "driver:0",
+                        "nodeFsId": fs_id,
+                        "volatileNodeUuid": f"{sc.applicationId}-driver",
+                    }]
                 self._send(
                     200,
                     {

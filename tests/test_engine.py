@@ -1751,6 +1751,49 @@ def test_shape_cache_excludes_aggregate_classes(long_engine):
     )
 
 
+def test_shape_cache_threaded_write_read_coherence(long_engine):
+    """Distinct-limit queries racing inserts must never serve a slice
+    older than the last COMPLETED insert — the shape cache's serve path
+    requires exact token equality, and every insert bumps the version
+    before returning."""
+    import threading
+
+    from nsdb_spark.sql.parser import parse
+
+    base_rows = 6  # the fixture's row count
+    errors = []
+
+    def count_at_least(k):
+        stmt = parse(
+            f"select * from longMetric limit {k}",
+            db="default", namespace="default",
+        )
+        return len(long_engine.collect_select(stmt))
+
+    def writer():
+        for i in range(4):
+            long_engine.insert_bits(
+                "default", "default", "longMetric",
+                [Bit(2000 + i, i, {"surname": "Doe"}, {"name": f"s{i}"})],
+            )
+            # a query issued strictly after this insert returned must
+            # see all rows written so far (limit above table size)
+            seen = count_at_least(1000)
+            if seen < base_rows + i + 1:
+                errors.append(("writer", i, seen))
+
+    def reader():
+        for j in range(12):
+            seen = count_at_least(1000)
+            if seen < base_rows:
+                errors.append(("reader", j, seen))
+
+    t1, t2 = threading.Thread(target=writer), threading.Thread(target=reader)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert count_at_least(1000) == base_rows + 4
+
+
 def test_plan_cache_threaded_write_read_coherence(long_engine):
     """ThreadingHTTPServer-shape stress: queries racing inserts must never
     serve a count older than the last COMPLETED insert (the version bump

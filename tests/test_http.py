@@ -577,6 +577,10 @@ def test_topology_and_locations_routes(server, engine):
     code, body = _get(port, "/commands/topology")
     assert code == 200
     assert body["nodes"] and body["applicationId"]
+    # TopologyGot member shape (NSDbNode.scala:26)
+    for node in body["nodes"]:
+        assert set(node) == {"nodeAddress", "nodeFsId", "volatileNodeUuid"}
+        assert node["nodeFsId"] and node["volatileNodeUuid"]
     assert body["defaultParallelism"] >= 1
 
     code, body = _get(port, "/locations/db1/ns1/temps")
