@@ -906,3 +906,74 @@ def test_engle_granger_detects_cointegrated_pair(spark):
     t_indep = tsa.engle_granger(df2, "xa", "yb").collect()[0]["adf_t"]
     assert t_coint < -5.0          # spread mean-reverts hard
     assert t_indep > t_coint + 3   # independent walks: much weaker evidence
+
+
+# ------------------------------------------------------- shape-cache model
+
+
+@pytest.fixture(scope="module")
+def shape_engine_factory(spark):
+    import tempfile
+
+    from nsdb_spark.engine import NsdbEngine
+    from nsdb_spark.model import Bit
+
+    def make(timestamps):
+        eng = NsdbEngine(spark, tempfile.mkdtemp(prefix="wh_shape_"))
+        eng.insert_bits(
+            "default", "default", "sm",
+            [Bit(t, 1, {}, {"k": "a"}) for t in timestamps],
+        )
+        return eng
+
+    return make
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("q"), st.integers(min_value=1, max_value=12),
+                      st.booleans()),
+            st.tuples(st.just("i"), st.integers(min_value=0, max_value=10**6),
+                      st.just(False)),
+        ),
+        min_size=3,
+        max_size=8,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_shape_cache_matches_model_under_interleaved_writes(
+    shape_engine_factory, ops
+):
+    """Arbitrary interleavings of distinct-LIMIT ordered queries and
+    inserts: every served slice equals the pure-python model's sorted
+    prefix — the shape cache may serve supersets, bind limits, and
+    invalidate, but can never return stale, missing, or misordered
+    rows."""
+    from nsdb_spark.model import Bit
+    from nsdb_spark.sql.parser import parse
+
+    base = [10, 20, 30, 40, 50]
+    eng = shape_engine_factory(base)
+    model = list(base)
+    for op in ops:
+        if op[0] == "i":
+            ts = op[1]
+            eng.insert_bits(
+                "default", "default", "sm", [Bit(ts, 1, {}, {"k": "a"})]
+            )
+            model.append(ts)
+        else:
+            _, k, desc = op
+            stmt = parse(
+                f"select * from sm order by timestamp"
+                f"{' desc' if desc else ''} limit {k}",
+                db="default", namespace="default",
+            )
+            got = [r["timestamp"] for r in eng.collect_select(stmt)]
+            want = sorted(model, reverse=desc)[:k]
+            assert got == want, (op, got, want, model)
