@@ -186,6 +186,10 @@ def decode(desc: Message, data: bytes) -> dict:
             raw, pos = read_varint(data, pos)
             v = bool(raw) if f.kind == "bool" else (_to_i64(raw) if f.kind == "int64" else raw)
         elif f.kind == "double":
+            if pos + 8 > len(data):
+                # keep the error contract uniform: malformed wire bytes
+                # raise ValueError, never struct.error
+                raise ValueError("truncated double field")
             v = struct.unpack("<d", data[pos : pos + 8])[0]
             pos += 8
         elif f.kind in ("string", "bytes", "message", "map"):

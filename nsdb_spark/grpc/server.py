@@ -51,6 +51,7 @@ from .http2 import (
 
 GRPC_OK = 0
 GRPC_UNKNOWN = 2
+GRPC_INVALID_ARGUMENT = 3
 GRPC_NOT_FOUND = 5
 GRPC_PERMISSION_DENIED = 7
 GRPC_UNIMPLEMENTED = 12
@@ -185,7 +186,12 @@ class NsdbGrpcServer:
             raw = stream.read_message(timeout=30.0)
             if raw is None:
                 raise _GrpcStatus(GRPC_INTERNAL, "missing request message")
-            request = proto.decode(req_desc, raw)
+            try:
+                request = proto.decode(req_desc, raw)
+            except ValueError as ex:  # malformed wire bytes, not engine
+                raise _GrpcStatus(
+                    GRPC_INVALID_ARGUMENT, f"malformed request: {ex}"
+                )
             self._check_auth(headers, request, auth_level)
             response = handler(request)
             body = proto.encode(resp_desc, response)

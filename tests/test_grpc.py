@@ -876,3 +876,61 @@ def test_partial_message_behind_unread_small_one_keeps_flowing(monkeypatch):
     assert stream.read_message(timeout=1) == payload
     assert stream.withheld == 0  # drained: any withheld tail repaid
     a.close(); b.close()
+
+
+def test_proto_decode_fuzz_controlled_errors():
+    """Arbitrary bytes into the proto3 decoder either parse or raise
+    ValueError (incl. UnicodeDecodeError) — never struct.error,
+    IndexError, or anything the server's malformed-request mapping
+    (GRPC_INVALID_ARGUMENT) wouldn't catch."""
+    import random
+
+    from nsdb_spark.grpc import proto
+
+    rng = random.Random(711)
+    descs = [proto.SQL_REQUEST_STATEMENT, proto.RPC_INSERT, proto.HEALTH_CHECK_RESPONSE]
+    for trial in range(4000):
+        n = rng.randrange(0, 40)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            out = proto.decode(descs[trial % len(descs)], data)
+            assert isinstance(out, dict)
+        except ValueError:
+            pass  # includes UnicodeDecodeError
+
+
+def test_malformed_request_returns_invalid_argument(grpc_server):
+    """A syntactically broken request message must come back as gRPC
+    INVALID_ARGUMENT (3) with the connection still serving, not UNKNOWN
+    and not a wedged stream."""
+    import socket
+    import struct as st
+    from nsdb_spark.grpc import http2 as h2
+
+    sock = socket.create_connection((grpc_server.host, grpc_server.port), timeout=10)
+    conn = h2.Http2Connection(sock, is_server=False)
+    sock.sendall(h2.PREFACE)
+    conn.send_settings({})
+    sid = 1
+    conn.send_headers(sid, [
+        (":method", "POST"), (":scheme", "http"),
+        (":path", "/io.radicalbit.nsdb.rpc.NSDBServiceSQL/executeSQLStatement"),
+        (":authority", "t"), ("content-type", "application/grpc"),
+        ("te", "trailers"),
+    ])
+    # field 1 (db), wire type 2, declared length 200 but only 3 bytes
+    bad = bytes([0x0A, 200]) + b"abc"
+    conn.send_frame(h2.DATA, h2.FLAG_END_STREAM, sid,
+                    b"\x00" + st.pack(">I", len(bad)) + bad)
+    status = None
+    deadline = 50
+    while deadline:
+        deadline -= 1
+        ftype, flags, fsid, payload = conn.read_frame()
+        if ftype == h2.HEADERS and fsid == sid:
+            hdrs = dict(conn.hpack_dec.decode(payload))
+            if "grpc-status" in hdrs:
+                status = int(hdrs["grpc-status"])
+                break
+    assert status == 3  # INVALID_ARGUMENT
+    conn.close()
