@@ -446,7 +446,13 @@ class QueryCompiler:
             for ilo, ihi in ivs:
                 u = data_upper if ihi is None else min(ihi, data_upper)
                 l = max(ilo, glo)
-                if u > l:
+                # u == l is a DEGENERATE but non-empty interval ([x, x]
+                # contains x): the reference emits one inclusive bucket
+                # for it (computeRangeForInterval with upper == lower,
+                # TimeRangeManager.scala:96-99) — dropping it would lose
+                # rows that match the WHERE (e.g. `timestamp = x` or a
+                # NOT-complement whose edge lands on the data extent)
+                if u >= l:
                     eff.append((l, u))
         if not eff:
             return self._empty_temporal(q, df)
@@ -460,7 +466,8 @@ class QueryCompiler:
         segs = []  # (offset, lower, upper, n_buckets)
         off = 0
         for l, u in eff:
-            nb = -((u - l) // -interval)  # ceil
+            # ceil; a degenerate [x, x] interval still gets its one bucket
+            nb = max(1, -((u - l) // -interval))
             segs.append((off, l, u, nb))
             off += nb
         n = off  # total buckets across all interval axes

@@ -351,6 +351,31 @@ def test_temporal_or_ranges_per_interval_axes(temporal_engine):
     ]
 
 
+def test_temporal_degenerate_interval_keeps_its_bucket(temporal_engine):
+    """A zero-width time constraint ([x, x] from `timestamp = x`, or a
+    NOT-complement whose edge lands on the data extent) is degenerate
+    but NOT empty: the reference emits one inclusive bucket for it
+    (computeRangeForInterval with upper == lower,
+    TimeRangeManager.scala:96-99). Dropping it would lose matching rows."""
+    # fixture has a row at ts=150000
+    df = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where timestamp = 150000 group by interval 30s"
+    )
+    out = rows(df)
+    assert out == [(150000, 150000, 150000, 1)]
+    # complement whose lower axis degenerates to [0, 0] — ts=0 row kept
+    df2 = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where not timestamp in (1, 130000) group by interval 30s"
+    )
+    out2 = rows(df2)
+    assert out2[0] == (0, 0, 0, 1)  # the degenerate [0, 0] bucket
+    assert sum(r[3] for r in out2) == sum(
+        1 for t in (0, 30000, 60000, 90000, 120000, 150000) if not 1 <= t <= 130000
+    )
+
+
 def test_temporal_disjoint_limit_takes_most_recent_across_axes(temporal_engine):
     # temporal LIMIT = takeRight of the globally time-sorted axis even when
     # the axis is a union of per-interval axes (post_proc/package.scala:62-66)

@@ -977,3 +977,63 @@ def test_shape_cache_matches_model_under_interleaved_writes(
             got = [r["timestamp"] for r in eng.collect_select(stmt)]
             want = sorted(model, reverse=desc)[:k]
             assert got == want, (op, got, want, model)
+
+
+# -------------------------------------------- disjoint temporal axes model
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=199_999), min_size=1, max_size=12,
+        unique=True,
+    ),
+    g1=st.integers(min_value=1, max_value=198_000),
+    width=st.integers(min_value=0, max_value=80_000),
+    interval_s=st.integers(min_value=1, max_value=400),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_temporal_not_range_matches_python_model(
+    bucket_engine_factory, data, g1, width, interval_s
+):
+    """NOT-complement WHERE → one backward-aligned bucket axis PER
+    disjoint interval (TimeRangeManager.scala:102-124 semantics), each
+    clipped to the shard-aligned data extent, no buckets inside the
+    excluded gap — checked against an independent pure-python model for
+    arbitrary data, gap, and interval choices."""
+    shard_interval = 100_000
+    interval = interval_s * 1000
+    g2 = g1 + width
+    eng = bucket_engine_factory(data, shard_interval)
+    out = eng.execute(
+        f"select count(*) from pm where not timestamp in ({g1}, {g2}) "
+        f"group by interval {interval_s}s"
+    )
+    got = [(r[0], r[1], r[2], r[3]) for r in out.collect()]
+
+    glo = (min(data) // shard_interval) * shard_interval
+    data_upper = (max(data) // shard_interval) * shard_interval + shard_interval
+    eff = []
+    for ilo, ihi in ((glo, g1 - 1), (g2 + 1, data_upper)):
+        u = min(ihi, data_upper)
+        l = max(ilo, glo)
+        if u >= l:  # [x, x] is degenerate but non-empty (reference parity)
+            eff.append((l, u))
+    model = []
+    for l, u in sorted(eff, key=lambda t: t[1]):
+        nb = max(1, -((u - l) // -interval))
+        for j in range(nb - 1, -1, -1):
+            ub = u - j * interval
+            lb = max(u - (j + 1) * interval, l)
+            cnt = sum(
+                1
+                for t in data
+                if l <= t <= u and min((u - t) // interval, nb - 1) == j
+            )
+            model.append((ub, lb, ub, cnt))
+    assert got == model, (g1, g2, interval, got[:4], model[:4])
+    in_gap = sum(1 for t in data if g1 <= t <= g2)
+    assert sum(r[3] for r in got) == len(data) - in_gap
