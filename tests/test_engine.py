@@ -351,6 +351,20 @@ def test_temporal_or_ranges_per_interval_axes(temporal_engine):
     ]
 
 
+def test_or_with_non_time_side_never_prunes(long_engine):
+    """`timestamp >= t OR name = x` must scan unconstrained: the
+    reference keeps the time side's interval under OR
+    (TimeRangeManager.scala:51-60, unpinned by its own spec) and would
+    prune shards holding name-matching rows below t — a row-losing bug
+    we deliberately do not reproduce (compiler.extract_time_range)."""
+    out = long_engine.execute(
+        "select * from longMetric where timestamp >= 8 or name = John "
+        "order by timestamp"
+    ).collect()
+    # John rows live at ts 1 and 2 — BELOW the time bound; both survive
+    assert [r["timestamp"] for r in out] == [1, 2, 8, 10]
+
+
 def test_temporal_degenerate_interval_keeps_its_bucket(temporal_engine):
     """A zero-width time constraint ([x, x] from `timestamp = x`, or a
     NOT-complement whose edge lands on the data extent) is degenerate
