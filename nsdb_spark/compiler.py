@@ -66,7 +66,15 @@ def _resolve_value(v: ast.ComparisonValue, ctx: TimeContext):
 
 def like_to_regex(pattern: str) -> str:
     """NSDb LIKE → anchored regex: `$` = any sequence, everything else literal
-    (parity with the Lucene wildcard translation, `?` kept literal)."""
+    (parity with the Lucene wildcard translation, `?` kept literal —
+    ExpressionParser.scala:115 escapes only `?`).
+
+    Deliberate deviation on another unpinned artifact of that line: the
+    reference passes a raw `*` (and `\\`) through to Lucene's
+    WildcardQuery UNescaped, so a literal `*` in a user pattern silently
+    acts as a second any-sequence wildcard there. The documented SQL
+    surface defines `$` as THE wildcard (docs/SQL_doc.md), so we treat
+    `*` as a literal character; no reference test pins the passthrough."""
     parts = [re.escape(p) for p in pattern.split("$")]
     return "^" + ".*".join(parts) + "$"
 

@@ -1037,3 +1037,53 @@ def test_temporal_not_range_matches_python_model(
     assert got == model, (g1, g2, interval, got[:4], model[:4])
     in_gap = sum(1 for t in data if g1 <= t <= g2)
     assert sum(r[3] for r in got) == len(data) - in_gap
+    # temporal LIMIT = takeRight of the globally time-sorted UNION axis
+    # (post_proc/package.scala:62-66), even across disjoint axes
+    lim = eng.execute(
+        f"select count(*) from pm where not timestamp in ({g1}, {g2}) "
+        f"group by interval {interval_s}s limit 2"
+    )
+    got_lim = [(r[0], r[1], r[2], r[3]) for r in lim.collect()]
+    assert got_lim == model[-2:], (g1, g2, interval, got_lim, model[-2:])
+
+
+# --------------------------------------------------------- LIKE translation
+
+
+@given(
+    pattern=st.text(
+        alphabet="ab$?*.#& \\^[(",
+        min_size=0,
+        max_size=8,
+    ),
+    values=st.lists(
+        st.text(alphabet="ab?*.#& \\^[(", min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_like_translation_java_matches_python_semantics(spark, pattern, values):
+    """The NSDb LIKE → regex translation must mean the same thing to
+    Spark's Java regex engine as to Python's `re` — re.escape emits
+    Python-flavored escapes (\\#, \\&, \\<space>, …) that a Java
+    Pattern must interpret identically, for arbitrary patterns mixing
+    the `$` wildcard with regex metacharacters."""
+    import re as _re
+
+    from nsdb_spark.compiler import like_to_regex
+    from pyspark.sql import functions as F
+
+    rx = like_to_regex(pattern)
+    py = _re.compile(rx)
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = {
+        r["s"] for r in df.filter(F.col("s").rlike(rx)).collect()
+    }
+    want = {v for v in values if py.match(v)}
+    assert got == want, (pattern, rx, got, want)
