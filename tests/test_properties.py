@@ -1087,3 +1087,48 @@ def test_like_translation_java_matches_python_semantics(spark, pattern, values):
     }
     want = {v for v in values if py.match(v)}
     assert got == want, (pattern, rx, got, want)
+
+
+# ------------------------------------------------------------ delete model
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=399_999), min_size=1, max_size=14,
+        unique=True,
+    ),
+    d1=st.integers(min_value=0, max_value=399_999),
+    width=st.integers(min_value=0, max_value=150_000),
+    second_delete=st.booleans(),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_delete_matches_python_model(
+    bucket_engine_factory, data, d1, width, second_delete
+):
+    """DELETE with an arbitrary timestamp range rewrites ONLY the
+    affected shards and removes exactly the matching rows — checked
+    against a pure-python model, including a second overlapping delete
+    (shards already rewritten once must rewrite again correctly)."""
+    shard_interval = 100_000
+    eng = bucket_engine_factory(data, shard_interval)
+    model = set(data)
+
+    def run_delete(lo, hi):
+        eng.execute(f"delete from pm where timestamp in ({lo}, {hi})")
+        return {t for t in model if not lo <= t <= hi}
+
+    model = run_delete(d1, d1 + width)
+    got = {r["timestamp"] for r in eng.execute("select * from pm").collect()}
+    assert got == model, (d1, width, got ^ model)
+    if second_delete and model:
+        mid = sorted(model)[len(model) // 2]
+        model = run_delete(mid, mid + shard_interval)
+        got = {r["timestamp"] for r in eng.execute("select * from pm").collect()}
+        assert got == model, ("second", mid, got ^ model)
+    # count agg agrees post-delete (engine caches must not serve stale)
+    n = eng.execute("select count(*) from pm").collect()
+    assert (n[0][0] if model else (not n or n[0][0] == 0)) == (len(model) if model else True)
