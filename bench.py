@@ -165,6 +165,7 @@ def main() -> None:
         "text_chunk_sliding",
         "text_vocab_coverage",
         "stats_fdr_bh",
+        "stats_fdr_by",
         "tsa_snaive_backtest",
         "stats_power_two_prop",
         "events_cohort_ltv",

@@ -5648,10 +5648,33 @@ def new_vs_returning(
 def fdr_bh(
     df: DataFrame, value: str, group: str, q: float = 0.10
 ) -> DataFrame:
-    """One-vs-rest Welch z-test per group + Benjamini-Hochberg FDR
-    control — the multiple-testing discipline for "which segments moved?"
-    dashboards: testing k segments at α each inflates false positives;
-    BH bounds the expected false-discovery fraction at q.
+    """Benjamini-Hochberg FDR over one-vs-rest Welch z-tests (valid for
+    independent / positively-dependent tests): reject ranks i with
+    p_(i) <= i/m*q. Shared machinery in _fdr_ranked."""
+    return _fdr_ranked(df, value, group, q, dependent=False)
+
+
+def fdr_by(
+    df: DataFrame, value: str, group: str, q: float = 0.10
+) -> DataFrame:
+    """Benjamini-Yekutieli FDR — BH's arbitrary-dependence-safe variant:
+    the threshold divides by the harmonic number c(m) = sum_{i<=m} 1/i
+    (Benjamini & Yekutieli 2001), so it holds under ANY dependence
+    structure among the per-segment tests (overlapping cohorts, shared
+    seasonality) at the price of conservatism. Same scale-safe two-phase
+    rank as fdr_bh; c(m) is an ascending fold over sequence(1, m) so the
+    double accumulation order is engine-reproducible."""
+    return _fdr_ranked(df, value, group, q, dependent=True)
+
+
+def _fdr_ranked(
+    df: DataFrame, value: str, group: str, q: float, dependent: bool
+) -> DataFrame:
+    """One-vs-rest Welch z-test per group + FDR control (BH, or BY when
+    dependent=True) — the multiple-testing discipline for "which
+    segments moved?" dashboards: testing k segments at α each inflates
+    false positives; the procedure bounds the expected false-discovery
+    fraction at q.
 
     Per group g: Welch z for mean(value | g) vs mean(value | not g), the
     rest-side moments derived from (global − group) totals so ONE
@@ -5728,13 +5751,26 @@ def fdr_bh(
     off = d.sparkSession.createDataFrame(
         offs or [(0, 0)], "__pid int, __off long"
     )
+    # BY's c(m): ascending fold 1 + 1/2 + ... + 1/m — the SAME
+    # accumulation order as the oracle's recursive CTE, so the doubles
+    # agree bit-for-bit across engines
+    _harmonic_m = F.aggregate(
+        F.sequence(F.lit(1), F.col("m").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
+    )
     ranked = (
         d.join(F.broadcast(off), "__pid")
         .withColumn(
             "p_rank",
             (F.row_number().over(wloc) + F.col("__off")).cast("int"),
         )
-        .withColumn("__thr", F.col("p_rank") / F.col("m") * F.lit(q))
+        .withColumn(
+            "__thr",
+            F.col("p_rank") / (F.col("m") * _harmonic_m) * F.lit(q)
+            if dependent
+            else F.col("p_rank") / F.col("m") * F.lit(q),
+        )
     )
     kmax = ranked.agg(
         F.max(
@@ -5748,7 +5784,9 @@ def fdr_bh(
         F.round("__z", 6).alias("z"),
         F.round("__p", 6).alias("p_value"),
         "p_rank",
-        F.round("__thr", 6).alias("bh_threshold"),
+        F.round("__thr", 6).alias(
+            "by_threshold" if dependent else "bh_threshold"
+        ),
         (F.col("p_rank") <= F.coalesce(F.col("__kmax"), F.lit(0))).alias(
             "rejected"
         ),

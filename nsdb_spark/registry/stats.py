@@ -453,6 +453,9 @@ def register(q):
     q["stats_fdr_bh"] = lambda spark, sf: analytics.fdr_bh(
         testdata.events_metric(spark, sf), "value", "event_type", q=0.10
     )
+    q["stats_fdr_by"] = lambda spark, sf: analytics.fdr_by(
+        testdata.events_metric(spark, sf), "value", "event_type", q=0.10
+    )
     q["stats_power_two_prop"] = lambda spark, sf: analytics.power_two_prop(
         testdata.events_metric(spark, sf),
         success=F.col("value") >= 900,
@@ -2006,6 +2009,42 @@ km AS (SELECT *, max(CASE WHEN p <= thr THEN p_rank END) OVER () AS kmax
 SELECT event_type, n::BIGINT AS n, round(z, 6) AS z,
        round(p, 6) AS p_value, p_rank::INT AS p_rank,
        round(thr, 6) AS bh_threshold,
+       (p_rank <= coalesce(kmax, 0)) AS rejected
+FROM km ORDER BY p_rank
+"""
+    # Benjamini-Yekutieli: BH with the threshold divided by the harmonic
+    # number c(m). The recursive CTE accumulates 1 + 1/2 + ... + 1/m in
+    # ASCENDING order — the same fold order as the Spark side's
+    # F.aggregate over sequence(1, m), so the doubles agree bit-for-bit.
+    o["stats_fdr_by"] = """
+WITH RECURSIVE m0 AS (SELECT event_type, value::DOUBLE AS v FROM events
+            WHERE value IS NOT NULL),
+per AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v*v) AS ss
+        FROM m0 GROUP BY event_type),
+tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss,
+               count(*) AS m FROM per),
+hr AS (SELECT 1 AS i, 1.0::DOUBLE AS c
+       UNION ALL
+       SELECT i + 1, c + 1.0 / (i + 1) FROM hr
+       WHERE i < (SELECT m FROM tot)),
+hc AS (SELECT c FROM hr ORDER BY i DESC LIMIT 1),
+sc AS (SELECT p.event_type, p.n, t.m,
+              ((p.s/p.n) - (t.ts - p.s)/(t.tn - p.n))
+              / sqrt(((p.ss - p.s*p.s/p.n)/(p.n - 1))/p.n
+                     + (((t.tss - p.ss) - (t.ts - p.s)*(t.ts - p.s)/(t.tn - p.n))
+                        /(t.tn - p.n - 1))/(t.tn - p.n)) AS z
+       FROM per p CROSS JOIN tot t),
+pp AS (SELECT event_type, n, m, z,
+              2.0 / (1.0 + exp(1.702 * abs(z))) AS p FROM sc),
+rk AS (SELECT *, row_number() OVER (ORDER BY p ASC NULLS LAST, event_type ASC) AS p_rank
+       FROM pp),
+th AS (SELECT rk.*, p_rank * 1.0 / (m * hc.c) * 0.10 AS thr
+       FROM rk CROSS JOIN hc),
+km AS (SELECT *, max(CASE WHEN p <= thr THEN p_rank END) OVER () AS kmax
+       FROM th)
+SELECT event_type, n::BIGINT AS n, round(z, 6) AS z,
+       round(p, 6) AS p_value, p_rank::INT AS p_rank,
+       round(thr, 6) AS by_threshold,
        (p_rank <= coalesce(kmax, 0)) AS rejected
 FROM km ORDER BY p_rank
 """

@@ -838,7 +838,8 @@ def test_fdr_bh_no_global_rank_window(spark):
     from nsdb_spark.operators import analytics
 
     ev = testdata.events_metric(spark, SF_DIR)
-    out = analytics.fdr_bh(ev, "value", "event_type", q=0.10)
-    plan = plan_of(out)
-    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
-    assert plan.count("Exchange SinglePartition") <= 1
+    for fn in (analytics.fdr_bh, analytics.fdr_by):
+        out = fn(ev, "value", "event_type", q=0.10)
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+        assert plan.count("Exchange SinglePartition") <= 1, fn.__name__
