@@ -166,6 +166,7 @@ def main() -> None:
         "text_vocab_coverage",
         "stats_fdr_bh",
         "stats_fdr_by",
+        "stats_holm",
         "tsa_snaive_backtest",
         "stats_power_two_prop",
         "events_cohort_ltv",

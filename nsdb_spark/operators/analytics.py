@@ -5651,7 +5651,7 @@ def fdr_bh(
     """Benjamini-Hochberg FDR over one-vs-rest Welch z-tests (valid for
     independent / positively-dependent tests): reject ranks i with
     p_(i) <= i/m*q. Shared machinery in _fdr_ranked."""
-    return _fdr_ranked(df, value, group, q, dependent=False)
+    return _fdr_ranked(df, value, group, q, mode="bh")
 
 
 def fdr_by(
@@ -5664,14 +5664,28 @@ def fdr_by(
     seasonality) at the price of conservatism. Same scale-safe two-phase
     rank as fdr_bh; c(m) is an ascending fold over sequence(1, m) so the
     double accumulation order is engine-reproducible."""
-    return _fdr_ranked(df, value, group, q, dependent=True)
+    return _fdr_ranked(df, value, group, q, mode="by")
+
+
+def holm_bonferroni(
+    df: DataFrame, value: str, group: str, alpha: float = 0.05
+) -> DataFrame:
+    """Holm-Bonferroni step-down FWER control over the same one-vs-rest
+    Welch z family: ascending thresholds alpha/(m - i + 1); testing
+    stops at the FIRST rank whose p exceeds its threshold — every
+    earlier rank is rejected, everything from the stop rank on
+    (including NULL-p 1-row groups) survives. Controls the FAMILYWISE
+    error rate (stronger than the FDR procedures) with uniformly more
+    power than plain Bonferroni. Same scale-safe two-phase rank; the
+    stop rank is a 1-row min aggregate broadcast back."""
+    return _fdr_ranked(df, value, group, alpha, mode="holm")
 
 
 def _fdr_ranked(
-    df: DataFrame, value: str, group: str, q: float, dependent: bool
+    df: DataFrame, value: str, group: str, q: float, mode: str
 ) -> DataFrame:
-    """One-vs-rest Welch z-test per group + FDR control (BH, or BY when
-    dependent=True) — the multiple-testing discipline for "which
+    """One-vs-rest Welch z-test per group + multiple-testing control
+    (mode: "bh" / "by" FDR, "holm" step-down FWER) — the discipline for "which
     segments moved?" dashboards: testing k segments at α each inflates
     false positives; the procedure bounds the expected false-discovery
     fraction at q.
@@ -5768,16 +5782,37 @@ def _fdr_ranked(
         .withColumn(
             "__thr",
             F.col("p_rank") / (F.col("m") * _harmonic_m) * F.lit(q)
-            if dependent
+            if mode == "by"
+            else F.lit(q) / (F.col("m") - F.col("p_rank") + 1)
+            if mode == "holm"
             else F.col("p_rank") / F.col("m") * F.lit(q),
         )
     )
-    kmax = ranked.agg(
-        F.max(
-            F.when(F.col("__p") <= F.col("__thr"), F.col("p_rank"))
-        ).alias("__kmax")
-    )
-    out = ranked.crossJoin(F.broadcast(kmax))
+    if mode == "holm":
+        # step-down: the first failing rank (NULL p fails by definition)
+        # stops the procedure; everything before it is rejected
+        kfail = ranked.agg(
+            F.min(
+                F.when(
+                    F.col("__p").isNull() | (F.col("__p") > F.col("__thr")),
+                    F.col("p_rank"),
+                )
+            ).alias("__kstop")
+        )
+        out = ranked.crossJoin(F.broadcast(kfail))
+        rejected = F.col("p_rank") < F.coalesce(
+            F.col("__kstop"), F.col("m") + 1
+        )
+    else:
+        # step-up: the LARGEST passing rank rejects itself and everything
+        # below it
+        kmax = ranked.agg(
+            F.max(
+                F.when(F.col("__p") <= F.col("__thr"), F.col("p_rank"))
+            ).alias("__kmax")
+        )
+        out = ranked.crossJoin(F.broadcast(kmax))
+        rejected = F.col("p_rank") <= F.coalesce(F.col("__kmax"), F.lit(0))
     return out.select(
         group,
         "n",
@@ -5785,11 +5820,10 @@ def _fdr_ranked(
         F.round("__p", 6).alias("p_value"),
         "p_rank",
         F.round("__thr", 6).alias(
-            "by_threshold" if dependent else "bh_threshold"
+            {"bh": "bh_threshold", "by": "by_threshold",
+             "holm": "holm_threshold"}[mode]
         ),
-        (F.col("p_rank") <= F.coalesce(F.col("__kmax"), F.lit(0))).alias(
-            "rejected"
-        ),
+        rejected.alias("rejected"),
     ).orderBy("p_rank")
 
 

@@ -61,14 +61,16 @@ _CHECK_PREFIX_R6 = [
 #: Round-7 driver-check prefix: stats_fdr_bh re-enters first (its BH
 #: rank was rewritten this round onto the two-phase range-partitioned
 #: global-rank primitive — changed entries jump the queue), then
-#: stats_fdr_by (NEW this round: the Benjamini-Yekutieli dependent-tests
-#: variant), then the 48 oldest never-driver-checked entries from
-#: _ROTATION_QUEUE (the 17 displaced from the round-6 block + the first
-#: 31 of the old round-7 block; sample_neyman_apply displaced back to
-#: the queue head). The remaining 45 queue entries are round 8's
-#: prefix. Verified green via tools/check_oracles.py before the close.
+#: stats_fdr_by and stats_holm (NEW this round: the Benjamini-Yekutieli
+#: dependent-tests FDR variant and Holm-Bonferroni step-down FWER, both
+#: on the same two-phase rank), then the 47 oldest never-driver-checked
+#: entries from _ROTATION_QUEUE (the 17 displaced from the round-6
+#: block + the first 30 of the old round-7 block; stats_ccc and
+#: sample_neyman_apply displaced back to the queue head). The remaining
+#: 46 queue entries are round 8's prefix. Verified green via
+#: tools/check_oracles.py before the close.
 _CHECK_PREFIX_R7 = [
-    "stats_fdr_bh", "stats_fdr_by", "events_rfm", "scale_salted_join", "join_asof_forward",
+    "stats_fdr_bh", "stats_fdr_by", "stats_holm", "events_rfm", "scale_salted_join", "join_asof_forward",
     "stats_zipf", "graph_hits", "stats_lorenz", "kmeans_cells",
     "stats_partial_corr", "emb_silhouette", "stats_pct_rank", "text_ttr",
     "tsa_crosscorr", "stats_kendall", "stats_cramers_v", "stats_theil_sen",
@@ -80,16 +82,16 @@ _CHECK_PREFIX_R7 = [
     "graph_assortativity", "stats_deming", "sample_pps_systematic",
     "stats_mood", "events_json_stats", "graph_clustering_coeff",
     "text_lang_confusion", "tsa_kpss", "stats_kruskal", "graph_modularity",
-    "stats_hill", "join_band_prices", "events_entropy_rate", "stats_ccc",
+    "stats_hill", "join_band_prices", "events_entropy_rate",
 ]
 
 #: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
-#: Round 8 takes the full remainder (45 entries) plus re-verification of
+#: Round 8 takes the full remainder (46 entries) plus re-verification of
 #: anything changed in round 7-8. Entries changed in a round jump the
-#: queue into that round's prefix. (All 45 were verified green at sf0.01
-#: via tools/check_oracles.py in round 7's pre-verification sweep.)
+#: queue into that round's prefix. (All 46 were verified green at sf0.01
+#: via tools/check_oracles.py in round 7's pre-verification sweeps.)
 _ROTATION_QUEUE = [
-    "sample_neyman_apply", "events_mcnemar",
+    "stats_ccc", "sample_neyman_apply", "events_mcnemar",
     "stats_dagostino", "stats_logrank", "stats_cronbach", "stats_icc",
     "stats_friedman", "stats_risk_ratio", "stats_gamma", "tsa_hurst",
     "tsa_durbin_watson", "tsa_granger", "tsa_spectral_entropy",

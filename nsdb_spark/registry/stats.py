@@ -456,6 +456,9 @@ def register(q):
     q["stats_fdr_by"] = lambda spark, sf: analytics.fdr_by(
         testdata.events_metric(spark, sf), "value", "event_type", q=0.10
     )
+    q["stats_holm"] = lambda spark, sf: analytics.holm_bonferroni(
+        testdata.events_metric(spark, sf), "value", "event_type", alpha=0.05
+    )
     q["stats_power_two_prop"] = lambda spark, sf: analytics.power_two_prop(
         testdata.events_metric(spark, sf),
         success=F.col("value") >= 900,
@@ -2047,6 +2050,35 @@ SELECT event_type, n::BIGINT AS n, round(z, 6) AS z,
        round(thr, 6) AS by_threshold,
        (p_rank <= coalesce(kmax, 0)) AS rejected
 FROM km ORDER BY p_rank
+"""
+    # Holm-Bonferroni step-down: thresholds alpha/(m - i + 1) ascending;
+    # the first failing rank (NULL p fails by definition) stops the
+    # procedure and every earlier rank is rejected.
+    o["stats_holm"] = """
+WITH m0 AS (SELECT event_type, value::DOUBLE AS v FROM events
+            WHERE value IS NOT NULL),
+per AS (SELECT event_type, count(*) AS n, sum(v) AS s, sum(v*v) AS ss
+        FROM m0 GROUP BY event_type),
+tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss,
+               count(*) AS m FROM per),
+sc AS (SELECT p.event_type, p.n, t.m,
+              ((p.s/p.n) - (t.ts - p.s)/(t.tn - p.n))
+              / sqrt(((p.ss - p.s*p.s/p.n)/(p.n - 1))/p.n
+                     + (((t.tss - p.ss) - (t.ts - p.s)*(t.ts - p.s)/(t.tn - p.n))
+                        /(t.tn - p.n - 1))/(t.tn - p.n)) AS z
+       FROM per p CROSS JOIN tot t),
+pp AS (SELECT event_type, n, m, z,
+              2.0 / (1.0 + exp(1.702 * abs(z))) AS p FROM sc),
+rk AS (SELECT *, row_number() OVER (ORDER BY p ASC NULLS LAST, event_type ASC) AS p_rank
+       FROM pp),
+th AS (SELECT *, 0.05 / (m - p_rank + 1) AS thr FROM rk),
+kf AS (SELECT *, min(CASE WHEN p IS NULL OR p > thr THEN p_rank END) OVER () AS kstop
+       FROM th)
+SELECT event_type, n::BIGINT AS n, round(z, 6) AS z,
+       round(p, 6) AS p_value, p_rank::INT AS p_rank,
+       round(thr, 6) AS holm_threshold,
+       (p_rank < coalesce(kstop, m + 1)) AS rejected
+FROM kf ORDER BY p_rank
 """
     o["stats_power_two_prop"] = """
 WITH m AS (SELECT event_type, CASE WHEN value >= 900 THEN 1 ELSE 0 END AS cv

@@ -6149,6 +6149,45 @@ def test_fdr_bh_null_p_ranks_last_never_rejected(spark):
     assert by["b"]["rejected"] is True  # the +500 shift is unmissable
 
 
+def test_fdr_by_and_holm_relations(spark):
+    """Cross-procedure invariants on the same scored family: BY is
+    uniformly more conservative than BH (thresholds divided by c(m) ≥ 1,
+    so BY's rejections ⊆ BH's); Holm's NULL-p stop rule — a 1-row group
+    fails by definition, stopping the step-down there, and every rank
+    before the stop is rejected."""
+    from nsdb_spark.operators import analytics
+
+    rows = (
+        [("a", float(v)) for v in range(100)]
+        + [("b", float(v) + 500) for v in range(100)]
+        + [("c", float(v) + 498) for v in range(100)]
+        + [("lonely", 42.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+    bh = {r["grp"]: r for r in analytics.fdr_bh(df, "value", "grp").collect()}
+    by = {r["grp"]: r for r in analytics.fdr_by(df, "value", "grp").collect()}
+    hm = {r["grp"]: r for r in
+          analytics.holm_bonferroni(df, "value", "grp").collect()}
+    for g in bh:
+        # identical family: same z/p/rank across all three procedures
+        assert bh[g]["p_rank"] == by[g]["p_rank"] == hm[g]["p_rank"]
+        # BY ⊆ BH (c(m) ≥ 1 shrinks every threshold)
+        assert not (by[g]["rejected"] and not bh[g]["rejected"])
+        assert by[g]["by_threshold"] <= bh[g]["bh_threshold"]
+    # holm: NULL p fails by definition and everything after it survives
+    assert hm["lonely"]["p_value"] is None
+    assert hm["lonely"]["rejected"] is False
+    m = len(hm)
+    stop = min(
+        (r["p_rank"] for r in hm.values()
+         if r["p_value"] is None or r["p_value"] > r["holm_threshold"]),
+        default=m + 1,
+    )
+    for r in hm.values():
+        assert r["rejected"] == (r["p_rank"] < stop)
+    assert hm["b"]["rejected"] is True and hm["c"]["rejected"] is True
+
+
 def test_cohort_ltv_triangle(spark):
     from nsdb_spark.operators import analytics
 
