@@ -351,6 +351,31 @@ def test_temporal_or_ranges_per_interval_axes(temporal_engine):
     ]
 
 
+def test_grace_cutoff_beyond_data_extent(temporal_engine):
+    """SINCE grace whose cutoff lies beyond the whole data extent —
+    reference-exact on BOTH branches: without a WHERE the reference's
+    computeRangeForInterval (upper < actualLower, first recursion step)
+    emits ONE inverted zero bucket [cutoff, data_upper]; with a WHERE,
+    Spire's intersects-filter against the inverted global interval
+    drops every axis → empty result."""
+    out = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "group by interval 30s since 100 s",
+        time_context=TimeContext(1_000_000),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["lower_bound"], r["upper_bound"], r["count_value"]) == (
+        900_000, 200_000, 0,
+    )
+    out2 = temporal_engine.execute(
+        "select count(*) from temporalLongMetric "
+        "where timestamp in (0, 150000) group by interval 30s since 100 s",
+        time_context=TimeContext(1_000_000),
+    ).collect()
+    assert out2 == []
+
+
 def test_or_with_non_time_side_never_prunes(long_engine):
     """`timestamp >= t OR name = x` must scan unconstrained: the
     reference keeps the time side's interval under OR

@@ -1132,3 +1132,66 @@ def test_delete_matches_python_model(
     # count agg agrees post-delete (engine caches must not serve stale)
     n = eng.execute("select count(*) from pm").collect()
     assert (n[0][0] if model else (not n or n[0][0] == 0)) == (len(model) if model else True)
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=199_999), min_size=1, max_size=10,
+        unique=True,
+    ),
+    g1=st.integers(min_value=1, max_value=198_000),
+    width=st.integers(min_value=0, max_value=80_000),
+    interval_s=st.integers(min_value=1, max_value=400),
+    grace_s=st.integers(min_value=50, max_value=350),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_temporal_grace_with_disjoint_axes_matches_model(
+    bucket_engine_factory, data, g1, width, interval_s, grace_s
+):
+    """SINCE grace over disjoint NOT-range axes: each interval's lower
+    bound clips at max(its own lo, now - grace), intervals wholly before
+    the cutoff die, a clip landing exactly on an interval top keeps its
+    degenerate bucket — checked against the pure-python model for
+    arbitrary data/gap/interval/grace choices (now fixed at 300000 so
+    the cutoff sweeps from inside the data extent to beyond it)."""
+    from nsdb_spark.compiler import TimeContext
+
+    shard_interval = 100_000
+    interval = interval_s * 1000
+    now = 300_000
+    cutoff = now - grace_s * 1000
+    g2 = g1 + width
+    eng = bucket_engine_factory(data, shard_interval)
+    out = eng.execute(
+        f"select count(*) from pm where not timestamp in ({g1}, {g2}) "
+        f"group by interval {interval_s}s since {grace_s} s",
+        time_context=TimeContext(now),
+    )
+    got = [(r[0], r[1], r[2], r[3]) for r in out.collect()]
+
+    glo_data = (min(data) // shard_interval) * shard_interval
+    data_upper = (max(data) // shard_interval) * shard_interval + shard_interval
+    glo = max(glo_data, cutoff)
+    eff = []
+    for ilo, ihi in ((glo_data, g1 - 1), (g2 + 1, data_upper)):
+        u = min(ihi, data_upper)
+        l = max(ilo, glo)
+        if u >= l:
+            eff.append((l, u))
+    model = []
+    for l, u in sorted(eff, key=lambda t: t[1]):
+        nb = max(1, -((u - l) // -interval))
+        for j in range(nb - 1, -1, -1):
+            ub = u - j * interval
+            lb = max(u - (j + 1) * interval, l)
+            cnt = sum(
+                1
+                for t in data
+                if l <= t <= u and min((u - t) // interval, nb - 1) == j
+            )
+            model.append((ub, lb, ub, cnt))
+    assert got == model, (g1, g2, interval, cutoff, got[:4], model[:4])
