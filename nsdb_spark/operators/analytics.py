@@ -9,6 +9,8 @@ the Window exchange), everything else narrow.
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -5297,9 +5299,16 @@ def pareto_share(
     curve-shaped output.
 
     The raw rows collapse to per-key counts first (the only data-sized
-    shuffle); ranking then runs on the |keys| frame — fine while keys ≪
-    rows (users vs events). Ties broken by key id so both engines cut
-    the same cohort.
+    shuffle). At 100 TB keys = users = billions, so the rank + running
+    sum must NOT be an unpartitioned window: this uses the same
+    two-phase range-partitioned global-rank shape as stats_gini /
+    _fdr_ranked — range-partition the per-key frame on the sort key,
+    LOCAL row_number + running sum per partition, broadcast the P
+    per-partition (count, sum) subtotals back as rank/cum offsets.
+    n_keys / n_total fall out of those same P driver scalars, so no
+    extra pass. Ties broken by key id so both engines cut the same
+    cohort. Checkpoint BEFORE deriving offsets: repartitionByRange
+    samples boundaries per job (the partition_offsets contract).
 
     Output: one row (n_keys bigint, n_total bigint, top10_share r6,
     top20_share r6).
@@ -5309,33 +5318,55 @@ def pareto_share(
         .groupBy(key)
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col(key).asc())
-    ranked = per.select(
-        "n",
-        F.row_number().over(w).alias("r"),
-        F.sum("n").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        per.repartitionByRange(F.col("n").desc(), F.col(key).asc())
+        .sortWithinPartitions(F.col("n").desc(), F.col(key).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subs = {
+        r["__pid"]: (r["c"], r["s"])
+        for r in d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n").alias("s"))
+        .collect()
+    }
+    offs, racc, cacc = [], 0, 0
+    for pid in range(max(subs, default=-1) + 1):
+        offs.append((pid, racc, cacc))
+        c, s = subs.get(pid, (0, 0))
+        racc += c
+        cacc += int(s or 0)
+    n_keys, n_total = racc, cacc
+    off = d.sparkSession.createDataFrame(
+        offs or [(0, 0, 0)], "__pid int, __roff long, __coff long"
+    )
+    wloc = Window.partitionBy("__pid").orderBy(
+        F.col("n").desc(), F.col(key).asc()
+    )
+    ranked = d.join(F.broadcast(off), "__pid").select(
+        (F.row_number().over(wloc) + F.col("__roff")).alias("r"),
+        (
+            F.sum("n").over(
+                wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + F.col("__coff")
         ).alias("cum"),
     )
-    tot = per.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum("n").cast("long").alias("n_total"),
-    )
-    j = ranked.crossJoin(F.broadcast(tot))
-    k10 = F.ceil(F.col("n_keys") * 0.1).cast("long")
-    k20 = F.ceil(F.col("n_keys") * 0.2).cast("long")
-    out = j.groupBy().agg(
-        F.first("n_keys").alias("n_keys"),
-        F.first("n_total").alias("n_total"),
-        F.max(F.when(F.col("r") == k10, F.col("cum"))).alias("c10"),
-        F.max(F.when(F.col("r") == k20, F.col("cum"))).alias("c20"),
+    # same cutoff arithmetic as the pre-rewrite Spark plan: IEEE-double
+    # product then ceil (Python floats ARE Spark doubles, bit-for-bit)
+    k10 = math.ceil(n_keys * 0.1)
+    k20 = math.ceil(n_keys * 0.2)
+    out = ranked.groupBy().agg(
+        F.max(F.when(F.col("r") == F.lit(k10), F.col("cum"))).alias("c10"),
+        F.max(F.when(F.col("r") == F.lit(k20), F.col("cum"))).alias("c20"),
     )
     return out.select(
-        "n_keys", "n_total",
-        F.round(F.col("c10") / F.col("n_total").cast("double"), 6).alias(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.round(F.col("c10") / F.lit(n_total).cast("double"), 6).alias(
             "top10_share"
         ),
-        F.round(F.col("c20") / F.col("n_total").cast("double"), 6).alias(
+        F.round(F.col("c20") / F.lit(n_total).cast("double"), 6).alias(
             "top20_share"
         ),
     )
@@ -5722,6 +5753,22 @@ def _fdr_ranked(
         F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("ss").alias("tss"),
         F.count(F.lit(1)).alias("m"),
     )
+    if mode == "by":
+        # BY's c(m): ascending fold 1 + 1/2 + ... + 1/m — the SAME
+        # accumulation order as the oracle's recursive CTE, so the
+        # doubles agree bit-for-bit across engines. Folded ONCE on this
+        # 1-row frame (m can be 10⁷–10⁸ hypotheses at scale; folding the
+        # m-element sequence per output row would materialize an O(m)
+        # array on every row — the scale hazard ADVICE r7 flagged), then
+        # carried through the broadcast crossJoin like the other totals.
+        tot = tot.withColumn(
+            "__cm",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("m").cast("int")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
+            ),
+        )
     j = per.crossJoin(F.broadcast(tot))
     n1, s1, ss1 = F.col("n"), F.col("s"), F.col("ss")
     n0 = F.col("tn") - n1
@@ -5733,10 +5780,13 @@ def _fdr_ranked(
     v0 = F.try_divide(ss0 - s0 * s0 / n0, n0 - 1)
     z = F.try_divide(m1 - m0, F.sqrt(v1 / n1 + v0 / n0))
     p = 2.0 / (1.0 + F.exp(1.702 * F.abs(z)))
-    scored = j.select(
+    scored_cols = [
         F.col(group), F.col("n").cast("long").alias("n"),
         F.col("m").cast("long").alias("m"), z.alias("__z"), p.alias("__p"),
-    )
+    ]
+    if mode == "by":
+        scored_cols.append(F.col("__cm"))
+    scored = j.select(*scored_cols)
     # NULL p (a 1-row group: variance undefined) must sort LAST on both
     # engines — range partitioning and the local sort both order the
     # explicit __pnull flag first (false < true), matching DuckDB's ASC
@@ -5765,14 +5815,6 @@ def _fdr_ranked(
     off = d.sparkSession.createDataFrame(
         offs or [(0, 0)], "__pid int, __off long"
     )
-    # BY's c(m): ascending fold 1 + 1/2 + ... + 1/m — the SAME
-    # accumulation order as the oracle's recursive CTE, so the doubles
-    # agree bit-for-bit across engines
-    _harmonic_m = F.aggregate(
-        F.sequence(F.lit(1), F.col("m").cast("int")),
-        F.lit(0.0),
-        lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
-    )
     ranked = (
         d.join(F.broadcast(off), "__pid")
         .withColumn(
@@ -5781,7 +5823,7 @@ def _fdr_ranked(
         )
         .withColumn(
             "__thr",
-            F.col("p_rank") / (F.col("m") * _harmonic_m) * F.lit(q)
+            F.col("p_rank") / (F.col("m") * F.col("__cm")) * F.lit(q)
             if mode == "by"
             else F.lit(q) / (F.col("m") - F.col("p_rank") + 1)
             if mode == "holm"

@@ -18,6 +18,7 @@ Behaviour parity with PublisherActor (nsdb-core/.../actors/PublisherActor.scala)
 """
 from __future__ import annotations
 
+import copy
 import logging
 import re
 import threading
@@ -219,8 +220,12 @@ class SubscriptionManager:
         # instead (PublisherActor executes-then-registers).
         self.subs[sub.uuid] = sub
         try:
+            # collect_select, not execute_select().collect(): the
+            # historical rows land in the engine's token-guarded result
+            # cache, so the first no-write tick of a standard-agg
+            # subscription is already a zero-job cache hit
             historical = [
-                r.asDict() for r in self.engine.execute_select(stmt, ctx).collect()
+                r.asDict() for r in self.engine.collect_select(stmt, ctx)
             ]
             callback(historical)
         except Exception:
@@ -409,14 +414,20 @@ class SubscriptionManager:
                 # that starvation forever
                 _log.exception("tick failed for subscription %s", sub.uuid)
         for group in agg_groups.values():
-            # full re-execution + push (PublisherActor.scala:205-218),
-            # once per DISTINCT statement
+            # re-execution + push (PublisherActor.scala:205-218), once per
+            # DISTINCT statement — through collect_select, so a tick with
+            # NO intervening write serves the engine's token-guarded
+            # result cache with ZERO Spark jobs (every mutator bumps the
+            # token; relative-time / grace statements bypass that cache
+            # inside collect_select itself and still re-execute). Payloads
+            # are identical either way: same fingerprint, same token ⇒
+            # the exact rows the last execution pushed.
             try:
                 rows = [
                     r.asDict()
-                    for r in self.engine.execute_select(
+                    for r in self.engine.collect_select(
                         group[0].statement, TimeContext(now)
-                    ).collect()
+                    )
                 ]
             except Exception:
                 for sub in group:
@@ -424,9 +435,11 @@ class SubscriptionManager:
                 continue
             for sub in group:
                 try:
-                    # fresh dicts per subscriber: a callback mutating its
-                    # payload must not leak into its siblings'
-                    sub.callback([dict(r) for r in rows])
+                    # deep copy per subscriber: a callback mutating its
+                    # payload — including NESTED array/map aggregate
+                    # values, which a shallow dict copy would share —
+                    # must not leak into its siblings'
+                    sub.callback(copy.deepcopy(rows))
                 except Exception:
                     _log.exception("tick failed for subscription %s", sub.uuid)
 

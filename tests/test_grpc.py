@@ -98,6 +98,94 @@ def test_hpack_encoder_roundtrips_through_decoder():
     assert dec.decode(enc.encode(headers)) == headers
 
 
+# encoder-side fuzz (hypothesis) — mirrors the proto3 decoder fuzz: the
+# stateless encoder must emit blocks ANY conformant peer decodes back to
+# the exact header list, across static-table exact/name hits and raw
+# latin-1 literals
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+_STATIC_NAMES = hst.sampled_from([n for n, _ in hpack.STATIC_TABLE])
+_TOKEN_NAMES = hst.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-:_", min_size=1, max_size=20
+)
+_LATIN1_VALUES = hst.text(
+    alphabet=hst.characters(min_codepoint=0, max_codepoint=255), max_size=40
+)
+
+
+@_given(
+    headers=hst.lists(
+        hst.tuples(hst.one_of(_STATIC_NAMES, _TOKEN_NAMES), _LATIN1_VALUES),
+        max_size=12,
+    )
+)
+@_settings(max_examples=150, deadline=None)
+def test_hpack_encoder_roundtrip_fuzz(headers):
+    enc, dec = hpack.Encoder(), hpack.Decoder()
+    assert dec.decode(enc.encode(headers)) == headers
+
+
+#: every symbol the embedded RFC 7541 Appendix B table carries
+_HUFF_SYMBOLS = sorted(hpack._HUFFMAN_CODES)
+
+
+def _huffman_encode(data: bytes) -> bytes:
+    """Test-side reference Huffman encoder: MSB-first code concatenation
+    + all-ones EOS-prefix padding (RFC 7541 §5.2) — built from the SAME
+    code table the decoder embeds, so a table typo shows up as a C-vector
+    failure, not as a self-consistent fuzz pass."""
+    acc, nbits = 0, 0
+    out = bytearray()
+    for b in data:
+        code, ln = hpack._HUFFMAN_CODES[b]
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+    if nbits:
+        out.append(((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF)
+    return bytes(out)
+
+
+@_given(syms=hst.lists(hst.sampled_from(_HUFF_SYMBOLS), max_size=60))
+@_settings(max_examples=200, deadline=None)
+def test_hpack_huffman_decode_roundtrip_fuzz(syms):
+    """huffman_decode inverts a conformant encoder for every symbol the
+    table carries, including the 13-15 bit tail codes (NUL, $, @, [, ],
+    ~, ^, }, <, `, {) whose multi-byte accumulator paths the RFC Appendix
+    C vectors never reach."""
+    raw = bytes(syms)
+    assert hpack.huffman_decode(_huffman_encode(raw)) == raw
+
+
+@_given(
+    pairs=hst.lists(
+        hst.tuples(
+            hst.text(alphabet="".join(map(chr, _HUFF_SYMBOLS)), max_size=24),
+            hst.text(alphabet="".join(map(chr, _HUFF_SYMBOLS)), max_size=24),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings(max_examples=100, deadline=None)
+def test_hpack_decode_huffman_literals_fuzz(pairs):
+    """Full decode() over literal-with-incremental-indexing fields whose
+    name AND value are Huffman-coded — the H-flagged string path plus
+    dynamic-table growth/eviction under arbitrary header content."""
+    block = bytearray()
+    for name, value in pairs:
+        block.append(0x40)  # literal w/ incremental indexing, new name
+        for s in (name, value):
+            h = _huffman_encode(s.encode("latin-1"))
+            hpack._write_int(len(h), 7, 0x80, block)
+            block += h
+    assert hpack.Decoder().decode(bytes(block)) == pairs
+
+
 # --------------------------------------------------------------- proto3
 
 def test_proto_bit_roundtrip_oneofs_and_maps():

@@ -500,6 +500,20 @@ def test_gini_no_global_sort(spark):
     assert "BroadcastHashJoin" in plan  # offsets join back broadcast
 
 
+def test_pareto_share_no_global_sort(spark):
+    """The concentration rank + running sum must ride the two-phase
+    range-partitioned scan (the stats_gini / _fdr_ranked shape): the only
+    single-partition exchange allowed is the final 1-row cutoff
+    aggregate, never a data-sized global window sort over the per-key
+    counts frame (keys = users = billions at 100 TB)."""
+    from nsdb_spark.operators import analytics
+
+    ev = testdata.table(spark, SF_DIR, "events")
+    plan = plan_of(analytics.pareto_share(ev))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+
+
 def test_spearman_no_global_window(spark):
     """Both midrank frames must come from the range-partitioned two-phase
     scan (the KS discipline): offsets join back broadcast, and the only

@@ -979,6 +979,90 @@ def test_shape_cache_matches_model_under_interleaved_writes(
             assert got == want, (op, got, want, model)
 
 
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("q"), st.integers(min_value=1, max_value=12),
+                      st.booleans()),
+            st.tuples(st.just("i"), st.integers(min_value=0, max_value=10**6),
+                      st.just(0)),
+            st.tuples(st.just("d"), st.integers(min_value=0, max_value=10**6),
+                      st.integers(min_value=0, max_value=200_000)),
+            st.tuples(st.just("r"),
+                      st.integers(min_value=0, max_value=1_200_000),
+                      st.just(0)),
+        ),
+        min_size=4,
+        max_size=10,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_shape_cache_matches_model_under_interleaved_mutations(spark, ops):
+    """Arbitrary interleavings of inserts, DELETEs, retention evictions,
+    and distinct-LIMIT ordered queries: every served slice equals the
+    pure-python model's sorted prefix. DELETE rewrites only affected
+    shards and retention drops whole expired shards — both bump the
+    metric version, so neither the shape cache nor the plan/result/frame
+    caches may ever serve a row that no longer exists (or miss one that
+    does)."""
+    import tempfile
+
+    from nsdb_spark.engine import NsdbEngine
+    from nsdb_spark.model import Bit
+    from nsdb_spark.sql.parser import parse
+
+    SI, RET = 1000, 100_000
+    eng = NsdbEngine(spark, tempfile.mkdtemp(prefix="wh_shape_mut_"))
+    eng.warehouse.init_metric("default", "default", "sm", SI, RET)
+    # writes validate ts against the retention window around now, so pin
+    # now to the batch being written (the replayed-history shape)
+    eng.now_fn = lambda: 50
+    base = [10, 20, 30, 40, 50]
+    eng.insert_bits(
+        "default", "default", "sm",
+        [Bit(t, 1, {}, {"k": "a"}) for t in base],
+    )
+    model = list(base)
+    for op in ops:
+        if op[0] == "i":
+            ts = op[1]
+            eng.now_fn = lambda ts=ts: ts
+            eng.insert_bits(
+                "default", "default", "sm", [Bit(ts, 1, {}, {"k": "a"})]
+            )
+            model.append(ts)
+        elif op[0] == "d":
+            lo, hi = op[1], op[1] + op[2]
+            eng.execute(
+                f"delete from sm where timestamp >= {lo} "
+                f"and timestamp <= {hi}"
+            )
+            model = [t for t in model if not (lo <= t <= hi)]
+        elif op[0] == "r":
+            now = op[1]
+            eng.now_fn = lambda now=now: now
+            eng.enforce_retention("default", "default", "sm")
+            # whole-shard eviction: shard [s, s+SI) drops iff its upper
+            # bound is at or below now - retention (catalog
+            # drop_shards_older_than semantics)
+            cutoff = now - RET
+            model = [t for t in model if (t // SI) * SI + SI > cutoff]
+        else:
+            _, k, desc = op
+            stmt = parse(
+                f"select * from sm order by timestamp"
+                f"{' desc' if desc else ''} limit {k}",
+                db="default", namespace="default",
+            )
+            got = [r["timestamp"] for r in eng.collect_select(stmt)]
+            want = sorted(model, reverse=bool(desc))[:k]
+            assert got == want, (op, got, want, model)
+
+
 # -------------------------------------------- disjoint temporal axes model
 
 
