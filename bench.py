@@ -167,6 +167,7 @@ def main() -> None:
         "stats_fdr_bh",
         "stats_fdr_by",
         "stats_holm",
+        "stats_page_trend",
         "tsa_snaive_backtest",
         "stats_power_two_prop",
         "events_cohort_ltv",

@@ -314,16 +314,27 @@ class QueryCompiler:
         parsed: ParsedQuery,
         ctx: TimeContext | None = None,
         locations: list[int] | None = None,
+        pre_filter: Column | None = None,
     ) -> DataFrame:
         """locations: known shard_start values (partition listing). For
         temporal queries they give the bucket upper bound without a data
         scan — at scale this is a metadata lookup, parity with NSDb's
-        location filtering (ReadCoordinator.scala:210-214)."""
+        location filtering (ReadCoordinator.scala:210-214).
+
+        pre_filter: an extra predicate (the engine's shard-pruning
+        conjunct) ANDed into the SAME filter as the WHERE condition —
+        one Dataset fewer on the point-serving path, where every eager
+        analysis pass is measurable."""
         ctx = ctx or TimeContext(_now_ms())
         stmt = parsed.statement
-        filtered = df
-        if stmt.condition is not None:
-            filtered = df.filter(compile_expression(stmt.condition.expression, ctx))
+        cond = (
+            compile_expression(stmt.condition.expression, ctx)
+            if stmt.condition is not None
+            else None
+        )
+        if pre_filter is not None:
+            cond = pre_filter if cond is None else (pre_filter & cond)
+        filtered = df if cond is None else df.filter(cond)
 
         if isinstance(parsed, ParsedSimpleQuery):
             return self._simple(filtered, schema, parsed)

@@ -82,6 +82,17 @@ class NsdbEngine:
         # LIMIT literal (the dashboard shape) compile+execute ONCE and
         # bind each limit as a row slice — see _collect_via_shape.
         self._shape_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        # point-query SERVING session: a newSession() sharing the
+        # SparkContext but with codegen + AQE disabled. Novel point
+        # statements (unique literals — no cache can serve them) pay
+        # Janino whole-stage compilation per literal on the default
+        # session, which dominates the ~60-90 ms uncached floor; for a
+        # shard-pruned plain SELECT with a small LIMIT the interpreted
+        # path is strictly faster (the scan is a few columnar batches and
+        # CollectLimit stops early). Built lazily; frames cached per
+        # token like _metric_frame_cache.
+        self._serving_spark: SparkSession | None = None
+        self._serving_frame_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------ plan-cache plumbing
     def _metric_version(self, db: str, ns: str, metric: str) -> int:
@@ -140,8 +151,26 @@ class NsdbEngine:
         with self._plan_cache_lock:
             self._plan_cache.clear()
             self._metric_frame_cache.clear()
+            self._serving_frame_cache.clear()
             self._shape_cache.clear()
             self._metric_versions.clear()
+
+    def _serving_session(self) -> SparkSession:
+        """The interpreted point-serving session (see __init__). AQE,
+        whole-stage codegen, and expression codegen are per-SESSION SQL
+        confs, so the isolated newSession() flips them for point serves
+        without touching the analytics session's behaviour."""
+        s = self._serving_spark
+        if s is not None:
+            return s
+        with self._plan_cache_lock:
+            if self._serving_spark is None:
+                s = self.spark.newSession()
+                s.conf.set("spark.sql.codegen.wholeStage", "false")
+                s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+                s.conf.set("spark.sql.adaptive.enabled", "false")
+                self._serving_spark = s
+            return self._serving_spark
 
     # ------------------------------------------------------------- write path
     def insert_bits(self, db: str, ns: str, metric: str, bits: list[Bit]) -> int:
@@ -490,21 +519,36 @@ class NsdbEngine:
         JVM file index on every call (~tens of ms), which dominates the
         plan path for DISTINCT statements over the same metric. Any
         mutation bumps the version and the next read re-lists."""
+        return self._read_metric_frame(
+            db, ns, metric, self.spark, self._metric_frame_cache
+        )
+
+    def _read_metric_serving(self, db: str, ns: str, metric: str) -> DataFrame:
+        """read_metric against the interpreted point-serving session —
+        its own frame cache because a Dataset is bound to the session
+        that analyzed it."""
+        return self._read_metric_frame(
+            db, ns, metric, self._serving_session(), self._serving_frame_cache
+        )
+
+    def _read_metric_frame(
+        self, db: str, ns: str, metric: str, session: SparkSession, cache: dict
+    ) -> DataFrame:
         key = (db, ns, metric)
         token = self._cache_token(db, ns, metric)
         with self._plan_cache_lock:
-            hit = self._metric_frame_cache.get(key)
+            hit = cache.get(key)
             if hit is not None and hit[0] == token:
                 return hit[1]
         schema = self.warehouse.get_schema(db, ns, metric)
         dp = self.warehouse.data_path(db, ns, metric)
         if not self.warehouse.locations(db, ns, metric):
-            df = self.spark.createDataFrame(
+            df = session.createDataFrame(
                 [], schema.to_struct_type(with_shard=True)
             )
         else:
             df = (
-                self.spark.read.schema(schema.to_struct_type(with_shard=True))
+                session.read.schema(schema.to_struct_type(with_shard=True))
                 # retention eviction may drop a shard between query planning
                 # and execution; skip vanished files instead of failing the
                 # read (the role NSDb's Lucene searcher refcounts play)
@@ -512,9 +556,9 @@ class NsdbEngine:
                 .parquet(dp)
             )
         with self._plan_cache_lock:
-            self._metric_frame_cache[key] = (token, df)
-            while len(self._metric_frame_cache) > self._plan_cache_cap:
-                self._metric_frame_cache.pop(next(iter(self._metric_frame_cache)))
+            cache[key] = (token, df)
+            while len(cache) > self._plan_cache_cap:
+                cache.pop(next(iter(cache)))
         return df
 
     def execute(
@@ -664,7 +708,11 @@ class NsdbEngine:
                 return None
             if not isinstance(parsed, analyzer.ParsedSimpleQuery):
                 return None
-            df_nolimit, _parsed, _routed = self._plan_select(nolimit, time_context)
+            df_nolimit, _parsed, _routed = self._plan_select(
+                nolimit,
+                time_context,
+                point_serve=k <= self._POINT_SERVE_MAX_LIMIT,
+            )
         bound = max(k, self._SHAPE_OVERFETCH)
         rows = df_nolimit.limit(bound).collect()
         exhaustive = len(rows) < bound
@@ -687,11 +735,28 @@ class NsdbEngine:
                     self._shape_cache.popitem(last=False)
         return list(rows[:k])
 
+    #: point-serving gates: route a plain SELECT through the interpreted
+    #: serving session only when the caller wants at most this many rows
+    #: and shard pruning leaves at most this many shards — the dashboard
+    #: point-read shape, where per-literal Janino compilation dominates.
+    #: Larger limits or wide scans stay on the codegen session, whose
+    #: per-row throughput wins as soon as the scan is data-sized.
+    _POINT_SERVE_MAX_LIMIT = 1_000
+    _POINT_SERVE_MAX_SHARDS = 4
+
     def _plan_select(
-        self, stmt: ast.SelectSQLStatement, time_context: TimeContext | None = None
+        self,
+        stmt: ast.SelectSQLStatement,
+        time_context: TimeContext | None = None,
+        point_serve: bool = False,
     ) -> tuple[DataFrame, Any, bool]:
         """Shared SELECT planning: (DataFrame, analyzed plan, rollup-routed?).
-        execute_select returns the frame; explain_select reports the rest."""
+        execute_select returns the frame; explain_select reports the rest.
+
+        point_serve: the caller (the shape cache, which strips LIMIT
+        before planning) vouches that only a point-read-sized prefix of
+        the result will be fetched — makes the statement eligible for
+        the interpreted serving session even without its own LIMIT."""
         db, ns = stmt.db or "default", stmt.namespace or "default"
         # plan-cache fast path: deterministic statements (no relative `now`,
         # no SINCE grace — both compile clock-dependent literals) keyed by
@@ -716,6 +781,25 @@ class NsdbEngine:
         routed = self._route_via_rollup(db, ns, stmt, parsed, info)
         if routed is not None:
             out = (routed, parsed, True)
+        elif self._point_route(stmt, parsed, ctx, info, point_serve):
+            # interpreted serving session, and ONE combined filter
+            # (shard conjunct folded into the WHERE) instead of the
+            # prune→drop→filter chain — every eager analysis pass costs
+            # real milliseconds at point-query rates
+            sdf = self._read_metric_serving(db, ns, stmt.metric)
+            pred = self._shard_predicate(
+                stmt.condition, ctx, info["shardInterval"]
+            ) if SHARD_COL in sdf.columns else None
+            compiler = QueryCompiler(
+                self._serving_session(),
+                shard_interval_ms=info["shardInterval"],
+                approx_count_distinct=self.approx_count_distinct,
+            )
+            out = (
+                compiler.compile(sdf, schema, parsed, ctx, pre_filter=pred),
+                parsed,
+                False,
+            )
         else:
             df = self.read_metric(db, ns, stmt.metric)
             df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])
@@ -740,6 +824,41 @@ class NsdbEngine:
                 while len(self._plan_cache) > self._plan_cache_cap:
                     self._plan_cache.popitem(last=False)
         return out
+
+    def _point_route(self, stmt, parsed, ctx, info, point_serve: bool) -> bool:
+        """True when a statement should plan on the interpreted serving
+        session: a non-DISTINCT plain SELECT whose caller fetches at most
+        _POINT_SERVE_MAX_LIMIT rows (its own LIMIT, or the shape cache's
+        vouched prefix) and whose shard pruning leaves at most
+        _POINT_SERVE_MAX_SHARDS shards. DISTINCT and wide scans keep the
+        codegen session — they are data-sized regardless of LIMIT."""
+        if not isinstance(parsed, analyzer.ParsedSimpleQuery) or parsed.distinct:
+            return False
+        if not point_serve and (
+            stmt.limit is None
+            or stmt.limit.value > self._POINT_SERVE_MAX_LIMIT
+        ):
+            return False
+        db, ns = stmt.db or "default", stmt.namespace or "default"
+        locations = self.warehouse.locations(db, ns, stmt.metric)
+        ivs = (
+            extract_time_range(stmt.condition.expression, ctx)
+            if stmt.condition is not None
+            else []
+        )
+        if not ivs:
+            return len(locations) <= self._POINT_SERVE_MAX_SHARDS
+        interval = info["shardInterval"]
+        scanned = sum(
+            1
+            for s in locations
+            if any(
+                s >= (lo // interval) * interval
+                and (hi is None or s <= (hi // interval) * interval)
+                for lo, hi in ivs
+            )
+        )
+        return scanned <= self._POINT_SERVE_MAX_SHARDS
 
     def explain_select(
         self,
@@ -1302,22 +1421,30 @@ class NsdbEngine:
         return out
 
     # ------------------------------------------------------------- pruning
-    def _prune_shards(self, df, condition, ctx, shard_interval: int):
-        """Turn WHERE-implied time intervals into shard_start predicates so
-        Catalyst does *partition* pruning, not just row-group skipping
-        (NSDb location filtering analogue, ReadNodesSelection.scala:40-49)."""
-        if condition is None or SHARD_COL not in df.columns:
-            return df
+    def _shard_predicate(self, condition, ctx, shard_interval: int):
+        """The shard_start pruning predicate implied by the WHERE's time
+        intervals, or None when the condition bounds nothing."""
+        if condition is None:
+            return None
         ivs = extract_time_range(condition.expression, ctx)
         if not ivs:
-            return df
+            return None
         pred = None
         for lo, hi in ivs:
             p = F.col(SHARD_COL) >= (lo // shard_interval) * shard_interval
             if hi is not None:
                 p = p & (F.col(SHARD_COL) <= (hi // shard_interval) * shard_interval)
             pred = p if pred is None else (pred | p)
-        return df.filter(pred)
+        return pred
+
+    def _prune_shards(self, df, condition, ctx, shard_interval: int):
+        """Turn WHERE-implied time intervals into shard_start predicates so
+        Catalyst does *partition* pruning, not just row-group skipping
+        (NSDb location filtering analogue, ReadNodesSelection.scala:40-49)."""
+        if SHARD_COL not in df.columns:
+            return df
+        pred = self._shard_predicate(condition, ctx, shard_interval)
+        return df if pred is None else df.filter(pred)
 
     # ------------------------------------------------------------- retention
     def enforce_retention(self, db: str, ns: str, metric: str) -> list[int]:

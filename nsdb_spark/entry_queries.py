@@ -9,6 +9,7 @@ from .registry import (  # noqa: F401
     _CHECK_PREFIX_R5,
     _CHECK_PREFIX_R6,
     _CHECK_PREFIX_R7,
+    _CHECK_PREFIX_R8,
     _ROTATION_QUEUE,
     build_oracles,
     build_queries,

@@ -5869,6 +5869,82 @@ def _fdr_ranked(
     ).orderBy("p_rank")
 
 
+def page_trend(
+    df: DataFrame,
+    part: str = "event_type",
+    ts: str = "timestamp",
+    day_ms: int = 86_400_000,
+) -> DataFrame:
+    """Page's L test for ordered alternatives in a two-way layout: does
+    activity rise monotonically across the k treatments (`part` values,
+    hypothesized order = lexicographic id), consistently over the b
+    blocks (UTC days)? More powerful than Friedman when the alternative
+    is a TREND, not just "some difference". The ranked measure is the
+    per-cell event COUNT — an exact integer, so both engines rank
+    identically (a double mean could flip near-ties across engines'
+    summation orders); ties broken by treatment id.
+
+    Only COMPLETE blocks (all k treatments present) enter — Page's test
+    is defined on complete layouts; partial days would skew the ranks.
+    L = Σ_j j·R_j; under H₀ E[L] = b·k·(k+1)²/4,
+    Var[L] = b·k²·(k+1)·(k²−1)/144, z = (L−E)/√Var.
+
+    ONE (day, part) count aggregate collapses the scan to a calendar-
+    bounded b×k grid (checkpointed: every later frame derives from it
+    without re-scanning); the day-partitioned rank window rides one hash
+    exchange, and the only global sort is the k-row treatment-position
+    frame (k = |treatments|, small by contract — same k-row exemption as
+    the alert/centroid frames).
+
+    Output: one row (b bigint, k int, l_stat bigint, z r6).
+    """
+    cell = (
+        df.filter(F.col(part).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(
+            F.expr(f"`{ts}` div {day_ms}").alias("__d"),
+            F.col(part).alias("__g"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    ktot = cell.agg(F.countDistinct("__g").cast("int").alias("k"))
+    daycnt = cell.groupBy("__d").agg(F.count(F.lit(1)).alias("__kc"))
+    kept = (
+        cell.join(F.broadcast(daycnt), "__d")
+        .crossJoin(F.broadcast(ktot))
+        .filter(F.col("__kc") == F.col("k"))
+    )
+    pos = (
+        cell.select("__g")
+        .distinct()
+        .withColumn(
+            "__j", F.row_number().over(Window.orderBy("__g")).cast("int")
+        )
+    )
+    wd = Window.partitionBy("__d").orderBy(
+        F.col("__n").asc(), F.col("__g").asc()
+    )
+    ranked = kept.withColumn("__r", F.row_number().over(wd)).join(
+        F.broadcast(pos), "__g"
+    )
+    out = ranked.groupBy().agg(
+        F.countDistinct("__d").cast("long").alias("b"),
+        F.max("k").alias("k"),
+        F.sum(F.col("__j").cast("long") * F.col("__r")).cast("long").alias(
+            "l_stat"
+        ),
+    )
+    b = F.col("b").cast("double")
+    kk = F.col("k").cast("double")
+    lv = F.col("l_stat").cast("double")
+    mu = b * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    var = b * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0
+    return out.select(
+        "b", "k", "l_stat",
+        F.round(F.try_divide(lv - mu, F.sqrt(var)), 6).alias("z"),
+    )
+
+
 def power_two_prop(
     df: DataFrame,
     success: Column,

@@ -19,6 +19,7 @@ from .rotation import (  # noqa: F401 — re-exported for tools/checklist.py
     _CHECK_PREFIX_R5,
     _CHECK_PREFIX_R6,
     _CHECK_PREFIX_R7,
+    _CHECK_PREFIX_R8,
     _ROTATION_QUEUE,
 )
 from . import (
@@ -51,12 +52,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION RULE (round 5+, inverting the round-4 newest-first policy
     # per VERDICT r4 item 1): the prefix drains the oldest-NEVER-driver-
     # checked entries first, so every entry appears in some
-    # CORRECTNESS_r*.json. Each round: prefix := entries changed this
-    # round (re-verify) + the next 50-ish from _ROTATION_QUEUE below
-    # (oldest first); move the spent block out of the queue and append
-    # any brand-new entries to its tail. After round 7 the queue is
-    # empty and the prefix reverts to most-recently-touched-first.
-    priority = _CHECK_PREFIX_R7 + _CHECK_PREFIX_R6 + _CHECK_PREFIX_R5 + [
+    # CORRECTNESS_r*.json. Round 8 drains the queue's final 46 entries
+    # (plus the three changed _fdr_ranked re-verifies and the one entry
+    # new this round) — after round 8 every registry entry has been
+    # driver-checked and the prefix reverts to changed/new-first.
+    priority = _CHECK_PREFIX_R8 + _CHECK_PREFIX_R7 + _CHECK_PREFIX_R6 + _CHECK_PREFIX_R5 + [
         # round 9: new entries this round, NEWEST WAVES FIRST — with 79
         # additions only 50 fit the driver's check prefix, and the
         # latest waves have soaked the least

@@ -85,12 +85,18 @@ _CHECK_PREFIX_R7 = [
     "stats_hill", "join_band_prices", "events_entropy_rate",
 ]
 
-#: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
-#: Round 8 takes the full remainder (46 entries) plus re-verification of
-#: anything changed in round 7-8. Entries changed in a round jump the
-#: queue into that round's prefix. (All 46 were verified green at sf0.01
-#: via tools/check_oracles.py in round 7's pre-verification sweeps.)
-_ROTATION_QUEUE = [
+#: Round-8 driver-check prefix: the entries CHANGED this round jump the
+#: queue first — events_pareto_share (rank + running sum rewritten onto
+#: the two-phase range-partitioned global-rank primitive, VERDICT r7
+#: item 2), then stats_fdr_by (the BY harmonic c(m) now folds once on
+#: the 1-row totals frame, ADVICE r7) and stats_fdr_bh / stats_holm
+#: (they share the modified _fdr_ranked body; plans unchanged for their
+#: modes but re-verified out of caution) — followed by the ENTIRE
+#: remaining 45-entry never-driver-checked queue, and one entry NEW this
+#: round to fill slot 50. After this round every registry entry has
+#: appeared in some CORRECTNESS_r*.json: the rotation queue is DRAINED.
+_CHECK_PREFIX_R8 = [
+    "events_pareto_share", "stats_fdr_by", "stats_fdr_bh", "stats_holm",
     "stats_ccc", "sample_neyman_apply", "events_mcnemar",
     "stats_dagostino", "stats_logrank", "stats_cronbach", "stats_icc",
     "stats_friedman", "stats_risk_ratio", "stats_gamma", "tsa_hurst",
@@ -100,10 +106,18 @@ _ROTATION_QUEUE = [
     "graph_pref_attachment", "graph_katz", "emb_isotropy",
     "stats_jonckheere", "stats_somers_d", "stats_cohens_h", "stats_grubbs",
     "tsa_mann_kendall", "events_conversion_latency", "events_dow_hour",
-    "emb_hubness", "stats_bhattacharyya", "events_pareto_share",
+    "emb_hubness", "stats_bhattacharyya",
     "text_burrows_delta", "pipeline_source_scorecard",
     "tsa_dickey_fuller", "stats_poisson_rate", "sample_ess",
     "dedup_shingle_profile", "tsa_cointegration", "stats_bartlett",
     "emb_cluster_purity", "stats_ab_srm", "events_funnel_timing",
     "stats_tost", "events_new_vs_returning", "tsa_rolling_corr",
+    "stats_page_trend",
 ]
+
+#: Never-driver-checked entries awaiting their prefix slot, OLDEST FIRST.
+#: DRAINED in round 8: _CHECK_PREFIX_R8 absorbed the final 46-entry
+#: remainder, so every entry registered through round 7 has been driver-
+#: checked. From round 9 on the prefix reverts to changed/new-first
+#: (entries touched in the round, then the newest additions).
+_ROTATION_QUEUE: list[str] = []

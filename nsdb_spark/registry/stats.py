@@ -464,6 +464,9 @@ def register(q):
         success=F.col("value") >= 900,
         group="event_type",
     )
+    q["stats_page_trend"] = lambda spark, sf: analytics.page_trend(
+        testdata.events_metric(spark, sf)
+    )
 
 
 def register_oracles(o):
@@ -2079,6 +2082,34 @@ SELECT event_type, n::BIGINT AS n, round(z, 6) AS z,
        round(thr, 6) AS holm_threshold,
        (p_rank < coalesce(kstop, m + 1)) AS rejected
 FROM kf ORDER BY p_rank
+"""
+    # Page's L on per-cell COUNTS (exact integers — engine-stable ranks;
+    # ties broken by treatment id); blocks = UTC days, complete only;
+    # hypothesized order = lexicographic event_type
+    o["stats_page_trend"] = """
+WITH m AS (SELECT epoch_ms(ts) // 86400000 AS d, event_type AS g
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+cell AS (SELECT d, g, cast(count(*) AS bigint) AS n FROM m GROUP BY 1, 2),
+tot AS (SELECT cast(count(DISTINCT g) AS int) AS k FROM cell),
+dc AS (SELECT d, count(*) AS kc FROM cell GROUP BY 1),
+kept AS (SELECT cell.d, cell.g, cell.n, tot.k
+         FROM cell JOIN dc USING (d) CROSS JOIN tot
+         WHERE dc.kc = tot.k),
+pos AS (SELECT g, cast(row_number() OVER (ORDER BY g) AS int) AS j
+        FROM (SELECT DISTINCT g FROM cell)),
+rk AS (SELECT kept.*, pos.j,
+              row_number() OVER (PARTITION BY d ORDER BY n ASC, g ASC) AS r
+       FROM kept JOIN pos USING (g))
+SELECT cast(count(DISTINCT d) AS bigint) AS b, max(k) AS k,
+       cast(sum(j * r) AS bigint) AS l_stat,
+       round((sum(j * r)
+              - count(DISTINCT d) * max(k) * (max(k) + 1.0)
+                * (max(k) + 1.0) / 4.0)
+             / nullif(sqrt(count(DISTINCT d) * max(k) * max(k)
+                           * (max(k) + 1.0)
+                           * (max(k) * max(k) - 1.0) / 144.0), 0),
+             6) AS z
+FROM rk
 """
     o["stats_power_two_prop"] = """
 WITH m AS (SELECT event_type, CASE WHEN value >= 900 THEN 1 ELSE 0 END AS cv

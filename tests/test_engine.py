@@ -1722,9 +1722,9 @@ def test_shape_cache_binds_distinct_limits_one_execution(long_engine):
     plans = []
     orig = long_engine._plan_select
 
-    def spy(stmt, tc=None):
+    def spy(stmt, tc=None, **kw):
         plans.append(repr(stmt))
-        return orig(stmt, tc)
+        return orig(stmt, tc, **kw)
 
     long_engine._plan_select = spy
     ts = [1, 2, 4, 6, 8, 10]  # the fixture's timestamps
@@ -1740,6 +1740,53 @@ def test_shape_cache_binds_distinct_limits_one_execution(long_engine):
         long_engine._plan_select = orig
     # one compile for the shared (limit-stripped) shape, nothing else
     assert len(plans) == 1 and "limit=None" in plans[0]
+
+
+def test_point_serving_route_interpreted_and_identical(long_engine):
+    """A shard-pruned plain SELECT with a small LIMIT plans on the
+    interpreted serving session (no per-literal Janino compile: the plan
+    shows no WholeStageCodegen span) with the shard conjunct folded into
+    ONE Filter, and returns exactly what the codegen session returns.
+    DISTINCT and LIMIT-less statements stay on the default session."""
+    from nsdb_spark.sql.parser import parse
+
+    stmt = parse(
+        "select * from longMetric where timestamp >= 2 "
+        "order by timestamp limit 3",
+        db="default", namespace="default",
+    )
+    df, parsed, routed = long_engine._plan_select(stmt)
+    assert not routed
+    assert df.sparkSession is long_engine._serving_session()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" not in plan
+    assert [r["timestamp"] for r in df.collect()] == [2, 4, 6]
+
+    # parity with the codegen route: force it by exceeding the gate
+    big = parse(
+        "select * from longMetric where timestamp >= 2 "
+        "order by timestamp limit 100000",
+        db="default", namespace="default",
+    )
+    dfd, _, _ = long_engine._plan_select(big)
+    assert dfd.sparkSession is long_engine.spark
+    assert [r["timestamp"] for r in dfd.collect()][:3] == [2, 4, 6]
+
+    # DISTINCT is data-sized regardless of LIMIT: default session
+    dist = parse(
+        "select distinct name from longMetric limit 3",
+        db="default", namespace="default",
+    )
+    dfq, _, _ = long_engine._plan_select(dist)
+    assert dfq.sparkSession is long_engine.spark
+
+    # a write invalidates the serving frame cache too (shared token)
+    long_engine.insert_bits(
+        "default", "default", "longMetric",
+        [Bit(3, 9, {"surname": "Doe"}, {"name": "Zed"})],
+    )
+    df2, _, _ = long_engine._plan_select(stmt)
+    assert [r["timestamp"] for r in df2.collect()] == [2, 3, 4]
 
 
 def test_shape_cache_mutation_replaces_stale_entry(long_engine):
@@ -1763,7 +1810,9 @@ def test_shape_cache_mutation_replaces_stale_entry(long_engine):
     assert q(2) == [99, 10]  # stale superset not served
     plans = []
     orig = long_engine._plan_select
-    long_engine._plan_select = lambda s, tc=None: (plans.append(1), orig(s, tc))[1]
+    long_engine._plan_select = lambda s, tc=None, **kw: (
+        plans.append(1), orig(s, tc, **kw),
+    )[1]
     try:
         assert q(4) == [99, 10, 8, 6]  # re-primed: served with no replan
     finally:

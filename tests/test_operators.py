@@ -6188,6 +6188,35 @@ def test_fdr_by_and_holm_relations(spark):
     assert hm["b"]["rejected"] is True and hm["c"]["rejected"] is True
 
 
+def test_page_trend_known_values(spark):
+    """Hand-computed Page's L: 2 complete days, 3 treatments with counts
+    1/2/3 aligned with lexicographic order every day → perfect trend:
+    L = 2·(1·1 + 2·2 + 3·3) = 28, E[L] = b·k(k+1)²/4 = 24,
+    Var = b·k²(k+1)(k²−1)/144 = 4 → z = 2. An incomplete day (one
+    treatment missing) must be EXCLUDED, leaving the stats unchanged."""
+    from nsdb_spark.operators import analytics
+
+    day = 86_400_000
+    rows = []
+    for d in (0, 1):
+        rows += [(d * day + i, "a") for i in range(1)]
+        rows += [(d * day + 100 + i, "b") for i in range(2)]
+        rows += [(d * day + 200 + i, "c") for i in range(3)]
+    # day 2 is incomplete: no "c" rows → dropped from the layout
+    rows += [(2 * day + 1, "a"), (2 * day + 2, "b")]
+    df = spark.createDataFrame(rows, "timestamp long, event_type string")
+    out = analytics.page_trend(df).collect()[0]
+    assert (out["b"], out["k"], out["l_stat"]) == (2, 3, 28)
+    assert out["z"] == 2.0
+
+    # reversed trend on one day pulls L below the perfect 28
+    rows2 = [r for r in rows if r[0] < 2 * day]
+    rows2 += [(1 * day + 300 + i, "a") for i in range(10)]  # a now largest
+    df2 = spark.createDataFrame(rows2, "timestamp long, event_type string")
+    out2 = analytics.page_trend(df2).collect()[0]
+    assert out2["l_stat"] < 28 and out2["z"] < 2.0
+
+
 def test_cohort_ltv_triangle(spark):
     from nsdb_spark.operators import analytics
 
