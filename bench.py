@@ -168,6 +168,8 @@ def main() -> None:
         "stats_fdr_by",
         "stats_holm",
         "stats_page_trend",
+        "stats_mantel_haenszel",
+        "text_yule_k",
         "tsa_snaive_backtest",
         "stats_power_two_prop",
         "events_cohort_ltv",

@@ -36,7 +36,7 @@ from .analyzer import (
     ParsedSimpleQuery,
     ParsedTemporalAggregatedQuery,
 )
-from .model import DEFAULT_SHARD_INTERVAL_MS, MetricSchema
+from .model import DEFAULT_SHARD_INTERVAL_MS, SHARD_COL, MetricSchema
 from .sql import ast
 
 
@@ -104,6 +104,111 @@ def compile_expression(e: ast.Expression, ctx: TimeContext) -> Column:
         r = compile_expression(e.expression2, ctx)
         return (l & r) if e.operator == "and" else (l | r)
     raise TypeError(f"unknown expression {e!r}")
+
+
+# ------------------------------------------------- parameterized-SQL serving
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_expression(e: ast.Expression, ctx: TimeContext, args: dict) -> str:
+    """compile_expression's parameterized-SQL twin, for the point-serving
+    route: renders the SAME predicate as Spark SQL text with named
+    parameter markers — every literal travels in `args` and is typed
+    JVM-side by spark.sql, so no user value is ever string-interpolated.
+    Building one SQL string costs ONE py4j roundtrip at spark.sql() time,
+    versus ~2 roundtrips per Column node here (the uncached point-query
+    floor was dominated by that chatter, BASELINE.md decomposition).
+    Kept adjacent to compile_expression so the two stay reviewably in
+    lockstep; tests/test_engine.py grid + the hypothesis parity test in
+    test_properties.py pin route equivalence clause by clause."""
+
+    def bind(v) -> str:
+        return bind_named(args, v)
+
+    if isinstance(e, ast.EqualityExpression):
+        return f"{_sql_ident(e.dimension)} = {bind(_resolve_value(e.value, ctx))}"
+    if isinstance(e, ast.ComparisonExpression):
+        return (
+            f"{_sql_ident(e.dimension)} {e.operator} "
+            f"{bind(_resolve_value(e.value, ctx))}"
+        )
+    if isinstance(e, ast.RangeExpression):
+        lo = bind(_resolve_value(e.value1, ctx))
+        hi = bind(_resolve_value(e.value2, ctx))
+        return f"{_sql_ident(e.dimension)} BETWEEN {lo} AND {hi}"
+    if isinstance(e, ast.LikeExpression):
+        return f"{_sql_ident(e.dimension)} RLIKE {bind(like_to_regex(e.value))}"
+    if isinstance(e, ast.NullableExpression):
+        return f"{_sql_ident(e.dimension)} IS {'NOT ' if e.negated else ''}NULL"
+    if isinstance(e, ast.NotExpression):
+        # index-complement NOT, exactly as compile_expression: NULL
+        # inner verdicts count as "not satisfied", not as unknown
+        inner = sql_expression(e.expression, ctx, args)
+        return f"(NOT coalesce(({inner}), false))"
+    if isinstance(e, ast.TupledLogicalExpression):
+        l = sql_expression(e.expression1, ctx, args)
+        r = sql_expression(e.expression2, ctx, args)
+        return f"(({l}) {'AND' if e.operator == 'and' else 'OR'} ({r}))"
+    raise TypeError(f"unknown expression {e!r}")
+
+
+def serving_sql(
+    parsed: ParsedSimpleQuery,
+    schema: MetricSchema,
+    ctx: TimeContext,
+    view: str,
+    shard_ivs: list[tuple[int, int | None]],
+    shard_interval_ms: int,
+) -> tuple[str, dict]:
+    """One parameterized SQL statement equivalent to the plain
+    non-DISTINCT pipeline compile()/_simple builds Column-by-Column:
+    projection (timestamp+value always), shard conjunct ANDed into the
+    SAME WHERE as the condition, ORDER BY, LIMIT. The engine's point
+    route feeds this to serving_session.sql(text, args) — a single py4j
+    roundtrip replaces the per-node Column construction chatter that
+    dominated the uncached point-statement floor."""
+    stmt = parsed.statement
+    args: dict = {}
+    fields = parsed.fields
+    if not fields:
+        cols = schema.all_field_names()
+    else:
+        cols = ["timestamp", "value"]
+        cols += [f for f in fields if f not in ("timestamp", "value")]
+    parts = [f"SELECT {', '.join(_sql_ident(c) for c in cols)} FROM {_sql_ident(view)}"]
+    conjuncts = []
+    if shard_ivs:
+        ors = []
+        for lo, hi in shard_ivs:
+            p = f"{_sql_ident(SHARD_COL)} >= {bind_named(args, (lo // shard_interval_ms) * shard_interval_ms)}"
+            if hi is not None:
+                p = (
+                    f"({p} AND {_sql_ident(SHARD_COL)} <= "
+                    f"{bind_named(args, (hi // shard_interval_ms) * shard_interval_ms)})"
+                )
+            ors.append(p)
+        conjuncts.append("(" + " OR ".join(ors) + ")")
+    if stmt.condition is not None:
+        conjuncts.append(f"({sql_expression(stmt.condition.expression, ctx, args)})")
+    if conjuncts:
+        parts.append("WHERE " + " AND ".join(conjuncts))
+    if stmt.order is not None:
+        parts.append(
+            f"ORDER BY {_sql_ident(stmt.order.dimension)} "
+            + ("DESC" if stmt.order.descending else "ASC")
+        )
+    if stmt.limit is not None:
+        parts.append(f"LIMIT {int(stmt.limit.value)}")
+    return " ".join(parts), args
+
+
+def bind_named(args: dict, v) -> str:
+    """Append v under the next positional name and return its marker."""
+    k = f"p{len(args)}"
+    args[k] = v
+    return ":" + k
 
 
 # ------------------------------------------------------- time-range extraction

@@ -9,6 +9,7 @@ HashAggregate partial/final replaces the shard/node reduce tree.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import logging
 import os
 import shutil
@@ -22,7 +23,13 @@ from pyspark.sql import functions as F
 
 from . import analyzer
 from .catalog import Warehouse
-from .compiler import QueryCompiler, TimeContext, envelope, extract_time_range
+from .compiler import (
+    QueryCompiler,
+    TimeContext,
+    envelope,
+    extract_time_range,
+    serving_sql,
+)
 from .model import (
     Bit,
     MetricSchema,
@@ -93,6 +100,9 @@ class NsdbEngine:
         # token like _metric_frame_cache.
         self._serving_spark: SparkSession | None = None
         self._serving_frame_cache: dict[tuple, tuple] = {}
+        # (db, ns, metric) -> token of the frame currently registered as
+        # that metric's serving temp view (see _serving_view)
+        self._serving_view_tokens: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------ plan-cache plumbing
     def _metric_version(self, db: str, ns: str, metric: str) -> int:
@@ -152,6 +162,7 @@ class NsdbEngine:
             self._plan_cache.clear()
             self._metric_frame_cache.clear()
             self._serving_frame_cache.clear()
+            self._serving_view_tokens.clear()
             self._shape_cache.clear()
             self._metric_versions.clear()
 
@@ -531,6 +542,29 @@ class NsdbEngine:
             db, ns, metric, self._serving_session(), self._serving_frame_cache
         )
 
+    def _serving_view(self, db: str, ns: str, metric: str, sdf: DataFrame) -> str:
+        """Temp-view name for a metric's serving frame, registering (or
+        re-registering) the view when the metric's cache token moved.
+        spark.sql ANALYZES EAGERLY, so a returned DataFrame binds the
+        view's relation at call time — replacing the view later never
+        retargets an already-planned statement. Registration happens
+        under the cache lock: the view is named global state, and an
+        older-token registration racing past a newer one would serve
+        deleted rows for a full token cycle (the in-process version
+        counter, token[0], is the only monotone component — same policy
+        as the shape cache)."""
+        key = (db, ns, metric)
+        token = self._cache_token(db, ns, metric)
+        name = "nsdb_pt_" + hashlib.md5(repr(key).encode()).hexdigest()[:16]
+        with self._plan_cache_lock:
+            cur = self._serving_view_tokens.get(key)
+            if cur == token:
+                return name
+            if cur is None or cur[0] <= token[0]:
+                sdf.createOrReplaceTempView(name)
+                self._serving_view_tokens[key] = token
+        return name
+
     def _read_metric_frame(
         self, db: str, ns: str, metric: str, session: SparkSession, cache: dict
     ) -> DataFrame:
@@ -782,24 +816,49 @@ class NsdbEngine:
         if routed is not None:
             out = (routed, parsed, True)
         elif self._point_route(stmt, parsed, ctx, info, point_serve):
-            # interpreted serving session, and ONE combined filter
-            # (shard conjunct folded into the WHERE) instead of the
-            # prune→drop→filter chain — every eager analysis pass costs
-            # real milliseconds at point-query rates
+            # interpreted serving session, and the WHOLE statement as one
+            # parameterized spark.sql text (shard conjunct folded into the
+            # WHERE) — a single py4j roundtrip instead of ~2 per Column
+            # node, which dominated the uncached point-statement floor
+            # (BASELINE.md decomposition). Any statement the text
+            # generator can't express falls back to the Column pipeline
+            # on the same session; parity between the two routes is
+            # pinned by the grid + hypothesis tests.
             sdf = self._read_metric_serving(db, ns, stmt.metric)
-            pred = self._shard_predicate(
-                stmt.condition, ctx, info["shardInterval"]
-            ) if SHARD_COL in sdf.columns else None
-            compiler = QueryCompiler(
-                self._serving_session(),
-                shard_interval_ms=info["shardInterval"],
-                approx_count_distinct=self.approx_count_distinct,
-            )
-            out = (
-                compiler.compile(sdf, schema, parsed, ctx, pre_filter=pred),
-                parsed,
-                False,
-            )
+            out = None
+            try:
+                ivs = (
+                    extract_time_range(stmt.condition.expression, ctx)
+                    if stmt.condition is not None and SHARD_COL in sdf.columns
+                    else []
+                )
+                text, args = serving_sql(
+                    parsed, schema, ctx,
+                    view=self._serving_view(db, ns, stmt.metric, sdf),
+                    shard_ivs=ivs,
+                    shard_interval_ms=info["shardInterval"],
+                )
+                out = (
+                    self._serving_session().sql(text, args=args),
+                    parsed,
+                    False,
+                )
+            except Exception:  # pragma: no cover - defensive fallback
+                out = None
+            if out is None:
+                pred = self._shard_predicate(
+                    stmt.condition, ctx, info["shardInterval"]
+                ) if SHARD_COL in sdf.columns else None
+                compiler = QueryCompiler(
+                    self._serving_session(),
+                    shard_interval_ms=info["shardInterval"],
+                    approx_count_distinct=self.approx_count_distinct,
+                )
+                out = (
+                    compiler.compile(sdf, schema, parsed, ctx, pre_filter=pred),
+                    parsed,
+                    False,
+                )
         else:
             df = self.read_metric(db, ns, stmt.metric)
             df = self._prune_shards(df, stmt.condition, ctx, info["shardInterval"])

@@ -2951,6 +2951,104 @@ def odds_ratio_2x2(
     )
 
 
+def mantel_haenszel_2x2(
+    df: DataFrame,
+    stratum: Column | str,
+    exposure: Column | str,
+    outcome: Column | str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the standard
+    confounder-adjusted A/B readout ("does exposure raise the outcome
+    odds once we stratify by day/segment?"), where the crude
+    odds_ratio_2x2 can reverse sign entirely (Simpson's paradox).
+
+    Per stratum i with cells (aᵢ, bᵢ, cᵢ, dᵢ) and nᵢ = aᵢ+bᵢ+cᵢ+dᵢ:
+      OR_MH  = Σ aᵢdᵢ/nᵢ ÷ Σ bᵢcᵢ/nᵢ
+      χ²_MH  = (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ   (continuity-corrected;
+               Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ,
+               Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1)),
+               single-subject strata contribute V = 0)
+      CI     = Robins-Breslow-Greenland variance of ln(OR_MH):
+               ΣPᵢRᵢ/(2R²) + Σ(PᵢSᵢ+QᵢRᵢ)/(2RS) + ΣQᵢSᵢ/(2S²)
+               with Pᵢ=(aᵢ+dᵢ)/nᵢ, Qᵢ=(bᵢ+cᵢ)/nᵢ, Rᵢ=aᵢdᵢ/nᵢ,
+               Sᵢ=bᵢcᵢ/nᵢ, R=ΣRᵢ, S=ΣSᵢ.
+
+    Plan: ONE grouped conditional aggregate builds the per-stratum
+    cells (map-side combinable — strata can number in the billions),
+    then ONE global aggregate folds the MH sums; everything after is
+    closed form on a single row. No window, no collect.
+
+    Output: one row (n_strata bigint, sum_a bigint, or_mh r6, ci_low
+    r6, ci_high r6, chi2_mh r6).
+    """
+    stc = F.col(stratum) if isinstance(stratum, str) else stratum
+    ex = F.col(exposure) if isinstance(exposure, str) else exposure
+    ou = F.col(outcome) if isinstance(outcome, str) else outcome
+    base = df.filter(
+        stc.isNotNull() & ex.isNotNull() & ou.isNotNull()
+    ).select(
+        stc.alias("__s"),
+        ex.cast("boolean").alias("__e"),
+        ou.cast("boolean").alias("__o"),
+    )
+    cells = base.groupBy("__s").agg(
+        F.sum((F.col("__e") & F.col("__o")).cast("int"))
+        .cast("long").alias("a"),
+        F.sum((F.col("__e") & ~F.col("__o")).cast("int"))
+        .cast("long").alias("b"),
+        F.sum((~F.col("__e") & F.col("__o")).cast("int"))
+        .cast("long").alias("c"),
+        F.sum((~F.col("__e") & ~F.col("__o")).cast("int"))
+        .cast("long").alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = (a + b + c + d).cast("double")
+    r_i = a * d / n
+    s_i = b * c / n
+    p_i = (a + d) / n
+    q_i = (b + c) / n
+    e_i = (a + b) * (a + c) / n
+    # V's quadruple product is promoted to double BEFORE multiplying
+    # (two margin-pairs each divided by n) — four bigint margins
+    # multiplied raw overflow long at ~10^5-subject strata; the divided
+    # shape is written identically in the DuckDB oracle so the float
+    # expression trees match term for term
+    v_i = F.when(
+        a + b + c + d >= 2,
+        ((a + b).cast("double") * (c + d) / n)
+        * ((a + c).cast("double") * (b + d) / n)
+        / (n - 1),
+    ).otherwise(F.lit(0.0))
+    sums = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(a).cast("long").alias("sum_a"),
+        F.sum(r_i).alias("rr"),
+        F.sum(s_i).alias("ss"),
+        F.sum(e_i).alias("ee"),
+        F.sum(v_i).alias("vv"),
+        F.sum(p_i * r_i).alias("pr"),
+        F.sum(p_i * s_i + q_i * r_i).alias("psqr"),
+        F.sum(q_i * s_i).alias("qs"),
+    )
+    rr, ss = F.col("rr"), F.col("ss")
+    orm = F.try_divide(rr, ss)
+    var = (
+        F.try_divide(F.col("pr"), 2 * rr * rr)
+        + F.try_divide(F.col("psqr"), 2 * rr * ss)
+        + F.try_divide(F.col("qs"), 2 * ss * ss)
+    )
+    chi2 = F.try_divide(
+        F.pow(F.abs(F.col("sum_a") - F.col("ee")) - 0.5, 2), F.col("vv")
+    )
+    return sums.select(
+        "n_strata", "sum_a",
+        F.round(orm, 6).alias("or_mh"),
+        F.round(F.exp(F.log(orm) - WILSON_Z * F.sqrt(var)), 6).alias("ci_low"),
+        F.round(F.exp(F.log(orm) + WILSON_Z * F.sqrt(var)), 6).alias("ci_high"),
+        F.round(chi2, 6).alias("chi2_mh"),
+    )
+
+
 def mcnemar_paired(
     events: DataFrame,
     split_ms: int,

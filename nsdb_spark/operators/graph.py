@@ -879,10 +879,14 @@ def preferential_attachment(
     one that needs NO neighborhood intersection at all.
 
     The candidate universe is capped at top_n nodes (ties broken by
-    node id), so the pair join is top_n²/2 rows against a broadcast —
-    constant work regardless of graph size; the only full-data pass is
-    the degree aggregate. Output: top k pairs by score (ties → lexical
-    pair order).
+    node id), so the pair join is top_n²/2 rows against a broadcast,
+    and the has_common self-join runs over only the edges INCIDENT to
+    those top_n candidates (a broadcast semi-join cuts the edge set
+    before any pairing) — never dst-degree² over the full graph, which
+    the sf1 ladder measured as a near-linear full-data pass before
+    this cut (exponent 0.83 → re-measured after, BASELINE.md). The
+    only full-data passes are the distinct and the degree aggregate.
+    Output: top k pairs by score (ties → lexical pair order).
 
     Output: (node_a, node_b, deg_a, deg_b bigint, pa_score bigint,
     has_common boolean).
@@ -901,9 +905,10 @@ def preferential_attachment(
             (F.col("a.deg") * F.col("b.deg")).cast("long").alias("pa_score"),
         )
     )
+    et = e.join(F.broadcast(top.select("s")), "s")
     common = (
-        e.alias("x")
-        .join(e.alias("y"), (F.col("x.d") == F.col("y.d")) & (F.col("x.s") < F.col("y.s")))
+        et.alias("x")
+        .join(et.alias("y"), (F.col("x.d") == F.col("y.d")) & (F.col("x.s") < F.col("y.s")))
         .select(F.col("x.s").alias("node_a"), F.col("y.s").alias("node_b"))
         .distinct()
         .withColumn("has_common", F.lit(True))

@@ -1035,6 +1035,60 @@ def hapax_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def yule_k_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source Yule's K and Simpson's repeat rate — the length-robust
+    lexical-richness pair (hapax_ratio and TTR both drift with corpus
+    size; K and D are asymptotically size-invariant, the standard
+    repetitiveness fingerprint for spotting template/boilerplate-heavy
+    sources before pretraining):
+
+      K = 10⁴ · (Σ_types c_t² − N) / N²
+      D = Σ_types c_t(c_t − 1) / (N(N − 1))      (repeat rate)
+
+    Both numerators/denominators are pure INTEGER sums over the type
+    counts — bit-exact cross-engine, no float accumulation order to
+    worry about. Same tokenization as hapax_by_source (lower, split on
+    whitespace runs, drop empties). Plan: explode → ONE (source, token)
+    count aggregate (map-side combinable, shuffle carries the
+    vocabulary, not the corpus) → ONE per-source combine.
+
+    Output: (source, n_tokens bigint, vocab bigint, yule_k r6,
+    simpson_d r6).
+    """
+    toks = (
+        docs.filter(F.col(text_col).isNotNull() & F.col("source").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_type = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nn = F.col("n_tokens")
+    s2 = F.col("s2")
+    return (
+        per_type.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        )
+        .select(
+            "source", "n_tokens", "vocab",
+            F.round(
+                F.try_divide(1e4 * (s2 - nn), (nn * nn).cast("double")), 6
+            ).alias("yule_k"),
+            F.round(
+                F.try_divide(s2 - nn, (nn * (nn - 1)).cast("double")), 6
+            ).alias("simpson_d"),
+        )
+    )
+
+
 #: PII patterns shared by pii_scrub and its oracle mirror — RE2-safe
 #: (no lookarounds), so the same strings run on Spark (Java regex) and
 #: DuckDB (RE2) identically.

@@ -120,4 +120,14 @@ _CHECK_PREFIX_R8 = [
 #: remainder, so every entry registered through round 7 has been driver-
 #: checked. From round 9 on the prefix reverts to changed/new-first
 #: (entries touched in the round, then the newest additions).
-_ROTATION_QUEUE: list[str] = []
+#:
+#: Entries ADDED in round 8 after the prefix froze (the R8 prefix is
+#: exactly the 50-slot drain of the old queue) seed the round-9 queue:
+#: they are self-verified against DuckDB at sf0.01 + sf0.001 this round
+#: and take the first round-9 prefix slots. graph_pref_attachment also
+#: CHANGED in round 8 (has_common candidate-incident cut) — it is
+#: already in the R8 prefix, so the driver re-verifies it this round.
+_ROTATION_QUEUE: list[str] = [
+    "stats_mantel_haenszel",
+    "text_yule_k",
+]

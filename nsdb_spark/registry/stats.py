@@ -467,6 +467,12 @@ def register(q):
     q["stats_page_trend"] = lambda spark, sf: analytics.page_trend(
         testdata.events_metric(spark, sf)
     )
+    q["stats_mantel_haenszel"] = lambda spark, sf: analytics.mantel_haenszel_2x2(
+        testdata.events_metric(spark, sf),
+        stratum=F.expr("timestamp div 86400000"),
+        exposure=F.col("user_id") % 2 == 0,
+        outcome=F.col("event_type") == "purchase",
+    )
 
 
 def register_oracles(o):
@@ -2128,4 +2134,44 @@ SELECT event_type, n::BIGINT AS n_obs,
                  / nullif(pow(p1 - p0, 2), 0)) AS BIGINT)
          AS n_required_per_arm
 FROM j ORDER BY event_type
+"""
+    o["stats_mantel_haenszel"] = f"""
+WITH b0 AS (SELECT epoch_ms(ts) // 86400000 AS s,
+                   (user_id % 2 = 0) AS e,
+                   (event_type = 'purchase') AS o
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL),
+cells AS (SELECT s,
+  sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+  sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+  sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+  sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM b0 GROUP BY 1),
+t AS (SELECT a, b, c, d, (a + b + c + d)::DOUBLE AS n FROM cells),
+sums AS (SELECT
+  count(*)::BIGINT AS n_strata,
+  sum(a)::BIGINT AS sum_a,
+  sum(a * d / n) AS rr,
+  sum(b * c / n) AS ss,
+  sum((a + b) * (a + c) / n) AS ee,
+  sum(CASE WHEN a + b + c + d >= 2
+        THEN ((a + b)::DOUBLE * (c + d) / n)
+             * ((a + c)::DOUBLE * (b + d) / n) / (n - 1)
+        ELSE 0 END) AS vv,
+  sum(((a + d) / n) * (a * d / n)) AS pr,
+  sum(((a + d) / n) * (b * c / n) + ((b + c) / n) * (a * d / n)) AS psqr,
+  sum(((b + c) / n) * (b * c / n)) AS qs
+  FROM t),
+x AS (SELECT n_strata, sum_a, ee, vv,
+             rr / nullif(ss, 0) AS orm,
+             sqrt(pr / (2 * rr * rr) + psqr / (2 * rr * ss)
+                  + qs / (2 * ss * ss)) AS se
+      FROM sums)
+SELECT n_strata, sum_a,
+       round(orm, 6) AS or_mh,
+       round(exp(ln(orm) - {1.959963984540054!r} * se), 6) AS ci_low,
+       round(exp(ln(orm) + {1.959963984540054!r} * se), 6) AS ci_high,
+       round(pow(abs(sum_a - ee) - 0.5, 2) / nullif(vv, 0), 6) AS chi2_mh
+FROM x
 """

@@ -132,6 +132,7 @@ def register(q):
     )
     q["text_readability"] = lambda spark, sf: text.readability(_docs(spark, sf))
     q["text_hapax"] = lambda spark, sf: text.hapax_by_source(_docs(spark, sf))
+    q["text_yule_k"] = lambda spark, sf: text.yule_k_by_source(_docs(spark, sf))
     q["text_pii_scrub"] = lambda spark, sf: text.pii_scrub(_docs(spark, sf))
     q["text_chunk_sliding"] = lambda spark, sf: text.chunk_sliding(
         _docs(spark, sf), chunk_tokens=64, stride=48
@@ -552,4 +553,25 @@ m AS (SELECT tk.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
 SELECT doc_id, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
        round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+    o["text_yule_k"] = """
+WITH toks AS (SELECT source, tok
+              FROM (SELECT source,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL)
+              WHERE tok <> ''),
+per AS (SELECT source, tok, cast(count(*) AS bigint) AS n
+        FROM toks GROUP BY source, tok),
+agg AS (SELECT source, sum(n)::BIGINT AS n_tokens,
+               cast(count(*) AS bigint) AS vocab,
+               sum(n * n)::BIGINT AS s2
+        FROM per GROUP BY source)
+SELECT source, n_tokens, vocab,
+       round(1e4 * (s2 - n_tokens)
+             / nullif((n_tokens * n_tokens)::DOUBLE, 0), 6) AS yule_k,
+       round((s2 - n_tokens)
+             / nullif((n_tokens * (n_tokens - 1))::DOUBLE, 0), 6)
+         AS simpson_d
+FROM agg
 """

@@ -1960,3 +1960,89 @@ def test_temporal_disjoint_with_grace_clips_each_axis(temporal_engine):
     assert [r[0] for r in out] == [140000, 170000, 200000]
     assert out[0][1] == 130001  # lower_bound clipped to the interval's own lo
     assert sum(r[3] for r in out) == 1  # only ts=150000 matches
+
+
+# -------------------------------------------- parameterized-SQL point serving
+
+def test_point_serving_sql_text_route_parity_grid(agg_engine):
+    """The point route plans the WHOLE statement as one parameterized
+    spark.sql text (compiler.serving_sql). Every predicate construct the
+    plain class supports must return EXACTLY what the Column pipeline
+    returns — clause-by-clause parity with compile_expression — and the
+    plan must actually scan the serving temp view (no silent fallback)."""
+    from nsdb_spark.sql.parser import parse
+
+    grid = [
+        "select * from aggregationLongMetric order by timestamp limit 3",
+        "select name, age from aggregationLongMetric where name = 'John' "
+        "order by timestamp desc limit 100",
+        "select * from aggregationLongMetric where age > 15 "
+        "order by timestamp limit 100",
+        "select * from aggregationLongMetric where value >= 2 and value <= 4 "
+        "order by timestamp limit 100",
+        "select * from aggregationLongMetric where age in (15, 16) "
+        "order by timestamp limit 100",
+        "select * from aggregationLongMetric where name like 'Frank$' "
+        "order by timestamp limit 100",
+        "select * from aggregationLongMetric where age is null limit 100",
+        "select * from aggregationLongMetric where age is not null "
+        "order by timestamp limit 100",
+        "select * from aggregationLongMetric where not age = 15 "
+        "order by timestamp limit 100",
+        "select * from aggregationLongMetric where name = 'John' or "
+        "(age >= 16 and height < 32.0) order by timestamp limit 100",
+        "select * from aggregationLongMetric where timestamp > 3 and "
+        "timestamp < 9 order by timestamp limit 100",
+        "select * from aggregationLongMetric where not "
+        "(name = 'Bill' or age is null) order by timestamp limit 100",
+    ]
+    for q in grid:
+        stmt = parse(q, db="default", namespace="default")
+        df, _, _ = agg_engine._plan_select(stmt)
+        assert df.sparkSession is agg_engine._serving_session(), q
+        # the SQL-text route scans the registered temp view; a fallback
+        # to the Column pipeline would scan parquet relations directly
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "nsdb_pt_" in analyzed, q
+        got = [tuple(r) for r in df.collect()]
+        # reference: the codegen-session Column pipeline on the same data
+        agg_engine.invalidate_plan_caches()
+        orig = agg_engine._point_route
+        agg_engine._point_route = lambda *a, **k: False
+        try:
+            dfr, _, _ = agg_engine._plan_select(stmt)
+            assert dfr.sparkSession is agg_engine.spark
+            want = [tuple(r) for r in dfr.collect()]
+        finally:
+            agg_engine._point_route = orig
+            agg_engine.invalidate_plan_caches()
+        if "order by" in q:
+            assert got == want, q
+        else:
+            assert sorted(got) == sorted(want), q
+
+
+def test_point_serving_view_reregisters_on_mutation(agg_engine):
+    """The serving temp view is token-guarded global state: INSERT and
+    DELETE must re-register it before the next point serve, and an
+    already-planned statement keeps its analysis-time binding."""
+    from nsdb_spark.sql.parser import parse
+
+    stmt = parse(
+        "select * from aggregationLongMetric where timestamp = 77 limit 5",
+        db="default", namespace="default",
+    )
+    assert agg_engine.collect_select(stmt) == []
+    tok0 = agg_engine._serving_view_tokens[
+        ("default", "default", "aggregationLongMetric")]
+    agg_engine.insert_bits(
+        "default", "default", "aggregationLongMetric",
+        [Bit(77, 9, {"surname": "Doe"}, {"name": "Zed", "age": 1, "height": 2.0})],
+    )
+    got = agg_engine.collect_select(stmt)
+    assert [r["timestamp"] for r in got] == [77]
+    tok1 = agg_engine._serving_view_tokens[
+        ("default", "default", "aggregationLongMetric")]
+    assert tok1 != tok0
+    agg_engine.execute("delete from aggregationLongMetric where timestamp = 77")
+    assert agg_engine.collect_select(stmt) == []

@@ -6281,3 +6281,56 @@ def test_rolling_active_users_window(spark):
     assert out[0] == 1 and out[1] == 2 and out[6] == 2
     assert out[7] == 1 and out[9] == 1
     assert 8 not in out  # no spine fill — absent day means zero actives
+
+
+def test_mantel_haenszel_matches_python_model(spark):
+    from math import exp, log, sqrt
+
+    from nsdb_spark.operators import analytics
+
+    # two strata with OPPOSITE crude signal strength (the Simpson shape
+    # MH exists for): cells (a, b, c, d) per stratum
+    strata = {1: (2, 1, 1, 2), 2: (3, 2, 2, 3), 3: (1, 4, 2, 5)}
+    rows = []
+    for s, (a, b, c, d) in strata.items():
+        rows += [(s, True, True)] * a + [(s, True, False)] * b
+        rows += [(s, False, True)] * c + [(s, False, False)] * d
+    df = spark.createDataFrame(rows, "s int, e boolean, o boolean")
+    out = analytics.mantel_haenszel_2x2(df, "s", "e", "o").collect()[0]
+
+    # independent pure-python fold of the textbook formulas
+    rr = ss = ee = vv = pr = psqr = qs = 0.0
+    sum_a = 0
+    for a, b, c, d in strata.values():
+        n = float(a + b + c + d)
+        r_i, s_i = a * d / n, b * c / n
+        p_i, q_i = (a + d) / n, (b + c) / n
+        rr += r_i; ss += s_i; sum_a += a
+        ee += (a + b) * (a + c) / n
+        vv += ((a + b) * (c + d) / n) * ((a + c) * (b + d) / n) / (n - 1)
+        pr += p_i * r_i; psqr += p_i * s_i + q_i * r_i; qs += q_i * s_i
+    orm = rr / ss
+    se = sqrt(pr / (2 * rr * rr) + psqr / (2 * rr * ss) + qs / (2 * ss * ss))
+    z = analytics.WILSON_Z
+    assert out["n_strata"] == 3 and out["sum_a"] == sum_a
+    assert out["or_mh"] == round(orm, 6)
+    assert out["ci_low"] == round(exp(log(orm) - z * se), 6)
+    assert out["ci_high"] == round(exp(log(orm) + z * se), 6)
+    assert out["chi2_mh"] == round((abs(sum_a - ee) - 0.5) ** 2 / vv, 6)
+
+
+def test_yule_k_known_values(spark):
+    from nsdb_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "a", "y z"), (3, "b", "w w w w")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in tx.yule_k_by_source(docs).collect()}
+    # source a: counts x=2 y=2 z=1 -> N=5, V=3, S2=9
+    assert out["a"]["n_tokens"] == 5 and out["a"]["vocab"] == 3
+    assert out["a"]["yule_k"] == round(1e4 * (9 - 5) / 25, 6) == 1600.0
+    assert out["a"]["simpson_d"] == round((9 - 5) / 20.0, 6) == 0.2
+    # source b: one type repeated 4x -> maximal repetitiveness, D = 1
+    assert out["b"]["yule_k"] == round(1e4 * (16 - 4) / 16, 6) == 7500.0
+    assert out["b"]["simpson_d"] == 1.0

@@ -857,3 +857,24 @@ def test_fdr_bh_no_global_rank_window(spark):
         plan = plan_of(out)
         assert "BroadcastHashJoin" in plan  # offsets join back broadcast
         assert plan.count("Exchange SinglePartition") <= 1, fn.__name__
+
+
+def test_point_serve_sql_route_keeps_partition_pruning(sharded_engine):
+    """The parameterized-SQL point serve folds the shard conjunct into
+    the statement text — Catalyst must still turn it into PARTITION
+    pruning on the serving view's parquet relation (shard_start is the
+    partition column), and the interpreted session must show no
+    WholeStageCodegen span. The pruning property is the engine's
+    location-filtering analogue and must not regress when the route
+    changed from Column pre_filter to SQL text."""
+    df = sharded_engine.execute(
+        "select * from planm where timestamp in (42000, 58000) limit 50"
+    )
+    assert df.sparkSession is sharded_engine._serving_session()
+    assert "nsdb_pt_" in df._jdf.queryExecution().analyzed().toString()
+    plan = plan_of(df)
+    assert "WholeStageCodegen" not in plan
+    i = plan.find("PartitionFilters")
+    assert i >= 0
+    assert "shard_start" in plan[i : i + 120]
+    assert sorted(r[0] for r in df.collect()) == [45000, 50000, 55000]

@@ -1279,3 +1279,82 @@ def test_temporal_grace_with_disjoint_axes_matches_model(
             )
             model.append((ub, lb, ub, cnt))
     assert got == model, (g1, g2, interval, cutoff, got[:4], model[:4])
+
+
+# ------------------------------------------ point-serving SQL-text route parity
+
+_pt_leaf = st.one_of(
+    st.tuples(st.sampled_from(["timestamp", "value", "age"]),
+              st.sampled_from(["=", ">", ">=", "<", "<="]),
+              st.integers(min_value=0, max_value=25)).map(
+        lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.sampled_from(["John", "Bill", "Frank"]).map(
+        lambda v: f"name = '{v}'"),
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).map(
+        lambda t: f"value in ({min(t)}, {max(t)})"),
+    st.sampled_from(["John$", "$ran$", "B$", "$ill", "Frank"]).map(
+        lambda p: f"name like '{p}'"),
+    st.sampled_from(["age is null", "age is not null"]),
+)
+
+_pt_expr = st.recursive(
+    _pt_leaf,
+    lambda children: st.one_of(
+        children.map(lambda e: f"not ({e})"),
+        st.tuples(children, st.sampled_from(["and", "or"]), children).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    ),
+    max_leaves=5,
+)
+
+
+@pytest.fixture(scope="module")
+def point_parity_engine(spark, tmp_path_factory):
+    from nsdb_spark.engine import NsdbEngine
+    from nsdb_spark.model import Bit
+
+    eng = NsdbEngine(spark, str(tmp_path_factory.mktemp("ptparity")))
+    bits = [
+        Bit(t, 20 - t, {"surname": "Doe"},
+            {"name": ["John", "Bill", "Frank"][t % 3],
+             **({"age": t % 4 + 14} if t % 5 else {})})
+        for t in range(1, 21)
+    ]
+    eng.insert_bits("default", "default", "propMetric", bits)
+    return eng
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(expr=_pt_expr, desc=st.booleans(), k=st.integers(1, 25))
+def test_point_sql_text_route_matches_column_route(point_parity_engine, expr, desc, k):
+    """Route equivalence under random WHERE trees: the parameterized-SQL
+    point serve (compiler.serving_sql on the interpreted session) returns
+    exactly what the Column pipeline (compiler.compile on the codegen
+    session) returns, for every predicate construct the plain class
+    supports — including index-complement NOT over NULL fields.
+    timestamps are unique, so ORDER BY timestamp + LIMIT is
+    deterministic on both routes."""
+    from nsdb_spark.sql.parser import parse
+
+    eng = point_parity_engine
+    q = (f"select * from propMetric where {expr} "
+         f"order by timestamp {'desc' if desc else ''} limit {k}")
+    stmt = parse(q, db="default", namespace="default")
+    eng.invalidate_plan_caches()
+    df, _, _ = eng._plan_select(stmt)
+    assert df.sparkSession is eng._serving_session()
+    assert "nsdb_pt_" in df._jdf.queryExecution().analyzed().toString()
+    got = [tuple(r) for r in df.collect()]
+    eng.invalidate_plan_caches()
+    orig = eng._point_route
+    eng._point_route = lambda *a, **kw: False
+    try:
+        dfr, _, _ = eng._plan_select(stmt)
+        assert dfr.sparkSession is eng.spark
+        want = [tuple(r) for r in dfr.collect()]
+    finally:
+        eng._point_route = orig
+        eng.invalidate_plan_caches()
+    assert got == want, q
