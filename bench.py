@@ -169,6 +169,7 @@ def main() -> None:
         "stats_holm",
         "stats_page_trend",
         "stats_mantel_haenszel",
+        "stats_cochran_q",
         "text_yule_k",
         "tsa_snaive_backtest",
         "stats_power_two_prop",

@@ -2951,6 +2951,78 @@ def odds_ratio_2x2(
     )
 
 
+def cochran_q(
+    df: DataFrame,
+    block: Column | str,
+    treatment: Column | str,
+    success: Column,
+) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar: did the
+    same subjects succeed at different rates across k conditions? With
+    per-block per-treatment binary responses x_ij, column totals C_j,
+    row totals R_i, and T = ΣC_j = ΣR_i:
+
+      Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)   ~ χ²(k−1)
+
+    Blocks are the DISTINCT block keys observed anywhere in the frame;
+    a (block, treatment) pair with no rows is a structural failure
+    (x = 0), not missing data — the right semantics for "did user u do
+    activity j at all", so no complete-block filter is needed (contrast
+    stats_friedman / stats_page_trend, whose per-cell VALUES make
+    absent cells genuinely missing).
+
+    Every sum in Q is an INTEGER sum over 0/1 responses, and the
+    numerator/denominator are folded in decimal(38,0) (DuckDB: HUGEINT)
+    because T² overflows a long at ~3e9 total successes — the exact
+    integers are cast to double only for the final division, so both
+    engines round the SAME exact value (the stats_kruskal tie-mass
+    pattern). Plan: one (block, treatment) aggregate (map-side
+    combinable), one per-block combine, then single-row folds — no
+    window, no collect, block cardinality unbounded.
+
+    Output: one row (n_blocks bigint, k int, total_success bigint,
+    q_stat r6).
+    """
+    bc = F.col(block) if isinstance(block, str) else block
+    tc = F.col(treatment) if isinstance(treatment, str) else treatment
+    # NULL success verdicts count as "not a success" (coalesced HERE so
+    # both engines agree — max-over-NULLs skips them in Spark but a
+    # CASE..ELSE 0 zeroes them in SQL)
+    base = df.filter(bc.isNotNull() & tc.isNotNull()).select(
+        bc.alias("__b"),
+        tc.alias("__t"),
+        F.coalesce(success.cast("boolean"), F.lit(False)).alias("__x"),
+    )
+    cell = base.groupBy("__b", "__t").agg(
+        F.max(F.col("__x").cast("int")).alias("x")
+    )
+    k_row = cell.agg(F.count_distinct("__t").cast("int").alias("k"))
+    nb_row = base.agg(F.count_distinct("__b").cast("long").alias("n_blocks"))
+    col_tot = cell.groupBy("__t").agg(F.sum("x").cast("long").alias("cj"))
+    c_sums = col_tot.agg(
+        F.sum("cj").cast("long").alias("t_succ"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sum_c2"),
+    )
+    row_tot = cell.groupBy("__b").agg(F.sum("x").cast("long").alias("ri"))
+    r_sums = row_tot.agg(
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sum_r2")
+    )
+    j = nb_row.crossJoin(k_row).crossJoin(c_sums).crossJoin(r_sums)
+    kd = F.col("k").cast("decimal(38,0)")
+    td = F.col("t_succ").cast("decimal(38,0)")
+    c2 = F.col("sum_c2").cast("decimal(38,0)")
+    r2 = F.col("sum_r2").cast("decimal(38,0)")
+    q = F.try_divide(
+        ((kd - 1) * (kd * c2 - td * td)).cast("double"),
+        (kd * td - r2).cast("double"),
+    )
+    return j.select(
+        "n_blocks", "k",
+        F.col("t_succ").alias("total_success"),
+        F.round(q, 6).alias("q_stat"),
+    )
+
+
 def mantel_haenszel_2x2(
     df: DataFrame,
     stratum: Column | str,

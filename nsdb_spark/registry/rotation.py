@@ -130,4 +130,5 @@ _CHECK_PREFIX_R8 = [
 _ROTATION_QUEUE: list[str] = [
     "stats_mantel_haenszel",
     "text_yule_k",
+    "stats_cochran_q",
 ]

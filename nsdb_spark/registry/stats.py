@@ -467,6 +467,11 @@ def register(q):
     q["stats_page_trend"] = lambda spark, sf: analytics.page_trend(
         testdata.events_metric(spark, sf)
     )
+    q["stats_cochran_q"] = lambda spark, sf: analytics.cochran_q(
+        testdata.events_metric(spark, sf),
+        block="user_id", treatment="event_type",
+        success=F.col("value") >= 100,
+    )
     q["stats_mantel_haenszel"] = lambda spark, sf: analytics.mantel_haenszel_2x2(
         testdata.events_metric(spark, sf),
         stratum=F.expr("timestamp div 86400000"),
@@ -2174,4 +2179,25 @@ SELECT n_strata, sum_a,
        round(exp(ln(orm) + {1.959963984540054!r} * se), 6) AS ci_high,
        round(pow(abs(sum_a - ee) - 0.5, 2) / nullif(vv, 0), 6) AS chi2_mh
 FROM x
+"""
+    o["stats_cochran_q"] = """
+WITH base AS (SELECT user_id AS b, event_type AS t,
+                     coalesce(value >= 100, false) AS x
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+cell AS (SELECT b, t, max(CASE WHEN x THEN 1 ELSE 0 END) AS x
+         FROM base GROUP BY b, t),
+kk AS (SELECT count(DISTINCT t)::INT AS k FROM cell),
+nb AS (SELECT count(DISTINCT b)::BIGINT AS n_blocks FROM base),
+ct AS (SELECT t, sum(x)::BIGINT AS cj FROM cell GROUP BY t),
+cs AS (SELECT sum(cj)::BIGINT AS t_succ,
+              sum(cj * cj)::BIGINT AS sum_c2 FROM ct),
+rt AS (SELECT b, sum(x)::BIGINT AS ri FROM cell GROUP BY b),
+rs AS (SELECT sum(ri * ri)::BIGINT AS sum_r2 FROM rt)
+SELECT n_blocks, k, t_succ AS total_success,
+       round(((k - 1)::HUGEINT
+              * (k::HUGEINT * sum_c2 - t_succ::HUGEINT * t_succ))::DOUBLE
+             / nullif((k::HUGEINT * t_succ - sum_r2::HUGEINT)::DOUBLE, 0), 6)
+         AS q_stat
+FROM nb CROSS JOIN kk CROSS JOIN cs CROSS JOIN rs
 """

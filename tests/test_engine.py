@@ -2046,3 +2046,29 @@ def test_point_serving_view_reregisters_on_mutation(agg_engine):
     assert tok1 != tok0
     agg_engine.execute("delete from aggregationLongMetric where timestamp = 77")
     assert agg_engine.collect_select(stmt) == []
+
+
+def test_point_serving_escapes_exotic_field_names(engine):
+    """Field names aren't charset-restricted at ingest (only RESERVED
+    names are rejected), so the SQL-text route's identifier quoting is
+    load-bearing: a dimension named with spaces, an embedded backtick,
+    or a SQL keyword must round-trip through `select *` on the point
+    route exactly as through the Column pipeline."""
+    engine.insert_bits(
+        "default", "default", "weird",
+        [Bit(t, t, {"a b": f"s{t}", "se`lect": f"q{t}", "order": t * 2}, {})
+         for t in range(5)],
+    )
+    from nsdb_spark.sql.parser import parse
+
+    stmt = parse(
+        "select * from weird where timestamp >= 1 order by timestamp limit 3",
+        db="default", namespace="default",
+    )
+    df, _, _ = engine._plan_select(stmt)
+    assert df.sparkSession is engine._serving_session()
+    assert "nsdb_pt_" in df._jdf.queryExecution().analyzed().toString()
+    rows = [r.asDict() for r in df.collect()]
+    assert [r["timestamp"] for r in rows] == [1, 2, 3]
+    assert rows[0]["a b"] == "s1" and rows[0]["se`lect"] == "q1"
+    assert rows[0]["order"] == 2

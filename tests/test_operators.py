@@ -6334,3 +6334,31 @@ def test_yule_k_known_values(spark):
     # source b: one type repeated 4x -> maximal repetitiveness, D = 1
     assert out["b"]["yule_k"] == round(1e4 * (16 - 4) / 16, 6) == 7500.0
     assert out["b"]["simpson_d"] == 1.0
+
+
+def test_cochran_q_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from nsdb_spark.operators import analytics
+
+    # textbook 3x3 grid: responses b1=(1,1,0) b2=(1,0,0) b3=(1,1,1)
+    # C=(3,2,1) T=6 sumC2=14 R=(2,1,3) sumR2=14
+    # Q = (k-1)(k*sumC2 - T^2)/(kT - sumR2) = 2*(42-36)/(18-14) = 3.0
+    rows = [
+        ("b1", "t1", 5), ("b1", "t2", 5), ("b1", "t3", 0),
+        ("b2", "t1", 5), ("b2", "t2", 0), ("b2", "t3", 0),
+        ("b3", "t1", 5), ("b3", "t2", 5), ("b3", "t3", 5),
+        # b4 appears ONLY under t1 and fails there: absent cells are
+        # structural zeros, so Q is unchanged while n_blocks grows
+        ("b4", "t1", 0),
+        # duplicate row per cell collapses via max, and a NULL success
+        # verdict counts as failure
+        ("b1", "t1", 5), ("b4", "t1", None),
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, v int")
+    out = analytics.cochran_q(
+        df, block="b", treatment="t", success=F.col("v") >= 1
+    ).collect()[0]
+    assert out["n_blocks"] == 4 and out["k"] == 3
+    assert out["total_success"] == 6
+    assert out["q_stat"] == 3.0
