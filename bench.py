@@ -170,6 +170,7 @@ def main() -> None:
         "stats_page_trend",
         "stats_mantel_haenszel",
         "stats_cochran_q",
+        "events_session_depth",
         "text_yule_k",
         "tsa_snaive_backtest",
         "stats_power_two_prop",

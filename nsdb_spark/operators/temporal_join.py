@@ -254,6 +254,54 @@ def sessionize(
     return with_sess.groupBy(key, "session_id").agg(*aggs)
 
 
+def session_depth_histogram(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_ms: int,
+    order_tie: str,
+    cap: int = 20,
+) -> DataFrame:
+    """Distribution of session DEPTH (events per session) under the
+    same gap rule as sessionize — the engagement-shape readout ("are
+    sessions one-shot bounces or long journeys?") that per-session
+    rows bury at scale: billions of sessions collapse to ≤ cap+1
+    histogram rows here.
+
+    Depths above `cap` fold into the cap bucket (reported as depth =
+    cap, the "cap or more" bin), keeping the output frame
+    constant-size regardless of outlier sessions. Counts and depths
+    are integers; only the share is rounded.
+
+    Plan: sessionize's single key-shuffle (lag + running sum share the
+    sort), partial+final aggregate to (key, session) rows, then a
+    map-side-combinable groupBy on the folded depth and one broadcast
+    total join.
+
+    Output: (depth int, n_sessions bigint, share r6), ascending depth.
+    """
+    sess = sessionize(df, key=key, ts=ts, gap_ms=gap_ms, order_tie=order_tie)
+    hist = (
+        sess.select(
+            F.least(F.col("n_events"), F.lit(cap)).cast("int").alias("depth")
+        )
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    tot = hist.agg(F.sum("n_sessions").alias("__tot"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            "n_sessions",
+            F.round(
+                F.try_divide(F.col("n_sessions"), F.col("__tot").cast("double")), 6
+            ).alias("share"),
+        )
+        .orderBy("depth")
+    )
+
+
 def session_paths(
     df: DataFrame,
     key: str,

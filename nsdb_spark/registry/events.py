@@ -23,6 +23,16 @@ def register(q):
         ),
         {"sum_value": 3},
     )
+    q["events_session_depth"] = lambda spark, sf: temporal_join.session_depth_histogram(
+        testdata.events_metric(spark, sf).select(
+            "user_id", "timestamp", "event_id"
+        ),
+        key="user_id",
+        ts="timestamp",
+        gap_ms=4 * 3600 * 1000,
+        order_tie="event_id",
+        cap=20,
+    )
     q["win_topk_per_group"] = lambda spark, sf: analytics.topk_per_group(
         testdata.table(spark, sf, "orders").select(
             "o_custkey", "o_orderkey", "o_totalprice"
@@ -842,4 +852,23 @@ contrib AS (SELECT DISTINCT p.u,
             FROM pairs p CROSS JOIN span s)
 SELECT d AS day, count(*) AS active_users
 FROM contrib GROUP BY d ORDER BY day
+"""
+    o["events_session_depth"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS timestamp, event_id FROM events),
+lagd AS (SELECT *, lag(timestamp) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id) AS prev FROM e),
+flag AS (SELECT *, CASE WHEN prev IS NULL OR timestamp - prev > 14400000
+                        THEN 1 ELSE 0 END AS new_s FROM lagd),
+sess AS (SELECT *, CAST(sum(new_s) OVER
+           (PARTITION BY user_id ORDER BY timestamp, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id FROM flag),
+per AS (SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY 1, 2),
+hist AS (SELECT cast(least(n_events, 20) AS int) AS depth,
+                count(*)::BIGINT AS n_sessions
+         FROM per GROUP BY 1),
+tot AS (SELECT sum(n_sessions) AS t FROM hist)
+SELECT depth, n_sessions,
+       round(n_sessions / nullif(t::DOUBLE, 0), 6) AS share
+FROM hist CROSS JOIN tot ORDER BY depth
 """

@@ -131,4 +131,5 @@ _ROTATION_QUEUE: list[str] = [
     "stats_mantel_haenszel",
     "text_yule_k",
     "stats_cochran_q",
+    "events_session_depth",
 ]

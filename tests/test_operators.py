@@ -6362,3 +6362,18 @@ def test_cochran_q_known_values(spark):
     assert out["n_blocks"] == 4 and out["k"] == 3
     assert out["total_success"] == 6
     assert out["q_stat"] == 3.0
+
+
+def test_session_depth_histogram_caps_and_shares(spark):
+    from nsdb_spark.operators import temporal_join as tj
+
+    rows = [("A", 0, 1), ("A", 100, 2),          # session depth 2
+            ("A", 10_000, 3)]                    # new session, depth 1
+    rows += [("B", i * 10, 100 + i) for i in range(25)]  # depth 25 -> cap
+    df = spark.createDataFrame(rows, "u string, t long, id long")
+    out = {r["depth"]: r for r in tj.session_depth_histogram(
+        df, key="u", ts="t", gap_ms=1000, order_tie="id", cap=3
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(out[d]["n_sessions"] == 1 for d in (1, 2, 3))
+    assert out[1]["share"] == round(1 / 3, 6)
