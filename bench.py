@@ -171,6 +171,7 @@ def main() -> None:
         "stats_mantel_haenszel",
         "stats_cochran_q",
         "events_session_depth",
+        "tsa_acf_pacf",
         "text_yule_k",
         "tsa_snaive_backtest",
         "stats_power_two_prop",

@@ -318,6 +318,76 @@ def autocorr(
     )
 
 
+def acf_pacf(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "timestamp",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key ACF and PARTIAL autocorrelation at lags 1-3 — the
+    AR-order identification pair (ACF tails off / PACF cuts off at the
+    AR order): PACF(k) removes the shorter-lag correlation that makes
+    raw ACF ambiguous between AR(1) persistence and true lag-k
+    structure.
+
+    At a fixed max lag of 3 the Durbin-Levinson recursion unrolls to
+    CLOSED FORMS over (r₁, r₂, r₃):
+      pacf₁ = r₁
+      pacf₂ = (r₂ − r₁²) / (1 − r₁²)
+      φ₂₁  = r₁ − pacf₂·r₁
+      pacf₃ = (r₃ − φ₂₁r₂ − pacf₂r₁) / (1 − φ₂₁r₁ − pacf₂r₂)
+    — written with the SAME operation order in the DuckDB oracle, so
+    the doubles agree bit-for-bit without any driver-side math. Any
+    zero denominator (constant series, |r₁| = 1) yields NULL via
+    try_divide, matching SQL's x/NULLIF(0).
+
+    Plan: identical to autocorr — per-key mean, the three lag columns,
+    and the covariance sums share ONE hash exchange; the closed forms
+    are projections on the k-row aggregate frame.
+
+    Output: (key, lag int, acf r6, pacf r6), lags 1-3 per key.
+    """
+    w_full = Window.partitionBy(key)
+    w_ord = Window.partitionBy(key).orderBy(ts, id_col)
+    d = (
+        df.filter(F.col(value).isNotNull() & F.col(key).isNotNull())
+        .select(key, ts, id_col, F.col(value).alias("__v"))
+        .withColumn("__dev", F.col("__v") - F.avg("__v").over(w_full))
+    )
+    for k in (1, 2, 3):
+        d = d.withColumn(f"__l{k}", F.lag("__dev", k).over(w_ord))
+    agg = d.groupBy(key).agg(
+        F.sum(F.col("__dev") * F.col("__dev")).alias("__den"),
+        *[
+            F.sum(F.col("__dev") * F.col(f"__l{k}")).alias(f"__n{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r1 = F.try_divide(F.col("__n1"), F.col("__den"))
+    r2 = F.try_divide(F.col("__n2"), F.col("__den"))
+    r3 = F.try_divide(F.col("__n3"), F.col("__den"))
+    p2 = F.try_divide(r2 - r1 * r1, F.lit(1.0) - r1 * r1)
+    f21 = r1 - p2 * r1
+    p3 = F.try_divide(
+        r3 - f21 * r2 - p2 * r1, F.lit(1.0) - f21 * r1 - p2 * r2
+    )
+    pairs = F.explode(
+        F.array(
+            F.struct(F.lit(1).alias("lag"), F.round(r1, 6).alias("acf"),
+                     F.round(r1, 6).alias("pacf")),
+            F.struct(F.lit(2).alias("lag"), F.round(r2, 6).alias("acf"),
+                     F.round(p2, 6).alias("pacf")),
+            F.struct(F.lit(3).alias("lag"), F.round(r3, 6).alias("acf"),
+                     F.round(p3, 6).alias("pacf")),
+        )
+    ).alias("__p")
+    return agg.select(key, pairs).select(
+        key, F.col("__p.lag").alias("lag"),
+        F.col("__p.acf").alias("acf"), F.col("__p.pacf").alias("pacf"),
+    )
+
+
 def seasonal_adjust(
     df: DataFrame,
     period_ms: int = 604800000,

@@ -132,4 +132,5 @@ _ROTATION_QUEUE: list[str] = [
     "text_yule_k",
     "stats_cochran_q",
     "events_session_depth",
+    "tsa_acf_pacf",
 ]

@@ -22,6 +22,9 @@ def register(q):
     q["tsa_autocorr"] = lambda spark, sf: tsa.autocorr(
         testdata.events_metric(spark, sf), lags=(1, 2, 3)
     )
+    q["tsa_acf_pacf"] = lambda spark, sf: tsa.acf_pacf(
+        testdata.events_metric(spark, sf)
+    )
     q["tsa_locf"] = lambda spark, sf: tsa.locf_fill(
         testdata.events_metric(spark, sf), 86400000
     ).withColumn("is_gap", F.col("is_gap").cast("int"))
@@ -204,6 +207,31 @@ agg AS (SELECT k, sum(dev*dev) AS den, sum(dev*l1) AS n1,
 SELECT k AS event_type, 1 AS lag, round(n1/den, 6) AS acf FROM agg
 UNION ALL SELECT k, 2, round(n2/den, 6) FROM agg
 UNION ALL SELECT k, 3, round(n3/den, 6) FROM agg
+"""
+    o["tsa_acf_pacf"] = """
+WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS eid, value AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (SELECT *, avg(v) OVER (PARTITION BY k) AS mean FROM e),
+d AS (SELECT k, t, eid, v - mean AS dev FROM m),
+lagd AS (SELECT k, dev,
+        lag(dev, 1) OVER (PARTITION BY k ORDER BY t, eid) AS l1,
+        lag(dev, 2) OVER (PARTITION BY k ORDER BY t, eid) AS l2,
+        lag(dev, 3) OVER (PARTITION BY k ORDER BY t, eid) AS l3 FROM d),
+agg AS (SELECT k, sum(dev*dev) AS den, sum(dev*l1) AS s1,
+               sum(dev*l2) AS s2, sum(dev*l3) AS s3
+        FROM lagd GROUP BY k),
+r AS (SELECT k, s1 / nullif(den, 0) AS r1, s2 / nullif(den, 0) AS r2,
+             s3 / nullif(den, 0) AS r3 FROM agg),
+p AS (SELECT k, r1, r2, r3,
+             (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0) AS p2
+      FROM r),
+q AS (SELECT *, r1 - p2 * r1 AS f21 FROM p),
+x AS (SELECT *, (r3 - f21 * r2 - p2 * r1)
+                / nullif(1.0 - f21 * r1 - p2 * r2, 0) AS p3 FROM q)
+SELECT k AS event_type, 1 AS lag, round(r1, 6) AS acf, round(r1, 6) AS pacf
+FROM x
+UNION ALL SELECT k, 2, round(r2, 6), round(p2, 6) FROM x
+UNION ALL SELECT k, 3, round(r3, 6), round(p3, 6) FROM x
 """
     o["tsa_ljung_box"] = """
 WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS eid,

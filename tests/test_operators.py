@@ -6377,3 +6377,34 @@ def test_session_depth_histogram_caps_and_shares(spark):
     assert set(out) == {1, 2, 3}
     assert all(out[d]["n_sessions"] == 1 for d in (1, 2, 3))
     assert out[1]["share"] == round(1 / 3, 6)
+
+
+def test_acf_pacf_matches_python_model(spark):
+    from nsdb_spark.operators import tsa
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = [("g", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, timestamp long, event_id long, value double"
+    )
+    out = {r["lag"]: r for r in tsa.acf_pacf(df).collect()}
+
+    mean = sum(vals) / len(vals)
+    dev = [v - mean for v in vals]
+    den = sum(d * d for d in dev)
+    r = {k: sum(dev[i] * dev[i - k] for i in range(k, len(dev))) / den
+         for k in (1, 2, 3)}
+    p2 = (r[2] - r[1] * r[1]) / (1 - r[1] * r[1])
+    f21 = r[1] - p2 * r[1]
+    p3 = (r[3] - f21 * r[2] - p2 * r[1]) / (1 - f21 * r[1] - p2 * r[2])
+    assert out[1]["acf"] == round(r[1], 6) and out[1]["pacf"] == out[1]["acf"]
+    assert out[2]["pacf"] == round(p2, 6)
+    assert out[3]["pacf"] == round(p3, 6)
+
+    # constant series: zero deviation -> every acf/pacf NULL, no error
+    const = spark.createDataFrame(
+        [("c", i, i, 7.0) for i in range(6)],
+        "event_type string, timestamp long, event_id long, value double",
+    )
+    for row in tsa.acf_pacf(const).collect():
+        assert row["acf"] is None and row["pacf"] is None
