@@ -597,3 +597,85 @@ def test_topology_and_locations_routes(server, engine):
     # unknown metric -> error status, not a crash
     code, body = _get(port, "/locations/db1/ns1/nope")
     assert code == 400 and "MetricNotFound" in body["error"]
+
+
+def test_server_survives_socket_garbage(server):
+    """Raw malformed bytes on the wire (bad request lines, binary
+    garbage, truncated/oversized pieces, half-closed connections) must
+    never take the server down: after every blob, a well-formed request
+    still serves. The stdlib handler owns request-line parsing — this
+    pins that OUR handler layers (routing, JSON decode, content-length
+    reads) never let an exception escape the connection thread."""
+    import socket
+
+    port = server
+    blobs = [
+        b"\x00\xff\xfe\x01garbage\r\n\r\n",
+        b"GET\r\n\r\n",
+        b"GET /query HTTP/9.9\r\n\r\n",
+        b"POST /data HTTP/1.1\r\nContent-Length: 999999\r\n\r\n{",
+        b"POST /query HTTP/1.1\r\nContent-Length: 5\r\n\r\nnotjs",
+        b"GET " + b"/" * 70000 + b" HTTP/1.1\r\n\r\n",
+        b"OPTIONS * HTTP/1.1\r\nHost: x\r\n" + b"X-A: b\r\n" * 200 + b"\r\n",
+        b"",
+        b"\r\n\r\n\r\n",
+        b"POST /data HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+    ]
+    for blob in blobs:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        try:
+            if blob:
+                s.sendall(blob)
+            s.settimeout(2)
+            try:
+                s.recv(4096)
+            except (TimeoutError, OSError):
+                pass
+        finally:
+            s.close()
+        # the server must still answer a well-formed request
+        code, body = _post(port, "/query/validate", {
+            "db": "d", "namespace": "n", "metric": "m",
+            "queryString": "select * from m limit 1",
+        })
+        assert code in (200, 400, 404), (blob[:30], code)
+
+
+def test_ws_survives_malformed_frames(ws_server):
+    """Post-handshake garbage on the WebSocket wire (reserved opcodes,
+    RSV bits, truncated frames, absurd declared lengths, non-JSON text)
+    must only kill THAT connection at worst — the server keeps serving
+    fresh subscriptions afterwards."""
+    import json as _json
+
+    from nsdb_spark.ws import OP_TEXT, encode_frame
+
+    blobs = [
+        b"\x83\x04\x01\x02\x03\x04",              # reserved opcode 0x3
+        b"\xf1\x02hi",                            # RSV bits set
+        b"\x81\x7f" + (2**40).to_bytes(8, "big"), # 1 TiB declared length
+        b"\x81",                                  # truncated header
+        encode_frame(OP_TEXT, b"not json at all", mask=True),
+        b"\x81\x85\x00\x00\x00\x00ab",            # masked len 5, 2 bytes sent
+    ]
+    for blob in blobs:
+        c = WsClient(ws_server, "/ws-stream")
+        assert c.status == 101
+        try:
+            c.sock.sendall(blob)
+            c.sock.settimeout(2)
+            try:
+                c.f.read(1)
+            except (TimeoutError, OSError):
+                pass
+        finally:
+            c.close()
+        # a fresh connection still registers and gets its historical rows
+        c2 = WsClient(ws_server, "/ws-stream")
+        c2.send_json({
+            "db": "default", "namespace": "default", "metric": "people",
+            "queryString": "select * from people limit 10",
+        })
+        got = c2.recv_json()
+        assert got.get("queryString") or "records" in _json.dumps(got), got
+        c2.close()
