@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import explode_nonempty as _explode_nonempty
+
 #: end-of-word marker appended to each word before training (standard —
 #: lets the model distinguish word-final from word-internal pairs).
 EOW = "▁"
@@ -83,7 +85,11 @@ def bpe_train(
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         )
         best = (
-            vocab.select(F.col("freq"), F.explode(pairs).alias("p"))
+            # ≥2-symbols filter + explode_nonempty: identical rows to the
+            # inner explode (size-1 words have no pairs) without the
+            # Generate pre-filter re-evaluating the zip_with per row
+            vocab.filter(F.size("syms") >= 2)
+            .select(F.col("freq"), _explode_nonempty(pairs).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("n"))
             .filter(F.col("n") > 1)

@@ -148,8 +148,13 @@ def passage_dup_stats(
         & F.col("doc_id").between(0, doc_limit - 1),
         F.lit("passage composite key out of range (pos>=2^20 or doc_id>=2^42)"),
     )
+    # null-text filter keeps the row-drop the inner posexplode did
+    # implicitly; non-null text → ≥1 passage → posexplode_nonempty (no
+    # Generate pre-filter re-evaluating the passage transform), and
+    # _parallelize spreads the passage build off the one-split scan
     p = (
-        docs.select("doc_id", F.posexplode(passages).alias("pos", "passage"))
+        _parallelize(docs.filter(F.col(text_col).isNotNull()))
+        .select("doc_id", posexplode_nonempty(passages).alias("pos", "passage"))
         .select(
             "doc_id",
             F.xxhash64("passage").alias("ph"),
@@ -217,8 +222,11 @@ def scrub_duplicate_passages(
         & F.col("doc_id").between(0, doc_limit - 1),
         F.lit("passage composite key out of range (pos>=2^20 or doc_id>=2^42)"),
     )
+    # same null-filter + outer-posexplode + parallelize discipline as
+    # passage_dup_stats (see there)
     p = (
-        docs.select("doc_id", F.posexplode(passages).alias("pos", "passage"))
+        _parallelize(docs.filter(F.col(text_col).isNotNull()))
+        .select("doc_id", posexplode_nonempty(passages).alias("pos", "passage"))
         .select(
             "doc_id",
             "pos",
@@ -285,6 +293,33 @@ def shingle_array(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def explode_nonempty(arr: Column) -> Column:
+    """explode() for an array expression that is PROVABLY non-null and
+    non-empty — implemented as explode_outer, which emits exactly the same
+    rows for such arrays but generates no pre-filter.
+
+    Why it exists: an inner explode plants an implicit
+    `size(arr) > 0 AND isnotnull(arr)` Filter under the Generate, and for
+    a COMPUTED array that filter re-evaluates the whole array expression
+    twice more per input row; worse, the optimizer pushes the filter below
+    any exchange (e.g. _parallelize's repartition), so the duplicated
+    evaluation runs at the INPUT's parallelism — for a one-split parquet
+    scan, single-threaded. Measured on the sf0.1 shingle stream: 4.0 s
+    inner vs 0.49 s outer for an identical row set (round 8).
+
+    Callers must guarantee the array is never null/empty on the input rows
+    (e.g. shingle_array always yields ≥1 element; pre-filter null text
+    first when the source expression propagates nulls) — otherwise
+    explode_outer would EMIT a null row where explode dropped it.
+    """
+    return F.explode_outer(arr)
+
+
+def posexplode_nonempty(arr: Column) -> Column:
+    """posexplode() under the explode_nonempty contract (see above)."""
+    return F.posexplode_outer(arr)
+
+
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", shingle_array(text_col, n).alias("shingles"))
 
@@ -342,7 +377,8 @@ def _shingle_pair_sizes(
     shape can never drift between the two operators."""
     sh = (
         shingles(_parallelize(docs), n)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        # shingle_array always yields ≥1 element → explode_nonempty
+        .select("doc_id", explode_nonempty(F.col("shingles")).alias("s"))
         .select("doc_id", F.xxhash64("s").alias("sh"))
     )
     if stop_shingle_df_limit is not None:
@@ -560,12 +596,12 @@ def decontaminate(
     as shingle_array both sides), so exact short-doc matches still flag.
     """
     bench_grams = (
-        benchmark.select(F.explode(shingle_array(text_col, n)).alias("g"))
+        benchmark.select(explode_nonempty(shingle_array(text_col, n)).alias("g"))
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     corpus_grams = docs.select(
-        "doc_id", F.explode(shingle_array(text_col, n)).alias("g")
+        "doc_id", explode_nonempty(shingle_array(text_col, n)).alias("g")
     ).select("doc_id", F.xxhash64("g").alias("gh"))
     # shingle_array already array_distinct's per doc, so (doc_id, gh) is
     # unique post-join: count(*) ≡ count(DISTINCT gh) without the extra
@@ -600,7 +636,8 @@ def minhash_signatures(
     """
     ex = (
         shingles(_parallelize(docs), n, text_col)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        # shingle_array always yields ≥1 element → explode_nonempty
+        .select("doc_id", explode_nonempty(F.col("shingles")).alias("s"))
         .select("doc_id", F.xxhash64("s").alias("sh"))
     )
     hmins = [
@@ -707,9 +744,12 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 60, text_col: str = "text"
     planning/JIT, dwarfing the saved explode.) Partial aggregation caps the
     first shuffle at docs × bits rows regardless of corpus token count.
     """
-    w = _parallelize(docs).select(
+    # explicit null-text filter replaces the row-drop the inner explode
+    # performed implicitly (split(NULL) → NULL array); with non-null text
+    # the distinct-word array is never null/empty → explode_nonempty
+    w = _parallelize(docs).filter(F.col(text_col).isNotNull()).select(
         "doc_id",
-        F.explode(F.array_distinct(_word_array(text_col))).alias("word"),
+        explode_nonempty(F.array_distinct(_word_array(text_col))).alias("word"),
     ).select("doc_id", portable_word_hash(F.col("word")).alias("hv"))
     per_bit = (
         w.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k"))
@@ -791,7 +831,7 @@ def simhash_pairs(
         buckets = keyed.select(
             "doc_id",
             "fingerprint",
-            F.explode(
+            explode_nonempty(
                 F.array(*[F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("key")) for c in range(chunks)])
             ).alias("bk"),
         ).select("doc_id", "fingerprint", "bk.chunk", "bk.key")
@@ -1519,7 +1559,7 @@ def band_buckets(
         sigs.select(id_col, *cols)
         .select(
             id_col,
-            F.explode(
+            explode_nonempty(
                 F.array(
                     *[
                         F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key"))
@@ -1706,10 +1746,13 @@ def shingle_df_profile(
         import math as _math
 
         limit = max(10, _math.ceil(0.005 * docs_n))
+    # (doc_id, sh) is distinct BY CONSTRUCTION (shingle_array is per-doc
+    # array_distinct), so no dedup exchange is needed on the exploded
+    # string stream; _parallelize spreads the shingling like every other
+    # consumer of this stream (it was the one unparallelized site)
     stream = (
-        shingles(docs, n, text_col)
-        .select("doc_id", F.explode("shingles").alias("sh"))
-        .distinct()
+        shingles(_parallelize(docs), n, text_col)
+        .select("doc_id", explode_nonempty(F.col("shingles")).alias("sh"))
     )
     df_counts = stream.groupBy("sh").agg(
         F.count(F.lit(1)).cast("long").alias("df")

@@ -47,8 +47,12 @@ def embedding_cosine_pairs_gemm(
             for j in range(b)
         ]
     )
+    # literal-length struct array: never null/empty → explode_nonempty
+    # (no Generate pre-filter re-building the b-element array per row)
+    from .dedup import explode_nonempty
+
     exploded = base.select(
-        "vec_id", "v", "blk", F.explode(F.array_distinct(pair_ids)).alias("p")
+        "vec_id", "v", "blk", explode_nonempty(F.array_distinct(pair_ids)).alias("p")
     ).select("vec_id", "v", "blk", F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
 
     thr = float(threshold)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import explode_nonempty as _explode_nonempty
+
 # Small per-language stopword lists (public common words). The heuristic is
 # a plain stopword-hit count — deterministic and engine-portable; swap in a
 # real n-gram model behind the same column contract for production use.
@@ -227,7 +229,12 @@ def top_bigrams(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFra
     window on a constant is avoided: rank assigned post-limit via a sorted
     window over only k rows)."""
     words = _words(text_col)
-    exploded = docs.select("doc_id", F.explode(_bigrams(words)).alias("bigram"))
+    # cheap ≥2-words filter keeps the row-drop the inner explode did
+    # implicitly, without the pre-filter re-evaluating the zip_with
+    # bigram build (dedup.explode_nonempty rationale)
+    exploded = docs.filter(F.size(words) >= 2).select(
+        "doc_id", _explode_nonempty(_bigrams(words)).alias("bigram")
+    )
     counted = exploded.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -377,7 +384,9 @@ def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     from .dedup import _finish, shingle_array
 
     g = (
-        docs.select("doc_id", F.explode(shingle_array(text_col, n)).alias("g"))
+        docs.select(
+            "doc_id", _explode_nonempty(shingle_array(text_col, n)).alias("g")
+        )
         .select("doc_id", F.xxhash64("g").alias("gh"))
         .persist()
     )
@@ -556,8 +565,11 @@ def lm_bigram_logprob(
     from .dedup import _finish
 
     words = _words(text_col)
+    # ≥2-words filter + explode_nonempty: same rows as the inner explode,
+    # no duplicated zip_with evaluation in a Generate pre-filter
     stream = (
-        docs.select("doc_id", F.explode(_bigrams(words)).alias("bigram"))
+        docs.filter(F.size(words) >= 2)
+        .select("doc_id", _explode_nonempty(_bigrams(words)).alias("bigram"))
         .withColumn("w1", F.split("bigram", " ")[0])
         .withColumn("w2", F.split("bigram", " ")[1])
         .persist()
@@ -926,7 +938,10 @@ def bigram_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     words = _words(text_col)
     bigrams = _bigrams(words)
-    d = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    # ≥2-words filter + explode_nonempty (dedup.explode_nonempty rationale)
+    d = docs.filter(F.size(words) >= 2).select(
+        "doc_id", _explode_nonempty(bigrams).alias("bg")
+    )
     cnt = d.groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )

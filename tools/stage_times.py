@@ -48,6 +48,8 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
@@ -69,11 +71,26 @@ def main() -> None:
     spark.stop()
 
     # ---- parse the event log ----
-    path = os.path.join(log_dir, app_id)
+    import glob
+
+    cands = glob.glob(os.path.join(log_dir, "*" + app_id + "*"))
+    path = cands[0] if cands else os.path.join(log_dir, app_id)
+    if os.path.isdir(path):  # rolling event log v2: a dir of event files
+        files = sorted(
+            p for p in glob.glob(os.path.join(path, "events_*"))
+        )
+    else:
+        files = [path]
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(path) as f:
-        for line in f:
+
+    def _lines():
+        for p in files:
+            with open(p) as f:
+                yield from f
+
+    if True:
+        for line in _lines():
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
@@ -89,12 +106,12 @@ def main() -> None:
                     jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "wall": si.get("Completion Time", 0)
-                    - si.get("Submission Time", 0),
-                    "tasks": si["Number of Tasks"],
-                    "name": si["Stage Name"].splitlines()[0][:90],
-                }
+                st = stages.setdefault(si["Stage ID"], {})
+                st["wall"] = si.get("Completion Time", 0) - si.get(
+                    "Submission Time", 0
+                )
+                st["tasks"] = si["Number of Tasks"]
+                st["name"] = si["Stage Name"].splitlines()[0][:90]
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
@@ -124,9 +141,10 @@ def main() -> None:
 
     print(f"\n== {name}: build {t_build:.3f}s exec {t_exec:.3f}s "
           f"(timed run only below) ==")
-    # jobs of the timed run = jobs submitted after t1 (epoch ms)
+    # jobs of the timed run = jobs submitted after construction began
+    # (eager operators run their pipeline during build)
     timed_jobs = {
-        jid: j for jid, j in jobs.items() if j["t0"] >= int(t1 * 1000) - 50
+        jid: j for jid, j in jobs.items() if j["t0"] >= int(t0 * 1000) - 50
     }
     prev_end = None
     for jid in sorted(timed_jobs):
