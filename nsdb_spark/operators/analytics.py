@@ -1810,10 +1810,19 @@ def theil_sen_by_group(
     pts = df.filter(
         F.col(part).isNotNull() & F.col(x).isNotNull() & F.col(y).isNotNull()
     ).select(F.col(part).alias("g"), F.col(x).alias("px"), F.col(y).alias("py"))
+    # The probe side is a tiny post-aggregate frame (groups x calendar
+    # days), so AQE coalesces it to ~1 partition — and the quadratic pair
+    # expansion plus the partial-percentile build would then run on one
+    # core. An explicit round-robin repartition to core count spreads the
+    # expansion (the frame stays calendar-bounded at any SF, so the extra
+    # exchange is a few thousand rows); the build side is pinned broadcast
+    # so each task expands its rows locally with no keyed shuffle.
+    sc = df.sparkSession.sparkContext
+    spread = pts.repartition(sc.defaultParallelism)
     pairs = (
-        pts.alias("a")
+        spread.alias("a")
         .join(
-            pts.alias("b"),
+            F.broadcast(pts.alias("b")),
             (F.col("a.g") == F.col("b.g")) & (F.col("a.px") < F.col("b.px")),
         )
         .select(
@@ -1875,10 +1884,14 @@ def kendall_tau_by_group(
         (F.count(F.lit(1)) + dup_guard).cast("long").alias("n_points"),
         (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).alias("n0"),
     )
+    # same probe-side spread + pinned broadcast as theil_sen_by_group
+    # (AQE coalesces the tiny aggregate output to ~1 partition, which
+    # would serialize the quadratic pair census onto one core)
+    spread = pts.repartition(df.sparkSession.sparkContext.defaultParallelism)
     pair = (
-        pts.alias("a")
+        spread.alias("a")
         .join(
-            pts.alias("b"),
+            F.broadcast(pts.alias("b")),
             (F.col("a.g") == F.col("b.g")) & (F.col("a.px") < F.col("b.px")),
         )
         .groupBy(F.col("a.g").alias("g"))

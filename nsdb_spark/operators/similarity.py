@@ -1236,9 +1236,15 @@ def hubness_profile(
     hub_share near k/n_hits ⇒ healthy; a single vector owning a large
     share ⇒ hubness problem (mean-center or re-normalize first).
 
-    One corpus pass: the query sample rides as a broadcast literal
-    (cosine_topk_join's plan), the per-query top-k is a window cut,
-    and the in-degree rollup runs on the |n_queries·k| hit frame.
+    One corpus pass: the query sample rides as a BROADCAST FRAME (not a
+    literal array — at 100 queries x dim the literal expression tree hit
+    thousands of nodes and cost multiple seconds of driver
+    analysis/codegen before the first task launched, and its generated
+    code overflowed the JVM method limit into interpreted fallback), the
+    per-query top-k is a window cut, and the in-degree rollup runs on
+    the |n_queries·k| hit frame. qn uses the same executor-side fold as
+    the corpus norms: identical op order to the old driver-side
+    _py_norm, so scores are bit-identical.
 
     Output: one row (n_queries int, k int, n_hits bigint,
     n_distinct_neighbors bigint, max_in_degree bigint, hub_vec_id,
@@ -1246,30 +1252,28 @@ def hubness_profile(
     """
     from pyspark.sql import Window
 
-    queries = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col(id_col) < n_queries)
-        .orderBy(id_col)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    from .dedup import _parallelize
+
     v = _as_double(vec_col)
-    qs = F.array(*[
-        F.struct(
-            F.lit(qid).cast("long").alias("query_id"),
-            _lit_vec(vec).alias("qv"),
-            F.lit(_py_norm(vec)).alias("qn"),
-        )
-        for qid, vec in queries
-    ])
-    scored = (
-        emb.select(F.col(id_col).alias("vid"), v.alias("__v"), _norm(v).alias("__n"))
-        .select("vid", "__v", "__n", F.explode(qs).alias("q"))
-        .filter(F.col("vid") != F.col("q.query_id"))
+    qv = _as_double("qv")
+    qdf = (
+        emb.filter(F.col(id_col) < n_queries)
         .select(
-            F.col("q.query_id").alias("query_id"),
+            F.col(id_col).cast("long").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        .select("query_id", qv.alias("qv"), _norm(qv).alias("qn"))
+    )
+    scored = (
+        # the corpus side expands |emb| x n_queries under the nested-loop
+        # join — spread the one-split scan first or it runs on one core
+        _parallelize(emb)
+        .select(F.col(id_col).alias("vid"), v.alias("__v"), _norm(v).alias("__n"))
+        .join(F.broadcast(qdf), F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
             "vid",
-            (_dot(F.col("__v"), F.col("q.qv")) / (F.col("__n") * F.col("q.qn"))).alias("__s"),
+            (_dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn"))).alias("__s"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1285,9 +1289,11 @@ def hubness_profile(
         F.sum("d").alias("n_hits"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_neighbors"),
         F.max(F.struct(F.col("d"), (-F.col("vid")).alias("nv"))).alias("mx"),
+    ).crossJoin(
+        F.broadcast(qdf.agg(F.count(F.lit(1)).alias("__nq")))
     )
     return out.select(
-        F.lit(len(queries)).cast("int").alias("n_queries"),
+        F.col("__nq").cast("int").alias("n_queries"),
         F.lit(k).cast("int").alias("k"),
         F.col("n_hits").cast("long").alias("n_hits"),
         "n_distinct_neighbors",
