@@ -1133,7 +1133,13 @@ def bootstrap_mean_ci(
 
     if n_replicates < 2:
         raise ValueError("n_replicates must be >= 2")
-    base = df.filter(F.col(value).isNotNull()).select(
+    from .dedup import _parallelize
+
+    # _parallelize: the n_replicates x corpus explode + per-(row, r) md5
+    # is the expensive stage and is NARROW (explode → filter → partial
+    # agg), so without it it runs at the scan's split count; a no-op at
+    # real scale
+    base = _parallelize(df.filter(F.col(value).isNotNull())).select(
         F.col(id_col).alias("__id"), F.col(value).cast("double").alias("__v")
     )
     rep = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("r")

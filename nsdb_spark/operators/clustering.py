@@ -34,6 +34,14 @@ from .similarity import _as_double, _lit_vec
 
 
 def _sq_dist(v: Column, c: list[float]) -> Column:
+    # Deliberately the zip_with+aggregate fold, NOT a flat unrolled sum:
+    # the fold's expression tree is O(dim) nodes with ONE literal array,
+    # so Catalyst analysis and codegen stay cheap even though evaluation
+    # is an interpreted HigherOrderFunction. The unrolled form was tried
+    # (round 8) and regressed kmeans entries 5-15x: k x dim x 4 nodes per
+    # candidate re-analyzed and re-codegen'd EVERY Lloyd iteration
+    # (fresh centroid literals each round), with the generated method
+    # blowing the JIT limit into interpreted fallback anyway.
     return F.aggregate(
         F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -44,14 +52,26 @@ def _sq_dist(v: Column, c: list[float]) -> Column:
 def assign_cells(
     emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    """Adds `cell` (nearest centroid by L2) and `sq_dist`."""
-    v = _as_double(vec_col)
+    """Adds `cell` (nearest centroid by L2) and `sq_dist`.
+
+    The double-cast vector and the argmin struct are hoisted into their
+    own columns (`__vd`, `__best`): inlining them re-evaluated the cast
+    per centroid and the whole k×dim candidate array once per output
+    column. CollapseProject keeps non-cheap expressions referenced more
+    than once in their own projection, so the hoist survives the
+    optimizer. Values are unchanged."""
     cands = [
-        F.struct(_sq_dist(v, c).alias("d"), F.lit(ci).alias("cell"))
+        F.struct(_sq_dist(F.col("__vd"), c).alias("d"), F.lit(ci).alias("cell"))
         for ci, c in enumerate(centroids)
     ]
     best = F.array_min(F.array(*cands))
-    return emb.withColumn("cell", best["cell"]).withColumn("sq_dist", best["d"])
+    return (
+        emb.withColumn("__vd", _as_double(vec_col))
+        .withColumn("__best", best)
+        .withColumn("cell", F.col("__best")["cell"])
+        .withColumn("sq_dist", F.col("__best")["d"])
+        .drop("__vd", "__best")
+    )
 
 
 def kmeans_fit(
@@ -75,8 +95,16 @@ def kmeans_fit(
     recall-tested index and doesn't need cross-engine determinism."""
     # cast once and cache: every iteration re-reads the vectors, so paying
     # the parquet scan + float→double cast per iteration would multiply
-    # the dominant cost by `iters`
-    vecs = emb.select(id_col, _as_double(vec_col).alias("__v")).persist()
+    # the dominant cost by `iters`. _parallelize spreads a one-split scan
+    # across cores (every per-iteration pass below is narrow, so it would
+    # otherwise run single-task; no-op at real scale); the distributed
+    # per-(cell,dim) avg wiggles only in the last ulp, which round_to
+    # snapping absorbs by design.
+    from .dedup import _parallelize
+
+    vecs = _parallelize(
+        emb.select(id_col, _as_double(vec_col).alias("__v"))
+    ).persist()
     try:
         snap = (lambda x: round(x, round_to)) if round_to is not None else float
         first = vecs.orderBy(id_col).limit(k).select("__v").collect()
@@ -377,15 +405,17 @@ def silhouette_by_cell(
     if k < 2:
         raise ValueError("silhouette_by_cell: needs k >= 2 cells")
     centroids = kmeans_fit(emb, k, iters, vec_col, id_col, round_to=round_to)
-    v = _as_double(vec_col)
     cands = [
-        F.struct(_sq_dist(v, c).alias("d"), F.lit(ci).alias("cell"))
+        F.struct(_sq_dist(F.col("__vd"), c).alias("d"), F.lit(ci).alias("cell"))
         for ci, c in enumerate(centroids)
     ]
     # struct sort orders by (d, cell) — identical tie-break to the
     # oracle's row_number(ORDER BY d, cell); element 2 is the nearest
-    # OTHER centroid even under exact ties (then s = 0)
-    ds = F.sort_array(F.array(*cands))
+    # OTHER centroid even under exact ties (then s = 0).
+    # The sorted candidate array is hoisted to a column (`__ds`): the old
+    # shape inlined the whole k×dim sort_array tree into every reference
+    # (cell, a_sq, and b_sq three times — 5 evaluations per row).
+    ds = F.col("__ds")
     a_sq, b_sq = ds[0]["d"], ds[1]["d"]
     sil = (
         F.when(
@@ -394,7 +424,11 @@ def silhouette_by_cell(
         )
         .otherwise(F.lit(0.0))
     )
-    per = emb.select(ds[0]["cell"].alias("cell"), sil.alias("sil"))
+    per = (
+        emb.withColumn("__vd", _as_double(vec_col))
+        .withColumn("__ds", F.sort_array(F.array(*cands)))
+        .select(ds[0]["cell"].alias("cell"), sil.alias("sil"))
+    )
     return per.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.avg("sil"), 6).alias("avg_silhouette"),

@@ -375,22 +375,30 @@ def _shingle_pair_sizes(
     (a < b), plus the persisted exploded-shingle pin the caller must
     release via _finish. Shared so the hash keying / skew guard / join
     shape can never drift between the two operators."""
-    sh = (
+    # the exploded shingle frame feeds the hot-set build AND three
+    # consumers (both join sides + doc counts): persist the RAW stream so
+    # the corpus is shingled exactly ONCE. Persisting only the filtered
+    # frame (the previous shape) shingled the corpus twice — once for the
+    # hot-set broadcast, once for the persisted anti-joined frame —
+    # because the hot subquery's lineage sat below the persist point.
+    raw = (
         shingles(_parallelize(docs), n)
         # shingle_array always yields ≥1 element → explode_nonempty
         .select("doc_id", explode_nonempty(F.col("shingles")).alias("s"))
         .select("doc_id", F.xxhash64("s").alias("sh"))
+        .persist()
     )
+    sh = raw
     if stop_shingle_df_limit is not None:
         hot = (
-            sh.groupBy("sh").count()
+            raw.groupBy("sh").count()
             .filter(F.col("count") > stop_shingle_df_limit)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    # the exploded shingle frame feeds three consumers (both join sides +
-    # doc counts): materialize once instead of re-shingling the corpus 3x
-    sh = sh.persist()
+        # cheap broadcast-anti probe over the cached raw frame — each
+        # consumer re-applies it, but the ONE broadcast exchange is
+        # shared (ReuseExchange) and the probe is a hash lookup
+        sh = raw.join(F.broadcast(hot), "sh", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -402,7 +410,7 @@ def _shingle_pair_sizes(
         common.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
     )
-    return sized, sh
+    return sized, raw
 
 
 def containment_pairs(
@@ -463,7 +471,12 @@ def cdc_chunks(
 
     L = F.length(text_col)
     n_pos = F.greatest(L - (k - 1), F.lit(1))
-    base = docs.select(
+    # explicit NULL-text filter replaces the row-drop the inner explode
+    # performed implicitly (sequence(1, NULL) → NULL array); with it the
+    # position array is provably non-empty (np >= 1) → explode_nonempty,
+    # and _parallelize spreads the per-position hashing (the expensive
+    # stage) off the scan's split count
+    base = _parallelize(docs.filter(F.col(text_col).isNotNull())).select(
         "doc_id", F.col(text_col).alias("__t"), L.alias("L"), n_pos.alias("np")
     )
     h = portable_word_hash(F.substring(F.col("__t"), F.col("p"), k))
@@ -472,7 +485,7 @@ def cdc_chunks(
     # full text there would cost O(boundaries x doc_len) shuffle bytes
     # per doc, quadratic in document length
     bounds = (
-        base.select("doc_id", "__t", F.explode(F.sequence(F.lit(1), F.col("np"))).alias("p"))
+        base.select("doc_id", "__t", explode_nonempty(F.sequence(F.lit(1), F.col("np"))).alias("p"))
         .filter((h % mask == 0) & (F.col("p") > 1))
         .select("doc_id", "p")
     )
@@ -600,7 +613,11 @@ def decontaminate(
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    corpus_grams = docs.select(
+    # _parallelize: the whole corpus side is NARROW (explode → broadcast
+    # join → partial agg), so without it the expensive shingle build runs
+    # at the input's split count — single-threaded on a one-split scan
+    # (measured 5.3 s on 6 tasks at sf0.1); a no-op at real scale
+    corpus_grams = _parallelize(docs).select(
         "doc_id", explode_nonempty(shingle_array(text_col, n)).alias("g")
     ).select("doc_id", F.xxhash64("g").alias("gh"))
     # shingle_array already array_distinct's per doc, so (doc_id, gh) is
@@ -935,17 +952,47 @@ def embedding_cosine_pairs(
         ),
         F.lit(1e-300),
     )
-    # pre-normalize: the pair stage then does only the dim-term dot product
-    nv = F.array(*[(v.getItem(i) / norm).alias(f"x{i}") for i in range(dim)])
-    e = _parallelize(emb).select(F.col("vec_id"), nv.alias("v")).persist()
+    # pre-normalize in TWO projections: the norm is aliased to a column
+    # and the per-element divisions reference that attribute. Inlining the
+    # norm subtree into all dim array slots (the old shape) builds an
+    # O(dim²) expression tree that cost ~18 s of driver-side Catalyst
+    # analysis before the first task at dim=64; the split keeps the tree
+    # O(dim) and CollapseProject will not re-inline a non-cheap expression
+    # referenced dim times. Same arithmetic per element → identical values.
+    e = (
+        _parallelize(emb)
+        .select(F.col("vec_id"), v.alias("__v"), norm.alias("__n"))
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    (F.col("__v").getItem(i) / F.col("__n")).alias(f"x{i}")
+                    for i in range(dim)
+                ]
+            ).alias("v"),
+        )
+        .persist()
+    )
     a, b = e.alias("a"), e.alias("b")
     dot = functools.reduce(
         operator.add,
         [F.col("a.v").getItem(i) * F.col("b.v").getItem(i) for i in range(dim)],
     )
+    # The `+ 0.0 * rand` term is a PUSHDOWN BARRIER, not arithmetic: a
+    # deterministic `cosine` lets the optimizer fold the threshold filter
+    # into the nested-loop JOIN CONDITION, where the 64-term dot product
+    # is evaluated per candidate pair by the interpreted predicate path
+    # AND ahead of the cheap vec_id<vec_id cut (measured 396 task-seconds
+    # for 4M candidates, ~100 us/pair). Marked nondeterministic, the
+    # projection stays ABOVE the join in a whole-stage-codegen'd Project,
+    # the join condition keeps only the id cut, and the score runs once
+    # per surviving pair at codegen speed. Values are bit-identical:
+    # x + 0.0*rand == x for every finite x (the filter admits only
+    # cosine >= threshold > 0, so the -0.0+0.0 sign edge cannot surface).
+    cosine = F.round(dot, 6) + F.lit(0.0) * F.rand(42)
     return _finish(
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", F.round(dot, 6))
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -1329,7 +1376,10 @@ def connected_components_alternating(
             .union(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the signature aggregate below is the ONE action per
+            # round — it materializes this checkpoint as a side effect.
+            # An eager checkpoint here was a second full job per round.
+            .localCheckpoint(eager=False)
         )
         e = small
         # bit_xor: order-independent and overflow-free (ANSI mode forbids
@@ -1376,6 +1426,13 @@ def connected_components(
     iterations (lineage would otherwise grow linearly and swamp the
     optimizer).
 
+    ONE action per round (round 8): the update already sees old and new
+    label side by side, so the changed? flag is a column computed in the
+    same pass — the checkpoint is lazy and the 1-row changed aggregate is
+    the action that materializes it. The previous shape paid a second
+    job per round re-JOINING new labels to old (a full extra shuffle)
+    just to recover information the update had in hand.
+
     pairs: (doc_a, doc_b) [any extra columns ignored]
     nodes: (doc_id)
     """
@@ -1399,18 +1456,17 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                # strict-decrease test == "label changed" (labels only
+                # ever decrease); NULL nmin (isolated node) → false
+                (F.col("nmin") < F.col("cluster_id")).alias("__chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.max(F.coalesce(F.col("__chg"), F.lit(False)))
+        ).first()[0]
+        labels = new_labels.drop("__chg")
+        if not changed:
             break
     else:
         # loop exhausted WITHOUT converging: returning the partially

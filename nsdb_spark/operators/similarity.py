@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 
 def _as_double(vec_col: str) -> Column:
-    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # native elementwise Cast (codegen) rather than a transform() lambda
+    # (interpreted HigherOrderFunction) — float→double widening is exact
+    # either way, so scores are bit-identical
+    return F.col(vec_col).cast("array<double>")
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -87,8 +90,6 @@ def ivf_assign(
     Centroids ride along as literal arrays (broadcast by construction). The
     argmax is a fold over the centroid index — pure codegen, no shuffle.
     """
-    v = _as_double(vec_col)
-    nv = _norm(v)
     # argmax via array_max over (score, -cell) structs — a nested
     # when-chain would duplicate subtrees exponentially in the expression
     # tree. The NEGATED cell makes score ties break toward the LOWEST
@@ -96,13 +97,22 @@ def ivf_assign(
     # rule: with duplicate/degenerate centroids, a plain (score, cell)
     # max assigned vectors to the HIGHER twin while probes tried the
     # lower one first — nprobe=1 could scan an empty cell.
+    # The vector norm is hoisted to its own column so it is computed ONCE
+    # per row; inlining _norm(v) into every candidate's score (the old
+    # shape) re-ran the norm fold k times per row. Same divisor value →
+    # identical scores.
     cands = []
     for ci, c in enumerate(centroids):
         cn = _py_norm(c)
-        score = _dot(v, _lit_vec(c)) / (nv * F.lit(cn))
+        score = _dot(F.col("__vd"), _lit_vec(c)) / (F.col("__nv") * F.lit(cn))
         cands.append(F.struct(score.alias("s"), F.lit(-ci).alias("nc")))
     best = F.array_max(F.array(*cands))
-    return emb.withColumn("cell", -best["nc"])
+    return (
+        emb.withColumn("__vd", _as_double(vec_col))
+        .withColumn("__nv", _norm(F.col("__vd")))
+        .withColumn("cell", -best["nc"])
+        .drop("__vd", "__nv")
+    )
 
 
 def ivf_topk(

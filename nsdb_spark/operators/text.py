@@ -151,12 +151,19 @@ def winnow_fingerprints(
     # inconsistent row — count(*) counts the NULL-hash row (n=1) while
     # collect_set drops it (digest of the empty set) — and two unrelated
     # NULL docs would "share" a fingerprint
+    from ..operators.dedup import _parallelize, explode_nonempty
+
     docs = docs.filter(F.col(text_col).isNotNull())
     n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
-    g = docs.select(
+    # _parallelize: the position explode + per-position substring hash is
+    # the expensive stage and would otherwise run at the scan's split
+    # count; explode_nonempty because sequence(1, n_pos) with n_pos >= 1
+    # (non-null text) is provably non-empty — the inner explode's
+    # implicit size>0 filter re-built the O(len) position array per row
+    g = _parallelize(docs).select(
         "doc_id",
         n_pos.alias("n_pos"),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+        explode_nonempty(F.sequence(F.lit(1), n_pos)).alias("pos"),
         F.col(text_col).alias("__t"),
     ).select(
         "doc_id",
@@ -381,10 +388,13 @@ def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     feeds both the df aggregate and the join probe, so it is persisted —
     16 bytes/gram, computed once instead of re-exploding the corpus.
     """
-    from .dedup import _finish, shingle_array
+    from .dedup import _finish, _parallelize, shingle_array
 
+    # _parallelize: the shingle build is the expensive stage and runs at
+    # the scan's split count without it (8 single-task stages at sf0.1);
+    # a no-op once the input has >= defaultParallelism splits
     g = (
-        docs.select(
+        _parallelize(docs).select(
             "doc_id", _explode_nonempty(shingle_array(text_col, n)).alias("g")
         )
         .select("doc_id", F.xxhash64("g").alias("gh"))

@@ -1031,12 +1031,17 @@ def holt_last(
             }
         )
 
-    return (
-        df.select(key, ts, id_col, value)
-        .filter(F.col(value).isNotNull() & F.col(key).isNotNull())
-        .groupBy(key)
-        .applyInPandas(fn, out_schema)
+    sel = df.select(key, ts, id_col, value).filter(
+        F.col(value).isNotNull() & F.col(key).isNotNull()
     )
+    # Explicit hash repartition on the key: the per-key recursion is
+    # interpreted Python, so the stage's wall time is the rows of its
+    # FATTEST task — AQE's advisory-size coalescing sees only a few MB
+    # and squeezes the exchange to ~4 partitions, serializing the Python
+    # work. An explicit repartition is not coalesced; same key hashing,
+    # same per-key groups, so results are unchanged.
+    par = sel.sparkSession.sparkContext.defaultParallelism
+    return sel.repartition(par, key).groupBy(key).applyInPandas(fn, out_schema)
 
 
 def max_drawdown(
