@@ -41,6 +41,14 @@ def main() -> None:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # fall back from whole-stage codegen exactly where HotSpot stops
+        # JIT-compiling (8 KB bytecode, -XX:-DontCompileHugeMethods
+        # default): between 8 KB and the 64 KB Spark default, generated
+        # code runs in the JVM *bytecode interpreter*, measured 12.6x
+        # slower than Spark's interpreted expression path on the
+        # embedding pair-scoring stage (round 8). A JVM property, not a
+        # local[32] tune — holds at any scale.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

@@ -278,10 +278,18 @@ def common_neighbor_similarity(
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # explicit co-partition on the shared-neighbor key: the wedge join's
+    # OUTPUT is degree² rows per dst — far larger than its inputs — but
+    # AQE coalesces the exchanges on INPUT bytes, squeezing the expansion
+    # onto a few tasks (measured 9 tasks / idle cores on the bench graph).
+    # An explicit repartition is exempt from coalescing and the join
+    # reuses it (same key), so this adds no exchange — the same fix as
+    # temporal_join.interval_join.
+    ep = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "d")
     pairs = (
-        e.alias("a")
+        ep.alias("a")
         .join(
-            e.alias("b"),
+            ep.alias("b"),
             (F.col("a.d") == F.col("b.d")) & (F.col("a.s") < F.col("b.s")),
         )
         .groupBy(
@@ -339,7 +347,13 @@ def adamic_adar(
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     degd = e.groupBy("d").agg(F.count(F.lit(1)).alias("degd"))
-    ew = e.join(degd, "d")
+    # co-partition on d ahead of the degree join AND the wedge self-join
+    # (both key on d, one exchange serves both); exempt from AQE's
+    # input-byte coalescing, which serialized the degree² pair expansion
+    # onto ~9 tasks — see common_neighbor_similarity.
+    ew = e.repartition(
+        e.sparkSession.sparkContext.defaultParallelism, "d"
+    ).join(degd, "d")
     return (
         ew.alias("a")
         .join(

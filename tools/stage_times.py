@@ -45,6 +45,9 @@ def main() -> None:
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # measurement parity with bench.py: fall back from codegen at
+        # HotSpot's 8 KB JIT ceiling (see bench.py comment)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
