@@ -433,19 +433,30 @@ def containment_pairs(
     not a second join. Same stop-shingle skew guard applies at scale.
     """
     sized, sh = _shingle_pair_sizes(docs, n, stop_shingle_df_limit)
-    fwd = sized.select(
-        F.col("doc_a").alias("doc_inner"),
-        F.col("doc_b").alias("doc_outer"),
-        F.round(F.col("common") / F.col("na"), 6).alias("containment"),
-    )
-    rev = sized.select(
-        F.col("doc_b").alias("doc_inner"),
-        F.col("doc_a").alias("doc_outer"),
-        F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
-    )
-    return _finish(
-        fwd.unionByName(rev).filter(F.col("containment") >= threshold), sh
-    )
+    # both directions EXPLODE off one evaluation of `sized`: the previous
+    # union-of-two-projections shape duplicated the whole pair-join
+    # subtree (shingle self-join + two count joins) — the plan ran it
+    # twice, once per direction (measured ~1.9s extra at sf0.1). The
+    # 2-element struct array is provably non-empty → explode_nonempty.
+    # Same rows, same values; row order differs, which no consumer or
+    # oracle depends on (pair sets are order-insensitive).
+    both = sized.select(
+        explode_nonempty(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_inner"),
+                    F.col("doc_b").alias("doc_outer"),
+                    F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_inner"),
+                    F.col("doc_a").alias("doc_outer"),
+                    F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return _finish(both.filter(F.col("containment") >= threshold), sh)
 
 
 # ----------------------------------------------- content-defined chunking

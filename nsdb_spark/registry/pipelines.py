@@ -27,9 +27,11 @@ def register(q):
         )
         surv = docs.join(surv_ids, "doc_id")
         # the module-wide stop-shingle guard formula, over the survivor
-        # set (not the full corpus like _pair_guard_limit)
+        # set (not the full corpus like _pair_guard_limit). Counting the
+        # checkpointed id frame — docs⋈surv_ids is 1:1 on doc_id, so the
+        # count is identical and the join job is saved.
         cap = max(
-            _PAIR_GUARD_FLOOR, _math.ceil(_PAIR_GUARD_FRAC * surv.count())
+            _PAIR_GUARD_FLOOR, _math.ceil(_PAIR_GUARD_FRAC * surv_ids.count())
         )
         pairs = dedup.ngram_jaccard_pairs(
             surv, n=3, threshold=0.5, stop_shingle_df_limit=cap
