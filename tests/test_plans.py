@@ -878,3 +878,73 @@ def test_point_serve_sql_route_keeps_partition_pruning(sharded_engine):
     assert i >= 0
     assert "shard_start" in plan[i : i + 120]
     assert sorted(r[0] for r in df.collect()) == [45000, 50000, 55000]
+
+
+def test_embedding_cosine_score_stays_out_of_join_condition(spark, monkeypatch):
+    """The threshold filter must NOT fold into the pair join's
+    condition: there the 64-term dot product runs on the interpreted
+    predicate path for every candidate pair, ahead of the cheap id cut
+    (measured 396 task-seconds vs ~1 at sf0.1, round 8). The rand-based
+    pushdown barrier keeps the scoring in a Project ABOVE the join, so
+    the join condition may reference only the id columns. _finish is
+    stubbed to identity so the pre-materialization plan is inspectable."""
+    from nsdb_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_finish", lambda out, *pins: out)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_of(dedup.embedding_cosine_pairs(emb, threshold=0.9))
+    join_line = next(
+        ln for ln in plan.splitlines() if "NestedLoopJoin" in ln or "CartesianProduct" in ln
+    )
+    assert "vec_id" in join_line
+    # the dot product (element access + round) must not appear in the join
+    assert "round(" not in join_line
+    assert "[0]" not in join_line
+
+
+def test_containment_pair_join_evaluated_once(spark, monkeypatch):
+    """Both containment directions must come from ONE evaluation of the
+    sized pair frame (a 2-row explode), not a union of two projections
+    that duplicates the whole pair-join subtree (round 8: 51 -> 29 jobs,
+    1081 -> 543 tasks at sf0.1)."""
+    from nsdb_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_finish", lambda out, *pins: out)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    plan = plan_of(dedup.containment_pairs(docs, n=3, threshold=0.1))
+    # one Generate for the direction explode; exactly one pair self-join
+    # + two count joins => join-node count must be 3, not 6
+    n_joins = sum(
+        ln.lstrip().lstrip("+-: *(0123456789)").startswith(
+            ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+        for ln in plan.splitlines()
+    )
+    assert n_joins == 3, f"expected 3 join nodes, saw {n_joins}"
+    rows = {
+        (r["doc_inner"], r["doc_outer"])
+        for r in dedup.containment_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    assert (1, 2) in rows and (2, 1) in rows  # both directions emitted
+
+
+def test_wedge_expansion_repartition_survives_aqe(spark):
+    """adamic_adar / common_neighbor_similarity repartition on the
+    shared-neighbor key with an explicit REPARTITION_BY_NUM exchange —
+    exempt from AQE's input-byte coalescing, which otherwise serializes
+    the degree-squared pair expansion onto a handful of tasks."""
+    from nsdb_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i % 7, i % 5) for i in range(50)], "src long, dst long"
+    )
+    assert "REPARTITION_BY_NUM" in plan_of(graph.adamic_adar(edges))
+    assert "REPARTITION_BY_NUM" in plan_of(
+        graph.common_neighbor_similarity(edges)
+    )
