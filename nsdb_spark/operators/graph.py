@@ -968,6 +968,11 @@ def katz_centrality(
         .persist()
     )
     e.count()
+    # persist nodes like pagerank does: the per-round left join re-reads
+    # the vertex set, and an unpersisted `nodes` re-executed its FULL
+    # upstream lineage every round (the registry entry derives it from
+    # the edge join + two distincts — measured ~1 s per round at sf0.1)
+    nodes = nodes.persist()
     x = nodes.select(node_col, F.lit(1.0).alias("katz")).localCheckpoint()
     for _ in range(iters):
         inw = (
@@ -989,4 +994,5 @@ def katz_centrality(
         )
     out = x.select(node_col, F.round("katz", 6).alias("katz"))
     e.unpersist()
+    nodes.unpersist()
     return out
