@@ -15,10 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from nsdb_spark import entry_queries
+from nsdb_spark.session import tuned_builder
 from nsdb_spark.sources import testdata
 
 
@@ -27,28 +27,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_from_dir(sf_dir)
 
+    # shared tuned defaults (nsdb_spark/session.py): code-cache sizing +
+    # the 8 KB codegen fallback aligned with HotSpot's JIT ceiling —
+    # measured round 8, one definition for bench/engine/tools alike
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("nsdb-spark-bench")
+        tuned_builder(f"local[{cpus}]", "nsdb-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "32g")
-        # dozens of large generated-code classes (128-col aggs, unrolled
-        # dots) can exhaust the default JIT code cache, silently disabling
-        # compilation for later queries — reserve enough for the whole run
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
-        )
-        # fall back from whole-stage codegen exactly where HotSpot stops
-        # JIT-compiling (8 KB bytecode, -XX:-DontCompileHugeMethods
-        # default): between 8 KB and the 64 KB Spark default, generated
-        # code runs in the JVM *bytecode interpreter*, measured 12.6x
-        # slower than Spark's interpreted expression path on the
-        # embedding pair-scoring stage (round 8). A JVM property, not a
-        # local[32] tune — holds at any scale.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -571,6 +558,19 @@ def main() -> None:
     compact: dict[str, float] = dict(
         sorted(timed.items(), key=lambda kv: -kv[1])[:10]
     )
+    # FIXED sentinel set (additions-only, r8 verdict item 8): one heavy
+    # entry per operator family, always present in the compact line so
+    # round-over-round comparison is never hostage to top-10 churn.
+    for sentinel in (
+        "dedup_embedding_cosine", "dedup_containment",
+        "dedup_minhash_incremental", "dedup_embedding_srp",
+        "dedup_simhash", "pipeline_pretrain_corpus", "graph_pagerank",
+        "graph_hits", "text_bpe_encode", "text_bm25_postings",
+        "kmeans_cells", "emb_cluster_purity", "tsa_holt",
+        "join_interval_lineitem_orders",
+    ):
+        if sentinel in timed:
+            compact.setdefault(sentinel, timed[sentinel])
     nsdb_times = [v for k, v in timed.items() if k.startswith("nsdb_") and v > 0]
     compact["nsdb_class_max"] = max(nsdb_times) if nsdb_times else -1.0
     compact["gatling_100_point_queries"] = results["gatling_100_point_queries"]

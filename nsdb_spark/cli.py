@@ -216,13 +216,11 @@ def main(argv: list[str] | None = None) -> None:
         repl_grpc(NsdbGrpcClient(host or "127.0.0.1", int(port)))
         return
 
-    from pyspark.sql import SparkSession
-
     from .engine import NsdbEngine
+    from .session import tuned_builder
 
     spark = (
-        SparkSession.builder.master(args.master)
-        .appName("nsdb-spark-cli")
+        tuned_builder(args.master, "nsdb-spark-cli")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -176,10 +176,28 @@ class NsdbEngine:
             return s
         with self._plan_cache_lock:
             if self._serving_spark is None:
+                from .session import apply_tuned_sql_confs
+
                 s = self.spark.newSession()
                 s.conf.set("spark.sql.codegen.wholeStage", "false")
                 s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
                 s.conf.set("spark.sql.adaptive.enabled", "false")
+                # point plans want the FEWEST tasks, not the most: the
+                # default minPartitionNum (= defaultParallelism) splits a
+                # tiny shard-pruned scan into one sliver per core, so a
+                # filtered `... LIMIT k` pays CollectLimit's partition
+                # ramp-up (1, 4, 16... scheduling rounds) — measured
+                # WORSE at 32 cores than 8 (r8 scaling block ≈ 0.52).
+                # One split per scan is the point-read ideal at any core
+                # count; real data-sized scans never route here (the
+                # _POINT_SERVE_* gates), and maxPartitionBytes still
+                # bounds a split if one ever grows.
+                s.conf.set("spark.sql.files.minPartitionNum", "1")
+                s.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
+                s.conf.set("spark.sql.shuffle.partitions", "1")
+                # shared library defaults (session.py) — production
+                # parity with bench/tools sessions
+                apply_tuned_sql_confs(s)
                 self._serving_spark = s
             return self._serving_spark
 

@@ -234,21 +234,26 @@ def write_postings_table(
     from ..sources.bucketed import write_bucketed
 
     write_bucketed(build_postings(docs, text_col), name, "term", buckets)
-    # avgdl from the JUST-WRITTEN index (dl is stored per posting; one
-    # narrow two-column aggregate — re-deriving it from `docs` would
-    # re-tokenize the whole corpus a second time). n_docs from the SOURCE
-    # frame: a NULL-text doc emits no postings rows, so an index-resident
-    # count would silently drop it from N and shift every IDF versus the
-    # scan path (bm25_topk counts all corpus rows) and the SQL oracle's
-    # count(*) — the row count is a column-pruned scan, no tokenization.
-    avgdl = (
-        docs.sparkSession.table(name)
-        .groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.avg(F.col("dl").cast("double")))
-        .first()[0]
+    # (n_docs, avgdl) in ONE narrow aggregate over the source frame — the
+    # same single-pass stats line as _per_term_scores, so the two paths
+    # share their constants' derivation structurally. The old shape
+    # re-read the JUST-WRITTEN index and ran a full groupBy(doc_id) over
+    # every (term, doc) posting — a second full-index shuffle per build —
+    # plus a separate docs.count() job (guide §2.3/§5; r9). Same values:
+    # n = count(1) keeps NULL-text docs (they emit no postings rows but
+    # ARE corpus rows — IDF parity with bm25_topk and the oracle's
+    # count(*)); avg skips the NULL dl of NULL-text docs, i.e. averages
+    # exactly the docs resident in the index. Distributed-sum order on
+    # avgdl wiggles at most the last ulp, absorbed by the family-wide
+    # round(score, 6) contract (the DuckDB oracle already computes avgdl
+    # with its own summation order).
+    words = F.split(F.col(text_col), " ")
+    stats = (
+        docs.select(F.size(words).cast("double").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
     )
-    return int(docs.count()), float(avgdl)
+    return int(stats["n"]), float(stats["avgdl"])
 
 
 def bm25_topk_postings(

@@ -1742,6 +1742,21 @@ def test_shape_cache_binds_distinct_limits_one_execution(long_engine):
     assert len(plans) == 1 and "limit=None" in plans[0]
 
 
+def test_serving_session_carries_tuned_and_point_confs(engine):
+    """The serving session gets the shared library defaults
+    (session.py — codegen fallback at the JIT ceiling) plus the
+    point-plan parallelism caps, without touching the analytics
+    session's confs."""
+    s = engine._serving_session()
+    assert s.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+    assert s.conf.get("spark.sql.files.minPartitionNum") == "1"
+    assert s.conf.get("spark.sql.leafNodeDefaultParallelism") == "1"
+    assert s.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert s.conf.get("spark.sql.codegen.wholeStage") == "false"
+    # isolation: the analytics session keeps its own partitioning
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") != "1"
+
+
 def test_point_serving_route_interpreted_and_identical(long_engine):
     """A shard-pruned plain SELECT with a small LIMIT plans on the
     interpreted serving session (no per-literal Janino compile: the plan

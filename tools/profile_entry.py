@@ -43,21 +43,17 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    from nsdb_spark.session import tuned_builder
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # measurement parity with bench.py: shared tuned defaults
+    # (nsdb_spark/session.py — code cache + 8 KB codegen fallback)
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("profile-entry")
+        tuned_builder(f"local[{cpus}]", "profile-entry")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "32g")
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
-        )
-        # measurement parity with bench.py: fall back from codegen at
-        # HotSpot's 8 KB JIT ceiling (see bench.py comment)
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

@@ -34,20 +34,16 @@ def main() -> None:
 
     log_dir = tempfile.mkdtemp(prefix="spark_events_")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from nsdb_spark.session import tuned_builder
+
+    # measurement parity with bench.py: shared tuned defaults
+    # (nsdb_spark/session.py — code cache + 8 KB codegen fallback)
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("stage-times")
+        tuned_builder(f"local[{cpus}]", "stage-times")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "32g")
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
-        )
-        # measurement parity with bench.py: fall back from codegen at
-        # HotSpot's 8 KB JIT ceiling (see bench.py comment)
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
