@@ -461,6 +461,13 @@ def cluster_purity(
     assigned = assign_cells(emb, centroids, vec_col).filter(
         F.col(label_col).isNotNull()
     )
+    # NOTE (r9, measured): the grid subtree appears under 7 broadcast
+    # frames below, but they all live in ONE physical plan, so
+    # ReuseExchange already shares the assign+aggregate exchange — an
+    # explicit localCheckpoint was A/B'd and changed neither the job
+    # (30) nor the task (216) count. The 30-vs-14-job gap to
+    # kmeans_cells is inherent broadcast materializations of the
+    # closed-form rollups, each trivially small.
     grid = assigned.groupBy("cell", label_col).agg(
         F.count(F.lit(1)).cast("double").alias("nij")
     )

@@ -400,7 +400,15 @@ def _shingle_pair_sizes(
         # shared (ReuseExchange) and the probe is a hash lookup
         sh = raw.join(F.broadcast(hot), "sh", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # explicit co-partition on the shingle key before the pair join: the
+    # join's OUTPUT is the per-shingle pair production but AQE coalesces
+    # the input exchange on INPUT bytes (the r9 srp/wedge pattern, guide
+    # §2.5); both aliases read ONE exchange (ReuseExchange). Per-key
+    # fan-out is bounded by the stop-shingle guard, so no salt needed.
+    shp = sh.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "sh"
+    )
+    a, b = shp.alias("a"), shp.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -736,7 +744,13 @@ def minhash_lsh_pairs(
     # band keys via the ONE shared derivation (band_buckets) — the
     # incremental index path pins `incremental ≡ minhash_lsh_pairs`, so
     # a second inline copy of the banding scheme is a drift hazard
-    buckets = band_buckets(sigs, num_hashes, bands)
+    # explicit co-partition on the band keys: the join's OUTPUT is the
+    # per-bucket pair production but AQE coalesces the input exchanges
+    # on INPUT bytes (the r9 srp/wedge-join pattern, guide §2.5); both
+    # aliases read ONE exchange (ReuseExchange — same frame, same keys)
+    buckets = band_buckets(sigs, num_hashes, bands).repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism, "band", "key"
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -1046,7 +1060,10 @@ def _srp_sig_frame(emb: DataFrame, vec_col: str, P, bands: int) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", vec_col).mapInPandas(
+    # _parallelize: the embedding table arrives as one split at small
+    # inputs, serializing the BLAS signature pass onto one core
+    # (measured 3.25 s single-task at sf0.1); no-op at real scale
+    return _parallelize(emb.select("vec_id", vec_col)).mapInPandas(
         sig_iter, "vec_id long, keys array<int>, sig array<long>"
     )
 
@@ -1074,12 +1091,30 @@ def _salted_self_pair_join(
     salt-factor replication of the (small) bucket-stream A side, not of
     the pair stream; uniform corpora pay that constant and nothing else.
     """
-    a = buckets.withColumn(
-        "__tb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    ).alias("a")
-    b = buckets.withColumn(
-        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
-    ).alias("b")
+    # Explicit co-partition on the FULL join key (bucket keys + salt
+    # block): the join's OUTPUT is the per-bucket pair production — far
+    # larger than its inputs — but AQE coalesces the input exchanges on
+    # INPUT bytes (measured: the srp candidate+verify stage ran 24.7
+    # task-seconds on 8 tasks at 32 cores). repartition is exempt from
+    # coalescing and the join reuses the layout (same keys positionally
+    # on both sides — no extra exchange); including the salt column
+    # keeps a hot bucket split into `salt` independent partitions, which
+    # is the whole point of the salt (guide §2.5; the r8 wedge-join fix).
+    P = buckets.sparkSession.sparkContext.defaultParallelism
+    a = (
+        buckets.withColumn(
+            "__tb", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        .repartition(P, *key_cols, "__tb")
+        .alias("a")
+    )
+    b = (
+        buckets.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+        )
+        .repartition(P, *key_cols, "__blk")
+        .alias("b")
+    )
     cond = (F.col("a.__tb") == F.col("b.__blk")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
@@ -1088,59 +1123,78 @@ def _salted_self_pair_join(
     return a, b, cond
 
 
-def _blas_cosine_verify(
+def _cosine_verify(
     cand: DataFrame,
     sides: list[tuple[DataFrame, str]],
     threshold: float,
     vec_col: str,
+    dim: int,
 ) -> DataFrame:
     """Exact cosine verification of candidate id pairs — the closing
     stage shared by the SRP self-join and cross-corpus paths. `sides`
     is [(frame, id_alias)] for the pair's two id columns (the same
-    frame twice for a self-join). Two equi-joins attach the RAW vectors
-    (the scale path: no broadcast of the vector table), then ONE Arrow
-    pass computes dot/(|a|·|b|) per batch in BLAS; rounding and the
-    threshold cut stay Spark-side columns (F.round is half-away-from-
-    zero like every SQL engine — oracle parity; raw-dot-then-divide is
-    also the oracle's own float structure).
+    frame twice for a self-join). Two equi-joins attach UNIT-NORMALIZED
+    vectors (norm folded once per VECTOR in its own projection — the
+    embedding_cosine_pairs shape), then the dim-unrolled dot runs as a
+    flat codegen expression once per surviving pair, with the
+    `+ 0.0*rand` pushdown barrier keeping the scoring projection out of
+    any join/filter condition.
 
-    Replaces a dim-unrolled codegen dot that cost ~6 µs/candidate at
-    dim=64 (measured sf0.1, round 5): the recall-safe 4σ Hamming
-    prefilter passes ~59% of bucket collisions at threshold 0.45 on
-    label-clustered data, so verify THROUGHPUT — not candidate count —
-    is what the wall-clock buys. Arrow ships ~1 KB/candidate (two
-    64-dim doubles); the BLAS row rate is ~50× the codegen expression's.
+    Replaces the round-5 Arrow/BLAS pass: shipping two 64-dim doubles
+    per candidate across the Python boundary (~1 KB each) dominated the
+    stage at ~1.6M candidates (112 task-seconds measured at sf0.1,
+    round 9) — the r8 embedding_cosine work showed the fold-above-join
+    JVM shape scores the same volume in ~1-2 task-seconds. Values: the
+    normalized-dot float structure differs from raw-dot-then-divide in
+    the last ulp only, absorbed by the family-wide round(cosine, 6)
+    contract (the DuckDB oracle computes with its own structure and
+    both paths hash-match it).
     """
-    import numpy as np
-    import pandas as pd
-
+    if threshold <= 0:
+        # the pushdown barrier's bit-identity argument needs the filter
+        # to reject -0.0 (x + 0.0*rand maps -0.0 to +0.0) — enforced, as
+        # in embedding_cosine_pairs, rather than assumed
+        raise ValueError("_cosine_verify: threshold must be > 0")
     (fa, a_name), (fb, b_name) = sides
     v = F.col(vec_col).cast("array<double>")
-    ea = fa.select(F.col("vec_id").alias(a_name), v.alias("va"))
-    eb = fb.select(F.col("vec_id").alias(b_name), v.alias("vb"))
-    joined = cand.join(ea, a_name).join(eb, b_name)
-
-    def cos_iter(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(pdf["va"].tolist(), dtype=np.float64)
-            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
-            na = np.maximum(np.sqrt((A * A).sum(axis=1)), 1e-300)
-            nb = np.maximum(np.sqrt((B * B).sum(axis=1)), 1e-300)
-            yield pd.DataFrame(
-                {
-                    a_name: pdf[a_name],
-                    b_name: pdf[b_name],
-                    "raw_cos": (A * B).sum(axis=1) / (na * nb),
-                }
+    norm = F.greatest(
+        F.sqrt(
+            functools.reduce(
+                operator.add,
+                [v.getItem(i) * v.getItem(i) for i in range(dim)],
             )
-
-    scored = joined.mapInPandas(
-        cos_iter, f"{a_name} long, {b_name} long, raw_cos double"
+        ),
+        F.lit(1e-300),
     )
+
+    def unit(f: DataFrame, id_alias: str, out_col: str) -> DataFrame:
+        # two projections, like embedding_cosine_pairs: norm aliased to
+        # its own column so the tree stays O(dim), not O(dim²)
+        return f.select(
+            F.col("vec_id").alias(id_alias), v.alias("__v"), norm.alias("__n")
+        ).select(
+            id_alias,
+            F.array(
+                *[
+                    (F.col("__v").getItem(i) / F.col("__n")).alias(f"x{i}")
+                    for i in range(dim)
+                ]
+            ).alias(out_col),
+        )
+
+    joined = cand.join(unit(fa, a_name, "__va"), a_name).join(
+        unit(fb, b_name, "__vb"), b_name
+    )
+    dot = functools.reduce(
+        operator.add,
+        [
+            F.col("__va").getItem(i) * F.col("__vb").getItem(i)
+            for i in range(dim)
+        ],
+    )
+    cosine = F.round(dot, 6) + F.lit(0.0) * F.rand(42)
     return (
-        scored.withColumn("cosine", F.round("raw_cos", 6))
+        joined.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select(a_name, b_name, "cosine")
     )
@@ -1179,11 +1233,12 @@ def embedding_srp_pairs(
     ≈ 3e-5, dominated by banding's own miss rate). It runs as codegen'd
     bit_count(xor) BEFORE the candidate distinct, cutting the wide
     shuffle ~4× (measured; recall verified unchanged — the oracle is the
-    exact pair set). Survivors verify through _blas_cosine_verify — the
+    exact pair set). Survivors verify through _cosine_verify — the
     4σ cut is loose by design on label-clustered data (it only bounds
     the BOUNDARY pair's miss rate), so the verify stage is throughput-
-    bound and runs as one Arrow/BLAS pass, not a dim-unrolled codegen
-    dot (~50× the row rate, measured round 5).
+    bound and runs as the fold-above-join JVM dot over pre-normalized
+    vectors (the embedding_cosine shape; replaced the round-5 Arrow/BLAS
+    pass in round 9 — shipping vectors to Python dominated the stage).
     """
     import math
 
@@ -1237,8 +1292,8 @@ def embedding_srp_pairs(
         .distinct()
     )
     return _finish(
-        _blas_cosine_verify(
-            cand, [(emb, "vec_a"), (emb, "vec_b")], threshold, vec_col
+        _cosine_verify(
+            cand, [(emb, "vec_a"), (emb, "vec_b")], threshold, vec_col, dim
         ),
         buckets,
     )
@@ -1324,8 +1379,8 @@ def embedding_srp_join(
         .distinct()
     )
 
-    return _blas_cosine_verify(
-        cand, [(left, "left_id"), (right, "right_id")], threshold, vec_col
+    return _cosine_verify(
+        cand, [(left, "left_id"), (right, "right_id")], threshold, vec_col, dim
     )
 
 
@@ -1688,8 +1743,14 @@ def minhash_incremental_pairs(
     is_new: boolean Column over doc_id marking the newly appended docs.
     """
     sigs = spark.table(name).persist()
-    all_b = band_buckets(sigs, num_hashes, bands)
-    new_b = band_buckets(sigs.filter(is_new), num_hashes, bands)
+    # co-partition both bucket streams on the band keys with an explicit
+    # count (AQE-exempt): the probe join's output is the per-bucket
+    # collision set, not its input bytes (guide §2.5, the r9 pattern)
+    P = spark.sparkContext.defaultParallelism
+    all_b = band_buckets(sigs, num_hashes, bands).repartition(P, "band", "key")
+    new_b = band_buckets(sigs.filter(is_new), num_hashes, bands).repartition(
+        P, "band", "key"
+    )
     cand = (
         new_b.alias("a")
         .join(

@@ -50,9 +50,12 @@ def pagerank(
             F.col(dst).alias("__dst"),
             (F.lit(1.0) / F.col("__deg")).alias("__w"),
         )
-        # pre-hash on the join key: the per-round join reuses this layout
-        # instead of re-exchanging the (large) edge set every iteration
-        .repartition("__src")
+        # pre-hash on the join key with an explicit count: the per-round
+        # join reuses this layout instead of re-exchanging the (large)
+        # edge set every iteration; the explicit N is AQE-coalescing-
+        # exempt — a few-MB edge set otherwise collapses to a handful of
+        # partitions and every round's join runs on them (guide §2.5)
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "__src")
         .persist()
     )
     weighted.count()
@@ -123,7 +126,8 @@ def label_propagation(
         edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
         .filter(F.col("__u") != F.col("__v"))
         .distinct()
-        .repartition("__v")
+        # explicit N: AQE-exempt (see pagerank's edge layout note)
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "__v")
         .persist()
     )
     und.count()
@@ -403,14 +407,28 @@ def hits_scores(
     e = edges.select(
         F_.col(src).alias("s"), F_.col(dst).alias("d")
     ).distinct().localCheckpoint(eager=True)
-    n_s = e.select("s").distinct().count()
+    # The two half-step joins key on DIFFERENT endpoints (s then d), so
+    # the checkpointed edge set (partitioned by the distinct's (s, d)
+    # hash) was re-exchanged on every half-step — 2·iters full edge
+    # shuffles. Keep one copy pre-hashed per key (the pagerank
+    # `weighted.repartition("__src")` discipline, guide §2.4): each
+    # round's join then reuses the layout and only the small score frame
+    # moves. The score frames come out of groupBy(s)/groupBy(d) with the
+    # matching partitioning, so the joins are exchange-free on BOTH
+    # sides.
+    P = edges.sparkSession.sparkContext.defaultParallelism
+    e_s = e.repartition(P, "s").persist()
+    e_d = e.repartition(P, "d").persist()
+    n_s = e_s.select("s").distinct().count()
     if n_s == 0:
+        e_s.unpersist()
+        e_d.unpersist()
         raise ValueError("hits_scores: empty edge set")
-    h = e.select("s").distinct().withColumn(
+    h = e_s.select("s").distinct().withColumn(
         "h", F_.round(F_.lit(1.0 / (n_s ** 0.5)), round_to)
     )
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
+    def _norm(df: DataFrame, col: str, eager: bool) -> DataFrame:
         nrm = df.agg(
             F_.sqrt(F_.sum(F_.col(col) * F_.col(col))).alias("__n")
         )
@@ -420,16 +438,25 @@ def hits_scores(
                 *[c for c in df.columns if c != col],
                 F_.round(F_.col(col) / F_.col("__n"), round_to).alias(col),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
 
     for _ in range(iters):
+        # one ACTION per round (the katz/bpe lazy-checkpoint discipline,
+        # guide §1.2(1)): the authority half-step checkpoints lazily and
+        # materializes inside the hub half-step's eager checkpoint —
+        # plan depth still capped at one half-step, half the driver
+        # round-trips (measured 70 jobs for 4 iterations before)
         a = _norm(
-            e.join(h, "s").groupBy("d").agg(F_.sum("h").alias("a")), "a"
+            e_s.join(h, "s").groupBy("d").agg(F_.sum("h").alias("a")),
+            "a", eager=False,
         )
         h = _norm(
-            e.join(a, "d").groupBy("s").agg(F_.sum("a").alias("h")), "h"
+            e_d.join(a, "d").groupBy("s").agg(F_.sum("a").alias("h")),
+            "h", eager=True,
         )
+    e_s.unpersist()
+    e_d.unpersist()
     return h.select(
         F_.col("s").alias("node"), F_.lit("hub").alias("role"),
         F_.col("h").alias("score"),
@@ -475,9 +502,21 @@ def kcore_peel(
     d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
+    # Keep the survivor edge set hash-partitioned on `a` ACROSS rounds
+    # with an explicit partition count: the old checkpoint froze the
+    # distinct's AQE-coalesced layout (measured 10-12 partitions for a
+    # 137 MB string-keyed cache scanned twice per round — 2/3 of the
+    # cores idle), and both the degree aggregate and the a-side semi
+    # join re-exchanged it every round. Partitioned by `a`, the degree
+    # groupBy and the first semi join are exchange-free; only the b-side
+    # semi join and the layout restore move the (shrinking) survivor
+    # set. repartition with an explicit N is exempt from AQE coalescing
+    # (guide §2.4/§2.5).
+    P = edges.sparkSession.sparkContext.defaultParallelism
     e = (
         d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition(P, "a")
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
@@ -490,6 +529,7 @@ def kcore_peel(
         e = (
             e.join(alive, "a", "semi")
             .join(alive.select(F.col("a").alias("b")), "b", "semi")
+            .repartition(P, "a")
             .localCheckpoint(eager=True)
         )
     return e.groupBy(F.col("a").alias("node")).agg(
@@ -719,9 +759,16 @@ def bfs_hops(
     d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
+    # pre-hash on the frontier join key: the distinct leaves the edge
+    # set partitioned by (a, b), so every round's frontier⋈edges join
+    # re-exchanged the FULL edge set — rounds× the only data-sized
+    # shuffle in the operator. localCheckpoint preserves the repartition
+    # layout, so the per-round join moves only the small distance frame
+    # (the pagerank/hits discipline, guide §2.4).
     e = (
         d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "a")
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
@@ -964,7 +1011,8 @@ def katz_centrality(
     """
     e = (
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-        .repartition("__src")
+        # explicit N: AQE-exempt (see pagerank's edge layout note)
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "__src")
         .persist()
     )
     e.count()

@@ -16,7 +16,13 @@ from fixtures import LONG_METRIC, load
 
 @pytest.fixture()
 def manager(engine):
-    load(engine, "people", LONG_METRIC)
+    # small shard: a temporal subscription's historical axis is the
+    # SHARD-ALIGNED extent, so the default 30-day shard makes every
+    # `group by interval 1 s` subscribe compute, sort, and collect a
+    # 2.59M-bucket payload (~30 s per subscribe; measured round 9 —
+    # half this file's wall time). A 60 s shard keeps every asserted
+    # bucket and caps the axis at 60 rows. Engine behaviour untouched.
+    load(engine, "people", LONG_METRIC, shard_interval_ms=60_000)
     return SubscriptionManager(engine)
 
 
@@ -291,16 +297,10 @@ def test_stateful_temporal_amended_repush_across_restart(spark, tmp_path):
     def run_once():
         stream = spark.readStream.schema("timestamp long, value double").parquet(src)
         agg = stream_temporal_agg_stateful(stream, interval_ms=10000, anchor_ms=0)
-        got = []
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(lambda df, bid: got.extend(tuple(r) for r in df.collect()))
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        return got
+        # _run_stream's drained-stop: the state-TTL cleanup batches would
+        # otherwise keep the availableNow query alive for the full
+        # awaitTermination budget — twice here, once per restart
+        return _run_stream(agg, ck)
 
     spark.createDataFrame(
         [(1000, 5.0), (8000, 7.0), (15000, 100.0)], "timestamp long, value double"
@@ -326,7 +326,27 @@ def _run_stream(df_out, ck, mode="update"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # applyInPandasWithState + processing-time timeouts keeps an
+    # availableNow query alive with "no new data but cleaning up state"
+    # batches until the state TTL (1 h) fires, so a bare
+    # awaitTermination(120) burned its full budget per call (measured:
+    # the rows arrive in seconds; this was half of test_streaming's wall
+    # time). Stop once THREE distinct completed batches consumed zero
+    # input rows: the source is drained and any watermark-flush batch
+    # (which is itself a zero-input batch, e.g. the session-agg final
+    # emit) has already committed — queries without state timeouts
+    # terminate on their own before reaching three.
+    deadline = time.time() + 120
+    zero_batches: set = set()
+    while q.isActive and time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] == 0:
+            zero_batches.add(p["batchId"])
+            if len(zero_batches) >= 3:
+                break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
     return got
 
 
