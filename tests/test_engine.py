@@ -1749,12 +1749,39 @@ def test_serving_session_carries_tuned_and_point_confs(engine):
     session's confs."""
     s = engine._serving_session()
     assert s.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+    assert (
+        s.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
+    )
     assert s.conf.get("spark.sql.files.minPartitionNum") == "1"
     assert s.conf.get("spark.sql.leafNodeDefaultParallelism") == "1"
     assert s.conf.get("spark.sql.shuffle.partitions") == "1"
     assert s.conf.get("spark.sql.codegen.wholeStage") == "false"
     # isolation: the analytics session keeps its own partitioning
     assert engine.spark.conf.get("spark.sql.shuffle.partitions") != "1"
+
+
+def test_py4j_reflection_cache_semantics(spark):
+    """The py4j reflection caches (session.py/py4j_cache.py) memoize
+    only stateless handles: static-method members and resolved classes
+    are cached (same object back, still callable); static FIELD reads —
+    which return the field's current value — are never cached."""
+    from nsdb_spark import py4j_cache
+
+    jvm = spark.sparkContext._jvm
+    integer = getattr(jvm, "java.lang.Integer")
+    m1 = integer.parseInt
+    m2 = integer.parseInt
+    assert m1 is m2  # static method member served from the cache
+    assert m1("41") == 41 and m2("42") == 42
+    # class resolution through the JVMView is cached and identical
+    c1 = getattr(jvm, "java.lang.Integer")
+    assert c1 is integer
+    # a static field returns its value and must NOT enter the cache
+    assert integer.MAX_VALUE == 2147483647
+    assert not any(
+        k[0] == "java.lang.Integer" and k[1] == "MAX_VALUE"
+        for k in py4j_cache._class_member_cache
+    )
 
 
 def test_point_serving_route_interpreted_and_identical(long_engine):
