@@ -490,11 +490,14 @@ def cdc_chunks(
 
     L = F.length(text_col)
     n_pos = F.greatest(L - (k - 1), F.lit(1))
-    # explicit NULL-text filter replaces the row-drop the inner explode
-    # performed implicitly (sequence(1, NULL) → NULL array); with it the
-    # position array is provably non-empty (np >= 1) → explode_nonempty,
-    # and _parallelize spreads the per-position hashing (the expensive
-    # stage) off the scan's split count
+    # explicit NULL-text filter replaces the row drops the downstream
+    # filters performed for NULL text (np is never NULL — greatest()
+    # skips nulls, so sequence(1, 1) = [1] even for NULL text; the lone
+    # p=1 row then died in the p>1 cut and the interval nxt>start
+    # checks, NOT in the explode). With the filter the position array is
+    # provably non-empty (np >= 1) → explode_nonempty, and _parallelize
+    # spreads the per-position hashing (the expensive stage) off the
+    # scan's split count. Output-equivalent either way (ADVICE r8).
     base = _parallelize(docs.filter(F.col(text_col).isNotNull())).select(
         "doc_id", F.col(text_col).alias("__t"), L.alias("L"), n_pos.alias("np")
     )
@@ -960,6 +963,12 @@ def embedding_cosine_pairs(
     scale use operators.embeddings_gemm (block matrix product) or
     pre-bucket with operators.similarity.ivf_assign and join within cells.
     """
+    if threshold <= 0:
+        # the `+ 0.0*rand` pushdown barrier below maps a -0.0 cosine to
+        # +0.0; the bit-identity argument therefore needs the filter to
+        # reject everything <= 0 — enforced (ADVICE r8), as in
+        # _cosine_verify, rather than assumed
+        raise ValueError("embedding_cosine_pairs: threshold must be > 0")
     emb, dim = _vec_frame(emb, vec_col)
     if dim == 0:
         return emb.sparkSession.createDataFrame(

@@ -6408,3 +6408,56 @@ def test_acf_pacf_matches_python_model(spark):
     )
     for row in tsa.acf_pacf(const).collect():
         assert row["acf"] is None and row["pacf"] is None
+
+
+def test_explode_nonempty_call_sites_match_inner_explode(spark, monkeypatch):
+    """The explode_nonempty/posexplode_nonempty contract (ADVICE r8): the
+    helpers are explode_outer behind a caller-enforced non-empty promise,
+    so a caller passing a nullable/possibly-empty array would silently
+    gain a NULL row where explode dropped it. One representative operator
+    per call-site family runs on degenerate input (NULL text, empty text,
+    whitespace-only text) with the helpers as shipped and again with them
+    swapped for the INNER explode; the row sets must be identical. A new
+    call site that violates the contract fails here."""
+    from nsdb_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog the quick"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "one two three four five six seven eight nine ten"),
+            (6, "the quick brown fox jumps over the lazy dog the quick"),
+        ],
+        "doc_id long, text string",
+    )
+    cases = {
+        "cdc_chunks": lambda: dedup.cdc_chunks(docs, k=4, mask=4),
+        # banded simhash covers fingerprints + the bucket explode
+        "simhash_pairs": lambda: dedup.simhash_pairs(
+            docs, max_hamming=20, banded=True
+        ),
+        "decontaminate": lambda: dedup.decontaminate(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"), n=2
+        ),
+        "winnow_fingerprints": lambda: text.winnow_fingerprints(
+            docs, k=3, w=2
+        ),
+        "top_bigrams": lambda: text.top_bigrams(docs, k=5),
+        "bpe_train": lambda: bpe.bpe_train(docs, num_merges=5)[1],
+    }
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    shipped = {name: rows(fn()) for name, fn in cases.items()}
+
+    # swap in the inner explodes everywhere the helpers are consumed
+    monkeypatch.setattr(dedup, "explode_nonempty", F.explode)
+    monkeypatch.setattr(dedup, "posexplode_nonempty", F.posexplode)
+    monkeypatch.setattr(text, "_explode_nonempty", F.explode)
+    monkeypatch.setattr(bpe, "_explode_nonempty", F.explode)
+
+    for name, fn in cases.items():
+        assert rows(fn()) == shipped[name], name
